@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator coverage over the TPC-H-ish tables (SURVEY.md §2.1:
+  * joins, aggregations, windows, sorts/top-k, set ops, grouping sets) —
+  * the capabilities a user needs beyond the reference's streaming filters,
+  * expressed Spark-first so Catalyst/AQE pick physical strategies.
+  *
+  * Float-determinism policy for the DuckDB oracle: monetary/quantity sums
+  * aggregate in DECIMAL (exact, order-independent — safe under partial
+  * aggregation on any cluster size), then cast once to DOUBLE on output.
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Hash aggregate with partial (map-side) combine; exact decimal sums.
+    "q01_agg_sum" -> ((spark: SparkSession, dir: String) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Star join: fact orders⨝customer shuffles on the key; the nation and
+    // region dims are broadcast (explicit hint — they stay tiny at any SF).
+    "q02_join_broadcast" -> ((spark: SparkSession, dir: String) => {
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val n = Tables.nation(spark, dir)
+      val r = Tables.region(spark, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Large-large shuffle join on the fact keys + aggregate.
+    "q03_join_shuffle" -> ((spark: SparkSession, dir: String) => {
+      val l = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum((col("l_extendedprice").cast(dec)) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Semi join (EXISTS) — no row multiplication, key-only shuffle.
+    "q04_semi_join" -> ((spark: SparkSession, dir: String) => {
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 100.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Anti join (NOT EXISTS).
+    "q05_anti_join" -> ((spark: SparkSession, dir: String) => {
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Window function: deterministic top-3 orders per customer.
+    "q06_window_topk" -> ((spark: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(spark, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Grouping sets via ROLLUP with grouping_id.
+    "q07_rollup" -> ((spark: SparkSession, dir: String) =>
+      Tables.lineitem(spark, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("g"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("qty"))
+        .orderBy(col("g"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Set operation: INTERSECT (distinct semantics).
+    "q08_intersect" -> ((spark: SparkSession, dir: String) =>
+      Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    // Set operation: EXCEPT.
+    "q09_except" -> ((spark: SparkSession, dir: String) =>
+      Tables.nation(spark, dir).select(col("n_nationkey").as("nationkey"))
+        .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    // Global top-k: sort + limit (Spark executes as TakeOrderedAndProject —
+    // per-partition top-k then a single-reduce merge, no full sort).
+    "q10_topk_order" -> ((spark: SparkSession, dir: String) =>
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(100)),
+
+    // Exact distinct aggregation (expand + two-phase shuffle).
+    "q11_distinct_count" -> ((spark: SparkSession, dir: String) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // Event-time tumbling-window aggregate (batch twin of the streaming
+    // windowed agg; ts arrives as nanosecond Longs — see Tables.events).
+    "q12_events_hourly" -> ((spark: SparkSession, dir: String) =>
+      Tables.events(spark, dir)
+        .select(
+          date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("hour"),
+          col("event_type"), col("value"))
+        .groupBy(col("hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"))
+        .orderBy(col("hour"), col("event_type")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+    "q02_join_broadcast" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin.replace("\n", " "),
+    "q03_join_shuffle" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100.0)
+        |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+    "q06_window_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin.replace("\n", " "),
+    "q07_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin.replace("\n", " "),
+    "q08_intersect" ->
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey",
+    "q09_except" ->
+      "SELECT n_nationkey AS nationkey FROM nation EXCEPT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey",
+    "q10_topk_order" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin.replace("\n", " "),
+    "q11_distinct_count" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q12_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin.replace("\n", " ")
+  )
+}

