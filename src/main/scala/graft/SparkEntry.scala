@@ -29,10 +29,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RedditQueries.queries ++ RelationalQueries.queries
+    RedditQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RedditQueries.oracles ++ RelationalQueries.oracles
+    RedditQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines, designed for the
+  * 100 TB path:
+  *
+  *  - exact:   one hash-shuffle on a content digest; no driver state.
+  *  - MinHash LSH: shingle explode → k min-aggregates (map-side partial
+  *    agg) → band keys → bucket self-join (pairs only meet inside a
+  *    bucket — never all-pairs) → exact Jaccard verification restricted
+  *    to candidates via the inverted shingle index.
+  *  - SimHash: 32-bit signature via per-bit majority vote, one groupBy.
+  *
+  * Hash family: md5 of a seed-prefixed shingle. Chosen deliberately —
+  * md5 is bit-identical across engines, so every stage is oracle-checkable
+  * against DuckDB (lexicographic min over hex digests is a valid
+  * permutation-style MinHash family).
+  *
+  * The reference has no dedup surface (SURVEY.md §2.1); this is extension
+  * territory per BASELINE.json's north star.
+  */
+object Dedup {
+
+  /** Word n-gram shingle stream: (doc_id, s) distinct. Docs shorter than
+    * `n` tokens produce no shingles. The max-document-frequency cap bounds
+    * the inverted-index join against stop-shingles (hot keys) at scale;
+    * keep it in lockstep with the oracle SQL.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+    tok.select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(w)-${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))")).as("s"))
+      .distinct()
+  }
+
+  /** Exact dedup: canonical keeper (min doc_id) per content digest.
+    * Single shuffle on the digest; skew-free (digests are uniform).
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** k MinHash values per doc: mh_i = min over shingles of md5(i || "|" || s). */
+  def minhash(sh: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Collapse a k-wide signature into `bands` band keys (rows of 2 hashes
+    * hashed together). A pair agreeing on ANY band becomes a candidate.
+    */
+  def bandKeys(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      md5(concat(parts: _*)).as(s"band$b")
+    }
+    sig.select(col("doc_id") +: bandCols: _*)
+  }
+
+  /** Candidate pairs (a < b) sharing at least one band bucket. The join is
+    * keyed on (band position, band key) — a shuffle hash join whose
+    * fan-out is bounded by bucket sizes, not the corpus size.
+    */
+  def lshCandidates(banded: DataFrame, bands: Int): DataFrame = {
+    val long = (0 until bands).map(b =>
+      banded.select(col("doc_id"), lit(b).as("bno"), col(s"band$b").as("bkey")))
+      .reduce(_ unionByName _)
+    val x = long.as("x")
+    val y = long.as("y")
+    x.join(y, col("x.bno") === col("y.bno") && col("x.bkey") === col("y.bkey")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over the shingle sets, restricted to candidate pairs.
+    * The shingle stream is first semi-joined down to docs that appear in
+    * any candidate pair, so the inverted-index join only touches the
+    * near-dup cluster neighborhoods.
+    */
+  def jaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val docsInCand = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    val shc = sh.join(docsInCand, Seq("doc_id"), "left_semi")
+    val card = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val x = shc.as("x")
+    val y = shc.as("y")
+    val inter = x.join(y, col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .join(cand, col("x.doc_id") === cand("a") && col("y.doc_id") === cand("b"), "left_semi")
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(card.as("ca"), col("a") === col("ca.doc_id"))
+      .join(card.as("cb"), col("b") === col("cb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("ca.c") + col("cb.c") - col("i"))).as("jaccard"))
+  }
+
+  /** End-to-end MinHash-LSH near-dup pairs with verified Jaccard ≥ threshold. */
+  def lshNearDupPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs)
+    val cand = lshCandidates(bandKeys(minhash(sh, k), k, bands), bands)
+    jaccard(sh, cand)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+  }
+
+  /** All-pairs n-gram Jaccard via the inverted shingle index (no LSH
+    * pre-filter): every co-occurring pair scored, then thresholded.
+    * Quadratic in bucket co-occurrence — use [[lshNearDupPairs]] at scale;
+    * this is the exact-recall reference path.
+    */
+  def jaccardAll(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs)
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val x = sh.as("x")
+    val y = sh.as("y")
+    val inter = x.join(y, col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(card.as("ca"), col("a") === col("ca.doc_id"))
+      .join(card.as("cb"), col("b") === col("cb.doc_id"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        (col("i").cast("double") / (col("ca.c") + col("cb.c") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash per document: per-bit majority vote over the token
+    * multiset, token hash = first 8 md5 hex chars as an unsigned int.
+    * Bit j set iff the signed vote sum is strictly positive.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val h = tok.select(col("doc_id"),
+      conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h"))
+    val bitAggs = (0 until 32).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
+    val votes = h.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a + b)
+    votes.select(col("doc_id"), sig.cast("long").as("simhash"))
+  }
+}

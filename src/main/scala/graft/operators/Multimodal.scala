@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, batch-decoded per partition.
+  *
+  * The Spark-side mechanics are real — schema, partition-level batch
+  * iteration, typed output rows. The codec itself is a clearly-marked
+  * deterministic STUB (`StubCodec`): this container ships no image/audio
+  * libraries, so decode returns synthetic features derived from the
+  * payload bytes. Swapping in a real codec changes only `StubCodec`.
+  */
+object Multimodal {
+
+  /** Typed envelope for a media row. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], lang: String, source: String)
+
+  /** Decoder output: the shape a real image/audio decoder would produce. */
+  case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+      features: Array[Float])
+
+  /** STUB codec — deterministic fake decode. A real deployment replaces
+    * this object with JNI/javacv/etc. bindings; everything around it
+    * (batching, schema, partitioning) stays identical.
+    */
+  object StubCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val n = payload.length
+      // fake dimensions + an 8-dim "feature" derived from byte sums
+      val width = 16 + (n % 64)
+      val height = 16 + ((n / 64) % 64)
+      val feats = Array.tabulate(8) { i =>
+        var acc = 0L
+        var j = i
+        while (j < n) { acc += (payload(j) & 0xff); j += 8 }
+        acc.toFloat / math.max(n, 1)
+      }
+      (width, height, feats)
+    }
+  }
+
+  /** Build the binary-column view from the documents table (stand-in for
+    * real media blobs: payload = utf8 bytes of the text).
+    */
+  def mediaView(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
+      col("lang"), col("source"))
+
+  /** Partition-batched decode: one codec instance per partition (the shape
+    * a real decoder needs — init once, stream the batch through), typed
+    * Dataset out. No shuffle; scales with input splits.
+    */
+  def decodeAll(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("lang"), col("source"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition codec init would go here
+        rows.map { r =>
+          val (w, h, f) = StubCodec.decode(r.payload)
+          DecodedMedia(r.doc_id, r.payload.length.toLong, w, h, f)
+        }
+      }
+  }
+}

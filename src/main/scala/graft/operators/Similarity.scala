@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two paths:
+  *
+  *  - brute force: broadcast the (small) query set against the corpus —
+  *    a BroadcastNestedLoopJoin, exact, O(|Q|·N); the correctness
+  *    baseline.
+  *  - LSH-bucketed: a deterministic sign-projection bucket per vector,
+  *    then a hash join on bucket — each query only scores its own
+  *    bucket, O(N·avg_bucket). This is the 100 TB path: the bucket id
+  *    is computed scan-side (no shuffle until the bucketed join), and
+  *    bucket count scales with corpus size.
+  *
+  * All arithmetic is double-precision sequential (cast float→double then
+  * left-to-right fold), so scores are bit-identical to the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Embedding normalized view: (vec_id, e double[], nrm). */
+  def normalized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("nrm", sqrt(expr("aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  /** Exact top-k cosine neighbors for each query vector (queries = rows
+    * matching `queryPred`). Query side is broadcast.
+    */
+  def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val n = normalized(emb)
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("qe", "ce") / (col("qn") * col("cn"))).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** ANN: score only within the query's bucket (hash join on bucket id).
+    *
+    * Bucket id is a deterministic sign projection: bit j compares a fixed
+    * ±1 combination of 4 coordinates (1-based dims 4j+1..4j+4, matching
+    * the SQL oracle's indexing) against 0 — a stand-in for
+    * random-hyperplane LSH with the planes fixed so every engine computes
+    * the same buckets.
+    */
+  def annTopK(emb: DataFrame, queryPred: Column, k: Int, bits: Int = 6): DataFrame = {
+    val n = normalized(emb).withColumn("bucket",
+      (0 until bits).map { j =>
+        val b = 4 * j
+        when((element_at(col("e"), b + 1) + element_at(col("e"), b + 2)
+          - element_at(col("e"), b + 3) - element_at(col("e"), b + 4)) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce((a: Column, b: Column) => a + b).cast("long"))
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+      col("nrm").as("cn"), col("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("qe", "ce") / (col("qn") * col("cn"))).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID
+  * (marker-n-gram heuristic), quality scoring, token counting, document
+  * fingerprinting. All pure per-row column expressions — embarrassingly
+  * parallel, fully codegen'd, no shuffle. (Extension territory —
+  * SURVEY.md §2.1.)
+  */
+object TextAnalysis {
+
+  /** Marker vocabularies per language bucket. A real pipeline would load
+    * per-language character-n-gram profiles; the mechanism (score per
+    * language, deterministic argmax) is identical.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "table", "row", "column"),
+    "de" -> Seq("join", "merge", "group", "agg"),
+    "fr" -> Seq("stream", "batch", "window", "spark"))
+
+  private def hitCount(words: Seq[String]): Column =
+    size(filter(split(col("text"), " "), t => t.isin(words.map(x => x: Any): _*)))
+
+  /** Per-language marker-hit scores; ties broken by marker-list order
+    * (en ≥ es ≥ de ≥ fr). Deterministic and oracle-mirrorable.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      col("doc_id") +: markers.map { case (l, ws) => hitCount(ws).as(s"sc_$l") }: _*)
+    val langs = markers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), els) =>
+        val beatsRest = langs.drop(i + 1)
+          .map(o => col(s"sc_$l") >= col(s"sc_$o"))
+          .reduce((a: Column, b: Column) => a && b)
+        when(beatsRest, lit(l)).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Length/stopword quality features. Single-pass, no shuffle; doubles
+    * come from one int/int division each so they are bit-deterministic.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks))
+        .as("avg_word_len"),
+      (hitCount(markers.head._2).cast("double") / size(toks)).as("stop_ratio"))
+  }
+
+  /** Whitespace tokens vs BPE-ish regex tokens (letter runs / digit runs /
+    * single punctuation).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+
+  /** Normalization fingerprint: lowercase, strip non-alphanumerics,
+    * collapse whitespace, md5. Equal fingerprints ⇒ same text modulo
+    * formatting — the cheap first pass before near-dup mining.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+        .as("fingerprint"))
+}

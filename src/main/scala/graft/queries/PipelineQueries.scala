@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (BASELINE.json north star):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), text analysis,
+  * embedding similarity search, multimodal binary plumbing — each with a
+  * DuckDB oracle built from the exact same formulas (md5/sha256-based
+  * hashing and sequential double folds are bit-identical across engines).
+  */
+object PipelineQueries {
+
+  private val K = 8        // minhash signature width
+  private val BANDS = 4    // LSH bands (2 rows per band)
+  private val ANN_BITS = 6 // sign-projection bits → 64 buckets
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> ((spark: SparkSession, dir: String) =>
+      Dedup.exactGroups(Tables.documents(spark, dir))
+        .orderBy(col("digest"))),
+
+    "d02_minhash_bands" -> ((spark: SparkSession, dir: String) =>
+      Dedup.bandKeys(
+        Dedup.minhash(Dedup.shingles(Tables.documents(spark, dir)), K), K, BANDS)
+        .orderBy(col("doc_id"))),
+
+    "d03_lsh_pairs" -> ((spark: SparkSession, dir: String) =>
+      Dedup.lshNearDupPairs(Tables.documents(spark, dir), K, BANDS, 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "d04_jaccard_pairs" -> ((spark: SparkSession, dir: String) =>
+      Dedup.jaccardAll(Tables.documents(spark, dir), 0.4)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "d05_simhash" -> ((spark: SparkSession, dir: String) =>
+      Dedup.simhash(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
+    "d06_lang_id" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.langId(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("sc_en"), col("sc_es"), col("sc_de"),
+          col("sc_fr"), col("pred_lang"))
+        .orderBy(col("doc_id"))),
+
+    "d07_quality_score" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.qualityScore(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
+    "d08_token_counts" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.tokenCounts(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
+    "d09_fingerprint" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.fingerprint(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
+    "e01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
+      Similarity.cosineTopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, 5)
+        .orderBy(col("query_id"), col("rk"))),
+
+    "e02_ann_topk" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annTopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, 3, ANN_BITS)
+        .orderBy(col("query_id"), col("rk"))),
+
+    "m01_media_meta" -> ((spark: SparkSession, dir: String) =>
+      Multimodal.mediaView(Tables.documents(spark, dir))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          substring(hex(col("payload")), 1, 16).as("header_hex"),
+          col("lang"), col("source"))
+        .orderBy(col("doc_id")))
+  )
+
+  // ---- oracle SQL (DuckDB), built with the same loops as the Scala ----
+
+  /** Shared CTEs: tokenized docs + distinct word-3-gram shingles. */
+  private val shingleCte =
+    """tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2),' ') AS s
+      |       FROM tok, LATERAL unnest(range(1, len(w)-1)) AS t(i))""".stripMargin.replace("\n", " ")
+
+  private val minhashSelect =
+    (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
+
+  private val bandSelect =
+    (0 until BANDS).map(b => s"md5(mh${2 * b} || mh${2 * b + 1}) AS band$b").mkString(", ")
+
+  private val bandUnion =
+    (0 until BANDS).map(b => s"SELECT doc_id, $b AS bno, band$b AS bkey FROM sig")
+      .mkString(" UNION ALL ")
+
+  private val simhashBits =
+    (0 until 32).map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+
+  private val simhashSig =
+    (0 until 32).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  private val annBucket =
+    (0 until ANN_BITS).map { j =>
+      val b = 4 * j
+      s"(CASE WHEN e[${b + 1}] + e[${b + 2}] - e[${b + 3}] - e[${b + 4}] > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def markerIn(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val scSelects = TextAnalysis.markers.map { case (l, ws) =>
+    s"len(list_filter(string_split(text,' '), x -> x IN ${markerIn(ws)})) AS sc_$l"
+  }.mkString(", ")
+
+  private val langCase = {
+    val langs = TextAnalysis.markers.map(_._1)
+    val whens = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"sc_$l >= sc_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${langs.last}' END"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin.replace("\n", " "),
+
+    "d02_minhash_bands" ->
+      s"""WITH $shingleCte,
+         |mins AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id)
+         |SELECT doc_id, $bandSelect FROM mins ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "d03_lsh_pairs" ->
+      s"""WITH $shingleCte,
+         |mins AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $bandSelect FROM mins),
+         |bl AS ($bandUnion),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bl x
+         |         JOIN bl y ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id GROUP BY 1, 2)
+         |SELECT a AS doc_a, b AS doc_b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
+         |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
+         |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    "d04_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT a AS doc_a, b AS doc_b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
+         |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
+         |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    "d05_simhash" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t),1,8))::BIGINT AS h FROM tk),
+         |b AS (SELECT doc_id, $simhashBits FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashSig AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "d06_lang_id" ->
+      s"""WITH s AS (SELECT doc_id, $scSelects FROM documents)
+         |SELECT doc_id, sc_en, sc_es, sc_de, sc_fr, $langCase AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "d07_quality_score" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         | CAST(length(replace(text,' ','')) AS DOUBLE) / len(string_split(text,' ')) AS avg_word_len,
+         | CAST(len(list_filter(string_split(text,' '), x -> x IN ${markerIn(TextAnalysis.markers.head._2)})) AS DOUBLE)
+         |   / len(string_split(text,' ')) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "d08_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "d09_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "e01_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+        |      FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM p)
+        |SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    "e02_ann_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         |        CAST($annBucket AS BIGINT) AS bucket FROM v),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |      FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM p)
+         |SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= 3
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    "m01_media_meta" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | substr(hex(encode(text)), 1, 16) AS header_hex,
+        | lang, source
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  )
+}
