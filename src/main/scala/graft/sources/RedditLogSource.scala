@@ -1,0 +1,206 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 streaming source over a [[RedditLog]] directory — the
+  * Spark-native re-expression of the reference's per-connection Redis poll
+  * loop (SURVEY.md §2 rows S1-S4, R1, R2):
+  *
+  *  - S1 `latestOffset` = high-watermark from segment listing (the
+  *    reference's `GET rc:max_id`, sse.py:86-96).
+  *  - S2 range scan: `planInputPartitions(start, end]` opens only
+  *    overlapping segments — one partition per segment, so read
+  *    parallelism scales with the log, not with connections.
+  *  - S3 gap-skip: absent ids inside the range are simply not emitted;
+  *    the committed offset is the end of the *scanned* range, so holes
+  *    are skipped permanently (documented at-most-once per hole,
+  *    sse.py:161-162, 182-183).
+  *  - S4 admission control: `maxRecordsPerTrigger` caps a micro-batch
+  *    (the reference's COM/SUB_BUFFER_SIZE, sse.py:101-102); Structured
+  *    Streaming re-fires immediately while a backlog remains — the
+  *    25 ms fast-path (sse.py:247-248) for free.
+  *  - R1/R2: `backfill` / `start_id` options with the reference's V1/V2
+  *    validation (mutual exclusion, int parse, 100 000 clamp,
+  *    sse.py:49-78).
+  *
+  * Usage:
+  * {{{
+  * spark.readStream.format("graft.sources.RedditLogSource")
+  *   .option("path", "/logs/rc").option("backfill", "1000").load()
+  * }}}
+  */
+class RedditLogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RedditLog.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RedditLogTable(new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] class RedditLogTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val path = Option(options.get("path"))
+    .getOrElse(throw new IllegalArgumentException("reddit-log: 'path' option is required"))
+
+  override def name(): String = s"reddit-log(`$path`)"
+  override def schema(): StructType = RedditLog.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = { () =>
+    new Scan {
+      override def readSchema(): StructType = RedditLog.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new RedditLogMicroBatchStream(path, options)
+      override def toBatch: Batch = new RedditLogBatch(path)
+    }
+  }
+}
+
+/** Stream offset = highest id considered scanned (inclusive). */
+case class RedditLogOffset(maxId: Long) extends Offset {
+  override def json(): String = s"""{"maxId":$maxId}"""
+}
+
+object RedditLogOffset {
+  def fromJson(json: String): RedditLogOffset = {
+    val n = new ObjectMapper().readTree(json)
+    RedditLogOffset(n.get("maxId").asLong())
+  }
+}
+
+private[sources] class RedditLogMicroBatchStream(path: String,
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // ---- option validation (V1/V2, sse.py:49-78) ----
+  private def longOpt(key: String): Option[Long] =
+    Option(options.get(key)).map { v =>
+      v.trim.toLongOption.getOrElse(
+        throw new IllegalArgumentException(s"reddit-log: $key must be an integer"))
+    }
+  private val backfill: Option[Long] =
+    longOpt("backfill").map(n => math.min(n, graft.api.ParamSpec.MaxBackfill))
+  private val startId: Option[Long] = longOpt("start_id")
+  if (backfill.isDefined && startId.isDefined)
+    throw new IllegalArgumentException(
+      "reddit-log: backfill and start_id are mutually exclusive")
+  private val maxPerTrigger: Option[Long] = longOpt("max_per_trigger")
+
+  override def initialOffset(): Offset = {
+    val latest = RedditLog.maxId(path)
+    val start = startId match {
+      case Some(s) => s - 1                       // first emitted id = start_id (R2)
+      case None => backfill match {
+        case Some(n) => math.max(latest - n, -1L) // last n ids (R1)
+        case None    => latest                    // live tail only
+      }
+    }
+    RedditLogOffset(start)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(Offset, ReadLimit)")
+
+  // Trigger.AvailableNow: pin the watermark at prepare time so the run
+  // drains exactly the data present at start, in admission-sized batches.
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(RedditLog.maxId(path))
+
+  override def reportLatestOffset(): Offset = RedditLogOffset(RedditLog.maxId(path))
+
+  /** S1 + S4: advance to the watermark, optionally capped to `maxRows`
+    * ids above the current position (ids are treated as near-dense, like
+    * the reference's fixed-size id ranges — sse.py:145-152).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = start.asInstanceOf[RedditLogOffset].maxId
+    val latest = availableNowCap.getOrElse(RedditLog.maxId(path))
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(latest, cur + r.maxRows())
+      case _              => latest
+    }
+    RedditLogOffset(math.max(capped, cur))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RedditLogOffset].maxId
+    val e = end.asInstanceOf[RedditLogOffset].maxId
+    RedditLog.listSegments(path)
+      .filter(seg => seg.lastId > s && seg.firstId <= e)
+      .map(seg => RedditLogInputPartition(seg.file.getAbsolutePath, s, e): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RedditLogReaderFactory
+
+  override def deserializeOffset(json: String): Offset = RedditLogOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()  // nothing to clean up; log is immutable
+  override def stop(): Unit = ()
+}
+
+/** Batch scan of the whole log (used by the SSE server's catch-up reads
+  * and by tests).
+  */
+private[sources] class RedditLogBatch(path: String) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    RedditLog.listSegments(path)
+      .map(seg => RedditLogInputPartition(seg.file.getAbsolutePath, -1L, Long.MaxValue): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RedditLogReaderFactory
+}
+
+case class RedditLogInputPartition(file: String, startExclusive: Long,
+    endInclusive: Long) extends InputPartition
+
+private[sources] class RedditLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RedditLogInputPartition]
+    new PartitionReader[InternalRow] {
+      private val mapper = new ObjectMapper()
+      private val lines = new String(
+        Files.readAllBytes(java.nio.file.Paths.get(p.file)), StandardCharsets.UTF_8)
+        .split('\n').iterator.filter(_.nonEmpty)
+      private var row: InternalRow = _
+
+      override def next(): Boolean = {
+        while (lines.hasNext) {
+          val n = mapper.readTree(lines.next())
+          val id = n.get("id").asLong()
+          if (id > p.startExclusive && id <= p.endInclusive) {
+            def s(f: String): UTF8String = {
+              val v = n.get(f)
+              if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
+            }
+            row = InternalRow(id, s("event"), n.get("created_utc").asLong(),
+              s("author"), s("subreddit"), s("domain"), s("over_18"),
+              s("is_self"), s("json"))
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
