@@ -68,13 +68,12 @@ object RedditOps {
     */
   def resumePred(spec: ParamSpec, rcMax: Column, rsMax: Column): Column = {
     def per(ev: String, backfill: Option[Long], startId: Option[Long], maxId: Column) = {
-      val bound: Option[Column] = (backfill, startId) match {
-        case (_, Some(s)) => Some(lit(s))                 // R2 wins (V1 forbids both)
-        case (Some(n), _) => Some(maxId - lit(n) + lit(1)) // R1: last n ids
-        case _            => None
+      val bound: Column = (backfill, startId) match {
+        case (_, Some(s)) => lit(s)                  // R2 wins (V1 forbids both)
+        case (Some(n), _) => maxId - lit(n) + lit(1) // R1: last n ids
+        case _            => maxId + lit(1)          // live tail: nothing historical
       }
-      bound.map(b => col("event") === lit(ev) && col("id") >= b)
-        .getOrElse(col("event") === lit(ev))
+      col("event") === lit(ev) && col("id") >= bound
     }
     per("rc", spec.commentBackfill, spec.commentStartId, rcMax) ||
       per("rs", spec.submissionBackfill, spec.submissionStartId, rsMax)

@@ -103,8 +103,9 @@ class RedditOpsSpec extends AnyFunSuite {
     val got = withMax
       .filter(RedditOps.resumePred(backfill, $"rc_max", $"rs_max"))
       .select("id").as[Long].collect().toSet
-    // last 2 comment ids (2,3) + all submissions (no submission bound)
-    assert(got == Set(2L, 3L, 10L, 20L, 30L))
+    // last 2 comment ids; submissions get NO history (live tail) when
+    // neither submission_backfill nor submission_start_id is given
+    assert(got == Set(2L, 3L))
 
     val start = ParamSpec(commentStartId = Some(2L), submissionStartId = Some(21L))
     val got2 = fixture.filter(RedditOps.resumePred(start, lit(null), lit(null)))
