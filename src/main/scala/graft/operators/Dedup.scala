@@ -68,9 +68,11 @@ object Dedup {
     * fan-out is bounded by bucket sizes, not the corpus size.
     */
   def lshCandidates(banded: DataFrame, bands: Int): DataFrame = {
-    val long = (0 until bands).map(b =>
-      banded.select(col("doc_id"), lit(b).as("bno"), col(s"band$b").as("bkey")))
-      .reduce(_ unionByName _)
+    // one posexplode pass instead of a bands-way union: the banded
+    // signature subtree is evaluated once, not `bands` times
+    val long = banded.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+        .as(Seq("bno", "bkey")))
     val x = long.as("x")
     val y = long.as("y")
     x.join(y, col("x.bno") === col("y.bno") && col("x.bkey") === col("y.bkey")
@@ -105,6 +107,12 @@ object Dedup {
   /** End-to-end MinHash-LSH near-dup pairs with verified Jaccard ≥ threshold. */
   def lshNearDupPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // The shingle stream feeds four consumers (minhash, cardinalities,
+    // both sides of the intersection self-join). Do NOT persist it:
+    // caching replaces the parquet scan with an InMemoryRelation, which
+    // breaks ReusedExchange across the self-join branches and AQE's
+    // size-based planning — measured 3× slower than letting Catalyst
+    // dedup the subtrees itself.
     val sh = shingles(docs)
     val cand = lshCandidates(bandKeys(minhash(sh, k), k, bands), bands)
     jaccard(sh, cand)
@@ -118,7 +126,7 @@ object Dedup {
     * this is the exact-recall reference path.
     */
   def jaccardAll(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs)
+    val sh = shingles(docs)  // un-persisted on purpose, see lshNearDupPairs
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val x = sh.as("x")
     val y = sh.as("y")

@@ -24,10 +24,10 @@ object Similarity {
   def normalized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("e"))
-      .withColumn("nrm", sqrt(expr("aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+      .withColumn("nrm", sqrt(graft.functions.ArrayDotProduct(col("e"), col("e"))))
 
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    graft.functions.ArrayDotProduct(col(a), col(b))
 
   /** Exact top-k cosine neighbors for each query vector (queries = rows
     * matching `queryPred`). Query side is broadcast.
