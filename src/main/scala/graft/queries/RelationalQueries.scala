@@ -138,6 +138,47 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
+    // Outer join: dims without matches survive with NULL-padded counts.
+    "q13_outer_join" -> ((spark: SparkSession, dir: String) => {
+      val n = Tables.nation(spark, dir)
+      val s = Tables.supplier(spark, dir)
+      n.join(s, n("n_nationkey") === s("s_nationkey"), "left_outer")
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(col("s_suppkey")).as("n_suppliers"),
+          coalesce(sum(col("s_acctbal").cast(dec)).cast("double"), lit(0.0))
+            .as("total_bal"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // CUBE: all grouping-set combinations with grouping_id.
+    "q14_cube" -> ((spark: SparkSession, dir: String) =>
+      Tables.orders(spark, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().cast("long").as("g"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
+        .orderBy(col("g"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Scalar-function parity: string/conditional/null functions the
+    // reference uses (lower, split/substr, concat — sse.py:198,203,213,235)
+    // plus the standard library around them.
+    "q15_scalar_funcs" -> ((spark: SparkSession, dir: String) =>
+      Tables.part(spark, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_type"), 1, 5).as("type_pfx"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("OTHER")).as("brand_or_other"),
+          when(col("p_size") >= 25, lit("large"))
+            .when(col("p_size") >= 10, lit("medium"))
+            .otherwise(lit("small")).as("size_class"))
+        .orderBy(col("p_partkey"))),
+
     // Event-time tumbling-window aggregate (batch twin of the streaming
     // windowed agg; ts arrives as nanosecond Longs — see Tables.events).
     "q12_events_hourly" -> ((spark: SparkSession, dir: String) =>
@@ -211,6 +252,29 @@ object RelationalQueries {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q13_outer_join" ->
+      """SELECT n_nationkey, n_name,
+        | count(s_suppkey) AS n_suppliers,
+        | coalesce(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_bal
+        |FROM nation LEFT OUTER JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin.replace("\n", " "),
+    "q14_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS g,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin.replace("\n", " "),
+    "q15_scalar_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_brand) AS brand_u,
+        | lower(p_type) AS type_l,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | substr(p_type, 1, 5) AS type_pfx,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other,
+        | CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium' ELSE 'small' END AS size_class
+        |FROM part ORDER BY p_partkey""".stripMargin.replace("\n", " "),
     "q12_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n,

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One closed per-author activity session (top-level for Encoder codegen). */
+case class AuthorSession(author: String, start_utc: Long, end_utc: Long,
+    n_events: Long)
+
+/** Keyed session state (top-level for Encoder codegen). */
+case class SessionState(start: Long, end: Long, n: Long)
+
+/** Event-time streaming operators over the envelope stream — the
+  * categories the reference lacks entirely (SURVEY.md §2.1: watermarks,
+  * event-time windows, late data, keyed state). The reference is
+  * arrival-order only with a per-batch sort; these give the engine real
+  * event-time semantics on the same source.
+  */
+object EventTimeOps {
+
+  /** Tumbling event-time window counts per subreddit with a watermark:
+    * late events beyond `lateness` are dropped, final rows emit once the
+    * watermark passes window end (append mode).
+    */
+  def windowedCounts(envelope: DataFrame, windowLen: String = "1 minute",
+      lateness: String = "2 minutes"): DataFrame =
+    envelope
+      .withColumn("event_time", timestamp_seconds(col("created_utc")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowLen), col("subreddit"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event") === "rc", lit(1))).as("n_comments"))
+      .select(col("window.start").as("window_start"), col("subreddit"),
+        col("n"), col("n_comments"))
+
+  /** Gap-based sessionization per author via flatMapGroupsWithState:
+    * a session closes when no event arrives within `gapSeconds` of
+    * event time (tracked with an event-time timeout against the
+    * watermark). Emits one row per closed session.
+    */
+  def sessionize(spark: SparkSession, envelope: DataFrame,
+      gapSeconds: Long = 300L, lateness: String = "2 minutes"): Dataset[AuthorSession] = {
+    import spark.implicits._
+    envelope
+      .withColumn("event_time", timestamp_seconds(col("created_utc")))
+      .withWatermark("event_time", lateness)
+      // the watermark column must flow into the stateful operator
+      .select(col("author"), col("created_utc"), col("event_time"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, AuthorSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (author: String, events: Iterator[(String, Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(AuthorSession(author, s.start, s.end, s.n))
+          } else {
+            val ts = events.map(_._2).toSeq.sorted
+            var closed = List.empty[AuthorSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapSeconds =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= AuthorSession(author, s.start, s.end, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end + gapSeconds) * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
