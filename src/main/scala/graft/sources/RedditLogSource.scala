@@ -26,7 +26,10 @@ import scala.jdk.CollectionConverters._
   *  - S3 gap-skip: absent ids inside the range are simply not emitted;
   *    the committed offset is the end of the *scanned* range, so holes
   *    are skipped permanently (documented at-most-once per hole,
-  *    sse.py:161-162, 182-183).
+  *    sse.py:161-162, 182-183). The reference's other half — "trailing
+  *    missing ids are retried next poll" — is satisfied structurally:
+  *    segments append atomically, so an id that will exist later belongs
+  *    to a future segment and is never covered by the current watermark.
   *  - S4 admission control: `maxRecordsPerTrigger` caps a micro-batch
   *    (the reference's COM/SUB_BUFFER_SIZE, sse.py:101-102); Structured
   *    Streaming re-fires immediately while a backlog remains — the
