@@ -24,9 +24,8 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word n-gram shingle stream: (doc_id, s) distinct. Docs shorter than
-    * `n` tokens produce no shingles. The max-document-frequency cap bounds
-    * the inverted-index join against stop-shingles (hot keys) at scale;
-    * keep it in lockstep with the oracle SQL.
+    * `n` tokens produce no shingles. See [[dfCapped]] for the hot-key
+    * guard applied before inverted-index joins.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val tok = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -66,27 +65,52 @@ object Dedup {
   /** Candidate pairs (a < b) sharing at least one band bucket. The join is
     * keyed on (band position, band key) — a shuffle hash join whose
     * fan-out is bounded by bucket sizes, not the corpus size.
+    *
+    * `maxBucket` drops degenerate buckets (a bucket of n docs emits
+    * n·(n−1)/2 pairs — one pathological key would otherwise go quadratic
+    * at corpus scale). Documented recall trade-off; a no-op on healthy
+    * data. Keep in lockstep with the oracle SQL.
     */
-  def lshCandidates(banded: DataFrame, bands: Int): DataFrame = {
+  def lshCandidates(banded: DataFrame, bands: Int,
+      maxBucket: Long = 1000L): DataFrame = {
     // one posexplode pass instead of a bands-way union: the banded
     // signature subtree is evaluated once, not `bands` times
     val long = banded.select(col("doc_id"),
       posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
         .as(Seq("bno", "bkey")))
-    val x = long.as("x")
-    val y = long.as("y")
+    val healthy = long.groupBy(col("bno"), col("bkey"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("bno"), col("bkey"))
+    val bounded = long.join(healthy, Seq("bno", "bkey"), "left_semi")
+    val x = bounded.as("x")
+    val y = bounded.as("y")
     x.join(y, col("x.bno") === col("y.bno") && col("x.bkey") === col("y.bkey")
         && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
   }
 
-  /** Exact Jaccard over the shingle sets, restricted to candidate pairs.
-    * The shingle stream is first semi-joined down to docs that appear in
-    * any candidate pair, so the inverted-index join only touches the
-    * near-dup cluster neighborhoods.
+  /** Stop-shingle guard for the inverted-index join: keep only shingles
+    * whose document frequency is ≤ `maxDf`. One shingle appearing in n
+    * docs emits O(n²) join rows; capping df bounds the hottest key at
+    * corpus scale (no-op on healthy data — keep in lockstep with the
+    * oracle SQL). Jaccard is then defined over the capped shingle
+    * universe, so cardinalities must come from the same capped stream.
     */
-  def jaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+  def dfCapped(sh: DataFrame, maxDf: Long): DataFrame = {
+    val healthy = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    sh.join(healthy, Seq("s"), "left_semi")
+  }
+
+  /** Exact Jaccard over the (df-capped) shingle sets, restricted to
+    * candidate pairs. The shingle stream is first semi-joined down to
+    * docs that appear in any candidate pair, so the inverted-index join
+    * only touches the near-dup cluster neighborhoods.
+    */
+  def jaccard(sh0: DataFrame, cand: DataFrame, maxDf: Long = 10000L): DataFrame = {
+    val sh = dfCapped(sh0, maxDf)
     val docsInCand = cand.select(col("a").as("doc_id"))
       .unionByName(cand.select(col("b").as("doc_id"))).distinct()
     val shc = sh.join(docsInCand, Seq("doc_id"), "left_semi")
@@ -125,8 +149,10 @@ object Dedup {
     * Quadratic in bucket co-occurrence — use [[lshNearDupPairs]] at scale;
     * this is the exact-recall reference path.
     */
-  def jaccardAll(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs)  // un-persisted on purpose, see lshNearDupPairs
+  def jaccardAll(docs: DataFrame, threshold: Double,
+      maxDf: Long = 10000L): DataFrame = {
+    // un-persisted on purpose, see lshNearDupPairs
+    val sh = dfCapped(shingles(docs), maxDf)
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val x = sh.as("x")
     val y = sh.as("y")

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  private val K = 8        // minhash signature width
-  private val BANDS = 4    // LSH bands (2 rows per band)
-  private val ANN_BITS = 6 // sign-projection bits → 64 buckets
+  private val K = 8            // minhash signature width
+  private val BANDS = 4        // LSH bands (2 rows per band)
+  private val ANN_BITS = 6     // sign-projection bits → 64 buckets
+  private val MAX_BUCKET = 1000L // LSH bucket-size guard (Dedup.lshCandidates)
+  private val MAX_DF = 10000L    // stop-shingle df guard (Dedup.dfCapped)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> ((spark: SparkSession, dir: String) =>
@@ -84,6 +86,10 @@ object PipelineQueries {
       |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2),' ') AS s
       |       FROM tok, LATERAL unnest(range(1, len(w)-1)) AS t(i))""".stripMargin.replace("\n", " ")
 
+  /** Mirror of [[graft.operators.Dedup.dfCapped]]: shc = df-capped sh. */
+  private def dfCapCte =
+    s"shc AS (SELECT sh.* FROM sh JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MAX_DF) h USING (s))"
+
   private val minhashSelect =
     (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
 
@@ -135,14 +141,16 @@ object PipelineQueries {
 
     "d03_lsh_pairs" ->
       s"""WITH $shingleCte,
+         |$dfCapCte,
          |mins AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id),
          |sig AS (SELECT doc_id, $bandSelect FROM mins),
          |bl AS ($bandUnion),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bl x
-         |         JOIN bl y ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |blb AS (SELECT bl.* FROM bl JOIN (SELECT bno, bkey FROM bl GROUP BY bno, bkey HAVING count(*) <= $MAX_BUCKET) h USING (bno, bkey)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM blb x
+         |         JOIN blb y ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |card AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-         |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
          |          JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id GROUP BY 1, 2)
          |SELECT a AS doc_a, b AS doc_b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
          |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
@@ -151,9 +159,10 @@ object PipelineQueries {
 
     "d04_jaccard_pairs" ->
       s"""WITH $shingleCte,
-         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |$dfCapCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-         |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |          FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
          |SELECT a AS doc_a, b AS doc_b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
          |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
          |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.4

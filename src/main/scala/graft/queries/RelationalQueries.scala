@@ -179,6 +179,19 @@ object RelationalQueries {
             .otherwise(lit("small")).as("size_class"))
         .orderBy(col("p_partkey"))),
 
+    // Exact interpolated quantiles (sort-based aggregate). Interpolation
+    // arithmetic is a single deterministic expression over exact order
+    // statistics, so it cross-checks against DuckDB's quantile_cont.
+    "q16_percentiles" -> ((spark: SparkSession, dir: String) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy(col("l_returnflag"))),
+
     // Event-time tumbling-window aggregate (batch twin of the streaming
     // windowed agg; ts arrives as nanosecond Longs — see Tables.events).
     "q12_events_hourly" -> ((spark: SparkSession, dir: String) =>
@@ -275,6 +288,13 @@ object RelationalQueries {
         | coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other,
         | CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium' ELSE 'small' END AS size_class
         |FROM part ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS p50,
+        | quantile_cont(l_extendedprice, 0.95) AS p95,
+        | min(l_extendedprice) AS lo,
+        | max(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
     "q12_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n,
