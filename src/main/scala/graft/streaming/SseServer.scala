@@ -76,7 +76,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     */
   private def handleBatch(batch: DataFrame, batchId: Long): Unit = {
     val snapshot = conns.values.asScala.filterNot(_.closed).toSeq
-    if (snapshot.isEmpty) return
+    if (snapshot.isEmpty || batch.isEmpty) return
     batch.persist()
     try {
       def tags(predOf: Connection => Column): Column = filter(
