@@ -192,6 +192,27 @@ object RelationalQueries {
           max(col("l_extendedprice")).as("hi"))
         .orderBy(col("l_returnflag"))),
 
+    // As-of join (custom operator — Spark has no native ASOF JOIN): each
+    // click gets the user's latest purchase at-or-before it. Implemented
+    // as union + running window (graft.operators.AsOfJoin), checked
+    // against DuckDB's native ASOF LEFT JOIN.
+    "q17_asof_join" -> ((spark: SparkSession, dir: String) => {
+      // time axis in microseconds: DuckDB reads the ns parquet column at
+      // µs precision, so the operator is defined at µs in both engines
+      val e = Tables.events(spark, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          expr("ts div 1000").as("tus"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+      graft.operators.AsOfJoin
+        .lastEarlier(clicks, purchases, "user_id", "tus", Seq("value"))
+        .select(col("click_id"), col("user_id"),
+          col("asof_time").as("purchase_ts_us"),
+          col("asof_value").as("purchase_value"))
+        .orderBy(col("click_id"))
+    }),
+
     // Event-time tumbling-window aggregate (batch twin of the streaming
     // windowed agg; ts arrives as nanosecond Longs — see Tables.events).
     "q12_events_hourly" -> ((spark: SparkSession, dir: String) =>
@@ -295,6 +316,14 @@ object RelationalQueries {
         | min(l_extendedprice) AS lo,
         | max(l_extendedprice) AS hi
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q17_asof_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id,
+        | p.tus AS purchase_ts_us,
+        | p.value AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tus >= p.tus
+        |ORDER BY click_id""".stripMargin.replace("\n", " "),
     "q12_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n,
