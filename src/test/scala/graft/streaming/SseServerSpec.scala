@@ -125,6 +125,30 @@ class SseServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       frames.mkString("<<", ">>|<<", ">>"))
   }
 
+  test("two concurrent clients with different specs each get exactly their stream") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val ready = new CountDownLatch(2)
+    @volatile var framesA: Seq[String] = Nil
+    @volatile var framesB: Seq[String] = Nil
+    // A: only u2's comments; B: submissions only, projected to title
+    val ta = new Thread(() => {
+      ready.countDown()
+      framesA = readFrames("/?comment_backfill=100&type=comments&author=u2", 1)
+    })
+    val tb = new Thread(() => {
+      ready.countDown()
+      framesB = readFrames("/?submission_backfill=100&type=submissions&filter=title", 3)
+    })
+    ta.start(); tb.start()
+    assert(ready.await(5, TimeUnit.SECONDS))
+    ta.join(30000); tb.join(30000)
+    assert(framesA.size == 1 && framesA.head.startsWith("id: 2\nevent: rc"))
+    assert(framesA.head.contains("\"author\":\"u2\""))
+    assert(framesB.size == 3)
+    assert(framesB.forall(_.contains("event: rs")))
+    assert(framesB.forall(f => f.contains("{\"title\":") && !f.contains("author")))
+  }
+
   test("/test demo page served") {
     val url = new URL(s"http://localhost:${server.boundPort}/test")
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
