@@ -129,6 +129,25 @@ object RedditQueries {
             .as("tbs"))
     }),
 
+    // P1 (full form) — the JsonKeySubset custom expression itself:
+    // type-preserving key-subset re-serialization, oracle-checked.
+    "r14_projection_full" -> ((spark: SparkSession, dir: String) =>
+      RedditView(spark, dir)
+        .select(col("id"),
+          graft.functions.JsonKeySubset(col("json"), Seq("k")).as("projected"))
+        .orderBy(col("id"))),
+
+    // SQL surface: the same engine queried through spark.sql over a
+    // registered view of the envelope.
+    "r15_sql_surface" -> ((spark: SparkSession, dir: String) => {
+      RedditView(spark, dir).createOrReplaceTempView("reddit_events")
+      spark.sql(
+        """SELECT subreddit, event, count(*) AS n, min(id) AS first_id
+          |FROM reddit_events
+          |GROUP BY subreddit, event
+          |ORDER BY subreddit, event""".stripMargin)
+    }),
+
     // E1 — SSE frame encode as a codegen'd concat
     "r13_sse_encode" -> ((spark: SparkSession, dir: String) =>
       RedditView(spark, dir)
@@ -178,6 +197,16 @@ object RedditQueries {
          | CAST(sum(length($frameSql)) AS BIGINT) AS tbs
          |FROM reddit WHERE subreddit IN ('click','error','view')""".stripMargin.replace("\n", " "),
     "r13_sse_encode" ->
-      s"$redditCte SELECT id, $frameSql AS frame FROM reddit WHERE author = 'user_7' ORDER BY id"
+      s"$redditCte SELECT id, $frameSql AS frame FROM reddit WHERE author = 'user_7' ORDER BY id",
+    "r14_projection_full" ->
+      s"""$redditCte SELECT id,
+         | CASE WHEN json_extract(json, '$$.k') IS NOT NULL
+         |      THEN '{"k":' || json_extract(json, '$$.k') || '}'
+         |      ELSE '{}' END AS projected
+         |FROM reddit ORDER BY id""".stripMargin.replace("\n", " "),
+    "r15_sql_surface" ->
+      s"""$redditCte SELECT subreddit, event, count(*) AS n, min(id) AS first_id
+         |FROM reddit GROUP BY subreddit, event
+         |ORDER BY subreddit, event""".stripMargin.replace("\n", " ")
   )
 }
