@@ -44,8 +44,17 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
 
   // ---------------- connection registry ----------------
 
+  /** Documented deviation from the reference: the reference's
+    * one-generator-per-connection design gets per-client TCP
+    * backpressure for free; a shared query must not let one slow client
+    * stall the fan-out (head-of-line blocking), so each connection gets
+    * a bounded queue and a client that falls 65 536 frames behind loses
+    * the newest frames (counted in `dropped`). The client can always
+    * re-sync via `*_start_id` — ids are the resume tokens (R2).
+    */
   private final class Connection(val id: String, val spec: ParamSpec) {
     val queue = new LinkedBlockingQueue[String](65536)
+    val dropped = new AtomicLong(0)
     val tcs = new AtomicLong(0)
     val tss = new AtomicLong(0)
     val tbs = new AtomicLong(0)
@@ -115,7 +124,10 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
         Option(conns.get(r.getString(0))).foreach { c =>
           val m = c.mark(r.getString(1))
           val id = r.getLong(2)
-          if (id > m.get()) { m.set(id); c.queue.offer(r.getString(3)) }
+          if (id > m.get()) {
+            m.set(id)
+            if (!c.queue.offer(r.getString(3))) c.dropped.incrementAndGet()
+          }
         }
       }
     } finally batch.unpersist()
