@@ -34,6 +34,32 @@ object EventTimeOps {
       .select(col("window.start").as("window_start"), col("subreddit"),
         col("n"), col("n_comments"))
 
+  /** Stream-stream inner join: comments matched to submissions in the
+    * same subreddit within ±`withinSeconds` of event time. Watermarks on
+    * BOTH sides bound the join state — Spark can drop buffered rows once
+    * the other side's watermark passes the time window, which is what
+    * makes an unbounded two-stream join feasible at all.
+    */
+  def commentSubmissionJoin(comments: DataFrame, submissions: DataFrame,
+      withinSeconds: Long = 300L, lateness: String = "2 minutes"): DataFrame = {
+    val c = comments
+      .withColumn("c_time", timestamp_seconds(col("created_utc")))
+      .withWatermark("c_time", lateness)
+      .select(col("id").as("c_id"), col("author").as("c_author"),
+        col("subreddit").as("c_subreddit"), col("c_time"))
+    val s = submissions
+      .withColumn("s_time", timestamp_seconds(col("created_utc")))
+      .withWatermark("s_time", lateness)
+      .select(col("id").as("s_id"), col("subreddit").as("s_subreddit"),
+        col("s_time"))
+    c.join(s,
+      col("c_subreddit") === col("s_subreddit") &&
+        col("c_time") >= col("s_time") - expr(s"interval $withinSeconds seconds") &&
+        col("c_time") <= col("s_time") + expr(s"interval $withinSeconds seconds"))
+      .select(col("c_id"), col("s_id"), col("c_subreddit").as("subreddit"),
+        col("c_author"))
+  }
+
   /** Gap-based sessionization per author via flatMapGroupsWithState:
     * a session closes when no event arrives within `gapSeconds` of
     * event time (tracked with an event-time timeout against the

@@ -44,6 +44,31 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(rows.contains(("aww", 1L, 1L)))
   }
 
+  test("stream-stream join: comments match submissions in-subreddit within the time bound") {
+    val rcDir = Files.createTempDirectory("ssj-rc").toString
+    val rsDir = Files.createTempDirectory("ssj-rs").toString
+    // rc 2@t=1000 news, rc 4@t=2000 news, rc 6@t=1000 aww
+    RedditLog.writeSegment(rcDir, Seq(
+      ev(2, 1000, "a", "news"), ev(4, 2000, "b", "news"), ev(6, 1000, "c", "aww"),
+      ev(8, 100000, "z", "zz1"), ev(10, 100001, "z", "zz1")))
+    // rs 3@t=1100 news (matches rc2 within 300s, not rc4), rs 5@t=900 aww
+    RedditLog.writeSegment(rsDir, Seq(
+      ev(3, 1100, "x", "news"), ev(5, 900, "y", "aww"),
+      ev(7, 100000, "z", "zz2"), ev(9, 100001, "z", "zz2")))
+    def src(p: String) = spark.readStream.format("graft.sources.RedditLogSource")
+      .option("path", p).option("backfill", "100")
+      .option("max_per_trigger", "2").load()
+    val name = s"ssj${System.nanoTime()}"
+    val q = EventTimeOps.commentSubmissionJoin(src(rcDir), src(rsDir))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val pairs = spark.table(name).select($"c_id", $"s_id", $"subreddit")
+      .as[(Long, Long, String)].collect().toSet
+      .filterNot(_._3.startsWith("zz"))
+    assert(pairs == Set((2L, 3L, "news"), (6L, 5L, "aww")))
+  }
+
   test("sessionize: gap-based author sessions close via gap and event-time timeout") {
     val dir = Files.createTempDirectory("slog").toString
     // alice: 100,200,250 → one session (gap 300); 1000 → new session that
