@@ -62,13 +62,63 @@ private[sources] class RedditLogTable(options: CaseInsensitiveStringMap)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = { () =>
-    new Scan {
-      override def readSchema(): StructType = RedditLog.schema
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new RedditLogMicroBatchStream(path, options)
-      override def toBatch: Batch = new RedditLogBatch(path)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new RedditLogScanBuilder(path, options)
+}
+
+/** Pushes `id` lower/upper bounds down to segment pruning: a batch read
+  * with `WHERE id > X` opens only segments whose name-declared range
+  * overlaps (X, ∞) — the catch-up path's "type with no backfill" case
+  * prunes to zero segments this way. Filters are also kept post-scan
+  * (returned as residuals), so correctness never depends on the pruning.
+  */
+private[sources] class RedditLogScanBuilder(path: String,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var startExclusive = -1L
+  private var endInclusive = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  /** id-range implied by a filter: (startExclusive, endInclusive), or
+    * None when the filter says nothing provable about id. And =
+    * intersection (an unknown side is just ignored), Or = union (BOTH
+    * sides must be known, else the branch may match anything).
+    */
+  private def rangeOf(f: Filter): Option[(Long, Long)] = f match {
+    case GreaterThan("id", v: Number)        => Some((v.longValue(), Long.MaxValue))
+    case GreaterThanOrEqual("id", v: Number) => Some((v.longValue() - 1, Long.MaxValue))
+    case LessThan("id", v: Number)           => Some((-1L, v.longValue() - 1))
+    case LessThanOrEqual("id", v: Number)    => Some((-1L, v.longValue()))
+    case EqualTo("id", v: Number)            => Some((v.longValue() - 1, v.longValue()))
+    case And(a, b) =>
+      (rangeOf(a), rangeOf(b)) match {
+        case (Some((s1, e1)), Some((s2, e2))) => Some((math.max(s1, s2), math.min(e1, e2)))
+        case (one, other)                     => one.orElse(other)
+      }
+    case Or(a, b) =>
+      for ((s1, e1) <- rangeOf(a); (s2, e2) <- rangeOf(b))
+        yield (math.min(s1, s2), math.max(e1, e2))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = filters.filter(f => rangeOf(f).isDefined)
+    usable.flatMap(rangeOf).foreach { case (s, e) =>
+      startExclusive = math.max(startExclusive, s)
+      endInclusive = math.min(endInclusive, e)
     }
+    pushed = usable
+    filters // everything stays as a residual post-scan filter
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = RedditLog.schema
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new RedditLogMicroBatchStream(path, options)
+    override def toBatch: Batch = new RedditLogBatch(path, startExclusive, endInclusive)
   }
 }
 
@@ -160,13 +210,18 @@ private[sources] class RedditLogMicroBatchStream(path: String,
   override def stop(): Unit = ()
 }
 
-/** Batch scan of the whole log (used by the SSE server's catch-up reads
-  * and by tests).
+/** Batch scan of the log within pushed id bounds (used by the SSE
+  * server's catch-up reads and by tests). Segments entirely outside
+  * (startExclusive, endInclusive] are never opened.
   */
-private[sources] class RedditLogBatch(path: String) extends Batch {
+private[sources] class RedditLogBatch(path: String,
+    startExclusive: Long = -1L, endInclusive: Long = Long.MaxValue)
+    extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     RedditLog.listSegments(path)
-      .map(seg => RedditLogInputPartition(seg.file.getAbsolutePath, -1L, Long.MaxValue): InputPartition)
+      .filter(seg => seg.lastId > startExclusive && seg.firstId <= endInclusive)
+      .map(seg => RedditLogInputPartition(seg.file.getAbsolutePath,
+        startExclusive, endInclusive): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new RedditLogReaderFactory

@@ -169,6 +169,12 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     val rsMax = RedditLog.maxId(rsPath)
     def side(p: String) = spark.read
       .format("graft.sources.RedditLogSource").option("path", p).load()
+    // NOTE: both logs are always scanned here even when `type` suppresses
+    // one — the A1 counters observably count type-suppressed events
+    // (sse.py:179-180; SseServerSpec "keepalive" asserts it). The segment
+    // pruning comes from the source's id-range filter pushdown instead:
+    // a type with no backfill/start_id resolves to `id > max`, which
+    // prunes to zero segments.
     val hist = side(rcPath).unionByName(side(rsPath))
       .filter(RedditOps.resumePred(spec, lit(rcMax), lit(rsMax)))
     // counters (A1 quirk: before the type gate)

@@ -144,6 +144,32 @@ class RedditLogSourceSpec extends AnyFunSuite {
     assert(df.schema == RedditLog.schema)
   }
 
+  test("batch id filters push down to segment pruning (incl. OR of ranges)") {
+    val dir = tempLog()
+    RedditLog.writeSegment(dir, (1L to 100L).map(row(_)))
+    RedditLog.writeSegment(dir, (101L to 200L).map(row(_)))
+    RedditLog.writeSegment(dir, (201L to 300L).map(row(_)))
+    def scan = spark.read.format("graft.sources.RedditLogSource")
+      .option("path", dir).load()
+    def nParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+
+    val high = scan.filter($"id" > 250L)
+    assert(high.count() == 50)
+    assert(nParts(high) == 1, "only the last segment should be planned")
+
+    // the catch-up shape: OR of two per-type ranges → pruned to the union
+    val disjunct = scan.filter(
+      ($"event" === "rc" && $"id" >= 290L) || ($"event" === "rs" && $"id" >= 295L))
+    assert(disjunct.count() == 11)
+    assert(nParts(disjunct) == 1)
+
+    // an un-analyzable predicate must not prune anything
+    val residual = scan.filter(org.apache.spark.sql.functions.length($"author") > 0)
+    assert(residual.count() == 300)
+    assert(nParts(residual) == 3)
+  }
+
   private def eventually(cond: => Boolean, hint: String, timeoutMs: Long = 20000): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond) {
