@@ -24,19 +24,21 @@ object AsOfJoin {
 
   def lastEarlier(left: DataFrame, right: DataFrame, key: String,
       time: String, rightPayload: Seq[String]): DataFrame = {
-    val timeType = left.schema(time).dataType
+    import org.apache.spark.sql.types.{StructField, StructType}
+    // The whole matched right row travels as ONE struct so a single
+    // last(_, ignoreNulls) picks a consistent row — per-column fills
+    // would tear rows apart whenever a payload column is NULL.
+    val packType = StructType(
+      StructField("t", left.schema(time).dataType) +:
+        rightPayload.map(c => right.schema(c)))
     val leftOnly = left.columns.filterNot(c => c == key || c == time).toSeq
 
-    val lAligned = rightPayload.foldLeft(
-      left.withColumn("__is_left", lit(1))
-        .withColumn("__r_time", lit(null).cast(timeType))
-    )((df, c) => df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
-
-    val rBase = right.select((Seq(key, time) ++ rightPayload).map(col): _*)
-      .withColumn("__is_left", lit(0))
-      .withColumn("__r_time", col(time))
+    val lAligned = left.withColumn("__is_left", lit(1))
+      .withColumn("__r_pack", lit(null).cast(packType))
     val rAligned = leftOnly.foldLeft(
-      rightPayload.foldLeft(rBase)((df, c) => df.withColumnRenamed(c, s"__r_$c"))
+      right.select(col(key), col(time),
+        struct(col(time).as("t") +: rightPayload.map(col): _*).as("__r_pack"))
+        .withColumn("__is_left", lit(0))
     )((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
     // right rows sort before left rows on time ties → inclusive as-of
@@ -44,12 +46,11 @@ object AsOfJoin {
       .orderBy(col(time).asc, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = (("__r_time", "asof_time") +:
-      rightPayload.map(c => (s"__r_$c", s"asof_$c")))
-      .foldLeft(lAligned.unionByName(rAligned)) { case (df, (src, dst)) =>
-        df.withColumn(dst, last(col(src), ignoreNulls = true).over(w))
-      }
-    filled.filter(col("__is_left") === 1)
-      .drop("__is_left" +: "__r_time" +: rightPayload.map(c => s"__r_$c"): _*)
+    val outCols = col("asof_pack.t").as("asof_time") +:
+      rightPayload.map(c => col(s"asof_pack.$c").as(s"asof_$c"))
+    lAligned.unionByName(rAligned)
+      .withColumn("asof_pack", last(col("__r_pack"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(left.columns.map(col) ++ outCols: _*)
   }
 }

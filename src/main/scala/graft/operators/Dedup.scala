@@ -130,7 +130,8 @@ object Dedup {
 
   /** End-to-end MinHash-LSH near-dup pairs with verified Jaccard ≥ threshold. */
   def lshNearDupPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Long = 1000L,
+      maxDf: Long = 10000L): DataFrame = {
     // The shingle stream feeds four consumers (minhash, cardinalities,
     // both sides of the intersection self-join). Do NOT persist it:
     // caching replaces the parquet scan with an InMemoryRelation, which
@@ -138,8 +139,8 @@ object Dedup {
     // size-based planning — measured 3× slower than letting Catalyst
     // dedup the subtrees itself.
     val sh = shingles(docs)
-    val cand = lshCandidates(bandKeys(minhash(sh, k), k, bands), bands)
-    jaccard(sh, cand)
+    val cand = lshCandidates(bandKeys(minhash(sh, k), k, bands), bands, maxBucket)
+    jaccard(sh, cand, maxDf)
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
   }

@@ -30,11 +30,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))),
 
     "d03_lsh_pairs" -> ((spark: SparkSession, dir: String) =>
-      Dedup.lshNearDupPairs(Tables.documents(spark, dir), K, BANDS, 0.5)
+      Dedup.lshNearDupPairs(Tables.documents(spark, dir), K, BANDS, 0.5,
+        MAX_BUCKET, MAX_DF)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "d04_jaccard_pairs" -> ((spark: SparkSession, dir: String) =>
-      Dedup.jaccardAll(Tables.documents(spark, dir), 0.4)
+      Dedup.jaccardAll(Tables.documents(spark, dir), 0.4, MAX_DF)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "d05_simhash" -> ((spark: SparkSession, dir: String) =>

@@ -72,8 +72,13 @@ object RedditLog {
       mapper.writeValueAsString(node)
     }
     Files.createDirectories(Paths.get(dir))
-    val path = Paths.get(dir, s"seg-${ids.min}-${ids.max}.jsonl")
-    Files.write(path, lines.asJava)
+    // write-then-rename: readers watermark off segment NAMES, so a
+    // segment must appear atomically with all its rows present (the
+    // source's S3 trailing-gap contract depends on this)
+    val tmp = Files.createTempFile(Paths.get(dir), ".seg-", ".tmp")
+    Files.write(tmp, lines.asJava)
+    Files.move(tmp, Paths.get(dir, s"seg-${ids.min}-${ids.max}.jsonl"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Read raw envelope lines of segments overlapping (startExclusive,

@@ -90,7 +90,10 @@ object EventTimeOps {
             ts.foreach { t =>
               cur match {
                 case Some(s) if t - s.end <= gapSeconds =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                  // out-of-order (non-late) events can extend a session
+                  // backward as well as forward
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
                   closed ::= AuthorSession(author, s.start, s.end, s.n)
                   cur = Some(SessionState(t, t, 1))

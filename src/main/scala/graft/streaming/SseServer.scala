@@ -51,18 +51,22 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * a bounded queue and a client that falls 65 536 frames behind loses
     * the newest frames (counted in `dropped`). The client can always
     * re-sync via `*_start_id` — ids are the resume tokens (R2).
+    *
+    * `rcBoundary`/`rsBoundary` are IMMUTABLE per-type id boundaries fixed
+    * at connect time: the catch-up read serves ids ≤ boundary, the live
+    * fan-out (and its counters) only considers ids > boundary — evaluated
+    * inside the Spark pass, so catch-up and live are disjoint by
+    * construction regardless of emit order or query lag. A start_id in
+    * the future raises the boundary so the live feed also skips up to it.
     */
-  private final class Connection(val id: String, val spec: ParamSpec) {
+  private final class Connection(val id: String, val spec: ParamSpec,
+      val rcBoundary: Long, val rsBoundary: Long) {
     val queue = new LinkedBlockingQueue[String](65536)
     val dropped = new AtomicLong(0)
     val tcs = new AtomicLong(0)
     val tss = new AtomicLong(0)
     val tbs = new AtomicLong(0)
-    // per-type high-watermark of emitted ids (catch-up → live dedup)
-    val rcMark = new AtomicLong(Long.MinValue)
-    val rsMark = new AtomicLong(Long.MinValue)
     @volatile var closed = false
-    def mark(event: String): AtomicLong = if (event == "rc") rcMark else rsMark
   }
 
   private val conns = new ConcurrentHashMap[String, Connection]()
@@ -88,8 +92,15 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     if (snapshot.isEmpty || batch.isEmpty) return
     batch.persist()
     try {
+      // catch-up/live disjointness, inside the plan: only ids above the
+      // connection's per-type boundary exist for this connection at all
+      def boundaryPred(c: Connection): Column =
+        (col("event") === "rc" && col("id") > lit(c.rcBoundary)) ||
+          (col("event") === "rs" && col("id") > lit(c.rsBoundary))
+
       def tags(predOf: Connection => Column): Column = filter(
-        array(snapshot.map(c => when(predOf(c), lit(c.id)).otherwise(lit(null))): _*),
+        array(snapshot.map(c =>
+          when(boundaryPred(c) && predOf(c), lit(c.id)).otherwise(lit(null))): _*),
         t => t.isNotNull)
 
       // A1 counters: whitelist ∧ attr, deliberately before the type gate
@@ -117,17 +128,12 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           explode(tags(c => RedditOps.pred(c.spec))).as("cid"))
         .withColumn("frame", RedditOps.sseFrame(col("id"), col("event"), dataCol))
         .orderBy(RedditOps.emitOrder: _*)
-        .select(col("cid"), col("event"), col("id"), col("frame"))
+        .select(col("cid"), col("frame"))
         .collect()
 
       rows.foreach { r =>
         Option(conns.get(r.getString(0))).foreach { c =>
-          val m = c.mark(r.getString(1))
-          val id = r.getLong(2)
-          if (id > m.get()) {
-            m.set(id)
-            if (!c.queue.offer(r.getString(3))) c.dropped.incrementAndGet()
-          }
+          if (!c.queue.offer(r.getString(1))) c.dropped.incrementAndGet()
         }
       }
     } finally batch.unpersist()
@@ -153,20 +159,18 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   }
 
   /** Serve the historical range for backfill/start_id from the log's
-    * batch read path, then return the per-type watermarks the live feed
-    * must start above.
+    * batch read path. The scan is bounded ABOVE by the per-type maxima
+    * captured at connect time (`rcMax`/`rsMax`) — ids beyond them belong
+    * to the live feed (whose boundary predicate starts exactly there),
+    * so catch-up and live partition the id space exactly once each.
     */
-  private def catchUp(c: Connection, write: String => Unit): Unit = {
+  private def catchUp(c: Connection, rcMax: Long, rsMax: Long,
+      write: String => Unit): Unit = {
     val spec = c.spec
     if (spec.commentBackfill.isEmpty && spec.submissionBackfill.isEmpty
       && spec.commentStartId.isEmpty && spec.submissionStartId.isEmpty) {
-      // live-only: skip everything currently in the logs
-      c.rcMark.set(RedditLog.maxId(rcPath))
-      c.rsMark.set(RedditLog.maxId(rsPath))
-      return
+      return // live-only connection: no historical scan at all
     }
-    val rcMax = RedditLog.maxId(rcPath)
-    val rsMax = RedditLog.maxId(rsPath)
     def side(p: String) = spark.read
       .format("graft.sources.RedditLogSource").option("path", p).load()
     // NOTE: both logs are always scanned here even when `type` suppresses
@@ -177,6 +181,8 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     // prunes to zero segments.
     val hist = side(rcPath).unionByName(side(rsPath))
       .filter(RedditOps.resumePred(spec, lit(rcMax), lit(rsMax)))
+      .filter((col("event") === "rc" && col("id") <= lit(rcMax)) ||
+        (col("event") === "rs" && col("id") <= lit(rsMax)))
     // counters (A1 quirk: before the type gate)
     hist.filter(RedditOps.whitelistPred(spec) && RedditOps.attrPred(spec))
       .groupBy(col("event")).count().collect().foreach { r =>
@@ -188,8 +194,6 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       .orderBy(RedditOps.emitOrder: _*)
       .select(RedditOps.sseFrame(col("id"), col("event"), col("json")))
       .collect().map(_.getString(0))
-    c.rcMark.set(rcMax)
-    c.rsMark.set(rsMax)
     frames.foreach(write)
   }
 
@@ -198,7 +202,13 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       case Left(ApiError(status, msg)) =>
         respondJson(ex, status, s"""{"error": "$msg"}""")
       case Right(spec) =>
-        val c = new Connection(s"c${connSeq.incrementAndGet()}", spec)
+        // boundaries fixed at connect time; a future start_id pushes the
+        // live boundary up so the feed skips ids the client asked to skip
+        val rcMax = RedditLog.maxId(rcPath)
+        val rsMax = RedditLog.maxId(rsPath)
+        val c = new Connection(s"c${connSeq.incrementAndGet()}", spec,
+          rcBoundary = math.max(rcMax, spec.commentStartId.map(_ - 1).getOrElse(Long.MinValue)),
+          rsBoundary = math.max(rsMax, spec.submissionStartId.map(_ - 1).getOrElse(Long.MinValue)))
         ex.getResponseHeaders.set("Content-Type", "text/event-stream")
         ex.getResponseHeaders.set("Cache-Control", "no-cache")
         ex.sendResponseHeaders(200, 0)
@@ -211,8 +221,11 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
         var keepAliveId = 0L
         var lastKeepAlive = System.currentTimeMillis()
         try {
-          catchUp(c, write)
+          // register BEFORE the catch-up read: live frames for ids above
+          // the boundary buffer in the queue while history streams out,
+          // so nothing falls between catch-up and live
           conns.put(c.id, c)
+          catchUp(c, rcMax, rsMax, write)
           while (!c.closed) {
             val frame = c.queue.poll(100, TimeUnit.MILLISECONDS)
             if (frame != null) write(frame)

@@ -31,4 +31,16 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("l-c", Some(30L), Some(3.0)),
       ("l-d", None, None)))
   }
+
+  test("NULL right-payload columns do not tear the matched row apart") {
+    // the matched row (t=30) carries a NULL payload; a per-column fill
+    // would resurrect t=20's value next to t=30's timestamp
+    val left = Seq((1L, 40L, "l")).toDF("k", "t", "lp")
+    val right = Seq((1L, 20L, Option(2.0)), (1L, 30L, Option.empty[Double]))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.lastEarlier(left, right, "k", "t", Seq("v"))
+      .select("asof_time", "asof_v")
+      .as[(Option[Long], Option[Double])].head()
+    assert(got == (Some(30L), None))
+  }
 }

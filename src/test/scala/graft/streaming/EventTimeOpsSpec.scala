@@ -91,4 +91,24 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(sessions.contains((100L, 250L, 3L)))   // closed by the gap
     assert(sessions.contains((1000L, 1000L, 1L))) // closed by the timeout
   }
+
+  test("sessionize: out-of-order (non-late) event extends a session backward") {
+    val dir = Files.createTempDirectory("slog2").toString
+    // carol's t=900 arrives a batch AFTER t=1000 (ids force the order);
+    // within lateness, so it must merge and pull start_utc back to 900
+    RedditLog.writeSegment(dir, Seq(
+      ev(2, 1000, "carol", "x"), ev(4, 900, "carol", "x"),
+      ev(10, 100000, "bob", "x"), ev(12, 100001, "bob", "x")))
+    val src = spark.readStream.format("graft.sources.RedditLogSource")
+      .option("path", dir).option("backfill", "100")
+      .option("max_per_trigger", "2").load()
+    val name = s"sessb${System.nanoTime()}"
+    val q = EventTimeOps.sessionize(spark, src, gapSeconds = 300L)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sessions = spark.table(name).as[AuthorSession].collect()
+      .filter(_.author == "carol").map(s => (s.start_utc, s.end_utc, s.n_events)).toSet
+    assert(sessions == Set((900L, 1000L, 2L)))
+  }
 }

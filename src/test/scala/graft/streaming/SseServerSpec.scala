@@ -149,6 +149,47 @@ class SseServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(framesB.forall(f => f.contains("{\"title\":") && !f.contains("author")))
   }
 
+  test("live events whose id order disagrees with event-time order all arrive") {
+    // ids 30,31 appended together; 31 has the EARLIER created_utc, so the
+    // O1 emit sort delivers 31 first — a per-row id watermark would then
+    // silently drop 30 (regression: review finding on handleBatch marks)
+    val t = new Thread(() => {
+      Thread.sleep(1500)
+      RedditLog.writeSegment(rcDir, Seq(
+        Map("id" -> 30L, "event" -> "rc", "created_utc" -> 9000L,
+          "author" -> "ooo", "subreddit" -> "news", "domain" -> null,
+          "over_18" -> null, "is_self" -> null, "json" -> """{"n":30}"""),
+        Map("id" -> 31L, "event" -> "rc", "created_utc" -> 8000L,
+          "author" -> "ooo", "subreddit" -> "news", "domain" -> null,
+          "over_18" -> null, "is_self" -> null, "json" -> """{"n":31}""")))
+    })
+    t.start()
+    // keepalives (1.5s cadence) interleave before the data lands — read
+    // enough frames to see both rc events through the noise
+    val frames = readFrames("/?author=ooo", 8, timeoutMs = 45000)
+    t.join()
+    val ids = frames.filter(_.contains("event: rc")).map(_.linesIterator.next())
+    assert(ids.toSet == Set("id: 30", "id: 31"), frames.mkString("|"))
+    // and the emit order within the batch is event-time order
+    assert(ids == Seq("id: 31", "id: 30"))
+  }
+
+  test("future start_id: live feed skips up to the requested id") {
+    val t = new Thread(() => {
+      Thread.sleep(1500)
+      RedditLog.writeSegment(rcDir, (40L to 44L).map(i => Map(
+        "id" -> i, "event" -> "rc", "created_utc" -> (10000L + i),
+        "author" -> "fut", "subreddit" -> "news", "domain" -> null,
+        "over_18" -> null, "is_self" -> null, "json" -> s"""{"n":$i}""")))
+    })
+    t.start()
+    // start_id=43 is beyond the current log head: only 43,44 may arrive
+    val frames = readFrames("/?comment_start_id=43&author=fut", 8, timeoutMs = 45000)
+    t.join()
+    val ids = frames.filter(_.contains("event: rc")).map(_.linesIterator.next())
+    assert(ids == Seq("id: 43", "id: 44"), frames.mkString("|"))
+  }
+
   test("/test demo page served") {
     val url = new URL(s"http://localhost:${server.boundPort}/test")
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
