@@ -32,6 +32,11 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       graft.sources.Tables.load(spark, sfDir, t).count()
     }
+    // ...and one small shuffle + noop write, so the first timed query
+    // doesn't absorb shuffle-system and noop-sink bring-up either.
+    graft.sources.Tables.load(spark, sfDir, "nation")
+      .groupBy(org.apache.spark.sql.functions.col("n_regionkey")).count()
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -45,8 +50,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures stay as -1.0 markers per query but must not poison the
+    // headline total: sum successes only, list failures explicitly
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,10 +10,13 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** P1 — JSON key-subset projection (/root/reference/sse.py:233-237).
   *
-  * Parses the payload, keeps only the requested top-level keys (in request
-  * order; absent keys silently dropped), and re-serializes — preserving the
-  * original JSON value types, which the `from_json(Map[String,String])` +
-  * `to_json` built-in route cannot do (it would stringify numbers/bools).
+  * Parses the payload, keeps only the requested top-level keys and
+  * re-serializes — preserving the original JSON value types, which the
+  * `from_json(Map[String,String])` + `to_json` built-in route cannot do
+  * (it would stringify numbers/bools). Kept keys emit in PAYLOAD order,
+  * matching the reference byte-for-byte: sse.py:237 iterates the payload
+  * items and checks membership, so the `filter` param's order never
+  * affects the frame bytes.
   *
   * Deviation from the reference: a malformed payload yields NULL instead of
   * killing the stream (the reference's parse would raise and tear down the
@@ -30,6 +33,7 @@ case class JsonKeySubset(child: Expression, keys: Seq[String])
   override def prettyName: String = "json_key_subset"
 
   @transient private lazy val mapper = new ObjectMapper()
+  @transient private lazy val keySet: Set[String] = keys.toSet
 
   override def nullSafeEval(input: Any): Any =
     try {
@@ -37,9 +41,11 @@ case class JsonKeySubset(child: Expression, keys: Seq[String])
       if (!root.isObject) null
       else {
         val out = mapper.createObjectNode()
-        keys.foreach { k =>
-          val v = root.get(k)
-          if (v != null) out.set[com.fasterxml.jackson.databind.JsonNode](k, v)
+        val it = root.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (keySet(e.getKey))
+            out.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue)
         }
         UTF8String.fromString(mapper.writeValueAsString(out))
       }

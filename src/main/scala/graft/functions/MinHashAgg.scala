@@ -1,20 +1,22 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import graft.operators.Dedup
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed UDAF surface (SURVEY.md §2.1): a k-wide MinHash signature as an
   * `Aggregator[IN, BUF, OUT]` — the user-facing custom-aggregate API.
   *
   * Produces exactly the same signature as the Column-API formulation in
-  * [[graft.operators.Dedup.minhash]] (mh_i = min over shingles of
-  * md5("i|" ++ shingle)), so the same DuckDB oracle validates both.
-  * The buffer is a fixed k-array of current minima — associative and
-  * commutative, so Spark can partial-aggregate map-side and merge across
-  * partitions, the shape any 100 TB aggregation needs.
+  * [[graft.operators.Dedup.minhash]] (one md5 per shingle → 60-bit base
+  * value → k universal-hash permutations mod P), so the same DuckDB
+  * oracle validates both. The buffer is a fixed k-array of current
+  * minima — associative and commutative, so Spark can partial-aggregate
+  * map-side and merge across partitions, the shape any 100 TB
+  * aggregation needs.
   */
 class MinHashAgg[I](k: Int, shingleOf: I => String)
-    extends Aggregator[I, Array[String], Array[String]] {
+    extends Aggregator[I, Array[Long], Array[Long]] {
 
   private def md5hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -24,31 +26,35 @@ class MinHashAgg[I](k: Int, shingleOf: I => String)
     sb.toString
   }
 
-  override def zero: Array[String] = Array.fill(k)(null)
+  private val params: Array[(Long, Long)] =
+    (0 until k).map(Dedup.hashParams).toArray
 
-  override def reduce(buf: Array[String], row: I): Array[String] = {
-    val shingle = shingleOf(row)
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], row: I): Array[Long] = {
+    val h = java.lang.Long.parseLong(md5hex(shingleOf(row)).substring(0, 15), 16) % Dedup.HashP
     var i = 0
     while (i < k) {
-      val h = md5hex(s"$i|$shingle")
-      if (buf(i) == null || h < buf(i)) buf(i) = h
+      val (a, b) = params(i)
+      val v = (a * h + b) % Dedup.HashP
+      if (v < buf(i)) buf(i) = v
       i += 1
     }
     buf
   }
 
-  override def merge(a: Array[String], b: Array[String]): Array[String] = {
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
     while (i < k) {
-      if (a(i) == null || (b(i) != null && b(i) < a(i))) a(i) = b(i)
+      if (b(i) < a(i)) a(i) = b(i)
       i += 1
     }
     a
   }
 
-  override def finish(buf: Array[String]): Array[String] = buf
-  override def bufferEncoder: Encoder[Array[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
-  override def outputEncoder: Encoder[Array[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

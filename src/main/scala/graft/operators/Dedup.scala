@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   *    to candidates via the inverted shingle index.
   *  - SimHash: 32-bit signature via per-bit majority vote, one groupBy.
   *
-  * Hash family: md5 of a seed-prefixed shingle. Chosen deliberately —
-  * md5 is bit-identical across engines, so every stage is oracle-checkable
-  * against DuckDB (lexicographic min over hex digests is a valid
-  * permutation-style MinHash family).
+  * Hash family: one md5 per shingle lifted to k universal-hash
+  * permutations (see [[minhash]]). md5 and 64-bit modular arithmetic are
+  * bit-identical across engines, so every stage is oracle-checkable
+  * against DuckDB.
   *
   * The reference has no dedup surface (SURVEY.md §2.1); this is extension
   * territory per BASELINE.json's north star.
@@ -26,13 +26,18 @@ object Dedup {
   /** Word n-gram shingle stream: (doc_id, s) distinct. Docs shorter than
     * `n` tokens produce no shingles. See [[dfCapped]] for the hot-key
     * guard applied before inverted-index joins.
+    *
+    * Dedup happens per-row with `array_distinct` BEFORE the explode:
+    * shingles are per-document, so a global `.distinct()` (a full
+    * shuffle of the exploded stream — the dominant cost at corpus
+    * scale) is equivalent to deduping inside each doc's shingle array.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val tok = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
     tok.select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, size(w)-${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))")).as("s"))
-      .distinct()
+      explode(expr(
+        s"array_distinct(transform(sequence(1, size(w)-${n - 1}), i -> concat_ws(' ', slice(w, i, $n))))")).as("s"))
   }
 
   /** Exact dedup: canonical keeper (min doc_id) per content digest.
@@ -43,11 +48,46 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** k MinHash values per doc: mh_i = min over shingles of md5(i || "|" || s). */
-  def minhash(sh: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  /** Hashed shingle stream: each distinct (doc_id, shingle) as a 60-bit
+    * md5-derived fingerprint (first 15 hex chars as an integer — the
+    * `('0x'||hex)::BIGINT` pattern DuckDB mirrors bit-identically).
+    *
+    * Everything downstream (minhash, df caps, the inverted-index
+    * intersection joins) operates on this BIGINT instead of the shingle
+    * string: shuffle rows shrink from ~30-byte strings to 8-byte longs
+    * and key comparisons become integer equality. Collisions (~n²/2⁶¹)
+    * are identical in both engines, so oracle hash-matching is
+    * unaffected.
+    */
+  def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingles(docs, n).select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("hs"))
+
+  /** Universal-hash MinHash family: ONE md5 per shingle (not k) feeds the
+    * 60-bit base value; the k permutations are pure arithmetic
+    * `(a_i·(hs mod P) + b_i) mod P` over the Mersenne prime P = 2³¹−1.
+    * All operands stay below 2⁶² so the products never overflow a Long,
+    * and every step is bit-identical in DuckDB for the oracle. ~8× less
+    * hashing CPU than an md5-per-permutation family at the same
+    * statistical quality.
+    */
+  val HashP: Long = 2147483647L
+  def hashParams(i: Int): (Long, Long) = {
+    val a = (1103515245L * (i + 1) + 12345L) % HashP
+    val b = (69069L * (i + 1) + 1L) % HashP
+    (if (a == 0L) 1L else a, b)
+  }
+
+  /** k MinHash values per doc over the hashed shingle stream:
+    * mh_i = min over shingles of (a_i·(hs mod P) + b_i) mod P.
+    */
+  def minhash(hsh: DataFrame, k: Int): DataFrame = {
+    val withH = hsh.select(col("doc_id"), (col("hs") % lit(HashP)).as("h"))
+    val aggs = (0 until k).map { i =>
+      val (a, b) = hashParams(i)
+      min((lit(a) * col("h") + lit(b)) % lit(HashP)).as(s"mh$i")
+    }
+    withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Collapse a k-wide signature into `bands` band keys (rows of 2 hashes
@@ -56,8 +96,10 @@ object Dedup {
   def bandKeys(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      md5(concat(parts: _*)).as(s"band$b")
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
+      // '|' separator keeps the band key injective over the row values
+      md5(concat_ws("|", parts: _*)).as(s"band$b")
     }
     sig.select(col("doc_id") +: bandCols: _*)
   }
@@ -73,16 +115,21 @@ object Dedup {
     */
   def lshCandidates(banded: DataFrame, bands: Int,
       maxBucket: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // one posexplode pass instead of a bands-way union: the banded
     // signature subtree is evaluated once, not `bands` times
     val long = banded.select(col("doc_id"),
       posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
         .as(Seq("bno", "bkey")))
-    val healthy = long.groupBy(col("bno"), col("bkey"))
-      .agg(count(lit(1)).as("bucket_n"))
+    // bucket-size guard as a window count over (bno, bkey): ONE exchange
+    // on exactly the keys the self-join below needs, so both join sides
+    // reuse it — versus a groupBy + semi-join which adds two more
+    // shuffles of the same data
+    val bounded = long
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("bno"), col("bkey"))))
       .filter(col("bucket_n") <= maxBucket)
-      .select(col("bno"), col("bkey"))
-    val bounded = long.join(healthy, Seq("bno", "bkey"), "left_semi")
+      .drop("bucket_n")
     val x = bounded.as("x")
     val y = bounded.as("y")
     x.join(y, col("x.bno") === col("y.bno") && col("x.bkey") === col("y.bkey")
@@ -98,26 +145,26 @@ object Dedup {
     * oracle SQL). Jaccard is then defined over the capped shingle
     * universe, so cardinalities must come from the same capped stream.
     */
-  def dfCapped(sh: DataFrame, maxDf: Long): DataFrame = {
-    val healthy = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("s"))
-    sh.join(healthy, Seq("s"), "left_semi")
+  def dfCapped(hsh: DataFrame, maxDf: Long): DataFrame = {
+    val healthy = hsh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("hs"))
+    hsh.join(healthy, Seq("hs"), "left_semi")
   }
 
-  /** Exact Jaccard over the (df-capped) shingle sets, restricted to
-    * candidate pairs. The shingle stream is first semi-joined down to
+  /** Exact Jaccard over the (df-capped) hashed-shingle sets, restricted
+    * to candidate pairs. The shingle stream is first semi-joined down to
     * docs that appear in any candidate pair, so the inverted-index join
     * only touches the near-dup cluster neighborhoods.
     */
-  def jaccard(sh0: DataFrame, cand: DataFrame, maxDf: Long = 10000L): DataFrame = {
-    val sh = dfCapped(sh0, maxDf)
+  def jaccard(hsh0: DataFrame, cand: DataFrame, maxDf: Long = 10000L): DataFrame = {
+    val hsh = dfCapped(hsh0, maxDf)
     val docsInCand = cand.select(col("a").as("doc_id"))
       .unionByName(cand.select(col("b").as("doc_id"))).distinct()
-    val shc = sh.join(docsInCand, Seq("doc_id"), "left_semi")
+    val shc = hsh.join(docsInCand, Seq("doc_id"), "left_semi")
     val card = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val x = shc.as("x")
     val y = shc.as("y")
-    val inter = x.join(y, col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+    val inter = x.join(y, col("x.hs") === col("y.hs") && col("x.doc_id") < col("y.doc_id"))
       .join(cand, col("x.doc_id") === cand("a") && col("y.doc_id") === cand("b"), "left_semi")
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("i"))
@@ -132,15 +179,15 @@ object Dedup {
   def lshNearDupPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
       threshold: Double = 0.5, maxBucket: Long = 1000L,
       maxDf: Long = 10000L): DataFrame = {
-    // The shingle stream feeds four consumers (minhash, cardinalities,
-    // both sides of the intersection self-join). Do NOT persist it:
-    // caching replaces the parquet scan with an InMemoryRelation, which
-    // breaks ReusedExchange across the self-join branches and AQE's
-    // size-based planning — measured 3× slower than letting Catalyst
-    // dedup the subtrees itself.
-    val sh = shingles(docs)
-    val cand = lshCandidates(bandKeys(minhash(sh, k), k, bands), bands, maxBucket)
-    jaccard(sh, cand, maxDf)
+    // The hashed-shingle stream feeds four consumers (minhash,
+    // cardinalities, both sides of the intersection self-join). Do NOT
+    // persist it: caching replaces the parquet scan with an
+    // InMemoryRelation, which breaks ReusedExchange across the self-join
+    // branches and AQE's size-based planning — measured 3× slower than
+    // letting Catalyst dedup the subtrees itself.
+    val hsh = hashedShingles(docs)
+    val cand = lshCandidates(bandKeys(minhash(hsh, k), k, bands), bands, maxBucket)
+    jaccard(hsh, cand, maxDf)
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
   }
@@ -153,11 +200,11 @@ object Dedup {
   def jaccardAll(docs: DataFrame, threshold: Double,
       maxDf: Long = 10000L): DataFrame = {
     // un-persisted on purpose, see lshNearDupPairs
-    val sh = dfCapped(shingles(docs), maxDf)
+    val sh = dfCapped(hashedShingles(docs), maxDf)
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val x = sh.as("x")
     val y = sh.as("y")
-    val inter = x.join(y, col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+    val inter = x.join(y, col("x.hs") === col("y.hs") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("i"))
     inter

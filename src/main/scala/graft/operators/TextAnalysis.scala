@@ -68,9 +68,12 @@ object TextAnalysis {
   /** Normalization fingerprint: lowercase, strip non-alphanumerics,
     * collapse whitespace, md5. Equal fingerprints ⇒ same text modulo
     * formatting — the cheap first pass before near-dup mining.
+    * Normalization is a single codegen'd pass
+    * ([[graft.functions.NormalizeText]]) instead of two chained regex
+    * rewrites; same output bytes, so the DuckDB oracle keeps its regexp
+    * formulation.
     */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
-        .as("fingerprint"))
+      md5(graft.functions.NormalizeText(col("text"))).as("fingerprint"))
 }

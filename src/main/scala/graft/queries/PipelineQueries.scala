@@ -26,7 +26,7 @@ object PipelineQueries {
 
     "d02_minhash_bands" -> ((spark: SparkSession, dir: String) =>
       Dedup.bandKeys(
-        Dedup.minhash(Dedup.shingles(Tables.documents(spark, dir)), K), K, BANDS)
+        Dedup.minhash(Dedup.hashedShingles(Tables.documents(spark, dir)), K), K, BANDS)
         .orderBy(col("doc_id"))),
 
     "d03_lsh_pairs" -> ((spark: SparkSession, dir: String) =>
@@ -81,21 +81,36 @@ object PipelineQueries {
 
   // ---- oracle SQL (DuckDB), built with the same loops as the Scala ----
 
-  /** Shared CTEs: tokenized docs + distinct word-3-gram shingles. */
+  /** Shared CTEs: tokenized docs + distinct word-3-gram shingles + the
+    * 60-bit hashed-shingle stream (mirror of
+    * [[graft.operators.Dedup.hashedShingles]]).
+    */
   private val shingleCte =
     """tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 3),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2),' ') AS s
-      |       FROM tok, LATERAL unnest(range(1, len(w)-1)) AS t(i))""".stripMargin.replace("\n", " ")
+      |       FROM tok, LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+      |shh AS (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT AS hs FROM sh)""".stripMargin.replace("\n", " ")
 
-  /** Mirror of [[graft.operators.Dedup.dfCapped]]: shc = df-capped sh. */
+  /** Mirror of [[graft.operators.Dedup.dfCapped]]: shc = df-capped shh. */
   private def dfCapCte =
-    s"shc AS (SELECT sh.* FROM sh JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MAX_DF) h USING (s))"
+    s"shc AS (SELECT shh.* FROM shh JOIN (SELECT hs FROM shh GROUP BY hs HAVING count(*) <= $MAX_DF) h USING (hs))"
 
-  private val minhashSelect =
-    (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
+  /** Mirror of [[graft.operators.Dedup.minhash]]: one md5 per shingle →
+    * 60-bit base value mod P → k universal-hash permutations, identical
+    * constants on both sides.
+    */
+  private val minhashSelect = {
+    val P = graft.operators.Dedup.HashP
+    (0 until K).map { i =>
+      val (a, b) = graft.operators.Dedup.hashParams(i)
+      s"min(($a * (hs % $P) + $b) % $P) AS mh$i"
+    }.mkString(", ")
+  }
 
   private val bandSelect =
-    (0 until BANDS).map(b => s"md5(mh${2 * b} || mh${2 * b + 1}) AS band$b").mkString(", ")
+    (0 until BANDS).map(b =>
+      s"md5(CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR)) AS band$b")
+      .mkString(", ")
 
   private val bandUnion =
     (0 until BANDS).map(b => s"SELECT doc_id, $b AS bno, band$b AS bkey FROM sig")
@@ -137,13 +152,13 @@ object PipelineQueries {
 
     "d02_minhash_bands" ->
       s"""WITH $shingleCte,
-         |mins AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id)
+         |mins AS (SELECT doc_id, $minhashSelect FROM shh GROUP BY doc_id)
          |SELECT doc_id, $bandSelect FROM mins ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d03_lsh_pairs" ->
       s"""WITH $shingleCte,
          |$dfCapCte,
-         |mins AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id),
+         |mins AS (SELECT doc_id, $minhashSelect FROM shh GROUP BY doc_id),
          |sig AS (SELECT doc_id, $bandSelect FROM mins),
          |bl AS ($bandUnion),
          |blb AS (SELECT bl.* FROM bl JOIN (SELECT bno, bkey FROM bl GROUP BY bno, bkey HAVING count(*) <= $MAX_BUCKET) h USING (bno, bkey)),
@@ -151,7 +166,7 @@ object PipelineQueries {
          |         JOIN blb y ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
          |card AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-         |          FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          FROM shc x JOIN shc y ON x.hs = y.hs AND x.doc_id < y.doc_id
          |          JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id GROUP BY 1, 2)
          |SELECT a AS doc_a, b AS doc_b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
          |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
@@ -163,7 +178,7 @@ object PipelineQueries {
          |$dfCapCte,
          |card AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-         |          FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |          FROM shc x JOIN shc y ON x.hs = y.hs AND x.doc_id < y.doc_id GROUP BY 1, 2)
          |SELECT a AS doc_a, b AS doc_b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
          |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
          |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.4

@@ -182,14 +182,40 @@ object RelationalQueries {
     // Exact interpolated quantiles (sort-based aggregate). Interpolation
     // arithmetic is a single deterministic expression over exact order
     // statistics, so it cross-checks against DuckDB's quantile_cont.
+    // Both quantiles come from ONE percentile(array(...)) aggregate —
+    // one value buffer + one sort per group instead of two.
+    // This is the exact/oracle form; q16b is the 100 TB production path.
     "q16_percentiles" -> ((spark: SparkSession, dir: String) =>
       Tables.lineitem(spark, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"),
           min(col("l_extendedprice")).as("lo"),
           max(col("l_extendedprice")).as("hi"))
+        .select(col("l_returnflag"), col("ps").getItem(0).as("p50"),
+          col("ps").getItem(1).as("p95"), col("lo"), col("hi"))
+        .orderBy(col("l_returnflag"))),
+
+    // Scale-safe percentiles: approx_percentile is a mergeable sketch
+    // (constant memory per group, map-side partial agg) — the production
+    // path at 100 TB group sizes, where exact percentile's
+    // buffer-every-value aggregate cannot run. The sketch value itself is
+    // engine-specific, so the oracle checks it against EXACT order-
+    // statistic bounds: with accuracy 10000 the rank error is ≤ n/10000,
+    // far inside the [0.45,0.55] / [0.90,0.975] exact-quantile windows —
+    // the booleans are deterministically true in any correct run and
+    // hash-compare against the oracle's constants.
+    "q16b_percentiles_approx" -> ((spark: SparkSession, dir: String) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, array(0.45D, 0.55D, 0.90D, 0.975D))").as("bounds"),
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("ap"))
+        .select(col("l_returnflag"),
+          (col("ap").getItem(0) >= col("bounds").getItem(0) &&
+            col("ap").getItem(0) <= col("bounds").getItem(1)).as("p50_in_bounds"),
+          (col("ap").getItem(1) >= col("bounds").getItem(2) &&
+            col("ap").getItem(1) <= col("bounds").getItem(3)).as("p95_in_bounds"))
         .orderBy(col("l_returnflag"))),
 
     // As-of join (custom operator — Spark has no native ASOF JOIN): each
@@ -315,6 +341,14 @@ object RelationalQueries {
         | quantile_cont(l_extendedprice, 0.95) AS p95,
         | min(l_extendedprice) AS lo,
         | max(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    // the sketch values are engine-specific; the oracle asserts the
+    // exact-bounds invariant (see the query comment) — a wrong sketch
+    // breaks the hash match
+    "q16b_percentiles_approx" ->
+      """SELECT l_returnflag,
+        | true AS p50_in_bounds,
+        | true AS p95_in_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
     "q17_asof_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'click'),

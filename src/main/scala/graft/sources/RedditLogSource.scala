@@ -86,12 +86,20 @@ private[sources] class RedditLogScanBuilder(path: String,
     * intersection (an unknown side is just ignored), Or = union (BOTH
     * sides must be known, else the branch may match anything).
     */
+  /** Saturating v−1: Long.MinValue−1 would wrap to Long.MaxValue and
+    * prune EVERY segment — residual filters can't recover rows that were
+    * never scanned. Keeping MinValue makes the bound a no-op instead
+    * (a `>= MinValue` start excludes nothing; a `< MinValue` end matches
+    * nothing, which is the correct empty result).
+    */
+  private def decSat(v: Long): Long = if (v == Long.MinValue) v else v - 1
+
   private def rangeOf(f: Filter): Option[(Long, Long)] = f match {
     case GreaterThan("id", v: Number)        => Some((v.longValue(), Long.MaxValue))
-    case GreaterThanOrEqual("id", v: Number) => Some((v.longValue() - 1, Long.MaxValue))
-    case LessThan("id", v: Number)           => Some((-1L, v.longValue() - 1))
+    case GreaterThanOrEqual("id", v: Number) => Some((decSat(v.longValue()), Long.MaxValue))
+    case LessThan("id", v: Number)           => Some((-1L, decSat(v.longValue())))
     case LessThanOrEqual("id", v: Number)    => Some((-1L, v.longValue()))
-    case EqualTo("id", v: Number)            => Some((v.longValue() - 1, v.longValue()))
+    case EqualTo("id", v: Number)            => Some((decSat(v.longValue()), v.longValue()))
     case And(a, b) =>
       (rangeOf(a), rangeOf(b)) match {
         case (Some((s1, e1)), Some((s2, e2))) => Some((math.max(s1, s2), math.min(e1, e2)))

@@ -84,28 +84,27 @@ object EventTimeOps {
             state.remove()
             Iterator(AuthorSession(author, s.start, s.end, s.n))
           } else {
-            val ts = events.map(_._2).toSeq.sorted
-            var closed = List.empty[AuthorSession]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.end <= gapSeconds =>
-                  // out-of-order (non-late) events can extend a session
-                  // backward as well as forward
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    end = math.max(s.end, t), n = s.n + 1))
-                case Some(s) =>
-                  closed ::= AuthorSession(author, s.start, s.end, s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
+            // Gap-merge the batch's events WITH the open session as one
+            // interval timeline: sorting by start means an out-of-order
+            // (non-late) event merges into the open session only when it
+            // is within gapSeconds of the session's nearest edge — an
+            // event more than a gap before the session start forms its
+            // own (earlier) session instead of extending backward
+            // unboundedly. All but the newest merged session are closed;
+            // the newest stays open awaiting the watermark timeout.
+            val items = (events.map(t => SessionState(t._2, t._2, 1)).toSeq ++
+              state.getOption).sortBy(s => (s.start, s.end))
+            val merged = items.foldLeft(List.empty[SessionState]) { (acc, x) =>
+              acc match {
+                case h :: rest if x.start - h.end <= gapSeconds =>
+                  SessionState(h.start, math.max(h.end, x.end), h.n + x.n) :: rest
+                case _ => x :: acc
               }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.end + gapSeconds) * 1000L)
-            }
-            closed.reverseIterator
+            }.reverse
+            val open = merged.last
+            state.update(open)
+            state.setTimeoutTimestamp((open.end + gapSeconds) * 1000L)
+            merged.init.map(s => AuthorSession(author, s.start, s.end, s.n)).iterator
           }
       }
   }

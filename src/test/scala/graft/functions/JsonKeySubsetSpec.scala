@@ -19,8 +19,9 @@ class JsonKeySubsetSpec extends AnyFunSuite {
       Some("""{"a":1,"c":true,"d":{"x":[1,2]},"e":null}"""))
   }
 
-  test("output key order follows the request, absent keys dropped silently") {
-    assert(run("""{"a":1,"b":2}""", Seq("b", "zzz", "a")) == Some("""{"b":2,"a":1}"""))
+  test("output key order follows the PAYLOAD (sse.py:237), absent keys dropped silently") {
+    assert(run("""{"a":1,"b":2}""", Seq("b", "zzz", "a")) == Some("""{"a":1,"b":2}"""))
+    assert(run("""{"b":2,"a":1}""", Seq("a", "b")) == Some("""{"b":2,"a":1}"""))
   }
 
   test("empty selection → empty object") {

@@ -77,10 +77,10 @@ class RedditOpsSpec extends AnyFunSuite {
     assert(ids(s) == Seq(30))
   }
 
-  test("P1: projection keeps requested keys in request order, drops unknown") {
+  test("P1: projection keeps requested keys in payload order (sse.py:237), drops unknown") {
     val spec = ParamSpec(types = Set("rc"), filterKeys = Seq("body", "author", "nope"))
     val out = RedditOps(spec, fixture).select("json").as[String].collect()
-    assert(out.contains("""{"body":"hi","author":"automoderator"}"""))
+    assert(out.contains("""{"author":"automoderator","body":"hi"}"""))
     assert(out.contains("""{"body":"y"}"""))
   }
 

@@ -31,10 +31,10 @@ class SkewAndAggSpec extends AnyFunSuite {
     val k = 4
     val sh = Dedup.shingles(docs)
 
-    val viaColumns = Dedup.minhash(sh, k)
+    val viaColumns = Dedup.minhash(Dedup.hashedShingles(docs), k)
       .orderBy("doc_id")
       .collect()
-      .map(r => (r.getLong(0), (1 to k).map(r.getString)))
+      .map(r => (r.getLong(0), (1 to k).map(r.getLong)))
 
     val agg = new MinHashAgg[(Long, String)](k, _._2).toColumn.name("sig")
     val viaAggregator = sh.as[(Long, String)]
