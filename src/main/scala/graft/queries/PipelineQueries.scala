@@ -76,6 +76,18 @@ object PipelineQueries {
           length(col("payload")).cast("long").as("n_bytes"),
           substring(hex(col("payload")), 1, 16).as("header_hex"),
           col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // The decode path itself (mapPartitions + StubCodec), oracle-covered:
+    // width/height are pure integer arithmetic on the payload length, so
+    // DuckDB can recompute them — a broken batching/typing layer around
+    // the codec breaks the hash match.
+    "m02_media_decode" -> ((spark: SparkSession, dir: String) =>
+      Multimodal.decodeAll(spark,
+          Multimodal.mediaView(Tables.documents(spark, dir)))
+        .select(col("doc_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
         .orderBy(col("doc_id")))
   )
 
@@ -241,6 +253,14 @@ object PipelineQueries {
         | octet_length(encode(text)) AS n_bytes,
         | substr(hex(encode(text)), 1, 16) AS header_hex,
         | lang, source
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Multimodal.StubCodec's dimension arithmetic
+    "m02_media_decode" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | CAST(16 + (octet_length(encode(text)) % 64) AS BIGINT) AS width,
+        | CAST(16 + ((octet_length(encode(text)) // 64) % 64) AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
 }

@@ -3,7 +3,9 @@ package graft.sources
 import com.fasterxml.jackson.databind.ObjectMapper
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
@@ -14,10 +16,32 @@ import scala.jdk.CollectionConverters._
   * Layout: one directory per event type, segment files named
   * `seg-<firstId>-<lastId>.jsonl`, one JSON envelope object per line.
   * The id range in the *name* is the contract: the high-watermark (S1)
-  * is the max `lastId` over the listing — no data read needed — and a
-  * range scan (S2) only opens segments overlapping the requested ids.
+  * is the max `lastId` over the segment set — no data read needed — and
+  * a range scan (S2) only opens segments overlapping the requested ids.
   * Ids may have gaps inside segments (S3 gap-skip falls out naturally:
   * a missing id is simply never emitted, and offsets advance past it).
+  *
+  * ==Manifest==
+  * A `manifest.json` beside the segments lists the live segment set.
+  * Readers prefer it over a directory listing: discovering the watermark
+  * becomes ONE small-file read instead of an O(files) listing — at
+  * millions of segments (the 100 TB ingest shape) per-trigger directory
+  * listings are the metadata bottleneck, and on object stores LIST is
+  * the expensive, weakly-consistent call while a single GET is cheap.
+  * The writer maintains it incrementally (single-writer, like the
+  * reference's producer owning `max_id`); segment data appears
+  * atomically BEFORE the manifest references it, so a torn write can
+  * only hide the newest segment until the next append repairs it.
+  *
+  * ==Compaction==
+  * [[compact]] greedily merges small adjacent segments into
+  * `targetRows`-sized ones and flips the manifest; the replaced
+  * originals stay on disk until [[gc]] removes them, so a reader holding
+  * the previous manifest snapshot still resolves every file it planned
+  * (the manifest-flip-then-deferred-GC shape object-store tables use).
+  * After a compaction the manifest — not the directory listing — is the
+  * source of truth; the listing fallback exists only for manifest-less
+  * (legacy/foreign) directories.
   */
 object RedditLog {
 
@@ -36,8 +60,19 @@ object RedditLog {
   final case class Segment(file: File, firstId: Long, lastId: Long)
 
   private val SegName = """seg-(\d+)-(\d+)\.jsonl""".r
+  private val ManifestName = "manifest.json"
 
-  def listSegments(dir: String): Seq[Segment] = {
+  // ---- metadata-read instrumentation ----
+  // Listing/manifest reads per directory. Listing QPS is a first-class
+  // metric for log sources (it is what a manifest exists to bound), and
+  // it lets specs assert plan-level pruning ("the rs directory is never
+  // touched by a comments-only fleet") without filesystem spies.
+  private val metaReads = new ConcurrentHashMap[String, AtomicLong]()
+  private def canon(dir: String): String = new File(dir).getAbsolutePath
+  def metadataReads(dir: String): Long =
+    Option(metaReads.get(canon(dir))).map(_.get()).getOrElse(0L)
+
+  private def rawList(dir: String): Seq[Segment] = {
     val d = new File(dir)
     if (!d.isDirectory) Nil
     else d.listFiles().toSeq.flatMap { f =>
@@ -48,7 +83,46 @@ object RedditLog {
     }.sortBy(_.firstId)
   }
 
-  /** S1 — high-watermark from segment names alone. -1 on an empty log. */
+  private def readManifest(dir: String): Option[Seq[Segment]] = {
+    val mf = new File(dir, ManifestName)
+    if (!mf.isFile) None
+    else {
+      val n = new ObjectMapper().readTree(mf)
+      Some(n.get("segments").elements().asScala.map { e =>
+        Segment(new File(dir, e.get("file").asText()),
+          e.get("firstId").asLong(), e.get("lastId").asLong())
+      }.toSeq.sortBy(_.firstId))
+    }
+  }
+
+  private def writeManifest(dir: String, segs: Seq[Segment]): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("maxId", segs.foldLeft(-1L)((m, s) => math.max(m, s.lastId)))
+    val arr = root.putArray("segments")
+    segs.sortBy(_.firstId).foreach { s =>
+      val e = arr.addObject()
+      e.put("file", s.file.getName)
+      e.put("firstId", s.firstId)
+      e.put("lastId", s.lastId)
+    }
+    val tmp = Files.createTempFile(Paths.get(dir), ".manifest-", ".tmp")
+    Files.write(tmp, mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Live segment set: the manifest when present (one file read),
+    * otherwise a directory listing (manifest-less directories only —
+    * after a compaction the listing would double-count replaced
+    * segments awaiting [[gc]]).
+    */
+  def listSegments(dir: String): Seq[Segment] = {
+    metaReads.computeIfAbsent(canon(dir), _ => new AtomicLong()).incrementAndGet()
+    readManifest(dir).getOrElse(rawList(dir))
+  }
+
+  /** S1 — high-watermark from the segment set alone. -1 on an empty log. */
   def maxId(dir: String): Long =
     listSegments(dir).foldLeft(-1L)((m, s) => math.max(m, s.lastId))
 
@@ -75,11 +149,62 @@ object RedditLog {
     // write-then-rename: readers watermark off segment NAMES, so a
     // segment must appear atomically with all its rows present (the
     // source's S3 trailing-gap contract depends on this)
+    val name = s"seg-${ids.min}-${ids.max}.jsonl"
     val tmp = Files.createTempFile(Paths.get(dir), ".seg-", ".tmp")
     Files.write(tmp, lines.asJava)
-    Files.move(tmp, Paths.get(dir, s"seg-${ids.min}-${ids.max}.jsonl"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+    // manifest update AFTER the segment is visible (see class doc);
+    // incremental against the previous manifest, listing fallback for
+    // bootstrap
+    val prev = readManifest(dir)
+      .getOrElse(rawList(dir).filterNot(_.file.getName == name))
+    writeManifest(dir, prev :+ Segment(new File(dir, name), ids.min, ids.max))
   }
+
+  /** Merge runs of adjacent small segments into ~`targetRows`-row ones
+    * and flip the manifest to the merged set. Returns the replaced
+    * original files — still readable until [[gc]] deletes them, so
+    * in-flight readers planned on the old manifest are unaffected.
+    */
+  def compact(dir: String, targetRows: Long = 100000L): Seq[File] = {
+    val segs = listSegments(dir)
+    val withRows = segs.map { s =>
+      val n = new String(Files.readAllBytes(s.file.toPath), StandardCharsets.UTF_8)
+        .split('\n').count(_.nonEmpty)
+      (s, n.toLong)
+    }
+    // greedy grouping in id order; singleton groups keep their original file
+    val groups = withRows.foldLeft(List.empty[List[(Segment, Long)]]) { (acc, x) =>
+      acc match {
+        case h :: rest if h.map(_._2).sum + x._2 <= targetRows => (h :+ x) :: rest
+        case _ => List(x) :: acc
+      }
+    }.reverse
+    val obsolete = List.newBuilder[File]
+    val newSegs = groups.map {
+      case List((s, _)) => s
+      case grp =>
+        val files = grp.map(_._1)
+        val first = files.map(_.firstId).min
+        val last = files.map(_.lastId).max
+        val merged = files.flatMap(s =>
+          new String(Files.readAllBytes(s.file.toPath), StandardCharsets.UTF_8)
+            .split('\n').toSeq.filter(_.nonEmpty))
+        val name = s"seg-$first-$last.jsonl"
+        val tmp = Files.createTempFile(Paths.get(dir), ".seg-", ".tmp")
+        Files.write(tmp, merged.asJava)
+        Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+        obsolete ++= files.map(_.file)
+        Segment(new File(dir, name), first, last)
+    }
+    writeManifest(dir, newSegs)
+    obsolete.result()
+  }
+
+  /** Deferred deletion of compaction-replaced segments (the object-store
+    * GC step — run once prior readers' plans have drained).
+    */
+  def gc(obsolete: Seq[File]): Unit = obsolete.foreach(_.delete())
 
   /** Read raw envelope lines of segments overlapping (startExclusive,
     * endInclusive], filtered to that id range.

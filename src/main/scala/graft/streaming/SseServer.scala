@@ -7,40 +7,63 @@ import graft.sources.RedditLog
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.{ConcurrentHashMap, Executors, LinkedBlockingQueue, TimeUnit}
-import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong, AtomicReference}
+import java.util.zip.GZIPOutputStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import scala.jdk.CollectionConverters._
 
 /** The SSE delivery layer (SURVEY.md §2 rows E2, K1, A1; §7.3):
-  * one **shared** Structured Streaming query over the rc+rs logs,
+  * **shared** Structured Streaming queries over the rc/rs logs,
   * multiplexed to N client connections — not one poll loop per client
   * like the reference (/root/reference/sse.py:80-83), which cannot scale
   * past a handful of consumers.
+  *
+  * One live query runs per *type mask* actually in use (`rc`, `rs`, or
+  * both), started lazily on the first connection that needs it — so a
+  * comments-only client fleet never lists or scans the submissions log
+  * at all (the plan-level type pruning the reference itself misses,
+  * sse.py:146-152; SURVEY.md §4). Documented deviation that follows:
+  * live-path tcs/tss only count events from logs the mask reads — a
+  * `type=comments` client no longer counts live submissions it will
+  * never see. Catch-up reads are unaffected (they still honor the A1
+  * pre-type-gate quirk over the scanned ranges).
   *
   * Fan-out is a **single pass** per micro-batch regardless of connection
   * count: every connection's compiled predicate becomes one tag column,
   * rows explode to (connection, frame) pairs inside Spark, and the
   * driver only routes already-formatted frames to per-connection queues.
-  * Per-connection work never re-scans the batch.
+  * Driver memory is O(micro-batch), not O(backlog × connections): the
+  * source's admission control caps each batch at `maxPerTrigger` rows
+  * per log, and the emit pass streams through `toLocalIterator` instead
+  * of materializing every (connection × frame) pair at once.
   *
   * Reference semantics kept:
   *  - per-batch emit order = created_utc, rc-before-rs, id (O1);
   *  - keepalive every `keepAliveMillis` on its own id sequence from 1,
   *    payload {"tcs","tss","tbs"} (K1 — sse.py:112-119, 137-143);
   *  - tcs/tss count whitelist-passed events *before* the type gate
-  *    (the documented A1 quirk, sse.py:179-180, 222-223); tbs counts
-  *    bytes actually written, keepalives included (sse.py:141, 240);
+  *    (the documented A1 quirk, sse.py:179-180, 222-223, scoped to the
+  *    logs the connection's mask reads — see above); tbs counts bytes
+  *    actually written, keepalives included (sse.py:141, 240);
   *  - backfill / start_id catch-up served from the log's batch path,
   *    then a seamless hand-off to the live feed with per-type watermark
   *    dedup (R1/R2);
   *  - 400 {"error": ...} on invalid params (V1/V2);
   *  - `GET /test` demo page (X1).
+  *
+  * HTTP-edge parity with the reference's nginx front
+  * (nginx_stream.conf:1-15), in-process since there is no nginx here:
+  *  - per-IP connection cap (`maxConnsPerIp`; excess → HTTP 429);
+  *  - gzip on the event stream when the client sends
+  *    `Accept-Encoding: gzip` (sync-flushed per frame so streaming
+  *    latency is preserved).
   */
 class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     port: Int = 0, keepAliveMillis: Long = 30000L,
-    triggerMillis: Long = 200L) {
+    triggerMillis: Long = 200L, maxPerTrigger: Long = 100000L,
+    maxConnsPerIp: Int = 0) {
 
   // ---------------- connection registry ----------------
 
@@ -52,15 +75,23 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * the newest frames (counted in `dropped`). The client can always
     * re-sync via `*_start_id` — ids are the resume tokens (R2).
     *
-    * `rcBoundary`/`rsBoundary` are IMMUTABLE per-type id boundaries fixed
-    * at connect time: the catch-up read serves ids ≤ boundary, the live
-    * fan-out (and its counters) only considers ids > boundary — evaluated
-    * inside the Spark pass, so catch-up and live are disjoint by
-    * construction regardless of emit order or query lag. A start_id in
-    * the future raises the boundary so the live feed also skips up to it.
+    * `rcBoundary`/`rsBoundary` split the id space between catch-up and
+    * live exactly once each: catch-up serves ids ≤ boundary, the live
+    * fan-out only considers ids > boundary. They start at Long.MaxValue
+    * (deliver nothing) and are set — AFTER the connection is registered —
+    * from a maxId read that therefore happens-after registration: any
+    * micro-batch the fan-out snapshotted before the boundaries were set
+    * had its end offset fixed earlier still, so its ids are ≤ the
+    * boundary and belong to catch-up; nothing falls in between (fixes
+    * the connect-time race where an append landing between the maxId
+    * read and registration was neither caught up nor fanned out).
+    * A start_id in the future raises the boundary further so the live
+    * feed also skips up to it.
     */
   private final class Connection(val id: String, val spec: ParamSpec,
-      val rcBoundary: Long, val rsBoundary: Long) {
+      val maskKey: String, val ip: String) {
+    @volatile var rcBoundary: Long = Long.MaxValue
+    @volatile var rsBoundary: Long = Long.MaxValue
     val queue = new LinkedBlockingQueue[String](65536)
     val dropped = new AtomicLong(0)
     val tcs = new AtomicLong(0)
@@ -71,36 +102,96 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
 
   private val conns = new ConcurrentHashMap[String, Connection]()
   private val connSeq = new AtomicLong(0)
-  private val queryRef = new AtomicReference[StreamingQuery]()
+  private val ipConns = new ConcurrentHashMap[String, AtomicInteger]()
   private var http: HttpServer = _
 
   def boundPort: Int = http.getAddress.getPort
 
-  // ---------------- shared streaming query ----------------
+  // ---------------- shared streaming queries (one per type mask) ----------------
 
-  private def liveStream(): DataFrame = {
-    def side(p: String) = spark.readStream
-      .format("graft.sources.RedditLogSource").option("path", p).load()
-    side(rcPath).unionByName(side(rsPath))
+  /** "rc", "rs", or "rcrs" — the set of logs a connection's `type` param
+    * needs. An unrecognized/empty type set maps to both logs: nothing is
+    * ever emitted (F1 gates it) but the A1 counters still observe both
+    * feeds, like the reference's always-scanning loop.
+    */
+  private def maskKeyOf(spec: ParamSpec): String =
+    if (spec.types == Set("rc")) "rc"
+    else if (spec.types == Set("rs")) "rs"
+    else "rcrs"
+
+  private val queries = new ConcurrentHashMap[String, StreamingQuery]()
+  private val queryLock = new Object
+
+  private def side(p: String): DataFrame = {
+    // Pin the live window's start HERE, synchronously, rather than
+    // letting the source resolve its initial offset when the stream
+    // thread spins up: start() is asynchronous, so an append landing
+    // between a connection's boundary read and a lazily-resolved (and
+    // therefore later) initial offset would be above the boundary yet
+    // below the stream's start — lost. With the pin, every connection's
+    // boundary (read after ensureQuery returns) is ≥ the stream start,
+    // so the live window always covers (boundary, ∞).
+    val startId = RedditLog.maxId(p) + 1
+    val r = spark.readStream
+      .format("graft.sources.RedditLogSource").option("path", p)
+      .option("start_id", startId.toString)
+    (if (maxPerTrigger > 0) r.option("max_per_trigger", maxPerTrigger.toString)
+     else r).load()
   }
 
-  /** One micro-batch → all connections, single pass (plus one small
-    * aggregate for the counters).
+  private def liveStream(maskKey: String): DataFrame = maskKey match {
+    case "rc" => side(rcPath)
+    case "rs" => side(rsPath)
+    case _    => side(rcPath).unionByName(side(rsPath))
+  }
+
+  /** Start the shared query for a mask on first use. Queries stay up for
+    * the server's lifetime once started — an idle pruned-source query
+    * costs one empty admission check per trigger.
     */
-  private def handleBatch(batch: DataFrame, batchId: Long): Unit = {
-    val snapshot = conns.values.asScala.filterNot(_.closed).toSeq
+  private def ensureQuery(maskKey: String): Unit = queryLock.synchronized {
+    if (!queries.containsKey(maskKey)) {
+      val q = liveStream(maskKey).writeStream
+        .queryName(s"graft-sse-feed-$maskKey")
+        .foreachBatch((b: DataFrame, id: Long) => handleBatch(maskKey, b, id))
+        .trigger(Trigger.ProcessingTime(s"$triggerMillis milliseconds"))
+        .start()
+      queries.put(maskKey, q)
+    }
+  }
+
+  /** Running shared queries (exposed for tests/metrics). */
+  def activeQueries: Seq[StreamingQuery] = queries.values.asScala.toSeq
+
+  /** Connections whose catch-up/live boundaries are already set — i.e.
+    * fully attached to the live feed (tests/metrics: an append after
+    * this point is guaranteed to reach the connection).
+    */
+  def readyConnections: Int = conns.values.asScala.count(c =>
+    !c.closed && (c.rcBoundary != Long.MaxValue || c.rsBoundary != Long.MaxValue))
+
+  /** One micro-batch → all connections of this mask, single pass (plus
+    * one small aggregate for the counters).
+    */
+  private def handleBatch(maskKey: String, batch: DataFrame, batchId: Long): Unit = {
+    // boundaries snapshotted once per batch so the counter pass and the
+    // emit pass see identical frontiers
+    val snapshot = conns.values.asScala
+      .filter(c => !c.closed && c.maskKey == maskKey)
+      .map(c => (c, c.rcBoundary, c.rsBoundary)).toSeq
     if (snapshot.isEmpty || batch.isEmpty) return
     batch.persist()
     try {
       // catch-up/live disjointness, inside the plan: only ids above the
       // connection's per-type boundary exist for this connection at all
-      def boundaryPred(c: Connection): Column =
-        (col("event") === "rc" && col("id") > lit(c.rcBoundary)) ||
-          (col("event") === "rs" && col("id") > lit(c.rsBoundary))
+      def boundaryPred(rcB: Long, rsB: Long): Column =
+        (col("event") === "rc" && col("id") > lit(rcB)) ||
+          (col("event") === "rs" && col("id") > lit(rsB))
 
       def tags(predOf: Connection => Column): Column = filter(
-        array(snapshot.map(c =>
-          when(boundaryPred(c) && predOf(c), lit(c.id)).otherwise(lit(null))): _*),
+        array(snapshot.map { case (c, rcB, rsB) =>
+          when(boundaryPred(rcB, rsB) && predOf(c), lit(c.id)).otherwise(lit(null))
+        }: _*),
         t => t.isNotNull)
 
       // A1 counters: whitelist ∧ attr, deliberately before the type gate
@@ -117,8 +208,11 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       }
 
       // emit pass: full predicate, per-connection payload projection,
-      // O1 sort, frames formatted inside Spark
-      val dataCol = snapshot.foldLeft(col("json")) { (acc, c) =>
+      // O1 sort, frames formatted inside Spark. toLocalIterator streams
+      // the sorted result partition-by-partition (global order is
+      // preserved — orderBy range-partitions), so driver memory is one
+      // partition of (connection × frame) pairs, not the whole batch.
+      val dataCol = snapshot.map(_._1).foldLeft(col("json")) { (acc, c) =>
         if (c.spec.filterKeys.isEmpty) acc
         else when(col("cid") === c.id,
           RedditOps.projectPayload(c.spec, col("json"))).otherwise(acc)
@@ -129,9 +223,9 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
         .withColumn("frame", RedditOps.sseFrame(col("id"), col("event"), dataCol))
         .orderBy(RedditOps.emitOrder: _*)
         .select(col("cid"), col("frame"))
-        .collect()
+        .toLocalIterator()
 
-      rows.foreach { r =>
+      rows.forEachRemaining { r =>
         Option(conns.get(r.getString(0))).foreach { c =>
           if (!c.queue.offer(r.getString(1))) c.dropped.incrementAndGet()
         }
@@ -163,23 +257,30 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * captured at connect time (`rcMax`/`rsMax`) — ids beyond them belong
     * to the live feed (whose boundary predicate starts exactly there),
     * so catch-up and live partition the id space exactly once each.
+    * Only logs the spec actually resumes from are read at all: a type
+    * with no backfill/start_id contributes neither rows nor counter
+    * increments (its scan range is empty), so skipping it entirely is
+    * not observable — and keeps a comments-only fleet from ever listing
+    * the rs directory.
     */
   private def catchUp(c: Connection, rcMax: Long, rsMax: Long,
       write: String => Unit): Unit = {
     val spec = c.spec
-    if (spec.commentBackfill.isEmpty && spec.submissionBackfill.isEmpty
-      && spec.commentStartId.isEmpty && spec.submissionStartId.isEmpty) {
+    val needRc = spec.commentBackfill.isDefined || spec.commentStartId.isDefined
+    val needRs = spec.submissionBackfill.isDefined || spec.submissionStartId.isDefined
+    if (!needRc && !needRs) {
       return // live-only connection: no historical scan at all
     }
     def side(p: String) = spark.read
       .format("graft.sources.RedditLogSource").option("path", p).load()
-    // NOTE: both logs are always scanned here even when `type` suppresses
-    // one — the A1 counters observably count type-suppressed events
-    // (sse.py:179-180; SseServerSpec "keepalive" asserts it). The segment
-    // pruning comes from the source's id-range filter pushdown instead:
-    // a type with no backfill/start_id resolves to `id > max`, which
-    // prunes to zero segments.
-    val hist = side(rcPath).unionByName(side(rsPath))
+    val sides =
+      (if (needRc) Seq(side(rcPath)) else Nil) ++
+        (if (needRs) Seq(side(rsPath)) else Nil)
+    // NOTE: within the scanned logs the A1 counters still count
+    // type-suppressed events (sse.py:179-180; SseServerSpec "keepalive"
+    // asserts it). Segment pruning comes from the source's id-range
+    // filter pushdown; un-resumed logs are not even listed (see above).
+    val hist = sides.reduce(_ unionByName _)
       .filter(RedditOps.resumePred(spec, lit(rcMax), lit(rsMax)))
       .filter((col("event") === "rc" && col("id") <= lit(rcMax)) ||
         (col("event") === "rs" && col("id") <= lit(rsMax)))
@@ -193,8 +294,8 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       .withColumn("json", RedditOps.projectPayload(spec, col("json")))
       .orderBy(RedditOps.emitOrder: _*)
       .select(RedditOps.sseFrame(col("id"), col("event"), col("json")))
-      .collect().map(_.getString(0))
-    frames.foreach(write)
+      .toLocalIterator()
+    frames.forEachRemaining(r => write(r.getString(0)))
   }
 
   private def handleStream(ex: HttpExchange): Unit = {
@@ -202,45 +303,80 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       case Left(ApiError(status, msg)) =>
         respondJson(ex, status, s"""{"error": "$msg"}""")
       case Right(spec) =>
-        // boundaries fixed at connect time; a future start_id pushes the
-        // live boundary up so the feed skips ids the client asked to skip
-        val rcMax = RedditLog.maxId(rcPath)
-        val rsMax = RedditLog.maxId(rsPath)
-        val c = new Connection(s"c${connSeq.incrementAndGet()}", spec,
-          rcBoundary = math.max(rcMax, spec.commentStartId.map(_ - 1).getOrElse(Long.MinValue)),
-          rsBoundary = math.max(rsMax, spec.submissionStartId.map(_ - 1).getOrElse(Long.MinValue)))
-        ex.getResponseHeaders.set("Content-Type", "text/event-stream")
-        ex.getResponseHeaders.set("Cache-Control", "no-cache")
-        ex.sendResponseHeaders(200, 0)
-        val out = ex.getResponseBody
-        def write(frame: String): Unit = {
-          val bytes = frame.getBytes(StandardCharsets.UTF_8)
-          out.write(bytes); out.flush()
-          c.tbs.addAndGet(bytes.length)
+        val ip = ex.getRemoteAddress.getAddress.getHostAddress
+        // per-IP connection cap (reference edge: nginx limit_conn,
+        // nginx_stream.conf:1-9); 0 = unlimited
+        val ipCount = ipConns.computeIfAbsent(ip, _ => new AtomicInteger(0))
+        if (maxConnsPerIp > 0 && ipCount.incrementAndGet() > maxConnsPerIp) {
+          ipCount.decrementAndGet()
+          respondJson(ex, 429, """{"error": "connection limit exceeded"}""")
+          return
         }
-        var keepAliveId = 0L
-        var lastKeepAlive = System.currentTimeMillis()
+        val maskKey = maskKeyOf(spec)
+        val c = new Connection(s"c${connSeq.incrementAndGet()}", spec, maskKey, ip)
         try {
-          // register BEFORE the catch-up read: live frames for ids above
-          // the boundary buffer in the queue while history streams out,
-          // so nothing falls between catch-up and live
+          // 1. register; 2. make sure the mask's shared query is up;
+          // 3. only THEN read the maxIds that become the catch-up/live
+          // boundaries — see the Connection scaladoc for why this order
+          // closes the connect-time race.
           conns.put(c.id, c)
-          catchUp(c, rcMax, rsMax, write)
-          while (!c.closed) {
-            val frame = c.queue.poll(100, TimeUnit.MILLISECONDS)
-            if (frame != null) write(frame)
-            if (System.currentTimeMillis() - lastKeepAlive >= keepAliveMillis) {
-              keepAliveId += 1
-              lastKeepAlive = System.currentTimeMillis()
-              write(s"id: $keepAliveId\nevent: keepalive\ndata: " +
-                s"""{"tcs": ${c.tcs.get()}, "tss": ${c.tss.get()}, "tbs": ${c.tbs.get()}}\n\n""")
-            }
+          ensureQuery(maskKey)
+          val maskHasRc = maskKey != "rs"
+          val maskHasRs = maskKey != "rc"
+          val rcMax =
+            if (maskHasRc || spec.commentBackfill.isDefined || spec.commentStartId.isDefined)
+              RedditLog.maxId(rcPath)
+            else -1L
+          val rsMax =
+            if (maskHasRs || spec.submissionBackfill.isDefined || spec.submissionStartId.isDefined)
+              RedditLog.maxId(rsPath)
+            else -1L
+          // a future start_id pushes the live boundary up so the feed
+          // skips ids the client asked to skip
+          if (maskHasRc)
+            c.rcBoundary = math.max(rcMax, spec.commentStartId.map(_ - 1).getOrElse(Long.MinValue))
+          if (maskHasRs)
+            c.rsBoundary = math.max(rsMax, spec.submissionStartId.map(_ - 1).getOrElse(Long.MinValue))
+
+          ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+          ex.getResponseHeaders.set("Cache-Control", "no-cache")
+          val gzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+            .exists(_.toLowerCase.contains("gzip"))
+          if (gzip) ex.getResponseHeaders.set("Content-Encoding", "gzip")
+          ex.sendResponseHeaders(200, 0)
+          // syncFlush so each frame's deflate block is pushed through on
+          // flush() — compression without buffering-induced latency
+          // (the reference gets this from nginx: gzip on +
+          // X-Accel-Buffering no, nginx_stream.conf:11-15, 27)
+          val out =
+            if (gzip) new GZIPOutputStream(ex.getResponseBody, true)
+            else ex.getResponseBody
+          def write(frame: String): Unit = {
+            val bytes = frame.getBytes(StandardCharsets.UTF_8)
+            out.write(bytes); out.flush()
+            c.tbs.addAndGet(bytes.length)
           }
-        } catch {
-          case _: java.io.IOException => // client went away
+          var keepAliveId = 0L
+          var lastKeepAlive = System.currentTimeMillis()
+          try {
+            catchUp(c, rcMax, rsMax, write)
+            while (!c.closed) {
+              val frame = c.queue.poll(100, TimeUnit.MILLISECONDS)
+              if (frame != null) write(frame)
+              if (System.currentTimeMillis() - lastKeepAlive >= keepAliveMillis) {
+                keepAliveId += 1
+                lastKeepAlive = System.currentTimeMillis()
+                write(s"id: $keepAliveId\nevent: keepalive\ndata: " +
+                  s"""{"tcs": ${c.tcs.get()}, "tss": ${c.tss.get()}, "tbs": ${c.tbs.get()}}\n\n""")
+              }
+            }
+          } catch {
+            case _: java.io.IOException => // client went away
+          }
         } finally {
           c.closed = true
           conns.remove(c.id)
+          if (maxConnsPerIp > 0) ipCount.decrementAndGet()
           ex.close()
         }
     }
@@ -255,12 +391,8 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   // ---------------- lifecycle ----------------
 
   def start(): SseServer = {
-    val q = liveStream().writeStream
-      .queryName("graft-sse-feed")
-      .foreachBatch((b: DataFrame, id: Long) => handleBatch(b, id))
-      .trigger(Trigger.ProcessingTime(s"$triggerMillis milliseconds"))
-      .start()
-    queryRef.set(q)
+    // live queries start lazily per type mask on first connection — a
+    // server whose fleet never asks for submissions never touches rs
     http = HttpServer.create(new InetSocketAddress(port), 0)
     http.setExecutor(Executors.newCachedThreadPool())
     http.createContext("/test", (ex: HttpExchange) => {
@@ -277,7 +409,8 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
 
   def stop(): Unit = {
     conns.values.asScala.foreach(_.closed = true)
-    Option(queryRef.get()).foreach(_.stop())
+    queries.values.asScala.foreach(_.stop())
+    queries.clear()
     if (http != null) http.stop(0)
   }
 }

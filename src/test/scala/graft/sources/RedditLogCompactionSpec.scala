@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Manifest + compaction behavior of the segment log (the 100 TB ingest
+  * metadata story): watermark served from the manifest, segment merge
+  * flips the manifest before any deletion, GC is deferred and safe.
+  */
+class RedditLogCompactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def row(i: Long): Map[String, Any] = Map(
+    "id" -> i, "event" -> "rc", "created_utc" -> (1000L + i),
+    "author" -> s"u$i", "subreddit" -> "news", "domain" -> null,
+    "over_18" -> null, "is_self" -> null, "json" -> s"""{"n":$i}""")
+
+  private def ids(dir: String): Seq[Long] = {
+    import spark.implicits._
+    spark.read.format("graft.sources.RedditLogSource").option("path", dir)
+      .load().select("id").as[Long].collect().toSeq.sorted
+  }
+
+  test("writeSegment maintains a manifest; listSegments and maxId serve from it") {
+    val dir = Files.createTempDirectory("rlog-mf").toString
+    (0 until 10).foreach(k => RedditLog.writeSegment(dir, ((k * 20 + 1).toLong to (k * 20 + 20).toLong).map(row)))
+    assert(new java.io.File(dir, "manifest.json").isFile)
+    assert(RedditLog.listSegments(dir).size == 10)
+    assert(RedditLog.maxId(dir) == 200L)
+    assert(ids(dir) == (1L to 200L))
+  }
+
+  test("compact merges small segments; rows and watermark unchanged; old files live until gc") {
+    val dir = Files.createTempDirectory("rlog-cp").toString
+    (0 until 10).foreach(k => RedditLog.writeSegment(dir, ((k * 20 + 1).toLong to (k * 20 + 20).toLong).map(row)))
+    val obsolete = RedditLog.compact(dir, targetRows = 100L)
+    // 10×20 rows at target 100 → 2 merged segments of 100 rows
+    assert(RedditLog.listSegments(dir).size == 2)
+    assert(RedditLog.maxId(dir) == 200L)
+    // replaced originals still on disk (readers on the old manifest
+    // snapshot can still resolve them) but the new manifest excludes
+    // them — no double counting despite both generations coexisting
+    assert(obsolete.nonEmpty && obsolete.forall(_.isFile))
+    assert(ids(dir) == (1L to 200L))
+    RedditLog.gc(obsolete)
+    assert(obsolete.forall(!_.isFile))
+    assert(ids(dir) == (1L to 200L))
+    assert(RedditLog.maxId(dir) == 200L)
+  }
+
+  test("appends after compaction keep the manifest consistent") {
+    val dir = Files.createTempDirectory("rlog-ap").toString
+    (0 until 4).foreach(k => RedditLog.writeSegment(dir, ((k * 10 + 1).toLong to (k * 10 + 10).toLong).map(row)))
+    val obsolete = RedditLog.compact(dir, targetRows = 20L)
+    RedditLog.writeSegment(dir, (41L to 45L).map(row))
+    assert(RedditLog.maxId(dir) == 45L)
+    assert(ids(dir) == (1L to 45L))
+    RedditLog.gc(obsolete)
+    assert(ids(dir) == (1L to 45L))
+  }
+
+  test("singleton groups keep their original file (no rewrite churn)") {
+    val dir = Files.createTempDirectory("rlog-sg").toString
+    RedditLog.writeSegment(dir, (1L to 500L).map(row))   // already big
+    RedditLog.writeSegment(dir, (501L to 505L).map(row)) // small tail
+    val obsolete = RedditLog.compact(dir, targetRows = 100L)
+    assert(obsolete.isEmpty) // nothing merged: big seg alone, tail alone
+    assert(RedditLog.listSegments(dir).size == 2)
+    assert(ids(dir) == (1L to 505L))
+  }
+}

@@ -111,4 +111,27 @@ class EventTimeOpsSpec extends AnyFunSuite {
       .filter(_.author == "carol").map(s => (s.start_utc, s.end_utc, s.n_events)).toSet
     assert(sessions == Set((900L, 1000L, 2L)))
   }
+
+  test("sessionize: out-of-order event MORE than a gap before the session start splits, not merges") {
+    val dir = Files.createTempDirectory("slog3").toString
+    // dave's t=100 arrives a batch after t=1000: 900s before the open
+    // session's start, far beyond gap=300 — it must close as its own
+    // session instead of stretching [1000,1000] back to 100
+    // (generous lateness keeps the watermark from dropping it)
+    RedditLog.writeSegment(dir, Seq(
+      ev(2, 1000, "dave", "x"), ev(4, 100, "dave", "x"),
+      ev(10, 100000, "bob", "x"), ev(12, 100001, "bob", "x")))
+    val src = spark.readStream.format("graft.sources.RedditLogSource")
+      .option("path", dir).option("backfill", "100")
+      .option("max_per_trigger", "2").load()
+    val name = s"sesss${System.nanoTime()}"
+    val q = EventTimeOps.sessionize(spark, src, gapSeconds = 300L, lateness = "2 hours")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sessions = spark.table(name).as[AuthorSession].collect()
+      .filter(_.author == "dave").map(s => (s.start_utc, s.end_utc, s.n_events)).toSet
+    assert(sessions.contains((100L, 100L, 1L)), sessions.toString)
+    assert(!sessions.exists(s => s._1 == 100L && s._2 == 1000L), sessions.toString)
+  }
 }

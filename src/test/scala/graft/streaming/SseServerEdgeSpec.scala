@@ -1,0 +1,191 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.sources.RedditLog
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.GZIPInputStream
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable.ArrayBuffer
+
+/** Edge behaviors of the SSE delivery layer beyond the core wire tests
+  * (SseServerSpec): plan-level per-type source pruning, admission-bounded
+  * fan-out batches, the per-IP connection cap, and gzip streaming.
+  */
+class SseServerEdgeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def rcRow(i: Long, author: String = "u"): Map[String, Any] = Map(
+    "id" -> i, "event" -> "rc", "created_utc" -> (1000L + i),
+    "author" -> author, "subreddit" -> "news", "domain" -> null,
+    "over_18" -> null, "is_self" -> null, "json" -> s"""{"n":$i}""")
+
+  /** Read SSE frames over raw HTTP until n frames or timeout.
+    *
+    * Byte-level reads on purpose: wrapping a streaming GZIPInputStream
+    * in an InputStreamReader blocks on the reader's internal fill even
+    * when decoded bytes are available, so the line-oriented client the
+    * core spec uses would hang on a gzip stream (server-side flushing is
+    * fine — verified with raw socket reads).
+    */
+  private def readFrames(port: Int, path: String, n: Int,
+      timeoutMs: Long = 60000, gzip: Boolean = false): Seq[String] = {
+    val conn = new URL(s"http://localhost:$port$path")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setReadTimeout(timeoutMs.toInt)
+    if (gzip) conn.setRequestProperty("Accept-Encoding", "gzip")
+    val in = if (gzip) new GZIPInputStream(conn.getInputStream) else conn.getInputStream
+    val frames = ArrayBuffer[String]()
+    try {
+      val buf = new Array[Byte](8192)
+      val acc = new StringBuilder
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (frames.size < n && System.currentTimeMillis() < deadline) {
+        val r = in.read(buf)
+        if (r < 0) return frames.toSeq
+        acc.append(new String(buf, 0, r, StandardCharsets.UTF_8))
+        var idx = acc.indexOf("\n\n")
+        while (idx >= 0 && frames.size < n) {
+          frames += acc.substring(0, idx + 1) // keep the final line's \n
+          acc.delete(0, idx + 2)
+          idx = acc.indexOf("\n\n")
+        }
+      }
+      frames.toSeq
+    } finally { in.close(); conn.disconnect() }
+  }
+
+  test("per-type pruning: a comments-only fleet never touches the rs log") {
+    val rcDir = Files.createTempDirectory("prune-rc").toString
+    val rsDir = Files.createTempDirectory("prune-rs").toString
+    RedditLog.writeSegment(rcDir, Seq(rcRow(1)))
+    RedditLog.writeSegment(rsDir, Seq(Map(
+      "id" -> 1L, "event" -> "rs", "created_utc" -> 2000L,
+      "author" -> "u", "subreddit" -> "news", "domain" -> "ex.com",
+      "over_18" -> "false", "is_self" -> "true", "json" -> """{"t":"x"}""")))
+    val before = RedditLog.metadataReads(rsDir)
+    val server = new SseServer(spark, rcDir, rsDir,
+      keepAliveMillis = 60000L, triggerMillis = 100L).start()
+    try {
+      val t = new Thread(() => {
+        // append only once the connection is fully attached (cold-start
+        // query bring-up can take seconds; an earlier append would be
+        // legitimately "before connect" and skipped)
+        val deadline = System.currentTimeMillis() + 30000
+        while (server.readyConnections < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        RedditLog.writeSegment(rcDir, Seq(rcRow(2)))
+      })
+      t.start()
+      // live-only comments client: mask query reads rc only, no rs
+      // maxId read at connect, no catch-up scan
+      val frames = readFrames(server.boundPort, "/?type=comments", 1)
+      t.join()
+      assert(frames.exists(_.startsWith("id: 2\nevent: rc")), frames.mkString("|"))
+      assert(RedditLog.metadataReads(rsDir) == before,
+        "rs log was listed by a comments-only fleet")
+      // exactly one shared query runs, and it is the rc-mask one
+      assert(server.activeQueries.map(_.name) == Seq("graft-sse-feed-rc"))
+    } finally server.stop()
+  }
+
+  test("admission control bounds fan-out batches: backlog drains in max_per_trigger-sized micro-batches") {
+    val rcDir = Files.createTempDirectory("adm-rc").toString
+    val rsDir = Files.createTempDirectory("adm-rs").toString
+    RedditLog.writeSegment(rcDir, Seq(rcRow(1)))
+    val server = new SseServer(spark, rcDir, rsDir,
+      keepAliveMillis = 60000L, triggerMillis = 100L,
+      maxPerTrigger = 2000L).start()
+    try {
+      val total = 12000
+      val writer = new Thread(() => {
+        // wait until all 4 clients are attached to the live feed
+        val deadline = System.currentTimeMillis() + 30000
+        while (server.readyConnections < 4 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        // one big append: 12 000 events over 4 authors — far more than
+        // one admission quantum, so the source must slice it
+        (0 until 3).foreach { k =>
+          RedditLog.writeSegment(rcDir,
+            ((k * 4000 + 2).toLong to (k * 4000 + 4001).toLong)
+              .map(i => rcRow(i, s"a${i % 4}")))
+        }
+      })
+      writer.start()
+      // 4 concurrent clients, each whitelisting one author → each must
+      // receive its full 3 000-frame slice
+      val results = new Array[Seq[String]](4)
+      val clients = (0 until 4).map { a =>
+        val th = new Thread(() => {
+          results(a) = readFrames(server.boundPort, s"/?type=comments&author=a$a", total / 4)
+        })
+        th.start()
+        th
+      }
+      clients.foreach(_.join(120000))
+      writer.join()
+      (0 until 4).foreach { a =>
+        assert(results(a) != null && results(a).size == total / 4,
+          s"client a$a got ${Option(results(a)).map(_.size)} frames")
+      }
+      // the shared query drained the backlog in admission-sized batches:
+      // no micro-batch exceeded max_per_trigger (+1: the fan-out's
+      // cheap isEmpty probe scans one extra row that the progress
+      // counter includes), and it took several
+      val progresses = server.activeQueries.head.recentProgress.toSeq
+      val sized = progresses.map(_.numInputRows).filter(_ > 0)
+      assert(sized.nonEmpty && sized.forall(_ <= 2001L),
+        s"batch sizes: $sized")
+      assert(sized.size >= 6, s"expected ≥6 admission-sized batches, got $sized")
+    } finally server.stop()
+  }
+
+  test("per-IP connection cap → HTTP 429 (reference edge: nginx limit_conn)") {
+    val rcDir = Files.createTempDirectory("cap-rc").toString
+    val rsDir = Files.createTempDirectory("cap-rs").toString
+    RedditLog.writeSegment(rcDir, Seq(rcRow(1)))
+    // fast keepalive: the server only notices a dead client on a failed
+    // write, so the keepalive cadence doubles as disconnect detection
+    val server = new SseServer(spark, rcDir, rsDir,
+      keepAliveMillis = 500L, triggerMillis = 100L,
+      maxConnsPerIp = 1).start()
+    try {
+      val first = new URL(s"http://localhost:${server.boundPort}/?type=comments")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      first.setReadTimeout(30000)
+      first.getInputStream // stream open and held
+      // give the first connection time to register
+      Thread.sleep(500)
+      val second = new URL(s"http://localhost:${server.boundPort}/?type=comments")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(second.getResponseCode == 429)
+      val body = new String(second.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
+      assert(body.contains("error"))
+      second.disconnect()
+      first.disconnect()
+      // cap is per-connection-lifetime: once the dropped client's next
+      // keepalive write fails and releases the slot, a new one is admitted
+      Thread.sleep(2000)
+      val third = new URL(s"http://localhost:${server.boundPort}/?comment_backfill=10&type=comments")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      third.setReadTimeout(30000)
+      assert(third.getResponseCode == 200)
+      third.disconnect()
+    } finally server.stop()
+  }
+
+  test("gzip: Accept-Encoding gzip → compressed stream with identical frame bytes") {
+    val rcDir = Files.createTempDirectory("gz-rc").toString
+    val rsDir = Files.createTempDirectory("gz-rs").toString
+    RedditLog.writeSegment(rcDir, (1L to 5L).map(i => rcRow(i)))
+    val server = new SseServer(spark, rcDir, rsDir,
+      keepAliveMillis = 60000L, triggerMillis = 100L).start()
+    try {
+      val plain = readFrames(server.boundPort, "/?comment_backfill=100&type=comments", 5)
+      val gz = readFrames(server.boundPort, "/?comment_backfill=100&type=comments", 5, gzip = true)
+      assert(gz == plain && gz.size == 5)
+      assert(gz.head.startsWith("id: 1\nevent: rc"))
+    } finally server.stop()
+  }
+}
