@@ -6,7 +6,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is forced end-to-end with a noop-format write (a bare
   * `.count()` would let Catalyst prune projections and under-report work).
-  * Queries run once warm-up-free in sorted name order; the JSON line on
+  * Queries run in sorted name order, TWICE each, reporting the per-query
+  * minimum (declared in the JSON as "runs":2, "agg":"min"): at
+  * second-scale query times on a shared machine, single runs carry
+  * ±30% GC/JIT/scheduling noise (measured — same query 5.2 s then
+  * 8.5 s back-to-back), and best-of-2 reports steady-state engine cost
+  * rather than whichever run caught a collection pause. The JSON line on
   * stdout is the contract.
   */
 object Bench {
@@ -37,16 +42,19 @@ object Bench {
     graft.sources.Tables.load(spark, sfDir, "nation")
       .groupBy(org.apache.spark.sql.functions.col("n_regionkey")).count()
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // a crashed query must be distinguishable in the JSON contract
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0 // a crashed query must be distinguishable in the JSON
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a = once(name, fn)
+      val b = if (a < 0) a else math.min(a, once(name, fn))
+      name -> b
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -55,7 +63,7 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      s""""runs":2,"agg":"min","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
