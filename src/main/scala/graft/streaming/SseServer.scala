@@ -298,11 +298,37 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     frames.forEachRemaining(r => write(r.getString(0)))
   }
 
+  /** Superset over the reference (which ignores the header entirely —
+    * resumption is query-param only, sse.py:126-129): honor the SSE
+    * `Last-Event-ID` reconnect header as an implicit start_id when it is
+    * unambiguous — exactly one event type selected (rc and rs ids are
+    * separate sequences sharing the frame id channel, so a both-types
+    * resume point is undefined) and no explicit backfill/start_id for
+    * that type (explicit params win, preserving the reference contract).
+    * Sharp edge inherited from the reference's frame format: keepalive
+    * frames carry their own id sequence, so a client that reconnects
+    * right after a keepalive resends a keepalive id — best-effort only;
+    * exact resume remains `*_start_id`. Unparsable values are ignored
+    * (a 400 here would break every auto-reconnecting EventSource).
+    */
+  private def lastEventIdResume(ex: HttpExchange, spec: ParamSpec): ParamSpec =
+    Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
+      .flatMap(_.trim.toLongOption) match {
+      case Some(n) if spec.types == Set("rc")
+          && spec.commentStartId.isEmpty && spec.commentBackfill.isEmpty =>
+        spec.copy(commentStartId = Some(n + 1))
+      case Some(n) if spec.types == Set("rs")
+          && spec.submissionStartId.isEmpty && spec.submissionBackfill.isEmpty =>
+        spec.copy(submissionStartId = Some(n + 1))
+      case _ => spec
+    }
+
   private def handleStream(ex: HttpExchange): Unit = {
     ParamSpec.parse(parseQuery(ex.getRequestURI.getRawQuery)) match {
       case Left(ApiError(status, msg)) =>
         respondJson(ex, status, s"""{"error": "$msg"}""")
-      case Right(spec) =>
+      case Right(spec0) =>
+        val spec = lastEventIdResume(ex, spec0)
         val ip = ex.getRemoteAddress.getAddress.getHostAddress
         // per-IP connection cap (reference edge: nginx limit_conn,
         // nginx_stream.conf:1-9); 0 = unlimited

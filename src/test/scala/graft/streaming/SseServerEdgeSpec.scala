@@ -132,9 +132,14 @@ class SseServerEdgeSpec extends AnyFunSuite {
       // the shared query drained the backlog in admission-sized batches:
       // no micro-batch exceeded max_per_trigger (+1: the fan-out's
       // cheap isEmpty probe scans one extra row that the progress
-      // counter includes), and it took several
-      val progresses = server.activeQueries.head.recentProgress.toSeq
-      val sized = progresses.map(_.numInputRows).filter(_ > 0)
+      // counter includes), and it took several. Progress events publish
+      // asynchronously after delivery — poll for the final one.
+      def nonEmptyBatches = server.activeQueries.head.recentProgress.toSeq
+        .map(_.numInputRows).filter(_ > 0)
+      val progressDeadline = System.currentTimeMillis() + 10000
+      while (nonEmptyBatches.size < 6 && System.currentTimeMillis() < progressDeadline)
+        Thread.sleep(100)
+      val sized = nonEmptyBatches
       assert(sized.nonEmpty && sized.forall(_ <= 2001L),
         s"batch sizes: $sized")
       assert(sized.size >= 6, s"expected ≥6 admission-sized batches, got $sized")
@@ -172,6 +177,52 @@ class SseServerEdgeSpec extends AnyFunSuite {
       third.setReadTimeout(30000)
       assert(third.getResponseCode == 200)
       third.disconnect()
+    } finally server.stop()
+  }
+
+  test("Last-Event-ID resumes a single-type stream; explicit params win (superset: reference ignores the header)") {
+    val rcDir = Files.createTempDirectory("lei-rc").toString
+    val rsDir = Files.createTempDirectory("lei-rs").toString
+    RedditLog.writeSegment(rcDir, (1L to 5L).map(i => rcRow(i)))
+    val server = new SseServer(spark, rcDir, rsDir,
+      keepAliveMillis = 60000L, triggerMillis = 100L).start()
+    try {
+      def framesWithHeader(path: String, header: Option[Long], n: Int,
+          timeoutMs: Long = 30000): Seq[String] = {
+        val conn = new URL(s"http://localhost:${server.boundPort}$path")
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setReadTimeout(timeoutMs.toInt)
+        header.foreach(h => conn.setRequestProperty("Last-Event-ID", h.toString))
+        val in = conn.getInputStream
+        val frames = ArrayBuffer[String]()
+        try {
+          val buf = new Array[Byte](8192)
+          val acc = new StringBuilder
+          val deadline = System.currentTimeMillis() + timeoutMs
+          while (frames.size < n && System.currentTimeMillis() < deadline) {
+            val r = in.read(buf)
+            if (r < 0) return frames.toSeq
+            acc.append(new String(buf, 0, r, StandardCharsets.UTF_8))
+            var idx = acc.indexOf("\n\n")
+            while (idx >= 0 && frames.size < n) {
+              frames += acc.substring(0, idx + 1)
+              acc.delete(0, idx + 2)
+              idx = acc.indexOf("\n\n")
+            }
+          }
+          frames.toSeq
+        } catch { case _: java.net.SocketTimeoutException => frames.toSeq
+        } finally { in.close(); conn.disconnect() }
+      }
+      // reconnect after id 2 → history resumes at 3
+      val resumed = framesWithHeader("/?type=comments", Some(2L), 3)
+      assert(resumed.map(_.linesIterator.next()) == Seq("id: 3", "id: 4", "id: 5"))
+      // explicit start_id wins over the header
+      val explicit = framesWithHeader("/?type=comments&comment_start_id=5", Some(2L), 1)
+      assert(explicit.map(_.linesIterator.next()) == Seq("id: 5"))
+      // ambiguous (both types): header ignored → live-only, no history
+      val both = framesWithHeader("/", Some(2L), 1, timeoutMs = 3000)
+      assert(both.isEmpty || both.forall(_.contains("keepalive")), both.mkString("|"))
     } finally server.stop()
   }
 
