@@ -30,8 +30,15 @@ import scala.jdk.CollectionConverters._
   * the expensive, weakly-consistent call while a single GET is cheap.
   * The writer maintains it incrementally (single-writer, like the
   * reference's producer owning `max_id`); segment data appears
-  * atomically BEFORE the manifest references it, so a torn write can
-  * only hide the newest segment until the next append repairs it.
+  * atomically BEFORE the manifest references it, and each append
+  * repairs a previous torn write by re-adopting on-disk segments whose
+  * ids extend past the manifest's watermark (compaction-replaced
+  * segments awaiting GC sit BELOW it, so they are never re-adopted).
+  * Scale note honestly stated: the manifest itself is rewritten per
+  * append, so its size — bounded by running [[compact]] — is the real
+  * metadata unit of work; the design trades the readers' O(files)
+  * LIST (unbounded, weakly consistent on object stores) for a
+  * writer-side O(live segments) PUT (bounded by compaction).
   *
   * ==Compaction==
   * [[compact]] greedily merges small adjacent segments into
@@ -57,7 +64,11 @@ object RedditLog {
     StructField("is_self", StringType, nullable = true),
     StructField("json", StringType, nullable = false)))
 
-  final case class Segment(file: File, firstId: Long, lastId: Long)
+  /** `rows` = line count when known (manifest-tracked so [[compact]]
+    * can plan groups without reading data); -1 when unknown (raw
+    * directory listing / legacy manifests).
+    */
+  final case class Segment(file: File, firstId: Long, lastId: Long, rows: Long = -1L)
 
   private val SegName = """seg-(\d+)-(\d+)\.jsonl""".r
   private val ManifestName = "manifest.json"
@@ -90,7 +101,8 @@ object RedditLog {
       val n = new ObjectMapper().readTree(mf)
       Some(n.get("segments").elements().asScala.map { e =>
         Segment(new File(dir, e.get("file").asText()),
-          e.get("firstId").asLong(), e.get("lastId").asLong())
+          e.get("firstId").asLong(), e.get("lastId").asLong(),
+          Option(e.get("rows")).map(_.asLong()).getOrElse(-1L))
       }.toSeq.sortBy(_.firstId))
     }
   }
@@ -105,6 +117,7 @@ object RedditLog {
       e.put("file", s.file.getName)
       e.put("firstId", s.firstId)
       e.put("lastId", s.lastId)
+      e.put("rows", s.rows)
     }
     val tmp = Files.createTempFile(Paths.get(dir), ".manifest-", ".tmp")
     Files.write(tmp, mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
@@ -153,12 +166,23 @@ object RedditLog {
     val tmp = Files.createTempFile(Paths.get(dir), ".seg-", ".tmp")
     Files.write(tmp, lines.asJava)
     Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
-    // manifest update AFTER the segment is visible (see class doc);
-    // incremental against the previous manifest, listing fallback for
-    // bootstrap
-    val prev = readManifest(dir)
-      .getOrElse(rawList(dir).filterNot(_.file.getName == name))
-    writeManifest(dir, prev :+ Segment(new File(dir, name), ids.min, ids.max))
+    // Manifest update AFTER the segment is visible (see class doc).
+    // Torn-write repair: re-adopt on-disk segments whose ids extend
+    // past the manifest watermark — a crash between segment rename and
+    // manifest write left them orphaned, and because appends are
+    // id-monotone they are exactly the ones above the watermark
+    // (compaction-replaced files awaiting gc sit below it and stay
+    // excluded). The writer-side listing this costs is the single
+    // writer's to pay, not the readers'.
+    val newSeg = Segment(new File(dir, name), ids.min, ids.max, lines.size.toLong)
+    val prev = readManifest(dir) match {
+      case None => rawList(dir).filterNot(_.file.getName == name)
+      case Some(m) =>
+        val watermark = m.foldLeft(-1L)((x, s) => math.max(x, s.lastId))
+        m ++ rawList(dir).filter(s =>
+          s.lastId > watermark && s.file.getName != name)
+    }
+    writeManifest(dir, prev :+ newSeg)
   }
 
   /** Merge runs of adjacent small segments into ~`targetRows`-row ones
@@ -168,10 +192,15 @@ object RedditLog {
     */
   def compact(dir: String, targetRows: Long = 100000L): Seq[File] = {
     val segs = listSegments(dir)
+    // manifest-tracked row counts plan the grouping without touching
+    // data; only merge-group members get read. Counting lines is the
+    // fallback for legacy/raw-listed segments.
     val withRows = segs.map { s =>
-      val n = new String(Files.readAllBytes(s.file.toPath), StandardCharsets.UTF_8)
-        .split('\n').count(_.nonEmpty)
-      (s, n.toLong)
+      val n =
+        if (s.rows >= 0) s.rows
+        else new String(Files.readAllBytes(s.file.toPath), StandardCharsets.UTF_8)
+          .split('\n').count(_.nonEmpty).toLong
+      (s, n)
     }
     // greedy grouping in id order; singleton groups keep their original file
     val groups = withRows.foldLeft(List.empty[List[(Segment, Long)]]) { (acc, x) =>
@@ -195,7 +224,7 @@ object RedditLog {
         Files.write(tmp, merged.asJava)
         Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
         obsolete ++= files.map(_.file)
-        Segment(new File(dir, name), first, last)
+        Segment(new File(dir, name), first, last, merged.size.toLong)
     }
     writeManifest(dir, newSegs)
     obsolete.result()

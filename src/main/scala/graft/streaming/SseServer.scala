@@ -75,24 +75,39 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * the newest frames (counted in `dropped`). The client can always
     * re-sync via `*_start_id` — ids are the resume tokens (R2).
     *
-    * `rcBoundary`/`rsBoundary` split the id space between catch-up and
-    * live exactly once each: catch-up serves ids ≤ boundary, the live
-    * fan-out only considers ids > boundary. They start at Long.MaxValue
-    * (deliver nothing) and are set — AFTER the connection is registered —
-    * from a maxId read that therefore happens-after registration: any
-    * micro-batch the fan-out snapshotted before the boundaries were set
-    * had its end offset fixed earlier still, so its ids are ≤ the
-    * boundary and belong to catch-up; nothing falls in between (fixes
-    * the connect-time race where an append landing between the maxId
-    * read and registration was neither caught up nor fanned out).
-    * A start_id in the future raises the boundary further so the live
-    * feed also skips up to it.
+    * ==Catch-up/live hand-off, race-free==
+    * Two thresholds per type, NOT one:
+    *
+    *  - `rcBoundary`/`rsBoundary` (immutable, read BEFORE registration):
+    *    the live fan-out only tags ids above them. Because they are set
+    *    before `conns.put`, there is no window in which a batch
+    *    snapshots the connection with a placeholder boundary.
+    *  - `rcSuppress`/`rsSuppress` (read AFTER registration; ≥ boundary):
+    *    the catch-up scan's upper bound, AND the writer drops live
+    *    frames at-or-below it. Ids are appended monotonically, so every
+    *    id ≤ suppress was in the log before the suppress read and the
+    *    catch-up scan (which starts later) sees it; every id > suppress
+    *    was appended after registration, so the batch carrying it
+    *    snapshots the already-registered connection and the live pass
+    *    delivers it. The overlap zone (boundary, suppress] may be
+    *    delivered by BOTH paths — the writer-side drop is what dedups
+    *    it. Nothing is lost, nothing duplicates, with no assumption
+    *    about when the maxId read interleaves with concurrent batches
+    *    (the one-threshold design had a lost-update window between the
+    *    maxId read and the boundary publication).
+    *
+    * A start_id in the future raises both thresholds so the live feed
+    * also skips up to it. The suppress fields are written by the
+    * handler thread before the writer loop starts and read only by that
+    * same thread.
     */
   private final class Connection(val id: String, val spec: ParamSpec,
-      val maskKey: String, val ip: String) {
-    @volatile var rcBoundary: Long = Long.MaxValue
-    @volatile var rsBoundary: Long = Long.MaxValue
-    val queue = new LinkedBlockingQueue[String](65536)
+      val maskKey: String, val ip: String,
+      val rcBoundary: Long, val rsBoundary: Long) {
+    var rcSuppress: Long = Long.MaxValue
+    var rsSuppress: Long = Long.MaxValue
+    @volatile var attached = false
+    val queue = new LinkedBlockingQueue[SseFrame](65536)
     val dropped = new AtomicLong(0)
     val tcs = new AtomicLong(0)
     val tss = new AtomicLong(0)
@@ -104,6 +119,19 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   private val connSeq = new AtomicLong(0)
   private val ipConns = new ConcurrentHashMap[String, AtomicInteger]()
   private var http: HttpServer = _
+
+  /** A queued live frame: event/id ride along so the writer can apply
+    * the per-type suppression threshold (see Connection scaladoc).
+    */
+  private final case class SseFrame(event: String, id: Long, text: String)
+
+  /** Decrement an IP's live-connection count, removing the entry at
+    * zero so the map never accumulates one entry per IP ever seen.
+    * All mutations go through compute* and are atomic per key.
+    */
+  private def releaseIp(ip: String): Unit =
+    ipConns.computeIfPresent(ip, (_, cur) =>
+      if (cur.decrementAndGet() <= 0) null else cur)
 
   def boundPort: Int = http.getAddress.getPort
 
@@ -125,12 +153,12 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   private def side(p: String): DataFrame = {
     // Pin the live window's start HERE, synchronously, rather than
     // letting the source resolve its initial offset when the stream
-    // thread spins up: start() is asynchronous, so an append landing
-    // between a connection's boundary read and a lazily-resolved (and
-    // therefore later) initial offset would be above the boundary yet
-    // below the stream's start — lost. With the pin, every connection's
-    // boundary (read after ensureQuery returns) is ≥ the stream start,
-    // so the live window always covers (boundary, ∞).
+    // thread spins up: start() is asynchronous, so the lazily-resolved
+    // offset could land ABOVE a connection's suppression threshold and
+    // ids in between would be neither caught up nor streamed. With the
+    // pin, the stream start ≤ every connection's suppression threshold
+    // (both are maxId reads; the pin happens first; ids are monotone),
+    // so ids above the threshold are always covered by the stream.
     val startId = RedditLog.maxId(p) + 1
     val r = spark.readStream
       .format("graft.sources.RedditLogSource").option("path", p)
@@ -145,12 +173,18 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     case _    => side(rcPath).unionByName(side(rsPath))
   }
 
-  /** Start the shared query for a mask on first use. Queries stay up for
-    * the server's lifetime once started — an idle pruned-source query
-    * costs one empty admission check per trigger.
+  /** Start the shared query for a mask on first use, or RESTART it if a
+    * previous incarnation died (a transient batch failure must not turn
+    * every present and future connection of the mask into a silent
+    * blackhole). Healthy queries stay up for the server's lifetime — an
+    * idle pruned-source query costs one empty admission check per
+    * trigger.
     */
   private def ensureQuery(maskKey: String): Unit = queryLock.synchronized {
-    if (!queries.containsKey(maskKey)) {
+    val existing = Option(queries.get(maskKey))
+    if (existing.forall(!_.isActive)) {
+      existing.foreach(_.exception.foreach(e =>
+        System.err.println(s"[sse] restarting dead $maskKey query: ${e.getMessage}")))
       val q = liveStream(maskKey).writeStream
         .queryName(s"graft-sse-feed-$maskKey")
         .foreachBatch((b: DataFrame, id: Long) => handleBatch(maskKey, b, id))
@@ -163,34 +197,33 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   /** Running shared queries (exposed for tests/metrics). */
   def activeQueries: Seq[StreamingQuery] = queries.values.asScala.toSeq
 
-  /** Connections whose catch-up/live boundaries are already set — i.e.
-    * fully attached to the live feed (tests/metrics: an append after
-    * this point is guaranteed to reach the connection).
+  /** Connections fully attached to the live feed — registered, mask
+    * query up, suppression thresholds fixed (tests/metrics: an append
+    * after this point is guaranteed to reach the connection).
     */
-  def readyConnections: Int = conns.values.asScala.count(c =>
-    !c.closed && (c.rcBoundary != Long.MaxValue || c.rsBoundary != Long.MaxValue))
+  def readyConnections: Int =
+    conns.values.asScala.count(c => !c.closed && c.attached)
 
   /** One micro-batch → all connections of this mask, single pass (plus
     * one small aggregate for the counters).
     */
   private def handleBatch(maskKey: String, batch: DataFrame, batchId: Long): Unit = {
-    // boundaries snapshotted once per batch so the counter pass and the
-    // emit pass see identical frontiers
     val snapshot = conns.values.asScala
-      .filter(c => !c.closed && c.maskKey == maskKey)
-      .map(c => (c, c.rcBoundary, c.rsBoundary)).toSeq
+      .filter(c => !c.closed && c.maskKey == maskKey).toSeq
     if (snapshot.isEmpty || batch.isEmpty) return
     batch.persist()
     try {
-      // catch-up/live disjointness, inside the plan: only ids above the
+      // live lower bound, inside the plan: only ids above the
       // connection's per-type boundary exist for this connection at all
-      def boundaryPred(rcB: Long, rsB: Long): Column =
-        (col("event") === "rc" && col("id") > lit(rcB)) ||
-          (col("event") === "rs" && col("id") > lit(rsB))
+      // (dedup against catch-up happens writer-side via the suppress
+      // thresholds — Connection scaladoc)
+      def boundaryPred(c: Connection): Column =
+        (col("event") === "rc" && col("id") > lit(c.rcBoundary)) ||
+          (col("event") === "rs" && col("id") > lit(c.rsBoundary))
 
       def tags(predOf: Connection => Column): Column = filter(
-        array(snapshot.map { case (c, rcB, rsB) =>
-          when(boundaryPred(rcB, rsB) && predOf(c), lit(c.id)).otherwise(lit(null))
+        array(snapshot.map { c =>
+          when(boundaryPred(c) && predOf(c), lit(c.id)).otherwise(lit(null))
         }: _*),
         t => t.isNotNull)
 
@@ -212,7 +245,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       // the sorted result partition-by-partition (global order is
       // preserved — orderBy range-partitions), so driver memory is one
       // partition of (connection × frame) pairs, not the whole batch.
-      val dataCol = snapshot.map(_._1).foldLeft(col("json")) { (acc, c) =>
+      val dataCol = snapshot.foldLeft(col("json")) { (acc, c) =>
         if (c.spec.filterKeys.isEmpty) acc
         else when(col("cid") === c.id,
           RedditOps.projectPayload(c.spec, col("json"))).otherwise(acc)
@@ -222,12 +255,13 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           explode(tags(c => RedditOps.pred(c.spec))).as("cid"))
         .withColumn("frame", RedditOps.sseFrame(col("id"), col("event"), dataCol))
         .orderBy(RedditOps.emitOrder: _*)
-        .select(col("cid"), col("frame"))
+        .select(col("cid"), col("event"), col("id"), col("frame"))
         .toLocalIterator()
 
       rows.forEachRemaining { r =>
         Option(conns.get(r.getString(0))).foreach { c =>
-          if (!c.queue.offer(r.getString(1))) c.dropped.incrementAndGet()
+          val f = SseFrame(r.getString(1), r.getLong(2), r.getString(3))
+          if (!c.queue.offer(f)) c.dropped.incrementAndGet()
         }
       }
     } finally batch.unpersist()
@@ -253,10 +287,11 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   }
 
   /** Serve the historical range for backfill/start_id from the log's
-    * batch read path. The scan is bounded ABOVE by the per-type maxima
-    * captured at connect time (`rcMax`/`rsMax`) — ids beyond them belong
-    * to the live feed (whose boundary predicate starts exactly there),
-    * so catch-up and live partition the id space exactly once each.
+    * batch read path. The scan is bounded ABOVE by the per-type
+    * suppression thresholds (`rcMax`/`rsMax`) — ids beyond them belong
+    * to the live feed, and live frames at-or-below them are dropped by
+    * the writer, so each id reaches the client exactly once (the
+    * two-threshold hand-off, Connection scaladoc).
     * Only logs the spec actually resumes from are read at all: a type
     * with no backfill/start_id contributes neither rows nor counter
     * increments (its scan range is empty), so skipping it entirely is
@@ -331,24 +366,39 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
         val spec = lastEventIdResume(ex, spec0)
         val ip = ex.getRemoteAddress.getAddress.getHostAddress
         // per-IP connection cap (reference edge: nginx limit_conn,
-        // nginx_stream.conf:1-9); 0 = unlimited
-        val ipCount = ipConns.computeIfAbsent(ip, _ => new AtomicInteger(0))
-        if (maxConnsPerIp > 0 && ipCount.incrementAndGet() > maxConnsPerIp) {
-          ipCount.decrementAndGet()
-          respondJson(ex, 429, """{"error": "connection limit exceeded"}""")
-          return
+        // nginx_stream.conf:1-9); 0 = unlimited (and then the map is
+        // never touched — no per-IP state accumulates)
+        val capped = maxConnsPerIp > 0
+        if (capped) {
+          val over = ipConns.compute(ip, (_, cur) =>
+            if (cur == null) new AtomicInteger(1)
+            else { cur.incrementAndGet(); cur })
+          if (over.get() > maxConnsPerIp) {
+            releaseIp(ip)
+            respondJson(ex, 429, """{"error": "connection limit exceeded"}""")
+            return
+          }
         }
         val maskKey = maskKeyOf(spec)
-        val c = new Connection(s"c${connSeq.incrementAndGet()}", spec, maskKey, ip)
+        val maskHasRc = maskKey != "rs"
+        val maskHasRs = maskKey != "rc"
+        def futureStart(startId: Option[Long]): Long =
+          startId.map(_ - 1).getOrElse(Long.MinValue)
+        // live lower bounds (B0), read BEFORE registration — see the
+        // Connection scaladoc; a future start_id raises them so the
+        // feed skips ids the client asked to skip
+        val c = new Connection(s"c${connSeq.incrementAndGet()}", spec, maskKey, ip,
+          rcBoundary =
+            if (maskHasRc) math.max(RedditLog.maxId(rcPath), futureStart(spec.commentStartId))
+            else Long.MaxValue,
+          rsBoundary =
+            if (maskHasRs) math.max(RedditLog.maxId(rsPath), futureStart(spec.submissionStartId))
+            else Long.MaxValue)
         try {
-          // 1. register; 2. make sure the mask's shared query is up;
-          // 3. only THEN read the maxIds that become the catch-up/live
-          // boundaries — see the Connection scaladoc for why this order
-          // closes the connect-time race.
           conns.put(c.id, c)
           ensureQuery(maskKey)
-          val maskHasRc = maskKey != "rs"
-          val maskHasRs = maskKey != "rc"
+          // catch-up bounds = suppression thresholds (B1), read AFTER
+          // registration; ≥ the boundaries by id monotonicity
           val rcMax =
             if (maskHasRc || spec.commentBackfill.isDefined || spec.commentStartId.isDefined)
               RedditLog.maxId(rcPath)
@@ -357,12 +407,9 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
             if (maskHasRs || spec.submissionBackfill.isDefined || spec.submissionStartId.isDefined)
               RedditLog.maxId(rsPath)
             else -1L
-          // a future start_id pushes the live boundary up so the feed
-          // skips ids the client asked to skip
-          if (maskHasRc)
-            c.rcBoundary = math.max(rcMax, spec.commentStartId.map(_ - 1).getOrElse(Long.MinValue))
-          if (maskHasRs)
-            c.rsBoundary = math.max(rsMax, spec.submissionStartId.map(_ - 1).getOrElse(Long.MinValue))
+          if (maskHasRc) c.rcSuppress = math.max(rcMax, futureStart(spec.commentStartId))
+          if (maskHasRs) c.rsSuppress = math.max(rsMax, futureStart(spec.submissionStartId))
+          c.attached = true
 
           ex.getResponseHeaders.set("Content-Type", "text/event-stream")
           ex.getResponseHeaders.set("Cache-Control", "no-cache")
@@ -388,7 +435,16 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
             catchUp(c, rcMax, rsMax, write)
             while (!c.closed) {
               val frame = c.queue.poll(100, TimeUnit.MILLISECONDS)
-              if (frame != null) write(frame)
+              if (frame != null) {
+                // drop live frames at-or-below the suppression
+                // threshold: those ids were served (or deliberately
+                // skipped) by catch-up — the dedup half of the
+                // two-threshold hand-off (Connection scaladoc)
+                val suppressed =
+                  (frame.event == "rc" && frame.id <= c.rcSuppress) ||
+                    (frame.event == "rs" && frame.id <= c.rsSuppress)
+                if (!suppressed) write(frame.text)
+              }
               if (System.currentTimeMillis() - lastKeepAlive >= keepAliveMillis) {
                 keepAliveId += 1
                 lastKeepAlive = System.currentTimeMillis()
@@ -402,7 +458,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
         } finally {
           c.closed = true
           conns.remove(c.id)
-          if (maxConnsPerIp > 0) ipCount.decrementAndGet()
+          if (capped) releaseIp(ip)
           ex.close()
         }
     }

@@ -60,6 +60,32 @@ class RedditLogCompactionSpec extends AnyFunSuite {
     assert(ids(dir) == (1L to 45L))
   }
 
+  test("torn write (segment renamed, manifest write crashed) is repaired by the next append") {
+    val dir = Files.createTempDirectory("rlog-torn").toString
+    RedditLog.writeSegment(dir, (1L to 10L).map(row))
+    // simulate the crash window: a segment lands on disk but the
+    // manifest was never updated
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = (11L to 20L).map { i =>
+      val n = mapper.createObjectNode()
+      row(i).foreach {
+        case (k, null)      => n.putNull(k)
+        case (k, v: Long)   => n.put(k, v)
+        case (k, v: String) => n.put(k, v)
+        case (k, v)         => n.put(k, v.toString)
+      }
+      mapper.writeValueAsString(n)
+    }
+    Files.write(java.nio.file.Paths.get(dir, "seg-11-20.jsonl"),
+      String.join("\n", lines: _*).getBytes)
+    // manifest still ends at 10: the orphan is invisible...
+    assert(RedditLog.maxId(dir) == 10L)
+    // ...until the next append re-adopts everything past the watermark
+    RedditLog.writeSegment(dir, (21L to 25L).map(row))
+    assert(RedditLog.maxId(dir) == 25L)
+    assert(ids(dir) == (1L to 25L))
+  }
+
   test("singleton groups keep their original file (no rewrite churn)") {
     val dir = Files.createTempDirectory("rlog-sg").toString
     RedditLog.writeSegment(dir, (1L to 500L).map(row))   // already big

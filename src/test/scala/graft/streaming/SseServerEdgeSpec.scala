@@ -30,11 +30,13 @@ class SseServerEdgeSpec extends AnyFunSuite {
     * fine — verified with raw socket reads).
     */
   private def readFrames(port: Int, path: String, n: Int,
-      timeoutMs: Long = 60000, gzip: Boolean = false): Seq[String] = {
+      timeoutMs: Long = 60000, gzip: Boolean = false,
+      headers: Map[String, String] = Map.empty): Seq[String] = {
     val conn = new URL(s"http://localhost:$port$path")
       .openConnection().asInstanceOf[HttpURLConnection]
     conn.setReadTimeout(timeoutMs.toInt)
     if (gzip) conn.setRequestProperty("Accept-Encoding", "gzip")
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     val in = if (gzip) new GZIPInputStream(conn.getInputStream) else conn.getInputStream
     val frames = ArrayBuffer[String]()
     try {
@@ -53,6 +55,8 @@ class SseServerEdgeSpec extends AnyFunSuite {
         }
       }
       frames.toSeq
+    } catch {
+      case _: java.net.SocketTimeoutException => frames.toSeq
     } finally { in.close(); conn.disconnect() }
   }
 
@@ -187,41 +191,17 @@ class SseServerEdgeSpec extends AnyFunSuite {
     val server = new SseServer(spark, rcDir, rsDir,
       keepAliveMillis = 60000L, triggerMillis = 100L).start()
     try {
-      def framesWithHeader(path: String, header: Option[Long], n: Int,
-          timeoutMs: Long = 30000): Seq[String] = {
-        val conn = new URL(s"http://localhost:${server.boundPort}$path")
-          .openConnection().asInstanceOf[HttpURLConnection]
-        conn.setReadTimeout(timeoutMs.toInt)
-        header.foreach(h => conn.setRequestProperty("Last-Event-ID", h.toString))
-        val in = conn.getInputStream
-        val frames = ArrayBuffer[String]()
-        try {
-          val buf = new Array[Byte](8192)
-          val acc = new StringBuilder
-          val deadline = System.currentTimeMillis() + timeoutMs
-          while (frames.size < n && System.currentTimeMillis() < deadline) {
-            val r = in.read(buf)
-            if (r < 0) return frames.toSeq
-            acc.append(new String(buf, 0, r, StandardCharsets.UTF_8))
-            var idx = acc.indexOf("\n\n")
-            while (idx >= 0 && frames.size < n) {
-              frames += acc.substring(0, idx + 1)
-              acc.delete(0, idx + 2)
-              idx = acc.indexOf("\n\n")
-            }
-          }
-          frames.toSeq
-        } catch { case _: java.net.SocketTimeoutException => frames.toSeq
-        } finally { in.close(); conn.disconnect() }
-      }
+      val lei = Map("Last-Event-ID" -> "2")
       // reconnect after id 2 → history resumes at 3
-      val resumed = framesWithHeader("/?type=comments", Some(2L), 3)
+      val resumed = readFrames(server.boundPort, "/?type=comments", 3,
+        timeoutMs = 30000, headers = lei)
       assert(resumed.map(_.linesIterator.next()) == Seq("id: 3", "id: 4", "id: 5"))
       // explicit start_id wins over the header
-      val explicit = framesWithHeader("/?type=comments&comment_start_id=5", Some(2L), 1)
+      val explicit = readFrames(server.boundPort, "/?type=comments&comment_start_id=5", 1,
+        timeoutMs = 30000, headers = lei)
       assert(explicit.map(_.linesIterator.next()) == Seq("id: 5"))
       // ambiguous (both types): header ignored → live-only, no history
-      val both = framesWithHeader("/", Some(2L), 1, timeoutMs = 3000)
+      val both = readFrames(server.boundPort, "/", 1, timeoutMs = 3000, headers = lei)
       assert(both.isEmpty || both.forall(_.contains("keepalive")), both.mkString("|"))
     } finally server.stop()
   }
