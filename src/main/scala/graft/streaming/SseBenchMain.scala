@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.sources.RedditLog
+import java.io.InputStream
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+
+/** SSE delivery throughput measurement (BENCH_NOTES.md):
+  * catch-up events/s, sustained live events/s, and fan-out scaling
+  * (1 vs 8 concurrent clients with distinct predicates).
+  */
+object SseBenchMain {
+  private def row(i: Long, author: String): Map[String, Any] = Map(
+    "id" -> i, "event" -> "rc", "created_utc" -> (1000L + i),
+    "author" -> author, "subreddit" -> "news", "domain" -> null,
+    "over_18" -> null, "is_self" -> null,
+    "json" -> s"""{"author":"$author","body":"b$i"}""")
+
+  private def countFrames(port: Int, path: String, n: Int, timeoutMs: Int): (Int, Double) = {
+    val conn = new URL(s"http://localhost:$port$path")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setReadTimeout(timeoutMs)
+    val in: InputStream = conn.getInputStream
+    val t0 = System.nanoTime()
+    var tFirst = 0L
+    var frames = 0
+    val buf = new Array[Byte](65536)
+    val acc = new StringBuilder
+    def elapsed: Double =
+      if (tFirst == 0L) (System.nanoTime() - t0) / 1e9
+      else (System.nanoTime() - tFirst) / 1e9 // first→last frame delta
+    try {
+      while (frames < n) {
+        val r = in.read(buf)
+        if (r < 0) return (frames, elapsed)
+        if (tFirst == 0L) tFirst = System.nanoTime()
+        acc.append(new String(buf, 0, r, StandardCharsets.UTF_8))
+        var idx = acc.indexOf("\n\n")
+        while (idx >= 0 && frames < n) {
+          if (!acc.substring(0, idx).contains("keepalive")) frames += 1
+          acc.delete(0, idx + 2)
+          idx = acc.indexOf("\n\n")
+        }
+      }
+      (frames, elapsed)
+    } finally { in.close(); conn.disconnect() }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rcDir = Files.createTempDirectory("sbench-rc").toString
+    val rsDir = Files.createTempDirectory("sbench-rs").toString
+    // 22k-event history: 20k rc + 2k (skipped rs stand-in: extra rc under another author)
+    (0 until 20).foreach { k =>
+      RedditLog.writeSegment(rcDir, ((k * 1000 + 1).toLong to (k * 1000 + 1000).toLong)
+        .map(i => row(i, s"a${i % 8}")))
+    }
+    val server = new SseServer(spark, rcDir, rsDir,
+      keepAliveMillis = 30000L, triggerMillis = 200L).start()
+    try {
+      // catch-up throughput (full 20k backfill, clamp is 100k)
+      val (n1, t1) = countFrames(server.boundPort,
+        "/?comment_backfill=100000&type=comments", 20000, 120000)
+      println(f"SSEBENCH catchup frames=$n1 time=$t1%.2f s rate=${n1 / t1}%.0f ev/s")
+
+      // live throughput: 1 client, append 10k
+      def liveRun(clients: Int, total: Int, base: Long): (Double, Seq[Int]) = {
+        val counts = new Array[Int](clients)
+        val times = new Array[Double](clients)
+        val threads = (0 until clients).map { c =>
+          val th = new Thread(() => {
+            val want = total / 8 // each author slice
+            val (n, t) = countFrames(server.boundPort,
+              s"/?type=comments&author=a$c", want, 120000)
+            counts(c) = n; times(c) = t
+          })
+          th.start(); th
+        }
+        val deadline = System.currentTimeMillis() + 30000
+        while (server.readyConnections < clients && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        val t0 = System.nanoTime()
+        (0 until total / 1000).foreach { k =>
+          RedditLog.writeSegment(rcDir,
+            ((base + k * 1000).toLong until (base + k * 1000 + 1000).toLong)
+              .map(i => row(i, s"a${i % 8}")))
+        }
+        threads.foreach(_.join(120000))
+        val wall = (System.nanoTime() - t0) / 1e9
+        (wall, counts.toSeq)
+      }
+      val (w1, c1) = liveRun(1, 10000, 30001L)
+      println(f"SSEBENCH live-1 client got=${c1.head} of 1250 wall=$w1%.2f s " +
+        f"(10000 appended → delivered slice rate=${c1.head / w1}%.0f ev/s/client; " +
+        f"batch throughput=${10000 / w1}%.0f ev/s)")
+      val (w8, c8) = liveRun(8, 10000, 60001L)
+      println(f"SSEBENCH live-8 clients each=${c8.mkString(",")} wall=$w8%.2f s " +
+        f"(fan-out: 8 distinct predicates, ${10000 / w8}%.0f ev/s through the shared pass)")
+    } finally { server.stop(); spark.stop() }
+  }
+}
