@@ -29,6 +29,18 @@ object Similarity {
   private def dot(a: String, b: String): Column =
     graft.functions.ArrayDotProduct(col(a), col(b))
 
+  /** Normalized view + the deterministic sign-projection bucket (see
+    * [[annTopK]] for the construction; shared with [[nearDupPairs]]).
+    */
+  private def withBucket(emb: DataFrame, bits: Int): DataFrame =
+    normalized(emb).withColumn("bucket",
+      (0 until bits).map { j =>
+        val b = 4 * j
+        when((element_at(col("e"), b + 1) + element_at(col("e"), b + 2)
+          - element_at(col("e"), b + 3) - element_at(col("e"), b + 4)) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce((a: Column, b: Column) => a + b).cast("long"))
+
   /** Exact top-k cosine neighbors for each query vector (queries = rows
     * matching `queryPred`). Query side is broadcast.
     */
@@ -52,13 +64,7 @@ object Similarity {
     * the same buckets.
     */
   def annTopK(emb: DataFrame, queryPred: Column, k: Int, bits: Int = 6): DataFrame = {
-    val n = normalized(emb).withColumn("bucket",
-      (0 until bits).map { j =>
-        val b = 4 * j
-        when((element_at(col("e"), b + 1) + element_at(col("e"), b + 2)
-          - element_at(col("e"), b + 3) - element_at(col("e"), b + 4)) > 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce((a: Column, b: Column) => a + b).cast("long"))
+    val n = withBucket(emb, bits)
     val q = n.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("bucket"))
@@ -69,6 +75,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (dot("qe", "ce") / (col("qn") * col("cn"))).as("cosine"))
     topK(scored, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding
+    * variant (complements the text-side exact/MinHash/SimHash family):
+    * vectors pair up ONLY inside their sign-projection bucket (same
+    * bucketing as [[annTopK]]), then exact cosine ≥ `threshold` keeps
+    * near-dups. Never all-pairs: the self-join is keyed on the bucket
+    * id, so cost is Σ bucket², bounded by bucket granularity (`bits`),
+    * not corpus². On this synthetic (random) corpus real near-dup
+    * cosines don't occur, so the registered query uses a low threshold
+    * to exercise the path; a production corpus would use ~0.95.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double, bits: Int = 6): DataFrame = {
+    val n = withBucket(emb, bits)
+    val x = n.select(col("vec_id").as("vec_a"), col("e").as("ae"),
+      col("nrm").as("an"), col("bucket"))
+    val y = n.select(col("vec_id").as("vec_b"), col("e").as("be"),
+      col("nrm").as("bn"), col("bucket"))
+    x.join(y, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot("ae", "be") / (col("an") * col("bn"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */

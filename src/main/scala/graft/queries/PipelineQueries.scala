@@ -67,6 +67,13 @@ object PipelineQueries {
       TextAnalysis.fingerprint(Tables.documents(spark, dir))
         .orderBy(col("doc_id"))),
 
+    // dedup-by-embedding: cosine near-dup pairs inside LSH sign buckets
+    // (threshold 0.4 exercises the path on this random synthetic corpus;
+    // real corpora use ~0.95 — Similarity.nearDupPairs doc)
+    "d10_embedding_neardup" -> ((spark: SparkSession, dir: String) =>
+      Similarity.nearDupPairs(Tables.embeddings(spark, dir), 0.4, ANN_BITS)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
     "e01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
       Similarity.cosineTopK(Tables.embeddings(spark, dir),
         col("vec_id") % 50 === 0, 5)
@@ -235,6 +242,16 @@ object PipelineQueries {
       """SELECT doc_id,
         | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "d10_embedding_neardup" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         |        CAST($annBucket AS BIGINT) AS bucket FROM v)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       list_dot_product(a.e, b.e)/(a.nrm*b.nrm) AS cosine
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.e, b.e)/(a.nrm*b.nrm) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " "),
 
     "e01_cosine_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -60,6 +60,20 @@ object EventTimeOps {
         col("c_author"))
   }
 
+  /** Streaming deduplication with bounded state: drops repeated ids
+    * (at-least-once upstream protection — e.g. a producer retrying a
+    * segment write) while the watermark bounds how long each id is
+    * remembered. `dropDuplicates` alone would grow state forever; the
+    * within-watermark form frees an id's state once the event-time
+    * watermark passes it — the only dedup shape that survives an
+    * unbounded stream.
+    */
+  def dedupStream(envelope: DataFrame, lateness: String = "2 minutes"): DataFrame =
+    envelope
+      .withColumn("event_time", timestamp_seconds(col("created_utc")))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("id", "event")
+
   /** Gap-based sessionization per author via flatMapGroupsWithState:
     * a session closes when no event arrives within `gapSeconds` of
     * event time (tracked with an event-time timeout against the

@@ -22,6 +22,25 @@ class EventTimeOpsSpec extends AnyFunSuite {
     "created_utc" -> utc, "author" -> author, "subreddit" -> sub,
     "domain" -> null, "over_18" -> null, "is_self" -> null, "json" -> "{}")
 
+  test("dedupStream: duplicate ids across overlapping segments emit once, state watermark-bounded") {
+    val dir = Files.createTempDirectory("ddlog").toString
+    // id 4 exists in BOTH segments (overlapping ranges) — the source's
+    // at-least-once shape on a retried write — so the raw stream carries
+    // it twice; the dedup emits it once
+    RedditLog.writeSegment(dir, Seq(ev(2, 600, "a", "news"), ev(4, 630, "b", "news")))
+    RedditLog.writeSegment(dir, Seq(ev(4, 630, "b", "news"), ev(6, 645, "c", "news")))
+    val src = spark.readStream.format("graft.sources.RedditLogSource")
+      .option("path", dir).option("backfill", "100")
+      .option("max_per_trigger", "3").load()
+    val name = s"dd${System.nanoTime()}"
+    val q = EventTimeOps.dedupStream(src)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table(name).select($"id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(2L, 4L, 6L), ids.toString)
+  }
+
   test("windowed counts: tumbling event-time windows with watermark") {
     val dir = Files.createTempDirectory("wlog").toString
     // two 1-minute windows for 'news' (600..659, 660..719), one for 'aww'
