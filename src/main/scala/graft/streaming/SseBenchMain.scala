@@ -56,21 +56,33 @@ object SseBenchMain {
     spark.sparkContext.setLogLevel("ERROR")
     val rcDir = Files.createTempDirectory("sbench-rc").toString
     val rsDir = Files.createTempDirectory("sbench-rs").toString
-    // 22k-event history: 20k rc + 2k (skipped rs stand-in: extra rc under another author)
+    // 20k-event rc history (20 segments × 1000), authors a0..a7
     (0 until 20).foreach { k =>
       RedditLog.writeSegment(rcDir, ((k * 1000 + 1).toLong to (k * 1000 + 1000).toLong)
         .map(i => row(i, s"a${i % 8}")))
     }
+    // short keepalive: a finished phase's dangling connection is only
+    // reaped on a failed write, and the next phase's readiness wait
+    // must not count it
     val server = new SseServer(spark, rcDir, rsDir,
-      keepAliveMillis = 30000L, triggerMillis = 200L).start()
+      keepAliveMillis = 1000L, triggerMillis = 200L).start()
     try {
       // catch-up throughput (full 20k backfill, clamp is 100k)
       val (n1, t1) = countFrames(server.boundPort,
         "/?comment_backfill=100000&type=comments", 20000, 120000)
       println(f"SSEBENCH catchup frames=$n1 time=$t1%.2f s rate=${n1 / t1}%.0f ev/s")
 
-      // live throughput: 1 client, append 10k
-      def liveRun(clients: Int, total: Int, base: Long): (Double, Seq[Int]) = {
+      // live throughput: N clients, append 10k
+      def liveRun(clients: Int, total: Int, base: Long): (Double, Seq[Int], Seq[Double]) = {
+        // let the previous phase's dangling connection hit its keepalive
+        // write(s) and reap (a closed socket may absorb one write before
+        // RST), so the readiness count below sees ONLY this phase's
+        // clients
+        val reapDeadline = System.currentTimeMillis() + 15000
+        while (server.readyConnections > 0 && System.currentTimeMillis() < reapDeadline)
+          Thread.sleep(100)
+        require(server.readyConnections == 0,
+          s"stale connections still attached: ${server.readyConnections}")
         val counts = new Array[Int](clients)
         val times = new Array[Double](clients)
         val threads = (0 until clients).map { c =>
@@ -85,6 +97,7 @@ object SseBenchMain {
         val deadline = System.currentTimeMillis() + 30000
         while (server.readyConnections < clients && System.currentTimeMillis() < deadline)
           Thread.sleep(50)
+        require(server.readyConnections == clients, "clients failed to attach")
         val t0 = System.nanoTime()
         (0 until total / 1000).foreach { k =>
           RedditLog.writeSegment(rcDir,
@@ -93,14 +106,19 @@ object SseBenchMain {
         }
         threads.foreach(_.join(120000))
         val wall = (System.nanoTime() - t0) / 1e9
-        (wall, counts.toSeq)
+        // a short count means a timeout/EOF — fail loudly rather than
+        // publish a silently-invalid rate
+        require(counts.forall(_ == total / 8),
+          s"INVALID RUN: counts=${counts.mkString(",")} (want ${total / 8} each)")
+        (wall, counts.toSeq, times.toSeq)
       }
-      val (w1, c1) = liveRun(1, 10000, 30001L)
+      val (w1, c1, t1c) = liveRun(1, 10000, 30001L)
       println(f"SSEBENCH live-1 client got=${c1.head} of 1250 wall=$w1%.2f s " +
-        f"(10000 appended → delivered slice rate=${c1.head / w1}%.0f ev/s/client; " +
+        f"first→last=${t1c.head}%.2f s (10000 appended; " +
         f"batch throughput=${10000 / w1}%.0f ev/s)")
-      val (w8, c8) = liveRun(8, 10000, 60001L)
+      val (w8, c8, t8c) = liveRun(8, 10000, 60001L)
       println(f"SSEBENCH live-8 clients each=${c8.mkString(",")} wall=$w8%.2f s " +
+        f"first→last min=${t8c.min}%.2f max=${t8c.max}%.2f s " +
         f"(fan-out: 8 distinct predicates, ${10000 / w8}%.0f ev/s through the shared pass)")
     } finally { server.stop(); spark.stop() }
   }
