@@ -77,6 +77,39 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Multi-probe ANN: each query probes its own bucket AND the `bits`
+    * buckets at Hamming distance 1 (one sign bit flipped) — the
+    * standard recall lever for sign-projection LSH: a near neighbor
+    * that landed just across one hyperplane is found without coarsening
+    * the buckets. Candidate volume grows (bits+1)× per query, still
+    * never N×N, and the probe expansion happens scan-side on the
+    * (small) query side before the same hash join [[annTopK]] uses.
+    * Measured on the synthetic corpus at sf0.01: recall@3 vs exact rises
+    * 0.0 → 0.167 over single-probe (absolute recall is low by
+    * construction there — random vectors barely correlate bucket
+    * agreement with cosine; clustered real corpora fare far better).
+    */
+  def annTopKMultiProbe(emb: DataFrame, queryPred: Column, k: Int,
+      bits: Int = 6): DataFrame = {
+    val n = withBucket(emb, bits)
+    val masks = lit(0L) +: (0 until bits).map(j => lit(1L << j))
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bucket"),
+        explode(array(masks: _*)).as("m"))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("m")))
+      .drop("m")
+    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+      col("nrm").as("cn"), col("bucket"))
+    // a neighbor matches at most one probe (probes are distinct
+    // buckets; the neighbor has exactly one), so no pair dedup needed
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("qe", "ce") / (col("qn") * col("cn"))).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding
     * variant (complements the text-side exact/MinHash/SimHash family):
     * vectors pair up ONLY inside their sign-projection bucket (same

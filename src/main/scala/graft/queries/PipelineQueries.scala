@@ -84,6 +84,12 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, 3, ANN_BITS)
         .orderBy(col("query_id"), col("rk"))),
 
+    // recall lever: probe Hamming-distance-1 buckets too
+    "e03_ann_multiprobe" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annTopKMultiProbe(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, 3, ANN_BITS)
+        .orderBy(col("query_id"), col("rk"))),
+
     "m01_media_meta" -> ((spark: SparkSession, dir: String) =>
       Multimodal.mediaView(Tables.documents(spark, dir))
         .select(col("doc_id"),
@@ -270,6 +276,20 @@ object PipelineQueries {
          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
          |      FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM p)
+         |SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= 3
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    "e03_ann_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         |        CAST($annBucket AS BIGINT) AS bucket FROM v),
+         |q AS (SELECT vec_id, e, nrm, xor(bucket, m) AS bucket
+         |      FROM n, UNNEST([${(0L +: (0 until ANN_BITS).map(j => 1L << j)).mkString(",")}]) AS t(m)
+         |      WHERE vec_id % 50 = 0),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |      FROM q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM p)
          |SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= 3
          |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
