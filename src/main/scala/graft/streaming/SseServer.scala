@@ -63,7 +63,8 @@ import scala.jdk.CollectionConverters._
 class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     port: Int = 0, keepAliveMillis: Long = 30000L,
     triggerMillis: Long = 200L, maxPerTrigger: Long = 100000L,
-    maxConnsPerIp: Int = 0) {
+    maxConnsPerIp: Int = 0, queueCapacity: Int = 65536,
+    disconnectSlowClients: Boolean = false) {
 
   // ---------------- connection registry ----------------
 
@@ -71,9 +72,12 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * one-generator-per-connection design gets per-client TCP
     * backpressure for free; a shared query must not let one slow client
     * stall the fan-out (head-of-line blocking), so each connection gets
-    * a bounded queue and a client that falls 65 536 frames behind loses
-    * the newest frames (counted in `dropped`). The client can always
-    * re-sync via `*_start_id` — ids are the resume tokens (R2).
+    * a bounded queue (`queueCapacity`) with a choice of overflow
+    * policy: by default a lagging client silently loses the newest
+    * frames (counted in `dropped`); with `disconnectSlowClients` the
+    * connection is closed instead, forcing an explicit re-sync — a gap
+    * the client can SEE and repair via `*_start_id` (ids are the resume
+    * tokens, R2) beats one it silently missed.
     *
     * ==Catch-up/live hand-off, race-free==
     * Two thresholds per type, NOT one:
@@ -107,7 +111,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     var rcSuppress: Long = Long.MaxValue
     var rsSuppress: Long = Long.MaxValue
     @volatile var attached = false
-    val queue = new LinkedBlockingQueue[SseFrame](65536)
+    val queue = new LinkedBlockingQueue[SseFrame](queueCapacity)
     val dropped = new AtomicLong(0)
     val tcs = new AtomicLong(0)
     val tss = new AtomicLong(0)
@@ -276,7 +280,13 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       rows.forEachRemaining { r =>
         Option(conns.get(r.getString(0))).foreach { c =>
           val f = SseFrame(r.getString(1), r.getLong(2), r.getString(3))
-          if (!c.queue.offer(f)) c.dropped.incrementAndGet()
+          if (!c.queue.offer(f)) {
+            c.dropped.incrementAndGet()
+            // overflow policy (class scaladoc): disconnect beats a
+            // silent gap — the writer loop sees `closed` and tears the
+            // connection down; the client re-syncs via *_start_id
+            if (disconnectSlowClients) c.closed = true
+          }
         }
       }
     } finally batch.unpersist()

@@ -206,6 +206,35 @@ class SseServerEdgeSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("slow-client overflow policy: disconnect mode closes the lagging connection") {
+    val rcDir = Files.createTempDirectory("slow-rc").toString
+    val rsDir = Files.createTempDirectory("slow-rs").toString
+    RedditLog.writeSegment(rcDir, Seq(rcRow(1)))
+    val server = new SseServer(spark, rcDir, rsDir,
+      keepAliveMillis = 60000L, triggerMillis = 100L,
+      queueCapacity = 2, disconnectSlowClients = true).start()
+    try {
+      // client connects but reads nothing: a 2-slot queue overflows as
+      // soon as one micro-batch fans out more than 2 frames faster than
+      // the writer drains them
+      val conn = new URL(s"http://localhost:${server.boundPort}/?type=comments")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setReadTimeout(60000)
+      val in = conn.getInputStream
+      val deadline = System.currentTimeMillis() + 30000
+      while (server.readyConnections < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      RedditLog.writeSegment(rcDir, (2L to 2001L).map(i => rcRow(i)))
+      // server closes the connection on overflow → the client's stream
+      // ends (EOF) instead of silently gapping
+      val buf = new Array[Byte](65536)
+      var n = 0
+      while (n >= 0) n = in.read(buf)
+      assert(n == -1)
+      in.close(); conn.disconnect()
+    } finally server.stop()
+  }
+
   test("gzip: Accept-Encoding gzip → compressed stream with identical frame bytes") {
     val rcDir = Files.createTempDirectory("gz-rc").toString
     val rsDir = Files.createTempDirectory("gz-rs").toString
