@@ -235,6 +235,31 @@ object RedditLog {
     */
   def gc(obsolete: Seq[File]): Unit = obsolete.foreach(_.delete())
 
+  // one pending-GC set per log: files replaced by the LAST compaction,
+  // deleted at the START of the next one — a one-cycle grace window for
+  // readers still planned on the previous manifest
+  private val pendingGc = new ConcurrentHashMap[String, Seq[File]]()
+
+  /** Size-tiered auto-compaction policy for the ingest path: once the
+    * log accumulates ≥ `maxSmall` segments under `targetRows`, run one
+    * [[compact]] pass; the previous cycle's replaced files are GC'd
+    * first (they have had a full cycle for in-flight readers to drain).
+    * Call after appends — cheap when below threshold (one manifest
+    * read). Returns true when a compaction ran.
+    */
+  def compactIfNeeded(dir: String, targetRows: Long = 100000L,
+      maxSmall: Int = 16): Boolean = {
+    val segs = listSegments(dir)
+    val small = segs.count(s => s.rows >= 0 && s.rows < targetRows)
+    if (small < maxSmall) false
+    else {
+      Option(pendingGc.remove(canon(dir))).foreach(gc)
+      val obsolete = compact(dir, targetRows)
+      if (obsolete.nonEmpty) pendingGc.put(canon(dir), obsolete)
+      true
+    }
+  }
+
   /** Read raw envelope lines of segments overlapping (startExclusive,
     * endInclusive], filtered to that id range.
     */

@@ -86,6 +86,22 @@ class RedditLogCompactionSpec extends AnyFunSuite {
     assert(ids(dir) == (1L to 25L))
   }
 
+  test("compactIfNeeded: size-tiered auto-compaction with one-cycle deferred gc") {
+    val dir = Files.createTempDirectory("rlog-auto").toString
+    var compactions = 0
+    (0 until 40).foreach { k =>
+      RedditLog.writeSegment(dir, ((k * 10 + 1).toLong to (k * 10 + 10).toLong).map(row))
+      if (RedditLog.compactIfNeeded(dir, targetRows = 100L, maxSmall = 8)) compactions += 1
+    }
+    assert(compactions >= 2, s"expected repeated auto-compactions, got $compactions")
+    // live segment count stays bounded by the policy, far below the 40 appends
+    assert(RedditLog.listSegments(dir).size < 16)
+    assert(RedditLog.maxId(dir) == 400L)
+    assert(ids(dir) == (1L to 400L))
+    // the LAST cycle's replaced files are still on disk (grace window);
+    // a final explicit cycle would gc them
+  }
+
   test("singleton groups keep their original file (no rewrite churn)") {
     val dir = Files.createTempDirectory("rlog-sg").toString
     RedditLog.writeSegment(dir, (1L to 500L).map(row))   // already big
