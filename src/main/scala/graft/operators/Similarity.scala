@@ -63,19 +63,8 @@ object Similarity {
     * random-hyperplane LSH with the planes fixed so every engine computes
     * the same buckets.
     */
-  def annTopK(emb: DataFrame, queryPred: Column, k: Int, bits: Int = 6): DataFrame = {
-    val n = withBucket(emb, bits)
-    val q = n.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qn"), col("bucket"))
-    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
-      col("nrm").as("cn"), col("bucket"))
-    val scored = c.join(q, Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot("qe", "ce") / (col("qn") * col("cn"))).as("cosine"))
-    topK(scored, k)
-  }
+  def annTopK(emb: DataFrame, queryPred: Column, k: Int, bits: Int = 6): DataFrame =
+    bucketTopK(emb, queryPred, k, bits, probeMasks = Seq(0L))
 
   /** Multi-probe ANN: each query probes its own bucket AND the `bits`
     * buckets at Hamming distance 1 (one sign bit flipped) — the
@@ -90,19 +79,30 @@ object Similarity {
     * agreement with cosine; clustered real corpora fare far better).
     */
   def annTopKMultiProbe(emb: DataFrame, queryPred: Column, k: Int,
-      bits: Int = 6): DataFrame = {
+      bits: Int = 6): DataFrame =
+    bucketTopK(emb, queryPred, k, bits,
+      probeMasks = 0L +: (0 until bits).map(j => 1L << j))
+
+  /** Shared body of the bucketed top-k paths: expand each query to
+    * `probeMasks.size` probe buckets (bucket XOR mask — mask 0 is the
+    * single-probe case), hash-join candidates on the bucket id, score,
+    * rank. A neighbor matches at most one probe (probes are distinct
+    * buckets; the neighbor has exactly one), so no pair dedup needed.
+    */
+  private def bucketTopK(emb: DataFrame, queryPred: Column, k: Int,
+      bits: Int, probeMasks: Seq[Long]): DataFrame = {
     val n = withBucket(emb, bits)
-    val masks = lit(0L) +: (0 until bits).map(j => lit(1L << j))
-    val q = n.filter(queryPred)
+    val q0 = n.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qn"), col("bucket"),
-        explode(array(masks: _*)).as("m"))
-      .withColumn("bucket", col("bucket").bitwiseXOR(col("m")))
-      .drop("m")
+        col("nrm").as("qn"), col("bucket"))
+    val q =
+      if (probeMasks == Seq(0L)) q0 // keep e02's plan explode-free
+      else q0
+        .withColumn("m", explode(array(probeMasks.map(lit(_)): _*)))
+        .withColumn("bucket", col("bucket").bitwiseXOR(col("m")))
+        .drop("m")
     val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
       col("nrm").as("cn"), col("bucket"))
-    // a neighbor matches at most one probe (probes are distinct
-    // buckets; the neighbor has exactly one), so no pair dedup needed
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

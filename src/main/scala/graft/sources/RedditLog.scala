@@ -190,8 +190,11 @@ object RedditLog {
     * original files — still readable until [[gc]] deletes them, so
     * in-flight readers planned on the old manifest are unaffected.
     */
-  def compact(dir: String, targetRows: Long = 100000L): Seq[File] = {
-    val segs = listSegments(dir)
+  def compact(dir: String, targetRows: Long = 100000L): Seq[File] =
+    compactSegments(dir, targetRows, listSegments(dir))
+
+  private def compactSegments(dir: String, targetRows: Long,
+      segs: Seq[Segment]): Seq[File] = {
     // manifest-tracked row counts plan the grouping without touching
     // data; only merge-group members get read. Counting lines is the
     // fallback for legacy/raw-listed segments.
@@ -226,8 +229,10 @@ object RedditLog {
         obsolete ++= files.map(_.file)
         Segment(new File(dir, name), first, last, merged.size.toLong)
     }
-    writeManifest(dir, newSegs)
-    obsolete.result()
+    val replaced = obsolete.result()
+    // nothing merged → the segment set is unchanged; skip the rewrite
+    if (replaced.nonEmpty) writeManifest(dir, newSegs)
+    replaced
   }
 
   /** Deferred deletion of compaction-replaced segments (the object-store
@@ -235,28 +240,45 @@ object RedditLog {
     */
   def gc(obsolete: Seq[File]): Unit = obsolete.foreach(_.delete())
 
-  // one pending-GC set per log: files replaced by the LAST compaction,
-  // deleted at the START of the next one — a one-cycle grace window for
-  // readers still planned on the previous manifest
-  private val pendingGc = new ConcurrentHashMap[String, Seq[File]]()
+  /** Time-based deferred GC, crash-safe: compaction-replaced files are
+    * exactly the on-disk segments NOT in the manifest whose ids sit at
+    * or below its watermark (above-watermark strays are torn-write
+    * orphans owned by [[writeSegment]]'s repair, never deleted here).
+    * Deleting only those older than `graceMillis` (file mtime) gives
+    * readers planned on a previous manifest a real time window — a
+    * cycle-count window collapses under bursty ingest — and because the
+    * state IS the filesystem, files replaced just before a crash are
+    * still reclaimed after restart.
+    */
+  def gcSweep(dir: String, graceMillis: Long): Seq[File] = {
+    val live = listSegments(dir).map(_.file.getName).toSet
+    val watermark = maxId(dir)
+    val cutoff = System.currentTimeMillis() - graceMillis
+    val dead = rawList(dir).filter(s =>
+      !live.contains(s.file.getName) && s.lastId <= watermark &&
+        s.file.lastModified() < cutoff)
+    dead.foreach(_.file.delete())
+    dead.map(_.file)
+  }
 
   /** Size-tiered auto-compaction policy for the ingest path: once the
-    * log accumulates ≥ `maxSmall` segments under `targetRows`, run one
-    * [[compact]] pass; the previous cycle's replaced files are GC'd
-    * first (they have had a full cycle for in-flight readers to drain).
-    * Call after appends — cheap when below threshold (one manifest
-    * read). Returns true when a compaction ran.
+    * log accumulates ≥ `maxSmall` segments under `targetRows`
+    * (unknown-size segments count as small — [[compact]] line-counts
+    * them), sweep-GC the previously replaced files past their grace
+    * window and run one compaction pass over the already-listed segment
+    * set (one metadata read total). Call after appends — below
+    * threshold it costs one manifest read. Returns true only when the
+    * pass actually merged something, so a pathological set of
+    * unmergeable small segments does not re-trigger forever.
     */
   def compactIfNeeded(dir: String, targetRows: Long = 100000L,
-      maxSmall: Int = 16): Boolean = {
+      maxSmall: Int = 16, graceMillis: Long = 60000L): Boolean = {
     val segs = listSegments(dir)
-    val small = segs.count(s => s.rows >= 0 && s.rows < targetRows)
+    val small = segs.count(s => s.rows < 0 || s.rows < targetRows)
     if (small < maxSmall) false
     else {
-      Option(pendingGc.remove(canon(dir))).foreach(gc)
-      val obsolete = compact(dir, targetRows)
-      if (obsolete.nonEmpty) pendingGc.put(canon(dir), obsolete)
-      true
+      gcSweep(dir, graceMillis)
+      compactSegments(dir, targetRows, segs).nonEmpty
     }
   }
 

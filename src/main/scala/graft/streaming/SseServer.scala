@@ -111,6 +111,12 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     var rcSuppress: Long = Long.MaxValue
     var rsSuppress: Long = Long.MaxValue
     @volatile var attached = false
+    /** Force-closes the HTTP exchange from ANOTHER thread. `closed`
+      * alone is only observed between writes — a client that stopped
+      * reading leaves the writer thread blocked inside a TCP write, and
+      * only tearing the socket down makes that write fail and unwind.
+      */
+    @volatile var abort: () => Unit = () => ()
     val queue = new LinkedBlockingQueue[SseFrame](queueCapacity)
     val dropped = new AtomicLong(0)
     val tcs = new AtomicLong(0)
@@ -283,9 +289,14 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           if (!c.queue.offer(f)) {
             c.dropped.incrementAndGet()
             // overflow policy (class scaladoc): disconnect beats a
-            // silent gap — the writer loop sees `closed` and tears the
-            // connection down; the client re-syncs via *_start_id
-            if (disconnectSlowClients) c.closed = true
+            // silent gap — set the flag AND tear the socket down, so a
+            // writer thread blocked in a TCP write to a stalled client
+            // (the canonical slow client) unwinds too; the client
+            // re-syncs via *_start_id
+            if (disconnectSlowClients && !c.closed) {
+              c.closed = true
+              c.abort()
+            }
           }
         }
       }
@@ -433,6 +444,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
             else -1L
           if (maskHasRc) c.rcSuppress = math.max(rcMax, futureStart(spec.commentStartId))
           if (maskHasRs) c.rsSuppress = math.max(rsMax, futureStart(spec.submissionStartId))
+          c.abort = () => try ex.close() catch { case _: Exception => () }
           c.attached = true
 
           ex.getResponseHeaders.set("Content-Type", "text/event-stream")

@@ -86,7 +86,7 @@ class RedditLogCompactionSpec extends AnyFunSuite {
     assert(ids(dir) == (1L to 25L))
   }
 
-  test("compactIfNeeded: size-tiered auto-compaction with one-cycle deferred gc") {
+  test("compactIfNeeded: size-tiered auto-compaction with time-based deferred gc") {
     val dir = Files.createTempDirectory("rlog-auto").toString
     var compactions = 0
     (0 until 40).foreach { k =>
@@ -98,8 +98,16 @@ class RedditLogCompactionSpec extends AnyFunSuite {
     assert(RedditLog.listSegments(dir).size < 16)
     assert(RedditLog.maxId(dir) == 400L)
     assert(ids(dir) == (1L to 400L))
-    // the LAST cycle's replaced files are still on disk (grace window);
-    // a final explicit cycle would gc them
+    // replaced files are still on disk: all are younger than the 60s
+    // default grace window (readers planned on old manifests resolve)
+    val onDisk = new java.io.File(dir).listFiles().count(_.getName.startsWith("seg-"))
+    assert(onDisk > RedditLog.listSegments(dir).size, "expected replaced files awaiting gc")
+    // an expired grace window (0 ms) reclaims them — crash-safe, since
+    // the sweep derives the dead set from disk vs manifest, not memory
+    val swept = RedditLog.gcSweep(dir, graceMillis = 0L)
+    assert(swept.nonEmpty)
+    assert(ids(dir) == (1L to 400L))
+    assert(RedditLog.maxId(dir) == 400L)
   }
 
   test("singleton groups keep their original file (no rewrite churn)") {
