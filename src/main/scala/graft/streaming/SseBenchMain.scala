@@ -39,7 +39,8 @@ object SseBenchMain {
         acc.append(new String(buf, 0, r, StandardCharsets.UTF_8))
         var idx = acc.indexOf("\n\n")
         while (idx >= 0 && frames < n) {
-          if (!acc.substring(0, idx).contains("keepalive")) frames += 1
+          val f = acc.substring(0, idx)
+          if (!f.contains("keepalive") && !f.startsWith(":")) frames += 1
           acc.delete(0, idx + 2)
           idx = acc.indexOf("\n\n")
         }

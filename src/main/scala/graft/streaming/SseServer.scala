@@ -64,7 +64,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     port: Int = 0, keepAliveMillis: Long = 30000L,
     triggerMillis: Long = 200L, maxPerTrigger: Long = 100000L,
     maxConnsPerIp: Int = 0, queueCapacity: Int = 65536,
-    disconnectSlowClients: Boolean = false) {
+    disconnectSlowClients: Boolean = false, probeMillis: Long = 5000L) {
 
   // ---------------- connection registry ----------------
 
@@ -467,6 +467,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           }
           var keepAliveId = 0L
           var lastKeepAlive = System.currentTimeMillis()
+          var lastWrite = System.currentTimeMillis()
           try {
             catchUp(c, rcMax, rsMax, write)
             while (!c.closed) {
@@ -479,13 +480,28 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
                 val suppressed =
                   (frame.event == "rc" && frame.id <= c.rcSuppress) ||
                     (frame.event == "rs" && frame.id <= c.rsSuppress)
-                if (!suppressed) write(frame.text)
+                if (!suppressed) { write(frame.text); lastWrite = System.currentTimeMillis() }
               }
-              if (System.currentTimeMillis() - lastKeepAlive >= keepAliveMillis) {
+              val now = System.currentTimeMillis()
+              if (now - lastKeepAlive >= keepAliveMillis) {
                 keepAliveId += 1
-                lastKeepAlive = System.currentTimeMillis()
+                lastKeepAlive = now
+                lastWrite = now
                 write(s"id: $keepAliveId\nevent: keepalive\ndata: " +
                   s"""{"tcs": ${c.tcs.get()}, "tss": ${c.tss.get()}, "tbs": ${c.tbs.get()}}\n\n""")
+              } else if (probeMillis > 0 && now - lastWrite >= probeMillis) {
+                // liveness probe decoupled from the keepalive cadence:
+                // a dead client is only detected by a FAILED WRITE, so
+                // with a long keepAliveMillis and no data its per-IP
+                // slot could be held for minutes. An SSE comment line
+                // (":" prefix) is protocol-invisible to clients and
+                // bounds detection at ~probeMillis. Its bytes count
+                // toward tbs — "bytes actually written" (A1).
+                lastWrite = now
+                // blank-line terminated: an empty-data dispatch fires no
+                // client event (SSE spec) but keeps naive frame
+                // splitters from gluing the comment onto the next frame
+                write(": probe\n\n")
               }
             }
           } catch {

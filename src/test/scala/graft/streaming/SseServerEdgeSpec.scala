@@ -49,7 +49,9 @@ class SseServerEdgeSpec extends AnyFunSuite {
         acc.append(new String(buf, 0, r, StandardCharsets.UTF_8))
         var idx = acc.indexOf("\n\n")
         while (idx >= 0 && frames.size < n) {
-          frames += acc.substring(0, idx + 1) // keep the final line's \n
+          val f = acc.substring(0, idx + 1) // keep the final line's \n
+          // liveness-probe comment frames are protocol-invisible
+          if (!f.startsWith(":")) frames += f
           acc.delete(0, idx + 2)
           idx = acc.indexOf("\n\n")
         }
@@ -154,11 +156,12 @@ class SseServerEdgeSpec extends AnyFunSuite {
     val rcDir = Files.createTempDirectory("cap-rc").toString
     val rsDir = Files.createTempDirectory("cap-rs").toString
     RedditLog.writeSegment(rcDir, Seq(rcRow(1)))
-    // fast keepalive: the server only notices a dead client on a failed
-    // write, so the keepalive cadence doubles as disconnect detection
+    // LONG keepalive + short liveness probe: dead-client detection (and
+    // the per-IP slot release below) must come from the probe cadence,
+    // not the keepalive
     val server = new SseServer(spark, rcDir, rsDir,
-      keepAliveMillis = 500L, triggerMillis = 100L,
-      maxConnsPerIp = 1).start()
+      keepAliveMillis = 60000L, triggerMillis = 100L,
+      maxConnsPerIp = 1, probeMillis = 500L).start()
     try {
       val first = new URL(s"http://localhost:${server.boundPort}/?type=comments")
         .openConnection().asInstanceOf[HttpURLConnection]
@@ -174,8 +177,9 @@ class SseServerEdgeSpec extends AnyFunSuite {
       second.disconnect()
       first.disconnect()
       // cap is per-connection-lifetime: once the dropped client's next
-      // keepalive write fails and releases the slot, a new one is admitted
-      Thread.sleep(2000)
+      // liveness-probe write fails and releases the slot, a new one is
+      // admitted — despite the 60 s keepalive cadence
+      Thread.sleep(2500)
       val third = new URL(s"http://localhost:${server.boundPort}/?comment_backfill=10&type=comments")
         .openConnection().asInstanceOf[HttpURLConnection]
       third.setReadTimeout(30000)

@@ -55,7 +55,10 @@ class SseServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         val line = r.readLine()
         if (line == null) return frames.toSeq
         if (line.isEmpty) {
-          if (cur.nonEmpty) { frames += cur.toString; cur.clear() }
+          // liveness-probe comment frames (":"-prefixed) are
+          // protocol-invisible — skip them like a real SSE client
+          if (cur.nonEmpty && !cur.startsWith(":")) frames += cur.toString
+          cur.clear()
         } else cur.append(line).append('\n')
       }
       frames.toSeq
