@@ -101,9 +101,12 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     *    maxId read and the boundary publication).
     *
     * A start_id in the future raises both thresholds so the live feed
-    * also skips up to it. The suppress fields are written by the
-    * handler thread before the writer loop starts and read only by that
-    * same thread.
+    * also skips up to it. For a type with NO resume params there is no
+    * catch-up scan, so its suppress threshold is set EQUAL to the
+    * boundary (not a re-read maxId — that would orphan the ids appended
+    * in between: claimed for a catch-up pass that never runs, dropped by
+    * the writer). The suppress fields are written by the handler thread
+    * before the writer loop starts and read only by that same thread.
     */
   private final class Connection(val id: String, val spec: ParamSpec,
       val maskKey: String, val ip: String,
@@ -160,7 +163,24 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
   private val queryLock = new Object
 
-  private def side(p: String): DataFrame = {
+  /** Restart state for the shared queries. Each mask query gets a
+    * persistent `checkpointLocation`, so a restart after a query death
+    * resumes from the last COMMITTED offset — events appended during the
+    * outage are delivered, not skipped (the old restart re-pinned at the
+    * current watermark and silently dropped the gap). For the
+    * died-before-first-commit case the live start id is pinned once per
+    * (mask, side) and reused, so the restarted source's initial offset
+    * equals the original pin. Failure-recovery delivery is therefore
+    * at-least-once: a batch that died after partial emit is replayed in
+    * full on restart (the suppression thresholds don't cover it — they
+    * only dedup the catch-up hand-off), which beats a silent gap: SSE
+    * frames carry ids, so clients can discard duplicates.
+    */
+  private val startPins = new ConcurrentHashMap[String, java.lang.Long]()
+  private lazy val checkpointRoot =
+    java.nio.file.Files.createTempDirectory("graft-sse-ckpt").toString
+
+  private def side(maskKey: String, p: String): DataFrame = {
     // Pin the live window's start HERE, synchronously, rather than
     // letting the source resolve its initial offset when the stream
     // thread spins up: start() is asynchronous, so the lazily-resolved
@@ -169,7 +189,10 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     // pin, the stream start ≤ every connection's suppression threshold
     // (both are maxId reads; the pin happens first; ids are monotone),
     // so ids above the threshold are always covered by the stream.
-    val startId = RedditLog.maxId(p) + 1
+    // The pin is per (mask, side) and PERSISTENT across restarts — see
+    // the restart-state scaladoc above.
+    val startId: Long = startPins.computeIfAbsent(s"$maskKey@$p",
+      _ => RedditLog.maxId(p) + 1)
     val r = spark.readStream
       .format("graft.sources.RedditLogSource").option("path", p)
       .option("start_id", startId.toString)
@@ -178,29 +201,39 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   }
 
   private def liveStream(maskKey: String): DataFrame = maskKey match {
-    case "rc" => side(rcPath)
-    case "rs" => side(rsPath)
-    case _    => side(rcPath).unionByName(side(rsPath))
+    case "rc" => side(maskKey, rcPath)
+    case "rs" => side(maskKey, rsPath)
+    case _    => side(maskKey, rcPath).unionByName(side(maskKey, rsPath))
   }
 
   /** Start the shared query for a mask on first use, or RESTART it if a
     * previous incarnation died (a transient batch failure must not turn
     * every present and future connection of the mask into a silent
-    * blackhole). Healthy queries stay up for the server's lifetime — an
-    * idle pruned-source query costs one empty admission check per
-    * trigger.
+    * blackhole). Callers: connection setup AND every attached writer
+    * loop's periodic health tick, so a mask with live connections heals
+    * within ~`probeMillis` even when no new client arrives. The restart
+    * resumes from the checkpoint's committed offsets (restart-state
+    * scaladoc above) — no events are skipped. Healthy queries stay up
+    * for the server's lifetime — an idle pruned-source query costs one
+    * empty admission check per trigger, and the health tick's fast path
+    * is one volatile read.
     */
-  private def ensureQuery(maskKey: String): Unit = queryLock.synchronized {
-    val existing = Option(queries.get(maskKey))
-    if (existing.forall(!_.isActive)) {
-      existing.foreach(_.exception.foreach(e =>
-        System.err.println(s"[sse] restarting dead $maskKey query: ${e.getMessage}")))
-      val q = liveStream(maskKey).writeStream
-        .queryName(s"graft-sse-feed-$maskKey")
-        .foreachBatch((b: DataFrame, id: Long) => handleBatch(maskKey, b, id))
-        .trigger(Trigger.ProcessingTime(s"$triggerMillis milliseconds"))
-        .start()
-      queries.put(maskKey, q)
+  private def ensureQuery(maskKey: String): Unit = {
+    val fast = queries.get(maskKey)
+    if (fast != null && fast.isActive) return
+    queryLock.synchronized {
+      val existing = Option(queries.get(maskKey))
+      if (existing.forall(!_.isActive)) {
+        existing.foreach(_.exception.foreach(e =>
+          System.err.println(s"[sse] restarting dead $maskKey query: ${e.getMessage}")))
+        val q = liveStream(maskKey).writeStream
+          .queryName(s"graft-sse-feed-$maskKey")
+          .option("checkpointLocation", s"$checkpointRoot/$maskKey")
+          .foreachBatch((b: DataFrame, id: Long) => handleBatch(maskKey, b, id))
+          .trigger(Trigger.ProcessingTime(s"$triggerMillis milliseconds"))
+          .start()
+        queries.put(maskKey, q)
+      }
     }
   }
 
@@ -229,6 +262,16 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     */
   def readyConnections: Int =
     conns.values.asScala.count(c => !c.closed && c.attached)
+
+  /** Test seam: per-connection (rcBoundary, rcSuppress, rsBoundary,
+    * rsSuppress) for attached connections — lets specs assert the
+    * two-threshold invariants (in particular suppress == boundary for a
+    * type with no resume params, the "no orphaned id window" guarantee)
+    * without racing real appends.
+    */
+  private[streaming] def connectionThresholds: Seq[(Long, Long, Long, Long)] =
+    conns.values.asScala.filter(c => c.attached && !c.closed).toSeq
+      .map(c => (c.rcBoundary, c.rcSuppress, c.rsBoundary, c.rsSuppress))
 
   /** One micro-batch → all connections of this mask, single pass (plus
     * one small aggregate for the counters).
@@ -375,11 +418,14 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * separate sequences sharing the frame id channel, so a both-types
     * resume point is undefined) and no explicit backfill/start_id for
     * that type (explicit params win, preserving the reference contract).
-    * Sharp edge inherited from the reference's frame format: keepalive
-    * frames carry their own id sequence, so a client that reconnects
-    * right after a keepalive resends a keepalive id — best-effort only;
-    * exact resume remains `*_start_id`. Unparsable values are ignored
-    * (a 400 here would break every auto-reconnecting EventSource).
+    * Keepalive frames carry their own id sequence PREFIXED with `k`
+    * (writer loop), so a client reconnecting right after a keepalive
+    * sends `Last-Event-ID: kN` — unparsable as a Long, ignored here, and
+    * the connection degrades to a plain live connect instead of
+    * replaying history from a tiny misread id (the unprefixed format's
+    * worst case was a full-log flood). Unparsable values are ignored
+    * rather than 400'd — a 400 would break every auto-reconnecting
+    * EventSource.
     */
   private def lastEventIdResume(ex: HttpExchange, spec: ParamSpec): ParamSpec =
     Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
@@ -414,36 +460,46 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
             return
           }
         }
-        val maskKey = maskKeyOf(spec)
-        val maskHasRc = maskKey != "rs"
-        val maskHasRs = maskKey != "rc"
-        def futureStart(startId: Option[Long]): Long =
-          startId.map(_ - 1).getOrElse(Long.MinValue)
-        // live lower bounds (B0), read BEFORE registration — see the
-        // Connection scaladoc; a future start_id raises them so the
-        // feed skips ids the client asked to skip
-        val c = new Connection(s"c${connSeq.incrementAndGet()}", spec, maskKey, ip,
-          rcBoundary =
-            if (maskHasRc) math.max(RedditLog.maxId(rcPath), futureStart(spec.commentStartId))
-            else Long.MaxValue,
-          rsBoundary =
-            if (maskHasRs) math.max(RedditLog.maxId(rsPath), futureStart(spec.submissionStartId))
-            else Long.MaxValue)
+        // Everything below runs under one try/finally: a throw anywhere
+        // past the cap acquisition (RedditLog.maxId file I/O in the
+        // Connection construction included) must still release the IP
+        // slot, or the count leaks permanently and the IP eventually
+        // sees nothing but 429s.
+        var c: Connection = null
         try {
+          val maskKey = maskKeyOf(spec)
+          val maskHasRc = maskKey != "rs"
+          val maskHasRs = maskKey != "rc"
+          def futureStart(startId: Option[Long]): Long =
+            startId.map(_ - 1).getOrElse(Long.MinValue)
+          // live lower bounds (B0), read BEFORE registration — see the
+          // Connection scaladoc; a future start_id raises them so the
+          // feed skips ids the client asked to skip
+          c = new Connection(s"c${connSeq.incrementAndGet()}", spec, maskKey, ip,
+            rcBoundary =
+              if (maskHasRc) math.max(RedditLog.maxId(rcPath), futureStart(spec.commentStartId))
+              else Long.MaxValue,
+            rsBoundary =
+              if (maskHasRs) math.max(RedditLog.maxId(rsPath), futureStart(spec.submissionStartId))
+              else Long.MaxValue)
           conns.put(c.id, c)
           ensureQuery(maskKey)
-          // catch-up bounds = suppression thresholds (B1), read AFTER
-          // registration; ≥ the boundaries by id monotonicity
-          val rcMax =
-            if (maskHasRc || spec.commentBackfill.isDefined || spec.commentStartId.isDefined)
-              RedditLog.maxId(rcPath)
-            else -1L
-          val rsMax =
-            if (maskHasRs || spec.submissionBackfill.isDefined || spec.submissionStartId.isDefined)
-              RedditLog.maxId(rsPath)
-            else -1L
-          if (maskHasRc) c.rcSuppress = math.max(rcMax, futureStart(spec.commentStartId))
-          if (maskHasRs) c.rsSuppress = math.max(rsMax, futureStart(spec.submissionStartId))
+          // Suppression thresholds (B1): for a type the client RESUMES
+          // (backfill/start_id) this is the catch-up scan's upper bound —
+          // a fresh maxId read AFTER registration, ≥ the boundary by id
+          // monotonicity. For a type with no resume params catch-up never
+          // scans, so the threshold must equal the boundary: a re-read
+          // maxId here would claim ids appended between the boundary read
+          // and this line for a catch-up pass that doesn't exist, and the
+          // writer would drop them — delivered by neither path.
+          val needRc = spec.commentBackfill.isDefined || spec.commentStartId.isDefined
+          val needRs = spec.submissionBackfill.isDefined || spec.submissionStartId.isDefined
+          val rcMax = if (needRc) RedditLog.maxId(rcPath) else -1L
+          val rsMax = if (needRs) RedditLog.maxId(rsPath) else -1L
+          c.rcSuppress =
+            if (needRc) math.max(rcMax, futureStart(spec.commentStartId)) else c.rcBoundary
+          c.rsSuppress =
+            if (needRs) math.max(rsMax, futureStart(spec.submissionStartId)) else c.rsBoundary
           c.abort = () => try ex.close() catch { case _: Exception => () }
           c.attached = true
 
@@ -468,6 +524,8 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           var keepAliveId = 0L
           var lastKeepAlive = System.currentTimeMillis()
           var lastWrite = System.currentTimeMillis()
+          var lastHealth = System.currentTimeMillis()
+          val healthMillis = if (probeMillis > 0) probeMillis else keepAliveMillis
           try {
             catchUp(c, rcMax, rsMax, write)
             while (!c.closed) {
@@ -483,11 +541,26 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
                 if (!suppressed) { write(frame.text); lastWrite = System.currentTimeMillis() }
               }
               val now = System.currentTimeMillis()
+              if (now - lastHealth >= healthMillis) {
+                // health tick: restart a dead mask query while clients
+                // are still attached (ensureQuery scaladoc) — without
+                // it a failed query is only noticed by the NEXT
+                // connection and existing clients blackhole silently
+                lastHealth = now
+                ensureQuery(c.maskKey)
+              }
               if (now - lastKeepAlive >= keepAliveMillis) {
                 keepAliveId += 1
                 lastKeepAlive = now
                 lastWrite = now
-                write(s"id: $keepAliveId\nevent: keepalive\ndata: " +
+                // keepalive ids are PREFIXED ("k1", "k2", …): they are an
+                // independent sequence sharing the SSE id channel with
+                // data ids, and an unprefixed small integer arriving back
+                // via Last-Event-ID would be indistinguishable from a
+                // data id and replay essentially the whole log
+                // (lastEventIdResume scaladoc). Legal SSE — the id field
+                // is an arbitrary string.
+                write(s"id: k$keepAliveId\nevent: keepalive\ndata: " +
                   s"""{"tcs": ${c.tcs.get()}, "tss": ${c.tss.get()}, "tbs": ${c.tbs.get()}}\n\n""")
               } else if (probeMillis > 0 && now - lastWrite >= probeMillis) {
                 // liveness probe decoupled from the keepalive cadence:
@@ -508,8 +581,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
             case _: java.io.IOException => // client went away
           }
         } finally {
-          c.closed = true
-          conns.remove(c.id)
+          if (c != null) { c.closed = true; conns.remove(c.id) }
           if (capped) releaseIp(ip)
           ex.close()
         }

@@ -239,6 +239,74 @@ class SseServerEdgeSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("live-only connections: suppress == boundary even while appends race the connect") {
+    // ADVICE r2 (medium): a live-only type has NO catch-up scan, so its
+    // suppression threshold must equal the live boundary. The old code
+    // re-read maxId AFTER registration — every id appended during
+    // connection setup (a multi-second window when the mask query cold-
+    // starts) was claimed for a catch-up pass that never runs and
+    // dropped by the writer: delivered by neither path. A background
+    // appender makes the two reads observably differ under the old code.
+    val rcDir = Files.createTempDirectory("thr-rc").toString
+    val rsDir = Files.createTempDirectory("thr-rs").toString
+    RedditLog.writeSegment(rcDir, Seq(rcRow(1)))
+    val server = new SseServer(spark, rcDir, rsDir,
+      keepAliveMillis = 60000L, triggerMillis = 100L).start()
+    @volatile var stopAppends = false
+    val appender = new Thread(() => {
+      var i = 2L
+      while (!stopAppends) {
+        RedditLog.writeSegment(rcDir, Seq(rcRow(i))); i += 1; Thread.sleep(5)
+      }
+    })
+    appender.start()
+    try {
+      val conn = new URL(s"http://localhost:${server.boundPort}/?type=comments")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setReadTimeout(60000)
+      conn.getInputStream // hold the stream open
+      val deadline = System.currentTimeMillis() + 30000
+      while (server.readyConnections < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val th = server.connectionThresholds
+      assert(th.size == 1)
+      val (rcB, rcS, rsB, rsS) = th.head
+      assert(rcS == rcB,
+        s"live-only rc suppress $rcS != boundary $rcB — the ids in between would be lost")
+      assert(rsB == Long.MaxValue && rsS == Long.MaxValue)
+      conn.disconnect()
+    } finally { stopAppends = true; appender.join(); server.stop() }
+  }
+
+  test("dead mask query: the health tick restarts it and attached clients keep receiving") {
+    // ADVICE r2: a dead shared query used to be restarted only by the
+    // NEXT connection of its mask; until then attached clients were
+    // silently blackholed, and the restart re-pinned past the outage.
+    // Now the writer loop's health tick restarts it within ~probeMillis
+    // and the persistent checkpoint resumes from the committed offset,
+    // so events appended DURING the outage are delivered.
+    val rcDir = Files.createTempDirectory("heal-rc").toString
+    val rsDir = Files.createTempDirectory("heal-rs").toString
+    RedditLog.writeSegment(rcDir, Seq(rcRow(1)))
+    val server = new SseServer(spark, rcDir, rsDir,
+      keepAliveMillis = 60000L, triggerMillis = 100L, probeMillis = 300L).start()
+    try {
+      val t = new Thread(() => {
+        val deadline = System.currentTimeMillis() + 30000
+        while (server.readyConnections < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        // kill the shared rc query under the attached client, then
+        // append while no query is running
+        server.activeQueries.foreach(_.stop())
+        RedditLog.writeSegment(rcDir, Seq(rcRow(2)))
+      })
+      t.start()
+      val frames = readFrames(server.boundPort, "/?type=comments", 1, timeoutMs = 90000)
+      t.join()
+      assert(frames.exists(_.startsWith("id: 2\nevent: rc")), frames.mkString("|"))
+    } finally server.stop()
+  }
+
   test("gzip: Accept-Encoding gzip → compressed stream with identical frame bytes") {
     val rcDir = Files.createTempDirectory("gz-rc").toString
     val rsDir = Files.createTempDirectory("gz-rs").toString

@@ -96,8 +96,11 @@ class SseServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val frames = readFrames("/?comment_backfill=100&submission_backfill=100&type=submissions", 5)
     val (data, keeps) = frames.partition(_.contains("event: rs"))
     assert(data.size == 3)
+    // keepalive ids are an independent sequence from 1, PREFIXED with
+    // "k" so a Last-Event-ID reconnect can never mistake one for a data
+    // id (ADVICE r2: the unprefixed form replayed the whole log)
     val k = keeps.head
-    assert(k.startsWith("id: 1\nevent: keepalive\ndata: "))
+    assert(k.startsWith("id: k1\nevent: keepalive\ndata: "))
     assert(k.contains("\"tcs\": 5") && k.contains("\"tss\": 3"))
     assert("\"tbs\": (\\d+)".r.findFirstMatchIn(k).exists(_.group(1).toLong > 0))
   }
