@@ -5,7 +5,7 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
@@ -135,6 +135,62 @@ object RedditLog {
     readManifest(dir).getOrElse(rawList(dir))
   }
 
+  // ---- reader leases ----
+  // A scan acquires a lease BEFORE its manifest snapshot and releases it
+  // as its partition readers close; [[gcSweep]] never deletes a file
+  // replaced at-or-after the oldest active lease's start, so a slow scan
+  // planned on a previous manifest keeps resolving every file it planned
+  // REGARDLESS of the time-based grace window (ADVICE r2: the grace alone
+  // had nothing tying it to actual reader lifetimes). Exact in-process
+  // (local mode, and the SSE server's catch-up scans share the writer's
+  // JVM); on a multi-JVM cluster an executor-side release is a no-op and
+  // the lease instead expires via `leaseTtlMillis` — there the grace
+  // window, sized ≥ the longest expected scan, remains the real control.
+
+  private final case class Lease(dir: String, startMillis: Long, remaining: AtomicInteger)
+  private val leases = new ConcurrentHashMap[Long, Lease]()
+  private val leaseSeq = new AtomicLong()
+  /** Backstop for leases whose releases never arrive (lost executor,
+    * crashed scan): ignored by [[oldestActiveLeaseStart]] after this age.
+    */
+  @volatile var leaseTtlMillis: Long = 15 * 60 * 1000L
+
+  /** Register a scan over `dir` in the pending state (holds GC until
+    * [[armLease]] sets the partition count). Call BEFORE listing
+    * segments, so the snapshot is provably no older than the lease.
+    */
+  private[sources] def acquireLease(dir: String): Long = {
+    val id = leaseSeq.incrementAndGet()
+    leases.put(id, Lease(canon(dir), System.currentTimeMillis(),
+      new AtomicInteger(Int.MaxValue)))
+    id
+  }
+
+  /** Fix the lease's outstanding-partition count once planning knows it;
+    * zero partitions releases immediately.
+    */
+  private[sources] def armLease(id: Long, partitions: Int): Unit =
+    if (partitions <= 0) leases.remove(id)
+    else Option(leases.get(id)).foreach(_.remaining.set(partitions))
+
+  /** One partition reader of the lease's scan closed; the last one out
+    * releases the lease. Unknown ids (another JVM's lease, double close
+    * from a retried task after release) are a no-op.
+    */
+  private[sources] def releaseLeasePartition(id: Long): Unit =
+    Option(leases.get(id)).foreach { l =>
+      if (l.remaining.decrementAndGet() <= 0) leases.remove(id)
+    }
+
+  /** Start time of the oldest in-flight (non-expired) scan over `dir`. */
+  def oldestActiveLeaseStart(dir: String): Option[Long] = {
+    val now = System.currentTimeMillis()
+    val c = canon(dir)
+    leases.values.asScala
+      .filter(l => l.dir == c && now - l.startMillis < leaseTtlMillis)
+      .map(_.startMillis).minOption
+  }
+
   /** S1 — high-watermark from the segment set alone. -1 on an empty log. */
   def maxId(dir: String): Long =
     listSegments(dir).foldLeft(-1L)((m, s) => math.max(m, s.lastId))
@@ -231,7 +287,16 @@ object RedditLog {
     }
     val replaced = obsolete.result()
     // nothing merged → the segment set is unchanged; skip the rewrite
-    if (replaced.nonEmpty) writeManifest(dir, newSegs)
+    if (replaced.nonEmpty) {
+      writeManifest(dir, newSegs)
+      // stamp the moment of REPLACEMENT onto the replaced files: the GC
+      // grace must measure time-since-dead, and a file's natural mtime is
+      // its creation time — a segment written long before its compaction
+      // would otherwise be GC-eligible the instant the manifest flips,
+      // under the feet of readers planned on the previous snapshot
+      val now = System.currentTimeMillis()
+      replaced.foreach(_.setLastModified(now))
+    }
     replaced
   }
 
@@ -244,16 +309,27 @@ object RedditLog {
     * exactly the on-disk segments NOT in the manifest whose ids sit at
     * or below its watermark (above-watermark strays are torn-write
     * orphans owned by [[writeSegment]]'s repair, never deleted here).
-    * Deleting only those older than `graceMillis` (file mtime) gives
-    * readers planned on a previous manifest a real time window — a
-    * cycle-count window collapses under bursty ingest — and because the
-    * state IS the filesystem, files replaced just before a crash are
-    * still reclaimed after restart.
+    * A file is deleted only when BOTH hold:
+    *  - its replacement (mtime — [[compact]] stamps replacement time) is
+    *    older than `graceMillis`, a real time window for readers planned
+    *    on a previous manifest (a cycle-count window collapses under
+    *    bursty ingest), and
+    *  - no in-flight reader lease predates the replacement: a scan whose
+    *    lease started before the manifest flip may have planned on the
+    *    old snapshot and still needs the file, however long it runs
+    *    (grace alone cannot promise that — leases tie GC to actual
+    *    reader lifetimes; see the lease section).
+    * Because the state IS the filesystem, files replaced just before a
+    * crash are still reclaimed after restart. Size `graceMillis` at call
+    * sites to the longest scan expected from OUT-OF-PROCESS readers —
+    * in-process ones are covered exactly by the leases.
     */
   def gcSweep(dir: String, graceMillis: Long): Seq[File] = {
     val live = listSegments(dir).map(_.file.getName).toSet
     val watermark = maxId(dir)
-    val cutoff = System.currentTimeMillis() - graceMillis
+    val cutoff = math.min(
+      System.currentTimeMillis() - graceMillis,
+      oldestActiveLeaseStart(dir).getOrElse(Long.MaxValue))
     val dead = rawList(dir).filter(s =>
       !live.contains(s.file.getName) && s.lastId <= watermark &&
         s.file.lastModified() < cutoff)
@@ -287,6 +363,13 @@ object RedditLog {
     */
   def readRange(dir: String, startExclusive: Long, endInclusive: Long): Seq[Map[String, String]] = {
     val mapper = new ObjectMapper()
+    val lease = acquireLease(dir)
+    try readRangeInner(dir, startExclusive, endInclusive, mapper)
+    finally leases.remove(lease)
+  }
+
+  private def readRangeInner(dir: String, startExclusive: Long,
+      endInclusive: Long, mapper: ObjectMapper): Seq[Map[String, String]] = {
     listSegments(dir)
       .filter(s => s.lastId > startExclusive && s.firstId <= endInclusive)
       .flatMap { s =>

@@ -126,7 +126,12 @@ private[sources] class RedditLogScanBuilder(path: String,
     override def readSchema(): StructType = RedditLog.schema
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new RedditLogMicroBatchStream(path, options)
-    override def toBatch: Batch = new RedditLogBatch(path, startExclusive, endInclusive)
+    // one Batch per Scan: physical planning instantiates several plan
+    // copies (supportsColumnar probes) that each call toBatch +
+    // planInputPartitions — sharing the instance lets the Batch memoize
+    // its partition plan so exactly ONE reader lease is taken per scan
+    private lazy val batchInstance = new RedditLogBatch(path, startExclusive, endInclusive)
+    override def toBatch: Batch = batchInstance
   }
 }
 
@@ -201,14 +206,34 @@ private[sources] class RedditLogMicroBatchStream(path: String,
     RedditLogOffset(math.max(capped, cur))
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[RedditLogOffset].maxId
-    val e = end.asInstanceOf[RedditLogOffset].maxId
-    RedditLog.listSegments(path)
-      .filter(seg => seg.lastId > s && seg.firstId <= e)
-      .map(seg => RedditLogInputPartition(seg.file.getAbsolutePath, s, e): InputPartition)
-      .toArray
-  }
+  // Memoized plan for the current offset range: Spark's physical
+  // planning calls planInputPartitions on several throwaway plan copies
+  // before executing one (supportsColumnar probes); re-planning each
+  // time would leak one armed reader lease per copy. Same (start, end]
+  // → same partitions and ONE lease, drained by the executed copy's
+  // readers. A new range plans fresh (the previous batch's lease drains
+  // through its own readers).
+  private var lastPlan: Option[(Long, Long, Array[InputPartition])] = None
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    synchronized {
+      val s = start.asInstanceOf[RedditLogOffset].maxId
+      val e = end.asInstanceOf[RedditLogOffset].maxId
+      lastPlan match {
+        case Some((ps, pe, parts)) if ps == s && pe == e => parts
+        case _ =>
+          // lease BEFORE the segment snapshot: compaction GC must not
+          // delete a replaced file this plan references mid-read
+          val lease = RedditLog.acquireLease(path)
+          val parts = RedditLog.listSegments(path)
+            .filter(seg => seg.lastId > s && seg.firstId <= e)
+            .map(seg => RedditLogInputPartition(seg.file.getAbsolutePath, s, e, lease): InputPartition)
+            .toArray
+          RedditLog.armLease(lease, parts.length)
+          lastPlan = Some((s, e, parts))
+          parts
+      }
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RedditLogReaderFactory
@@ -225,18 +250,31 @@ private[sources] class RedditLogMicroBatchStream(path: String,
 private[sources] class RedditLogBatch(path: String,
     startExclusive: Long = -1L, endInclusive: Long = Long.MaxValue)
     extends Batch {
-  override def planInputPartitions(): Array[InputPartition] =
-    RedditLog.listSegments(path)
+  // Memoized: all plan copies of one scan share this Batch (the Scan
+  // caches its toBatch), so repeated planInputPartitions calls return
+  // the same partitions holding ONE lease — see the streaming twin.
+  private lazy val planned: Array[InputPartition] = {
+    // lease BEFORE the segment snapshot (see the streaming twin above)
+    val lease = RedditLog.acquireLease(path)
+    val parts = RedditLog.listSegments(path)
       .filter(seg => seg.lastId > startExclusive && seg.firstId <= endInclusive)
       .map(seg => RedditLogInputPartition(seg.file.getAbsolutePath,
-        startExclusive, endInclusive): InputPartition)
+        startExclusive, endInclusive, lease): InputPartition)
       .toArray
+    RedditLog.armLease(lease, parts.length)
+    parts
+  }
+  override def planInputPartitions(): Array[InputPartition] = planned
   override def createReaderFactory(): PartitionReaderFactory =
     new RedditLogReaderFactory
 }
 
+/** `leaseId`: the planning-time reader lease this partition belongs to;
+  * the reader's close() releases its share (no-op off the planning JVM —
+  * there the lease TTL takes over; RedditLog lease section).
+  */
 case class RedditLogInputPartition(file: String, startExclusive: Long,
-    endInclusive: Long) extends InputPartition
+    endInclusive: Long, leaseId: Long = -1L) extends InputPartition
 
 private[sources] class RedditLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -266,7 +304,7 @@ private[sources] class RedditLogReaderFactory extends PartitionReaderFactory {
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = RedditLog.releaseLeasePartition(p.leaseId)
     }
   }
 }

@@ -110,6 +110,54 @@ class RedditLogCompactionSpec extends AnyFunSuite {
     assert(RedditLog.maxId(dir) == 400L)
   }
 
+  test("gc grace measures time-since-replacement, not segment age (mtime stamped at compaction)") {
+    val dir = Files.createTempDirectory("rlog-stamp").toString
+    (0 until 4).foreach(k => RedditLog.writeSegment(dir, ((k * 10 + 1).toLong to (k * 10 + 10).toLong).map(row)))
+    // age the segment files by an hour: before the stamp fix, a file's
+    // natural mtime (creation) made old-but-just-replaced segments
+    // GC-eligible the instant the manifest flipped
+    new java.io.File(dir).listFiles().filter(_.getName.startsWith("seg-"))
+      .foreach(_.setLastModified(System.currentTimeMillis() - 3600000L))
+    val t0 = System.currentTimeMillis()
+    val replaced = RedditLog.compact(dir, targetRows = 20L)
+    assert(replaced.nonEmpty)
+    assert(replaced.forall(_.lastModified() >= t0),
+      "replaced files must be stamped with replacement time")
+    assert(RedditLog.gcSweep(dir, graceMillis = 60000L).isEmpty,
+      "files replaced milliseconds ago must survive a 60s grace")
+    assert(ids(dir) == (1L to 40L))
+  }
+
+  test("reader lease blocks gc of files its manifest snapshot references") {
+    val dir = Files.createTempDirectory("rlog-lease").toString
+    (0 until 4).foreach(k => RedditLog.writeSegment(dir, ((k * 10 + 1).toLong to (k * 10 + 10).toLong).map(row)))
+    val lease = RedditLog.acquireLease(dir) // a slow scan plans here…
+    RedditLog.listSegments(dir)             // …on this manifest snapshot
+    val replaced = RedditLog.compact(dir, targetRows = 20L)
+    assert(replaced.nonEmpty)
+    Thread.sleep(5)
+    // an expired grace (0 ms) alone would delete them; the in-flight
+    // lease predates the manifest flip, so the sweep must hold off —
+    // this is what ties GC to reader lifetimes instead of a guess
+    assert(RedditLog.gcSweep(dir, graceMillis = 0L).isEmpty)
+    RedditLog.armLease(lease, 1)
+    RedditLog.releaseLeasePartition(lease) // scan done
+    Thread.sleep(5)
+    assert(RedditLog.gcSweep(dir, graceMillis = 0L).map(_.getName).toSet
+      == replaced.map(_.getName).toSet)
+    assert(ids(dir) == (1L to 40L))
+  }
+
+  test("DSv2 scans acquire and drain leases (none leak after a collect)") {
+    val dir = Files.createTempDirectory("rlog-drain").toString
+    RedditLog.writeSegment(dir, (1L to 10L).map(row))
+    RedditLog.writeSegment(dir, (11L to 20L).map(row))
+    assert(RedditLog.oldestActiveLeaseStart(dir).isEmpty)
+    assert(ids(dir) == (1L to 20L))
+    assert(RedditLog.oldestActiveLeaseStart(dir).isEmpty,
+      "scan leases must drain when partition readers close")
+  }
+
   test("singleton groups keep their original file (no rewrite churn)") {
     val dir = Files.createTempDirectory("rlog-sg").toString
     RedditLog.writeSegment(dir, (1L to 500L).map(row))   // already big
