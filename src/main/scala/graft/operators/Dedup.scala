@@ -215,6 +215,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental dedup of a new batch against an ingested history with a
+    * Bloom pre-filter — the streaming-ingest companion to [[exactGroups]]
+    * (which dedups a corpus against itself).
+    *
+    * Shape at 100 TB: the naive plan shuffles the ENTIRE new batch
+    * against the history digest set. Instead, a Bloom filter over the
+    * history digests is built distributed (`stat.bloomFilter` runs a
+    * treeAggregate), broadcast to executors, and applied scan-side — only
+    * the rows it passes (true dups + the fpp share of false positives)
+    * reach the exact digest semi-join. False negatives are impossible, so
+    * the verified output is EXACT and the whole pipeline is
+    * SQL-expressible for the oracle; the Bloom stage only prunes the
+    * shuffle. `mightContain` is a UDF by necessity (Spark exposes no
+    * Column function over a broadcast sketch); it guards the scan, not
+    * the hot aggregate path.
+    *
+    * Returns one row per new-batch doc: (doc_id, is_dup).
+    */
+  def bloomDedup(docs: DataFrame, historyPred: Column, newPred: Column,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    val digests = docs.select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+    val history = digests.filter(historyPred)
+    val fresh = digests.filter(newPred)
+    val bloom = history.stat.bloomFilter("digest", expectedItems, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((d: String) => bc.value.mightContainString(d))
+    val dups = fresh.filter(mightContain(col("digest")))
+      .join(history.select(col("digest")), Seq("digest"), "left_semi")
+      .select(col("doc_id"))
+    fresh.join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** 32-bit SimHash per document: per-bit majority vote over the token
     * multiset, token hash = first 8 md5 hex chars as an unsigned int.
     * Bit j set iff the signed vote sum is strictly positive.

@@ -133,6 +133,60 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN — the centroid-partitioned alternative to
+    * the sign-projection LSH of [[annTopK]]:
+    *
+    *  1. centroids: `nCentroids` fixed vectors (here the lowest vec_ids,
+    *     deterministic so the oracle recomputes them; production would
+    *     k-means — either way the centroid table is tiny and
+    *     driver-held);
+    *  2. assignment: every corpus vector goes to its nearest centroid by
+    *     cosine. The centroids are collected once and inlined as ARRAY
+    *     LITERALS, so assignment is pure scan-side expression work —
+    *     no join, no shuffle, codegen over [[graft.functions.ArrayDotProduct]];
+    *  3. probes: each query scores only the cells of its `probes`
+    *     nearest centroids — candidate volume is the probed cells' mass,
+    *     never N×N, and recall/cost trades off via `probes` exactly like
+    *     multi-probe LSH.
+    *
+    * Ties (a vector equidistant to two centroids) break toward the
+    * smaller centroid id via struct ordering on (cosine, −cid), matching
+    * the oracle's `ORDER BY cosine DESC, cid ASC`.
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int = 16, probes: Int = 4): DataFrame = {
+    val n = normalized(emb)
+    val cents = n.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    // per-centroid cosine columns against literal centroid vectors; the
+    // norm is folded on the driver with the same left-to-right double
+    // arithmetic the engines use, so scores stay oracle-exact
+    val scoredArr = array(cents.map { case (cid, ce) =>
+      val cn = math.sqrt(ce.foldLeft(0.0)((s, x) => s + x * x))
+      struct(
+        (graft.functions.ArrayDotProduct(col("e"), typedLit(ce)) /
+          (col("nrm") * lit(cn))).as("c"),
+        lit(-cid).as("nid"))
+    }: _*)
+    val corpus = n
+      .withColumn("cell", (-array_max(scoredArr).getField("nid")).cast("long"))
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("cell"))
+    val q = n.filter(queryPred)
+      .withColumn("probe", explode(slice(sort_array(scoredArr, asc = false), 1, probes)))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
+        (-col("probe").getField("nid")).cast("long").as("cell"))
+    // each corpus vector lives in exactly one cell and a query's probe
+    // cells are distinct, so a neighbor matches at most once — no dedup
+    val scored = corpus.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("qe", "ce") / (col("qn") * col("cn"))).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -18,6 +18,8 @@ object PipelineQueries {
   private val ANN_BITS = 6     // sign-projection bits → 64 buckets
   private val MAX_BUCKET = 1000L // LSH bucket-size guard (Dedup.lshCandidates)
   private val MAX_DF = 10000L    // stop-shingle df guard (Dedup.dfCapped)
+  private val IVF_CELLS = 16     // IVF centroid count (e04)
+  private val IVF_PROBES = 4     // IVF probed cells per query (e04)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> ((spark: SparkSession, dir: String) =>
@@ -88,6 +90,21 @@ object PipelineQueries {
     "e03_ann_multiprobe" -> ((spark: SparkSession, dir: String) =>
       Similarity.annTopKMultiProbe(Tables.embeddings(spark, dir),
         col("vec_id") % 50 === 0, 3, ANN_BITS)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // Incremental ingest dedup: new batch (even doc_ids) vs history
+    // (doc_id % 3 != 0), Bloom pre-filter + exact verify — output exact,
+    // so fully oracle-checkable (Dedup.bloomDedup doc)
+    "d11_bloom_dedup" -> ((spark: SparkSession, dir: String) =>
+      Dedup.bloomDedup(Tables.documents(spark, dir),
+        col("doc_id") % 3 =!= 0, col("doc_id") % 2 === 0)
+        .orderBy(col("doc_id"))),
+
+    // IVF alternative to the LSH family: literal-centroid assignment
+    // scan-side, probe the 4 nearest of 16 cells (Similarity.ivfTopK doc)
+    "e04_ivf_ann" -> ((spark: SparkSession, dir: String) =>
+      Similarity.ivfTopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, 3, IVF_CELLS, IVF_PROBES)
         .orderBy(col("query_id"), col("rk"))),
 
     "m01_media_meta" -> ((spark: SparkSession, dir: String) =>
@@ -290,6 +307,32 @@ object PipelineQueries {
          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
          |      FROM q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM p)
+         |SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= 3
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // the Bloom stage only prunes; the verified output is exact, so the
+    // oracle is the plain digest semi-join semantics
+    "d11_bloom_dedup" ->
+      """SELECT n.doc_id,
+        | EXISTS (SELECT 1 FROM documents h WHERE h.doc_id % 3 <> 0 AND sha256(h.text) = sha256(n.text)) AS is_dup
+        |FROM documents n WHERE n.doc_id % 2 = 0 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "e04_ivf_ann" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |cent AS (SELECT vec_id AS cid, e AS ce, sqrt(list_dot_product(e, e)) AS cn FROM v WHERE vec_id < $IVF_CELLS),
+         |asg AS (SELECT n.vec_id AS vid, cid,
+         |          row_number() OVER (PARTITION BY n.vec_id
+         |            ORDER BY list_dot_product(n.e, ce)/(n.nrm*cn) DESC, cid ASC) AS rn
+         |        FROM n CROSS JOIN cent),
+         |cells AS (SELECT vid, cid AS cell FROM asg WHERE rn = 1),
+         |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
+         |p AS (SELECT pr.query_id, cl.vid AS neighbor_id,
+         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |      FROM probes pr JOIN cells cl USING (cell)
+         |      JOIN n c ON c.vec_id = cl.vid JOIN n q ON q.vec_id = pr.query_id
+         |      WHERE cl.vid <> pr.query_id),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM p)
          |SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= 3
          |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),

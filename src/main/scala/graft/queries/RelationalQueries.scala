@@ -138,6 +138,22 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
+    // Scale-safe distinct counts: KMV sketch (graft.functions.KmvSketch)
+    // — O(k) mergeable state per group vs q11's shuffle-every-distinct
+    // expand. The md5-based hash family makes the ESTIMATE itself
+    // bit-identical in DuckDB, so the oracle hash-matches the sketch
+    // output (unlike HLL, whose sketch is engine-private).
+    "q11b_distinct_kmv" -> ((spark: SparkSession, dir: String) => {
+      val kmv = udaf(new graft.functions.KmvSketch(64))
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(kmv(col("h")).as("kmv_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Outer join: dims without matches survive with NULL-padded counts.
     "q13_outer_join" -> ((spark: SparkSession, dir: String) => {
       val n = Tables.nation(spark, dir)
@@ -312,6 +328,18 @@ object RelationalQueries {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    // mirror of KmvSketch: k = 64, M = 2^60; fewer than k distinct
+    // hashes → exact count, else (k-1)·M / h_k
+    "q11b_distinct_kmv" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag, ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),1,15))::BIGINT AS h FROM lineitem),
+        |r AS (SELECT l_returnflag, h, row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
+        |c AS (SELECT l_returnflag, count(*) AS n FROM h GROUP BY 1),
+        |kth AS (SELECT l_returnflag, h AS hk FROM r WHERE rn = 64)
+        |SELECT c.l_returnflag,
+        | CASE WHEN c.n < 64 THEN CAST(c.n AS DOUBLE)
+        |      ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(hk AS DOUBLE) END AS kmv_parts
+        |FROM c LEFT JOIN kth USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
     "q13_outer_join" ->
       """SELECT n_nationkey, n_name,
         | count(s_suppkey) AS n_suppliers,

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.functions.KmvSketch
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-3 pipeline additions: the KMV distinct sketch,
+  * the Bloom incremental dedup, and the IVF ANN path.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- KmvSketch ----
+
+  private def kmvOf(values: Seq[Long], k: Int): Double = {
+    val agg = new KmvSketch(k)
+    values.foldLeft(agg.zero)(agg.reduce) match { case buf => agg.finish(buf) }
+  }
+
+  test("KmvSketch: exact below k, estimate within the sketch error above") {
+    // fewer than k distinct → exact count, duplicates ignored
+    assert(kmvOf(Seq(5L, 9L, 5L, 7L, 9L), 64) == 3.0)
+    // 60-bit md5-style hashes for 0..1999 (the q11b hash family)
+    def h60(x: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"${b & 0xff}%02x").mkString.substring(0, 15), 16)
+    }
+    val n = 2000
+    val est = kmvOf((0 until n).map(i => h60(i.toLong)), 64)
+    // KMV relative std error ≈ 1/sqrt(k−2) ≈ 12.7% at k=64; 3σ bound
+    assert(math.abs(est - n) / n < 0.4, s"estimate $est too far from $n")
+  }
+
+  test("KmvSketch: merge is associative with reduce (partition-split invariance)") {
+    val agg = new KmvSketch(8)
+    val vals = (1L to 100L).map(x => x * 7919L % 1048576L)
+    val whole = vals.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = vals.splitAt(37)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(whole.toSeq == merged.toSeq)
+    assert(whole.length <= 8, "buffer must stay bounded at k")
+    assert(whole.toSeq == whole.toSeq.sorted.distinct, "buffer sorted+distinct")
+  }
+
+  test("KmvSketch via udaf matches a driver-side fold (distributed merge path)") {
+    val kmv = udaf(new KmvSketch(16))
+    val hashes = (1L to 500L).map(x => (x % 3, x * 2654435761L % (1L << 40)))
+    val viaSpark = hashes.toDF("g", "h").repartition(8)
+      .groupBy("g").agg(kmv(col("h")).as("est"))
+      .orderBy("g").as[(Long, Double)].collect().toSeq
+    val expected = hashes.groupBy(_._1).view
+      .mapValues(vs => kmvOf(vs.map(_._2), 16)).toMap
+    viaSpark.foreach { case (g, est) => assert(est == expected(g), s"group $g") }
+  }
+
+  // ---- bloomDedup ----
+
+  test("bloomDedup: exact semantics (bloom only prunes, never changes the result)") {
+    // multiples of 6 are in the new batch (even), outside history
+    // (% 3 == 0) AND textually unique → guaranteed is_dup = false rows;
+    // other texts repeat every 20 ids → cross-split duplicates
+    def textOf(i: Long) = if (i % 6 == 0) s"only-$i" else s"text-${i % 20}"
+    val docs = (1L to 60L).map(i => (i, textOf(i))).toDF("doc_id", "text")
+    val out = Dedup.bloomDedup(docs, col("doc_id") % 3 =!= 0, col("doc_id") % 2 === 0)
+      .orderBy("doc_id").as[(Long, Boolean)].collect().toSeq
+    // expected: even ids; dup iff some history doc (id % 3 != 0) shares text
+    val texts = (1L to 60L).map(i => i -> textOf(i)).toMap
+    val histTexts = (1L to 60L).filter(_ % 3 != 0).map(texts).toSet
+    val expected = (1L to 60L).filter(_ % 2 == 0).map(i => (i, histTexts.contains(texts(i))))
+    assert(out == expected)
+    assert(out.exists(_._2) && out.exists(!_._2), "needs both outcomes to be meaningful")
+  }
+
+  // ---- ivfTopK ----
+
+  test("ivfTopK: bounded per-query output, no self-matches, cells partition the corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.ivfTopK(emb, col("vec_id") % 50 === 0, 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // ≤ k rows per query, ranks 1..k contiguous, no self-matches
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.size <= 3)
+      assert(rows.map(_._2).sorted == (1L to rows.size))
+      assert(rows.forall(_._3 != q))
+    }
+    // per-query ranks strictly ordered by cosine desc
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank == byRank.sorted.reverse)
+    }
+  }
+
+  test("ivfTopK with all cells probed ≡ exact brute-force top-k") {
+    // probing every centroid's cell makes IVF exhaustive — results must
+    // equal cosineTopK exactly (same scores, same tie-breaks)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") % 100 === 0, 3,
+        nCentroids = 8, probes = 8)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect().toSeq
+    val exact = Similarity.cosineTopK(emb, col("vec_id") % 100 === 0, 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(ivf == exact)
+  }
+}
