@@ -30,6 +30,15 @@ import scala.jdk.CollectionConverters._
   * never see. Catch-up reads are unaffected (they still honor the A1
   * pre-type-gate quirk over the scanned ranges).
   *
+  * `counterParity = true` restores exact reference counter semantics
+  * without giving the pruning back: a COUNT-ONLY tap query per excluded
+  * log (one per side, shared by every connection that needs it) bumps
+  * tcs/tss for connections whose mask skips that log. The tap projects
+  * only the envelope columns the whitelist/attr predicates read — never
+  * the json payload — and runs no emit pass, so its cost is a pruned
+  * scan + one small aggregate per batch; the frame path stays exactly
+  * as pruned as with parity off.
+  *
   * Fan-out is a **single pass** per micro-batch regardless of connection
   * count: every connection's compiled predicate becomes one tag column,
   * rows explode to (connection, frame) pairs inside Spark, and the
@@ -64,7 +73,8 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     port: Int = 0, keepAliveMillis: Long = 30000L,
     triggerMillis: Long = 200L, maxPerTrigger: Long = 100000L,
     maxConnsPerIp: Int = 0, queueCapacity: Int = 65536,
-    disconnectSlowClients: Boolean = false, probeMillis: Long = 5000L) {
+    disconnectSlowClients: Boolean = false, probeMillis: Long = 5000L,
+    counterParity: Boolean = false) {
 
   // ---------------- connection registry ----------------
 
@@ -162,6 +172,19 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
 
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
   private val queryLock = new Object
+  /** Set by [[stop]] BEFORE stopping queries, checked by [[ensureQuery]]
+    * under the same lock: a health-tick restart racing stop() would
+    * otherwise start a query AFTER stop() iterated the registry —
+    * leaking an active query past the server's lifetime (and, since
+    * Spark enforces unique active query names per session, poisoning
+    * every later server that reuses the name).
+    */
+  @volatile private var stopping = false
+  /** Per-instance suffix on query names: active StreamingQuery names are
+    * unique per session, and several servers can coexist in one session
+    * (tests, blue/green). The base name stays first for readability.
+    */
+  private val instanceId = SseServer.instanceSeq.incrementAndGet()
 
   /** Restart state for the shared queries. Each mask query gets a
     * persistent `checkpointLocation`, so a restart after a query death
@@ -218,23 +241,69 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * empty admission check per trigger, and the health tick's fast path
     * is one volatile read.
     */
-  private def ensureQuery(maskKey: String): Unit = {
-    val fast = queries.get(maskKey)
+  private def ensureQuery(key: String): Unit = {
+    if (stopping) return
+    val fast = queries.get(key)
     if (fast != null && fast.isActive) return
     queryLock.synchronized {
-      val existing = Option(queries.get(maskKey))
+      if (stopping) return
+      val existing = Option(queries.get(key))
       if (existing.forall(!_.isActive)) {
         existing.foreach(_.exception.foreach(e =>
-          System.err.println(s"[sse] restarting dead $maskKey query: ${e.getMessage}")))
-        val q = liveStream(maskKey).writeStream
-          .queryName(s"graft-sse-feed-$maskKey")
-          .option("checkpointLocation", s"$checkpointRoot/$maskKey")
-          .foreachBatch((b: DataFrame, id: Long) => handleBatch(maskKey, b, id))
+          System.err.println(s"[sse] restarting dead $key query: ${e.getMessage}")))
+        // "tap:<side>" keys are the counter-parity count-only queries;
+        // anything else is a mask feed. Both share the checkpointed
+        // restart machinery above.
+        val (stream, base, sink) = key match {
+          case "tap:rc" => (side(key, rcPath), "graft-sse-tap-rc",
+            (b: DataFrame, _: Long) => handleTapBatch("rc", b))
+          case "tap:rs" => (side(key, rsPath), "graft-sse-tap-rs",
+            (b: DataFrame, _: Long) => handleTapBatch("rs", b))
+          case mask => (liveStream(mask), s"graft-sse-feed-$mask",
+            (b: DataFrame, id: Long) => handleBatch(mask, b, id))
+        }
+        val name = s"$base.i$instanceId"
+        val q = stream.writeStream
+          .queryName(name)
+          .option("checkpointLocation", s"$checkpointRoot/${key.replace(':', '-')}")
+          .foreachBatch(sink)
           .trigger(Trigger.ProcessingTime(s"$triggerMillis milliseconds"))
           .start()
-        queries.put(maskKey, q)
+        queries.put(key, q)
       }
     }
+  }
+
+  /** Counter-parity tap batch (`counterParity` class doc): count-only A1
+    * pass over the log that `side`-excluding masks never read, bumping
+    * tcs/tss for exactly those connections. Projects only the envelope
+    * columns the predicates touch; no ordering, no frames, no emit.
+    */
+  private def handleTapBatch(side: String, batch: DataFrame): Unit = {
+    val snapshot = conns.values.asScala
+      .filter(c => !c.closed && (if (side == "rc") c.maskKey == "rs" else c.maskKey == "rc"))
+      .toSeq
+    if (snapshot.isEmpty || batch.isEmpty) return
+    def boundaryOf(c: Connection): Long =
+      if (side == "rc") c.rcBoundary else c.rsBoundary
+    val tags = filter(
+      array(snapshot.map { c =>
+        when(col("id") > lit(boundaryOf(c)) &&
+          RedditOps.whitelistPred(c.spec) && RedditOps.attrPred(c.spec),
+          lit(c.id)).otherwise(lit(null))
+      }: _*),
+      t => t.isNotNull)
+    batch
+      .select(col("event"), col("id"), col("author"), col("subreddit"),
+        col("domain"), col("over_18"), col("is_self"))
+      .select(explode(tags).as("cid"))
+      .groupBy(col("cid")).count()
+      .collect().foreach { r =>
+        Option(conns.get(r.getString(0))).foreach { c =>
+          if (side == "rc") c.tcs.addAndGet(r.getLong(1))
+          else c.tss.addAndGet(r.getLong(1))
+        }
+      }
   }
 
   /** Running shared queries (exposed for tests/metrics). */
@@ -475,15 +544,22 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           // live lower bounds (B0), read BEFORE registration — see the
           // Connection scaladoc; a future start_id raises them so the
           // feed skips ids the client asked to skip
+          // with counterParity even an excluded type gets a real live
+          // boundary: the tap counts its events from connect time on
           c = new Connection(s"c${connSeq.incrementAndGet()}", spec, maskKey, ip,
             rcBoundary =
-              if (maskHasRc) math.max(RedditLog.maxId(rcPath), futureStart(spec.commentStartId))
+              if (maskHasRc || counterParity)
+                math.max(RedditLog.maxId(rcPath), futureStart(spec.commentStartId))
               else Long.MaxValue,
             rsBoundary =
-              if (maskHasRs) math.max(RedditLog.maxId(rsPath), futureStart(spec.submissionStartId))
+              if (maskHasRs || counterParity)
+                math.max(RedditLog.maxId(rsPath), futureStart(spec.submissionStartId))
               else Long.MaxValue)
           conns.put(c.id, c)
-          ensureQuery(maskKey)
+          val healthKeys = Seq(maskKey) ++
+            (if (counterParity && !maskHasRc) Seq("tap:rc") else Nil) ++
+            (if (counterParity && !maskHasRs) Seq("tap:rs") else Nil)
+          healthKeys.foreach(ensureQuery)
           // Suppression thresholds (B1): for a type the client RESUMES
           // (backfill/start_id) this is the catch-up scan's upper bound —
           // a fresh maxId read AFTER registration, ≥ the boundary by id
@@ -542,12 +618,12 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
               }
               val now = System.currentTimeMillis()
               if (now - lastHealth >= healthMillis) {
-                // health tick: restart a dead mask query while clients
-                // are still attached (ensureQuery scaladoc) — without
-                // it a failed query is only noticed by the NEXT
+                // health tick: restart a dead mask/tap query while
+                // clients are still attached (ensureQuery scaladoc) —
+                // without it a failed query is only noticed by the NEXT
                 // connection and existing clients blackhole silently
                 lastHealth = now
-                ensureQuery(c.maskKey)
+                healthKeys.foreach(ensureQuery)
               }
               if (now - lastKeepAlive >= keepAliveMillis) {
                 keepAliveId += 1
@@ -614,9 +690,18 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   }
 
   def stop(): Unit = {
+    stopping = true
     conns.values.asScala.foreach(_.closed = true)
-    queries.values.asScala.foreach(_.stop())
-    queries.clear()
+    // under queryLock so an in-flight ensureQuery either finished its
+    // start (and is stopped here) or observes `stopping` and bails
+    queryLock.synchronized {
+      queries.values.asScala.foreach(_.stop())
+      queries.clear()
+    }
     if (http != null) http.stop(0)
   }
+}
+
+object SseServer {
+  private val instanceSeq = new java.util.concurrent.atomic.AtomicLong()
 }

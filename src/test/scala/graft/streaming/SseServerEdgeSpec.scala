@@ -92,7 +92,8 @@ class SseServerEdgeSpec extends AnyFunSuite {
       assert(RedditLog.metadataReads(rsDir) == before,
         "rs log was listed by a comments-only fleet")
       // exactly one shared query runs, and it is the rc-mask one
-      assert(server.activeQueries.map(_.name) == Seq("graft-sse-feed-rc"))
+      // (names carry a per-server instance suffix after the dot)
+      assert(server.activeQueries.map(_.name.takeWhile(_ != '.')) == Seq("graft-sse-feed-rc"))
     } finally server.stop()
   }
 
@@ -304,6 +305,43 @@ class SseServerEdgeSpec extends AnyFunSuite {
       val frames = readFrames(server.boundPort, "/?type=comments", 1, timeoutMs = 90000)
       t.join()
       assert(frames.exists(_.startsWith("id: 2\nevent: rc")), frames.mkString("|"))
+    } finally server.stop()
+  }
+
+  test("counterParity: count-only tap restores A1 counters for pruned masks without frame leakage") {
+    val rcDir = Files.createTempDirectory("par-rc").toString
+    val rsDir = Files.createTempDirectory("par-rs").toString
+    RedditLog.writeSegment(rcDir, Seq(rcRow(1)))
+    RedditLog.writeSegment(rsDir, Seq(Map(
+      "id" -> 1L, "event" -> "rs", "created_utc" -> 2000L,
+      "author" -> "u", "subreddit" -> "news", "domain" -> "ex.com",
+      "over_18" -> "false", "is_self" -> "true", "json" -> """{"t":"x"}""")))
+    val server = new SseServer(spark, rcDir, rsDir,
+      keepAliveMillis = 1500L, triggerMillis = 100L, counterParity = true).start()
+    try {
+      val t = new Thread(() => {
+        val deadline = System.currentTimeMillis() + 30000
+        while (server.readyConnections < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        // 3 live comments passing the whitelist: with the reference's
+        // always-scan loop a submissions-only client still COUNTS them
+        // (sse.py:179-180) — the tap restores exactly that
+        RedditLog.writeSegment(rcDir, (2L to 4L).map(i => rcRow(i)))
+      })
+      t.start()
+      val frames = readFrames(server.boundPort,
+        "/?type=submissions&subreddit=news", 10, timeoutMs = 30000)
+      t.join()
+      // the rc log's frames never reach the client...
+      assert(frames.forall(!_.contains("event: rc")), frames.mkString("|"))
+      // ...but a keepalive eventually reports them in tcs; tss stays 0
+      // (the rs seed predates the connection boundary)
+      assert(frames.exists(f => f.contains("keepalive")
+        && f.contains("\"tcs\": 3") && f.contains("\"tss\": 0")),
+        frames.mkString("|"))
+      // one pruned mask feed + one count-only tap, nothing else
+      assert(server.activeQueries.map(_.name.takeWhile(_ != '.')).toSet
+        == Set("graft-sse-feed-rs", "graft-sse-tap-rc"))
     } finally server.stop()
   }
 

@@ -114,9 +114,30 @@ class SseServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     conn.disconnect()
   }
 
+  /** Appender gates. A fixed pre-append sleep flakes under load: an
+    * append landing before the connection's boundary read is
+    * legitimately "before connect" and skipped for live-only clients.
+    * The server is shared across tests, so the MAIN thread first drains
+    * the previous test's connections (their writer loops notice the
+    * disconnect within one keepalive write) BEFORE opening a new one —
+    * then `readyConnections >= 1` unambiguously means this test's
+    * connection is attached with thresholds fixed.
+    */
+  private def drainConnections(): Unit = {
+    val deadline = System.currentTimeMillis() + 15000
+    while (server.readyConnections > 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+  }
+  private def awaitReady(): Unit = {
+    val deadline = System.currentTimeMillis() + 30000
+    while (server.readyConnections < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+  }
+
   test("live feed: appended segments stream to a connected client past its catch-up") {
+    drainConnections()
     val t = new Thread(() => {
-      Thread.sleep(1500)
+      awaitReady()
       RedditLog.writeSegment(rcDir, Seq(Map(
         "id" -> 6L, "event" -> "rc", "created_utc" -> 1006L,
         "author" -> "u6", "subreddit" -> "news", "domain" -> null,
@@ -159,8 +180,9 @@ class SseServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ids 30,31 appended together; 31 has the EARLIER created_utc, so the
     // O1 emit sort delivers 31 first — a per-row id watermark would then
     // silently drop 30 (regression: review finding on handleBatch marks)
+    drainConnections()
     val t = new Thread(() => {
-      Thread.sleep(1500)
+      awaitReady()
       RedditLog.writeSegment(rcDir, Seq(
         Map("id" -> 30L, "event" -> "rc", "created_utc" -> 9000L,
           "author" -> "ooo", "subreddit" -> "news", "domain" -> null,
@@ -181,8 +203,9 @@ class SseServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("future start_id: live feed skips up to the requested id") {
+    drainConnections()
     val t = new Thread(() => {
-      Thread.sleep(1500)
+      awaitReady()
       RedditLog.writeSegment(rcDir, (40L to 44L).map(i => Map(
         "id" -> i, "event" -> "rc", "created_utc" -> (10000L + i),
         "author" -> "fut", "subreddit" -> "news", "domain" -> null,
