@@ -232,6 +232,14 @@ object Dedup {
     * the hot aggregate path.
     *
     * Returns one row per new-batch doc: (doc_id, is_dup).
+    *
+    * Broadcast lifetime: the returned DataFrame closes over the
+    * broadcast sketch, which lives until the application ends or the
+    * caller destroys it. A long-lived ingest loop calling this per
+    * arriving batch should `unpersist()`/`destroy()` the broadcast once
+    * the batch's result is consumed (or reuse one filter across batches
+    * and rebuild on a cadence) — one undestroyed multi-MB sketch per
+    * batch accumulates in executor memory.
     */
   def bloomDedup(docs: DataFrame, historyPred: Column, newPred: Column,
       expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {

@@ -159,8 +159,19 @@ object RedditLog {
     * [[armLease]] sets the partition count). Call BEFORE listing
     * segments, so the snapshot is provably no older than the lease.
     */
+  /** Drop leases past the TTL — the release path for scans whose
+    * partition closes never arrive (executor-side close on a multi-JVM
+    * run, plans that were never executed). Without it the map grows one
+    * entry per scan forever on exactly those runs.
+    */
+  private def purgeExpiredLeases(now: Long): Unit =
+    leases.entrySet().removeIf(e => now - e.getValue.startMillis >= leaseTtlMillis)
+
   private[sources] def acquireLease(dir: String): Long = {
     val id = leaseSeq.incrementAndGet()
+    // amortized housekeeping: streaming sources plan one scan per
+    // micro-batch, so tie the purge to acquisition rate
+    if ((id & 1023L) == 0L) purgeExpiredLeases(System.currentTimeMillis())
     leases.put(id, Lease(canon(dir), System.currentTimeMillis(),
       new AtomicInteger(Int.MaxValue)))
     id
@@ -182,12 +193,16 @@ object RedditLog {
       if (l.remaining.decrementAndGet() <= 0) leases.remove(id)
     }
 
-  /** Start time of the oldest in-flight (non-expired) scan over `dir`. */
+  /** Start time of the oldest in-flight (non-expired) scan over `dir`.
+    * Also reclaims expired entries (gcSweep calls this every sweep, so
+    * the map stays bounded even when nothing new is being scanned).
+    */
   def oldestActiveLeaseStart(dir: String): Option[Long] = {
     val now = System.currentTimeMillis()
+    purgeExpiredLeases(now)
     val c = canon(dir)
     leases.values.asScala
-      .filter(l => l.dir == c && now - l.startMillis < leaseTtlMillis)
+      .filter(l => l.dir == c)
       .map(_.startMillis).minOption
   }
 

@@ -121,8 +121,11 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   private final class Connection(val id: String, val spec: ParamSpec,
       val maskKey: String, val ip: String,
       val rcBoundary: Long, val rsBoundary: Long) {
-    var rcSuppress: Long = Long.MaxValue
-    var rsSuppress: Long = Long.MaxValue
+    // volatile: written once by the handler thread during setup, read by
+    // the writer loop AND by batch threads (the counter passes bound
+    // resumed sides by suppress — handleBatch/handleTapBatch)
+    @volatile var rcSuppress: Long = Long.MaxValue
+    @volatile var rsSuppress: Long = Long.MaxValue
     @volatile var attached = false
     /** Force-closes the HTTP exchange from ANOTHER thread. `closed`
       * alone is only observed between writes — a client that stopped
@@ -200,8 +203,19 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * frames carry ids, so clients can discard duplicates.
     */
   private val startPins = new ConcurrentHashMap[String, java.lang.Long]()
-  private lazy val checkpointRoot =
+  /** Highest batch id whose COUNTER pass completed, per query key: a
+    * checkpoint-replayed batch re-emits frames (at-least-once, clients
+    * dedup by id) but must not re-bump tcs/tss. Residual window: a crash
+    * between the counter collect and this marker re-counts one batch on
+    * replay — shrinking that to zero needs a transactional sink, which a
+    * driver-held AtomicLong counter is not.
+    */
+  private val lastCounted = new ConcurrentHashMap[String, java.lang.Long]()
+  @volatile private var checkpointRootCreated = false
+  private lazy val checkpointRoot = {
+    checkpointRootCreated = true
     java.nio.file.Files.createTempDirectory("graft-sse-ckpt").toString
+  }
 
   private def side(maskKey: String, p: String): DataFrame = {
     // Pin the live window's start HERE, synchronously, rather than
@@ -213,15 +227,28 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     // (both are maxId reads; the pin happens first; ids are monotone),
     // so ids above the threshold are always covered by the stream.
     // The pin is per (mask, side) and PERSISTENT across restarts — see
-    // the restart-state scaladoc above.
-    val startId: Long = startPins.computeIfAbsent(s"$maskKey@$p",
-      _ => RedditLog.maxId(p) + 1)
+    // the restart-state scaladoc above. handleStream pins BEFORE it
+    // reads a connection's boundaries (pinSide), so by the time a query
+    // is defined here the pin already exists; the computeIfAbsent is the
+    // fallback for direct/test use.
+    val startId: Long = pinSide(maskKey, p)
     val r = spark.readStream
       .format("graft.sources.RedditLogSource").option("path", p)
       .option("start_id", startId.toString)
     (if (maxPerTrigger > 0) r.option("max_per_trigger", maxPerTrigger.toString)
      else r).load()
   }
+
+  /** Pin (or return the existing pin of) the live-start id for a
+    * (query-key, side-path) pair. ORDER MATTERS: this must run BEFORE a
+    * connection's boundary read — the boundary promises "everything
+    * above me arrives via the live stream", which only holds if the
+    * stream's initial offset (pin − 1) is ≤ the boundary. Pinning after
+    * the boundary read (the old order, first connection of a mask) left
+    * (boundary, pin) covered by neither the stream nor catch-up.
+    */
+  private def pinSide(key: String, p: String): Long =
+    startPins.computeIfAbsent(s"$key@$p", _ => RedditLog.maxId(p) + 1)
 
   private def liveStream(maskKey: String): DataFrame = maskKey match {
     case "rc" => side(maskKey, rcPath)
@@ -256,9 +283,9 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
         // restart machinery above.
         val (stream, base, sink) = key match {
           case "tap:rc" => (side(key, rcPath), "graft-sse-tap-rc",
-            (b: DataFrame, _: Long) => handleTapBatch("rc", b))
+            (b: DataFrame, id: Long) => handleTapBatch(key, "rc", b, id))
           case "tap:rs" => (side(key, rsPath), "graft-sse-tap-rs",
-            (b: DataFrame, _: Long) => handleTapBatch("rs", b))
+            (b: DataFrame, id: Long) => handleTapBatch(key, "rs", b, id))
           case mask => (liveStream(mask), s"graft-sse-feed-$mask",
             (b: DataFrame, id: Long) => handleBatch(mask, b, id))
         }
@@ -279,16 +306,29 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * tcs/tss for exactly those connections. Projects only the envelope
     * columns the predicates touch; no ordering, no frames, no emit.
     */
-  private def handleTapBatch(side: String, batch: DataFrame): Unit = {
+  private def handleTapBatch(key: String, side: String, batch: DataFrame,
+      batchId: Long): Unit = {
     val snapshot = conns.values.asScala
       .filter(c => !c.closed && (if (side == "rc") c.maskKey == "rs" else c.maskKey == "rc"))
       .toSeq
-    if (snapshot.isEmpty || batch.isEmpty) return
-    def boundaryOf(c: Connection): Long =
-      if (side == "rc") c.rcBoundary else c.rsBoundary
+    // no batch.isEmpty probe: foreachBatch only fires when offsets
+    // advanced, the tap's single aggregate is as cheap as the probe
+    // itself, and the probe would re-scan the unpersisted batch
+    if (snapshot.isEmpty) return
+    // replay guard — same contract as handleBatch's counter pass
+    if (batchId <= Option(lastCounted.get(key)).map(_.toLong).getOrElse(-1L)) return
+    // bound: suppress for a resumed side (its catch-up counts up to it —
+    // handleBatch.counterPred has the full argument), else the boundary
+    def tapBound(c: Connection): Long =
+      if (side == "rc")
+        (if (c.spec.commentBackfill.isDefined || c.spec.commentStartId.isDefined)
+          c.rcSuppress else c.rcBoundary)
+      else
+        (if (c.spec.submissionBackfill.isDefined || c.spec.submissionStartId.isDefined)
+          c.rsSuppress else c.rsBoundary)
     val tags = filter(
       array(snapshot.map { c =>
-        when(col("id") > lit(boundaryOf(c)) &&
+        when(col("id") > lit(tapBound(c)) &&
           RedditOps.whitelistPred(c.spec) && RedditOps.attrPred(c.spec),
           lit(c.id)).otherwise(lit(null))
       }: _*),
@@ -304,6 +344,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           else c.tss.addAndGet(r.getLong(1))
         }
       }
+    lastCounted.put(key, batchId)
   }
 
   /** Running shared queries (exposed for tests/metrics). */
@@ -338,6 +379,12 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * type with no resume params, the "no orphaned id window" guarantee)
     * without racing real appends.
     */
+  /** Test seam: the pinned live-start id for a (query key, side path),
+    * if pinned — specs assert pin − 1 ≤ boundary (pinSide scaladoc).
+    */
+  private[streaming] def pinnedStart(key: String, path: String): Option[Long] =
+    Option(startPins.get(s"$key@$path")).map(_.toLong)
+
   private[streaming] def connectionThresholds: Seq[(Long, Long, Long, Long)] =
     conns.values.asScala.filter(c => c.attached && !c.closed).toSeq
       .map(c => (c.rcBoundary, c.rcSuppress, c.rsBoundary, c.rsSuppress))
@@ -359,23 +406,48 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
         (col("event") === "rc" && col("id") > lit(c.rcBoundary)) ||
           (col("event") === "rs" && col("id") > lit(c.rsBoundary))
 
-      def tags(predOf: Connection => Column): Column = filter(
+      def tags(base: Connection => Column, predOf: Connection => Column): Column = filter(
         array(snapshot.map { c =>
-          when(boundaryPred(c) && predOf(c), lit(c.id)).otherwise(lit(null))
+          when(base(c) && predOf(c), lit(c.id)).otherwise(lit(null))
         }: _*),
         t => t.isNotNull)
 
-      // A1 counters: whitelist ∧ attr, deliberately before the type gate
-      val counted = batch
-        .select(col("event"), explode(tags(c =>
-          RedditOps.whitelistPred(c.spec) && RedditOps.attrPred(c.spec))).as("cid"))
-        .groupBy(col("cid"), col("event")).count()
-        .collect()
-      counted.foreach { r =>
-        Option(conns.get(r.getString(0))).foreach { c =>
-          val n = r.getLong(2)
-          if (r.getString(1) == "rc") c.tcs.addAndGet(n) else c.tss.addAndGet(n)
+      // Counter lower bound per side: a RESUMED side's catch-up scan
+      // already counts everything ≤ suppress, so the live pass must
+      // start ABOVE suppress or the (boundary, suppress] overlap is
+      // counted twice (frames dedup writer-side; counters have no
+      // writer). An unresumed side has no catch-up and an immutable
+      // boundary (== suppress), so the boundary is the loss-free bound.
+      // Pre-attach batches see suppress = MaxValue and count nothing for
+      // a resumed side — exactly the rows its catch-up scan will count.
+      def counterPred(c: Connection): Column = {
+        def needRc = c.spec.commentBackfill.isDefined || c.spec.commentStartId.isDefined
+        def needRs = c.spec.submissionBackfill.isDefined || c.spec.submissionStartId.isDefined
+        (col("event") === "rc" &&
+          col("id") > lit(if (needRc) c.rcSuppress else c.rcBoundary)) ||
+          (col("event") === "rs" &&
+            col("id") > lit(if (needRs) c.rsSuppress else c.rsBoundary))
+      }
+
+      // A1 counters: whitelist ∧ attr, deliberately before the type
+      // gate. Skipped when this batch id was already counted — the
+      // checkpointed restart replays an uncommitted batch for frame
+      // delivery (at-least-once; clients dedup by id), but counters
+      // have no client-side dedup and must not double-bump.
+      val countThis = batchId > Option(lastCounted.get(maskKey)).map(_.toLong).getOrElse(-1L)
+      if (countThis) {
+        val counted = batch
+          .select(col("event"), explode(tags(counterPred, c =>
+            RedditOps.whitelistPred(c.spec) && RedditOps.attrPred(c.spec))).as("cid"))
+          .groupBy(col("cid"), col("event")).count()
+          .collect()
+        counted.foreach { r =>
+          Option(conns.get(r.getString(0))).foreach { c =>
+            val n = r.getLong(2)
+            if (r.getString(1) == "rc") c.tcs.addAndGet(n) else c.tss.addAndGet(n)
+          }
         }
+        lastCounted.put(maskKey, batchId)
       }
 
       // emit pass: full predicate, per-connection payload projection,
@@ -390,7 +462,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       }
       val rows = orderedRows(batch
         .select(col("id"), col("event"), col("created_utc"), col("json"),
-          explode(tags(c => RedditOps.pred(c.spec))).as("cid"))
+          explode(tags(boundaryPred, c => RedditOps.pred(c.spec))).as("cid"))
         .withColumn("frame", RedditOps.sseFrame(col("id"), col("event"), dataCol))
         .select(col("cid"), col("event"), col("id"), col("frame"),
           col("created_utc")))
@@ -544,6 +616,13 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           // live lower bounds (B0), read BEFORE registration — see the
           // Connection scaladoc; a future start_id raises them so the
           // feed skips ids the client asked to skip
+          // pin the live streams BEFORE the boundary reads below
+          // (pinSide scaladoc: the stream must cover every id above the
+          // boundary, so its start must be fixed at-or-before it)
+          if (maskHasRc) pinSide(maskKey, rcPath)
+          if (maskHasRs) pinSide(maskKey, rsPath)
+          if (counterParity && !maskHasRc) pinSide("tap:rc", rcPath)
+          if (counterParity && !maskHasRs) pinSide("tap:rs", rsPath)
           // with counterParity even an excluded type gets a real live
           // boundary: the tap counts its events from connect time on
           c = new Connection(s"c${connSeq.incrementAndGet()}", spec, maskKey, ip,
@@ -699,6 +778,15 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       queries.clear()
     }
     if (http != null) http.stop(0)
+    // the checkpoint WAL is only meaningful while this instance lives
+    // (offsets of queries that no longer exist) — reclaim it
+    if (checkpointRootCreated) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(checkpointRoot))
+    }
   }
 }
 

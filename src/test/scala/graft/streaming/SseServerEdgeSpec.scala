@@ -275,6 +275,13 @@ class SseServerEdgeSpec extends AnyFunSuite {
       assert(rcS == rcB,
         s"live-only rc suppress $rcS != boundary $rcB — the ids in between would be lost")
       assert(rsB == Long.MaxValue && rsS == Long.MaxValue)
+      // and the stream's pinned start must cover everything above the
+      // boundary: pin − 1 ≤ boundary (a pin read AFTER the boundary
+      // leaves (boundary, pin) delivered by neither path — with the
+      // racing appender the two reads observably differ if misordered)
+      val pin = server.pinnedStart("rc", rcDir)
+      assert(pin.isDefined && pin.get - 1 <= rcB,
+        s"stream pin ${pin} must be at-or-below boundary $rcB + 1")
       conn.disconnect()
     } finally { stopAppends = true; appender.join(); server.stop() }
   }
