@@ -243,17 +243,28 @@ object Dedup {
     */
   def bloomDedup(docs: DataFrame, historyPred: Column, newPred: Column,
       expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    // NULL text → NULL digest: never a duplicate (SQL NULL equality),
+    // kept out of both the sketch build (mightContainString NPEs on
+    // null) and the join legs
     val digests = docs.select(col("doc_id"), sha2(col("text"), 256).as("digest"))
-    val history = digests.filter(historyPred)
+    val history = digests.filter(historyPred && col("digest").isNotNull)
     val fresh = digests.filter(newPred)
     val bloom = history.stat.bloomFilter("digest", expectedItems, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((d: String) => bc.value.mightContainString(d))
-    val dups = fresh.filter(mightContain(col("digest")))
-      .join(history.select(col("digest")), Seq("digest"), "left_semi")
-      .select(col("doc_id"))
-    fresh.join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    val mightContain = udf((d: String) => d != null && bc.value.mightContainString(d))
+    // Bloom misses (no false negatives → provably not dups) short-
+    // circuit scan-side with is_dup = false and NEVER shuffle; only the
+    // hits (true dups + the fpp share) are exactness-checked against the
+    // history digest set. At batch scale the exchange carries the hit
+    // stream, not the batch.
+    val hit = mightContain(col("digest"))
+    val misses = fresh.filter(!hit)
+      .select(col("doc_id"), lit(false).as("is_dup"))
+    val verified = fresh.filter(hit)
+      .join(history.select(col("digest")).distinct().withColumn("mark", lit(true)),
+        Seq("digest"), "left_outer")
+      .select(col("doc_id"), coalesce(col("mark"), lit(false)).as("is_dup"))
+    misses.unionByName(verified)
   }
 
   /** 32-bit SimHash per document: per-bit majority vote over the token

@@ -136,73 +136,90 @@ object RedditLog {
   }
 
   // ---- reader leases ----
-  // A scan acquires a lease BEFORE its manifest snapshot and releases it
-  // as its partition readers close; [[gcSweep]] never deletes a file
-  // replaced at-or-after the oldest active lease's start, so a slow scan
-  // planned on a previous manifest keeps resolving every file it planned
-  // REGARDLESS of the time-based grace window (ADVICE r2: the grace alone
-  // had nothing tying it to actual reader lifetimes). Exact in-process
-  // (local mode, and the SSE server's catch-up scans share the writer's
-  // JVM); on a multi-JVM cluster an executor-side release is a no-op and
-  // the lease instead expires via `leaseTtlMillis` — there the grace
-  // window, sized ≥ the longest expected scan, remains the real control.
+  // A scan acquires a lease BEFORE its manifest snapshot; [[gcSweep]]
+  // never deletes a file replaced at-or-after the oldest ACTIVE lease's
+  // start, so a scan planned on a previous manifest keeps resolving the
+  // files it planned regardless of the time-based grace window
+  // (ADVICE r2: the grace alone had nothing tying it to actual reader
+  // lifetimes). A lease is ACTIVE while either holds:
+  //
+  //  - any of its partition readers is currently OPEN (open-reader
+  //    counting, maintained by the reader factory). Counting OPEN
+  //    readers -- not outstanding partitions -- lets the lease survive
+  //    Spark re-executing the same memoized plan several times
+  //    (foreachBatch probe + counter pass + emit pass, cache-miss
+  //    recomputes): a partition-countdown drains on the first pass and
+  //    leaves the later passes unprotected; or
+  //  - it is younger than `leasePlanGraceMillis` -- covering the window
+  //    between planning and the first (or next) reader open, and the
+  //    natural expiry for plan copies that never execute (physical
+  //    planning probes planInputPartitions on throwaway copies) and for
+  //    data batches whose sink early-returned without running an action.
+  //
+  // `leaseTtlMillis` is the hard backstop for opens whose close never
+  // arrives (lost executor). Exactness is in-process (local mode, and
+  // the SSE server's scans share the writer's JVM); on a multi-JVM
+  // cluster the executor-side open/close are no-ops and driver-side
+  // leases expire at the plan grace -- there the grace window, sized
+  // >= the longest expected scan, remains the real control.
 
-  private final case class Lease(dir: String, startMillis: Long, remaining: AtomicInteger)
+  private final case class Lease(dir: String, startMillis: Long, open: AtomicInteger)
   private val leases = new ConcurrentHashMap[Long, Lease]()
   private val leaseSeq = new AtomicLong()
-  /** Backstop for leases whose releases never arrive (lost executor,
-    * crashed scan): ignored by [[oldestActiveLeaseStart]] after this age.
+  /** Hard backstop: a lease is never honored past this age, even with
+    * readers stuck open (lost executor, leaked iterator).
     */
   @volatile var leaseTtlMillis: Long = 15 * 60 * 1000L
-
-  /** Register a scan over `dir` in the pending state (holds GC until
-    * [[armLease]] sets the partition count). Call BEFORE listing
-    * segments, so the snapshot is provably no older than the lease.
+  /** How long a lease with no open readers stays active after planning
+    * (plan-to-read latency and the gaps between a plan's passes). Also
+    * the floor on how long continuous re-planning (a busy streaming
+    * source) can hold GC back.
     */
-  /** Drop leases past the TTL — the release path for scans whose
-    * partition closes never arrive (executor-side close on a multi-JVM
-    * run, plans that were never executed). Without it the map grows one
-    * entry per scan forever on exactly those runs.
-    */
-  private def purgeExpiredLeases(now: Long): Unit =
-    leases.entrySet().removeIf(e => now - e.getValue.startMillis >= leaseTtlMillis)
+  @volatile var leasePlanGraceMillis: Long = 60 * 1000L
 
+  private def leaseActive(l: Lease, now: Long): Boolean =
+    now - l.startMillis < leaseTtlMillis &&
+      (l.open.get() > 0 || now - l.startMillis < leasePlanGraceMillis)
+
+  private def purgeInactiveLeases(now: Long): Unit =
+    leases.entrySet().removeIf(e => !leaseActive(e.getValue, now))
+
+  /** Register a scan over `dir`. Call BEFORE listing segments, so the
+    * snapshot is provably no older than the lease.
+    */
   private[sources] def acquireLease(dir: String): Long = {
     val id = leaseSeq.incrementAndGet()
     // amortized housekeeping: streaming sources plan one scan per
     // micro-batch, so tie the purge to acquisition rate
-    if ((id & 1023L) == 0L) purgeExpiredLeases(System.currentTimeMillis())
-    leases.put(id, Lease(canon(dir), System.currentTimeMillis(),
-      new AtomicInteger(Int.MaxValue)))
+    if ((id & 1023L) == 0L) purgeInactiveLeases(System.currentTimeMillis())
+    leases.put(id, Lease(canon(dir), System.currentTimeMillis(), new AtomicInteger(0)))
     id
   }
 
-  /** Fix the lease's outstanding-partition count once planning knows it;
-    * zero partitions releases immediately.
-    */
+  /** Zero planned partitions means nothing will ever read: drop now. */
   private[sources] def armLease(id: Long, partitions: Int): Unit =
     if (partitions <= 0) leases.remove(id)
-    else Option(leases.get(id)).foreach(_.remaining.set(partitions))
 
-  /** One partition reader of the lease's scan closed; the last one out
-    * releases the lease. Unknown ids (another JVM's lease, double close
-    * from a retried task after release) are a no-op.
+  /** A partition reader of the lease's scan opened / closed. Unknown ids
+    * (another JVM's lease, a close racing lease expiry) are no-ops; the
+    * open count floors at zero so a retried task's double close cannot
+    * go negative.
     */
+  private[sources] def leaseReaderOpened(id: Long): Unit =
+    Option(leases.get(id)).foreach(_.open.incrementAndGet())
   private[sources] def releaseLeasePartition(id: Long): Unit =
-    Option(leases.get(id)).foreach { l =>
-      if (l.remaining.decrementAndGet() <= 0) leases.remove(id)
-    }
+    Option(leases.get(id)).foreach(_.open.updateAndGet(n => math.max(0, n - 1)))
 
-  /** Start time of the oldest in-flight (non-expired) scan over `dir`.
-    * Also reclaims expired entries (gcSweep calls this every sweep, so
-    * the map stays bounded even when nothing new is being scanned).
+  /** Start time of the oldest ACTIVE lease over `dir`. Also reclaims
+    * inactive entries (gcSweep calls this every sweep, so the map stays
+    * bounded even when nothing new is being scanned).
     */
   def oldestActiveLeaseStart(dir: String): Option[Long] = {
     val now = System.currentTimeMillis()
-    purgeExpiredLeases(now)
+    purgeInactiveLeases(now)
     val c = canon(dir)
     leases.values.asScala
-      .filter(l => l.dir == c)
+      .filter(l => l.dir == c && leaseActive(l, now))
       .map(_.startMillis).minOption
   }
 
@@ -308,9 +325,15 @@ object RedditLog {
       // grace must measure time-since-dead, and a file's natural mtime is
       // its creation time — a segment written long before its compaction
       // would otherwise be GC-eligible the instant the manifest flips,
-      // under the feet of readers planned on the previous snapshot
+      // under the feet of readers planned on the previous snapshot.
+      // A failed stamp (permissions, read-only FS) is loud: the file
+      // would silently inherit creation-time GC eligibility otherwise.
       val now = System.currentTimeMillis()
-      replaced.foreach(_.setLastModified(now))
+      replaced.foreach { f =>
+        if (!f.setLastModified(now))
+          System.err.println(s"[reddit-log] WARN: could not stamp replacement time on $f — " +
+            "it may be GC-eligible early (creation mtime + grace)")
+      }
     }
     replaced
   }
@@ -342,9 +365,15 @@ object RedditLog {
   def gcSweep(dir: String, graceMillis: Long): Seq[File] = {
     val live = listSegments(dir).map(_.file.getName).toSet
     val watermark = maxId(dir)
+    // mtimeSlack: filesystem mtime granularity can be 1-2 s, so a stamp
+    // written just AFTER a lease started may truncate to just BEFORE
+    // it; compare against the lease floor with the granularity slack so
+    // truncation can never flip "replaced after the lease" into
+    // "replaced before it"
+    val mtimeSlackMillis = 2000L
     val cutoff = math.min(
       System.currentTimeMillis() - graceMillis,
-      oldestActiveLeaseStart(dir).getOrElse(Long.MaxValue))
+      oldestActiveLeaseStart(dir).map(_ - mtimeSlackMillis).getOrElse(Long.MaxValue))
     val dead = rawList(dir).filter(s =>
       !live.contains(s.file.getName) && s.lastId <= watermark &&
         s.file.lastModified() < cutoff)

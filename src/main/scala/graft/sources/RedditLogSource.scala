@@ -270,8 +270,9 @@ private[sources] class RedditLogBatch(path: String,
 }
 
 /** `leaseId`: the planning-time reader lease this partition belongs to;
-  * the reader's close() releases its share (no-op off the planning JVM —
-  * there the lease TTL takes over; RedditLog lease section).
+  * reader open/close maintain its open-reader count (no-ops off the
+  * planning JVM — there the plan-grace expiry takes over; RedditLog
+  * lease section).
   */
 case class RedditLogInputPartition(file: String, startExclusive: Long,
     endInclusive: Long, leaseId: Long = -1L) extends InputPartition
@@ -279,6 +280,10 @@ case class RedditLogInputPartition(file: String, startExclusive: Long,
 private[sources] class RedditLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RedditLogInputPartition]
+    // open-reader lease accounting (RedditLog lease section): the lease
+    // stays active while any reader of its plan is open, across however
+    // many executions Spark runs over the same planned partitions
+    RedditLog.leaseReaderOpened(p.leaseId)
     new PartitionReader[InternalRow] {
       private val mapper = new ObjectMapper()
       private val lines = new String(

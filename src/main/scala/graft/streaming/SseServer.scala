@@ -133,6 +133,21 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       * only tearing the socket down makes that write fail and unwind.
       */
     @volatile var abort: () => Unit = () => ()
+    /** THE resume-detection rule, defined once: a side with explicit
+      * backfill/start_id params is served history by catch-up. Keep
+      * every consumer (threshold setup, catch-up, both counter passes)
+      * on these helpers — divergent copies of this rule silently
+      * re-introduce double- or never-counted events.
+      */
+    def needsCatchUp(sideIsRc: Boolean): Boolean =
+      if (sideIsRc) spec.commentBackfill.isDefined || spec.commentStartId.isDefined
+      else spec.submissionBackfill.isDefined || spec.submissionStartId.isDefined
+    /** Counter lower bound per side: suppress for a resumed side (its
+      * catch-up counts everything at-or-below), else the boundary.
+      */
+    def counterBound(sideIsRc: Boolean): Long =
+      if (sideIsRc) { if (needsCatchUp(true)) rcSuppress else rcBoundary }
+      else { if (needsCatchUp(false)) rsSuppress else rsBoundary }
     val queue = new LinkedBlockingQueue[SseFrame](queueCapacity)
     val dropped = new AtomicLong(0)
     val tcs = new AtomicLong(0)
@@ -317,18 +332,9 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     if (snapshot.isEmpty) return
     // replay guard — same contract as handleBatch's counter pass
     if (batchId <= Option(lastCounted.get(key)).map(_.toLong).getOrElse(-1L)) return
-    // bound: suppress for a resumed side (its catch-up counts up to it —
-    // handleBatch.counterPred has the full argument), else the boundary
-    def tapBound(c: Connection): Long =
-      if (side == "rc")
-        (if (c.spec.commentBackfill.isDefined || c.spec.commentStartId.isDefined)
-          c.rcSuppress else c.rcBoundary)
-      else
-        (if (c.spec.submissionBackfill.isDefined || c.spec.submissionStartId.isDefined)
-          c.rsSuppress else c.rsBoundary)
     val tags = filter(
       array(snapshot.map { c =>
-        when(col("id") > lit(tapBound(c)) &&
+        when(col("id") > lit(c.counterBound(side == "rc")) &&
           RedditOps.whitelistPred(c.spec) && RedditOps.attrPred(c.spec),
           lit(c.id)).otherwise(lit(null))
       }: _*),
@@ -412,22 +418,18 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
         }: _*),
         t => t.isNotNull)
 
-      // Counter lower bound per side: a RESUMED side's catch-up scan
-      // already counts everything ≤ suppress, so the live pass must
-      // start ABOVE suppress or the (boundary, suppress] overlap is
-      // counted twice (frames dedup writer-side; counters have no
-      // writer). An unresumed side has no catch-up and an immutable
-      // boundary (== suppress), so the boundary is the loss-free bound.
-      // Pre-attach batches see suppress = MaxValue and count nothing for
-      // a resumed side — exactly the rows its catch-up scan will count.
-      def counterPred(c: Connection): Column = {
-        def needRc = c.spec.commentBackfill.isDefined || c.spec.commentStartId.isDefined
-        def needRs = c.spec.submissionBackfill.isDefined || c.spec.submissionStartId.isDefined
-        (col("event") === "rc" &&
-          col("id") > lit(if (needRc) c.rcSuppress else c.rcBoundary)) ||
-          (col("event") === "rs" &&
-            col("id") > lit(if (needRs) c.rsSuppress else c.rsBoundary))
-      }
+      // Counter lower bound per side (Connection.counterBound): a
+      // RESUMED side's catch-up scan already counts everything ≤
+      // suppress, so the live pass must start ABOVE suppress or the
+      // (boundary, suppress] overlap is counted twice (frames dedup
+      // writer-side; counters have no writer). An unresumed side has no
+      // catch-up and an immutable boundary (== suppress), so the
+      // boundary is the loss-free bound. Pre-attach batches see
+      // suppress = MaxValue and count nothing for a resumed side —
+      // exactly the rows its catch-up scan will count.
+      def counterPred(c: Connection): Column =
+        (col("event") === "rc" && col("id") > lit(c.counterBound(true))) ||
+          (col("event") === "rs" && col("id") > lit(c.counterBound(false)))
 
       // A1 counters: whitelist ∧ attr, deliberately before the type
       // gate. Skipped when this batch id was already counted — the
@@ -521,8 +523,8 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   private def catchUp(c: Connection, rcMax: Long, rsMax: Long,
       write: String => Unit): Unit = {
     val spec = c.spec
-    val needRc = spec.commentBackfill.isDefined || spec.commentStartId.isDefined
-    val needRs = spec.submissionBackfill.isDefined || spec.submissionStartId.isDefined
+    val needRc = c.needsCatchUp(true)
+    val needRs = c.needsCatchUp(false)
     if (!needRc && !needRs) {
       return // live-only connection: no historical scan at all
     }
@@ -647,14 +649,14 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           // maxId here would claim ids appended between the boundary read
           // and this line for a catch-up pass that doesn't exist, and the
           // writer would drop them — delivered by neither path.
-          val needRc = spec.commentBackfill.isDefined || spec.commentStartId.isDefined
-          val needRs = spec.submissionBackfill.isDefined || spec.submissionStartId.isDefined
-          val rcMax = if (needRc) RedditLog.maxId(rcPath) else -1L
-          val rsMax = if (needRs) RedditLog.maxId(rsPath) else -1L
+          val rcMax = if (c.needsCatchUp(true)) RedditLog.maxId(rcPath) else -1L
+          val rsMax = if (c.needsCatchUp(false)) RedditLog.maxId(rsPath) else -1L
           c.rcSuppress =
-            if (needRc) math.max(rcMax, futureStart(spec.commentStartId)) else c.rcBoundary
+            if (c.needsCatchUp(true)) math.max(rcMax, futureStart(spec.commentStartId))
+            else c.rcBoundary
           c.rsSuppress =
-            if (needRs) math.max(rsMax, futureStart(spec.submissionStartId)) else c.rsBoundary
+            if (c.needsCatchUp(false)) math.max(rsMax, futureStart(spec.submissionStartId))
+            else c.rsBoundary
           c.abort = () => try ex.close() catch { case _: Exception => () }
           c.attached = true
 

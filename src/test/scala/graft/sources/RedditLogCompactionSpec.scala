@@ -103,8 +103,14 @@ class RedditLogCompactionSpec extends AnyFunSuite {
     val onDisk = new java.io.File(dir).listFiles().count(_.getName.startsWith("seg-"))
     assert(onDisk > RedditLog.listSegments(dir).size, "expected replaced files awaiting gc")
     // an expired grace window (0 ms) reclaims them — crash-safe, since
-    // the sweep derives the dead set from disk vs manifest, not memory
-    val swept = RedditLog.gcSweep(dir, graceMillis = 0L)
+    // the sweep derives the dead set from disk vs manifest, not memory.
+    // (plan-grace zeroed so the ids() scans above don't hold the sweep —
+    // their readers are closed, only the post-plan grace would linger)
+    val prevGrace = RedditLog.leasePlanGraceMillis
+    RedditLog.leasePlanGraceMillis = 0L
+    val swept =
+      try RedditLog.gcSweep(dir, graceMillis = 0L)
+      finally RedditLog.leasePlanGraceMillis = prevGrace
     assert(swept.nonEmpty)
     assert(ids(dir) == (1L to 400L))
     assert(RedditLog.maxId(dir) == 400L)
@@ -131,31 +137,47 @@ class RedditLogCompactionSpec extends AnyFunSuite {
   test("reader lease blocks gc of files its manifest snapshot references") {
     val dir = Files.createTempDirectory("rlog-lease").toString
     (0 until 4).foreach(k => RedditLog.writeSegment(dir, ((k * 10 + 1).toLong to (k * 10 + 10).toLong).map(row)))
-    val lease = RedditLog.acquireLease(dir) // a slow scan plans here…
-    RedditLog.listSegments(dir)             // …on this manifest snapshot
-    val replaced = RedditLog.compact(dir, targetRows = 20L)
-    assert(replaced.nonEmpty)
-    Thread.sleep(5)
-    // an expired grace (0 ms) alone would delete them; the in-flight
-    // lease predates the manifest flip, so the sweep must hold off —
-    // this is what ties GC to reader lifetimes instead of a guess
-    assert(RedditLog.gcSweep(dir, graceMillis = 0L).isEmpty)
-    RedditLog.armLease(lease, 1)
-    RedditLog.releaseLeasePartition(lease) // scan done
-    Thread.sleep(5)
-    assert(RedditLog.gcSweep(dir, graceMillis = 0L).map(_.getName).toSet
-      == replaced.map(_.getName).toSet)
-    assert(ids(dir) == (1L to 40L))
+    // plan-grace zeroed: this test exercises the OPEN-READER half of
+    // lease activity (the grace half is timing-based and covered by the
+    // auto-compaction test's scans)
+    val prevGrace = RedditLog.leasePlanGraceMillis
+    RedditLog.leasePlanGraceMillis = 0L
+    try {
+      val lease = RedditLog.acquireLease(dir) // a slow scan plans here…
+      RedditLog.listSegments(dir)             // …on this manifest snapshot
+      RedditLog.leaseReaderOpened(lease)      // …and a reader is mid-file
+      // sleep past the mtime-granularity slack so the stamped
+      // replacement time is unambiguously AFTER the lease start
+      Thread.sleep(2100)
+      val replaced = RedditLog.compact(dir, targetRows = 20L)
+      assert(replaced.nonEmpty)
+      Thread.sleep(5)
+      // an expired grace (0 ms) alone would delete them; the in-flight
+      // lease predates the manifest flip, so the sweep must hold off —
+      // this is what ties GC to reader lifetimes instead of a guess
+      assert(RedditLog.gcSweep(dir, graceMillis = 0L).isEmpty)
+      RedditLog.releaseLeasePartition(lease) // reader closed, scan done
+      Thread.sleep(5)
+      assert(RedditLog.gcSweep(dir, graceMillis = 0L).map(_.getName).toSet
+        == replaced.map(_.getName).toSet)
+      assert(ids(dir) == (1L to 40L))
+    } finally RedditLog.leasePlanGraceMillis = prevGrace
   }
 
-  test("DSv2 scans acquire and drain leases (none leak after a collect)") {
+  test("DSv2 scans acquire leases; open-reader counts drain after a collect") {
     val dir = Files.createTempDirectory("rlog-drain").toString
     RedditLog.writeSegment(dir, (1L to 10L).map(row))
     RedditLog.writeSegment(dir, (11L to 20L).map(row))
-    assert(RedditLog.oldestActiveLeaseStart(dir).isEmpty)
-    assert(ids(dir) == (1L to 20L))
-    assert(RedditLog.oldestActiveLeaseStart(dir).isEmpty,
-      "scan leases must drain when partition readers close")
+    val prevGrace = RedditLog.leasePlanGraceMillis
+    RedditLog.leasePlanGraceMillis = 0L
+    try {
+      assert(RedditLog.oldestActiveLeaseStart(dir).isEmpty)
+      assert(ids(dir) == (1L to 20L))
+      // with zero plan grace, activity == open readers: all of the
+      // collect's readers must have closed
+      assert(RedditLog.oldestActiveLeaseStart(dir).isEmpty,
+        "scan leases must go inactive when partition readers close")
+    } finally RedditLog.leasePlanGraceMillis = prevGrace
   }
 
   test("singleton groups keep their original file (no rewrite churn)") {
