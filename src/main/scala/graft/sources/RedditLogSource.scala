@@ -152,6 +152,12 @@ private[sources] class RedditLogMicroBatchStream(path: String,
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
+  /** Shown as the source description in StreamingQueryProgress — carries
+    * the log path so consumers (SseServer restart recovery) can map a
+    * dead query's committed end offsets back to their side.
+    */
+  override def toString: String = s"RedditLogSource[$path]"
+
   // ---- option validation (V1/V2, sse.py:49-78) ----
   private def longOpt(key: String): Option[Long] =
     Option(options.get(key)).map { v =>

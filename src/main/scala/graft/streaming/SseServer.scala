@@ -3,7 +3,7 @@ package graft.streaming
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.api.{ApiError, ParamSpec}
 import graft.operators.RedditOps
-import graft.sources.RedditLog
+import graft.sources.{RedditLog, RedditLogOffset}
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.{ConcurrentHashMap, Executors, LinkedBlockingQueue, TimeUnit}
@@ -204,33 +204,39 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     */
   private val instanceId = SseServer.instanceSeq.incrementAndGet()
 
-  /** Restart state for the shared queries. Each mask query gets a
-    * persistent `checkpointLocation`, so a restart after a query death
-    * resumes from the last COMMITTED offset — events appended during the
+  /** Restart state for the shared queries. On restart after a query
+    * death, the dead incarnation's OWN progress log supplies the last
+    * committed end offset per source (the path rides in the source
+    * description — RedditLogMicroBatchStream.toString), and the new
+    * incarnation's start pins move up to it: events appended during the
     * outage are delivered, not skipped (the old restart re-pinned at the
-    * current watermark and silently dropped the gap). For the
-    * died-before-first-commit case the live start id is pinned once per
-    * (mask, side) and reused, so the restarted source's initial offset
-    * equals the original pin. Failure-recovery delivery is therefore
-    * at-least-once: a batch that died after partial emit is replayed in
-    * full on restart (the suppression thresholds don't cover it — they
-    * only dedup the catch-up hand-off), which beats a silent gap: SSE
-    * frames carry ids, so clients can discard duplicates.
+    * current watermark and silently dropped the gap). A query that died
+    * before any progress keeps the original pins — no gap either.
+    *
+    * Deliberately NOT a persistent `checkpointLocation`: the per-batch
+    * offset/commit WAL (two rename-based metadata-log writes per
+    * micro-batch, each a forked chmod without native Hadoop libs)
+    * measured a 30× live fan-out latency regression (SseBenchMain:
+    * 8-client first→last 0.19 s → 7.2 s), and for an in-process SSE
+    * server the WAL buys nothing: the progress object carries the same
+    * committed offsets, and a SERVER crash loses the connections the
+    * offsets existed for anyway.
+    *
+    * Failure-recovery delivery is therefore at-least-once: the batch in
+    * flight at the crash re-processes on restart (frames carry ids, so
+    * clients can discard duplicates; the counter passes share the same
+    * one-batch residual, documented at [[lastCounted]]).
     */
   private val startPins = new ConcurrentHashMap[String, java.lang.Long]()
-  /** Highest batch id whose COUNTER pass completed, per query key: a
-    * checkpoint-replayed batch re-emits frames (at-least-once, clients
-    * dedup by id) but must not re-bump tcs/tss. Residual window: a crash
-    * between the counter collect and this marker re-counts one batch on
-    * replay — shrinking that to zero needs a transactional sink, which a
-    * driver-held AtomicLong counter is not.
+  /** Highest batch id whose COUNTER pass completed, per query key —
+    * guards tcs/tss against a re-invoked batch id within one query
+    * incarnation. Cleared on restart (batch ids restart at 0 with
+    * progress-pin recovery), so the one batch in flight at a crash may
+    * re-count — the documented at-least-once residual; shrinking it to
+    * zero needs a transactional counter sink, which a driver-held
+    * AtomicLong is not.
     */
   private val lastCounted = new ConcurrentHashMap[String, java.lang.Long]()
-  @volatile private var checkpointRootCreated = false
-  private lazy val checkpointRoot = {
-    checkpointRootCreated = true
-    java.nio.file.Files.createTempDirectory("graft-sse-ckpt").toString
-  }
 
   private def side(maskKey: String, p: String): DataFrame = {
     // Pin the live window's start HERE, synchronously, rather than
@@ -291,8 +297,28 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       if (stopping) return
       val existing = Option(queries.get(key))
       if (existing.forall(!_.isActive)) {
-        existing.foreach(_.exception.foreach(e =>
-          System.err.println(s"[sse] restarting dead $key query: ${e.getMessage}")))
+        existing.foreach { dead =>
+          dead.exception.foreach(e =>
+            System.err.println(s"[sse] restarting dead $key query: ${e.getMessage}"))
+          // resume from the dead incarnation's committed offsets: its
+          // progress log carries the end offset per source, and the
+          // source description carries the side's path (restart-state
+          // scaladoc). Pins only move forward — a stale progress object
+          // can never rewind a side.
+          Option(dead.lastProgress).toSeq.flatMap(_.sources).foreach { sp =>
+            for {
+              m <- """RedditLogSource\[(.+)\]""".r
+                .findFirstMatchIn(Option(sp.description).getOrElse(""))
+              end <- Option(sp.endOffset)
+            } {
+              val next = RedditLogOffset.fromJson(end).maxId + 1
+              startPins.merge(s"$key@${m.group(1)}", Long.box(next),
+                (a, b) => if (a >= b) a else b)
+            }
+          }
+          // batch ids restart at 0 in the new incarnation
+          lastCounted.remove(key)
+        }
         // "tap:<side>" keys are the counter-parity count-only queries;
         // anything else is a mask feed. Both share the checkpointed
         // restart machinery above.
@@ -307,7 +333,6 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
         val name = s"$base.i$instanceId"
         val q = stream.writeStream
           .queryName(name)
-          .option("checkpointLocation", s"$checkpointRoot/${key.replace(':', '-')}")
           .foreachBatch(sink)
           .trigger(Trigger.ProcessingTime(s"$triggerMillis milliseconds"))
           .start()
@@ -780,15 +805,6 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       queries.clear()
     }
     if (http != null) http.stop(0)
-    // the checkpoint WAL is only meaningful while this instance lives
-    // (offsets of queries that no longer exist) — reclaim it
-    if (checkpointRootCreated) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(checkpointRoot))
-    }
   }
 }
 
