@@ -163,7 +163,15 @@ object RedditLog {
   // leases expire at the plan grace -- there the grace window, sized
   // >= the longest expected scan, remains the real control.
 
-  private final case class Lease(dir: String, startMillis: Long, open: AtomicInteger)
+  private final case class Lease(dir: String, startMillis: Long, open: AtomicInteger) {
+    /** Last open/close transition — the grace window measures from here,
+      * not from planning, so a multi-pass execution whose passes are
+      * spaced wider than the grace stays covered as long as each gap is
+      * shorter than it (residual: a scan idle longer than the grace
+      * between passes falls back to the caller-sized gcSweep grace).
+      */
+    val lastActivity = new AtomicLong(startMillis)
+  }
   private val leases = new ConcurrentHashMap[Long, Lease]()
   private val leaseSeq = new AtomicLong()
   /** Hard backstop: a lease is never honored past this age, even with
@@ -179,7 +187,7 @@ object RedditLog {
 
   private def leaseActive(l: Lease, now: Long): Boolean =
     now - l.startMillis < leaseTtlMillis &&
-      (l.open.get() > 0 || now - l.startMillis < leasePlanGraceMillis)
+      (l.open.get() > 0 || now - l.lastActivity.get() < leasePlanGraceMillis)
 
   private def purgeInactiveLeases(now: Long): Unit =
     leases.entrySet().removeIf(e => !leaseActive(e.getValue, now))
@@ -206,9 +214,15 @@ object RedditLog {
     * go negative.
     */
   private[sources] def leaseReaderOpened(id: Long): Unit =
-    Option(leases.get(id)).foreach(_.open.incrementAndGet())
+    Option(leases.get(id)).foreach { l =>
+      l.open.incrementAndGet()
+      l.lastActivity.set(System.currentTimeMillis())
+    }
   private[sources] def releaseLeasePartition(id: Long): Unit =
-    Option(leases.get(id)).foreach(_.open.updateAndGet(n => math.max(0, n - 1)))
+    Option(leases.get(id)).foreach { l =>
+      l.open.updateAndGet(n => math.max(0, n - 1))
+      l.lastActivity.set(System.currentTimeMillis())
+    }
 
   /** Start time of the oldest ACTIVE lease over `dir`. Also reclaims
     * inactive entries (gcSweep calls this every sweep, so the map stays

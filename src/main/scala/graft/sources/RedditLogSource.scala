@@ -286,18 +286,28 @@ case class RedditLogInputPartition(file: String, startExclusive: Long,
 private[sources] class RedditLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RedditLogInputPartition]
-    // open-reader lease accounting (RedditLog lease section): the lease
-    // stays active while any reader of its plan is open, across however
-    // many executions Spark runs over the same planned partitions
-    RedditLog.leaseReaderOpened(p.leaseId)
     new PartitionReader[InternalRow] {
       private val mapper = new ObjectMapper()
-      private val lines = new String(
-        Files.readAllBytes(java.nio.file.Paths.get(p.file)), StandardCharsets.UTF_8)
-        .split('\n').iterator.filter(_.nonEmpty)
+      // Open-reader lease accounting (RedditLog lease section): the
+      // lease stays active while any reader of its plan is open, across
+      // however many executions Spark runs over the same partitions.
+      // The file read is DEFERRED to the first next() and the increment
+      // happens just before it, with `leased` balancing the close():
+      // incrementing in createReader would leak the count if the eager
+      // read threw, because Spark only registers the close hook after
+      // createReader returns — a leaked open pins GC for the whole TTL.
+      private var leased = false
+      private var lines: Iterator[String] = _
       private var row: InternalRow = _
 
       override def next(): Boolean = {
+        if (lines == null) {
+          RedditLog.leaseReaderOpened(p.leaseId)
+          leased = true
+          lines = new String(
+            Files.readAllBytes(java.nio.file.Paths.get(p.file)), StandardCharsets.UTF_8)
+            .split('\n').iterator.filter(_.nonEmpty)
+        }
         while (lines.hasNext) {
           val n = mapper.readTree(lines.next())
           val id = n.get("id").asLong()
@@ -315,7 +325,8 @@ private[sources] class RedditLogReaderFactory extends PartitionReaderFactory {
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = RedditLog.releaseLeasePartition(p.leaseId)
+      override def close(): Unit =
+        if (leased) { leased = false; RedditLog.releaseLeasePartition(p.leaseId) }
     }
   }
 }

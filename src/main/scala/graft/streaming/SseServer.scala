@@ -213,14 +213,15 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * current watermark and silently dropped the gap). A query that died
     * before any progress keeps the original pins — no gap either.
     *
-    * Deliberately NOT a persistent `checkpointLocation`: the per-batch
-    * offset/commit WAL (two rename-based metadata-log writes per
-    * micro-batch, each a forked chmod without native Hadoop libs)
-    * measured a 30× live fan-out latency regression (SseBenchMain:
-    * 8-client first→last 0.19 s → 7.2 s), and for an in-process SSE
-    * server the WAL buys nothing: the progress object carries the same
-    * committed offsets, and a SERVER crash loses the connections the
-    * offsets existed for anyway.
+    * Deliberately NOT a persistent `checkpointLocation`: an explicit
+    * per-mask checkpoint measured a 30× live fan-out latency regression
+    * (SseBenchMain: 8-client first→last 0.19 s → 7.2 s vs foreachBatch's
+    * default ephemeral temp checkpoint; the per-batch metadata-log
+    * writes are rename-based with a forked chmod when native Hadoop
+    * libs are absent). Beyond the measured cost, a persistent WAL buys
+    * an in-process SSE server nothing: the progress object carries the
+    * same committed offsets, and a SERVER crash loses the connections
+    * the offsets existed for anyway.
     *
     * Failure-recovery delivery is therefore at-least-once: the batch in
     * flight at the crash re-processes on restart (frames carry ids, so
@@ -283,8 +284,9 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * blackhole). Callers: connection setup AND every attached writer
     * loop's periodic health tick, so a mask with live connections heals
     * within ~`probeMillis` even when no new client arrives. The restart
-    * resumes from the checkpoint's committed offsets (restart-state
-    * scaladoc above) — no events are skipped. Healthy queries stay up
+    * resumes from the dead incarnation's committed offsets via its
+    * progress log (restart-state scaladoc above) — no events are
+    * skipped. Healthy queries stay up
     * for the server's lifetime — an idle pruned-source query costs one
     * empty admission check per trigger, and the health tick's fast path
     * is one volatile read.
@@ -320,7 +322,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           lastCounted.remove(key)
         }
         // "tap:<side>" keys are the counter-parity count-only queries;
-        // anything else is a mask feed. Both share the checkpointed
+        // anything else is a mask feed. Both share the progress-pin
         // restart machinery above.
         val (stream, base, sink) = key match {
           case "tap:rc" => (side(key, rcPath), "graft-sse-tap-rc",
@@ -457,10 +459,11 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           (col("event") === "rs" && col("id") > lit(c.counterBound(false)))
 
       // A1 counters: whitelist ∧ attr, deliberately before the type
-      // gate. Skipped when this batch id was already counted — the
-      // checkpointed restart replays an uncommitted batch for frame
-      // delivery (at-least-once; clients dedup by id), but counters
-      // have no client-side dedup and must not double-bump.
+      // gate. Skipped when this batch id was already counted within
+      // this incarnation — a restart re-processes the batch in flight
+      // at the crash for frame delivery (at-least-once; clients dedup
+      // by id); counters share that one-batch residual (lastCounted
+      // scaladoc).
       val countThis = batchId > Option(lastCounted.get(maskKey)).map(_.toLong).getOrElse(-1L)
       if (countThis) {
         val counted = batch
@@ -779,6 +782,12 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   // ---------------- lifecycle ----------------
 
   def start(): SseServer = {
+    // foreachBatch queries run on ephemeral temp checkpoints (restart
+    // recovery is progress-pin based — restart-state scaladoc). Spark
+    // only deletes a temp checkpoint when the query stops WITHOUT error,
+    // so a persistently-failing query restarted by the health tick would
+    // leak one temp dir per incarnation without this.
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     // live queries start lazily per type mask on first connection — a
     // server whose fleet never asks for submissions never touches rs
     http = HttpServer.create(new InetSocketAddress(port), 0)

@@ -291,8 +291,8 @@ class SseServerEdgeSpec extends AnyFunSuite {
     // NEXT connection of its mask; until then attached clients were
     // silently blackholed, and the restart re-pinned past the outage.
     // Now the writer loop's health tick restarts it within ~probeMillis
-    // and the persistent checkpoint resumes from the committed offset,
-    // so events appended DURING the outage are delivered.
+    // and the dead incarnation's progress log supplies the committed
+    // offsets, so events appended DURING the outage are delivered.
     val rcDir = Files.createTempDirectory("heal-rc").toString
     val rsDir = Files.createTempDirectory("heal-rs").toString
     RedditLog.writeSegment(rcDir, Seq(rcRow(1)))
