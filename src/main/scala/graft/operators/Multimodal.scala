@@ -48,6 +48,36 @@ object Multimodal {
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
       col("lang"), col("source"))
 
+  /** Fixed-stride frame sampling over the opaque payload: treat the blob
+    * as consecutive `frameBytes`-sized frames (a raw video/audio buffer)
+    * and keep every `stride`-th complete frame — the standard cheap
+    * subsampling step before an expensive decode/embed stage.
+    *
+    * Pure Column work (sequence → transform → substring → binary-concat
+    * fold), so it runs inside whole-stage codegen with no UDF and no
+    * shuffle, and every step is byte-deterministic — the oracle
+    * recomputes the sampled-bytes digest in DuckDB. Output:
+    * (doc_id, n_frames, n_sampled, sample_digest).
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    media
+      .select(col("doc_id"), col("payload"),
+        expr(s"octet_length(payload) div $frameBytes").cast("long").as("n_frames"))
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        // ceil(n_frames / stride) complete frames get kept
+        expr(s"(n_frames + ${stride - 1}) div $stride").cast("long").as("n_sampled"),
+        md5(when(col("n_frames") > 0, expr(
+          s"""aggregate(
+             |  transform(sequence(0L, n_frames - 1, $stride),
+             |    k -> substring(payload, cast(k * $frameBytes + 1 as int), $frameBytes)),
+             |  cast('' as binary),
+             |  (acc, x) -> concat(acc, x))""".stripMargin))
+          .otherwise(lit(Array.emptyByteArray))).as("sample_digest"))
+  }
+
   /** Partition-batched decode: one codec instance per partition (the shape
     * a real decoder needs — init once, stream the batch through), typed
     * Dataset out. No shuffle; scales with input splits.

@@ -21,7 +21,17 @@ object PipelineQueries {
   private val IVF_CELLS = 16     // IVF centroid count (e04)
   private val IVF_PROBES = 4     // IVF probed cells per query (e04)
 
+  private val FRAME_BYTES = 256 // m03 frame size
+  private val FRAME_STRIDE = 4  // m03: keep every 4th frame
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // fixed-stride frame sampling over the binary payload (the cheap
+    // subsample step ahead of decode/embed; Multimodal.frameSample doc)
+    "m03_frame_sample" -> ((spark: SparkSession, dir: String) =>
+      Multimodal.frameSample(
+        Multimodal.mediaView(Tables.documents(spark, dir)), FRAME_BYTES, FRAME_STRIDE)
+        .orderBy(col("doc_id"))),
+
     "d01_exact_dedup" -> ((spark: SparkSession, dir: String) =>
       Dedup.exactGroups(Tables.documents(spark, dir))
         .orderBy(col("digest"))),
@@ -197,6 +207,25 @@ object PipelineQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // mirror of Multimodal.frameSample: range(0, n, S) ≡ Spark's
+    // sequence(0, n-1, S). DuckDB has no BLOB substring/slice, so the
+    // oracle samples in the VARCHAR domain — exact here because the
+    // synthetic corpus is pure ASCII (octet_length == length, asserted
+    // against all SFs), making char positions byte positions and
+    // md5(varchar) the md5 of the same bytes. The Spark side stays
+    // byte-true for arbitrary payloads.
+    "m03_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |  CAST(octet_length(encode(text)) // $FRAME_BYTES AS BIGINT) AS n_frames FROM documents)
+         |SELECT doc_id, n_frames,
+         | CAST((n_frames + ${FRAME_STRIDE - 1}) // $FRAME_STRIDE AS BIGINT) AS n_sampled,
+         | md5(CASE WHEN n_frames > 0
+         |     THEN list_reduce(list_transform(range(0, n_frames, $FRAME_STRIDE),
+         |            k -> substring(text, CAST(k * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)),
+         |          (a, b) -> a || b)
+         |     ELSE '' END) AS sample_digest
+         |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
     "d01_exact_dedup" ->
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin.replace("\n", " "),

@@ -76,6 +76,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists(_._2) && out.exists(!_._2), "needs both outcomes to be meaningful")
   }
 
+  // ---- frameSample ----
+
+  test("frameSample: complete frames only, stride selection, byte-exact digest") {
+    import org.apache.spark.sql.functions.col
+    // 10-byte payload, 4-byte frames → 2 complete frames (trailing 2
+    // bytes dropped); stride 2 keeps frame 0 only
+    val docs = Seq((1L, "abcdWXYZqq"), (2L, "abc")).toDF("doc_id", "text")
+    val media = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.frameSample(media, frameBytes = 4, stride = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    // doc 1: frames "abcd","WXYZ"; sampled = frame 0 = "abcd"
+    assert(out.head == (1L, 2L, 1L, md5hex("abcd")))
+    // doc 2: shorter than one frame → zero frames, digest of empty bytes
+    assert(out(1) == (2L, 0L, 0L, md5hex("")))
+  }
+
   // ---- ivfTopK ----
 
   test("ivfTopK: bounded per-query output, no self-matches, cells partition the corpus") {
