@@ -78,6 +78,28 @@ object Multimodal {
           .otherwise(lit(Array.emptyByteArray))).as("sample_digest"))
   }
 
+  /** Aspect-preserving resize planning over decoded dimensions: fit each
+    * frame inside a `maxDim` × `maxDim` box, never upscale. All-integer
+    * arithmetic (`w·maxDim div max(w,h)`), so the plan is deterministic
+    * across engines and the oracle recomputes it exactly; the pixel
+    * resample itself would live in the codec (StubCodec territory —
+    * no image libs in this container), but sizing decisions are where
+    * the pipeline logic sits and what downstream batching needs.
+    * Output: (doc_id, width, height, out_w, out_h).
+    */
+  def resizePlan(decoded: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0)
+    decoded.select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .withColumn("m", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("m") <= maxDim, col("width"))
+          .otherwise(greatest(lit(1L), expr(s"(width * $maxDim) div m"))).as("out_w"),
+        when(col("m") <= maxDim, col("height"))
+          .otherwise(greatest(lit(1L), expr(s"(height * $maxDim) div m"))).as("out_h"))
+  }
+
   /** Partition-batched decode: one codec instance per partition (the shape
     * a real decoder needs — init once, stream the batch through), typed
     * Dataset out. No shuffle; scales with input splits.

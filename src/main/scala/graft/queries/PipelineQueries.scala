@@ -32,6 +32,14 @@ object PipelineQueries {
         Multimodal.mediaView(Tables.documents(spark, dir)), FRAME_BYTES, FRAME_STRIDE)
         .orderBy(col("doc_id"))),
 
+    // resize planning over the decoded dims (StubCodec dims are integer
+    // functions of payload length, so the whole chain is oracle-exact)
+    "m04_resize_plan" -> ((spark: SparkSession, dir: String) =>
+      Multimodal.resizePlan(
+        Multimodal.decodeAll(spark,
+          Multimodal.mediaView(Tables.documents(spark, dir))).toDF(), 48)
+        .orderBy(col("doc_id"))),
+
     "d01_exact_dedup" -> ((spark: SparkSession, dir: String) =>
       Dedup.exactGroups(Tables.documents(spark, dir))
         .orderBy(col("digest"))),
@@ -372,6 +380,18 @@ object PipelineQueries {
         | substr(hex(encode(text)), 1, 16) AS header_hex,
         | lang, source
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of StubCodec dims + resizePlan's integer fit-in-box rule
+    "m04_resize_plan" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(16 + (octet_length(encode(text)) % 64) AS BIGINT) AS width,
+        |  CAST(16 + ((octet_length(encode(text)) // 64) % 64) AS BIGINT) AS height
+        | FROM documents),
+        |g AS (SELECT *, greatest(width, height) AS m FROM d)
+        |SELECT doc_id, width, height,
+        | CASE WHEN m <= 48 THEN width  ELSE greatest(1, (width * 48) // m)  END AS out_w,
+        | CASE WHEN m <= 48 THEN height ELSE greatest(1, (height * 48) // m) END AS out_h
+        |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Multimodal.StubCodec's dimension arithmetic
     "m02_media_decode" ->
