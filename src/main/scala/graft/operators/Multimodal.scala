@@ -53,11 +53,15 @@ object Multimodal {
     * and keep every `stride`-th complete frame — the standard cheap
     * subsampling step before an expensive decode/embed stage.
     *
-    * Pure Column work (sequence → transform → substring → binary-concat
-    * fold), so it runs inside whole-stage codegen with no UDF and no
-    * shuffle, and every step is byte-deterministic — the oracle
-    * recomputes the sampled-bytes digest in DuckDB. Output:
-    * (doc_id, n_frames, n_sampled, sample_digest).
+    * Pure Column work (sequence → transform → substring → per-frame md5
+    * → one join + final md5), so it runs inside whole-stage codegen with
+    * no UDF and no shuffle. The digest is a DIGEST OF FRAME DIGESTS
+    * (md5 over the concatenated per-frame md5 hexes): hashing frames
+    * individually keeps the work linear in sampled bytes — a
+    * binary-concat fold re-copies the accumulator per frame, O(S²)
+    * memcpy on a multi-MB media buffer — while staying injective per
+    * (frame sequence) and byte-deterministic for the DuckDB oracle.
+    * Output: (doc_id, n_frames, n_sampled, sample_digest).
     */
   def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0 && stride > 0)
@@ -70,13 +74,24 @@ object Multimodal {
         // ceil(n_frames / stride) complete frames get kept
         expr(s"(n_frames + ${stride - 1}) div $stride").cast("long").as("n_sampled"),
         md5(when(col("n_frames") > 0, expr(
-          s"""aggregate(
+          s"""array_join(
              |  transform(sequence(0L, n_frames - 1, $stride),
-             |    k -> substring(payload, cast(k * $frameBytes + 1 as int), $frameBytes)),
-             |  cast('' as binary),
-             |  (acc, x) -> concat(acc, x))""".stripMargin))
-          .otherwise(lit(Array.emptyByteArray))).as("sample_digest"))
+             |    k -> md5(substring(payload, cast(k * $frameBytes + 1 as int), $frameBytes))),
+             |  '')""".stripMargin))
+          .otherwise(lit(""))).as("sample_digest"))
   }
+
+  /** The StubCodec dimension arithmetic as pure Column work — for
+    * pipeline stages (resize planning) that only need dims and must not
+    * pay the full decode's object round-trip + feature scan. Kept in
+    * lockstep with [[StubCodec.decode]] by a spec asserting equality
+    * over real payloads (a real deployment reads dims from container
+    * metadata the same cheap way).
+    */
+  def stubDims(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      expr("16 + (octet_length(payload) % 64)").cast("long").as("width"),
+      expr("16 + ((octet_length(payload) div 64) % 64)").cast("long").as("height"))
 
   /** Aspect-preserving resize planning over decoded dimensions: fit each
     * frame inside a `maxDim` × `maxDim` box, never upscale. All-integer

@@ -23,6 +23,15 @@ object PipelineQueries {
 
   private val FRAME_BYTES = 256 // m03 frame size
   private val FRAME_STRIDE = 4  // m03: keep every 4th frame
+  private val MAX_DIM = 48      // m04 fit-in-box dimension
+
+  /** StubCodec dimension arithmetic as DuckDB SQL — THE shared copy for
+    * every oracle that needs decoded dims (m02, m04); keep in lockstep
+    * with [[graft.operators.Multimodal.StubCodec]].
+    */
+  private val stubDimsSql =
+    """CAST(16 + (octet_length(encode(text)) % 64) AS BIGINT) AS width,
+      | CAST(16 + ((octet_length(encode(text)) // 64) % 64) AS BIGINT) AS height""".stripMargin.replace("\n", " ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // fixed-stride frame sampling over the binary payload (the cheap
@@ -32,12 +41,15 @@ object PipelineQueries {
         Multimodal.mediaView(Tables.documents(spark, dir)), FRAME_BYTES, FRAME_STRIDE)
         .orderBy(col("doc_id"))),
 
-    // resize planning over the decoded dims (StubCodec dims are integer
-    // functions of payload length, so the whole chain is oracle-exact)
+    // resize planning over the stub dims (integer functions of payload
+    // length, Column-side — the full decodeAll object round-trip +
+    // feature scan would be paid for two columns it immediately drops;
+    // decode chaining itself is m02's job. stubDims ≡ decodeAll dims is
+    // spec-asserted.)
     "m04_resize_plan" -> ((spark: SparkSession, dir: String) =>
       Multimodal.resizePlan(
-        Multimodal.decodeAll(spark,
-          Multimodal.mediaView(Tables.documents(spark, dir))).toDF(), 48)
+        Multimodal.stubDims(
+          Multimodal.mediaView(Tables.documents(spark, dir))), MAX_DIM)
         .orderBy(col("doc_id"))),
 
     "d01_exact_dedup" -> ((spark: SparkSession, dir: String) =>
@@ -216,22 +228,25 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     // mirror of Multimodal.frameSample: range(0, n, S) ≡ Spark's
-    // sequence(0, n-1, S). DuckDB has no BLOB substring/slice, so the
-    // oracle samples in the VARCHAR domain — exact here because the
-    // synthetic corpus is pure ASCII (octet_length == length, asserted
-    // against all SFs), making char positions byte positions and
-    // md5(varchar) the md5 of the same bytes. The Spark side stays
-    // byte-true for arbitrary payloads.
+    // sequence(0, n-1, S); digest of per-frame md5 hexes. DuckDB has no
+    // BLOB substring/slice, so the oracle samples in the VARCHAR
+    // domain — exact only while the corpus is pure ASCII (char
+    // positions == byte positions, md5(varchar) == md5 of the bytes),
+    // and that precondition is ENFORCED in-query: any non-ASCII doc
+    // makes the oracle error() loudly instead of producing a silently
+    // divergent digest. The Spark side stays byte-true regardless.
     "m03_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, text,
-         |  CAST(octet_length(encode(text)) // $FRAME_BYTES AS BIGINT) AS n_frames FROM documents)
+         |  CAST(octet_length(encode(text)) // $FRAME_BYTES AS BIGINT) AS n_frames FROM documents),
+         |chk AS (SELECT count(*) AS bad FROM documents WHERE octet_length(encode(text)) <> length(text))
          |SELECT doc_id, n_frames,
          | CAST((n_frames + ${FRAME_STRIDE - 1}) // $FRAME_STRIDE AS BIGINT) AS n_sampled,
-         | md5(CASE WHEN n_frames > 0
-         |     THEN list_reduce(list_transform(range(0, n_frames, $FRAME_STRIDE),
-         |            k -> substring(text, CAST(k * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)),
-         |          (a, b) -> a || b)
-         |     ELSE '' END) AS sample_digest
+         | CASE WHEN (SELECT bad FROM chk) > 0
+         |      THEN error('m03 oracle precondition violated: corpus is not pure ASCII')
+         |      ELSE md5(CASE WHEN n_frames > 0
+         |        THEN array_to_string(list_transform(range(0, n_frames, $FRAME_STRIDE),
+         |               k -> md5(substring(text, CAST(k * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES))), '')
+         |        ELSE '' END) END AS sample_digest
          |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d01_exact_dedup" ->
@@ -381,24 +396,20 @@ object PipelineQueries {
         | lang, source
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
-    // mirror of StubCodec dims + resizePlan's integer fit-in-box rule
+    // shared stub-dims SQL + resizePlan's integer fit-in-box rule
     "m04_resize_plan" ->
-      """WITH d AS (SELECT doc_id,
-        |  CAST(16 + (octet_length(encode(text)) % 64) AS BIGINT) AS width,
-        |  CAST(16 + ((octet_length(encode(text)) // 64) % 64) AS BIGINT) AS height
-        | FROM documents),
-        |g AS (SELECT *, greatest(width, height) AS m FROM d)
-        |SELECT doc_id, width, height,
-        | CASE WHEN m <= 48 THEN width  ELSE greatest(1, (width * 48) // m)  END AS out_w,
-        | CASE WHEN m <= 48 THEN height ELSE greatest(1, (height * 48) // m) END AS out_h
-        |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      s"""WITH d AS (SELECT doc_id, $stubDimsSql FROM documents),
+         |g AS (SELECT *, greatest(width, height) AS m FROM d)
+         |SELECT doc_id, width, height,
+         | CASE WHEN m <= $MAX_DIM THEN width  ELSE greatest(1, (width * $MAX_DIM) // m)  END AS out_w,
+         | CASE WHEN m <= $MAX_DIM THEN height ELSE greatest(1, (height * $MAX_DIM) // m) END AS out_h
+         |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
-    // mirror of Multimodal.StubCodec's dimension arithmetic
+    // mirror of Multimodal.StubCodec's dimension arithmetic (shared SQL)
     "m02_media_decode" ->
-      """SELECT doc_id,
-        | octet_length(encode(text)) AS n_bytes,
-        | CAST(16 + (octet_length(encode(text)) % 64) AS BIGINT) AS width,
-        | CAST(16 + ((octet_length(encode(text)) // 64) % 64) AS BIGINT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      s"""SELECT doc_id,
+         | octet_length(encode(text)) AS n_bytes,
+         | $stubDimsSql
+         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
 }

@@ -89,10 +89,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-    // doc 1: frames "abcd","WXYZ"; sampled = frame 0 = "abcd"
-    assert(out.head == (1L, 2L, 1L, md5hex("abcd")))
-    // doc 2: shorter than one frame → zero frames, digest of empty bytes
+    // doc 1: frames "abcd","WXYZ"; stride 2 keeps frame 0; the output is
+    // a digest of per-frame digests (frameSample doc: linear, not O(S²))
+    assert(out.head == (1L, 2L, 1L, md5hex(md5hex("abcd"))))
+    // doc 2: shorter than one frame → zero frames, digest of empty input
     assert(out(1) == (2L, 0L, 0L, md5hex("")))
+  }
+
+  test("resizePlan: fit-in-box, never upscale, floor-1 clamp; stubDims ≡ decodeAll dims") {
+    import org.apache.spark.sql.functions.col
+    val dims = Seq(
+      (1L, 20L, 30L),    // inside the box → untouched
+      (2L, 1000L, 1L),   // extreme landscape → (48, max(1, 48/1000)=1)... wait: out_h = 1*48 div 1000 = 0 → clamp 1
+      (3L, 96L, 96L),    // square downscale → (48, 48)
+      (4L, 1L, 100L)     // extreme portrait → clamp fires on width
+    ).toDF("doc_id", "width", "height")
+    val out = Multimodal.resizePlan(dims, 48)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 20L, 30L, 20L, 30L),
+      (2L, 1000L, 1L, 48L, 1L),  // 1*48 div 1000 = 0 → clamped to 1
+      (3L, 96L, 96L, 48L, 48L),
+      (4L, 1L, 100L, 1L, 48L)))  // 1*48 div 100 = 0 → clamped to 1
+    // the Column-side stub dims must match the codec's Scala dims
+    val media = Seq((1L, "x" * 100), (2L, "y" * 5000), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val viaColumns = Multimodal.stubDims(media)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val viaCodec = Seq((1L, "x" * 100), (2L, "y" * 5000), (3L, "")).map { case (id, t) =>
+      val (w, h, _) = Multimodal.StubCodec.decode(t.getBytes("UTF-8"))
+      (id, w.toLong, h.toLong)
+    }
+    assert(viaColumns == viaCodec)
   }
 
   // ---- ivfTopK ----
