@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable plan-shape guards for the 100 TB design claims that
+  * PLANS_r*.md documents in prose: a refactor that silently degrades a
+  * broadcast to a shuffle, drops map-side partial aggregation, or loses
+  * a top-k pushdown keeps passing every VALUE-level oracle — only the
+  * plan text shows the regression, so pin the load-bearing markers here.
+  * (Markers are chosen to be stable across AQE: broadcast HINTS and
+  * aggregate modes appear in the pre-execution formatted plan.)
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: dimension joins stay broadcast (no shuffle on nation/region)") {
+    val p = plan("q02_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q01: aggregation is two-phase with map-side partials below one exchange") {
+    val p = plan("q01_agg_sum")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))
+    assert("partial_".r.findAllIn(p).nonEmpty, "no partial (map-side) aggregation in plan")
+  }
+
+  test("q10: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q10_topk_order")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q11b: the KMV sketch partial-aggregates below its exchange") {
+    val p = plan("q11b_distinct_kmv")
+    assert(p.contains("partial_kmvsketch"), p.take(2000))
+  }
+
+  test("e02: bucketed ANN keeps the per-query top-k partial (WindowGroupLimit)") {
+    val p = plan("e02_ann_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("d11: bloom misses short-circuit scan-side (union branch without joins)") {
+    val p = plan("d11_bloom_dedup")
+    assert(p.contains("Union"), p.take(2000))
+    // exactly one join pair in the whole plan: the verified-hits leg;
+    // the misses leg must reach the union from a bare filtered scan
+    val joins = "HashJoin".r.findAllIn(p).length
+    assert(joins >= 1 && joins <= 2, s"unexpected join count $joins")
+  }
+
+  test("d09: fingerprint normalization is one codegen'd expression over a pruned scan") {
+    val p = plan("d09_fingerprint")
+    assert(p.contains("normalize_text"), p.take(2000))
+    assert(!p.contains("regexp_replace"), "regex chain crept back into the hot path")
+  }
+}
