@@ -27,8 +27,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q01: aggregation is two-phase with map-side partials below one exchange") {
     val p = plan("q01_agg_sum")
-    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))
-    assert("partial_".r.findAllIn(p).nonEmpty, "no partial (map-side) aggregation in plan")
+    assert(p.contains("partial_"), "no partial (map-side) aggregation in plan\n" + p.take(2000))
   }
 
   test("q10: global top-k plans as TakeOrderedAndProject, not a full sort") {
@@ -49,10 +48,13 @@ class PlanShapeSpec extends AnyFunSuite {
   test("d11: bloom misses short-circuit scan-side (union branch without joins)") {
     val p = plan("d11_bloom_dedup")
     assert(p.contains("Union"), p.take(2000))
-    // exactly one join pair in the whole plan: the verified-hits leg;
-    // the misses leg must reach the union from a bare filtered scan
-    val joins = "HashJoin".r.findAllIn(p).length
-    assert(joins >= 1 && joins <= 2, s"unexpected join count $joins")
+    // exactly one join operator in the whole plan (whatever physical
+    // strategy the optimizer picks for it): the verified-hits leg; the
+    // misses leg must reach the union from a bare filtered scan
+    // formatted-mode detail lines: "(14) BroadcastHashJoin"
+    val joins = """(?m)^\(\d+\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin|BroadcastNestedLoopJoin)""".r
+      .findAllIn(p).length
+    assert(joins == 1, s"expected exactly one join operator, found $joins\n" + p.take(2000))
   }
 
   test("d09: fingerprint normalization is one codegen'd expression over a pruned scan") {

@@ -100,7 +100,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val dims = Seq(
       (1L, 20L, 30L),    // inside the box → untouched
-      (2L, 1000L, 1L),   // extreme landscape → (48, max(1, 48/1000)=1)... wait: out_h = 1*48 div 1000 = 0 → clamp 1
+      (2L, 1000L, 1L),   // extreme landscape → height clamps to 1
       (3L, 96L, 96L),    // square downscale → (48, 48)
       (4L, 1L, 100L)     // extreme portrait → clamp fires on width
     ).toDF("doc_id", "width", "height")
