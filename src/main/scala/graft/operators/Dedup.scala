@@ -1,7 +1,9 @@
 package graft.operators
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Document deduplication for training-data pipelines, designed for the
   * 100 TB path:
@@ -233,16 +235,28 @@ object Dedup {
     *
     * Returns one row per new-batch doc: (doc_id, is_dup).
     *
-    * Broadcast lifetime: the returned DataFrame closes over the
-    * broadcast sketch, which lives until the application ends or the
-    * caller destroys it. A long-lived ingest loop calling this per
-    * arriving batch should `unpersist()`/`destroy()` the broadcast once
-    * the batch's result is consumed (or reuse one filter across batches
-    * and rebuild on a cadence) — one undestroyed multi-MB sketch per
-    * batch accumulates in executor memory.
+    * Broadcast lifetime: the returned DataFrame closes over a broadcast
+    * sketch that lives until the application ends. A long-lived ingest
+    * loop calling this per arriving batch should use
+    * [[bloomDedupManaged]], which returns the broadcast handle so the
+    * caller can `destroy()` it once the batch's result is materialized
+    * (or reuse one filter across batches and rebuild on a cadence) —
+    * one undestroyed multi-MB sketch per batch otherwise accumulates in
+    * executor memory for the application lifetime.
     */
   def bloomDedup(docs: DataFrame, historyPred: Column, newPred: Column,
-      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame =
+    bloomDedupManaged(docs, historyPred, newPred, expectedItems, fpp)._1
+
+  /** [[bloomDedup]] plus the broadcast Bloom-sketch handle, for callers
+    * that own the result's lifecycle: materialize the DataFrame, then
+    * `handle.destroy()` to reclaim the multi-MB sketch from executor
+    * memory. Destroying before materialization fails the job (the UDF
+    * dereferences the broadcast at task run time), so destroy only after
+    * an action has consumed the result.
+    */
+  def bloomDedupManaged(docs: DataFrame, historyPred: Column, newPred: Column,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): (DataFrame, Broadcast[BloomFilter]) = {
     // NULL text → NULL digest: never a duplicate (SQL NULL equality),
     // kept out of both the sketch build (mightContainString NPEs on
     // null) and the join legs
@@ -264,7 +278,7 @@ object Dedup {
       .join(history.select(col("digest")).distinct().withColumn("mark", lit(true)),
         Seq("digest"), "left_outer")
       .select(col("doc_id"), coalesce(col("mark"), lit(false)).as("is_dup"))
-    misses.unionByName(verified)
+    (misses.unionByName(verified), bc)
   }
 
   /** 32-bit SimHash per document: per-bit majority vote over the token

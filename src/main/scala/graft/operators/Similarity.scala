@@ -160,6 +160,14 @@ object Similarity {
       .select(col("vec_id"), col("e")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    // An empty centroid table would otherwise surface as an obscure
+    // zero-arg array()/array_max analysis error downstream; a sparse id
+    // space silently shrinking the cell count is worth a trace.
+    require(cents.nonEmpty,
+      s"ivfTopK: no centroid vectors found (no vec_id < $nCentroids in the corpus)")
+    if (cents.length < nCentroids)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"ivfTopK: only ${cents.length} of $nCentroids centroid ids present; proceeding with fewer cells")
     // per-centroid cosine columns against literal centroid vectors; the
     // norm is folded on the driver with the same left-to-right double
     // arithmetic the engines use, so scores stay oracle-exact

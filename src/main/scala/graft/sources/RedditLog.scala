@@ -208,16 +208,35 @@ object RedditLog {
   private[sources] def armLease(id: Long, partitions: Int): Unit =
     if (partitions <= 0) leases.remove(id)
 
-  /** A partition reader of the lease's scan opened / closed. Unknown ids
-    * (another JVM's lease, a close racing lease expiry) are no-ops; the
-    * open count floors at zero so a retried task's double close cannot
-    * go negative.
+  private val openSeq = new AtomicLong()
+
+  /** A partition reader of the lease's scan opened. A lease id that is
+    * no longer in the map (purged because the plan sat idle longer than
+    * the grace before a late re-execution — e.g. a cached batch plan
+    * re-run much later, or an executor JVM that never saw the planning
+    * insert) is RE-INSERTED under its original id rather than no-oped,
+    * so the re-read regains GC protection for the rest of its lifetime.
+    * Residual: files replaced while the lease was lapsed may already be
+    * collected — that read fails and the task retry re-plans under a
+    * fresh lease; re-insertion narrows the unprotected window to the
+    * lapse itself. Unleased partitions (id < 0) stay no-ops, and the
+    * amortized purge keeps executor-local maps bounded (acquireLease
+    * never runs there).
     */
-  private[sources] def leaseReaderOpened(id: Long): Unit =
-    Option(leases.get(id)).foreach { l =>
-      l.open.incrementAndGet()
-      l.lastActivity.set(System.currentTimeMillis())
-    }
+  private[sources] def leaseReaderOpened(id: Long, dir: String): Unit = {
+    if (id < 0) return
+    if ((openSeq.incrementAndGet() & 1023L) == 0L)
+      purgeInactiveLeases(System.currentTimeMillis())
+    val l = leases.computeIfAbsent(id,
+      _ => Lease(canon(dir), System.currentTimeMillis(), new AtomicInteger(0)))
+    l.open.incrementAndGet()
+    l.lastActivity.set(System.currentTimeMillis())
+  }
+
+  /** A partition reader closed. Unknown ids (a close racing lease
+    * expiry) are no-ops; the open count floors at zero so a retried
+    * task's double close cannot go negative.
+    */
   private[sources] def releaseLeasePartition(id: Long): Unit =
     Option(leases.get(id)).foreach { l =>
       l.open.updateAndGet(n => math.max(0, n - 1))

@@ -276,9 +276,10 @@ private[sources] class RedditLogBatch(path: String,
 }
 
 /** `leaseId`: the planning-time reader lease this partition belongs to;
-  * reader open/close maintain its open-reader count (no-ops off the
-  * planning JVM — there the plan-grace expiry takes over; RedditLog
-  * lease section).
+  * reader open/close maintain its open-reader count. A missing lease id
+  * (purged after an idle lapse, or an executor JVM that never saw the
+  * planning insert) is re-inserted on open so the read regains GC
+  * protection (RedditLog lease section).
   */
 case class RedditLogInputPartition(file: String, startExclusive: Long,
     endInclusive: Long, leaseId: Long = -1L) extends InputPartition
@@ -302,7 +303,7 @@ private[sources] class RedditLogReaderFactory extends PartitionReaderFactory {
 
       override def next(): Boolean = {
         if (lines == null) {
-          RedditLog.leaseReaderOpened(p.leaseId)
+          RedditLog.leaseReaderOpened(p.leaseId, new java.io.File(p.file).getParent)
           leased = true
           lines = new String(
             Files.readAllBytes(java.nio.file.Paths.get(p.file)), StandardCharsets.UTF_8)

@@ -76,6 +76,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists(_._2) && out.exists(!_._2), "needs both outcomes to be meaningful")
   }
 
+  test("bloomDedupManaged: broadcast handle is destroyable after materialization") {
+    val docs = (1L to 20L).map(i => (i, s"text-${i % 5}")).toDF("doc_id", "text")
+    val (out, handle) =
+      Dedup.bloomDedupManaged(docs, col("doc_id") <= 10, col("doc_id") > 10)
+    assert(out.count() == 10)
+    handle.destroy() // per-batch ingest loops reclaim the sketch here
+    // a destroyed broadcast must fail fast on reuse, not silently leak
+    intercept[org.apache.spark.SparkException] { handle.value }
+  }
+
   // ---- frameSample ----
 
   test("frameSample: complete frames only, stride selection, byte-exact digest") {

@@ -145,7 +145,7 @@ class RedditLogCompactionSpec extends AnyFunSuite {
     try {
       val lease = RedditLog.acquireLease(dir) // a slow scan plans here…
       RedditLog.listSegments(dir)             // …on this manifest snapshot
-      RedditLog.leaseReaderOpened(lease)      // …and a reader is mid-file
+      RedditLog.leaseReaderOpened(lease, dir) // …and a reader is mid-file
       // sleep past the mtime-granularity slack so the stamped
       // replacement time is unambiguously AFTER the lease start
       Thread.sleep(2100)
@@ -161,6 +161,25 @@ class RedditLogCompactionSpec extends AnyFunSuite {
       assert(RedditLog.gcSweep(dir, graceMillis = 0L).map(_.getName).toSet
         == replaced.map(_.getName).toSet)
       assert(ids(dir) == (1L to 40L))
+    } finally RedditLog.leasePlanGraceMillis = prevGrace
+  }
+
+  test("a purged lease is re-inserted on reader open, restoring gc protection") {
+    val dir = Files.createTempDirectory("rlog-lease-reinsert").toString
+    RedditLog.writeSegment(dir, (1L to 10L).map(row))
+    val prevGrace = RedditLog.leasePlanGraceMillis
+    RedditLog.leasePlanGraceMillis = 0L
+    try {
+      val lease = RedditLog.acquireLease(dir)
+      RedditLog.listSegments(dir)
+      // grace zeroed + no open readers: the next purge drops the lease
+      assert(RedditLog.oldestActiveLeaseStart(dir).isEmpty)
+      // a late re-execution (cached plan re-run) opens a reader anyway —
+      // the open must re-insert the lease, not silently no-op
+      RedditLog.leaseReaderOpened(lease, dir)
+      assert(RedditLog.oldestActiveLeaseStart(dir).isDefined)
+      RedditLog.releaseLeasePartition(lease)
+      assert(RedditLog.oldestActiveLeaseStart(dir).isEmpty)
     } finally RedditLog.leasePlanGraceMillis = prevGrace
   }
 
