@@ -297,4 +297,62 @@ object Dedup {
       .reduce((a: Column, b: Column) => a + b)
     votes.select(col("doc_id"), sig.cast("long").as("simhash"))
   }
+
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise LSH/Jaccard evidence into dedup DECISIONS: every doc
+    * gets a `cluster_id` (the minimum doc_id reachable through pair
+    * edges; singletons cluster with themselves) plus the cluster size,
+    * so "keep one per cluster" is `doc_id = cluster_id`.
+    *
+    * Algorithm: iterative min-label propagation.
+    * `lbl(v) ← min(lbl(v), min over neighbors' lbl)` until a pass
+    * changes nothing. Each pass is one shuffle-join keyed on vertex id
+    * plus a min-aggregate (map-side partial, so a hot vertex in a huge
+    * cluster never concentrates rows on one reducer). Pass count =
+    * component diameter, and near-dup graphs are clique-ish (LSH pairs
+    * within a cluster all share buckets), so 2–4 passes in practice —
+    * the regime where plain propagation beats the more complex
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14), which pays ~2
+    * shuffles per round to halve a round count that is already tiny.
+    * Each pass ends in an eager `localCheckpoint`: the labels are
+    * materialized once and the lineage truncated, so pass N+1's plan is
+    * one join deep regardless of N (an unbounded iterative plan chokes
+    * Catalyst analysis long before data becomes the problem), and the
+    * convergence probe + the returned DataFrame read materialized
+    * blocks instead of recomputing the loop. On a cluster with executor
+    * churn, swap for reliable `checkpoint` (same call shape, HDFS-backed).
+    *
+    * `maxIters` is a safety valve only (a diameter that large means the
+    * pair threshold is admitting chains, not near-dups); hitting it
+    * still returns a sound over-segmentation (labels are monotone).
+    *
+    * Expects `vertices(doc_id)` and `pairs(doc_a, doc_b)`; extra columns
+    * are ignored. Returns (doc_id, cluster_id, cluster_size).
+    */
+  def dedupClusters(vertices: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = p.select(col("doc_a").as("w"), col("doc_b").as("v"))
+      .unionByName(p.select(col("doc_b").as("w"), col("doc_a").as("v")))
+    var labels = vertices.select(col("doc_id").as("v"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("w"), col("lbl").as("wl")), Seq("w"))
+        .groupBy(col("v")).agg(min(col("wl")).as("nm"))
+      val next = labels.join(nbrMin, Seq("v"), "left_outer")
+        .select(col("v"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
+        .localCheckpoint(true)
+      converged = next.filter(col("lbl") < col("prev")).isEmpty
+      labels = next.select(col("v"), col("lbl"))
+      iter += 1
+    }
+    val sizeW = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(sizeW))
+  }
 }

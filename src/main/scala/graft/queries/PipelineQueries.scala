@@ -130,6 +130,15 @@ object PipelineQueries {
         col("doc_id") % 3 =!= 0, col("doc_id") % 2 === 0)
         .orderBy(col("doc_id"))),
 
+    // pair evidence → dedup DECISIONS: connected components over the d03
+    // LSH pair graph; "keep one per cluster" is doc_id = cluster_id
+    // (Dedup.dedupClusters doc)
+    "d12_dedup_clusters" -> ((spark: SparkSession, dir: String) =>
+      Dedup.dedupClusters(Tables.documents(spark, dir),
+        Dedup.lshNearDupPairs(Tables.documents(spark, dir), K, BANDS, 0.5,
+          MAX_BUCKET, MAX_DF))
+        .orderBy(col("doc_id"))),
+
     // IVF alternative to the LSH family: literal-centroid assignment
     // scan-side, probe the 4 nearest of 16 cells (Similarity.ivfTopK doc)
     "e04_ivf_ann" -> ((spark: SparkSession, dir: String) =>
@@ -275,6 +284,34 @@ object PipelineQueries {
          |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
          |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    // d03's pair pipeline verbatim, then connected components as a
+    // recursive min-reachable-label closure: reach holds every (vertex,
+    // label-it-can-see) pair, min per vertex = component representative.
+    // UNION (not UNION ALL) dedups the working set so the recursion
+    // terminates; singletons enter via the seed row (doc_id, doc_id).
+    "d12_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$dfCapCte,
+         |mins AS (SELECT doc_id, $minhashSelect FROM shh GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $bandSelect FROM mins),
+         |bl AS ($bandUnion),
+         |blb AS (SELECT bl.* FROM bl JOIN (SELECT bno, bkey FROM bl GROUP BY bno, bkey HAVING count(*) <= $MAX_BUCKET) h USING (bno, bkey)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM blb x
+         |         JOIN blb y ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |card AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |          FROM shc x JOIN shc y ON x.hs = y.hs AND x.doc_id < y.doc_id
+         |          JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT a, b FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
+         |          WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.5),
+         |edges AS (SELECT a AS v, b AS w FROM pairs UNION ALL SELECT b AS v, a AS w FROM pairs),
+         |reach AS (SELECT doc_id AS v, doc_id AS lbl FROM documents
+         |          UNION
+         |          SELECT e.w AS v, r.lbl FROM reach r JOIN edges e ON e.v = r.v),
+         |lab AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)
+         |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d04_jaccard_pairs" ->
       s"""WITH ${shingleCteOver("doc_id % 2 = 0 AND")},

@@ -76,6 +76,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists(_._2) && out.exists(!_._2), "needs both outcomes to be meaningful")
   }
 
+  // ---- dedupClusters ----
+
+  test("dedupClusters: merges overlapping pairs, keeps singletons, chain converges") {
+    val docs = (1L to 9L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    // component {1,2,3} via overlapping pairs; a 4-hop chain {4..8}
+    // (exercises multi-pass propagation); 9 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(docs, pairs)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 5L), (5L, 4L, 5L), (6L, 4L, 5L), (7L, 4L, 5L), (8L, 4L, 5L),
+      (9L, 9L, 1L)))
+  }
+
   test("bloomDedupManaged: broadcast handle is destroyable after materialization") {
     val docs = (1L to 20L).map(i => (i, s"text-${i % 5}")).toDF("doc_id", "text")
     val (out, handle) =
