@@ -298,6 +298,37 @@ object Dedup {
     votes.select(col("doc_id"), sig.cast("long").as("simhash"))
   }
 
+  /** Train/eval contamination check — flags training documents that
+    * share any word n-gram with a benchmark/eval document, the standard
+    * decontamination pass before a corpus becomes training data (the
+    * n-gram-collision criterion published with the GPT-3 and PaLM
+    * training-set analyses; n is 8–13 tokens there, configurable here).
+    *
+    * Shape at 100 TB: the eval side is SMALL (benchmark suites are
+    * ~10⁴–10⁶ distinct grams), so its 60-bit gram hashes are
+    * `broadcast()` and the training gram stream probes them scan-side —
+    * the corpus is never shuffled, and the per-doc hit count is a
+    * partial aggregate keyed by doc_id. Grams are hashed before the
+    * broadcast ([[hashedShingles]]) so the broadcast carries 8 bytes per
+    * gram, not the text.
+    *
+    * Returns one row per TRAIN doc: (doc_id, n_hits, contaminated),
+    * n_hits = number of distinct grams shared with the eval set (grams
+    * are per-doc distinct upstream). Docs shorter than `n` tokens carry
+    * zero grams and report clean.
+    */
+  def contamination(docs: DataFrame, evalPred: Column, n: Int = 3): DataFrame = {
+    val train = docs.filter(!evalPred)
+    val evalGrams = hashedShingles(docs.filter(evalPred), n)
+      .select(col("hs")).distinct()
+    val hits = hashedShingles(train, n)
+      .join(broadcast(evalGrams), Seq("hs"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    train.select(col("doc_id")).join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise LSH/Jaccard evidence into dedup DECISIONS: every doc
     * gets a `cluster_id` (the minimum doc_id reachable through pair

@@ -130,6 +130,13 @@ object PipelineQueries {
         col("doc_id") % 3 =!= 0, col("doc_id") % 2 === 0)
         .orderBy(col("doc_id"))),
 
+    // decontamination: train docs sharing any word 3-gram with the eval
+    // split (doc_id % 10 == 0) are flagged; eval gram hashes broadcast,
+    // train side never shuffles (Dedup.contamination doc)
+    "d13_decontaminate" -> ((spark: SparkSession, dir: String) =>
+      Dedup.contamination(Tables.documents(spark, dir), col("doc_id") % 10 === 0)
+        .orderBy(col("doc_id"))),
+
     // pair evidence → dedup DECISIONS: connected components over the d03
     // LSH pair graph; "keep one per cluster" is doc_id = cluster_id
     // (Dedup.dedupClusters doc)
@@ -284,6 +291,19 @@ object PipelineQueries {
          |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
          |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    // gram stream over ALL docs once, split by the eval predicate; the
+    // LEFT JOIN reinstates train docs with no grams (shorter than n
+    // tokens) as clean rows, mirroring the Spark side's train.select
+    "d13_decontaminate" ->
+      s"""WITH $shingleCte,
+         |ev AS (SELECT DISTINCT hs FROM shh WHERE doc_id % 10 = 0),
+         |tr AS (SELECT doc_id, hs FROM shh WHERE doc_id % 10 <> 0),
+         |hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev USING (hs) GROUP BY tr.doc_id)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+         |       coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 10 <> 0 ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // d03's pair pipeline verbatim, then connected components as a
     // recursive min-reachable-label closure: reach holds every (vertex,

@@ -76,6 +76,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists(_._2) && out.exists(!_._2), "needs both outcomes to be meaningful")
   }
 
+  // ---- contamination ----
+
+  test("contamination: gram hits flagged, short and clean docs report clean") {
+    val docs = Seq(
+      (10L, "a b c d"),  // eval split (% 10 == 0): grams "a b c", "b c d"
+      (1L, "a b c x"),   // shares "a b c" → contaminated, 1 hit
+      (2L, "z z z z"),   // no shared gram → clean
+      (3L, "q w")        // shorter than n → zero grams → clean
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(docs, col("doc_id") % 10 === 0)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
+
   // ---- dedupClusters ----
 
   test("dedupClusters: merges overlapping pairs, keeps singletons, chain converges") {
