@@ -76,4 +76,37 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(graft.functions.NormalizeText(col("text"))).as("fingerprint"))
+
+  /** Within-document repetition signals — the quality filters that drop
+    * boilerplate/spam before training (the published Gopher curation
+    * rules filter on exactly these: fraction of duplicated content and
+    * the most-frequent-n-gram share):
+    *
+    *  - `dup_token_frac` = 1 − distinct/total tokens: per-row expression
+    *    work only (`array_distinct` inside the projection), no shuffle;
+    *  - `top_ngram_frac` = occurrences of the doc's most frequent
+    *    word n-gram / total n-grams: explode → count per (doc, gram) →
+    *    max/sum per doc. Both aggregates are partial (map-side combine),
+    *    and all keys carry doc_id, so the shuffles are skew-free and the
+    *    whole thing scales linearly in corpus size.
+    *
+    * Fractions are one integer divide each — bit-identical in DuckDB.
+    * Docs with fewer than `n` tokens have no n-grams → top_ngram_frac 0.
+    * Returns (doc_id, n_tokens, dup_token_frac, top_ngram_frac).
+    */
+  def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr("size(array_distinct(w))").cast("long").as("n_distinct"))
+    val grams = base.filter(size(col("w")) >= n).select(col("doc_id"),
+      explode(expr(
+        s"transform(sequence(1, size(w)-${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))")).as("g"))
+    val top = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_grams"))
+    base.join(top, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_token_frac"),
+        coalesce(col("top_c").cast("double") / col("n_grams"), lit(0.0)).as("top_ngram_frac"))
+  }
 }

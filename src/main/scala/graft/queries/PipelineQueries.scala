@@ -137,6 +137,12 @@ object PipelineQueries {
       Dedup.contamination(Tables.documents(spark, dir), col("doc_id") % 10 === 0)
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition quality signals: duplicate-token fraction
+    // + most-frequent-bigram share (TextAnalysis.repetition doc)
+    "d14_repetition" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.repetition(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
     // pair evidence → dedup DECISIONS: connected components over the d03
     // LSH pair graph; "keep one per cluster" is doc_id = cluster_id
     // (Dedup.dedupClusters doc)
@@ -291,6 +297,20 @@ object PipelineQueries {
          |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
          |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    "d14_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM t),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |        i -> array_to_string(list_slice(w, i, i+1), ' '))) AS g
+        |      FROM base WHERE len(w) >= 2),
+        |top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  1.0 - CAST(n_distinct AS DOUBLE)/n_tokens AS dup_token_frac,
+        |  coalesce(CAST(top_c AS DOUBLE)/n_grams, 0.0) AS top_ngram_frac
+        |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // gram stream over ALL docs once, split by the eval predicate; the
     // LEFT JOIN reinstates train docs with no grams (shorter than n

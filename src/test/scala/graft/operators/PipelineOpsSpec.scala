@@ -76,6 +76,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists(_._2) && out.exists(!_._2), "needs both outcomes to be meaningful")
   }
 
+  // ---- repetition ----
+
+  test("repetition: dup-token and top-bigram fractions, short-doc zero case") {
+    val docs = Seq(
+      (1L, "a b a b a"),  // tokens 5, distinct 2; bigrams: "a b"×2,"b a"×2 → top 2/4
+      (2L, "x y z"),      // all distinct; bigrams "x y","y z" → top 1/2
+      (3L, "q")           // 1 token → no bigrams → top 0.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs)
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 1.0 - 2.0 / 5, 2.0 / 4),
+      (2L, 3L, 0.0, 1.0 / 2),
+      (3L, 1L, 0.0, 0.0)))
+  }
+
   // ---- contamination ----
 
   test("contamination: gram hits flagged, short and clean docs report clean") {
