@@ -77,6 +77,30 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       md5(graft.functions.NormalizeText(col("text"))).as("fingerprint"))
 
+  /** Top-`k` vocabulary with term and document frequencies — the count
+    * pass of tokenizer/vocab training. The canonical map-side-combine
+    * workload: explode tokens, one partial-aggregated count per token
+    * (`df` adds a distinct over (token, doc_id) — also partial); the
+    * top-k then plans as TakeOrderedAndProject, so no global sort is
+    * ever materialized and the reducer sees k rows per partition, not
+    * the vocabulary. Rank is assigned AFTER the limit, a window over k
+    * rows. Total order (tf desc, token asc) makes the cut and the ranks
+    * deterministic across engines.
+    *
+    * Returns (rank, token, tf, df).
+    */
+  def vocab(docs: DataFrame, k: Int = 100): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val counts = tok.groupBy(col("token")).agg(
+      count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val ordW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token").asc)
+    counts.orderBy(col("tf").desc, col("token").asc).limit(k)
+      .withColumn("rank", row_number().over(ordW).cast("long"))
+      .select(col("rank"), col("token"), col("tf"), col("df"))
+  }
+
   /** Within-document repetition signals — the quality filters that drop
     * boilerplate/spam before training (the published Gopher curation
     * rules filter on exactly these: fraction of duplicated content and

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -141,6 +141,23 @@ object PipelineQueries {
     // + most-frequent-bigram share (TextAnalysis.repetition doc)
     "d14_repetition" -> ((spark: SparkSession, dir: String) =>
       TextAnalysis.repetition(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
+    // vocab/tokenizer count pass: top-100 tokens by term frequency with
+    // doc frequencies; top-k plans as TakeOrderedAndProject
+    // (TextAnalysis.vocab doc)
+    "d15_vocab" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.vocab(Tables.documents(spark, dir))
+        .orderBy(col("rank"))),
+
+    // reproducible mixture sampling: keep-rate per predicted language,
+    // membership a pure hash of doc_id (Sampling.stratified doc)
+    "d16_stratified_sample" -> ((spark: SparkSession, dir: String) =>
+      Sampling.stratified(
+        TextAnalysis.langId(Tables.documents(spark, dir))
+          .select(col("doc_id"), col("pred_lang")),
+        col("pred_lang"),
+        Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.125), 1.0)
         .orderBy(col("doc_id"))),
 
     // pair evidence → dedup DECISIONS: connected components over the d03
@@ -297,6 +314,25 @@ object PipelineQueries {
          |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
          |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    "d15_vocab" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank, token, tf, df
+        |FROM c ORDER BY tf DESC, token LIMIT 100""".stripMargin.replace("\n", " "),
+
+    // same 60-bit md5 uniform as the Spark side; the rate CASE mirrors
+    // the Map fold in Sampling.stratified (unlisted strata → default)
+    "d16_stratified_sample" ->
+      s"""WITH s AS (SELECT doc_id, $scSelects FROM documents),
+         |l AS (SELECT doc_id, $langCase AS stratum FROM s),
+         |u AS (SELECT doc_id, stratum,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+         |    / 1152921504606846976.0 AS u FROM l)
+         |SELECT doc_id, stratum, u FROM u
+         |WHERE u < CASE stratum WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+         |          WHEN 'de' THEN 0.125 ELSE 1.0 END
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d14_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),

@@ -76,6 +76,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists(_._2) && out.exists(!_._2), "needs both outcomes to be meaningful")
   }
 
+  // ---- vocab ----
+
+  test("vocab: tf/df counts, deterministic rank under ties, top-k cut") {
+    val docs = Seq((1L, "b b a c"), (2L, "a b c c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocab(docs, k = 3)
+      .orderBy("rank").as[(Long, String, Long, Long)].collect().toSeq
+    // tf: b=3, c=3, a=2; tie b/c broken by token asc
+    assert(out == Seq((1L, "b", 3L, 2L), (2L, "c", 3L, 2L), (3L, "a", 2L, 2L)))
+  }
+
+  // ---- stratified sample ----
+
+  test("stratified: membership is a pure hash of doc_id, rates per stratum") {
+    val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "ev" else "od"))
+      .toDF("doc_id", "stratum0")
+    val out = Sampling.stratified(docs, col("stratum0"),
+      Map("ev" -> 0.5), 0.0)
+      .orderBy("doc_id").as[(Long, String, Double)].collect().toSeq
+    // rate 0 kills every odd row; evens keep iff u < 0.5
+    assert(out.forall(r => r._2 == "ev" && r._3 < 0.5))
+    assert(out.nonEmpty && out.size < 100)
+    // deterministic: a repartitioned input selects the same set
+    val out2 = Sampling.stratified(docs.repartition(7), col("stratum0"),
+      Map("ev" -> 0.5), 0.0)
+      .orderBy("doc_id").as[(Long, String, Double)].collect().toSeq
+    assert(out2 == out)
+  }
+
   // ---- repetition ----
 
   test("repetition: dup-token and top-bigram fractions, short-doc zero case") {
