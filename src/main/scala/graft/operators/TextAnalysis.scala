@@ -101,6 +101,50 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("tf"), col("df"))
   }
 
+  /** BM25 relevance of every document against a fixed term set — the
+    * retrieval scorer used to mine topical subsets out of a corpus
+    * (quality-classifier seeds, domain mixtures). One scalar-aggregate
+    * pass computes the corpus stats (N, Σdl, per-term df; all partial
+    * aggregates), which then ride a broadcast to a per-row codegen'd
+    * scoring expression — the corpus itself is never shuffled.
+    *
+    * Deviation from textbook BM25, for the oracle's sake: the idf factor
+    * is the RAW odds ratio `(N − df + 0.5)/(df + 0.5)`, not its log.
+    * `ln` is a libm call whose last bit differs across engines, which
+    * would break hash-equality; the raw ratio is rational arithmetic
+    * (bit-exact everywhere) and order-equivalent for a single term.
+    * Rankings that sum multiple terms weight high-idf terms more than
+    * the log form — acceptable for corpus mining, documented here. A
+    * production scorer that needs the log form applies `log()` on top;
+    * every other factor is unchanged.
+    *
+    * All double arithmetic is written with explicit parenthesization and
+    * term order mirrored in the DuckDB oracle, so scores hash-match.
+    * Returns (doc_id, score).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: need at least one query term")
+    val w = split(col("text"), " ")
+    val statAggs =
+      count(lit(1)).cast("double").as("nd") +:
+        sum(size(w)).cast("double").as("sum_dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(w, t), 1L).otherwise(0L)).cast("double").as(s"df$i")
+        }
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    val dl = size(w).cast("double")
+    val avgdl = col("sum_dl") / col("nd")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(w, x => x === lit(t))).cast("double")
+      val idf = (col("nd") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (dl / avgdl)))
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+  }
+
   /** Within-document repetition signals — the quality filters that drop
     * boilerplate/spam before training (the published Gopher curation
     * rules filter on exactly these: fraction of duplicated content and

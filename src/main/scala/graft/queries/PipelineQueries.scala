@@ -21,6 +21,8 @@ object PipelineQueries {
   private val IVF_CELLS = 16     // IVF centroid count (e04)
   private val IVF_PROBES = 4     // IVF probed cells per query (e04)
 
+  private val BM25_TERMS = Seq("table", "query", "spark") // d17 query terms
+
   private val FRAME_BYTES = 256 // m03 frame size
   private val FRAME_STRIDE = 4  // m03: keep every 4th frame
   private val MAX_DIM = 48      // m04 fit-in-box dimension
@@ -149,6 +151,12 @@ object PipelineQueries {
     "d15_vocab" -> ((spark: SparkSession, dir: String) =>
       TextAnalysis.vocab(Tables.documents(spark, dir))
         .orderBy(col("rank"))),
+
+    // topical-subset mining: BM25 (raw-odds idf variant — bm25 doc)
+    // against a fixed 3-term query; stats broadcast, corpus unshuffled
+    "d17_bm25" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.bm25(Tables.documents(spark, dir), BM25_TERMS)
+        .orderBy(col("doc_id"))),
 
     // reproducible mixture sampling: keep-rate per predicted language,
     // membership a pure hash of doc_id (Sampling.stratified doc)
@@ -314,6 +322,27 @@ object PipelineQueries {
          |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
          |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    // expression order/parenthesization mirrors TextAnalysis.bm25
+    // exactly (every op is +,-,*,/ over doubles — bit-identical)
+    "d17_bm25" -> {
+      val dfSelects = BM25_TERMS.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(string_split(text,' '), '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+      }.mkString(", ")
+      val tfSelects = BM25_TERMS.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(", ")
+      val scoreSum = BM25_TERMS.indices.map { i =>
+        s"((nd - df$i + 0.5)/(df$i + 0.5)) * (tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (sum_dl / nd))))"
+      }.mkString(" + ")
+      s"""WITH st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+         |  CAST(sum(len(string_split(text,' '))) AS DOUBLE) AS sum_dl,
+         |  $dfSelects FROM documents),
+         |d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfSelects
+         |      FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
+         |SELECT doc_id, $scoreSum AS score
+         |FROM d CROSS JOIN st ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
 
     "d15_vocab" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),

@@ -76,6 +76,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists(_._2) && out.exists(!_._2), "needs both outcomes to be meaningful")
   }
 
+  // ---- bm25 ----
+
+  test("bm25: raw-odds idf scoring matches the closed form") {
+    val docs = Seq((1L, "table query table"), (2L, "spark x y"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("table", "spark"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    val (k1, b) = (1.2, 0.75)
+    val (nd, avg) = (3.0, 9.0 / 3.0)
+    def s(tf: Double, df: Double, dl: Double): Double =
+      ((nd - df + 0.5) / (df + 0.5)) * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * (dl / avg)))
+    assert(out == Seq(
+      (1L, s(2, 1, 3) + s(0, 1, 3)),
+      (2L, s(0, 1, 3) + s(1, 1, 3)),
+      (3L, s(0, 1, 3) + s(0, 1, 3))))
+  }
+
   // ---- vocab ----
 
   test("vocab: tf/df counts, deterministic rank under ties, top-k cut") {
