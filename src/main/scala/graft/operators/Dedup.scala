@@ -364,9 +364,20 @@ object Dedup {
   def dedupClusters(vertices: DataFrame, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
     val p = pairs.select(col("doc_a"), col("doc_b"))
+    // materialize the edge list ONCE: its lineage is typically a whole
+    // LSH mining pipeline, and every pass joins against it — without
+    // this the pair mining re-executes per pass (measured 2× the d03
+    // pipeline per iteration at sf0.1)
     val edges = p.select(col("doc_a").as("w"), col("doc_b").as("v"))
       .unionByName(p.select(col("doc_b").as("w"), col("doc_a").as("v")))
-    var labels = vertices.select(col("doc_id").as("v"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    // Only vertices that touch an edge can ever change labels, so the
+    // loop runs over the ACTIVE set (distinct pair endpoints) — a tiny
+    // fraction of the corpus in any real dedup run — and the untouched
+    // majority rejoins as singletons at the end. The iterated state
+    // scales with the near-dup population, not the corpus.
+    var labels = edges.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
@@ -383,7 +394,9 @@ object Dedup {
       iter += 1
     }
     val sizeW = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    vertices.select(col("doc_id"))
+      .join(labels.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(sizeW))
   }
 }
