@@ -298,6 +298,37 @@ object Dedup {
     votes.select(col("doc_id"), sig.cast("long").as("simhash"))
   }
 
+  /** Inter-document span duplication — for each doc, the fraction of its
+    * word n-gram spans that also occur in at least one OTHER document
+    * (the C4-style "seen elsewhere in the corpus" repetition signal;
+    * complements [[graft.operators.TextAnalysis.repetition]], which is
+    * within-doc). High values mean boilerplate shared across the corpus
+    * even when no whole-document near-dup fires.
+    *
+    * Shape at 100 TB: gram df is one partial-aggregated count keyed by
+    * the 60-bit gram hash; the join back is (doc, gram) × one df row —
+    * linear, never pairwise, so no df cap is needed (unlike the
+    * inverted-index PAIR joins, where hot grams explode quadratically).
+    * Per-doc grams are distinct upstream, so `df ≥ 2` exactly means
+    * "some other doc has it".
+    *
+    * Returns (doc_id, n_grams, dup_span_frac); docs shorter than `n`
+    * tokens carry zero grams and report 0.0.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 3): DataFrame = {
+    val g = hashedShingles(docs, n)
+    val dfCounts = g.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val per = g.join(dfCounts, Seq("hs"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared").cast("double") / col("n_grams"), lit(0.0))
+          .as("dup_span_frac"))
+  }
+
   /** Train/eval contamination check — flags training documents that
     * share any word n-gram with a benchmark/eval document, the standard
     * decontamination pass before a corpus becomes training data (the

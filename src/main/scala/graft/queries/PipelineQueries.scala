@@ -152,6 +152,12 @@ object PipelineQueries {
       TextAnalysis.vocab(Tables.documents(spark, dir))
         .orderBy(col("rank"))),
 
+    // corpus-level boilerplate signal: fraction of each doc's 3-gram
+    // spans seen in some OTHER doc (Dedup.dupSpans doc)
+    "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
+      Dedup.dupSpans(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
     // topical-subset mining: BM25 (raw-odds idf variant — bm25 doc)
     // against a fixed 3-term query; stats broadcast, corpus unshuffled
     "d17_bm25" -> ((spark: SparkSession, dir: String) =>
@@ -322,6 +328,18 @@ object PipelineQueries {
          |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
          |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    // per-doc distinct grams upstream (shingle CTE) make df ≥ 2 exactly
+    // "another doc has the span"; LEFT JOIN reinstates gram-less docs
+    "d18_dup_spans" ->
+      s"""WITH $shingleCte,
+         |dfq AS (SELECT hs, count(*) AS df FROM shh GROUP BY hs),
+         |per AS (SELECT doc_id, count(*) AS n_grams,
+         |        sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+         |        FROM shh JOIN dfq USING (hs) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+         |       coalesce(CAST(n_shared AS DOUBLE) / n_grams, 0.0) AS dup_span_frac
+         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // expression order/parenthesization mirrors TextAnalysis.bm25
     // exactly (every op is +,-,*,/ over doubles — bit-identical)

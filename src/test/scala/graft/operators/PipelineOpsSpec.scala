@@ -138,6 +138,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, 1L, 0.0, 0.0)))
   }
 
+  // ---- dupSpans ----
+
+  test("dupSpans: cross-doc span fraction, within-doc repeats don't count") {
+    val docs = Seq(
+      (1L, "a b c d"),    // grams "a b c","b c d"; "a b c" shared with doc 2
+      (2L, "a b c x"),    // grams "a b c","b c x"
+      (3L, "p q r p q r"),// within-doc repeat only: distinct grams, none shared
+      (4L, "s t")         // < 3 tokens → no grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // doc 3 grams: "p q r","q r p","r p q","p q r" → per-doc distinct = 3
+    assert(out == Seq(
+      (1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 3L, 0.0), (4L, 0L, 0.0)))
+  }
+
   // ---- contamination ----
 
   test("contamination: gram hits flagged, short and clean docs report clean") {
