@@ -62,4 +62,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("normalize_text"), p.take(2000))
     assert(!p.contains("regexp_replace"), "regex chain crept back into the hot path")
   }
+
+  test("d13: the train gram stream probes a BROADCAST eval set (corpus unshuffled)") {
+    val p = plan("d13_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("d15: vocab top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("d15_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("d16: hash sampling is pure per-row expression work — zero exchanges") {
+    // the operator itself (the registered query adds an orderBy for
+    // oracle determinism, which legitimately range-partitions)
+    val df = graft.operators.Sampling.stratified(
+      graft.operators.TextAnalysis.langId(
+        graft.sources.Tables.documents(spark, dir))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("pred_lang")),
+      org.apache.spark.sql.functions.col("pred_lang"),
+      Map("en" -> 0.5), 1.0)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), "sampling must not shuffle\n" + p.take(2000))
+  }
+
+  test("d17: bm25 stats ride a broadcast into per-row scoring") {
+    val p = plan("d17_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("d14/d18: repetition signals partial-aggregate below their exchanges") {
+    assert(plan("d14_repetition").contains("partial_"), "d14 lost map-side aggregation")
+    assert(plan("d18_dup_spans").contains("partial_"), "d18 lost map-side aggregation")
+  }
 }
