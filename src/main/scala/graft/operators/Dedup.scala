@@ -61,9 +61,17 @@ object Dedup {
     * are identical in both engines, so oracle hash-matching is
     * unaffected.
     */
+  /** First 60 bits of md5(x) as a non-negative Long — THE shared
+    * cross-engine hash (DuckDB: `('0x' || substr(md5(x),1,15))::BIGINT`).
+    * 15 hex chars is load-bearing: 16 would overflow a signed Long.
+    * Every operator needing an oracle-exact hash must use this one
+    * construction ([[hashedShingles]], [[graft.operators.Sampling]]).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    shingles(docs, n).select(col("doc_id"),
-      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("hs"))
+    shingles(docs, n).select(col("doc_id"), hash60(col("s")).as("hs"))
 
   /** Universal-hash MinHash family: ONE md5 per shingle (not k) feeds the
     * 60-bit base value; the k permutations are pure arithmetic
@@ -410,6 +418,16 @@ object Dedup {
     var labels = edges.select(col("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
       .localCheckpoint(true)
+    // Deterministically free a SUPERSEDED snapshot's checkpoint blocks
+    // (waiting for the ContextCleaner's weak-ref GC would pin up to
+    // maxIters copies of the label set in executor storage). Safe
+    // because a superseded snapshot is never read again: each pass's
+    // eager checkpoint depends only on its own blocks. The FINAL
+    // snapshot stays pinned — the returned DataFrame reads it.
+    def freeSnapshot(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -421,9 +439,11 @@ object Dedup {
           col("lbl").as("prev"))
         .localCheckpoint(true)
       converged = next.filter(col("lbl") < col("prev")).isEmpty
+      freeSnapshot(labels)
       labels = next.select(col("v"), col("lbl"))
       iter += 1
     }
+    freeSnapshot(edges)
     val sizeW = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     vertices.select(col("doc_id"))
       .join(labels.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left_outer")

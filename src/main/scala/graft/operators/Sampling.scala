@@ -18,13 +18,11 @@ object Sampling {
   /** 2^60 as a double; the hash below is 60 bits so `u` is in [0, 1). */
   private val TwoPow60 = 1152921504606846976.0
 
-  /** Uniform [0,1) deterministic in the key: first 60 md5 bits of the
-    * key's decimal string. Same construction as [[Dedup.hashedShingles]],
-    * bit-identical in DuckDB.
+  /** Uniform [0,1) deterministic in the key: [[Dedup.hash60]] of the
+    * key's decimal string over 2^60, bit-identical in DuckDB.
     */
   def uniformHash(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(TwoPow60)
+    Dedup.hash60(key.cast("string")).cast("double") / lit(TwoPow60)
 
   /** Stratified sample: keep a row iff `uniformHash(doc_id) <
     * rate(stratum)`, where `rates` maps stratum values to keep-rates and

@@ -229,6 +229,29 @@ object PipelineQueries {
   private def dfCapCte =
     s"shc AS (SELECT shh.* FROM shh JOIN (SELECT hs FROM shh GROUP BY hs HAVING count(*) <= $MAX_DF) h USING (hs))"
 
+  /** THE d03 pair pipeline (mirror of
+    * [[graft.operators.Dedup.lshNearDupPairs]]) as one CTE chain ending
+    * in `pairs(a, b, jaccard)` — shared by every oracle consuming LSH
+    * pair evidence (d03 itself, d12's connected components), so a
+    * pipeline change cannot desynchronize them.
+    */
+  private def lshPairsCtes(threshold: Double) =
+    s"""$shingleCte,
+       |$dfCapCte,
+       |mins AS (SELECT doc_id, $minhashSelect FROM shh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bandSelect FROM mins),
+       |bl AS ($bandUnion),
+       |blb AS (SELECT bl.* FROM bl JOIN (SELECT bno, bkey FROM bl GROUP BY bno, bkey HAVING count(*) <= $MAX_BUCKET) h USING (bno, bkey)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM blb x
+       |         JOIN blb y ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |card AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |          FROM shc x JOIN shc y ON x.hs = y.hs AND x.doc_id < y.doc_id
+       |          JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT a, b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
+       |          FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
+       |          WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= $threshold)""".stripMargin.replace("\n", " ")
+
   /** Mirror of [[graft.operators.Dedup.minhash]]: one md5 per shingle →
     * 60-bit base value mod P → k universal-hash permutations, identical
     * constants on both sides.
@@ -312,21 +335,8 @@ object PipelineQueries {
          |SELECT doc_id, $bandSelect FROM mins ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d03_lsh_pairs" ->
-      s"""WITH $shingleCte,
-         |$dfCapCte,
-         |mins AS (SELECT doc_id, $minhashSelect FROM shh GROUP BY doc_id),
-         |sig AS (SELECT doc_id, $bandSelect FROM mins),
-         |bl AS ($bandUnion),
-         |blb AS (SELECT bl.* FROM bl JOIN (SELECT bno, bkey FROM bl GROUP BY bno, bkey HAVING count(*) <= $MAX_BUCKET) h USING (bno, bkey)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM blb x
-         |         JOIN blb y ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |card AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
-         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-         |          FROM shc x JOIN shc y ON x.hs = y.hs AND x.doc_id < y.doc_id
-         |          JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id GROUP BY 1, 2)
-         |SELECT a AS doc_a, b AS doc_b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
-         |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
-         |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.5
+      s"""WITH ${lshPairsCtes(0.5)}
+         |SELECT a AS doc_a, b AS doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
 
     // per-doc distinct grams upstream (shingle CTE) make df ≥ 2 exactly
@@ -408,26 +418,13 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN hits h USING (doc_id)
          |WHERE d.doc_id % 10 <> 0 ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
-    // d03's pair pipeline verbatim, then connected components as a
+    // the shared d03 pair pipeline, then connected components as a
     // recursive min-reachable-label closure: reach holds every (vertex,
     // label-it-can-see) pair, min per vertex = component representative.
     // UNION (not UNION ALL) dedups the working set so the recursion
     // terminates; singletons enter via the seed row (doc_id, doc_id).
     "d12_dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleCte,
-         |$dfCapCte,
-         |mins AS (SELECT doc_id, $minhashSelect FROM shh GROUP BY doc_id),
-         |sig AS (SELECT doc_id, $bandSelect FROM mins),
-         |bl AS ($bandUnion),
-         |blb AS (SELECT bl.* FROM bl JOIN (SELECT bno, bkey FROM bl GROUP BY bno, bkey HAVING count(*) <= $MAX_BUCKET) h USING (bno, bkey)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM blb x
-         |         JOIN blb y ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |card AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
-         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-         |          FROM shc x JOIN shc y ON x.hs = y.hs AND x.doc_id < y.doc_id
-         |          JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id GROUP BY 1, 2),
-         |pairs AS (SELECT a, b FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
-         |          WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.5),
+      s"""WITH RECURSIVE ${lshPairsCtes(0.5)},
          |edges AS (SELECT a AS v, b AS w FROM pairs UNION ALL SELECT b AS v, a AS w FROM pairs),
          |reach AS (SELECT doc_id AS v, doc_id AS lbl FROM documents
          |          UNION

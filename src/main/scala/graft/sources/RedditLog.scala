@@ -189,8 +189,19 @@ object RedditLog {
     now - l.startMillis < leaseTtlMillis &&
       (l.open.get() > 0 || now - l.lastActivity.get() < leasePlanGraceMillis)
 
+  /** Eviction decides per key under the bin lock (computeIfPresent), so
+    * it serializes with [[leaseReaderOpened]]'s compute on the same key:
+    * either the purge sees the incremented open count and keeps the
+    * lease, or the open lands after the removal and re-inserts a fresh
+    * one. An entrySet().removeIf here would test the predicate OUTSIDE
+    * the lock and could evict a lease between a reader's re-insert and
+    * its increment — exactly the unprotected-read window the re-insert
+    * exists to close.
+    */
   private def purgeInactiveLeases(now: Long): Unit =
-    leases.entrySet().removeIf(e => !leaseActive(e.getValue, now))
+    leases.keySet.forEach { k =>
+      leases.computeIfPresent(k, (_, l) => if (leaseActive(l, now)) l else null)
+    }
 
   /** Register a scan over `dir`. Call BEFORE listing segments, so the
     * snapshot is provably no older than the lease.
@@ -227,10 +238,16 @@ object RedditLog {
     if (id < 0) return
     if ((openSeq.incrementAndGet() & 1023L) == 0L)
       purgeInactiveLeases(System.currentTimeMillis())
-    val l = leases.computeIfAbsent(id,
-      _ => Lease(canon(dir), System.currentTimeMillis(), new AtomicInteger(0)))
-    l.open.incrementAndGet()
-    l.lastActivity.set(System.currentTimeMillis())
+    // increment INSIDE the per-key compute: atomic with the purge's
+    // computeIfPresent, so the count can never land on an evicted Lease
+    leases.compute(id, (_, old) => {
+      val l = if (old == null)
+        Lease(canon(dir), System.currentTimeMillis(), new AtomicInteger(0))
+      else old
+      l.open.incrementAndGet()
+      l.lastActivity.set(System.currentTimeMillis())
+      l
+    })
   }
 
   /** A partition reader closed. Unknown ids (a close racing lease
