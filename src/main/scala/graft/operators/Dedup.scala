@@ -50,17 +50,6 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Hashed shingle stream: each distinct (doc_id, shingle) as a 60-bit
-    * md5-derived fingerprint (first 15 hex chars as an integer — the
-    * `('0x'||hex)::BIGINT` pattern DuckDB mirrors bit-identically).
-    *
-    * Everything downstream (minhash, df caps, the inverted-index
-    * intersection joins) operates on this BIGINT instead of the shingle
-    * string: shuffle rows shrink from ~30-byte strings to 8-byte longs
-    * and key comparisons become integer equality. Collisions (~n²/2⁶¹)
-    * are identical in both engines, so oracle hash-matching is
-    * unaffected.
-    */
   /** First 60 bits of md5(x) as a non-negative Long — THE shared
     * cross-engine hash (DuckDB: `('0x' || substr(md5(x),1,15))::BIGINT`).
     * 15 hex chars is load-bearing: 16 would overflow a signed Long.
@@ -70,6 +59,16 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Hashed shingle stream: each distinct (doc_id, shingle) as a 60-bit
+    * md5-derived fingerprint ([[hash60]]).
+    *
+    * Everything downstream (minhash, df caps, the inverted-index
+    * intersection joins) operates on this BIGINT instead of the shingle
+    * string: shuffle rows shrink from ~30-byte strings to 8-byte longs
+    * and key comparisons become integer equality. Collisions (~n²/2⁶¹)
+    * are identical in both engines, so oracle hash-matching is
+    * unaffected.
+    */
   def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
     shingles(docs, n).select(col("doc_id"), hash60(col("s")).as("hs"))
 
@@ -423,7 +422,10 @@ object Dedup {
     // maxIters copies of the label set in executor storage). Safe
     // because a superseded snapshot is never read again: each pass's
     // eager checkpoint depends only on its own blocks. The FINAL
-    // snapshot stays pinned — the returned DataFrame reads it.
+    // snapshot stays pinned — the returned DataFrame reads it. Spark
+    // logs one WARN per free ("locally checkpointed ... cannot be
+    // recomputed") — expected: unrecomputability is fine for blocks
+    // nothing references.
     def freeSnapshot(df: DataFrame): Unit =
       df.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd

@@ -217,11 +217,18 @@ object PipelineQueries {
     * 60-bit hashed-shingle stream (mirror of
     * [[graft.operators.Dedup.hashedShingles]]).
     */
+  /** DuckDB mirror of [[graft.operators.Dedup.hash60]] — THE one SQL-side
+    * copy of the 60-bit construction; keep in lockstep with the Scala
+    * helper (15 hex chars: 16 would overflow a signed BIGINT).
+    */
+  private def duckHash60(expr: String) =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
   private def shingleCteOver(docFilter: String) =
     s"""tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE $docFilter len(string_split(text,' ')) >= 3),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2),' ') AS s
       |       FROM tok, LATERAL unnest(range(1, len(w)-1)) AS t(i)),
-      |shh AS (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT AS hs FROM sh)""".stripMargin.replace("\n", " ")
+      |shh AS (SELECT doc_id, ${duckHash60("s")} AS hs FROM sh)""".stripMargin.replace("\n", " ")
 
   private val shingleCte = shingleCteOver("")
 
@@ -384,7 +391,7 @@ object PipelineQueries {
       s"""WITH s AS (SELECT doc_id, $scSelects FROM documents),
          |l AS (SELECT doc_id, $langCase AS stratum FROM s),
          |u AS (SELECT doc_id, stratum,
-         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+         |  CAST(${duckHash60("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
          |    / 1152921504606846976.0 AS u FROM l)
          |SELECT doc_id, stratum, u FROM u
          |WHERE u < CASE stratum WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25

@@ -163,7 +163,7 @@ object RedditLog {
   // leases expire at the plan grace -- there the grace window, sized
   // >= the longest expected scan, remains the real control.
 
-  private final case class Lease(dir: String, startMillis: Long, open: AtomicInteger) {
+  private[sources] final case class Lease(dir: String, startMillis: Long, open: AtomicInteger) {
     /** Last open/close transition — the grace window measures from here,
       * not from planning, so a multi-pass execution whose passes are
       * spaced wider than the grace stays covered as long as each gap is
@@ -234,31 +234,44 @@ object RedditLog {
     * amortized purge keeps executor-local maps bounded (acquireLease
     * never runs there).
     */
-  private[sources] def leaseReaderOpened(id: Long, dir: String): Unit = {
-    if (id < 0) return
+  private[sources] def leaseReaderOpened(id: Long, dir: String): Option[Lease] = {
+    if (id < 0) return None
     if ((openSeq.incrementAndGet() & 1023L) == 0L)
       purgeInactiveLeases(System.currentTimeMillis())
     // increment INSIDE the per-key compute: atomic with the purge's
     // computeIfPresent, so the count can never land on an evicted Lease
+    var opened: Lease = null
     leases.compute(id, (_, old) => {
       val l = if (old == null)
         Lease(canon(dir), System.currentTimeMillis(), new AtomicInteger(0))
       else old
       l.open.incrementAndGet()
       l.lastActivity.set(System.currentTimeMillis())
+      opened = l
       l
     })
+    Some(opened)
   }
 
-  /** A partition reader closed. Unknown ids (a close racing lease
-    * expiry) are no-ops; the open count floors at zero so a retried
-    * task's double close cannot go negative.
+  /** A partition reader closed. Takes the exact Lease object the open
+    * incremented (returned by [[leaseReaderOpened]]), NOT the id: after
+    * a TTL eviction + re-insert under the same id, an id-keyed close
+    * would decrement the NEW lease for an open it never counted,
+    * stripping open-reader protection from a still-open reader.
+    * Closing an already-evicted object is harmless (it's off the map);
+    * the floor at zero keeps a retried task's double close from going
+    * negative.
+    */
+  private[sources] def leaseReaderClosed(l: Lease): Unit = {
+    l.open.updateAndGet(n => math.max(0, n - 1))
+    l.lastActivity.set(System.currentTimeMillis())
+  }
+
+  /** Test/compat shim: close by id — valid only when no evict+re-insert
+    * happened in between (true in specs that control time directly).
     */
   private[sources] def releaseLeasePartition(id: Long): Unit =
-    Option(leases.get(id)).foreach { l =>
-      l.open.updateAndGet(n => math.max(0, n - 1))
-      l.lastActivity.set(System.currentTimeMillis())
-    }
+    Option(leases.get(id)).foreach(leaseReaderClosed)
 
   /** Start time of the oldest ACTIVE lease over `dir`. Also reclaims
     * inactive entries (gcSweep calls this every sweep, so the map stays

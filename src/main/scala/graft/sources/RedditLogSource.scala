@@ -297,14 +297,15 @@ private[sources] class RedditLogReaderFactory extends PartitionReaderFactory {
       // incrementing in createReader would leak the count if the eager
       // read threw, because Spark only registers the close hook after
       // createReader returns — a leaked open pins GC for the whole TTL.
-      private var leased = false
+      // The close targets the exact Lease OBJECT the open incremented,
+      // so a TTL evict + re-insert between them cannot mis-pair counts.
+      private var leased: Option[RedditLog.Lease] = None
       private var lines: Iterator[String] = _
       private var row: InternalRow = _
 
       override def next(): Boolean = {
         if (lines == null) {
-          RedditLog.leaseReaderOpened(p.leaseId, new java.io.File(p.file).getParent)
-          leased = true
+          leased = RedditLog.leaseReaderOpened(p.leaseId, new java.io.File(p.file).getParent)
           lines = new String(
             Files.readAllBytes(java.nio.file.Paths.get(p.file)), StandardCharsets.UTF_8)
             .split('\n').iterator.filter(_.nonEmpty)
@@ -326,8 +327,10 @@ private[sources] class RedditLogReaderFactory extends PartitionReaderFactory {
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit =
-        if (leased) { leased = false; RedditLog.releaseLeasePartition(p.leaseId) }
+      override def close(): Unit = {
+        leased.foreach(RedditLog.leaseReaderClosed)
+        leased = None
+      }
     }
   }
 }
