@@ -108,6 +108,18 @@ object PipelineQueries {
       Similarity.nearDupPairs(Tables.embeddings(spark, dir), 0.4, ANN_BITS)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // semantic dedup decisions: the SAME connected-components operator
+    // as d12, fed embedding-cosine pair evidence instead of LSH text
+    // pairs — pair miners and the cluster resolver compose freely
+    "e05_embed_clusters" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      val pairs = Similarity.nearDupPairs(emb, 0.4, ANN_BITS)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.dedupClusters(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy(col("vec_id"))
+    }),
+
     "e01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
       Similarity.cosineTopK(Tables.embeddings(spark, dir),
         col("vec_id") % 50 === 0, 5)
@@ -223,6 +235,19 @@ object PipelineQueries {
     */
   private def duckHash60(expr: String) =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** Mirror of [[graft.operators.Similarity.nearDupPairs]] as one CTE
+    * chain ending in `pairs(a, b, cosine)` — shared by d10 and e05 so a
+    * bucketing change cannot desynchronize them.
+    */
+  private def embedPairsCtes(threshold: Double) =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+       |        CAST($annBucket AS BIGINT) AS bucket FROM v),
+       |pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+       |          list_dot_product(a.e, b.e)/(a.nrm*b.nrm) AS cosine
+       |          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |          WHERE list_dot_product(a.e, b.e)/(a.nrm*b.nrm) >= $threshold)""".stripMargin.replace("\n", " ")
 
   private def shingleCteOver(docFilter: String) =
     s"""tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE $docFilter len(string_split(text,' ')) >= 3),
@@ -483,14 +508,21 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d10_embedding_neardup" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
-         |        CAST($annBucket AS BIGINT) AS bucket FROM v)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       list_dot_product(a.e, b.e)/(a.nrm*b.nrm) AS cosine
-         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE list_dot_product(a.e, b.e)/(a.nrm*b.nrm) >= 0.4
+      s"""WITH ${embedPairsCtes(0.4)}
+         |SELECT a AS vec_a, b AS vec_b, cosine FROM pairs
          |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " "),
+
+    // d10's pair evidence through the same recursive min-label closure
+    // as d12 (see that oracle's comment), seeded from the embeddings ids
+    "e05_embed_clusters" ->
+      s"""WITH RECURSIVE ${embedPairsCtes(0.4)},
+         |edges AS (SELECT a AS v, b AS w FROM pairs UNION ALL SELECT b AS v, a AS w FROM pairs),
+         |reach AS (SELECT vec_id AS v, vec_id AS lbl FROM embeddings
+         |          UNION
+         |          SELECT e.w AS v, r.lbl FROM reach r JOIN edges e ON e.v = r.v),
+         |lab AS (SELECT v AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY v)
+         |SELECT vec_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY vec_id""".stripMargin.replace("\n", " "),
 
     "e01_cosine_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
