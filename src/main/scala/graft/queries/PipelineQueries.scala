@@ -225,15 +225,13 @@ object PipelineQueries {
 
   // ---- oracle SQL (DuckDB), built with the same loops as the Scala ----
 
-  /** Shared CTEs: tokenized docs + distinct word-3-gram shingles + the
-    * 60-bit hashed-shingle stream (mirror of
-    * [[graft.operators.Dedup.hashedShingles]]).
-    */
   /** DuckDB mirror of [[graft.operators.Dedup.hash60]] — THE one SQL-side
-    * copy of the 60-bit construction; keep in lockstep with the Scala
-    * helper (15 hex chars: 16 would overflow a signed BIGINT).
+    * copy of the 60-bit construction, shared across query families
+    * ([[graft.queries.RelationalQueries]] uses it for the q11b KMV
+    * oracle); keep in lockstep with the Scala helper (15 hex chars: 16
+    * would overflow a signed BIGINT).
     */
-  private def duckHash60(expr: String) =
+  private[queries] def duckHash60(expr: String) =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
   /** Mirror of [[graft.operators.Similarity.nearDupPairs]] as one CTE
@@ -249,6 +247,10 @@ object PipelineQueries {
        |          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |          WHERE list_dot_product(a.e, b.e)/(a.nrm*b.nrm) >= $threshold)""".stripMargin.replace("\n", " ")
 
+  /** Shared CTEs: tokenized docs + distinct word-3-gram shingles + the
+    * 60-bit hashed-shingle stream (mirror of
+    * [[graft.operators.Dedup.hashedShingles]]).
+    */
   private def shingleCteOver(docFilter: String) =
     s"""tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE $docFilter len(string_split(text,' ')) >= 3),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2),' ') AS s

@@ -331,7 +331,7 @@ object RelationalQueries {
     // mirror of KmvSketch: k = 64, M = 2^60; fewer than k distinct
     // hashes → exact count, else (k-1)·M / h_k
     "q11b_distinct_kmv" ->
-      """WITH h AS (SELECT DISTINCT l_returnflag, ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),1,15))::BIGINT AS h FROM lineitem),
+      s"""WITH h AS (SELECT DISTINCT l_returnflag, ${PipelineQueries.duckHash60("CAST(l_partkey AS VARCHAR)")} AS h FROM lineitem),
         |r AS (SELECT l_returnflag, h, row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
         |c AS (SELECT l_returnflag, count(*) AS n FROM h GROUP BY 1),
         |kth AS (SELECT l_returnflag, h AS hk FROM r WHERE rn = 64)
