@@ -183,6 +183,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       (9L, 9L, 1L)))
   }
 
+  test("dedupClusters: superseded checkpoint snapshots are freed (no storage leak)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val docs = (1L to 50L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    assert(Dedup.dedupClusters(docs, pairs).count() == 50)
+    // unpersist(blocking = false) is async — poll briefly. Only the
+    // FINAL labels snapshot may remain pinned (the result reads it).
+    val deadline = System.currentTimeMillis() + 5000
+    var leaked = sc.getPersistentRDDs.size - before
+    while (leaked > 1 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100); leaked = sc.getPersistentRDDs.size - before
+    }
+    assert(leaked <= 1, s"$leaked checkpoint snapshots still pinned (expected <= 1)")
+  }
+
+  test("ivfTopK: empty centroid set fails fast with a clear message") {
+    val emb = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, col("vec_id") === 100L, 1, nCentroids = 16)
+    }
+    assert(e.getMessage.contains("no centroid vectors"))
+  }
+
   test("bloomDedupManaged: broadcast handle is destroyable after materialization") {
     val docs = (1L to 20L).map(i => (i, s"text-${i % 5}")).toDF("doc_id", "text")
     val (out, handle) =
