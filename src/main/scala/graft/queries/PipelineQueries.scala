@@ -164,6 +164,38 @@ object PipelineQueries {
       TextAnalysis.vocab(Tables.documents(spark, dir))
         .orderBy(col("rank"))),
 
+    // THE end-to-end curation verdict: one row per TRAIN doc with the
+    // full keep decision and its reason bits — dedup representative
+    // (d12), decontaminated (d13), length + repetition quality gates
+    // (d14), language-stratified sample membership (d16). Each input is
+    // the registered operator itself, so this query is the composition
+    // proof: a corpus curation run IS this DataFrame written out.
+    "d19_curation_keep" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val clusters = Dedup.dedupClusters(docs,
+        Dedup.lshNearDupPairs(docs, K, BANDS, 0.5, MAX_BUCKET, MAX_DF))
+      val contam = Dedup.contamination(docs, col("doc_id") % 10 === 0)
+      val rep = TextAnalysis.repetition(docs)
+      val samp = Sampling.stratified(
+        TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang")),
+        col("pred_lang"), Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.125), 1.0)
+      contam.select(col("doc_id"), col("contaminated"))
+        .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
+        .join(rep.select(col("doc_id"), col("n_tokens"),
+          col("dup_token_frac"), col("top_ngram_frac")), Seq("doc_id"))
+        .join(samp.select(col("doc_id"), lit(true).as("in_sample")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          (col("doc_id") === col("cluster_id")).as("is_rep"),
+          (!col("contaminated")).as("clean"),
+          (col("n_tokens") >= 20).as("ok_len"),
+          (col("top_ngram_frac") <= 0.2 && col("dup_token_frac") <= 0.8).as("ok_rep"),
+          coalesce(col("in_sample"), lit(false)).as("sampled"))
+        .withColumn("keep",
+          col("is_rep") && col("clean") && col("ok_len") && col("ok_rep") && col("sampled"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -372,6 +404,56 @@ object PipelineQueries {
       s"""WITH ${lshPairsCtes(0.5)}
          |SELECT a AS doc_a, b AS doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    // the d12/d13/d14/d16 oracle fragments joined into the one keep
+    // verdict; shh from the shared pair chain feeds the contamination
+    // split too, so every stage reads the same shingle stream
+    "d19_curation_keep" ->
+      s"""WITH RECURSIVE ${lshPairsCtes(0.5)},
+         |edges AS (SELECT a AS v, b AS w FROM pairs UNION ALL SELECT b AS v, a AS w FROM pairs),
+         |reach AS (SELECT doc_id AS v, doc_id AS lbl FROM documents
+         |          UNION
+         |          SELECT e.w AS v, r.lbl FROM reach r JOIN edges e ON e.v = r.v),
+         |lab AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v),
+         |ev AS (SELECT DISTINCT hs FROM shh WHERE doc_id % 10 = 0),
+         |tr AS (SELECT doc_id, hs FROM shh WHERE doc_id % 10 <> 0),
+         |hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev USING (hs) GROUP BY tr.doc_id),
+         |t2 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM t2),
+         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |        i -> array_to_string(list_slice(w, i, i+1), ' '))) AS g
+         |       FROM base WHERE len(w) >= 2),
+         |topg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams
+         |         FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY doc_id),
+         |reps AS (SELECT b.doc_id, b.n_tokens,
+         |         1.0 - CAST(n_distinct AS DOUBLE)/n_tokens AS dup_token_frac,
+         |         coalesce(CAST(top_c AS DOUBLE)/n_grams, 0.0) AS top_ngram_frac
+         |         FROM base b LEFT JOIN topg USING (doc_id)),
+         |s2 AS (SELECT doc_id, $scSelects FROM documents),
+         |l2 AS (SELECT doc_id, $langCase AS stratum FROM s2),
+         |u2 AS (SELECT doc_id, stratum,
+         |   CAST(${duckHash60("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |     / 1152921504606846976.0 AS u FROM l2),
+         |samp AS (SELECT doc_id, TRUE AS in_sample FROM u2
+         |         WHERE u < CASE stratum WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+         |                   WHEN 'de' THEN 0.125 ELSE 1.0 END)
+         |SELECT d.doc_id,
+         |  (d.doc_id = lab.cluster_id) AS is_rep,
+         |  NOT (coalesce(hits.n_hits, 0) > 0) AS clean,
+         |  (reps.n_tokens >= 20) AS ok_len,
+         |  (reps.top_ngram_frac <= 0.2 AND reps.dup_token_frac <= 0.8) AS ok_rep,
+         |  coalesce(samp.in_sample, FALSE) AS sampled,
+         |  ((d.doc_id = lab.cluster_id) AND NOT (coalesce(hits.n_hits, 0) > 0)
+         |   AND (reps.n_tokens >= 20)
+         |   AND (reps.top_ngram_frac <= 0.2 AND reps.dup_token_frac <= 0.8)
+         |   AND coalesce(samp.in_sample, FALSE)) AS keep
+         |FROM documents d
+         |JOIN lab ON lab.doc_id = d.doc_id
+         |LEFT JOIN hits ON hits.doc_id = d.doc_id
+         |JOIN reps ON reps.doc_id = d.doc_id
+         |LEFT JOIN samp ON samp.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
 
     // per-doc distinct grams upstream (shingle CTE) make df ≥ 2 exactly
     // "another doc has the span"; LEFT JOIN reinstates gram-less docs
