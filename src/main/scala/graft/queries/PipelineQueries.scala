@@ -23,6 +23,10 @@ object PipelineQueries {
 
   private val BM25_TERMS = Seq("table", "query", "spark") // d17 query terms
 
+  /** d16/d19 stratified keep-rates (Seq: deterministic SQL-gen order). */
+  private val SAMPLE_RATES = Seq("en" -> 0.5, "es" -> 0.25, "de" -> 0.125)
+  private val SAMPLE_DEFAULT = 1.0
+
   private val FRAME_BYTES = 256 // m03 frame size
   private val FRAME_STRIDE = 4  // m03: keep every 4th frame
   private val MAX_DIM = 48      // m04 fit-in-box dimension
@@ -174,19 +178,27 @@ object PipelineQueries {
       val docs = Tables.documents(spark, dir)
       val clusters = Dedup.dedupClusters(docs,
         Dedup.lshNearDupPairs(docs, K, BANDS, 0.5, MAX_BUCKET, MAX_DF))
+      // representative = min doc_id among the cluster's TRAIN members:
+      // clustering runs over the whole corpus (eval near-dups must still
+      // collapse train docs), but an eval-anchored component min would
+      // silently drop clean train content whose only "representative"
+      // is an eval doc
+      val trainRep = clusters.filter(col("doc_id") % 10 =!= 0)
+        .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("train_rep"))
       val contam = Dedup.contamination(docs, col("doc_id") % 10 === 0)
       val rep = TextAnalysis.repetition(docs)
       val samp = Sampling.stratified(
         TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang")),
-        col("pred_lang"), Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.125), 1.0)
+        col("pred_lang"), SAMPLE_RATES.toMap, SAMPLE_DEFAULT)
       contam.select(col("doc_id"), col("contaminated"))
         .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
+        .join(trainRep, Seq("cluster_id"))
         .join(rep.select(col("doc_id"), col("n_tokens"),
           col("dup_token_frac"), col("top_ngram_frac")), Seq("doc_id"))
         .join(samp.select(col("doc_id"), lit(true).as("in_sample")),
           Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
-          (col("doc_id") === col("cluster_id")).as("is_rep"),
+          (col("doc_id") === col("train_rep")).as("is_rep"),
           (!col("contaminated")).as("clean"),
           (col("n_tokens") >= 20).as("ok_len"),
           (col("top_ngram_frac") <= 0.2 && col("dup_token_frac") <= 0.8).as("ok_rep"),
@@ -214,8 +226,7 @@ object PipelineQueries {
       Sampling.stratified(
         TextAnalysis.langId(Tables.documents(spark, dir))
           .select(col("doc_id"), col("pred_lang")),
-        col("pred_lang"),
-        Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.125), 1.0)
+        col("pred_lang"), SAMPLE_RATES.toMap, SAMPLE_DEFAULT)
         .orderBy(col("doc_id"))),
 
     // pair evidence → dedup DECISIONS: connected components over the d03
@@ -278,6 +289,61 @@ object PipelineQueries {
        |          list_dot_product(a.e, b.e)/(a.nrm*b.nrm) AS cosine
        |          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |          WHERE list_dot_product(a.e, b.e)/(a.nrm*b.nrm) >= $threshold)""".stripMargin.replace("\n", " ")
+
+  /** Mirror of the connected-components closure
+    * ([[graft.operators.Dedup.dedupClusters]]) over a `pairs(a, b)` CTE
+    * in scope — ends in `lab(v, cluster_id)`. Shared by d12, e05, d19.
+    */
+  private def ccCtes(seedTable: String, idCol: String) =
+    s"""edges AS (SELECT a AS v, b AS w FROM pairs UNION ALL SELECT b AS v, a AS w FROM pairs),
+       |reach AS (SELECT $idCol AS v, $idCol AS lbl FROM $seedTable
+       |          UNION
+       |          SELECT e.w AS v, r.lbl FROM reach r JOIN edges e ON e.v = r.v),
+       |lab AS (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)""".stripMargin.replace("\n", " ")
+
+  /** Mirror of [[graft.operators.Dedup.contamination]] over an `shh`
+    * CTE in scope — ends in `hits(doc_id, n_hits)` for the train split.
+    * Shared by d13 and d19.
+    */
+  private val contaminationCtes =
+    """ev AS (SELECT DISTINCT hs FROM shh WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, hs FROM shh WHERE doc_id % 10 <> 0),
+      |hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev USING (hs) GROUP BY tr.doc_id)""".stripMargin.replace("\n", " ")
+
+  /** Mirror of [[graft.operators.TextAnalysis.repetition]] — ends in
+    * `reps(doc_id, n_tokens, dup_token_frac, top_ngram_frac)`. Shared
+    * by d14 and d19.
+    */
+  private val repetitionCtes =
+    """t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM t),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |        i -> array_to_string(list_slice(w, i, i+1), ' '))) AS g
+      |      FROM base WHERE len(w) >= 2),
+      |topg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams
+      |        FROM (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY doc_id),
+      |reps AS (SELECT b.doc_id, b.n_tokens,
+      |  1.0 - CAST(n_distinct AS DOUBLE)/n_tokens AS dup_token_frac,
+      |  coalesce(CAST(top_c AS DOUBLE)/n_grams, 0.0) AS top_ngram_frac
+      |  FROM base b LEFT JOIN topg USING (doc_id))""".stripMargin.replace("\n", " ")
+
+  /** Mirror of [[graft.operators.Sampling.stratified]] over the
+    * language strata — ends in `u(doc_id, stratum, u)`; pair with
+    * [[rateCase]] for the keep predicate. Shared by d16 and d19.
+    */
+  private def stratSampleCtes =
+    s"""s AS (SELECT doc_id, $scSelects FROM documents),
+       |l AS (SELECT doc_id, $langCase AS stratum FROM s),
+       |u AS (SELECT doc_id, stratum,
+       |  CAST(${duckHash60("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+       |    / 1152921504606846976.0 AS u FROM l)""".stripMargin.replace("\n", " ")
+
+  /** The SAMPLE_RATES fold as SQL (unlisted strata → default). */
+  private def rateCase =
+    "CASE stratum " +
+      SAMPLE_RATES.map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ") +
+      s" ELSE $SAMPLE_DEFAULT END"
 
   /** Shared CTEs: tokenized docs + distinct word-3-gram shingles + the
     * 60-bit hashed-shingle stream (mirror of
@@ -405,51 +471,35 @@ object PipelineQueries {
          |SELECT a AS doc_a, b AS doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
 
-    // the d12/d13/d14/d16 oracle fragments joined into the one keep
-    // verdict; shh from the shared pair chain feeds the contamination
-    // split too, so every stage reads the same shingle stream
+    // the d12/d13/d14/d16 oracle fragments (the SAME shared builders
+    // those oracles consume) joined into the one keep verdict; shh from
+    // the shared pair chain feeds the contamination split too, so every
+    // stage reads the same shingle stream. trep picks the TRAIN-side
+    // representative per cluster: clustering spans the whole corpus so
+    // eval near-dups still collapse train docs, but an eval-anchored
+    // component min must not drop clean train content.
     "d19_curation_keep" ->
       s"""WITH RECURSIVE ${lshPairsCtes(0.5)},
-         |edges AS (SELECT a AS v, b AS w FROM pairs UNION ALL SELECT b AS v, a AS w FROM pairs),
-         |reach AS (SELECT doc_id AS v, doc_id AS lbl FROM documents
-         |          UNION
-         |          SELECT e.w AS v, r.lbl FROM reach r JOIN edges e ON e.v = r.v),
-         |lab AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v),
-         |ev AS (SELECT DISTINCT hs FROM shh WHERE doc_id % 10 = 0),
-         |tr AS (SELECT doc_id, hs FROM shh WHERE doc_id % 10 <> 0),
-         |hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev USING (hs) GROUP BY tr.doc_id),
-         |t2 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-         |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
-         |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM t2),
-         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
-         |        i -> array_to_string(list_slice(w, i, i+1), ' '))) AS g
-         |       FROM base WHERE len(w) >= 2),
-         |topg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams
-         |         FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY doc_id),
-         |reps AS (SELECT b.doc_id, b.n_tokens,
-         |         1.0 - CAST(n_distinct AS DOUBLE)/n_tokens AS dup_token_frac,
-         |         coalesce(CAST(top_c AS DOUBLE)/n_grams, 0.0) AS top_ngram_frac
-         |         FROM base b LEFT JOIN topg USING (doc_id)),
-         |s2 AS (SELECT doc_id, $scSelects FROM documents),
-         |l2 AS (SELECT doc_id, $langCase AS stratum FROM s2),
-         |u2 AS (SELECT doc_id, stratum,
-         |   CAST(${duckHash60("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
-         |     / 1152921504606846976.0 AS u FROM l2),
-         |samp AS (SELECT doc_id, TRUE AS in_sample FROM u2
-         |         WHERE u < CASE stratum WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
-         |                   WHEN 'de' THEN 0.125 ELSE 1.0 END)
+         |${ccCtes("documents", "doc_id")},
+         |trep AS (SELECT cluster_id, min(v) AS train_rep FROM lab
+         |         WHERE v % 10 <> 0 GROUP BY cluster_id),
+         |$contaminationCtes,
+         |$repetitionCtes,
+         |$stratSampleCtes,
+         |samp AS (SELECT doc_id, TRUE AS in_sample FROM u WHERE u < $rateCase)
          |SELECT d.doc_id,
-         |  (d.doc_id = lab.cluster_id) AS is_rep,
+         |  (d.doc_id = trep.train_rep) AS is_rep,
          |  NOT (coalesce(hits.n_hits, 0) > 0) AS clean,
          |  (reps.n_tokens >= 20) AS ok_len,
          |  (reps.top_ngram_frac <= 0.2 AND reps.dup_token_frac <= 0.8) AS ok_rep,
          |  coalesce(samp.in_sample, FALSE) AS sampled,
-         |  ((d.doc_id = lab.cluster_id) AND NOT (coalesce(hits.n_hits, 0) > 0)
+         |  ((d.doc_id = trep.train_rep) AND NOT (coalesce(hits.n_hits, 0) > 0)
          |   AND (reps.n_tokens >= 20)
          |   AND (reps.top_ngram_frac <= 0.2 AND reps.dup_token_frac <= 0.8)
          |   AND coalesce(samp.in_sample, FALSE)) AS keep
          |FROM documents d
-         |JOIN lab ON lab.doc_id = d.doc_id
+         |JOIN lab ON lab.v = d.doc_id
+         |JOIN trep ON trep.cluster_id = lab.cluster_id
          |LEFT JOIN hits ON hits.doc_id = d.doc_id
          |JOIN reps ON reps.doc_id = d.doc_id
          |LEFT JOIN samp ON samp.doc_id = d.doc_id
@@ -497,38 +547,22 @@ object PipelineQueries {
     // same 60-bit md5 uniform as the Spark side; the rate CASE mirrors
     // the Map fold in Sampling.stratified (unlisted strata → default)
     "d16_stratified_sample" ->
-      s"""WITH s AS (SELECT doc_id, $scSelects FROM documents),
-         |l AS (SELECT doc_id, $langCase AS stratum FROM s),
-         |u AS (SELECT doc_id, stratum,
-         |  CAST(${duckHash60("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
-         |    / 1152921504606846976.0 AS u FROM l)
+      s"""WITH $stratSampleCtes
          |SELECT doc_id, stratum, u FROM u
-         |WHERE u < CASE stratum WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
-         |          WHEN 'de' THEN 0.125 ELSE 1.0 END
+         |WHERE u < $rateCase
          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d14_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-        |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
-        |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM t),
-        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
-        |        i -> array_to_string(list_slice(w, i, i+1), ' '))) AS g
-        |      FROM base WHERE len(w) >= 2),
-        |top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams
-        |        FROM (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY doc_id)
-        |SELECT b.doc_id, b.n_tokens,
-        |  1.0 - CAST(n_distinct AS DOUBLE)/n_tokens AS dup_token_frac,
-        |  coalesce(CAST(top_c AS DOUBLE)/n_grams, 0.0) AS top_ngram_frac
-        |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      s"""WITH $repetitionCtes
+         |SELECT doc_id, n_tokens, dup_token_frac, top_ngram_frac
+         |FROM reps ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // gram stream over ALL docs once, split by the eval predicate; the
     // LEFT JOIN reinstates train docs with no grams (shorter than n
     // tokens) as clean rows, mirroring the Spark side's train.select
     "d13_decontaminate" ->
       s"""WITH $shingleCte,
-         |ev AS (SELECT DISTINCT hs FROM shh WHERE doc_id % 10 = 0),
-         |tr AS (SELECT doc_id, hs FROM shh WHERE doc_id % 10 <> 0),
-         |hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev USING (hs) GROUP BY tr.doc_id)
+         |$contaminationCtes
          |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
          |       coalesce(h.n_hits, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits h USING (doc_id)
@@ -541,12 +575,8 @@ object PipelineQueries {
     // terminates; singletons enter via the seed row (doc_id, doc_id).
     "d12_dedup_clusters" ->
       s"""WITH RECURSIVE ${lshPairsCtes(0.5)},
-         |edges AS (SELECT a AS v, b AS w FROM pairs UNION ALL SELECT b AS v, a AS w FROM pairs),
-         |reach AS (SELECT doc_id AS v, doc_id AS lbl FROM documents
-         |          UNION
-         |          SELECT e.w AS v, r.lbl FROM reach r JOIN edges e ON e.v = r.v),
-         |lab AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)
-         |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |${ccCtes("documents", "doc_id")}
+         |SELECT v AS doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d04_jaccard_pairs" ->
@@ -600,12 +630,8 @@ object PipelineQueries {
     // as d12 (see that oracle's comment), seeded from the embeddings ids
     "e05_embed_clusters" ->
       s"""WITH RECURSIVE ${embedPairsCtes(0.4)},
-         |edges AS (SELECT a AS v, b AS w FROM pairs UNION ALL SELECT b AS v, a AS w FROM pairs),
-         |reach AS (SELECT vec_id AS v, vec_id AS lbl FROM embeddings
-         |          UNION
-         |          SELECT e.w AS v, r.lbl FROM reach r JOIN edges e ON e.v = r.v),
-         |lab AS (SELECT v AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY v)
-         |SELECT vec_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |${ccCtes("embeddings", "vec_id")}
+         |SELECT v AS vec_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY vec_id""".stripMargin.replace("\n", " "),
 
     "e01_cosine_topk" ->

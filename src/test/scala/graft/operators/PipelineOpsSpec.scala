@@ -185,17 +185,17 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("dedupClusters: superseded checkpoint snapshots are freed (no storage leak)") {
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.size
+    // set-diff of RDD ids, not a size delta: background ContextCleaner
+    // activity on other suites' RDDs must not mask (or fake) a leak
+    val before = sc.getPersistentRDDs.keySet
     val docs = (1L to 50L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
     assert(Dedup.dedupClusters(docs, pairs).count() == 50)
     // unpersist(blocking = false) is async — poll briefly. Only the
     // FINAL labels snapshot may remain pinned (the result reads it).
     val deadline = System.currentTimeMillis() + 5000
-    var leaked = sc.getPersistentRDDs.size - before
-    while (leaked > 1 && System.currentTimeMillis() < deadline) {
-      Thread.sleep(100); leaked = sc.getPersistentRDDs.size - before
-    }
+    def leaked = (sc.getPersistentRDDs.keySet -- before).size
+    while (leaked > 1 && System.currentTimeMillis() < deadline) Thread.sleep(100)
     assert(leaked <= 1, s"$leaked checkpoint snapshots still pinned (expected <= 1)")
   }
 
