@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -174,39 +174,11 @@ object PipelineQueries {
     // (d14), language-stratified sample membership (d16). Each input is
     // the registered operator itself, so this query is the composition
     // proof: a corpus curation run IS this DataFrame written out.
-    "d19_curation_keep" -> ((spark: SparkSession, dir: String) => {
-      val docs = Tables.documents(spark, dir)
-      val clusters = Dedup.dedupClusters(docs,
-        Dedup.lshNearDupPairs(docs, K, BANDS, 0.5, MAX_BUCKET, MAX_DF))
-      // representative = min doc_id among the cluster's TRAIN members:
-      // clustering runs over the whole corpus (eval near-dups must still
-      // collapse train docs), but an eval-anchored component min would
-      // silently drop clean train content whose only "representative"
-      // is an eval doc
-      val trainRep = clusters.filter(col("doc_id") % 10 =!= 0)
-        .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("train_rep"))
-      val contam = Dedup.contamination(docs, col("doc_id") % 10 === 0)
-      val rep = TextAnalysis.repetition(docs)
-      val samp = Sampling.stratified(
-        TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang")),
-        col("pred_lang"), SAMPLE_RATES.toMap, SAMPLE_DEFAULT)
-      contam.select(col("doc_id"), col("contaminated"))
-        .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
-        .join(trainRep, Seq("cluster_id"))
-        .join(rep.select(col("doc_id"), col("n_tokens"),
-          col("dup_token_frac"), col("top_ngram_frac")), Seq("doc_id"))
-        .join(samp.select(col("doc_id"), lit(true).as("in_sample")),
-          Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          (col("doc_id") === col("train_rep")).as("is_rep"),
-          (!col("contaminated")).as("clean"),
-          (col("n_tokens") >= 20).as("ok_len"),
-          (col("top_ngram_frac") <= 0.2 && col("dup_token_frac") <= 0.8).as("ok_rep"),
-          coalesce(col("in_sample"), lit(false)).as("sampled"))
-        .withColumn("keep",
-          col("is_rep") && col("clean") && col("ok_len") && col("ok_rep") && col("sampled"))
-        .orderBy(col("doc_id"))
-    }),
+    "d19_curation_keep" -> ((spark: SparkSession, dir: String) =>
+      Curation.keepList(Tables.documents(spark, dir),
+        col("doc_id") % 10 === 0, SAMPLE_RATES.toMap, SAMPLE_DEFAULT,
+        K, BANDS, 0.5, MAX_BUCKET, MAX_DF)
+        .orderBy(col("doc_id"))),
 
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
@@ -493,10 +465,7 @@ object PipelineQueries {
          |  (reps.n_tokens >= 20) AS ok_len,
          |  (reps.top_ngram_frac <= 0.2 AND reps.dup_token_frac <= 0.8) AS ok_rep,
          |  coalesce(samp.in_sample, FALSE) AS sampled,
-         |  ((d.doc_id = trep.train_rep) AND NOT (coalesce(hits.n_hits, 0) > 0)
-         |   AND (reps.n_tokens >= 20)
-         |   AND (reps.top_ngram_frac <= 0.2 AND reps.dup_token_frac <= 0.8)
-         |   AND coalesce(samp.in_sample, FALSE)) AS keep
+         |  (is_rep AND clean AND ok_len AND ok_rep AND sampled) AS keep
          |FROM documents d
          |JOIN lab ON lab.v = d.doc_id
          |JOIN trep ON trep.cluster_id = lab.cluster_id

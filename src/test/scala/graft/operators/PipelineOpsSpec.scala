@@ -138,6 +138,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, 1L, 0.0, 0.0)))
   }
 
+  // ---- keepList ----
+
+  test("keepList: eval-anchored cluster still keeps its train representative") {
+    // docs 10 (eval), 11 and 21 (train) are identical → one cluster with
+    // component min = 10, an EVAL doc. The train representative must be
+    // 11, not nobody. 20+ tokens so the length gate isn't the reason a
+    // row drops; doc 33 is a clean unique train doc (its own rep).
+    val dup = (1 to 24).map(i => s"w$i").mkString(" ")
+    val solo = (1 to 24).map(i => s"x$i").mkString(" ")
+    val docs = Seq((10L, dup), (11L, dup), (21L, dup), (33L, solo))
+      .toDF("doc_id", "text")
+    val out = Curation.keepList(docs, col("doc_id") % 10 === 0,
+        Map.empty, defaultRate = 1.0, k = 8, bands = 4, threshold = 0.5,
+        maxBucket = 1000L, maxDf = 10000L)
+      .orderBy("doc_id")
+      .select("doc_id", "is_rep", "clean", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    // 11 IS the train rep (despite cluster min 10); contaminated though
+    // (shares grams with eval 10) so still dropped — for the right
+    // reason. 21 is neither rep nor clean. 33 is rep + clean → kept.
+    assert(out == Seq(
+      (11L, true, false, false),
+      (21L, false, false, false),
+      (33L, true, true, true)))
+  }
+
   // ---- dupSpans ----
 
   test("dupSpans: cross-doc span fraction, within-doc repeats don't count") {
@@ -191,10 +217,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     val docs = (1L to 50L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
     assert(Dedup.dedupClusters(docs, pairs).count() == 50)
+    // cap at the max RDD id right after the run: ids are monotonic, so
+    // anything a background task persists LATER can't inflate the count
+    val ceiling = sc.getPersistentRDDs.keySet.maxOption.getOrElse(0)
     // unpersist(blocking = false) is async — poll briefly. Only the
     // FINAL labels snapshot may remain pinned (the result reads it).
     val deadline = System.currentTimeMillis() + 5000
-    def leaked = (sc.getPersistentRDDs.keySet -- before).size
+    def leaked = (sc.getPersistentRDDs.keySet -- before).count(_ <= ceiling)
     while (leaked > 1 && System.currentTimeMillis() < deadline) Thread.sleep(100)
     assert(leaked <= 1, s"$leaked checkpoint snapshots still pinned (expected <= 1)")
   }
