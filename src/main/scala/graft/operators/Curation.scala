@@ -61,4 +61,51 @@ object Curation {
       .withColumn("keep",
         col("is_rep") && col("clean") && col("ok_len") && col("ok_rep") && col("sampled"))
   }
+
+  /** Sequence-packing plan — the concat-and-chunk packing step that
+    * turns a curated corpus into fixed-length training sequences: docs
+    * are concatenated in doc_id order and cut into `seqLen`-token
+    * windows; each doc's `start_off` is the running token count before
+    * it and `seq_idx` the window its first token lands in.
+    *
+    * A single global running sum would be one unbounded-window
+    * partition — the classic scale trap — so the corpus is first split
+    * into `nShards` independent streams by [[Dedup.hash60]] of doc_id
+    * (deterministic, layout-independent, same construction as
+    * [[Sampling]]), and the running sum is per-shard: `nShards`-way
+    * parallel, one shuffle, and exactly how a 100 TB packing run writes
+    * its output files anyway (one sequence stream per shard).
+    *
+    * Returns (doc_id, shard, n_tokens, start_off, seq_idx).
+    */
+  def packPlan(docs: DataFrame, nShards: Int = 8, seqLen: Int = 2048): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      (Dedup.hash60(col("doc_id").cast("string")) % nShards).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t.withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_idx", (col("start_off") / seqLen).cast("long"))
+  }
+
+  /** Per-stratum mixture statistics — the doc/token counts and corpus
+    * shares that set (or audit) sampling weights for a training
+    * mixture. One partial-aggregated groupBy on the stratum plus a
+    * broadcast of the single-row total; shares are one integer-derived
+    * divide each, bit-identical in the oracle.
+    *
+    * Returns (stratum, n_docs, n_tokens, token_share) — share of the
+    * corpus' tokens carried by the stratum.
+    */
+  def mixtureStats(docs: DataFrame, strata: Column): DataFrame = {
+    val per = docs.select(strata.as("stratum"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_tokens")).as("token_share"))
+  }
 }

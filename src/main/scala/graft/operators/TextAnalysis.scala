@@ -28,8 +28,11 @@ object TextAnalysis {
     * (en ≥ es ≥ de ≥ fr). Deterministic and oracle-mirrorable.
     */
   def langId(docs: DataFrame): DataFrame = {
+    // text rides along so downstream per-stratum ops (mixture stats)
+    // can token-count without a self-join back to the corpus
     val scored = docs.select(
-      col("doc_id") +: markers.map { case (l, ws) => hitCount(ws).as(s"sc_$l") }: _*)
+      col("doc_id") +: col("text") +:
+        markers.map { case (l, ws) => hitCount(ws).as(s"sc_$l") }: _*)
     val langs = markers.map(_._1)
     val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
       case ((l, i), els) =>

@@ -186,6 +186,19 @@ object PipelineQueries {
       Dedup.dupSpans(Tables.documents(spark, dir))
         .orderBy(col("doc_id"))),
 
+    // concat-and-chunk sequence packing: per-shard running token sums →
+    // fixed-length window assignment (Curation.packPlan doc)
+    "d20_pack_plan" -> ((spark: SparkSession, dir: String) =>
+      Curation.packPlan(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
+    // mixture audit: per-language doc/token counts and token share
+    // (Curation.mixtureStats doc)
+    "d21_mixture_stats" -> ((spark: SparkSession, dir: String) =>
+      Curation.mixtureStats(
+        TextAnalysis.langId(Tables.documents(spark, dir)), col("pred_lang"))
+        .orderBy(col("stratum"))),
+
     // topical-subset mining: BM25 (raw-odds idf variant — bm25 doc)
     // against a fixed 3-term query; stats broadcast, corpus unshuffled
     "d17_bm25" -> ((spark: SparkSession, dir: String) =>
@@ -485,6 +498,30 @@ object PipelineQueries {
          |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
          |       coalesce(CAST(n_shared AS DOUBLE) / n_grams, 0.0) AS dup_span_frac
          |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // per-shard running sums mirror the Window.rowsBetween(-∞, -1) form;
+    // the sum is CAST back to BIGINT (DuckDB window sums widen to
+    // HUGEINT) so schemas align
+    "d20_pack_plan" ->
+      s"""WITH t AS (SELECT doc_id, ${duckHash60("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+         |w AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM t)
+         |SELECT doc_id, shard, n_tokens, start_off,
+         |  CAST(start_off // 2048 AS BIGINT) AS seq_idx
+         |FROM w ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "d21_mixture_stats" ->
+      s"""WITH l AS (SELECT doc_id, $langCase AS stratum,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         |  FROM (SELECT doc_id, text, $scSelects FROM documents)),
+         |per AS (SELECT stratum, count(*) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM l GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per)
+         |SELECT stratum, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE)/tot_tokens AS token_share
+         |FROM per CROSS JOIN tot ORDER BY stratum""".stripMargin.replace("\n", " "),
 
     // expression order/parenthesization mirrors TextAnalysis.bm25
     // exactly (every op is +,-,*,/ over doubles — bit-identical)

@@ -138,6 +138,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, 1L, 0.0, 0.0)))
   }
 
+  // ---- packPlan ----
+
+  test("packPlan: per-shard running offsets and window assignment") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f")).toDF("doc_id", "text")
+    val out = Curation.packPlan(docs, nShards = 1, seqLen = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // one shard, doc_id order: offsets 0, 3, 5 → windows 0, 0, 1
+    assert(out == Seq((1L, 0L, 3L, 0L, 0L), (2L, 0L, 2L, 3L, 0L), (3L, 0L, 1L, 5L, 1L)))
+  }
+
+  test("mixtureStats: token shares sum to 1 over strata") {
+    val docs = Seq((1L, "x y z"), (2L, "x"), (3L, "q w e r")).toDF("doc_id", "text")
+    val out = Curation.mixtureStats(docs,
+        when(col("doc_id") <= 2, "a").otherwise("b"))
+      .orderBy("stratum").as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", 2L, 4L, 4.0 / 8), ("b", 1L, 4L, 4.0 / 8)))
+  }
+
   // ---- keepList ----
 
   test("keepList: eval-anchored cluster still keeps its train representative") {
