@@ -86,7 +86,9 @@ object Curation {
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     t.withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("seq_idx", (col("start_off") / seqLen).cast("long"))
+      // integer `div`, not double division + cast: a long→double round
+      // trip rounds offsets past 2^53 and the contract is bit-identity
+      .withColumn("seq_idx", expr(s"start_off div $seqLen"))
   }
 
   /** Per-stratum mixture statistics — the doc/token counts and corpus

@@ -27,6 +27,9 @@ object PipelineQueries {
   private val SAMPLE_RATES = Seq("en" -> 0.5, "es" -> 0.25, "de" -> 0.125)
   private val SAMPLE_DEFAULT = 1.0
 
+  private val PACK_SHARDS = 8    // d20 hash shards
+  private val PACK_SEQLEN = 2048 // d20 training-sequence length (tokens)
+
   private val FRAME_BYTES = 256 // m03 frame size
   private val FRAME_STRIDE = 4  // m03: keep every 4th frame
   private val MAX_DIM = 48      // m04 fit-in-box dimension
@@ -189,7 +192,7 @@ object PipelineQueries {
     // concat-and-chunk sequence packing: per-shard running token sums →
     // fixed-length window assignment (Curation.packPlan doc)
     "d20_pack_plan" -> ((spark: SparkSession, dir: String) =>
-      Curation.packPlan(Tables.documents(spark, dir))
+      Curation.packPlan(Tables.documents(spark, dir), PACK_SHARDS, PACK_SEQLEN)
         .orderBy(col("doc_id"))),
 
     // mixture audit: per-language doc/token counts and token share
@@ -318,11 +321,20 @@ object PipelineQueries {
     * [[rateCase]] for the keep predicate. Shared by d16 and d19.
     */
   private def stratSampleCtes =
-    s"""s AS (SELECT doc_id, $scSelects FROM documents),
-       |l AS (SELECT doc_id, $langCase AS stratum FROM s),
+    s"""${langStrataCtes()},
        |u AS (SELECT doc_id, stratum,
        |  CAST(${duckHash60("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
        |    / 1152921504606846976.0 AS u FROM l)""".stripMargin.replace("\n", " ")
+
+  /** Language-stratum derivation (mirror of
+    * [[graft.operators.TextAnalysis.langId]]'s argmax) — ends in
+    * `l(doc_id, stratum[, extras])`. THE one SQL-side copy of the
+    * stratum chain, shared by d16/d19 (via [[stratSampleCtes]]) and
+    * d21; `extraS`/`extraL` carry additional columns through each level.
+    */
+  private def langStrataCtes(extraS: String = "", extraL: String = "") =
+    s"""s AS (SELECT doc_id, $extraS$scSelects FROM documents),
+       |l AS (SELECT doc_id, $langCase AS stratum$extraL FROM s)""".stripMargin.replace("\n", " ")
 
   /** The SAMPLE_RATES fold as SQL (unlisted strata → default). */
   private def rateCase =
@@ -503,19 +515,18 @@ object PipelineQueries {
     // the sum is CAST back to BIGINT (DuckDB window sums widen to
     // HUGEINT) so schemas align
     "d20_pack_plan" ->
-      s"""WITH t AS (SELECT doc_id, ${duckHash60("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+      s"""WITH t AS (SELECT doc_id, ${duckHash60("CAST(doc_id AS VARCHAR)")} % $PACK_SHARDS AS shard,
          |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
          |w AS (SELECT doc_id, shard, n_tokens,
          |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM t)
          |SELECT doc_id, shard, n_tokens, start_off,
-         |  CAST(start_off // 2048 AS BIGINT) AS seq_idx
+         |  CAST(start_off // $PACK_SEQLEN AS BIGINT) AS seq_idx
          |FROM w ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d21_mixture_stats" ->
-      s"""WITH l AS (SELECT doc_id, $langCase AS stratum,
-         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
-         |  FROM (SELECT doc_id, text, $scSelects FROM documents)),
+      s"""WITH ${langStrataCtes("text, ",
+             ", CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens")},
          |per AS (SELECT stratum, count(*) AS n_docs,
          |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM l GROUP BY 1),
          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per)

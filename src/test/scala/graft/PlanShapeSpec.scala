@@ -96,4 +96,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("d14_repetition").contains("partial_"), "d14 lost map-side aggregation")
     assert(plan("d18_dup_spans").contains("partial_"), "d18 lost map-side aggregation")
   }
+
+  test("d20: the running sum windows PER SHARD, not one global partition") {
+    val p = plan("d20_pack_plan")
+    assert(p.contains("hashpartitioning(shard"),
+      "pack window lost its shard partitioning (single-partition global window)\n" + p.take(2000))
+  }
+
+  test("d21: the single-row total rides a broadcast into the share projection") {
+    val p = plan("d21_mixture_stats")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("partial_"), "d21 lost map-side aggregation")
+  }
 }
