@@ -177,6 +177,34 @@ object RelationalQueries {
         .orderBy(col("g"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // Pivot (wide aggregation): explicit value list, so the plan is ONE
+    // pass over the fact table (no distinct-values pre-job) — a single
+    // hash aggregate producing all three pivoted sums per group.
+    "q18_pivot" -> ((spark: SparkSession, dir: String) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double"))
+        .select(col("l_linestatus"), col("A").as("qty_a"),
+          col("N").as("qty_n"), col("R").as("qty_r"))
+        .orderBy(col("l_linestatus"))),
+
+    // Explicit GROUPING SETS (the general form behind q07's ROLLUP /
+    // q14's CUBE): only the requested sets are expanded, so the Expand
+    // operator emits 3 copies per row here instead of CUBE's 4.
+    "q19_grouping_sets" -> ((spark: SparkSession, dir: String) =>
+      Tables.lineitem(spark, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("g"),
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("revenue"))
+        .orderBy(col("g"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // Scalar-function parity: string/conditional/null functions the
     // reference uses (lower, split/substr, concat — sse.py:198,203,213,235)
     // plus the standard library around them.
@@ -353,6 +381,21 @@ object RelationalQueries {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin.replace("\n", " "),
+    // sum(CASE …) with no ELSE mirrors pivot's empty-cell NULL semantics
+    "q18_pivot" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        | CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        | CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin.replace("\n", " "),
+    "q19_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin.replace("\n", " "),
     "q15_scalar_funcs" ->
       """SELECT p_partkey,
         | upper(p_brand) AS brand_u,
