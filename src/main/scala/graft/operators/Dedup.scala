@@ -445,6 +445,17 @@ object Dedup {
       labels = next.select(col("v"), col("lbl"))
       iter += 1
     }
+    // A maxIters exit returns a sound but OVER-SEGMENTED labeling
+    // (labels are monotone, the closure just isn't finished) — which an
+    // exact-closure oracle (the recursive CTE in PipelineQueries) would
+    // silently hash-mismatch. Say so loudly, so a divergence is
+    // traceable to the truncation instead of looking like a logic bug.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupClusters stopped at maxIters=$maxIters before convergence; " +
+          "labels are an over-segmentation of the true components " +
+          "(pair graph has diameter > maxIters — the threshold is likely " +
+          "admitting chain-shaped evidence, not near-dups)")
     freeSnapshot(edges)
     val sizeW = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     vertices.select(col("doc_id"))

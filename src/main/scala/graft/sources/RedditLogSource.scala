@@ -305,7 +305,11 @@ private[sources] class RedditLogReaderFactory extends PartitionReaderFactory {
 
       override def next(): Boolean = {
         if (lines == null) {
-          leased = RedditLog.leaseReaderOpened(p.leaseId, new java.io.File(p.file).getParent)
+          // absolute-path parent: File.getParent is null for a bare
+          // single-component relative path, and canon(null) NPEs on the
+          // lease re-insert path
+          leased = RedditLog.leaseReaderOpened(p.leaseId,
+            java.nio.file.Paths.get(p.file).toAbsolutePath.getParent.toString)
           lines = new String(
             Files.readAllBytes(java.nio.file.Paths.get(p.file)), StandardCharsets.UTF_8)
             .split('\n').iterator.filter(_.nonEmpty)
