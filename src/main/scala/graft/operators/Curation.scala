@@ -91,6 +91,77 @@ object Curation {
       .withColumn("seq_idx", expr(s"start_off div $seqLen"))
   }
 
+  /** Context-window chunking plan — the doc→training-example split for
+    * models with a fixed context: each document becomes overlapping
+    * `chunkTokens`-token windows advancing by `strideTokens`
+    * (overlap = chunk − stride), the standard retrieval/embedding
+    * chunking shape. Short docs yield exactly one (possibly short)
+    * chunk; a trailing window shorter than a full chunk is kept (its
+    * `tok_len` says so), and no window starts at-or-past the end — so
+    * `n_chunks = 1` if `n ≤ chunk` else `⌈(n − chunk)/stride⌉ + 1`.
+    *
+    * Purely per-row work: tokenize once, explode the chunk index
+    * sequence, slice — no shuffle anywhere, embarrassingly parallel at
+    * any corpus size (output order is whatever the caller sorts by).
+    * The `chunk_digest` (md5 of the space-rejoined token slice) makes
+    * the plan END-TO-END verifiable: a off-by-one in the slice
+    * arithmetic breaks the oracle hash, not just a count.
+    *
+    * All arithmetic is integer (`div`, not double division — offsets
+    * stay exact past 2^53). Returns (doc_id, chunk_idx, tok_start
+    * 0-based, tok_len, chunk_digest).
+    */
+  def chunkPlan(docs: DataFrame, chunkTokens: Int = 64,
+      strideTokens: Int = 48): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"need 0 < stride <= chunk, got chunk=$chunkTokens stride=$strideTokens")
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= chunkTokens, lit(1L))
+          .otherwise(expr(
+            s"(n_tokens - $chunkTokens + ${strideTokens - 1}) div $strideTokens") + lit(1L)))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, n_chunks - 1)")))
+      .withColumn("tok_start", col("chunk_idx") * strideTokens)
+      .withColumn("tok_len", least(lit(chunkTokens.toLong), col("n_tokens") - col("tok_start")))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_len"),
+        md5(concat_ws(" ",
+          slice(col("w"), (col("tok_start") + 1).cast("int"), col("tok_len").cast("int"))))
+          .as("chunk_digest"))
+  }
+
+  /** Mixture-target sampling SCHEDULE — the inverse of
+    * [[mixtureStats]]: given the measured per-stratum token counts, a
+    * target share per stratum, and a token budget (`budgetFrac` of the
+    * corpus), emit the per-stratum keep rate that realizes the target:
+    * `rate = min(1, budget·target / tokens)` — capped at 1 because a
+    * stratum cannot yield more tokens than it has (the under-resourced-
+    * language case; production pipelines then upsample or re-normalize,
+    * a policy choice left to the caller, who can read the shortfall off
+    * `exp_tokens`). Feed the rates to [[Sampling.stratified]] for the
+    * reproducible membership decision.
+    *
+    * One groupBy (inherited from the stats input) + a single-row
+    * broadcast — scale-free. Targets fold in listed order with `0.0`
+    * for unlisted strata (explicitly dropped), mirroring the oracle's
+    * CASE. Returns (stratum, n_docs, n_tokens, target_share, rate,
+    * exp_tokens).
+    */
+  def mixSchedule(stats: DataFrame, targets: Seq[(String, Double)],
+      budgetFrac: Double): DataFrame = {
+    val tot = stats.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val target = targets.foldLeft(lit(0.0)) { case (acc, (s, t)) =>
+      when(col("stratum") === s, lit(t)).otherwise(acc)
+    }
+    stats.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        target.as("target_share"),
+        least(lit(1.0),
+          lit(budgetFrac) * col("tot_tokens").cast("double") * target /
+            col("n_tokens").cast("double")).as("rate"))
+      .withColumn("exp_tokens", col("rate") * col("n_tokens").cast("double"))
+  }
+
   /** Per-stratum mixture statistics — the doc/token counts and corpus
     * shares that set (or audit) sampling weights for a training
     * mixture. One partial-aggregated groupBy on the stratum plus a

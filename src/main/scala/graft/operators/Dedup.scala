@@ -25,6 +25,8 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Word n-gram shingle stream: (doc_id, s) distinct. Docs shorter than
     * `n` tokens produce no shingles. See [[dfCapped]] for the hot-key
     * guard applied before inverted-index joins.
@@ -417,19 +419,6 @@ object Dedup {
     var labels = edges.select(col("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
       .localCheckpoint(true)
-    // Deterministically free a SUPERSEDED snapshot's checkpoint blocks
-    // (waiting for the ContextCleaner's weak-ref GC would pin up to
-    // maxIters copies of the label set in executor storage). Safe
-    // because a superseded snapshot is never read again: each pass's
-    // eager checkpoint depends only on its own blocks. The FINAL
-    // snapshot stays pinned — the returned DataFrame reads it. Spark
-    // logs one WARN per free ("locally checkpointed ... cannot be
-    // recomputed") — expected: unrecomputability is fine for blocks
-    // nothing references.
-    def freeSnapshot(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(blocking = false))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -450,17 +439,127 @@ object Dedup {
     // exact-closure oracle (the recursive CTE in PipelineQueries) would
     // silently hash-mismatch. Say so loudly, so a divergence is
     // traceable to the truncation instead of looking like a logic bug.
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+    // iter > 0: with maxIters <= 0 no propagation was ever ATTEMPTED, so
+    // a diameter diagnosis would be fiction — the caller simply asked for
+    // zero passes.
+    if (!converged && iter > 0)
+      log.warn(
         s"dedupClusters stopped at maxIters=$maxIters before convergence; " +
           "labels are an over-segmentation of the true components " +
           "(pair graph has diameter > maxIters — the threshold is likely " +
           "admitting chain-shaped evidence, not near-dups)")
     freeSnapshot(edges)
+    attachClusters(vertices, labels)
+  }
+
+  /** Deterministically free a SUPERSEDED `localCheckpoint` snapshot's
+    * blocks (waiting for the ContextCleaner's weak-ref GC would pin up
+    * to maxIters copies of the iterated state in executor storage).
+    * Safe because a superseded snapshot is never read again: each
+    * pass's eager checkpoint depends only on its own blocks. The FINAL
+    * snapshot stays pinned — the returned DataFrame reads it. Spark
+    * logs one WARN per free ("locally checkpointed ... cannot be
+    * recomputed") — expected: unrecomputability is fine for blocks
+    * nothing references.
+    */
+  private def freeSnapshot(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** Shared tail of the CC operators: rejoin the labeled (edge-touching)
+    * vertex set to the full corpus — untouched docs become singletons —
+    * and attach the cluster size. Returns (doc_id, cluster_id,
+    * cluster_size).
+    */
+  private def attachClusters(vertices: DataFrame, labels: DataFrame): DataFrame = {
     val sizeW = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     vertices.select(col("doc_id"))
       .join(labels.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(sizeW))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the scale path complementing
+    * [[dedupClusters]]'s plain min-label propagation:
+    *
+    *  - propagation converges in O(diameter) passes — ideal for the
+    *    clique-ish graphs LSH near-dup evidence actually produces;
+    *  - two-star converges in O(log² n) ROUNDS REGARDLESS OF DIAMETER,
+    *    so it is the right tool when the pair threshold admits
+    *    chain-shaped evidence (low-threshold fuzzy dedup, co-citation
+    *    graphs), where propagation would need diameter ≈ n passes.
+    *
+    * One round = two shuffles, each a groupBy-min on the current edge
+    * set (map-side partial agg, no driver state; the edge set only ever
+    * SHRINKS toward the star form, so per-round cost decreases).
+    *
+    *  - large-star: every node u links each LARGER neighbor to
+    *    m = min(Γ⁺(u)) — hooks tall chains onto small labels without
+    *    growing the edge count;
+    *  - small-star: every node u links each neighbor ≤ u (and itself)
+    *    to m — flattens the partial trees into stars.
+    *
+    * The fixed point is exactly the star set {(min(C), v) | v ∈ C} per
+    * component C, detected by edge-set stability (same count + empty
+    * anti-join — both sides are distinct canonical pairs). Labels then
+    * read directly off the stars. Same contract as [[dedupClusters]]:
+    * `vertices(doc_id)` + `pairs(doc_a, doc_b)` →
+    * (doc_id, cluster_id, cluster_size); spec-asserted equal on shared
+    * inputs (chains included) and oracle-checked against the same
+    * recursive-CTE closure.
+    */
+  def dedupClustersTwoStar(vertices: DataFrame, pairs: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    // canonical undirected edge set: (a, b) with a < b, distinct
+    def canon(x: Column, y: Column)(df: DataFrame): DataFrame =
+      df.select(least(x, y).as("a"), greatest(x, y).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val m = adj.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      canon(col("v"), col("m"))(
+        adj.join(m, Seq("u")).filter(col("v") > col("u")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // direct each edge large→small: all of u's listed neighbors are
+      // < u, so min(Γ⁺(u)) = min(v)
+      val adj = e.select(col("b").as("u"), col("a").as("v"))
+      val m = adj.groupBy(col("u")).agg(min(col("v")).as("m"))
+      canon(col("x"), col("y"))(
+        adj.join(m, Seq("u")).select(col("v").as("x"), col("m").as("y"))
+          .unionByName(m.select(col("u").as("x"), col("m").as("y"))))
+    }
+
+    var edges = canon(col("doc_a"), col("doc_b"))(
+      pairs.select(col("doc_a"), col("doc_b"))).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // set equality: both sides distinct, so equal count + empty
+      // difference one way ⇒ equal sets
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      freeSnapshot(edges)
+      edges = next
+      iter += 1
+    }
+    if (!converged && iter > 0)
+      log.warn(s"dedupClustersTwoStar stopped at maxIters=$maxIters before " +
+        "the edge set stabilized; labels may be an over-segmentation")
+    // at the fixed point every edge is (component-min, v): leaves label
+    // with their center, centers with themselves; groupBy-min also
+    // covers a truncated (non-star) exit soundly
+    val labels = edges.select(col("b").as("v"), col("a").as("lbl"))
+      .unionByName(edges.select(col("a").as("v"), col("a").as("lbl")))
+      .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+    attachClusters(vertices, labels)
   }
 }

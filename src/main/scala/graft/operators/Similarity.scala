@@ -110,6 +110,23 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** k-NN GRAPH construction: every corpus vector's top-k cosine
+    * neighbors within its sign-projection bucket — [[annTopK]] with the
+    * whole corpus as the query side. The precursor artifact for
+    * semantic dedup, graph-based clustering, and diversity sampling.
+    *
+    * Scale shape: the self-join is keyed on the bucket id, so candidate
+    * volume is Σ bucket² (bounded by `bits` granularity), never N² —
+    * and unlike the query-path variants there is no broadcast side:
+    * both sides shuffle on the bucket key, which is exactly what a
+    * corpus-sized "query set" needs. Vectors alone in their bucket
+    * yield no rows (no neighbors at this granularity), matching the
+    * bucketed-ANN contract. Returns (vec_id, rk, neighbor_id, cosine).
+    */
+  def knnGraph(emb: DataFrame, k: Int, bits: Int = 6): DataFrame =
+    bucketTopK(emb, lit(true), k, bits, probeMasks = Seq(0L))
+      .withColumnRenamed("query_id", "vec_id")
+
   /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding
     * variant (complements the text-side exact/MinHash/SimHash family):
     * vectors pair up ONLY inside their sign-projection bucket (same

@@ -30,6 +30,14 @@ object PipelineQueries {
   private val PACK_SHARDS = 8    // d20 hash shards
   private val PACK_SEQLEN = 2048 // d20 training-sequence length (tokens)
 
+  private val KNN_K = 3          // e06 neighbors per vector
+  private val CHUNK_TOKENS = 64  // d23 context-window size
+  private val CHUNK_STRIDE = 48  // d23 window stride (overlap = 16)
+
+  /** d24 target mixture + token budget (Seq: deterministic SQL order). */
+  private val MIX_TARGETS = Seq("en" -> 0.4, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1)
+  private val MIX_BUDGET_FRAC = 0.5
+
   private val FRAME_BYTES = 256 // m03 frame size
   private val FRAME_STRIDE = 4  // m03: keep every 4th frame
   private val MAX_DIM = 48      // m04 fit-in-box dimension
@@ -226,6 +234,42 @@ object PipelineQueries {
           MAX_BUCKET, MAX_DF))
         .orderBy(col("doc_id"))),
 
+    // the SAME cluster contract as e05 computed by the OTHER algorithm:
+    // large-star/small-star contraction (O(log²) rounds regardless of
+    // graph diameter — the chain-shaped-evidence scale path;
+    // Dedup.dedupClustersTwoStar doc). Oracle = e05's recursive-CTE
+    // closure verbatim: both operators must produce identical clusters.
+    "d22_cc_twostar" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      val pairs = Similarity.nearDupPairs(emb, 0.4, ANN_BITS)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.dedupClustersTwoStar(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // context-window chunking: doc → overlapping fixed-token windows,
+    // digest-verified end-to-end (Curation.chunkPlan doc)
+    "d23_chunk_plan" -> ((spark: SparkSession, dir: String) =>
+      Curation.chunkPlan(Tables.documents(spark, dir), CHUNK_TOKENS, CHUNK_STRIDE)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // mixture targets → per-stratum keep rates under a token budget
+    // (Curation.mixSchedule doc); composes d21's stats with d16's
+    // sampling mechanism
+    "d24_mix_schedule" -> ((spark: SparkSession, dir: String) =>
+      Curation.mixSchedule(
+        Curation.mixtureStats(
+          TextAnalysis.langId(Tables.documents(spark, dir)), col("pred_lang")),
+        MIX_TARGETS, MIX_BUDGET_FRAC)
+        .orderBy(col("stratum"))),
+
+    // k-NN graph over the whole corpus: bucketed self-join, no broadcast
+    // side (Similarity.knnGraph doc)
+    "e06_knn_graph" -> ((spark: SparkSession, dir: String) =>
+      Similarity.knnGraph(Tables.embeddings(spark, dir), KNN_K, ANN_BITS)
+        .orderBy(col("vec_id"), col("rk"))),
+
     // IVF alternative to the LSH family: literal-centroid assignment
     // scan-side, probe the 4 nearest of 16 cells (Similarity.ivfTopK doc)
     "e04_ivf_ann" -> ((spark: SparkSession, dir: String) =>
@@ -277,6 +321,17 @@ object PipelineQueries {
        |          list_dot_product(a.e, b.e)/(a.nrm*b.nrm) AS cosine
        |          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |          WHERE list_dot_product(a.e, b.e)/(a.nrm*b.nrm) >= $threshold)""".stripMargin.replace("\n", " ")
+
+  /** The embedding-pairs → exact-closure clusters oracle — ONE string
+    * shared by e05 (min-label propagation) and d22 (two-star
+    * contraction): both operators implement the same spec, so they are
+    * checked against the same recursive-CTE ground truth.
+    */
+  private lazy val embedClustersSql =
+    s"""WITH RECURSIVE ${embedPairsCtes(0.4)},
+       |${ccCtes("embeddings", "vec_id")}
+       |SELECT v AS vec_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM lab ORDER BY vec_id""".stripMargin.replace("\n", " ")
 
   /** Mirror of the connected-components closure
     * ([[graft.operators.Dedup.dedupClusters]]) over a `pairs(a, b)` CTE
@@ -645,11 +700,63 @@ object PipelineQueries {
 
     // d10's pair evidence through the same recursive min-label closure
     // as d12 (see that oracle's comment), seeded from the embeddings ids
-    "e05_embed_clusters" ->
-      s"""WITH RECURSIVE ${embedPairsCtes(0.4)},
-         |${ccCtes("embeddings", "vec_id")}
-         |SELECT v AS vec_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         |FROM lab ORDER BY vec_id""".stripMargin.replace("\n", " "),
+    "e05_embed_clusters" -> embedClustersSql,
+
+    // the SAME oracle string as e05 on purpose: min-label propagation
+    // (e05) and two-star contraction (d22) are two algorithms for one
+    // spec, so they check against one exact closure
+    "d22_cc_twostar" -> embedClustersSql,
+
+    // mirror of Curation.chunkPlan's integer window arithmetic + the
+    // md5 slice digest (list_slice is INCLUSIVE [a,b] vs Spark's
+    // (start, length) — hence start + len as the upper bound)
+    "d23_chunk_plan" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, w, n_tokens,
+         |  CASE WHEN n_tokens <= $CHUNK_TOKENS THEN 1
+         |       ELSE (n_tokens - $CHUNK_TOKENS + ${CHUNK_STRIDE - 1}) // $CHUNK_STRIDE + 1 END AS n_chunks FROM t),
+         |x AS (SELECT doc_id, w, n_tokens, unnest(range(0, n_chunks)) AS ci FROM c)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         | CAST(ci * $CHUNK_STRIDE AS BIGINT) AS tok_start,
+         | CAST(least($CHUNK_TOKENS, n_tokens - ci * $CHUNK_STRIDE) AS BIGINT) AS tok_len,
+         | md5(array_to_string(list_slice(w, CAST(ci * $CHUNK_STRIDE + 1 AS BIGINT),
+         |   CAST(ci * $CHUNK_STRIDE + least($CHUNK_TOKENS, n_tokens - ci * $CHUNK_STRIDE) AS BIGINT)), ' ')) AS chunk_digest
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
+
+    // mirror of Curation.mixSchedule: same stratum chain as d21, the
+    // target CASE in MIX_TARGETS order, and the rate expression with
+    // IDENTICAL association order ((budget * tot) * target) / tokens —
+    // every float op sequence must match for the hash to align
+    "d24_mix_schedule" -> {
+      val targetCase = "CASE stratum " +
+        MIX_TARGETS.map { case (s, t) => s"WHEN '$s' THEN CAST($t AS DOUBLE)" }.mkString(" ") +
+        " ELSE CAST(0.0 AS DOUBLE) END"
+      val rate = s"least(CAST(1.0 AS DOUBLE), CAST($MIX_BUDGET_FRAC AS DOUBLE)" +
+        s" * CAST(tot_tokens AS DOUBLE) * ($targetCase) / CAST(n_tokens AS DOUBLE))"
+      s"""WITH ${langStrataCtes("text, ",
+             ", CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens")},
+         |per AS (SELECT stratum, count(*) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM l GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per)
+         |SELECT stratum, n_docs, n_tokens,
+         |  $targetCase AS target_share,
+         |  $rate AS rate,
+         |  $rate * CAST(n_tokens AS DOUBLE) AS exp_tokens
+         |FROM per CROSS JOIN tot ORDER BY stratum""".stripMargin.replace("\n", " ")
+    },
+
+    // e02's bucketed scoring with the whole corpus as the query side
+    "e06_knn_graph" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         |        CAST($annBucket AS BIGINT) AS bucket FROM v),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |      FROM n q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM p)
+         |SELECT qid AS vec_id, rk, neighbor_id, cosine FROM r WHERE rk <= $KNN_K
+         |ORDER BY vec_id, rk""".stripMargin.replace("\n", " "),
 
     "e01_cosine_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

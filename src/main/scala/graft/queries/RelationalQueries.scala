@@ -19,6 +19,9 @@ object RelationalQueries {
 
   private val dec = DecimalType(18, 2)
 
+  /** q21 interval length AND bin width (µs): a window spans ≤ 2 bins. */
+  private val RANGE_WIN_US = 7200000000L // 2 hours
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Hash aggregate with partial (map-side) combine; exact decimal sums.
@@ -283,6 +286,47 @@ object RelationalQueries {
         .orderBy(col("click_id"))
     }),
 
+    // Window FRAME coverage (complements q06's ranking): lag/lead
+    // offsets and a sliding rows-between moving sum per user, ordered by
+    // the unique event_id so every frame is deterministic. The moving
+    // sum aggregates in DECIMAL: exact arithmetic is order-independent,
+    // so it cross-checks DuckDB's segment-tree window evaluation (a
+    // DOUBLE moving sum would diverge in the last bit on addition
+    // order) and survives any partitioning at scale.
+    "q20_window_frames" -> ((spark: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val w5 = w.rowsBetween(-4, 0)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("mov_sum5", sum(col("value").cast(dec)).over(w5).cast("double"))
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Interval range join as an EQUI-join (graft.operators.RangeJoin):
+    // clicks landing in the 2h window after an error by the same user.
+    // A raw BETWEEN join plans as BroadcastNestedLoop/cartesian — the
+    // bin-bucketed rewrite shuffles on (user_id, bin) instead, checked
+    // against DuckDB's plain BETWEEN join.
+    "q21_range_join" -> ((spark: SparkSession, dir: String) => {
+      // µs time axis in both engines (see q17's comment)
+      val e = Tables.events(spark, dir)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          expr("ts div 1000").as("start_us"))
+        .withColumn("end_us", col("start_us") + lit(RANGE_WIN_US))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          expr("ts div 1000").as("click_us"))
+      graft.operators.RangeJoin.pointInInterval(err, clk, Seq("user_id"),
+          "start_us", "end_us", "click_us", binWidth = RANGE_WIN_US)
+        .select(col("err_id"), col("click_id"), col("user_id"),
+          (col("click_us") - col("start_us")).as("delta_us"))
+        .orderBy(col("err_id"), col("click_id"))
+    }),
+
     // Event-time tumbling-window aggregate (batch twin of the streaming
     // windowed agg; ts arrives as nanosecond Longs — see Tables.events).
     "q12_events_hourly" -> ((spark: SparkSession, dir: String) =>
@@ -429,6 +473,21 @@ object RelationalQueries {
         | p.value AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tus >= p.tus
         |ORDER BY click_id""".stripMargin.replace("\n", " "),
+    "q20_window_frames" ->
+      """SELECT event_id, user_id, value,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(value, 1) OVER w AS next_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum5,
+        | CAST(row_number() OVER w AS BIGINT) AS seq
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "q21_range_join" ->
+      """WITH err AS (SELECT event_id AS err_id, user_id, epoch_us(ts) AS sus FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click')
+        |SELECT err_id, click_id, err.user_id AS user_id, cus - sus AS delta_us
+        |FROM err JOIN clk ON err.user_id = clk.user_id AND cus >= sus AND cus < sus + 7200000000
+        |ORDER BY err_id, click_id""".stripMargin.replace("\n", " "),
     "q12_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n,

@@ -305,11 +305,15 @@ private[sources] class RedditLogReaderFactory extends PartitionReaderFactory {
 
       override def next(): Boolean = {
         if (lines == null) {
-          // absolute-path parent: File.getParent is null for a bare
-          // single-component relative path, and canon(null) NPEs on the
-          // lease re-insert path
+          // Lease keys are directory paths. p.file is absolute by
+          // construction (both planning sites pass getAbsolutePath), but
+          // getParent is still null for a filesystem ROOT, and
+          // toAbsolutePath would resolve a relative path against the
+          // EXECUTOR's CWD (≠ driver's) — fall back to the file itself
+          // rather than NPE / silently re-keying the lease.
           leased = RedditLog.leaseReaderOpened(p.leaseId,
-            java.nio.file.Paths.get(p.file).toAbsolutePath.getParent.toString)
+            Option(java.nio.file.Paths.get(p.file).toAbsolutePath.getParent)
+              .map(_.toString).getOrElse(p.file))
           lines = new String(
             Files.readAllBytes(java.nio.file.Paths.get(p.file)), StandardCharsets.UTF_8)
             .split('\n').iterator.filter(_.nonEmpty)

@@ -108,4 +108,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(p.contains("partial_"), "d21 lost map-side aggregation")
   }
+
+  test("q21: the range join is an EQUI-join on the bin key — no nested loop") {
+    val p = plan("q21_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degraded to a nested-loop/cartesian plan\n" + p.take(2000))
+    assert(p.contains("Join"), "no join operator at all?\n" + p.take(2000))
+  }
+
+  test("e06: the k-NN graph keeps the per-vertex top-k partial (WindowGroupLimit)") {
+    val p = plan("e06_knn_graph")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "bucketed self-join became a cartesian")
+  }
+
+  test("d23: chunking is pure per-row expression work — zero exchanges") {
+    // the operator itself (the registered query adds an orderBy for
+    // oracle determinism, which legitimately range-partitions)
+    val df = graft.operators.Curation.chunkPlan(
+      graft.sources.Tables.documents(spark, dir))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), "chunking must not shuffle\n" + p.take(2000))
+  }
+
+  test("d24: the schedule's single-row total rides a broadcast") {
+    val p = plan("d24_mix_schedule")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("partial_"), "d24 lost map-side aggregation")
+  }
 }
