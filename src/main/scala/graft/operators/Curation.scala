@@ -130,6 +130,45 @@ object Curation {
           .as("chunk_digest"))
   }
 
+  /** Content-defined chunking plan — the edit-robust sibling of
+    * [[chunkPlan]]: chunk boundaries are decided by the CONTENT
+    * (split after any token whose [[Dedup.hash60]] ≡ 0 mod
+    * `modulus`), not by fixed offsets, so inserting or deleting a token
+    * reshapes only the chunk it lands in — every later chunk's bytes
+    * (and digest) are unchanged. That stability is the whole point:
+    * chunk digests become join keys for incremental dedup across
+    * corpus versions (the rsync/LBFS/CDC trick applied to tokens),
+    * where fixed-stride windows would shift every digest after one
+    * edit. Expected chunk length = `modulus` tokens; a doc with no
+    * boundary token is one chunk.
+    *
+    * Pure per-row ARRAY work — boundary positions, chunk starts and
+    * lengths are linear `filter`/`transform`/`zip_with` passes over the
+    * token array, then one `posexplode`: zero shuffles at any corpus
+    * size (same plan guarantee as [[chunkPlan]], spec-guarded). The
+    * md5 `chunk_digest` makes the slice arithmetic oracle-verifiable
+    * end-to-end. Returns (doc_id, chunk_idx, tok_start, tok_len,
+    * chunk_digest).
+    */
+  def cdcChunks(docs: DataFrame, modulus: Int = 8): DataFrame = {
+    require(modulus > 0, s"modulus must be positive, got $modulus")
+    val hashTok = // hash60 of the token at 0-based position i, inline form
+      s"conv(substring(md5(element_at(w, i + 1)), 1, 15), 16, 10) % ${modulus}L = 0"
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      // chunk starts: position 0 plus every boundary-successor still in range
+      .withColumn("starts", expr(
+        s"filter(concat(array(0), transform(filter(sequence(0, n - 1), i -> $hashTok), b -> b + 1)), s -> s < n)"))
+      .withColumn("ends", expr("concat(slice(starts, 2, size(starts) - 1), array(n))"))
+      .select(col("doc_id"), col("w"),
+        posexplode(expr("zip_with(starts, ends, (s, e) -> struct(s AS ts, e AS te))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.ts").cast("long").as("tok_start"),
+        (col("col.te") - col("col.ts")).cast("long").as("tok_len"),
+        md5(concat_ws(" ",
+          expr("slice(w, col.ts + 1, col.te - col.ts)"))).as("chunk_digest"))
+  }
+
   /** Mixture-target sampling SCHEDULE — the inverse of
     * [[mixtureStats]]: given the measured per-stratum token counts, a
     * target share per stratum, and a token budget (`budgetFrac` of the

@@ -148,6 +148,45 @@ object TextAnalysis {
       .select(col("doc_id"), score.as("score"))
   }
 
+  /** Lexical-diversity quality signals — the full-distribution
+    * complement to [[repetition]]'s top-n-gram share: type-token ratio
+    * and the Simpson/Herfindahl concentration Σ(c/n)² of the doc's
+    * unigram distribution (1 − Simpson = probability two random tokens
+    * differ). Low diversity ⇒ template/boilerplate text — a standard
+    * corpus-filter axis.
+    *
+    * Deliberately NOT Shannon entropy: `ln` is a libm call whose last
+    * bit differs across engines (see [[bm25]]'s idf note) — the Simpson
+    * index carries the same ordering signal as rational arithmetic:
+    * `sumsq` is an exact integer in both engines and each double is one
+    * exact-int division, so hashes match bit-for-bit. A caller wanting
+    * entropy applies `-ln` on top.
+    *
+    * Pure per-row ARRAY work, zero shuffle: run lengths of the SORTED
+    * token array (boundary positions via one linear `filter` pass, the
+    * same zip_with construction as [[Curation.cdcChunks]]) replace the
+    * explode → groupBy(doc, token) shuffle a naive count would pay.
+    * Returns (doc_id, n_tokens, n_types, sumsq, ttr, simpson).
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sort_array(split(col("text"), " ")).as("s"))
+      .withColumn("n", size(col("s")))
+      // run starts: position 0 plus every position whose token differs
+      // from its predecessor (s is sorted, so runs are maximal)
+      .withColumn("starts", expr(
+        "filter(sequence(0, n - 1), i -> i = 0 OR element_at(s, i + 1) != element_at(s, i))"))
+      .withColumn("lens", expr(
+        "zip_with(starts, concat(slice(starts, 2, size(starts) - 1), array(n)), (a, b) -> b - a)"))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        expr("size(starts)").cast("long").as("n_types"),
+        expr("aggregate(lens, 0L, (acc, c) -> acc + CAST(c AS BIGINT) * CAST(c AS BIGINT))")
+          .as("sumsq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("sumsq"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        (col("sumsq").cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double"))).as("simpson"))
+
   /** Within-document repetition signals — the quality filters that drop
     * boilerplate/spam before training (the published Gopher curation
     * rules filter on exactly these: fraction of duplicated content and

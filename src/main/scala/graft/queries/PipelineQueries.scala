@@ -33,6 +33,7 @@ object PipelineQueries {
   private val KNN_K = 3          // e06 neighbors per vector
   private val CHUNK_TOKENS = 64  // d23 context-window size
   private val CHUNK_STRIDE = 48  // d23 window stride (overlap = 16)
+  private val CDC_MODULUS = 8    // d25 expected content-defined chunk length
 
   /** d24 target mixture + token budget (Seq: deterministic SQL order). */
   private val MIX_TARGETS = Seq("en" -> 0.4, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1)
@@ -253,6 +254,19 @@ object PipelineQueries {
     "d23_chunk_plan" -> ((spark: SparkSession, dir: String) =>
       Curation.chunkPlan(Tables.documents(spark, dir), CHUNK_TOKENS, CHUNK_STRIDE)
         .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // content-defined chunking: boundaries decided by token hashes, so
+    // edits stay local and digests are reusable across corpus versions
+    // (Curation.cdcChunks doc)
+    "d25_cdc_chunks" -> ((spark: SparkSession, dir: String) =>
+      Curation.cdcChunks(Tables.documents(spark, dir), CDC_MODULUS)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // lexical diversity: type-token ratio + Simpson concentration of
+    // the unigram distribution (TextAnalysis.lexicalDiversity doc)
+    "d26_diversity" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.lexicalDiversity(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
 
     // mixture targets → per-stratum keep rates under a token budget
     // (Curation.mixSchedule doc); composes d21's stats with d16's
@@ -723,6 +737,37 @@ object PipelineQueries {
          | md5(array_to_string(list_slice(w, CAST(ci * $CHUNK_STRIDE + 1 AS BIGINT),
          |   CAST(ci * $CHUNK_STRIDE + least($CHUNK_TOKENS, n_tokens - ci * $CHUNK_STRIDE) AS BIGINT)), ' ')) AS chunk_digest
          |FROM x ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
+
+    // mirror of Curation.cdcChunks via the unnest + window route (an
+    // engine-appropriate reformulation of the same spec: chunk_idx of a
+    // token = boundaries strictly before it); duckHash60 keeps the
+    // boundary decision in lockstep with Dedup.hash60
+    "d25_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |u AS (SELECT doc_id, generate_subscripts(w,1) - 1 AS pos, unnest(w) AS tok FROM t),
+         |b AS (SELECT doc_id, pos, tok,
+         |  CASE WHEN ${duckHash60("tok")} % $CDC_MODULUS = 0 THEN 1 ELSE 0 END AS bnd FROM u),
+         |c AS (SELECT doc_id, pos, tok, COALESCE(sum(bnd) OVER
+         |  (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci FROM b)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         |  CAST(min(pos) AS BIGINT) AS tok_start, CAST(count(*) AS BIGINT) AS tok_len,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_digest
+         |FROM c GROUP BY doc_id, ci ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.lexicalDiversity via unnest + two GROUP BYs
+    // (the run-length pass is Spark's shuffle-free reformulation; the
+    // counts and each one-division double are identical)
+    "d26_diversity" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_types,
+        |        CAST(sum(c*c) AS BIGINT) AS sumsq FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types, sumsq,
+        |  CAST(n_types AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(sumsq AS DOUBLE)/(CAST(n_tokens AS DOUBLE)*CAST(n_tokens AS DOUBLE)) AS simpson
+        |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Curation.mixSchedule: same stratum chain as d21, the
     // target CASE in MIX_TARGETS order, and the rate expression with

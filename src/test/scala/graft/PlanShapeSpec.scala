@@ -131,6 +131,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "chunking must not shuffle\n" + p.take(2000))
   }
 
+  test("d25/d26: content-defined chunking and diversity are pure per-row array passes — zero exchanges") {
+    for (df <- Seq(
+        graft.operators.Curation.cdcChunks(graft.sources.Tables.documents(spark, dir)),
+        graft.operators.TextAnalysis.lexicalDiversity(graft.sources.Tables.documents(spark, dir)))) {
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange"), "per-row operator must not shuffle\n" + p.take(2000))
+    }
+  }
+
   test("d24: the schedule's single-row total rides a broadcast") {
     val p = plan("d24_mix_schedule")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))

@@ -145,6 +145,101 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- cdcChunks ----
+
+  test("cdcChunks: boundary arithmetic — split AFTER each boundary token") {
+    // find two tokens, one boundary and one not, under modulus 8
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val bTok = (1 to 1000).map(i => s"w$i").find(h60(_) % 8 == 0).get
+    val pTok = (1 to 1000).map(i => s"w$i").find(h60(_) % 8 != 0).get
+    val docs = Seq(
+      (1L, s"$pTok $pTok $bTok $pTok $pTok"), // one interior boundary
+      (2L, s"$pTok $pTok $pTok"),             // no boundary → one chunk
+      (3L, s"$bTok $pTok"),                   // boundary at 0 → split after it
+      (4L, s"$pTok $bTok")                    // trailing boundary → no empty chunk
+    ).toDF("doc_id", "text")
+    val out = Curation.cdcChunks(docs, modulus = 8)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 3L, md5hex(s"$pTok $pTok $bTok")),
+      (1L, 1L, 3L, 2L, md5hex(s"$pTok $pTok")),
+      (2L, 0L, 0L, 3L, md5hex(s"$pTok $pTok $pTok")),
+      (3L, 0L, 0L, 1L, md5hex(bTok)),
+      (3L, 1L, 1L, 1L, md5hex(pTok)),
+      (4L, 0L, 0L, 2L, md5hex(s"$pTok $bTok"))))
+  }
+
+  test("cdcChunks: edits stay local — chunks after the edited one keep their digests") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50).cache()
+    // prepend one token to every doc: a fixed-stride chunker would shift
+    // every window; CDC must leave all chunks after the first boundary
+    // byte-identical
+    val edited = docs.withColumn("text", concat(lit("zqx "), col("text")))
+    val before = Curation.cdcChunks(docs).as[(Long, Long, Long, Long, String)]
+      .collect().groupBy(_._1)
+    val after = Curation.cdcChunks(edited).as[(Long, Long, Long, Long, String)]
+      .collect().groupBy(_._1)
+    var preserved = 0
+    before.foreach { case (id, b) =>
+      val bd = b.sortBy(_._2).map(_._5); val ad = after(id).sortBy(_._2).map(_._5)
+      // all chunks but the first are unchanged (suffix match), possibly
+      // with the first chunk split differently
+      assert(ad.drop(ad.length - (bd.length - 1)).sameElements(bd.drop(1)),
+        s"doc $id: edit leaked past the first chunk")
+      preserved += bd.length - 1
+    }
+    assert(preserved > 100, s"corpus too boundary-poor to exercise locality ($preserved)")
+    docs.unpersist()
+  }
+
+  test("cdcChunks: chunks tile the doc exactly (coverage, no overlap)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val out = Curation.cdcChunks(docs).as[(Long, Long, Long, Long, String)]
+      .collect().toSeq.groupBy(_._1)
+    val nTok = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (id, chunks) =>
+      val s = chunks.sortBy(_._2)
+      assert(s.head._3 == 0L && s.map(_._4).forall(_ > 0))
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._4 == b._3, s"gap/overlap in doc $id")
+        case _ =>
+      }
+      assert(s.last._3 + s.last._4 == nTok(id))
+    }
+  }
+
+  // ---- lexicalDiversity ----
+
+  test("lexicalDiversity: exact counts on known distributions") {
+    val docs = Seq(
+      (1L, "a a a a"),      // 1 type, sumsq 16, simpson 1.0
+      (2L, "a b c d"),      // uniform: sumsq 4, simpson 0.25
+      (3L, "a a b c"),      // sumsq 4+1+1=6
+      (4L, "x")             // single token
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 1L, 16L, 0.25, 1.0),
+      (2L, 4L, 4L, 4L, 1.0, 0.25),
+      (3L, 4L, 3L, 6L, 0.75, 0.375),
+      (4L, 1L, 1L, 1L, 1.0, 1.0)))
+  }
+
+  test("lexicalDiversity run-length pass ≡ explode+groupBy on real docs") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val viaRuns = TextAnalysis.lexicalDiversity(docs)
+      .select("doc_id", "sumsq").as[(Long, Long)].collect().toMap
+    val viaGroup = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").count()
+      .groupBy("doc_id").agg(sum(col("count") * col("count")).as("sumsq"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaRuns == viaGroup && viaRuns.nonEmpty)
+  }
+
   // ---- RangeJoin ----
 
   test("pointInInterval ≡ naive BETWEEN join, across bin boundaries and widths") {
