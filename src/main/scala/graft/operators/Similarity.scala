@@ -173,28 +173,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int = 16, probes: Int = 4): DataFrame = {
     val n = normalized(emb)
-    val cents = n.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id"), col("e")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    // An empty centroid table would otherwise surface as an obscure
-    // zero-arg array()/array_max analysis error downstream; a sparse id
-    // space silently shrinking the cell count is worth a trace.
-    require(cents.nonEmpty,
-      s"ivfTopK: no centroid vectors found (no vec_id < $nCentroids in the corpus)")
-    if (cents.length < nCentroids)
-      org.slf4j.LoggerFactory.getLogger(getClass).info(
-        s"ivfTopK: only ${cents.length} of $nCentroids centroid ids present; proceeding with fewer cells")
-    // per-centroid cosine columns against literal centroid vectors; the
-    // norm is folded on the driver with the same left-to-right double
-    // arithmetic the engines use, so scores stay oracle-exact
-    val scoredArr = array(cents.map { case (cid, ce) =>
-      val cn = math.sqrt(ce.foldLeft(0.0)((s, x) => s + x * x))
-      struct(
-        (graft.functions.ArrayDotProduct(col("e"), typedLit(ce)) /
-          (col("nrm") * lit(cn))).as("c"),
-        lit(-cid).as("nid"))
-    }: _*)
+    val scoredArr = centroidScores(n, nCentroids)
     val corpus = n
       .withColumn("cell", (-array_max(scoredArr).getField("nid")).cast("long"))
       .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
@@ -210,6 +189,78 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (dot("qe", "ce") / (col("qn") * col("cn"))).as("cosine"))
     topK(scored, k)
+  }
+
+  /** The per-vector cosine-vs-every-seed-centroid score array shared by
+    * [[ivfTopK]] (assignment + probe selection) and [[kmeansUpdate]]
+    * (assignment): seed centroids are the `nCentroids` lowest vec_ids
+    * (deterministic, so the oracle recomputes them), collected once and
+    * inlined as ARRAY LITERALS — assignment is pure scan-side expression
+    * work, no join, no shuffle, codegen over
+    * [[graft.functions.ArrayDotProduct]]. Each element is
+    * (c = cosine, nid = −centroid_id): `array_max` picks the nearest
+    * cell with ties toward the smaller id, matching the oracle's
+    * `ORDER BY cosine DESC, cid ASC`.
+    */
+  private def centroidScores(n: DataFrame, nCentroids: Int): Column = {
+    val cents = n.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    // An empty centroid table would otherwise surface as an obscure
+    // zero-arg array()/array_max analysis error downstream; a sparse id
+    // space silently shrinking the cell count is worth a trace.
+    require(cents.nonEmpty,
+      s"no centroid vectors found (no vec_id < $nCentroids in the corpus)")
+    if (cents.length < nCentroids)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"only ${cents.length} of $nCentroids centroid ids present; proceeding with fewer cells")
+    // the norm is folded on the driver with the same left-to-right double
+    // arithmetic the engines use, so scores stay oracle-exact
+    array(cents.map { case (cid, ce) =>
+      val cn = math.sqrt(ce.foldLeft(0.0)((s, x) => s + x * x))
+      struct(
+        (graft.functions.ArrayDotProduct(col("e"), typedLit(ce)) /
+          (col("nrm") * lit(cn))).as("c"),
+        lit(-cid).as("nid"))
+    }: _*)
+  }
+
+  /** One k-means (Lloyd) UPDATE pass over the IVF seed centroids — the
+    * training step that turns [[ivfTopK]]'s arbitrary seeds into real
+    * cluster centers: assign every vector to its nearest centroid
+    * (identical scan-side literal-inlined assignment as [[ivfTopK]] —
+    * shared code, so index build and index use cannot disagree), then
+    * emit each cell's member mean, one row per (cell, dimension) so the
+    * output is scalar-typed and oracle-hashable.
+    *
+    * The per-cell mean is a SEQUENTIAL double fold over members sorted
+    * by vec_id (`sort_array(collect_list(...))` then `aggregate`) —
+    * order-fixed so it hash-matches the oracle bit-for-bit; a float sum
+    * in shuffle order would be run-dependent, let alone engine-matching.
+    * Per-cell state is the member list: bounded by cell mass, which is
+    * the standard trade — at 100 TB, k-means TRAINS on a bounded sample
+    * (this operator's input) while ASSIGNMENT (the scan-side expression)
+    * runs over the full corpus; the sample keeps `collect_list` small by
+    * construction. Iterate = feed the output back as literals.
+    *
+    * Returns (cell, n_members, dim 1-based, val). Empty cells (a seed
+    * attracting no vectors) simply emit no rows, the standard
+    * drop-dead-centroid policy.
+    */
+  def kmeansUpdate(emb: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val n = normalized(emb)
+    n.withColumn("cell", (-array_max(centroidScores(n, nCentroids)).getField("nid")).cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(struct(col("vec_id").as("vid"), col("e").as("me")))).as("ms"))
+      .select(col("cell"), col("n_members"),
+        posexplode(expr(
+          """transform(sequence(1, size(element_at(ms, 1).me)),
+            |  d -> aggregate(ms, cast(0.0 as double), (acc, m) -> acc + element_at(m.me, d))
+            |       / cast(n_members as double))""".stripMargin)))
+      .select(col("cell"), col("n_members"),
+        (col("pos") + 1).cast("long").as("dim"), col("col").as("val"))
   }
 
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */

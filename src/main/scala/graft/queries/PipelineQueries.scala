@@ -284,6 +284,13 @@ object PipelineQueries {
       Similarity.knnGraph(Tables.embeddings(spark, dir), KNN_K, ANN_BITS)
         .orderBy(col("vec_id"), col("rk"))),
 
+    // the IVF TRAINING step: one Lloyd update over the seed centroids,
+    // shared assignment code with e04, sequential-fold means so the
+    // oracle hashes bit-for-bit (Similarity.kmeansUpdate doc)
+    "e07_kmeans_update" -> ((spark: SparkSession, dir: String) =>
+      Similarity.kmeansUpdate(Tables.embeddings(spark, dir), IVF_CELLS)
+        .orderBy(col("cell"), col("dim"))),
+
     // IVF alternative to the LSH family: literal-centroid assignment
     // scan-side, probe the 4 nearest of 16 cells (Similarity.ivfTopK doc)
     "e04_ivf_ann" -> ((spark: SparkSession, dir: String) =>
@@ -322,6 +329,22 @@ object PipelineQueries {
     */
   private[queries] def duckHash60(expr: String) =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** Mirror of the IVF seed-centroid ASSIGNMENT
+    * ([[graft.operators.Similarity]]'s `centroidScores`) as one CTE
+    * chain ending in `cells(vid, cell)` (plus `asg` with the full
+    * per-centroid ranking for probe selection) — shared by e04 and e07
+    * so index use and index training check against one assignment.
+    */
+  private lazy val ivfAsgCtes =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |cent AS (SELECT vec_id AS cid, e AS ce, sqrt(list_dot_product(e, e)) AS cn FROM v WHERE vec_id < $IVF_CELLS),
+       |asg AS (SELECT n.vec_id AS vid, cid,
+       |          row_number() OVER (PARTITION BY n.vec_id
+       |            ORDER BY list_dot_product(n.e, ce)/(n.nrm*cn) DESC, cid ASC) AS rn
+       |        FROM n CROSS JOIN cent),
+       |cells AS (SELECT vid, cid AS cell FROM asg WHERE rn = 1)""".stripMargin
 
   /** Mirror of [[graft.operators.Similarity.nearDupPairs]] as one CTE
     * chain ending in `pairs(a, b, cosine)` — shared by d10 and e05 so a
@@ -803,6 +826,20 @@ object PipelineQueries {
          |SELECT qid AS vec_id, rk, neighbor_id, cosine FROM r WHERE rk <= $KNN_K
          |ORDER BY vec_id, rk""".stripMargin.replace("\n", " "),
 
+    // mirror of Similarity.kmeansUpdate: e04's assignment CTEs, then the
+    // per-cell per-dim mean as the SAME seeded left fold over members
+    // ordered by vec_id (list_prepend(0.0) ≡ Spark's aggregate zero —
+    // every addition happens in the same order, so vals hash-match)
+    "e07_kmeans_update" ->
+      s"""WITH $ivfAsgCtes,
+         |mem AS (SELECT cl.cell, list(n.e ORDER BY cl.vid) AS ms, count(*) AS nm
+         |        FROM cells cl JOIN n ON n.vec_id = cl.vid GROUP BY cl.cell),
+         |x AS (SELECT cell, nm, ms, unnest(range(1, len(ms[1]) + 1)) AS dim FROM mem)
+         |SELECT cell, CAST(nm AS BIGINT) AS n_members, CAST(dim AS BIGINT) AS dim,
+         | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ms, m -> m[CAST(dim AS INT)])),
+         |   (acc, vv) -> acc + vv) / CAST(nm AS DOUBLE) AS val
+         |FROM x ORDER BY cell, dim""".stripMargin.replace("\n", " "),
+
     "e01_cosine_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
@@ -846,14 +883,7 @@ object PipelineQueries {
         |FROM documents n WHERE n.doc_id % 2 = 0 ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "e04_ivf_ann" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-         |cent AS (SELECT vec_id AS cid, e AS ce, sqrt(list_dot_product(e, e)) AS cn FROM v WHERE vec_id < $IVF_CELLS),
-         |asg AS (SELECT n.vec_id AS vid, cid,
-         |          row_number() OVER (PARTITION BY n.vec_id
-         |            ORDER BY list_dot_product(n.e, ce)/(n.nrm*cn) DESC, cid ASC) AS rn
-         |        FROM n CROSS JOIN cent),
-         |cells AS (SELECT vid, cid AS cell FROM asg WHERE rn = 1),
+      s"""WITH $ivfAsgCtes,
          |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
          |p AS (SELECT pr.query_id, cl.vid AS neighbor_id,
          |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine

@@ -22,6 +22,9 @@ object RelationalQueries {
   /** q21 interval length AND bin width (µs): a window spans ≤ 2 bins. */
   private val RANGE_WIN_US = 7200000000L // 2 hours
 
+  /** q22 session gap (µs): a quiet 30 min closes the session. */
+  private val SESSION_GAP_US = 1800000000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Hash aggregate with partial (map-side) combine; exact decimal sums.
@@ -327,6 +330,30 @@ object RelationalQueries {
         .orderBy(col("err_id"), col("click_id"))
     }),
 
+    // Batch twin of the streaming gap-sessionizer
+    // (graft.streaming.EventTimeOps.sessionize): a >30min quiet gap per
+    // user closes the session. The lag/running-sum formulation is the
+    // classic SQL islands construction — one shuffle on user_id; the
+    // session roll-up reuses that partitioning ((user_id, sess_idx) is a
+    // superset key, so EnsureRequirements inserts no second exchange).
+    // Ordering by (tus, event_id) makes frames deterministic under
+    // timestamp ties; same-timestamp events always share a session
+    // (gap 0), so the output is tie-order-independent too.
+    "q22_sessionize" -> ((spark: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+        .withColumn("new_sess",
+          when(col("tus") - lag(col("tus"), 1).over(w) > SESSION_GAP_US ||
+            lag(col("tus"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sess_idx", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+        .orderBy(col("user_id"), col("sess_idx"))
+    }),
+
     // Event-time tumbling-window aggregate (batch twin of the streaming
     // windowed agg; ts arrives as nanosecond Longs — see Tables.events).
     "q12_events_hourly" -> ((spark: SparkSession, dir: String) =>
@@ -488,6 +515,16 @@ object RelationalQueries {
         |SELECT err_id, click_id, err.user_id AS user_id, cus - sus AS delta_us
         |FROM err JOIN clk ON err.user_id = clk.user_id AND cus >= sus AND cus < sus + 7200000000
         |ORDER BY err_id, click_id""".stripMargin.replace("\n", " "),
+    "q22_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |n AS (SELECT *, CASE WHEN lag(tus, 1) OVER w IS NULL
+        |        OR tus - lag(tus, 1) OVER w > $SESSION_GAP_US THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM n)
+        |SELECT user_id, sess_idx, count(*) AS n_events,
+        | min(tus) AS start_us, max(tus) AS end_us
+        |FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin.replace("\n", " "),
     "q12_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n,

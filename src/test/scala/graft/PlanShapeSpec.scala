@@ -131,6 +131,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "chunking must not shuffle\n" + p.take(2000))
   }
 
+  test("q22: sessionize reuses the window's user_id partitioning for the roll-up — one hash exchange") {
+    val p = plan("q22_sessionize")
+    // exactly 2 exchanges: the user_id hash shuffle feeding BOTH windows
+    // and the roll-up (HashPartitioning(user_id) satisfies the
+    // (user_id, sess_idx) clustering), plus the final orderBy's range
+    // exchange — a third one means the roll-up stopped reusing it
+    val exchanges = "\\+- Exchange \\(\\d+\\)".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected window and session roll-up to share one shuffle (2 exchanges incl. orderBy), got $exchanges\n" + p.take(2000))
+    assert("HashAggregate \\(\\d+\\)\\s*\\n\\s*\\+- HashAggregate".r.findFirstIn(p).isDefined,
+      "partial and final session aggregates are no longer adjacent\n" + p.take(2000))
+  }
+
+  test("e07: k-means assignment is scan-side expression work — no join below the cell aggregate") {
+    val p = plan("e07_kmeans_update")
+    assert(!p.contains("Join"), "centroid assignment must be inlined literals, not a join\n" + p.take(2000))
+    assert(p.contains("partial_"), "cell aggregate lost its map-side partial")
+  }
+
   test("d25/d26: content-defined chunking and diversity are pure per-row array passes — zero exchanges") {
     for (df <- Seq(
         graft.operators.Curation.cdcChunks(graft.sources.Tables.documents(spark, dir)),

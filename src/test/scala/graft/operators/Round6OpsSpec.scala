@@ -240,6 +240,42 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(viaRuns == viaGroup && viaRuns.nonEmpty)
   }
 
+  // ---- kmeansUpdate ----
+
+  test("kmeansUpdate: hand-checked means on a known assignment") {
+    // centroids = vec_ids 0,1. Axis-aligned vectors make cosine
+    // assignment obvious: 2,3 → cell 0; 4 → cell 1.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(2f, 0.5f, 0f, 0f)), (3L, Array(4f, 0f, 0f, 2f)),
+      (4L, Array(0.5f, 3f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansUpdate(emb, nCentroids = 2)
+      .orderBy("cell", "dim").as[(Long, Long, Long, Double)].collect().toSeq
+    // cell 0 members (by vec_id): 0,2,3 → mean (7/3, 0.5/3, 0, 2/3)
+    // cell 1 members: 1,4 → mean (0.25, 2, 0, 0)
+    val c0 = Seq(1.0 + 2.0 + 4.0, 0.0 + 0.5 + 0.0, 0.0, 0.0 + 0.0 + 2.0).map(_ / 3.0)
+    assert(out.size == 8)
+    assert(out.take(4) == c0.zipWithIndex.map { case (v, d) => (0L, 3L, d + 1L, v) })
+    assert(out.drop(4) == Seq((1L, 2L, 1L, (0.0 + 0.5) / 2.0), (1L, 2L, 2L, (1.0 + 3.0) / 2.0),
+      (1L, 2L, 3L, 0.0), (1L, 2L, 4L, 0.0)))
+  }
+
+  test("kmeansUpdate: cells partition the corpus and agree with ivf assignment") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.kmeansUpdate(emb, nCentroids = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val n = emb.count()
+    // every (cell) emits one row per dim with a constant member count;
+    // counts over distinct cells sum to the corpus
+    val byCell = out.groupBy(_._1)
+    assert(byCell.values.map(_.head._2).sum == n)
+    byCell.foreach { case (_, rows) =>
+      assert(rows.map(_._2).distinct.size == 1)
+      assert(rows.map(_._3).sorted == (1L to 64L))
+    }
+  }
+
   // ---- RangeJoin ----
 
   test("pointInInterval ≡ naive BETWEEN join, across bin boundaries and widths") {
