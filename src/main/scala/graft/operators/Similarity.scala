@@ -202,11 +202,17 @@ object Similarity {
     * cell with ties toward the smaller id, matching the oracle's
     * `ORDER BY cosine DESC, cid ASC`.
     */
-  private def centroidScores(n: DataFrame, nCentroids: Int): Column = {
+  private def centroidScores(n: DataFrame, nCentroids: Int): Column =
+    scoresFor(seedCentroids(n, nCentroids))
+
+  /** The `nCentroids` lowest vec_ids as (cid, vector) seeds —
+    * deterministic, so the oracle recomputes them.
+    */
+  private def seedCentroids(n: DataFrame, nCentroids: Int): Seq[(Long, Seq[Double])] = {
     val cents = n.filter(col("vec_id") < nCentroids)
       .select(col("vec_id"), col("e")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
+      .sortBy(_._1).toSeq
     // An empty centroid table would otherwise surface as an obscure
     // zero-arg array()/array_max analysis error downstream; a sparse id
     // space silently shrinking the cell count is worth a trace.
@@ -215,8 +221,14 @@ object Similarity {
     if (cents.length < nCentroids)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"only ${cents.length} of $nCentroids centroid ids present; proceeding with fewer cells")
-    // the norm is folded on the driver with the same left-to-right double
-    // arithmetic the engines use, so scores stay oracle-exact
+    cents
+  }
+
+  /** Cosine-score array against an explicit (driver-held) centroid set.
+    * The norm is folded on the driver with the same left-to-right double
+    * arithmetic the engines use, so scores stay oracle-exact.
+    */
+  private def scoresFor(cents: Seq[(Long, Seq[Double])]): Column =
     array(cents.map { case (cid, ce) =>
       val cn = math.sqrt(ce.foldLeft(0.0)((s, x) => s + x * x))
       struct(
@@ -224,7 +236,6 @@ object Similarity {
           (col("nrm") * lit(cn))).as("c"),
         lit(-cid).as("nid"))
     }: _*)
-  }
 
   /** One k-means (Lloyd) UPDATE pass over the IVF seed centroids — the
     * training step that turns [[ivfTopK]]'s arbitrary seeds into real
@@ -250,7 +261,40 @@ object Similarity {
     */
   def kmeansUpdate(emb: DataFrame, nCentroids: Int = 16): DataFrame = {
     val n = normalized(emb)
-    n.withColumn("cell", (-array_max(centroidScores(n, nCentroids)).getField("nid")).cast("long"))
+    updateFor(n, seedCentroids(n, nCentroids))
+  }
+
+  /** Full Lloyd LOOP: [[kmeansUpdate]] iterated `iters` times, each
+    * pass's collected means becoming the next pass's literal centroids
+    * (cell ids carry through; a cell that empties drops out — the
+    * standard dead-centroid policy). Centroids are driver-resident in
+    * every k-means implementation, so the per-pass collect is k·dim
+    * doubles, not data; the corpus-sized work stays the scan-side
+    * assignment + one (cell) exchange per pass. Determinism end to end:
+    * means are sequential folds, fed back bit-exactly as literals, so
+    * iteration N is oracle-reproducible by chaining N copies of the
+    * update CTEs. Returns the final pass's (cell, n_members, dim, val).
+    */
+  def kmeansIterate(emb: DataFrame, nCentroids: Int = 16, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val n = normalized(emb)
+    var cents = seedCentroids(n, nCentroids)
+    var out = updateFor(n, cents)
+    for (_ <- 2 to iters) {
+      cents = out.select(col("cell"), col("dim"), col("val")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (cell, rows) => (cell, rows.sortBy(_._2).map(_._3).toSeq) }
+      out = updateFor(n, cents)
+    }
+    out
+  }
+
+  /** One assignment + per-cell-mean pass against an explicit centroid
+    * set — the body shared by [[kmeansUpdate]] and [[kmeansIterate]].
+    */
+  private def updateFor(n: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    n.withColumn("cell", (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
         sort_array(collect_list(struct(col("vec_id").as("vid"), col("e").as("me")))).as("ms"))
@@ -261,7 +305,6 @@ object Similarity {
             |       / cast(n_members as double))""".stripMargin)))
       .select(col("cell"), col("n_members"),
         (col("pos") + 1).cast("long").as("dim"), col("col").as("val"))
-  }
 
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

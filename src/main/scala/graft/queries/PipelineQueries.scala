@@ -34,6 +34,7 @@ object PipelineQueries {
   private val CHUNK_TOKENS = 64  // d23 context-window size
   private val CHUNK_STRIDE = 48  // d23 window stride (overlap = 16)
   private val CDC_MODULUS = 8    // d25 expected content-defined chunk length
+  private val KMEANS_ITERS = 2   // e08 Lloyd passes
 
   /** d24 target mixture + token budget (Seq: deterministic SQL order). */
   private val MIX_TARGETS = Seq("en" -> 0.4, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1)
@@ -291,6 +292,13 @@ object PipelineQueries {
       Similarity.kmeansUpdate(Tables.embeddings(spark, dir), IVF_CELLS)
         .orderBy(col("cell"), col("dim"))),
 
+    // the full Lloyd LOOP at 2 passes: pass-1 means feed back as
+    // literal centroids (Similarity.kmeansIterate doc); the oracle
+    // chains two copies of e07's update CTEs
+    "e08_kmeans_iter" -> ((spark: SparkSession, dir: String) =>
+      Similarity.kmeansIterate(Tables.embeddings(spark, dir), IVF_CELLS, KMEANS_ITERS)
+        .orderBy(col("cell"), col("dim"))),
+
     // IVF alternative to the LSH family: literal-centroid assignment
     // scan-side, probe the 4 nearest of 16 cells (Similarity.ivfTopK doc)
     "e04_ivf_ann" -> ((spark: SparkSession, dir: String) =>
@@ -340,11 +348,37 @@ object PipelineQueries {
     s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
        |cent AS (SELECT vec_id AS cid, e AS ce, sqrt(list_dot_product(e, e)) AS cn FROM v WHERE vec_id < $IVF_CELLS),
-       |asg AS (SELECT n.vec_id AS vid, cid,
+       |${centroidAsgCtes("", "cent")}""".stripMargin
+
+  /** Nearest-centroid assignment against centroid CTE `centCte`
+    * (cid, ce, cn) — ends in `cells$suffix(vid, cell)`. The tie-break
+    * (cosine DESC, cid ASC) mirrors the Scala struct ordering.
+    */
+  private def centroidAsgCtes(suffix: String, centCte: String) =
+    s"""asg$suffix AS (SELECT n.vec_id AS vid, cid,
        |          row_number() OVER (PARTITION BY n.vec_id
        |            ORDER BY list_dot_product(n.e, ce)/(n.nrm*cn) DESC, cid ASC) AS rn
-       |        FROM n CROSS JOIN cent),
-       |cells AS (SELECT vid, cid AS cell FROM asg WHERE rn = 1)""".stripMargin
+       |        FROM n CROSS JOIN $centCte),
+       |cells$suffix AS (SELECT vid, cid AS cell FROM asg$suffix WHERE rn = 1)""".stripMargin
+
+  /** Per-cell per-dimension means of `cellsCte`'s members — the SAME
+    * seeded left fold over members ordered by vec_id as Spark's
+    * `aggregate` (list_prepend(0.0) ≡ the zero seed: every addition
+    * happens in the same order, so vals hash-match bit-for-bit). Ends
+    * in `m$suffix(cell, nm, dim, val)`.
+    */
+  private def kmeansMeanCtes(suffix: String, cellsCte: String) =
+    s"""mem$suffix AS (SELECT cl.cell, list(n.e ORDER BY cl.vid) AS ms, count(*) AS nm
+       |        FROM $cellsCte cl JOIN n ON n.vec_id = cl.vid GROUP BY cl.cell),
+       |x$suffix AS (SELECT cell, nm, ms, unnest(range(1, len(ms[1]) + 1)) AS dim FROM mem$suffix),
+       |m$suffix AS (SELECT cell, nm, dim,
+       | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ms, m -> m[CAST(dim AS INT)])),
+       |   (acc, vv) -> acc + vv) / CAST(nm AS DOUBLE) AS val FROM x$suffix)""".stripMargin
+
+  /** Final projection shared by the k-means oracles. */
+  private def kmeansSelect(meanCte: String) =
+    s"""SELECT cell, CAST(nm AS BIGINT) AS n_members, CAST(dim AS BIGINT) AS dim, val
+       |FROM $meanCte ORDER BY cell, dim""".stripMargin
 
   /** Mirror of [[graft.operators.Similarity.nearDupPairs]] as one CTE
     * chain ending in `pairs(a, b, cosine)` — shared by d10 and e05 so a
@@ -826,19 +860,25 @@ object PipelineQueries {
          |SELECT qid AS vec_id, rk, neighbor_id, cosine FROM r WHERE rk <= $KNN_K
          |ORDER BY vec_id, rk""".stripMargin.replace("\n", " "),
 
-    // mirror of Similarity.kmeansUpdate: e04's assignment CTEs, then the
-    // per-cell per-dim mean as the SAME seeded left fold over members
-    // ordered by vec_id (list_prepend(0.0) ≡ Spark's aggregate zero —
-    // every addition happens in the same order, so vals hash-match)
+    // mirror of Similarity.kmeansUpdate: e04's assignment CTEs, then
+    // the shared mean fold (kmeansMeanCtes doc)
     "e07_kmeans_update" ->
       s"""WITH $ivfAsgCtes,
-         |mem AS (SELECT cl.cell, list(n.e ORDER BY cl.vid) AS ms, count(*) AS nm
-         |        FROM cells cl JOIN n ON n.vec_id = cl.vid GROUP BY cl.cell),
-         |x AS (SELECT cell, nm, ms, unnest(range(1, len(ms[1]) + 1)) AS dim FROM mem)
-         |SELECT cell, CAST(nm AS BIGINT) AS n_members, CAST(dim AS BIGINT) AS dim,
-         | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ms, m -> m[CAST(dim AS INT)])),
-         |   (acc, vv) -> acc + vv) / CAST(nm AS DOUBLE) AS val
-         |FROM x ORDER BY cell, dim""".stripMargin.replace("\n", " "),
+         |${kmeansMeanCtes("1", "cells")}
+         |${kmeansSelect("m1")}""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.kmeansIterate(2): the SAME chain iterated —
+    // pass-1 means become the pass-2 centroid table (list(val ORDER BY
+    // dim) rebuilds each vector; norms via the same list_dot_product
+    // fold the Scala driver mirrors), then assignment + means again
+    "e08_kmeans_iter" ->
+      s"""WITH $ivfAsgCtes,
+         |${kmeansMeanCtes("1", "cells")},
+         |cent2 AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM
+         |  (SELECT cell AS cid, list(val ORDER BY dim) AS ce FROM m1 GROUP BY cell)),
+         |${centroidAsgCtes("2", "cent2")},
+         |${kmeansMeanCtes("2", "cells2")}
+         |${kmeansSelect("m2")}""".stripMargin.replace("\n", " "),
 
     "e01_cosine_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -354,6 +354,25 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("sess_idx"))
     }),
 
+    // Correlated-scalar-subquery surface: orders strictly above their
+    // customer's average order total. Expressed directly as the window
+    // Catalyst would decorrelate the subquery into — one shuffle on
+    // o_custkey, no self-join. The comparison is MULTIPLIED THROUGH
+    // (price·n > Σprice, all DECIMAL-exact) instead of price > Σ/n:
+    // decimal division rounds differently across engines, and a
+    // boundary tie would flip rows; products and sums cannot.
+    "q23_above_cust_avg" -> ((spark: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("cust_sum", sum(col("o_totalprice").cast(dec)).over(w))
+        .withColumn("cust_n", count(lit(1)).over(w))
+        .filter(col("o_totalprice").cast(dec) * col("cust_n") > col("cust_sum"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("cust_n"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Event-time tumbling-window aggregate (batch twin of the streaming
     // windowed agg; ts arrives as nanosecond Longs — see Tables.events).
     "q12_events_hourly" -> ((spark: SparkSession, dir: String) =>
@@ -525,6 +544,13 @@ object RelationalQueries {
         |SELECT user_id, sess_idx, count(*) AS n_events,
         | min(tus) AS start_us, max(tus) AS end_us
         |FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin.replace("\n", " "),
+    "q23_above_cust_avg" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS cust_sum,
+        |  count(*) OVER (PARTITION BY o_custkey) AS cust_n FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice, CAST(cust_n AS BIGINT) AS cust_n
+        |FROM t WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cust_n > cust_sum
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
     "q12_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n,

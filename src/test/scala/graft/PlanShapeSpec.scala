@@ -144,6 +144,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "partial and final session aggregates are no longer adjacent\n" + p.take(2000))
   }
 
+  test("q23: the correlated subquery runs as a window, not a self-join") {
+    val p = plan("q23_above_cust_avg")
+    assert(!p.contains("Join"), "decorrelation should be a window over one shuffle, not a join\n" + p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("e07: k-means assignment is scan-side expression work — no join below the cell aggregate") {
     val p = plan("e07_kmeans_update")
     assert(!p.contains("Join"), "centroid assignment must be inlined literals, not a join\n" + p.take(2000))

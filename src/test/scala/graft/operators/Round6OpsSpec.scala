@@ -276,6 +276,20 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansIterate: one pass ≡ kmeansUpdate; two passes refit and re-partition") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val one = Similarity.kmeansIterate(emb, nCentroids = 8, iters = 1)
+      .orderBy("cell", "dim").as[(Long, Long, Long, Double)].collect().toSeq
+    val upd = Similarity.kmeansUpdate(emb, nCentroids = 8)
+      .orderBy("cell", "dim").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(one == upd)
+    val two = Similarity.kmeansIterate(emb, nCentroids = 8, iters = 2)
+      .orderBy("cell", "dim").as[(Long, Long, Long, Double)].collect().toSeq
+    // the refit must still partition the corpus and actually move
+    assert(two.groupBy(_._1).values.map(_.head._2).sum == emb.count())
+    assert(two != one, "second Lloyd pass changed nothing — feedback loop broken?")
+  }
+
   // ---- RangeJoin ----
 
   test("pointInInterval ≡ naive BETWEEN join, across bin boundaries and widths") {
