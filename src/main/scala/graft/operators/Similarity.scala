@@ -245,15 +245,19 @@ object Similarity {
     * emit each cell's member mean, one row per (cell, dimension) so the
     * output is scalar-typed and oracle-hashable.
     *
-    * The per-cell mean is a SEQUENTIAL double fold over members sorted
-    * by vec_id (`sort_array(collect_list(...))` then `aggregate`) —
-    * order-fixed so it hash-matches the oracle bit-for-bit; a float sum
-    * in shuffle order would be run-dependent, let alone engine-matching.
-    * Per-cell state is the member list: bounded by cell mass, which is
-    * the standard trade — at 100 TB, k-means TRAINS on a bounded sample
-    * (this operator's input) while ASSIGNMENT (the scan-side expression)
-    * runs over the full corpus; the sample keeps `collect_list` small by
-    * construction. Iterate = feed the output back as literals.
+    * The per-cell mean is an ORDER-INDEPENDENT exact aggregate: each
+    * component is quantized once to DECIMAL(28,8) scan-side, summed per
+    * (cell, dim) — decimal addition is exact, so any shuffle/combine
+    * order yields the same total — then divided by the member count in
+    * one double op. Aggregate state per group is a single decimal + a
+    * count, O(1) per (cell, dim) = O(dims) per cell, with map-side
+    * partial aggregation; the earlier `collect_list`-of-members
+    * formulation buffered O(cell mass) vectors per group, an OOM by
+    * construction at full-corpus scale. The 1e-8 component quantization
+    * is a documented property of the training step (assignment scoring
+    * stays full double precision); the oracle applies the identical
+    * cast, so means hash-match bit-for-bit. Iterate = feed the output
+    * back as literals.
     *
     * Returns (cell, n_members, dim 1-based, val). Empty cells (a seed
     * attracting no vectors) simply emit no rows, the standard
@@ -270,10 +274,11 @@ object Similarity {
     * standard dead-centroid policy). Centroids are driver-resident in
     * every k-means implementation, so the per-pass collect is k·dim
     * doubles, not data; the corpus-sized work stays the scan-side
-    * assignment + one (cell) exchange per pass. Determinism end to end:
-    * means are sequential folds, fed back bit-exactly as literals, so
-    * iteration N is oracle-reproducible by chaining N copies of the
-    * update CTEs. Returns the final pass's (cell, n_members, dim, val).
+    * assignment + one (cell, dim) exchange per pass. Determinism end to
+    * end: means are exact decimal sums (order-independent), fed back
+    * bit-exactly as literals, so iteration N is oracle-reproducible by
+    * chaining N copies of the update CTEs. Returns the final pass's
+    * (cell, n_members, dim, val).
     */
   def kmeansIterate(emb: DataFrame, nCentroids: Int = 16, iters: Int = 2): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -295,16 +300,23 @@ object Similarity {
     */
   private def updateFor(n: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
     n.withColumn("cell", (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
-      .groupBy(col("cell"))
+      .select(col("cell"), posexplode(col("e")))
+      .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").cast(meanDec).as("x"))
+      .groupBy(col("cell"), col("dim"))
       .agg(count(lit(1)).as("n_members"),
-        sort_array(collect_list(struct(col("vec_id").as("vid"), col("e").as("me")))).as("ms"))
-      .select(col("cell"), col("n_members"),
-        posexplode(expr(
-          """transform(sequence(1, size(element_at(ms, 1).me)),
-            |  d -> aggregate(ms, cast(0.0 as double), (acc, m) -> acc + element_at(m.me, d))
-            |       / cast(n_members as double))""".stripMargin)))
-      .select(col("cell"), col("n_members"),
-        (col("pos") + 1).cast("long").as("dim"), col("col").as("val"))
+        (sum(col("x")).cast("double") / count(lit(1)).cast("double")).as("val"))
+      .select(col("cell"), col("n_members"), col("dim"), col("val"))
+
+  /** Component quantization for the k-means mean: DECIMAL(28,8) is the
+    * widest scale at which Spark's double→decimal rounding (shortest
+    * decimal string, HALF_UP) and DuckDB's (scaled binary value) agree
+    * on every embedding component in the test corpus — verified at
+    * sf0.001/0.01/0.1; scale 9 already has a disagreeing value. 28
+    * integer+fraction digits keeps sum(DECIMAL(28,8)) inside Spark's
+    * DECIMAL(38,8) sum type with 10^20 headroom on the member count.
+    */
+  private val meanDec = org.apache.spark.sql.types.DecimalType(28, 8)
 
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -362,18 +362,20 @@ object PipelineQueries {
        |cells$suffix AS (SELECT vid, cid AS cell FROM asg$suffix WHERE rn = 1)""".stripMargin
 
   /** Per-cell per-dimension means of `cellsCte`'s members — the SAME
-    * seeded left fold over members ordered by vec_id as Spark's
-    * `aggregate` (list_prepend(0.0) ≡ the zero seed: every addition
-    * happens in the same order, so vals hash-match bit-for-bit). Ends
-    * in `m$suffix(cell, nm, dim, val)`.
+    * order-independent exact aggregate as Spark's
+    * (`Similarity.updateFor`): each component cast once to
+    * DECIMAL(28,8) (the two engines' double→decimal roundings agree at
+    * scale 8 on the whole corpus — Similarity.meanDec doc), summed
+    * exactly per (cell, dim), divided by the member count in one double
+    * op. Ends in `m$suffix(cell, nm, dim, val)`.
     */
   private def kmeansMeanCtes(suffix: String, cellsCte: String) =
-    s"""mem$suffix AS (SELECT cl.cell, list(n.e ORDER BY cl.vid) AS ms, count(*) AS nm
-       |        FROM $cellsCte cl JOIN n ON n.vec_id = cl.vid GROUP BY cl.cell),
-       |x$suffix AS (SELECT cell, nm, ms, unnest(range(1, len(ms[1]) + 1)) AS dim FROM mem$suffix),
-       |m$suffix AS (SELECT cell, nm, dim,
-       | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ms, m -> m[CAST(dim AS INT)])),
-       |   (acc, vv) -> acc + vv) / CAST(nm AS DOUBLE) AS val FROM x$suffix)""".stripMargin
+    s"""x$suffix AS (SELECT cl.cell, unnest(range(1, len(n.e) + 1)) AS dim,
+       |        CAST(unnest(n.e) AS DECIMAL(28,8)) AS x
+       |        FROM $cellsCte cl JOIN n ON n.vec_id = cl.vid),
+       |m$suffix AS (SELECT cell, dim, count(*) AS nm,
+       | CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS val
+       | FROM x$suffix GROUP BY cell, dim)""".stripMargin
 
   /** Final projection shared by the k-means oracles. */
   private def kmeansSelect(meanCte: String) =

@@ -153,7 +153,10 @@ class PlanShapeSpec extends AnyFunSuite {
   test("e07: k-means assignment is scan-side expression work — no join below the cell aggregate") {
     val p = plan("e07_kmeans_update")
     assert(!p.contains("Join"), "centroid assignment must be inlined literals, not a join\n" + p.take(2000))
-    assert(p.contains("partial_"), "cell aggregate lost its map-side partial")
+    assert(p.contains("partial_sum"), "cell aggregate lost its map-side decimal-sum partial")
+    // the mean must aggregate O(1) decimal state per (cell, dim) — a
+    // member-list buffer (collect_list) is O(cell mass) and OOMs at scale
+    assert(!p.contains("collect_list"), "k-means mean regressed to member-list state\n" + p.take(2000))
   }
 
   test("d25/d26: content-defined chunking and diversity are pure per-row array passes — zero exchanges") {
