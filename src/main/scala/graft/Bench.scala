@@ -61,14 +61,27 @@ object Bench {
       }
       name -> b
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // round to ms so the stdout line stays well under capture-buffer
+    // limits (17-digit doubles × ~80 queries truncated round 6's
+    // artifact mid-line); ms resolution is below this box's noise floor
+    def ms(v: Double): String =
+      if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // failures stay as -1.0 markers per query but must not poison the
     // headline total: sum successes only, list failures explicitly
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":2,"agg":"min","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+      s""""runs":2,"agg":"min","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(line)
+    // belt and braces: persist the same line so a truncated stdout
+    // capture can never lose the round's numbers
+    try {
+      val p = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file dump failed: $e") }
     spark.stop()
   }
 }
