@@ -373,6 +373,25 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Salted skew join (graft.operators.SkewJoin): lineitem is the
+    // probe side with its hot orderkeys spread over 8 salt buckets; the
+    // orders slice is replicated ×8. Salting is semantics-preserving
+    // for inner equi-joins, so the oracle is the PLAIN join — a wrong
+    // salt/replication pairing drops or duplicates rows and breaks the
+    // hash. (At this SF Catalyst broadcasts the replicated side; at
+    // 100 TB the same plan shuffles on (key, salt), which is the point.)
+    "q24_skew_join" -> ((spark: SparkSession, dir: String) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_custkey") % 100 === 7)
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      graft.operators.SkewJoin.saltedInnerJoin(li, ord, "l_orderkey", 8)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Event-time tumbling-window aggregate (batch twin of the streaming
     // windowed agg; ts arrives as nanosecond Longs — see Tables.events).
     "q12_events_hourly" -> ((spark: SparkSession, dir: String) =>
@@ -551,6 +570,12 @@ object RelationalQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice, CAST(cust_n AS BIGINT) AS cust_n
         |FROM t WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cust_n > cust_sum
         |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+    "q24_skew_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+        | o.o_custkey, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_custkey % 100 = 7
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
     "q12_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n,

@@ -159,6 +159,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("collect_list"), "k-means mean regressed to member-list state\n" + p.take(2000))
   }
 
+  test("q24: the skew join replicates the build side and joins on (key, salt)") {
+    val p = plan("q24_skew_join")
+    // the ×factor replication is a Generate(explode) on the build side…
+    assert(p.contains("Generate") && p.contains("explode"),
+      "salt replication (explode) missing from the plan\n" + p.take(2000))
+    // …and the salt must survive into the join keys — a salt that is
+    // projected away before the join silently degrades to a plain join
+    assert(p.contains("__salt"), "join keys lost the salt column\n" + p.take(2000))
+  }
+
   test("d25/d26: content-defined chunking and diversity are pure per-row array passes — zero exchanges") {
     for (df <- Seq(
         graft.operators.Curation.cdcChunks(graft.sources.Tables.documents(spark, dir)),
