@@ -203,6 +203,49 @@ object Dedup {
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
   }
 
+  /** MinHash-ESTIMATED Jaccard over LSH candidate pairs — signature-only
+    * scoring, NO shingle-intersection join.
+    *
+    * [[lshNearDupPairs]] verifies every candidate with an exact
+    * inverted-index intersection: correct, but at corpus scale that join
+    * re-shuffles the full shingle stream and is the pipeline's dominant
+    * cost (the shingle stream is ~10-100× the signature store). The
+    * production norm estimates Jaccard from signature agreement instead:
+    * E[1(mh_i^a = mh_i^b)] = J(a,b), so
+    * est = |{i : mh_i^a = mh_i^b}| / k is an unbiased estimator with
+    * std-err sqrt(J(1-J)/k) — ≤ 0.0625 at k = 64. Scoring touches only
+    * the O(docs) signature store (k longs per doc) via two equi-joins on
+    * doc_id, and the per-pair work is O(k) codegen'd comparisons.
+    *
+    * Estimates are exact rationals n/k (k a power of two), so the double
+    * division is bit-exact cross-engine. The signature family is the
+    * same universal-hash construction as [[minhash]] — the oracle
+    * regenerates it from identical constants. Wider k than the
+    * candidate-mining default (64 vs 8) because estimation quality, not
+    * bucket recall, is the product here; `bands` spreads the wider
+    * signature 4 rows per band.
+    *
+    * Returns every candidate pair's estimate (no threshold — unlike the
+    * verified path, downstream decides the cut): (doc_a, doc_b,
+    * est_jaccard), doc_a < doc_b.
+    */
+  def minhashEstPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
+      maxBucket: Long = 1000L): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val sig = minhash(hashedShingles(docs), k)
+    val cand = lshCandidates(bandKeys(sig, k, bands), bands, maxBucket)
+    val sa = sig.select(col("doc_id").as("a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val sb = sig.select(col("doc_id").as("b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        (agree.cast("double") / lit(k)).as("est_jaccard"))
+  }
+
   /** All-pairs n-gram Jaccard via the inverted shingle index (no LSH
     * pre-filter): every co-occurring pair scored, then thresholded.
     * Quadratic in bucket co-occurrence — use [[lshNearDupPairs]] at scale;

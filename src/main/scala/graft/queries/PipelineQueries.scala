@@ -15,6 +15,8 @@ object PipelineQueries {
 
   private val K = 8            // minhash signature width
   private val BANDS = 4        // LSH bands (2 rows per band)
+  private val EST_K = 64       // d27 estimation signature width
+  private val EST_BANDS = 16   // d27 LSH bands (4 rows per band)
   private val ANN_BITS = 6     // sign-projection bits → 64 buckets
   private val MAX_BUCKET = 1000L // LSH bucket-size guard (Dedup.lshCandidates)
   private val MAX_DF = 10000L    // stop-shingle df guard (Dedup.dfCapped)
@@ -83,6 +85,16 @@ object PipelineQueries {
     "d03_lsh_pairs" -> ((spark: SparkSession, dir: String) =>
       Dedup.lshNearDupPairs(Tables.documents(spark, dir), K, BANDS, 0.5,
         MAX_BUCKET, MAX_DF)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Signature-only Jaccard ESTIMATION (Dedup.minhashEstPairs doc):
+    // d03's exact verify re-joins the full shingle stream per candidate;
+    // this scores candidates from k=64 signature agreement alone — the
+    // O(docs) signature store is the only scoring input. No threshold:
+    // the operator's product is the estimate itself.
+    "d27_minhash_est" -> ((spark: SparkSession, dir: String) =>
+      Dedup.minhashEstPairs(Tables.documents(spark, dir), EST_K, EST_BANDS,
+        MAX_BUCKET)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // The exact-recall all-pairs path is quadratic in shingle
@@ -513,13 +525,14 @@ object PipelineQueries {
     * 60-bit base value mod P → k universal-hash permutations, identical
     * constants on both sides.
     */
-  private val minhashSelect = {
+  private def minhashSelectK(k: Int) = {
     val P = graft.operators.Dedup.HashP
-    (0 until K).map { i =>
+    (0 until k).map { i =>
       val (a, b) = graft.operators.Dedup.hashParams(i)
       s"min(($a * (hs % $P) + $b) % $P) AS mh$i"
     }.mkString(", ")
   }
+  private val minhashSelect = minhashSelectK(K)
 
   private val bandSelect =
     (0 until BANDS).map(b =>
@@ -595,6 +608,36 @@ object PipelineQueries {
       s"""WITH ${lshPairsCtes(0.5)}
          |SELECT a AS doc_a, b AS doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.minhashEstPairs: the k=64 signature chain (same
+    // universal-hash constants via minhashSelectK), 16 4-row bands,
+    // bucket cap, then agreement-count/64 per candidate — no shingle
+    // intersection anywhere past the signature build
+    "d27_minhash_est" -> {
+      val rows = EST_K / EST_BANDS
+      val bandSel = (0 until EST_BANDS).map { b =>
+        val parts = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)")
+        s"md5(${parts.mkString(" || '|' || ")}) AS band$b"
+      }.mkString(", ")
+      val bandUni = (0 until EST_BANDS)
+        .map(b => s"SELECT doc_id, $b AS bno, band$b AS bkey FROM sig64")
+        .mkString(" UNION ALL ")
+      val agree = (0 until EST_K)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shingleCte,
+         |mins64 AS (SELECT doc_id, ${minhashSelectK(EST_K)} FROM shh GROUP BY doc_id),
+         |sig64 AS (SELECT doc_id, $bandSel FROM mins64),
+         |bl64 AS ($bandUni),
+         |blb64 AS (SELECT bl64.* FROM bl64 JOIN (SELECT bno, bkey FROM bl64
+         |          GROUP BY bno, bkey HAVING count(*) <= $MAX_BUCKET) h USING (bno, bkey)),
+         |cand64 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM blb64 x
+         |           JOIN blb64 y ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT c.a AS doc_a, c.b AS doc_b,
+         |  CAST(($agree) AS DOUBLE) / $EST_K AS est_jaccard
+         |FROM cand64 c JOIN mins64 sa ON sa.doc_id = c.a JOIN mins64 sb ON sb.doc_id = c.b
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+    },
 
     // the d12/d13/d14/d16 oracle fragments (the SAME shared builders
     // those oracles consume) joined into the one keep verdict; shh from

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-7 additions: signature-only MinHash Jaccard
+  * estimation (d27).
+  */
+class Round7OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- minhashEstPairs ----
+
+  test("minhashEstPairs: identical docs estimate 1.0; disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "entirely different content with no overlapping shingles at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashEstPairs(docs, k = 64, bands = 16)
+      .as[(Long, Long, Double)].collect().toSeq
+    // identical shingle sets → every permutation min agrees → est = 1.0
+    assert(out.contains((1L, 2L, 1.0)))
+    // doc 3 shares no shingle with 1/2: its signature can only collide
+    // bandwise by md5 accident — require it absent
+    assert(out.forall { case (a, b, _) => !(a == 3L || b == 3L) })
+  }
+
+  test("minhashEstPairs: estimates are n/64 rationals within statistical error of exact Jaccard") {
+    val docs = Tables.documents(spark, dir)
+    val est = Dedup.minhashEstPairs(docs, k = 64, bands = 16)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(est.nonEmpty, "no candidate pairs at sf0.001 — corpus regression?")
+    // every estimate is an exact multiple of 1/64
+    est.values.foreach(e => assert((e * 64).isWhole && e >= 0.0 && e <= 1.0))
+    // exact Jaccard for the same pairs via the inverted-index path
+    val hsh = Dedup.hashedShingles(docs)
+    val cand = est.keys.toSeq.toDF("a", "b")
+    val exact = Dedup.jaccard(hsh, cand)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // k=64 ⇒ std-err ≤ 1/(2·√64) = 0.0625; allow 4σ per pair and a
+    // tight mean bound (both deterministic on this fixed corpus)
+    val errs = exact.map { case (p, j) => math.abs(est(p) - j) }
+    assert(errs.max <= 0.25, s"worst estimate off by ${errs.max}")
+    assert(errs.sum / errs.size <= 0.08, s"mean |est - J| = ${errs.sum / errs.size}")
+  }
+
+  test("minhashEstPairs: d27 plan scores from signatures only — exactly 3 joins, no shingle self-join") {
+    val p = graft.SparkEntry.queries("d27_minhash_est")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // band-bucket self-join + the two signature lookups; the exact
+    // path's shingle-intersection join (x.hs = y.hs) must NOT appear
+    val joins = """(?m)^\(\d+\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin|BroadcastNestedLoopJoin)""".r
+      .findAllIn(p).length
+    assert(joins == 3, s"expected exactly 3 join operators, found $joins\n" + p.take(2000))
+  }
+}
