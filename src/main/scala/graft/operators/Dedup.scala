@@ -485,6 +485,11 @@ object Dedup {
     // iter > 0: with maxIters <= 0 no propagation was ever ATTEMPTED, so
     // a diameter diagnosis would be fiction — the caller simply asked for
     // zero passes.
+    // pass count is THE drift diagnostic for this loop (each pass is
+    // ~2 shuffles + a checkpoint): surface it so a bench regression is
+    // attributable to diameter growth vs per-pass cost without re-profiling
+    if (converged)
+      log.info(s"dedupClusters converged after $iter passes")
     if (!converged && iter > 0)
       log.warn(
         s"dedupClusters stopped at maxIters=$maxIters before convergence; " +
