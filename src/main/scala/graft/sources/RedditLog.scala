@@ -157,13 +157,22 @@ object RedditLog {
   //    data batches whose sink early-returned without running an action.
   //
   // `leaseTtlMillis` is the hard backstop for opens whose close never
-  // arrives (lost executor). Exactness is in-process (local mode, and
-  // the SSE server's scans share the writer's JVM); on a multi-JVM
-  // cluster the executor-side open/close are no-ops and driver-side
-  // leases expire at the plan grace -- there the grace window, sized
-  // >= the longest expected scan, remains the real control.
+  // arrives (lost executor). The in-memory map is the fast path and is
+  // exact in-process; CLUSTER-WIDE exactness comes from the shared
+  // file-backed store beside the segments (`_leases/`): acquire writes
+  // a lease file, each reader open drops an open-marker file and each
+  // close removes one, and [[oldestActiveLeaseStart]] unions both
+  // stores — so a GC sweep on any JVM defers for a reader opened on any
+  // other, as long as they share the log's filesystem (which they must,
+  // to read segments at all). Marker files are a distributed semaphore:
+  // any close may remove any of its lease's markers, only the count
+  // matters. A reader that dies without closing leaves its marker until
+  // the TTL backstop — the same liveness bound as the in-memory count.
+  // Store I/O failures degrade loudly to in-process-only semantics
+  // (the pre-shared-store behavior), never fail the read path.
 
-  private[sources] final case class Lease(dir: String, startMillis: Long, open: AtomicInteger) {
+  private[sources] final case class Lease(id: Long, dir: String,
+      startMillis: Long, open: AtomicInteger) {
     /** Last open/close transition — the grace window measures from here,
       * not from planning, so a multi-pass execution whose passes are
       * spaced wider than the grace stays covered as long as each gap is
@@ -173,7 +182,12 @@ object RedditLog {
     val lastActivity = new AtomicLong(startMillis)
   }
   private val leases = new ConcurrentHashMap[Long, Lease]()
-  private val leaseSeq = new AtomicLong()
+  /** Random positive ids: two planner JVMs sharing a log directory must
+    * not collide in the shared store (a sequential counter restarts at
+    * 1 in every JVM). Collision odds over 2⁶³ are ignorable.
+    */
+  private def newLeaseId(): Long =
+    java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, Long.MaxValue)
   /** Hard backstop: a lease is never honored past this age, even with
     * readers stuck open (lost executor, leaked iterator).
     */
@@ -203,21 +217,125 @@ object RedditLog {
       leases.computeIfPresent(k, (_, l) => if (leaseActive(l, now)) l else null)
     }
 
+  // ---- shared (file-backed) lease store: `<dir>/_leases/` ----
+  // `lease-<id>` content = startMillis (TTL anchor; mtime tracks
+  // lastActivity and is refreshed by opens/closes), `lease-<id>.open-*`
+  // one marker per currently-open reader.
+  private def leaseRoot(dir: String) = new File(canon(dir), "_leases")
+  private val LeaseFileName = """lease-(\d+)""".r
+  private val OpenMarkerName = """lease-(\d+)\.open-.+""".r
+
+  private def leaseStoreWarn(what: String, e: Throwable): Unit =
+    System.err.println(s"[reddit-log] WARN: shared lease store $what (${e.getMessage}) — " +
+      "cross-JVM GC exactness degraded to the time-based grace for this lease")
+
+  private def writeLeaseFile(dir: String, id: Long, startMillis: Long): Unit =
+    try {
+      val root = leaseRoot(dir); root.mkdirs()
+      Files.write(new File(root, s"lease-$id").toPath,
+        startMillis.toString.getBytes(StandardCharsets.UTF_8))
+    } catch { case e: Exception => leaseStoreWarn("write failed", e) }
+
+  private def deleteLeaseFile(dir: String, id: Long): Unit =
+    try {
+      val root = leaseRoot(dir)
+      Option(root.listFiles()).getOrElse(Array.empty[File])
+        .filter(_.getName.startsWith(s"lease-$id")).foreach(_.delete())
+    } catch { case e: Exception => leaseStoreWarn("delete failed", e) }
+
+  /** Drop one open marker; re-create the lease file if an out-of-process
+    * purge raced the open (mirror of the in-memory re-insert).
+    */
+  private def addOpenMarker(dir: String, id: Long, now: Long): Unit =
+    try {
+      val root = leaseRoot(dir); root.mkdirs()
+      val lf = new File(root, s"lease-$id")
+      if (!lf.exists()) writeLeaseFile(dir, id, now)
+      lf.setLastModified(now)
+      new File(root, f"lease-$id.open-$now%x-${newLeaseId()}%x").createNewFile()
+    } catch { case e: Exception => leaseStoreWarn("marker create failed", e) }
+
+  /** Remove ONE marker of the lease (markers are interchangeable — only
+    * the count is semantic). Concurrent closes may race on the same
+    * marker: the loser retries on the next candidate; none left = the
+    * floor-at-zero of the in-memory count.
+    */
+  private def removeOneOpenMarker(dir: String, id: Long, now: Long): Unit =
+    try {
+      val root = leaseRoot(dir)
+      Option(new File(root, s"lease-$id")).filter(_.exists()).foreach(_.setLastModified(now))
+      Option(root.listFiles()).getOrElse(Array.empty[File])
+        .filter(_.getName.startsWith(s"lease-$id.open-"))
+        .exists(_.delete())
+    } catch { case e: Exception => leaseStoreWarn("marker remove failed", e) }
+
+  /** Active lease start times in the shared store, purging dead entries
+    * as it goes (every GC sweep calls this, bounding the directory).
+    * A lease file is active under the same predicate as the in-memory
+    * [[leaseActive]]: inside TTL of its recorded start AND (has open
+    * markers OR mtime within the plan grace). Orphan markers whose
+    * lease file vanished (purge racing a recreate) stay protective
+    * until marker-mtime + TTL — fail-safe toward deferring GC.
+    */
+  private def sharedActiveLeaseStarts(dir: String, now: Long): Seq[Long] =
+    try {
+      val fs = Option(leaseRoot(dir).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      val markers = fs.groupBy(_.getName match {
+        case OpenMarkerName(id) => id.toLong
+        case _ => -1L
+      })
+      val leaseStarts = fs.flatMap { f =>
+        f.getName match {
+          case LeaseFileName(idStr) =>
+            val id = idStr.toLong
+            val start =
+              try new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim.toLong
+              catch { case _: Exception => f.lastModified() } // torn write → degrade to mtime
+            val active = now - start < leaseTtlMillis &&
+              (markers.getOrElse(id, Seq.empty).nonEmpty ||
+                now - f.lastModified() < leasePlanGraceMillis)
+            if (active) Some(start)
+            else {
+              markers.getOrElse(id, Seq.empty).foreach(_.delete()); f.delete(); None
+            }
+          case _ => None
+        }
+      }
+      val known = fs.collect { case f if LeaseFileName.pattern.matcher(f.getName).matches() =>
+        f.getName match { case LeaseFileName(id) => id.toLong } }.toSet
+      val orphanStarts = markers.collect {
+        case (id, ms) if id > 0 && !known.contains(id) =>
+          val alive = ms.filter(m => now - m.lastModified() < leaseTtlMillis)
+          ms.diff(alive).foreach(_.delete())
+          alive.map(_.lastModified())
+      }.flatten.toSeq
+      leaseStarts ++ orphanStarts
+    } catch { case e: Exception => leaseStoreWarn("scan failed", e); Seq.empty }
+
   /** Register a scan over `dir`. Call BEFORE listing segments, so the
-    * snapshot is provably no older than the lease.
+    * snapshot is provably no older than the lease. Writes the shared
+    * lease file so sweeps in OTHER JVMs defer too.
     */
   private[sources] def acquireLease(dir: String): Long = {
-    val id = leaseSeq.incrementAndGet()
+    val id = newLeaseId()
     // amortized housekeeping: streaming sources plan one scan per
-    // micro-batch, so tie the purge to acquisition rate
-    if ((id & 1023L) == 0L) purgeInactiveLeases(System.currentTimeMillis())
-    leases.put(id, Lease(canon(dir), System.currentTimeMillis(), new AtomicInteger(0)))
+    // micro-batch, so tie BOTH stores' purges to acquisition rate (a
+    // log dir that is scanned but never GC-swept must not accumulate
+    // lease files forever)
+    if ((id & 1023L) == 0L) {
+      val now = System.currentTimeMillis()
+      purgeInactiveLeases(now)
+      sharedActiveLeaseStarts(dir, now)
+    }
+    val now = System.currentTimeMillis()
+    leases.put(id, Lease(id, canon(dir), now, new AtomicInteger(0)))
+    writeLeaseFile(dir, id, now)
     id
   }
 
   /** Zero planned partitions means nothing will ever read: drop now. */
   private[sources] def armLease(id: Long, partitions: Int): Unit =
-    if (partitions <= 0) leases.remove(id)
+    if (partitions <= 0) Option(leases.remove(id)).foreach(l => deleteLeaseFile(l.dir, id))
 
   private val openSeq = new AtomicLong()
 
@@ -243,13 +361,17 @@ object RedditLog {
     var opened: Lease = null
     leases.compute(id, (_, old) => {
       val l = if (old == null)
-        Lease(canon(dir), System.currentTimeMillis(), new AtomicInteger(0))
+        Lease(id, canon(dir), System.currentTimeMillis(), new AtomicInteger(0))
       else old
       l.open.incrementAndGet()
       l.lastActivity.set(System.currentTimeMillis())
       opened = l
       l
     })
+    // shared store: one marker per open, so sweeps in other JVMs see
+    // this reader (on an executor the map insert above is local-only —
+    // the marker is what actually protects the read cluster-wide)
+    addOpenMarker(opened.dir, id, System.currentTimeMillis())
     Some(opened)
   }
 
@@ -264,7 +386,9 @@ object RedditLog {
     */
   private[sources] def leaseReaderClosed(l: Lease): Unit = {
     l.open.updateAndGet(n => math.max(0, n - 1))
-    l.lastActivity.set(System.currentTimeMillis())
+    val now = System.currentTimeMillis()
+    l.lastActivity.set(now)
+    removeOneOpenMarker(l.dir, l.id, now)
   }
 
   /** Test/compat shim: close by id — valid only when no evict+re-insert
@@ -273,18 +397,28 @@ object RedditLog {
   private[sources] def releaseLeasePartition(id: Long): Unit =
     Option(leases.get(id)).foreach(leaseReaderClosed)
 
-  /** Start time of the oldest ACTIVE lease over `dir`. Also reclaims
-    * inactive entries (gcSweep calls this every sweep, so the map stays
-    * bounded even when nothing new is being scanned).
+  /** Start time of the oldest ACTIVE lease over `dir`, across BOTH
+    * stores: the in-memory map (this JVM's scans) and the shared
+    * `_leases/` files (scans planned or read anywhere else on the
+    * cluster). Also reclaims inactive entries from both (gcSweep calls
+    * this every sweep, so the map and the directory stay bounded even
+    * when nothing new is being scanned).
     */
   def oldestActiveLeaseStart(dir: String): Option[Long] = {
     val now = System.currentTimeMillis()
     purgeInactiveLeases(now)
     val c = canon(dir)
-    leases.values.asScala
+    (leases.values.asScala
       .filter(l => l.dir == c && leaseActive(l, now))
-      .map(_.startMillis).minOption
+      .map(_.startMillis) ++ sharedActiveLeaseStarts(dir, now)).minOption
   }
+
+  /** Test hook: forget a lease in THIS JVM's map only, leaving the
+    * shared store untouched — models a planner that died (or an
+    * executor-side reader whose planning JVM is elsewhere) so specs can
+    * exercise the cross-JVM protection path without a second process.
+    */
+  private[sources] def dropInMemoryLease(id: Long): Unit = leases.remove(id)
 
   /** S1 — high-watermark from the segment set alone. -1 on an empty log. */
   def maxId(dir: String): Long =

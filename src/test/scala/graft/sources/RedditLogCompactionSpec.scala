@@ -164,6 +164,36 @@ class RedditLogCompactionSpec extends AnyFunSuite {
     } finally RedditLog.leasePlanGraceMillis = prevGrace
   }
 
+  test("shared lease store defers gc for a reader whose planning JVM is gone") {
+    val dir = Files.createTempDirectory("rlog-lease-shared").toString
+    (0 until 4).foreach(k => RedditLog.writeSegment(dir, ((k * 10 + 1).toLong to (k * 10 + 10).toLong).map(row)))
+    val prevGrace = RedditLog.leasePlanGraceMillis
+    RedditLog.leasePlanGraceMillis = 0L
+    try {
+      // a scan plans and a partition reader opens (its marker lands in
+      // <dir>/_leases/)…
+      val lease = RedditLog.acquireLease(dir)
+      RedditLog.listSegments(dir)
+      val handle = RedditLog.leaseReaderOpened(lease, dir).get
+      // …then the PLANNING JVM's in-memory state vanishes (planner
+      // restart / the sweep runs in a different process than the scan):
+      // the only protection left is the file-backed store
+      RedditLog.dropInMemoryLease(lease)
+      Thread.sleep(2100) // clear the mtime-granularity slack
+      val replaced = RedditLog.compact(dir, targetRows = 20L)
+      assert(replaced.nonEmpty)
+      Thread.sleep(5)
+      assert(RedditLog.gcSweep(dir, graceMillis = 0L).isEmpty,
+        "sweep must defer on the shared lease file + open marker alone")
+      // the reader closes on its JVM: marker removed, protection lapses
+      RedditLog.leaseReaderClosed(handle)
+      Thread.sleep(5)
+      assert(RedditLog.gcSweep(dir, graceMillis = 0L).map(_.getName).toSet
+        == replaced.map(_.getName).toSet)
+      assert(ids(dir) == (1L to 40L))
+    } finally RedditLog.leasePlanGraceMillis = prevGrace
+  }
+
   test("a purged lease is re-inserted on reader open, restoring gc protection") {
     val dir = Files.createTempDirectory("rlog-lease-reinsert").toString
     RedditLog.writeSegment(dir, (1L to 10L).map(row))
