@@ -1,0 +1,211 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Product-quantization kernels as native codegen'd Catalyst
+  * expressions.
+  *
+  * A literal-unrolled formulation (m × ks × subDim arithmetic nodes in
+  * the plan — ~3k for the 8×16×8 default) grows past Janino's method
+  * limit and knocks the WHOLE stage out of whole-stage codegen
+  * (measured: 0 WSCG spans, ~3.5 s of constant compile/fallback cost
+  * per run and interpreted per-row evaluation — precisely the thing
+  * that cannot be shipped against 100 TB). These expressions keep the
+  * plan node count O(1): the codebook rides along as a flat `double[]`
+  * reference object and the generated code LOOPS instead of unrolling.
+  *
+  * Float determinism contract (shared with the DuckDB oracles): inner
+  * per-subspace sums and the cross-subspace sum both accumulate
+  * left-to-right from a 0.0 seed; `0.0 + t == t` bit-exact for the
+  * non-negative squared terms, so the loop accumulation equals the
+  * explicit left-associative `+` chains the oracle SQL generates.
+  *
+  * Codebook layout: `flat[(c * m + s) * subDim + j]` = dimension `j` of
+  * centroid `c`'s subspace-`s` slice. Codes are centroid POSITIONS
+  * (callers enforce dense 0-based centroid ids so position == id).
+  */
+object PqCodebook {
+  private[functions] def flatten(slices: Seq[Seq[Seq[Double]]]): Array[Double] =
+    slices.flatMap(_.flatten).toArray
+
+  /** `e` (array<double>, length m·subDim) → array<long> of m codes. */
+  def assign(e: Column, slices: Seq[Seq[Seq[Double]]], m: Int, subDim: Int): Column =
+    shims.toColumn(PqAssign(shims.toExpression(e), flatten(slices), m, subDim))
+
+  /** (qe, codes) → ADC squared distance (asymmetric: exact query side,
+    * quantized corpus side).
+    */
+  def adcDist(qe: Column, codes: Column, slices: Seq[Seq[Seq[Double]]],
+      m: Int, subDim: Int): Column =
+    shims.toColumn(PqAdcDist(shims.toExpression(qe), shims.toExpression(codes),
+      flatten(slices), m, subDim))
+}
+
+/** Nearest sub-centroid per subspace by squared L2, ties toward the
+  * smaller centroid position (strict-< first-win over ascending
+  * positions ≡ the oracle's `ORDER BY d ASC, cid ASC`). NULL on a
+  * vector whose length differs from m·subDim (corrupt input must not
+  * quantize confidently wrong — same policy as [[ArrayDotProduct]]).
+  */
+case class PqAssign(child: Expression, codebook: Array[Double],
+    m: Int, subDim: Int) extends UnaryExpression {
+
+  private def ks: Int = codebook.length / (m * subDim)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_assign"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    if (e.numElements() != m * subDim) return null
+    val codes = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var best = 0L
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ks) {
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val diff = e.getDouble(s * subDim + j) - codebook((c * m + s) * subDim + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c.toLong }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, e => {
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |if ($e.numElements() != ${m * subDim}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $codes = new long[$m];
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    long $best = 0L; double $bestD = Double.POSITIVE_INFINITY;
+         |    for (int $c = 0; $c < $ks; $c++) {
+         |      double $d = 0.0;
+         |      for (int $j = 0; $j < $subDim; $j++) {
+         |        double $diff = $e.getDouble($s * $subDim + $j) - $cb[($c * $m + $s) * $subDim + $j];
+         |        $d += $diff * $diff;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $best = (long) $c; }
+         |    }
+         |    $codes[$s] = $best;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC squared distance: Σ_s ‖qe_s − codebook[codes_s]_s‖², exact query
+  * sub-vectors vs the corpus row's quantized representative. NULL on a
+  * ragged query vector, a codes array of the wrong arity, or an
+  * out-of-range code (a foreign codebook's output must not score).
+  */
+case class PqAdcDist(left: Expression, right: Expression,
+    codebook: Array[Double], m: Int, subDim: Int) extends BinaryExpression {
+
+  private def ks: Int = codebook.length / (m * subDim)
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dist"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<long>)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val qe = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    if (qe.numElements() != m * subDim || codes.numElements() != m) return null
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getLong(s)
+      if (c < 0 || c >= ks) return null
+      var d = 0.0
+      var j = 0
+      while (j < subDim) {
+        val diff = qe.getDouble(s * subDim + j) - codebook((c.toInt * m + s) * subDim + j)
+        d += diff * diff
+        j += 1
+      }
+      acc += d
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, (qe, codes) => {
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |if ($qe.numElements() != ${m * subDim} || $codes.numElements() != $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0; boolean $bad = false;
+         |  for (int $s = 0; $s < $m && !$bad; $s++) {
+         |    long $c = $codes.getLong($s);
+         |    if ($c < 0 || $c >= $ks) { $bad = true; break; }
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $subDim; $j++) {
+         |      double $diff = $qe.getDouble($s * $subDim + $j) - $cb[((int) $c * $m + $s) * $subDim + $j];
+         |      $d += $diff * $diff;
+         |    }
+         |    $acc += $d;
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}

@@ -318,6 +318,96 @@ object Similarity {
     */
   private val meanDec = org.apache.spark.sql.types.DecimalType(28, 8)
 
+  // ---- product quantization (PQ) ----
+
+  /** Per-(cid, subspace) seed slices: the `ks` lowest vec_ids' vectors
+    * cut into `m` contiguous sub-vectors — deterministic, so the oracle
+    * recomputes them (same seed philosophy as [[seedCentroids]]).
+    * Returns (subDim, slices(cidIdx)(sub) = Seq[Double]). Codes are
+    * centroid POSITIONS, so dense 0-based seed ids are required for
+    * position == id (the oracle keys on the id).
+    */
+  private def pqSeeds(n: DataFrame, m: Int, ks: Int): (Int, Seq[Seq[Seq[Double]]]) = {
+    val seeds = seedCentroids(n, ks)
+    require(seeds.map(_._1) == seeds.indices.map(_.toLong),
+      s"PQ codebook assumes dense seed ids 0..${seeds.length - 1}, got ${seeds.map(_._1)}")
+    val dims = seeds.head._2.length
+    require(dims % m == 0, s"embedding dims ($dims) must divide into $m subspaces")
+    val subDim = dims / m
+    (subDim,
+      seeds.map { case (_, e) => (0 until m).map(s => e.slice(s * subDim, (s + 1) * subDim)) })
+  }
+
+  /** Corpus vectors with a `codes` column (array of m codes): each
+    * subspace assigned to its nearest seed sub-centroid by squared L2,
+    * ties toward the smaller centroid id. One compact codegen'd
+    * expression ([[graft.functions.PqCodebook.assign]]) — a
+    * literal-unrolled formulation at the default 8×16×8 exceeds
+    * Janino's method limit and evicts the stage from whole-stage
+    * codegen entirely (measured; see PqCodebook doc). Pure scan-side
+    * work over the reference-object codebook: no join, no shuffle.
+    */
+  private def pqCodesWide(n: DataFrame, m: Int, ks: Int): (DataFrame, Int, Seq[Seq[Seq[Double]]]) = {
+    val (subDim, slices) = pqSeeds(n, m, ks)
+    (n.withColumn("codes", graft.functions.PqCodebook.assign(col("e"), slices, m, subDim)),
+      subDim, slices)
+  }
+
+  /** PQ ENCODE (the index-build step): every corpus vector compressed to
+    * `m` sub-codebook assignments — at scale the stored index is m small
+    * ints per vector (here 8 codes ≈ 8 B vs 512 B of raw doubles, the
+    * 64× memory win that makes billion-vector ANN fit RAM at all).
+    * Long form for oracle hashing: (vec_id, sub 1-based, code).
+    */
+  def pqEncode(emb: DataFrame, m: Int = 8, ks: Int = 16): DataFrame = {
+    val (wide, _, _) = pqCodesWide(normalized(emb), m, ks)
+    // OUTER explode: plain posexplode makes the optimizer guard the
+    // generate with `size(codes) > 0 AND isnotnull(codes)`, duplicating
+    // the assignment kernel into the filter and the scan's DataFilters —
+    // 3 evaluations per row (measured; plan guard pins 1). The outer
+    // form generates unguarded; ragged-input null rows (none on healthy
+    // data) are dropped on the GENERATED column, which cannot push back
+    // below the Generate.
+    wide.select(col("vec_id"), posexplode_outer(col("codes")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("sub"),
+        col("col").as("code"))
+      .filter(col("code").isNotNull)
+  }
+
+  /** PQ ASYMMETRIC-DISTANCE top-k (the index-use step): each query's
+    * exact sub-vectors scored against the corpus's QUANTIZED
+    * representatives — dist(q, x) = Σ_s ‖q_s − cent(code_s(x))‖², the
+    * standard ADC estimator (query side stays exact, so quantization
+    * error enters once, not twice). The corpus side touches ONLY the
+    * `codes` column: scoring reads the m-int index plus codebook
+    * lookups inside one codegen'd kernel
+    * ([[graft.functions.PqCodebook.adcDist]]), never the raw corpus
+    * vectors — the PQ scan-cost story. Queries ride a broadcast (same
+    * shape as [[cosineTopK]]'s exact baseline). Accumulation order is
+    * fixed left-to-right per subspace then across subspaces, so
+    * distances hash-match the oracle's explicit `+` chains. Returns
+    * (query_id, rk, neighbor_id, adc_dist), rank by (adc_dist asc,
+    * neighbor_id).
+    */
+  def pqAdcTopK(emb: DataFrame, queryPred: Column, k: Int,
+      m: Int = 8, ks: Int = 16): DataFrame = {
+    val n = normalized(emb)
+    val (wide, subDim, slices) = pqCodesWide(n, m, ks)
+    val codes = wide.select(col("vec_id").as("neighbor_id"), col("codes"))
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.PqCodebook.adcDist(col("qe"), col("codes"), slices, m, subDim)
+          .as("adc_dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
+  }
+
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

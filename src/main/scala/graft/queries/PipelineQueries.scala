@@ -22,6 +22,12 @@ object PipelineQueries {
   private val MAX_DF = 10000L    // stop-shingle df guard (Dedup.dfCapped)
   private val IVF_CELLS = 16     // IVF centroid count (e04)
   private val IVF_PROBES = 4     // IVF probed cells per query (e04)
+  private val PQ_M = 8           // e09/e10 PQ subspaces
+  private val PQ_KS = 16         // e09/e10 sub-codebook size
+  private val PQ_K = 3           // e10 neighbors per query
+  private val PQ_DIMS = 64       // embedding width (TESTDATA.md) — the
+                                 // oracle's distance chains are generated
+                                 // per-dimension, so the width is static here
 
   private val BM25_TERMS = Seq("table", "query", "spark") // d17 query terms
 
@@ -311,6 +317,20 @@ object PipelineQueries {
       Similarity.kmeansIterate(Tables.embeddings(spark, dir), IVF_CELLS, KMEANS_ITERS)
         .orderBy(col("cell"), col("dim"))),
 
+    // PQ index BUILD: every vector → 8 sub-codebook codes, pure
+    // scan-side literal-codebook assignment (Similarity.pqEncode doc)
+    "e09_pq_codes" -> ((spark: SparkSession, dir: String) =>
+      Similarity.pqEncode(Tables.embeddings(spark, dir), PQ_M, PQ_KS)
+        .orderBy(col("vec_id"), col("sub"))),
+
+    // PQ index USE: asymmetric-distance top-k — exact query sub-vectors
+    // vs quantized corpus codes, corpus side reads only the m-int codes
+    // (Similarity.pqAdcTopK doc)
+    "e10_pq_adc" -> ((spark: SparkSession, dir: String) =>
+      Similarity.pqAdcTopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, PQ_M, PQ_KS)
+        .orderBy(col("query_id"), col("rk"))),
+
     // IVF alternative to the LSH family: literal-centroid assignment
     // scan-side, probe the 4 nearest of 16 cells (Similarity.ivfTopK doc)
     "e04_ivf_ann" -> ((spark: SparkSession, dir: String) =>
@@ -393,6 +413,35 @@ object PipelineQueries {
   private def kmeansSelect(meanCte: String) =
     s"""SELECT cell, CAST(nm AS BIGINT) AS n_members, CAST(dim AS BIGINT) AS dim, val
        |FROM $meanCte ORDER BY cell, dim""".stripMargin
+
+  // ---- PQ (e09/e10) oracle fragments ----
+  // Distance chains are generated per dimension with explicit
+  // parenthesization so the left-associative `+` order is IDENTICAL to
+  // the Scala reduce chains (Similarity.l2sqLit doc) — association
+  // order is the cross-engine float-determinism contract.
+
+  /** `((a[o+1]-b[o+1])*(a[o+1]-b[o+1])) + …` over one subspace. */
+  private def pqL2Chain(a: String, b: String, sub: Int) = {
+    val subDim = PQ_DIMS / PQ_M
+    (0 until subDim).map { j =>
+      val i = sub * subDim + j + 1
+      s"(($a[$i] - $b[$i]) * ($a[$i] - $b[$i]))"
+    }.mkString(" + ")
+  }
+
+  /** CTE chain ending in `pcodes(vid, sub 1-based, code)` — the PQ
+    * assignment (mirror of Similarity.pqCodesWide): per subspace, the
+    * nearest seed slice by squared L2, ties toward the smaller cid.
+    */
+  private def pqCodesCtes =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |pcent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $PQ_KS),
+       |pasg AS (${(0 until PQ_M).map(s =>
+           s"SELECT v.vec_id AS vid, c.cid, ${s + 1} AS sub, ${pqL2Chain("v.e", "c.ce", s)} AS d" +
+           " FROM v CROSS JOIN pcent c").mkString(" UNION ALL ")}),
+       |pcodes AS (SELECT vid, sub, cid AS code FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vid, sub ORDER BY d ASC, cid ASC) AS rn FROM pasg)
+       |  WHERE rn = 1)""".stripMargin.replace("\n", " ")
 
   /** Mirror of [[graft.operators.Similarity.nearDupPairs]] as one CTE
     * chain ending in `pairs(a, b, cosine)` — shared by d10 and e05 so a
@@ -966,6 +1015,34 @@ object PipelineQueries {
       """SELECT n.doc_id,
         | EXISTS (SELECT 1 FROM documents h WHERE h.doc_id % 3 <> 0 AND sha256(h.text) = sha256(n.text)) AS is_dup
         |FROM documents n WHERE n.doc_id % 2 = 0 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.pqEncode over the shared assignment CTEs
+    "e09_pq_codes" ->
+      s"""WITH $pqCodesCtes
+         |SELECT vid AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |FROM pcodes ORDER BY vec_id, sub""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.pqAdcTopK: codes pivoted wide, one pcent join
+    // per subspace, the 8 per-subspace chains summed in the same
+    // left-associative order as the Scala reduce
+    "e10_pq_adc" -> {
+      val codeCols = (1 to PQ_M)
+        .map(s => s"max(CASE WHEN sub = $s THEN code END) AS c$s").mkString(", ")
+      val centJoins = (1 to PQ_M)
+        .map(s => s"JOIN pcent p$s ON p$s.cid = w.c$s").mkString(" ")
+      val dist = (0 until PQ_M)
+        .map(s => s"(${pqL2Chain("q.e", s"p${s + 1}.ce", s)})").mkString(" + ")
+      s"""WITH $pqCodesCtes,
+         |pcw AS (SELECT vid, $codeCols FROM pcodes GROUP BY vid),
+         |q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id % 50 = 0),
+         |sc AS (SELECT q.query_id, w.vid AS neighbor_id, $dist AS adc_dist
+         |       FROM q CROSS JOIN pcw w $centJoins
+         |       WHERE w.vid <> q.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sc)
+         |SELECT query_id, rk, neighbor_id, adc_dist FROM r WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
+    },
 
     "e04_ivf_ann" ->
       s"""WITH $ivfAsgCtes,

@@ -169,6 +169,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("__salt"), "join keys lost the salt column\n" + p.take(2000))
   }
 
+  test("e09: PQ encoding is pure scan-side codebook assignment — no join, zero exchanges, codegen intact") {
+    val df = graft.operators.Similarity.pqEncode(
+      graft.sources.Tables.embeddings(spark, dir))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), "codebook must be a reference object, not a join\n" + p.take(2000))
+    assert(!p.contains("Exchange"), "PQ encode must not shuffle\n" + p.take(2000))
+    // the kernel must stay INSIDE whole-stage codegen (the unrolled
+    // formulation it replaced bloated the stage — PqCodebook doc)…
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.length
+    assert(spans >= 1, "PQ assignment fell out of whole-stage codegen")
+    // …and must be evaluated ONCE per row: a non-outer explode guards
+    // the Generate with size()/isnotnull copies of the kernel
+    val evals = "pq_assign".r.findAllIn(p).length
+    assert(evals == 1, s"assignment kernel evaluated $evals times per row\n" + p.take(2000))
+  }
+
+  test("e10: ADC scoring reads codes + a broadcast query side — single broadcast join") {
+    val p = plan("e10_pq_adc")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    val joins = """(?m)^\(\d+\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin|BroadcastNestedLoopJoin)""".r
+      .findAllIn(p).length
+    assert(joins == 1, s"expected exactly one join operator, found $joins\n" + p.take(2000))
+  }
+
   test("d25/d26: content-defined chunking and diversity are pure per-row array passes — zero exchanges") {
     for (df <- Seq(
         graft.operators.Curation.cdcChunks(graft.sources.Tables.documents(spark, dir)),

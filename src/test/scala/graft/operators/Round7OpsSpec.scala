@@ -52,6 +52,47 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(errs.sum / errs.size <= 0.08, s"mean |est - J| = ${errs.sum / errs.size}")
   }
 
+  // ---- product quantization ----
+
+  test("pqEncode: hand-checked sub-codebook assignment (4 dims, m=2, ks=2)") {
+    // seeds (vec 0,1) make each subspace's nearest centroid obvious
+    val emb = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(5f, 5f, 0f, 0f)),
+      (2L, Array(1f, 0f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(emb, m = 2, ks = 2)
+      .orderBy("vec_id", "sub").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 1L, 0L), (0L, 2L, 0L),   // seed 0 quantizes to itself in sub 1; sub 2: d(10,10)→(0,0)=200 > 0
+      (1L, 1L, 1L), (1L, 2L, 1L),
+      (2L, 1L, 0L), (2L, 2L, 1L)))  // (1,0): 1 vs 41 → c0; (1,1): 162 vs 2 → c1
+  }
+
+  test("pqEncode: equidistant subspace breaks toward the smaller centroid id") {
+    val emb = Seq(
+      (0L, Array(0f, 0f)),
+      (1L, Array(2f, 0f)),
+      (2L, Array(1f, 0f))           // exactly between seeds 0 and 2 → code 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(emb, m = 1, ks = 2)
+      .filter(col("vec_id") === 2L).as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L, 0L)))
+  }
+
+  test("pqAdcTopK: a query equal to a seed ranks that seed first at distance 0") {
+    val emb = Seq(
+      (0L, Array(0f, 0f, 8f, 8f)),
+      (1L, Array(5f, 5f, 0f, 0f)),
+      (5L, Array(5f, 5f, 0f, 0f))   // duplicate of seed 1 — the query
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqAdcTopK(emb, col("vec_id") === 5L, k = 2, m = 2, ks = 2)
+      .orderBy("rk").as[(Long, Long, Long, Double)].collect().toSeq
+    // neighbor 1's quantized form IS the query → ADC 0; neighbor 0 is far
+    assert(out.head == ((5L, 1L, 1L, 0.0)))
+    assert(out(1)._3 == 0L && out(1)._4 > 0.0)
+  }
+
   test("minhashEstPairs: d27 plan scores from signatures only — exactly 3 joins, no shingle self-join") {
     val p = graft.SparkEntry.queries("d27_minhash_est")(spark, dir)
       .queryExecution.explainString(
