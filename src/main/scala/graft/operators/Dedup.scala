@@ -246,6 +246,61 @@ object Dedup {
         (agree.cast("double") / lit(k)).as("est_jaccard"))
   }
 
+  /** Incremental near-dup flagging of NEW documents against an existing
+    * corpus via CDC chunk containment — the consumer
+    * [[graft.operators.Curation.cdcChunks]]'s edit-stable digests exist
+    * for: because chunk boundaries are content-defined, an edited
+    * re-submission still shares every untouched chunk's digest with its
+    * ancestor, so "mostly old content" is ONE equi-join on digest per
+    * corpus version — no re-clustering of the full history per
+    * increment (the d03/d12 batch path re-mines the whole corpus).
+    *
+    * Per new doc: `overlap_frac` = |distinct chunk digests shared with
+    * the best-matching history doc| / |its own distinct digests|
+    * (containment, the right direction for "is this new doc old
+    * content"; an exact rational, so the double divides bit-match the
+    * oracle), the best match itself (ties toward the smaller history
+    * doc_id), and `is_dup` = overlap ≥ `threshold`.
+    *
+    * Scale shape: history chunks are df-capped (`maxDf`) before the
+    * join — a boilerplate chunk in n history docs fans every matching
+    * new chunk out n ways, the same hot-key failure [[dfCapped]] guards
+    * in the shingle path — and everything downstream is equi-join /
+    * one-exchange aggregation on (doc, hist) pairs that chunk
+    * co-occurrence already bounded. Returns (doc_id, n_chunks,
+    * best_match nullable, shared_chunks, overlap_frac, is_dup).
+    */
+  def cdcIncremental(newDocs: DataFrame, history: DataFrame,
+      modulus: Int = 8, threshold: Double = 0.5,
+      maxDf: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nc = Curation.cdcChunks(newDocs, modulus)
+      .select(col("doc_id"), col("chunk_digest")).distinct()
+    val hc0 = Curation.cdcChunks(history, modulus)
+      .select(col("doc_id").as("hist_id"), col("chunk_digest")).distinct()
+    val healthy = hc0.groupBy(col("chunk_digest")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("chunk_digest"))
+    val hc = hc0.join(healthy, Seq("chunk_digest"), "left_semi")
+    val nCard = nc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val shared = nc.join(hc, Seq("chunk_digest"))
+      .groupBy(col("doc_id"), col("hist_id"))
+      .agg(count(lit(1)).as("shared_chunks"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("shared_chunks").desc, col("hist_id").asc)
+    val best = shared.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    newDocs.select(col("doc_id"))
+      .join(nCard, Seq("doc_id"), "left_outer")
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        col("hist_id").as("best_match"),
+        coalesce(col("shared_chunks"), lit(0L)).as("shared_chunks"),
+        coalesce(col("shared_chunks").cast("double") / col("n_chunks").cast("double"),
+          lit(0.0)).as("overlap_frac"))
+      .withColumn("is_dup", col("overlap_frac") >= threshold)
+  }
+
   /** All-pairs n-gram Jaccard via the inverted shingle index (no LSH
     * pre-filter): every co-occurring pair scored, then thresholded.
     * Quadratic in bucket co-occurrence — use [[lshNearDupPairs]] at scale;

@@ -93,6 +93,19 @@ object PipelineQueries {
         MAX_BUCKET, MAX_DF)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Incremental dedup across corpus versions: NEW docs (doc_id%4=0)
+    // vs the history slice via CDC chunk containment — one digest
+    // equi-join per increment, no history re-clustering
+    // (Dedup.cdcIncremental doc)
+    "d28_cdc_incremental" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      Dedup.cdcIncremental(
+        docs.filter(col("doc_id") % 4 === 0),
+        docs.filter(col("doc_id") % 4 =!= 0),
+        CDC_MODULUS, 0.5, MAX_DF)
+        .orderBy(col("doc_id"))
+    }),
+
     // Signature-only Jaccard ESTIMATION (Dedup.minhashEstPairs doc):
     // d03's exact verify re-joins the full shingle stream per candidate;
     // this scores candidates from k=64 signature agreement alone — the
@@ -904,6 +917,43 @@ object PipelineQueries {
          |  CAST(min(pos) AS BIGINT) AS tok_start, CAST(count(*) AS BIGINT) AS tok_len,
          |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_digest
          |FROM c GROUP BY doc_id, ci ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.cdcIncremental: the d25 CDC chain instantiated
+    // once per slice (suffix N = new docs, H = history), then df-cap →
+    // digest join → per-pair counts → best match by (shared DESC,
+    // hist_id ASC) → containment fraction
+    "d28_cdc_incremental" -> {
+      def cdcDigests(sfx: String, docFilter: String) =
+        s"""t$sfx AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE $docFilter),
+           |u$sfx AS (SELECT doc_id, generate_subscripts(w,1) - 1 AS pos, unnest(w) AS tok FROM t$sfx),
+           |b$sfx AS (SELECT doc_id, pos, tok,
+           |  CASE WHEN ${duckHash60("tok")} % $CDC_MODULUS = 0 THEN 1 ELSE 0 END AS bnd FROM u$sfx),
+           |c$sfx AS (SELECT doc_id, pos, tok, COALESCE(sum(bnd) OVER
+           |  (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci FROM b$sfx),
+           |ch$sfx AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_digest
+           |           FROM c$sfx GROUP BY doc_id, ci),
+           |d$sfx AS (SELECT DISTINCT doc_id, chunk_digest FROM ch$sfx)""".stripMargin
+      s"""WITH ${cdcDigests("N", "doc_id % 4 = 0")},
+         |${cdcDigests("H", "doc_id % 4 <> 0")},
+         |hok AS (SELECT dH.doc_id AS hist_id, chunk_digest FROM dH
+         |        JOIN (SELECT chunk_digest FROM dH GROUP BY chunk_digest
+         |              HAVING count(*) <= $MAX_DF) k USING (chunk_digest)),
+         |card AS (SELECT doc_id, count(*) AS n_chunks FROM dN GROUP BY doc_id),
+         |sh AS (SELECT dN.doc_id, hok.hist_id, count(*) AS shared_chunks
+         |       FROM dN JOIN hok USING (chunk_digest) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, hist_id, shared_chunks FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY shared_chunks DESC, hist_id ASC) AS rn FROM sh) WHERE rn = 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(card.n_chunks, 0) AS BIGINT) AS n_chunks,
+         |  best.hist_id AS best_match,
+         |  CAST(coalesce(best.shared_chunks, 0) AS BIGINT) AS shared_chunks,
+         |  coalesce(CAST(best.shared_chunks AS DOUBLE) / CAST(card.n_chunks AS DOUBLE), 0.0) AS overlap_frac,
+         |  (coalesce(CAST(best.shared_chunks AS DOUBLE) / CAST(card.n_chunks AS DOUBLE), 0.0) >= 0.5) AS is_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+         |LEFT JOIN card USING (doc_id) LEFT JOIN best USING (doc_id)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
 
     // mirror of TextAnalysis.lexicalDiversity via unnest + two GROUP BYs
     // (the run-length pass is Spark's shuffle-free reformulation; the

@@ -52,6 +52,52 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(errs.sum / errs.size <= 0.08, s"mean |est - J| = ${errs.sum / errs.size}")
   }
 
+  // ---- cdcIncremental ----
+
+  test("cdcIncremental: an edited re-submission still matches its ancestor; fresh content does not") {
+    // history doc 1: 40 tokens → several CDC chunks. new doc 10: the
+    // same text with ONE token inserted mid-stream — content-defined
+    // boundaries keep every untouched chunk's digest identical, so the
+    // overlap stays high. new doc 20: disjoint vocabulary.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val edited = ((1 to 20).map(i => s"tok$i") ++ Seq("INSERTED") ++
+      (21 to 40).map(i => s"tok$i")).mkString(" ")
+    val fresh = (1 to 30).map(i => s"other$i").mkString(" ")
+    val history = Seq((1L, base)).toDF("doc_id", "text")
+    val incoming = Seq((10L, edited), (20L, fresh)).toDF("doc_id", "text")
+    val out = Dedup.cdcIncremental(incoming, history, modulus = 4, threshold = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Long], Long, Double, Boolean)].collect().toSeq
+    val Seq(ed, fr) = out
+    assert(ed._1 == 10L && ed._3.contains(1L) && ed._6,
+      s"edited copy must flag against its ancestor: $ed")
+    assert(ed._5 > 0.5 && ed._5 < 1.0, s"edit must cost SOME chunks, not all: $ed")
+    assert(fr._1 == 20L && fr._3.isEmpty && fr._4 == 0L && fr._5 == 0.0 && !fr._6,
+      s"fresh content must not match: $fr")
+  }
+
+  test("cdcIncremental: a FIXED-STRIDE chunking would lose the ancestor after the same edit") {
+    // the motivating contrast: hash the same edited pair with fixed
+    // 8-token windows — every window after the insertion shifts, so
+    // shared-digest containment collapses to the prefix only
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val edited = ((1 to 20).map(i => s"tok$i") ++ Seq("INSERTED") ++
+      (21 to 40).map(i => s"tok$i")).mkString(" ")
+    def strideDigests(text: String): Set[String] =
+      Curation.chunkPlan(Seq((1L, text)).toDF("doc_id", "text"), 8, 8)
+        .select("chunk_digest").as[String].collect().toSet
+    def cdcDigests(text: String): Set[String] =
+      Curation.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"), 4)
+        .select("chunk_digest").as[String].collect().toSet
+    val strideShared = strideDigests(base).intersect(strideDigests(edited)).size.toDouble /
+      strideDigests(edited).size
+    val cdcShared = cdcDigests(base).intersect(cdcDigests(edited)).size.toDouble /
+      cdcDigests(edited).size
+    assert(cdcShared > strideShared,
+      s"CDC must out-survive fixed stride after an edit: cdc=$cdcShared stride=$strideShared")
+    assert(cdcShared > 0.5 && strideShared <= 0.5)
+  }
+
   // ---- product quantization ----
 
   test("pqEncode: hand-checked sub-codebook assignment (4 dims, m=2, ks=2)") {
