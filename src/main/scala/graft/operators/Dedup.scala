@@ -246,6 +246,33 @@ object Dedup {
         (agree.cast("double") / lit(k)).as("est_jaccard"))
   }
 
+  /** Lexical k-NN graph over MinHash signatures — the document-side
+    * twin of [[graft.operators.Similarity.knnGraph]] (which ranks by
+    * embedding cosine): every doc's top-`k` most-similar neighbors by
+    * ESTIMATED Jaccard ([[minhashEstPairs]]' signature-agreement
+    * estimator), candidates restricted to LSH band buckets. Pure
+    * composition: symmetrize the (a < b) estimate pairs, then one
+    * window top-k per vertex — rank by (estimate DESC, neighbor ASC),
+    * which Spark executes with the WindowGroupLimit partial (per-vertex
+    * state bounded at k below the shuffle, plan-guarded). Inherits the
+    * signature-only scale story: no shingle intersection join anywhere.
+    * Returns (doc_id, rk, neighbor_id, est_jaccard).
+    */
+  def minhashKnnGraph(docs: DataFrame, k: Int = 3, sigK: Int = 64,
+      bands: Int = 16, maxBucket: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = minhashEstPairs(docs, sigK, bands, maxBucket)
+    val sym = est.select(col("doc_a").as("doc_id"),
+        col("doc_b").as("neighbor_id"), col("est_jaccard"))
+      .unionByName(est.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("neighbor_id"), col("est_jaccard")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("est_jaccard").desc, col("neighbor_id").asc)
+    sym.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("neighbor_id"), col("est_jaccard"))
+  }
+
   /** Incremental near-dup flagging of NEW documents against an existing
     * corpus via CDC chunk containment — the consumer
     * [[graft.operators.Curation.cdcChunks]]'s edit-stable digests exist

@@ -15,8 +15,9 @@ object PipelineQueries {
 
   private val K = 8            // minhash signature width
   private val BANDS = 4        // LSH bands (2 rows per band)
-  private val EST_K = 64       // d27 estimation signature width
-  private val EST_BANDS = 16   // d27 LSH bands (4 rows per band)
+  private val EST_K = 64       // d27/d29 estimation signature width
+  private val EST_BANDS = 16   // d27/d29 LSH bands (4 rows per band)
+  private val LEX_KNN_K = 3    // d29 neighbors per document
   private val ANN_BITS = 6     // sign-projection bits → 64 buckets
   private val MAX_BUCKET = 1000L // LSH bucket-size guard (Dedup.lshCandidates)
   private val MAX_DF = 10000L    // stop-shingle df guard (Dedup.dfCapped)
@@ -115,6 +116,14 @@ object PipelineQueries {
       Dedup.minhashEstPairs(Tables.documents(spark, dir), EST_K, EST_BANDS,
         MAX_BUCKET)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Lexical k-NN graph: d27's estimates symmetrized into per-doc
+    // top-k — the document twin of e06's embedding k-NN graph
+    // (Dedup.minhashKnnGraph doc)
+    "d29_lexical_knn" -> ((spark: SparkSession, dir: String) =>
+      Dedup.minhashKnnGraph(Tables.documents(spark, dir), LEX_KNN_K,
+        EST_K, EST_BANDS, MAX_BUCKET)
+        .orderBy(col("doc_id"), col("rk"))),
 
     // The exact-recall all-pairs path is quadratic in shingle
     // co-occurrence BY DESIGN (Dedup.jaccardAll doc) — d03's LSH pre-
@@ -427,6 +436,39 @@ object PipelineQueries {
     s"""SELECT cell, CAST(nm AS BIGINT) AS n_members, CAST(dim AS BIGINT) AS dim, val
        |FROM $meanCte ORDER BY cell, dim""".stripMargin
 
+  /** THE d27 estimation pipeline (mirror of
+    * [[graft.operators.Dedup.minhashEstPairs]]) as one CTE chain ending
+    * in `est(a, b, est_jaccard)` — the k=64 signature build (same
+    * universal-hash constants via [[minhashSelectK]]), 16 4-row bands,
+    * bucket cap, then agreement-count/64 per candidate; no shingle
+    * intersection anywhere past the signature build. Shared by d27 and
+    * d29 so the signature family cannot desynchronize between them.
+    */
+  private lazy val minhashEstCtes = {
+    val rows = EST_K / EST_BANDS
+    val bandSel = (0 until EST_BANDS).map { b =>
+      val parts = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)")
+      s"md5(${parts.mkString(" || '|' || ")}) AS band$b"
+    }.mkString(", ")
+    val bandUni = (0 until EST_BANDS)
+      .map(b => s"SELECT doc_id, $b AS bno, band$b AS bkey FROM sig64")
+      .mkString(" UNION ALL ")
+    val agree = (0 until EST_K)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$shingleCte,
+       |mins64 AS (SELECT doc_id, ${minhashSelectK(EST_K)} FROM shh GROUP BY doc_id),
+       |sig64 AS (SELECT doc_id, $bandSel FROM mins64),
+       |bl64 AS ($bandUni),
+       |blb64 AS (SELECT bl64.* FROM bl64 JOIN (SELECT bno, bkey FROM bl64
+       |          GROUP BY bno, bkey HAVING count(*) <= $MAX_BUCKET) h USING (bno, bkey)),
+       |cand64 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM blb64 x
+       |           JOIN blb64 y ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |est AS (SELECT c.a, c.b, CAST(($agree) AS DOUBLE) / $EST_K AS est_jaccard
+       |        FROM cand64 c JOIN mins64 sa ON sa.doc_id = c.a
+       |        JOIN mins64 sb ON sb.doc_id = c.b)""".stripMargin.replace("\n", " ")
+  }
+
   // ---- PQ (e09/e10) oracle fragments ----
   // Distance chains are generated per dimension with explicit
   // parenthesization so the left-associative `+` order is IDENTICAL to
@@ -671,35 +713,23 @@ object PipelineQueries {
          |SELECT a AS doc_a, b AS doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
 
-    // mirror of Dedup.minhashEstPairs: the k=64 signature chain (same
-    // universal-hash constants via minhashSelectK), 16 4-row bands,
-    // bucket cap, then agreement-count/64 per candidate — no shingle
-    // intersection anywhere past the signature build
-    "d27_minhash_est" -> {
-      val rows = EST_K / EST_BANDS
-      val bandSel = (0 until EST_BANDS).map { b =>
-        val parts = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)")
-        s"md5(${parts.mkString(" || '|' || ")}) AS band$b"
-      }.mkString(", ")
-      val bandUni = (0 until EST_BANDS)
-        .map(b => s"SELECT doc_id, $b AS bno, band$b AS bkey FROM sig64")
-        .mkString(" UNION ALL ")
-      val agree = (0 until EST_K)
-        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH $shingleCte,
-         |mins64 AS (SELECT doc_id, ${minhashSelectK(EST_K)} FROM shh GROUP BY doc_id),
-         |sig64 AS (SELECT doc_id, $bandSel FROM mins64),
-         |bl64 AS ($bandUni),
-         |blb64 AS (SELECT bl64.* FROM bl64 JOIN (SELECT bno, bkey FROM bl64
-         |          GROUP BY bno, bkey HAVING count(*) <= $MAX_BUCKET) h USING (bno, bkey)),
-         |cand64 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM blb64 x
-         |           JOIN blb64 y ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-         |SELECT c.a AS doc_a, c.b AS doc_b,
-         |  CAST(($agree) AS DOUBLE) / $EST_K AS est_jaccard
-         |FROM cand64 c JOIN mins64 sa ON sa.doc_id = c.a JOIN mins64 sb ON sb.doc_id = c.b
-         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
-    },
+    // mirror of Dedup.minhashEstPairs over the shared estimation chain
+    "d27_minhash_est" ->
+      s"""WITH $minhashEstCtes
+         |SELECT a AS doc_a, b AS doc_b, est_jaccard FROM est
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.minhashKnnGraph: the same estimation chain,
+    // symmetrized, top-k per vertex by (estimate DESC, neighbor ASC)
+    "d29_lexical_knn" ->
+      s"""WITH $minhashEstCtes,
+         |sym AS (SELECT a AS doc_id, b AS neighbor_id, est_jaccard FROM est
+         |        UNION ALL
+         |        SELECT b AS doc_id, a AS neighbor_id, est_jaccard FROM est),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY est_jaccard DESC, neighbor_id ASC) AS BIGINT) AS rk FROM sym)
+         |SELECT doc_id, rk, neighbor_id, est_jaccard FROM r WHERE rk <= $LEX_KNN_K
+         |ORDER BY doc_id, rk""".stripMargin.replace("\n", " "),
 
     // the d12/d13/d14/d16 oracle fragments (the SAME shared builders
     // those oracles consume) joined into the one keep verdict; shh from

@@ -169,6 +169,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("__salt"), "join keys lost the salt column\n" + p.take(2000))
   }
 
+  test("d29: the lexical k-NN graph keeps the per-vertex top-k partial (WindowGroupLimit)") {
+    val p = plan("d29_lexical_knn")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("e09: PQ encoding is pure scan-side codebook assignment — no join, zero exchanges, codegen intact") {
     val df = graft.operators.Similarity.pqEncode(
       graft.sources.Tables.embeddings(spark, dir))

@@ -52,6 +52,29 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(errs.sum / errs.size <= 0.08, s"mean |est - J| = ${errs.sum / errs.size}")
   }
 
+  // ---- minhashKnnGraph ----
+
+  test("minhashKnnGraph: symmetric, rank-contiguous, and consistent with the pair estimates") {
+    val docs = Tables.documents(spark, dir)
+    val est = Dedup.minhashEstPairs(docs, k = 64, bands = 16)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    val knn = Dedup.minhashKnnGraph(docs, k = 3, sigK = 64, bands = 16)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(knn.nonEmpty)
+    // every edge is one of the pair estimates with the same value
+    knn.foreach { case (v, _, n, e) =>
+      val key = if (v < n) (v, n) else (n, v)
+      assert(est(key) == e, s"graph edge ($v,$n) disagrees with pair estimate")
+    }
+    // per-vertex ranks are 1..deg(v) with non-increasing estimates
+    knn.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.size))
+      assert(sorted.map(_._4).sliding(2).forall(p => p.size < 2 || p(0) >= p(1)))
+    }
+  }
+
   // ---- cdcIncremental ----
 
   test("cdcIncremental: an edited re-submission still matches its ancestor; fresh content does not") {
