@@ -262,10 +262,15 @@ object Dedup {
       bands: Int = 16, maxBucket: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val est = minhashEstPairs(docs, sigK, bands, maxBucket)
-    val sym = est.select(col("doc_a").as("doc_id"),
-        col("doc_b").as("neighbor_id"), col("est_jaccard"))
-      .unionByName(est.select(col("doc_b").as("doc_id"),
-        col("doc_a").as("neighbor_id"), col("est_jaccard")))
+    // symmetrize by EXPLODING each pair into both directions — a
+    // two-branch union would re-evaluate the whole signature pipeline
+    // per branch (union branches share no subtree; measured ~2× cost)
+    val sym = est.select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"),
+          col("est_jaccard")),
+        struct(col("doc_b").as("doc_id"), col("doc_a").as("neighbor_id"),
+          col("est_jaccard")))).as("e"))
+      .select(col("e.doc_id"), col("e.neighbor_id"), col("e.est_jaccard"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("est_jaccard").desc, col("neighbor_id").asc)
     sym.withColumn("rk", row_number().over(w).cast("long"))
