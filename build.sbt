@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: at 8g the sf0.1 bench was GC-bound and NOISE-bound —
+  // identical code measured 64-119 s full-suite across runs; at ≥24g
+  // two back-to-back runs landed within 0.1% (77.23 / 77.13 s). The
+  // box has 128 GiB; local[32] + 32 shuffle partitions wants headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
