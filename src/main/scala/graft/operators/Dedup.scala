@@ -246,6 +246,54 @@ object Dedup {
         (agree.cast("double") / lit(k)).as("est_jaccard"))
   }
 
+  /** SimHash near-dup pairs within a Hamming radius, via MULTI-INDEX
+    * block candidates (the web-scale simhash-dedup construction): split
+    * the 32-bit signature into `radius + 1` equal blocks — by
+    * pigeonhole, two signatures within Hamming distance `radius` agree
+    * on at least one whole block — join on (block position, block
+    * value), then verify the exact `bit_count(xor)` distance on the
+    * candidates only. FULL recall at the radius (the block equality is
+    * implied, not probabilistic, unlike LSH banding) with candidate
+    * volume Σ bucket² instead of n².
+    *
+    * Block width here is 32/(radius+1) bits (8 at the default radius 3);
+    * production 64-bit signatures use the same construction with wider
+    * blocks and proportionally finer buckets — at this signature width
+    * the `maxBucket` window guard (same device as [[lshCandidates]]) is
+    * the documented protection against coarse-bucket blowup. Hamming
+    * distance is integer-exact, so the oracle matches bit-for-bit.
+    * Returns (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ radius.
+    */
+  def simhashHammingPairs(docs: DataFrame, radius: Int = 3,
+      maxBucket: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBlocks = radius + 1
+    require(radius >= 0 && 32 % nBlocks == 0,
+      s"radius + 1 must divide the 32-bit signature, got radius=$radius")
+    val bits = 32 / nBlocks
+    val mask = (1L << bits) - 1
+    val sig = simhash(docs)
+    val long = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBlocks).map { b =>
+        shiftright(col("simhash"), b * bits).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("bno", "bkey")))
+    val bounded = long
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("bno"), col("bkey"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val x = bounded.as("x")
+    val y = bounded.as("y")
+    x.join(y, col("x.bno") === col("y.bno") && col("x.bkey") === col("y.bkey")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= radius)
+  }
+
   /** Lexical k-NN graph over MinHash signatures — the document-side
     * twin of [[graft.operators.Similarity.knnGraph]] (which ranks by
     * embedding cosine): every doc's top-`k` most-similar neighbors by

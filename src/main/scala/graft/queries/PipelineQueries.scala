@@ -18,6 +18,7 @@ object PipelineQueries {
   private val EST_K = 64       // d27/d29 estimation signature width
   private val EST_BANDS = 16   // d27/d29 LSH bands (4 rows per band)
   private val LEX_KNN_K = 3    // d29 neighbors per document
+  private val SIMHASH_RADIUS = 3 // d30 Hamming radius (→ 4 8-bit blocks)
   private val ANN_BITS = 6     // sign-projection bits → 64 buckets
   private val MAX_BUCKET = 1000L // LSH bucket-size guard (Dedup.lshCandidates)
   private val MAX_DF = 10000L    // stop-shingle df guard (Dedup.dfCapped)
@@ -114,6 +115,14 @@ object PipelineQueries {
     // the operator's product is the estimate itself.
     "d27_minhash_est" -> ((spark: SparkSession, dir: String) =>
       Dedup.minhashEstPairs(Tables.documents(spark, dir), EST_K, EST_BANDS,
+        MAX_BUCKET)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // SimHash Hamming-radius pairs: multi-index block candidates (full
+    // recall by pigeonhole), exact bit_count verify
+    // (Dedup.simhashHammingPairs doc)
+    "d30_simhash_pairs" -> ((spark: SparkSession, dir: String) =>
+      Dedup.simhashHammingPairs(Tables.documents(spark, dir), SIMHASH_RADIUS,
         MAX_BUCKET)
         .orderBy(col("doc_a"), col("doc_b"))),
 
@@ -875,6 +884,32 @@ object PipelineQueries {
          |h AS (SELECT doc_id, ('0x' || substr(md5(t),1,8))::BIGINT AS h FROM tk),
          |b AS (SELECT doc_id, $simhashBits FROM h GROUP BY doc_id)
          |SELECT doc_id, CAST($simhashSig AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.simhashHammingPairs: the d05 signature chain,
+    // then 4 8-bit block keys → bucket cap → block self-join → exact
+    // bit_count(xor) verify
+    "d30_simhash_pairs" -> {
+      val nBlocks = SIMHASH_RADIUS + 1
+      val bits = 32 / nBlocks
+      val mask = (1L << bits) - 1
+      val blockUnion = (0 until nBlocks)
+        .map(b => s"SELECT doc_id, simhash, $b AS bno, (simhash >> ${b * bits}) & $mask AS bkey FROM s")
+        .mkString(" UNION ALL ")
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t),1,8))::BIGINT AS h FROM tk),
+         |b AS (SELECT doc_id, $simhashBits FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id, CAST($simhashSig AS BIGINT) AS simhash FROM b),
+         |bl AS ($blockUnion),
+         |blb AS (SELECT bl.* FROM bl JOIN (SELECT bno, bkey FROM bl GROUP BY bno, bkey
+         |        HAVING count(*) <= $MAX_BUCKET) k USING (bno, bkey)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         x.simhash AS sa, y.simhash AS sb
+         |         FROM blb x JOIN blb y ON x.bno = y.bno AND x.bkey = y.bkey
+         |         AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= $SIMHASH_RADIUS
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+    },
 
     "d06_lang_id" ->
       s"""WITH s AS (SELECT doc_id, $scSelects FROM documents)

@@ -52,6 +52,34 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(errs.sum / errs.size <= 0.08, s"mean |est - J| = ${errs.sum / errs.size}")
   }
 
+  // ---- simhashHammingPairs ----
+
+  test("simhashHammingPairs: FULL recall at the radius — block candidates lose nothing vs brute force") {
+    val docs = Tables.documents(spark, dir)
+    val viaBlocks = Dedup.simhashHammingPairs(docs, radius = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over the signatures themselves (quadratic, test-only)
+    val sigs = Dedup.simhash(docs).as[(Long, Long)].collect().toSeq
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(viaBlocks == brute,
+      s"pigeonhole recall broken: blocks=${viaBlocks.size} brute=${brute.size}")
+  }
+
+  test("simhashHammingPairs: identical docs pair at hamming 0; radius bounds the output") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhashHammingPairs(docs, radius = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.contains((1L, 2L, 0L)))
+    assert(out.forall(_._3 <= 3))
+  }
+
   // ---- minhashKnnGraph ----
 
   test("minhashKnnGraph: symmetric, rank-contiguous, and consistent with the pair estimates") {
