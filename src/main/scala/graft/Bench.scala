@@ -28,6 +28,8 @@ object Bench {
       // 128m default so scans parallelize across the local cores. (On a
       // real cluster at 100 TB the default is the right choice.)
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // graft_* SQL functions + the conf-gated range-join rewrite (q25)
+      .withExtensions(new GraftExtensions())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: touch every table once so footer reads, codegen

@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer rule: naive interval joins → bin-bucketed equi-joins
+    // (graft.plans.RangeJoinRewrite doc). Off until
+    // spark.graft.rangeJoin.binWidth is set > 0.
+    ext.injectOptimizerRule(graft.plans.RangeJoinRewrite(_))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two array<double> (left-to-right fold)"),

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS) — read as nanosecond Longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // graft_* SQL functions + the conf-gated range-join rewrite (q25)
+      .withExtensions(new GraftExtensions())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -373,6 +373,33 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // The SAME range join as q21, but written the NAIVE way — a plain
+    // conjunctive BETWEEN condition — and rewritten to the bin equi-join
+    // by the graft.plans.RangeJoinRewrite optimizer rule (installed via
+    // GraftExtensions in Verify/Bench; conf-gated). The conf stays set
+    // for the rest of the session: the rule's literal-bound and
+    // __bin-key guards make it a no-op on every other registered query.
+    // In a session WITHOUT the extension (e.g. the shared test session)
+    // the query still runs — just on the nested-loop plan — so
+    // correctness is session-independent; the PLAN claim is asserted in
+    // RangeJoinRewriteSpec.
+    "q25_range_join_auto" -> ((spark: SparkSession, dir: String) => {
+      spark.conf.set("spark.graft.rangeJoin.binWidth", RANGE_WIN_US.toString)
+      val e = Tables.events(spark, dir)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+          expr("ts div 1000").as("start_us"))
+        .withColumn("end_us", col("start_us") + lit(RANGE_WIN_US))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          expr("ts div 1000").as("click_us"))
+      err.join(clk, col("err_user") === col("user_id")
+          && col("click_us") >= col("start_us") && col("click_us") < col("end_us"))
+        .select(col("err_id"), col("click_id"), col("user_id"),
+          (col("click_us") - col("start_us")).as("delta_us"))
+        .orderBy(col("err_id"), col("click_id"))
+    }),
+
     // Salted skew join (graft.operators.SkewJoin): lineitem is the
     // probe side with its hot orderkeys spread over 8 salt buckets; the
     // orders slice is replicated ×8. Salting is semantics-preserving
@@ -570,6 +597,14 @@ object RelationalQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice, CAST(cust_n AS BIGINT) AS cust_n
         |FROM t WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cust_n > cust_sum
         |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+    // same semantics as q21 — the plain BETWEEN join IS the spec; only
+    // the Spark-side plan differs (rewritten by RangeJoinRewrite)
+    "q25_range_join_auto" ->
+      """WITH err AS (SELECT event_id AS err_id, user_id, epoch_us(ts) AS sus FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click')
+        |SELECT err_id, click_id, clk.user_id AS user_id, cus - sus AS delta_us
+        |FROM err JOIN clk ON err.user_id = clk.user_id AND cus >= sus AND cus < sus + 7200000000
+        |ORDER BY err_id, click_id""".stripMargin.replace("\n", " "),
     "q24_skew_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
         | o.o_custkey, o.o_totalprice
