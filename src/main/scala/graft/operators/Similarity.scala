@@ -408,6 +408,63 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
   }
 
+  /** PQ sub-codebook TRAINING — one Lloyd pass per subspace (the PQ
+    * twin of [[kmeansUpdate]]): assign every vector's subspaces with
+    * the SEED codebook ([[pqEncode]]'s assignment — shared code, so
+    * training and encoding cannot disagree), then emit each (subspace,
+    * code) cell's member mean per dimension. Means use the same
+    * order-independent DECIMAL(28,8) sum device as [[kmeansUpdate]]
+    * (O(1) aggregate state per group, map-side partials, bit-exact
+    * cross-engine). Empty cells emit no rows — [[pqEncodeTrained]]
+    * falls back to the seed slice for them. Returns (sub 1-based,
+    * code, dim 1-based within the subspace, n_members, val).
+    */
+  def pqTrain(emb: DataFrame, m: Int = 8, ks: Int = 16): DataFrame = {
+    val (wide, subDim, _) = pqCodesWide(normalized(emb), m, ks)
+    wide.select(col("e"), posexplode_outer(col("codes")).as(Seq("p", "code")))
+      .filter(col("code").isNotNull)
+      .select(col("e"), (col("p") + 1).cast("long").as("sub"), col("code"))
+      .select(col("sub"), col("code"), posexplode_outer(
+        expr(s"slice(e, cast((sub - 1) * $subDim + 1 as int), $subDim)")))
+      .filter(col("col").isNotNull)
+      .select(col("sub"), col("code"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").cast(meanDec).as("x"))
+      .groupBy(col("sub"), col("code"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("x")).cast("double") / count(lit(1)).cast("double")).as("val"))
+      .select(col("sub"), col("code"), col("dim"), col("n_members"), col("val"))
+  }
+
+  /** PQ ENCODE with TRAINED codebooks: [[pqTrain]]'s means replace the
+    * seed slices cell by cell (an empty cell keeps its seed — the
+    * keep-old-centroid policy, so the codebook stays a full ks × m grid
+    * and code values keep meaning centroid position). The trained book
+    * is k·dims driver-resident doubles — centroids are driver-resident
+    * in every k-means-family implementation — collected once, then
+    * encoding is the same single scan-side [[graft.functions.PqAssign]]
+    * kernel as [[pqEncode]]. Returns (vec_id, sub, code).
+    */
+  def pqEncodeTrained(emb: DataFrame, m: Int = 8, ks: Int = 16): DataFrame = {
+    val n = normalized(emb)
+    val (subDim, seeds) = pqSeeds(n, m, ks)
+    val trained = pqTrain(emb, m, ks)
+      .select(col("sub"), col("code"), col("dim"), col("val")).collect()
+      .map(r => ((r.getLong(1).toInt, r.getLong(0).toInt), (r.getLong(2).toInt, r.getDouble(3))))
+      .groupBy(_._1)
+      .map { case ((c, s), rows) =>
+        (c, s) -> rows.map(_._2).sortBy(_._1).map(_._2).toSeq
+      }
+    val merged = seeds.zipWithIndex.map { case (seedSubs, c) =>
+      (0 until m).map(s => trained.getOrElse((c, s + 1), seedSubs(s)))
+    }
+    n.withColumn("codes",
+        graft.functions.PqCodebook.assign(col("e"), merged, m, subDim))
+      .select(col("vec_id"), posexplode_outer(col("codes")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("sub"),
+        col("col").as("code"))
+      .filter(col("code").isNotNull)
+  }
+
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -362,6 +362,19 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, PQ_M, PQ_KS)
         .orderBy(col("query_id"), col("rk"))),
 
+    // PQ sub-codebook TRAINING: one Lloyd pass per subspace, DECIMAL
+    // means (Similarity.pqTrain doc)
+    "e11_pq_train" -> ((spark: SparkSession, dir: String) =>
+      Similarity.pqTrain(Tables.embeddings(spark, dir), PQ_M, PQ_KS)
+        .orderBy(col("sub"), col("code"), col("dim"))),
+
+    // re-encode with the TRAINED books (seed fallback for empty cells)
+    // — training and use of the index in one verified loop
+    // (Similarity.pqEncodeTrained doc)
+    "e12_pq_trained_codes" -> ((spark: SparkSession, dir: String) =>
+      Similarity.pqEncodeTrained(Tables.embeddings(spark, dir), PQ_M, PQ_KS)
+        .orderBy(col("vec_id"), col("sub"))),
+
     // IVF alternative to the LSH family: literal-centroid assignment
     // scan-side, probe the 4 nearest of 16 cells (Similarity.ivfTopK doc)
     "e04_ivf_ann" -> ((spark: SparkSession, dir: String) =>
@@ -506,6 +519,22 @@ object PipelineQueries {
        |pcodes AS (SELECT vid, sub, cid AS code FROM
        |  (SELECT *, row_number() OVER (PARTITION BY vid, sub ORDER BY d ASC, cid ASC) AS rn FROM pasg)
        |  WHERE rn = 1)""".stripMargin.replace("\n", " ")
+
+  /** The e11 training tail (consumes [[pqCodesCtes]]'s `pcodes`/`v`):
+    * per-(sub, code, dim) DECIMAL(28,8) member means, ending in
+    * `mt(sub, code, dim, nm, val)` — shared by e11 and e12 so training
+    * and trained-encoding check against one mean pipeline.
+    */
+  private lazy val pqTrainCtes = {
+    val subDim = PQ_DIMS / PQ_M
+    s"""x1 AS (SELECT p.sub, p.code, v.e, unnest(range(1, $subDim + 1)) AS dim
+       |       FROM pcodes p JOIN v ON v.vec_id = p.vid),
+       |x2 AS (SELECT sub, code, dim,
+       |       CAST(e[CAST((sub - 1) * $subDim + dim AS INT)] AS DECIMAL(28,8)) AS x FROM x1),
+       |mt AS (SELECT sub, code, dim, count(*) AS nm,
+       |       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS val
+       |       FROM x2 GROUP BY 1, 2, 3)""".stripMargin.replace("\n", " ")
+  }
 
   /** Mirror of [[graft.operators.Similarity.nearDupPairs]] as one CTE
     * chain ending in `pairs(a, b, cosine)` — shared by d10 and e05 so a
@@ -1136,6 +1165,44 @@ object PipelineQueries {
       s"""WITH $pqCodesCtes
          |SELECT vid AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
          |FROM pcodes ORDER BY vec_id, sub""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.pqTrain: the shared assignment CTEs, then
+    // per-(sub, code, dim) DECIMAL(28,8) means — same device as e07
+    "e11_pq_train" ->
+      s"""WITH $pqCodesCtes,
+         |${pqTrainCtes}
+         |SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+         |  CAST(dim AS BIGINT) AS dim, CAST(nm AS BIGINT) AS n_members, val
+         |FROM mt ORDER BY sub, code, dim""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.pqEncodeTrained: e11's means rebuilt into
+    // per-(sub, code) centroid lists, seed-slice fallback for empty
+    // cells, then the SAME per-subspace assignment chains re-run
+    // against the trained grid
+    "e12_pq_trained_codes" -> {
+      val subDim = PQ_DIMS / PQ_M
+      val asgUnion = (1 to PQ_M).map { s =>
+        val chain = (1 to subDim).map { j =>
+          val i = (s - 1) * subDim + j
+          s"((v.e[$i] - g.ce[$j]) * (v.e[$i] - g.ce[$j]))"
+        }.mkString(" + ")
+        s"""SELECT v.vec_id AS vid, g.code, $s AS sub, $chain AS d
+           |FROM v CROSS JOIN (SELECT code, ce FROM grid WHERE sub = $s) g""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH $pqCodesCtes,
+         |${pqTrainCtes},
+         |tcl AS (SELECT sub, code, list(val ORDER BY dim) AS ce FROM mt GROUP BY 1, 2),
+         |grid AS (SELECT s.sub, p.cid AS code,
+         |         coalesce(tcl.ce, p.ce[(CAST((s.sub - 1) * $subDim AS INT) + 1):(CAST(s.sub * $subDim AS INT))]) AS ce
+         |         FROM (SELECT unnest(range(1, $PQ_M + 1)) AS sub) s
+         |         CROSS JOIN pcent p
+         |         LEFT JOIN tcl ON tcl.sub = s.sub AND tcl.code = p.cid),
+         |asg2 AS ($asgUnion),
+         |r AS (SELECT vid, sub, code, row_number() OVER (PARTITION BY vid, sub
+         |        ORDER BY d ASC, code ASC) AS rn FROM asg2)
+         |SELECT vid AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |FROM r WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin.replace("\n", " ")
+    },
 
     // mirror of Similarity.pqAdcTopK: codes pivoted wide, one pcent join
     // per subspace, the 8 per-subspace chains summed in the same

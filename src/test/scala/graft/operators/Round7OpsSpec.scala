@@ -190,6 +190,32 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out(1)._3 == 0L && out(1)._4 > 0.0)
   }
 
+  test("pqTrain: cell means partition the (vector × subspace) mass; trained re-encode still partitions") {
+    val emb = Tables.embeddings(spark, dir)
+    val nVec = emb.count()
+    val trained = Similarity.pqTrain(emb, m = 8, ks = 16)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // per subspace: member counts over cells sum to the corpus, and
+    // every present cell emits exactly subDim=8 dim rows with one count
+    trained.groupBy(_._1).foreach { case (_, rows) =>
+      val byCell = rows.groupBy(_._2)
+      assert(byCell.values.map(_.head._4).sum == nVec)
+      byCell.values.foreach { cellRows =>
+        assert(cellRows.map(_._3).sorted == (1L to 8L))
+        assert(cellRows.map(_._4).distinct.size == 1)
+      }
+    }
+    val recoded = Similarity.pqEncodeTrained(emb, m = 8, ks = 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(recoded.size == nVec * 8)
+    assert(recoded.forall { case (_, s, c) => s >= 1 && s <= 8 && c >= 0 && c < 16 })
+    // training must actually move SOME assignment vs the seed encoding
+    // (seeds are arbitrary vectors, means are not)
+    val seedCodes = Similarity.pqEncode(emb, m = 8, ks = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(recoded.toSet != seedCodes, "trained codebook changed nothing — training is a no-op?")
+  }
+
   test("minhashEstPairs: d27 plan scores from signatures only — exactly 3 joins, no shingle self-join") {
     val p = graft.SparkEntry.queries("d27_minhash_est")(spark, dir)
       .queryExecution.explainString(
