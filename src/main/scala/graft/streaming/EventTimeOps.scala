@@ -34,6 +34,32 @@ object EventTimeOps {
       .select(col("window.start").as("window_start"), col("subreddit"),
         col("n"), col("n_comments"))
 
+  /** Windowed DISTINCT-AUTHOR estimates with O(k) state per window —
+    * the sketch-in-streaming-state composition: an exact windowed
+    * `countDistinct` is unsupported in streaming precisely because its
+    * state is unbounded (every distinct value per open window); the KMV
+    * sketch ([[graft.functions.KmvSketch]]) is associative/commutative
+    * with a bounded buffer, so it rides the normal watermarked
+    * aggregation — partial-merged across micro-batches, state freed
+    * when the watermark closes the window. Below k distinct authors the
+    * buffer IS the distinct set, so small windows report exactly.
+    * Author hashing uses the engine-portable 60-bit md5 family.
+    */
+  def windowedDistinctAuthors(envelope: DataFrame,
+      windowLen: String = "1 minute", lateness: String = "2 minutes",
+      k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(k))
+    envelope
+      .withColumn("event_time", timestamp_seconds(col("created_utc")))
+      .withWatermark("event_time", lateness)
+      .withColumn("ah",
+        conv(substring(md5(col("author")), 1, 15), 16, 10).cast("long"))
+      .groupBy(window(col("event_time"), windowLen))
+      .agg(count(lit(1)).as("n_events"), kmv(col("ah")).as("distinct_authors"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("distinct_authors"))
+  }
+
   /** Stream-stream inner join: comments matched to submissions in the
     * same subreddit within ±`withinSeconds` of event time. Watermarks on
     * BOTH sides bound the join state — Spark can drop buffered rows once

@@ -63,6 +63,32 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(rows.contains(("aww", 1L, 1L)))
   }
 
+  test("windowed distinct authors: KMV sketch state merges across micro-batches, exact below k") {
+    val dir = Files.createTempDirectory("kmvlog").toString
+    // window 600..659: authors a, b, a, c → 3 distinct over 4 events;
+    // window 660..719: author a → 1 distinct. max_per_trigger=2 forces
+    // the window-600 sketch to MERGE partial buffers across batches.
+    RedditLog.writeSegment(dir, Seq(
+      ev(2, 600, "a", "news"), ev(4, 615, "b", "news"),
+      ev(6, 630, "a", "news"), ev(8, 645, "c", "news"),
+      ev(10, 661, "a", "news"),
+      ev(12, 100000, "z", "zzz"), ev(14, 100001, "z", "zzz")))
+    val src = spark.readStream.format("graft.sources.RedditLogSource")
+      .option("path", dir).option("backfill", "100")
+      .option("max_per_trigger", "2").load()
+    val name = s"kmv${System.nanoTime()}"
+    val q = EventTimeOps.windowedDistinctAuthors(src)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(name)
+      .select($"n_events", $"distinct_authors").as[(Long, Double)]
+      .collect().toSet
+    // below k = 64 distinct values KMV returns the exact count
+    assert(rows.contains((4L, 3.0)), rows.toString)
+    assert(rows.contains((1L, 1.0)), rows.toString)
+  }
+
   test("stream-stream join: comments match submissions in-subreddit within the time bound") {
     val rcDir = Files.createTempDirectory("ssj-rc").toString
     val rsDir = Files.createTempDirectory("ssj-rs").toString
