@@ -446,7 +446,21 @@ object Similarity {
     */
   def pqEncodeTrained(emb: DataFrame, m: Int = 8, ks: Int = 16): DataFrame = {
     val n = normalized(emb)
-    val (subDim, seeds) = pqSeeds(n, m, ks)
+    val (subDim, merged) = trainedBooks(emb, m, ks)
+    n.withColumn("codes",
+        graft.functions.PqCodebook.assign(col("e"), merged, m, subDim))
+      .select(col("vec_id"), posexplode_outer(col("codes")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("sub"),
+        col("col").as("code"))
+      .filter(col("code").isNotNull)
+  }
+
+  /** The trained-or-seed codebook grid (driver-resident, k·dims
+    * doubles) shared by [[pqEncodeTrained]] and [[pqAdcTopKTrained]] —
+    * factored so encoding and scoring read the SAME book.
+    */
+  private def trainedBooks(emb: DataFrame, m: Int, ks: Int): (Int, Seq[Seq[Seq[Double]]]) = {
+    val (subDim, seeds) = pqSeeds(normalized(emb), m, ks)
     val trained = pqTrain(emb, m, ks)
       .select(col("sub"), col("code"), col("dim"), col("val")).collect()
       .map(r => ((r.getLong(1).toInt, r.getLong(0).toInt), (r.getLong(2).toInt, r.getDouble(3))))
@@ -454,15 +468,36 @@ object Similarity {
       .map { case ((c, s), rows) =>
         (c, s) -> rows.map(_._2).sortBy(_._1).map(_._2).toSeq
       }
-    val merged = seeds.zipWithIndex.map { case (seedSubs, c) =>
+    (subDim, seeds.zipWithIndex.map { case (seedSubs, c) =>
       (0 until m).map(s => trained.getOrElse((c, s + 1), seedSubs(s)))
-    }
-    n.withColumn("codes",
-        graft.functions.PqCodebook.assign(col("e"), merged, m, subDim))
-      .select(col("vec_id"), posexplode_outer(col("codes")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("sub"),
-        col("col").as("code"))
-      .filter(col("code").isNotNull)
+    })
+  }
+
+  /** [[pqAdcTopK]] with the TRAINED codebook — the full index
+    * lifecycle's use step: train (e11) → encode (e12) → score. Same
+    * broadcast-query shape and [[graft.functions.PqCodebook.adcDist]]
+    * kernel; only the book differs, so distances reflect the corpus's
+    * own cluster structure instead of arbitrary seed vectors.
+    */
+  def pqAdcTopKTrained(emb: DataFrame, queryPred: Column, k: Int,
+      m: Int = 8, ks: Int = 16): DataFrame = {
+    val n = normalized(emb)
+    val (subDim, books) = trainedBooks(emb, m, ks)
+    val codes = n.withColumn("codes",
+        graft.functions.PqCodebook.assign(col("e"), books, m, subDim))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.PqCodebook.adcDist(col("qe"), col("codes"), books, m, subDim)
+          .as("adc_dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
   }
 
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */

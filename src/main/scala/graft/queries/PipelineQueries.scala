@@ -375,6 +375,14 @@ object PipelineQueries {
       Similarity.pqEncodeTrained(Tables.embeddings(spark, dir), PQ_M, PQ_KS)
         .orderBy(col("vec_id"), col("sub"))),
 
+    // the trained index's USE step: ADC top-k against e11's books —
+    // train → encode → score, one verified lifecycle
+    // (Similarity.pqAdcTopKTrained doc)
+    "e13_pq_adc_trained" -> ((spark: SparkSession, dir: String) =>
+      Similarity.pqAdcTopKTrained(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, PQ_M, PQ_KS)
+        .orderBy(col("query_id"), col("rk"))),
+
     // IVF alternative to the LSH family: literal-centroid assignment
     // scan-side, probe the 4 nearest of 16 cells (Similarity.ivfTopK doc)
     "e04_ivf_ann" -> ((spark: SparkSession, dir: String) =>
@@ -1202,6 +1210,53 @@ object PipelineQueries {
          |        ORDER BY d ASC, code ASC) AS rn FROM asg2)
          |SELECT vid AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
          |FROM r WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Similarity.pqAdcTopKTrained: e12's trained grid +
+    // trained codes, pivoted wide, one grid join per subspace, e10's
+    // chain structure against the TRAINED centroid lists
+    "e13_pq_adc_trained" -> {
+      val subDim = PQ_DIMS / PQ_M
+      val asgUnion = (1 to PQ_M).map { s =>
+        val chain = (1 to subDim).map { j =>
+          val i = (s - 1) * subDim + j
+          s"((v.e[$i] - g.ce[$j]) * (v.e[$i] - g.ce[$j]))"
+        }.mkString(" + ")
+        s"""SELECT v.vec_id AS vid, g.code, $s AS sub, $chain AS d
+           |FROM v CROSS JOIN (SELECT code, ce FROM grid WHERE sub = $s) g""".stripMargin
+      }.mkString(" UNION ALL ")
+      val codeCols = (1 to PQ_M)
+        .map(s => s"max(CASE WHEN sub = $s THEN code END) AS c$s").mkString(", ")
+      val gridJoins = (1 to PQ_M)
+        .map(s => s"JOIN grid g$s ON g$s.sub = $s AND g$s.code = w.c$s").mkString(" ")
+      val dist = (0 until PQ_M).map { s =>
+        val chain = (1 to subDim).map { j =>
+          val i = s * subDim + j
+          s"((q.e[$i] - g${s + 1}.ce[$j]) * (q.e[$i] - g${s + 1}.ce[$j]))"
+        }.mkString(" + ")
+        s"($chain)"
+      }.mkString(" + ")
+      s"""WITH $pqCodesCtes,
+         |${pqTrainCtes},
+         |tcl AS (SELECT sub, code, list(val ORDER BY dim) AS ce FROM mt GROUP BY 1, 2),
+         |grid AS (SELECT s.sub, p.cid AS code,
+         |         coalesce(tcl.ce, p.ce[(CAST((s.sub - 1) * $subDim AS INT) + 1):(CAST(s.sub * $subDim AS INT))]) AS ce
+         |         FROM (SELECT unnest(range(1, $PQ_M + 1)) AS sub) s
+         |         CROSS JOIN pcent p
+         |         LEFT JOIN tcl ON tcl.sub = s.sub AND tcl.code = p.cid),
+         |asg2 AS ($asgUnion),
+         |tcodes AS (SELECT vid, sub, code FROM (SELECT vid, sub, code,
+         |           row_number() OVER (PARTITION BY vid, sub ORDER BY d ASC, code ASC) AS rn
+         |           FROM asg2) WHERE rn = 1),
+         |pcw2 AS (SELECT vid, $codeCols FROM tcodes GROUP BY vid),
+         |q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id % 50 = 0),
+         |sc AS (SELECT q.query_id, w.vid AS neighbor_id, $dist AS adc_dist
+         |       FROM q CROSS JOIN pcw2 w $gridJoins
+         |       WHERE w.vid <> q.query_id),
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sc)
+         |SELECT query_id, rk, neighbor_id, adc_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
     },
 
     // mirror of Similarity.pqAdcTopK: codes pivoted wide, one pcent join
