@@ -159,6 +159,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("collect_list"), "k-means mean regressed to member-list state\n" + p.take(2000))
   }
 
+  test("e11: PQ training aggregates O(1) decimal state per cell — partials, no member buffers") {
+    val p = plan("e11_pq_train")
+    assert(!p.contains("Join"), "training reads the shared assignment, not a join\n" + p.take(2000))
+    assert(p.contains("partial_sum"), "mean lost its map-side decimal-sum partial")
+    assert(!p.contains("collect_list"), "PQ mean regressed to member-list state\n" + p.take(2000))
+  }
+
   test("q24: the skew join replicates the build side and joins on (key, salt)") {
     val p = plan("q24_skew_join")
     // the ×factor replication is a Generate(explode) on the build side…
