@@ -500,6 +500,44 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
   }
 
+  /** IVF-PQ: the two index structures composed the way production ANN
+    * engines ship them — IVF cells bound WHICH candidates are scored
+    * (each query touches only its `probes` nearest cells' mass, as
+    * [[ivfTopK]]), PQ codes bound WHAT scoring reads (m small ints per
+    * candidate through the [[graft.functions.PqCodebook.adcDist]]
+    * kernel, as [[pqAdcTopKTrained]] — trained books, shared with
+    * encoding). Cell assignment and probe selection reuse
+    * [[centroidScores]] scan-side; the only join is the (cell)
+    * equi-join. Returns (query_id, rk, neighbor_id, adc_dist), rank by
+    * (adc_dist asc, neighbor_id).
+    */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16, probes: Int = 4,
+      m: Int = 8, ks: Int = 16): DataFrame = {
+    val n = normalized(emb)
+    val scoredArr = centroidScores(n, nCells)
+    val (subDim, books) = trainedBooks(emb, m, ks)
+    val corpus = n
+      .withColumn("cell", (-array_max(scoredArr).getField("nid")).cast("long"))
+      .withColumn("codes", graft.functions.PqCodebook.assign(col("e"), books, m, subDim))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    val q = n.filter(queryPred)
+      .withColumn("probe", explode(slice(sort_array(scoredArr, asc = false), 1, probes)))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        (-col("probe").getField("nid")).cast("long").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    corpus.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.PqCodebook.adcDist(col("qe"), col("codes"), books, m, subDim)
+          .as("adc_dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
+  }
+
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -383,6 +383,13 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, PQ_M, PQ_KS)
         .orderBy(col("query_id"), col("rk"))),
 
+    // IVF-PQ: probe-restricted candidates scored by trained-codebook
+    // ADC — the two index structures composed (Similarity.ivfPqTopK doc)
+    "e14_ivfpq_topk" -> ((spark: SparkSession, dir: String) =>
+      Similarity.ivfPqTopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
+        .orderBy(col("query_id"), col("rk"))),
+
     // IVF alternative to the LSH family: literal-centroid assignment
     // scan-side, probe the 4 nearest of 16 cells (Similarity.ivfTopK doc)
     "e04_ivf_ann" -> ((spark: SparkSession, dir: String) =>
@@ -514,19 +521,72 @@ object PipelineQueries {
     }.mkString(" + ")
   }
 
-  /** CTE chain ending in `pcodes(vid, sub 1-based, code)` — the PQ
-    * assignment (mirror of Similarity.pqCodesWide): per subspace, the
-    * nearest seed slice by squared L2, ties toward the smaller cid.
+  /** The PQ assignment chain MINUS the `v` head (so it can stack on any
+    * CTE set that already defines `v(vec_id, e)` — e14 stacks it on the
+    * IVF chain). Ends in `pcodes(vid, sub 1-based, code)`.
     */
-  private def pqCodesCtes =
-    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |pcent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $PQ_KS),
+  private lazy val pqCodesAfterV =
+    s"""pcent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $PQ_KS),
        |pasg AS (${(0 until PQ_M).map(s =>
            s"SELECT v.vec_id AS vid, c.cid, ${s + 1} AS sub, ${pqL2Chain("v.e", "c.ce", s)} AS d" +
            " FROM v CROSS JOIN pcent c").mkString(" UNION ALL ")}),
        |pcodes AS (SELECT vid, sub, cid AS code FROM
        |  (SELECT *, row_number() OVER (PARTITION BY vid, sub ORDER BY d ASC, cid ASC) AS rn FROM pasg)
        |  WHERE rn = 1)""".stripMargin.replace("\n", " ")
+
+  /** CTE chain ending in `pcodes(vid, sub 1-based, code)` — the PQ
+    * assignment (mirror of Similarity.pqCodesWide): per subspace, the
+    * nearest seed slice by squared L2, ties toward the smaller cid.
+    */
+  private def pqCodesCtes =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |$pqCodesAfterV""".stripMargin.replace("\n", " ")
+
+  /** The trained-grid + trained-codes tail (consumes `pcodes`/`v`/
+    * `pcent` + [[pqTrainCtes]]'s `mt`): trained-or-seed centroid grid,
+    * re-assignment, wide code pivot — ends in `grid(sub, code, ce)` and
+    * `pcw2(vid, c1..cm)`. Shared by e12's SELECT, e13 and e14.
+    */
+  private lazy val pqTrainedGridCtes = {
+    val subDim = PQ_DIMS / PQ_M
+    val asgUnion = (1 to PQ_M).map { s =>
+      val chain = (1 to subDim).map { j =>
+        val i = (s - 1) * subDim + j
+        s"((v.e[$i] - g.ce[$j]) * (v.e[$i] - g.ce[$j]))"
+      }.mkString(" + ")
+      s"""SELECT v.vec_id AS vid, g.code, $s AS sub, $chain AS d
+         |FROM v CROSS JOIN (SELECT code, ce FROM grid WHERE sub = $s) g""".stripMargin
+    }.mkString(" UNION ALL ")
+    val codeCols = (1 to PQ_M)
+      .map(s => s"max(CASE WHEN sub = $s THEN code END) AS c$s").mkString(", ")
+    s"""tcl AS (SELECT sub, code, list(val ORDER BY dim) AS ce FROM mt GROUP BY 1, 2),
+       |grid AS (SELECT s.sub, p.cid AS code,
+       |         coalesce(tcl.ce, p.ce[(CAST((s.sub - 1) * $subDim AS INT) + 1):(CAST(s.sub * $subDim AS INT))]) AS ce
+       |         FROM (SELECT unnest(range(1, $PQ_M + 1)) AS sub) s
+       |         CROSS JOIN pcent p
+       |         LEFT JOIN tcl ON tcl.sub = s.sub AND tcl.code = p.cid),
+       |tasg AS ($asgUnion),
+       |tcodes AS (SELECT vid, sub, code FROM (SELECT vid, sub, code,
+       |           row_number() OVER (PARTITION BY vid, sub ORDER BY d ASC, code ASC) AS rn
+       |           FROM tasg) WHERE rn = 1),
+       |pcw2 AS (SELECT vid, $codeCols FROM tcodes GROUP BY vid)""".stripMargin.replace("\n", " ")
+  }
+
+  /** e10/e13/e14's ADC distance: e10-style chains, but against `grid`'s
+    * trained centroid lists joined per subspace.
+    */
+  private lazy val pqTrainedDist = {
+    val subDim = PQ_DIMS / PQ_M
+    (0 until PQ_M).map { s =>
+      val chain = (1 to subDim).map { j =>
+        val i = s * subDim + j
+        s"((q.e[$i] - g${s + 1}.ce[$j]) * (q.e[$i] - g${s + 1}.ce[$j]))"
+      }.mkString(" + ")
+      s"($chain)"
+    }.mkString(" + ")
+  }
+  private lazy val pqTrainedGridJoins = (1 to PQ_M)
+    .map(s => s"JOIN grid g$s ON g$s.sub = $s AND g$s.code = w.c$s").mkString(" ")
 
   /** The e11 training tail (consumes [[pqCodesCtes]]'s `pcodes`/`v`):
     * per-(sub, code, dim) DECIMAL(28,8) member means, ending in
@@ -1184,80 +1244,52 @@ object PipelineQueries {
          |FROM mt ORDER BY sub, code, dim""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.pqEncodeTrained: e11's means rebuilt into
-    // per-(sub, code) centroid lists, seed-slice fallback for empty
-    // cells, then the SAME per-subspace assignment chains re-run
-    // against the trained grid
-    "e12_pq_trained_codes" -> {
-      val subDim = PQ_DIMS / PQ_M
-      val asgUnion = (1 to PQ_M).map { s =>
-        val chain = (1 to subDim).map { j =>
-          val i = (s - 1) * subDim + j
-          s"((v.e[$i] - g.ce[$j]) * (v.e[$i] - g.ce[$j]))"
-        }.mkString(" + ")
-        s"""SELECT v.vec_id AS vid, g.code, $s AS sub, $chain AS d
-           |FROM v CROSS JOIN (SELECT code, ce FROM grid WHERE sub = $s) g""".stripMargin
-      }.mkString(" UNION ALL ")
+    // the trained-or-seed grid (pqTrainedGridCtes — shared with
+    // e13/e14), then the SAME per-subspace assignment chains re-run
+    "e12_pq_trained_codes" ->
       s"""WITH $pqCodesCtes,
          |${pqTrainCtes},
-         |tcl AS (SELECT sub, code, list(val ORDER BY dim) AS ce FROM mt GROUP BY 1, 2),
-         |grid AS (SELECT s.sub, p.cid AS code,
-         |         coalesce(tcl.ce, p.ce[(CAST((s.sub - 1) * $subDim AS INT) + 1):(CAST(s.sub * $subDim AS INT))]) AS ce
-         |         FROM (SELECT unnest(range(1, $PQ_M + 1)) AS sub) s
-         |         CROSS JOIN pcent p
-         |         LEFT JOIN tcl ON tcl.sub = s.sub AND tcl.code = p.cid),
-         |asg2 AS ($asgUnion),
-         |r AS (SELECT vid, sub, code, row_number() OVER (PARTITION BY vid, sub
-         |        ORDER BY d ASC, code ASC) AS rn FROM asg2)
+         |$pqTrainedGridCtes
          |SELECT vid AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
-         |FROM r WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin.replace("\n", " ")
-    },
+         |FROM tcodes ORDER BY vec_id, sub""".stripMargin.replace("\n", " "),
 
-    // mirror of Similarity.pqAdcTopKTrained: e12's trained grid +
-    // trained codes, pivoted wide, one grid join per subspace, e10's
-    // chain structure against the TRAINED centroid lists
-    "e13_pq_adc_trained" -> {
-      val subDim = PQ_DIMS / PQ_M
-      val asgUnion = (1 to PQ_M).map { s =>
-        val chain = (1 to subDim).map { j =>
-          val i = (s - 1) * subDim + j
-          s"((v.e[$i] - g.ce[$j]) * (v.e[$i] - g.ce[$j]))"
-        }.mkString(" + ")
-        s"""SELECT v.vec_id AS vid, g.code, $s AS sub, $chain AS d
-           |FROM v CROSS JOIN (SELECT code, ce FROM grid WHERE sub = $s) g""".stripMargin
-      }.mkString(" UNION ALL ")
-      val codeCols = (1 to PQ_M)
-        .map(s => s"max(CASE WHEN sub = $s THEN code END) AS c$s").mkString(", ")
-      val gridJoins = (1 to PQ_M)
-        .map(s => s"JOIN grid g$s ON g$s.sub = $s AND g$s.code = w.c$s").mkString(" ")
-      val dist = (0 until PQ_M).map { s =>
-        val chain = (1 to subDim).map { j =>
-          val i = s * subDim + j
-          s"((q.e[$i] - g${s + 1}.ce[$j]) * (q.e[$i] - g${s + 1}.ce[$j]))"
-        }.mkString(" + ")
-        s"($chain)"
-      }.mkString(" + ")
+    // mirror of Similarity.pqAdcTopKTrained: the shared trained grid,
+    // codes pivoted wide, one grid join per subspace, e10's chain
+    // structure against the TRAINED centroid lists
+    "e13_pq_adc_trained" ->
       s"""WITH $pqCodesCtes,
          |${pqTrainCtes},
-         |tcl AS (SELECT sub, code, list(val ORDER BY dim) AS ce FROM mt GROUP BY 1, 2),
-         |grid AS (SELECT s.sub, p.cid AS code,
-         |         coalesce(tcl.ce, p.ce[(CAST((s.sub - 1) * $subDim AS INT) + 1):(CAST(s.sub * $subDim AS INT))]) AS ce
-         |         FROM (SELECT unnest(range(1, $PQ_M + 1)) AS sub) s
-         |         CROSS JOIN pcent p
-         |         LEFT JOIN tcl ON tcl.sub = s.sub AND tcl.code = p.cid),
-         |asg2 AS ($asgUnion),
-         |tcodes AS (SELECT vid, sub, code FROM (SELECT vid, sub, code,
-         |           row_number() OVER (PARTITION BY vid, sub ORDER BY d ASC, code ASC) AS rn
-         |           FROM asg2) WHERE rn = 1),
-         |pcw2 AS (SELECT vid, $codeCols FROM tcodes GROUP BY vid),
+         |$pqTrainedGridCtes,
          |q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id % 50 = 0),
-         |sc AS (SELECT q.query_id, w.vid AS neighbor_id, $dist AS adc_dist
-         |       FROM q CROSS JOIN pcw2 w $gridJoins
+         |sc AS (SELECT q.query_id, w.vid AS neighbor_id, $pqTrainedDist AS adc_dist
+         |       FROM q CROSS JOIN pcw2 w $pqTrainedGridJoins
          |       WHERE w.vid <> q.query_id),
          |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |        ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sc)
          |SELECT query_id, rk, neighbor_id, adc_dist FROM r2 WHERE rk <= $PQ_K
-         |ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
-    },
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.ivfPqTopK: the IVF chain (cells + probe
+    // ranking — shared with e04/e07) stacked with the PQ trained grid;
+    // candidates = probed cells' members, scoring = the trained ADC
+    // chains. A corpus vector lives in ONE cell and probe cells are
+    // distinct, so no dedup step (same argument as e04).
+    "e14_ivfpq_topk" ->
+      s"""WITH $ivfAsgCtes,
+         |$pqCodesAfterV,
+         |${pqTrainCtes},
+         |$pqTrainedGridCtes,
+         |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
+         |sc AS (SELECT pr.query_id, cl.vid AS neighbor_id, $pqTrainedDist AS adc_dist
+         |       FROM probes pr JOIN cells cl USING (cell)
+         |       JOIN pcw2 w ON w.vid = cl.vid
+         |       JOIN v q ON q.vec_id = pr.query_id
+         |       $pqTrainedGridJoins
+         |       WHERE cl.vid <> pr.query_id),
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sc)
+         |SELECT query_id, rk, neighbor_id, adc_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.pqAdcTopK: codes pivoted wide, one pcent join
     // per subspace, the 8 per-subspace chains summed in the same
