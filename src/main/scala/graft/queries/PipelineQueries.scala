@@ -390,6 +390,14 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
         .orderBy(col("query_id"), col("rk"))),
 
+    // recall@k of the composed index vs the exact baseline — index
+    // quality as a registered, oracle-checked metric
+    // (Similarity.annRecall doc)
+    "e15_ann_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annRecall(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
+        .orderBy(col("query_id"))),
+
     // IVF alternative to the LSH family: literal-centroid assignment
     // scan-side, probe the 4 nearest of 16 cells (Similarity.ivfTopK doc)
     "e04_ivf_ann" -> ((spark: SparkSession, dir: String) =>
@@ -1290,6 +1298,37 @@ object PipelineQueries {
          |        ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sc)
          |SELECT query_id, rk, neighbor_id, adc_dist FROM r2 WHERE rk <= $PQ_K
          |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.annRecall: e14's full chain (approx side)
+    // stacked with e01's exact scoring (shares v/n), then the hit
+    // count per query — recall as an exact n/k rational
+    "e15_ann_recall" ->
+      s"""WITH $ivfAsgCtes,
+         |$pqCodesAfterV,
+         |${pqTrainCtes},
+         |$pqTrainedGridCtes,
+         |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
+         |sc AS (SELECT pr.query_id, cl.vid AS neighbor_id, $pqTrainedDist AS adc_dist
+         |       FROM probes pr JOIN cells cl USING (cell)
+         |       JOIN pcw2 w ON w.vid = cl.vid
+         |       JOIN v q ON q.vec_id = pr.query_id
+         |       $pqTrainedGridJoins
+         |       WHERE cl.vid <> pr.query_id),
+         |ap3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY adc_dist ASC, neighbor_id ASC) AS rk FROM sc) WHERE rk <= $PQ_K),
+         |pex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |        FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |ex3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM pex) WHERE rk <= $PQ_K),
+         |hits AS (SELECT e.query_id, count(*) AS n_hit
+         |         FROM ex3 e JOIN ap3 a USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(n_hit, 0) AS DOUBLE) / $PQ_K AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex3) q LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.pqAdcTopK: codes pivoted wide, one pcent join
     // per subspace, the 8 per-subspace chains summed in the same
