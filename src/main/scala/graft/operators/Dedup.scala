@@ -13,7 +13,7 @@ import org.apache.spark.util.sketch.BloomFilter
   *    agg) → band keys → bucket self-join (pairs only meet inside a
   *    bucket — never all-pairs) → exact Jaccard verification restricted
   *    to candidates via the inverted shingle index.
-  *  - SimHash: 32-bit signature via per-bit majority vote, one groupBy.
+  *  - SimHash: 64-bit signature via per-bit majority vote, one groupBy.
   *
   * Hash family: one md5 per shingle lifted to k universal-hash
   * permutations (see [[minhash]]). md5 and 64-bit modular arithmetic are
@@ -248,7 +248,7 @@ object Dedup {
 
   /** SimHash near-dup pairs within a Hamming radius, via MULTI-INDEX
     * block candidates (the web-scale simhash-dedup construction): split
-    * the 32-bit signature into `radius + 1` equal blocks — by
+    * the 64-bit signature into `radius + 1` equal blocks — by
     * pigeonhole, two signatures within Hamming distance `radius` agree
     * on at least one whole block — join on (block position, block
     * value), then verify the exact `bit_count(xor)` distance on the
@@ -256,22 +256,30 @@ object Dedup {
     * implied, not probabilistic, unlike LSH banding) with candidate
     * volume Σ bucket² instead of n².
     *
-    * Block width here is 32/(radius+1) bits (8 at the default radius 3);
-    * production 64-bit signatures use the same construction with wider
-    * blocks and proportionally finer buckets — at this signature width
-    * the `maxBucket` window guard (same device as [[lshCandidates]]) is
-    * the documented protection against coarse-bucket blowup. Hamming
-    * distance is integer-exact, so the oracle matches bit-for-bit.
+    * Block width is 64/(radius+1) bits — 16 at the default radius 3, so
+    * each block position has 2¹⁶ = 65,536 distinct values and the
+    * expected bucket under a uniform signature is n/65,536: ~8 docs per
+    * bucket at a 5×10⁵-doc corpus, and the default `maxBucket` = 1000
+    * cap (same window-guard device as [[lshCandidates]]) only engages
+    * past ~6.5×10⁷ docs per partition-of-corpus — it is the pathology
+    * guard against adversarially-clustered signatures, not the default
+    * path. (The earlier 32-bit width had 8-bit blocks = 256 values, so
+    * the cap silently DROPPED hot buckets at ~2.5×10⁵ docs — recall
+    * collapsed exactly when data grew. 64 bits is the production norm.)
+    * Shifts on the signed signature are masked after shifting, so bit
+    * 63 never leaks sign into block keys. Hamming distance is
+    * integer-exact, so the oracle matches bit-for-bit.
     * Returns (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ radius.
     */
   def simhashHammingPairs(docs: DataFrame, radius: Int = 3,
       maxBucket: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nBlocks = radius + 1
-    require(radius >= 0 && 32 % nBlocks == 0,
-      s"radius + 1 must divide the 32-bit signature, got radius=$radius")
-    val bits = 32 / nBlocks
-    val mask = (1L << bits) - 1
+    require(radius >= 0 && 64 % nBlocks == 0,
+      s"radius + 1 must divide the 64-bit signature, got radius=$radius")
+    val bits = 64 / nBlocks
+    // radius 0 → one 64-bit block; 1L << 64 wraps, so mask all bits
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sig = simhash(docs)
     val long = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBlocks).map { b =>
@@ -468,18 +476,32 @@ object Dedup {
     (misses.unionByName(verified), bc)
   }
 
-  /** 32-bit SimHash per document: per-bit majority vote over the token
-    * multiset, token hash = first 8 md5 hex chars as an unsigned int.
-    * Bit j set iff the signed vote sum is strictly positive.
+  /** 64-bit SimHash per document: per-bit majority vote over the token
+    * multiset. Token hash = two md5 halves (hex chars 1-8 → vote bits
+    * 0-31, chars 9-16 → bits 32-63), the same two-half construction
+    * [[hash60]] proved oracle-exact — each half is ≤ 32 bits so the
+    * BIGINT parse never overflows in either engine. Bit j set iff the
+    * signed vote sum is strictly positive. Bit 63's weight is
+    * `Long.MinValue`, making the signature a SIGNED long; every
+    * downstream consumer masks after shifting, and both engines count
+    * Hamming bits over the two's-complement representation, so sign
+    * never leaks into results.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-    val h = tok.select(col("doc_id"),
-      conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h"))
-    val bitAggs = (0 until 32).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
+    val m = tok.select(col("doc_id"), md5(col("t")).as("m"))
+    val h = m.select(col("doc_id"),
+      conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hlo"),
+      conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("hhi"))
+    val bitAggs = (0 until 64).map { j =>
+      val src = if (j < 32) col("hlo") else col("hhi")
+      sum(when(shiftright(src, j % 32).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
+    }
     val votes = h.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until 32)
+    // Left-associative sum of disjoint bit weights: bits 0-62 total at
+    // most Long.MaxValue, then + MinValue stays in range — no overflow
+    // at any partial sum, so ANSI mode is safe in both engines.
+    val sig = (0 until 64)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a: Column, b: Column) => a + b)
     votes.select(col("doc_id"), sig.cast("long").as("simhash"))

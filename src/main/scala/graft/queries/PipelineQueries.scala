@@ -18,7 +18,7 @@ object PipelineQueries {
   private val EST_K = 64       // d27/d29 estimation signature width
   private val EST_BANDS = 16   // d27/d29 LSH bands (4 rows per band)
   private val LEX_KNN_K = 3    // d29 neighbors per document
-  private val SIMHASH_RADIUS = 3 // d30 Hamming radius (→ 4 8-bit blocks)
+  private val SIMHASH_RADIUS = 3 // d30 Hamming radius (→ 4 16-bit blocks)
   private val ANN_BITS = 6     // sign-projection bits → 64 buckets
   private val MAX_BUCKET = 1000L // LSH bucket-size guard (Dedup.lshCandidates)
   private val MAX_DF = 10000L    // stop-shingle df guard (Dedup.dfCapped)
@@ -761,12 +761,21 @@ object PipelineQueries {
     (0 until BANDS).map(b => s"SELECT doc_id, $b AS bno, band$b AS bkey FROM sig")
       .mkString(" UNION ALL ")
 
+  // 64-bit mirror of Dedup.simhash: two md5 halves (hlo bits 0-31,
+  // hhi bits 32-63); bit 63's weight is the signed Long.MinValue
+  // literal, and the left-associative sum never overflows BIGINT
+  // (bits 0-62 total ≤ MaxValue, then + MinValue stays in range).
   private val simhashBits =
-    (0 until 32).map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
-      .mkString(", ")
+    (0 until 64).map { j =>
+      val src = if (j < 32) "hlo" else "hhi"
+      s"sum(CASE WHEN ($src >> ${j % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
 
   private val simhashSig =
-    (0 until 32).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    (0 until 64).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  private val simhashHalves =
+    "('0x' || substr(md5(t),1,8))::BIGINT AS hlo, ('0x' || substr(md5(t),9,8))::BIGINT AS hhi"
 
   private val annBucket =
     (0 until ANN_BITS).map { j =>
@@ -986,22 +995,23 @@ object PipelineQueries {
 
     "d05_simhash" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(t),1,8))::BIGINT AS h FROM tk),
+         |h AS (SELECT doc_id, $simhashHalves FROM tk),
          |b AS (SELECT doc_id, $simhashBits FROM h GROUP BY doc_id)
          |SELECT doc_id, CAST($simhashSig AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.simhashHammingPairs: the d05 signature chain,
-    // then 4 8-bit block keys → bucket cap → block self-join → exact
-    // bit_count(xor) verify
+    // then 4 16-bit block keys → bucket cap → block self-join → exact
+    // bit_count(xor) verify (arithmetic >> then & mask strips bit 63's
+    // sign extension, identically to Spark's shiftright)
     "d30_simhash_pairs" -> {
       val nBlocks = SIMHASH_RADIUS + 1
-      val bits = 32 / nBlocks
+      val bits = 64 / nBlocks
       val mask = (1L << bits) - 1
       val blockUnion = (0 until nBlocks)
         .map(b => s"SELECT doc_id, simhash, $b AS bno, (simhash >> ${b * bits}) & $mask AS bkey FROM s")
         .mkString(" UNION ALL ")
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(t),1,8))::BIGINT AS h FROM tk),
+         |h AS (SELECT doc_id, $simhashHalves FROM tk),
          |b AS (SELECT doc_id, $simhashBits FROM h GROUP BY doc_id),
          |s AS (SELECT doc_id, CAST($simhashSig AS BIGINT) AS simhash FROM b),
          |bl AS ($blockUnion),

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-8 changes, headlined by the 64-bit SimHash
+  * widening (round-7 verdict item #1): the multi-index Hamming join's
+  * blocks go from 8 to 16 bits, so the bucket cap becomes a pathology
+  * guard instead of the default path at corpus scale.
+  */
+class Round8OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- 64-bit simhash ----
+
+  test("simhash: signatures occupy the full 64-bit width (high bits live)") {
+    val sigs = Dedup.simhash(Tables.documents(spark, dir))
+      .as[(Long, Long)].collect().map(_._2)
+    // If the widening regressed to 32 bits every signature would sit in
+    // [0, 2^32); require the upper half populated across the corpus.
+    assert(sigs.exists(s => (s >>> 32) != 0L),
+      "no signature uses bits 32-63 — width regressed to 32 bits")
+    // Bit 63 makes the signature signed; the corpus flips it on roughly
+    // half of all docs (majority vote over ~uniform md5 bits).
+    assert(sigs.exists(_ < 0L), "bit 63 never set — top bit dead")
+    assert(sigs.exists(_ >= 0L), "bit 63 always set — vote broken")
+  }
+
+  test("simhashHammingPairs: brute-force equality holds at 64-bit width, radius 3") {
+    val docs = Tables.documents(spark, dir)
+    val viaBlocks = Dedup.simhashHammingPairs(docs, radius = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val sigs = Dedup.simhash(docs).as[(Long, Long)].collect().toSeq
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(viaBlocks == brute,
+      s"pigeonhole recall broken at 64 bits: blocks=${viaBlocks.size} brute=${brute.size}")
+  }
+
+  test("simhashHammingPairs: radius 1 (two 32-bit blocks) also matches brute force") {
+    val docs = Tables.documents(spark, dir)
+    val viaBlocks = Dedup.simhashHammingPairs(docs, radius = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val sigs = Dedup.simhash(docs).as[(Long, Long)].collect().toSeq
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 1
+    } yield (a, b, h.toLong)).toSet
+    assert(viaBlocks == brute)
+  }
+
+  test("simhashHammingPairs: block keys mask off bit 63's sign extension") {
+    // Two identical docs must collide in EVERY block even when bit 63 is
+    // set on their shared signature (arithmetic shift would otherwise
+    // sign-extend the top block's key).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhashHammingPairs(docs, radius = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0L)))
+  }
+}
