@@ -50,8 +50,11 @@ object PqCodebook {
 /** Nearest sub-centroid per subspace by squared L2, ties toward the
   * smaller centroid position (strict-< first-win over ascending
   * positions ≡ the oracle's `ORDER BY d ASC, cid ASC`). NULL on a
-  * vector whose length differs from m·subDim (corrupt input must not
-  * quantize confidently wrong — same policy as [[ArrayDotProduct]]).
+  * vector whose length differs from m·subDim OR that contains a null
+  * element (corrupt input must not quantize confidently wrong — same
+  * policy as [[ArrayDotProduct]]; parquet arrays are typed
+  * containsNull=true even when values never are, so the guard is a
+  * runtime pre-scan, not an analysis-time rejection).
   */
 case class PqAssign(child: Expression, codebook: Array[Double],
     m: Int, subDim: Int) extends UnaryExpression {
@@ -70,6 +73,11 @@ case class PqAssign(child: Expression, codebook: Array[Double],
   override def nullSafeEval(input: Any): Any = {
     val e = input.asInstanceOf[ArrayData]
     if (e.numElements() != m * subDim) return null
+    var i = 0
+    while (i < m * subDim) {
+      if (e.isNullAt(i)) return null // a null component must not read as 0.0
+      i += 1
+    }
     val codes = new Array[Long](m)
     var s = 0
     while (s < m) {
@@ -104,8 +112,13 @@ case class PqAssign(child: Expression, codebook: Array[Double],
       val diff = ctx.freshName("diff")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
+      val nn = ctx.freshName("nn")
       s"""
-         |if ($e.numElements() != ${m * subDim}) {
+         |boolean $nn = $e.numElements() == ${m * subDim};
+         |for (int $j = 0; $nn && $j < ${m * subDim}; $j++) {
+         |  if ($e.isNullAt($j)) $nn = false;
+         |}
+         |if (!$nn) {
          |  ${ev.isNull} = true;
          |} else {
          |  long[] $codes = new long[$m];
@@ -133,8 +146,9 @@ case class PqAssign(child: Expression, codebook: Array[Double],
 
 /** ADC squared distance: Σ_s ‖qe_s − codebook[codes_s]_s‖², exact query
   * sub-vectors vs the corpus row's quantized representative. NULL on a
-  * ragged query vector, a codes array of the wrong arity, or an
-  * out-of-range code (a foreign codebook's output must not score).
+  * ragged query vector, a null element in either array, a codes array
+  * of the wrong arity, or an out-of-range code (a foreign codebook's
+  * output must not score).
   */
 case class PqAdcDist(left: Expression, right: Expression,
     codebook: Array[Double], m: Int, subDim: Int) extends BinaryExpression {
@@ -157,6 +171,16 @@ case class PqAdcDist(left: Expression, right: Expression,
     val qe = a.asInstanceOf[ArrayData]
     val codes = b.asInstanceOf[ArrayData]
     if (qe.numElements() != m * subDim || codes.numElements() != m) return null
+    var i = 0
+    while (i < m * subDim) {
+      if (qe.isNullAt(i)) return null // a null component must not read as 0.0
+      i += 1
+    }
+    i = 0
+    while (i < m) {
+      if (codes.isNullAt(i)) return null
+      i += 1
+    }
     var acc = 0.0
     var s = 0
     while (s < m) {
@@ -185,8 +209,16 @@ case class PqAdcDist(left: Expression, right: Expression,
       val diff = ctx.freshName("diff")
       val acc = ctx.freshName("acc")
       val bad = ctx.freshName("bad")
+      val nn = ctx.freshName("nn")
       s"""
-         |if ($qe.numElements() != ${m * subDim} || $codes.numElements() != $m) {
+         |boolean $nn = $qe.numElements() == ${m * subDim} && $codes.numElements() == $m;
+         |for (int $j = 0; $nn && $j < ${m * subDim}; $j++) {
+         |  if ($qe.isNullAt($j)) $nn = false;
+         |}
+         |for (int $j = 0; $nn && $j < $m; $j++) {
+         |  if ($codes.isNullAt($j)) $nn = false;
+         |}
+         |if (!$nn) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0; boolean $bad = false;

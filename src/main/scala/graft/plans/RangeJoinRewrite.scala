@@ -45,15 +45,36 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   *
   * A `ts > lo` strict lower bound widens to the `lo div w` bin — one
   * extra candidate bin, removed by the exact filter.
+  *
+  * Degenerate data: inverted intervals (lo > hi) bin to an EMPTY
+  * sequence (their predicates are unsatisfiable — zero join work), and
+  * an interval spanning more than [[MaxBinsKey]] bins fails fast with a
+  * remediation-pointing error (see [[MaxBinsKey]] for why no correct
+  * clamp exists).
   */
 case class RangeJoinRewrite(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
   val ConfKey = "spark.graft.rangeJoin.binWidth"
 
+  /** Per-interval bin-count ceiling (degenerate-data guard). An interval
+    * spanning more bins than this at the configured width means the
+    * width is wildly mis-sized for the data; enumerating the bins would
+    * OOM or hit Sequence's 2³¹ element error deep in codegen. There is
+    * no one-sided CORRECT clamp (dropping bins drops matches), so the
+    * guard fails fast with a configuration-pointing error instead — a
+    * documented refinement of the bail-out contract for data the
+    * rewrite cannot serve.
+    */
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBins"
+
   private def binWidth: Long =
     try session.conf.get(ConfKey, "0").toLong
     catch { case _: NumberFormatException => 0L }
+
+  private def maxBins: Long =
+    try math.max(1L, session.conf.get(MaxBinsKey, "1048576").toLong)
+    catch { case _: NumberFormatException => 1048576L }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = binWidth
@@ -118,8 +139,29 @@ case class RangeJoinRewrite(session: SparkSession)
       val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
       val div = (e: Expression) => IntegralDivide(Cast(e, LongType, tz), Literal(w))
       val binI = AttributeReference("__graft_bin_i", LongType)()
+      // Degenerate-interval guards on the explode (see [[MaxBinsKey]]):
+      //  - inverted (lo > hi → loBin > hiBin): the range predicates are
+      //    unsatisfiable, so emit NO bins — Sequence would otherwise
+      //    auto-step -1 and generate descending bins that only waste
+      //    join work before the exact filter kills them;
+      //  - span > maxBins: fail fast with a remediation-pointing error
+      //    instead of Sequence's opaque 2³¹ failure mode.
+      val loBin = div(lo)
+      val hiBin = div(hi)
+      val mb = maxBins
+      val hiGuarded = If(
+        GreaterThan(Subtract(hiBin, loBin), Literal(mb)),
+        Cast(RaiseError(Literal(
+          s"graft range-join rewrite: an interval spans more than $mb bins at " +
+            s"$ConfKey=$w — raise $ConfKey (bin width should approximate the " +
+            s"typical interval length) or $MaxBinsKey")), LongType),
+        hiBin)
+      val emptyBins = Literal.create(Seq.empty[Long],
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
+      val bins = If(GreaterThan(loBin, hiBin), emptyBins,
+        new Sequence(loBin, hiGuarded, None, tz))
       val expand = (iSide: LogicalPlan) => Generate(
-        Explode(new Sequence(div(lo), div(hi), None, tz)),
+        Explode(bins),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(binI), child = iSide)
       val binP = Alias(div(ts), "__graft_bin_p")()

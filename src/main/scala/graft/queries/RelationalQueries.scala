@@ -376,28 +376,35 @@ object RelationalQueries {
     // The SAME range join as q21, but written the NAIVE way — a plain
     // conjunctive BETWEEN condition — and rewritten to the bin equi-join
     // by the graft.plans.RangeJoinRewrite optimizer rule (installed via
-    // GraftExtensions in Verify/Bench; conf-gated). The conf stays set
-    // for the rest of the session: the rule's literal-bound and
-    // __bin-key guards make it a no-op on every other registered query.
-    // In a session WITHOUT the extension (e.g. the shared test session)
-    // the query still runs — just on the nested-loop plan — so
+    // GraftExtensions in Verify/Bench; conf-gated). The conf is SCOPED
+    // to this plan: the rewrite fires lazily at optimization time, so a
+    // bare unset-after-build would silently disable it — instead we
+    // force optimization while the conf is set, pin the rewritten
+    // logical plan via shims.ofRows, and unset before returning. No
+    // later query's plan (or bench timing) depends on whether q25 was
+    // built first. In a session WITHOUT the extension (e.g. the shared
+    // test session) the pinned plan is just the nested-loop one — so
     // correctness is session-independent; the PLAN claim is asserted in
     // RangeJoinRewriteSpec.
     "q25_range_join_auto" -> ((spark: SparkSession, dir: String) => {
       spark.conf.set("spark.graft.rangeJoin.binWidth", RANGE_WIN_US.toString)
-      val e = Tables.events(spark, dir)
-      val err = e.filter(col("event_type") === "error")
-        .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
-          expr("ts div 1000").as("start_us"))
-        .withColumn("end_us", col("start_us") + lit(RANGE_WIN_US))
-      val clk = e.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          expr("ts div 1000").as("click_us"))
-      err.join(clk, col("err_user") === col("user_id")
-          && col("click_us") >= col("start_us") && col("click_us") < col("end_us"))
-        .select(col("err_id"), col("click_id"), col("user_id"),
-          (col("click_us") - col("start_us")).as("delta_us"))
-        .orderBy(col("err_id"), col("click_id"))
+      try {
+        val e = Tables.events(spark, dir)
+        val err = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+            expr("ts div 1000").as("start_us"))
+          .withColumn("end_us", col("start_us") + lit(RANGE_WIN_US))
+        val clk = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            expr("ts div 1000").as("click_us"))
+        val naive = err.join(clk, col("err_user") === col("user_id")
+            && col("click_us") >= col("start_us") && col("click_us") < col("end_us"))
+          .select(col("err_id"), col("click_id"), col("user_id"),
+            (col("click_us") - col("start_us")).as("delta_us"))
+          .orderBy(col("err_id"), col("click_id"))
+        org.apache.spark.sql.graft.shims.ofRows(spark,
+          naive.queryExecution.optimizedPlan)
+      } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
     }),
 
     // Salted skew join (graft.operators.SkewJoin): lineitem is the

@@ -227,7 +227,8 @@ object RedditLog {
 
   private def leaseStoreWarn(what: String, e: Throwable): Unit =
     System.err.println(s"[reddit-log] WARN: shared lease store $what (${e.getMessage}) — " +
-      "cross-JVM GC exactness degraded to the time-based grace for this lease")
+      (if (what.startsWith("scan")) "store treated as UNKNOWN; GC deferred this pass"
+       else "cross-JVM GC exactness degraded to the time-based grace for this lease"))
 
   private def writeLeaseFile(dir: String, id: Long, startMillis: Long): Unit =
     try {
@@ -236,11 +237,16 @@ object RedditLog {
         startMillis.toString.getBytes(StandardCharsets.UTF_8))
     } catch { case e: Exception => leaseStoreWarn("write failed", e) }
 
-  private def deleteLeaseFile(dir: String, id: Long): Unit =
+  private[sources] def deleteLeaseFile(dir: String, id: Long): Unit =
     try {
       val root = leaseRoot(dir)
+      // exact lease name or its dot-terminated marker prefix — a bare
+      // startsWith("lease-$id") would also match lease-$idX (id 12
+      // deleting lease-123's live lease and markers)
       Option(root.listFiles()).getOrElse(Array.empty[File])
-        .filter(_.getName.startsWith(s"lease-$id")).foreach(_.delete())
+        .filter(f => f.getName == s"lease-$id" ||
+          f.getName.startsWith(s"lease-$id."))
+        .foreach(_.delete())
     } catch { case e: Exception => leaseStoreWarn("delete failed", e) }
 
   /** Drop one open marker; re-create the lease file if an out-of-process
@@ -276,10 +282,26 @@ object RedditLog {
     * markers OR mtime within the plan grace). Orphan markers whose
     * lease file vanished (purge racing a recreate) stay protective
     * until marker-mtime + TTL — fail-safe toward deferring GC.
+    *
+    * Returns `None` when the store state is UNKNOWN — the scan threw,
+    * or the root exists but `listFiles` returned null (an I/O error,
+    * NOT an empty directory). Callers on the deletion path must then
+    * DEFER: degrading "unknown" to "no leases" would fail open and let
+    * [[gcSweep]] delete replaced segments that a reader in another JVM
+    * still has planned or open. A root that does not exist is
+    * definitively lease-free → `Some(Seq.empty)`.
     */
-  private def sharedActiveLeaseStarts(dir: String, now: Long): Seq[Long] =
+  private def sharedActiveLeaseStarts(dir: String, now: Long): Option[Seq[Long]] =
     try {
-      val fs = Option(leaseRoot(dir).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      val root = leaseRoot(dir)
+      if (!root.exists()) return Some(Seq.empty)
+      val listed = root.listFiles()
+      if (listed == null) {
+        leaseStoreWarn("scan failed",
+          new java.io.IOException(s"listFiles returned null on existing $root"))
+        return None
+      }
+      val fs = listed.toSeq
       val markers = fs.groupBy(_.getName match {
         case OpenMarkerName(id) => id.toLong
         case _ => -1L
@@ -309,8 +331,8 @@ object RedditLog {
           ms.diff(alive).foreach(_.delete())
           alive.map(_.lastModified())
       }.flatten.toSeq
-      leaseStarts ++ orphanStarts
-    } catch { case e: Exception => leaseStoreWarn("scan failed", e); Seq.empty }
+      Some(leaseStarts ++ orphanStarts)
+    } catch { case e: Exception => leaseStoreWarn("scan failed", e); None }
 
   /** Register a scan over `dir`. Call BEFORE listing segments, so the
     * snapshot is provably no older than the lease. Writes the shared
@@ -408,9 +430,14 @@ object RedditLog {
     val now = System.currentTimeMillis()
     purgeInactiveLeases(now)
     val c = canon(dir)
+    // Unknown shared store (scan failure) pins the floor at epoch 0:
+    // every replaced segment's mtime is newer, so gcSweep deletes
+    // nothing this pass — fail CLOSED in the deletion direction rather
+    // than degrading to in-process-only semantics on a transient error.
+    val shared = sharedActiveLeaseStarts(dir, now).getOrElse(Seq(0L))
     (leases.values.asScala
       .filter(l => l.dir == c && leaseActive(l, now))
-      .map(_.startMillis) ++ sharedActiveLeaseStarts(dir, now)).minOption
+      .map(_.startMillis) ++ shared).minOption
   }
 
   /** Test hook: forget a lease in THIS JVM's map only, leaving the

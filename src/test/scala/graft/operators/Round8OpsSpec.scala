@@ -56,6 +56,50 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(viaBlocks == brute)
   }
 
+  test("PQ kernels: a null vector component yields NULL, never a 0.0 quantization") {
+    import graft.functions.PqCodebook
+    // m=2, subDim=2, ks=2; slices[c][s][j]: centroid 0 all-zero, 1 all-one
+    val slices = Seq(
+      Seq(Seq(0.0, 0.0), Seq(0.0, 0.0)),
+      Seq(Seq(1.0, 1.0), Seq(1.0, 1.0)))
+    val df = spark.sql(
+      """SELECT array(1.0d, 1.0d, 1.0d, 1.0d) AS good,
+        |       array(1.0d, cast(null as double), 1.0d, 1.0d) AS bad,
+        |       array(0l, 0l) AS codes_ok,
+        |       array(0l, cast(null as long)) AS codes_bad""".stripMargin)
+      .select(
+        PqCodebook.assign(col("good"), slices, m = 2, subDim = 2).as("a_good"),
+        PqCodebook.assign(col("bad"), slices, m = 2, subDim = 2).as("a_bad"),
+        PqCodebook.adcDist(col("good"), col("codes_ok"), slices, m = 2, subDim = 2).as("d_ok"),
+        PqCodebook.adcDist(col("bad"), col("codes_ok"), slices, m = 2, subDim = 2).as("d_badq"),
+        PqCodebook.adcDist(col("good"), col("codes_bad"), slices, m = 2, subDim = 2).as("d_badc"))
+    val r = df.collect().head
+    assert(r.getSeq[Long](r.fieldIndex("a_good")).toSeq == Seq(1L, 1L))
+    assert(r.isNullAt(r.fieldIndex("a_bad")),
+      "null component quantized instead of returning NULL")
+    assert(r.getDouble(r.fieldIndex("d_ok")) == 4.0)
+    assert(r.isNullAt(r.fieldIndex("d_badq")), "null query component scored")
+    assert(r.isNullAt(r.fieldIndex("d_badc")), "null code scored")
+  }
+
+  test("PQ kernels: interpreted eval matches the codegen null-element policy") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val flatOk = graft.functions.PqAssign(
+      Literal.create(Seq(1.0, 1.0, 1.0, 1.0), ArrayType(DoubleType, true)),
+      Array(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0), m = 2, subDim = 2)
+    assert(flatOk.eval(null) != null)
+    val flatNull = graft.functions.PqAssign(
+      Literal.create(Seq[Any](1.0, null, 1.0, 1.0), ArrayType(DoubleType, true)),
+      Array(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0), m = 2, subDim = 2)
+    assert(flatNull.eval(null) == null)
+    val distNullCode = graft.functions.PqAdcDist(
+      Literal.create(Seq(1.0, 1.0, 1.0, 1.0), ArrayType(DoubleType, true)),
+      Literal.create(Seq[Any](0L, null), ArrayType(LongType, true)),
+      Array(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0), m = 2, subDim = 2)
+    assert(distNullCode.eval(null) == null)
+  }
+
   test("simhashHammingPairs: block keys mask off bit 63's sign extension") {
     // Two identical docs must collide in EVERY block even when bit 63 is
     // set on their shared signature (arithmetic shift would otherwise

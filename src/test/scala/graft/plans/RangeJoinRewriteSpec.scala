@@ -108,6 +108,49 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted intervals (lo > hi) bin to an empty sequence, not descending bins") {
+    withExtSession { s =>
+      import s.implicits._
+      // before the guard, Sequence auto-stepped -1 over the inverted
+      // range and generated spurious candidate bins (correct after the
+      // exact filter, but wasted join work — and a huge inverted span
+      // would explode). Now: zero bins, zero candidates, same rows.
+      val i = Seq((1L, 1L, 20L, 10L), (2L, 1L, 5L, 15L))
+        .toDF("iid", "k", "lo", "hi").as("i")
+      val p = points(s).as("p")
+      def q = i.join(p, $"i.k" === $"p.k" && $"p.ts" >= $"i.lo" && $"p.ts" < $"i.hi")
+        .select($"iid", $"pid")
+      s.conf.unset("spark.graft.rangeJoin.binWidth")
+      val expected = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected.nonEmpty && expected.forall(_._1 == 2L),
+        "precondition: the inverted interval matches nothing")
+      s.conf.set("spark.graft.rangeJoin.binWidth", "10")
+      assert(q.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    }
+  }
+
+  test("an interval spanning more than maxBins fails fast with a remediation-pointing error") {
+    withExtSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.rangeJoin.binWidth", "1")
+      s.conf.set("spark.graft.rangeJoin.maxBins", "10")
+      try {
+        val i = Seq((1L, 1L, 0L, 100000L)).toDF("iid", "k", "lo", "hi").as("i")
+        val p = points(s).as("p")
+        val q = i.join(p, $"i.k" === $"p.k" && $"p.ts" >= $"i.lo" && $"p.ts" < $"i.hi")
+          .select($"iid", $"pid")
+        assert(q.queryExecution.executedPlan.toString.contains("__graft_bin"),
+          "precondition: the rewrite fired")
+        val e = intercept[Throwable](q.collect())
+        val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .flatMap(t => Option(t.getMessage)).mkString(" | ")
+        assert(messages.contains("rangeJoin"),
+          s"error must point at the binWidth/maxBins confs, got: $messages")
+      } finally s.conf.unset("spark.graft.rangeJoin.maxBins")
+    }
+  }
+
   test("hand-built RangeJoin plans are left alone (idempotence guard on __bin keys)") {
     withExtSession { s =>
       s.conf.set("spark.graft.rangeJoin.binWidth", "10")

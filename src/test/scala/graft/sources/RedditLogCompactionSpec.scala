@@ -229,6 +229,47 @@ class RedditLogCompactionSpec extends AnyFunSuite {
     } finally RedditLog.leasePlanGraceMillis = prevGrace
   }
 
+  test("an unlistable shared lease store defers gc instead of failing open") {
+    val dir = Files.createTempDirectory("rlog-lease-unknown").toString
+    (0 until 4).foreach(k => RedditLog.writeSegment(dir, ((k * 10 + 1).toLong to (k * 10 + 10).toLong).map(row)))
+    val prevGrace = RedditLog.leasePlanGraceMillis
+    RedditLog.leasePlanGraceMillis = 0L
+    try {
+      Thread.sleep(2100) // clear the mtime-granularity slack
+      val replaced = RedditLog.compact(dir, targetRows = 20L)
+      assert(replaced.nonEmpty)
+      Thread.sleep(5)
+      // simulate an I/O-erroring store scan: `_leases` exists but is a
+      // regular FILE, so listFiles() returns null — indistinguishable
+      // from a transient FS error, which must NOT read as "no leases"
+      val storeRoot = new java.io.File(dir, "_leases")
+      if (storeRoot.exists()) storeRoot.delete()
+      Files.write(storeRoot.toPath, Array[Byte]('x'))
+      assert(RedditLog.gcSweep(dir, graceMillis = 0L).isEmpty,
+        "sweep must defer deletion while the shared store is unreadable")
+      // the store heals (file gone → definitively lease-free): same
+      // sweep now reclaims the replaced generation
+      assert(storeRoot.delete())
+      assert(RedditLog.gcSweep(dir, graceMillis = 0L).map(_.getName).toSet
+        == replaced.map(_.getName).toSet)
+      assert(ids(dir) == (1L to 40L))
+    } finally RedditLog.leasePlanGraceMillis = prevGrace
+  }
+
+  test("deleting lease id N leaves lease id N-prefixed siblings (12 vs 123) intact") {
+    val dir = Files.createTempDirectory("rlog-lease-prefix").toString
+    val root = new java.io.File(dir, "_leases"); root.mkdirs()
+    val now = System.currentTimeMillis().toString.getBytes
+    Files.write(new java.io.File(root, "lease-12").toPath, now)
+    Files.write(new java.io.File(root, "lease-12.open-a").toPath, Array.empty[Byte])
+    Files.write(new java.io.File(root, "lease-123").toPath, now)
+    Files.write(new java.io.File(root, "lease-123.open-b").toPath, Array.empty[Byte])
+    RedditLog.deleteLeaseFile(dir, 12L)
+    val left = root.listFiles().map(_.getName).toSet
+    assert(left == Set("lease-123", "lease-123.open-b"),
+      s"prefix match deleted another planner's live lease: $left")
+  }
+
   test("singleton groups keep their original file (no rewrite churn)") {
     val dir = Files.createTempDirectory("rlog-sg").toString
     RedditLog.writeSegment(dir, (1L to 500L).map(row))   // already big
