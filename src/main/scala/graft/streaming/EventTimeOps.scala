@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.util.sketch.BloomFilter
+import scala.jdk.CollectionConverters._
 
 /** One closed per-author activity session (top-level for Encoder codegen). */
 case class AuthorSession(author: String, start_utc: Long, end_utc: Long,
@@ -43,7 +46,9 @@ object EventTimeOps {
     * aggregation — partial-merged across micro-batches, state freed
     * when the watermark closes the window. Below k distinct authors the
     * buffer IS the distinct set, so small windows report exactly.
-    * Author hashing uses the engine-portable 60-bit md5 family.
+    * Author hashing is [[graft.operators.Dedup.hash60]] — the single
+    * shared engine-portable md5 construction (one definition, every
+    * call site).
     */
   def windowedDistinctAuthors(envelope: DataFrame,
       windowLen: String = "1 minute", lateness: String = "2 minutes",
@@ -52,12 +57,133 @@ object EventTimeOps {
     envelope
       .withColumn("event_time", timestamp_seconds(col("created_utc")))
       .withWatermark("event_time", lateness)
-      .withColumn("ah",
-        conv(substring(md5(col("author")), 1, 15), 16, 10).cast("long"))
+      .withColumn("ah", graft.operators.Dedup.hash60(col("author")))
       .groupBy(window(col("event_time"), windowLen))
       .agg(count(lit(1)).as("n_events"), kmv(col("ah")).as("distinct_authors"))
       .select(col("window.start").as("window_start"),
         col("n_events"), col("distinct_authors"))
+  }
+
+  /** Observable lifecycle of one [[bloomDedupIngest]] stream: batch
+    * count and every per-batch broadcast handle AFTER its destroy — so
+    * specs (and ops dashboards) can assert that executor memory carries
+    * exactly one live sketch generation, not one per elapsed batch.
+    */
+  final class BloomIngestHandle private[streaming] () {
+    private[streaming] val destroyed =
+      new java.util.concurrent.CopyOnWriteArrayList[Broadcast[BloomFilter]]
+    @volatile private[streaming] var batches: Long = 0L
+    def batchesProcessed: Long = batches
+    def destroyedBroadcasts: Seq[Broadcast[BloomFilter]] = destroyed.asScala.toSeq
+  }
+
+  /** Ingest-time curation twin of the batch keep-list — the streaming
+    * half of [[graft.operators.Dedup.bloomDedup]] (d11) that feeds
+    * [[graft.operators.Curation.keepList]]'s batch side: per-micro-batch
+    * Bloom dedup of an arriving document stream (doc_id, text, time)
+    * against a history corpus, composed with Spark's exact
+    * bounded-state dedup for the recent horizon.
+    *
+    * Division of labor (each regime gets the cheapest sound tool):
+    *  - duplicates WITHIN the watermark horizon never reach the sketch:
+    *    `dropDuplicatesWithinWatermark` on the content digest removes
+    *    them EXACTLY with watermark-bounded state (null digests are
+    *    keyed by doc_id so null text is never "equal" to other null
+    *    text — the d11 NULL-never-dups policy);
+    *  - duplicates of the HISTORY corpus bloom-hit the history sketch
+    *    and are exactness-verified by a semi-join carrying only the hit
+    *    stream (false positives cannot drop a history-clean doc —
+    *    identical contract to d11);
+    *  - duplicates of docs ACCEPTED in batches beyond the horizon hit
+    *    the accepted-sketch and are dropped at bloom confidence — the
+    *    documented ~fpp false-drop trade every production ingest
+    *    pipeline makes, because exact state for all-time accepted
+    *    content is precisely the unbounded state streaming cannot hold.
+    *
+    * Scale shape (the 100 TB contract):
+    *  - history is aggregated ONCE per stream — the master sketch is
+    *    built by one distributed treeAggregate before the first batch;
+    *    micro-batches never re-scan history to build sketches (the
+    *    exact-verify join scans only the hit stream against the history
+    *    digest relation);
+    *  - per batch, both sketches are broadcast, applied scan-side, and
+    *    DESTROYED once the caller's `sink` returns (the sink must
+    *    materialize the decisions first — foreachBatch output is
+    *    consumed inside the callback);
+    *  - accepted digests fold back into the driver-resident accepted
+    *    master via a tiny per-batch sketch built from the batch alone
+    *    (same (expectedItems, fpp) → mergeable), so the accepted filter
+    *    grows by merge, never by re-aggregation.
+    *
+    * Emits per batch via `sink`: (doc_id, is_dup, dup_kind) with
+    * dup_kind ∈ ('history' — exact-verified | 'ingested' —
+    * sketch-believed | null — kept). Returns the un-started writer plus
+    * the lifecycle [[BloomIngestHandle]].
+    */
+  def bloomDedupIngest(stream: DataFrame, history: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03,
+      lateness: String = "2 minutes", timeCol: String = "created_utc")(
+      sink: (DataFrame, Long) => Unit): (DataStreamWriter[Row], BloomIngestHandle) = {
+    val spark = history.sparkSession
+    val sc = spark.sparkContext
+    val histDigests = history
+      .select(sha2(col("text"), 256).as("digest"))
+      .filter(col("digest").isNotNull).distinct()
+    val histMaster = histDigests.stat.bloomFilter("digest", expectedItems, fpp)
+    val accMaster = BloomFilter.create(expectedItems, fpp)
+    val handle = new BloomIngestHandle
+    val deduped = stream
+      .withColumn("event_time", timestamp_seconds(col(timeCol)))
+      .withWatermark("event_time", lateness)
+      .withColumn("digest", sha2(col("text"), 256))
+      .withColumn("dedup_key",
+        coalesce(col("digest"), concat(lit("null:"), col("doc_id"))))
+      .dropDuplicatesWithinWatermark("dedup_key")
+    val writer = deduped.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      // watermark-advance batches carry no rows: no decisions, no
+      // broadcasts (and stat.bloomFilter NPEs on an empty frame)
+      if (!batch.isEmpty) {
+      val bcHist = sc.broadcast(histMaster)
+      val bcAcc = sc.broadcast(accMaster)
+      try {
+        val hitHist = udf((d: String) => d != null && bcHist.value.mightContainString(d))
+        val hitAcc = udf((d: String) => d != null && bcAcc.value.mightContainString(d))
+        val digests = batch.select(col("doc_id"), col("digest"))
+        // misses of BOTH sketches short-circuit scan-side (no false
+        // negatives → provably clean) and never shuffle
+        val clean = digests.filter(!hitHist(col("digest")) && !hitAcc(col("digest")))
+          .select(col("doc_id"), lit(false).as("is_dup"),
+            lit(null).cast("string").as("dup_kind"))
+        val suspects = digests
+          .filter(hitHist(col("digest")) || hitAcc(col("digest")))
+          .withColumn("acc_hit", hitAcc(col("digest")))
+          .join(histDigests.withColumn("hist_mark", lit(true)),
+            Seq("digest"), "left_outer")
+          .select(col("doc_id"),
+            (coalesce(col("hist_mark"), lit(false)) || col("acc_hit")).as("is_dup"),
+            when(coalesce(col("hist_mark"), lit(false)), lit("history"))
+              .when(col("acc_hit"), lit("ingested"))
+              .otherwise(lit(null).cast("string")).as("dup_kind"))
+        val out = clean.unionByName(suspects)
+        sink(out, batchId)
+        // fold THIS batch's accepted digests into the accepted master:
+        // a sketch over the micro-batch alone, merged driver-side
+        // (all-dup batches accept nothing — and an empty-frame sketch
+        // build would NPE)
+        val acceptedDigests = out.filter(!col("is_dup"))
+          .join(digests, Seq("doc_id"))
+          .filter(col("digest").isNotNull)
+        if (!acceptedDigests.isEmpty)
+          accMaster.mergeInPlace(
+            acceptedDigests.stat.bloomFilter("digest", expectedItems, fpp))
+        handle.batches += 1
+      } finally {
+        bcHist.destroy(); bcAcc.destroy()
+        handle.destroyed.add(bcHist); handle.destroyed.add(bcAcc)
+      }
+      }
+    }
+    (writer, handle)
   }
 
   /** Stream-stream inner join: comments matched to submissions in the

@@ -41,6 +41,51 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(2L, 4L, 6L), ids.toString)
   }
 
+  test("bloomDedupIngest: per-batch dedup decisions; broadcasts destroyed every micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val history = Seq((100L, "h1"), (101L, "h2")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String, Long)]
+    val stream = input.toDF().toDF("doc_id", "text", "created_utc")
+    val decisions = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Long, Boolean, String)]]
+    val (writer, handle) = EventTimeOps.bloomDedupIngest(stream, history)(
+      (out, id) => decisions.put(id,
+        out.collect().toSeq.map(r =>
+          (r.getLong(0), r.getBoolean(1), if (r.isNullAt(2)) null else r.getString(2)))))
+    val q = writer.start()
+    try {
+      // batch 1: one history dup, one clean doc
+      input.addData((1L, "h1", 600L), (2L, "n1", 601L))
+      q.processAllAvailable()
+      // batch 2: watermark pusher (far future) so batch 1's exact-dedup
+      // state expires and later repeats must rely on the accepted sketch
+      input.addData((5L, "zzz", 100000L))
+      q.processAllAvailable()
+      // batch 3: repeat of batch 1's ACCEPTED doc, beyond the exact
+      // horizon → sketch-believed 'ingested' dup; plus a clean doc
+      input.addData((6L, "n1", 99990L), (7L, "n2", 99991L))
+      q.processAllAvailable()
+
+      val all = decisions.values().asScala.flatten.toSeq
+      val byDoc = all.map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(byDoc(1L) == ((true, "history")), s"doc 1: ${byDoc.get(1L)}")
+      assert(byDoc(2L) == ((false, null)), s"doc 2: ${byDoc.get(2L)}")
+      assert(byDoc(6L) == ((true, "ingested")),
+        s"doc 6 must be sketch-believed dup of accepted doc 2: ${byDoc.get(6L)}")
+      assert(byDoc(7L) == ((false, null)), s"doc 7: ${byDoc.get(7L)}")
+      // ≥ 2 real micro-batches processed, decisions recorded per batch
+      assert(handle.batchesProcessed >= 2, s"batches=${handle.batchesProcessed}")
+      assert(decisions.size() >= 2)
+      // broadcast cleanup: two sketches per batch, all destroyed —
+      // dereferencing any of them must now fail
+      assert(handle.destroyedBroadcasts.size == 2 * handle.batchesProcessed)
+      handle.destroyedBroadcasts.foreach { bc =>
+        intercept[org.apache.spark.SparkException](bc.value)
+      }
+    } finally q.stop()
+  }
+
   test("windowed counts: tumbling event-time windows with watermark") {
     val dir = Files.createTempDirectory("wlog").toString
     // two 1-minute windows for 'news' (600..659, 660..719), one for 'aww'
