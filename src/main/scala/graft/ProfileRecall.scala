@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement harness for the ANN index-quality levers (round-7 verdict
+  * items #3/#4): prints mean recall@k of the composed IVF-PQ index vs
+  * the exact cosine baseline, over the RAW corpus (e15's registered
+  * configuration) and the unit-NORMALIZED corpus (e16's), at 1..3 PQ
+  * training passes each. The normalized column isolates index quality
+  * from the ADC-L2-vs-cosine metric mismatch; the passes axis answers
+  * "does iterating Lloyd on the sub-codebooks pay?" with e15's own
+  * device. Findings land in BENCH_NOTES.md.
+  */
+object ProfileRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Resolution levers: the registered rows use mod=50, k=3 (10 queries
+    // × 3 slots at sf0.01 — one hit moves the mean by 0.033); measuring
+    // with more queries and deeper k separates signal from quantization.
+    val mod = sys.env.getOrElse("SPARK_GRAFT_RECALL_MOD", "10").toInt
+    val k = sys.env.getOrElse("SPARK_GRAFT_RECALL_K", "10").toInt
+
+    val raw = Tables.embeddings(spark, sfDir)
+    val unit = Similarity.unitNormalized(raw)
+    val pred = col("vec_id") % mod === 0
+
+    def mean(corpusName: String, corpus: org.apache.spark.sql.DataFrame, passes: Int): Unit = {
+      val r = Similarity.annRecall(corpus, pred, k, 16, 4, 8, 16, passes)
+        .agg(avg(col("recall")).as("mean_recall"), count(lit(1)).as("n_queries"))
+        .collect().head
+      println(f"RECALL corpus=$corpusName%-10s passes=$passes k=$k mod=$mod  " +
+        f"mean_recall=${r.getDouble(0)}%.4f  n_queries=${r.getLong(1)}")
+    }
+
+    for (p <- 1 to 3) mean("raw", raw, p)
+    for (p <- 1 to 3) mean("normalized", unit, p)
+    spark.stop()
+  }
+}

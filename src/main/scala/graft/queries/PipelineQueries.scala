@@ -45,6 +45,7 @@ object PipelineQueries {
   private val CHUNK_STRIDE = 48  // d23 window stride (overlap = 16)
   private val CDC_MODULUS = 8    // d25 expected content-defined chunk length
   private val KMEANS_ITERS = 2   // e08 Lloyd passes
+  private val PQ_PASSES = 2      // e11b PQ training passes
 
   /** d24 target mixture + token budget (Seq: deterministic SQL order). */
   private val MIX_TARGETS = Seq("en" -> 0.4, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1)
@@ -398,6 +399,26 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
         .orderBy(col("query_id"))),
 
+    // e15 with the metric skew removed: the SAME measurement over the
+    // unit-normalized corpus, where ADC-L2 and cosine rank identically
+    // — recall now reads as pure index quality. Measured finding: this
+    // corpus is ALREADY unit-norm, so e16 ties e15 here and the e15
+    // deficit is index quality, not metric skew (Similarity.annRecall
+    // doc; the Round8 spec shows the strict win on scale-skewed data)
+    "e16_ann_recall_norm" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annRecall(
+        Similarity.unitNormalized(Tables.embeddings(spark, dir)),
+        col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
+        .orderBy(col("query_id"))),
+
+    // iterated PQ training: pass-1 means become the pass-2 assignment
+    // book (keep-old-centroid per pass) — the train loop whose payoff
+    // e15/e16 measure (Similarity.pqTrainIterated doc)
+    "e11b_pq_train_iter" -> ((spark: SparkSession, dir: String) =>
+      Similarity.pqTrainIterated(Tables.embeddings(spark, dir), PQ_M, PQ_KS,
+        PQ_PASSES)
+        .orderBy(col("sub"), col("code"), col("dim"))),
+
     // IVF alternative to the LSH family: literal-centroid assignment
     // scan-side, probe the 4 nearest of 16 cells (Similarity.ivfTopK doc)
     "e04_ivf_ann" -> ((spark: SparkSession, dir: String) =>
@@ -443,11 +464,28 @@ object PipelineQueries {
     * per-centroid ranking for probe selection) — shared by e04 and e07
     * so index use and index training check against one assignment.
     */
-  private lazy val ivfAsgCtes =
-    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+  private val vHeadRaw =
+    "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
+
+  /** The `v` head over the UNIT-NORMALIZED corpus (mirror of
+    * [[graft.operators.Similarity.unitNormalized]]): each component
+    * divided by the vector's own L2 norm — same `list_dot_product`
+    * fold, same double division, so the normalized components are
+    * bit-identical cross-engine. Everything downstream of `v` stacks
+    * unchanged, which is the point: e16 IS e15 with this head.
+    */
+  private val vHeadUnit =
+    """v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e0,
+      |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nr
+      |       FROM embeddings),
+      |v AS (SELECT vec_id, list_transform(e0, x -> x / nr) AS e FROM v0)""".stripMargin.replace("\n", " ")
+
+  private lazy val ivfAsgAfterV =
+    s"""n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
        |cent AS (SELECT vec_id AS cid, e AS ce, sqrt(list_dot_product(e, e)) AS cn FROM v WHERE vec_id < $IVF_CELLS),
        |${centroidAsgCtes("", "cent")}""".stripMargin
+
+  private lazy val ivfAsgCtes = s"$vHeadRaw,\n$ivfAsgAfterV"
 
   /** Nearest-centroid assignment against centroid CTE `centCte`
     * (cid, ce, cn) — ends in `cells$suffix(vid, cell)`. The tie-break
@@ -596,21 +634,29 @@ object PipelineQueries {
   private lazy val pqTrainedGridJoins = (1 to PQ_M)
     .map(s => s"JOIN grid g$s ON g$s.sub = $s AND g$s.code = w.c$s").mkString(" ")
 
-  /** The e11 training tail (consumes [[pqCodesCtes]]'s `pcodes`/`v`):
-    * per-(sub, code, dim) DECIMAL(28,8) member means, ending in
-    * `mt(sub, code, dim, nm, val)` — shared by e11 and e12 so training
-    * and trained-encoding check against one mean pipeline.
+  /** Per-(sub, code, dim) DECIMAL(28,8) member means of the codes CTE
+    * `codesCte(vid, sub, code)` (consumes a chain defining `v`), ending
+    * in `mt$suffix(sub, code, dim, nm, val)` — the mean fold every PQ
+    * training pass shares (mirror of Similarity.pqMeans). e11/e12 run
+    * it over the seed assignment `pcodes`; e11b runs a second copy over
+    * the trained re-assignment `tcodes`.
     */
-  private lazy val pqTrainCtes = {
+  private def pqMeanCtes(suffix: String, codesCte: String) = {
     val subDim = PQ_DIMS / PQ_M
-    s"""x1 AS (SELECT p.sub, p.code, v.e, unnest(range(1, $subDim + 1)) AS dim
-       |       FROM pcodes p JOIN v ON v.vec_id = p.vid),
-       |x2 AS (SELECT sub, code, dim,
-       |       CAST(e[CAST((sub - 1) * $subDim + dim AS INT)] AS DECIMAL(28,8)) AS x FROM x1),
-       |mt AS (SELECT sub, code, dim, count(*) AS nm,
+    s"""x1$suffix AS (SELECT p.sub, p.code, v.e, unnest(range(1, $subDim + 1)) AS dim
+       |       FROM $codesCte p JOIN v ON v.vec_id = p.vid),
+       |x2$suffix AS (SELECT sub, code, dim,
+       |       CAST(e[CAST((sub - 1) * $subDim + dim AS INT)] AS DECIMAL(28,8)) AS x FROM x1$suffix),
+       |mt$suffix AS (SELECT sub, code, dim, count(*) AS nm,
        |       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS val
-       |       FROM x2 GROUP BY 1, 2, 3)""".stripMargin.replace("\n", " ")
+       |       FROM x2$suffix GROUP BY 1, 2, 3)""".stripMargin.replace("\n", " ")
   }
+
+  /** The e11 training tail (consumes [[pqCodesCtes]]'s `pcodes`/`v`):
+    * ends in `mt(sub, code, dim, nm, val)` — shared by e11 and e12 so
+    * training and trained-encoding check against one mean pipeline.
+    */
+  private lazy val pqTrainCtes = pqMeanCtes("", "pcodes")
 
   /** Mirror of [[graft.operators.Similarity.nearDupPairs]] as one CTE
     * chain ending in `pairs(a, b, cosine)` — shared by d10 and e05 so a
@@ -1261,6 +1307,19 @@ object PipelineQueries {
          |  CAST(dim AS BIGINT) AS dim, CAST(nm AS BIGINT) AS n_members, val
          |FROM mt ORDER BY sub, code, dim""".stripMargin.replace("\n", " "),
 
+    // mirror of Similarity.pqTrainIterated(2): e12's trained-grid
+    // re-assignment (tcodes — the pass-2 assignment, shared CTEs so the
+    // passes cannot desynchronize), then a second copy of the SAME mean
+    // fold over it
+    "e11b_pq_train_iter" ->
+      s"""WITH $pqCodesCtes,
+         |${pqTrainCtes},
+         |$pqTrainedGridCtes,
+         |${pqMeanCtes("b", "tcodes")}
+         |SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+         |  CAST(dim AS BIGINT) AS dim, CAST(nm AS BIGINT) AS n_members, val
+         |FROM mtb ORDER BY sub, code, dim""".stripMargin.replace("\n", " "),
+
     // mirror of Similarity.pqEncodeTrained: e11's means rebuilt into
     // the trained-or-seed grid (pqTrainedGridCtes — shared with
     // e13/e14), then the SAME per-subspace assignment chains re-run
@@ -1314,6 +1373,38 @@ object PipelineQueries {
     // count per query — recall as an exact n/k rational
     "e15_ann_recall" ->
       s"""WITH $ivfAsgCtes,
+         |$pqCodesAfterV,
+         |${pqTrainCtes},
+         |$pqTrainedGridCtes,
+         |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
+         |sc AS (SELECT pr.query_id, cl.vid AS neighbor_id, $pqTrainedDist AS adc_dist
+         |       FROM probes pr JOIN cells cl USING (cell)
+         |       JOIN pcw2 w ON w.vid = cl.vid
+         |       JOIN v q ON q.vec_id = pr.query_id
+         |       $pqTrainedGridJoins
+         |       WHERE cl.vid <> pr.query_id),
+         |ap3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY adc_dist ASC, neighbor_id ASC) AS rk FROM sc) WHERE rk <= $PQ_K),
+         |pex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |        FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |ex3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM pex) WHERE rk <= $PQ_K),
+         |hits AS (SELECT e.query_id, count(*) AS n_hit
+         |         FROM ex3 e JOIN ap3 a USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(n_hit, 0) AS DOUBLE) / $PQ_K AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex3) q LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin.replace("\n", " "),
+
+    // e15's chain verbatim with the unit-normalized v head (vHeadUnit
+    // doc) — the ONLY difference between the two oracles, matching the
+    // Scala side where e16 is annRecall over unitNormalized
+    "e16_ann_recall_norm" ->
+      s"""WITH $vHeadUnit,
+         |$ivfAsgAfterV,
          |$pqCodesAfterV,
          |${pqTrainCtes},
          |$pqTrainedGridCtes,

@@ -100,6 +100,57 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(distNullCode.eval(null) == null)
   }
 
+  // ---- ANN recall levers: normalization (e16) + iterated PQ training (e11b) ----
+
+  test("unitNormalized: every output vector is unit-norm") {
+    val norms = Similarity.normalized(
+        Similarity.unitNormalized(Tables.embeddings(spark, dir)))
+      .select(col("nrm")).as[Double].collect()
+    assert(norms.nonEmpty)
+    assert(norms.forall(v => math.abs(v - 1.0) < 1e-12),
+      s"max deviation ${norms.map(v => math.abs(v - 1.0)).max}")
+  }
+
+  test("annRecall: normalization strictly wins on a norm-skewed corpus (e16's reason to exist)") {
+    // The shipped corpus is already unit-norm, so e16 ties e15 there
+    // (measured — annRecall doc). THIS corpus is the one the operator is
+    // for: per-vector scale factors 1..5 leave every cosine (and hence
+    // the exact baseline) unchanged up to float rounding, but put raw
+    // ADC-L2 on magnitudes that swamp angular structure.
+    val skew = Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> x * cast(1 + vec_id % 5 as float))").as("embedding"))
+    def meanRecall(corpus: org.apache.spark.sql.DataFrame): Double =
+      Similarity.annRecall(corpus, col("vec_id") % 10 === 0, 10)
+        .agg(avg(col("recall"))).as[Double].collect().head
+    val raw = meanRecall(skew)
+    val norm = meanRecall(Similarity.unitNormalized(skew))
+    assert(norm > raw, s"normalized=$norm raw=$raw — normalization should dominate on skewed norms")
+  }
+
+  test("pqTrainIterated: one pass IS pqTrain") {
+    val emb = Tables.embeddings(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(rows(Similarity.pqTrainIterated(emb, passes = 1)) ==
+      rows(Similarity.pqTrain(emb)))
+  }
+
+  test("pqTrainIterated: the second pass moves the book within the same grid") {
+    val emb = Tables.embeddings(spark, dir)
+    def byKey(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._5).toMap
+    val p1 = byKey(Similarity.pqTrainIterated(emb, passes = 1))
+    val p2 = byKey(Similarity.pqTrainIterated(emb, passes = 2))
+    // same (sub, code, dim) key space family: every key within the 8×16 grid
+    assert(p2.keys.forall { case (s, c, d) => s >= 1 && s <= 8 && c >= 0 && c < 16 && d >= 1 && d <= 8 })
+    // Lloyd moved at least one centroid component between passes
+    val shared = p1.keySet intersect p2.keySet
+    assert(shared.nonEmpty)
+    assert(shared.exists(k => p1(k) != p2(k)),
+      "pass 2 produced identical means — iteration is a no-op")
+  }
+
   test("simhashHammingPairs: block keys mask off bit 63's sign extension") {
     // Two identical docs must collide in EVERY block even when bit 63 is
     // set on their shared signature (arithmetic shift would otherwise
