@@ -53,16 +53,18 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val detailed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = once(name, fn)
       // a flaky SECOND run must not erase a real first measurement
       // (min(5.2, -1.0) would report a successful query as failed)
-      val b = if (a < 0) a else {
-        val a2 = once(name, fn)
-        if (a2 < 0) a else math.min(a, a2)
+      val runs = if (a < 0) Seq(a) else Seq(a, once(name, fn))
+      val best = if (a < 0) a else runs.filter(_ >= 0) match {
+        case ok if ok.nonEmpty => ok.min
+        case _                 => a
       }
-      name -> b
+      (name, best, runs)
     }
+    val results = detailed.map { case (name, best, _) => name -> best }
     // round to ms so the stdout line stays well under capture-buffer
     // limits (17-digit doubles × ~80 queries truncated round 6's
     // artifact mid-line); ms resolution is below this box's noise floor
@@ -77,12 +79,22 @@ object Bench {
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""runs":2,"agg":"min","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(line)
+    // Per-run numbers (not just the min) go in the FILE dump only — the
+    // stdout line stays small (a capture buffer once truncated it
+    // mid-line) while drift analysis can separate box noise from real
+    // trend without re-running the suite: a query whose two runs
+    // straddle a regression shows it here, and the best-of line above
+    // stays the steady-state contract.
+    val runsDetail = detailed.map { case (name, _, runs) =>
+      "\"" + name + "\":[" + runs.map(ms).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","runs_detail":$runsDetail}"""
     // belt and braces: persist the same line so a truncated stdout
     // capture can never lose the round's numbers
     try {
       val p = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(p, (fileLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file dump failed: $e") }
     spark.stop()
   }
