@@ -17,6 +17,13 @@ final case class ApiError(status: Int, message: String)
   *  - `types`: only first `type` value considered; `comment*`/`rc` →
   *    comments, `submission*`/`rs` → submissions; absent → both; an
   *    unrecognized value matches neither (sse.py:56-57, 180, 223).
+  *    Documented superset deviation: `subreddit*`/`rr` selects the
+  *    subreddit-creation feed — an event type the reference DOCUMENTS
+  *    but never implemented (README.md:42-46, "rr … Currently
+  *    Implemented: No"; `type=subreddits` matched neither branch there
+  *    and emitted nothing). rr is live-only: it joins neither default
+  *    (`type` absent still means rc+rs, as in the reference) and has no
+  *    backfill/start_id resume params.
   *  - author/subreddit whitelists are exact, case-sensitive membership
   *    (sse.py:169-175). Documented deviation: we additionally split on
   *    commas (README.md:18,20 promises it; the reference code does not —
@@ -46,6 +53,7 @@ final case class ParamSpec(
     submissionStartId: Option[Long] = None) {
   def wantsComments: Boolean = types.contains("rc")
   def wantsSubmissions: Boolean = types.contains("rs")
+  def wantsSubreddits: Boolean = types.contains("rr")
   def hasWhitelist: Boolean =
     authors.nonEmpty || subreddits.nonEmpty || domains.nonEmpty
 }
@@ -83,7 +91,10 @@ object ParamSpec {
       case Some(t) =>
         val rc = if (t.startsWith("comment") || t == "rc") Set("rc") else Set.empty[String]
         val rs = if (t.startsWith("submission") || t == "rs") Set("rs") else Set.empty[String]
-        rc ++ rs
+        // superset: the reference documents rr but never implemented it
+        // (class scaladoc); the prefix match mirrors the rc/rs branches
+        val rr = if (t.startsWith("subreddit") || t == "rr") Set("rr") else Set.empty[String]
+        rc ++ rs ++ rr
     }
 
     def multi(k: String): Seq[String] =

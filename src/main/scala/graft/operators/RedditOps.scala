@@ -93,7 +93,9 @@ object RedditOps {
     * comments before submissions ('rc' < 'rs'), then id for full
     * determinism. The reference sorts the *string* epoch lexicographically —
     * identical order for equal-width epochs; we sort the numeric column
-    * (SURVEY.md §7.4).
+    * (SURVEY.md §7.4). The rr superset feed slots between on ties
+    * ('rc' < 'rr' < 'rs') — vacuous in practice, since rr is a
+    * standalone mask and never shares a batch with rc/rs.
     */
   val emitOrder: Seq[Column] =
     Seq(col("created_utc").asc, col("event").asc, col("id").asc)

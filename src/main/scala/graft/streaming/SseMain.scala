@@ -12,8 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 object SseMain {
   def main(args: Array[String]): Unit = {
+    // usage: rcDir rsDir [port [rrDir]] — rrDir opts into the rr
+    // superset feed (SseServer "rr" scaladoc)
     val Array(rcDir, rsDir, rest @ _*) = args
     val port = rest.headOption.map(_.toInt).getOrElse(8642)
+    val rrDir = rest.lift(1).orNull
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-sse")
@@ -22,8 +25,9 @@ object SseMain {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = new SseServer(spark, rcDir, rsDir, port).start()
-    println(s"[sse] serving on http://localhost:${server.boundPort}/ (logs: $rcDir, $rsDir)")
+    val server = new SseServer(spark, rcDir, rsDir, rrPath = rrDir, port = port).start()
+    println(s"[sse] serving on http://localhost:${server.boundPort}/ (logs: $rcDir, $rsDir" +
+      Option(rrDir).map(d => s", $d").getOrElse("") + ")")
     sys.addShutdownHook(server.stop())
     Thread.currentThread().join()
   }

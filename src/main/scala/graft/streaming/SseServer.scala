@@ -68,8 +68,22 @@ import scala.jdk.CollectionConverters._
   *  - gzip on the event stream when the client sends
   *    `Accept-Encoding: gzip` (sync-flushed per frame so streaming
   *    latency is preserved).
+  *
+  * ==rr: the third log (documented superset)==
+  * The reference documents a subreddit-creation event type `rr` but
+  * never implemented it (/root/reference/README.md:42-46). Here
+  * `type=subreddits`/`rr` selects it when the server is constructed
+  * with an `rrPath` (else HTTP 400): its own standalone mask over the
+  * third log — an rc/rs fleet never lists the rr directory and vice
+  * versa — LIVE-ONLY (no backfill/start_id params exist for it, so no
+  * catch-up scan; boundary = connect-time watermark), excluded from the
+  * rc+rs default mask, and counted by NEITHER tcs nor tss (the
+  * keepalive payload stays reference-exact). Whitelist/attr filters and
+  * payload projection apply to rr envelopes like any other; emit order
+  * extends O1 alphabetically (rc < rr < rs on event-time ties).
   */
 class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
+    rrPath: String = null,
     port: Int = 0, keepAliveMillis: Long = 30000L,
     triggerMillis: Long = 200L, maxPerTrigger: Long = 100000L,
     maxConnsPerIp: Int = 0, queueCapacity: Int = 65536,
@@ -120,7 +134,13 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     */
   private final class Connection(val id: String, val spec: ParamSpec,
       val maskKey: String, val ip: String,
-      val rcBoundary: Long, val rsBoundary: Long) {
+      val rcBoundary: Long, val rsBoundary: Long,
+      val rrBoundary: Long = Long.MaxValue) {
+    /** rr is live-only (no backfill/start_id params — ParamSpec
+      * scaladoc), so its suppress threshold is definitionally the
+      * boundary: no catch-up scan ever claims ids below it.
+      */
+    def rrSuppress: Long = rrBoundary
     // volatile: written once by the handler thread during setup, read by
     // the writer loop AND by batch threads (the counter passes bound
     // resumed sides by suppress — handleBatch/handleTapBatch)
@@ -178,15 +198,28 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
 
   // ---------------- shared streaming queries (one per type mask) ----------------
 
-  /** "rc", "rs", or "rcrs" — the set of logs a connection's `type` param
-    * needs. An unrecognized/empty type set maps to both logs: nothing is
-    * ever emitted (F1 gates it) but the A1 counters still observe both
-    * feeds, like the reference's always-scanning loop.
+  /** "rc", "rs", "rr", or "rcrs" — the set of logs a connection's `type`
+    * param needs. An unrecognized/empty type set maps to both DEFAULT
+    * logs: nothing is ever emitted (F1 gates it) but the A1 counters
+    * still observe both feeds, like the reference's always-scanning
+    * loop. "rr" is the subreddit-creation feed the reference documents
+    * but never implemented (ParamSpec scaladoc) — its own standalone
+    * mask, never joined with rc/rs (the `type` param selects one value).
     */
   private def maskKeyOf(spec: ParamSpec): String =
     if (spec.types == Set("rc")) "rc"
     else if (spec.types == Set("rs")) "rs"
+    else if (spec.types == Set("rr")) "rr"
     else "rcrs"
+
+  /** Which source logs a mask's shared query scans — THE definition the
+    * tap filters, pin/boundary setup, and stream construction all read,
+    * so "does this mask read that log" cannot diverge between them.
+    */
+  private def maskReadsRc(maskKey: String): Boolean =
+    maskKey == "rc" || maskKey == "rcrs"
+  private def maskReadsRs(maskKey: String): Boolean =
+    maskKey == "rs" || maskKey == "rcrs"
 
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
   private val queryLock = new Object
@@ -275,6 +308,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   private def liveStream(maskKey: String): DataFrame = maskKey match {
     case "rc" => side(maskKey, rcPath)
     case "rs" => side(maskKey, rsPath)
+    case "rr" => side(maskKey, rrPath)
     case _    => side(maskKey, rcPath).unionByName(side(maskKey, rsPath))
   }
 
@@ -351,7 +385,8 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
   private def handleTapBatch(key: String, side: String, batch: DataFrame,
       batchId: Long): Unit = {
     val snapshot = conns.values.asScala
-      .filter(c => !c.closed && (if (side == "rc") c.maskKey == "rs" else c.maskKey == "rc"))
+      .filter(c => !c.closed &&
+        (if (side == "rc") !maskReadsRc(c.maskKey) else !maskReadsRs(c.maskKey)))
       .toSeq
     // no batch.isEmpty probe: foreachBatch only fires when offsets
     // advanced, the tap's single aggregate is as cheap as the probe
@@ -437,7 +472,8 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       // thresholds — Connection scaladoc)
       def boundaryPred(c: Connection): Column =
         (col("event") === "rc" && col("id") > lit(c.rcBoundary)) ||
-          (col("event") === "rs" && col("id") > lit(c.rsBoundary))
+          (col("event") === "rs" && col("id") > lit(c.rsBoundary)) ||
+          (col("event") === "rr" && col("id") > lit(c.rrBoundary))
 
       def tags(base: Connection => Column, predOf: Connection => Column): Column = filter(
         array(snapshot.map { c =>
@@ -464,7 +500,12 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       // at the crash for frame delivery (at-least-once; clients dedup
       // by id); counters share that one-batch residual (lastCounted
       // scaladoc).
-      val countThis = batchId > Option(lastCounted.get(maskKey)).map(_.toLong).getOrElse(-1L)
+      // The rr feed has NO counter: the reference keepalive payload is
+      // {"tcs","tss","tbs"} and stays so (counterPred's arms cover only
+      // rc/rs, so an rr batch would count nothing anyway — skipping the
+      // aggregate just saves the no-op job).
+      val countThis = maskKey != "rr" &&
+        batchId > Option(lastCounted.get(maskKey)).map(_.toLong).getOrElse(-1L)
       if (countThis) {
         val counted = batch
           .select(col("event"), explode(tags(counterPred, c =>
@@ -639,8 +680,16 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
         var c: Connection = null
         try {
           val maskKey = maskKeyOf(spec)
-          val maskHasRc = maskKey != "rs"
-          val maskHasRs = maskKey != "rc"
+          val maskHasRc = maskReadsRc(maskKey)
+          val maskHasRs = maskReadsRs(maskKey)
+          val maskHasRr = maskKey == "rr"
+          if (maskHasRr && rrPath == null) {
+            // explicit beats the reference's silent nothing: a server not
+            // configured with a subreddits log cannot serve the feed.
+            // (The enclosing finally releases the IP slot and closes.)
+            respondJson(ex, 400, """{"error": "subreddits feed not configured"}""")
+            return
+          }
           def futureStart(startId: Option[Long]): Long =
             startId.map(_ - 1).getOrElse(Long.MinValue)
           // live lower bounds (B0), read BEFORE registration — see the
@@ -651,6 +700,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           // boundary, so its start must be fixed at-or-before it)
           if (maskHasRc) pinSide(maskKey, rcPath)
           if (maskHasRs) pinSide(maskKey, rsPath)
+          if (maskHasRr) pinSide(maskKey, rrPath)
           if (counterParity && !maskHasRc) pinSide("tap:rc", rcPath)
           if (counterParity && !maskHasRs) pinSide("tap:rs", rsPath)
           // with counterParity even an excluded type gets a real live
@@ -663,7 +713,11 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
             rsBoundary =
               if (maskHasRs || counterParity)
                 math.max(RedditLog.maxId(rsPath), futureStart(spec.submissionStartId))
-              else Long.MaxValue)
+              else Long.MaxValue,
+            rrBoundary =
+              // live-only: everything above the connect-time watermark
+              // streams; nothing historical (no rr resume params)
+              if (maskHasRr) RedditLog.maxId(rrPath) else Long.MaxValue)
           conns.put(c.id, c)
           val healthKeys = Seq(maskKey) ++
             (if (counterParity && !maskHasRc) Seq("tap:rc") else Nil) ++
@@ -722,7 +776,8 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
                 // two-threshold hand-off (Connection scaladoc)
                 val suppressed =
                   (frame.event == "rc" && frame.id <= c.rcSuppress) ||
-                    (frame.event == "rs" && frame.id <= c.rsSuppress)
+                    (frame.event == "rs" && frame.id <= c.rsSuppress) ||
+                    (frame.event == "rr" && frame.id <= c.rrSuppress)
                 if (!suppressed) { write(frame.text); lastWrite = System.currentTimeMillis() }
               }
               val now = System.currentTimeMillis()

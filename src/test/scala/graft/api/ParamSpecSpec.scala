@@ -21,8 +21,12 @@ class ParamSpecSpec extends AnyFunSuite {
       assert(parse("type" -> t).toOption.get.types == Set("rc"), t)
     for (t <- Seq("submission", "submissions", "rs"))
       assert(parse("type" -> t).toOption.get.types == Set("rs"), t)
+    // superset: subreddit*/rr selects the rr feed the reference documents
+    // but never implemented (ParamSpec scaladoc; README.md:42-46)
+    for (t <- Seq("subreddit", "subreddits", "rr"))
+      assert(parse("type" -> t).toOption.get.types == Set("rr"), t)
     // unrecognized type matches neither (sse.py:56-57 semantics)
-    assert(parse("type" -> "subreddits").toOption.get.types.isEmpty)
+    assert(parse("type" -> "wiki").toOption.get.types.isEmpty)
   }
 
   test("only first type value considered (MultiDict semantics)") {
