@@ -641,11 +641,36 @@ object Similarity {
     */
   def annRecall(emb: DataFrame, queryPred: Column, k: Int,
       nCells: Int = 16, probes: Int = 4,
-      m: Int = 8, ks: Int = 16, passes: Int = 1): DataFrame = {
-    val exact = cosineTopK(emb, queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = ivfPqTopK(emb, queryPred, k, nCells, probes, m, ks, passes)
-      .select(col("query_id"), col("neighbor_id"))
+      m: Int = 8, ks: Int = 16, passes: Int = 1): DataFrame =
+    recallOf(
+      cosineTopK(emb, queryPred, k),
+      ivfPqTopK(emb, queryPred, k, nCells, probes, m, ks, passes), k)
+
+  /** Recall@k of the LSH family — [[annTopKMultiProbe]] measured against
+    * the same exact cosine baseline (e17; the sign-projection twin of
+    * [[annRecall]]'s IVF-PQ measurement, sharing [[recallOf]] so the two
+    * index families are scored by ONE definition). Multi-probe is the
+    * family's best-recall configuration; per query the score is
+    * |exact top-k ∩ LSH top-k| / k. A query whose bucket (plus
+    * Hamming-1 probes) holds fewer than k candidates simply scores the
+    * neighbors it found — missing candidates read as misses, which is
+    * the honest reading of bucket sparsity.
+    */
+  def annRecallLsh(emb: DataFrame, queryPred: Column, k: Int,
+      bits: Int = 6): DataFrame =
+    recallOf(
+      cosineTopK(emb, queryPred, k),
+      annTopKMultiProbe(emb, queryPred, k, bits), k)
+
+  /** The recall@k tail shared by every index-quality measurement
+    * (e15/e16/e17): per exact-side query, the hit count against the
+    * approximate top-k and the exact rational n/k. One semi-equi-join +
+    * one aggregate beyond the component queries.
+    */
+  private def recallOf(exactTopK: DataFrame, approxTopK: DataFrame,
+      k: Int): DataFrame = {
+    val exact = exactTopK.select(col("query_id"), col("neighbor_id"))
+    val approx = approxTopK.select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
     exact.select(col("query_id")).distinct()

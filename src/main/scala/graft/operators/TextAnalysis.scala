@@ -104,6 +104,35 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("tf"), col("df"))
   }
 
+  /** Out-of-vocabulary rate against the corpus's OWN top-`vocabK`
+    * vocabulary (d31) — the curation twin of the fixed-list stopword
+    * ratio in [[qualityScore]]: there the reference list is static;
+    * here it is a DERIVED artifact ([[vocab]]'s deterministic top-k
+    * cut), so the signal adapts to the corpus. High OOV = vocabulary
+    * far from the corpus core — boilerplate, code, non-target-language,
+    * or noise; a standard pre-training keep/drop feature.
+    *
+    * Scale shape: the vocabulary is driver-resident BY CONSTRUCTION
+    * (top-k of a partial-aggregated count, k rows collected once) and
+    * rides into a scan-side `isin` (compiles to an O(1)-lookup InSet,
+    * codegen'd — join-free); scoring is one token explode + one
+    * (doc_id) partial aggregate. A production-sized vocabulary (100k+)
+    * keeps the same shape via a broadcast-join membership probe instead
+    * of the literal InSet. The rate is an exact rational n_oov/n_tokens
+    * (one double division), so it hash-matches the oracle.
+    * Returns (doc_id, n_tokens, n_oov, oov_rate).
+    */
+  def oovRate(docs: DataFrame, vocabK: Int = 100): DataFrame = {
+    val top = vocab(docs, vocabK).select(col("token"))
+      .collect().map(_.getString(0)).toSeq
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("token").isin(top: _*), lit(0L)).otherwise(lit(1L))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
   /** BM25 relevance of every document against a fixed term set — the
     * retrieval scorer used to mine topical subsets out of a corpus
     * (quality-classifier seeds, domain mixtures). One scalar-aggregate

@@ -231,6 +231,14 @@ object PipelineQueries {
       TextAnalysis.vocab(Tables.documents(spark, dir))
         .orderBy(col("rank"))),
 
+    // OOV rate vs the corpus's own top-100 vocabulary — d15's artifact
+    // folded back as a scan-side InSet membership probe; the derived-
+    // vocabulary twin of d07's fixed stopword ratio
+    // (TextAnalysis.oovRate doc)
+    "d31_oov_rate" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.oovRate(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
     // THE end-to-end curation verdict: one row per TRAIN doc with the
     // full keep decision and its reason bits — dedup representative
     // (d12), decontaminated (d13), length + repetition quality gates
@@ -409,6 +417,14 @@ object PipelineQueries {
       Similarity.annRecall(
         Similarity.unitNormalized(Tables.embeddings(spark, dir)),
         col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
+        .orderBy(col("query_id"))),
+
+    // recall@k of the LSH multi-probe family vs the same exact baseline
+    // — the sign-projection twin of e15, one shared recall definition
+    // across both index families (Similarity.annRecallLsh doc)
+    "e17_ann_recall_lsh" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annRecallLsh(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, ANN_BITS)
         .orderBy(col("query_id"))),
 
     // iterated PQ training: pass-1 means become the pass-2 assignment
@@ -993,6 +1009,19 @@ object PipelineQueries {
         |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank, token, tf, df
         |FROM c ORDER BY tf DESC, token LIMIT 100""".stripMargin.replace("\n", " "),
 
+    // mirror of TextAnalysis.oovRate: d15's top-k cut (same tf desc,
+    // token asc total order) as the membership set, exact rational rate
+    "d31_oov_rate" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS tf FROM tk GROUP BY 1),
+        |v AS (SELECT token FROM c ORDER BY tf DESC, token LIMIT 100),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens,
+        |        sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END) AS n_oov
+        |        FROM tk GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
+        |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        |FROM agg ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
     // same 60-bit md5 uniform as the Spark side; the rate CASE mirrors
     // the Map fold in Sampling.stratified (unlisted strata → default)
     "d16_stratified_sample" ->
@@ -1418,6 +1447,35 @@ object PipelineQueries {
          |ap3 AS (SELECT query_id, neighbor_id FROM
          |  (SELECT *, row_number() OVER (PARTITION BY query_id
          |     ORDER BY adc_dist ASC, neighbor_id ASC) AS rk FROM sc) WHERE rk <= $PQ_K),
+         |pex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |        FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |ex3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM pex) WHERE rk <= $PQ_K),
+         |hits AS (SELECT e.query_id, count(*) AS n_hit
+         |         FROM ex3 e JOIN ap3 a USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(n_hit, 0) AS DOUBLE) / $PQ_K AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex3) q LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.annRecallLsh: e03's multi-probe chain (approx
+    // side) + e01's exact scoring, then the shared recall tail — the
+    // same hit-count construction as e15/e16
+    "e17_ann_recall_lsh" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         |        CAST($annBucket AS BIGINT) AS bucket FROM v),
+         |q AS (SELECT vec_id, e, nrm, xor(bucket, m) AS bucket
+         |      FROM n, UNNEST([${(0L +: (0 until ANN_BITS).map(j => 1L << j)).mkString(",")}]) AS t(m)
+         |      WHERE vec_id % 50 = 0),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |      FROM q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+         |ap3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM p) WHERE rk <= $PQ_K),
          |pex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
          |        FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),

@@ -151,6 +151,38 @@ class Round8OpsSpec extends AnyFunSuite {
       "pass 2 produced identical means — iteration is a no-op")
   }
 
+  test("annRecallLsh: n_hit equals the true per-query intersection of its components") {
+    val emb = Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 10 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = pairs(Similarity.cosineTopK(emb, pred, 3))
+    val approx = pairs(Similarity.annTopKMultiProbe(emb, pred, 3))
+    val recall = Similarity.annRecallLsh(emb, pred, 3)
+      .as[(Long, Long, Double)].collect()
+    assert(recall.map(_._1).toSet == exact.keySet)
+    recall.foreach { case (q, nHit, r) =>
+      val truth = (exact(q) intersect approx.getOrElse(q, Set.empty)).size.toLong
+      assert(nHit == truth, s"query $q: n_hit=$nHit truth=$truth")
+      assert(r == nHit.toDouble / 3)
+    }
+  }
+
+  test("oovRate: exact rational rate against the corpus's own top-k cut") {
+    val docs = Seq(
+      (1L, "a a b"), // "a" is the top-1 token (tf 3); b,c are OOV at k=1
+      (2L, "c"),
+      (3L, "a")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, vocabK = 1)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 1.0 / 3),
+      (2L, 1L, 1L, 1.0),
+      (3L, 1L, 0L, 0.0)))
+  }
+
   test("simhashHammingPairs: block keys mask off bit 63's sign extension") {
     // Two identical docs must collide in EVERY block even when bit 63 is
     // set on their shared signature (arithmetic shift would otherwise
