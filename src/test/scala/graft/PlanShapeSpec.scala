@@ -221,4 +221,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(p.contains("partial_"), "d24 lost map-side aggregation")
   }
+
+  test("d31: OOV scoring is join-free — the vocab rides a scan-side InSet, one partial aggregate") {
+    val p = plan("d31_oov_rate")
+    // the vocabulary was collected driver-side; a membership JOIN
+    // appearing here means the InSet formulation regressed
+    val joins = """(?m)^\(\d+\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin|BroadcastNestedLoopJoin)""".r
+      .findAllIn(p).length
+    assert(joins == 0, s"expected a join-free scoring plan, found $joins joins\n" + p.take(2000))
+    assert(p.contains("partial_"), "d31 lost map-side aggregation\n" + p.take(2000))
+  }
 }
