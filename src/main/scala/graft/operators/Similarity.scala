@@ -252,6 +252,45 @@ object Similarity {
         lit(-cid).as("nid"))
     }: _*)
 
+  /** Centroid-AFFINITY score (e18): every vector's cosine to its nearest
+    * IVF seed centroid — the prototypicality signal semantic curation
+    * filters on (low affinity = far from every cluster core: outliers,
+    * noise, or novel content, depending on what the pipeline wants to
+    * keep). Reuses [[centroidScores]]' scan-side literal-inlined
+    * assignment — the SAME device that builds and probes the IVF index
+    * (e04/e07/e14), so the signal cannot disagree with the index it
+    * describes. Zero joins, zero shuffles: one scan, `array_max`, three
+    * columns out. Returns (vec_id, cell, affinity).
+    */
+  def centroidAffinity(emb: DataFrame, nCells: Int = 16): DataFrame = {
+    val n = normalized(emb)
+    val best = array_max(centroidScores(n, nCells))
+    n.select(col("vec_id"),
+      (-best.getField("nid")).cast("long").as("cell"),
+      best.getField("c").as("affinity"))
+  }
+
+  /** IVF cell-OCCUPANCY stats (e19): member count and corpus share per
+    * cell — the balance diagnostic every IVF deployment watches, since
+    * probe cost at query time is the probed cells' mass: a skewed
+    * assignment means some probes scan far more than corpus/nCells and
+    * the p99 latency story dies quietly. One (cell) aggregate over the
+    * scan-side assignment (map-side partials, k rows out); share is an
+    * exact rational n/total. Returns (cell, n_members, share).
+    */
+  def cellOccupancy(emb: DataFrame, nCells: Int = 16): DataFrame = {
+    // total via a global window over the k AGGREGATED rows (k = nCells,
+    // driver-scale), not a second corpus pass: the scan runs once
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    centroidAffinity(emb, nCells).select(col("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cell"), col("n_members"),
+        (col("n_members").cast("double") / sum(col("n_members")).over(w).cast("double"))
+          .as("share"))
+  }
+
   /** One k-means (Lloyd) UPDATE pass over the IVF seed centroids — the
     * training step that turns [[ivfTopK]]'s arbitrary seeds into real
     * cluster centers: assign every vector to its nearest centroid

@@ -442,6 +442,20 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, 3, IVF_CELLS, IVF_PROBES)
         .orderBy(col("query_id"), col("rk"))),
 
+    // prototypicality: each vector's cosine to its nearest IVF centroid
+    // — the semantic-outlier curation signal, scan-side and join-free,
+    // same assignment device as the index (Similarity.centroidAffinity)
+    "e18_centroid_affinity" -> ((spark: SparkSession, dir: String) =>
+      Similarity.centroidAffinity(Tables.embeddings(spark, dir), IVF_CELLS)
+        .orderBy(col("vec_id"))),
+
+    // IVF balance diagnostic: member count + corpus share per cell —
+    // probe cost at scale IS the probed cells' mass
+    // (Similarity.cellOccupancy doc)
+    "e19_cell_occupancy" -> ((spark: SparkSession, dir: String) =>
+      Similarity.cellOccupancy(Tables.embeddings(spark, dir), IVF_CELLS)
+        .orderBy(col("cell"))),
+
     "m01_media_meta" -> ((spark: SparkSession, dir: String) =>
       Multimodal.mediaView(Tables.documents(spark, dir))
         .select(col("doc_id"),
@@ -509,6 +523,7 @@ object PipelineQueries {
     */
   private def centroidAsgCtes(suffix: String, centCte: String) =
     s"""asg$suffix AS (SELECT n.vec_id AS vid, cid,
+       |          list_dot_product(n.e, ce)/(n.nrm*cn) AS cos,
        |          row_number() OVER (PARTITION BY n.vec_id
        |            ORDER BY list_dot_product(n.e, ce)/(n.nrm*cn) DESC, cid ASC) AS rn
        |        FROM n CROSS JOIN $centCte),
@@ -1258,6 +1273,23 @@ object PipelineQueries {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM p)
          |SELECT qid AS vec_id, rk, neighbor_id, cosine FROM r WHERE rk <= $KNN_K
          |ORDER BY vec_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.centroidAffinity: the shared assignment CTEs'
+    // winning row, cosine exposed as the score — asg's cos column uses
+    // the same list_dot_product folds the rank already ordered by
+    "e18_centroid_affinity" ->
+      s"""WITH $ivfAsgCtes
+         |SELECT vid AS vec_id, CAST(cid AS BIGINT) AS cell, cos AS affinity
+         |FROM asg WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.cellOccupancy: one aggregate over the
+    // assignment, share as the same double division of exact longs
+    "e19_cell_occupancy" ->
+      s"""WITH $ivfAsgCtes,
+         |occ AS (SELECT cell, count(*) AS n FROM cells GROUP BY 1)
+         |SELECT cell, CAST(n AS BIGINT) AS n_members,
+         |  CAST(n AS DOUBLE) / CAST((SELECT sum(n) FROM occ) AS DOUBLE) AS share
+         |FROM occ ORDER BY cell""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.kmeansUpdate: e04's assignment CTEs, then
     // the shared mean fold (kmeansMeanCtes doc)

@@ -183,6 +183,22 @@ class Round8OpsSpec extends AnyFunSuite {
       (3L, 1L, 0L, 0.0)))
   }
 
+  test("centroidAffinity/cellOccupancy: assignment-consistent with kmeansUpdate, shares sum to 1") {
+    val emb = Tables.embeddings(spark, dir)
+    val aff = Similarity.centroidAffinity(emb).as[(Long, Long, Double)].collect()
+    assert(aff.nonEmpty)
+    assert(aff.forall(r => r._3 <= 1.0 + 1e-9 && r._3 >= -1.0 - 1e-9))
+    val occ = Similarity.cellOccupancy(emb).as[(Long, Long, Double)].collect()
+    assert(occ.map(_._2).sum == aff.length, "occupancy must cover every vector exactly once")
+    assert(math.abs(occ.map(_._3).sum - 1.0) < 1e-9)
+    // the same assignment device drives k-means: per-cell member counts
+    // must agree with kmeansUpdate's
+    val km = Similarity.kmeansUpdate(emb)
+      .select(col("cell"), col("n_members")).distinct()
+      .as[(Long, Long)].collect().toMap
+    assert(occ.map(t => t._1 -> t._2).toMap == km)
+  }
+
   test("simhashHammingPairs: block keys mask off bit 63's sign extension") {
     // Two identical docs must collide in EVERY block even when bit 63 is
     // set on their shared signature (arithmetic shift would otherwise
