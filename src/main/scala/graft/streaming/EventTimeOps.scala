@@ -14,6 +14,15 @@ case class AuthorSession(author: String, start_utc: Long, end_utc: Long,
 /** Keyed session state (top-level for Encoder codegen). */
 case class SessionState(start: Long, end: Long, n: Long)
 
+/** One window's heavy-hitter row (top-level for Encoder codegen). */
+case class WindowTopAuthor(window_start: Long, rk: Int, author: String,
+    est_count: Long, window_events: Long)
+
+/** Misra-Gries summary state for one window (top-level for Encoder
+  * codegen): at most `capacity` live counters + the window's event count.
+  */
+case class MgState(counters: Map[String, Long], n: Long)
+
 /** Event-time streaming operators over the envelope stream — the
   * categories the reference lacks entirely (SURVEY.md §2.1: watermarks,
   * event-time windows, late data, keyed state). The reference is
@@ -225,6 +234,81 @@ object EventTimeOps {
       .withColumn("event_time", timestamp_seconds(col("created_utc")))
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("id", "event")
+
+  /** Windowed TOP-K AUTHORS with O(capacity) state per window — the
+    * heavy-hitters composition the reference's global counters cannot
+    * express: per tumbling event-time window, the k most frequent
+    * authors, tracked by a Misra-Gries summary held as keyed streaming
+    * state. An exact windowed top-k needs a counter per distinct author
+    * per open window (unbounded — the same reason exact windowed
+    * `countDistinct` is unsupported); the MG summary caps state at
+    * `capacity` counters per window with the classic deterministic
+    * guarantee: every author with true count > n/(capacity+1) SURVIVES
+    * in the summary, and each kept estimate is within n/(capacity+1)
+    * below its true count (never above). Below `capacity` distinct
+    * authors the summary IS the exact count map — small windows report
+    * exactly, whatever the arrival order.
+    *
+    * Micro-batch mechanics: events fold into the window's summary per
+    * batch (increment if present; insert if room; else the
+    * decrement-all step); the window emits ONCE, when the event-time
+    * timeout fires after the watermark passes window end — rows ranked
+    * (est desc, author asc), state freed. Summary contents in the
+    * OVERFLOW regime depend on arrival order (inherent to MG); the
+    * guarantee above is the operator's contract, and the spec asserts
+    * it, not specific overflow-regime counters.
+    */
+  def windowedTopAuthors(spark: SparkSession, envelope: DataFrame,
+      windowSeconds: Long = 60L, lateness: String = "2 minutes",
+      capacity: Int = 8, k: Int = 3): Dataset[WindowTopAuthor] = {
+    import spark.implicits._
+    require(k >= 1 && capacity >= k,
+      s"need capacity >= k >= 1, got capacity=$capacity k=$k")
+    envelope
+      .withColumn("event_time", timestamp_seconds(col("created_utc")))
+      .withWatermark("event_time", lateness)
+      .withColumn("window_start",
+        (col("created_utc") - (col("created_utc") % windowSeconds)).cast("long"))
+      // the watermark column must flow into the stateful operator
+      .select(col("window_start"), col("author"), col("event_time"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, WindowTopAuthor](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wstart: Long, events: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[MgState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s.counters.toSeq.sortBy { case (a, c) => (-c, a) }.take(k)
+              .zipWithIndex
+              .map { case ((a, c), i) => WindowTopAuthor(wstart, i + 1, a, c, s.n) }
+              .iterator
+          } else {
+            val prev = state.getOption.getOrElse(MgState(Map.empty, 0L))
+            val m = collection.mutable.Map(prev.counters.toSeq: _*)
+            var n = prev.n
+            events.foreach { case (_, author, _) =>
+              n += 1
+              m.get(author) match {
+                case Some(c) => m(author) = c + 1
+                case None if m.size < capacity => m(author) = 1L
+                case None =>
+                  // the Misra-Gries step: charge one to every counter
+                  m.mapValuesInPlace((_, c) => c - 1)
+                  m.filterInPlace((_, c) => c > 0)
+              }
+            }
+            state.update(MgState(m.toMap, n))
+            // close at window end once the watermark allows; a timeout in
+            // the watermark's past is rejected by Spark, so clamp forward
+            state.setTimeoutTimestamp(math.max(
+              (wstart + windowSeconds) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
 
   /** Gap-based sessionization per author via flatMapGroupsWithState:
     * a session closes when no event arrives within `gapSeconds` of

@@ -134,6 +134,66 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(rows.contains((1L, 1.0)), rows.toString)
   }
 
+  test("windowedTopAuthors: exact below capacity, state merges across micro-batches") {
+    val dir = Files.createTempDirectory("mglog").toString
+    // window 600..659: a×3, b×2, c×1 (6 events, 3 distinct ≤ capacity →
+    // Misra-Gries is the exact count map whatever the arrival order);
+    // max_per_trigger=2 forces the summary to fold across ≥3 batches
+    RedditLog.writeSegment(dir, Seq(
+      ev(2, 600, "a", "news"), ev(4, 605, "b", "news"),
+      ev(6, 610, "a", "news"), ev(8, 615, "c", "news"),
+      ev(10, 620, "a", "news"), ev(12, 625, "b", "news"),
+      ev(14, 100000, "z", "zzz"), ev(16, 100001, "z", "zzz")))
+    val src = spark.readStream.format("graft.sources.RedditLogSource")
+      .option("path", dir).option("backfill", "100")
+      .option("max_per_trigger", "2").load()
+    val name = s"mg${System.nanoTime()}"
+    val q = EventTimeOps.windowedTopAuthors(spark, src, capacity = 8, k = 3)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(name)
+      .select($"window_start", $"rk", $"author", $"est_count", $"window_events")
+      .as[(Long, Int, String, Long, Long)].collect().toSeq
+    val w600 = rows.filter(_._1 == 600L).sortBy(_._2)
+    assert(w600.map(t => (t._2, t._3, t._4, t._5)) ==
+      Seq((1, "a", 3L, 6L), (2, "b", 2L, 6L), (3, "c", 1L, 6L)), rows.toString)
+  }
+
+  test("windowedTopAuthors: overflow regime keeps the Misra-Gries guarantee") {
+    val dir = Files.createTempDirectory("mgovlog").toString
+    // window 600..659: capacity=2 counters for 4 distinct authors over
+    // 12 events — a (6 of 12) exceeds n/(capacity+1) = 4, so it MUST
+    // survive with est ∈ [true − 4, true]; rarer authors may vanish.
+    val evs = Seq("a", "b", "a", "c", "a", "d", "a", "b", "a", "c", "a", "d")
+      .zipWithIndex.map { case (au, i) => ev(2L * i + 2, 600L + i, au, "news") }
+    // pusher ids stay adjacent to the data ids: backfill=100 counts IDS
+    // from the max id back, so a distant pusher id would push the whole
+    // window-600 fixture out of the backfill range
+    RedditLog.writeSegment(dir, evs ++ Seq(
+      ev(26, 100000, "z", "zzz"), ev(28, 100001, "z", "zzz")))
+    val src = spark.readStream.format("graft.sources.RedditLogSource")
+      .option("path", dir).option("backfill", "100")
+      .option("max_per_trigger", "5").load()
+    val name = s"mgov${System.nanoTime()}"
+    val q = EventTimeOps.windowedTopAuthors(spark, src, capacity = 2, k = 2)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val w600 = spark.table(name)
+      .select($"window_start", $"rk", $"author", $"est_count", $"window_events")
+      .as[(Long, Int, String, Long, Long)].collect().toSeq
+      .filter(_._1 == 600L)
+    assert(w600.nonEmpty)
+    assert(w600.forall(_._5 == 12L), w600.toString)
+    val a = w600.find(_._3 == "a")
+    assert(a.isDefined, s"heavy hitter 'a' (6 > 12/3) must survive: $w600")
+    assert(a.get._4 >= 2L && a.get._4 <= 6L,
+      s"estimate must be within n/(capacity+1)=4 below true count 6: $w600")
+    // the summary can never report more than `capacity` authors
+    assert(w600.size <= 2, w600.toString)
+  }
+
   test("stream-stream join: comments match submissions in-subreddit within the time bound") {
     val rcDir = Files.createTempDirectory("ssj-rc").toString
     val rsDir = Files.createTempDirectory("ssj-rs").toString
