@@ -104,6 +104,46 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("tf"), col("df"))
   }
 
+  /** PII-redaction patterns (d32) — deliberately restricted to regex
+    * constructs whose semantics are identical in Java regex (Spark) and
+    * RE2 (DuckDB): character classes, bounded/unbounded quantifiers, no
+    * backrefs or lookaround. Application ORDER is part of the contract
+    * (emails first, so `scheme://user@host/...` redacts its mail-shaped
+    * core as an email before the URL pass sees it) — deterministic in
+    * both engines, so the composed rewrite hash-matches.
+    */
+  val PiiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PiiUrl = "https?://[^\\s]+"
+  val PiiNum = "[0-9]{7,}"
+
+  /** PII redaction (d32): emails → `<EMAIL>`, URLs → `<URL>`, long digit
+    * runs (≥7 — phone/account shapes) → `<NUM>`, applied in that fixed
+    * order, with the per-doc redaction count. Pure per-row
+    * `regexp_replace` chain — single pass, codegen'd, no shuffle; the
+    * structural template for any production redaction list.
+    *
+    * Honesty note (TODO #3 history): the synthetic corpus contains ZERO
+    * redactable spans (measured — not even a digit), so the registered
+    * oracle row verifies the identity path end-to-end (pattern
+    * compatibility, counting, column plumbing) while the REWRITE
+    * behavior is spec-proven on constructed rows (Round8OpsSpec) — the
+    * same ship-with-measured-caveat pattern as e16.
+    * Returns (doc_id, redacted, n_redacted).
+    */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("ne",
+        size(regexp_extract_all(col("text"), lit(PiiEmail), lit(0))).cast("long"))
+      .withColumn("t1", regexp_replace(col("text"), PiiEmail, "<EMAIL>"))
+      .withColumn("nu",
+        size(regexp_extract_all(col("t1"), lit(PiiUrl), lit(0))).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), PiiUrl, "<URL>"))
+      .withColumn("nd",
+        size(regexp_extract_all(col("t2"), lit(PiiNum), lit(0))).cast("long"))
+      .select(col("doc_id"),
+        regexp_replace(col("t2"), PiiNum, "<NUM>").as("redacted"),
+        (col("ne") + col("nu") + col("nd")).as("n_redacted"))
+
   /** Out-of-vocabulary rate against the corpus's OWN top-`vocabK`
     * vocabulary (d31) — the curation twin of the fixed-list stopword
     * ratio in [[qualityScore]]: there the reference list is static;

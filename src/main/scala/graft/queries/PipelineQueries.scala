@@ -239,6 +239,14 @@ object PipelineQueries {
       TextAnalysis.oovRate(Tables.documents(spark, dir))
         .orderBy(col("doc_id"))),
 
+    // PII redaction: email/URL/long-digit rewrite chain + counts. The
+    // corpus has zero redactable spans (measured), so this row verifies
+    // the identity path; rewrites are spec-proven on constructed rows
+    // (TextAnalysis.redactPii doc)
+    "d32_pii_redact" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.redactPii(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
     // THE end-to-end curation verdict: one row per TRAIN doc with the
     // full keep decision and its reason bits — dedup representative
     // (d12), decontaminated (d13), length + repetition quality gates
@@ -1023,6 +1031,25 @@ object PipelineQueries {
         |c AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1)
         |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank, token, tf, df
         |FROM c ORDER BY tf DESC, token LIMIT 100""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.redactPii: the same three RE2/Java-portable
+    // patterns in the same order; 'g' makes DuckDB replace-all like Spark
+    "d32_pii_redact" -> {
+      val em = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val url = "https?://[^\\s]+"
+      val num = "[0-9]{7,}"
+      s"""WITH s1 AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '$em')) AS ne,
+         |  regexp_replace(text, '$em', '<EMAIL>', 'g') AS t1 FROM documents),
+         |s2 AS (SELECT doc_id, ne,
+         |  len(regexp_extract_all(t1, '$url')) AS nu,
+         |  regexp_replace(t1, '$url', '<URL>', 'g') AS t2 FROM s1),
+         |s3 AS (SELECT doc_id, ne, nu,
+         |  len(regexp_extract_all(t2, '$num')) AS nd,
+         |  regexp_replace(t2, '$num', '<NUM>', 'g') AS t3 FROM s2)
+         |SELECT doc_id, t3 AS redacted, CAST(ne + nu + nd AS BIGINT) AS n_redacted
+         |FROM s3 ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
 
     // mirror of TextAnalysis.oovRate: d15's top-k cut (same tf desc,
     // token asc total order) as the membership set, exact rational rate

@@ -199,6 +199,29 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(occ.map(t => t._1 -> t._2).toMap == km)
   }
 
+  test("redactPii: rewrites emails/URLs/long digits on constructed rows; identity on the corpus") {
+    val docs = Seq(
+      (1L, "mail me at alice.smith+x@example.co.uk today"),
+      (2L, "see https://example.com/a?b=1 and http://x.io"),
+      (3L, "call 12345678 or 555 1234567"),
+      (4L, "clean text stays clean"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "mail me at <EMAIL> today", 1L)), out(0))
+    assert(out(1) == ((2L, "see <URL> and <URL>", 2L)), out(1))
+    assert(out(2) == ((3L, "call <NUM> or 555 <NUM>", 2L)), out(2))
+    assert(out(3) == ((4L, "clean text stays clean", 0L)))
+    assert(out(4) == ((5L, "", 0L)))
+    // the shipped corpus carries zero redactable spans (measured — the
+    // registered oracle row checks the identity path; if this ever
+    // fails, the caveat in redactPii's doc is stale)
+    val corpus = TextAnalysis.redactPii(Tables.documents(spark, dir))
+      .agg(sum(col("n_redacted"))).as[Long].collect().head
+    assert(corpus == 0L, s"corpus now has $corpus redactable spans — update d32's caveat")
+  }
+
   test("simhashHammingPairs: block keys mask off bit 63's sign extension") {
     // Two identical docs must collide in EVERY block even when bit 63 is
     // set on their shared signature (arithmetic shift would otherwise
