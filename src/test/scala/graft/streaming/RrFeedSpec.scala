@@ -114,6 +114,49 @@ class RrFeedSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("counterParity: an rr connection's taps count rc AND rs (the mask reads neither)") {
+    val rcDir = Files.createTempDirectory("rrp-rc").toString
+    val rsDir = Files.createTempDirectory("rrp-rs").toString
+    val rrDir = Files.createTempDirectory("rrp-rr").toString
+    RedditLog.writeSegment(rrDir, Seq(rrRow(1)))
+    val server = new SseServer(spark, rcDir, rsDir, rrPath = rrDir,
+      keepAliveMillis = 1500L, triggerMillis = 100L, counterParity = true).start()
+    try {
+      val t = new Thread(() => {
+        val deadline = System.currentTimeMillis() + 30000
+        while (server.readyConnections < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        // live rc + rs events: the reference's always-scan loop counts
+        // both regardless of type; the rr mask reads neither log, so
+        // BOTH taps must stand in — and an rr event itself counts nowhere
+        RedditLog.writeSegment(rcDir, Seq(Map(
+          "id" -> 1L, "event" -> "rc", "created_utc" -> 2000L,
+          "author" -> "u", "subreddit" -> "news", "domain" -> null,
+          "over_18" -> null, "is_self" -> null, "json" -> "{}")))
+        RedditLog.writeSegment(rsDir, Seq(Map(
+          "id" -> 1L, "event" -> "rs", "created_utc" -> 2001L,
+          "author" -> "u", "subreddit" -> "news", "domain" -> "ex.com",
+          "over_18" -> "false", "is_self" -> "true", "json" -> "{}")))
+        RedditLog.writeSegment(rrDir, Seq(rrRow(2)))
+      })
+      t.start()
+      val frames = readFrames(server.boundPort, "/?type=subreddits", 10, timeoutMs = 30000)
+      t.join()
+      // rc/rs frames never leak into the rr feed...
+      assert(frames.forall(f => !f.contains("event: rc") && !f.contains("event: rs")),
+        frames.mkString("|"))
+      // ...the rr data frame arrives...
+      assert(frames.exists(_.startsWith("id: 2\nevent: rr")), frames.mkString("|"))
+      // ...and a keepalive reports the tapped rc + rs counts, with the
+      // rr event itself counted by neither
+      assert(frames.exists(f => f.contains("keepalive")
+        && f.contains("\"tcs\": 1") && f.contains("\"tss\": 1")),
+        frames.mkString("|"))
+      assert(server.activeQueries.map(_.name.takeWhile(_ != '.')).toSet ==
+        Set("graft-sse-feed-rr", "graft-sse-tap-rc", "graft-sse-tap-rs"))
+    } finally server.stop()
+  }
+
   test("type=subreddits without a configured rr log → HTTP 400") {
     val rcDir = Files.createTempDirectory("rr400-rc").toString
     val rsDir = Files.createTempDirectory("rr400-rs").toString
