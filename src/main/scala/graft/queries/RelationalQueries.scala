@@ -195,6 +195,21 @@ object RelationalQueries {
           col("N").as("qty_n"), col("R").as("qty_r"))
         .orderBy(col("l_linestatus"))),
 
+    // UNPIVOT (q18's inverse — wide → long): each part row melts into
+    // one row per measure column. Spark's unpivot plans as a single
+    // Expand over the scan — one pass, rows × measures out, no shuffle
+    // (the same operator CUBE/ROLLUP use to replicate rows). Measures
+    // cast to a common double up front, as unpivot requires one value
+    // type.
+    "q26_unpivot" -> ((spark: SparkSession, dir: String) =>
+      Tables.part(spark, dir)
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))),
+
     // Explicit GROUPING SETS (the general form behind q07's ROLLUP /
     // q14's CUBE): only the requested sets are expanded, so the Expand
     // operator emits 3 copies per row here instead of CUBE's 4.
@@ -531,6 +546,13 @@ object RelationalQueries {
         | CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
         | CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin.replace("\n", " "),
+    // manual UNION ALL melt: portable to any engine and column-name
+    // exact vs Spark's unpivot output
+    "q26_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |ORDER BY p_partkey, attr""".stripMargin.replace("\n", " "),
     "q19_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g,

@@ -222,6 +222,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "d24 lost map-side aggregation")
   }
 
+  test("q26: unpivot plans as one Expand over the scan — melt without a self-join") {
+    val p = plan("q26_unpivot")
+    assert(p.contains("Expand"), p.take(2000))
+    val joins = """(?m)^\(\d+\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin|BroadcastNestedLoopJoin)""".r
+      .findAllIn(p).length
+    assert(joins == 0, s"melt must not join or re-scan per measure, found $joins joins\n" + p.take(2000))
+  }
+
   test("d31: OOV scoring is join-free — the vocab rides a scan-side InSet, one partial aggregate") {
     val p = plan("d31_oov_rate")
     // the vocabulary was collected driver-side; a membership JOIN
