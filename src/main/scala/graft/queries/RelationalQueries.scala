@@ -452,7 +452,28 @@ object RelationalQueries {
         .agg(
           count(lit(1)).as("n"),
           sum(col("value").cast(dec)).cast("double").as("total_value"))
-        .orderBy(col("hour"), col("event_type")))
+        .orderBy(col("hour"), col("event_type"))),
+
+    // Per-hour top-k users by event count — the EXACT batch twin of the
+    // streaming Misra-Gries heavy hitters (EventTimeOps.windowedTopAuthors,
+    // whose bounded-state summary is guarantee-checked in specs): same
+    // window/top-k contract, hash-checked here where batch can afford a
+    // counter per (hour, user). Rank filter plans as WindowGroupLimit,
+    // so each partition carries k rows to the ranking, not its users.
+    "q27_window_top_users" -> ((spark: SparkSession, dir: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hour")).orderBy(col("n").desc, col("user_id").asc)
+      Tables.events(spark, dir)
+        .select(
+          date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("hour"),
+          col("user_id"))
+        .groupBy(col("hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("hour"), col("rk"), col("user_id"), col("n"))
+        .orderBy(col("hour"), col("rk"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -644,6 +665,14 @@ object RelationalQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin.replace("\n", " ")
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin.replace("\n", " "),
+
+    "q27_window_top_users" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS hour, user_id, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY hour
+        |        ORDER BY n DESC, user_id ASC) AS BIGINT) AS rk FROM c)
+        |SELECT hour, rk, user_id, n FROM r WHERE rk <= 3
+        |ORDER BY hour, rk""".stripMargin.replace("\n", " ")
   )
 }

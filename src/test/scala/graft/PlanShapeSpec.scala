@@ -222,6 +222,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "d24 lost map-side aggregation")
   }
 
+  test("q27: per-window top-k keeps the rank-filter partial (WindowGroupLimit)") {
+    val p = plan("q27_window_top_users")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("q26: unpivot plans as one Expand over the scan — melt without a self-join") {
     val p = plan("q26_unpivot")
     assert(p.contains("Expand"), p.take(2000))
