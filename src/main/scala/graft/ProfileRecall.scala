@@ -48,6 +48,28 @@ object ProfileRecall {
 
     for (p <- 1 to 3) mean("raw", raw, p)
     for (p <- 1 to 3) mean("normalized", unit, p)
+
+    // ---- index auto-tuning sweep (TODO candidate #8) ----
+    // The table an ANN deployment builds before picking its index:
+    // (cells, probes, codebook size) × measured recall + wall time.
+    // Candidate volume scales ~probes/cells of the corpus per query, so
+    // cost and recall move together — the sweep makes the trade visible
+    // with the same oracle-checked device the registered rows use.
+    if (sys.env.get("SPARK_GRAFT_RECALL_SWEEP").contains("1")) {
+      val configs = for {
+        cells <- Seq(8, 16, 32)
+        probes <- Seq(1, 2, 4, 8) if probes <= cells
+        ks <- Seq(16, 32)
+      } yield (cells, probes, ks)
+      configs.foreach { case (cells, probes, ks) =>
+        val t0 = System.nanoTime()
+        val r = Similarity.annRecall(raw, pred, k, cells, probes, 8, ks, 2)
+          .agg(avg(col("recall"))).collect().head.getDouble(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"SWEEP cells=$cells%2d probes=$probes%2d ks=$ks%2d  " +
+          f"recall=$r%.4f  time=$secs%6.2f s")
+      }
+    }
     spark.stop()
   }
 }
