@@ -21,9 +21,11 @@ final case class ApiError(status: Int, message: String)
   *    subreddit-creation feed — an event type the reference DOCUMENTS
   *    but never implemented (README.md:42-46, "rr … Currently
   *    Implemented: No"; `type=subreddits` matched neither branch there
-  *    and emitted nothing). rr is live-only: it joins neither default
-  *    (`type` absent still means rc+rs, as in the reference) and has no
-  *    backfill/start_id resume params.
+  *    and emitted nothing). rr joins neither default (`type` absent
+  *    still means rc+rs, as in the reference);
+  *    `subreddit_backfill`/`subreddit_start_id` complete the resume
+  *    symmetry for it (round 8, after the live-only feed shipped) under
+  *    the same V1 exclusion / V2 parse+clamp rules as the rc/rs pairs.
   *  - author/subreddit whitelists are exact, case-sensitive membership
   *    (sse.py:169-175). Documented deviation: we additionally split on
   *    commas (README.md:18,20 promises it; the reference code does not —
@@ -50,7 +52,9 @@ final case class ParamSpec(
     commentBackfill: Option[Long] = None,
     submissionBackfill: Option[Long] = None,
     commentStartId: Option[Long] = None,
-    submissionStartId: Option[Long] = None) {
+    submissionStartId: Option[Long] = None,
+    subredditBackfill: Option[Long] = None,
+    subredditStartId: Option[Long] = None) {
   def wantsComments: Boolean = types.contains("rc")
   def wantsSubmissions: Boolean = types.contains("rs")
   def wantsSubreddits: Boolean = types.contains("rr")
@@ -74,6 +78,8 @@ object ParamSpec {
       return err("comment_backfill and comment_start_id are mutually exclusive")
     if (params.contains("submission_backfill") && params.contains("submission_start_id"))
       return err("submission_backfill and submission_start_id are mutually exclusive")
+    if (params.contains("subreddit_backfill") && params.contains("subreddit_start_id"))
+      return err("subreddit_backfill and subreddit_start_id are mutually exclusive")
 
     // V2: integer parse + clamp (sse.py:11-15, 60-78)
     def parseLong(k: String, clamp: Boolean): Either[ApiError, Option[Long]] =
@@ -105,6 +111,8 @@ object ParamSpec {
       sb <- parseLong("submission_backfill", clamp = true)
       cs <- parseLong("comment_start_id", clamp = false)
       ss <- parseLong("submission_start_id", clamp = false)
+      rb <- parseLong("subreddit_backfill", clamp = true)
+      rs <- parseLong("subreddit_start_id", clamp = false)
     } yield ParamSpec(
       types = types,
       authors = multi("author"),
@@ -119,6 +127,8 @@ object ParamSpec {
       commentBackfill = cb,
       submissionBackfill = sb,
       commentStartId = cs,
-      submissionStartId = ss)
+      submissionStartId = ss,
+      subredditBackfill = rb,
+      subredditStartId = rs)
   }
 }

@@ -66,7 +66,8 @@ object RedditOps {
     * high-watermarks (S1), supplied by the caller (in streaming, the
     * source's latestOffset; in batch, a max() aggregate).
     */
-  def resumePred(spec: ParamSpec, rcMax: Column, rsMax: Column): Column = {
+  def resumePred(spec: ParamSpec, rcMax: Column, rsMax: Column,
+      rrMax: Column = lit(-1L)): Column = {
     def per(ev: String, backfill: Option[Long], startId: Option[Long], maxId: Column) = {
       val bound: Column = (backfill, startId) match {
         case (_, Some(s)) => lit(s)                  // R2 wins (V1 forbids both)
@@ -75,8 +76,13 @@ object RedditOps {
       }
       col("event") === lit(ev) && col("id") >= bound
     }
-    per("rc", spec.commentBackfill, spec.commentStartId, rcMax) ||
+    val base = per("rc", spec.commentBackfill, spec.commentStartId, rcMax) ||
       per("rs", spec.submissionBackfill, spec.submissionStartId, rsMax)
+    // the rr superset arm only exists for an rr-typed spec, so the
+    // default rrMax sentinel can never admit rows for rc/rs callers
+    if (spec.wantsSubreddits)
+      base || per("rr", spec.subredditBackfill, spec.subredditStartId, rrMax)
+    else base
   }
 
   /** The full row predicate: F1 ∧ (F6∧F7) ∧ (F2∨F3∨F4). */

@@ -75,12 +75,15 @@ import scala.jdk.CollectionConverters._
   * `type=subreddits`/`rr` selects it when the server is constructed
   * with an `rrPath` (else HTTP 400): its own standalone mask over the
   * third log — an rc/rs fleet never lists the rr directory and vice
-  * versa — LIVE-ONLY (no backfill/start_id params exist for it, so no
-  * catch-up scan; boundary = connect-time watermark), excluded from the
-  * rc+rs default mask, and counted by NEITHER tcs nor tss (the
-  * keepalive payload stays reference-exact). Whitelist/attr filters and
-  * payload projection apply to rr envelopes like any other; emit order
-  * extends O1 alphabetically (rc < rr < rs on event-time ties).
+  * versa — excluded from the rc+rs default mask, and counted by
+  * NEITHER tcs nor tss (the keepalive payload stays reference-exact).
+  * Whitelist/attr filters and payload projection apply to rr envelopes
+  * like any other; emit order extends O1 alphabetically (rc < rr < rs
+  * on event-time ties). Resumption is fully symmetric:
+  * `subreddit_backfill`/`subreddit_start_id` (and an unambiguous
+  * `Last-Event-ID` on a `type=rr` connection) ride the same
+  * two-threshold catch-up/live hand-off as the rc/rs pairs — rr resume
+  * params on a non-rr connection are ignored.
   */
 class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     rrPath: String = null,
@@ -136,16 +139,14 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       val maskKey: String, val ip: String,
       val rcBoundary: Long, val rsBoundary: Long,
       val rrBoundary: Long = Long.MaxValue) {
-    /** rr is live-only (no backfill/start_id params — ParamSpec
-      * scaladoc), so its suppress threshold is definitionally the
-      * boundary: no catch-up scan ever claims ids below it.
-      */
-    def rrSuppress: Long = rrBoundary
     // volatile: written once by the handler thread during setup, read by
     // the writer loop AND by batch threads (the counter passes bound
-    // resumed sides by suppress — handleBatch/handleTapBatch)
+    // resumed sides by suppress — handleBatch/handleTapBatch; rr has no
+    // counter, so rrSuppress is writer-loop-only but follows the same
+    // two-threshold protocol)
     @volatile var rcSuppress: Long = Long.MaxValue
     @volatile var rsSuppress: Long = Long.MaxValue
+    @volatile var rrSuppress: Long = Long.MaxValue
     @volatile var attached = false
     /** Force-closes the HTTP exchange from ANOTHER thread. `closed`
       * alone is only observed between writes — a client that stopped
@@ -162,6 +163,15 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     def needsCatchUp(sideIsRc: Boolean): Boolean =
       if (sideIsRc) spec.commentBackfill.isDefined || spec.commentStartId.isDefined
       else spec.submissionBackfill.isDefined || spec.submissionStartId.isDefined
+    /** The rr copy of the rule (separate because the rc/rs helper's
+      * Boolean parameter has exactly two values and every existing call
+      * site is a counter path rr never reaches). Gated on the mask: rr
+      * resume params on a non-rr connection are ignored — like the
+      * reference ignoring params irrelevant to the selected type — and
+      * must never touch a possibly-unconfigured rr log.
+      */
+    def needsCatchUpRr: Boolean = maskKey == "rr" &&
+      (spec.subredditBackfill.isDefined || spec.subredditStartId.isDefined)
     /** Counter lower bound per side: suppress for a resumed side (its
       * catch-up counts everything at-or-below), else the boundary.
       */
@@ -589,32 +599,40 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
     * not observable — and keeps a comments-only fleet from ever listing
     * the rs directory.
     */
-  private def catchUp(c: Connection, rcMax: Long, rsMax: Long,
+  private def catchUp(c: Connection, rcMax: Long, rsMax: Long, rrMax: Long,
       write: String => Unit): Unit = {
     val spec = c.spec
     val needRc = c.needsCatchUp(true)
     val needRs = c.needsCatchUp(false)
-    if (!needRc && !needRs) {
+    val needRr = c.needsCatchUpRr
+    if (!needRc && !needRs && !needRr) {
       return // live-only connection: no historical scan at all
     }
     def side(p: String) = spark.read
       .format("graft.sources.RedditLogSource").option("path", p).load()
     val sides =
       (if (needRc) Seq(side(rcPath)) else Nil) ++
-        (if (needRs) Seq(side(rsPath)) else Nil)
+        (if (needRs) Seq(side(rsPath)) else Nil) ++
+        (if (needRr) Seq(side(rrPath)) else Nil)
     // NOTE: within the scanned logs the A1 counters still count
     // type-suppressed events (sse.py:179-180; SseServerSpec "keepalive"
-    // asserts it). Segment pruning comes from the source's id-range
-    // filter pushdown; un-resumed logs are not even listed (see above).
+    // asserts it) — rr rows count toward neither tcs nor tss (the
+    // keepalive payload stays reference-exact). Segment pruning comes
+    // from the source's id-range filter pushdown; un-resumed logs are
+    // not even listed (see above).
     val hist = sides.reduce(_ unionByName _)
-      .filter(RedditOps.resumePred(spec, lit(rcMax), lit(rsMax)))
+      .filter(RedditOps.resumePred(spec, lit(rcMax), lit(rsMax), lit(rrMax)))
       .filter((col("event") === "rc" && col("id") <= lit(rcMax)) ||
-        (col("event") === "rs" && col("id") <= lit(rsMax)))
-    // counters (A1 quirk: before the type gate)
+        (col("event") === "rs" && col("id") <= lit(rsMax)) ||
+        (col("event") === "rr" && col("id") <= lit(rrMax)))
+    // counters (A1 quirk: before the type gate); rr counts nowhere
     hist.filter(RedditOps.whitelistPred(spec) && RedditOps.attrPred(spec))
       .groupBy(col("event")).count().collect().foreach { r =>
-        if (r.getString(0) == "rc") c.tcs.addAndGet(r.getLong(1))
-        else c.tss.addAndGet(r.getLong(1))
+        r.getString(0) match {
+          case "rc" => c.tcs.addAndGet(r.getLong(1))
+          case "rs" => c.tss.addAndGet(r.getLong(1))
+          case _    => ()
+        }
       }
     val frames = orderedRows(hist.filter(RedditOps.pred(spec))
       .withColumn("json", RedditOps.projectPayload(spec, col("json")))
@@ -648,6 +666,9 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
       case Some(n) if spec.types == Set("rs")
           && spec.submissionStartId.isEmpty && spec.submissionBackfill.isEmpty =>
         spec.copy(submissionStartId = Some(n + 1))
+      case Some(n) if spec.types == Set("rr")
+          && spec.subredditStartId.isEmpty && spec.subredditBackfill.isEmpty =>
+        spec.copy(subredditStartId = Some(n + 1))
       case _ => spec
     }
 
@@ -715,9 +736,9 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
                 math.max(RedditLog.maxId(rsPath), futureStart(spec.submissionStartId))
               else Long.MaxValue,
             rrBoundary =
-              // live-only: everything above the connect-time watermark
-              // streams; nothing historical (no rr resume params)
-              if (maskHasRr) RedditLog.maxId(rrPath) else Long.MaxValue)
+              if (maskHasRr)
+                math.max(RedditLog.maxId(rrPath), futureStart(spec.subredditStartId))
+              else Long.MaxValue)
           conns.put(c.id, c)
           val healthKeys = Seq(maskKey) ++
             (if (counterParity && !maskHasRc) Seq("tap:rc") else Nil) ++
@@ -733,12 +754,16 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           // writer would drop them — delivered by neither path.
           val rcMax = if (c.needsCatchUp(true)) RedditLog.maxId(rcPath) else -1L
           val rsMax = if (c.needsCatchUp(false)) RedditLog.maxId(rsPath) else -1L
+          val rrMax = if (c.needsCatchUpRr) RedditLog.maxId(rrPath) else -1L
           c.rcSuppress =
             if (c.needsCatchUp(true)) math.max(rcMax, futureStart(spec.commentStartId))
             else c.rcBoundary
           c.rsSuppress =
             if (c.needsCatchUp(false)) math.max(rsMax, futureStart(spec.submissionStartId))
             else c.rsBoundary
+          c.rrSuppress =
+            if (c.needsCatchUpRr) math.max(rrMax, futureStart(spec.subredditStartId))
+            else c.rrBoundary
           c.abort = () => try ex.close() catch { case _: Exception => () }
           c.attached = true
 
@@ -766,7 +791,7 @@ class SseServer(spark: SparkSession, rcPath: String, rsPath: String,
           var lastHealth = System.currentTimeMillis()
           val healthMillis = if (probeMillis > 0) probeMillis else keepAliveMillis
           try {
-            catchUp(c, rcMax, rsMax, write)
+            catchUp(c, rcMax, rsMax, rrMax, write)
             while (!c.closed) {
               val frame = c.queue.poll(100, TimeUnit.MILLISECONDS)
               if (frame != null) {

@@ -10,8 +10,8 @@ import scala.collection.mutable.ArrayBuffer
 
 /** Wire tests for the rr (subreddit-creation) third log — the event type
   * the reference documents but never implemented
-  * (/root/reference/README.md:42-46); here a live-only standalone mask
-  * (SseServer "rr" scaladoc).
+  * (/root/reference/README.md:42-46); here a standalone mask with fully
+  * symmetric resume params (SseServer "rr" scaladoc).
   */
 class RrFeedSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -23,10 +23,12 @@ class RrFeedSpec extends AnyFunSuite {
 
   /** Raw-HTTP SSE frame reader (same shape as SseServerEdgeSpec's). */
   private def readFrames(port: Int, path: String, n: Int,
-      timeoutMs: Long = 60000): Seq[String] = {
+      timeoutMs: Long = 60000,
+      headers: Map[String, String] = Map.empty): Seq[String] = {
     val conn = new URL(s"http://localhost:$port$path")
       .openConnection().asInstanceOf[HttpURLConnection]
     conn.setReadTimeout(timeoutMs.toInt)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     val in = conn.getInputStream
     val frames = ArrayBuffer[String]()
     try {
@@ -154,6 +156,64 @@ class RrFeedSpec extends AnyFunSuite {
         frames.mkString("|"))
       assert(server.activeQueries.map(_.name.takeWhile(_ != '.')).toSet ==
         Set("graft-sse-feed-rr", "graft-sse-tap-rc", "graft-sse-tap-rs"))
+    } finally server.stop()
+  }
+
+  test("rr resume: subreddit_backfill serves history, then seamless live hand-off") {
+    val rcDir = Files.createTempDirectory("rrb-rc").toString
+    val rsDir = Files.createTempDirectory("rrb-rs").toString
+    val rrDir = Files.createTempDirectory("rrb-rr").toString
+    RedditLog.writeSegment(rrDir, (1L to 5L).map(i => rrRow(i)))
+    val server = new SseServer(spark, rcDir, rsDir, rrPath = rrDir,
+      keepAliveMillis = 60000L, triggerMillis = 100L).start()
+    try {
+      val t = new Thread(() => {
+        val deadline = System.currentTimeMillis() + 30000
+        while (server.readyConnections < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        RedditLog.writeSegment(rrDir, Seq(rrRow(6)))
+      })
+      t.start()
+      val frames = readFrames(server.boundPort, "/?type=rr&subreddit_backfill=3", 4)
+      t.join()
+      val ids = frames.filter(_.contains("event: rr"))
+        .map(_.linesIterator.next().stripPrefix("id: ").toLong)
+      // backfill=3 → last 3 historical ids, then the live append — each
+      // exactly once, in order (the two-threshold hand-off)
+      assert(ids == Seq(3L, 4L, 5L, 6L), frames.mkString("|"))
+    } finally server.stop()
+  }
+
+  test("rr resume: Last-Event-ID acts as subreddit_start_id on a type=rr connection") {
+    val rcDir = Files.createTempDirectory("rrl-rc").toString
+    val rsDir = Files.createTempDirectory("rrl-rs").toString
+    val rrDir = Files.createTempDirectory("rrl-rr").toString
+    RedditLog.writeSegment(rrDir, (1L to 4L).map(i => rrRow(i)))
+    val server = new SseServer(spark, rcDir, rsDir, rrPath = rrDir,
+      keepAliveMillis = 60000L, triggerMillis = 100L).start()
+    try {
+      val frames = readFrames(server.boundPort, "/?type=rr", 2,
+        headers = Map("Last-Event-ID" -> "2"))
+      val ids = frames.filter(_.contains("event: rr"))
+        .map(_.linesIterator.next().stripPrefix("id: ").toLong)
+      assert(ids == Seq(3L, 4L), frames.mkString("|"))
+    } finally server.stop()
+  }
+
+  test("V1: subreddit_backfill with subreddit_start_id → HTTP 400") {
+    val rcDir = Files.createTempDirectory("rrv-rc").toString
+    val rsDir = Files.createTempDirectory("rrv-rs").toString
+    val server = new SseServer(spark, rcDir, rsDir,
+      keepAliveMillis = 60000L, triggerMillis = 100L).start()
+    try {
+      val conn = new URL(s"http://localhost:${server.boundPort}" +
+        "/?type=rr&subreddit_backfill=5&subreddit_start_id=3")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setReadTimeout(15000)
+      assert(conn.getResponseCode == 400)
+      val body = new String(conn.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
+      assert(body.contains("mutually exclusive"), body)
+      conn.disconnect()
     } finally server.stop()
   }
 
