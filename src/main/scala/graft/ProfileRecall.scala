@@ -49,6 +49,18 @@ object ProfileRecall {
     for (p <- 1 to 3) mean("raw", raw, p)
     for (p <- 1 to 3) mean("normalized", unit, p)
 
+    // ---- two-stage re-rank (e20/e21): what shortlist depth buys ----
+    // depth=k is the raw index (re-ranking a k-deep shortlist is a
+    // no-op on recall); each doubling recovers more true-top-k members
+    // the ADC order had seen but mis-ranked, at shortlist× exact-scoring
+    // cost per query. The knee of this curve is the config an ANN
+    // deployment actually serves.
+    for (depth <- Seq(k, 2 * k, 4 * k, 8 * k)) {
+      val r = Similarity.annRecallReranked(raw, pred, k, depth, 16, 4, 8, 16, 2)
+        .agg(avg(col("recall")).as("mean_recall")).collect().head
+      println(f"RERANK depth=$depth%3d k=$k mod=$mod  mean_recall=${r.getDouble(0)}%.4f")
+    }
+
     // ---- index auto-tuning sweep (TODO candidate #8) ----
     // The table an ANN deployment builds before picking its index:
     // (cells, probes, codebook size) × measured recall + wall time.

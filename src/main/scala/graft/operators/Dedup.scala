@@ -538,6 +538,48 @@ object Dedup {
           .as("dup_span_frac"))
   }
 
+  /** WINNOWING fingerprint selection (d33) — the local-fingerprinting
+    * algorithm of Schleimer, Wilkerson & Aiken ("Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003; the MOSS
+    * engine): hash every word `n`-gram IN POSITION ORDER, slide a
+    * window over every `w` consecutive gram hashes, and select each
+    * window's minimal hash — rightmost position on ties, the paper's
+    * rule. The guarantee that makes it a dedup primitive: any shared
+    * run of `w + n − 1` words between two documents shares at least one
+    * SELECTED fingerprint, while only ~2/(w+1) of gram hashes are kept
+    * — the partial-copy detector that whole-doc digests (d01/d09) miss
+    * entirely and set-similarity (d02-d04/d27) only scores globally.
+    *
+    * Scale shape: selection is pure per-document ARRAY expression work
+    * — positional gram hashes, window minima, `array_distinct` — one
+    * scan, ZERO exchanges, codegen throughout; the output is the
+    * (doc_id, pos, fp) posting list a downstream matcher equi-joins on
+    * fp (bounded like any inverted index via [[dfCapped]]). The
+    * rightmost-tie rule rides struct ordering: elements are
+    * (h, −pos), so `array_min` picks the smallest hash and, on equal
+    * hashes, the most negative −pos = the rightmost position — the
+    * same trick as the IVF tie-break ([[graft.operators.Similarity]]).
+    *
+    * Docs with fewer than `w + n − 1` words form no full window and
+    * emit no rows (the guarantee is vacuous below that length).
+    * [[hash60]]'s construction (inlined in the lambda — expression-land
+    * has no Column helpers) keeps fingerprints oracle-exact. Positions
+    * are 1-based gram starts.
+    */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= n + w - 1)
+    val withH = tok.withColumn("hh", expr(
+      s"""transform(sequence(1, size(tk) - ${n - 1}), i -> named_struct(
+         |'h', cast(conv(substring(md5(concat_ws(' ', slice(tk, i, $n))), 1, 15), 16, 10) as bigint),
+         |'np', -i))""".stripMargin.replace("\n", " ")))
+    val sel = withH.withColumn("sel", expr(
+      s"array_distinct(transform(sequence($w, size(hh)), e -> array_min(slice(hh, e - $w + 1, $w))))"))
+    sel.select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"), (-col("s.np")).cast("long").as("pos"),
+        col("s.h").as("fp"))
+  }
+
   /** Train/eval contamination check — flags training documents that
     * share any word n-gram with a benchmark/eval document, the standard
     * decontamination pass before a corpus becomes training data (the

@@ -647,6 +647,61 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
   }
 
+  /** Two-stage retrieval — IVF-PQ SHORTLIST + exact RE-RANK (e20), the
+    * shape production ANN engines actually serve queries with: the
+    * compressed index proposes `shortlist` candidates per query (all
+    * [[ivfPqTopK]]'s machinery — probe-bounded candidates, ADC scoring
+    * over m-int codes), then the raw vectors of ONLY those candidates
+    * are fetched and scored exactly, and the final top-k ranks by true
+    * cosine. Quantization error affects WHICH `shortlist` candidates
+    * surface, never their final ORDER — the standard remedy for ADC
+    * ranking noise, bought for |Q|·shortlist exact scorings instead of
+    * |Q|·N.
+    *
+    * Scale shape: the shortlist is |Q|·shortlist rows (query-scale,
+    * tiny), so the raw-vector fetch is a BROADCAST semi-shape — the
+    * corpus scan streams past a broadcast of the shortlist ids and only
+    * shortlist members' raw vectors survive to the exact scorer. No
+    * shuffle of the corpus, no N×N anywhere; at 100 TB the fetch is the
+    * random-access-read pattern an object store serves well. Returns
+    * (query_id, rk, neighbor_id, cosine) — same schema as [[cosineTopK]],
+    * so the recall device consumes it unchanged.
+    */
+  def ivfPqRerankTopK(emb: DataFrame, queryPred: Column, k: Int,
+      shortlist: Int, nCells: Int = 16, probes: Int = 4,
+      m: Int = 8, ks: Int = 16, passes: Int = 1): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val n = normalized(emb)
+    val short = ivfPqTopK(emb, queryPred, shortlist, nCells, probes, m, ks, passes)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+      col("nrm").as("cn"))
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("qe", "ce") / (col("qn") * col("cn"))).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** Recall@k of the two-stage (shortlist + re-rank) retrieval against
+    * the exact baseline (e21) — [[recallOf]] over [[ivfPqRerankTopK]],
+    * completing the measured story: e15 reads the RAW index's recall,
+    * e21 reads what re-ranking buys on the same index at a given
+    * shortlist depth. Re-ranking recovers exactly the true-top-k members
+    * that the ADC ranking had seen but mis-ordered below rank k, so
+    * e21 ≥ e15 pointwise whenever shortlist > k (equal when the ADC
+    * order already agreed); the measured lift is the number an operator
+    * trades off against the shortlist's exact-scoring cost.
+    */
+  def annRecallReranked(emb: DataFrame, queryPred: Column, k: Int,
+      shortlist: Int, nCells: Int = 16, probes: Int = 4,
+      m: Int = 8, ks: Int = 16, passes: Int = 1): DataFrame =
+    recallOf(
+      cosineTopK(emb, queryPred, k),
+      ivfPqRerankTopK(emb, queryPred, k, shortlist, nCells, probes, m, ks, passes), k)
+
   /** Recall@k of the composed IVF-PQ index against the exact cosine
     * baseline — the metric every ANN deployment watches when tuning
     * probes/codebooks, as an operator: per query,

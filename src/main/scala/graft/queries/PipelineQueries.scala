@@ -27,6 +27,8 @@ object PipelineQueries {
   private val PQ_M = 8           // e09/e10 PQ subspaces
   private val PQ_KS = 16         // e09/e10 sub-codebook size
   private val PQ_K = 3           // e10 neighbors per query
+  private val RERANK_SHORTLIST = 12 // e20 ADC shortlist depth (4×PQ_K)
+  private val WINNOW_W = 4       // d33 winnowing window (grams per window)
   private val PQ_DIMS = 64       // embedding width (TESTDATA.md) — the
                                  // oracle's distance chains are generated
                                  // per-dimension, so the width is static here
@@ -247,6 +249,14 @@ object PipelineQueries {
       TextAnalysis.redactPii(Tables.documents(spark, dir))
         .orderBy(col("doc_id"))),
 
+    // winnowing fingerprint selection (Schleimer et al., SIGMOD'03): the
+    // window-min posting list guaranteeing any shared (w+n-1)-word run
+    // shares a fingerprint — per-doc array work, zero exchanges
+    // (Dedup.winnowFingerprints doc)
+    "d33_winnow_fp" -> ((spark: SparkSession, dir: String) =>
+      Dedup.winnowFingerprints(Tables.documents(spark, dir), 3, WINNOW_W)
+        .orderBy(col("doc_id"), col("pos"))),
+
     // THE end-to-end curation verdict: one row per TRAIN doc with the
     // full keep decision and its reason bits — dedup representative
     // (d12), decontaminated (d13), length + repetition quality gates
@@ -464,6 +474,24 @@ object PipelineQueries {
       Similarity.cellOccupancy(Tables.embeddings(spark, dir), IVF_CELLS)
         .orderBy(col("cell"))),
 
+    // two-stage retrieval: IVF-PQ shortlist (4×k deep), raw vectors
+    // fetched for ONLY the shortlist, final top-k by exact cosine — the
+    // serving shape of production ANN (Similarity.ivfPqRerankTopK doc)
+    "e20_rerank_topk" -> ((spark: SparkSession, dir: String) =>
+      Similarity.ivfPqRerankTopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, RERANK_SHORTLIST,
+        IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // what re-ranking buys, as a registered metric: e15's recall device
+    // over the two-stage path — ≥ e15 pointwise by construction
+    // (Similarity.annRecallReranked doc)
+    "e21_rerank_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annRecallReranked(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, RERANK_SHORTLIST,
+        IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
+        .orderBy(col("query_id"))),
+
     "m01_media_meta" -> ((spark: SparkSession, dir: String) =>
       Multimodal.mediaView(Tables.documents(spark, dir))
         .select(col("doc_id"),
@@ -672,6 +700,59 @@ object PipelineQueries {
   }
   private lazy val pqTrainedGridJoins = (1 to PQ_M)
     .map(s => s"JOIN grid g$s ON g$s.sub = $s AND g$s.code = w.c$s").mkString(" ")
+
+  /** The composed index's candidate-scoring core (consumes the IVF
+    * assignment chain's `asg`/`cells`, the trained grid's `pcw2`/`grid`,
+    * and `v`): probe selection + trained-ADC scoring, ending in
+    * `sc(query_id, neighbor_id, adc_dist)`. THE one fragment behind
+    * e14/e15/e16/e20/e21 — a probe or scoring change cannot
+    * desynchronize the index's use from its measurements.
+    */
+  private lazy val ivfPqScCtes =
+    s"""probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
+       |sc AS (SELECT pr.query_id, cl.vid AS neighbor_id, $pqTrainedDist AS adc_dist
+       |       FROM probes pr JOIN cells cl USING (cell)
+       |       JOIN pcw2 w ON w.vid = cl.vid
+       |       JOIN v q ON q.vec_id = pr.query_id
+       |       $pqTrainedGridJoins
+       |       WHERE cl.vid <> pr.query_id)""".stripMargin.replace("\n", " ")
+
+  /** The two-stage tail (mirror of
+    * [[graft.operators.Similarity.ivfPqRerankTopK]]; consumes `sc` +
+    * `n`): ADC shortlist at depth RERANK_SHORTLIST, exact cosine over
+    * ONLY shortlist members, re-rank by true cosine — ends in
+    * `rrk(query_id, neighbor_id, cosine, rk)`. Shared by e20/e21.
+    */
+  private lazy val rerankCtes =
+    s"""shortl AS (SELECT query_id, neighbor_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY adc_dist ASC, neighbor_id ASC) AS rk FROM sc) WHERE rk <= $RERANK_SHORTLIST),
+       |rrs AS (SELECT s.query_id, s.neighbor_id,
+       |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+       |        FROM shortl s JOIN n q ON q.vec_id = s.query_id
+       |        JOIN n c ON c.vec_id = s.neighbor_id),
+       |rrk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rk FROM rrs)""".stripMargin.replace("\n", " ")
+
+  /** The recall measurement's shared tail (consumes an `ap3(query_id,
+    * neighbor_id)` approximate top-k + `n`): exact cosine baseline,
+    * per-query hit count, recall as an exact n/k rational — the final
+    * SELECT included. ONE definition across every index family's
+    * measurement (e15/e16/e17/e21).
+    */
+  private lazy val recallTailSql =
+    s"""pex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+       |        FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+       |ex3 AS (SELECT query_id, neighbor_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM pex) WHERE rk <= $PQ_K),
+       |hits AS (SELECT e.query_id, count(*) AS n_hit
+       |         FROM ex3 e JOIN ap3 a USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT q.query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(coalesce(n_hit, 0) AS DOUBLE) / $PQ_K AS recall
+       |FROM (SELECT DISTINCT query_id FROM ex3) q LEFT JOIN hits USING (query_id)
+       |ORDER BY query_id""".stripMargin.replace("\n", " ")
 
   /** Per-(sub, code, dim) DECIMAL(28,8) member means of the codes CTE
     * `codesCte(vid, sub, code)` (consumes a chain defining `v`), ending
@@ -1050,6 +1131,25 @@ object PipelineQueries {
          |SELECT doc_id, t3 AS redacted, CAST(ne + nu + nd AS BIGINT) AS n_redacted
          |FROM s3 ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of Dedup.winnowFingerprints: positional gram hashes (the
+    // shared 60-bit construction), each window of WINNOW_W consecutive
+    // grams contributes its minimal hash with rightmost tie (ORDER BY
+    // h ASC, pos DESC ↔ the Scala struct-min over (h, −pos)), DISTINCT
+    // selected (pos, fp) pairs per doc
+    "d33_winnow_fp" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents
+         |       WHERE len(string_split(text,' ')) >= ${3 + WINNOW_W - 1}),
+         |g AS (SELECT doc_id, i, ${duckHash60("array_to_string(list_slice(tk, i, i+2),' ')")} AS h
+         |      FROM tok, LATERAL unnest(range(1, len(tk)-1)) AS t(i)),
+         |j AS (SELECT a.doc_id, a.i AS wend, b.i AS pos, b.h,
+         |      row_number() OVER (PARTITION BY a.doc_id, a.i
+         |        ORDER BY b.h ASC, b.i DESC) AS rn
+         |      FROM g a JOIN g b ON b.doc_id = a.doc_id
+         |        AND b.i BETWEEN a.i - ${WINNOW_W - 1} AND a.i
+         |      WHERE a.i >= $WINNOW_W)
+         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
+         |FROM j WHERE rn = 1 ORDER BY doc_id, pos""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.oovRate: d15's top-k cut (same tf desc,
     // token asc total order) as the membership set, exact rational rate
@@ -1444,17 +1544,38 @@ object PipelineQueries {
          |$pqCodesAfterV,
          |${pqTrainCtes},
          |$pqTrainedGridCtes,
-         |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
-         |sc AS (SELECT pr.query_id, cl.vid AS neighbor_id, $pqTrainedDist AS adc_dist
-         |       FROM probes pr JOIN cells cl USING (cell)
-         |       JOIN pcw2 w ON w.vid = cl.vid
-         |       JOIN v q ON q.vec_id = pr.query_id
-         |       $pqTrainedGridJoins
-         |       WHERE cl.vid <> pr.query_id),
+         |$ivfPqScCtes,
          |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |        ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sc)
          |SELECT query_id, rk, neighbor_id, adc_dist FROM r2 WHERE rk <= $PQ_K
          |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.ivfPqRerankTopK: e14's full scoring core, the
+    // ADC shortlist cut at RERANK_SHORTLIST, then exact cosine over only
+    // the shortlist members and a re-rank by true cosine — the two-stage
+    // retrieval production ANN engines serve
+    "e20_rerank_topk" ->
+      s"""WITH $ivfAsgCtes,
+         |$pqCodesAfterV,
+         |${pqTrainCtes},
+         |$pqTrainedGridCtes,
+         |$ivfPqScCtes,
+         |$rerankCtes
+         |SELECT query_id, rk, neighbor_id, cosine FROM rrk WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.annRecallReranked: e20's chain as the approx
+    // side of the shared recall tail — what re-ranking buys on the same
+    // index, as a registered metric (≥ e15 pointwise by construction)
+    "e21_rerank_recall" ->
+      s"""WITH $ivfAsgCtes,
+         |$pqCodesAfterV,
+         |${pqTrainCtes},
+         |$pqTrainedGridCtes,
+         |$ivfPqScCtes,
+         |$rerankCtes,
+         |ap3 AS (SELECT query_id, neighbor_id FROM rrk WHERE rk <= $PQ_K),
+         |$recallTailSql""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.annRecall: e14's full chain (approx side)
     // stacked with e01's exact scoring (shares v/n), then the hit
@@ -1464,28 +1585,11 @@ object PipelineQueries {
          |$pqCodesAfterV,
          |${pqTrainCtes},
          |$pqTrainedGridCtes,
-         |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
-         |sc AS (SELECT pr.query_id, cl.vid AS neighbor_id, $pqTrainedDist AS adc_dist
-         |       FROM probes pr JOIN cells cl USING (cell)
-         |       JOIN pcw2 w ON w.vid = cl.vid
-         |       JOIN v q ON q.vec_id = pr.query_id
-         |       $pqTrainedGridJoins
-         |       WHERE cl.vid <> pr.query_id),
+         |$ivfPqScCtes,
          |ap3 AS (SELECT query_id, neighbor_id FROM
          |  (SELECT *, row_number() OVER (PARTITION BY query_id
          |     ORDER BY adc_dist ASC, neighbor_id ASC) AS rk FROM sc) WHERE rk <= $PQ_K),
-         |pex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
-         |        FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
-         |ex3 AS (SELECT query_id, neighbor_id FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY query_id
-         |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM pex) WHERE rk <= $PQ_K),
-         |hits AS (SELECT e.query_id, count(*) AS n_hit
-         |         FROM ex3 e JOIN ap3 a USING (query_id, neighbor_id) GROUP BY 1)
-         |SELECT q.query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-         |  CAST(coalesce(n_hit, 0) AS DOUBLE) / $PQ_K AS recall
-         |FROM (SELECT DISTINCT query_id FROM ex3) q LEFT JOIN hits USING (query_id)
-         |ORDER BY query_id""".stripMargin.replace("\n", " "),
+         |$recallTailSql""".stripMargin.replace("\n", " "),
 
     // e15's chain verbatim with the unit-normalized v head (vHeadUnit
     // doc) — the ONLY difference between the two oracles, matching the
@@ -1496,28 +1600,11 @@ object PipelineQueries {
          |$pqCodesAfterV,
          |${pqTrainCtes},
          |$pqTrainedGridCtes,
-         |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
-         |sc AS (SELECT pr.query_id, cl.vid AS neighbor_id, $pqTrainedDist AS adc_dist
-         |       FROM probes pr JOIN cells cl USING (cell)
-         |       JOIN pcw2 w ON w.vid = cl.vid
-         |       JOIN v q ON q.vec_id = pr.query_id
-         |       $pqTrainedGridJoins
-         |       WHERE cl.vid <> pr.query_id),
+         |$ivfPqScCtes,
          |ap3 AS (SELECT query_id, neighbor_id FROM
          |  (SELECT *, row_number() OVER (PARTITION BY query_id
          |     ORDER BY adc_dist ASC, neighbor_id ASC) AS rk FROM sc) WHERE rk <= $PQ_K),
-         |pex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
-         |        FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
-         |ex3 AS (SELECT query_id, neighbor_id FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY query_id
-         |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM pex) WHERE rk <= $PQ_K),
-         |hits AS (SELECT e.query_id, count(*) AS n_hit
-         |         FROM ex3 e JOIN ap3 a USING (query_id, neighbor_id) GROUP BY 1)
-         |SELECT q.query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-         |  CAST(coalesce(n_hit, 0) AS DOUBLE) / $PQ_K AS recall
-         |FROM (SELECT DISTINCT query_id FROM ex3) q LEFT JOIN hits USING (query_id)
-         |ORDER BY query_id""".stripMargin.replace("\n", " "),
+         |$recallTailSql""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.annRecallLsh: e03's multi-probe chain (approx
     // side) + e01's exact scoring, then the shared recall tail — the
@@ -1535,18 +1622,7 @@ object PipelineQueries {
          |ap3 AS (SELECT query_id, neighbor_id FROM
          |  (SELECT *, row_number() OVER (PARTITION BY query_id
          |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM p) WHERE rk <= $PQ_K),
-         |pex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
-         |        FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
-         |ex3 AS (SELECT query_id, neighbor_id FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY query_id
-         |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM pex) WHERE rk <= $PQ_K),
-         |hits AS (SELECT e.query_id, count(*) AS n_hit
-         |         FROM ex3 e JOIN ap3 a USING (query_id, neighbor_id) GROUP BY 1)
-         |SELECT q.query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-         |  CAST(coalesce(n_hit, 0) AS DOUBLE) / $PQ_K AS recall
-         |FROM (SELECT DISTINCT query_id FROM ex3) q LEFT JOIN hits USING (query_id)
-         |ORDER BY query_id""".stripMargin.replace("\n", " "),
+         |$recallTailSql""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.pqAdcTopK: codes pivoted wide, one pcent join
     // per subspace, the 8 per-subspace chains summed in the same

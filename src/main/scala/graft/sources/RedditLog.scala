@@ -626,6 +626,25 @@ object RedditLog {
     }
   }
 
+  /** The production INGEST entry — append one segment, then let the
+    * size-tiered policy decide whether THIS append pays for maintenance
+    * ([[compactIfNeeded]]: sweep-GC of replaced files past their grace
+    * window + lease check, then one merge pass). Maintenance lives on
+    * the writer path because the writer is the system's one
+    * single-threaded actor (appends are id-monotone from a single
+    * writer, see [[writeSegment]]); readers never compact, they only
+    * hold leases. Below the small-segment threshold an append costs one
+    * manifest read beyond the write itself. Returns true when this
+    * append triggered a merge — callers ingesting a firehose can use it
+    * to meter maintenance logging.
+    */
+  def append(dir: String, rows: Seq[Map[String, Any]],
+      targetRows: Long = 100000L, maxSmall: Int = 16,
+      graceMillis: Long = 60000L): Boolean = {
+    writeSegment(dir, rows)
+    compactIfNeeded(dir, targetRows, maxSmall, graceMillis)
+  }
+
   /** Read raw envelope lines of segments overlapping (startExclusive,
     * endInclusive], filtered to that id range.
     */

@@ -222,6 +222,102 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(corpus == 0L, s"corpus now has $corpus redactable spans — update d32's caveat")
   }
 
+  // ---- winnowing (d33) ----
+
+  /** Test-side hash60 (md5 hex prefix, 15 chars → 60-bit Long). */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Reference winnowing: window minima with the rightmost-tie rule. */
+  private def bruteWinnow(text: String, n: Int, w: Int): Set[(Long, Long)] = {
+    val tk = text.split(" ", -1)
+    if (tk.length < n + w - 1) return Set.empty
+    val grams = (0 to tk.length - n).map(i => (i + 1L, h60(tk.slice(i, i + n).mkString(" "))))
+    (w to grams.length).map { e =>
+      val win = grams.slice(e - w, e)
+      val minH = win.map(_._2).min
+      (win.filter(_._2 == minH).map(_._1).max, minH) // rightmost tie
+    }.toSet
+  }
+
+  test("winnowFingerprints matches the reference algorithm on the whole sf0.001 corpus") {
+    val docs = Tables.documents(spark, dir)
+    val got = Dedup.winnowFingerprints(docs, 3, 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    var checked = 0
+    texts.foreach { case (id, text) =>
+      val want = bruteWinnow(text, 3, 4)
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id")
+      if (want.nonEmpty) checked += 1
+    }
+    assert(checked > 100, s"only $checked docs produced fingerprints — corpus too short to test")
+  }
+
+  test("winnowing guarantee: a shared (w+n-1)-word run shares a selected fingerprint") {
+    // Two otherwise-different docs sharing exactly one 6-word run
+    // (w=4, n=3 → w+n-1=6) must share at least one fingerprint VALUE.
+    val shared = "omega psi chi phi upsilon tau"
+    val docs = Seq(
+      (1L, s"aa bb cc dd $shared ee ff gg hh"),
+      (2L, s"zz yy xx $shared ww vv uu tt ss rr")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, 3, 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "winnowing guarantee violated: shared 6-word run, no shared fingerprint")
+    // density: far fewer fingerprints than grams survive selection
+    val grams1 = docs.filter($"doc_id" === 1L).select("text").as[String].head()
+      .split(" ").length - 2
+    assert(fps(1L).size < grams1, "selection kept every gram — not winnowing")
+  }
+
+  // ---- two-stage retrieval (e20/e21) ----
+
+  test("rerank top-k IS the exact-cosine order of the ADC shortlist") {
+    val emb = Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val shortl = Similarity.ivfPqTopK(emb, pred, 12, 16, 4, 8, 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rer = Similarity.ivfPqRerankTopK(emb, pred, 3, 12, 16, 4, 8, 16)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // exact cosines recomputed with the same left-to-right double fold
+    val vecs = emb.selectExpr("vec_id", "transform(embedding, x -> cast(x as double))")
+      .as[(Long, Seq[Double])].collect().toMap
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+    def cos(a: Long, b: Long) = {
+      val (x, y) = (vecs(a), vecs(b))
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    assert(rer.nonEmpty)
+    rer.foreach { case (q, got) =>
+      val want = shortl(q).toSeq
+        .sortBy(nb => (-cos(q, nb), nb)).take(3)
+      assert(got == want, s"query $q: got $got want $want")
+    }
+  }
+
+  test("re-rank recall dominates the raw-index recall pointwise (e21 >= e15)") {
+    val emb = Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val raw = Similarity.annRecall(emb, pred, 3, 16, 4, 8, 16)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    val rer = Similarity.annRecallReranked(emb, pred, 3, 12, 16, 4, 8, 16)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    assert(raw.keySet == rer.keySet)
+    raw.foreach { case (q, r15) =>
+      assert(rer(q) >= r15, s"query $q: rerank ${rer(q)} < raw $r15")
+    }
+  }
+
   test("simhashHammingPairs: block keys mask off bit 63's sign extension") {
     // Two identical docs must collide in EVERY block even when bit 63 is
     // set on their shared signature (arithmetic shift would otherwise

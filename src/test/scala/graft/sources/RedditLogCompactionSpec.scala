@@ -116,6 +116,22 @@ class RedditLogCompactionSpec extends AnyFunSuite {
     assert(RedditLog.maxId(dir) == 400L)
   }
 
+  test("append: the ingest entry alone keeps the segment set bounded and the data intact") {
+    val dir = Files.createTempDirectory("rlog-ingest").toString
+    // a firehose of 60 small appends through ONLY the production entry —
+    // no explicit compact()/gc() calls anywhere
+    var merges = 0
+    (0 until 60).foreach { k =>
+      if (RedditLog.append(dir, ((k * 10 + 1).toLong to (k * 10 + 10).toLong).map(row),
+        targetRows = 100L, maxSmall = 8)) merges += 1
+    }
+    assert(merges >= 3, s"expected the policy to fire repeatedly, got $merges")
+    assert(RedditLog.listSegments(dir).size < 16,
+      "segment count must stay bounded by the policy under continuous ingest")
+    assert(RedditLog.maxId(dir) == 600L)
+    assert(ids(dir) == (1L to 600L))
+  }
+
   test("gc grace measures time-since-replacement, not segment age (mtime stamped at compaction)") {
     val dir = Files.createTempDirectory("rlog-stamp").toString
     (0 until 4).foreach(k => RedditLog.writeSegment(dir, ((k * 10 + 1).toLong to (k * 10 + 10).toLong).map(row)))
