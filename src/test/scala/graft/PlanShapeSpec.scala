@@ -244,4 +244,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins == 0, s"expected a join-free scoring plan, found $joins joins\n" + p.take(2000))
     assert(p.contains("partial_"), "d31 lost map-side aggregation\n" + p.take(2000))
   }
+
+  test("d33: winnowing selects fingerprints scan-side — zero exchanges before the sink sort") {
+    // the operator itself (the registered query's orderBy legitimately
+    // range-partitions for oracle determinism, as d16)
+    val df = graft.operators.Dedup.winnowFingerprints(
+      graft.sources.Tables.documents(spark, dir), 3, 4)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), "winnowing must not shuffle\n" + p.take(2000))
+    val joins = """(?m)^\(\d+\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin|BroadcastNestedLoopJoin)""".r
+      .findAllIn(p).length
+    assert(joins == 0, s"selection must be join-free, found $joins joins\n" + p.take(2000))
+  }
+
+  test("e20: the re-rank raw-vector fetch is BROADCAST-shaped (corpus never shuffled for it)") {
+    val p = plan("e20_rerank_topk")
+    // two broadcast joins above the shortlist: corpus × broadcast(ids),
+    // then × broadcast(queries); a SortMergeJoin here means the
+    // query-scale shortlist got shuffled against the corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the shortlist fetch fell back to a corpus shuffle\n" + p.take(2000))
+  }
 }
