@@ -580,6 +580,39 @@ object Dedup {
         col("s.h").as("fp"))
   }
 
+  /** Winnowing PARTIAL-COPY matcher (d34) — the cross-document join the
+    * winnowing paper builds on the selected-fingerprint posting list:
+    * two docs sharing `minShared`+ selected fingerprints share (with the
+    * [[winnowFingerprints]] guarantee) at least that many word runs —
+    * the detector for copied PASSAGES between otherwise-different
+    * documents, which whole-doc similarity (d02-d04's Jaccard over all
+    * shingles) dilutes toward zero as the non-copied remainder grows.
+    * Pairs with d33 the way d03 pairs with d02.
+    *
+    * Scale shape: the matcher only ever touches the winnowed posting
+    * list (~2/(w+1) of grams), never the raw shingle stream; the
+    * self-join is an fp equi-join with the same hot-key discipline as
+    * every inverted index here — fingerprints in more than `maxDf` docs
+    * (boilerplate: headers, license blocks) are dropped BEFORE pair
+    * formation, bounding the hottest key's fan-out at maxDf² instead of
+    * corpus². `minShared` ≥ 2 filters single-fingerprint chance
+    * collisions. Returns (doc_a, doc_b, n_shared).
+    */
+  def winnowCopyPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxDf: Long = 1000L): DataFrame = {
+    val fps = winnowFingerprints(docs, n, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val healthy = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    val capped = fps.join(healthy, Seq("fp"), "left_semi")
+    val x = capped.select(col("doc_id").as("doc_a"), col("fp"))
+    val y = capped.select(col("doc_id").as("doc_b"), col("fp"))
+    x.join(y, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Train/eval contamination check — flags training documents that
     * share any word n-gram with a benchmark/eval document, the standard
     * decontamination pass before a corpus becomes training data (the

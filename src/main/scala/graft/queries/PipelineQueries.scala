@@ -29,6 +29,8 @@ object PipelineQueries {
   private val PQ_K = 3           // e10 neighbors per query
   private val RERANK_SHORTLIST = 12 // e20 ADC shortlist depth (4×PQ_K)
   private val WINNOW_W = 4       // d33 winnowing window (grams per window)
+  private val WINNOW_MIN_SHARED = 2L // d34: pairs need ≥2 shared fps (1 = chance collisions — measured)
+  private val WINNOW_MAX_DF = 1000L  // d34 boilerplate-fingerprint cap
   private val PQ_DIMS = 64       // embedding width (TESTDATA.md) — the
                                  // oracle's distance chains are generated
                                  // per-dimension, so the width is static here
@@ -256,6 +258,16 @@ object PipelineQueries {
     "d33_winnow_fp" -> ((spark: SparkSession, dir: String) =>
       Dedup.winnowFingerprints(Tables.documents(spark, dir), 3, WINNOW_W)
         .orderBy(col("doc_id"), col("pos"))),
+
+    // the posting list's matcher: docs sharing >= 2 selected
+    // fingerprints — the partial-copy detector whole-doc Jaccard
+    // dilutes away; at minShared=1 the corpus yields ~3.4k chance
+    // collisions, at 2 the 103 genuine pairs (measured)
+    // (Dedup.winnowCopyPairs doc)
+    "d34_winnow_pairs" -> ((spark: SparkSession, dir: String) =>
+      Dedup.winnowCopyPairs(Tables.documents(spark, dir), 3, WINNOW_W,
+        WINNOW_MIN_SHARED, WINNOW_MAX_DF)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // THE end-to-end curation verdict: one row per TRAIN doc with the
     // full keep decision and its reason bits — dedup representative
@@ -878,6 +890,29 @@ object PipelineQueries {
 
   private val shingleCte = shingleCteOver("")
 
+  /** THE winnowing chain (mirror of
+    * [[graft.operators.Dedup.winnowFingerprints]]), ending in
+    * `wsel(doc_id, pos BIGINT, fp)` — positional gram hashes (the
+    * shared 60-bit construction), each window of WINNOW_W consecutive
+    * grams contributing its minimal hash with rightmost tie (ORDER BY
+    * h ASC, pos DESC ↔ the Scala struct-min over (h, −pos)), DISTINCT
+    * selected (pos, fp) per doc. Shared by d33 and d34 so the posting
+    * list and its matcher cannot desynchronize.
+    */
+  private lazy val winnowCtes =
+    s"""tok2 AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents
+       |       WHERE len(string_split(text,' ')) >= ${3 + WINNOW_W - 1}),
+       |wg AS (SELECT doc_id, i, ${duckHash60("array_to_string(list_slice(tk, i, i+2),' ')")} AS h
+       |      FROM tok2, LATERAL unnest(range(1, len(tk)-1)) AS t(i)),
+       |wj AS (SELECT a.doc_id, a.i AS wend, b.i AS pos, b.h,
+       |      row_number() OVER (PARTITION BY a.doc_id, a.i
+       |        ORDER BY b.h ASC, b.i DESC) AS rn
+       |      FROM wg a JOIN wg b ON b.doc_id = a.doc_id
+       |        AND b.i BETWEEN a.i - ${WINNOW_W - 1} AND a.i
+       |      WHERE a.i >= $WINNOW_W),
+       |wsel AS (SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
+       |      FROM wj WHERE rn = 1)""".stripMargin.replace("\n", " ")
+
   /** Mirror of [[graft.operators.Dedup.dfCapped]]: shc = df-capped shh. */
   private def dfCapCte =
     s"shc AS (SELECT shh.* FROM shh JOIN (SELECT hs FROM shh GROUP BY hs HAVING count(*) <= $MAX_DF) h USING (hs))"
@@ -1132,24 +1167,27 @@ object PipelineQueries {
          |FROM s3 ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
 
-    // mirror of Dedup.winnowFingerprints: positional gram hashes (the
-    // shared 60-bit construction), each window of WINNOW_W consecutive
-    // grams contributes its minimal hash with rightmost tie (ORDER BY
-    // h ASC, pos DESC ↔ the Scala struct-min over (h, −pos)), DISTINCT
-    // selected (pos, fp) pairs per doc
+    // mirror of Dedup.winnowFingerprints over the shared winnowing
+    // chain (winnowCtes doc)
     "d33_winnow_fp" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents
-         |       WHERE len(string_split(text,' ')) >= ${3 + WINNOW_W - 1}),
-         |g AS (SELECT doc_id, i, ${duckHash60("array_to_string(list_slice(tk, i, i+2),' ')")} AS h
-         |      FROM tok, LATERAL unnest(range(1, len(tk)-1)) AS t(i)),
-         |j AS (SELECT a.doc_id, a.i AS wend, b.i AS pos, b.h,
-         |      row_number() OVER (PARTITION BY a.doc_id, a.i
-         |        ORDER BY b.h ASC, b.i DESC) AS rn
-         |      FROM g a JOIN g b ON b.doc_id = a.doc_id
-         |        AND b.i BETWEEN a.i - ${WINNOW_W - 1} AND a.i
-         |      WHERE a.i >= $WINNOW_W)
-         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
-         |FROM j WHERE rn = 1 ORDER BY doc_id, pos""".stripMargin.replace("\n", " "),
+      s"""WITH $winnowCtes
+         |SELECT doc_id, pos, fp FROM wsel ORDER BY doc_id, pos""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.winnowCopyPairs: the SAME winnowing chain, then
+    // distinct per-doc fingerprint sets, the boilerplate df cap, an fp
+    // equi-join and the >= minShared filter — d33's matcher the way d03
+    // is d02's
+    "d34_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wsel),
+         |healthy AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WINNOW_MAX_DF),
+         |fpc AS (SELECT fps.* FROM fps JOIN healthy USING (fp)),
+         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+         |      FROM fpc x JOIN fpc y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM p WHERE n_shared >= $WINNOW_MIN_SHARED
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.oovRate: d15's top-k cut (same tf desc,
     // token asc total order) as the membership set, exact rational rate

@@ -277,6 +277,46 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < grams1, "selection kept every gram — not winnowing")
   }
 
+  test("winnowCopyPairs matches the brute-force fingerprint-set intersection") {
+    val docs = Tables.documents(spark, dir)
+    val got = Dedup.winnowCopyPairs(docs, 3, 4, minShared = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    val sets = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> bruteWinnow(t, 3, 4).map(_._2) }
+      .filter(_._2.nonEmpty)
+    // no fingerprint reaches the 1000-doc df cap on this corpus, so the
+    // brute pair set is the plain pairwise intersection count
+    val dfs = sets.flatMap(_._2.toSeq).groupBy(identity).view.mapValues(_.length)
+    assert(dfs.values.max <= 1000, "df cap active — brute reference must model it")
+    val want = (for {
+      (a, fa) <- sets; (b, fb) <- sets if a < b
+      n = (fa intersect fb).size if n >= 2
+    } yield (a, b, n.toLong)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "corpus yields no pairs — test is vacuous")
+  }
+
+  test("winnowCopyPairs finds a copied passage that whole-doc Jaccard dilutes away") {
+    // a 12-word passage pasted into two long, otherwise-unrelated docs
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val fillerA = (1 to 200).map(i => s"a$i").mkString(" ")
+    val fillerB = (1 to 200).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$fillerA $passage"),
+      (2L, s"$passage $fillerB")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCopyPairs(docs, 3, 4, minShared = 2L)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.length == 1 && pairs.head._1 == 1L && pairs.head._2 == 2L,
+      s"copied passage not detected: ${pairs.toSeq}")
+    // the same pair's whole-doc Jaccard is ~10/400 — far below any
+    // near-dup threshold; this asymmetry is d34's reason to exist
+    val hsh = Dedup.hashedShingles(docs, 3)
+    val shared = hsh.groupBy(col("hs")).count().filter(col("count") >= 2).count()
+    val total = hsh.select(col("hs")).distinct().count()
+    assert(shared.toDouble / total < 0.1, s"jaccard $shared/$total not dilute — fixture broken")
+  }
+
   // ---- two-stage retrieval (e20/e21) ----
 
   test("rerank top-k IS the exact-cosine order of the ADC shortlist") {
