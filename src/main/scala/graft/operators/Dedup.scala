@@ -575,7 +575,14 @@ object Dedup {
          |'np', -i))""".stripMargin.replace("\n", " ")))
     val sel = withH.withColumn("sel", expr(
       s"array_distinct(transform(sequence($w, size(hh)), e -> array_min(slice(hh, e - $w + 1, $w))))"))
-    sel.select(col("doc_id"), explode(col("sel")).as("s"))
+    // OUTER explode, null-filtered on the GENERATED column — plain
+    // explode's implicit `size(sel) > 0` guard re-evaluates the whole
+    // gram-hash + window-min chain in a Filter below the Generate
+    // (measured 11.7 s vs 0.4 s at sf0.01; same pathology as
+    // [[graft.operators.Similarity.pqEncode]]'s posexplode, and the
+    // Round8 plan guard pins the fixed shape)
+    sel.select(col("doc_id"), explode_outer(col("sel")).as("s"))
+      .filter(col("s").isNotNull)
       .select(col("doc_id"), (-col("s.np")).cast("long").as("pos"),
         col("s.h").as("fp"))
   }

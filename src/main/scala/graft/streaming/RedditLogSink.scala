@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.sources.RedditLog
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming INGEST daemon for the segment log — the last manual step
+  * between a live envelope feed and a compacted, lease-GC'd
+  * [[RedditLog]]: a `foreachBatch` sink that appends each micro-batch
+  * through [[RedditLog.append]], so segment maintenance (size-tiered
+  * compaction + grace/lease-aware GC) runs on the writer path exactly
+  * as the production contract demands.
+  *
+  * Exactly-once WITHOUT a transactional sink: `foreachBatch` is
+  * at-least-once (a crash between the append and the checkpoint commit
+  * replays the batch), and the log's ids are monotone — so the sink
+  * drops every row at-or-below the log's current watermark
+  * (`maxId(dir)`) before appending. A replayed batch re-reads a
+  * watermark that already covers it and appends nothing: idempotence
+  * falls out of the id-monotone single-writer contract rather than a
+  * commit protocol, the same resumption algebra as the SSE side's
+  * two-threshold hand-off (suppress/boundary).
+  *
+  * The per-batch emit is DRIVER-side by design, not by accident: a
+  * segment append is inherently serial (one id-ordered file + one
+  * manifest flip — [[RedditLog.writeSegment]]'s single-writer
+  * contract), so the batch flows through `toLocalIterator` over
+  * id-range-partitioned rows with O(partition) driver memory — the
+  * same bounded-emit pattern as the SSE catch-up path. Batch sizes are
+  * trigger-bounded upstream; the log is the narrow neck a 100 TB
+  * deployment would shard by event type/tenant (one sink per log),
+  * not parallelize within.
+  */
+object RedditLogSink {
+
+  /** Start the ingest: `events` must carry [[RedditLog.schema]]'s
+    * columns. Returns the running query; stop it to stop ingesting.
+    */
+  def appendStream(events: DataFrame, dir: String, checkpointDir: String,
+      triggerMillis: Long = 1000L, targetRows: Long = 100000L,
+      maxSmall: Int = 16, graceMillis: Long = 60000L): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMillis))
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        appendBatch(batch, dir, targetRows, maxSmall, graceMillis)
+        ()
+      }
+      .start()
+
+  /** One micro-batch: watermark-filter (idempotent replay), id-order,
+    * append. Returns the appended row count (0 = fully-replayed or
+    * empty batch — nothing written, no empty segment).
+    */
+  private[streaming] def appendBatch(batch: Dataset[Row], dir: String,
+      targetRows: Long, maxSmall: Int, graceMillis: Long): Long = {
+    val floor = RedditLog.maxId(dir)
+    val names = RedditLog.schema.fieldNames
+    val ordered = batch
+      .filter(col("id") > lit(floor))
+      .repartitionByRange(col("id")).sortWithinPartitions(col("id"))
+      .select(names.map(col): _*)
+    val rows = ArrayBuffer[Map[String, Any]]()
+    val it = ordered.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      rows += names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+    }
+    if (rows.nonEmpty)
+      RedditLog.append(dir, rows.toSeq, targetRows, maxSmall, graceMillis)
+    rows.length.toLong
+  }
+}

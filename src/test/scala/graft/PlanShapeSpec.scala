@@ -255,6 +255,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val joins = """(?m)^\(\d+\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin|BroadcastNestedLoopJoin)""".r
       .findAllIn(p).length
     assert(joins == 0, s"selection must be join-free, found $joins joins\n" + p.take(2000))
+    // the gram-hash chain must be evaluated ONCE: a plain (non-outer)
+    // explode's size-guard re-evaluates it in a Filter below the
+    // Generate — 14× slower, measured (winnowFingerprints doc)
+    val md5s = "md5".r.findAllIn(p).length
+    assert(md5s == 1, s"gram-hash chain evaluated $md5s times — explode guard regressed\n" + p.take(2000))
   }
 
   test("e20: the re-rank raw-vector fetch is BROADCAST-shaped (corpus never shuffled for it)") {

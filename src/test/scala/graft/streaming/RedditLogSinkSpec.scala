@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.sources.RedditLog
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming ingest daemon: micro-batches → RedditLog.append with
+  * watermark-based idempotence (RedditLogSink doc).
+  */
+class RedditLogSinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def row(i: Long) = IngestRow(
+    id = i, event = "rc", created_utc = 1000L + i, author = s"u$i",
+    subreddit = "news", domain = null, over_18 = null, is_self = null,
+    json = s"""{"n":$i}""")
+
+  private def ids(dir: String): Seq[Long] = {
+    import spark.implicits._
+    spark.read.format("graft.sources.RedditLogSource").option("path", dir)
+      .load().select("id").as[Long].collect().toSeq.sorted
+  }
+
+  test("appendBatch: watermark filter makes batch replay idempotent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rsink-idem").toString
+    val b1 = (1L to 10L).map(row).toDS().toDF()
+    assert(RedditLogSink.appendBatch(b1, dir, 100L, 16, 60000L) == 10L)
+    // exact replay (crash between append and checkpoint commit): the
+    // log's watermark already covers every id — nothing appends
+    assert(RedditLogSink.appendBatch(b1, dir, 100L, 16, 60000L) == 0L)
+    // partial overlap: only the genuinely-new tail lands
+    val b2 = (5L to 15L).map(row).toDS().toDF()
+    assert(RedditLogSink.appendBatch(b2, dir, 100L, 16, 60000L) == 5L)
+    assert(ids(dir) == (1L to 15L))
+    assert(RedditLog.maxId(dir) == 15L)
+  }
+
+  test("appendStream: a live feed lands in the log with maintenance firing on the writer path") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("rsink-live").toString
+    val ckpt = Files.createTempDirectory("rsink-ckpt").toString
+    val mem = MemoryStream[IngestRow]
+    // aggressive policy so this tiny feed exercises compaction too:
+    // every 10-row append is a small segment, merge at 3
+    val q = RedditLogSink.appendStream(mem.toDF(), dir, ckpt,
+      triggerMillis = 50L, targetRows = 50L, maxSmall = 3)
+    try {
+      (0 until 6).foreach { k =>
+        mem.addData(((k * 10 + 1).toLong to (k * 10 + 10).toLong).map(row))
+        q.processAllAvailable()
+      }
+      assert(ids(dir) == (1L to 60L))
+      assert(RedditLog.maxId(dir) == 60L)
+      // the size-tiered policy merged: fewer live segments than appends
+      assert(RedditLog.listSegments(dir).size < 6,
+        s"no compaction fired: ${RedditLog.listSegments(dir).size} segments after 6 appends")
+    } finally q.stop()
+  }
+}
+
+/** Envelope row for the MemoryStream encoder (RedditLog.schema shape). */
+case class IngestRow(id: Long, event: String, created_utc: Long,
+    author: String, subreddit: String, domain: String, over_18: String,
+    is_self: String, json: String)
