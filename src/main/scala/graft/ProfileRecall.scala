@@ -49,6 +49,15 @@ object ProfileRecall {
     for (p <- 1 to 3) mean("raw", raw, p)
     for (p <- 1 to 3) mean("normalized", unit, p)
 
+    // ---- residual IVF-PQ (e22/e23): what residual encoding buys ----
+    // same cells/probes/books as the raw-vector composition; the only
+    // change is PQ quantizing x − centroid(cell) instead of x
+    for (p <- 1 to 2) {
+      val r = Similarity.annRecallResidual(raw, pred, k, 16, 4, 8, 16, p)
+        .agg(avg(col("recall")).as("mean_recall")).collect().head
+      println(f"RESIDUAL passes=$p k=$k mod=$mod  mean_recall=${r.getDouble(0)}%.4f")
+    }
+
     // ---- two-stage re-rank (e20/e21): what shortlist depth buys ----
     // depth=k is the raw index (re-ranking a k-deep shortlist is a
     // no-op on recall); each doubling recovers more true-top-k members

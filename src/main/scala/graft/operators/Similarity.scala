@@ -374,17 +374,29 @@ object Similarity {
 
   // ---- product quantization (PQ) ----
 
-  /** Per-(cid, subspace) seed slices: the `ks` lowest vec_ids' vectors
-    * cut into `m` contiguous sub-vectors — deterministic, so the oracle
-    * recomputes them (same seed philosophy as [[seedCentroids]]).
-    * Returns (subDim, slices(cidIdx)(sub) = Seq[Double]). Codes are
-    * centroid POSITIONS, so dense 0-based seed ids are required for
-    * position == id (the oracle keys on the id).
+  /** Per-(cid, subspace) seed slices: the vectors of `ks` consecutive
+    * vec_ids starting at `offset` cut into `m` contiguous sub-vectors —
+    * deterministic, so the oracle recomputes them (same seed philosophy
+    * as [[seedCentroids]]). Returns (subDim, slices(cidIdx)(sub) =
+    * Seq[Double]). Codes are centroid POSITIONS, so dense ids in
+    * [offset, offset+ks) are required for position == id − offset (the
+    * oracle keys on the id).
+    *
+    * `offset` exists for the RESIDUAL book ([[residualBooks]]): seeded
+    * at 0 over a residual view, the first nCells seeds are the cell
+    * centroids' OWN residuals — identically zero, a degenerate one-point
+    * codebook (measured: residual recall 0.14 vs raw 0.28 on clustered
+    * data before the fix). A residual codebook must seed from residual
+    * SAMPLES, so e22 seeds at offset = nCells.
     */
-  private def pqSeeds(n: DataFrame, m: Int, ks: Int): (Int, Seq[Seq[Seq[Double]]]) = {
-    val seeds = seedCentroids(n, ks)
-    require(seeds.map(_._1) == seeds.indices.map(_.toLong),
-      s"PQ codebook assumes dense seed ids 0..${seeds.length - 1}, got ${seeds.map(_._1)}")
+  private def pqSeeds(n: DataFrame, m: Int, ks: Int,
+      offset: Int = 0): (Int, Seq[Seq[Seq[Double]]]) = {
+    val seeds = n.filter(col("vec_id") >= offset && col("vec_id") < offset + ks)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    require(seeds.map(_._1) == (offset until offset + ks).map(_.toLong),
+      s"PQ codebook assumes dense seed ids $offset..${offset + ks - 1}, got ${seeds.map(_._1)}")
     val dims = seeds.head._2.length
     require(dims % m == 0, s"embedding dims ($dims) must divide into $m subspaces")
     val subDim = dims / m
@@ -701,6 +713,129 @@ object Similarity {
     recallOf(
       cosineTopK(emb, queryPred, k),
       ivfPqRerankTopK(emb, queryPred, k, shortlist, nCells, probes, m, ks, passes), k)
+
+  /** The corpus as RESIDUALS against its IVF cell centroids:
+    * (vec_id, e = x − centroid(cell), cell). The residual is computed
+    * scan-side — the nCells×dims centroid grid rides as ONE array
+    * literal, `element_at` by cell index, `zip_with` subtraction — so
+    * the view stays join-free expression work like every assignment in
+    * this module. Cell assignment is the family's shared cosine device
+    * ([[centroidScores]] — same cells as e04/e14/e18/e19, so the
+    * residual index describes the same partition the other operators
+    * use); the residual itself is plain vector subtraction, and on this
+    * unit-norm corpus cosine and L2 assignment agree anyway.
+    */
+  private def residualView(emb: DataFrame, nCells: Int): DataFrame = {
+    val n = normalized(emb)
+    val cents = seedCentroids(n, nCells)
+    require(cents.map(_._1) == cents.indices.map(_.toLong),
+      s"residual view assumes dense cell ids 0..${cents.length - 1}, got ${cents.map(_._1)}")
+    val centLit = typedLit(cents.map(_._2))
+    n.withColumn("cell",
+        (-array_max(centroidScores(n, nCells)).getField("nid")).cast("long"))
+      .withColumn("e", zip_with(col("e"),
+        element_at(centLit, col("cell").cast("int") + 1),
+        (x, c) => x - c))
+      .select(col("vec_id"), col("e"), col("cell"))
+  }
+
+  /** Residual sub-codebooks: the PQ training loop ([[pqSeeds]] seeds +
+    * `passes` mean folds, identical devices) run over the RESIDUAL
+    * corpus instead of raw vectors. Returns (subDim, books, residual
+    * view) so encoding and scoring read the same grid.
+    */
+  private def residualBooks(emb: DataFrame, nCells: Int, m: Int, ks: Int,
+      passes: Int): (Int, Seq[Seq[Seq[Double]]], DataFrame) = {
+    val rv = residualView(emb, nCells)
+    val (subDim, seeds) = pqSeeds(rv, m, ks, offset = nCells)
+    var books = seeds
+    for (_ <- 1 to passes) {
+      val means = pqMeans(
+        rv.withColumn("codes", graft.functions.PqCodebook.assign(col("e"), books, m, subDim)),
+        subDim)
+      books = mergeTrained(books, means, m)
+    }
+    (subDim, books, rv)
+  }
+
+  /** RESIDUAL IVF-PQ top-k (e22) — the construction production IVF-PQ
+    * indexes actually ship (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011, §IV; the FAISS `IVFPQ`
+    * layout): PQ quantizes the residual x − centroid(cell) instead of
+    * x itself, so the codebook only has to cover the spread WITHIN a
+    * cell rather than the whole space — the same code budget buys
+    * finer resolution wherever the corpus actually clusters. Scoring
+    * is the residual ADC estimator: for a query probing cell c,
+    * dist(q, x) = ‖(q − centroid(c)) − decode(codes(x))‖², computed by
+    * the SAME loop-codegen kernel over the query's residual against
+    * the probed cell ([[graft.functions.PqCodebook.adcDist]]).
+    *
+    * Scale shape is [[ivfPqTopK]]'s exactly: assignment, residuals,
+    * codes and probe residuals are all scan-side expression work
+    * (the centroid grid is one array literal), the corpus side carries
+    * only (cell, codes), and the single join is the (cell) equi-join.
+    * Returns (query_id, rk, neighbor_id, adc_dist).
+    *
+    * Reading the measured numbers honestly (the e16 discipline): the
+    * residual estimator IS strictly tighter — mean |adc − true L2²|
+    * 0.532 vs 0.564 on the registered corpus, 0.362 vs 0.382 on a
+    * constructed 64-cluster corpus (deterministic, spec-asserted) —
+    * but end-to-end recall@10 on the structureless registered corpus
+    * favors raw PQ (0.102 vs 0.238 at sf0.01, BENCH_NOTES): with no
+    * real cluster mass, cell centroids are arbitrary seed vectors, the
+    * residual distribution is WIDER than the raw one, and the per-cell
+    * error bias hurts per-query ranking more than the pointwise
+    * tightening helps. The construction's reputation comes from
+    * corpora that cluster; e23 being registered is what lets an
+    * operator read the trade for THEIR corpus instead of assuming.
+    * One design note with teeth: the residual codebook must seed from
+    * residual SAMPLES (offset = nCells) — seeded at 0 the first nCells
+    * "seeds" are the cell centroids' own residuals, identically zero,
+    * a degenerate one-point codebook ([[pqSeeds]] doc).
+    */
+  def ivfPqResidualTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16, probes: Int = 4,
+      m: Int = 8, ks: Int = 16, passes: Int = 1): DataFrame = {
+    val n = normalized(emb)
+    val scoredArr = centroidScores(n, nCells)
+    val (subDim, books, rv) = residualBooks(emb, nCells, m, ks, passes)
+    val cents = seedCentroids(n, nCells)
+    val centLit = typedLit(cents.map(_._2))
+    val corpus = rv.select(col("vec_id").as("neighbor_id"), col("cell"),
+      graft.functions.PqCodebook.assign(col("e"), books, m, subDim).as("codes"))
+    val q = n.filter(queryPred)
+      .withColumn("probe", explode(slice(sort_array(scoredArr, asc = false), 1, probes)))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        (-col("probe").getField("nid")).cast("long").as("cell"))
+      .withColumn("qr", zip_with(col("qe"),
+        element_at(centLit, col("cell").cast("int") + 1),
+        (x, c) => x - c))
+      .select(col("query_id"), col("qr"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    corpus.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.PqCodebook.adcDist(col("qr"), col("codes"), books, m, subDim)
+          .as("adc_dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** Recall@k of the residual index (e23) — [[recallOf]] over
+    * [[ivfPqResidualTopK]], so raw-vector PQ (e15), two-stage re-rank
+    * (e21) and residual PQ (e23) are all scored by the one shared
+    * definition and the residual construction's payoff is a registered,
+    * oracle-checked number rather than a claim.
+    */
+  def annRecallResidual(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16, probes: Int = 4,
+      m: Int = 8, ks: Int = 16, passes: Int = 1): DataFrame =
+    recallOf(
+      cosineTopK(emb, queryPred, k),
+      ivfPqResidualTopK(emb, queryPred, k, nCells, probes, m, ks, passes), k)
 
   /** Recall@k of the composed IVF-PQ index against the exact cosine
     * baseline — the metric every ANN deployment watches when tuning

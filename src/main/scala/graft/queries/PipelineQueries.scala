@@ -504,6 +504,23 @@ object PipelineQueries {
         IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
         .orderBy(col("query_id"))),
 
+    // residual IVF-PQ (the FAISS-style construction): PQ over
+    // x − centroid(cell), residual-sample seeds, probed-cell query
+    // residuals — estimator strictly tighter, ranking honestly worse
+    // on this structureless corpus (Similarity.ivfPqResidualTopK doc)
+    "e22_ivfpq_residual" -> ((spark: SparkSession, dir: String) =>
+      Similarity.ivfPqResidualTopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // the residual construction's payoff/deficit as a registered
+    // number — the decision device for whether a corpus's cluster
+    // structure earns residual encoding (Similarity.annRecallResidual)
+    "e23_residual_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annRecallResidual(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
+        .orderBy(col("query_id"))),
+
     "m01_media_meta" -> ((spark: SparkSession, dir: String) =>
       Multimodal.mediaView(Tables.documents(spark, dir))
         .select(col("doc_id"),
@@ -646,18 +663,25 @@ object PipelineQueries {
     }.mkString(" + ")
   }
 
-  /** The PQ assignment chain MINUS the `v` head (so it can stack on any
-    * CTE set that already defines `v(vec_id, e)` — e14 stacks it on the
-    * IVF chain). Ends in `pcodes(vid, sub 1-based, code)`.
+  /** The PQ assignment chain over source CTE `src(vec_id, e)` (so it can
+    * stack on any head — e14 stacks it on the IVF chain's `v`, e22 on
+    * the residual view `rv`). Seeds are the `PQ_KS` vec_ids from
+    * `offset` (mirror of the Scala [[graft.operators.Similarity]]
+    * pqSeeds offset — the residual book must seed from residual
+    * SAMPLES, so e22 passes offset = IVF_CELLS). Ends in
+    * `pcodes(vid, sub 1-based, code)`.
     */
-  private lazy val pqCodesAfterV =
-    s"""pcent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $PQ_KS),
+  private def pqCodesAfterVFrom(src: String, offset: Int) =
+    s"""pcent AS (SELECT vec_id - $offset AS cid, e AS ce FROM $src
+       |  WHERE vec_id >= $offset AND vec_id < ${offset + PQ_KS}),
        |pasg AS (${(0 until PQ_M).map(s =>
-           s"SELECT v.vec_id AS vid, c.cid, ${s + 1} AS sub, ${pqL2Chain("v.e", "c.ce", s)} AS d" +
-           " FROM v CROSS JOIN pcent c").mkString(" UNION ALL ")}),
+           s"SELECT $src.vec_id AS vid, c.cid, ${s + 1} AS sub, ${pqL2Chain(s"$src.e", "c.ce", s)} AS d" +
+           s" FROM $src CROSS JOIN pcent c").mkString(" UNION ALL ")}),
        |pcodes AS (SELECT vid, sub, cid AS code FROM
        |  (SELECT *, row_number() OVER (PARTITION BY vid, sub ORDER BY d ASC, cid ASC) AS rn FROM pasg)
        |  WHERE rn = 1)""".stripMargin.replace("\n", " ")
+
+  private lazy val pqCodesAfterV = pqCodesAfterVFrom("v", 0)
 
   /** CTE chain ending in `pcodes(vid, sub 1-based, code)` — the PQ
     * assignment (mirror of Similarity.pqCodesWide): per subspace, the
@@ -672,15 +696,15 @@ object PipelineQueries {
     * re-assignment, wide code pivot — ends in `grid(sub, code, ce)` and
     * `pcw2(vid, c1..cm)`. Shared by e12's SELECT, e13 and e14.
     */
-  private lazy val pqTrainedGridCtes = {
+  private def pqTrainedGridCtesFrom(src: String) = {
     val subDim = PQ_DIMS / PQ_M
     val asgUnion = (1 to PQ_M).map { s =>
       val chain = (1 to subDim).map { j =>
         val i = (s - 1) * subDim + j
-        s"((v.e[$i] - g.ce[$j]) * (v.e[$i] - g.ce[$j]))"
+        s"(($src.e[$i] - g.ce[$j]) * ($src.e[$i] - g.ce[$j]))"
       }.mkString(" + ")
-      s"""SELECT v.vec_id AS vid, g.code, $s AS sub, $chain AS d
-         |FROM v CROSS JOIN (SELECT code, ce FROM grid WHERE sub = $s) g""".stripMargin
+      s"""SELECT $src.vec_id AS vid, g.code, $s AS sub, $chain AS d
+         |FROM $src CROSS JOIN (SELECT code, ce FROM grid WHERE sub = $s) g""".stripMargin
     }.mkString(" UNION ALL ")
     val codeCols = (1 to PQ_M)
       .map(s => s"max(CASE WHEN sub = $s THEN code END) AS c$s").mkString(", ")
@@ -697,19 +721,27 @@ object PipelineQueries {
        |pcw2 AS (SELECT vid, $codeCols FROM tcodes GROUP BY vid)""".stripMargin.replace("\n", " ")
   }
 
-  /** e10/e13/e14's ADC distance: e10-style chains, but against `grid`'s
-    * trained centroid lists joined per subspace.
+  private lazy val pqTrainedGridCtes = pqTrainedGridCtesFrom("v")
+
+  /** e10/e13/e14's ADC distance: e10-style chains against `grid`'s
+    * trained centroid lists joined per subspace. `qTerm(i)` is the
+    * query-side expression for 1-based dimension i — `q.e[$i]` for the
+    * raw paths, `(q.e[$i] - qc.ce[$i])` for e22's residual path (left-
+    * associative SQL subtraction ≡ the Scala zip_with residual, then
+    * the kernel's subtraction — association is the determinism
+    * contract).
     */
-  private lazy val pqTrainedDist = {
+  private def pqTrainedDistOver(qTerm: Int => String) = {
     val subDim = PQ_DIMS / PQ_M
     (0 until PQ_M).map { s =>
       val chain = (1 to subDim).map { j =>
         val i = s * subDim + j
-        s"((q.e[$i] - g${s + 1}.ce[$j]) * (q.e[$i] - g${s + 1}.ce[$j]))"
+        s"((${qTerm(i)} - g${s + 1}.ce[$j]) * (${qTerm(i)} - g${s + 1}.ce[$j]))"
       }.mkString(" + ")
       s"($chain)"
     }.mkString(" + ")
   }
+  private lazy val pqTrainedDist = pqTrainedDistOver(i => s"q.e[$i]")
   private lazy val pqTrainedGridJoins = (1 to PQ_M)
     .map(s => s"JOIN grid g$s ON g$s.sub = $s AND g$s.code = w.c$s").mkString(" ")
 
@@ -726,6 +758,34 @@ object PipelineQueries {
        |       FROM probes pr JOIN cells cl USING (cell)
        |       JOIN pcw2 w ON w.vid = cl.vid
        |       JOIN v q ON q.vec_id = pr.query_id
+       |       $pqTrainedGridJoins
+       |       WHERE cl.vid <> pr.query_id)""".stripMargin.replace("\n", " ")
+
+  /** THE e22 residual chain (mirror of
+    * [[graft.operators.Similarity.ivfPqResidualTopK]]): the residual
+    * view rv = x − centroid(cell) (list_transform with captured
+    * columns — element-wise single subtraction, bit-identical to the
+    * Scala zip_with), the PQ chains re-run over rv with seeds at
+    * offset IVF_CELLS, and the residual ADC scoring whose query side
+    * subtracts the PROBED cell's centroid. Ends in `sc(query_id,
+    * neighbor_id, adc_dist)` like [[ivfPqScCtes]], so the same top-k /
+    * recall tails stack. Shared by e22 and e23.
+    */
+  private lazy val residualScCtes =
+    s"""rv AS (SELECT n.vec_id,
+       |       list_transform(range(1, len(n.e) + 1), i -> n.e[i] - c.ce[i]) AS e
+       |       FROM n JOIN cells cl ON cl.vid = n.vec_id
+       |       JOIN cent c ON c.cid = cl.cell),
+       |${pqCodesAfterVFrom("rv", IVF_CELLS)},
+       |${pqMeanCtes("", "pcodes", "rv")},
+       |${pqTrainedGridCtesFrom("rv")},
+       |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
+       |sc AS (SELECT pr.query_id, cl.vid AS neighbor_id,
+       |       ${pqTrainedDistOver(i => s"(q.e[$i] - qc.ce[$i])")} AS adc_dist
+       |       FROM probes pr JOIN cells cl USING (cell)
+       |       JOIN pcw2 w ON w.vid = cl.vid
+       |       JOIN v q ON q.vec_id = pr.query_id
+       |       JOIN cent qc ON qc.cid = pr.cell
        |       $pqTrainedGridJoins
        |       WHERE cl.vid <> pr.query_id)""".stripMargin.replace("\n", " ")
 
@@ -773,10 +833,11 @@ object PipelineQueries {
     * it over the seed assignment `pcodes`; e11b runs a second copy over
     * the trained re-assignment `tcodes`.
     */
-  private def pqMeanCtes(suffix: String, codesCte: String) = {
+  private def pqMeanCtes(suffix: String, codesCte: String,
+      src: String = "v") = {
     val subDim = PQ_DIMS / PQ_M
-    s"""x1$suffix AS (SELECT p.sub, p.code, v.e, unnest(range(1, $subDim + 1)) AS dim
-       |       FROM $codesCte p JOIN v ON v.vec_id = p.vid),
+    s"""x1$suffix AS (SELECT p.sub, p.code, $src.e, unnest(range(1, $subDim + 1)) AS dim
+       |       FROM $codesCte p JOIN $src ON $src.vec_id = p.vid),
        |x2$suffix AS (SELECT sub, code, dim,
        |       CAST(e[CAST((sub - 1) * $subDim + dim AS INT)] AS DECIMAL(28,8)) AS x FROM x1$suffix),
        |mt$suffix AS (SELECT sub, code, dim, count(*) AS nm,
@@ -1601,6 +1662,29 @@ object PipelineQueries {
          |$rerankCtes
          |SELECT query_id, rk, neighbor_id, cosine FROM rrk WHERE rk <= $PQ_K
          |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.ivfPqResidualTopK: the residual chain
+    // (residualScCtes — rv view, offset-seeded books, probed-cell
+    // query residuals) under the same top-k tail as e14
+    "e22_ivfpq_residual" ->
+      s"""WITH $ivfAsgCtes,
+         |$residualScCtes,
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sc)
+         |SELECT query_id, rk, neighbor_id, adc_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.annRecallResidual: e22's chain as the approx
+    // side of the shared recall tail — the residual construction's
+    // payoff (or, on this corpus, its measured deficit) as a
+    // registered number
+    "e23_residual_recall" ->
+      s"""WITH $ivfAsgCtes,
+         |$residualScCtes,
+         |ap3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY adc_dist ASC, neighbor_id ASC) AS rk FROM sc) WHERE rk <= $PQ_K),
+         |$recallTailSql""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.annRecallReranked: e20's chain as the approx
     // side of the shared recall tail — what re-ranking buys on the same
