@@ -49,6 +49,13 @@ object ProfileRecall {
     for (p <- 1 to 3) mean("raw", raw, p)
     for (p <- 1 to 3) mean("normalized", unit, p)
 
+    // ---- SQ8 (e24/e25): the 4×-compression rung ----
+    {
+      val r = Similarity.annRecallSq8(raw, pred, k)
+        .agg(avg(col("recall")).as("mean_recall")).collect().head
+      println(f"SQ8 k=$k mod=$mod  mean_recall=${r.getDouble(0)}%.4f")
+    }
+
     // ---- residual IVF-PQ (e22/e23): what residual encoding buys ----
     // same cells/probes/books as the raw-vector composition; the only
     // change is PQ quantizing x − centroid(cell) instead of x

@@ -909,6 +909,85 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k)).as("recall"))
   }
 
+  /** Per-dimension (min, max) over the corpus — the SQ8 training step.
+    * Driver-resident by nature (2·dims doubles, like the k-means
+    * centroids); min/max involve NO arithmetic, so the collected values
+    * are bit-identical to the oracle's own aggregate.
+    */
+  private def sqStats(n: DataFrame): (Seq[Double], Seq[Double]) = {
+    val rows = n.select(posexplode(col("e")))
+      .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+  }
+
+  /** SCALAR-QUANTIZED (SQ8) top-k (e24) — the other standard
+    * compression production ANN engines ship beside PQ (FAISS
+    * `ScalarQuantizer`, QT_8bit): each dimension quantized
+    * independently to one byte on its own corpus [min, max] range,
+    * code = round((x − min)/scale) clamped to [0, 255]. 4× smaller
+    * than float32 (vs PQ's 64×) but with per-DIMENSION resolution
+    * instead of per-subspace codebooks — the middle rung of the
+    * compression ladder this module now measures end to end: SQ8 (e25)
+    * vs raw PQ (e15) vs re-ranked PQ (e21) vs residual PQ (e23), one
+    * shared recall definition.
+    *
+    * Scale shape: training is ONE tiny aggregate (2·dims doubles,
+    * driver-resident like every codebook here); encode and decode are
+    * scan-side `transform`s against min/scale array LITERALS; scoring
+    * reads ONLY the byte codes, decodes in-expression, and the
+    * distance is the same sequential-fold device as the exact baseline
+    * ([[graft.functions.ArrayDotProduct]] over the difference vector —
+    * deterministic left-to-right, so the oracle recomputes it
+    * bit-for-bit). Queries ride a broadcast exactly like
+    * [[pqAdcTopK]]. A constant dimension (max == min) gets scale 1 so
+    * every code is 0 and decode returns min exactly. Returns
+    * (query_id, rk, neighbor_id, sq_dist), rank by (sq_dist asc,
+    * neighbor_id).
+    */
+  def sq8TopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val n = normalized(emb)
+    val (mins, maxs) = sqStats(n)
+    val scales = maxs.zip(mins).map { case (mx, mn) => if (mx > mn) (mx - mn) / 255.0 else 1.0 }
+    val mnLit = typedLit(mins)
+    val scLit = typedLit(scales)
+    val codes = n.withColumn("codes", zip_with(col("e"),
+        expr("sequence(1, size(e))"),
+        (x, i) => least(lit(255L), greatest(lit(0L),
+          round((x - element_at(mnLit, i.cast("int"))) / element_at(scLit, i.cast("int")))
+            .cast("long")))))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val decoded = zip_with(col("codes"), expr("sequence(1, size(codes))"),
+      (c, i) => element_at(mnLit, i.cast("int"))
+        + c.cast("double") * element_at(scLit, i.cast("int")))
+    val diff = zip_with(col("qe"), decoded, (a, b) => a - b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sq_dist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.ArrayDotProduct(diff, diff).as("sq_dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sq_dist"))
+  }
+
+  /** Recall@k of the SQ8 index (e25) — [[recallOf]] over [[sq8TopK]]:
+    * the compression ladder's middle rung measured by the same device
+    * as every other index family here. At 4× compression the
+    * per-dimension error is tiny relative to inter-vector distances,
+    * so recall should sit far above the 64×-compressed PQ families —
+    * the registered numbers make the compression-vs-recall trade a
+    * table instead of folklore.
+    */
+  def annRecallSq8(emb: DataFrame, queryPred: Column, k: Int): DataFrame =
+    recallOf(
+      cosineTopK(emb, queryPred, k),
+      sq8TopK(emb, queryPred, k), k)
+
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

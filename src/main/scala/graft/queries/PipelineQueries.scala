@@ -521,6 +521,21 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
         .orderBy(col("query_id"))),
 
+    // scalar quantization (SQ8): per-dimension byte codes on corpus
+    // [min, max] ranges — 4× compression, the middle rung of the
+    // ladder (Similarity.sq8TopK doc)
+    "e24_sq8_topk" -> ((spark: SparkSession, dir: String) =>
+      Similarity.sq8TopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // the ladder measured: SQ8 recall beside e15/e21/e23, one shared
+    // definition (Similarity.annRecallSq8 doc)
+    "e25_sq8_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annRecallSq8(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K)
+        .orderBy(col("query_id"))),
+
     "m01_media_meta" -> ((spark: SparkSession, dir: String) =>
       Multimodal.mediaView(Tables.documents(spark, dir))
         .select(col("doc_id"),
@@ -788,6 +803,31 @@ object PipelineQueries {
        |       JOIN cent qc ON qc.cid = pr.cell
        |       $pqTrainedGridJoins
        |       WHERE cl.vid <> pr.query_id)""".stripMargin.replace("\n", " ")
+
+  /** THE e24 SQ8 chain (mirror of [[graft.operators.Similarity.sq8TopK]]):
+    * per-dimension (min, max) training aggregate (no arithmetic, so the
+    * driver-collected Scala stats match bit-for-bit), byte codes via the
+    * same round/clamp, decode-in-expression, and the sequential-fold
+    * distance over the difference vector. Ends in `sq(query_id,
+    * neighbor_id, sq_dist)`. Shared by e24 and e25.
+    */
+  private lazy val sq8Ctes =
+    s"""mm AS (SELECT i AS dim, min(e[i]) AS mn, max(e[i]) AS mx
+       |       FROM v, LATERAL unnest(range(1, ${PQ_DIMS + 1})) AS t(i) GROUP BY i),
+       |ms AS (SELECT dim, mn, CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS sc FROM mm),
+       |cd AS (SELECT v.vec_id, t.i AS dim,
+       |       least(255, greatest(0, CAST(round((v.e[t.i] - ms.mn) / ms.sc) AS BIGINT))) AS c,
+       |       ms.mn, ms.sc
+       |       FROM v, LATERAL unnest(range(1, ${PQ_DIMS + 1})) AS t(i)
+       |       JOIN ms ON ms.dim = t.i),
+       |dl AS (SELECT vec_id, list(mn + CAST(c AS DOUBLE) * sc ORDER BY dim) AS d
+       |       FROM cd GROUP BY vec_id),
+       |sqq AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id % 50 = 0),
+       |sq AS (SELECT sqq.query_id, c.vec_id AS neighbor_id,
+       |       list_dot_product(
+       |         list_transform(range(1, ${PQ_DIMS + 1}), i -> sqq.e[i] - c.d[i]),
+       |         list_transform(range(1, ${PQ_DIMS + 1}), i -> sqq.e[i] - c.d[i])) AS sq_dist
+       |       FROM sqq CROSS JOIN dl c WHERE c.vec_id <> sqq.query_id)""".stripMargin.replace("\n", " ")
 
   /** The two-stage tail (mirror of
     * [[graft.operators.Similarity.ivfPqRerankTopK]]; consumes `sc` +
@@ -1684,6 +1724,27 @@ object PipelineQueries {
          |ap3 AS (SELECT query_id, neighbor_id FROM
          |  (SELECT *, row_number() OVER (PARTITION BY query_id
          |     ORDER BY adc_dist ASC, neighbor_id ASC) AS rk FROM sc) WHERE rk <= $PQ_K),
+         |$recallTailSql""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.sq8TopK: the SQ8 chain under the shared
+    // top-k tail — the compression ladder's 4× rung
+    "e24_sq8_topk" ->
+      s"""WITH $vHeadRaw,
+         |$sq8Ctes,
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sq_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sq)
+         |SELECT query_id, rk, neighbor_id, sq_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.annRecallSq8: e24's chain as the approx side
+    // of the shared recall tail
+    "e25_sq8_recall" ->
+      s"""WITH $vHeadRaw,
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |$sq8Ctes,
+         |ap3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY sq_dist ASC, neighbor_id ASC) AS rk FROM sq) WHERE rk <= $PQ_K),
          |$recallTailSql""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.annRecallReranked: e20's chain as the approx

@@ -262,6 +262,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(md5s == 1, s"gram-hash chain evaluated $md5s times — explode guard regressed\n" + p.take(2000))
   }
 
+  test("e24: SQ8 scoring is codes + a broadcast query side — single broadcast join, no shuffle") {
+    val p = plan("e24_sq8_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "SQ8 scoring fell back to a corpus shuffle\n" + p.take(2000))
+  }
+
   test("e20: the re-rank raw-vector fetch is BROADCAST-shaped (corpus never shuffled for it)") {
     val p = plan("e20_rerank_topk")
     // two broadcast joins above the shortlist: corpus × broadcast(ids),

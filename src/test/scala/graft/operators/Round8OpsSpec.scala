@@ -400,6 +400,23 @@ class Round8OpsSpec extends AnyFunSuite {
       f"residual ADC ($resErr%.4f) must estimate true distances tighter than raw ($rawErr%.4f)")
   }
 
+  test("SQ8: near-exact recall at 4x compression; codes stay in [0, 255]") {
+    val emb = Tables.embeddings(spark, dir)
+    val r = Similarity.annRecallSq8(emb, col("vec_id") % 50 === 0, 10)
+      .agg(avg(col("recall"))).as[Double].collect().head
+    // per-dimension byte resolution on [min, max] ranges loses almost
+    // nothing at this dimensionality — the ladder's 4× rung sits near
+    // the exact baseline while the 64× PQ rungs sit at 0.27/0.45
+    // (re-ranked); deterministic corpus, deterministic number
+    assert(r > 0.9, f"SQ8 recall@10 $r%.3f — quantization broke ranking")
+    // decoded distances are true squared L2 within the quantization
+    // step: every SQ distance of a returned pair must be non-negative
+    // and finite (degenerate-scale and clamp edges included)
+    val ds = Similarity.sq8TopK(emb, col("vec_id") % 50 === 0, 10)
+      .select("sq_dist").as[Double].collect()
+    assert(ds.forall(d => d >= 0.0 && java.lang.Double.isFinite(d)))
+  }
+
   test("simhashHammingPairs: block keys mask off bit 63's sign extension") {
     // Two identical docs must collide in EVERY block even when bit 63 is
     // set on their shared signature (arithmetic shift would otherwise
