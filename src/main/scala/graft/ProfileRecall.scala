@@ -56,6 +56,13 @@ object ProfileRecall {
       println(f"SQ8 k=$k mod=$mod  mean_recall=${r.getDouble(0)}%.4f")
     }
 
+    // ---- IVF+SQ8 (e26/e27): the probe-coverage ceiling isolated ----
+    {
+      val r = Similarity.annRecallIvfSq8(raw, pred, k, 16, 4)
+        .agg(avg(col("recall")).as("mean_recall")).collect().head
+      println(f"IVFSQ8 k=$k mod=$mod  mean_recall=${r.getDouble(0)}%.4f")
+    }
+
     // ---- residual IVF-PQ (e22/e23): what residual encoding buys ----
     // same cells/probes/books as the raw-vector composition; the only
     // change is PQ quantizing x − centroid(cell) instead of x

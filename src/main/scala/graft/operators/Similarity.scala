@@ -948,32 +948,103 @@ object Similarity {
     */
   def sq8TopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val n = normalized(emb)
-    val (mins, maxs) = sqStats(n)
-    val scales = maxs.zip(mins).map { case (mx, mn) => if (mx > mn) (mx - mn) / 255.0 else 1.0 }
-    val mnLit = typedLit(mins)
-    val scLit = typedLit(scales)
-    val codes = n.withColumn("codes", zip_with(col("e"),
-        expr("sequence(1, size(e))"),
-        (x, i) => least(lit(255L), greatest(lit(0L),
-          round((x - element_at(mnLit, i.cast("int"))) / element_at(scLit, i.cast("int")))
-            .cast("long")))))
+    val (mnLit, scLit) = sqLits(n)
+    val codes = n.withColumn("codes", sqEncode(mnLit, scLit))
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     val q = n.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    val decoded = zip_with(col("codes"), expr("sequence(1, size(codes))"),
-      (c, i) => element_at(mnLit, i.cast("int"))
-        + c.cast("double") * element_at(scLit, i.cast("int")))
-    val diff = zip_with(col("qe"), decoded, (a, b) => a - b)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sq_dist").asc, col("neighbor_id").asc)
     codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        graft.functions.ArrayDotProduct(diff, diff).as("sq_dist"))
+        sqDist(mnLit, scLit).as("sq_dist"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("sq_dist"))
   }
+
+  /** The SQ8 min/scale array literals (train once, inline — the shared
+    * codebook-as-literal philosophy).
+    */
+  private def sqLits(n: DataFrame): (Column, Column) = {
+    val (mins, maxs) = sqStats(n)
+    val scales = maxs.zip(mins).map { case (mx, mn) => if (mx > mn) (mx - mn) / 255.0 else 1.0 }
+    (typedLit(mins), typedLit(scales))
+  }
+
+  /** Byte-encode `e` against the min/scale literals (consumes a row with
+    * `e`): round/clamp per dimension, array<long> out.
+    */
+  private def sqEncode(mnLit: Column, scLit: Column): Column =
+    zip_with(col("e"), expr("sequence(1, size(e))"),
+      (x, i) => least(lit(255L), greatest(lit(0L),
+        round((x - element_at(mnLit, i.cast("int"))) / element_at(scLit, i.cast("int")))
+          .cast("long"))))
+
+  /** The SQ8 scoring expression (consumes a row with `qe` + `codes`):
+    * decode-in-expression, then the sequential-fold squared distance —
+    * shared by [[sq8TopK]] and [[ivfSq8TopK]] so the flat and
+    * probe-bounded paths score identically.
+    */
+  private def sqDist(mnLit: Column, scLit: Column): Column = {
+    val decoded = zip_with(col("codes"), expr("sequence(1, size(codes))"),
+      (c, i) => element_at(mnLit, i.cast("int"))
+        + c.cast("double") * element_at(scLit, i.cast("int")))
+    val diff = zip_with(col("qe"), decoded, (a, b) => a - b)
+    graft.functions.ArrayDotProduct(diff, diff)
+  }
+
+  /** IVF + SQ8 (e26) — the FAISS `IVFSQ` composition: IVF cells bound
+    * WHICH candidates are scored (each query touches only its `probes`
+    * nearest cells' mass, as [[ivfTopK]]/[[ivfPqTopK]]), SQ8 bounds
+    * WHAT scoring reads (byte codes, decoded in-expression via the
+    * [[sqDist]] device the flat path verifies). The high-recall
+    * cheap-scan middle ground: at 100 TB the flat [[sq8TopK]] is
+    * O(|Q|·N) by design (it is the ladder's measurement baseline),
+    * while this composition scans only the probed cells' mass.
+    *
+    * The registered triple FACTORS the recall loss: e25 (flat SQ8,
+    * 0.986) isolates quantization quality, e27 (this path) isolates
+    * the probe-coverage ceiling, and e15 shows the same ceiling with
+    * PQ's coarser codes underneath — coverage, not code resolution, is
+    * this corpus's binding constraint (BENCH_NOTES sweep table agrees).
+    * Returns (query_id, rk, neighbor_id, sq_dist).
+    */
+  def ivfSq8TopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16, probes: Int = 4): DataFrame = {
+    val n = normalized(emb)
+    val scoredArr = centroidScores(n, nCells)
+    val (mnLit, scLit) = sqLits(n)
+    val corpus = n
+      .withColumn("cell", (-array_max(scoredArr).getField("nid")).cast("long"))
+      .withColumn("codes", sqEncode(mnLit, scLit))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    val q = n.filter(queryPred)
+      .withColumn("probe", explode(slice(sort_array(scoredArr, asc = false), 1, probes)))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        (-col("probe").getField("nid")).cast("long").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sq_dist").asc, col("neighbor_id").asc)
+    corpus.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        sqDist(mnLit, scLit).as("sq_dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sq_dist"))
+  }
+
+  /** Recall@k of the IVF+SQ8 composition (e27) — [[recallOf]] over
+    * [[ivfSq8TopK]]: with near-exact codes (e25), this number READS AS
+    * the probe-coverage ceiling itself.
+    */
+  def annRecallIvfSq8(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16, probes: Int = 4): DataFrame =
+    recallOf(
+      cosineTopK(emb, queryPred, k),
+      ivfSq8TopK(emb, queryPred, k, nCells, probes), k)
 
   /** Recall@k of the SQ8 index (e25) — [[recallOf]] over [[sq8TopK]]:
     * the compression ladder's middle rung measured by the same device

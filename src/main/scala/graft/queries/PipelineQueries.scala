@@ -536,6 +536,23 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K)
         .orderBy(col("query_id"))),
 
+    // IVF + SQ8 (FAISS IVFSQ): probe-bounded candidates, byte-code
+    // scoring — the production middle ground; the flat e24 is the
+    // measurement baseline, this is the scale path
+    // (Similarity.ivfSq8TopK doc)
+    "e26_ivf_sq8_topk" -> ((spark: SparkSession, dir: String) =>
+      Similarity.ivfSq8TopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // the coverage-vs-quantization factoring: e25 isolates code
+    // quality (0.986), this isolates the probe-coverage ceiling
+    // (Similarity.annRecallIvfSq8 doc)
+    "e27_ivf_sq8_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annRecallIvfSq8(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES)
+        .orderBy(col("query_id"))),
+
     "m01_media_meta" -> ((spark: SparkSession, dir: String) =>
       Multimodal.mediaView(Tables.documents(spark, dir))
         .select(col("doc_id"),
@@ -828,6 +845,34 @@ object PipelineQueries {
        |         list_transform(range(1, ${PQ_DIMS + 1}), i -> sqq.e[i] - c.d[i]),
        |         list_transform(range(1, ${PQ_DIMS + 1}), i -> sqq.e[i] - c.d[i])) AS sq_dist
        |       FROM sqq CROSS JOIN dl c WHERE c.vec_id <> sqq.query_id)""".stripMargin.replace("\n", " ")
+
+  /** THE e26 IVF+SQ8 chain (mirror of
+    * [[graft.operators.Similarity.ivfSq8TopK]]; consumes the IVF
+    * assignment chain's `asg`/`cells` + `v`): the SAME SQ8 train/
+    * encode/decode CTEs as [[sq8Ctes]] with the candidate set
+    * probe-bounded instead of CROSS JOIN — ends in `sq(query_id,
+    * neighbor_id, sq_dist)`. Shared by e26 and e27.
+    */
+  private lazy val ivfSq8Ctes =
+    s"""mm AS (SELECT i AS dim, min(e[i]) AS mn, max(e[i]) AS mx
+       |       FROM v, LATERAL unnest(range(1, ${PQ_DIMS + 1})) AS t(i) GROUP BY i),
+       |ms AS (SELECT dim, mn, CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS sc FROM mm),
+       |cd AS (SELECT v.vec_id, t.i AS dim,
+       |       least(255, greatest(0, CAST(round((v.e[t.i] - ms.mn) / ms.sc) AS BIGINT))) AS c,
+       |       ms.mn, ms.sc
+       |       FROM v, LATERAL unnest(range(1, ${PQ_DIMS + 1})) AS t(i)
+       |       JOIN ms ON ms.dim = t.i),
+       |dl AS (SELECT vec_id, list(mn + CAST(c AS DOUBLE) * sc ORDER BY dim) AS d
+       |       FROM cd GROUP BY vec_id),
+       |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
+       |sq AS (SELECT pr.query_id, cl.vid AS neighbor_id,
+       |       list_dot_product(
+       |         list_transform(range(1, ${PQ_DIMS + 1}), i -> q.e[i] - c.d[i]),
+       |         list_transform(range(1, ${PQ_DIMS + 1}), i -> q.e[i] - c.d[i])) AS sq_dist
+       |       FROM probes pr JOIN cells cl USING (cell)
+       |       JOIN dl c ON c.vec_id = cl.vid
+       |       JOIN v q ON q.vec_id = pr.query_id
+       |       WHERE cl.vid <> pr.query_id)""".stripMargin.replace("\n", " ")
 
   /** The two-stage tail (mirror of
     * [[graft.operators.Similarity.ivfPqRerankTopK]]; consumes `sc` +
@@ -1742,6 +1787,27 @@ object PipelineQueries {
       s"""WITH $vHeadRaw,
          |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
          |$sq8Ctes,
+         |ap3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY sq_dist ASC, neighbor_id ASC) AS rk FROM sq) WHERE rk <= $PQ_K),
+         |$recallTailSql""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.ivfSq8TopK: the SQ8 decode chain with
+    // probe-bounded candidates — FAISS IVFSQ, the high-recall
+    // cheap-scan middle ground
+    "e26_ivf_sq8_topk" ->
+      s"""WITH $ivfAsgCtes,
+         |$ivfSq8Ctes,
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sq_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sq)
+         |SELECT query_id, rk, neighbor_id, sq_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.annRecallIvfSq8: with near-exact codes the
+    // number reads as the probe-coverage ceiling itself
+    "e27_ivf_sq8_recall" ->
+      s"""WITH $ivfAsgCtes,
+         |$ivfSq8Ctes,
          |ap3 AS (SELECT query_id, neighbor_id FROM
          |  (SELECT *, row_number() OVER (PARTITION BY query_id
          |     ORDER BY sq_dist ASC, neighbor_id ASC) AS rk FROM sq) WHERE rk <= $PQ_K),

@@ -269,6 +269,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "SQ8 scoring fell back to a corpus shuffle\n" + p.take(2000))
   }
 
+  test("e26: IVF+SQ8 joins candidates on the cell key only — no nested loop, no corpus shuffle") {
+    val p = plan("e26_ivf_sq8_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate bounding lost — scoring went all-pairs\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the query-scale probe side got shuffle-joined against the corpus\n" + p.take(2000))
+  }
+
   test("e20: the re-rank raw-vector fetch is BROADCAST-shaped (corpus never shuffled for it)") {
     val p = plan("e20_rerank_topk")
     // two broadcast joins above the shortlist: corpus × broadcast(ids),

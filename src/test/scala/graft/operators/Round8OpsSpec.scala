@@ -417,6 +417,41 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(ds.forall(d => d >= 0.0 && java.lang.Double.isFinite(d)))
   }
 
+  test("IVF+SQ8 isolates the probe-coverage ceiling (e27's factoring role)") {
+    // The recall decomposition the e25/e27/e15 triple pins: with
+    // near-exact codes (flat SQ8 0.986), the IVF+SQ8 number reads as
+    // the probe-coverage ceiling — so it must (a) clearly dominate
+    // IVF-PQ under the SAME candidates (the PQ codes are what lose the
+    // rest) and (b) never exceed the EXACT ceiling |top-k ∩ probed
+    // candidates|/k, computed here from the operator's own candidate
+    // sets. The re-rank curve converging to this ceiling (0.450→0.504
+    // vs 0.508, BENCH_NOTES) is the same geometry seen from below.
+    val emb = Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val k = 10
+    def mean(df: org.apache.spark.sql.DataFrame) =
+      df.agg(avg(col("recall"))).as[Double].collect().head
+    val sq = mean(Similarity.annRecallIvfSq8(emb, pred, k, 16, 4))
+    val pq = mean(Similarity.annRecall(emb, pred, k, 16, 4, 8, 16, 1))
+    assert(sq > pq + 0.1,
+      f"IVF+SQ8 ($sq%.3f) must clearly dominate IVF-PQ ($pq%.3f) on the same candidates")
+    // exact ceiling: per query, the fraction of exact top-k that the
+    // probed candidate set contains at all (candidate sets recovered
+    // from the operator run with k = corpus size)
+    val cands = Similarity.ivfSq8TopK(emb, pred, 100000, 16, 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.cosineTopK(emb, pred, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ceiling = exact.map { case (q, ex) =>
+      (ex intersect cands.getOrElse(q, Set.empty)).size.toDouble / k
+    }.sum / exact.size
+    assert(sq <= ceiling + 1e-9, f"e27 ($sq%.3f) exceeded its own coverage ceiling ($ceiling%.3f)")
+    assert(sq >= ceiling - 0.05,
+      f"e27 ($sq%.3f) far below the ceiling ($ceiling%.3f) — SQ8 ranking broke within candidates")
+  }
+
   test("simhashHammingPairs: block keys mask off bit 63's sign extension") {
     // Two identical docs must collide in EVERY block even when bit 63 is
     // set on their shared signature (arithmetic shift would otherwise
