@@ -620,6 +620,40 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Winnowing MATCH EVIDENCE (d35) — the verification stage over
+    * [[winnowCopyPairs]]' candidates, and the per-match alignment the
+    * MOSS-style reviewers actually display: for every candidate pair,
+    * each SHARED fingerprint with its position in BOTH documents
+    * (doc_a, doc_b, fp, pos_a, pos_b). Positions are 1-based gram
+    * starts, so a run of consecutive aligned positions IS the copied
+    * span — downstream span assembly is a per-pair sort, not a corpus
+    * operation. Mirrors the d03 → d04 relationship: d34 mines
+    * candidates cheaply, d35 re-joins the posting list ONLY for docs
+    * that appear in some candidate pair (semi-join restriction, the
+    * same discipline as [[jaccard]]'s candidate-restricted verify).
+    *
+    * Scale shape: `pairs` is the (already boilerplate-capped, already
+    * minShared-filtered) candidate set — small relative to the corpus —
+    * so both posting-list probes are semi-join-restricted before the
+    * fp equi-join; nothing all-pairs, nothing corpus-wide beyond the
+    * winnowed posting list itself.
+    */
+  def winnowMatchEvidence(docs: DataFrame, n: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxDf: Long = 1000L): DataFrame = {
+    val fps = winnowFingerprints(docs, n, w)
+    val pairs = winnowCopyPairs(docs, n, w, minShared, maxDf)
+      .select(col("doc_a"), col("doc_b"))
+    val docsInPairs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val restricted = fps.join(docsInPairs, Seq("doc_id"), "left_semi")
+    val a = restricted.select(col("doc_id").as("doc_a"),
+      col("fp"), col("pos").as("pos_a"))
+    val b = restricted.select(col("doc_id").as("doc_b"),
+      col("fp"), col("pos").as("pos_b"))
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b", "fp"))
+      .select(col("doc_a"), col("doc_b"), col("fp"), col("pos_a"), col("pos_b"))
+  }
+
   /** Train/eval contamination check — flags training documents that
     * share any word n-gram with a benchmark/eval document, the standard
     * decontamination pass before a corpus becomes training data (the

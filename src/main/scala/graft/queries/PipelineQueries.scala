@@ -269,6 +269,14 @@ object PipelineQueries {
         WINNOW_MIN_SHARED, WINNOW_MAX_DF)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // the verification stage: every shared fingerprint with its
+    // position in BOTH docs of a d34 pair — consecutive aligned
+    // positions ARE the copied span (Dedup.winnowMatchEvidence doc)
+    "d35_winnow_evidence" -> ((spark: SparkSession, dir: String) =>
+      Dedup.winnowMatchEvidence(Tables.documents(spark, dir), 3, WINNOW_W,
+        WINNOW_MIN_SHARED, WINNOW_MAX_DF)
+        .orderBy(col("doc_a"), col("doc_b"), col("fp"), col("pos_a"), col("pos_b"))),
+
     // THE end-to-end curation verdict: one row per TRAIN doc with the
     // full keep decision and its reason bits — dedup representative
     // (d12), decontaminated (d13), length + repetition quality gates
@@ -1059,6 +1067,22 @@ object PipelineQueries {
        |wsel AS (SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
        |      FROM wj WHERE rn = 1)""".stripMargin.replace("\n", " ")
 
+  /** The d34 pair chain (consumes [[winnowCtes]]' `wsel`): distinct
+    * per-doc fingerprint sets, the boilerplate df cap, the fp
+    * equi-join and the ≥ minShared filter — ends in `wpairs(doc_a,
+    * doc_b, n_shared)`. Shared by d34 and d35 so the matcher and its
+    * evidence stage cannot desynchronize.
+    */
+  private lazy val winnowPairsCtes =
+    s"""fps AS (SELECT DISTINCT doc_id, fp FROM wsel),
+       |healthy AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WINNOW_MAX_DF),
+       |fpc AS (SELECT fps.* FROM fps JOIN healthy USING (fp)),
+       |wpairs AS (SELECT doc_a, doc_b, n_shared FROM
+       |  (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+       |   FROM fpc x JOIN fpc y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |   GROUP BY 1, 2)
+       |  WHERE n_shared >= $WINNOW_MIN_SHARED)""".stripMargin.replace("\n", " ")
+
   /** Mirror of [[graft.operators.Dedup.dfCapped]]: shc = df-capped shh. */
   private def dfCapCte =
     s"shc AS (SELECT shh.* FROM shh JOIN (SELECT hs FROM shh GROUP BY hs HAVING count(*) <= $MAX_DF) h USING (hs))"
@@ -1319,21 +1343,27 @@ object PipelineQueries {
       s"""WITH $winnowCtes
          |SELECT doc_id, pos, fp FROM wsel ORDER BY doc_id, pos""".stripMargin.replace("\n", " "),
 
-    // mirror of Dedup.winnowCopyPairs: the SAME winnowing chain, then
-    // distinct per-doc fingerprint sets, the boilerplate df cap, an fp
-    // equi-join and the >= minShared filter — d33's matcher the way d03
-    // is d02's
+    // mirror of Dedup.winnowCopyPairs over the shared pair chain
+    // (winnowPairsCtes doc) — d33's matcher the way d03 is d02's
     "d34_winnow_pairs" ->
       s"""WITH $winnowCtes,
-         |fps AS (SELECT DISTINCT doc_id, fp FROM wsel),
-         |healthy AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WINNOW_MAX_DF),
-         |fpc AS (SELECT fps.* FROM fps JOIN healthy USING (fp)),
-         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
-         |      FROM fpc x JOIN fpc y ON x.fp = y.fp AND x.doc_id < y.doc_id
-         |      GROUP BY 1, 2)
+         |$winnowPairsCtes
          |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
-         |FROM p WHERE n_shared >= $WINNOW_MIN_SHARED
-         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+         |FROM wpairs ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.winnowMatchEvidence: the shared pair chain, then
+    // each shared fingerprint re-joined with its position in BOTH
+    // documents — the aligned copied-span evidence (d03→d04-style
+    // verify over d34's candidates)
+    "d35_winnow_evidence" ->
+      s"""WITH $winnowCtes,
+         |$winnowPairsCtes,
+         |ev AS (SELECT p.doc_a, p.doc_b, xa.fp, xa.pos AS pos_a, xb.pos AS pos_b
+         |       FROM wpairs p
+         |       JOIN wsel xa ON xa.doc_id = p.doc_a
+         |       JOIN wsel xb ON xb.doc_id = p.doc_b AND xb.fp = xa.fp)
+         |SELECT doc_a, doc_b, fp, pos_a, pos_b FROM ev
+         |ORDER BY doc_a, doc_b, fp, pos_a, pos_b""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.oovRate: d15's top-k cut (same tf desc,
     // token asc total order) as the membership set, exact rational rate

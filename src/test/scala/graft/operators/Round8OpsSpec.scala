@@ -317,6 +317,29 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(shared.toDouble / total < 0.1, s"jaccard $shared/$total not dilute — fixture broken")
   }
 
+  test("winnowMatchEvidence aligns the copied span at a constant position offset") {
+    // same fixture as the d34 contrast test: a 12-word passage at word
+    // offset 200 in doc 1 and offset 0 in doc 2 — every piece of
+    // shared-passage evidence must carry the SAME pos_a − pos_b, and
+    // that offset must be the construction's 200
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val fillerA = (1 to 200).map(i => s"a$i").mkString(" ")
+    val fillerB = (1 to 200).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$fillerA $passage"),
+      (2L, s"$passage $fillerB")
+    ).toDF("doc_id", "text")
+    val ev = Dedup.winnowMatchEvidence(docs, 3, 4, minShared = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(ev.nonEmpty, "no evidence for a detected pair")
+    val offsets = ev.map { case (_, _, _, pa, pb) => pa - pb }.distinct
+    assert(offsets.toSeq == Seq(200L),
+      s"aligned evidence must sit at the construction's offset, got ${offsets.toSeq}")
+    // the evidence positions are inside the passage's gram range on
+    // both sides (doc 2: grams 1..10 of a 12-word passage)
+    assert(ev.forall { case (_, _, _, _, pb) => pb >= 1 && pb <= 10 })
+  }
+
   // ---- two-stage retrieval (e20/e21) ----
 
   test("rerank top-k IS the exact-cosine order of the ADC shortlist") {
