@@ -654,6 +654,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("fp"), col("pos_a"), col("pos_b"))
   }
 
+  /** Winnowing COPY SPANS (d36) — the span assembly over
+    * [[winnowMatchEvidence]], completing the detector: aligned evidence
+    * (same pair, same pos_a − pos_b offset) is grouped into contiguous
+    * runs with the islands construction (the q22 sessionize device —
+    * a gap in pos_a greater than `maxGap` starts a new span). Output is
+    * what a curation pipeline acts on: (doc_a, doc_b, offset, start_a,
+    * start_b, end_a, n_fps) — the copied span's word range in BOTH
+    * documents. `maxGap` defaults to w + n − 1: inside a genuinely
+    * shared run winnowing selects a fingerprint at least once per
+    * window, so a larger gap means the run really broke.
+    *
+    * Scale shape: evidence is already pair-restricted (d35); the
+    * islands window partitions by (pair, offset) — keys at least as
+    * fine as the pair set — so no corpus-scale shuffle is introduced,
+    * and the per-span aggregate rides the SAME (pair, offset)
+    * partitioning ([[graft.queries.RelationalQueries]] q22 documents
+    * the reused-exchange shape).
+    */
+  def winnowCopySpans(docs: DataFrame, n: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxDf: Long = 1000L,
+      maxGap: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gap = if (maxGap < 0) w + n - 1 else maxGap
+    val ev = winnowMatchEvidence(docs, n, w, minShared, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("offset"), col("pos_a"))
+      .distinct()
+    val win = Window.partitionBy(col("doc_a"), col("doc_b"), col("offset"))
+      .orderBy(col("pos_a"))
+    ev.withColumn("prev", lag(col("pos_a"), 1).over(win))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos_a") - col("prev") > gap, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("offset"), col("island"))
+      .agg(min(col("pos_a")).as("start_a"),
+        (max(col("pos_a")) + lit(n - 1)).as("end_a"),
+        count(lit(1)).as("n_fps"))
+      .select(col("doc_a"), col("doc_b"), col("offset"),
+        col("start_a"), (col("start_a") - col("offset")).as("start_b"),
+        col("end_a"), col("n_fps"))
+  }
+
   /** Train/eval contamination check — flags training documents that
     * share any word n-gram with a benchmark/eval document, the standard
     * decontamination pass before a corpus becomes training data (the

@@ -277,6 +277,14 @@ object PipelineQueries {
         WINNOW_MIN_SHARED, WINNOW_MAX_DF)
         .orderBy(col("doc_a"), col("doc_b"), col("fp"), col("pos_a"), col("pos_b"))),
 
+    // span assembly: aligned evidence grouped into contiguous runs by
+    // the islands device — the word ranges a curation pipeline
+    // actually redacts/dedups (Dedup.winnowCopySpans doc)
+    "d36_winnow_spans" -> ((spark: SparkSession, dir: String) =>
+      Dedup.winnowCopySpans(Tables.documents(spark, dir), 3, WINNOW_W,
+        WINNOW_MIN_SHARED, WINNOW_MAX_DF)
+        .orderBy(col("doc_a"), col("doc_b"), col("offset"), col("start_a"))),
+
     // THE end-to-end curation verdict: one row per TRAIN doc with the
     // full keep decision and its reason bits — dedup representative
     // (d12), decontaminated (d13), length + repetition quality gates
@@ -1364,6 +1372,27 @@ object PipelineQueries {
          |       JOIN wsel xb ON xb.doc_id = p.doc_b AND xb.fp = xa.fp)
          |SELECT doc_a, doc_b, fp, pos_a, pos_b FROM ev
          |ORDER BY doc_a, doc_b, fp, pos_a, pos_b""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.winnowCopySpans: d35's evidence, the q22 islands
+    // device per (pair, offset), gap > w+n-1 breaks the span
+    "d36_winnow_spans" ->
+      s"""WITH $winnowCtes,
+         |$winnowPairsCtes,
+         |ev AS (SELECT DISTINCT p.doc_a, p.doc_b, xa.pos - xb.pos AS off, xa.pos AS pos_a
+         |       FROM wpairs p
+         |       JOIN wsel xa ON xa.doc_id = p.doc_a
+         |       JOIN wsel xb ON xb.doc_id = p.doc_b AND xb.fp = xa.fp),
+         |lg AS (SELECT *, lag(pos_a) OVER (PARTITION BY doc_a, doc_b, off ORDER BY pos_a) AS prev FROM ev),
+         |br AS (SELECT *, CASE WHEN prev IS NULL OR pos_a - prev > ${3 + WINNOW_W - 1} THEN 1 ELSE 0 END AS brk FROM lg),
+         |isl AS (SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, off ORDER BY pos_a
+         |        ROWS UNBOUNDED PRECEDING) AS island FROM br)
+         |SELECT doc_a, doc_b, off AS "offset",
+         |  CAST(min(pos_a) AS BIGINT) AS start_a,
+         |  CAST(min(pos_a) - off AS BIGINT) AS start_b,
+         |  CAST(max(pos_a) + 2 AS BIGINT) AS end_a,
+         |  CAST(count(*) AS BIGINT) AS n_fps
+         |FROM isl GROUP BY doc_a, doc_b, off, island
+         |ORDER BY doc_a, doc_b, off, start_a""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.oovRate: d15's top-k cut (same tf desc,
     // token asc total order) as the membership set, exact rational rate

@@ -340,6 +340,25 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(ev.forall { case (_, _, _, _, pb) => pb >= 1 && pb <= 10 })
   }
 
+  test("winnowCopySpans assembles the aligned evidence into one span covering the passage") {
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val fillerA = (1 to 200).map(i => s"a$i").mkString(" ")
+    val fillerB = (1 to 200).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$fillerA $passage"),
+      (2L, s"$passage $fillerB")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.winnowCopySpans(docs, 3, 4, minShared = 2L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(spans.length == 1, s"expected one assembled span, got ${spans.toSeq}")
+    val (da, db, off, sa, sb, ea, nf) = spans.head
+    assert((da, db, off) == ((1L, 2L, 200L)))
+    // the span's word range sits inside the passage on both sides:
+    // doc 2's copy occupies words 1..12, doc 1's words 201..212
+    assert(sb >= 1L && sa == sb + 200L && ea <= 212L && ea > sa, spans.head.toString)
+    assert(nf >= 2L)
+  }
+
   // ---- two-stage retrieval (e20/e21) ----
 
   test("rerank top-k IS the exact-cosine order of the ADC shortlist") {
