@@ -697,6 +697,51 @@ object Dedup {
         col("end_a"), col("n_fps"))
   }
 
+  /** Per-document COPIED-WORD COVERAGE (d37) — the curation signal the
+    * winnowing family feeds a keep-list: for every document, the
+    * fraction of its words lying inside SOME copied span ([[
+    * winnowCopySpans]], both sides unioned), overlapping spans merged
+    * by a second islands pass (sorted by start per doc, a span opening
+    * beyond the running max end starts a new merged interval).
+    * Returns (doc_id, n_words, n_copied, copy_frac); docs in no pair
+    * report 0 — the cross-document twin of d14's within-doc
+    * repetition gate, ready to become a d19 reason bit.
+    *
+    * Scale shape: spans are already pair-restricted and tiny relative
+    * to the corpus; the merge windows partition by doc_id, and the
+    * final LEFT join reinstating untouched docs is a broadcast of the
+    * per-doc coverage aggregate (pair-scale) against the corpus scan.
+    */
+  def winnowCopyCoverage(docs: DataFrame, n: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxDf: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = winnowCopySpans(docs, n, w, minShared, maxDf)
+    val sides = spans.select(col("doc_a").as("doc_id"),
+        col("start_a").as("s"), col("end_a").as("e"))
+      .union(spans.select(col("doc_b").as("doc_id"),
+        (col("start_a") - col("offset")).as("s"),
+        (col("end_a") - col("offset")).as("e")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val merged = sides
+      .withColumn("prevMaxE",
+        max(col("e")).over(win.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prevMaxE").isNull || col("s") > col("prevMaxE"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("e")) - min(col("s")) + lit(1L)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("n_copied"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(broadcast(merged), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_copied"), lit(0L)).as("n_copied"),
+        (coalesce(col("n_copied"), lit(0L)).cast("double") /
+          col("n_words").cast("double")).as("copy_frac"))
+  }
+
   /** Train/eval contamination check — flags training documents that
     * share any word n-gram with a benchmark/eval document, the standard
     * decontamination pass before a corpus becomes training data (the

@@ -285,6 +285,14 @@ object PipelineQueries {
         WINNOW_MIN_SHARED, WINNOW_MAX_DF)
         .orderBy(col("doc_a"), col("doc_b"), col("offset"), col("start_a"))),
 
+    // per-doc copied-word coverage: both span sides unioned, overlaps
+    // merged by a second islands pass — the cross-doc twin of d14's
+    // repetition gate (Dedup.winnowCopyCoverage doc)
+    "d37_copy_coverage" -> ((spark: SparkSession, dir: String) =>
+      Dedup.winnowCopyCoverage(Tables.documents(spark, dir), 3, WINNOW_W,
+        WINNOW_MIN_SHARED, WINNOW_MAX_DF)
+        .orderBy(col("doc_id"))),
+
     // THE end-to-end curation verdict: one row per TRAIN doc with the
     // full keep decision and its reason bits — dedup representative
     // (d12), decontaminated (d13), length + repetition quality gates
@@ -1091,6 +1099,27 @@ object PipelineQueries {
        |   GROUP BY 1, 2)
        |  WHERE n_shared >= $WINNOW_MIN_SHARED)""".stripMargin.replace("\n", " ")
 
+  /** The d36 span chain (consumes [[winnowCtes]]' `wsel` +
+    * [[winnowPairsCtes]]' `wpairs`): aligned evidence, the islands
+    * device per (pair, offset), gap > w+n-1 breaks — ends in
+    * `wspans(doc_a, doc_b, off, start_a, end_a, n_fps)`. Shared by d36
+    * and d37 so spans and the coverage signal cannot desynchronize.
+    */
+  private lazy val winnowSpansCtes =
+    s"""wev AS (SELECT DISTINCT p.doc_a, p.doc_b, xa.pos - xb.pos AS off, xa.pos AS pos_a
+       |       FROM wpairs p
+       |       JOIN wsel xa ON xa.doc_id = p.doc_a
+       |       JOIN wsel xb ON xb.doc_id = p.doc_b AND xb.fp = xa.fp),
+       |wlg AS (SELECT *, lag(pos_a) OVER (PARTITION BY doc_a, doc_b, off ORDER BY pos_a) AS prev FROM wev),
+       |wbr AS (SELECT *, CASE WHEN prev IS NULL OR pos_a - prev > ${3 + WINNOW_W - 1} THEN 1 ELSE 0 END AS brk FROM wlg),
+       |wisl AS (SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, off ORDER BY pos_a
+       |        ROWS UNBOUNDED PRECEDING) AS island FROM wbr),
+       |wspans AS (SELECT doc_a, doc_b, off,
+       |  CAST(min(pos_a) AS BIGINT) AS start_a,
+       |  CAST(max(pos_a) + 2 AS BIGINT) AS end_a,
+       |  CAST(count(*) AS BIGINT) AS n_fps
+       |  FROM wisl GROUP BY doc_a, doc_b, off, island)""".stripMargin.replace("\n", " ")
+
   /** Mirror of [[graft.operators.Dedup.dfCapped]]: shc = df-capped shh. */
   private def dfCapCte =
     s"shc AS (SELECT shh.* FROM shh JOIN (SELECT hs FROM shh GROUP BY hs HAVING count(*) <= $MAX_DF) h USING (hs))"
@@ -1373,26 +1402,40 @@ object PipelineQueries {
          |SELECT doc_a, doc_b, fp, pos_a, pos_b FROM ev
          |ORDER BY doc_a, doc_b, fp, pos_a, pos_b""".stripMargin.replace("\n", " "),
 
-    // mirror of Dedup.winnowCopySpans: d35's evidence, the q22 islands
-    // device per (pair, offset), gap > w+n-1 breaks the span
+    // mirror of Dedup.winnowCopySpans over the shared span chain
+    // (winnowSpansCtes doc)
     "d36_winnow_spans" ->
       s"""WITH $winnowCtes,
          |$winnowPairsCtes,
-         |ev AS (SELECT DISTINCT p.doc_a, p.doc_b, xa.pos - xb.pos AS off, xa.pos AS pos_a
-         |       FROM wpairs p
-         |       JOIN wsel xa ON xa.doc_id = p.doc_a
-         |       JOIN wsel xb ON xb.doc_id = p.doc_b AND xb.fp = xa.fp),
-         |lg AS (SELECT *, lag(pos_a) OVER (PARTITION BY doc_a, doc_b, off ORDER BY pos_a) AS prev FROM ev),
-         |br AS (SELECT *, CASE WHEN prev IS NULL OR pos_a - prev > ${3 + WINNOW_W - 1} THEN 1 ELSE 0 END AS brk FROM lg),
-         |isl AS (SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, off ORDER BY pos_a
-         |        ROWS UNBOUNDED PRECEDING) AS island FROM br)
-         |SELECT doc_a, doc_b, off AS "offset",
-         |  CAST(min(pos_a) AS BIGINT) AS start_a,
-         |  CAST(min(pos_a) - off AS BIGINT) AS start_b,
-         |  CAST(max(pos_a) + 2 AS BIGINT) AS end_a,
-         |  CAST(count(*) AS BIGINT) AS n_fps
-         |FROM isl GROUP BY doc_a, doc_b, off, island
+         |$winnowSpansCtes
+         |SELECT doc_a, doc_b, off AS "offset", start_a,
+         |  CAST(start_a - off AS BIGINT) AS start_b, end_a, n_fps
+         |FROM wspans
          |ORDER BY doc_a, doc_b, off, start_a""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.winnowCopyCoverage: both span sides unioned, the
+    // interval-merge islands pass per doc, LEFT JOIN reinstating
+    // untouched docs at 0
+    "d37_copy_coverage" ->
+      s"""WITH $winnowCtes,
+         |$winnowPairsCtes,
+         |$winnowSpansCtes,
+         |sides AS (SELECT doc_a AS doc_id, start_a AS s, end_a AS e FROM wspans
+         |          UNION ALL
+         |          SELECT doc_b, start_a - off, end_a - off FROM wspans),
+         |mg AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM sides),
+         |br2 AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM mg),
+         |is2 AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+         |        ROWS UNBOUNDED PRECEDING) AS island FROM br2),
+         |ilen AS (SELECT doc_id, island, max(e) - min(s) + 1 AS len FROM is2 GROUP BY 1, 2),
+         |cov AS (SELECT doc_id, sum(len) AS n_copied FROM ilen GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(coalesce(cov.n_copied, 0) AS BIGINT) AS n_copied,
+         |  CAST(coalesce(cov.n_copied, 0) AS DOUBLE)
+         |    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS copy_frac
+         |FROM documents d LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.oovRate: d15's top-k cut (same tf desc,
     // token asc total order) as the membership set, exact rational rate

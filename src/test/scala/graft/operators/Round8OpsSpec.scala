@@ -359,6 +359,26 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(nf >= 2L)
   }
 
+  test("winnowCopyCoverage: copied fraction on pair members, zero on untouched docs") {
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val fillerA = (1 to 200).map(i => s"a$i").mkString(" ")
+    val fillerB = (1 to 200).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$fillerA $passage"),
+      (2L, s"$passage $fillerB"),
+      (3L, (1 to 50).map(i => s"c$i").mkString(" ")) // untouched
+    ).toDF("doc_id", "text")
+    val cov = Dedup.winnowCopyCoverage(docs, 3, 4, minShared = 2L)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(cov.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val Array(d1, d2, d3) = cov
+    // both pair members carry the SAME merged copied length (one span,
+    // equal extent on both sides), bounded by the passage size
+    assert(d1._3 == d2._3 && d1._3 >= 2L && d1._3 <= 12L, (d1, d2).toString)
+    assert(d1._2 == 212L && d1._4 == d1._3.toDouble / 212L)
+    assert(d3._3 == 0L && d3._4 == 0.0)
+  }
+
   // ---- two-stage retrieval (e20/e21) ----
 
   test("rerank top-k IS the exact-cosine order of the ADC shortlist") {

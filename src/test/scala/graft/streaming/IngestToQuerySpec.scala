@@ -48,6 +48,34 @@ class IngestToQuerySpec extends AnyFunSuite {
     } finally { r.close(); conn.disconnect() }
   }
 
+  test("the sink is event-agnostic: an rr feed ingests and serves via type=rr") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rcDir = Files.createTempDirectory("tri-rr-rc").toString
+    val rsDir = Files.createTempDirectory("tri-rr-rs").toString
+    val rrDir = Files.createTempDirectory("tri-rr-rr").toString
+    val ckpt = Files.createTempDirectory("tri-rr-ckpt").toString
+    val mem = MemoryStream[IngestRow]
+    val ingest = RedditLogSink.appendStream(
+      mem.toDF().withColumn("event", org.apache.spark.sql.functions.lit("rr")),
+      rrDir, ckpt, triggerMillis = 50L)
+    var server: SseServer = null
+    try {
+      mem.addData((1L to 5L).map(row))
+      ingest.processAllAvailable()
+      server = new SseServer(spark, rcDir, rsDir, rrPath = rrDir,
+        keepAliveMillis = 60000L, triggerMillis = 100L).start()
+      val frames = readFrames(server.boundPort,
+        "/?type=rr&subreddit_backfill=100", 5)
+      val ids = frames.filter(_.contains("event: rr"))
+        .map(_.linesIterator.next().stripPrefix("id: ").toLong)
+      assert(ids == (1L to 5L), frames.mkString("|"))
+    } finally {
+      if (server != null) server.stop()
+      ingest.stop()
+    }
+  }
+
   test("ingest -> compact -> serve: catch-up over a churning log, then live hand-off") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
