@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** One row per TRAIN doc (`!evalPred`):
-    * (doc_id, is_rep, clean, ok_len, ok_rep, sampled, keep).
+    * (doc_id, is_rep, clean, ok_len, ok_rep, ok_copy, sampled, keep).
     *
     *  - `is_rep`: the doc is its near-dup cluster's TRAIN-side
     *    representative (minimum train doc_id in the component).
@@ -25,6 +25,12 @@ object Curation {
     *    ([[Dedup.contamination]]).
     *  - `ok_len` / `ok_rep`: length and repetition quality gates
     *    ([[TextAnalysis.repetition]]).
+    *  - `ok_copy`: copied-word coverage gate — the fraction of the
+    *    doc's words inside winnowing-detected copied spans stays at or
+    *    below `maxCopyFrac` ([[Dedup.winnowCopyCoverage]], round 8).
+    *    The near-dup gate (`is_rep`) collapses WHOLE-document
+    *    duplicates; this one catches heavy PARTIAL copying that
+    *    whole-doc Jaccard dilutes below the cluster threshold.
     *  - `sampled`: language-stratified hash-sample membership
     *    ([[Sampling.stratified]]).
     *  - `keep` = the conjunction.
@@ -34,13 +40,14 @@ object Curation {
       k: Int, bands: Int, threshold: Double,
       maxBucket: Long, maxDf: Long,
       minTokens: Int = 20, maxTopNgram: Double = 0.2,
-      maxDupToken: Double = 0.8): DataFrame = {
+      maxDupToken: Double = 0.8, maxCopyFrac: Double = 0.5): DataFrame = {
     val clusters = Dedup.dedupClusters(docs,
       Dedup.lshNearDupPairs(docs, k, bands, threshold, maxBucket, maxDf))
     val trainRep = clusters.filter(!evalPred)
       .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("train_rep"))
     val contam = Dedup.contamination(docs, evalPred)
     val rep = TextAnalysis.repetition(docs)
+    val cover = Dedup.winnowCopyCoverage(docs)
     val samp = Sampling.stratified(
       TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang")),
       col("pred_lang"), rates, defaultRate)
@@ -49,6 +56,7 @@ object Curation {
       .join(trainRep, Seq("cluster_id"))
       .join(rep.select(col("doc_id"), col("n_tokens"),
         col("dup_token_frac"), col("top_ngram_frac")), Seq("doc_id"))
+      .join(cover.select(col("doc_id"), col("copy_frac")), Seq("doc_id"))
       .join(samp.select(col("doc_id"), lit(true).as("in_sample")),
         Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -57,9 +65,11 @@ object Curation {
         (col("n_tokens") >= minTokens).as("ok_len"),
         (col("top_ngram_frac") <= maxTopNgram &&
           col("dup_token_frac") <= maxDupToken).as("ok_rep"),
+        (col("copy_frac") <= maxCopyFrac).as("ok_copy"),
         coalesce(col("in_sample"), lit(false)).as("sampled"))
       .withColumn("keep",
-        col("is_rep") && col("clean") && col("ok_len") && col("ok_rep") && col("sampled"))
+        col("is_rep") && col("clean") && col("ok_len") && col("ok_rep") &&
+          col("ok_copy") && col("sampled"))
   }
 
   /** Sequence-packing plan — the concat-and-chunk packing step that

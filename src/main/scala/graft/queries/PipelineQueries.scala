@@ -1276,6 +1276,19 @@ object PipelineQueries {
          |         WHERE v % 10 <> 0 GROUP BY cluster_id),
          |$contaminationCtes,
          |$repetitionCtes,
+         |$winnowCtes,
+         |$winnowPairsCtes,
+         |$winnowSpansCtes,
+         |sides AS (SELECT doc_a AS doc_id, start_a AS s, end_a AS e FROM wspans
+         |          UNION ALL
+         |          SELECT doc_b, start_a - off, end_a - off FROM wspans),
+         |mg AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM sides),
+         |br2 AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM mg),
+         |is2 AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+         |        ROWS UNBOUNDED PRECEDING) AS island FROM br2),
+         |ilen AS (SELECT doc_id, island, max(e) - min(s) + 1 AS len FROM is2 GROUP BY 1, 2),
+         |cov AS (SELECT doc_id, sum(len) AS n_copied FROM ilen GROUP BY 1),
          |$stratSampleCtes,
          |samp AS (SELECT doc_id, TRUE AS in_sample FROM u WHERE u < $rateCase)
          |SELECT d.doc_id,
@@ -1283,13 +1296,16 @@ object PipelineQueries {
          |  NOT (coalesce(hits.n_hits, 0) > 0) AS clean,
          |  (reps.n_tokens >= 20) AS ok_len,
          |  (reps.top_ngram_frac <= 0.2 AND reps.dup_token_frac <= 0.8) AS ok_rep,
+         |  (CAST(coalesce(cov.n_copied, 0) AS DOUBLE)
+         |     / CAST(len(string_split(d.text, ' ')) AS DOUBLE) <= 0.5) AS ok_copy,
          |  coalesce(samp.in_sample, FALSE) AS sampled,
-         |  (is_rep AND clean AND ok_len AND ok_rep AND sampled) AS keep
+         |  (is_rep AND clean AND ok_len AND ok_rep AND ok_copy AND sampled) AS keep
          |FROM documents d
          |JOIN lab ON lab.v = d.doc_id
          |JOIN trep ON trep.cluster_id = lab.cluster_id
          |LEFT JOIN hits ON hits.doc_id = d.doc_id
          |JOIN reps ON reps.doc_id = d.doc_id
+         |LEFT JOIN cov ON cov.doc_id = d.doc_id
          |LEFT JOIN samp ON samp.doc_id = d.doc_id
          |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
 

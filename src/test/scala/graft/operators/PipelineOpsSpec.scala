@@ -182,6 +182,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       (33L, true, true, true)))
   }
 
+  test("keepList: heavy partial copying drops a doc the near-dup gate cannot catch") {
+    // doc 1 is 10 own words + a 22-word passage lifted from doc 2
+    // (220+ words): whole-doc Jaccard ~0.09 — far below the 0.5 cluster
+    // threshold, so BOTH docs are their own cluster representatives —
+    // but >50% of doc 1's words sit inside the copied span, so ok_copy
+    // is the bit that (correctly) drops it. doc 2's coverage is ~10%.
+    val passage = (1 to 22).map(i => s"p$i").mkString(" ")
+    val own = (1 to 10).map(i => s"a$i").mkString(" ")
+    val fillerB = (1 to 200).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$own $passage"),
+      (2L, s"$fillerB $passage")
+    ).toDF("doc_id", "text")
+    val out = Curation.keepList(docs, col("doc_id") % 10 === 0,
+        Map.empty, defaultRate = 1.0, k = 8, bands = 4, threshold = 0.5,
+        maxBucket = 1000L, maxDf = 10000L)
+      .orderBy("doc_id")
+      .select("doc_id", "is_rep", "ok_copy", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, true, false, false), // its own rep, dropped ONLY for copying
+      (2L, true, true, true)))
+  }
+
   // ---- dupSpans ----
 
   test("dupSpans: cross-doc span fraction, within-doc repeats don't count") {
