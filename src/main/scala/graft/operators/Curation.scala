@@ -72,6 +72,29 @@ object Curation {
           col("ok_copy") && col("sampled"))
   }
 
+  /** The curation run's operational dashboard (d38): one row of
+    * per-reason drop accounting over a [[keepList]] verdict — the
+    * numbers an operator watches across corpus versions (a broken gate
+    * shows up as a count jump long before anyone reads row-level
+    * verdicts). Counts are per REASON, not per unique dropper: a doc
+    * failing two gates increments both, which is the reading a
+    * gate-health dashboard wants. One map-side-combined aggregate over
+    * the verdict, 1 row out.
+    */
+  def keepSummary(verdict: DataFrame): DataFrame = {
+    def drops(c: Column, name: String) =
+      sum(when(!c, 1L).otherwise(0L)).as(name)
+    verdict.agg(
+      count(lit(1)).as("n_train"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      drops(col("is_rep"), "n_dup"),
+      drops(col("clean"), "n_contaminated"),
+      drops(col("ok_len"), "n_short"),
+      drops(col("ok_rep"), "n_repetitive"),
+      drops(col("ok_copy"), "n_copied"),
+      drops(col("sampled"), "n_unsampled"))
+  }
+
   /** Sequence-packing plan — the concat-and-chunk packing step that
     * turns a curated corpus into fixed-length training sequences: docs
     * are concatenated in doc_id order and cut into `seqLen`-token

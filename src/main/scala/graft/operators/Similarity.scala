@@ -683,9 +683,22 @@ object Similarity {
       shortlist: Int, nCells: Int = 16, probes: Int = 4,
       m: Int = 8, ks: Int = 16, passes: Int = 1): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    rerankExact(emb, queryPred,
+      ivfPqTopK(emb, queryPred, shortlist, nCells, probes, m, ks, passes), k)
+  }
+
+  /** The exact re-rank tail shared by every two-stage retrieval here
+    * (consumes any shortlist with query_id/neighbor_id columns): fetch
+    * raw vectors for ONLY the shortlist members via a broadcast
+    * semi-shape — the corpus scan streams past a broadcast of the
+    * |Q|·shortlist ids, no corpus shuffle — and rank by true cosine.
+    * One definition, so the PQ- and SQ8-proposed shortlists are
+    * re-scored by literally the same plan.
+    */
+  private def rerankExact(emb: DataFrame, queryPred: Column,
+      shortlisted: DataFrame, k: Int): DataFrame = {
     val n = normalized(emb)
-    val short = ivfPqTopK(emb, queryPred, shortlist, nCells, probes, m, ks, passes)
-      .select(col("query_id"), col("neighbor_id"))
+    val short = shortlisted.select(col("query_id"), col("neighbor_id"))
     val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
       col("nrm").as("cn"))
     val q = n.filter(queryPred)
@@ -1045,6 +1058,38 @@ object Similarity {
     recallOf(
       cosineTopK(emb, queryPred, k),
       ivfSq8TopK(emb, queryPred, k, nCells, probes), k)
+
+  /** IVF+SQ8 SHORTLIST + exact re-rank (e28) — [[ivfSq8TopK]] proposes
+    * `shortlist` candidates per query, [[rerankExact]]'s broadcast-fetch
+    * tail ranks them by true cosine. The SQ8 twin of [[ivfPqRerankTopK]]:
+    * with near-exact byte codes the shortlist ORDER is already almost
+    * right, so what re-ranking recovers here is purely the members the
+    * byte-code noise mis-ordered across the rank-k boundary — closing
+    * the last gap between e27 and the probe-coverage ceiling that
+    * re-ranking CAN close (candidates outside the probed cells stay
+    * unreachable at any shortlist depth). Returns (query_id, rk,
+    * neighbor_id, cosine) like every exact-ranked top-k here.
+    */
+  def ivfSq8RerankTopK(emb: DataFrame, queryPred: Column, k: Int,
+      shortlist: Int, nCells: Int = 16, probes: Int = 4): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    rerankExact(emb, queryPred,
+      ivfSq8TopK(emb, queryPred, shortlist, nCells, probes), k)
+  }
+
+  /** Recall@k of the re-ranked IVF+SQ8 path (e29) — [[recallOf]] over
+    * [[ivfSq8RerankTopK]]. e29 ≥ e27 pointwise by the e21 dominance
+    * argument (a true-top-k member in the shortlist cannot be displaced
+    * below rank k by exact ordering), and e29 ≤ the coverage ceiling by
+    * construction — so the registered triple (e27, e29, ceiling) pins
+    * how much of the index family's remaining loss is recoverable by
+    * spending exact scorings vs structural (unprobed mass).
+    */
+  def annRecallIvfSq8Reranked(emb: DataFrame, queryPred: Column, k: Int,
+      shortlist: Int, nCells: Int = 16, probes: Int = 4): DataFrame =
+    recallOf(
+      cosineTopK(emb, queryPred, k),
+      ivfSq8RerankTopK(emb, queryPred, k, shortlist, nCells, probes), k)
 
   /** Recall@k of the SQ8 index (e25) — [[recallOf]] over [[sq8TopK]]:
     * the compression ladder's middle rung measured by the same device

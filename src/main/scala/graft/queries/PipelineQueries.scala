@@ -305,6 +305,15 @@ object PipelineQueries {
         K, BANDS, 0.5, MAX_BUCKET, MAX_DF)
         .orderBy(col("doc_id"))),
 
+    // the verdict's drop accounting: one row of per-reason counts —
+    // the gate-health dashboard a curation run watches across corpus
+    // versions (Curation.keepSummary doc)
+    "d38_keep_summary" -> ((spark: SparkSession, dir: String) =>
+      Curation.keepSummary(
+        Curation.keepList(Tables.documents(spark, dir),
+          col("doc_id") % 10 === 0, SAMPLE_RATES.toMap, SAMPLE_DEFAULT,
+          K, BANDS, 0.5, MAX_BUCKET, MAX_DF))),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -575,6 +584,24 @@ object PipelineQueries {
     "e27_ivf_sq8_recall" -> ((spark: SparkSession, dir: String) =>
       Similarity.annRecallIvfSq8(Tables.embeddings(spark, dir),
         col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES)
+        .orderBy(col("query_id"))),
+
+    // IVF+SQ8 shortlist re-ranked by exact cosine: the SQ8 twin of e20,
+    // closing the recoverable part of e27's gap to the coverage ceiling
+    // (Similarity.ivfSq8RerankTopK doc)
+    "e28_ivf_sq8_rerank" -> ((spark: SparkSession, dir: String) =>
+      Similarity.ivfSq8RerankTopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, RERANK_SHORTLIST,
+        IVF_CELLS, IVF_PROBES)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // the (e27, e29, ceiling) triple: how much of the remaining loss is
+    // recoverable by exact scorings vs structural unprobed mass
+    // (Similarity.annRecallIvfSq8Reranked doc)
+    "e29_ivf_sq8_rerank_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annRecallIvfSq8Reranked(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, RERANK_SHORTLIST,
+        IVF_CELLS, IVF_PROBES)
         .orderBy(col("query_id"))),
 
     "m01_media_meta" -> ((spark: SparkSession, dir: String) =>
@@ -899,21 +926,26 @@ object PipelineQueries {
        |       WHERE cl.vid <> pr.query_id)""".stripMargin.replace("\n", " ")
 
   /** The two-stage tail (mirror of
-    * [[graft.operators.Similarity.ivfPqRerankTopK]]; consumes `sc` +
-    * `n`): ADC shortlist at depth RERANK_SHORTLIST, exact cosine over
-    * ONLY shortlist members, re-rank by true cosine — ends in
-    * `rrk(query_id, neighbor_id, cosine, rk)`. Shared by e20/e21.
+    * [[graft.operators.Similarity.rerankExact]]; consumes a shortlist
+    * source CTE `src(query_id, neighbor_id, $dist)` + `n`): shortlist at
+    * depth RERANK_SHORTLIST by the index's own distance, exact cosine
+    * over ONLY shortlist members, re-rank by true cosine — ends in
+    * `rrk(query_id, neighbor_id, cosine, rk)`. ONE definition across
+    * both two-stage families: e20/e21 stack it on the ADC chain (`sc`),
+    * e28/e29 on the IVF+SQ8 chain (`sq`).
     */
-  private lazy val rerankCtes =
+  private def rerankCtesOver(src: String, dist: String) =
     s"""shortl AS (SELECT query_id, neighbor_id FROM
        |  (SELECT *, row_number() OVER (PARTITION BY query_id
-       |     ORDER BY adc_dist ASC, neighbor_id ASC) AS rk FROM sc) WHERE rk <= $RERANK_SHORTLIST),
+       |     ORDER BY $dist ASC, neighbor_id ASC) AS rk FROM $src) WHERE rk <= $RERANK_SHORTLIST),
        |rrs AS (SELECT s.query_id, s.neighbor_id,
        |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
        |        FROM shortl s JOIN n q ON q.vec_id = s.query_id
        |        JOIN n c ON c.vec_id = s.neighbor_id),
        |rrk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rk FROM rrs)""".stripMargin.replace("\n", " ")
+
+  private lazy val rerankCtes = rerankCtesOver("sc", "adc_dist")
 
   /** The recall measurement's shared tail (consumes an `ap3(query_id,
     * neighbor_id)` approximate top-k + `n`): exact cosine baseline,
@@ -1120,6 +1152,52 @@ object PipelineQueries {
        |  CAST(count(*) AS BIGINT) AS n_fps
        |  FROM wisl GROUP BY doc_a, doc_b, off, island)""".stripMargin.replace("\n", " ")
 
+  /** THE d19 verdict chain (mirror of
+    * [[graft.operators.Curation.keepList]]) as one self-contained
+    * SELECT (WITH RECURSIVE prefix included, no ORDER BY) — shared by
+    * d19 and d38 so the verdict and its drop accounting cannot
+    * desynchronize.
+    */
+  private lazy val curationKeepSql =
+    s"""WITH RECURSIVE ${lshPairsCtes(0.5)},
+       |${ccCtes("documents", "doc_id")},
+       |trep AS (SELECT cluster_id, min(v) AS train_rep FROM lab
+       |         WHERE v % 10 <> 0 GROUP BY cluster_id),
+       |$contaminationCtes,
+       |$repetitionCtes,
+       |$winnowCtes,
+       |$winnowPairsCtes,
+       |$winnowSpansCtes,
+       |sides AS (SELECT doc_a AS doc_id, start_a AS s, end_a AS e FROM wspans
+       |          UNION ALL
+       |          SELECT doc_b, start_a - off, end_a - off FROM wspans),
+       |mg AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM sides),
+       |br2 AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM mg),
+       |is2 AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+       |        ROWS UNBOUNDED PRECEDING) AS island FROM br2),
+       |ilen AS (SELECT doc_id, island, max(e) - min(s) + 1 AS len FROM is2 GROUP BY 1, 2),
+       |cov AS (SELECT doc_id, sum(len) AS n_copied FROM ilen GROUP BY 1),
+       |$stratSampleCtes,
+       |samp AS (SELECT doc_id, TRUE AS in_sample FROM u WHERE u < $rateCase)
+       |SELECT d.doc_id,
+       |  (d.doc_id = trep.train_rep) AS is_rep,
+       |  NOT (coalesce(hits.n_hits, 0) > 0) AS clean,
+       |  (reps.n_tokens >= 20) AS ok_len,
+       |  (reps.top_ngram_frac <= 0.2 AND reps.dup_token_frac <= 0.8) AS ok_rep,
+       |  (CAST(coalesce(cov.n_copied, 0) AS DOUBLE)
+       |     / CAST(len(string_split(d.text, ' ')) AS DOUBLE) <= 0.5) AS ok_copy,
+       |  coalesce(samp.in_sample, FALSE) AS sampled,
+       |  (is_rep AND clean AND ok_len AND ok_rep AND ok_copy AND sampled) AS keep
+       |FROM documents d
+       |JOIN lab ON lab.v = d.doc_id
+       |JOIN trep ON trep.cluster_id = lab.cluster_id
+       |LEFT JOIN hits ON hits.doc_id = d.doc_id
+       |JOIN reps ON reps.doc_id = d.doc_id
+       |LEFT JOIN cov ON cov.doc_id = d.doc_id
+       |LEFT JOIN samp ON samp.doc_id = d.doc_id
+       |WHERE d.doc_id % 10 <> 0""".stripMargin.replace("\n", " ")
+
   /** Mirror of [[graft.operators.Dedup.dfCapped]]: shc = df-capped shh. */
   private def dfCapCte =
     s"shc AS (SELECT shh.* FROM shh JOIN (SELECT hs FROM shh GROUP BY hs HAVING count(*) <= $MAX_DF) h USING (hs))"
@@ -1270,44 +1348,21 @@ object PipelineQueries {
     // eval near-dups still collapse train docs, but an eval-anchored
     // component min must not drop clean train content.
     "d19_curation_keep" ->
-      s"""WITH RECURSIVE ${lshPairsCtes(0.5)},
-         |${ccCtes("documents", "doc_id")},
-         |trep AS (SELECT cluster_id, min(v) AS train_rep FROM lab
-         |         WHERE v % 10 <> 0 GROUP BY cluster_id),
-         |$contaminationCtes,
-         |$repetitionCtes,
-         |$winnowCtes,
-         |$winnowPairsCtes,
-         |$winnowSpansCtes,
-         |sides AS (SELECT doc_a AS doc_id, start_a AS s, end_a AS e FROM wspans
-         |          UNION ALL
-         |          SELECT doc_b, start_a - off, end_a - off FROM wspans),
-         |mg AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM sides),
-         |br2 AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM mg),
-         |is2 AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
-         |        ROWS UNBOUNDED PRECEDING) AS island FROM br2),
-         |ilen AS (SELECT doc_id, island, max(e) - min(s) + 1 AS len FROM is2 GROUP BY 1, 2),
-         |cov AS (SELECT doc_id, sum(len) AS n_copied FROM ilen GROUP BY 1),
-         |$stratSampleCtes,
-         |samp AS (SELECT doc_id, TRUE AS in_sample FROM u WHERE u < $rateCase)
-         |SELECT d.doc_id,
-         |  (d.doc_id = trep.train_rep) AS is_rep,
-         |  NOT (coalesce(hits.n_hits, 0) > 0) AS clean,
-         |  (reps.n_tokens >= 20) AS ok_len,
-         |  (reps.top_ngram_frac <= 0.2 AND reps.dup_token_frac <= 0.8) AS ok_rep,
-         |  (CAST(coalesce(cov.n_copied, 0) AS DOUBLE)
-         |     / CAST(len(string_split(d.text, ' ')) AS DOUBLE) <= 0.5) AS ok_copy,
-         |  coalesce(samp.in_sample, FALSE) AS sampled,
-         |  (is_rep AND clean AND ok_len AND ok_rep AND ok_copy AND sampled) AS keep
-         |FROM documents d
-         |JOIN lab ON lab.v = d.doc_id
-         |JOIN trep ON trep.cluster_id = lab.cluster_id
-         |LEFT JOIN hits ON hits.doc_id = d.doc_id
-         |JOIN reps ON reps.doc_id = d.doc_id
-         |LEFT JOIN cov ON cov.doc_id = d.doc_id
-         |LEFT JOIN samp ON samp.doc_id = d.doc_id
-         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+      s"$curationKeepSql ORDER BY d.doc_id",
+
+    // the curation run's operational dashboard: one row of per-reason
+    // drop accounting over d19's verdict (mirror of
+    // Curation.keepSummary) — a broken gate shows up as a count jump
+    "d38_keep_summary" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN NOT is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN NOT clean THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |  CAST(sum(CASE WHEN NOT ok_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+         |  CAST(sum(CASE WHEN NOT ok_copy THEN 1 ELSE 0 END) AS BIGINT) AS n_copied,
+         |  CAST(sum(CASE WHEN NOT sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_unsampled
+         |FROM ($curationKeepSql) t""".stripMargin.replace("\n", " "),
 
     // per-doc distinct grams upstream (shingle CTE) make df ≥ 2 exactly
     // "another doc has the span"; LEFT JOIN reinstates gram-less docs
@@ -1929,6 +1984,26 @@ object PipelineQueries {
          |ap3 AS (SELECT query_id, neighbor_id FROM
          |  (SELECT *, row_number() OVER (PARTITION BY query_id
          |     ORDER BY sq_dist ASC, neighbor_id ASC) AS rk FROM sq) WHERE rk <= $PQ_K),
+         |$recallTailSql""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.ivfSq8RerankTopK: e26's chain under the
+    // shared two-stage tail (rerankCtesOver) — the SQ8-proposed
+    // shortlist re-ranked by exact cosine
+    "e28_ivf_sq8_rerank" ->
+      s"""WITH $ivfAsgCtes,
+         |$ivfSq8Ctes,
+         |${rerankCtesOver("sq", "sq_dist")}
+         |SELECT query_id, rk, neighbor_id, cosine FROM rrk WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.annRecallIvfSq8Reranked: e28's chain as the
+    // approx side of the shared recall tail — ≥ e27 pointwise, ≤ the
+    // coverage ceiling by construction
+    "e29_ivf_sq8_rerank_recall" ->
+      s"""WITH $ivfAsgCtes,
+         |$ivfSq8Ctes,
+         |${rerankCtesOver("sq", "sq_dist")},
+         |ap3 AS (SELECT query_id, neighbor_id FROM rrk WHERE rk <= $PQ_K),
          |$recallTailSql""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.annRecallReranked: e20's chain as the approx

@@ -206,6 +206,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, true, true, true)))
   }
 
+  test("keepSummary: per-reason counts, multi-gate failures increment each") {
+    // the eval-anchored fixture: train docs 11/21 identical to eval 10.
+    // 11 fails clean + ok_copy (copied from its twin); 21 additionally
+    // fails is_rep; 33 is kept. Per-REASON accounting means the drop
+    // columns sum to 5 though only 2 docs dropped.
+    val dup = (1 to 24).map(i => s"w$i").mkString(" ")
+    val solo = (1 to 24).map(i => s"x$i").mkString(" ")
+    val docs = Seq((10L, dup), (11L, dup), (21L, dup), (33L, solo))
+      .toDF("doc_id", "text")
+    val verdict = Curation.keepList(docs, col("doc_id") % 10 === 0,
+      Map.empty, defaultRate = 1.0, k = 8, bands = 4, threshold = 0.5,
+      maxBucket = 1000L, maxDf = 10000L)
+    val out = Curation.keepSummary(verdict)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    //          n_train n_keep n_dup n_cont n_short n_rep n_copied n_unsamp
+    assert(out == Seq((3L, 1L, 1L, 2L, 0L, 0L, 2L, 0L)))
+  }
+
   // ---- dupSpans ----
 
   test("dupSpans: cross-doc span fraction, within-doc repeats don't count") {
