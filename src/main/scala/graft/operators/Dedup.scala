@@ -742,6 +742,49 @@ object Dedup {
           col("n_words").cast("double")).as("copy_frac"))
   }
 
+  /** Pair-level MERGED COPY EXTENTS (d39) — the redaction view over
+    * [[winnowCopySpans]]: d36 keeps one span per (pair, alignment
+    * offset), so two overlapping copies at different alignments (a
+    * re-copy with an insertion, a shifted boilerplate block) report two
+    * overlapping ranges. Redaction tooling wants the union: per
+    * (doc_a, doc_b), spans are interval-merged on doc_a's word axis
+    * across ALL offsets (the same islands device d37 applies per doc —
+    * a span opening beyond the running max end starts a new extent).
+    * Output (doc_a, doc_b, start_a, end_a, n_spans, n_fps): the
+    * contiguous copied extent in doc_a, how many per-offset spans it
+    * absorbed, and their total fingerprint evidence. B-side ranges are
+    * deliberately NOT merged — each constituent span has its own
+    * alignment, so a single B range is not well-defined; d36 remains
+    * the per-alignment view when both sides are needed.
+    *
+    * Scale shape: input is already pair-restricted (d36); the merge
+    * window and the extent aggregate both partition by (doc_a, doc_b) —
+    * the same keys, so the aggregate rides the window's exchange and
+    * nothing corpus-scale shuffles.
+    */
+  def winnowMergedExtents(docs: DataFrame, n: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxDf: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = winnowCopySpans(docs, n, w, minShared, maxDf)
+    val win = Window.partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("start_a"), col("end_a"))
+    spans
+      .withColumn("prevMaxE",
+        max(col("end_a")).over(win.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prevMaxE").isNull || col("start_a") > col("prevMaxE"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("island"))
+      .agg(min(col("start_a")).as("start_a"),
+        max(col("end_a")).as("end_a"),
+        count(lit(1)).as("n_spans"),
+        sum(col("n_fps")).as("n_fps"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("end_a"),
+        col("n_spans"), col("n_fps"))
+  }
+
   /** Train/eval contamination check — flags training documents that
     * share any word n-gram with a benchmark/eval document, the standard
     * decontamination pass before a corpus becomes training data (the

@@ -285,6 +285,14 @@ object PipelineQueries {
         WINNOW_MIN_SHARED, WINNOW_MAX_DF)
         .orderBy(col("doc_a"), col("doc_b"), col("offset"), col("start_a"))),
 
+    // pair-level merged copy extents: d36's per-offset spans
+    // interval-merged on doc_a's axis across alignments — the
+    // redaction view (Dedup.winnowMergedExtents doc)
+    "d39_winnow_extents" -> ((spark: SparkSession, dir: String) =>
+      Dedup.winnowMergedExtents(Tables.documents(spark, dir), 3, WINNOW_W,
+        WINNOW_MIN_SHARED, WINNOW_MAX_DF)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"))),
+
     // per-doc copied-word coverage: both span sides unioned, overlaps
     // merged by a second islands pass — the cross-doc twin of d14's
     // repetition gate (Dedup.winnowCopyCoverage doc)
@@ -1483,6 +1491,25 @@ object PipelineQueries {
          |  CAST(start_a - off AS BIGINT) AS start_b, end_a, n_fps
          |FROM wspans
          |ORDER BY doc_a, doc_b, off, start_a""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.winnowMergedExtents: wspans interval-merged per
+    // (doc_a, doc_b) across offsets by the islands device
+    "d39_winnow_extents" ->
+      s"""WITH $winnowCtes,
+         |$winnowPairsCtes,
+         |$winnowSpansCtes,
+         |pmg AS (SELECT *, max(end_a) OVER (PARTITION BY doc_a, doc_b
+         |        ORDER BY start_a, end_a
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM wspans),
+         |pbr AS (SELECT *, CASE WHEN pme IS NULL OR start_a > pme THEN 1 ELSE 0 END AS brk FROM pmg),
+         |pisl AS (SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b
+         |        ORDER BY start_a, end_a ROWS UNBOUNDED PRECEDING) AS island FROM pbr)
+         |SELECT doc_a, doc_b, CAST(min(start_a) AS BIGINT) AS start_a,
+         |  CAST(max(end_a) AS BIGINT) AS end_a,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(n_fps) AS BIGINT) AS n_fps
+         |FROM pisl GROUP BY doc_a, doc_b, island
+         |ORDER BY doc_a, doc_b, start_a""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.winnowCopyCoverage: both span sides unioned, the
     // interval-merge islands pass per doc, LEFT JOIN reinstating

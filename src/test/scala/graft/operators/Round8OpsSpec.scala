@@ -379,6 +379,34 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(d3._3 == 0L && d3._4 == 0.0)
   }
 
+  test("winnowMergedExtents merges overlapping spans from different alignments") {
+    // doc 2 carries the passage TWICE, so doc 1's single copy aligns at
+    // two different offsets — d36 reports (at least) two overlapping
+    // spans on doc 1's axis, the merged view exactly one extent
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val fillerA = (1 to 200).map(i => s"a$i").mkString(" ")
+    val fillerB = (1 to 100).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$fillerA $passage"),
+      (2L, s"$passage $fillerB $passage")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.winnowCopySpans(docs, 3, 4, minShared = 2L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val offsets = spans.map(_._3).distinct
+    assert(offsets.length >= 2,
+      s"fixture must produce two alignments, got spans ${spans.toSeq}")
+    val ext = Dedup.winnowMergedExtents(docs, 3, 4, minShared = 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(ext.length == 1, s"expected one merged extent, got ${ext.toSeq}")
+    val (da, db, sa, ea, nSpans, nFps) = ext.head
+    assert((da, db) == ((1L, 2L)))
+    // the extent is the union of the per-offset spans, inside the
+    // passage's word range on doc 1 (words 201..212)
+    assert(sa == spans.map(_._4).min && ea == spans.map(_._6).max)
+    assert(sa >= 201L && ea <= 212L, ext.head.toString)
+    assert(nSpans == spans.length && nFps == spans.map(_._7).sum)
+  }
+
   // ---- two-stage retrieval (e20/e21) ----
 
   test("rerank top-k IS the exact-cosine order of the ADC shortlist") {
