@@ -785,6 +785,106 @@ object Dedup {
         col("n_spans"), col("n_fps"))
   }
 
+  /** Positional hashed gram stream: one row per (doc_id, 1-based gram
+    * start, [[hash60]] of the n-word gram) — NOT per-doc distinct,
+    * unlike [[hashedShingles]]: the ExactSubstr family below counts
+    * every OCCURRENCE (a doc repeating its own passage is a duplicate
+    * too, per the published semantics). Same explode_outer-then-filter
+    * shape as [[winnowFingerprints]] (plain explode's implicit
+    * size-guard re-evaluates the gram-hash chain below the Generate —
+    * measured 14× there).
+    */
+  def positionalGrams(docs: DataFrame, n: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+    tok.withColumn("pg", expr(
+        s"""transform(sequence(1, size(tk) - ${n - 1}), i -> named_struct(
+           |'p', cast(i as bigint),
+           |'h', cast(conv(substring(md5(concat_ws(' ', slice(tk, i, $n))), 1, 15), 16, 10) as bigint)))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("doc_id"), explode_outer(col("pg")).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), col("g.p").as("pos"), col("g.h").as("hs"))
+  }
+
+  /** ExactSubstr DUPLICATED SPANS (d40) — the exact-duplicate twin of
+    * the winnowing family, the construction published with the
+    * train-data dedup literature (dedup by removing any ≥ minLen-token
+    * run occurring more than once in the corpus, within-doc repeats
+    * included): every minLen-gram whose corpus-wide OCCURRENCE count is
+    * ≥ 2 anchors a duplicated run; anchors cover words [pos,
+    * pos+minLen−1], and overlapping covered ranges merge into maximal
+    * spans (the d37 interval-merge islands device). Returns one row per
+    * maximal duplicated span: (doc_id, start, end, n_anchors).
+    *
+    * Scale shape: the occurrence count is a groupBy over 8-byte gram
+    * hashes — map-side partial combine keeps boilerplate mega-grams
+    * cheap (each map partition contributes ONE row per hs, so a
+    * 10⁹-occurrence gram costs its scan, not a hot reducer). The
+    * anchor join back is an hs equi-join against the (small) dup-gram
+    * set — AQE skew-split applies if one gram dominates — and the
+    * islands merge partitions by doc_id: keys the corpus is near-unique
+    * in. Chance collisions are a minLen choice, not an engine concern:
+    * at minLen = 8 over this vocabulary the expected false-dup count is
+    * < 1 at sf0.01 (measured: dup grams stable 1061→923 as L goes
+    * 6→12 — genuine copies, not noise).
+    */
+  def exactSubstrSpans(docs: DataFrame, minLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pg = positionalGrams(docs, minLen)
+    val dupHs = pg.groupBy(col("hs")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2L).select(col("hs"))
+    val anchors = pg.join(dupHs, Seq("hs"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(minLen.toLong - 1L)).as("e"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    anchors
+      .withColumn("prevMaxE",
+        max(col("e")).over(win.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prevMaxE").isNull || col("s") > col("prevMaxE"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("start"), max(col("e")).as("end"),
+        count(lit(1)).as("n_anchors"))
+      .select(col("doc_id"), col("start"), col("end"), col("n_anchors"))
+  }
+
+  /** ExactSubstr REMOVAL (d41) — the act stage over
+    * [[exactSubstrSpans]]: every word inside a duplicated span is cut
+    * and the remainder re-joined, the published cleaning step itself
+    * (duplicated text is removed EVERYWHERE it occurs — unlike d01's
+    * keep-one-copy semantics, which d01 already provides; the two
+    * compose as canonical-keeper + substring-cut in a production run).
+    * Returns (doc_id, n_words, n_removed, clean_text); untouched docs
+    * pass through with n_removed = 0.
+    *
+    * Scale shape: spans per doc are collected into an array bounded by
+    * doc length (a per-doc object, not corpus state), the span table is
+    * pair-scale so the join back to the corpus broadcasts, and the cut
+    * itself is per-row array work (sequence/filter/exists higher-order
+    * chain — no UDF).
+    */
+  def exactSubstrRemoval(docs: DataFrame, minLen: Int = 8): DataFrame = {
+    val spans = exactSubstrSpans(docs, minLen)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start").as("s"), col("end").as("e")))
+        .as("iv"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(broadcast(spans), Seq("doc_id"), "left_outer")
+      .withColumn("kept", expr(
+        """CASE WHEN iv IS NULL THEN w ELSE
+          |transform(filter(sequence(1, size(w)),
+          |  p -> NOT exists(iv, t -> p >= t.s AND p <= t.e)),
+          |  p -> element_at(w, p)) END""".stripMargin.replace("\n", " ")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** Train/eval contamination check — flags training documents that
     * share any word n-gram with a benchmark/eval document, the standard
     * decontamination pass before a corpus becomes training data (the

@@ -31,6 +31,7 @@ object PipelineQueries {
   private val WINNOW_W = 4       // d33 winnowing window (grams per window)
   private val WINNOW_MIN_SHARED = 2L // d34: pairs need ≥2 shared fps (1 = chance collisions — measured)
   private val WINNOW_MAX_DF = 1000L  // d34 boilerplate-fingerprint cap
+  private val EXSUB_LEN = 8      // d40/d41 ExactSubstr min duplicated run (words)
   private val PQ_DIMS = 64       // embedding width (TESTDATA.md) — the
                                  // oracle's distance chains are generated
                                  // per-dimension, so the width is static here
@@ -299,6 +300,19 @@ object PipelineQueries {
     "d37_copy_coverage" -> ((spark: SparkSession, dir: String) =>
       Dedup.winnowCopyCoverage(Tables.documents(spark, dir), 3, WINNOW_W,
         WINNOW_MIN_SHARED, WINNOW_MAX_DF)
+        .orderBy(col("doc_id"))),
+
+    // exact duplicated runs: every >= 8-word run occurring twice
+    // anywhere in the corpus (within-doc repeats count), merged into
+    // maximal spans (Dedup.exactSubstrSpans doc)
+    "d40_exact_substr_spans" -> ((spark: SparkSession, dir: String) =>
+      Dedup.exactSubstrSpans(Tables.documents(spark, dir), EXSUB_LEN)
+        .orderBy(col("doc_id"), col("start"))),
+
+    // the cleaning step itself: duplicated spans cut everywhere they
+    // occur, remainder re-joined (Dedup.exactSubstrRemoval doc)
+    "d41_exact_substr_removal" -> ((spark: SparkSession, dir: String) =>
+      Dedup.exactSubstrRemoval(Tables.documents(spark, dir), EXSUB_LEN)
         .orderBy(col("doc_id"))),
 
     // THE end-to-end curation verdict: one row per TRAIN doc with the
@@ -1160,6 +1174,33 @@ object PipelineQueries {
        |  CAST(count(*) AS BIGINT) AS n_fps
        |  FROM wisl GROUP BY doc_a, doc_b, off, island)""".stripMargin.replace("\n", " ")
 
+  /** The d40 ExactSubstr chain (mirror of
+    * [[graft.operators.Dedup.exactSubstrSpans]]): positional
+    * EXSUB_LEN-gram hashes (per OCCURRENCE, not per-doc distinct),
+    * occurrence count ≥ 2, anchors as [pos, pos+L−1] intervals, the
+    * interval-merge islands device per doc — ends in `exspans(doc_id,
+    * start, "end", n_anchors)` with `exanch` exposed for d41's
+    * coverage expansion. Shared by d40 and d41 so the spans and the
+    * cut cannot desynchronize.
+    */
+  private lazy val exSubstrCtes =
+    s"""extok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents
+       |        WHERE len(string_split(text,' ')) >= $EXSUB_LEN),
+       |exg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |        ${duckHash60(s"array_to_string(list_slice(tk, i, i+$EXSUB_LEN-1),' ')")} AS hs
+       |        FROM extok, LATERAL unnest(range(1, len(tk)-$EXSUB_LEN+2)) t(i)),
+       |exdup AS (SELECT hs FROM exg GROUP BY hs HAVING count(*) >= 2),
+       |exanch AS (SELECT doc_id, pos AS s, pos + ${EXSUB_LEN - 1} AS e
+       |        FROM exg JOIN exdup USING (hs)),
+       |exmg AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM exanch),
+       |exbr AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM exmg),
+       |exisl AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+       |        ROWS UNBOUNDED PRECEDING) AS island FROM exbr),
+       |exspans AS (SELECT doc_id, CAST(min(s) AS BIGINT) AS start,
+       |  CAST(max(e) AS BIGINT) AS "end", CAST(count(*) AS BIGINT) AS n_anchors
+       |  FROM exisl GROUP BY doc_id, island)""".stripMargin.replace("\n", " ")
+
   /** THE d19 verdict chain (mirror of
     * [[graft.operators.Curation.keepList]]) as one self-contained
     * SELECT (WITH RECURSIVE prefix included, no ORDER BY) — shared by
@@ -1510,6 +1551,34 @@ object PipelineQueries {
          |  CAST(sum(n_fps) AS BIGINT) AS n_fps
          |FROM pisl GROUP BY doc_a, doc_b, island
          |ORDER BY doc_a, doc_b, start_a""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.exactSubstrSpans over the shared ExactSubstr
+    // chain (exSubstrCtes doc)
+    "d40_exact_substr_spans" ->
+      s"""WITH $exSubstrCtes
+         |SELECT doc_id, start, "end", n_anchors FROM exspans
+         |ORDER BY doc_id, start""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.exactSubstrRemoval: anchor intervals expanded to
+    // covered word positions, kept words re-joined in order; fully
+    // removed docs coalesce to '' like concat_ws over an empty array
+    "d41_exact_substr_removal" ->
+      s"""WITH $exSubstrCtes,
+         |excov AS (SELECT DISTINCT doc_id, u.p FROM exanch,
+         |          LATERAL unnest(range(s, e + 1)) u(p)),
+         |extoks AS (SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS wtok
+         |          FROM (SELECT doc_id, string_split(text,' ') AS tk FROM documents) x,
+         |          LATERAL unnest(range(1, len(tk) + 1)) t(i)),
+         |exnrem AS (SELECT doc_id, count(*) AS n_removed FROM excov GROUP BY doc_id),
+         |exkept AS (SELECT t.doc_id, string_agg(t.wtok, ' ' ORDER BY t.p) AS clean_text
+         |          FROM extoks t ANTI JOIN excov c ON c.doc_id = t.doc_id AND c.p = t.p
+         |          GROUP BY t.doc_id)
+         |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_words,
+         |  CAST(coalesce(exnrem.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(exkept.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN exnrem USING (doc_id)
+         |LEFT JOIN exkept USING (doc_id)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.winnowCopyCoverage: both span sides unioned, the
     // interval-merge islands pass per doc, LEFT JOIN reinstating

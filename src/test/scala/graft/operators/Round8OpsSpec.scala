@@ -407,6 +407,49 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(nSpans == spans.length && nFps == spans.map(_._7).sum)
   }
 
+  // ---- ExactSubstr dedup (d40/d41) ----
+
+  // shared fixture: a 10-word passage repeated WITHIN doc 1 and shared
+  // across docs 2/3; doc 4 is untouched; docs 5/6 are identical (fully
+  // duplicated). All filler vocabularies are disjoint, so only the
+  // passage's 8-grams duplicate.
+  private lazy val exSubstrDocs = {
+    val p = (1 to 10).map(i => s"p$i").mkString(" ")
+    Seq(
+      (1L, s"${(1 to 20).map(i => s"f$i").mkString(" ")} $p ${(1 to 5).map(i => s"g$i").mkString(" ")} $p"),
+      (2L, s"${(1 to 50).map(i => s"x$i").mkString(" ")} $p"),
+      (3L, s"$p ${(1 to 50).map(i => s"y$i").mkString(" ")}"),
+      (4L, (1 to 30).map(i => s"u$i").mkString(" ")),
+      (5L, (1 to 12).map(i => s"z$i").mkString(" ")),
+      (6L, (1 to 12).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactSubstrSpans: within-doc repeats count, maximal merged spans") {
+    val spans = Dedup.exactSubstrSpans(exSubstrDocs, minLen = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(s => (s._1, s._2)).toSeq
+    // a 10-word passage at word offset o anchors 8-grams at o+1..o+3
+    // (3 anchors), covering words o+1..o+10
+    assert(spans == Seq(
+      (1L, 21L, 30L, 3L), (1L, 36L, 45L, 3L),   // both in-doc copies
+      (2L, 51L, 60L, 3L),
+      (3L, 1L, 10L, 3L),
+      (5L, 1L, 12L, 5L), (6L, 1L, 12L, 5L)))    // identical docs: fully covered
+  }
+
+  test("exactSubstrRemoval cuts duplicated spans everywhere, empties identical docs") {
+    val out = Dedup.exactSubstrRemoval(exSubstrDocs, minLen = 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val f = (1 to 20).map(i => s"f$i").mkString(" ")
+    val g = (1 to 5).map(i => s"g$i").mkString(" ")
+    assert(out == Seq(
+      (1L, 45L, 20L, s"$f $g"),
+      (2L, 60L, 10L, (1 to 50).map(i => s"x$i").mkString(" ")),
+      (3L, 60L, 10L, (1 to 50).map(i => s"y$i").mkString(" ")),
+      (4L, 30L, 0L, (1 to 30).map(i => s"u$i").mkString(" ")),
+      (5L, 12L, 12L, ""), (6L, 12L, 12L, "")))
+  }
+
   // ---- two-stage retrieval (e20/e21) ----
 
   test("rerank top-k IS the exact-cosine order of the ADC shortlist") {
