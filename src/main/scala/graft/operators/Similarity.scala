@@ -1091,6 +1091,40 @@ object Similarity {
       cosineTopK(emb, queryPred, k),
       ivfSq8RerankTopK(emb, queryPred, k, shortlist, nCells, probes), k)
 
+  /** Probe-coverage CURVE (e30) — mean recall@k of [[ivfSq8TopK]] at
+    * each probe count, one row per setting: the index family's tuning
+    * lever as a REGISTERED measurement instead of a BENCH_NOTES table.
+    * With near-exact byte codes underneath (e25: 0.986), each row
+    * reads as the fraction of true-neighbor mass the first `probes`
+    * cells contain, and the curve's endpoint (probes = nCells, full
+    * coverage) must meet the flat-scan ceiling — the two ends pin the
+    * measurement against e25 and e27 by construction. `mean_recall`
+    * is Σ hits / (|Q|·k): one integer sum, one double division —
+    * order-independent, oracle-exact.
+    *
+    * Scale shape: each curve point is the e27 chain at a different
+    * probe bound (probed-mass scan, broadcast queries); points are
+    * independent branches of one union, so Spark schedules them as
+    * parallel stages sharing the corpus scan's columnar cache. The
+    * curve costs Σ coverage(probes) corpus-fractions — at production
+    * sizes you run it on a sampled query set, which is exactly what
+    * `queryPred` is.
+    */
+  def ivfProbeCurve(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16,
+      probesList: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val exact = cosineTopK(emb, queryPred, k)
+    probesList.map { p =>
+      recallOf(exact, ivfSq8TopK(emb, queryPred, k, nCells, p), k)
+        .agg(count(lit(1)).as("n_queries"), sum(col("n_hit")).as("n_hits"))
+        .select(lit(p.toLong).as("probes"),
+          col("n_queries").cast("long").as("n_queries"),
+          col("n_hits").cast("long").as("n_hits"),
+          (col("n_hits").cast("double") / (col("n_queries") * lit(k.toLong)))
+            .as("mean_recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Recall@k of the SQ8 index (e25) — [[recallOf]] over [[sq8TopK]]:
     * the compression ladder's middle rung measured by the same device
     * as every other index family here. At 4× compression the

@@ -32,6 +32,7 @@ object PipelineQueries {
   private val WINNOW_MIN_SHARED = 2L // d34: pairs need ≥2 shared fps (1 = chance collisions — measured)
   private val WINNOW_MAX_DF = 1000L  // d34 boilerplate-fingerprint cap
   private val EXSUB_LEN = 8      // d40/d41 ExactSubstr min duplicated run (words)
+  private val PROBE_CURVE = Seq(1, 2, 4, 8, 16) // e30 sweep; 16 = IVF_CELLS = full coverage
   private val PQ_DIMS = 64       // embedding width (TESTDATA.md) — the
                                  // oracle's distance chains are generated
                                  // per-dimension, so the width is static here
@@ -626,6 +627,14 @@ object PipelineQueries {
         IVF_CELLS, IVF_PROBES)
         .orderBy(col("query_id"))),
 
+    // the tuning lever as a registered measurement: mean recall@k per
+    // probe count, endpoint (= nCells) pinned to the flat-scan ceiling
+    // (Similarity.ivfProbeCurve doc)
+    "e30_ivf_probe_curve" -> ((spark: SparkSession, dir: String) =>
+      Similarity.ivfProbeCurve(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, PROBE_CURVE)
+        .orderBy(col("probes"))),
+
     "m01_media_meta" -> ((spark: SparkSession, dir: String) =>
       Multimodal.mediaView(Tables.documents(spark, dir))
         .select(col("doc_id"),
@@ -924,9 +933,12 @@ object PipelineQueries {
     * assignment chain's `asg`/`cells` + `v`): the SAME SQ8 train/
     * encode/decode CTEs as [[sq8Ctes]] with the candidate set
     * probe-bounded instead of CROSS JOIN — ends in `sq(query_id,
-    * neighbor_id, sq_dist)`. Shared by e26 and e27.
+    * neighbor_id, sq_dist)`. Shared by e26 and e27; e30 instantiates
+    * it once per probe count (the probe bound is the one parameter).
     */
-  private lazy val ivfSq8Ctes =
+  private lazy val ivfSq8Ctes = ivfSq8CtesAt(IVF_PROBES)
+
+  private def ivfSq8CtesAt(probes: Int) =
     s"""mm AS (SELECT i AS dim, min(e[i]) AS mn, max(e[i]) AS mx
        |       FROM v, LATERAL unnest(range(1, ${PQ_DIMS + 1})) AS t(i) GROUP BY i),
        |ms AS (SELECT dim, mn, CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS sc FROM mm),
@@ -937,7 +949,7 @@ object PipelineQueries {
        |       JOIN ms ON ms.dim = t.i),
        |dl AS (SELECT vec_id, list(mn + CAST(c AS DOUBLE) * sc ORDER BY dim) AS d
        |       FROM cd GROUP BY vec_id),
-       |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
+       |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $probes),
        |sq AS (SELECT pr.query_id, cl.vid AS neighbor_id,
        |       list_dot_product(
        |         list_transform(range(1, ${PQ_DIMS + 1}), i -> q.e[i] - c.d[i]),
@@ -946,6 +958,33 @@ object PipelineQueries {
        |       JOIN dl c ON c.vec_id = cl.vid
        |       JOIN v q ON q.vec_id = pr.query_id
        |       WHERE cl.vid <> pr.query_id)""".stripMargin.replace("\n", " ")
+
+  /** One branch of the e30 probe curve: the e26 chain at `p` probes,
+    * the recall tail AGGREGATED to (n_queries, n_hits) instead of
+    * per-query rows, lifted to a self-contained parenthesized WITH so
+    * the branches union. Mean recall is one integer sum and one double
+    * division — order-independent, matching the Scala exactly.
+    */
+  private def probeCurveBranch(p: Int) =
+    s"""SELECT CAST($p AS BIGINT) AS probes, n_queries, n_hits,
+       |  CAST(n_hits AS DOUBLE) / (n_queries * $PQ_K) AS mean_recall FROM (
+       |WITH $ivfAsgCtes,
+       |${ivfSq8CtesAt(p)},
+       |ap3 AS (SELECT query_id, neighbor_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY sq_dist ASC, neighbor_id ASC) AS rk FROM sq) WHERE rk <= $PQ_K),
+       |pex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+       |        FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+       |ex3 AS (SELECT query_id, neighbor_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM pex) WHERE rk <= $PQ_K),
+       |hits AS (SELECT e.query_id, count(*) AS n_hit
+       |         FROM ex3 e JOIN ap3 a USING (query_id, neighbor_id) GROUP BY 1),
+       |pq AS (SELECT q.query_id, coalesce(n_hit, 0) AS n_hit
+       |       FROM (SELECT DISTINCT query_id FROM ex3) q LEFT JOIN hits USING (query_id))
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(coalesce(sum(n_hit), 0) AS BIGINT) AS n_hits FROM pq)""".stripMargin.replace("\n", " ")
 
   /** The two-stage tail (mirror of
     * [[graft.operators.Similarity.rerankExact]]; consumes a shortlist
@@ -2101,6 +2140,12 @@ object PipelineQueries {
          |${rerankCtesOver("sq", "sq_dist")},
          |ap3 AS (SELECT query_id, neighbor_id FROM rrk WHERE rk <= $PQ_K),
          |$recallTailSql""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.ivfProbeCurve: one probeCurveBranch per
+    // probe count, unioned — the tuning curve as a registered row set
+    "e30_ivf_probe_curve" ->
+      PROBE_CURVE.map(probeCurveBranch)
+        .mkString("", " UNION ALL ", " ORDER BY probes"),
 
     // mirror of Similarity.annRecallReranked: e20's chain as the approx
     // side of the shared recall tail — what re-ranking buys on the same

@@ -407,6 +407,24 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(nSpans == spans.length && nFps == spans.map(_._7).sum)
   }
 
+  test("ivfProbeCurve: full-probe endpoint equals the flat SQ8 scan exactly") {
+    val emb = Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val curve = Similarity.ivfProbeCurve(emb, pred, 3, 16, Seq(1, 16))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(curve.map(_._1) == Seq(1L, 16L))
+    assert(curve.map(_._2).distinct.size == 1, "query count must not vary")
+    // probes = nCells probes EVERY cell: the candidate set and scoring
+    // are then identical to the flat sq8TopK, so the endpoint equals
+    // e25's mean recall BY CONSTRUCTION, not approximately
+    val flat = Similarity.annRecallSq8(emb, pred, 3)
+      .agg(sum(col("n_hit")), count(lit(1))).as[(Long, Long)].head()
+    val flatMean = flat._1.toDouble / (flat._2 * 3L)
+    assert(curve.last._4 == flatMean,
+      s"endpoint ${curve.last._4} != flat $flatMean")
+    assert(curve.last._4 >= curve.head._4)
+  }
+
   // ---- ExactSubstr dedup (d40/d41) ----
 
   // shared fixture: a 10-word passage repeated WITHIN doc 1 and shared
