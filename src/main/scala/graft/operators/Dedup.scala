@@ -830,13 +830,20 @@ object Dedup {
     * 6→12 — genuine copies, not noise).
     */
   def exactSubstrSpans(docs: DataFrame, minLen: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pg = positionalGrams(docs, minLen)
     val dupHs = pg.groupBy(col("hs")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2L).select(col("hs"))
-    val anchors = pg.join(dupHs, Seq("hs"))
+    anchorsToSpans(pg.join(dupHs, Seq("hs"))
       .select(col("doc_id"), col("pos").as("s"),
-        (col("pos") + lit(minLen.toLong - 1L)).as("e"))
+        (col("pos") + lit(minLen.toLong - 1L)).as("e")))
+  }
+
+  /** Anchor intervals (doc_id, s, e) → maximal merged spans (doc_id,
+    * start, end, n_anchors) — the d37-style interval-merge islands
+    * pass, shared by every ExactSubstr anchoring policy.
+    */
+  private def anchorsToSpans(anchors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     anchors
       .withColumn("prevMaxE",
@@ -867,13 +874,49 @@ object Dedup {
     * itself is per-row array work (sequence/filter/exists higher-order
     * chain — no UDF).
     */
-  def exactSubstrRemoval(docs: DataFrame, minLen: Int = 8): DataFrame = {
-    val spans = exactSubstrSpans(docs, minLen)
+  def exactSubstrRemoval(docs: DataFrame, minLen: Int = 8): DataFrame =
+    cutSpans(docs, exactSubstrSpans(docs, minLen))
+
+  /** ExactSubstr KEEP-FIRST removal (d42) — the variant the published
+    * pipelines actually ship: the corpus-ordered FIRST occurrence of
+    * each duplicated run survives, later occurrences are cut. Per dup
+    * gram the canonical occurrence is the (doc_id, pos)-min; anchors
+    * are every OTHER occurrence, and the span/cut tail is literally
+    * [[exactSubstrRemoval]]'s ([[anchorsToSpans]] + [[cutSpans]]), so
+    * the two policies cannot drift. d41 remains the remove-everywhere
+    * twin (pair it with d01's canonical keeper when content must
+    * survive exactly once at the DOC level instead).
+    *
+    * Scale shape: the canonical pick is the same map-side-combined
+    * groupBy as d40's occurrence count (min over an 16-byte struct
+    * instead of a count), everything else is shared.
+    */
+  def exactSubstrKeepFirst(docs: DataFrame, minLen: Int = 8): DataFrame = {
+    val pg = positionalGrams(docs, minLen)
+    val firsts = pg.groupBy(col("hs")).agg(
+        count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("occ") >= 2L)
+      .select(col("hs"), col("first"))
+    val anchors = pg.join(firsts, Seq("hs"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(minLen.toLong - 1L)).as("e"))
+    cutSpans(docs, anchorsToSpans(anchors))
+  }
+
+  /** Merged spans (doc_id, start, end) → the cut corpus (doc_id,
+    * n_words, n_removed, clean_text) — the per-row higher-order
+    * sequence/filter/exists chain shared by every ExactSubstr removal
+    * policy; untouched docs pass through with n_removed = 0.
+    */
+  private def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val iv = spans
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start").as("s"), col("end").as("e")))
         .as("iv"))
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .join(broadcast(spans), Seq("doc_id"), "left_outer")
+      .join(broadcast(iv), Seq("doc_id"), "left_outer")
       .withColumn("kept", expr(
         """CASE WHEN iv IS NULL THEN w ELSE
           |transform(filter(sequence(1, size(w)),

@@ -316,6 +316,13 @@ object PipelineQueries {
       Dedup.exactSubstrRemoval(Tables.documents(spark, dir), EXSUB_LEN)
         .orderBy(col("doc_id"))),
 
+    // the keep-first policy: the corpus-ordered first occurrence of
+    // each duplicated run survives the cut
+    // (Dedup.exactSubstrKeepFirst doc)
+    "d42_exact_substr_keep_first" -> ((spark: SparkSession, dir: String) =>
+      Dedup.exactSubstrKeepFirst(Tables.documents(spark, dir), EXSUB_LEN)
+        .orderBy(col("doc_id"))),
+
     // THE end-to-end curation verdict: one row per TRAIN doc with the
     // full keep decision and its reason bits — dedup representative
     // (d12), decontaminated (d13), length + repetition quality gates
@@ -1213,25 +1220,44 @@ object PipelineQueries {
        |  CAST(count(*) AS BIGINT) AS n_fps
        |  FROM wisl GROUP BY doc_a, doc_b, off, island)""".stripMargin.replace("\n", " ")
 
-  /** The d40 ExactSubstr chain (mirror of
-    * [[graft.operators.Dedup.exactSubstrSpans]]): positional
-    * EXSUB_LEN-gram hashes (per OCCURRENCE, not per-doc distinct),
-    * occurrence count ≥ 2, anchors as [pos, pos+L−1] intervals, the
-    * interval-merge islands device per doc — ends in `exspans(doc_id,
-    * start, "end", n_anchors)` with `exanch` exposed for d41's
-    * coverage expansion. Shared by d40 and d41 so the spans and the
-    * cut cannot desynchronize.
+  /** The ExactSubstr positional gram stream (mirror of
+    * [[graft.operators.Dedup.positionalGrams]]): per OCCURRENCE, not
+    * per-doc distinct — ends in `exg(doc_id, pos, hs)`. Head of every
+    * ExactSubstr oracle (d40/d41/d42).
     */
-  private lazy val exSubstrCtes =
+  private lazy val exGramCtes =
     s"""extok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents
        |        WHERE len(string_split(text,' ')) >= $EXSUB_LEN),
        |exg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |        ${duckHash60(s"array_to_string(list_slice(tk, i, i+$EXSUB_LEN-1),' ')")} AS hs
-       |        FROM extok, LATERAL unnest(range(1, len(tk)-$EXSUB_LEN+2)) t(i)),
-       |exdup AS (SELECT hs FROM exg GROUP BY hs HAVING count(*) >= 2),
+       |        FROM extok, LATERAL unnest(range(1, len(tk)-$EXSUB_LEN+2)) t(i))""".stripMargin.replace("\n", " ")
+
+  /** Remove-everywhere anchoring (d40/d41): every occurrence of a
+    * dup gram anchors — ends in `exanch(doc_id, s, e)`.
+    */
+  private lazy val exAnchAllCtes =
+    s"""exdup AS (SELECT hs FROM exg GROUP BY hs HAVING count(*) >= 2),
        |exanch AS (SELECT doc_id, pos AS s, pos + ${EXSUB_LEN - 1} AS e
-       |        FROM exg JOIN exdup USING (hs)),
-       |exmg AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |        FROM exg JOIN exdup USING (hs))""".stripMargin.replace("\n", " ")
+
+  /** Keep-first anchoring (d42, mirror of
+    * [[graft.operators.Dedup.exactSubstrKeepFirst]]): the corpus-ordered
+    * first occurrence per dup gram survives — SAME `exanch` shape so
+    * both policies share the span/cut tails verbatim.
+    */
+  private lazy val exAnchFirstCtes =
+    s"""exocc AS (SELECT *, row_number() OVER (PARTITION BY hs
+       |        ORDER BY doc_id, pos) AS rn,
+       |        count(*) OVER (PARTITION BY hs) AS occ FROM exg),
+       |exanch AS (SELECT doc_id, pos AS s, pos + ${EXSUB_LEN - 1} AS e
+       |        FROM exocc WHERE occ >= 2 AND rn > 1)""".stripMargin.replace("\n", " ")
+
+  /** Anchor intervals → maximal merged spans (mirror of the Scala
+    * `anchorsToSpans`): consumes `exanch`, ends in `exspans(doc_id,
+    * start, "end", n_anchors)`.
+    */
+  private lazy val exSpanTailCtes =
+    s"""exmg AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM exanch),
        |exbr AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM exmg),
        |exisl AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
@@ -1239,6 +1265,29 @@ object PipelineQueries {
        |exspans AS (SELECT doc_id, CAST(min(s) AS BIGINT) AS start,
        |  CAST(max(e) AS BIGINT) AS "end", CAST(count(*) AS BIGINT) AS n_anchors
        |  FROM exisl GROUP BY doc_id, island)""".stripMargin.replace("\n", " ")
+
+  private lazy val exSubstrCtes = s"$exGramCtes, $exAnchAllCtes, $exSpanTailCtes"
+
+  /** The cut tail (mirror of the Scala `cutSpans`): consumes `exanch`,
+    * covered word positions anti-joined away, kept words re-joined in
+    * order; fully removed docs coalesce to '' like concat_ws over an
+    * empty array. The final SELECT included (no ORDER BY).
+    */
+  private lazy val exCutSql =
+    s"""excov AS (SELECT DISTINCT doc_id, u.p FROM exanch,
+       |          LATERAL unnest(range(s, e + 1)) u(p)),
+       |extoks AS (SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS wtok
+       |          FROM (SELECT doc_id, string_split(text,' ') AS tk FROM documents) x,
+       |          LATERAL unnest(range(1, len(tk) + 1)) t(i)),
+       |exnrem AS (SELECT doc_id, count(*) AS n_removed FROM excov GROUP BY doc_id),
+       |exkept AS (SELECT t.doc_id, string_agg(t.wtok, ' ' ORDER BY t.p) AS clean_text
+       |          FROM extoks t ANTI JOIN excov c ON c.doc_id = t.doc_id AND c.p = t.p
+       |          GROUP BY t.doc_id)
+       |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_words,
+       |  CAST(coalesce(exnrem.n_removed, 0) AS BIGINT) AS n_removed,
+       |  coalesce(exkept.clean_text, '') AS clean_text
+       |FROM documents d LEFT JOIN exnrem USING (doc_id)
+       |LEFT JOIN exkept USING (doc_id)""".stripMargin.replace("\n", " ")
 
   /** THE d19 verdict chain (mirror of
     * [[graft.operators.Curation.keepList]]) as one self-contained
@@ -1598,25 +1647,17 @@ object PipelineQueries {
          |SELECT doc_id, start, "end", n_anchors FROM exspans
          |ORDER BY doc_id, start""".stripMargin.replace("\n", " "),
 
-    // mirror of Dedup.exactSubstrRemoval: anchor intervals expanded to
-    // covered word positions, kept words re-joined in order; fully
-    // removed docs coalesce to '' like concat_ws over an empty array
+    // mirror of Dedup.exactSubstrRemoval: remove-everywhere anchors
+    // under the shared cut tail (exCutSql doc)
     "d41_exact_substr_removal" ->
-      s"""WITH $exSubstrCtes,
-         |excov AS (SELECT DISTINCT doc_id, u.p FROM exanch,
-         |          LATERAL unnest(range(s, e + 1)) u(p)),
-         |extoks AS (SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS wtok
-         |          FROM (SELECT doc_id, string_split(text,' ') AS tk FROM documents) x,
-         |          LATERAL unnest(range(1, len(tk) + 1)) t(i)),
-         |exnrem AS (SELECT doc_id, count(*) AS n_removed FROM excov GROUP BY doc_id),
-         |exkept AS (SELECT t.doc_id, string_agg(t.wtok, ' ' ORDER BY t.p) AS clean_text
-         |          FROM extoks t ANTI JOIN excov c ON c.doc_id = t.doc_id AND c.p = t.p
-         |          GROUP BY t.doc_id)
-         |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_words,
-         |  CAST(coalesce(exnrem.n_removed, 0) AS BIGINT) AS n_removed,
-         |  coalesce(exkept.clean_text, '') AS clean_text
-         |FROM documents d LEFT JOIN exnrem USING (doc_id)
-         |LEFT JOIN exkept USING (doc_id)
+      s"""WITH $exGramCtes, $exAnchAllCtes, $exCutSql
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.exactSubstrKeepFirst: the corpus-ordered first
+    // occurrence survives, later ones anchor — same cut tail, so the
+    // two policies differ ONLY in the anchoring CTE
+    "d42_exact_substr_keep_first" ->
+      s"""WITH $exGramCtes, $exAnchFirstCtes, $exCutSql
          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.winnowCopyCoverage: both span sides unioned, the

@@ -455,6 +455,25 @@ class Round8OpsSpec extends AnyFunSuite {
       (5L, 1L, 12L, 5L), (6L, 1L, 12L, 5L)))    // identical docs: fully covered
   }
 
+  test("exactSubstrKeepFirst: the corpus-ordered first occurrence survives the cut") {
+    val out = Dedup.exactSubstrKeepFirst(exSubstrDocs, minLen = 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val f = (1 to 20).map(i => s"f$i").mkString(" ")
+    val g = (1 to 5).map(i => s"g$i").mkString(" ")
+    val p = (1 to 10).map(i => s"p$i").mkString(" ")
+    assert(out == Seq(
+      // doc 1 holds the passage's global-first occurrence: its FIRST
+      // copy survives, the in-doc repeat is cut
+      (1L, 45L, 10L, s"$f $p $g"),
+      (2L, 60L, 10L, (1 to 50).map(i => s"x$i").mkString(" ")),
+      (3L, 60L, 10L, (1 to 50).map(i => s"y$i").mkString(" ")),
+      (4L, 30L, 0L, (1 to 30).map(i => s"u$i").mkString(" ")),
+      // identical docs: 5 is first and keeps EVERYTHING, 6 empties —
+      // the remove-everywhere policy (d41) empties both
+      (5L, 12L, 0L, (1 to 12).map(i => s"z$i").mkString(" ")),
+      (6L, 12L, 12L, "")))
+  }
+
   test("exactSubstrRemoval cuts duplicated spans everywhere, empties identical docs") {
     val out = Dedup.exactSubstrRemoval(exSubstrDocs, minLen = 8)
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
