@@ -905,6 +905,36 @@ object Dedup {
     cutSpans(docs, anchorsToSpans(anchors))
   }
 
+  /** Incremental ExactSubstr (d43) — the cross-version half of the
+    * family, the d28 shape at gram granularity: any ≥ minLen run in
+    * the INCREMENT that already exists anywhere in HISTORY is cut from
+    * the increment. History text is never rewritten and never
+    * re-clustered — its distinct gram set is the only thing touched,
+    * and the increment probes it with ONE hs equi-join (inner join
+    * against a distinct set ≡ semi). Within-increment duplication is
+    * deliberately out of scope: run [[exactSubstrRemoval]] /
+    * [[exactSubstrKeepFirst]] on the increment itself — the policies
+    * compose, each doing one job.
+    *
+    * Scale shape: at 100 TB the history gram set is a PERSISTED index
+    * (8-byte hashes, written once, bucketed by hs) rather than
+    * re-derived per increment as this self-contained operator does;
+    * either way the per-increment cost is the increment's gram scan
+    * plus one equi-join — never O(history) shuffle, because the
+    * distinct-set side partial-aggregates map-side before moving.
+    * Returns (doc_id, n_words, n_removed, clean_text) per INCREMENT
+    * doc.
+    */
+  def exactSubstrIncremental(history: DataFrame, increment: DataFrame,
+      minLen: Int = 8): DataFrame = {
+    val histHs = positionalGrams(history, minLen).select(col("hs")).distinct()
+    val anchors = positionalGrams(increment, minLen)
+      .join(histHs, Seq("hs"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(minLen.toLong - 1L)).as("e"))
+    cutSpans(increment, anchorsToSpans(anchors))
+  }
+
   /** Merged spans (doc_id, start, end) → the cut corpus (doc_id,
     * n_words, n_removed, clean_text) — the per-row higher-order
     * sequence/filter/exists chain shared by every ExactSubstr removal

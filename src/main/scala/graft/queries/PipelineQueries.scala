@@ -323,6 +323,17 @@ object PipelineQueries {
       Dedup.exactSubstrKeepFirst(Tables.documents(spark, dir), EXSUB_LEN)
         .orderBy(col("doc_id"))),
 
+    // the cross-version half (d28's split): increment text duplicating
+    // HISTORY is cut, history never rescanned per-pair
+    // (Dedup.exactSubstrIncremental doc)
+    "d43_exact_substr_incremental" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      Dedup.exactSubstrIncremental(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0), EXSUB_LEN)
+        .orderBy(col("doc_id"))
+    }),
+
     // THE end-to-end curation verdict: one row per TRAIN doc with the
     // full keep decision and its reason bits — dedup representative
     // (d12), decontaminated (d13), length + repetition quality gates
@@ -1225,12 +1236,18 @@ object PipelineQueries {
     * per-doc distinct — ends in `exg(doc_id, pos, hs)`. Head of every
     * ExactSubstr oracle (d40/d41/d42).
     */
-  private lazy val exGramCtes =
-    s"""extok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents
-       |        WHERE len(string_split(text,' ')) >= $EXSUB_LEN),
-       |exg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+  private lazy val exGramCtes = exGramCtesOver("", "TRUE")
+
+  /** Parametric variant: gram stream over the `where`-sliced corpus,
+    * CTE names suffixed — d43 instantiates it twice (history and
+    * increment slices).
+    */
+  private def exGramCtesOver(suffix: String, where: String) =
+    s"""extok$suffix AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents
+       |        WHERE ($where) AND len(string_split(text,' ')) >= $EXSUB_LEN),
+       |exg$suffix AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |        ${duckHash60(s"array_to_string(list_slice(tk, i, i+$EXSUB_LEN-1),' ')")} AS hs
-       |        FROM extok, LATERAL unnest(range(1, len(tk)-$EXSUB_LEN+2)) t(i))""".stripMargin.replace("\n", " ")
+       |        FROM extok$suffix, LATERAL unnest(range(1, len(tk)-$EXSUB_LEN+2)) t(i))""".stripMargin.replace("\n", " ")
 
   /** Remove-everywhere anchoring (d40/d41): every occurrence of a
     * dup gram anchors — ends in `exanch(doc_id, s, e)`.
@@ -1273,11 +1290,14 @@ object PipelineQueries {
     * order; fully removed docs coalesce to '' like concat_ws over an
     * empty array. The final SELECT included (no ORDER BY).
     */
-  private lazy val exCutSql =
+  private lazy val exCutSql = exCutSqlFor("TRUE")
+
+  private def exCutSqlFor(where: String) =
     s"""excov AS (SELECT DISTINCT doc_id, u.p FROM exanch,
        |          LATERAL unnest(range(s, e + 1)) u(p)),
        |extoks AS (SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS wtok
-       |          FROM (SELECT doc_id, string_split(text,' ') AS tk FROM documents) x,
+       |          FROM (SELECT doc_id, string_split(text,' ') AS tk FROM documents
+       |                WHERE ($where)) x,
        |          LATERAL unnest(range(1, len(tk) + 1)) t(i)),
        |exnrem AS (SELECT doc_id, count(*) AS n_removed FROM excov GROUP BY doc_id),
        |exkept AS (SELECT t.doc_id, string_agg(t.wtok, ' ' ORDER BY t.p) AS clean_text
@@ -1287,7 +1307,8 @@ object PipelineQueries {
        |  CAST(coalesce(exnrem.n_removed, 0) AS BIGINT) AS n_removed,
        |  coalesce(exkept.clean_text, '') AS clean_text
        |FROM documents d LEFT JOIN exnrem USING (doc_id)
-       |LEFT JOIN exkept USING (doc_id)""".stripMargin.replace("\n", " ")
+       |LEFT JOIN exkept USING (doc_id)
+       |WHERE ($where)""".stripMargin.replace("\n", " ")
 
   /** THE d19 verdict chain (mirror of
     * [[graft.operators.Curation.keepList]]) as one self-contained
@@ -1658,6 +1679,18 @@ object PipelineQueries {
     // two policies differ ONLY in the anchoring CTE
     "d42_exact_substr_keep_first" ->
       s"""WITH $exGramCtes, $exAnchFirstCtes, $exCutSql
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.exactSubstrIncremental: increment grams inner-join
+    // history's DISTINCT gram set (≡ semi), cut tail sliced to the
+    // increment
+    "d43_exact_substr_incremental" ->
+      s"""WITH ${exGramCtesOver("h", "doc_id % 4 <> 0")},
+         |${exGramCtesOver("", "doc_id % 4 = 0")},
+         |exhset AS (SELECT DISTINCT hs FROM exgh),
+         |exanch AS (SELECT doc_id, pos AS s, pos + ${EXSUB_LEN - 1} AS e
+         |        FROM exg JOIN exhset USING (hs)),
+         |${exCutSqlFor("doc_id % 4 = 0")}
          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.winnowCopyCoverage: both span sides unioned, the

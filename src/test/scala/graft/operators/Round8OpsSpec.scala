@@ -474,6 +474,24 @@ class Round8OpsSpec extends AnyFunSuite {
       (6L, 12L, 12L, "")))
   }
 
+  test("exactSubstrIncremental cuts only history-duplicating text, ignores in-increment dups") {
+    val p = (1 to 10).map(i => s"p$i").mkString(" ")
+    val history = Seq(
+      (1L, s"${(1 to 20).map(i => s"h$i").mkString(" ")} $p"),
+      (3L, (1 to 30).map(i => s"m$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val q15 = (1 to 15).map(i => s"q$i").mkString(" ")
+    val increment = Seq(
+      (2L, s"${(1 to 10).map(i => s"x$i").mkString(" ")} $p ${(11 to 20).map(i => s"x$i").mkString(" ")}"),
+      (4L, s"$q15 $q15") // duplicated WITHIN the increment only: out of scope
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrIncremental(history, increment, minLen = 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (2L, 30L, 10L, (1 to 20).map(i => s"x$i").mkString(" ")),
+      (4L, 30L, 0L, s"$q15 $q15")))
+  }
+
   test("exactSubstrRemoval cuts duplicated spans everywhere, empties identical docs") {
     val out = Dedup.exactSubstrRemoval(exSubstrDocs, minLen = 8)
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
