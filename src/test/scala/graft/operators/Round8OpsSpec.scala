@@ -492,6 +492,35 @@ class Round8OpsSpec extends AnyFunSuite {
       (4L, 30L, 0L, s"$q15 $q15")))
   }
 
+  test("keep-first removes a pointwise subset of remove-everywhere (real corpus)") {
+    // d42's anchors are d41's minus each gram's first occurrence, so
+    // merged coverage — and therefore n_removed — dominates pointwise
+    // per doc. Checked on the real table, not a fixture.
+    val docs = Tables.documents(spark, dir)
+    val all = Dedup.exactSubstrRemoval(docs, 8)
+      .select(col("doc_id"), col("n_removed").as("nr_all"))
+    val first = Dedup.exactSubstrKeepFirst(docs, 8)
+      .select(col("doc_id"), col("n_removed").as("nr_first"))
+    val viol = all.join(first, Seq("doc_id"))
+      .filter(col("nr_first") > col("nr_all")).count()
+    assert(viol == 0L)
+    // and the family found real duplication to act on
+    assert(all.filter(col("nr_all") > 0).count() > 0L)
+  }
+
+  test("d43 plan: one semi-join probe of history, broadcast cut join") {
+    val docs = Tables.documents(spark, dir)
+    val p = Dedup.exactSubstrIncremental(
+      docs.filter(col("doc_id") % 4 =!= 0),
+      docs.filter(col("doc_id") % 4 === 0), 8)
+      .queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(p).length == 1,
+      "increment must probe history via exactly one semi join\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "the span->cut join must broadcast the pair-scale span side")
+    assert(!p.toLowerCase.contains("cartesian"), "no cartesian products")
+  }
+
   test("exactSubstrRemoval cuts duplicated spans everywhere, empties identical docs") {
     val out = Dedup.exactSubstrRemoval(exSubstrDocs, minLen = 8)
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
