@@ -1059,6 +1059,79 @@ object Similarity {
       cosineTopK(emb, queryPred, k),
       ivfSq8TopK(emb, queryPred, k, nCells, probes), k)
 
+  /** BUILD + PERSIST the IVF+SQ8 index (the build-once half of e31) —
+    * the operational piece every in-memory composition here elides:
+    * three parquet tables under `path` — `codes` (vec_id, cell, byte
+    * codes: the 4×-compressed corpus, the ONLY thing scanned at query
+    * time), `cents` (the probe-selection centroids), `quant` (per-dim
+    * min/scale). At 100 TB this runs once per corpus version; `codes`
+    * would be written bucketed/partitioned BY `cell` so a probe-bounded
+    * query prunes whole cell partitions at the parquet layer instead of
+    * filtering post-scan — here cells stay a column (testdata is
+    * single-file scale) and [[ivfSq8TopKIndexed]] filters on the
+    * equi-join as the in-memory path does.
+    */
+  def saveIvfSq8Index(emb: DataFrame, path: String, nCells: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = normalized(emb)
+    val cents = seedCentroids(n, nCells)
+    val (mins, maxs) = sqStats(n)
+    val scales = maxs.zip(mins).map { case (mx, mn) =>
+      if (mx > mn) (mx - mn) / 255.0 else 1.0 }
+    n.withColumn("cell",
+        (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
+      .withColumn("codes", sqEncode(typedLit(mins), typedLit(scales)))
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cents.toDF("cid", "ce").write.mode("overwrite").parquet(s"$path/cents")
+    mins.zip(scales).zipWithIndex
+      .map { case ((mn, sc), i) => (i + 1L, mn, sc) }
+      .toDF("dim", "mn", "sc").write.mode("overwrite").parquet(s"$path/quant")
+  }
+
+  /** QUERY a persisted IVF+SQ8 index (e31) — the query-many half:
+    * probe cells and quantizer constants load as driver literals
+    * (k·dim + 2·dim doubles — the same driver-resident codebook
+    * discipline as every index here), the byte-code corpus streams
+    * from the index's `codes` table, and fresh queries bring their own
+    * raw vectors. Produces BIT-IDENTICAL results to [[ivfSq8TopK]] on
+    * the corpus the index was built from (spec-asserted: same scoring
+    * expression via the shared [[sqDist]]/[[sqEncode]] devices, same
+    * tie-breaks) — which is the operational claim that matters: an
+    * index built last week serves today's queries with no corpus
+    * re-scan, re-train, or re-encode.
+    */
+  def ivfSq8TopKIndexed(queries: DataFrame, queryPred: Column,
+      indexPath: String, k: Int, probes: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$indexPath/cents")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val quant = spark.read.parquet(s"$indexPath/quant")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val (mnLit, scLit) =
+      (typedLit(quant.map(_._2).toSeq), typedLit(quant.map(_._3).toSeq))
+    val corpus = spark.read.parquet(s"$indexPath/codes")
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    val q = normalized(queries).filter(queryPred)
+      .withColumn("probe",
+        explode(slice(sort_array(scoresFor(cents), asc = false), 1, probes)))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        (-col("probe").getField("nid")).cast("long").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sq_dist").asc, col("neighbor_id").asc)
+    corpus.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        sqDist(mnLit, scLit).as("sq_dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sq_dist"))
+  }
+
   /** IVF+SQ8 SHORTLIST + exact re-rank (e28) — [[ivfSq8TopK]] proposes
     * `shortlist` candidates per query, [[rerankExact]]'s broadcast-fetch
     * tail ranks them by true cosine. The SQ8 twin of [[ivfPqRerankTopK]]:

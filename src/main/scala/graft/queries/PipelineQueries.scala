@@ -619,6 +619,22 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES)
         .orderBy(col("query_id"), col("rk"))),
 
+    // the build-once/query-many round trip: persist the index (codes +
+    // cents + quant as parquet), then serve the SAME queries from it —
+    // registered to PROVE the persisted path is bit-identical to e26's
+    // in-memory chain (they share one oracle); the timed row measures
+    // build+persist+load+query end to end
+    // (Similarity.saveIvfSq8Index / ivfSq8TopKIndexed docs)
+    "e31_ivf_sq8_indexed" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivfsq8-index-").toString
+      Similarity.saveIvfSq8Index(emb, path, IVF_CELLS)
+      Similarity.ivfSq8TopKIndexed(emb, col("vec_id") % 50 === 0,
+        path, PQ_K, IVF_PROBES)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // the coverage-vs-quantization factoring: e25 isolates code
     // quality (0.986), this isolates the probe-coverage ceiling
     // (Similarity.annRecallIvfSq8 doc)
@@ -2178,6 +2194,17 @@ object PipelineQueries {
     // probe-bounded candidates — FAISS IVFSQ, the high-recall
     // cheap-scan middle ground
     "e26_ivf_sq8_topk" ->
+      s"""WITH $ivfAsgCtes,
+         |$ivfSq8Ctes,
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sq_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sq)
+         |SELECT query_id, rk, neighbor_id, sq_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // e31 shares e26's oracle VERBATIM: the persisted round trip must
+    // be bit-identical to the in-memory chain — that equality IS the
+    // operational claim being checked
+    "e31_ivf_sq8_indexed" ->
       s"""WITH $ivfAsgCtes,
          |$ivfSq8Ctes,
          |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id

@@ -407,6 +407,19 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(nSpans == spans.length && nFps == spans.map(_._7).sum)
   }
 
+  test("persisted IVF+SQ8 index serves bit-identical results to the in-memory path") {
+    val emb = Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfsq8-spec-").toString
+    Similarity.saveIvfSq8Index(emb, path, 16)
+    val direct = Similarity.ivfSq8TopK(emb, pred, 5, 16, 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val indexed = Similarity.ivfSq8TopKIndexed(emb, pred, path, 5, 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(direct.nonEmpty && indexed == direct)
+  }
+
   test("ivfProbeCurve: full-probe endpoint equals the flat SQ8 scan exactly") {
     val emb = Tables.embeddings(spark, dir)
     val pred = col("vec_id") % 50 === 0
