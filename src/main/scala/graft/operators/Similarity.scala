@@ -1071,7 +1071,8 @@ object Similarity {
     * single-file scale) and [[ivfSq8TopKIndexed]] filters on the
     * equi-join as the in-memory path does.
     */
-  def saveIvfSq8Index(emb: DataFrame, path: String, nCells: Int = 16): Unit = {
+  def saveIvfSq8Index(emb: DataFrame, path: String, nCells: Int = 16,
+      partitionByCell: Boolean = false): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val n = normalized(emb)
@@ -1079,11 +1080,15 @@ object Similarity {
     val (mins, maxs) = sqStats(n)
     val scales = maxs.zip(mins).map { case (mx, mn) =>
       if (mx > mn) (mx - mn) / 255.0 else 1.0 }
-    n.withColumn("cell",
+    val codes = n.withColumn("cell",
         (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
       .withColumn("codes", sqEncode(typedLit(mins), typedLit(scales)))
       .select(col("vec_id"), col("cell"), col("codes"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+    // partitionByCell = the 100 TB layout: one directory per cell, so a
+    // probe-bounded reader prunes unprobed cells at the FILE-INDEX
+    // layer (PartitionFilters), never opening their footers
+    val w = codes.write.mode("overwrite")
+    (if (partitionByCell) w.partitionBy("cell") else w).parquet(s"$path/codes")
     cents.toDF("cid", "ce").write.mode("overwrite").parquet(s"$path/cents")
     mins.zip(scales).zipWithIndex
       .map { case ((mn, sc), i) => (i + 1L, mn, sc) }
@@ -1103,7 +1108,8 @@ object Similarity {
     * re-scan, re-train, or re-encode.
     */
   def ivfSq8TopKIndexed(queries: DataFrame, queryPred: Column,
-      indexPath: String, k: Int, probes: Int = 4): DataFrame = {
+      indexPath: String, k: Int, probes: Int = 4,
+      pruneScan: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$indexPath/cents")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -1113,13 +1119,30 @@ object Similarity {
       .sortBy(_._1)
     val (mnLit, scLit) =
       (typedLit(quant.map(_._2).toSeq), typedLit(quant.map(_._3).toSeq))
-    val corpus = spark.read.parquet(s"$indexPath/codes")
-      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
     val q = normalized(queries).filter(queryPred)
       .withColumn("probe",
         explode(slice(sort_array(scoresFor(cents), asc = false), 1, probes)))
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         (-col("probe").getField("nid")).cast("long").as("cell"))
+    val raw = spark.read.parquet(s"$indexPath/codes")
+    // pruneScan: collect the probed-cell UNION (≤ nCells ids — one tiny
+    // driver round over the query side only) and inject it as a LITERAL
+    // predicate: against a cell-partitioned index this lands in the
+    // scan's PartitionFilters, so unprobed cells are pruned at the
+    // file-index layer (spec-asserted). A dynamic join alone does NOT
+    // prune (measured: DPP needs a filtered build side this shape
+    // lacks). Semantically a no-op — the per-query equi-join still
+    // bounds WHICH candidates each query scores.
+    val corpus0 =
+      if (!pruneScan) raw
+      else {
+        val probed = q.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        raw.filter(col("cell").isin(probed: _*))
+      }
+    val corpus = corpus0
+      .select(col("vec_id").as("neighbor_id"),
+        col("cell").cast("long").as("cell"), col("codes"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sq_dist").asc, col("neighbor_id").asc)

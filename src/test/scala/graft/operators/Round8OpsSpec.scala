@@ -420,6 +420,27 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(direct.nonEmpty && indexed == direct)
   }
 
+  test("cell-partitioned index prunes unprobed cells at the file-index layer") {
+    val emb = Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfsq8-part-").toString
+    Similarity.saveIvfSq8Index(emb, path, 16, partitionByCell = true)
+    val indexed = Similarity.ivfSq8TopKIndexed(emb, pred, path, 5, 4,
+      pruneScan = true)
+    val p = indexed.queryExecution.executedPlan.toString
+    // the literal probed-cell set compiles to IN or INSET inside the
+    // scan's PartitionFilters — file-index-layer pruning, the claim
+    assert("PartitionFilters: \\[[^\\]]*cell#\\d+ (INSET|IN )".r.findFirstIn(p).isDefined,
+      "probed-cell literal must land in PartitionFilters\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    val direct = Similarity.ivfSq8TopK(emb, pred, 5, 16, 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val got = indexed
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got.nonEmpty && got == direct)
+  }
+
   test("ivfProbeCurve: full-probe endpoint equals the flat SQ8 scan exactly") {
     val emb = Tables.embeddings(spark, dir)
     val pred = col("vec_id") % 50 === 0
