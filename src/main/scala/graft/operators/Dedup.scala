@@ -935,6 +935,35 @@ object Dedup {
     cutSpans(increment, anchorsToSpans(anchors))
   }
 
+  /** PERSIST the history gram index (the build half of d44) — the
+    * storage substitution [[exactSubstrIncremental]]'s scaladoc
+    * promises: history's distinct ≥ minLen-gram hashes as a one-column
+    * parquet table, written once per corpus version. 8 bytes per
+    * distinct gram; at 100 TB you'd bucket it BY hs so each increment's
+    * probe join co-locates without shuffling the index.
+    */
+  def saveGramIndex(history: DataFrame, path: String, minLen: Int = 8): Unit =
+    positionalGrams(history, minLen).select(col("hs")).distinct()
+      .write.mode("overwrite").parquet(s"$path/grams")
+
+  /** Incremental ExactSubstr against a PERSISTED gram index (d44) —
+    * [[exactSubstrIncremental]] with the history side replaced by
+    * [[saveGramIndex]]'s table: the increment probes last week's index
+    * with one semi join, and history text is never touched at all —
+    * not even for gram derivation. Bit-identical to the self-contained
+    * operator on the same history (spec-asserted); shares
+    * [[anchorsToSpans]] + [[cutSpans]] so the policies cannot drift.
+    */
+  def exactSubstrIncrementalIndexed(increment: DataFrame,
+      indexPath: String, minLen: Int = 8): DataFrame = {
+    val histHs = increment.sparkSession.read.parquet(s"$indexPath/grams")
+    val anchors = positionalGrams(increment, minLen)
+      .join(histHs, Seq("hs"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(minLen.toLong - 1L)).as("e"))
+    cutSpans(increment, anchorsToSpans(anchors))
+  }
+
   /** Merged spans (doc_id, start, end) → the cut corpus (doc_id,
     * n_words, n_removed, clean_text) — the per-row higher-order
     * sequence/filter/exists chain shared by every ExactSubstr removal

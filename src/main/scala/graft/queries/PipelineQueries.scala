@@ -334,6 +334,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the build-once/probe-many round trip for the gram index: persist
+    // history's distinct grams, cut the increment against the table —
+    // registered against d43's oracle verbatim (the equality IS the
+    // claim); the timed row measures build+persist+probe end to end
+    // (Dedup.saveGramIndex / exactSubstrIncrementalIndexed docs)
+    "d44_exact_substr_indexed" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-gram-index-").toString
+      Dedup.saveGramIndex(docs.filter(col("doc_id") % 4 =!= 0), path, EXSUB_LEN)
+      Dedup.exactSubstrIncrementalIndexed(
+        docs.filter(col("doc_id") % 4 === 0), path, EXSUB_LEN)
+        .orderBy(col("doc_id"))
+    }),
+
     // THE end-to-end curation verdict: one row per TRAIN doc with the
     // full keep decision and its reason bits — dedup representative
     // (d12), decontaminated (d13), length + repetition quality gates
@@ -1308,6 +1323,19 @@ object PipelineQueries {
     */
   private lazy val exCutSql = exCutSqlFor("TRUE")
 
+  /** The d43/d44 incremental chain as one statement — shared verbatim
+    * by both registrations (direct history probe and persisted-index
+    * probe), because their results are required to be identical.
+    */
+  private lazy val exSubstrIncrementalSql =
+    s"""WITH ${exGramCtesOver("h", "doc_id % 4 <> 0")},
+       |${exGramCtesOver("", "doc_id % 4 = 0")},
+       |exhset AS (SELECT DISTINCT hs FROM exgh),
+       |exanch AS (SELECT doc_id, pos AS s, pos + ${EXSUB_LEN - 1} AS e
+       |        FROM exg JOIN exhset USING (hs)),
+       |${exCutSqlFor("doc_id % 4 = 0")}
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   private def exCutSqlFor(where: String) =
     s"""excov AS (SELECT DISTINCT doc_id, u.p FROM exanch,
        |          LATERAL unnest(range(s, e + 1)) u(p)),
@@ -1700,14 +1728,11 @@ object PipelineQueries {
     // mirror of Dedup.exactSubstrIncremental: increment grams inner-join
     // history's DISTINCT gram set (≡ semi), cut tail sliced to the
     // increment
-    "d43_exact_substr_incremental" ->
-      s"""WITH ${exGramCtesOver("h", "doc_id % 4 <> 0")},
-         |${exGramCtesOver("", "doc_id % 4 = 0")},
-         |exhset AS (SELECT DISTINCT hs FROM exgh),
-         |exanch AS (SELECT doc_id, pos AS s, pos + ${EXSUB_LEN - 1} AS e
-         |        FROM exg JOIN exhset USING (hs)),
-         |${exCutSqlFor("doc_id % 4 = 0")}
-         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "d43_exact_substr_incremental" -> exSubstrIncrementalSql,
+
+    // d44 shares d43's oracle VERBATIM: probing the persisted gram
+    // table must be bit-identical to probing history directly
+    "d44_exact_substr_indexed" -> exSubstrIncrementalSql,
 
     // mirror of Dedup.winnowCopyCoverage: both span sides unioned, the
     // interval-merge islands pass per doc, LEFT JOIN reinstating

@@ -555,6 +555,20 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesian"), "no cartesian products")
   }
 
+  test("persisted gram index serves bit-identical incremental cuts") {
+    val docs = Tables.documents(spark, dir)
+    val hist = docs.filter(col("doc_id") % 4 =!= 0)
+    val inc = docs.filter(col("doc_id") % 4 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-gram-spec-").toString
+    Dedup.saveGramIndex(hist, path, 8)
+    val direct = Dedup.exactSubstrIncremental(hist, inc, 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val indexed = Dedup.exactSubstrIncrementalIndexed(inc, path, 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(direct.nonEmpty && indexed == direct)
+  }
+
   test("exactSubstrRemoval cuts duplicated spans everywhere, empties identical docs") {
     val out = Dedup.exactSubstrRemoval(exSubstrDocs, minLen = 8)
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
