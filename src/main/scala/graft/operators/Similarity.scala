@@ -659,6 +659,90 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
   }
 
+  /** BUILD + PERSIST the IVF-PQ index (the build half of e32) — the
+    * flagship production index made durable: `codes` (vec_id, cell, m
+    * small ints — the 64×-compressed corpus), `cents` (probe
+    * centroids), `books` (the TRAINED codebook flattened to (sub,
+    * code, dim, v) rows). Training — the expensive part — happens
+    * exactly once, here; every later query session reloads the book as
+    * a driver object and never re-trains. Same partitioning note as
+    * [[saveIvfSq8Index]]: at 100 TB, codes would partition BY cell.
+    */
+  def saveIvfPqIndex(emb: DataFrame, path: String, nCells: Int = 16,
+      m: Int = 8, ks: Int = 16, passes: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = normalized(emb)
+    val cents = seedCentroids(n, nCells)
+    val (subDim, books) = trainedBooks(emb, m, ks, passes)
+    n.withColumn("cell",
+        (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
+      .withColumn("codes",
+        graft.functions.PqCodebook.assign(col("e"), books, m, subDim))
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cents.toDF("cid", "ce").write.mode("overwrite").parquet(s"$path/cents")
+    // the trained book nests (code)(sub)(dim) — the kernel's flat
+    // layout is [(c·m + s)·subDim + j], so CODE is the outer axis
+    books.zipWithIndex.flatMap { case (cw, c) =>
+      cw.zipWithIndex.flatMap { case (slice, s) =>
+        slice.zipWithIndex.map { case (v, d) => (c.toLong, s.toLong, d.toLong, v) } } }
+      .toDF("code", "sub", "dim", "v")
+      .write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** QUERY a persisted IVF-PQ index (e32) — the query-many half:
+    * centroids and the trained codebook reload as driver objects
+    * (doubles survive the parquet round trip bit-exactly, so the
+    * rebuilt book IS the trained book), the m-int codes stream from
+    * the index, and the scoring kernel is the same
+    * [[graft.functions.PqCodebook.adcDist]] loop-codegen device as the
+    * in-memory chain. Bit-identical to [[ivfPqTopK]] on the corpus the
+    * index was built from (spec-asserted) — training happened once, at
+    * build time, and is never repeated.
+    */
+  def ivfPqTopKIndexed(queries: DataFrame, queryPred: Column,
+      indexPath: String, k: Int, probes: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$indexPath/cents")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    // rebuild (code)(sub)(dim) — m is the MIDDLE axis (see the save's
+    // layout note); getting this wrong trips the kernel's qe-length
+    // guard into all-NULL distances, which the bit-identity spec
+    // caught on first run
+    val bookRows = spark.read.parquet(s"$indexPath/books")
+      .select(col("code"), col("sub"), col("dim"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val books: Seq[Seq[Seq[Double]]] = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cwRows) =>
+        cwRows.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (_, sliceRows) => sliceRows.sortBy(_._3).map(_._4).toSeq }
+          .toSeq
+      }
+    val m = books.head.length
+    val subDim = books.head.head.length
+    val corpus = spark.read.parquet(s"$indexPath/codes")
+      .select(col("vec_id").as("neighbor_id"),
+        col("cell").cast("long").as("cell"), col("codes"))
+    val q = normalized(queries).filter(queryPred)
+      .withColumn("probe",
+        explode(slice(sort_array(scoresFor(cents), asc = false), 1, probes)))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        (-col("probe").getField("nid")).cast("long").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    corpus.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.PqCodebook.adcDist(col("qe"), col("codes"), books, m, subDim)
+          .as("adc_dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
+  }
+
   /** Two-stage retrieval — IVF-PQ SHORTLIST + exact RE-RANK (e20), the
     * shape production ANN engines actually serve queries with: the
     * compressed index proposes `shortlist` candidates per query (all

@@ -518,6 +518,20 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, IVF_PROBES, PQ_M, PQ_KS)
         .orderBy(col("query_id"), col("rk"))),
 
+    // the flagship index made durable: train+encode+persist once,
+    // reload the book as a driver object and serve — registered
+    // against e14's oracle verbatim (the round-trip equality IS the
+    // claim) (Similarity.saveIvfPqIndex / ivfPqTopKIndexed docs)
+    "e32_ivfpq_indexed" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-index-").toString
+      Similarity.saveIvfPqIndex(emb, path, IVF_CELLS, PQ_M, PQ_KS)
+      Similarity.ivfPqTopKIndexed(emb, col("vec_id") % 50 === 0,
+        path, PQ_K, IVF_PROBES)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // recall@k of the composed index vs the exact baseline — index
     // quality as a registered, oracle-checked metric
     // (Similarity.annRecall doc)
@@ -2146,6 +2160,19 @@ object PipelineQueries {
     // candidates = probed cells' members, scoring = the trained ADC
     // chains. A corpus vector lives in ONE cell and probe cells are
     // distinct, so no dedup step (same argument as e04).
+    // e32 shares e14's oracle VERBATIM: serving from the persisted
+    // index must be bit-identical to the in-memory train+query chain
+    "e32_ivfpq_indexed" ->
+      s"""WITH $ivfAsgCtes,
+         |$pqCodesAfterV,
+         |${pqTrainCtes},
+         |$pqTrainedGridCtes,
+         |$ivfPqScCtes,
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sc)
+         |SELECT query_id, rk, neighbor_id, adc_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
     "e14_ivfpq_topk" ->
       s"""WITH $ivfAsgCtes,
          |$pqCodesAfterV,

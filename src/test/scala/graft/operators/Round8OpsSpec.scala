@@ -420,6 +420,19 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(direct.nonEmpty && indexed == direct)
   }
 
+  test("persisted IVF-PQ index serves bit-identical results without re-training") {
+    val emb = Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-spec-").toString
+    Similarity.saveIvfPqIndex(emb, path, 16, 8, 16)
+    val direct = Similarity.ivfPqTopK(emb, pred, 5, 16, 4, 8, 16)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val indexed = Similarity.ivfPqTopKIndexed(emb, pred, path, 5, 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(direct.nonEmpty && indexed == direct)
+  }
+
   test("cell-partitioned index prunes unprobed cells at the file-index layer") {
     val emb = Tables.embeddings(spark, dir)
     val pred = col("vec_id") % 50 === 0
