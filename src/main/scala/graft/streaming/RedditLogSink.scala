@@ -28,11 +28,16 @@ import scala.collection.mutable.ArrayBuffer
   * segment append is inherently serial (one id-ordered file + one
   * manifest flip — [[RedditLog.writeSegment]]'s single-writer
   * contract), so the batch flows through `toLocalIterator` over
-  * id-range-partitioned rows with O(partition) driver memory — the
-  * same bounded-emit pattern as the SSE catch-up path. Batch sizes are
-  * trigger-bounded upstream; the log is the narrow neck a 100 TB
-  * deployment would shard by event type/tenant (one sink per log),
-  * not parallelize within.
+  * id-range-partitioned rows and is appended one `targetRows`-sized
+  * chunk at a time — O(targetRows) driver memory no matter how large
+  * the batch (a checkpoint-loss replay or first-catch-up batch never
+  * materializes on the driver). Chunking is safe because the iterator
+  * is globally id-ascending (range partitioning + in-partition sort,
+  * partitions visited in order), so every chunk is a valid
+  * id-monotone segment and each append advances the watermark — a
+  * crash mid-batch replays only the not-yet-appended suffix. The log
+  * is the narrow neck a 100 TB deployment would shard by event
+  * type/tenant (one sink per log), not parallelize within.
   */
 object RedditLogSink {
 
@@ -52,8 +57,12 @@ object RedditLogSink {
       .start()
 
   /** One micro-batch: watermark-filter (idempotent replay), id-order,
-    * append. Returns the appended row count (0 = fully-replayed or
-    * empty batch — nothing written, no empty segment).
+    * append in `targetRows`-bounded chunks. Returns the appended row
+    * count (0 = fully-replayed or empty batch — nothing written, no
+    * empty segment). Chunked appends keep driver memory O(targetRows):
+    * the drained iterator is globally id-ascending, so each chunk is
+    * itself a valid monotone segment and size-tiered compaction sees
+    * the same segment stream a serial writer would produce.
     */
   private[streaming] def appendBatch(batch: Dataset[Row], dir: String,
       targetRows: Long, maxSmall: Int, graceMillis: Long): Long = {
@@ -63,14 +72,21 @@ object RedditLogSink {
       .filter(col("id") > lit(floor))
       .repartitionByRange(col("id")).sortWithinPartitions(col("id"))
       .select(names.map(col): _*)
+    val chunkRows = math.max(1L, targetRows)
+    var appended = 0L
     val rows = ArrayBuffer[Map[String, Any]]()
     val it = ordered.toLocalIterator()
+    def flush(): Unit = if (rows.nonEmpty) {
+      RedditLog.append(dir, rows.toSeq, targetRows, maxSmall, graceMillis)
+      appended += rows.length
+      rows.clear()
+    }
     while (it.hasNext) {
       val r = it.next()
       rows += names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+      if (rows.length >= chunkRows) flush()
     }
-    if (rows.nonEmpty)
-      RedditLog.append(dir, rows.toSeq, targetRows, maxSmall, graceMillis)
-    rows.length.toLong
+    flush()
+    appended
   }
 }

@@ -38,6 +38,27 @@ class RedditLogSinkSpec extends AnyFunSuite {
     assert(RedditLog.maxId(dir) == 15L)
   }
 
+  test("appendBatch: a batch far above targetRows lands as bounded chunks, intact across compaction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rsink-chunk").toString
+    // 97 rows, chunk bound 10 → 10 append calls (9 full + 1 tail), each
+    // a monotone segment: driver buffering never exceeds targetRows.
+    // maxSmall high so the chunk structure is observable pre-compaction.
+    val big = (1L to 97L).map(row).toDS().toDF()
+    assert(RedditLogSink.appendBatch(big, dir, 10L, 1000, 60000L) == 97L)
+    val segs = RedditLog.listSegments(dir)
+    assert(segs.size == 10, s"expected 10 chunked appends, got ${segs.size}")
+    assert(segs.map(s => s.lastId - s.firstId + 1).max <= 10L)
+    assert(ids(dir) == (1L to 97L))
+    // replay the same oversized batch: watermark covers it, zero appends
+    assert(RedditLogSink.appendBatch(big, dir, 10L, 1000, 60000L) == 0L)
+    // maintenance over the chunked segments keeps the data intact
+    RedditLog.compact(dir, targetRows = 50L)
+    assert(RedditLog.listSegments(dir).size < 10)
+    assert(ids(dir) == (1L to 97L))
+    assert(RedditLog.maxId(dir) == 97L)
+  }
+
   test("appendStream: a live feed lands in the log with maintenance firing on the writer path") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
