@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.sources.IndexManifest
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end curation verdict: every training document with its
@@ -70,6 +71,90 @@ object Curation {
       .withColumn("keep",
         col("is_rep") && col("clean") && col("ok_len") && col("ok_rep") &&
           col("ok_copy") && col("sampled"))
+  }
+
+  /** The [[keepList]] gate parameters as a manifest params map — every
+    * knob that shapes the verdict, doubles scaled to e6 fixed-point so
+    * the map stays integral. The eval predicate is NOT encodable here;
+    * it is part of what a `path` MEANS (one artifact slot per
+    * (corpus, eval-split) pair), same as the index paths.
+    */
+  private def keepParams(rates: Map[String, Double], defaultRate: Double,
+      k: Int, bands: Int, threshold: Double, maxBucket: Long, maxDf: Long,
+      minTokens: Int, maxTopNgram: Double, maxDupToken: Double,
+      maxCopyFrac: Double): Map[String, Long] =
+    Map("k" -> k.toLong, "bands" -> bands.toLong,
+      "threshold_e6" -> (threshold * 1e6).round,
+      "max_bucket" -> maxBucket, "max_df" -> maxDf,
+      "min_tokens" -> minTokens.toLong,
+      "max_top_ngram_e6" -> (maxTopNgram * 1e6).round,
+      "max_dup_token_e6" -> (maxDupToken * 1e6).round,
+      "max_copy_frac_e6" -> (maxCopyFrac * 1e6).round,
+      "default_rate_e6" -> (defaultRate * 1e6).round) ++
+      rates.map { case (l, r) => s"rate_$l" -> (r * 1e6).round }
+
+  /** PERSIST the d19 verdict (the d44/e31 build-once pattern applied to
+    * curation): [[keepList]] computed once, written as parquet under
+    * `path/verdict` with an [[IndexManifest]] recording every gate
+    * parameter and the corpus watermark. The verdict is the artifact a
+    * curation run actually publishes — every consumer (drop-accounting
+    * dashboards, the sampler, the pack planner) reads THIS, not a
+    * re-derivation of the whole chain. Columns are (doc_id + booleans)
+    * only, so the parquet round trip is trivially bit-exact.
+    */
+  def saveKeepList(docs: DataFrame, evalPred: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      k: Int, bands: Int, threshold: Double,
+      maxBucket: Long, maxDf: Long, path: String,
+      minTokens: Int = 20, maxTopNgram: Double = 0.2,
+      maxDupToken: Double = 0.8, maxCopyFrac: Double = 0.5): Unit = {
+    keepList(docs, evalPred, rates, defaultRate, k, bands, threshold,
+      maxBucket, maxDf, minTokens, maxTopNgram, maxDupToken, maxCopyFrac)
+      .write.mode("overwrite").parquet(s"$path/verdict")
+    val (rows, maxId) = IndexManifest.watermark(docs, "doc_id")
+    IndexManifest.write(path, IndexManifest.Manifest("keep-list",
+      keepParams(rates, defaultRate, k, bands, threshold, maxBucket,
+        maxDf, minTokens, maxTopNgram, maxDupToken, maxCopyFrac),
+      rows, maxId))
+  }
+
+  /** Read a persisted verdict — manifest-gated (kind check; a missing
+    * manifest fails loudly, same contract as the index loaders).
+    */
+  def loadKeepList(spark: SparkSession, path: String): DataFrame = {
+    IndexManifest.require(path, "keep-list")
+    spark.read.parquet(s"$path/verdict")
+  }
+
+  /** The verdict as a CACHE: serve `path`'s artifact when its manifest
+    * matches these exact gate params AND the current corpus watermark;
+    * otherwise (re)build it first. This is what makes the artifact
+    * pattern safe to put under REGISTERED queries — no ordering
+    * dependency between rows (whichever consumer runs first pays the
+    * build; the rest scan), and no stale serve (corpus growth or a
+    * params change misses the manifest and rebuilds). The staleness
+    * check costs one count/max agg over doc ids — watermark-scale.
+    */
+  def keepListCached(docs: DataFrame, evalPred: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      k: Int, bands: Int, threshold: Double,
+      maxBucket: Long, maxDf: Long, path: String,
+      minTokens: Int = 20, maxTopNgram: Double = 0.2,
+      maxDupToken: Double = 0.8, maxCopyFrac: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val params = keepParams(rates, defaultRate, k, bands, threshold,
+      maxBucket, maxDf, minTokens, maxTopNgram, maxDupToken, maxCopyFrac)
+    val hit = try {
+      val m = IndexManifest.require(path, "keep-list", params)
+      // require() checks our params exist in the manifest; equality of
+      // the full key needs the reverse too (a manifest with EXTRA rate
+      // strata is a different verdict)
+      m.params == params && IndexManifest.isFresh(path, docs, "doc_id")
+    } catch { case _: graft.sources.IndexManifestException => false }
+    if (!hit)
+      saveKeepList(docs, evalPred, rates, defaultRate, k, bands, threshold,
+        maxBucket, maxDf, path, minTokens, maxTopNgram, maxDupToken, maxCopyFrac)
+    loadKeepList(spark, path)
   }
 
   /** The curation run's operational dashboard (d38): one row of

@@ -942,9 +942,13 @@ object Dedup {
     * distinct gram; at 100 TB you'd bucket it BY hs so each increment's
     * probe join co-locates without shuffling the index.
     */
-  def saveGramIndex(history: DataFrame, path: String, minLen: Int = 8): Unit =
+  def saveGramIndex(history: DataFrame, path: String, minLen: Int = 8): Unit = {
     positionalGrams(history, minLen).select(col("hs")).distinct()
       .write.mode("overwrite").parquet(s"$path/grams")
+    val (rows, maxId) = graft.sources.IndexManifest.watermark(history, "doc_id")
+    graft.sources.IndexManifest.write(path, graft.sources.IndexManifest.Manifest(
+      "gram", Map("min_len" -> minLen.toLong), rows, maxId))
+  }
 
   /** Incremental ExactSubstr against a PERSISTED gram index (d44) —
     * [[exactSubstrIncremental]] with the history side replaced by
@@ -956,6 +960,11 @@ object Dedup {
     */
   def exactSubstrIncrementalIndexed(increment: DataFrame,
       indexPath: String, minLen: Int = 8): DataFrame = {
+    // manifest gate: a gram index probed at a DIFFERENT minLen than it
+    // was built with silently under-cuts (longer grams absent from the
+    // index) — fail loudly on the params mismatch instead
+    graft.sources.IndexManifest.require(indexPath, "gram",
+      Map("min_len" -> minLen.toLong))
     val histHs = increment.sparkSession.read.parquet(s"$indexPath/grams")
     val anchors = positionalGrams(increment, minLen)
       .join(histHs, Seq("hs"), "left_semi")
@@ -968,6 +977,14 @@ object Dedup {
     * n_words, n_removed, clean_text) — the per-row higher-order
     * sequence/filter/exists chain shared by every ExactSubstr removal
     * policy; untouched docs pass through with n_removed = 0.
+    *
+    * No broadcast hint on the span side deliberately: for the
+    * incremental/pair-restricted callers it is pair-scale and AQE
+    * broadcasts it on its measured size, but for remove-everywhere
+    * (d41) on a heavily duplicated corpus it is corpus-scale — a
+    * forced broadcast there is exactly the 100 TB OOM the hint would
+    * smuggle in. The doc_id equi-join shuffles both sides at worst,
+    * which is the correct degradation.
     */
   private def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
     val iv = spans
@@ -975,7 +992,7 @@ object Dedup {
       .agg(collect_list(struct(col("start").as("s"), col("end").as("e")))
         .as("iv"))
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .join(broadcast(iv), Seq("doc_id"), "left_outer")
+      .join(iv, Seq("doc_id"), "left_outer")
       .withColumn("kept", expr(
         """CASE WHEN iv IS NULL THEN w ELSE
           |transform(filter(sequence(1, size(w)),

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.sources.{IndexManifest, IndexManifestException}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -689,6 +690,11 @@ object Similarity {
         slice.zipWithIndex.map { case (v, d) => (c.toLong, s.toLong, d.toLong, v) } } }
       .toDF("code", "sub", "dim", "v")
       .write.mode("overwrite").parquet(s"$path/books")
+    val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
+    IndexManifest.write(path, IndexManifest.Manifest("ivf-pq",
+      Map("cells" -> nCells.toLong, "m" -> m.toLong, "ks" -> ks.toLong,
+        "passes" -> passes.toLong, "dims" -> (m.toLong * subDim)),
+      rows, maxId))
   }
 
   /** QUERY a persisted IVF-PQ index (e32) — the query-many half:
@@ -703,6 +709,13 @@ object Similarity {
     */
   def ivfPqTopKIndexed(queries: DataFrame, queryPred: Column,
       indexPath: String, k: Int, probes: Int = 4): DataFrame = {
+    // manifest gate (see ivfSq8TopKIndexed): kind + probe bound named
+    // errors; the rebuilt book's (m, ks) shape is cross-checked against
+    // the recorded build params below
+    val man = IndexManifest.require(indexPath, "ivf-pq")
+    if (probes > man.params("cells"))
+      throw new IndexManifestException(
+        s"probes=$probes exceeds the index's ${man.params("cells")} cells ($indexPath)")
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$indexPath/cents")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -722,6 +735,10 @@ object Similarity {
       }
     val m = books.head.length
     val subDim = books.head.head.length
+    if (books.length.toLong != man.params("ks") || m.toLong != man.params("m"))
+      throw new IndexManifestException(
+        s"index data at $indexPath has book shape (ks=${books.length}, m=$m) " +
+          s"but manifest records (ks=${man.params("ks")}, m=${man.params("m")}) — torn or mixed index")
     val corpus = spark.read.parquet(s"$indexPath/codes")
       .select(col("vec_id").as("neighbor_id"),
         col("cell").cast("long").as("cell"), col("codes"))
@@ -1177,6 +1194,66 @@ object Similarity {
     mins.zip(scales).zipWithIndex
       .map { case ((mn, sc), i) => (i + 1L, mn, sc) }
       .toDF("dim", "mn", "sc").write.mode("overwrite").parquet(s"$path/quant")
+    val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
+    IndexManifest.write(path, IndexManifest.Manifest("ivf-sq8",
+      Map("cells" -> nCells.toLong, "dims" -> mins.length.toLong,
+        "partition_by_cell" -> (if (partitionByCell) 1L else 0L)),
+      rows, maxId))
+  }
+
+  /** The IVF+SQ8 index's driver-resident constants — (cents, mins,
+    * scales), k·dim + 2·dim doubles — reloaded from the persisted
+    * tables; shared by the query path and the append path so the two
+    * cannot diverge on what "the index's codebook" means.
+    */
+  private def loadSq8Constants(spark: SparkSession, path: String)
+      : (Seq[(Long, Seq[Double])], Seq[Double], Seq[Double]) = {
+    val cents = spark.read.parquet(s"$path/cents")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val quant = spark.read.parquet(s"$path/quant")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (cents, quant.map(_._2).toSeq, quant.map(_._3).toSeq)
+  }
+
+  /** APPEND to a persisted IVF+SQ8 index (e33) — corpus grows, codebook
+    * frozen: the increment's vectors are assigned and byte-encoded with
+    * the INDEX's own centroids and quantizer constants (reloaded via
+    * [[loadSq8Constants]], never re-derived), their codes appended to
+    * the `codes` table, and the manifest watermark advanced. History
+    * codes are never read, let alone recomputed — the d43/d44 increment
+    * algebra applied to vectors, and the missing half of
+    * build-once/query-many: without it every corpus publish forces a
+    * full re-encode. The increment's ids must sit strictly ABOVE the
+    * manifest watermark (the id-monotone append contract that makes the
+    * (rows, maxId) watermark arithmetic exact); an overlapping
+    * increment is a named error, not a silent double-insert. The append
+    * honors the index's recorded layout — a cell-partitioned index
+    * gains files inside existing cell directories, so pruned probes
+    * keep pruning.
+    */
+  def appendIvfSq8Index(increment: DataFrame, path: String): Unit = {
+    val man = IndexManifest.require(path, "ivf-sq8")
+    val (cents, mins, scales) = loadSq8Constants(increment.sparkSession, path)
+    val stats = increment.agg(count(lit(1)),
+      min(col("vec_id").cast("long")), max(col("vec_id").cast("long"))).head()
+    if (stats.getLong(0) == 0L) return
+    val (rows, minId, maxId) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (minId <= man.corpusMaxId)
+      throw new IndexManifestException(
+        s"increment ids start at $minId but the index watermark is " +
+          s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    val n = normalized(increment)
+    val codes = n.withColumn("cell",
+        (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
+      .withColumn("codes", sqEncode(typedLit(mins), typedLit(scales)))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val w = codes.write.mode("append")
+    (if (man.params.getOrElse("partition_by_cell", 0L) == 1L)
+      w.partitionBy("cell") else w).parquet(s"$path/codes")
+    IndexManifest.write(path,
+      man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
 
   /** QUERY a persisted IVF+SQ8 index (e31) — the query-many half:
@@ -1194,15 +1271,16 @@ object Similarity {
   def ivfSq8TopKIndexed(queries: DataFrame, queryPred: Column,
       indexPath: String, k: Int, probes: Int = 4,
       pruneScan: Boolean = false): DataFrame = {
+    // manifest gate: right index kind, and the caller's probe count
+    // can't exceed the cell count the index was BUILT with — caught
+    // here as a named error instead of silently probing phantom cells
+    val man = IndexManifest.require(indexPath, "ivf-sq8")
+    if (probes > man.params("cells"))
+      throw new IndexManifestException(
+        s"probes=$probes exceeds the index's ${man.params("cells")} cells ($indexPath)")
     val spark = queries.sparkSession
-    val cents = spark.read.parquet(s"$indexPath/cents")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1).toSeq
-    val quant = spark.read.parquet(s"$indexPath/quant")
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    val (mnLit, scLit) =
-      (typedLit(quant.map(_._2).toSeq), typedLit(quant.map(_._3).toSeq))
+    val (cents, mins, scales) = loadSq8Constants(spark, indexPath)
+    val (mnLit, scLit) = (typedLit(mins), typedLit(scales))
     val q = normalized(queries).filter(queryPred)
       .withColumn("probe",
         explode(slice(sort_array(scoresFor(cents), asc = false), 1, probes)))

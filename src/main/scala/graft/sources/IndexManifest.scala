@@ -1,0 +1,142 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Load-time mismatch between an index's manifest and what the caller
+  * (or the index directory) claims — wrong index kind, wrong build
+  * params, or no manifest at all. Named so callers and specs can catch
+  * the contract violation specifically instead of whatever downstream
+  * symptom (all-NULL distances, empty joins) it would otherwise decay
+  * into.
+  */
+class IndexManifestException(msg: String) extends RuntimeException(msg)
+
+/** The index was built on a different corpus version than the one
+  * being served/checked — the silent-stale-neighbors failure mode made
+  * loud.
+  */
+class StaleIndexException(msg: String) extends RuntimeException(msg)
+
+/** Build manifest for every persisted index (gram index d44, IVF+SQ8
+  * e31, IVF-PQ e32): the build params and a corpus watermark, written
+  * beside the index as one small JSON file. Closes the two trust gaps
+  * a bare index directory has:
+  *
+  *  1. PARAMS — a loader that trusts the caller's k/probes/cells/
+  *     minLen silently mis-scores when they drift from what the index
+  *     was built with (the PQ kernel's qe-length guard decays that to
+  *     all-NULL distances at best). Savers record the params; loaders
+  *     [[IndexManifest.require]] them and fail with a named error.
+  *  2. STALENESS — an index built on last week's corpus happily serves
+  *     stale neighbors after the corpus grows. The manifest carries
+  *     (row count, max id); [[IndexManifest.requireFresh]] compares it
+  *     against a current corpus in one tiny agg and throws
+  *     [[StaleIndexException]] on drift. The check is a separate call,
+  *     not part of the query path — a production deployment runs it
+  *     per corpus publish, not per query.
+  *
+  * The watermark pair (rows, maxId) is what the append-only corpus
+  * contract makes sufficient: ids are stable and rows are never
+  * rewritten (TESTDATA.md tables; the RedditLog side has the same
+  * id-monotone discipline), so growth moves both numbers and any
+  * replace/compact that preserves them is content-identical.
+  */
+object IndexManifest {
+
+  case class Manifest(kind: String, params: Map[String, Long],
+      corpusRows: Long, corpusMaxId: Long)
+
+  private val FILE = "MANIFEST.json"
+
+  /** One tiny agg over the corpus: (row count, max id). */
+  def watermark(corpus: DataFrame, idCol: String): (Long, Long) = {
+    val r = corpus.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+  }
+
+  /** Write `$path/MANIFEST.json` atomically (write-then-rename, same
+    * discipline as the segment log's manifest flip).
+    */
+  def write(path: String, m: Manifest): Unit = {
+    val om = new ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("kind", m.kind)
+    node.put("corpus_rows", m.corpusRows)
+    node.put("corpus_max_id", m.corpusMaxId)
+    val p = node.putObject("params")
+    m.params.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    Files.createDirectories(Paths.get(path))
+    val tmp = Files.createTempFile(Paths.get(path), ".manifest-", ".tmp")
+    Files.write(tmp, om.writeValueAsBytes(node))
+    Files.move(tmp, Paths.get(path, FILE), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read the manifest; a missing or unreadable one is an
+    * [[IndexManifestException]] — an unmanifested index directory is
+    * untrusted by definition.
+    */
+  def read(path: String): Manifest = {
+    val f = Paths.get(path, FILE)
+    if (!Files.exists(f))
+      throw new IndexManifestException(
+        s"no $FILE at $path — not a manifested index (rebuilt with a pre-manifest saver?)")
+    val node = try new ObjectMapper().readTree(Files.readAllBytes(f))
+    catch { case e: Exception =>
+      throw new IndexManifestException(s"unreadable $FILE at $path: ${e.getMessage}")
+    }
+    val pn = node.get("params")
+    val params = if (pn == null) Map.empty[String, Long] else {
+      val it = pn.fieldNames()
+      Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+        .takeWhile(_.isDefined).flatten
+        .map(k => k -> pn.get(k).asLong()).toMap
+    }
+    Manifest(node.get("kind").asText(), params,
+      node.get("corpus_rows").asLong(), node.get("corpus_max_id").asLong())
+  }
+
+  /** Read + verify: the index must be of `kind`, and every entry in
+    * `expect` must match the recorded build params exactly. Returns the
+    * manifest (so loaders can pull params they DON'T dictate — e.g.
+    * nCells — from the index instead of the caller).
+    */
+  def require(path: String, kind: String,
+      expect: Map[String, Long] = Map.empty): Manifest = {
+    val m = read(path)
+    if (m.kind != kind)
+      throw new IndexManifestException(
+        s"index at $path is kind '${m.kind}', expected '$kind'")
+    expect.foreach { case (k, v) =>
+      m.params.get(k) match {
+        case Some(`v`) => ()
+        case Some(got) => throw new IndexManifestException(
+          s"index at $path built with $k=$got, caller expects $k=$v")
+        case None => throw new IndexManifestException(
+          s"index at $path has no recorded param '$k' (have: ${m.params.keys.toSeq.sorted.mkString(", ")})")
+      }
+    }
+    m
+  }
+
+  /** True iff `corpus` matches the manifest's watermark. */
+  def isFresh(path: String, corpus: DataFrame, idCol: String): Boolean = {
+    val m = read(path)
+    watermark(corpus, idCol) == ((m.corpusRows, m.corpusMaxId))
+  }
+
+  /** Loud freshness gate: throws [[StaleIndexException]] naming both
+    * watermarks when the corpus has moved since the build.
+    */
+  def requireFresh(path: String, corpus: DataFrame, idCol: String): Unit = {
+    val m = read(path)
+    val (rows, maxId) = watermark(corpus, idCol)
+    if ((rows, maxId) != ((m.corpusRows, m.corpusMaxId)))
+      throw new StaleIndexException(
+        s"index at $path built at corpus watermark (rows=${m.corpusRows}, " +
+          s"maxId=${m.corpusMaxId}) but current corpus is (rows=$rows, " +
+          s"maxId=$maxId) — rebuild or append before serving")
+  }
+}

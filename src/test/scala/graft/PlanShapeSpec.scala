@@ -57,6 +57,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins == 1, s"expected exactly one join operator, found $joins\n" + p.take(2000))
   }
 
+  test("e31: the REGISTERED indexed query prunes unprobed cells at the file-index layer") {
+    // the registered row is the production form (cell-partitioned
+    // layout + pruneScan): its scan must carry the probed-cell literal
+    // in PartitionFilters, so unprobed cells never open their footers
+    val p = plan("e31_ivf_sq8_indexed")
+    assert("PartitionFilters: \\[[^\\]]*cell#\\d+ (INSET|IN )".r.findFirstIn(p).isDefined,
+      "probed-cell literal must land in PartitionFilters on the registered query\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("d09: fingerprint normalization is one codegen'd expression over a pruned scan") {
     val p = plan("d09_fingerprint")
     assert(p.contains("normalize_text"), p.take(2000))

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.sources.{IndexManifest, IndexManifestException, StaleIndexException, Tables}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-9 changes, headlined by index manifests (round-8
+  * verdict item #3): every persisted index (gram d44, IVF+SQ8 e31,
+  * IVF-PQ e32) records its build params and a corpus watermark, and
+  * loaders verify instead of trusting the caller — a params mismatch or
+  * a missing manifest is a NAMED error, and corpus drift since the
+  * build is detectable before serving stale neighbors.
+  */
+class Round9OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ---- index manifests: params gate ----
+
+  test("manifest: an unmanifested directory fails loudly, not with a downstream symptom") {
+    val path = tmp("graft-noman-")
+    val e = intercept[IndexManifestException] {
+      Similarity.ivfSq8TopKIndexed(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, path, 3, 4)
+    }
+    assert(e.getMessage.contains("MANIFEST.json"))
+  }
+
+  test("manifest: loading an index as the wrong KIND is a named error") {
+    val docs = Tables.documents(spark, dir)
+    val path = tmp("graft-kind-")
+    Dedup.saveGramIndex(docs, path, minLen = 8)
+    val e = intercept[IndexManifestException] {
+      Similarity.ivfSq8TopKIndexed(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, path, 3, 4)
+    }
+    assert(e.getMessage.contains("gram") && e.getMessage.contains("ivf-sq8"))
+  }
+
+  test("manifest: gram index probed at a different minLen than built is rejected") {
+    val docs = Tables.documents(spark, dir)
+    val path = tmp("graft-minlen-")
+    Dedup.saveGramIndex(docs.filter(col("doc_id") % 4 =!= 0), path, minLen = 8)
+    val e = intercept[IndexManifestException] {
+      Dedup.exactSubstrIncrementalIndexed(
+        docs.filter(col("doc_id") % 4 === 0), path, minLen = 5)
+    }
+    assert(e.getMessage.contains("min_len"))
+    // the matching minLen still loads and runs
+    assert(Dedup.exactSubstrIncrementalIndexed(
+      docs.filter(col("doc_id") % 4 === 0), path, minLen = 8).count() > 0)
+  }
+
+  test("manifest: probing more cells than the index was built with is rejected") {
+    val emb = Tables.embeddings(spark, dir)
+    val path = tmp("graft-probes-")
+    Similarity.saveIvfSq8Index(emb, path, nCells = 4)
+    val e = intercept[IndexManifestException] {
+      Similarity.ivfSq8TopKIndexed(emb, col("vec_id") % 50 === 0,
+        path, 3, probes = 8)
+    }
+    assert(e.getMessage.contains("probes=8") && e.getMessage.contains("4 cells"))
+    // a legal probe count on the same index serves fine
+    assert(Similarity.ivfSq8TopKIndexed(emb, col("vec_id") % 50 === 0,
+      path, 3, probes = 4).count() > 0)
+  }
+
+  // ---- incremental index append (e33) ----
+
+  test("appendIvfSq8Index: history code files untouched, increment lands, watermark advances") {
+    val emb = Tables.embeddings(spark, dir)
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
+    val history = emb.filter(col("vec_id") <= cut)
+    val increment = emb.filter(col("vec_id") > cut)
+    val path = tmp("graft-append-")
+    Similarity.saveIvfSq8Index(history, path, nCells = 8, partitionByCell = true)
+
+    def codeFiles(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(path, "codes")
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.size(p)).toMap
+    }
+    val before = codeFiles()
+    Similarity.appendIvfSq8Index(increment, path)
+    val after = codeFiles()
+    // history's code files are bit-untouched (same set, same sizes) —
+    // the no-recompute claim at the file level — and the increment
+    // added new files inside the existing cell layout
+    assert(before.forall { case (f, sz) => after.get(f).contains(sz) },
+      "a history code file was rewritten by the append")
+    assert(after.size > before.size, "no new code files appended")
+    // the watermark moved WITH the corpus: fresh vs full, stale vs history
+    assert(IndexManifest.isFresh(path, emb, "vec_id"))
+    assert(!IndexManifest.isFresh(path, history, "vec_id"))
+    // served results now cover increment members as neighbors
+    val served = Similarity.ivfSq8TopKIndexed(emb, col("vec_id") % 50 === 0,
+      path, 3, 4, pruneScan = true)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(served.nonEmpty)
+    assert(served.exists(_._3 > cut),
+      "no increment vector ever surfaces as a neighbor — append invisible")
+  }
+
+  test("appendIvfSq8Index: an overlapping (non-monotone) increment is a named error") {
+    val emb = Tables.embeddings(spark, dir)
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
+    val path = tmp("graft-appovl-")
+    Similarity.saveIvfSq8Index(emb.filter(col("vec_id") <= cut), path, nCells = 8)
+    val e = intercept[IndexManifestException] {
+      Similarity.appendIvfSq8Index(emb.filter(col("vec_id") > cut / 2), path)
+    }
+    assert(e.getMessage.contains("id-monotone"))
+  }
+
+  test("appendIvfSq8Index: one-shot and chunked appends serve identical results") {
+    val emb = Tables.embeddings(spark, dir)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val (cutA, cutB) = (maxId / 2, maxId * 3 / 4)
+    val history = emb.filter(col("vec_id") <= cutA)
+    val pred = col("vec_id") % 50 === 0
+    val p1 = tmp("graft-app1-")
+    Similarity.saveIvfSq8Index(history, p1, nCells = 8)
+    Similarity.appendIvfSq8Index(emb.filter(col("vec_id") > cutA), p1)
+    val p2 = tmp("graft-app2-")
+    Similarity.saveIvfSq8Index(history, p2, nCells = 8)
+    Similarity.appendIvfSq8Index(
+      emb.filter(col("vec_id") > cutA && col("vec_id") <= cutB), p2)
+    Similarity.appendIvfSq8Index(emb.filter(col("vec_id") > cutB), p2)
+    val r1 = Similarity.ivfSq8TopKIndexed(emb, pred, p1, 3, 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val r2 = Similarity.ivfSq8TopKIndexed(emb, pred, p2, 3, 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(r1.nonEmpty && r1 == r2)
+  }
+
+  // ---- persisted curation verdict (d19 artifact) ----
+
+  private val RATES = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.125)
+
+  test("keepListCached: artifact round trip is bit-identical to the direct chain") {
+    val docs = Tables.documents(spark, dir)
+    val path = tmp("graft-keep-")
+    val direct = Curation.keepList(docs, col("doc_id") % 10 === 0,
+      RATES, 1.0, 8, 4, 0.5, 1000L, 10000L)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    val cached = Curation.keepListCached(docs, col("doc_id") % 10 === 0,
+      RATES, 1.0, 8, 4, 0.5, 1000L, 10000L, path)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(direct.nonEmpty && cached == direct)
+  }
+
+  test("keepListCached: a warm hit scans the artifact without rebuilding; drift rebuilds") {
+    val docs = Tables.documents(spark, dir)
+    val path = tmp("graft-keepc-")
+    Curation.keepListCached(docs, col("doc_id") % 10 === 0,
+      RATES, 1.0, 8, 4, 0.5, 1000L, 10000L, path).count()
+    def verdictFiles(): Map[String, java.nio.file.attribute.FileTime] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(path, "verdict")).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+    }
+    val before = verdictFiles()
+    // same params + same corpus → artifact served as-is
+    Curation.keepListCached(docs, col("doc_id") % 10 === 0,
+      RATES, 1.0, 8, 4, 0.5, 1000L, 10000L, path).count()
+    assert(verdictFiles() == before, "warm hit rewrote the artifact")
+    // a gate-params change MUST miss (a differently-gated verdict is a
+    // different artifact, not a cache hit)
+    val n1 = Curation.keepListCached(docs, col("doc_id") % 10 === 0,
+      RATES, 1.0, 8, 4, 0.5, 1000L, 10000L, path, minTokens = 9999).count()
+    assert(verdictFiles() != before, "params drift served the stale artifact")
+    assert(n1 > 0)
+    // corpus drift MUST miss too (watermark mismatch)
+    val shrunk = docs.filter(col("doc_id") % 7 =!= 0)
+    val direct = Curation.keepList(shrunk, col("doc_id") % 10 === 0,
+      RATES, 1.0, 8, 4, 0.5, 1000L, 10000L)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    val rebuilt = Curation.keepListCached(shrunk, col("doc_id") % 10 === 0,
+      RATES, 1.0, 8, 4, 0.5, 1000L, 10000L, path)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(rebuilt == direct, "corpus drift served the stale artifact")
+  }
+
+  // ---- index manifests: staleness gate ----
+
+  test("manifest: corpus drift since the build is detectable and loud") {
+    val emb = Tables.embeddings(spark, dir)
+    val history = emb.filter(col("vec_id") % 5 =!= 0)
+    val path = tmp("graft-stale-")
+    Similarity.saveIvfSq8Index(history, path, nCells = 8)
+    // the corpus the index was built on is fresh
+    assert(IndexManifest.isFresh(path, history, "vec_id"))
+    IndexManifest.requireFresh(path, history, "vec_id")
+    // the grown corpus is not — requireFresh names both watermarks
+    assert(!IndexManifest.isFresh(path, emb, "vec_id"))
+    val e = intercept[StaleIndexException] {
+      IndexManifest.requireFresh(path, emb, "vec_id")
+    }
+    assert(e.getMessage.contains("rebuild or append"))
+  }
+}
