@@ -11,8 +11,11 @@ import org.apache.spark.sql.SparkSession
   * second-scale query times on a shared machine, single runs carry
   * ±30% GC/JIT/scheduling noise (measured — same query 5.2 s then
   * 8.5 s back-to-back), and best-of-2 reports steady-state engine cost
-  * rather than whichever run caught a collection pause. The JSON line on
-  * stdout is the contract.
+  * rather than whichever run caught a collection pause. When the two
+  * runs disagree by more than 3× a THIRD run breaks the tie (both runs
+  * can land in one contention episode — round 8 shipped a 9.5 s number
+  * for a ~2.1 s query that way); `runs_detail` then shows 3 entries for
+  * exactly those queries. The JSON line on stdout is the contract.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -57,7 +60,18 @@ object Bench {
       val a = once(name, fn)
       // a flaky SECOND run must not erase a real first measurement
       // (min(5.2, -1.0) would report a successful query as failed)
-      val runs = if (a < 0) Seq(a) else Seq(a, once(name, fn))
+      val two = if (a < 0) Seq(a) else Seq(a, once(name, fn))
+      // Adaptive THIRD run when the two disagree >3×: both runs landing
+      // in one contention window otherwise poisons the best-of number
+      // for a whole round (round 8: q16b reported 9.5 s from runs
+      // [9.5, 42.6] with a steady state of ~2.1 s). A >3× spread means
+      // at least one run is not steady-state; the tiebreaker costs
+      // nothing on healthy queries (they disagree by far less).
+      val runs = two.filter(_ >= 0) match {
+        case Seq(x, y) if math.max(x, y) > 3.0 * math.min(x, y) =>
+          two :+ once(name, fn)
+        case _ => two
+      }
       val best = if (a < 0) a else runs.filter(_ >= 0) match {
         case ok if ok.nonEmpty => ok.min
         case _                 => a
@@ -76,6 +90,8 @@ object Bench {
     // headline total: sum successes only, list failures explicitly
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // "runs":2 declares the BASE policy; high-spread queries carry a
+    // third entry in runs_detail (the adaptive tiebreaker above)
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""runs":2,"agg":"min","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(line)
