@@ -8,10 +8,20 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 
 /** SSE delivery throughput measurement (BENCH_NOTES.md):
-  * catch-up events/s, sustained live events/s, and fan-out scaling
-  * (1 vs 8 concurrent clients with distinct predicates).
+  * catch-up events/s, sustained live events/s, fan-out scaling
+  * (1 vs 8 concurrent clients with distinct predicates), and the FULL
+  * TRIANGLE — events arriving through the streaming ingest sink
+  * (chunked appends + size-tiered compaction firing on the writer
+  * path) while clients consume over SSE, with the rr third log
+  * ingesting concurrently (round-9 measurement: the produce→compact→
+  * consume loop had only ever been spec'd, never benched).
   */
 object SseBenchMain {
+
+  /** Envelope row for the MemoryStream encoder (RedditLog.schema shape). */
+  case class Env(id: Long, event: String, created_utc: Long,
+      author: String, subreddit: String, domain: String, over_18: String,
+      is_self: String, json: String)
   private def row(i: Long, author: String): Map[String, Any] = Map(
     "id" -> i, "event" -> "rc", "created_utc" -> (1000L + i),
     "author" -> author, "subreddit" -> "news", "domain" -> null,
@@ -57,6 +67,7 @@ object SseBenchMain {
     spark.sparkContext.setLogLevel("ERROR")
     val rcDir = Files.createTempDirectory("sbench-rc").toString
     val rsDir = Files.createTempDirectory("sbench-rs").toString
+    val rrDir = Files.createTempDirectory("sbench-rr").toString
     // 20k-event rc history (20 segments × 1000), authors a0..a7
     (0 until 20).foreach { k =>
       RedditLog.writeSegment(rcDir, ((k * 1000 + 1).toLong to (k * 1000 + 1000).toLong)
@@ -65,7 +76,7 @@ object SseBenchMain {
     // short keepalive: a finished phase's dangling connection is only
     // reaped on a failed write, and the next phase's readiness wait
     // must not count it
-    val server = new SseServer(spark, rcDir, rsDir,
+    val server = new SseServer(spark, rcDir, rsDir, rrPath = rrDir,
       keepAliveMillis = 1000L, triggerMillis = 200L).start()
     try {
       // catch-up throughput (full 20k backfill, clamp is 100k)
@@ -121,6 +132,79 @@ object SseBenchMain {
       println(f"SSEBENCH live-8 clients each=${c8.mkString(",")} wall=$w8%.2f s " +
         f"first→last min=${t8c.min}%.2f max=${t8c.max}%.2f s " +
         f"(fan-out: 8 distinct predicates, ${10000 / w8}%.0f ev/s through the shared pass)")
+
+      // FULL TRIANGLE: the same 8-client live fan-out, but events reach
+      // the log through the streaming INGEST SINK (micro-batched,
+      // chunked appends) with an aggressive maintenance policy so
+      // size-tiered compaction provably fires mid-run, and the rr third
+      // log ingesting + serving a 9th client concurrently. This is the
+      // production loop end to end: producer → RedditLogSink →
+      // compact/GC → SSE fan-out, all live at once.
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def env(i: Long, ev: String, author: String, sub: String) = Env(
+        id = i, event = ev, created_utc = 1000L + i, author = author,
+        subreddit = sub, domain = null, over_18 = null, is_self = null,
+        json = s"""{"author":"$author","subreddit":"$sub","body":"b$i"}""")
+      val rcMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Env]
+      val rrMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Env]
+      val ingest = RedditLogSink.appendStream(rcMem.toDF(), rcDir,
+        Files.createTempDirectory("sbench-ck1").toString,
+        triggerMillis = 100L, targetRows = 2000L, maxSmall = 4)
+      val rrIngest = RedditLogSink.appendStream(rrMem.toDF(), rrDir,
+        Files.createTempDirectory("sbench-ck2").toString,
+        triggerMillis = 100L, targetRows = 2000L, maxSmall = 4)
+      try {
+        val reapDeadline = System.currentTimeMillis() + 15000
+        while (server.readyConnections > 0 && System.currentTimeMillis() < reapDeadline)
+          Thread.sleep(100)
+        require(server.readyConnections == 0,
+          s"stale connections still attached: ${server.readyConnections}")
+        val total = 10000
+        val rrTotal = 1000
+        val counts = new Array[Int](9)
+        val threads = (0 until 8).map { c =>
+          val th = new Thread(() => {
+            val (n, _) = countFrames(server.boundPort,
+              s"/?type=comments&author=a$c", total / 8, 120000)
+            counts(c) = n
+          })
+          th.start(); th
+        } :+ {
+          val th = new Thread(() => {
+            val (n, _) = countFrames(server.boundPort,
+              "/?type=subreddits", rrTotal, 120000)
+            counts(8) = n
+          })
+          th.start(); th
+        }
+        val attachDeadline = System.currentTimeMillis() + 30000
+        while (server.readyConnections < 9 && System.currentTimeMillis() < attachDeadline)
+          Thread.sleep(50)
+        require(server.readyConnections == 9, "triangle clients failed to attach")
+        val segsBefore = RedditLog.listSegments(rcDir).size
+        val base = 90001L
+        val t0 = System.nanoTime()
+        (0 until total / 1000).foreach { k =>
+          rcMem.addData((base + k * 1000 until base + k * 1000 + 1000)
+            .map(i => env(i, "rc", s"a${i % 8}", "news")))
+          if (k < rrTotal / 100)
+            rrMem.addData((1L + k * 100 until 1L + k * 100 + 100)
+              .map(i => env(i, "rr", "mod", s"sub$i")))
+        }
+        threads.foreach(_.join(120000))
+        val wall = (System.nanoTime() - t0) / 1e9
+        require(counts.take(8).forall(_ == total / 8) && counts(8) == rrTotal,
+          s"INVALID RUN: counts=${counts.mkString(",")}")
+        val segsAfter = RedditLog.listSegments(rcDir).size
+        // the maintenance proof: 10k rows arrived in ≥5 sink appends
+        // (2k-row chunks), yet the live segment count stayed at-or-below
+        // maxSmall growth — compaction ran on the writer path mid-serve
+        println(f"SSEBENCH triangle-9 rc=${counts.take(8).mkString(",")} rr=${counts(8)} " +
+          f"wall=$wall%.2f s (${(total + rrTotal) / wall}%.0f ev/s delivered through " +
+          f"ingest-sink appends; rc segments $segsBefore→$segsAfter, compaction " +
+          s"${if (segsAfter < segsBefore + 5) "FIRED" else "DID NOT FIRE"})")
+      } finally { ingest.stop(); rrIngest.stop() }
     } finally { server.stop(); spark.stop() }
   }
 }
