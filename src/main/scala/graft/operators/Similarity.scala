@@ -1256,6 +1256,47 @@ object Similarity {
       man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
 
+  /** SYNC a persisted IVF+SQ8 index to the current corpus (e34) — the
+    * maintenance policy the manifest machinery exists to drive, as one
+    * operator: FRESH (watermark matches) serves as-is and touches
+    * nothing; MONOTONE GROWTH (history prefix intact — verified with
+    * one filtered count against the manifest watermark — plus new ids
+    * above it) appends just the delta with the frozen codebook
+    * ([[appendIvfSq8Index]]); anything else (shrunk, rewritten, params
+    * drift, missing/foreign manifest) falls back to a full rebuild.
+    * Idempotent by construction — a second sync against the same
+    * corpus is always the FRESH no-op — so callers run it
+    * unconditionally per corpus publish instead of choosing
+    * build-vs-append by hand. Returns the action taken ("fresh" |
+    * "append" | "rebuild"), pinned by spec.
+    */
+  def ivfSq8IndexSync(emb: DataFrame, path: String, nCells: Int = 16,
+      partitionByCell: Boolean = false): String = {
+    val man = try Some(IndexManifest.require(path, "ivf-sq8",
+      Map("cells" -> nCells.toLong,
+        "partition_by_cell" -> (if (partitionByCell) 1L else 0L))))
+    catch { case _: IndexManifestException => None }
+    man match {
+      case Some(m) =>
+        val stats = emb.agg(count(lit(1)), max(col("vec_id").cast("long")),
+          sum(when(col("vec_id") <= m.corpusMaxId, 1L).otherwise(0L))).head()
+        val (rows, maxId) = (stats.getLong(0),
+          if (stats.isNullAt(1)) -1L else stats.getLong(1))
+        val prefixRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+        if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
+        else if (prefixRows == m.corpusRows && maxId > m.corpusMaxId) {
+          appendIvfSq8Index(emb.filter(col("vec_id") > m.corpusMaxId), path)
+          "append"
+        } else {
+          saveIvfSq8Index(emb, path, nCells, partitionByCell)
+          "rebuild"
+        }
+      case None =>
+        saveIvfSq8Index(emb, path, nCells, partitionByCell)
+        "rebuild"
+    }
+  }
+
   /** QUERY a persisted IVF+SQ8 index (e31) — the query-many half:
     * probe cells and quantizer constants load as driver literals
     * (k·dim + 2·dim doubles — the same driver-resident codebook

@@ -712,6 +712,28 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // the maintenance POLICY as one operator (e34): an index built on
+    // the history cut, then synced twice against the grown corpus —
+    // the first sync detects monotone growth and appends the delta
+    // with the frozen codebook, the second is the fresh no-op — and
+    // served. Registered against the same frozen-book rebuild oracle
+    // as e33: sync-to-append must be indistinguishable from a hand
+    //-written append, and the no-op must not perturb it
+    // (Similarity.ivfSq8IndexSync doc; action strings pinned in
+    // Round9OpsSpec)
+    "e34_ivf_sq8_sync" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("e34-ivfsq8")
+      Similarity.saveIvfSq8Index(emb.filter(col("vec_id") <= cut), path,
+        IVF_CELLS, partitionByCell = true)
+      Similarity.ivfSq8IndexSync(emb, path, IVF_CELLS, partitionByCell = true)
+      Similarity.ivfSq8IndexSync(emb, path, IVF_CELLS, partitionByCell = true)
+      Similarity.ivfSq8TopKIndexed(emb, col("vec_id") % 50 === 0,
+        path, PQ_K, IVF_PROBES, pruneScan = true)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // the coverage-vs-quantization factoring: e25 isolates code
     // quality (0.986), this isolates the probe-coverage ceiling
     // (Similarity.annRecallIvfSq8 doc)
@@ -2326,6 +2348,17 @@ object PipelineQueries {
     // chain is shared verbatim. Equality against the appended index is
     // the increment-algebra claim itself
     "e33_ivf_sq8_appended" ->
+      s"""WITH $ivfAsgCtes,
+         |${ivfSq8CtesAt(IVF_PROBES, frozenQuantWhere)},
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sq_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sq)
+         |SELECT query_id, rk, neighbor_id, sq_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // e34 shares e33's frozen-codebook oracle VERBATIM: sync-to-append
+    // followed by the fresh no-op must serve exactly what a
+    // hand-written append serves
+    "e34_ivf_sq8_sync" ->
       s"""WITH $ivfAsgCtes,
          |${ivfSq8CtesAt(IVF_PROBES, frozenQuantWhere)},
          |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id

@@ -142,6 +142,46 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(r1.nonEmpty && r1 == r2)
   }
 
+  // ---- index sync policy (e34) ----
+
+  test("ivfSq8IndexSync: fresh=no-op, monotone growth=append, drift=rebuild") {
+    val emb = Tables.embeddings(spark, dir)
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
+    val history = emb.filter(col("vec_id") <= cut)
+    val path = tmp("graft-sync-")
+    // no manifest yet → rebuild
+    assert(Similarity.ivfSq8IndexSync(history, path, nCells = 8) == "rebuild")
+    def codeFiles(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(path, "codes")).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.size(p)).toMap
+    }
+    val built = codeFiles()
+    // same corpus again → fresh, nothing touched
+    assert(Similarity.ivfSq8IndexSync(history, path, nCells = 8) == "fresh")
+    assert(codeFiles() == built)
+    // monotone growth → append: history files stay, new files land
+    assert(Similarity.ivfSq8IndexSync(emb, path, nCells = 8) == "append")
+    val appended = codeFiles()
+    assert(built.forall { case (f, sz) => appended.get(f).contains(sz) })
+    assert(appended.size > built.size)
+    // …and the sync result is indistinguishable from a manual append
+    val manual = tmp("graft-syncm-")
+    Similarity.saveIvfSq8Index(history, manual, nCells = 8)
+    Similarity.appendIvfSq8Index(emb.filter(col("vec_id") > cut), manual)
+    val pred = col("vec_id") % 50 === 0
+    val viaSync = Similarity.ivfSq8TopKIndexed(emb, pred, path, 3, 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val viaManual = Similarity.ivfSq8TopKIndexed(emb, pred, manual, 3, 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(viaSync.nonEmpty && viaSync == viaManual)
+    // a SHRUNK corpus is not monotone growth → full rebuild
+    assert(Similarity.ivfSq8IndexSync(history, path, nCells = 8) == "rebuild")
+    // params drift (different cell count) → rebuild, not a poisoned serve
+    assert(Similarity.ivfSq8IndexSync(history, path, nCells = 4) == "rebuild")
+  }
+
   // ---- persisted curation verdict (d19 artifact) ----
 
   private val RATES = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.125)
