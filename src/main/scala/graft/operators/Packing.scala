@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus → training-shards tail of the pipeline: a deterministic
+  * global shuffle, token-budgeted shard assignment, and fixed-length
+  * context-window packing (the concat-and-chunk layout GPT-style
+  * training jobs consume). (Extension territory — SURVEY.md §2.1.)
+  *
+  * All three need one primitive Spark lacks as a scalable built-in: a
+  * corpus-wide cumulative token sum over a deterministic order. A naive
+  * `Window.orderBy(...)` is a SINGLE-partition sort — a non-starter at
+  * 100 TB. [[tokenOffsets]] implements the classic distributed
+  * prefix-sum instead: order by the shared cross-engine
+  * [[Dedup.hash60]] key, bucket by the key's high bits (so buckets ARE
+  * contiguous key ranges), take within-bucket running sums from a
+  * window PARTITIONED by bucket, and add per-bucket base offsets from a
+  * cumulative sum over the tiny per-bucket-totals table. Parallelism is
+  * bounded by 2^bucketBits, never 1; the only global window runs over
+  * one row per bucket.
+  */
+object Packing {
+
+  /** Deterministic pseudo-random order key: the shared 60-bit md5 hash
+    * of the doc id — both engines compute it identically, so "shuffled
+    * corpus order" is itself oracle-checkable.
+    */
+  private def orderKey: Column = Dedup.hash60(col("doc_id").cast("string"))
+
+  /** (doc_id, n_tokens, start_token): each document's token-count and
+    * its first token's position in the deterministically-shuffled
+    * corpus-wide token stream — the distributed prefix-sum described in
+    * the object doc. `bucketBits` trades window-partition size against
+    * offsets-table size: 8 bits → 256-way parallelism (fine at test
+    * scale); a 100 TB run wants 14-16 bits so each bucket's sort fits
+    * an executor core's chunk while the offsets table stays thousands
+    * of rows.
+    */
+  def tokenOffsets(docs: DataFrame, bucketBits: Int = 8): DataFrame = {
+    require(bucketBits > 0 && bucketBits < 60, s"bucketBits=$bucketBits")
+    // four longs per doc, read by both the running-sum window and the
+    // per-bucket totals — an eager localCheckpoint (the CC-iteration
+    // device) drops the text column after one scan instead of
+    // re-tokenizing the corpus for the totals side
+    val base = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        orderKey.as("k"))
+      .withColumn("bkt", expr(s"shiftright(k, ${60 - bucketBits})"))
+      .localCheckpoint(true)
+    val inBkt = Window.partitionBy(col("bkt")).orderBy(col("k"), col("doc_id"))
+    val withCum = base.withColumn("cum", sum(col("n_tokens")).over(inBkt))
+    // bucket totals derive from the running sums' own tail (max cum per
+    // bucket), not a second aggregation pipeline over the corpus
+    val totals = withCum.groupBy(col("bkt")).agg(max(col("cum")).as("bt"))
+    val offsets = totals.select(col("bkt"),
+      (sum(col("bt")).over(Window.orderBy(col("bkt"))) - col("bt")).as("off"))
+    withCum.join(offsets, Seq("bkt"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("off") + col("cum") - col("n_tokens")).cast("long").as("start_token"))
+  }
+
+  /** Token-budgeted shard assignment: documents stay whole and fill
+    * shards greedily in shuffled order — shard i owns the docs whose
+    * start position falls in [i·budget, (i+1)·budget), so a shard can
+    * overrun the budget by at most one document's tail (the standard
+    * document-contiguous layout). One integer divide over
+    * [[tokenOffsets]]; no extra shuffle beyond the prefix-sum's own.
+    *
+    * Returns (doc_id, n_tokens, start_token, shard_id).
+    */
+  def tokenShards(docs: DataFrame, budget: Long, bucketBits: Int = 8): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    tokenOffsets(docs, bucketBits)
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        expr(s"CAST(start_token DIV $budget AS BIGINT)").as("shard_id"))
+  }
+
+  /** Fixed-length context-window packing: the shuffled token stream is
+    * cut into ctxLen-token windows and each document is mapped to the
+    * span(s) it occupies — one row per (doc, window) with the window
+    * id, the offset inside the window, the offset inside the document,
+    * and the span length. Training dataloaders consume exactly this
+    * (sequence packing with documents split across context windows; an
+    * attention mask can be rebuilt from ctx_offset boundaries).
+    *
+    * Pure integer expression work over [[tokenOffsets]] plus one
+    * explode whose width is ceil(n_tokens / ctxLen) + 1 — no joins, no
+    * extra shuffle. Every row satisfies
+    * sum(len) over ctx_id == ctxLen (except the final partial window),
+    * pinned by spec.
+    *
+    * Returns (doc_id, ctx_id, ctx_offset, doc_offset, len).
+    */
+  def packSequences(docs: DataFrame, ctxLen: Int, bucketBits: Int = 8): DataFrame = {
+    require(ctxLen > 0, s"ctxLen=$ctxLen")
+    tokenOffsets(docs, bucketBits)
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        explode(expr(
+          s"sequence(start_token DIV $ctxLen, (start_token + n_tokens - 1) DIV $ctxLen)")).as("ctx_id"))
+      .select(col("doc_id"), col("ctx_id").cast("long").as("ctx_id"),
+        (greatest(col("start_token"), col("ctx_id") * ctxLen)
+          - col("ctx_id") * ctxLen).cast("long").as("ctx_offset"),
+        (greatest(col("start_token"), col("ctx_id") * ctxLen)
+          - col("start_token")).cast("long").as("doc_offset"),
+        (least(col("start_token") + col("n_tokens"), (col("ctx_id") + lit(1)) * ctxLen)
+          - greatest(col("start_token"), col("ctx_id") * ctxLen)).cast("long").as("len"))
+  }
+}

@@ -288,4 +288,106 @@ object TextAnalysis {
         (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_token_frac"),
         coalesce(col("top_c").cast("double") / col("n_grams"), lit(0.0)).as("top_ngram_frac"))
   }
+
+  /** Per-document bigram stream (prev, cur) — one row per adjacent word
+    * pair; docs shorter than two tokens emit nothing. Shared by the
+    * model-training and scoring halves of [[bigramLm]] so both sides
+    * read one definition of "bigram".
+    */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(w)), i -> struct(element_at(w, i - 1) AS prev, element_at(w, i) AS cur))")).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+
+  /** Corpus-trained bigram language-model score — the CCNet-style
+    * quality signal: train add-one-smoothed bigram statistics on the
+    * corpus itself, then score every document by its average negative
+    * log-likelihood under that model (low = looks like the corpus,
+    * high = outlier/noise). The published web-curation pipelines bucket
+    * on exactly this number; [[perplexityTiers]] adds the bucketing.
+    *
+    * Scale shape: bigram counts are a map-side-combined groupBy on the
+    * pair key; context totals AND the vocabulary size derive from the
+    * already-aggregated pair counts (so text is scanned exactly twice —
+    * the model pass and the scoring pass; a production run over one
+    * corpus would materialize the gram stream once), and the vocabulary
+    * count is a single-row aggregate broadcast into the model (the
+    * corpus-totals crossJoin device). V counts tokens that appear in
+    * some bigram — identical to "all tokens" on any corpus without
+    * single-token documents.
+    * Scoring re-joins the gram stream to the model on the pair key —
+    * the model side has exactly one row per distinct bigram, so skew
+    * lives only on the probe side (hot function words), which AQE's
+    * skew-join split handles; the model is corpus-vocabulary-scale and
+    * deliberately NOT broadcast.
+    *
+    * Oracle determinism: each distinct bigram's negative log-prob is
+    * computed once in the model, rounded to DECIMAL(28,8) (the
+    * cross-engine double→decimal agreement device, see the PQ training
+    * oracle), and summed exactly as decimal; `avg_nll` is then one
+    * IEEE double divide. Docs with fewer than two tokens have no
+    * bigrams and are absent from the output.
+    *
+    * Returns (doc_id, n_bigrams, avg_nll).
+    */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val g = bigrams(docs)
+    // the model's three consumers (context totals, vocabulary, the
+    // model join) all read the aggregated pair counts — an eager
+    // localCheckpoint (the CC-iteration device) pins the
+    // vocabulary-scale table so the corpus text is scanned exactly
+    // twice (model pass + scoring pass), not once per consumer
+    val c2 = g.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val vocab = c2.select(explode(array(col("prev"), col("cur"))).as("t"))
+      .agg(countDistinct(col("t")).cast("long").as("v"))
+    val model = c2.join(c1, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .select(col("prev"), col("cur"), expr(
+        "CAST(ln(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE)) AS DECIMAL(28,8))").as("nll"))
+    g.join(model, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("nll")).as("sum_nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_nll").cast("double") / col("n_bigrams")).as("avg_nll"))
+  }
+
+  /** CCNet's head/middle/tail perplexity terciles over [[bigramLm]],
+    * ranked with the DISTRIBUTED global-rank device: no single-partition
+    * corpus-wide window. Documents bucket by a coarse score grid
+    * (`floor(avg_nll * bucketScale)`); within-bucket ranks come from a
+    * window PARTITIONED by bucket, and bucket base offsets from a
+    * cumulative sum over the per-bucket counts — a table bounded by the
+    * grid size (hundreds of rows), where a global window is free. The
+    * global rank is offset + within-rank; parallelism is bounded by
+    * buckets, never 1. `avg_nll` is cross-engine exact (decimal sum,
+    * one double divide), so bucket assignment and ranking are too; ties
+    * break on doc_id.
+    *
+    * Returns (doc_id, avg_nll, rnk, tier) with tier head = lowest
+    * third of avg_nll (most corpus-like), tail = highest.
+    */
+  def perplexityTiers(docs: DataFrame, bucketScale: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one narrow (doc_id, n_bigrams, avg_nll) row per doc, read by the
+    // rank probe, the bucket counts, and the total — materialize once
+    val lm = bigramLm(docs).localCheckpoint(true)
+    val scored = lm.select(col("doc_id"), col("avg_nll"),
+      floor(col("avg_nll") * bucketScale).cast("long").as("bkt"))
+    val counts = scored.groupBy(col("bkt")).agg(count(lit(1)).as("bc"))
+    val offsets = counts.select(col("bkt"),
+      (sum(col("bc")).over(Window.orderBy(col("bkt"))) - col("bc")).as("off"))
+    val total = lm.agg(count(lit(1)).cast("long").as("n_total"))
+    val inBkt = Window.partitionBy(col("bkt")).orderBy(col("avg_nll"), col("doc_id"))
+    scored.join(offsets, Seq("bkt"))
+      .withColumn("rnk", (col("off") + row_number().over(inBkt)).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("avg_nll"), col("rnk"), expr(
+        """CASE WHEN (rnk - 1) * 3 < n_total THEN 'head'
+          |WHEN (rnk - 1) * 3 < 2 * n_total THEN 'middle'
+          |ELSE 'tail' END""".stripMargin.replace("\n", " ")).as("tier"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -38,6 +38,9 @@ object PipelineQueries {
                                  // per-dimension, so the width is static here
 
   private val BM25_TERMS = Seq("table", "query", "spark") // d17 query terms
+  private val LM_SCALE = 16      // d46 rank-bucket grid: floor(avg_nll*16)
+  private val SHARD_BUDGET = 4096L // d47 tokens per shard
+  private val CTX_LEN = 128      // d48 context-window length (tokens)
 
   /** Stable on-disk home for the persisted-index queries (d44/e31/e32/
     * e33): a FIXED path under target/ that each run overwrites, so
@@ -394,6 +397,38 @@ object PipelineQueries {
     // (Curation.keepSummary doc)
     "d38_keep_summary" -> ((spark: SparkSession, dir: String) =>
       Curation.keepSummary(keepCached(spark, dir))),
+
+    // CCNet-style self-perplexity: corpus-trained add-one bigram LM,
+    // per-doc average negative log-likelihood (TextAnalysis.bigramLm
+    // doc; per-gram nll rounded to DECIMAL(28,8) in the model so the
+    // decimal sum is cross-engine exact)
+    "d45_bigram_lm" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.bigramLm(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
+    // CCNet's head/middle/tail terciles over d45, ranked with the
+    // distributed global-rank device (bucket-partitioned windows +
+    // per-bucket base offsets — parallelism bounded by the grid, never
+    // 1; TextAnalysis.perplexityTiers doc)
+    "d46_ppl_tiers" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.perplexityTiers(Tables.documents(spark, dir), LM_SCALE)
+        .orderBy(col("doc_id"))),
+
+    // token-BUDGETED sharding: equal-token shard files over a
+    // deterministic hash60 shuffle order, start positions from the
+    // bucketed distributed prefix-sum (Packing object doc) — the
+    // uniform-bytes layout d20's hash-assigned shards can't give
+    "d47_token_shards" -> ((spark: SparkSession, dir: String) =>
+      Packing.tokenShards(Tables.documents(spark, dir), SHARD_BUDGET)
+        .orderBy(col("doc_id"))),
+
+    // GLOBAL concat-and-chunk sequence packing: docs split across
+    // fixed ctx windows of the shuffled corpus-wide token stream, one
+    // row per (doc, window) span (Packing.packSequences doc; contrast
+    // d20 per-shard streams / d23 per-doc overlapping chunks)
+    "d48_pack_ctx" -> ((spark: SparkSession, dir: String) =>
+      Packing.packSequences(Tables.documents(spark, dir), CTX_LEN)
+        .orderBy(col("ctx_id"), col("doc_id"))),
 
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
@@ -1256,6 +1291,44 @@ object PipelineQueries {
       |  coalesce(CAST(top_c AS DOUBLE)/n_grams, 0.0) AS top_ngram_frac
       |  FROM base b LEFT JOIN topg USING (doc_id))""".stripMargin.replace("\n", " ")
 
+  /** Mirror of [[graft.operators.TextAnalysis.bigramLm]] — ends in
+    * `lm(doc_id, n_bigrams, avg_nll)`. The zipped parallel unnests over
+    * list_slice(w,1,n-1)/list_slice(w,2,n) are DuckDB's spelling of the
+    * adjacent-pair stream; per-gram nll is rounded to DECIMAL(28,8) in
+    * the model CTE exactly once (the cross-engine agreement device), so
+    * the per-doc decimal sum and the one final double divide are exact.
+    * Shared by d45 and d46.
+    */
+  private val bigramLmCtes =
+    """lt AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |lg AS (SELECT doc_id, unnest(list_slice(w, 1, len(w)-1)) AS prev,
+      |        unnest(list_slice(w, 2, len(w))) AS cur FROM lt WHERE len(w) >= 2),
+      |lc2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM lg GROUP BY 1, 2),
+      |lc1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM lc2 GROUP BY 1),
+      |lv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+      |       FROM (SELECT unnest([prev, cur]) AS t FROM lc2)),
+      |lmodel AS (SELECT prev, cur,
+      |  CAST(ln(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE)) AS DECIMAL(28,8)) AS nll
+      |  FROM lc2 JOIN lc1 USING (prev) CROSS JOIN lv),
+      |lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
+      |  FROM lg JOIN lmodel USING (prev, cur) GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
+  /** Mirror of [[graft.operators.Packing.tokenOffsets]] (bucketBits=8)
+    * — ends in `pos(doc_id, n_tokens, start_token)`: hash60 order key,
+    * high-8-bit bucket, within-bucket running sums plus per-bucket base
+    * offsets. Shared by d47 and d48.
+    */
+  private val tokenOffsetCtes =
+    s"""pb AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |  ${duckHash60("CAST(doc_id AS VARCHAR)")} AS k FROM documents),
+       |pbb AS (SELECT *, k >> 52 AS bkt FROM pb),
+       |pwc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bkt ORDER BY k, doc_id) AS cum FROM pbb),
+       |pbo AS (SELECT bkt, CAST(sum(bt) OVER (ORDER BY bkt) - bt AS BIGINT) AS off
+       |        FROM (SELECT bkt, sum(n_tokens) AS bt FROM pbb GROUP BY 1)),
+       |pos AS (SELECT doc_id, n_tokens, CAST(off + cum - n_tokens AS BIGINT) AS start_token
+       |        FROM pwc JOIN pbo USING (bkt))""".stripMargin.replace("\n", " ")
+
   /** Mirror of [[graft.operators.Sampling.stratified]] over the
     * language strata — ends in `u(doc_id, stratum, u)`; pair with
     * [[rateCase]] for the keep predicate. Shared by d16 and d19.
@@ -1796,6 +1869,55 @@ object PipelineQueries {
          |  CAST(sum(n_fps) AS BIGINT) AS n_fps
          |FROM pisl GROUP BY doc_a, doc_b, island
          |ORDER BY doc_a, doc_b, start_a""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.bigramLm over the shared LM chain
+    // (bigramLmCtes doc)
+    "d45_bigram_lm" ->
+      s"""WITH $bigramLmCtes
+         |SELECT doc_id, n_bigrams, avg_nll FROM lm
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.perplexityTiers: the distributed
+    // global-rank device over the shared LM chain — bucket-partitioned
+    // row_numbers plus per-bucket base offsets, terciles on the rank
+    "d46_ppl_tiers" ->
+      s"""WITH $bigramLmCtes,
+         |ls AS (SELECT doc_id, avg_nll,
+         |       CAST(floor(avg_nll * $LM_SCALE) AS BIGINT) AS bkt FROM lm),
+         |lbc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS bc FROM ls GROUP BY 1),
+         |lbo AS (SELECT bkt, CAST(sum(bc) OVER (ORDER BY bkt) - bc AS BIGINT) AS off FROM lbc),
+         |ltot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lm),
+         |lrk AS (SELECT doc_id, avg_nll,
+         |  CAST(off + row_number() OVER (PARTITION BY bkt ORDER BY avg_nll, doc_id) AS BIGINT) AS rnk
+         |  FROM ls JOIN lbo USING (bkt))
+         |SELECT doc_id, avg_nll, rnk,
+         |  CASE WHEN (rnk - 1) * 3 < n_total THEN 'head'
+         |       WHEN (rnk - 1) * 3 < 2 * n_total THEN 'middle'
+         |       ELSE 'tail' END AS tier
+         |FROM lrk CROSS JOIN ltot ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Packing.tokenShards over the shared prefix-sum chain
+    // (tokenOffsetCtes doc)
+    "d47_token_shards" ->
+      s"""WITH $tokenOffsetCtes
+         |SELECT doc_id, n_tokens, start_token,
+         |  CAST(start_token // $SHARD_BUDGET AS BIGINT) AS shard_id
+         |FROM pos ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Packing.packSequences: explode each doc over the ctx
+    // windows its global span covers; pure integer arithmetic
+    "d48_pack_ctx" ->
+      s"""WITH $tokenOffsetCtes,
+         |pctx AS (SELECT doc_id, n_tokens, start_token,
+         |  unnest(range(start_token // $CTX_LEN,
+         |               (start_token + n_tokens - 1) // $CTX_LEN + 1)) AS ctx_id
+         |  FROM pos)
+         |SELECT doc_id, CAST(ctx_id AS BIGINT) AS ctx_id,
+         |  CAST(greatest(start_token, ctx_id * $CTX_LEN) - ctx_id * $CTX_LEN AS BIGINT) AS ctx_offset,
+         |  CAST(greatest(start_token, ctx_id * $CTX_LEN) - start_token AS BIGINT) AS doc_offset,
+         |  CAST(least(start_token + n_tokens, (ctx_id + 1) * $CTX_LEN)
+         |       - greatest(start_token, ctx_id * $CTX_LEN) AS BIGINT) AS len
+         |FROM pctx ORDER BY ctx_id, doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.exactSubstrSpans over the shared ExactSubstr
     // chain (exSubstrCtes doc)

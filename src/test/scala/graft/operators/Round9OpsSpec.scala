@@ -252,4 +252,111 @@ class Round9OpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("rebuild or append"))
   }
+
+  // ---- bigram LM (d45/d46) ----
+
+  test("bigramLm: n_bigrams = n_tokens - 1, and identical docs score identically") {
+    val docs = Tables.documents(spark, dir)
+    val lm = TextAnalysis.bigramLm(docs)
+    val nTok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val bad = lm.join(nTok, "doc_id")
+      .filter(col("n_bigrams") =!= col("n") - 1).count()
+    assert(bad == 0)
+    // clones of the same text inside one corpus must tie to the digit:
+    // scoring is a pure function of the token sequence given the model
+    val twice = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 100000, col("text")))
+    val perText = TextAnalysis.bigramLm(twice)
+      .withColumn("orig", when(col("doc_id") >= 100000, col("doc_id") - 100000)
+        .otherwise(col("doc_id")))
+      .groupBy(col("orig"))
+      .agg(countDistinct(col("avg_nll")).as("nv"))
+      .filter(col("nv") =!= 1).count()
+    assert(perText == 0)
+  }
+
+  test("perplexityTiers: rnk is a permutation ordered by avg_nll and tiers are terciles") {
+    val t = TextAnalysis.perplexityTiers(Tables.documents(spark, dir))
+    val n = t.count()
+    assert(t.select(countDistinct(col("rnk"))).head().getLong(0) == n)
+    assert(t.agg(min(col("rnk")), max(col("rnk"))).head() ===
+      org.apache.spark.sql.Row(1L, n))
+    // rank order agrees with score order (ties broken by doc_id)
+    val rows = t.select(col("rnk"), col("avg_nll"), col("doc_id"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(rows.sliding(2).forall {
+      case Array((_, a, ida), (_, b, idb)) => a < b || (a == b && ida < idb)
+      case _ => true })
+    val byTier = t.groupBy(col("tier")).count().as[(String, Long)].collect().toMap
+    assert(Seq("head", "middle", "tail").forall(k =>
+      math.abs(byTier(k) - n / 3.0) <= 1))
+    // head really is the low-nll end
+    val headMax = t.filter(col("tier") === "head").agg(max(col("avg_nll"))).head().getDouble(0)
+    val tailMin = t.filter(col("tier") === "tail").agg(min(col("avg_nll"))).head().getDouble(0)
+    assert(headMax <= tailMin)
+  }
+
+  // ---- packing (d47/d48) ----
+
+  test("tokenOffsets: exact prefix sums of the hash60 order, invariant to bucketBits") {
+    val docs = Tables.documents(spark, dir)
+    val got = Packing.tokenOffsets(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // recompute the prefix sum sequentially on the driver (test scale)
+    val ordered = docs.select(col("doc_id"),
+        Dedup.hash60(col("doc_id").cast("string")).as("k"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+    var cum = 0L
+    ordered.foreach { case (id, _, n) =>
+      assert(got(id) == ((n, cum)), s"doc $id")
+      cum += n
+    }
+    // the bucketed device is pure plumbing: coarser/finer grids agree
+    val alt = Packing.tokenOffsets(docs, bucketBits = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(alt == got)
+  }
+
+  test("tokenShards: doc-contiguous budget fill — shards overrun by at most one doc tail") {
+    val budget = 2048L
+    val s = Packing.tokenShards(Tables.documents(spark, dir), budget)
+    val perShard = s.groupBy(col("shard_id"))
+      .agg(sum(col("n_tokens")).as("tok"), max(col("n_tokens")).as("mx"),
+        min(col("start_token")).as("lo"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val nShards = perShard.length
+    assert(nShards > 1)
+    perShard.foreach { case (sid, tok, mx, lo) =>
+      assert(lo >= sid * budget && lo < (sid + 1) * budget)
+      // every shard but the last covers its budget window before
+      // spilling at most one doc's tail past it
+      if (sid < nShards - 1) assert(tok >= (sid + 1) * budget - lo && tok < budget + mx)
+    }
+  }
+
+  test("packSequences: windows tile exactly — full ctx windows sum to ctxLen, docs to n_tokens") {
+    val ctx = 64
+    val docs = Tables.documents(spark, dir)
+    val p = Packing.packSequences(docs, ctx)
+    val total = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    val lastCtx = (total - 1) / ctx
+    val perCtx = p.groupBy(col("ctx_id")).agg(sum(col("len")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(perCtx.size == lastCtx + 1)
+    perCtx.foreach { case (cid, s) =>
+      assert(if (cid < lastCtx) s == ctx else s == total - lastCtx * ctx, s"ctx $cid") }
+    // per-doc spans are contiguous and cover the doc exactly
+    val byDoc = p.select(col("doc_id"), col("doc_offset"), col("len"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val nTok = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    byDoc.foreach { case (id, spans) =>
+      val sorted = spans.sortBy(_._2)
+      assert(sorted.head._2 == 0L && sorted.map(_._3).sum == nTok(id), s"doc $id")
+      assert(sorted.sliding(2).forall {
+        case Array((_, o1, l1), (_, o2, _)) => o2 == o1 + l1; case _ => true }, s"doc $id")
+    }
+  }
 }
