@@ -390,4 +390,82 @@ object TextAnalysis {
           |WHEN (rnk - 1) * 3 < 2 * n_total THEN 'middle'
           |ELSE 'tail' END""".stripMargin.replace("\n", " ")).as("tier"))
   }
+
+  /** Persist a bigram LM trained on `refDocs` — the CCNet deployment
+    * shape proper: the model is trained ONCE on a trusted reference
+    * domain and then scores arbitrary corpora forever
+    * ([[bigramLmScoreIndexed]]), instead of [[bigramLm]]'s self-scoring.
+    * Three parquet tables plus the shared index manifest
+    * ([[graft.sources.IndexManifest]], kind "bigram-lm", watermarked on
+    * the reference corpus):
+    *
+    *  - `model(prev, cur, nll)` — cost of a SEEN bigram,
+    *    ln((c1+V)/(c2+1));
+    *  - `ctx(prev, unseen_nll)` — cost of an unseen continuation after
+    *    a KNOWN context, ln(c1+V) (add-one mass with c2=0);
+    *  - `consts(v, oov_nll)` — vocabulary size and the unknown-context
+    *    cost ln(V) ((0+1)/(0+V) — add-one with an empty context row).
+    *
+    * Every nll is rounded to DECIMAL(28,8) once at build time, so any
+    * engine that sums the persisted decimals reproduces scores exactly.
+    */
+  def saveBigramLm(refDocs: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifest
+    val g = bigrams(refDocs)
+    val c2 = g.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+      .localCheckpoint(true)
+    val vocab = c2.select(explode(array(col("prev"), col("cur"))).as("t"))
+      .agg(countDistinct(col("t")).cast("long").as("v"))
+    c2.join(c1, Seq("prev")).crossJoin(broadcast(vocab))
+      .select(col("prev"), col("cur"), expr(
+        "CAST(ln(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE)) AS DECIMAL(28,8))").as("nll"))
+      .write.mode("overwrite").parquet(s"$path/model")
+    c1.crossJoin(broadcast(vocab))
+      .select(col("prev"), expr(
+        "CAST(ln(CAST(c1 + v AS DOUBLE)) AS DECIMAL(28,8))").as("unseen_nll"))
+      .write.mode("overwrite").parquet(s"$path/ctx")
+    vocab.select(col("v"), expr(
+        "CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(28,8))").as("oov_nll"))
+      .write.mode("overwrite").parquet(s"$path/consts")
+    val (rows, maxId) = IndexManifest.watermark(refDocs, "doc_id")
+    IndexManifest.write(path,
+      IndexManifest.Manifest("bigram-lm", Map.empty, rows, maxId))
+  }
+
+  /** Score any corpus against a persisted [[saveBigramLm]] model —
+    * cross-domain perplexity, the operational half of CCNet's filter
+    * (reference-domain model, crawl-scale scoring). Out-of-model mass
+    * backs off in the add-one-consistent three-tier coalesce: seen
+    * bigram → model cost; unseen continuation of a known context → that
+    * context's `unseen_nll`; unknown context → the global `oov_nll`.
+    * Same output shape as [[bigramLm]]: (doc_id, n_bigrams, avg_nll).
+    *
+    * Scale shape: two left equi-joins of the gram stream against
+    * model-sized tables (one row per distinct reference bigram /
+    * context — NOT broadcast), one decimal sum per doc; the model is
+    * never retrained and the reference corpus is never re-read. The
+    * single collected row is the consts pair (the driver-constant
+    * device).
+    */
+  def bigramLmScoreIndexed(docs: DataFrame, path: String): DataFrame = {
+    import graft.sources.IndexManifest
+    IndexManifest.require(path, "bigram-lm")
+    val spark = docs.sparkSession
+    val model = spark.read.parquet(s"$path/model")
+    val ctx = spark.read.parquet(s"$path/ctx")
+    val consts = spark.read.parquet(s"$path/consts").head()
+    val oov = consts.getDecimal(consts.fieldIndex("oov_nll"))
+    bigrams(docs)
+      .join(model, Seq("prev", "cur"), "left_outer")
+      .join(ctx, Seq("prev"), "left_outer")
+      .withColumn("nll_eff", coalesce(col("nll"), col("unseen_nll"),
+        lit(oov).cast("decimal(28,8)")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("nll_eff")).as("sum_nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_nll").cast("double") / col("n_bigrams")).as("avg_nll"))
+  }
 }

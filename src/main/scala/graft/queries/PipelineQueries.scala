@@ -430,6 +430,19 @@ object PipelineQueries {
       Packing.packSequences(Tables.documents(spark, dir), CTX_LEN)
         .orderBy(col("ctx_id"), col("doc_id"))),
 
+    // the CCNet deployment shape proper: LM trained once on the
+    // trusted reference slice (lang='en'), persisted with the shared
+    // manifest device, then scoring the WHOLE corpus cross-domain with
+    // three-tier add-one OOV backoff (TextAnalysis.saveBigramLm /
+    // bigramLmScoreIndexed docs)
+    "d49_bigram_lm_xdomain" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val path = indexPath("d49-lm")
+      TextAnalysis.saveBigramLm(docs.filter(col("lang") === "en"), path)
+      TextAnalysis.bigramLmScoreIndexed(docs, path)
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -1918,6 +1931,35 @@ object PipelineQueries {
          |  CAST(least(start_token + n_tokens, (ctx_id + 1) * $CTX_LEN)
          |       - greatest(start_token, ctx_id * $CTX_LEN) AS BIGINT) AS len
          |FROM pctx ORDER BY ctx_id, doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.saveBigramLm + bigramLmScoreIndexed: the
+    // en-trained model recomputed from scratch (the round trip through
+    // parquet must be invisible), three-tier backoff as the same
+    // coalesce over two left joins
+    "d49_bigram_lm_xdomain" ->
+      s"""WITH rt AS (SELECT doc_id, string_split(text,' ') AS w
+         |           FROM documents WHERE lang = 'en'),
+         |rg AS (SELECT unnest(list_slice(w, 1, len(w)-1)) AS prev,
+         |        unnest(list_slice(w, 2, len(w))) AS cur FROM rt WHERE len(w) >= 2),
+         |rc2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM rg GROUP BY 1, 2),
+         |rc1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM rc2 GROUP BY 1),
+         |rv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+         |       FROM (SELECT unnest([prev, cur]) AS t FROM rc2)),
+         |rmodel AS (SELECT prev, cur,
+         |  CAST(ln(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE)) AS DECIMAL(28,8)) AS nll
+         |  FROM rc2 JOIN rc1 USING (prev) CROSS JOIN rv),
+         |rctx AS (SELECT prev, CAST(ln(CAST(c1 + v AS DOUBLE)) AS DECIMAL(28,8)) AS unseen_nll
+         |  FROM rc1 CROSS JOIN rv),
+         |roov AS (SELECT CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(28,8)) AS oov_nll FROM rv),
+         |st AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |sg AS (SELECT doc_id, unnest(list_slice(w, 1, len(w)-1)) AS prev,
+         |        unnest(list_slice(w, 2, len(w))) AS cur FROM st WHERE len(w) >= 2),
+         |sc AS (SELECT doc_id, coalesce(m.nll, x.unseen_nll, o.oov_nll) AS nll_eff
+         |  FROM sg LEFT JOIN rmodel m USING (prev, cur)
+         |  LEFT JOIN rctx x USING (prev) CROSS JOIN roov o)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(nll_eff) AS DOUBLE) / count(*) AS avg_nll
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.exactSubstrSpans over the shared ExactSubstr
     // chain (exSubstrCtes doc)

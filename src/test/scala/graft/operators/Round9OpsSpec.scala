@@ -297,6 +297,55 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(headMax <= tailMin)
   }
 
+  test("persisted bigram LM: manifest-gated, and all three backoff tiers fire cross-domain") {
+    val docs = Tables.documents(spark, dir)
+    val ref = docs.filter(col("lang") === "en")
+    val path = tmp("graft-lm-")
+    TextAnalysis.saveBigramLm(ref, path)
+    // manifest: right kind recorded, wrong-kind load is a named error
+    assert(IndexManifest.read(path).kind == "bigram-lm")
+    val e = intercept[IndexManifestException] {
+      Similarity.ivfSq8TopKIndexed(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, path, 3, 4)
+    }
+    assert(e.getMessage.contains("bigram-lm"))
+    // scoring the reference slice itself touches only the seen tier;
+    // the cross-domain corpus must exercise all three
+    val model = spark.read.parquet(s"$path/model")
+    val ctx = spark.read.parquet(s"$path/ctx")
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(w)), i -> struct(element_at(w, i - 1) AS prev, element_at(w, i) AS cur))")).as("b"))
+      .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val tiers = grams
+      .join(model.withColumn("seen", lit(1)), Seq("prev", "cur"), "left_outer")
+      .join(ctx.withColumn("known_ctx", lit(1)), Seq("prev"), "left_outer")
+      .agg(sum(col("seen")).as("seen"),
+        sum(when(col("seen").isNull && col("known_ctx") === 1, 1)).as("unseen_ctx")).head()
+    assert(tiers.getLong(0) > 0 && tiers.getLong(1) > 0)
+    // tier 3 (unknown context) never fires naturally — the languages
+    // share a vocabulary — so drive it with constructed unknown tokens:
+    // a doc of only-OOV grams must score exactly the persisted oov_nll
+    val oovNll = spark.read.parquet(s"$path/consts").head().getDecimal(1)
+    val oovDoc = Seq((900001L, "zzqa zzqb zzqc zzqd")).toDF("doc_id", "text")
+    val oovScore = TextAnalysis.bigramLmScoreIndexed(oovDoc, path).head()
+    assert(oovScore.getLong(1) == 3L)
+    // exact decimal sum of three oov terms, then the one double divide
+    assert(oovScore.getDouble(2) ==
+      oovNll.multiply(new java.math.BigDecimal(3)).doubleValue() / 3)
+    // every scored doc is finite and positive (nll of probabilities < 1)
+    val scored = TextAnalysis.bigramLmScoreIndexed(docs, path)
+    assert(scored.count() == docs.filter(size(split(col("text"), " ")) >= 2).count())
+    assert(scored.filter(col("avg_nll") <= 0 || col("avg_nll").isNull).count() == 0)
+    // cross-domain discrimination: the reference language scores lower
+    // (more model-like) on average than the rest of the corpus
+    val byLang = scored.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg(col("avg_nll")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) < byLang(false))
+  }
+
   // ---- packing (d47/d48) ----
 
   test("tokenOffsets: exact prefix sums of the hash60 order, invariant to bucketBits") {
