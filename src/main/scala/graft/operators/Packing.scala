@@ -77,6 +77,44 @@ object Packing {
         expr(s"CAST(start_token DIV $budget AS BIGINT)").as("shard_id"))
   }
 
+  /** Persist the sharded training corpus: [[tokenShards]]' assignment
+    * joined back to the text and written as parquet PARTITIONED BY
+    * shard_id, under the shared index manifest
+    * ([[graft.sources.IndexManifest]], kind "shards", params budget +
+    * bucketBits, watermarked on the corpus). Each shard is one
+    * partition directory of ~budget tokens — the equal-size training
+    * files a dataloader consumes — and a single-shard read is pruned at
+    * the file-index layer ([[readShard]]), never touching the other
+    * shards' files.
+    *
+    * The text join-back is one equi-join on doc_id (the assignment
+    * table is four longs per doc; text rides the join once, on its way
+    * to disk). The write itself shuffles on shard_id via a repartition
+    * so each shard lands as one file-group, not one file per task.
+    */
+  def saveTokenShards(docs: DataFrame, path: String, budget: Long,
+      bucketBits: Int = 8): Unit = {
+    import graft.sources.IndexManifest
+    tokenShards(docs, budget, bucketBits)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$path/shards")
+    val (rows, maxId) = IndexManifest.watermark(docs, "doc_id")
+    IndexManifest.write(path, IndexManifest.Manifest("shards",
+      Map("budget" -> budget, "bucket_bits" -> bucketBits.toLong), rows, maxId))
+  }
+
+  /** Read ONE shard from a [[saveTokenShards]] store — manifest-gated,
+    * and the shard_id literal lands in the scan's PartitionFilters
+    * (spec-asserted), so exactly one partition directory is read.
+    */
+  def readShard(spark: org.apache.spark.sql.SparkSession, path: String,
+      shardId: Long): DataFrame = {
+    graft.sources.IndexManifest.require(path, "shards")
+    spark.read.parquet(s"$path/shards").filter(col("shard_id") === shardId)
+  }
+
   /** Fixed-length context-window packing: the shuffled token stream is
     * cut into ctxLen-token windows and each document is mapped to the
     * span(s) it occupies — one row per (doc, window) with the window

@@ -443,6 +443,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the packing tail made durable: equal-token shards written as a
+    // shard_id-partitioned parquet store (manifest device), read back
+    // whole and summarized per shard with an order-independent content
+    // digest — the round trip through disk must be invisible
+    // (Packing.saveTokenShards doc; single-shard pruning spec-asserted)
+    "d50_shard_store" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val path = indexPath("d50-shards")
+      Packing.saveTokenShards(docs, path, SHARD_BUDGET)
+      graft.sources.IndexManifest.require(path, "shards")
+      spark.read.parquet(s"$path/shards")
+        .withColumn("h", Dedup.hash60(col("text")))
+        .groupBy(col("shard_id").cast("long").as("shard_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          expr("bit_xor(h)").as("text_h"))
+        .orderBy(col("shard_id"))
+    }),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -1960,6 +1979,19 @@ object PipelineQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(nll_eff) AS DOUBLE) / count(*) AS avg_nll
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Packing.saveTokenShards' store contents: d47's shard
+    // assignment re-joined to text, summarized per shard with an
+    // order-independent bit_xor over the hash60 content digests
+    "d50_shard_store" ->
+      s"""WITH $tokenOffsetCtes,
+         |psh AS (SELECT p.doc_id, p.n_tokens,
+         |  CAST(start_token // $SHARD_BUDGET AS BIGINT) AS shard_id, d.text
+         |  FROM pos p JOIN documents d USING (doc_id))
+         |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  bit_xor(${duckHash60("text")}) AS text_h
+         |FROM psh GROUP BY shard_id ORDER BY shard_id""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.exactSubstrSpans over the shared ExactSubstr
     // chain (exSubstrCtes doc)

@@ -385,6 +385,33 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shard store: single-shard reads prune at the file-index layer and round-trip exactly") {
+    val docs = Tables.documents(spark, dir)
+    val path = tmp("graft-shards-")
+    Packing.saveTokenShards(docs, path, budget = 2048L)
+    assert(IndexManifest.read(path).params("budget") == 2048L)
+    val one = Packing.readShard(spark, path, 0L)
+    one.count()
+    val p = one.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*shard_id#\\d+[^\\]]*0".r.findFirstIn(p).isDefined,
+      "shard_id literal must land in PartitionFilters\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // the store's shard-0 rows are exactly the direct assignment's
+    val direct = Packing.tokenShards(docs, 2048L).filter(col("shard_id") === 0)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("start_token"), col("text"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val got = one.select(col("doc_id"), col("n_tokens"), col("start_token"), col("text"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == direct)
+    // a grown corpus is caught by the freshness gate before stale reads
+    val grown = docs.union(docs.select(col("doc_id") + 500000,
+      col("text"), col("lang"), col("source"), col("n_chars")))
+    intercept[StaleIndexException] {
+      IndexManifest.requireFresh(path, grown, "doc_id")
+    }
+  }
+
   test("packSequences: windows tile exactly — full ctx windows sum to ctxLen, docs to n_tokens") {
     val ctx = 64
     val docs = Tables.documents(spark, dir)
