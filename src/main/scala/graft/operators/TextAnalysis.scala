@@ -453,19 +453,29 @@ object TextAnalysis {
     import graft.sources.IndexManifest
     IndexManifest.require(path, "bigram-lm")
     val spark = docs.sparkSession
-    val model = spark.read.parquet(s"$path/model")
-    val ctx = spark.read.parquet(s"$path/ctx")
-    val consts = spark.read.parquet(s"$path/consts").head()
-    val oov = consts.getDecimal(consts.fieldIndex("oov_nll"))
+    scoreWithBigramModel(docs,
+      spark.read.parquet(s"$path/model"),
+      spark.read.parquet(s"$path/ctx"),
+      spark.read.parquet(s"$path/consts").head()
+        .getDecimal(1))
+  }
+
+  /** The scoring kernel behind [[bigramLmScoreIndexed]], over
+    * already-loaded model frames — callers that score MANY corpora (or
+    * many micro-batches: [[graft.streaming.EventTimeOps]]'s LM gate)
+    * load/persist the tables once and call this per scoring pass
+    * instead of re-opening the store.
+    */
+  def scoreWithBigramModel(docs: DataFrame, model: DataFrame,
+      ctx: DataFrame, oovNll: java.math.BigDecimal): DataFrame =
     bigrams(docs)
       .join(model, Seq("prev", "cur"), "left_outer")
       .join(ctx, Seq("prev"), "left_outer")
       .withColumn("nll_eff", coalesce(col("nll"), col("unseen_nll"),
-        lit(oov).cast("decimal(28,8)")))
+        lit(oovNll).cast("decimal(28,8)")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum(col("nll_eff")).as("sum_nll"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("sum_nll").cast("double") / col("n_bigrams")).as("avg_nll"))
-  }
 }

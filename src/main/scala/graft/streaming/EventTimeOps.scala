@@ -195,6 +195,51 @@ object EventTimeOps {
     (writer, handle)
   }
 
+  /** CCNet's perplexity filter running AT INGEST: every micro-batch is
+    * scored against a persisted
+    * [[graft.operators.TextAnalysis.saveBigramLm]] store and split
+    * keep/drop by an `avg_nll` ceiling — the curation twin of
+    * [[bloomDedupIngest]], gating on quality instead of duplication.
+    * The scoring kernel is the BATCH operator verbatim
+    * ([[graft.operators.TextAnalysis.scoreWithBigramModel]] — the
+    * batch-twin discipline every streaming op here follows), so the
+    * gate's semantics are the oracle-verified d49 semantics per batch.
+    *
+    * Scale shape: the model tables are loaded and persisted ONCE at
+    * stream build (manifest-gated; they are reference-corpus-scale, not
+    * stream-scale) and joined against each micro-batch's gram stream;
+    * no per-batch disk re-open, no driver-side scoring, no keyed
+    * streaming state at all — a stateless map over batches, which is
+    * why no watermark is needed. Docs too short to have bigrams carry a
+    * null score and are KEPT (a length gate is d07/d14's job, not the
+    * LM's).
+    *
+    * Emits per non-empty batch via `sink`: (doc_id, avg_nll, keep).
+    */
+  def lmQualityGateIngest(stream: DataFrame, lmPath: String,
+      maxAvgNll: Double)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.TextAnalysis
+    import graft.sources.IndexManifest
+    val spark = stream.sparkSession
+    IndexManifest.require(lmPath, "bigram-lm")
+    val model = spark.read.parquet(s"$lmPath/model").persist()
+    val ctx = spark.read.parquet(s"$lmPath/ctx").persist()
+    val oov = spark.read.parquet(s"$lmPath/consts").head().getDecimal(1)
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        val scores = TextAnalysis.scoreWithBigramModel(
+          batch.select(col("doc_id"), col("text")), model, ctx, oov)
+        val decisions = batch.select(col("doc_id"))
+          .join(scores.select(col("doc_id"), col("avg_nll")),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("avg_nll"),
+            (col("avg_nll").isNull || col("avg_nll") <= maxAvgNll).as("keep"))
+        sink(decisions, batchId)
+      }
+    }
+  }
+
   /** Stream-stream inner join: comments matched to submissions in the
     * same subreddit within ±`withinSeconds` of event time. Watermarks on
     * BOTH sides bound the join state — Spark can drop buffered rows once

@@ -284,4 +284,61 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(sessions.contains((100L, 100L, 1L)), sessions.toString)
     assert(!sessions.exists(s => s._1 == 100L && s._2 == 1000L), sessions.toString)
   }
+
+  test("lmQualityGateIngest: per-batch decisions equal the batch scorer's; short docs kept") {
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("lang") === "en")
+    val path = Files.createTempDirectory("graft-lmgate-").toString
+    TextAnalysis.saveBigramLm(ref, path)
+    // three reference texts (model-like), two OOV-gibberish docs (high
+    // nll), one single-token doc (no bigrams → null score → kept)
+    val refTexts = ref.select(col("text")).limit(3)
+      .collect().map(_.getString(0))
+    val docs: Seq[(Long, String)] =
+      refTexts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }.toSeq ++
+        Seq((10L, "zzqa zzqb zzqc zzqd zzqe"), (11L, "zzqf zzqg zzqh"),
+          (12L, "solo"))
+    val static = docs.toDF("doc_id", "text")
+    val expected = static
+      .join(TextAnalysis.bigramLmScoreIndexed(static, path)
+        .select(col("doc_id"), col("avg_nll")), Seq("doc_id"), "left_outer")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // threshold between the reference texts and the gibberish — the
+    // model must separate them for a midpoint to exist at all
+    val refMax = Seq(1L, 2L, 3L).map(expected(_).get).max
+    val gibMin = Seq(10L, 11L).map(expected(_).get).min
+    assert(refMax < gibMin, s"model fails to separate: $refMax vs $gibMin")
+    val thr = (refMax + gibMin) / 2
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (Option[Double], Boolean)]
+    val q = EventTimeOps.lmQualityGateIngest(stream, path, thr)((out, _) =>
+      out.collect().foreach(r => got.put(r.getLong(0),
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2))))).start()
+    try {
+      input.addData(docs.take(4): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == docs.size)
+    docs.foreach { case (id, _) =>
+      val (score, keep) = got.get(id)
+      assert(score == expected(id), s"doc $id score")
+      assert(keep == score.forall(_ <= thr), s"doc $id keep")
+    }
+    // the gate discriminates: reference docs kept, gibberish dropped,
+    // the short doc kept with no score
+    assert(Seq(1L, 2L, 3L).forall(got.get(_)._2))
+    assert(Seq(10L, 11L).forall(!got.get(_)._2))
+    assert(got.get(12L) == ((None, true)))
+  }
 }
