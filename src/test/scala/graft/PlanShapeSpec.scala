@@ -296,4 +296,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "the shortlist fetch fell back to a corpus shuffle\n" + p.take(2000))
   }
+
+  test("d45: the scoring pass scans the corpus once — model consumers read checkpointed pair counts") {
+    // first-cut d45 scanned parquet 4x (one per model consumer); the
+    // localCheckpoint on c2 pins it to the single probe-side scan
+    val p = plan("d45_bigram_lm")
+    // formatted explain prints each node twice (tree + details): count
+    // the numbered detail headers, one per physical scan
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      "scoring must scan the corpus exactly once\n" +
+        p.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+  }
+
+  test("d46: ranking is bucket-partitioned windows over checkpointed scores — no corpus re-scan") {
+    // first-cut d46 recomputed the whole LM chain 3x (12 scans); the
+    // checkpointed lm plus the bucket grid leave zero parquet scans and
+    // a window partitioned by the grid, never one global doc partition
+    val p = plan("d46_ppl_tiers")
+    assert(!p.contains("Scan parquet"),
+      "tier ranking must not re-derive the LM\n" +
+        p.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+    assert(p.contains("hashpartitioning(bkt"),
+      "the rank window must partition by the score-grid bucket\n" + p.take(2000))
+  }
+
+  test("d47/d48: prefix-sum windows are bucket-partitioned; text is checkpointed to four longs") {
+    val p = plan("d47_token_shards")
+    assert(!p.contains("Scan parquet"),
+      "the totals side must not re-tokenize the corpus\n" +
+        p.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+    assert(p.contains("hashpartitioning(bkt"),
+      "the running sum must window per bucket, not one global partition\n" + p.take(2000))
+    val p2 = plan("d48_pack_ctx")
+    assert(!p2.contains("Scan parquet") && p2.contains("hashpartitioning(bkt"),
+      "packing shares the prefix-sum shape\n" + p2.take(2000))
+  }
+
+  test("d49: three-tier backoff is two equi left joins — no nested-loop fallback") {
+    val p = plan("d49_bigram_lm_xdomain")
+    assert(!p.contains("NestedLoop"),
+      "backoff joins must stay equi-joins\n" + p.take(2000))
+  }
 }
