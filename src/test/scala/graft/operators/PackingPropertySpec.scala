@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalacheck.{Gen, Test}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Properties
+
+/** Property invariants for the distributed prefix-sum device behind
+  * d47/d48: against RANDOM corpora and RANDOM bucket grids, the
+  * bucketed running-sums-plus-offsets construction must equal the
+  * sequential prefix sum over the hash60 order, and the context
+  * packing must tile exactly. Spark jobs are expensive per case, so
+  * bounded example counts (the RedditOpsPropertySpec discipline).
+  */
+object PackingPropertySpec extends Properties("Packing") {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6).withMaxSize(10)
+
+  /** Driver-side twin of [[Dedup.hash60]]. */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  private val genDoc: Gen[(Long, String)] = for {
+    id <- Gen.choose(1L, 100000L)
+    n <- Gen.choose(1, 25)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "ddd", "ee"))
+  } yield (id, ws.mkString(" "))
+
+  private val genCorpus: Gen[List[(Long, String)]] =
+    Gen.nonEmptyListOf(genDoc).map(_.distinctBy(_._1))
+
+  property("tokenOffsets = the sequential prefix sum over the hash60 order, for any bucket grid") =
+    forAll(genCorpus, Gen.choose(1, 12)) { (docs, bits) =>
+      val got = Packing.tokenOffsets(docs.toDF("doc_id", "text"), bits)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      var cum = 0L
+      val ok = docs
+        .map { case (id, t) => (id, h60(id.toString), t.split(" ", -1).length.toLong) }
+        .sortBy(d => (d._2, d._1))
+        .forall { case (id, _, n) =>
+          val hit = got.get(id).contains((n, cum)); cum += n; hit
+        }
+      ok && got.size == docs.size
+    }
+
+  property("packSequences tiles exactly: docs covered contiguously, full windows sum to ctxLen") =
+    forAll(genCorpus, Gen.choose(2, 17)) { (docs, ctx) =>
+      val rows = Packing.packSequences(docs.toDF("doc_id", "text"), ctx)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val total = docs.map(_._2.split(" ", -1).length.toLong).sum
+      val lastCtx = (total - 1) / ctx
+      val perCtx = rows.groupBy(_._2).view.mapValues(_.map(_._5).sum)
+      val ctxOk = perCtx.toMap.forall { case (cid, s) =>
+        if (cid < lastCtx) s == ctx else s == total - lastCtx * ctx
+      } && perCtx.size == lastCtx + 1
+      val nTok = docs.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+      val docOk = rows.groupBy(_._1).forall { case (id, spans) =>
+        val sorted = spans.sortBy(_._4)
+        sorted.head._4 == 0L && sorted.map(_._5).sum == nTok(id) &&
+          sorted.sliding(2).forall {
+            case Array(a, b) => b._4 == a._4 + a._5
+            case _           => true
+          }
+      }
+      ctxOk && docOk
+    }
+
+  property("tokenShards: shard_id = start_token div budget, start positions consistent with offsets") =
+    forAll(genCorpus, Gen.choose(3L, 64L)) { (docs, budget) =>
+      val df = docs.toDF("doc_id", "text")
+      val shards = Packing.tokenShards(df, budget)
+        .as[(Long, Long, Long, Long)].collect()
+      val offs = Packing.tokenOffsets(df)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      shards.forall { case (id, _, start, sid) =>
+        offs(id) == start && sid == start / budget
+      } && shards.length == docs.size
+    }
+}
