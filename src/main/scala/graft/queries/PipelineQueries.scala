@@ -39,6 +39,7 @@ object PipelineQueries {
 
   private val BM25_TERMS = Seq("table", "query", "spark") // d17 query terms
   private val LM_SCALE = 16      // d46 rank-bucket grid: floor(avg_nll*16)
+  private val SRP_DIMS = 16      // e35 sign-random-projection output dims
   private val SHARD_BUDGET = 4096L // d47 tokens per shard
   private val CTX_LEN = 128      // d48 context-window length (tokens)
 
@@ -730,6 +731,23 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K)
         .orderBy(col("query_id"))),
 
+    // the dimension-reduction rung: Achlioptas ±1 JL projection
+    // (64→16, derandomized via md5 so both engines inline the same
+    // matrix), ranked by reduced-space squared L2
+    // (Similarity.srpTopK doc)
+    "e35_srp_topk" -> ((spark: SparkSession, dir: String) =>
+      Similarity.srpTopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, SRP_DIMS)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // the dimension axis measured by the shared recall device — with
+    // e25 (precision axis) and e27 (coverage axis) this completes the
+    // three-way factoring of ANN loss (Similarity.annRecallSrp doc)
+    "e36_srp_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annRecallSrp(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, SRP_DIMS)
+        .orderBy(col("query_id"))),
+
     // IVF + SQ8 (FAISS IVFSQ): probe-bounded candidates, byte-code
     // scoring — the production middle ground; the flat e24 is the
     // measurement baseline, this is the scale path
@@ -875,6 +893,29 @@ object PipelineQueries {
     */
   private val vHeadRaw =
     "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
+
+  /** Mirror of [[graft.operators.Similarity.srpTopK]] (consumes `v`) —
+    * ends in `srp(query_id, neighbor_id, rp_dist)`. The ±1 matrix comes
+    * from the SAME [[graft.operators.Similarity.srpSignMatrix]] call
+    * the Spark side inlines; projection and distance are generated as
+    * strictly left-to-right chains matching the Spark fold's
+    * association, so every double agrees to the bit.
+    */
+  private lazy val srpCtes = {
+    val signs = Similarity.srpSignMatrix(SRP_DIMS, PQ_DIMS)
+    val projs = signs.map { row =>
+      "CAST(0.0 AS DOUBLE) " + row.zipWithIndex.map { case (s, i) =>
+        (if (s > 0) "+ " else "- ") + s"e[${i + 1}]"
+      }.mkString(" ")
+    }
+    val distChain = "CAST(0.0 AS DOUBLE) " + (1 to SRP_DIMS).map(k =>
+      s"+ (q.p[$k] - c.p[$k]) * (q.p[$k] - c.p[$k])").mkString(" ")
+    s"""sp AS (SELECT vec_id, [${projs.mkString(", ")}] AS p FROM v),
+       |srp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  $distChain AS rp_dist
+       |  FROM sp q JOIN sp c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)""".stripMargin
+      .replace("\n", " ")
+  }
 
   /** The `v` head over the UNIT-NORMALIZED corpus (mirror of
     * [[graft.operators.Similarity.unitNormalized]]): each component
@@ -2497,6 +2538,29 @@ object PipelineQueries {
 
     // mirror of Similarity.sq8TopK: the SQ8 chain under the shared
     // top-k tail — the compression ladder's 4× rung
+    // mirror of Similarity.srpTopK: the SAME driver-computed ±1 matrix
+    // (Similarity.srpSignMatrix) inlined as add/subtract chains, the
+    // same left-to-right association in both the projection and the
+    // distance fold — bit-identical reduced coordinates
+    "e35_srp_topk" ->
+      s"""WITH $vHeadRaw,
+         |$srpCtes,
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rp_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM srp)
+         |SELECT query_id, rk, neighbor_id, rp_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.annRecallSrp: e35's chain as the approx side
+    // of the shared recall tail
+    "e36_srp_recall" ->
+      s"""WITH $vHeadRaw,
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |$srpCtes,
+         |ap3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY rp_dist ASC, neighbor_id ASC) AS rk FROM srp) WHERE rk <= $PQ_K),
+         |$recallTailSql""".stripMargin.replace("\n", " "),
+
     "e24_sq8_topk" ->
       s"""WITH $vHeadRaw,
          |$sq8Ctes,

@@ -346,6 +346,16 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(byLang(true) < byLang(false))
   }
 
+  test("SRP: recall is nondecreasing in output dims — the JL ladder points the right way") {
+    val emb = Tables.embeddings(spark, dir)
+    val rs = Seq(4, 16, 32).map { od =>
+      Similarity.annRecallSrp(emb, col("vec_id") % 50 === 0, 3, od)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    }
+    assert(rs == rs.sorted, s"recall ladder must be nondecreasing: $rs")
+    assert(rs.last > 0.0, s"32 dims must recover something: $rs")
+  }
+
   // ---- packing (d47/d48) ----
 
   test("tokenOffsets: exact prefix sums of the hash60 order, invariant to bucketBits") {
