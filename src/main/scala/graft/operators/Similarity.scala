@@ -1513,6 +1513,32 @@ object Similarity {
       cosineTopK(emb, queryPred, k),
       srpTopK(emb, queryPred, k, outDims), k)
 
+  /** Two-stage SRP retrieval (e37): the reduced-space ranking proposes
+    * a shortlist, exact cosine re-orders it — [[rerankExact]], the ONE
+    * shared re-rank tail every index family here ends in (e20 PQ, e28
+    * IVF+SQ8). The JL estimate only has to get true neighbors INTO the
+    * shortlist, not order them — precisely the regime where a weak
+    * cheap estimator is still useful.
+    */
+  def srpRerankTopK(emb: DataFrame, queryPred: Column, k: Int,
+      shortlist: Int, outDims: Int = 16): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    rerankExact(emb, queryPred,
+      srpTopK(emb, queryPred, shortlist, outDims), k)
+  }
+
+  /** Recall@k of the re-ranked SRP path (e38) — ≥ e36 pointwise by the
+    * e21 dominance argument (exact ordering cannot displace a true
+    * top-k member already in the shortlist below rank k), spec-pinned.
+    * The (e36, e38) pair reads how much of the dimension axis' loss is
+    * shortlist-recoverable at a given depth.
+    */
+  def annRecallSrpReranked(emb: DataFrame, queryPred: Column, k: Int,
+      shortlist: Int, outDims: Int = 16): DataFrame =
+    recallOf(
+      cosineTopK(emb, queryPred, k),
+      srpRerankTopK(emb, queryPred, k, shortlist, outDims), k)
+
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

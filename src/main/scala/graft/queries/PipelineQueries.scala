@@ -748,6 +748,20 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, SRP_DIMS)
         .orderBy(col("query_id"))),
 
+    // SRP shortlist + the ONE shared exact re-rank tail
+    // (Similarity.srpRerankTopK doc)
+    "e37_srp_rerank" -> ((spark: SparkSession, dir: String) =>
+      Similarity.srpRerankTopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, RERANK_SHORTLIST, SRP_DIMS)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // ≥ e36 pointwise (spec-pinned dominance); the pair reads the
+    // shortlist-recoverable share of the dimension axis' loss
+    "e38_srp_rerank_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annRecallSrpReranked(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, RERANK_SHORTLIST, SRP_DIMS)
+        .orderBy(col("query_id"))),
+
     // IVF + SQ8 (FAISS IVFSQ): probe-bounded candidates, byte-code
     // scoring — the production middle ground; the flat e24 is the
     // measurement baseline, this is the scale path
@@ -2559,6 +2573,26 @@ object PipelineQueries {
          |ap3 AS (SELECT query_id, neighbor_id FROM
          |  (SELECT *, row_number() OVER (PARTITION BY query_id
          |     ORDER BY rp_dist ASC, neighbor_id ASC) AS rk FROM srp) WHERE rk <= $PQ_K),
+         |$recallTailSql""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.srpRerankTopK: e35's chain through the ONE
+    // shared re-rank tail (rerankCtesOver)
+    "e37_srp_rerank" ->
+      s"""WITH $vHeadRaw,
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |$srpCtes,
+         |${rerankCtesOver("srp", "rp_dist")}
+         |SELECT query_id, rk, neighbor_id, cosine FROM rrk WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.annRecallSrpReranked: e37's chain as the
+    // approx side of the shared recall tail
+    "e38_srp_rerank_recall" ->
+      s"""WITH $vHeadRaw,
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |$srpCtes,
+         |${rerankCtesOver("srp", "rp_dist")},
+         |ap3 AS (SELECT query_id, neighbor_id FROM rrk WHERE rk <= $PQ_K),
          |$recallTailSql""".stripMargin.replace("\n", " "),
 
     "e24_sq8_topk" ->

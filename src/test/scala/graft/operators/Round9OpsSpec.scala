@@ -356,6 +356,20 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(rs.last > 0.0, s"32 dims must recover something: $rs")
   }
 
+  test("SRP re-rank dominance: e38 >= e36 pointwise (exact ordering cannot lose shortlist members)") {
+    val emb = Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val raw = Similarity.annRecallSrp(emb, pred, 3, 16)
+      .select(col("query_id"), col("n_hit")).as[(Long, Long)].collect().toMap
+    val rr = Similarity.annRecallSrpReranked(emb, pred, 3, 12, 16)
+      .select(col("query_id"), col("n_hit")).as[(Long, Long)].collect().toMap
+    assert(raw.keySet == rr.keySet && raw.nonEmpty)
+    raw.foreach { case (q, h) => assert(rr(q) >= h, s"query $q: ${rr(q)} < $h") }
+    // and the lift is real on this corpus, not vacuous
+    assert(rr.values.sum > raw.values.sum,
+      s"re-rank must buy recall here: ${rr.values.sum} vs ${raw.values.sum}")
+  }
+
   // ---- packing (d47/d48) ----
 
   test("tokenOffsets: exact prefix sums of the hash60 order, invariant to bucketBits") {
