@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md /
   * FIXTURES.md §B). Plain `spark.read.parquet` so Catalyst drives predicate
@@ -28,7 +29,34 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** The `events` table with `ts` normalized to nanoseconds-since-epoch
+    * (LongType) regardless of how the driver regenerated the parquet.
+    *
+    * Two encodings have been observed across testdata generations:
+    *   - parquet TIMESTAMP(NANOS) → read as raw Long via the public
+    *     `spark.sql.legacy.parquet.nanosAsLong` conf (set in [[load]]);
+    *   - parquet timestamp[us] → read as TIMESTAMP_NTZ (or TIMESTAMP),
+    *     converted here with `unix_micros * 1000`.
+    *
+    * Every consumer ([[RedditView]], the relational q-family) does integer
+    * arithmetic on `ts` (`ts div 1000000000` for epoch seconds etc.), so the
+    * normalization happens once here and the downstream plans are unchanged.
+    * The NTZ→TIMESTAMP cast interprets the wall-clock in the session
+    * timezone; every graft session (Verify, Bench, SparkTestSession) pins
+    * `spark.sql.session.timeZone=UTC`, matching DuckDB's `epoch_ns(ts)`
+    * oracle reading, so the two engines agree bit-for-bit.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected LongType (nanosAsLong), TIMESTAMP_NTZ or TIMESTAMP")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
