@@ -101,8 +101,79 @@ object Packing {
       .write.mode("overwrite").partitionBy("shard_id")
       .parquet(s"$path/shards")
     val (rows, maxId) = IndexManifest.watermark(docs, "doc_id")
+    // total token count rides the manifest so the append path knows where
+    // the frozen token stream ends without rescanning history text; read
+    // from the just-written store (a column-pruned two-long scan, no
+    // re-tokenization)
+    val total = docs.sparkSession.read.parquet(s"$path/shards")
+      .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
     IndexManifest.write(path, IndexManifest.Manifest("shards",
-      Map("budget" -> budget, "bucket_bits" -> bucketBits.toLong), rows, maxId))
+      Map("budget" -> budget, "bucket_bits" -> bucketBits.toLong,
+        "n_tokens_total" -> total), rows, maxId))
+  }
+
+  /** Incremental append to a [[saveTokenShards]] store — the frozen-book
+    * pattern ([[graft.operators.Similarity]] `appendIvfSq8Index` is the
+    * template) applied to the training-shard layout: existing shard files
+    * are NEVER rewritten (file-level no-recompute, spec-pinned), the
+    * increment's documents are placed AFTER the frozen token stream, and
+    * the manifest watermark advances so [[readShard]] consumers see one
+    * consistent store.
+    *
+    * Placement semantics: history keeps its deterministic hash60-shuffled
+    * order and its start_tokens verbatim; the increment is prefix-summed
+    * in the SAME deterministic order among itself and offset by the
+    * frozen stream's total length (manifest param `n_tokens_total`). So
+    * the boundary shard may gain documents (it was the partially-filled
+    * tail) and new tail shards appear — exactly the dataloader-friendly
+    * contract: shard files already consumed by a training job are
+    * immutable, growth lands in new (or the one partial) shard
+    * directories as NEW files only.
+    *
+    * This is deliberately NOT equal to a full rebuild on the grown
+    * corpus: a rebuild re-interleaves the global shuffle and reassigns
+    * every start_token (rewriting every shard file). The registered
+    * oracle (d51) checks the documented two-stage semantics instead —
+    * history chain frozen, increment chain offset by the history total.
+    *
+    * Requirements (loud, named errors): the store must be a manifested
+    * "shards" index, and the increment's ids must be strictly above the
+    * manifest watermark (the append-only corpus contract that makes the
+    * (rows, maxId) freshness pair sufficient).
+    */
+  def appendTokenShards(newDocs: DataFrame, path: String): Unit = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val m = IndexManifest.require(path, "shards")
+    val budget = m.params.getOrElse("budget",
+      throw new IndexManifestException(s"shards index at $path has no 'budget' param"))
+    val bucketBits = m.params.getOrElse("bucket_bits", 8L).toInt
+    val base = m.params.getOrElse("n_tokens_total",
+      throw new IndexManifestException(
+        s"shards index at $path predates incremental append (no 'n_tokens_total') — rebuild once"))
+    val head = newDocs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val (rows, minId, maxId) =
+      (head.getLong(0), if (head.isNullAt(1)) Long.MaxValue else head.getLong(1),
+        if (head.isNullAt(2)) -1L else head.getLong(2))
+    if (rows == 0L) return // empty increment: the no-op append
+    if (minId <= m.corpusMaxId)
+      throw new IndexManifestException(
+        s"append increment min doc_id $minId is not above the store watermark " +
+          s"${m.corpusMaxId} — increments must be id-monotone (rebuild for rewrites)")
+    // increment-local prefix sum in the same deterministic order, then
+    // offset by the frozen stream's length (both references to the input
+    // start_token column — the local offset)
+    val asg = tokenOffsets(newDocs, bucketBits)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("start_token") + base).as("start_token"),
+        expr(s"CAST((start_token + $base) DIV $budget AS BIGINT)").as("shard_id"))
+    asg.join(newDocs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .repartition(col("shard_id"))
+      .write.mode("append").partitionBy("shard_id")
+      .parquet(s"$path/shards")
+    val incr = asg.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+    IndexManifest.write(path, IndexManifest.Manifest("shards",
+      m.params + ("n_tokens_total" -> (base + incr)),
+      m.corpusRows + rows, maxId))
   }
 
   /** Read ONE shard from a [[saveTokenShards]] store — manifest-gated,

@@ -463,6 +463,31 @@ object PipelineQueries {
         .orderBy(col("shard_id"))
     }),
 
+    // the GROWN shard store (d51): history shards frozen at the 3/4
+    // cut, the rest appended AFTER the frozen token stream with
+    // Packing.appendTokenShards (existing files never rewritten —
+    // Round10OpsSpec pins file-level no-recompute), the whole store
+    // summarized per shard like d50. requireFresh proves the manifest
+    // watermark advanced to the grown corpus. The oracle recomputes the
+    // documented two-stage placement (history chain verbatim, increment
+    // chain offset by the history total) — NOT a full rebuild, which
+    // would re-interleave the global shuffle (appendTokenShards doc).
+    "d51_shard_append" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("d51-shards")
+      Packing.saveTokenShards(docs.filter(col("doc_id") <= cut), path, SHARD_BUDGET)
+      Packing.appendTokenShards(docs.filter(col("doc_id") > cut), path)
+      graft.sources.IndexManifest.requireFresh(path, docs, "doc_id")
+      spark.read.parquet(s"$path/shards")
+        .withColumn("h", Dedup.hash60(col("text")))
+        .groupBy(col("shard_id").cast("long").as("shard_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          expr("bit_xor(h)").as("text_h"))
+        .orderBy(col("shard_id"))
+    }),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -1406,15 +1431,26 @@ object PipelineQueries {
     * high-8-bit bucket, within-bucket running sums plus per-bucket base
     * offsets. Shared by d47 and d48.
     */
-  private val tokenOffsetCtes =
-    s"""pb AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-       |  ${duckHash60("CAST(doc_id AS VARCHAR)")} AS k FROM documents),
-       |pbb AS (SELECT *, k >> 52 AS bkt FROM pb),
-       |pwc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bkt ORDER BY k, doc_id) AS cum FROM pbb),
-       |pbo AS (SELECT bkt, CAST(sum(bt) OVER (ORDER BY bkt) - bt AS BIGINT) AS off
-       |        FROM (SELECT bkt, sum(n_tokens) AS bt FROM pbb GROUP BY 1)),
-       |pos AS (SELECT doc_id, n_tokens, CAST(off + cum - n_tokens AS BIGINT) AS start_token
-       |        FROM pwc JOIN pbo USING (bkt))""".stripMargin.replace("\n", " ")
+  /** The distributed-prefix-sum chain ([[graft.operators.Packing]]
+    * `tokenOffsets` mirror) with prefixed CTE names and an optional
+    * source filter, so d51 can run it twice in one query (history
+    * frozen, increment offset) without name collisions. Ends in
+    * `${p}os(doc_id, n_tokens, start_token)`; `${p}b` carries the raw
+    * (doc_id, n_tokens, k) rows for totals.
+    */
+  private def tokenOffsetCtesFor(p: String, where: String = "") =
+    s"""${p}b AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |  ${duckHash60("CAST(doc_id AS VARCHAR)")} AS k FROM documents $where),
+       |${p}bb AS (SELECT *, k >> 52 AS bkt FROM ${p}b),
+       |${p}wc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bkt ORDER BY k, doc_id) AS cum FROM ${p}bb),
+       |${p}bo AS (SELECT bkt, CAST(sum(bt) OVER (ORDER BY bkt) - bt AS BIGINT) AS off
+       |        FROM (SELECT bkt, sum(n_tokens) AS bt FROM ${p}bb GROUP BY 1)),
+       |${p}os AS (SELECT doc_id, n_tokens, CAST(off + cum - n_tokens AS BIGINT) AS start_token
+       |        FROM ${p}wc JOIN ${p}bo USING (bkt))""".stripMargin.replace("\n", " ")
+
+  // the shared single-corpus instance: names pb/pbb/pwc/pbo/pos, exactly
+  // the chain d47/d48/d50 have always composed over
+  private val tokenOffsetCtes = tokenOffsetCtesFor("p")
 
   /** Mirror of [[graft.operators.Sampling.stratified]] over the
     * language strata — ends in `u(doc_id, stratum, u)`; pair with
@@ -2043,6 +2079,27 @@ object PipelineQueries {
          |psh AS (SELECT p.doc_id, p.n_tokens,
          |  CAST(start_token // $SHARD_BUDGET AS BIGINT) AS shard_id, d.text
          |  FROM pos p JOIN documents d USING (doc_id))
+         |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  bit_xor(${duckHash60("text")}) AS text_h
+         |FROM psh GROUP BY shard_id ORDER BY shard_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Packing.appendTokenShards' two-stage placement: the
+    // history chain (doc_id <= 3/4 cut) runs the shared prefix sum
+    // verbatim; the increment chain prefix-sums among itself and is
+    // offset by the history token total; shard ids derive from the
+    // combined stream. Same per-shard summary as d50.
+    "d51_shard_append" ->
+      s"""WITH cutv AS (SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) AS cut FROM documents),
+         |${tokenOffsetCtesFor("h", "WHERE doc_id <= (SELECT cut FROM cutv)")},
+         |htot AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS base FROM hb),
+         |${tokenOffsetCtesFor("i", "WHERE doc_id > (SELECT cut FROM cutv)")},
+         |allpos AS (SELECT doc_id, n_tokens, start_token FROM hos
+         |  UNION ALL SELECT doc_id, n_tokens, start_token + base AS start_token
+         |  FROM ios CROSS JOIN htot),
+         |psh AS (SELECT a.doc_id, a.n_tokens,
+         |  CAST(start_token // $SHARD_BUDGET AS BIGINT) AS shard_id, d.text
+         |  FROM allpos a JOIN documents d USING (doc_id))
          |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  bit_xor(${duckHash60("text")}) AS text_h

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.sources.{IndexManifest, IndexManifestException, Tables}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 specs, headlined by the shard-store incremental append
+  * (d51): [[Packing.appendTokenShards]] applies the e33 frozen-book
+  * pattern to the training-shard layout — existing shard FILES are
+  * never rewritten, the increment lands after the frozen token stream,
+  * and the manifest watermark advances to the grown corpus.
+  */
+class Round10OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private val BUDGET = 4096L
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def shardFiles(path: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(java.nio.file.Paths.get(path, "shards")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.size(p)).toMap
+  }
+
+  test("appendTokenShards: history shard files untouched, increment placed after the frozen stream, watermark advances") {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    val history = docs.filter(col("doc_id") <= cut)
+    val increment = docs.filter(col("doc_id") > cut)
+    val path = tmp("graft-shapp-")
+    Packing.saveTokenShards(history, path, BUDGET)
+    val base = IndexManifest.require(path, "shards").params("n_tokens_total")
+    assert(base > 0L)
+    // the frozen assignment, captured before the append
+    val beforeAsg = spark.read.parquet(s"$path/shards")
+      .select(col("doc_id"), col("start_token")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val beforeFiles = shardFiles(path)
+
+    Packing.appendTokenShards(increment, path)
+
+    // file-level no-recompute: every pre-append file survives with its
+    // exact size; growth is NEW files only
+    val afterFiles = shardFiles(path)
+    assert(beforeFiles.forall { case (f, sz) => afterFiles.get(f).contains(sz) },
+      "a history shard file was rewritten by the append")
+    assert(afterFiles.size > beforeFiles.size, "no new shard files appended")
+
+    val store = spark.read.parquet(s"$path/shards")
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        col("shard_id").cast("long").as("shard_id")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // history start_tokens are bit-frozen; increment docs all land at or
+    // after the frozen stream's end, contiguously (total span = sum)
+    beforeAsg.foreach { case (id, st) => assert(store(id)._2 == st,
+      s"history doc $id moved: $st -> ${store(id)._2}") }
+    val incrIds = increment.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(incrIds.nonEmpty && incrIds.forall(id => store(id)._2 >= base))
+    assert(store.keySet == beforeAsg.keySet ++ incrIds)
+    // shard_id stays derived from the global position everywhere
+    store.foreach { case (id, (_, st, sh)) => assert(sh == st / BUDGET,
+      s"doc $id shard $sh != start_token $st DIV $BUDGET") }
+    // the packing invariant survives the append: starts tile exactly
+    val spans = store.values.map { case (n, st, _) => (st, n) }.toSeq.sortBy(_._1)
+    spans.foldLeft(0L) { case (expectSt, (st, n)) =>
+      assert(st == expectSt, s"token stream has a gap/overlap at $st (expected $expectSt)")
+      st + n
+    }
+    // manifest: fresh vs the grown corpus, stale vs history; token total
+    // advanced by exactly the increment's tokens
+    assert(IndexManifest.isFresh(path, docs, "doc_id"))
+    assert(!IndexManifest.isFresh(path, history, "doc_id"))
+    val m = IndexManifest.require(path, "shards")
+    assert(m.params("n_tokens_total") == spans.map(_._2).sum)
+  }
+
+  test("appendTokenShards: a non-monotone (overlapping) increment is a named error") {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    val path = tmp("graft-shovl-")
+    Packing.saveTokenShards(docs.filter(col("doc_id") <= cut), path, BUDGET)
+    val e = intercept[IndexManifestException] {
+      Packing.appendTokenShards(docs.filter(col("doc_id") > cut / 2), path)
+    }
+    assert(e.getMessage.contains("id-monotone"))
+  }
+
+  test("appendTokenShards: wrong index kind is a named error; empty increment is a no-op") {
+    val docs = Tables.documents(spark, dir)
+    val gramPath = tmp("graft-shkind-")
+    Dedup.saveGramIndex(docs, gramPath, minLen = 8)
+    val e = intercept[IndexManifestException] {
+      Packing.appendTokenShards(docs, gramPath)
+    }
+    assert(e.getMessage.contains("shards"))
+
+    val path = tmp("graft-shempty-")
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    Packing.saveTokenShards(docs.filter(col("doc_id") <= cut), path, BUDGET)
+    val before = shardFiles(path)
+    val mBefore = IndexManifest.read(path)
+    Packing.appendTokenShards(docs.filter(col("doc_id") > cut * 100), path)
+    assert(shardFiles(path) == before && IndexManifest.read(path) == mBefore,
+      "an empty increment perturbed the store")
+  }
+
+  test("appendTokenShards: readShard still prunes to one partition on the grown store") {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    val path = tmp("graft-shread-")
+    Packing.saveTokenShards(docs.filter(col("doc_id") <= cut), path, BUDGET)
+    Packing.appendTokenShards(docs.filter(col("doc_id") > cut), path)
+    val df = Packing.readShard(spark, path, 0L)
+    assert(df.count() > 0)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("shard_id"),
+      s"single-shard read is not partition-pruned:\n$scan")
+  }
+}
