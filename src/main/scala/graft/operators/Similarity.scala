@@ -1539,6 +1539,86 @@ object Similarity {
       cosineTopK(emb, queryPred, k),
       srpRerankTopK(emb, queryPred, k, shortlist, outDims), k)
 
+  /** The outDims-bit SIGN SIGNATURE of the SRP projection — bit k−1 is
+    * set iff component k is ≥ 0 (ties to +, both engines). The sign
+    * bits are exactly what random-hyperplane LSH retains of the
+    * projection; [[srpBucketTopK]] buckets on them.
+    */
+  private def srpSigExpr(outDims: Int): Column = expr(
+    (1 to outDims).map { k =>
+      s"(CASE WHEN element_at(p, $k) >= 0.0D THEN ${1L << (k - 1)}L ELSE 0L END)"
+    }.mkString(" + "))
+
+  /** Bucketed SRP serve path (e39): the e35 rung turned into an INDEX
+    * shape, completing the family the way e31 did for IVF+SQ8. The
+    * sign bits of the projection form an outDims-bit signature, split
+    * into radius+1 equal Hamming blocks (the d30 multi-index device,
+    * Dedup.simhashHammingPairs); a corpus row is a candidate iff it
+    * shares at least one whole block with the query. By pigeonhole a
+    * signature within Hamming distance `radius` of the query's MUST
+    * agree on some block — full candidate recall at the radius in
+    * signature space (spec-pinned against a brute-force reference).
+    * Candidates are then ranked by the same reduced-space L2 as e35.
+    *
+    * Scale shape: corpus and queries each explode to radius+1 block
+    * keys; candidates come from an EQUI-join on (block position, block
+    * value) against the broadcast query blocks — probe-bounded by
+    * bucket occupancy, never the flat queries × corpus nested-loop scan
+    * of e35 (plan-shape spec pins no nested-loop join). Multi-block
+    * matches dedupe in the same aggregation that carries the (identical)
+    * distance — the shuffle moves (query, neighbor, dist) triples, not
+    * projection arrays.
+    */
+  def srpBucketTopK(emb: DataFrame, queryPred: Column, k: Int,
+      outDims: Int = 16, radius: Int = 3): DataFrame = {
+    val nBlocks = radius + 1
+    require(outDims % nBlocks == 0,
+      s"outDims ($outDims) must split into radius+1 ($nBlocks) equal blocks")
+    val bs = outDims / nBlocks
+    val mask = (1L << bs) - 1
+    val dims = 64 // embedding width (TESTDATA.md), static like PQ_DIMS
+    val proj = normalized(emb)
+      .withColumn("p", srpProject(srpSignMatrix(outDims, dims)))
+      .withColumn("sig", srpSigExpr(outDims))
+    val blockArr = array((0 until nBlocks).map { j =>
+      struct(lit(j).as("bpos"), expr(s"shiftright(sig, ${j * bs}) & $mask").as("bval"))
+    }: _*)
+    val cBlk = proj
+      .select(col("vec_id").as("neighbor_id"), col("p").as("np"),
+        explode(blockArr).as("b"))
+      .select(col("neighbor_id"), col("np"), col("b.bpos").as("bpos"), col("b.bval").as("bval"))
+    val qBlk = proj.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"),
+        explode(blockArr).as("b"))
+      .select(col("query_id"), col("qp"), col("b.bpos").as("bpos"), col("b.bval").as("bval"))
+    val cand = cBlk.join(broadcast(qBlk), Seq("bpos", "bval"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), expr(
+        "aggregate(zip_with(qp, np, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+        .as("rp_dist"))
+      // a pair matching on m blocks appears m times with IDENTICAL
+      // distances — min() is the dedup, and the shuffle carries triples
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("rp_dist")).as("rp_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rp_dist").asc, col("neighbor_id").asc)
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("rp_dist"))
+  }
+
+  /** Recall@k of the bucketed SRP path (e40) — the shared device over
+    * [[srpBucketTopK]]. Read beside e36 (the flat SRP rung): the delta
+    * is pure bucket-coverage loss on the dimension axis, the same
+    * factoring the (e27, e25) pair gives the IVF+SQ8 family.
+    */
+  def annRecallSrpBucket(emb: DataFrame, queryPred: Column, k: Int,
+      outDims: Int = 16, radius: Int = 3): DataFrame =
+    recallOf(
+      cosineTopK(emb, queryPred, k),
+      srpBucketTopK(emb, queryPred, k, outDims, radius), k)
+
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

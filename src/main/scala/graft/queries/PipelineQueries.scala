@@ -40,6 +40,7 @@ object PipelineQueries {
   private val BM25_TERMS = Seq("table", "query", "spark") // d17 query terms
   private val LM_SCALE = 16      // d46 rank-bucket grid: floor(avg_nll*16)
   private val SRP_DIMS = 16      // e35 sign-random-projection output dims
+  private val SRP_RADIUS = 3     // e39 Hamming radius → 4 sign-bit blocks
   private val SHARD_BUDGET = 4096L // d47 tokens per shard
   private val CTX_LEN = 128      // d48 context-window length (tokens)
 
@@ -787,6 +788,24 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, RERANK_SHORTLIST, SRP_DIMS)
         .orderBy(col("query_id"))),
 
+    // the SRP rung as an INDEX (e39): sign-bit signature split into
+    // Hamming blocks (the d30 multi-index device), candidates from the
+    // block equi-join against broadcast query blocks — probe-bounded,
+    // never e35's flat nested-loop scan (plan pinned in Round10OpsSpec)
+    // (Similarity.srpBucketTopK doc)
+    "e39_srp_bucket_topk" -> ((spark: SparkSession, dir: String) =>
+      Similarity.srpBucketTopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, SRP_DIMS, SRP_RADIUS)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // e39 measured by the shared recall device; read beside e36 — the
+    // delta is pure bucket-coverage loss on the dimension axis
+    // (Similarity.annRecallSrpBucket doc)
+    "e40_srp_bucket_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annRecallSrpBucket(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, SRP_DIMS, SRP_RADIUS)
+        .orderBy(col("query_id"))),
+
     // IVF + SQ8 (FAISS IVFSQ): probe-bounded candidates, byte-code
     // scoring — the production middle ground; the flat e24 is the
     // measurement baseline, this is the scale path
@@ -940,20 +959,48 @@ object PipelineQueries {
     * strictly left-to-right chains matching the Spark fold's
     * association, so every double agrees to the bit.
     */
-  private lazy val srpCtes = {
+  private lazy val srpProjCte = {
     val signs = Similarity.srpSignMatrix(SRP_DIMS, PQ_DIMS)
     val projs = signs.map { row =>
       "CAST(0.0 AS DOUBLE) " + row.zipWithIndex.map { case (s, i) =>
         (if (s > 0) "+ " else "- ") + s"e[${i + 1}]"
       }.mkString(" ")
     }
-    val distChain = "CAST(0.0 AS DOUBLE) " + (1 to SRP_DIMS).map(k =>
-      s"+ (q.p[$k] - c.p[$k]) * (q.p[$k] - c.p[$k])").mkString(" ")
-    s"""sp AS (SELECT vec_id, [${projs.mkString(", ")}] AS p FROM v),
+    s"sp AS (SELECT vec_id, [${projs.mkString(", ")}] AS p FROM v)"
+  }
+
+  /** The reduced-space squared-L2 chain between aliases q and c — the
+    * same left-to-right association as the Spark fold.
+    */
+  private def srpDistChain = "CAST(0.0 AS DOUBLE) " + (1 to SRP_DIMS).map(k =>
+    s"+ (q.p[$k] - c.p[$k]) * (q.p[$k] - c.p[$k])").mkString(" ")
+
+  private lazy val srpCtes =
+    s"""$srpProjCte,
        |srp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |  $distChain AS rp_dist
+       |  $srpDistChain AS rp_dist
        |  FROM sp q JOIN sp c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)""".stripMargin
       .replace("\n", " ")
+
+  /** Mirror of [[graft.operators.Similarity.srpBucketTopK]]'s candidate
+    * scoring (consumes `sp`) — ends in `sbk(query_id, neighbor_id,
+    * rp_dist)`. The share-a-block predicate is the OR over per-block
+    * equalities — set-equal to the Spark side's exploded equi-join +
+    * dedup (a pair matching m blocks appears once here, m identical
+    * times there before its min() dedup).
+    */
+  private lazy val srpBucketCtes = {
+    val bs = SRP_DIMS / (SRP_RADIUS + 1)
+    val mask = (1L << bs) - 1
+    val sigExpr = (1 to SRP_DIMS).map(k =>
+      s"(CASE WHEN p[$k] >= 0 THEN ${1L << (k - 1)} ELSE 0 END)").mkString(" + ")
+    val blockOr = (0 to SRP_RADIUS).map(j =>
+      s"((c.sig >> ${j * bs}) & $mask) = ((q.sig >> ${j * bs}) & $mask)").mkString(" OR ")
+    s"""sg AS (SELECT vec_id, p, CAST($sigExpr AS BIGINT) AS sig FROM sp),
+       |sbk AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  $srpDistChain AS rp_dist
+       |  FROM sg c JOIN sg q ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+       |    AND ($blockOr))""".stripMargin.replace("\n", " ")
   }
 
   /** The `v` head over the UNIT-NORMALIZED corpus (mirror of
@@ -2650,6 +2697,29 @@ object PipelineQueries {
          |$srpCtes,
          |${rerankCtesOver("srp", "rp_dist")},
          |ap3 AS (SELECT query_id, neighbor_id FROM rrk WHERE rk <= $PQ_K),
+         |$recallTailSql""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.srpBucketTopK: the block-share candidate set
+    // (srpBucketCtes) under the shared top-k tail
+    "e39_srp_bucket_topk" ->
+      s"""WITH $vHeadRaw,
+         |$srpProjCte,
+         |$srpBucketCtes,
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rp_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sbk)
+         |SELECT query_id, rk, neighbor_id, rp_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.annRecallSrpBucket: e39's chain as the
+    // approx side of the shared recall tail
+    "e40_srp_bucket_recall" ->
+      s"""WITH $vHeadRaw,
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |$srpProjCte,
+         |$srpBucketCtes,
+         |ap3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY rp_dist ASC, neighbor_id ASC) AS rk FROM sbk) WHERE rk <= $PQ_K),
          |$recallTailSql""".stripMargin.replace("\n", " "),
 
     "e24_sq8_topk" ->

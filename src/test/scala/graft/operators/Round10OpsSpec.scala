@@ -110,6 +110,65 @@ class Round10OpsSpec extends AnyFunSuite {
       "an empty increment perturbed the store")
   }
 
+  test("srpBucketTopK: equals a brute-force share-a-block reference; hamming<=radius pairs are never lost") {
+    val emb = Tables.embeddings(spark, dir)
+    val (outDims, radius, k) = (16, 3, 3)
+    val nBlocks = radius + 1
+    val bs = outDims / nBlocks
+    val mask = (1L << bs) - 1
+    // brute-force reference from the driver: project with the SAME
+    // derandomized matrix, sign-bit signature, candidates = pairs
+    // sharing >= 1 block, rank by reduced-space L2
+    val signs = Similarity.srpSignMatrix(outDims, 64)
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1).map(_.toDouble)
+        val p = signs.map(row => row.zipWithIndex.foldLeft(0.0) {
+          case (acc, (s, i)) => if (s > 0) acc + e(i) else acc - e(i)
+        })
+        val sig = p.zipWithIndex.map { case (x, i) =>
+          if (x >= 0.0) 1L << i else 0L }.sum
+        (r.getLong(0), p, sig)
+      }
+    def blocks(sig: Long): Seq[Long] =
+      (0 until nBlocks).map(j => (sig >> (j * bs)) & mask)
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val queries = rows.filter(_._1 % 50 == 0)
+    val expected = queries.flatMap { case (qid, qp, qsig) =>
+      val cands = rows.filter { case (nid, _, nsig) =>
+        nid != qid && blocks(nsig).zip(blocks(qsig)).exists(p => p._1 == p._2)
+      }
+      // pigeonhole: every hamming<=radius signature must be a candidate
+      rows.foreach { case (nid, _, nsig) =>
+        if (nid != qid && hamming(nsig, qsig) <= radius)
+          assert(cands.exists(_._1 == nid),
+            s"neighbor $nid at hamming ${hamming(nsig, qsig)} <= $radius not a candidate of $qid")
+      }
+      cands.map { case (nid, np, _) =>
+        val d = qp.zip(np).foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
+        (qid, nid, d)
+      }.sortBy(t => (t._3, t._2)).take(k).zipWithIndex
+        .map { case ((q, n, d), i) => (q, (i + 1).toLong, n, d) }
+    }.toSet
+    val got = Similarity.srpBucketTopK(emb, col("vec_id") % 50 === 0, k, outDims, radius)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
+  test("srpBucketTopK: the serve plan is the block equi-join, not a nested-loop scan") {
+    val emb = Tables.embeddings(spark, dir)
+    val plan = Similarity.srpBucketTopK(emb, col("vec_id") % 50 === 0, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketed SRP fell back to a per-query corpus scan:\n$plan")
+    assert(plan.contains("bpos") && plan.contains("bval"),
+      "the join is not keyed on the Hamming blocks")
+    // contrast: the flat e35 rung IS the nested-loop scan by design
+    val flat = Similarity.srpTopK(emb, col("vec_id") % 50 === 0, 3)
+      .queryExecution.executedPlan.toString
+    assert(flat.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("appendTokenShards: readShard still prunes to one partition on the grown store") {
     val docs = Tables.documents(spark, dir)
     val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
