@@ -205,6 +205,65 @@ object SseBenchMain {
           f"ingest-sink appends; rc segments $segsBefore→$segsAfter, compaction " +
           s"${if (segsAfter < segsBefore + 5) "FIRED" else "DID NOT FIRE"})")
       } finally { ingest.stop(); rrIngest.stop() }
+
+      // LM QUALITY GATE (round 10): the CCNet perplexity filter at
+      // ingest (EventTimeOps.lmQualityGateIngest) measured against an
+      // identical pass-through stream — the gate's cost is model joins
+      // over each micro-batch's gram stream, so the with/without pair
+      // prices the filter in ev/s, not folklore. Docs cycle the real
+      // sf0.001 corpus texts (realistic token counts); same feed
+      // rhythm both runs (10 × 2k-doc chunks, processed per chunk).
+      {
+        import graft.operators.TextAnalysis
+        val refDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        val lmPath = Files.createTempDirectory("sbench-lm").toString
+        TextAnalysis.saveBigramLm(refDocs.filter($"lang" === "en"), lmPath)
+        val texts = refDocs.select($"text").limit(500).collect().map(_.getString(0))
+        val total = 20000
+        val chunk = 2000
+        val docs = (0 until total).map(i => (i.toLong, texts(i % texts.length)))
+        // midpoint threshold from the batch scorer so the gate actually
+        // splits the stream (an all-keep run would under-price the gate)
+        val thr = {
+          val s = TextAnalysis.bigramLmScoreIndexed(
+            docs.take(chunk).toDF("doc_id", "text"), lmPath)
+            .agg(org.apache.spark.sql.functions.expr("percentile(avg_nll, 0.5)"))
+            .head().getDouble(0)
+          s
+        }
+        def gateRun(withGate: Boolean): (Double, Long, Long) = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val stream = mem.toDF().toDF("doc_id", "text")
+          val seen = new java.util.concurrent.atomic.AtomicLong
+          val kept = new java.util.concurrent.atomic.AtomicLong
+          val writer =
+            if (withGate) EventTimeOps.lmQualityGateIngest(stream, lmPath, thr) {
+              (out, _) =>
+                val rows = out.select($"keep").collect()
+                seen.addAndGet(rows.length)
+                kept.addAndGet(rows.count(_.getBoolean(0)))
+            }
+            else stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                seen.addAndGet(b.count()); ()
+            }
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            docs.grouped(chunk).foreach { g =>
+              mem.addData(g: _*); q.processAllAvailable()
+            }
+          } finally q.stop()
+          require(seen.get() == total, s"INVALID RUN: saw ${seen.get()} of $total")
+          ((System.nanoTime() - t0) / 1e9, seen.get(), kept.get())
+        }
+        gateRun(withGate = false) // warm-up: stream machinery + JIT out of both timings
+        val (wBase, _, _) = gateRun(withGate = false)
+        val (wGate, _, nKept) = gateRun(withGate = true)
+        println(f"SSEBENCH lm-gate total=$total docs passthrough=${total / wBase}%.0f ev/s " +
+          f"gated=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost, " +
+          f"kept=$nKept of $total at thr=$thr%.3f)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }
