@@ -1619,6 +1619,125 @@ object Similarity {
       cosineTopK(emb, queryPred, k),
       srpBucketTopK(emb, queryPred, k, outDims, radius), k)
 
+  /** The corpus' SRP block table — (vec_id, p, bpos, bval), one row per
+    * (vector, Hamming block). Shared by the index build and the append
+    * path so the two cannot diverge on the block derivation.
+    */
+  private def srpBlockTable(emb: DataFrame, outDims: Int, radius: Int): DataFrame = {
+    val nBlocks = radius + 1
+    require(outDims % nBlocks == 0,
+      s"outDims ($outDims) must split into radius+1 ($nBlocks) equal blocks")
+    val bs = outDims / nBlocks
+    val mask = (1L << bs) - 1
+    val blockArr = array((0 until nBlocks).map { j =>
+      struct(lit(j).as("bpos"), expr(s"shiftright(sig, ${j * bs}) & $mask").as("bval"))
+    }: _*)
+    normalized(emb)
+      .withColumn("p", srpProject(srpSignMatrix(outDims, 64)))
+      .withColumn("sig", srpSigExpr(outDims))
+      .select(col("vec_id"), col("p"), explode(blockArr).as("b"))
+      .select(col("vec_id"), col("p"),
+        col("b.bpos").as("bpos"), col("b.bval").as("bval"))
+  }
+
+  /** PERSIST the bucketed SRP index (e41) — build-once/query-many for
+    * the dimension-reduction family, the way [[saveIvfSq8Index]] closed
+    * it for IVF+SQ8. The store is the exploded block table written
+    * PARTITIONED BY (bpos, bval): radius+1 × 2^blockBits directories,
+    * so a query's probed blocks prune at the file-index layer
+    * (spec-asserted PartitionFilters). The "codebook" here is the
+    * derandomized ±1 sign matrix — a pure function of (outDims, 64),
+    * recorded in the manifest as params rather than data, which is why
+    * [[appendSrpIndex]] appends are EXACTLY equal to a full rebuild
+    * (nothing is trained, so nothing can drift — unlike IVF's learned
+    * centroids, registered accordingly against the same oracle).
+    * Footprint note: projections are outDims doubles ≈ 2× the 64-float
+    * original per block row — the price of block-local candidate
+    * scoring without a second fetch join, paid (radius+1)×.
+    */
+  def saveSrpIndex(emb: DataFrame, path: String, outDims: Int = 16,
+      radius: Int = 3): Unit = {
+    srpBlockTable(emb, outDims, radius)
+      .write.mode("overwrite").partitionBy("bpos", "bval")
+      .parquet(s"$path/blocks")
+    val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
+    IndexManifest.write(path, IndexManifest.Manifest("srp",
+      Map("out_dims" -> outDims.toLong, "radius" -> radius.toLong),
+      rows, maxId))
+  }
+
+  /** APPEND to a persisted SRP index (e42) — the id-monotone increment
+    * contract of [[appendIvfSq8Index]], with a stronger guarantee: the
+    * sign matrix is parameter-derived, so the appended index is
+    * bit-identical to a fresh build on the grown corpus (spec-pinned),
+    * not merely frozen-book-consistent. History block files are never
+    * read or rewritten; new files land inside existing (bpos, bval)
+    * directories so pruned probes keep pruning.
+    */
+  def appendSrpIndex(increment: DataFrame, path: String): Unit = {
+    val man = IndexManifest.require(path, "srp")
+    val stats = increment.agg(count(lit(1)),
+      min(col("vec_id").cast("long")), max(col("vec_id").cast("long"))).head()
+    if (stats.getLong(0) == 0L) return
+    val (rows, minId, maxId) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (minId <= man.corpusMaxId)
+      throw new IndexManifestException(
+        s"increment ids start at $minId but the index watermark is " +
+          s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    srpBlockTable(increment, man.params("out_dims").toInt, man.params("radius").toInt)
+      .write.mode("append").partitionBy("bpos", "bval")
+      .parquet(s"$path/blocks")
+    IndexManifest.write(path,
+      man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
+  }
+
+  /** QUERY a persisted SRP index — bit-identical to [[srpBucketTopK]]
+    * on the index's corpus (spec-asserted): same projection, same
+    * block-share candidate set, same distance fold, same tie-breaks.
+    * Queries bring raw vectors and are projected scan-side; their
+    * probed (bpos, bval) pairs — at most queries × (radius+1), one tiny
+    * driver round over the query side only — are injected as a LITERAL
+    * OR-of-conjunctions predicate when `pruneScan`, which a
+    * (bpos, bval)-partitioned store answers from the file index
+    * (PartitionFilters; the e31 probed-cell device, two-dimensional).
+    */
+  def srpBucketTopKIndexed(queries: DataFrame, queryPred: Column,
+      indexPath: String, k: Int, pruneScan: Boolean = false): DataFrame = {
+    val man = IndexManifest.require(indexPath, "srp")
+    val (outDims, radius) = (man.params("out_dims").toInt, man.params("radius").toInt)
+    val spark = queries.sparkSession
+    val qBlk = srpBlockTable(queries.filter(queryPred), outDims, radius)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"),
+        col("bpos"), col("bval"))
+    val raw = spark.read.parquet(s"$indexPath/blocks")
+    val pruned =
+      if (!pruneScan) raw
+      else {
+        val pairs = qBlk.select(col("bpos"), col("bval")).distinct()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+        // literal OR over (bpos, bval) conjunctions: bare partition
+        // attributes, so the scan prunes unprobed block directories
+        pairs.map { case (bp, bv) =>
+          col("bpos") === bp && col("bval") === bv
+        }.reduceOption(_ || _).map(raw.filter).getOrElse(raw.limit(0))
+      }
+    val cBlk = pruned.select(col("vec_id").as("neighbor_id"), col("p").as("np"),
+      col("bpos").cast("int").as("bpos"), col("bval").cast("long").as("bval"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rp_dist").asc, col("neighbor_id").asc)
+    cBlk.join(broadcast(qBlk), Seq("bpos", "bval"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), expr(
+        "aggregate(zip_with(qp, np, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+        .as("rp_dist"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("rp_dist")).as("rp_dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("rp_dist"))
+  }
+
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

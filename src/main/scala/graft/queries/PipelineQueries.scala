@@ -806,6 +806,40 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, SRP_DIMS, SRP_RADIUS)
         .orderBy(col("query_id"))),
 
+    // e39 made durable (e41): the block table persisted PARTITIONED BY
+    // (bpos, bval) under the manifest device, queries served from the
+    // store with probed blocks pruned at the file-index layer —
+    // registered against e39's oracle VERBATIM, so the round trip
+    // through disk is proven bit-identical (Similarity.saveSrpIndex /
+    // srpBucketTopKIndexed docs; pruning PlanShape-pinned in
+    // Round10OpsSpec)
+    "e41_srp_indexed" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      val path = indexPath("e41-srp")
+      Similarity.saveSrpIndex(emb, path, SRP_DIMS, SRP_RADIUS)
+      Similarity.srpBucketTopKIndexed(emb, col("vec_id") % 50 === 0,
+        path, PQ_K, pruneScan = true)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // the increment half (e42): index built on the 3/4-cut history,
+    // the rest appended. STRONGER than e33's frozen-book claim: the
+    // SRP "codebook" is parameter-derived (nothing trained), so the
+    // appended index is bit-identical to a fresh build on the grown
+    // corpus — same e39 oracle verbatim, history files untouched
+    // (Similarity.appendSrpIndex doc)
+    "e42_srp_appended" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("e42-srp")
+      Similarity.saveSrpIndex(emb.filter(col("vec_id") <= cut), path,
+        SRP_DIMS, SRP_RADIUS)
+      Similarity.appendSrpIndex(emb.filter(col("vec_id") > cut), path)
+      Similarity.srpBucketTopKIndexed(emb, col("vec_id") % 50 === 0,
+        path, PQ_K, pruneScan = true)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // IVF + SQ8 (FAISS IVFSQ): probe-bounded candidates, byte-code
     // scoring — the production middle ground; the flat e24 is the
     // measurement baseline, this is the scale path
@@ -2702,6 +2736,27 @@ object PipelineQueries {
     // mirror of Similarity.srpBucketTopK: the block-share candidate set
     // (srpBucketCtes) under the shared top-k tail
     "e39_srp_bucket_topk" ->
+      s"""WITH $vHeadRaw,
+         |$srpProjCte,
+         |$srpBucketCtes,
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rp_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sbk)
+         |SELECT query_id, rk, neighbor_id, rp_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // e41/e42 share e39's oracle VERBATIM — the registered rows PROVE
+    // the persisted (and appended) index serves bit-identically to the
+    // in-memory chain
+    "e41_srp_indexed" ->
+      s"""WITH $vHeadRaw,
+         |$srpProjCte,
+         |$srpBucketCtes,
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rp_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sbk)
+         |SELECT query_id, rk, neighbor_id, rp_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    "e42_srp_appended" ->
       s"""WITH $vHeadRaw,
          |$srpProjCte,
          |$srpBucketCtes,

@@ -169,6 +169,68 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(flat.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("srp index: persisted serve is bit-identical to the in-memory chain; probed blocks prune the scan") {
+    val emb = Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val path = tmp("graft-srpidx-")
+    Similarity.saveSrpIndex(emb, path)
+    val fromIndex = Similarity.srpBucketTopKIndexed(emb, pred, path, 3, pruneScan = true)
+    val inMemory = Similarity.srpBucketTopK(emb, pred, 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(fromIndex) == rows(inMemory) && rows(fromIndex).nonEmpty)
+    // the probed-block literals land in the scan's PartitionFilters —
+    // file-index-layer pruning, the e31 device in two dimensions
+    val scan = fromIndex.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("bpos") &&
+      scan.contains("bval"), s"probed blocks not in PartitionFilters:\n$scan")
+  }
+
+  test("srp index: append equals a fresh rebuild bit-for-bit; history files untouched") {
+    val emb = Tables.embeddings(spark, dir)
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
+    val pred = col("vec_id") % 50 === 0
+    val appended = tmp("graft-srpapp-")
+    Similarity.saveSrpIndex(emb.filter(col("vec_id") <= cut), appended)
+    def blockFiles(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(appended, "blocks")).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.size(p)).toMap
+    }
+    val before = blockFiles()
+    Similarity.appendSrpIndex(emb.filter(col("vec_id") > cut), appended)
+    val after = blockFiles()
+    assert(before.forall { case (f, sz) => after.get(f).contains(sz) },
+      "a history block file was rewritten by the append")
+    assert(after.size > before.size, "no new block files appended")
+    assert(IndexManifest.isFresh(appended, emb, "vec_id"))
+    // the SRP codebook is parameter-derived, so appended == rebuilt
+    // EXACTLY (stronger than IVF's frozen-book consistency)
+    val rebuilt = tmp("graft-srpreb-")
+    Similarity.saveSrpIndex(emb, rebuilt)
+    def serve(p: String) = Similarity.srpBucketTopKIndexed(emb, pred, p, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(serve(appended) == serve(rebuilt) && serve(appended).nonEmpty)
+  }
+
+  test("srp index: non-monotone append and wrong kind are named errors") {
+    val emb = Tables.embeddings(spark, dir)
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
+    val path = tmp("graft-srperr-")
+    Similarity.saveSrpIndex(emb.filter(col("vec_id") <= cut), path)
+    val e1 = intercept[IndexManifestException] {
+      Similarity.appendSrpIndex(emb.filter(col("vec_id") > cut / 2), path)
+    }
+    assert(e1.getMessage.contains("id-monotone"))
+    val e2 = intercept[IndexManifestException] {
+      Similarity.srpBucketTopKIndexed(emb, col("vec_id") % 50 === 0,
+        tmp("graft-srpnone-"), 3)
+    }
+    assert(e2.getMessage.contains("MANIFEST"))
+  }
+
   test("appendTokenShards: readShard still prunes to one partition on the grown store") {
     val docs = Tables.documents(spark, dir)
     val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
