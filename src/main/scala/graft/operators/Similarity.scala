@@ -1691,6 +1691,42 @@ object Similarity {
       man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
 
+  /** SYNC a persisted SRP index to the current corpus (e43) — the e34
+    * maintenance policy applied to the SRP family, completing the
+    * symmetry: FRESH serves as-is; MONOTONE GROWTH (history prefix
+    * intact, new ids above the watermark) appends the delta
+    * ([[appendSrpIndex]] — here exactly equal to a rebuild, so the
+    * policy's append arm loses nothing); anything else rebuilds.
+    * Idempotent: a second sync against the same corpus is the FRESH
+    * no-op. Returns the action taken ("fresh" | "append" | "rebuild"),
+    * pinned by spec.
+    */
+  def srpIndexSync(emb: DataFrame, path: String, outDims: Int = 16,
+      radius: Int = 3): String = {
+    val man = try Some(IndexManifest.require(path, "srp",
+      Map("out_dims" -> outDims.toLong, "radius" -> radius.toLong)))
+    catch { case _: IndexManifestException => None }
+    man match {
+      case Some(m) =>
+        val stats = emb.agg(count(lit(1)), max(col("vec_id").cast("long")),
+          sum(when(col("vec_id") <= m.corpusMaxId, 1L).otherwise(0L))).head()
+        val (rows, maxId) = (stats.getLong(0),
+          if (stats.isNullAt(1)) -1L else stats.getLong(1))
+        val prefixRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+        if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
+        else if (prefixRows == m.corpusRows && maxId > m.corpusMaxId) {
+          appendSrpIndex(emb.filter(col("vec_id") > m.corpusMaxId), path)
+          "append"
+        } else {
+          saveSrpIndex(emb, path, outDims, radius)
+          "rebuild"
+        }
+      case None =>
+        saveSrpIndex(emb, path, outDims, radius)
+        "rebuild"
+    }
+  }
+
   /** QUERY a persisted SRP index — bit-identical to [[srpBucketTopK]]
     * on the index's corpus (spec-asserted): same projection, same
     * block-share candidate set, same distance fold, same tie-breaks.

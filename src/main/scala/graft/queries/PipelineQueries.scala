@@ -840,6 +840,24 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // the maintenance policy for the SRP family (e43), the e34 shape:
+    // built on the history cut, synced twice against the grown corpus
+    // (append, then the fresh no-op), served — same e39 oracle
+    // verbatim; action strings pinned in Round10OpsSpec
+    // (Similarity.srpIndexSync doc)
+    "e43_srp_sync" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("e43-srp")
+      Similarity.saveSrpIndex(emb.filter(col("vec_id") <= cut), path,
+        SRP_DIMS, SRP_RADIUS)
+      Similarity.srpIndexSync(emb, path, SRP_DIMS, SRP_RADIUS)
+      Similarity.srpIndexSync(emb, path, SRP_DIMS, SRP_RADIUS)
+      Similarity.srpBucketTopKIndexed(emb, col("vec_id") % 50 === 0,
+        path, PQ_K, pruneScan = true)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // IVF + SQ8 (FAISS IVFSQ): probe-bounded candidates, byte-code
     // scoring — the production middle ground; the flat e24 is the
     // measurement baseline, this is the scale path
@@ -2757,6 +2775,15 @@ object PipelineQueries {
          |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
 
     "e42_srp_appended" ->
+      s"""WITH $vHeadRaw,
+         |$srpProjCte,
+         |$srpBucketCtes,
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rp_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sbk)
+         |SELECT query_id, rk, neighbor_id, rp_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    "e43_srp_sync" ->
       s"""WITH $vHeadRaw,
          |$srpProjCte,
          |$srpBucketCtes,

@@ -215,6 +215,23 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(serve(appended) == serve(rebuilt) && serve(appended).nonEmpty)
   }
 
+  test("srpIndexSync: fresh=no-op, monotone growth=append, drift=rebuild") {
+    val emb = Tables.embeddings(spark, dir)
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
+    val path = tmp("graft-srpsync-")
+    Similarity.saveSrpIndex(emb.filter(col("vec_id") <= cut), path)
+    assert(Similarity.srpIndexSync(emb, path) == "append")
+    assert(Similarity.srpIndexSync(emb, path) == "fresh")
+    // a shrunk corpus (history prefix broken) forces the rebuild arm
+    assert(Similarity.srpIndexSync(
+      emb.filter(col("vec_id") % 2 === 0), path) == "rebuild")
+    // params drift also rebuilds (different outDims than built)
+    assert(Similarity.srpIndexSync(emb, path, outDims = 8, radius = 3) == "rebuild")
+    // and the synced index serves
+    assert(Similarity.srpBucketTopKIndexed(emb, col("vec_id") % 50 === 0,
+      path, 3, pruneScan = true).count() > 0)
+  }
+
   test("srp index: non-monotone append and wrong kind are named errors") {
     val emb = Tables.embeddings(spark, dir)
     val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
