@@ -56,6 +56,62 @@ object RedditLogSink {
       }
       .start()
 
+  /** Quality-GATED ingest (round 10): the CCNet perplexity gate
+    * composed INTO the log's writer path — each micro-batch's `json`
+    * body text is scored against a persisted
+    * [[graft.operators.TextAnalysis.saveBigramLm]] store with the
+    * batch kernel verbatim (the same
+    * [[graft.operators.TextAnalysis.scoreWithBigramModel]] the d49
+    * oracle verifies and [[EventTimeOps.lmQualityGateIngest]] uses, so
+    * the three surfaces cannot diverge), and only kept rows reach
+    * [[RedditLog.append]]. Keep semantics are the gate's: dropped iff
+    * `avg_nll > maxAvgNll`; bodies too short to have bigrams (or
+    * absent) score null and are KEPT — length/shape gates are the
+    * d07/d14 operators' job, not the LM's.
+    *
+    * Dropping rows leaves id GAPS in the log, which the read side
+    * already defines semantics for (SURVEY.md §2 S3 gap-skip): gaps
+    * are indistinguishable from producer holes, ids stay monotone, and
+    * the replay-idempotence argument of [[appendBatch]] survives
+    * unchanged (the watermark advances over kept ids; a replayed batch
+    * re-drops the same rows because the model and threshold are
+    * constants of the stream).
+    *
+    * Model tables load once at stream build (reference-corpus-scale,
+    * not stream-scale) and are persisted for the stream's lifetime —
+    * per-batch work is the gram explode + two equi-joins, priced in
+    * BENCH_NOTES' round-10 table (×3.7 over a do-nothing sink).
+    */
+  def appendStreamGated(events: DataFrame, dir: String,
+      checkpointDir: String, lmPath: String, maxAvgNll: Double,
+      triggerMillis: Long = 1000L, targetRows: Long = 100000L,
+      maxSmall: Int = 16, graceMillis: Long = 60000L): StreamingQuery = {
+    import graft.operators.TextAnalysis
+    import graft.sources.IndexManifest
+    val spark = events.sparkSession
+    IndexManifest.require(lmPath, "bigram-lm")
+    val model = spark.read.parquet(s"$lmPath/model").persist()
+    val ctx = spark.read.parquet(s"$lmPath/ctx").persist()
+    val oov = spark.read.parquet(s"$lmPath/consts").head().getDecimal(1)
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMillis))
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val scored = TextAnalysis.scoreWithBigramModel(
+            batch.select(col("id").as("doc_id"),
+              coalesce(get_json_object(col("json"), "$.body"), lit("")).as("text")),
+            model, ctx, oov)
+          val dropped = scored.filter(col("avg_nll") > maxAvgNll)
+            .select(col("doc_id").as("id"))
+          val kept = batch.join(dropped, Seq("id"), "left_anti")
+          appendBatch(kept, dir, targetRows, maxSmall, graceMillis)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** One micro-batch: watermark-filter (idempotent replay), id-order,
     * append in `targetRows`-bounded chunks. Returns the appended row
     * count (0 = fully-replayed or empty batch — nothing written, no

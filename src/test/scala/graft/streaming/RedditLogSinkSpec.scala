@@ -81,6 +81,54 @@ class RedditLogSinkSpec extends AnyFunSuite {
         s"no compaction fired: ${RedditLog.listSegments(dir).size} segments after 6 appends")
     } finally q.stop()
   }
+
+  test("appendStreamGated: only LM-kept events reach the log; decisions equal the batch kernel's") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("lang") === "en")
+    val lmPath = Files.createTempDirectory("rsink-lm").toString
+    TextAnalysis.saveBigramLm(ref, lmPath)
+    val refTexts = ref.select(col("text")).limit(3).collect().map(_.getString(0))
+    // 3 model-like bodies (kept), 2 gibberish (dropped), 1 bigram-less
+    // body and 1 row with no body field at all (null score → kept)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val bodies: Seq[(Long, Option[String])] =
+      refTexts.zipWithIndex.map { case (t, i) => (i + 1L, Some(t)) }.toSeq ++
+        Seq((4L, Some("zzqa zzqb zzqc zzqd zzqe")), (5L, Some("zzqf zzqg zzqh")),
+          (6L, Some("solo")), (7L, None))
+    def env(id: Long, body: Option[String]) = IngestRow(
+      id = id, event = "rc", created_utc = 1000L + id, author = s"u$id",
+      subreddit = "news", domain = null, over_18 = null, is_self = null,
+      json = body.map(b => s"""{"body":"${esc(b)}"}""").getOrElse("{}"))
+    // the gate's contract: keep iff the BATCH KERNEL scores <= thr or null
+    val consts = spark.read.parquet(s"$lmPath/consts").head().getDecimal(1)
+    val scores = TextAnalysis.scoreWithBigramModel(
+      bodies.map { case (id, b) => (id, b.getOrElse("")) }.toDF("doc_id", "text"),
+      spark.read.parquet(s"$lmPath/model"), spark.read.parquet(s"$lmPath/ctx"), consts)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val scored = Seq(1L, 2L, 3L, 4L, 5L).map(scores)
+    val thr = (Seq(1L, 2L, 3L).map(scores).max + Seq(4L, 5L).map(scores).min) / 2
+    assert(Seq(1L, 2L, 3L).map(scores).max < Seq(4L, 5L).map(scores).min,
+      s"model fails to separate: $scored")
+    val dir = Files.createTempDirectory("rsink-gated").toString
+    val ckpt = Files.createTempDirectory("rsink-gck").toString
+    val mem = MemoryStream[IngestRow]
+    val q = RedditLogSink.appendStreamGated(mem.toDF(), dir, ckpt,
+      lmPath, thr, triggerMillis = 50L, targetRows = 50L)
+    try {
+      mem.addData(bodies.take(4).map { case (id, b) => env(id, b) })
+      q.processAllAvailable()
+      mem.addData(bodies.drop(4).map { case (id, b) => env(id, b) })
+      q.processAllAvailable()
+    } finally q.stop()
+    // gibberish ids 4 and 5 never reached disk; short/absent bodies kept
+    assert(ids(dir) == Seq(1L, 2L, 3L, 6L, 7L))
+    // the log's id monotonicity survives the gaps the gate leaves
+    assert(RedditLog.maxId(dir) == 7L)
+  }
 }
 
 /** Envelope row for the MemoryStream encoder (RedditLog.schema shape). */
