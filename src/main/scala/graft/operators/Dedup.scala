@@ -246,6 +246,40 @@ object Dedup {
         (agree.cast("double") / lit(k)).as("est_jaccard"))
   }
 
+  /** AGREEMENT between the MinHash estimator and exact Jaccard (d52) —
+    * the measurement row the ANN families get from their recall devices
+    * (e36/e40), applied to the dedup family: over one corpus slice,
+    * every pair surfaced by EITHER path, with both scores and a status.
+    *
+    *  - `both`: the pair co-occurs in the (df-capped) shingle index AND
+    *    banded into a shared bucket — |est − exact| here reads the k=64
+    *    signature's resolution (expected ±1/√k ≈ 0.125).
+    *  - `exact_only`: co-shingled but never banded — LSH's probabilistic
+    *    miss at low Jaccard (the band-agreement probability j^(k/bands)
+    *    collapses below j≈0.5), priced pair by pair.
+    *  - `est_only`: banded but not co-shingled in the CAPPED index —
+    *    stop-shingle mass the exact side's df guard removed, or a band
+    *    chance collision. The asymmetry is real and documented, not a
+    *    bug: the estimator deliberately signs over the UNCAPPED stream
+    *    (the O(docs) signature store contains no df statistics).
+    *
+    * Exact side runs [[jaccardAll]] at threshold 0 (all co-occurring
+    * pairs — the honest denominator; a thresholded exact side would
+    * misread estimator misses below it as agreement). Quadratic in
+    * bucket co-occurrence like every exact-reference path here — run on
+    * a bounded slice (the d04 discipline); the registered row does.
+    */
+  def minhashAgreement(docs: DataFrame, k: Int = 64, bands: Int = 16,
+      maxBucket: Long = 1000L, maxDf: Long = 10000L): DataFrame = {
+    val exact = jaccardAll(docs, 0.0, maxDf)
+    val est = minhashEstPairs(docs, k, bands, maxBucket)
+    exact.join(est, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("est_jaccard"),
+        when(col("jaccard").isNull, lit("est_only"))
+          .when(col("est_jaccard").isNull, lit("exact_only"))
+          .otherwise(lit("both")).as("status"))
+  }
+
   /** SimHash near-dup pairs within a Hamming radius, via MULTI-INDEX
     * block candidates (the web-scale simhash-dedup construction): split
     * the 64-bit signature into `radius + 1` equal blocks — by

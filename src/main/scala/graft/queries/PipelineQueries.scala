@@ -180,6 +180,18 @@ object PipelineQueries {
         Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0), 0.4, MAX_DF)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // estimator-vs-exact agreement (d52): the recall-device idea
+    // applied to the dedup family — every pair EITHER path surfaces on
+    // the d04 slice, with both scores and a status (both / exact_only
+    // = LSH's probabilistic miss at low Jaccard / est_only = df-capped
+    // stop-shingle mass or band chance collision)
+    // (Dedup.minhashAgreement doc)
+    "d52_minhash_agreement" -> ((spark: SparkSession, dir: String) =>
+      Dedup.minhashAgreement(
+        Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0),
+        EST_K, EST_BANDS, MAX_BUCKET, MAX_DF)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "d05_simhash" -> ((spark: SparkSession, dir: String) =>
       Dedup.simhash(Tables.documents(spark, dir))
         .orderBy(col("doc_id"))),
@@ -1116,7 +1128,12 @@ object PipelineQueries {
     * intersection anywhere past the signature build. Shared by d27 and
     * d29 so the signature family cannot desynchronize between them.
     */
-  private lazy val minhashEstCtes = {
+  /** The d27 estimation chain over an optionally-sliced corpus (the
+    * `docFilter` rides [[shingleCteOver]]) — ends in
+    * `est(a, b, est_jaccard)`. d52 runs it on the d04 slice beside the
+    * exact chain; the shared val below is the full-corpus instance.
+    */
+  private def minhashEstCtesOver(docFilter: String) = {
     val rows = EST_K / EST_BANDS
     val bandSel = (0 until EST_BANDS).map { b =>
       val parts = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)")
@@ -1128,7 +1145,7 @@ object PipelineQueries {
     val agree = (0 until EST_K)
       .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""$shingleCte,
+    s"""${shingleCteOver(docFilter)},
        |mins64 AS (SELECT doc_id, ${minhashSelectK(EST_K)} FROM shh GROUP BY doc_id),
        |sig64 AS (SELECT doc_id, $bandSel FROM mins64),
        |bl64 AS ($bandUni),
@@ -1140,6 +1157,8 @@ object PipelineQueries {
        |        FROM cand64 c JOIN mins64 sa ON sa.doc_id = c.a
        |        JOIN mins64 sb ON sb.doc_id = c.b)""".stripMargin.replace("\n", " ")
   }
+
+  private lazy val minhashEstCtes = minhashEstCtesOver("")
 
   // ---- PQ (e09/e10) oracle fragments ----
   // Distance chains are generated per dimension with explicit
@@ -1915,6 +1934,24 @@ object PipelineQueries {
     "d27_minhash_est" ->
       s"""WITH $minhashEstCtes
          |SELECT a AS doc_a, b AS doc_b, est_jaccard FROM est
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.minhashAgreement: the sliced estimation chain
+    // beside the sliced exact chain (threshold 0 — the honest
+    // denominator), full-outer-joined with a status column
+    "d52_minhash_agreement" ->
+      s"""WITH ${minhashEstCtesOver("doc_id % 2 = 0 AND")},
+         |$dfCapCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |          FROM shc x JOIN shc y ON x.hs = y.hs AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |exact AS (SELECT a, b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
+         |          FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b)
+         |SELECT coalesce(e.a, s.a) AS doc_a, coalesce(e.b, s.b) AS doc_b,
+         |  e.jaccard, s.est_jaccard,
+         |  CASE WHEN e.a IS NULL THEN 'est_only'
+         |       WHEN s.a IS NULL THEN 'exact_only' ELSE 'both' END AS status
+         |FROM exact e FULL OUTER JOIN est s ON e.a = s.a AND e.b = s.b
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.minhashKnnGraph: the same estimation chain,

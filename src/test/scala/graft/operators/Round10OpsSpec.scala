@@ -215,6 +215,36 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(serve(appended) == serve(rebuilt) && serve(appended).nonEmpty)
   }
 
+  test("minhashAgreement: high-Jaccard pairs are never estimator-missed; estimates land within signature resolution") {
+    val slice = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+    val rows = Dedup.minhashAgreement(slice).collect().map { r =>
+      (Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getString(4))
+    }
+    assert(rows.nonEmpty)
+    // status is consistent with which scores are present
+    rows.foreach { case (ex, es, st) => st match {
+      case "both"       => assert(ex.isDefined && es.isDefined)
+      case "exact_only" => assert(ex.isDefined && es.isEmpty)
+      case "est_only"   => assert(ex.isEmpty && es.isDefined)
+      case other        => fail(s"unknown status $other")
+    }}
+    // the d04 contract: every pair at-or-above the near-dup threshold
+    // is surfaced by the estimator too (banding misses only the low-
+    // Jaccard tail on this corpus)
+    val high = rows.filter(_._1.exists(_ >= 0.4))
+    assert(high.nonEmpty, "corpus lost its near-dup pairs — fixture drift")
+    assert(high.forall(_._3 == "both"),
+      s"a >=0.4 pair was estimator-missed: ${high.filter(_._3 != "both").mkString(",")}")
+    // where both paths score, the k=64 signature resolves within its
+    // sampling noise (SD <= 1/(2*sqrt(64)) = 0.0625; 4 sigma bound)
+    rows.collect { case (Some(ex), Some(es), _) =>
+      assert(math.abs(ex - es) <= 0.25, s"|$ex - $es| beyond signature resolution") }
+    // scores stay in [0, 1]
+    rows.foreach { case (ex, es, _) =>
+      (ex.toSeq ++ es.toSeq).foreach(v => assert(v >= 0.0 && v <= 1.0)) }
+  }
+
   test("srpIndexSync: fresh=no-op, monotone growth=append, drift=rebuild") {
     val emb = Tables.embeddings(spark, dir)
     val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
