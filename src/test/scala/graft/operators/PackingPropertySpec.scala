@@ -83,4 +83,32 @@ object PackingPropertySpec extends Properties("Packing") {
         offs(id) == start && sid == start / budget
       } && shards.length == docs.size
     }
+
+  property("appendTokenShards: frozen history placement + base-offset increment placement, for any cut") =
+    forAll(genCorpus, Gen.choose(4L, 64L), Gen.choose(0.0, 1.0)) { (docs, budget, frac) =>
+      val ids = docs.map(_._1).sorted
+      val cut = ids(((ids.size - 1) * frac).toInt)
+      val history = docs.filter(_._1 <= cut)
+      val incr = docs.filter(_._1 > cut)
+      val path = java.nio.file.Files.createTempDirectory("pk-app-").toString
+      Packing.saveTokenShards(history.toDF("doc_id", "text"), path, budget)
+      Packing.appendTokenShards(incr.toDF("doc_id", "text"), path)
+      val store = spark.read.parquet(s"$path/shards")
+        .selectExpr("doc_id", "n_tokens", "start_token", "CAST(shard_id AS BIGINT)")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // driver-side reference: the documented two-stage placement
+      def seqPlace(ds: List[(Long, String)], base: Long): Map[Long, (Long, Long)] = {
+        var cum = base
+        ds.map { case (id, t) => (id, h60(id.toString), t.split(" ", -1).length.toLong) }
+          .sortBy(d => (d._2, d._1))
+          .map { case (id, _, n) => val at = cum; cum += n; id -> ((n, at)) }.toMap
+      }
+      val hExp = seqPlace(history, 0L)
+      val base = history.map(_._2.split(" ", -1).length.toLong).sum
+      val expected = hExp ++ seqPlace(incr, base)
+      store.size == docs.size && expected.forall { case (id, (n, at)) =>
+        store.get(id).contains((n, at, at / budget))
+      }
+    }
 }
