@@ -1619,6 +1619,35 @@ object Similarity {
       cosineTopK(emb, queryPred, k),
       srpBucketTopK(emb, queryPred, k, outDims, radius), k)
 
+  /** The Hamming-radius COVERAGE CURVE of the bucketed SRP path (e44)
+    * — the e30 probe-curve idea applied to the dimension-reduction
+    * family: mean recall@k per radius, one row per radius, aggregated
+    * to the order-independent (n_queries, n_hits) pair. The radii are
+    * the coverage lever the (bpos, bval) layout exposes: radius r
+    * splits the 16-bit signature into r+1 blocks, and because each
+    * doubling SPLITS blocks in half (16/2 → 16/4 → 16/8 → 16/16 bits,
+    * all aligned), an r-level block match implies matches at every
+    * deeper level — candidate sets are NESTED, so the curve is
+    * nondecreasing BY CONSTRUCTION (spec-pinned), unlike probabilistic
+    * LSH banding. The endpoint radius 15 (1-bit blocks) admits every
+    * pair sharing any sign bit — all but antipodal signatures, read
+    * beside e36's flat-scan recall.
+    */
+  def srpRadiusCurve(emb: DataFrame, queryPred: Column, k: Int,
+      outDims: Int = 16,
+      radiusList: Seq[Int] = Seq(1, 3, 7, 15)): DataFrame = {
+    val exact = cosineTopK(emb, queryPred, k)
+    radiusList.map { r =>
+      recallOf(exact, srpBucketTopK(emb, queryPred, k, outDims, r), k)
+        .agg(count(lit(1)).as("n_queries"), sum(col("n_hit")).as("n_hits"))
+        .select(lit(r.toLong).as("radius"),
+          col("n_queries").cast("long").as("n_queries"),
+          col("n_hits").cast("long").as("n_hits"),
+          (col("n_hits").cast("double") / (col("n_queries") * lit(k.toLong)))
+            .as("mean_recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The corpus' SRP block table — (vec_id, p, bpos, bval), one row per
     * (vector, Hamming block). Shared by the index build and the append
     * path so the two cannot diverge on the block derivation.

@@ -41,6 +41,7 @@ object PipelineQueries {
   private val LM_SCALE = 16      // d46 rank-bucket grid: floor(avg_nll*16)
   private val SRP_DIMS = 16      // e35 sign-random-projection output dims
   private val SRP_RADIUS = 3     // e39 Hamming radius → 4 sign-bit blocks
+  private val SRP_RADII = Seq(1, 3, 7, 15) // e44 coverage curve (nested blocks)
   private val SHARD_BUDGET = 4096L // d47 tokens per shard
   private val CTX_LEN = 128      // d48 context-window length (tokens)
 
@@ -975,6 +976,16 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, IVF_CELLS, PROBE_CURVE)
         .orderBy(col("probes"))),
 
+    // the SRP coverage lever as a registered row set (e44): mean
+    // recall per Hamming radius — candidate sets NEST as blocks split
+    // in half, so the curve is nondecreasing by construction
+    // (spec-pinned), unlike probabilistic banding
+    // (Similarity.srpRadiusCurve doc)
+    "e44_srp_radius_curve" -> ((spark: SparkSession, dir: String) =>
+      Similarity.srpRadiusCurve(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, SRP_DIMS, SRP_RADII)
+        .orderBy(col("radius"))),
+
     "m01_media_meta" -> ((spark: SparkSession, dir: String) =>
       Multimodal.mediaView(Tables.documents(spark, dir))
         .select(col("doc_id"),
@@ -1053,12 +1064,12 @@ object PipelineQueries {
     * dedup (a pair matching m blocks appears once here, m identical
     * times there before its min() dedup).
     */
-  private lazy val srpBucketCtes = {
-    val bs = SRP_DIMS / (SRP_RADIUS + 1)
+  private def srpBucketCtesAt(radius: Int) = {
+    val bs = SRP_DIMS / (radius + 1)
     val mask = (1L << bs) - 1
     val sigExpr = (1 to SRP_DIMS).map(k =>
       s"(CASE WHEN p[$k] >= 0 THEN ${1L << (k - 1)} ELSE 0 END)").mkString(" + ")
-    val blockOr = (0 to SRP_RADIUS).map(j =>
+    val blockOr = (0 to radius).map(j =>
       s"((c.sig >> ${j * bs}) & $mask) = ((q.sig >> ${j * bs}) & $mask)").mkString(" OR ")
     s"""sg AS (SELECT vec_id, p, CAST($sigExpr AS BIGINT) AS sig FROM sp),
        |sbk AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1066,6 +1077,34 @@ object PipelineQueries {
        |  FROM sg c JOIN sg q ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
        |    AND ($blockOr))""".stripMargin.replace("\n", " ")
   }
+
+  private lazy val srpBucketCtes = srpBucketCtesAt(SRP_RADIUS)
+
+  /** One branch of the e44 radius curve (the [[probeCurveBranch]] shape
+    * over the SRP bucket chain at `radius`).
+    */
+  private def srpRadiusBranch(radius: Int) =
+    s"""SELECT CAST($radius AS BIGINT) AS radius, n_queries, n_hits,
+       |  CAST(n_hits AS DOUBLE) / (n_queries * $PQ_K) AS mean_recall FROM (
+       |WITH $vHeadRaw,
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |$srpProjCte,
+       |${srpBucketCtesAt(radius)},
+       |ap3 AS (SELECT query_id, neighbor_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY rp_dist ASC, neighbor_id ASC) AS rk FROM sbk) WHERE rk <= $PQ_K),
+       |pex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+       |        FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+       |ex3 AS (SELECT query_id, neighbor_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM pex) WHERE rk <= $PQ_K),
+       |hits AS (SELECT e.query_id, count(*) AS n_hit
+       |         FROM ex3 e JOIN ap3 a USING (query_id, neighbor_id) GROUP BY 1),
+       |pq AS (SELECT q.query_id, coalesce(n_hit, 0) AS n_hit
+       |       FROM (SELECT DISTINCT query_id FROM ex3) q LEFT JOIN hits USING (query_id))
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(coalesce(sum(n_hit), 0) AS BIGINT) AS n_hits FROM pq)""".stripMargin.replace("\n", " ")
 
   /** The `v` head over the UNIT-NORMALIZED corpus (mirror of
     * [[graft.operators.Similarity.unitNormalized]]): each component
@@ -2941,6 +2980,12 @@ object PipelineQueries {
     "e30_ivf_probe_curve" ->
       PROBE_CURVE.map(probeCurveBranch)
         .mkString("", " UNION ALL ", " ORDER BY probes"),
+
+    // mirror of Similarity.srpRadiusCurve: one probeCurveBranch-shaped
+    // branch per radius over the SRP bucket chain
+    "e44_srp_radius_curve" ->
+      SRP_RADII.map(srpRadiusBranch)
+        .mkString("", " UNION ALL ", " ORDER BY radius"),
 
     // mirror of Similarity.annRecallReranked: e20's chain as the approx
     // side of the shared recall tail — what re-ranking buys on the same

@@ -215,6 +215,22 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(serve(appended) == serve(rebuilt) && serve(appended).nonEmpty)
   }
 
+  test("srpRadiusCurve: nested blocks make recall nondecreasing in radius") {
+    val emb = Tables.embeddings(spark, dir)
+    val rows = Similarity.srpRadiusCurve(emb, col("vec_id") % 50 === 0, 3)
+      .orderBy(col("radius")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 3L, 7L, 15L))
+    // block alignment: an r-level match implies matches at every deeper
+    // level, so candidate sets nest and hits cannot drop
+    rows.sliding(2).foreach {
+      case Array((r1, h1, _), (r2, h2, _)) =>
+        assert(h2 >= h1, s"recall dropped: radius $r1 hits $h1 -> radius $r2 hits $h2")
+      case _ => ()
+    }
+    rows.foreach { case (_, _, rec) => assert(rec >= 0.0 && rec <= 1.0) }
+  }
+
   test("minhashAgreement: high-Jaccard pairs are never estimator-missed; estimates land within signature resolution") {
     val slice = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
     val rows = Dedup.minhashAgreement(slice).collect().map { r =>
