@@ -73,6 +73,39 @@ object EventTimeOps {
         col("n_events"), col("distinct_authors"))
   }
 
+  /** Windowed payload QUANTILES with bounded per-window state — the
+    * third member of the windowed-sketch trio beside
+    * [[windowedDistinctAuthors]] (KMV distinct) and
+    * [[windowedTopAuthors]] (Misra-Gries top-k): an exact windowed
+    * percentile is unsupported in streaming because its state is every
+    * value per open window; `approx_percentile`'s quantile summary is
+    * mergeable with an O(accuracy) buffer, so it rides the normal
+    * watermarked aggregation — partial-merged across micro-batches,
+    * freed when the watermark closes the window. Below `accuracy`
+    * values per window the summary holds everything and the quantiles
+    * are EXACT (the same below-capacity-exact contract the other two
+    * sketches carry, spec-pinned).
+    *
+    * The measured value is the envelope's JSON payload field `$.k`,
+    * parsed scan-side — the P1 lazy-parse discipline: the opaque json
+    * column is opened only for the one field the sketch needs, rows
+    * without it simply don't contribute (count rides beside to make
+    * the missing share readable).
+    */
+  def windowedPayloadQuantiles(envelope: DataFrame,
+      windowLen: String = "1 minute", lateness: String = "2 minutes",
+      accuracy: Int = 1000): DataFrame =
+    envelope
+      .withColumn("event_time", timestamp_seconds(col("created_utc")))
+      .withWatermark("event_time", lateness)
+      .withColumn("v", get_json_object(col("json"), "$.k").cast("double"))
+      .groupBy(window(col("event_time"), windowLen))
+      .agg(count(lit(1)).as("n_events"), count(col("v")).as("n_scored"),
+        percentile_approx(col("v"), lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(col("v"), lit(0.95), lit(accuracy)).as("p95"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("n_scored"), col("p50"), col("p95"))
+
   /** Observable lifecycle of one [[bloomDedupIngest]] stream: batch
     * count and every per-batch broadcast handle AFTER its destroy — so
     * specs (and ops dashboards) can assert that executor memory carries

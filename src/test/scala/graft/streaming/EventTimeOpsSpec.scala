@@ -134,6 +134,39 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(rows.contains((1L, 1.0)), rows.toString)
   }
 
+  test("windowedPayloadQuantiles: summary merges across micro-batches, exact below accuracy") {
+    val dir = Files.createTempDirectory("pqlog").toString
+    def evk(id: Long, utc: Long, k: Long): Map[String, Any] =
+      ev(id, utc, s"a$id", "news") + ("json" -> s"""{"k":$k}""")
+    // window 600..659: k = 10,20,30,40 (p50 = 20 or 30 by summary
+    // convention, p95 = 40); window 660..719: k = 7 alone; one event
+    // with NO k field contributes to n_events but not the quantiles.
+    RedditLog.writeSegment(dir, Seq(
+      evk(2, 600, 10), evk(4, 615, 20), evk(6, 630, 30), evk(8, 645, 40),
+      ev(9, 650, "x", "news"),
+      evk(10, 661, 7),
+      ev(12, 100000, "z", "zzz"), ev(14, 100001, "z", "zzz")))
+    val src = spark.readStream.format("graft.sources.RedditLogSource")
+      .option("path", dir).option("backfill", "100")
+      .option("max_per_trigger", "2").load()
+    val name = s"pq${System.nanoTime()}"
+    val q = EventTimeOps.windowedPayloadQuantiles(src)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(name)
+      .select($"n_events", $"n_scored", $"p50", $"p95")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    // batch twin: the same aggregate over the same rows must agree
+    // exactly (below accuracy the summary holds every value)
+    val batch = Seq(10L, 20L, 30L, 40L).map(_.toDouble).toDF("v")
+      .agg(org.apache.spark.sql.functions.expr("percentile_approx(v, 0.5, 1000)"),
+        org.apache.spark.sql.functions.expr("percentile_approx(v, 0.95, 1000)"))
+      .as[(Double, Double)].head()
+    assert(rows.contains((5L, 4L, batch._1, batch._2)), rows.toString)
+    assert(rows.contains((1L, 1L, 7.0, 7.0)), rows.toString)
+  }
+
   test("windowedTopAuthors: exact below capacity, state merges across micro-batches") {
     val dir = Files.createTempDirectory("mglog").toString
     // window 600..659: a×3, b×2, c×1 (6 events, 3 distinct ≤ capacity →
