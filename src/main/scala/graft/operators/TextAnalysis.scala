@@ -460,6 +460,92 @@ object TextAnalysis {
         .getDecimal(1))
   }
 
+  /** In-memory model frames — (model(prev, cur, nll),
+    * ctx(prev, unseen_nll), oov decimal) — the [[saveBigramLm]] tables
+    * without the disk round trip, for operators that contrast TWO
+    * models in one pass ([[dsirWeights]]). Same expressions, same
+    * DECIMAL(28,8) rounding, so scores agree with the persisted path
+    * bit-for-bit.
+    */
+  private def modelFrames(refDocs: DataFrame)
+      : (DataFrame, DataFrame, java.math.BigDecimal) = {
+    val g = bigrams(refDocs)
+    val c2 = g.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+      .localCheckpoint(true)
+    val vocab = c2.select(explode(array(col("prev"), col("cur"))).as("t"))
+      .agg(countDistinct(col("t")).cast("long").as("v"))
+    val model = c2.join(c1, Seq("prev")).crossJoin(broadcast(vocab))
+      .select(col("prev"), col("cur"), expr(
+        "CAST(ln(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE)) AS DECIMAL(28,8))").as("nll"))
+    val ctx = c1.crossJoin(broadcast(vocab))
+      .select(col("prev"), expr(
+        "CAST(ln(CAST(c1 + v AS DOUBLE)) AS DECIMAL(28,8))").as("unseen_nll"))
+    val oov = vocab.select(expr(
+      "CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(28,8))")).head().getDecimal(0)
+    (model, ctx, oov)
+  }
+
+  /** DSIR-style importance weights (d53) — Xie et al.'s "Data Selection
+    * via Importance Resampling" reduced to its n-gram-model core: score
+    * every document under a TARGET-domain model and under the
+    * whole-CORPUS model, and weight by the contrast
+    * `weight = avg_nll_corpus − avg_nll_target` (positive = the target
+    * model likes this doc more than the corpus average does — the
+    * importance-sampling log-ratio). The published method resamples
+    * with probability ∝ exp(weight); the registered operator keeps the
+    * weight itself plus the sign-gate verdict (`keep = weight ≥ 0`),
+    * leaving the sampling step to [[graft.operators.Sampling]]'s
+    * deterministic hash device — exp() is deliberately NOT computed
+    * (libm vs JVM transcendental rounding is the one place the
+    * cross-engine contract could silently break).
+    *
+    * One pass over the shared gram stream joins BOTH models (each the
+    * d49 three-tier backoff: seen pair / unseen continuation / unknown
+    * context); the keep verdict compares the DECIMAL sums directly, so
+    * it is exact, not a rounded-double comparison. Scale shape: both
+    * model sides are vocabulary-scale equi-joins (not broadcast), the
+    * two oov constants are driver scalars, text is scanned three times
+    * (two model passes + scoring — a production run materializes the
+    * gram stream once).
+    *
+    * Returns (doc_id, n_bigrams, t_avg_nll, c_avg_nll, weight, keep)
+    * for every doc with at least one bigram (the [[bigramLm]]
+    * convention).
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column): DataFrame = {
+    val (tm, tc, tOov) = modelFrames(docs.filter(targetPred))
+    val (cm, cc, cOov) = modelFrames(docs)
+    bigrams(docs)
+      .join(tm.select(col("prev"), col("cur"), col("nll").as("t_nll")),
+        Seq("prev", "cur"), "left_outer")
+      .join(tc.select(col("prev"), col("unseen_nll").as("t_unseen")),
+        Seq("prev"), "left_outer")
+      .join(cm.select(col("prev"), col("cur"), col("nll").as("c_nll")),
+        Seq("prev", "cur"), "left_outer")
+      .join(cc.select(col("prev"), col("unseen_nll").as("c_unseen")),
+        Seq("prev"), "left_outer")
+      .withColumn("t_eff", coalesce(col("t_nll"), col("t_unseen"),
+        lit(tOov).cast("decimal(28,8)")))
+      .withColumn("c_eff", coalesce(col("c_nll"), col("c_unseen"),
+        lit(cOov).cast("decimal(28,8)")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("t_eff")).as("t_sum"), sum(col("c_eff")).as("c_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("t_sum").cast("double") / col("n_bigrams")).as("t_avg_nll"),
+        (col("c_sum").cast("double") / col("n_bigrams")).as("c_avg_nll"),
+        // subtract at DECIMAL(37,8): Spark's (38,8)−(38,8) result would
+        // need precision 39 and silently DROPS a scale digit under
+        // allowPrecisionLoss (measured: a 2e-8 cross-engine mismatch);
+        // at (37,8) the difference is exactly representable in (38,8).
+        // Corpus nll sums are far below the 10^29 that could overflow.
+        ((col("c_sum").cast("decimal(37,8)") - col("t_sum").cast("decimal(37,8)"))
+          .cast("double") / col("n_bigrams")).as("weight"),
+        (col("c_sum") >= col("t_sum")).as("keep"))
+  }
+
   /** The scoring kernel behind [[bigramLmScoreIndexed]], over
     * already-loaded model frames — callers that score MANY corpora (or
     * many micro-batches: [[graft.streaming.EventTimeOps]]'s LM gate)

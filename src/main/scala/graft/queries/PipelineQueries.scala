@@ -477,6 +477,17 @@ object PipelineQueries {
         .orderBy(col("shard_id"))
     }),
 
+    // DSIR importance weights (d53): target-vs-corpus model contrast
+    // per doc — the published importance-resampling log-ratio, with
+    // the sign gate compared on exact DECIMAL sums and exp()
+    // deliberately left out of the cross-engine contract
+    // (TextAnalysis.dsirWeights doc). Target domain = lang='en', the
+    // d49 trusted-reference device.
+    "d53_dsir_weights" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.dsirWeights(Tables.documents(spark, dir),
+        col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
     // the GROWN shard store (d51): history shards frozen at the 3/4
     // cut, the rest appended AFTER the frozen token stream with
     // Packing.appendTokenShards (existing files never rewritten —
@@ -1609,6 +1620,28 @@ object PipelineQueries {
   // the chain d47/d48/d50 have always composed over
   private val tokenOffsetCtes = tokenOffsetCtesFor("p")
 
+  /** One add-one bigram model as a prefixed CTE chain (the d49 oracle's
+    * model fragments, parameterized): trained on `documents $where`,
+    * ending in `${p}model(prev, cur, nll)`, `${p}ctx(prev, unseen_nll)`
+    * and `${p}uv(oov_nll)`. d53 composes two instances (target vs
+    * corpus) in one query.
+    */
+  private def bigramModelCtes(p: String, where: String) =
+    s"""${p}t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents $where),
+       |${p}g AS (SELECT unnest(list_slice(w, 1, len(w)-1)) AS prev,
+       |        unnest(list_slice(w, 2, len(w))) AS cur FROM ${p}t WHERE len(w) >= 2),
+       |${p}c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM ${p}g GROUP BY 1, 2),
+       |${p}c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM ${p}c2 GROUP BY 1),
+       |${p}v AS (SELECT CAST(count(DISTINCT t2) AS BIGINT) AS v
+       |       FROM (SELECT unnest([prev, cur]) AS t2 FROM ${p}c2)),
+       |${p}model AS (SELECT prev, cur,
+       |  CAST(ln(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE)) AS DECIMAL(28,8)) AS nll
+       |  FROM ${p}c2 JOIN ${p}c1 USING (prev) CROSS JOIN ${p}v),
+       |${p}ctx AS (SELECT prev, CAST(ln(CAST(c1 + v AS DOUBLE)) AS DECIMAL(28,8)) AS unseen_nll
+       |  FROM ${p}c1 CROSS JOIN ${p}v),
+       |${p}uv AS (SELECT CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(28,8)) AS oov_nll FROM ${p}v)"""
+      .stripMargin.replace("\n", " ")
+
   /** Mirror of [[graft.operators.Sampling.stratified]] over the
     * language strata — ends in `u(doc_id, stratum, u)`; pair with
     * [[rateCase]] for the keep predicate. Shared by d16 and d19.
@@ -2258,6 +2291,32 @@ object PipelineQueries {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  bit_xor(${duckHash60("text")}) AS text_h
          |FROM psh GROUP BY shard_id ORDER BY shard_id""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.dsirWeights: two bigramModelCtes chains
+    // (target = en slice, corpus = all) joined against one gram stream,
+    // the keep gate compared on the exact decimal sums
+    "d53_dsir_weights" ->
+      s"""WITH ${bigramModelCtes("t", "WHERE lang = 'en'")},
+         |${bigramModelCtes("c", "")},
+         |sg AS (SELECT doc_id,
+         |  unnest(list_slice(w, 1, len(w)-1)) AS prev,
+         |  unnest(list_slice(w, 2, len(w))) AS cur
+         |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+         |  WHERE len(w) >= 2),
+         |sc AS (SELECT doc_id,
+         |  coalesce(tm.nll, tx.unseen_nll, tv.oov_nll) AS t_eff,
+         |  coalesce(cm.nll, cx.unseen_nll, cv.oov_nll) AS c_eff
+         |  FROM sg
+         |  LEFT JOIN tmodel tm USING (prev, cur) LEFT JOIN tctx tx USING (prev)
+         |  CROSS JOIN tuv tv
+         |  LEFT JOIN cmodel cm USING (prev, cur) LEFT JOIN cctx cx USING (prev)
+         |  CROSS JOIN cuv cv)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(t_eff) AS DOUBLE) / count(*) AS t_avg_nll,
+         |  CAST(sum(c_eff) AS DOUBLE) / count(*) AS c_avg_nll,
+         |  CAST(sum(c_eff) - sum(t_eff) AS DOUBLE) / count(*) AS weight,
+         |  (sum(c_eff) >= sum(t_eff)) AS keep
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Packing.appendTokenShards' two-stage placement: the
     // history chain (doc_id <= 3/4 cut) runs the shared prefix sum

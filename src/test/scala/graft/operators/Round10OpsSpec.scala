@@ -215,6 +215,24 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(serve(appended) == serve(rebuilt) && serve(appended).nonEmpty)
   }
 
+  test("dsirWeights: the importance contrast points at the target domain") {
+    val docs = Tables.documents(spark, dir)
+    val w = TextAnalysis.dsirWeights(docs, col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val byLang = w.groupBy(col("lang") === "en")
+      .agg(avg(col("weight")).as("mw"), count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // the log-ratio must rank target-domain docs above the rest — the
+    // method's whole point (Xie et al.: importance weights select for
+    // the target distribution)
+    assert(byLang(true)._1 > byLang(false)._1,
+      s"en mean weight ${byLang(true)._1} not above non-en ${byLang(false)._1}")
+    assert(byLang(true)._2 > 0 && byLang(false)._2 > 0)
+    // keep agrees with the sign of the exact-decimal contrast
+    val bad = w.filter((col("weight") >= 0.0) =!= col("keep")).count()
+    assert(bad == 0, s"$bad docs have keep disagreeing with weight sign")
+  }
+
   test("srpRadiusCurve: nested blocks make recall nondecreasing in radius") {
     val emb = Tables.embeddings(spark, dir)
     val rows = Similarity.srpRadiusCurve(emb, col("vec_id") % 50 === 0, 3)
