@@ -546,6 +546,42 @@ object TextAnalysis {
         (col("c_sum") >= col("t_sum")).as("keep"))
   }
 
+  /** DSIR SELECTION (d54) — the resampling half of [[dsirWeights]],
+    * deterministic: keep the top third of the corpus by importance
+    * weight, ranked with the same DISTRIBUTED global-rank device as
+    * [[perplexityTiers]] (bucket by a coarse grid of the score, rank
+    * within buckets, offset by the cumulative bucket counts — no
+    * single-partition corpus window; the published method's
+    * probability-proportional resampling becomes a rank cut, which is
+    * what production selection jobs actually run: a budget, not a
+    * coin). Bucketing uses floor(−weight·scale) so ascending buckets
+    * are descending weights; ties break on doc_id. `weight` doubles
+    * are cross-engine exact (d53's contract), so ranks and the
+    * selection boundary are too.
+    *
+    * Returns (doc_id, weight, rnk, selected) — rnk 1 = most
+    * target-like, selected = (rnk−1)·3 < n_total.
+    */
+  def dsirSelect(docs: DataFrame, targetPred: Column,
+      bucketScale: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = dsirWeights(docs, targetPred)
+      .select(col("doc_id"), col("weight")).localCheckpoint(true)
+    val scored = w.select(col("doc_id"), col("weight"),
+      floor(-col("weight") * bucketScale).cast("long").as("bkt"))
+    val counts = scored.groupBy(col("bkt")).agg(count(lit(1)).as("bc"))
+    val offsets = counts.select(col("bkt"),
+      (sum(col("bc")).over(Window.orderBy(col("bkt"))) - col("bc")).as("off"))
+    val total = w.agg(count(lit(1)).cast("long").as("n_total"))
+    val inBkt = Window.partitionBy(col("bkt"))
+      .orderBy(col("weight").desc, col("doc_id"))
+    scored.join(offsets, Seq("bkt"))
+      .withColumn("rnk", (col("off") + row_number().over(inBkt)).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("weight"), col("rnk"),
+        expr("(rnk - 1) * 3 < n_total").as("selected"))
+  }
+
   /** The scoring kernel behind [[bigramLmScoreIndexed]], over
     * already-loaded model frames — callers that score MANY corpora (or
     * many micro-batches: [[graft.streaming.EventTimeOps]]'s LM gate)

@@ -488,6 +488,14 @@ object PipelineQueries {
         col("lang") === "en")
         .orderBy(col("doc_id"))),
 
+    // DSIR selection (d54): the resampling half as a deterministic
+    // rank cut — d53's weights through the d46 distributed-rank
+    // device, top third selected (TextAnalysis.dsirSelect doc)
+    "d54_dsir_select" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.dsirSelect(Tables.documents(spark, dir),
+        col("lang") === "en", LM_SCALE)
+        .orderBy(col("doc_id"))),
+
     // the GROWN shard store (d51): history shards frozen at the 3/4
     // cut, the rest appended AFTER the frozen token stream with
     // Packing.appendTokenShards (existing files never rewritten —
@@ -1642,6 +1650,26 @@ object PipelineQueries {
        |${p}uv AS (SELECT CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(28,8)) AS oov_nll FROM ${p}v)"""
       .stripMargin.replace("\n", " ")
 
+  /** The shared d53/d54 scoring chain: both models joined against one
+    * gram stream, ending in `sc(doc_id, t_eff, c_eff)`.
+    */
+  private lazy val dsirScoreCtes =
+    s"""${bigramModelCtes("t", "WHERE lang = 'en'")},
+       |${bigramModelCtes("c", "")},
+       |sg AS (SELECT doc_id,
+       |  unnest(list_slice(w, 1, len(w)-1)) AS prev,
+       |  unnest(list_slice(w, 2, len(w))) AS cur
+       |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+       |  WHERE len(w) >= 2),
+       |sc AS (SELECT doc_id,
+       |  coalesce(tm.nll, tx.unseen_nll, tv.oov_nll) AS t_eff,
+       |  coalesce(cm.nll, cx.unseen_nll, cv.oov_nll) AS c_eff
+       |  FROM sg
+       |  LEFT JOIN tmodel tm USING (prev, cur) LEFT JOIN tctx tx USING (prev)
+       |  CROSS JOIN tuv tv
+       |  LEFT JOIN cmodel cm USING (prev, cur) LEFT JOIN cctx cx USING (prev)
+       |  CROSS JOIN cuv cv)""".stripMargin.replace("\n", " ")
+
   /** Mirror of [[graft.operators.Sampling.stratified]] over the
     * language strata — ends in `u(doc_id, stratum, u)`; pair with
     * [[rateCase]] for the keep predicate. Shared by d16 and d19.
@@ -2296,27 +2324,32 @@ object PipelineQueries {
     // (target = en slice, corpus = all) joined against one gram stream,
     // the keep gate compared on the exact decimal sums
     "d53_dsir_weights" ->
-      s"""WITH ${bigramModelCtes("t", "WHERE lang = 'en'")},
-         |${bigramModelCtes("c", "")},
-         |sg AS (SELECT doc_id,
-         |  unnest(list_slice(w, 1, len(w)-1)) AS prev,
-         |  unnest(list_slice(w, 2, len(w))) AS cur
-         |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
-         |  WHERE len(w) >= 2),
-         |sc AS (SELECT doc_id,
-         |  coalesce(tm.nll, tx.unseen_nll, tv.oov_nll) AS t_eff,
-         |  coalesce(cm.nll, cx.unseen_nll, cv.oov_nll) AS c_eff
-         |  FROM sg
-         |  LEFT JOIN tmodel tm USING (prev, cur) LEFT JOIN tctx tx USING (prev)
-         |  CROSS JOIN tuv tv
-         |  LEFT JOIN cmodel cm USING (prev, cur) LEFT JOIN cctx cx USING (prev)
-         |  CROSS JOIN cuv cv)
+      s"""WITH $dsirScoreCtes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(t_eff) AS DOUBLE) / count(*) AS t_avg_nll,
          |  CAST(sum(c_eff) AS DOUBLE) / count(*) AS c_avg_nll,
          |  CAST(sum(c_eff) - sum(t_eff) AS DOUBLE) / count(*) AS weight,
          |  (sum(c_eff) >= sum(t_eff)) AS keep
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.dsirSelect: d53's weight chain through the
+    // d46 distributed-rank device (descending weight, doc_id ties),
+    // selection = the top third
+    "d54_dsir_select" ->
+      s"""WITH $dsirScoreCtes,
+         |dw AS (SELECT doc_id,
+         |  CAST(sum(c_eff) - sum(t_eff) AS DOUBLE) / count(*) AS weight
+         |  FROM sc GROUP BY doc_id),
+         |ws AS (SELECT doc_id, weight,
+         |       CAST(floor(-weight * $LM_SCALE) AS BIGINT) AS bkt FROM dw),
+         |wbc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS bc FROM ws GROUP BY 1),
+         |wbo AS (SELECT bkt, CAST(sum(bc) OVER (ORDER BY bkt) - bc AS BIGINT) AS off FROM wbc),
+         |wtot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dw),
+         |wrk AS (SELECT doc_id, weight,
+         |  CAST(off + row_number() OVER (PARTITION BY bkt ORDER BY weight DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM ws JOIN wbo USING (bkt))
+         |SELECT doc_id, weight, rnk, ((rnk - 1) * 3 < n_total) AS selected
+         |FROM wrk CROSS JOIN wtot ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Packing.appendTokenShards' two-stage placement: the
     // history chain (doc_id <= 3/4 cut) runs the shared prefix sum

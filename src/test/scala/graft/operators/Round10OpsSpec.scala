@@ -233,6 +233,29 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad docs have keep disagreeing with weight sign")
   }
 
+  test("dsirSelect: exactly the top third by weight, rank cut deterministic") {
+    val docs = Tables.documents(spark, dir)
+    val rows = TextAnalysis.dsirSelect(docs, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    val n = rows.length
+    assert(n > 0)
+    // ranks are a permutation of 1..n (the distributed device composes
+    // to a total order)
+    assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    // the selection is exactly the rank cut, size ceil(n/3)
+    val sel = rows.filter(_._4)
+    assert(sel.length == (n + 2) / 3)
+    assert(sel.map(_._3).max <= rows.filterNot(_._4).map(_._3).min)
+    // rank order agrees with (weight desc, doc_id asc)
+    val byRank = rows.sortBy(_._3)
+    byRank.sliding(2).foreach {
+      case Array((id1, w1, _, _), (id2, w2, _, _)) =>
+        assert(w1 > w2 || (w1 == w2 && id1 < id2),
+          s"rank order violates (weight desc, doc_id): ($id1,$w1) before ($id2,$w2)")
+      case _ => ()
+    }
+  }
+
   test("srpRadiusCurve: nested blocks make recall nondecreasing in radius") {
     val emb = Tables.embeddings(spark, dir)
     val rows = Similarity.srpRadiusCurve(emb, col("vec_id") % 50 === 0, 3)
