@@ -216,4 +216,51 @@ object Packing {
         (least(col("start_token") + col("n_tokens"), (col("ctx_id") + lit(1)) * ctxLen)
           - greatest(col("start_token"), col("ctx_id") * ctxLen)).cast("long").as("len"))
   }
+
+  /** Pack WITHIN each shard of a persisted [[saveTokenShards]] store —
+    * the shard-store consumer of the packing layout: each shard file is
+    * treated as an INDEPENDENT token stream, and context windows are
+    * cut from local position 0 per shard with zero cross-shard
+    * coordination. This is the packing a training job actually runs
+    * (shard files are handed to dataloader workers; each worker packs
+    * its own files locally), and the Spark shape matches it exactly:
+    * the only window is PARTITIONED BY shard_id, and the shard-budget
+    * contract bounds every partition at ~budget tokens plus one
+    * document tail — so parallelism is the shard count and partition
+    * size is capped BY CONSTRUCTION, with no corpus-wide prefix sum at
+    * all (contrast [[packSequences]], whose global stream needs the
+    * bucketed distributed prefix-sum device).
+    *
+    * Within a shard, documents keep the frozen deterministic order the
+    * store recorded (start_token ASC — globally unique), so a shard's
+    * local stream is precisely the global stream's slice shifted to
+    * local 0, and an [[appendTokenShards]]-grown store packs its frozen
+    * history shards to the same windows as before growth (only the
+    * boundary shard's tail and the new tail shards change — the
+    * dataloader-immutability contract carried through packing).
+    *
+    * Returns (shard_id, doc_id, ctx_id, ctx_offset, doc_offset, len)
+    * with ctx_id LOCAL to the shard.
+    */
+  def packShardStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      ctxLen: Int): DataFrame = {
+    require(ctxLen > 0, s"ctxLen=$ctxLen")
+    graft.sources.IndexManifest.require(path, "shards")
+    val inShard = Window.partitionBy(col("shard_id")).orderBy(col("start_token"))
+    spark.read.parquet(s"$path/shards")
+      .select(col("shard_id").cast("long").as("shard_id"), col("doc_id"),
+        col("n_tokens"), col("start_token"))
+      .withColumn("local_start",
+        (sum(col("n_tokens")).over(inShard) - col("n_tokens")).cast("long"))
+      .select(col("shard_id"), col("doc_id"), col("n_tokens"), col("local_start"),
+        explode(expr(
+          s"sequence(local_start DIV $ctxLen, (local_start + n_tokens - 1) DIV $ctxLen)")).as("ctx_id"))
+      .select(col("shard_id"), col("doc_id"), col("ctx_id").cast("long").as("ctx_id"),
+        (greatest(col("local_start"), col("ctx_id") * ctxLen)
+          - col("ctx_id") * ctxLen).cast("long").as("ctx_offset"),
+        (greatest(col("local_start"), col("ctx_id") * ctxLen)
+          - col("local_start")).cast("long").as("doc_offset"),
+        (least(col("local_start") + col("n_tokens"), (col("ctx_id") + lit(1)) * ctxLen)
+          - greatest(col("local_start"), col("ctx_id") * ctxLen)).cast("long").as("len"))
+  }
 }

@@ -521,6 +521,19 @@ object PipelineQueries {
         .orderBy(col("shard_id"))
     }),
 
+    // the shard-store CONSUMER (d55): context windows cut within each
+    // persisted shard independently — local position 0 per shard, the
+    // only window partitioned by shard_id (bounded at ~budget tokens by
+    // the shard contract), no corpus-wide prefix sum
+    // (Packing.packShardStore doc; contrast d48's global stream)
+    "d55_pack_shards" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val path = indexPath("d55-shards")
+      Packing.saveTokenShards(docs, path, SHARD_BUDGET)
+      Packing.packShardStore(spark, path, CTX_LEN)
+        .orderBy(col("shard_id"), col("ctx_id"), col("doc_id"))
+    }),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -2371,6 +2384,28 @@ object PipelineQueries {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  bit_xor(${duckHash60("text")}) AS text_h
          |FROM psh GROUP BY shard_id ORDER BY shard_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Packing.packShardStore over a fresh d47 store: shard
+    // assignment from the shared prefix-sum chain, then a LOCAL running
+    // sum per shard (window partitioned by shard_id — the whole point)
+    // and the same window-explode arithmetic as d48
+    "d55_pack_shards" ->
+      s"""WITH $tokenOffsetCtes,
+         |psh AS (SELECT doc_id, n_tokens, start_token,
+         |  CAST(start_token // $SHARD_BUDGET AS BIGINT) AS shard_id FROM pos),
+         |lo AS (SELECT shard_id, doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY start_token)
+         |       - n_tokens AS BIGINT) AS local_start FROM psh),
+         |pctx AS (SELECT shard_id, doc_id, n_tokens, local_start,
+         |  unnest(range(local_start // $CTX_LEN,
+         |               (local_start + n_tokens - 1) // $CTX_LEN + 1)) AS ctx_id
+         |  FROM lo)
+         |SELECT shard_id, doc_id, CAST(ctx_id AS BIGINT) AS ctx_id,
+         |  CAST(greatest(local_start, ctx_id * $CTX_LEN) - ctx_id * $CTX_LEN AS BIGINT) AS ctx_offset,
+         |  CAST(greatest(local_start, ctx_id * $CTX_LEN) - local_start AS BIGINT) AS doc_offset,
+         |  CAST(least(local_start + n_tokens, (ctx_id + 1) * $CTX_LEN)
+         |       - greatest(local_start, ctx_id * $CTX_LEN) AS BIGINT) AS len
+         |FROM pctx ORDER BY shard_id, ctx_id, doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.exactSubstrSpans over the shared ExactSubstr
     // chain (exSubstrCtes doc)

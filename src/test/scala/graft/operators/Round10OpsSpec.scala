@@ -347,4 +347,58 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("shard_id"),
       s"single-shard read is not partition-pruned:\n$scan")
   }
+
+  test("packShardStore: windows tile per shard, spans cover each doc, and the shard stream is the global slice shifted to 0") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = tmp("graft-shpack-")
+    val ctx = 64
+    Packing.saveTokenShards(docs, path, BUDGET)
+    val p = Packing.packShardStore(spark, path, ctx)
+      .select(col("shard_id"), col("doc_id"), col("ctx_id"),
+        col("ctx_offset"), col("doc_offset"), col("len"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(p.nonEmpty)
+    // per (shard, ctx) tiling: every window sums to ctxLen except each
+    // shard's LAST window (the shard tail), which carries the remainder
+    val store = spark.read.parquet(s"$path/shards")
+      .select(col("shard_id").cast("long"), col("doc_id"),
+        col("n_tokens"), col("start_token"))
+      .as[(Long, Long, Long, Long)].collect()
+    val shardTok = store.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    p.groupBy(r => (r._1, r._3)).foreach { case ((sid, cid), rows) =>
+      val lastCtx = (shardTok(sid) - 1) / ctx
+      val s = rows.map(_._6).sum
+      if (cid < lastCtx) assert(s == ctx, s"shard $sid ctx $cid sums $s")
+      else assert(s == shardTok(sid) - lastCtx * ctx, s"shard $sid tail ctx $cid")
+    }
+    // per-doc spans are contiguous from doc_offset 0 and cover n_tokens
+    val nTok = store.map(r => r._2 -> r._3).toMap
+    p.groupBy(_._2).foreach { case (id, spans) =>
+      val sorted = spans.sortBy(_._5)
+      assert(sorted.head._5 == 0L && sorted.map(_._6).sum == nTok(id), s"doc $id")
+    }
+    // shard-local positions are the stored global stream shifted so each
+    // shard's first doc starts at 0 (frozen order preserved)
+    val firstStart = store.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._4).min }
+    val localStart = p.groupBy(_._2).map { case (id, spans) =>
+      val first = spans.minBy(_._5)
+      id -> (first._1, first._3 * ctx + first._4)
+    }
+    store.foreach { case (sid, id, _, st) =>
+      assert(localStart(id) == ((sid, st - firstStart(sid))), s"doc $id local pos") }
+    // an appended store packs its frozen history shards identically:
+    // non-boundary history windows are bit-stable under growth
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    val path2 = tmp("graft-shpack2-")
+    Packing.saveTokenShards(docs.filter(col("doc_id") <= cut), path2, BUDGET)
+    val before = Packing.packShardStore(spark, path2, ctx)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    Packing.appendTokenShards(docs.filter(col("doc_id") > cut), path2)
+    val after = Packing.packShardStore(spark, path2, ctx)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val boundary = before.map(_._1).max // the one partially-filled tail shard
+    assert(before.filter(_._1 < boundary).subsetOf(after),
+      "a frozen history shard's packing changed under append")
+  }
 }
