@@ -58,6 +58,79 @@ object TextAnalysis {
       (hitCount(markers.head._2).cast("double") / size(toks)).as("stop_ratio"))
   }
 
+  /** Gopher document-quality rule suite (d56) — the published
+    * document-level filter set of Rae et al. 2021 ("Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1.1) as ONE scan-side pass: word-count bounds, mean
+    * word-length bounds, symbol-to-word ratio (# and ellipsis), bullet-
+    * and ellipsis-line fractions, alphabetic-word fraction, and the
+    * ≥`minStopHits`-of-a-designated-stopword-list rule. Pure per-row
+    * column expressions — embarrassingly parallel, fully codegen'd,
+    * zero shuffle, so it runs at scan speed on any corpus size.
+    *
+    * Cross-engine determinism: every fraction is ONE double division of
+    * two exact longs (both engines perform the identical IEEE op), and
+    * every rule bit compares that division against a literal — so the
+    * booleans hash-match bit-for-bit. Thresholds default to the
+    * published constants; `stopWords` defaults to the published English
+    * list (the registered query passes the corpus's marker vocabulary
+    * instead — the published list is degenerate on the synthetic
+    * vocabulary, measured 0/500 docs with ≥2 hits, while the marker
+    * list splits 446/500 and the word-count bound splits 277/500).
+    *
+    * Returns (doc_id, n_words, mean_word_len, symbol_ratio,
+    * bullet_frac, ellipsis_frac, alpha_frac, n_stop, ok_words,
+    * ok_word_len, ok_symbol, ok_bullet, ok_ellipsis, ok_alpha,
+    * ok_stop, keep).
+    */
+  def gopherRules(docs: DataFrame,
+      stopWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2L): DataFrame = {
+    require(stopWords.nonEmpty, "stopWords must be non-empty")
+    val sig = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("wchars"),
+      (length(col("text")) - length(expr("replace(text, '#', '')")))
+        .cast("long").as("n_hash"),
+      expr("CAST((length(text) - length(replace(text, '...', ''))) DIV 3 AS BIGINT)")
+        .as("n_ellipsis"),
+      size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
+      expr("CAST(size(filter(split(text, chr(10), -1), " +
+        "l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS BIGINT)")
+        .as("n_bullet"),
+      expr("CAST(size(filter(split(text, chr(10), -1), l -> l LIKE '%...')) AS BIGINT)")
+        .as("n_ell_lines"),
+      expr("CAST(size(filter(split(text, ' '), x -> x RLIKE '[a-zA-Z]')) AS BIGINT)")
+        .as("n_alpha"),
+      stopWords.map(s => array_contains(split(col("text"), " "), s).cast("long"))
+        .reduce(_ + _).as("n_stop"))
+    sig.select(col("doc_id"), col("n_words"),
+        (col("wchars").cast("double") / col("n_words")).as("mean_word_len"),
+        ((col("n_hash") + col("n_ellipsis")).cast("double") / col("n_words"))
+          .as("symbol_ratio"),
+        (col("n_bullet").cast("double") / col("n_lines")).as("bullet_frac"),
+        (col("n_ell_lines").cast("double") / col("n_lines")).as("ellipsis_frac"),
+        (col("n_alpha").cast("double") / col("n_words")).as("alpha_frac"),
+        col("n_stop"))
+      .withColumn("ok_words", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_word_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("ok_symbol", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_bullet", col("bullet_frac") <= maxBulletFrac)
+      .withColumn("ok_ellipsis", col("ellipsis_frac") <= maxEllipsisFrac)
+      .withColumn("ok_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("ok_stop", col("n_stop") >= minStopHits)
+      .withColumn("keep",
+        col("ok_words") && col("ok_word_len") && col("ok_symbol") &&
+          col("ok_bullet") && col("ok_ellipsis") && col("ok_alpha") && col("ok_stop"))
+  }
+
   /** Whitespace tokens vs BPE-ish regex tokens (letter runs / digit runs /
     * single punctuation).
     */

@@ -534,6 +534,18 @@ object PipelineQueries {
         .orderBy(col("shard_id"), col("ctx_id"), col("doc_id"))
     }),
 
+    // the Gopher document-quality rule suite (d56): the published
+    // filter set as one scan-side pass — word-count bounds, mean
+    // word-length bounds, symbol/bullet/ellipsis ratios, alphabetic
+    // fraction, stopword rule. The stop list is the corpus's marker
+    // vocabulary (the published English list is degenerate on this
+    // synthetic vocab — measured 0/500 docs with >=2 hits); thresholds
+    // stay the published constants (TextAnalysis.gopherRules doc)
+    "d56_gopher_rules" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.gopherRules(Tables.documents(spark, dir),
+        stopWords = TextAnalysis.markers.head._2)
+        .orderBy(col("doc_id"))),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -2406,6 +2418,46 @@ object PipelineQueries {
          |  CAST(least(local_start + n_tokens, (ctx_id + 1) * $CTX_LEN)
          |       - greatest(local_start, ctx_id * $CTX_LEN) AS BIGINT) AS len
          |FROM pctx ORDER BY shard_id, ctx_id, doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.gopherRules (marker-vocab stop list): the
+    // same exact-long signal extraction, one double division per
+    // fraction, rule bits as literal comparisons
+    "d56_gopher_rules" -> {
+      val stopSum = TextAnalysis.markers.head._2
+        .map(s => s"CAST(list_contains(string_split(text, ' '), '$s') AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH g AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(len(replace(text, ' ', '')) AS BIGINT) AS wchars,
+         |  CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         |  CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(string_split(text, chr(10)),
+         |    l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS BIGINT) AS n_bullet,
+         |  CAST(len(list_filter(string_split(text, chr(10)), l -> l LIKE '%...')) AS BIGINT) AS n_ell_lines,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |  $stopSum AS n_stop
+         |  FROM documents),
+         |f AS (SELECT doc_id, n_words,
+         |  CAST(wchars AS DOUBLE) / n_words AS mean_word_len,
+         |  CAST(n_hash + n_ellipsis AS DOUBLE) / n_words AS symbol_ratio,
+         |  CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+         |  CAST(n_ell_lines AS DOUBLE) / n_lines AS ellipsis_frac,
+         |  CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac, n_stop FROM g)
+         |SELECT *,
+         |  (ok_words AND ok_word_len AND ok_symbol AND ok_bullet
+         |   AND ok_ellipsis AND ok_alpha AND ok_stop) AS keep
+         |FROM (SELECT *,
+         |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+         |  (symbol_ratio <= 0.1) AS ok_symbol,
+         |  (bullet_frac <= 0.9) AS ok_bullet,
+         |  (ellipsis_frac <= 0.3) AS ok_ellipsis,
+         |  (alpha_frac >= 0.8) AS ok_alpha,
+         |  (n_stop >= 2) AS ok_stop FROM f)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
 
     // mirror of Dedup.exactSubstrSpans over the shared ExactSubstr
     // chain (exSubstrCtes doc)

@@ -401,4 +401,46 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(before.filter(_._1 < boundary).subsetOf(after),
       "a frozen history shard's packing changed under append")
   }
+
+  test("gopherRules: each rule drops exactly its violator on constructed docs; corpus verdict is the AND of its bits") {
+    import spark.implicits._
+    val ok = ("the that have " * 20).trim // 60 words, mean len 3.67, 3 stop hits
+    val fixtures = Seq(
+      (0L, ok),                                      // passes everything
+      (1L, "the that"),                              // too few words (mean len 3.5 still ok)
+      (2L, ("the blah bluh " * 20).trim),            // one stopword hit only
+      (3L, ok + " " + ("ab#cd# " * 9).trim),         // symbol-heavy (18 #/69 words > 0.1)
+      (4L, ok.replace("have", "12345")),             // alpha fraction 2/3 < 0.8
+      (5L, (0 until 60).map(_ => "the that have").mkString("\n")), // newline-only structure — passes
+      (6L, ok + "\n" + (0 until 200).map(_ => "- the that have").mkString("\n")), // 200/201 bullet lines
+      (7L, ok + "\n" + "the that have...\n" * 2 + ok)) // 2/4 ellipsis lines > 0.3
+    val df = TextAnalysis.gopherRules(fixtures.toDF("doc_id", "text"))
+    val rows = df.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[Boolean]("keep"))
+    def failsOnly(id: Long, bit: String): Unit = {
+      assert(!rows(id).getAs[Boolean](bit), s"doc $id should fail $bit")
+      assert(!rows(id).getAs[Boolean]("keep"))
+      val others = Seq("ok_words", "ok_word_len", "ok_symbol", "ok_bullet",
+        "ok_ellipsis", "ok_alpha", "ok_stop").filterNot(_ == bit)
+      others.foreach(o => assert(rows(id).getAs[Boolean](o), s"doc $id should pass $o"))
+    }
+    failsOnly(1L, "ok_words")
+    failsOnly(2L, "ok_stop")
+    failsOnly(3L, "ok_symbol")
+    failsOnly(4L, "ok_alpha")
+    assert(rows(5L).getAs[Boolean]("keep"), "newlines alone must not drop a doc")
+    failsOnly(6L, "ok_bullet")
+    failsOnly(7L, "ok_ellipsis")
+    // corpus: verdict is exactly the AND of its bits, and the registered
+    // stop list splits the corpus both ways
+    val corpus = TextAnalysis.gopherRules(Tables.documents(spark, dir),
+      stopWords = TextAnalysis.markers.head._2)
+    val bad = corpus.filter(col("keep") =!= (col("ok_words") && col("ok_word_len") &&
+      col("ok_symbol") && col("ok_bullet") && col("ok_ellipsis") &&
+      col("ok_alpha") && col("ok_stop"))).count()
+    assert(bad == 0L)
+    val split = corpus.groupBy(col("keep")).count().as[(Boolean, Long)].collect().toMap
+    assert(split.getOrElse(true, 0L) > 0 && split.getOrElse(false, 0L) > 0,
+      s"corpus verdict is degenerate: $split")
+  }
 }
