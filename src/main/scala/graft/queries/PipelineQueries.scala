@@ -546,6 +546,15 @@ object PipelineQueries {
         stopWords = TextAnalysis.markers.head._2)
         .orderBy(col("doc_id"))),
 
+    // C4 line-level cleaning (d57): terminal-punctuation line keep +
+    // doc-level brace/lorem gates, all scan-side array expressions.
+    // The corpus has no sentence punctuation (measured), so this row
+    // verifies the all-drop path cross-engine; line semantics are
+    // spec-proven on constructed docs (TextAnalysis.c4LineFilter doc)
+    "d57_c4_filter" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.c4LineFilter(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -2458,6 +2467,26 @@ object PipelineQueries {
          |  (n_stop >= 2) AS ok_stop FROM f)
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of TextAnalysis.c4LineFilter: the same list_filter over
+    // split lines (LIKE line-end checks — no regex), doc gates, and
+    // CASE'd rejoin
+    "d57_c4_filter" ->
+      s"""WITH c AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+         |  contains(text, '{') AS has_brace,
+         |  contains(lower(text), 'lorem ipsum') AS has_lorem FROM documents),
+         |k AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         |  list_filter(lines, l ->
+         |    (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+         |    AND len(string_split(l, ' ')) >= 5
+         |    AND NOT contains(lower(l), 'javascript')) AS kept,
+         |  has_brace, has_lorem FROM c),
+         |v AS (SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+         |  has_brace, has_lorem, kept,
+         |  (NOT has_brace AND NOT has_lorem AND len(kept) >= 3) AS keep FROM k)
+         |SELECT doc_id, n_lines, n_kept, has_brace, has_lorem, keep,
+         |  CASE WHEN keep THEN array_to_string(kept, chr(10)) ELSE '' END AS text_out
+         |FROM v ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.exactSubstrSpans over the shared ExactSubstr
     // chain (exSubstrCtes doc)

@@ -443,4 +443,35 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(split.getOrElse(true, 0L) > 0 && split.getOrElse(false, 0L) > 0,
       s"corpus verdict is degenerate: $split")
   }
+
+  test("c4LineFilter: line keeps/drops and doc gates on constructed docs; all-drop on the punctuation-free corpus") {
+    import spark.implicits._
+    val good = "one two three four five." // 5 words, terminal period
+    val fixtures = Seq(
+      (0L, s"$good\n$good\nis this five words too?"),     // 3 kept lines -> keep
+      (1L, s"$good\n$good\nno terminal punctuation here"), // 2 kept -> drop
+      (2L, s"$good\n$good\nfour words only here."),        // 4-word line dropped -> 2 kept -> drop
+      (3L, s"$good\n$good\nthis line mentions JavaScript today."), // js line dropped
+      (4L, s"$good\n$good\n$good\nvar x = {};"),            // brace kills the doc
+      (5L, s"$good\n$good\n$good\nLorem Ipsum dolor sit amet."),   // lorem kills the doc
+      (6L, s"""he said "stop right there now""""),          // end-quote terminal, but 1 kept < 3
+      (7L, s"$good!\n$good?\nshort line.\nno punct line here now")) // !/? count; short + no-punct dropped
+    val out = TextAnalysis.c4LineFilter(fixtures.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep") &&
+      out(0L).getAs[String]("text_out") == s"$good\n$good\nis this five words too?")
+    assert(!out(1L).getAs[Boolean]("keep") && out(1L).getAs[Long]("n_kept") == 2)
+    assert(!out(2L).getAs[Boolean]("keep") && out(2L).getAs[Long]("n_kept") == 2)
+    assert(!out(3L).getAs[Boolean]("keep") && out(3L).getAs[Long]("n_kept") == 2)
+    assert(!out(4L).getAs[Boolean]("keep") && out(4L).getAs[Boolean]("has_brace")
+      && out(4L).getAs[Long]("n_kept") == 3 && out(4L).getAs[String]("text_out") == "")
+    assert(!out(5L).getAs[Boolean]("keep") && out(5L).getAs[Boolean]("has_lorem"))
+    assert(!out(6L).getAs[Boolean]("keep") && out(6L).getAs[Long]("n_kept") == 1)
+    assert(!out(7L).getAs[Boolean]("keep") && out(7L).getAs[Long]("n_kept") == 2)
+    // the measured caveat the registered row rides: the synthetic corpus
+    // has no terminal punctuation, so every doc takes the all-drop path
+    val corpus = TextAnalysis.c4LineFilter(Tables.documents(spark, dir))
+    assert(corpus.filter(col("keep") || col("n_kept") =!= 0L ||
+      col("text_out") =!= "").count() == 0L)
+  }
 }
