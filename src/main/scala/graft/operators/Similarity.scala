@@ -166,6 +166,55 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup (e45) — Abbas et al. 2023 ("SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): embeddings
+    * are clustered, and semantic near-duplicates are searched ONLY
+    * within each cluster — the published device that makes
+    * embedding-space dedup tractable at web scale, because pair
+    * formation is bounded by cluster granularity (Σ cell² work), never
+    * corpus². Per-vector verdict: DROP iff some LOWER-id member of the
+    * same cluster sits at cosine ≥ `threshold` (the deterministic
+    * keep-one-representative rule; the paper keeps an arbitrary member
+    * per dup set — id order is the reproducible stand-in, exactly
+    * d42's keep-first policy transplanted to embedding space).
+    *
+    * Composition story vs the text family: d01/d03 mine exact/LSH text
+    * pairs, [[nearDupPairs]] (d10) mines cosine pairs inside
+    * sign-projection buckets; SemDeDup swaps the bucket structure for
+    * the TRAINED cluster structure (the shared scan-side
+    * literal-inlined centroid assignment — the same device the IVF
+    * index family builds on, so the dedup geometry cannot disagree
+    * with the index geometry), and folds the pair evidence straight
+    * into a per-vector keep bit.
+    *
+    * Scale shape: assignment is scan-side expression work (no join, no
+    * shuffle — [[centroidScores]] doc); the pair search is one
+    * equi-join on cell; the verdict aggregates per vector with
+    * map-side partials; the final left join marks droppers. No
+    * driver-side state beyond the k·dim centroid literals.
+    *
+    * Returns (vec_id, cell, n_lower_dups, keep).
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+      nCells: Int = 16): DataFrame = {
+    val n = normalized(emb)
+    val asg = n.withColumn("cell",
+      (-array_max(centroidScores(n, nCells)).getField("nid")).cast("long"))
+    val x = asg.select(col("vec_id"), col("e").as("xe"),
+      col("nrm").as("xn"), col("cell"))
+    val y = asg.select(col("vec_id").as("other_id"), col("e").as("ye"),
+      col("nrm").as("yn"), col("cell"))
+    val dups = x.join(y, Seq("cell"))
+      .filter(col("other_id") < col("vec_id"))
+      .filter((dot("xe", "ye") / (col("xn") * col("yn"))) >= threshold)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_lower_dups"))
+    asg.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_lower_dups"), lit(0L)).as("n_lower_dups"))
+      .withColumn("keep", col("n_lower_dups") === 0L)
+  }
+
   /** IVF (inverted-file) ANN — the centroid-partitioned alternative to
     * the sign-projection LSH of [[annTopK]]:
     *

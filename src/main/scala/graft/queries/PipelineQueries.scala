@@ -38,6 +38,9 @@ object PipelineQueries {
                                  // per-dimension, so the width is static here
 
   private val BM25_TERMS = Seq("table", "query", "spark") // d17 query terms
+  private val SEMDEDUP_T = 0.35  // e45 within-cluster cosine threshold
+                                 // (drops 61/500 at sf0.01 — measured;
+                                 // real corpora use ~0.95+)
   private val LM_SCALE = 16      // d46 rank-bucket grid: floor(avg_nll*16)
   private val SRP_DIMS = 16      // e35 sign-random-projection output dims
   private val SRP_RADIUS = 3     // e39 Hamming radius → 4 sign-bit blocks
@@ -233,6 +236,16 @@ object PipelineQueries {
         .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
         .orderBy(col("vec_id"))
     }),
+
+    // SemDeDup (e45): cluster-bounded embedding dedup — near-dup pair
+    // search confined to the trained cluster structure (the shared IVF
+    // assignment device, so dedup geometry and index geometry cannot
+    // disagree), verdict = keep-lowest-id per dup set
+    // (Similarity.semanticDedup doc; contrast d10's sign-bucket pairs
+    // and e05's graph clusters)
+    "e45_semdedup" -> ((spark: SparkSession, dir: String) =>
+      Similarity.semanticDedup(Tables.embeddings(spark, dir), SEMDEDUP_T, IVF_CELLS)
+        .orderBy(col("vec_id"))),
 
     "e01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
       Similarity.cosineTopK(Tables.embeddings(spark, dir),
@@ -2790,6 +2803,22 @@ object PipelineQueries {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM p)
          |SELECT qid AS vec_id, rk, neighbor_id, cosine FROM r WHERE rk <= $KNN_K
          |ORDER BY vec_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.semanticDedup: the shared assignment CTEs'
+    // cells, self-joined within cell below the id, exact cosine
+    // threshold, per-vector lower-dup count folded to the keep bit
+    "e45_semdedup" ->
+      s"""WITH $ivfAsgCtes,
+         |sd AS (SELECT a.vid AS vec_id, CAST(count(*) AS BIGINT) AS n_lower_dups
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vid < a.vid
+         |  JOIN n na ON na.vec_id = a.vid JOIN n nb ON nb.vec_id = b.vid
+         |  WHERE list_dot_product(na.e, nb.e)/(na.nrm*nb.nrm) >= $SEMDEDUP_T
+         |  GROUP BY 1)
+         |SELECT c.vid AS vec_id, CAST(c.cell AS BIGINT) AS cell,
+         |  CAST(coalesce(n_lower_dups, 0) AS BIGINT) AS n_lower_dups,
+         |  (coalesce(n_lower_dups, 0) = 0) AS keep
+         |FROM cells c LEFT JOIN sd ON sd.vec_id = c.vid
+         |ORDER BY vec_id""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.centroidAffinity: the shared assignment CTEs'
     // winning row, cosine exposed as the score — asg's cos column uses

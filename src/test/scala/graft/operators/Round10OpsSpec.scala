@@ -474,4 +474,37 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(corpus.filter(col("keep") || col("n_kept") =!= 0L ||
       col("text_out") =!= "").count() == 0L)
   }
+
+  test("semanticDedup: keep-lowest-id within cluster on constructed vectors; cluster floor always keeps on the corpus") {
+    import spark.implicits._
+    val fix = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),      // seed centroid / cluster 0 floor
+      (1L, Array(0f, 1f, 0f, 0f)),      // seed centroid / cluster 1 floor
+      (2L, Array(1f, 0.01f, 0f, 0f)),   // ~dup of 0 -> dropped
+      (3L, Array(0.99f, 0.02f, 0f, 0f)),// ~dup of 0 AND 2 -> dropped, 2 lower dups
+      (4L, Array(0f, 1f, 0.5f, 0f)),    // cluster 1, cosine 0.894 < 0.95 -> keeps
+      (5L, Array(0f, 1f, 0.001f, 0f)))  // ~dup of 1 only -> dropped, 1 lower dup
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(fix, 0.95, nCells = 2)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(0L) == ((0L, 0L, true)) && out(1L) == ((1L, 0L, true)))
+    assert(out(2L) == ((0L, 1L, false)))
+    assert(out(3L) == ((0L, 2L, false)))
+    assert(out(4L) == ((1L, 0L, true)), "below-threshold neighbor must keep")
+    assert(out(5L) == ((1L, 1L, false)))
+    // corpus properties: the assignment IS the shared IVF assignment,
+    // each cell's lowest id always keeps, and keep <-> zero lower dups
+    val emb = Tables.embeddings(spark, dir)
+    val sd = Similarity.semanticDedup(emb, 0.35)
+    val aff = Similarity.centroidAffinity(emb)
+      .select(col("vec_id"), col("cell").as("aff_cell"))
+    assert(sd.join(aff, "vec_id").filter(col("cell") =!= col("aff_cell")).count() == 0L)
+    assert(sd.filter(col("keep") =!= (col("n_lower_dups") === 0L)).count() == 0L)
+    val floors = sd.groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+    assert(sd.join(floors, Seq("cell", "vec_id")).filter(!col("keep")).count() == 0L)
+    // and the threshold genuinely splits the corpus both ways
+    val parts = sd.groupBy(col("keep")).count().as[(Boolean, Long)].collect().toMap
+    assert(parts.getOrElse(true, 0L) > 0 && parts.getOrElse(false, 0L) > 0, parts.toString)
+  }
 }
