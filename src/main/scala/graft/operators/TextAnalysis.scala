@@ -181,6 +181,89 @@ object TextAnalysis {
           .as("text_out"))
   }
 
+  /** The corpus vocabulary in BPE symbol representation: one row per
+    * DISTINCT word with its corpus count, the word spelled as
+    * '¦'-separated symbols with the end-of-word marker '¶' appended
+    * (the `</w>` of Sennrich et al. 2016 respelled as one character).
+    * This is the classic BPE-training reduction: all later passes run
+    * over the VOCABULARY (≪ token stream), weighted by `wc` — the one
+    * corpus-scale scan is the word count here, a map-side-combined
+    * aggregate. Separator and marker are outside the corpus alphabet
+    * (documented contract; a production build would byte-escape).
+    */
+  private def bpeVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(rtrim(regexp_replace(concat(col("word"), lit("¶")), "(.)", "$1¦"), "¦")
+        .as("rep"), col("wc"))
+
+  /** Adjacent-symbol-pair counts over a symbol representation —
+    * the merge-candidate statistics of one BPE training step.
+    */
+  private def bpePairCounts(rep: DataFrame): DataFrame =
+    rep.select(split(col("rep"), "¦").as("syms"), col("wc"))
+      .select(col("syms"), col("wc"),
+        explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+      .select(element_at(col("syms"), col("i")).as("s1"),
+        element_at(col("syms"), col("i") + 1).as("s2"), col("wc"))
+      .groupBy(col("s1"), col("s2")).agg(sum(col("wc")).as("tf"))
+
+  /** BPE pair-statistics pass (d58) — the counting kernel of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016): the
+    * corpus frequency of every adjacent symbol pair (end-of-word
+    * marker included), top-`k` by frequency — rank 1 IS the first BPE
+    * merge. Runs over the deduplicated vocabulary weighted by word
+    * counts ([[bpeVocab]] doc), so pair counting never touches the
+    * token stream; the top-k plans as TakeOrderedAndProject (k rows
+    * per partition to the reducer, no global sort). Total order
+    * (tf desc, s1 asc, s2 asc) makes ranks deterministic cross-engine.
+    * Returns (rank, s1, s2, tf).
+    */
+  def bpePairStats(docs: DataFrame, k: Int = 50): DataFrame = {
+    val ordW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("s1").asc, col("s2").asc)
+    bpePairCounts(bpeVocab(docs))
+      .orderBy(col("tf").desc, col("s1").asc, col("s2").asc).limit(k)
+      .withColumn("rank", row_number().over(ordW).cast("long"))
+      .select(col("rank"), col("s1"), col("s2"), col("tf"))
+  }
+
+  /** BPE training proper (d59): `nMerges` iterations of count-pairs →
+    * take the most frequent → merge it corpus-wide, returning the merge
+    * table (step, s1, s2, tf) — the artifact a BPE tokenizer ships.
+    * Merge application is ONE literal string replace on the separator
+    * representation ('s1¦s2' → 's1s2'): left-to-right non-overlapping
+    * replacement IS the leftmost-first merge semantics ('a¦a¦a' under
+    * merge (a,a) → 'aa¦a'), and both engines share it, so the whole
+    * training trajectory is oracle-reproducible by chaining stat/merge
+    * CTE stages.
+    *
+    * Scale shape, k-means-style: the merge list is driver-resident (as
+    * centroids are in every k-means), collected one row per step; the
+    * distributed work per step is one aggregate over the VOCABULARY
+    * table, not the corpus — the [[bpeVocab]] reduction — and each
+    * step's representation is one added projection, checkpointed per
+    * step so the lineage stays flat.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 5): DataFrame = {
+    require(nMerges >= 1, s"nMerges=$nMerges")
+    var rep = bpeVocab(docs).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val top = bpePairCounts(rep)
+        .orderBy(col("tf").desc, col("s1").asc, col("s2").asc).limit(1)
+        .collect()
+      require(top.nonEmpty, s"BPE step $step: no pairs left to merge")
+      val (s1, s2, tf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((step.toLong, s1, s2, tf))
+      rep = rep.withColumn("rep",
+          replace(col("rep"), lit(s1 + "¦" + s2), lit(s1 + s2)))
+        .localCheckpoint(true)
+    }
+    docs.sparkSession.createDataFrame(merges.toSeq)
+      .toDF("step", "s1", "s2", "tf")
+  }
+
   /** Whitespace tokens vs BPE-ish regex tokens (letter runs / digit runs /
     * single punctuation).
     */

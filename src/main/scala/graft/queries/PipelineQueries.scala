@@ -41,6 +41,8 @@ object PipelineQueries {
   private val SEMDEDUP_T = 0.35  // e45 within-cluster cosine threshold
                                  // (drops 61/500 at sf0.01 — measured;
                                  // real corpora use ~0.95+)
+  private val BPE_TOPK = 50      // d58 merge-candidate table depth
+  private val BPE_MERGES = 5     // d59 training iterations
   private val LM_SCALE = 16      // d46 rank-bucket grid: floor(avg_nll*16)
   private val SRP_DIMS = 16      // e35 sign-random-projection output dims
   private val SRP_RADIUS = 3     // e39 Hamming radius → 4 sign-bit blocks
@@ -567,6 +569,23 @@ object PipelineQueries {
     "d57_c4_filter" -> ((spark: SparkSession, dir: String) =>
       TextAnalysis.c4LineFilter(Tables.documents(spark, dir))
         .orderBy(col("doc_id"))),
+
+    // BPE pair statistics (d58): adjacent-symbol-pair corpus counts
+    // over the deduplicated weighted vocabulary, end-of-word marker
+    // included — rank 1 is the first BPE merge
+    // (TextAnalysis.bpePairStats doc; contrast d15's word-level vocab)
+    "d58_bpe_pairs" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.bpePairStats(Tables.documents(spark, dir), BPE_TOPK)
+        .orderBy(col("rank"))),
+
+    // BPE training (d59): count → take max → merge corpus-wide,
+    // iterated — the merge table a BPE tokenizer ships. Each merge is
+    // one literal replace on the separator representation, so the
+    // whole trajectory is oracle-reproducible as chained CTE stages
+    // (TextAnalysis.bpeTrain doc)
+    "d59_bpe_train" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.bpeTrain(Tables.documents(spark, dir), BPE_MERGES)
+        .orderBy(col("step"))),
 
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
@@ -1717,6 +1736,27 @@ object PipelineQueries {
        |  LEFT JOIN cmodel cm USING (prev, cur) LEFT JOIN cctx cx USING (prev)
        |  CROSS JOIN cuv cv)""".stripMargin.replace("\n", " ")
 
+  /** The BPE head (mirror of [[graft.operators.TextAnalysis]]
+    * `bpeVocab`): deduplicated weighted vocabulary in '¦'-separated
+    * symbol representation with the '¶' end-of-word marker — ends in
+    * `br0(rep, wc)`. Shared by d58 and d59. DuckDB regexp_replace
+    * needs the 'g' flag and `\1` group refs where Spark is
+    * global-by-default with `$1` — same output bytes.
+    */
+  private val bpeHeadCtes =
+    """bw AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
+      |br0 AS (SELECT rtrim(regexp_replace(word || '¶', '(.)', '\1¦', 'g'), '¦') AS rep, wc
+      |  FROM bw)""".stripMargin.replace("\n", " ")
+
+  /** One BPE pair-count stage over representation CTE `src` — ends in
+    * `$name(s1, s2, tf)`. Shared by d58 (one stage) and d59 (chained).
+    */
+  private def bpeStatsCte(name: String, src: String) =
+    s"""$name AS (SELECT l[i] AS s1, l[i + 1] AS s2, CAST(sum(wc) AS BIGINT) AS tf
+       |  FROM (SELECT string_split(rep, '¦') AS l, wc FROM $src),
+       |  LATERAL unnest(range(1, len(l))) AS t(i) GROUP BY 1, 2)""".stripMargin.replace("\n", " ")
+
   /** Mirror of [[graft.operators.Sampling.stratified]] over the
     * language strata — ends in `u(doc_id, stratum, u)`; pair with
     * [[rateCase]] for the keep predicate. Shared by d16 and d19.
@@ -2500,6 +2540,36 @@ object PipelineQueries {
          |SELECT doc_id, n_lines, n_kept, has_brace, has_lorem, keep,
          |  CASE WHEN keep THEN array_to_string(kept, chr(10)) ELSE '' END AS text_out
          |FROM v ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.bpePairStats: the weighted-vocabulary
+    // symbol representation (bpeHeadCtes doc), one pair aggregate,
+    // ranked top-k under the total order
+    "d58_bpe_pairs" ->
+      s"""WITH $bpeHeadCtes,
+         |${bpeStatsCte("s0", "br0")}
+         |SELECT CAST(row_number() OVER (ORDER BY tf DESC, s1 ASC, s2 ASC) AS BIGINT) AS rank,
+         |  s1, s2, tf FROM s0
+         |ORDER BY tf DESC, s1 ASC, s2 ASC LIMIT $BPE_TOPK""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.bpeTrain: BPE_MERGES chained stat/merge
+    // stages — each stage's argmax pair becomes a literal replace on
+    // the separator representation (left-to-right non-overlapping =
+    // leftmost-first merge, identical in both engines)
+    "d59_bpe_train" -> {
+      val stages = (1 to BPE_MERGES).map { i =>
+        s"""${bpeStatsCte(s"bs$i", s"br${i - 1}")},
+           |bm$i AS (SELECT s1, s2, tf FROM bs$i ORDER BY tf DESC, s1 ASC, s2 ASC LIMIT 1),
+           |br$i AS (SELECT replace(rep,
+           |  (SELECT s1 || '¦' || s2 FROM bm$i), (SELECT s1 || s2 FROM bm$i)) AS rep, wc
+           |  FROM br${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to BPE_MERGES)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS step, s1, s2, tf FROM bm$i")
+        .mkString(" UNION ALL ")
+      s"""WITH $bpeHeadCtes,
+         |$stages
+         |SELECT * FROM ($union) ORDER BY step""".stripMargin.replace("\n", " ")
+    },
 
     // mirror of Dedup.exactSubstrSpans over the shared ExactSubstr
     // chain (exSubstrCtes doc)

@@ -507,4 +507,29 @@ class Round10OpsSpec extends AnyFunSuite {
     val parts = sd.groupBy(col("keep")).count().as[(Boolean, Long)].collect().toMap
     assert(parts.getOrElse(true, 0L) > 0 && parts.getOrElse(false, 0L) > 0, parts.toString)
   }
+
+  test("bpe: pair stats count the weighted vocabulary; training merges leftmost-first with nonincreasing frequency") {
+    import spark.implicits._
+    // vocab {aa: 2, ab: 1} -> pairs (a,a)=2, (a,¶)=2, (a,b)=1, (b,¶)=1
+    val tiny = Seq((0L, "aa ab"), (1L, "aa")).toDF("doc_id", "text")
+    val stats = TextAnalysis.bpePairStats(tiny, 10)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(stats == Seq((1L, "a", "a", 2L), (2L, "a", "¶", 2L),
+      (3L, "a", "b", 1L), (4L, "b", "¶", 1L)))
+    // 'aaa' under merge (a,a) collapses leftmost-first: aa|a, then the
+    // end-of-word pair, then the final two symbols
+    val tr = TextAnalysis.bpeTrain(Seq((0L, "aaa")).toDF("doc_id", "text"), 3)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(tr == Seq((1L, "a", "a", 2L), (2L, "a", "¶", 1L), (3L, "aa", "a¶", 1L)))
+    // corpus: step 1 is exactly the stats table's rank 1, and the merged
+    // frequency never increases across steps (merges only split mass)
+    val docs = Tables.documents(spark, dir)
+    val first = TextAnalysis.bpePairStats(docs, 1)
+      .as[(Long, String, String, Long)].head()
+    val steps = TextAnalysis.bpeTrain(docs, 3)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert((steps(0)._2, steps(0)._3, steps(0)._4) == ((first._2, first._3, first._4)))
+    assert(steps.sliding(2).forall {
+      case Array(a, b) => b._4 <= a._4; case _ => true })
+  }
 }
