@@ -196,10 +196,18 @@ object Similarity {
     * Returns (vec_id, cell, n_lower_dups, keep).
     */
   def semanticDedup(emb: DataFrame, threshold: Double,
-      nCells: Int = 16): DataFrame = {
+      nCells: Int = 16, lloydIters: Int = 0): DataFrame = {
     val n = normalized(emb)
+    // lloydIters > 0 swaps the seed cells for TRAINED cluster structure
+    // (the paper's actual setting — k-means clusters, not arbitrary
+    // seeds): the final Lloyd pass's means become the literal centroid
+    // set, driver-resident by k-means' nature, and everything below is
+    // unchanged — dedup quality tracks cluster quality through one knob
+    val cents =
+      if (lloydIters == 0) seedCentroids(n, nCells)
+      else collectCentroids(kmeansIterate(emb, nCells, lloydIters))
     val asg = n.withColumn("cell",
-      (-array_max(centroidScores(n, nCells)).getField("nid")).cast("long"))
+      (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
     val x = asg.select(col("vec_id"), col("e").as("xe"),
       col("nrm").as("xn"), col("cell"))
     val y = asg.select(col("vec_id").as("other_id"), col("e").as("ye"),
@@ -390,14 +398,22 @@ object Similarity {
     var cents = seedCentroids(n, nCentroids)
     var out = updateFor(n, cents)
     for (_ <- 2 to iters) {
-      cents = out.select(col("cell"), col("dim"), col("val")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (cell, rows) => (cell, rows.sortBy(_._2).map(_._3).toSeq) }
+      cents = collectCentroids(out)
       out = updateFor(n, cents)
     }
     out
   }
+
+  /** A (cell, n_members, dim, val) means table collected back to the
+    * driver-resident (cid, vector) form — the per-pass step of
+    * [[kmeansIterate]], shared with the trained-centroid consumers
+    * ([[semanticDedup]] with lloydIters > 0).
+    */
+  private def collectCentroids(means: DataFrame): Seq[(Long, Seq[Double])] =
+    means.select(col("cell"), col("dim"), col("val")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cell, rows) => (cell, rows.sortBy(_._2).map(_._3).toSeq) }
 
   /** One assignment + per-cell-mean pass against an explicit centroid
     * set — the body shared by [[kmeansUpdate]] and [[kmeansIterate]].

@@ -249,6 +249,15 @@ object PipelineQueries {
       Similarity.semanticDedup(Tables.embeddings(spark, dir), SEMDEDUP_T, IVF_CELLS)
         .orderBy(col("vec_id"))),
 
+    // e45 on the TRAINED cluster structure (the paper's actual
+    // setting): the 2-pass Lloyd means become the centroid set and the
+    // dedup geometry tracks cluster quality — one knob, same verdict
+    // machinery (Similarity.semanticDedup lloydIters doc)
+    "e46_semdedup_trained" -> ((spark: SparkSession, dir: String) =>
+      Similarity.semanticDedup(Tables.embeddings(spark, dir), SEMDEDUP_T,
+        IVF_CELLS, KMEANS_ITERS)
+        .orderBy(col("vec_id"))),
+
     "e01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
       Similarity.cosineTopK(Tables.embeddings(spark, dir),
         col("vec_id") % 50 === 0, 5)
@@ -2888,6 +2897,30 @@ object PipelineQueries {
          |  CAST(coalesce(n_lower_dups, 0) AS BIGINT) AS n_lower_dups,
          |  (coalesce(n_lower_dups, 0) = 0) AS keep
          |FROM cells c LEFT JOIN sd ON sd.vec_id = c.vid
+         |ORDER BY vec_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.semanticDedup(lloydIters=2): the e08 chain
+    // extended one assignment — seed asg -> means m1 -> asg2 -> means
+    // m2 -> cent3 -> asg3; the e45 dedup tail runs over cells3
+    "e46_semdedup_trained" ->
+      s"""WITH $ivfAsgCtes,
+         |${kmeansMeanCtes("1", "cells")},
+         |cent2 AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM
+         |  (SELECT cell AS cid, list(val ORDER BY dim) AS ce FROM m1 GROUP BY cell)),
+         |${centroidAsgCtes("2", "cent2")},
+         |${kmeansMeanCtes("2", "cells2")},
+         |cent3 AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM
+         |  (SELECT cell AS cid, list(val ORDER BY dim) AS ce FROM m2 GROUP BY cell)),
+         |${centroidAsgCtes("3", "cent3")},
+         |sd AS (SELECT a.vid AS vec_id, CAST(count(*) AS BIGINT) AS n_lower_dups
+         |  FROM cells3 a JOIN cells3 b ON a.cell = b.cell AND b.vid < a.vid
+         |  JOIN n na ON na.vec_id = a.vid JOIN n nb ON nb.vec_id = b.vid
+         |  WHERE list_dot_product(na.e, nb.e)/(na.nrm*nb.nrm) >= $SEMDEDUP_T
+         |  GROUP BY 1)
+         |SELECT c.vid AS vec_id, CAST(c.cell AS BIGINT) AS cell,
+         |  CAST(coalesce(n_lower_dups, 0) AS BIGINT) AS n_lower_dups,
+         |  (coalesce(n_lower_dups, 0) = 0) AS keep
+         |FROM cells3 c LEFT JOIN sd ON sd.vec_id = c.vid
          |ORDER BY vec_id""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.centroidAffinity: the shared assignment CTEs'

@@ -506,6 +506,16 @@ class Round10OpsSpec extends AnyFunSuite {
     // and the threshold genuinely splits the corpus both ways
     val parts = sd.groupBy(col("keep")).count().as[(Boolean, Long)].collect().toMap
     assert(parts.getOrElse(true, 0L) > 0 && parts.getOrElse(false, 0L) > 0, parts.toString)
+    // trained-centroid variant: same verdict machinery over the Lloyd
+    // cluster structure — the keep-bit invariant holds, the assignment
+    // genuinely moved for some vectors, and dup evidence still exists
+    val sdt = Similarity.semanticDedup(emb, 0.35, 16, lloydIters = 2)
+    assert(sdt.filter(col("keep") =!= (col("n_lower_dups") === 0L)).count() == 0L)
+    val moved = sd.select(col("vec_id"), col("cell").as("c0"))
+      .join(sdt.select(col("vec_id"), col("cell").as("c1")), "vec_id")
+      .filter(col("c0") =!= col("c1")).count()
+    assert(moved > 0L, "2 Lloyd passes should move at least one assignment")
+    assert(sdt.filter(!col("keep")).count() > 0L)
   }
 
   test("bpe: pair stats count the weighted vocabulary; training merges leftmost-first with nonincreasing frequency") {
