@@ -223,6 +223,48 @@ object Similarity {
       .withColumn("keep", col("n_lower_dups") === 0L)
   }
 
+  /** Greedy k-center selection (e47) — farthest-point-first traversal
+    * (Gonzalez 1985), the classic diversity/coreset selection device
+    * training-data pipelines use to pick maximally-spread exemplars:
+    * start from the lowest vec_id, then `k−1` times select the vector
+    * whose min cosine-distance to the already-selected set is LARGEST
+    * (ties toward the smaller vec_id). The reported `dist` is the
+    * coverage radius achieved at each step — nonincreasing by
+    * construction (2.0, the metric's diameter bound, for the seed).
+    *
+    * Scale shape, k-means-style: the selected set is driver-resident
+    * ((k·dim) doubles — selection sets are small by definition); each
+    * step is ONE corpus scan scoring the literal-inlined center set
+    * (the [[scoresFor]] device's shape) followed by a
+    * TakeOrderedAndProject(1) — no joins, no shuffles beyond the
+    * top-1. The min-distance fold is left-nested `least`, matching the
+    * oracle's chained-stage nesting, and center vectors/norms are
+    * COLLECTED from the corpus rows (never recomputed driver-side), so
+    * every md value is bit-identical cross-engine — argmax ties
+    * included. Returns (step, vec_id, dist).
+    */
+  def kCenterGreedy(emb: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val n = normalized(emb).localCheckpoint(true) // k scans, one lineage
+    val first = n.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("e"), col("nrm")).collect()(0)
+    var centers = Vector(
+      (first.getLong(0), first.getSeq[Double](1), first.getDouble(2)))
+    val out = scala.collection.mutable.ArrayBuffer(
+      (1L, first.getLong(0), 2.0))
+    def mdCol: Column = centers.map { case (_, ce, cn) =>
+      lit(1.0) - graft.functions.ArrayDotProduct(col("e"), typedLit(ce)) /
+        (col("nrm") * lit(cn))
+    }.reduce(least(_, _))
+    for (step <- 2 to k) {
+      val sel = n.select(col("vec_id"), col("e"), col("nrm"), mdCol.as("md"))
+        .orderBy(col("md").desc, col("vec_id").asc).limit(1).collect()(0)
+      out += ((step.toLong, sel.getLong(0), sel.getDouble(3)))
+      centers :+= ((sel.getLong(0), sel.getSeq[Double](1), sel.getDouble(2)))
+    }
+    emb.sparkSession.createDataFrame(out.toSeq).toDF("step", "vec_id", "dist")
+  }
+
   /** IVF (inverted-file) ANN — the centroid-partitioned alternative to
     * the sign-projection LSH of [[annTopK]]:
     *

@@ -43,6 +43,7 @@ object PipelineQueries {
                                  // real corpora use ~0.95+)
   private val BPE_TOPK = 50      // d58 merge-candidate table depth
   private val BPE_MERGES = 5     // d59 training iterations
+  private val KCENTER_K = 8      // e47 selected exemplar count
   private val LM_SCALE = 16      // d46 rank-bucket grid: floor(avg_nll*16)
   private val SRP_DIMS = 16      // e35 sign-random-projection output dims
   private val SRP_RADIUS = 3     // e39 Hamming radius → 4 sign-bit blocks
@@ -257,6 +258,14 @@ object PipelineQueries {
       Similarity.semanticDedup(Tables.embeddings(spark, dir), SEMDEDUP_T,
         IVF_CELLS, KMEANS_ITERS)
         .orderBy(col("vec_id"))),
+
+    // greedy k-center diversity selection (e47): farthest-point-first
+    // exemplars, coverage radius per step — one literal-scored corpus
+    // scan + top-1 per step, selection set driver-resident
+    // (Similarity.kCenterGreedy doc; contrast d26's hash-diverse sample)
+    "e47_kcenter" -> ((spark: SparkSession, dir: String) =>
+      Similarity.kCenterGreedy(Tables.embeddings(spark, dir), KCENTER_K)
+        .orderBy(col("step"))),
 
     "e01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
       Similarity.cosineTopK(Tables.embeddings(spark, dir),
@@ -2882,6 +2891,34 @@ object PipelineQueries {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM p)
          |SELECT qid AS vec_id, rk, neighbor_id, cosine FROM r WHERE rk <= $KNN_K
          |ORDER BY vec_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.kCenterGreedy: chained stages — mk carries
+    // the running least() min-distance (same left-nesting as the Scala
+    // fold), ck+1 is its (md DESC, vec_id ASC) argmax; the seed's dist
+    // is the 2.0 diameter sentinel
+    "e47_kcenter" -> {
+      val stages = (2 to KCENTER_K).map { i =>
+        val prev = if (i == 2)
+          s"""km1 AS (SELECT n.vec_id, n.e, n.nrm,
+             |  1 - list_dot_product(n.e, kc1.e)/(n.nrm*kc1.nrm) AS md
+             |  FROM n CROSS JOIN kc1),""".stripMargin
+        else ""
+        s"""${prev}kc$i AS (SELECT vec_id, e, nrm, md FROM km${i - 1}
+           |  ORDER BY md DESC, vec_id ASC LIMIT 1),
+           |km$i AS (SELECT m.vec_id, m.e, m.nrm,
+           |  least(m.md, 1 - list_dot_product(m.e, c.e)/(m.nrm*c.nrm)) AS md
+           |  FROM km${i - 1} m CROSS JOIN kc$i c)""".stripMargin
+      }.mkString(",\n")
+      val union = s"SELECT CAST(1 AS BIGINT) AS step, vec_id, 2.0 AS dist FROM kc1" +:
+        (2 to KCENTER_K).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS step, vec_id, md AS dist FROM kc$i")
+      s"""WITH $vHeadRaw,
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |kc1 AS (SELECT vec_id, e, nrm FROM n ORDER BY vec_id LIMIT 1),
+         |$stages
+         |SELECT * FROM (${union.mkString(" UNION ALL ")}) ORDER BY step"""
+        .stripMargin.replace("\n", " ")
+    },
 
     // mirror of Similarity.semanticDedup: the shared assignment CTEs'
     // cells, self-joined within cell below the id, exact cosine

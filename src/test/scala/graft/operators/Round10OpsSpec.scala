@@ -518,6 +518,30 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(sdt.filter(!col("keep")).count() > 0L)
   }
 
+  test("kCenterGreedy: farthest-point-first order on constructed vectors; radius nonincreasing and ids distinct on the corpus") {
+    import spark.implicits._
+    val fix = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // seed (lowest id)
+      (1L, Array(0f, 1f, 0f, 0f)),   // orthogonal: md 1 after {0,2}
+      (2L, Array(-1f, 0f, 0f, 0f)),  // antipode: md 2 -> picked second
+      (3L, Array(0.7f, 0.7f, 0f, 0f))) // diagonal: md ~0.293 -> last
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(fix, 4)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(0L, 2L, 1L, 3L))
+    assert(got(0)._3 == 2.0 && math.abs(got(1)._3 - 2.0) < 1e-12 &&
+      math.abs(got(2)._3 - 1.0) < 1e-12 && math.abs(got(3)._3 - 0.2928932) < 1e-6)
+    // corpus: seed is the lowest id, selections are distinct, coverage
+    // radius is nonincreasing and stays positive on random vectors
+    val emb = Tables.embeddings(spark, dir)
+    val sel = Similarity.kCenterGreedy(emb, 8)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(sel.length == 8 && sel.map(_._2).distinct.length == 8)
+    assert(sel(0)._2 == emb.agg(min(col("vec_id"))).head().getLong(0))
+    assert(sel.sliding(2).forall {
+      case Array(a, b) => b._3 <= a._3 && b._3 > 0; case _ => true })
+  }
+
   test("bpe: pair stats count the weighted vocabulary; training merges leftmost-first with nonincreasing frequency") {
     import spark.implicits._
     // vocab {aa: 2, ab: 1} -> pairs (a,a)=2, (a,¶)=2, (a,b)=1, (b,¶)=1
