@@ -264,6 +264,88 @@ object TextAnalysis {
       .toDF("step", "s1", "s2", "tf")
   }
 
+  /** Gopher repetition suite (d60) — the CHARACTER-fraction repetition
+    * signals of Rae et al. 2021 Appendix A1.1 that d14's count-share
+    * signals don't cover: fraction of line slots in duplicated lines,
+    * fraction of characters in duplicated lines, and the fraction of
+    * characters covered by the most frequent word {2,3,4}-gram
+    * (occurrence count × gram char length / doc chars — the standard
+    * non-overlap-corrected published formulation). Rule bits carry the
+    * published thresholds (0.30 / 0.20 / 0.20 / 0.18 / 0.16).
+    *
+    * Scale shape: per-row array work over the doc's own lines/grams —
+    * no explode, no groupBy, zero shuffle: per-document repetition is
+    * inherently local, so the right distribution is embarrassing
+    * parallelism, not a (doc, gram) keyed aggregation whose key space
+    * is the corpus gram stream. The top-gram argmax is ONE
+    * sort-then-fold pass (O(G log G) per doc): sort the gram array,
+    * track the longest equal run with a struct-state `aggregate` —
+    * strictly-greater updates mean ties resolve to the
+    * lexicographically SMALLEST gram automatically (it is seen first
+    * in sorted order), the same tie the oracle's
+    * `list_min(argmax set)` takes. (A first cut computed counts with
+    * nested filter lambdas per reference; projection collapse inlined
+    * the gram construction into every one of its ~6 references per n
+    * and the tree blew past codegen into interpreted O(G²)·dups —
+    * measured minutes instead of seconds. The fold keeps every
+    * reference count at 1-2.) Every fraction is one double
+    * multiply/divide over exact ints — bit-identical cross-engine.
+    *
+    * Returns (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    * top2_char_frac, top3_char_frac, top4_char_frac, ok_dup_line,
+    * ok_dup_line_char, ok_top2, ok_top3, ok_top4, keep).
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    // longest-equal-run fold over a SORTED gram array: state carries
+    // (prev gram, current run, best run, best gram); IF(x = pg, run+1, 1)
+    // is inlined (no let-binding in Spark SQL lambdas)
+    def runFold(sorted: String) =
+      s"""aggregate($sorted,
+         |  named_struct('pg', '', 'run', 0, 'best', 0, 'bg', ''),
+         |  (a, x) -> named_struct(
+         |    'pg', x,
+         |    'run', IF(x = a.pg, a.run + 1, 1),
+         |    'best', IF(IF(x = a.pg, a.run + 1, 1) > a.best, IF(x = a.pg, a.run + 1, 1), a.best),
+         |    'bg', IF(IF(x = a.pg, a.run + 1, 1) > a.best, x, a.bg)),
+         |  a -> named_struct('m', a.best, 'g', a.bg))""".stripMargin.replace("\n", " ")
+    var df = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        split(col("text"), "\n", -1).as("lines"),
+        split(col("text"), " ").as("w"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      // lines per doc are few; the sorted-run device applies here too:
+      // a slot is duplicated iff its line's run length >= 2
+      .withColumn("lsorted", array_sort(col("lines")))
+      .withColumn("dup_slots", expr(
+        "CAST(size(filter(lsorted, l -> size(filter(lsorted, x -> x = l)) >= 2)) AS BIGINT)"))
+      .withColumn("dup_chars", expr(
+        "CAST(aggregate(filter(lsorted, l -> size(filter(lsorted, x -> x = l)) >= 2), " +
+          "0, (a, x) -> a + length(x)) AS BIGINT)"))
+    for (n <- Seq(2, 3, 4)) {
+      df = df
+        .withColumn(s"st$n", expr(runFold(
+            s"array_sort(IF(size(w) >= $n, " +
+              s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' ')), " +
+              "CAST(array() AS ARRAY<STRING>)))")))
+        .withColumn(s"top${n}_char_frac",
+          when(col(s"st$n").getField("m") > 0,
+            col(s"st$n").getField("m").cast("double")
+              * length(col(s"st$n").getField("g")) / col("n_chars"))
+            .otherwise(lit(0.0)))
+    }
+    df.select(col("doc_id"), col("n_lines"),
+        (col("dup_slots").cast("double") / col("n_lines")).as("dup_line_frac"),
+        (col("dup_chars").cast("double") / col("n_chars")).as("dup_line_char_frac"),
+        col("top2_char_frac"), col("top3_char_frac"), col("top4_char_frac"))
+      .withColumn("ok_dup_line", col("dup_line_frac") <= 0.30)
+      .withColumn("ok_dup_line_char", col("dup_line_char_frac") <= 0.20)
+      .withColumn("ok_top2", col("top2_char_frac") <= 0.20)
+      .withColumn("ok_top3", col("top3_char_frac") <= 0.18)
+      .withColumn("ok_top4", col("top4_char_frac") <= 0.16)
+      .withColumn("keep", col("ok_dup_line") && col("ok_dup_line_char") &&
+        col("ok_top2") && col("ok_top3") && col("ok_top4"))
+  }
+
   /** Whitespace tokens vs BPE-ish regex tokens (letter runs / digit runs /
     * single punctuation).
     */

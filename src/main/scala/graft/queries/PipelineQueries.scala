@@ -605,6 +605,15 @@ object PipelineQueries {
       TextAnalysis.bpeTrain(Tables.documents(spark, dir), BPE_MERGES)
         .orderBy(col("step"))),
 
+    // Gopher repetition suite (d60): the published character-fraction
+    // repetition signals (dup-line fractions, top-{2,3,4}-gram char
+    // coverage) with the published thresholds — all per-row array
+    // lambdas, zero shuffle (TextAnalysis.gopherRepetition doc;
+    // complements d14's count-share signals)
+    "d60_gopher_repetition" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.gopherRepetition(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -2558,6 +2567,49 @@ object PipelineQueries {
          |SELECT doc_id, n_lines, n_kept, has_brace, has_lorem, keep,
          |  CASE WHEN keep THEN array_to_string(kept, chr(10)) ELSE '' END AS text_out
          |FROM v ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.gopherRepetition: the same nested
+    // list-lambda counting per n, argmax ties to the list_min gram,
+    // fractions as one double multiply/divide over exact ints
+    "d60_gopher_repetition" -> {
+      val ns = Seq(2, 3, 4)
+      val gCols = ns.map(n =>
+        s"""CASE WHEN len(w) >= $n THEN list_transform(range(1, len(w) - ${n - 2}),
+           |  i -> array_to_string(list_slice(w, i, i + ${n - 1}), ' ')) ELSE [] END AS g$n"""
+          .stripMargin).mkString(", ")
+      val mCols = ns.map(n =>
+        s"coalesce(list_max(list_transform(g$n, x -> len(list_filter(g$n, y -> y = x)))), 0) AS m$n")
+        .mkString(", ")
+      val tCols = ns.map(n =>
+        s"list_min(list_filter(g$n, x -> len(list_filter(g$n, y -> y = x)) = m$n)) AS t$n")
+        .mkString(", ")
+      val fCols = ns.map(n =>
+        s"CASE WHEN m$n > 0 THEN CAST(m$n AS DOUBLE) * len(t$n) / n_chars ELSE 0.0 END AS top${n}_char_frac")
+        .mkString(", ")
+      s"""WITH b AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+         |  string_split(text, chr(10)) AS lines, string_split(text, ' ') AS w FROM documents),
+         |r AS (SELECT doc_id, n_chars, w,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(lines, l -> len(list_filter(lines, x -> x = l)) >= 2)) AS BIGINT) AS dup_slots,
+         |  CAST(coalesce(list_sum(list_transform(lines,
+         |    l -> CASE WHEN len(list_filter(lines, x -> x = l)) >= 2 THEN len(l) ELSE 0 END)), 0) AS BIGINT) AS dup_chars
+         |  FROM b),
+         |gg AS (SELECT *, $gCols FROM r),
+         |mm AS (SELECT *, $mCols FROM gg),
+         |tt AS (SELECT *, $tCols FROM mm),
+         |ff AS (SELECT doc_id, n_lines,
+         |  CAST(dup_slots AS DOUBLE) / n_lines AS dup_line_frac,
+         |  CAST(dup_chars AS DOUBLE) / n_chars AS dup_line_char_frac,
+         |  $fCols FROM tt)
+         |SELECT *, (ok_dup_line AND ok_dup_line_char AND ok_top2 AND ok_top3 AND ok_top4) AS keep
+         |FROM (SELECT *,
+         |  (dup_line_frac <= 0.30) AS ok_dup_line,
+         |  (dup_line_char_frac <= 0.20) AS ok_dup_line_char,
+         |  (top2_char_frac <= 0.20) AS ok_top2,
+         |  (top3_char_frac <= 0.18) AS ok_top3,
+         |  (top4_char_frac <= 0.16) AS ok_top4 FROM ff)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
 
     // mirror of TextAnalysis.bpePairStats: the weighted-vocabulary
     // symbol representation (bpeHeadCtes doc), one pair aggregate,

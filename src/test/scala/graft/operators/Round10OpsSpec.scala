@@ -518,6 +518,37 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(sdt.filter(!col("keep")).count() > 0L)
   }
 
+  test("gopherRepetition: hand-computed char fractions on constructed docs; verdict is the AND of its bits on the corpus") {
+    import spark.implicits._
+    val distinct40 = (0 until 40).map(i => f"w$i%02d").mkString(" ")
+    val fixtures = Seq(
+      (0L, "x y\nx y\nz w q"),                    // 2/3 dup line slots, 6/13 dup chars
+      (1L, "aa bb aa bb aa bb cc dd ee ff gg hh"), // top bigram "aa bb" x3
+      (2L, distinct40),                            // no repetition — keep
+      (3L, "abc"))                                 // < n words: gram fracs 0
+    val out = TextAnalysis.gopherRepetition(fixtures.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Double]("dup_line_frac") == 2.0 / 3)
+    assert(out(0L).getAs[Double]("dup_line_char_frac") == 6.0 / 13)
+    assert(!out(0L).getAs[Boolean]("ok_dup_line") &&
+      !out(0L).getAs[Boolean]("ok_dup_line_char"))
+    assert(out(1L).getAs[Double]("top2_char_frac") == 3.0 * 5 / 35)
+    assert(!out(1L).getAs[Boolean]("ok_top2"))
+    assert(out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Double]("top2_char_frac") == 0.0 &&
+      out(3L).getAs[Double]("top4_char_frac") == 0.0 &&
+      out(3L).getAs[Boolean]("keep"))
+    // corpus: the verdict is exactly the AND of its bits and every
+    // fraction stays inside [0, 1]
+    val corpus = TextAnalysis.gopherRepetition(Tables.documents(spark, dir))
+    assert(corpus.filter(col("keep") =!= (col("ok_dup_line") && col("ok_dup_line_char") &&
+      col("ok_top2") && col("ok_top3") && col("ok_top4"))).count() == 0L)
+    val fracs = Seq("dup_line_frac", "dup_line_char_frac",
+      "top2_char_frac", "top3_char_frac", "top4_char_frac")
+    assert(corpus.filter(fracs.map(f => col(f) < 0.0 || col(f) > 1.0)
+      .reduce(_ || _)).count() == 0L)
+  }
+
   test("kCenterGreedy: farthest-point-first order on constructed vectors; radius nonincreasing and ids distinct on the corpus") {
     import spark.implicits._
     val fix = Seq(
