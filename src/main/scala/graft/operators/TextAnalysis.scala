@@ -194,8 +194,9 @@ object TextAnalysis {
   private def bpeVocab(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
-      .select(rtrim(regexp_replace(concat(col("word"), lit("¶")), "(.)", "$1¦"), "¦")
-        .as("rep"), col("wc"))
+      .select(col("word"),
+        rtrim(regexp_replace(concat(col("word"), lit("¶")), "(.)", "$1¦"), "¦")
+          .as("rep"), col("wc"))
 
   /** Adjacent-symbol-pair counts over a symbol representation —
     * the merge-candidate statistics of one BPE training step.
@@ -344,6 +345,34 @@ object TextAnalysis {
       .withColumn("ok_top4", col("top4_char_frac") <= 0.16)
       .withColumn("keep", col("ok_dup_line") && col("ok_dup_line_char") &&
         col("ok_top2") && col("ok_top3") && col("ok_top4"))
+  }
+
+  /** BPE encode pass (d61) — the CONSUMER of [[bpeTrain]]'s merge
+    * table: apply the learned merges, in learned order, and report each
+    * document's BPE token count next to its whitespace word count (the
+    * tokens-per-doc accounting every tokenizer report and token-budget
+    * plan needs). Encoding is WORD-local, so merges apply at vocabulary
+    * scale — `nMerges` literal replaces on the distinct-word table —
+    * and documents just equi-join their words to the encoded
+    * vocabulary: the join fast BPE implementations make. The
+    * vocabulary side is broadcast (Heaps' law keeps it ≪ corpus; an
+    * extreme-scale vocabulary would drop the hint and shuffle).
+    * Returns (doc_id, n_words, n_tokens_bpe).
+    */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 5): DataFrame = {
+    val merges = bpeTrain(docs, nMerges).orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var v = bpeVocab(docs)
+    merges.foreach { case (s1, s2) =>
+      v = v.withColumn("rep",
+        replace(col("rep"), lit(s1 + "¦" + s2), lit(s1 + s2)))
+    }
+    val counts = v.select(col("word"),
+      size(split(col("rep"), "¦")).cast("long").as("n_syms"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(counts), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens_bpe"))
   }
 
   /** Whitespace tokens vs BPE-ish regex tokens (letter runs / digit runs /

@@ -614,6 +614,14 @@ object PipelineQueries {
       TextAnalysis.gopherRepetition(Tables.documents(spark, dir))
         .orderBy(col("doc_id"))),
 
+    // BPE encode (d61): d59's merge table applied to the corpus —
+    // merges at vocabulary scale, docs equi-join their words to the
+    // encoded vocab, per-doc token accounting out
+    // (TextAnalysis.bpeEncode doc)
+    "d61_bpe_encode" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.bpeEncode(Tables.documents(spark, dir), BPE_MERGES)
+        .orderBy(col("doc_id"))),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -1773,16 +1781,30 @@ object PipelineQueries {
   private val bpeHeadCtes =
     """bw AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
-      |br0 AS (SELECT rtrim(regexp_replace(word || '¶', '(.)', '\1¦', 'g'), '¦') AS rep, wc
+      |br0 AS (SELECT word, rtrim(regexp_replace(word || '¶', '(.)', '\1¦', 'g'), '¦') AS rep, wc
       |  FROM bw)""".stripMargin.replace("\n", " ")
 
   /** One BPE pair-count stage over representation CTE `src` — ends in
-    * `$name(s1, s2, tf)`. Shared by d58 (one stage) and d59 (chained).
+    * `$name(s1, s2, tf)`. Shared by d58 (one stage) and d59/d61
+    * (chained).
     */
   private def bpeStatsCte(name: String, src: String) =
     s"""$name AS (SELECT l[i] AS s1, l[i + 1] AS s2, CAST(sum(wc) AS BIGINT) AS tf
        |  FROM (SELECT string_split(rep, '¦') AS l, wc FROM $src),
        |  LATERAL unnest(range(1, len(l))) AS t(i) GROUP BY 1, 2)""".stripMargin.replace("\n", " ")
+
+  /** The BPE_MERGES chained stat/argmax/merge stages (mirror of
+    * [[graft.operators.TextAnalysis.bpeTrain]]'s loop) — yields
+    * `bm1..bmN(s1, s2, tf)` and `br1..brN(word, rep, wc)`. Shared by
+    * d59 (reads the bm tables) and d61 (reads the final br).
+    */
+  private lazy val bpeMergeStages = (1 to BPE_MERGES).map { i =>
+    s"""${bpeStatsCte(s"bs$i", s"br${i - 1}")},
+       |bm$i AS (SELECT s1, s2, tf FROM bs$i ORDER BY tf DESC, s1 ASC, s2 ASC LIMIT 1),
+       |br$i AS (SELECT word, replace(rep,
+       |  (SELECT s1 || '¦' || s2 FROM bm$i), (SELECT s1 || s2 FROM bm$i)) AS rep, wc
+       |  FROM br${i - 1})""".stripMargin
+  }.mkString(",\n").replace("\n", " ")
 
   /** Mirror of [[graft.operators.Sampling.stratified]] over the
     * language strata — ends in `u(doc_id, stratum, u)`; pair with
@@ -2626,20 +2648,26 @@ object PipelineQueries {
     // the separator representation (left-to-right non-overlapping =
     // leftmost-first merge, identical in both engines)
     "d59_bpe_train" -> {
-      val stages = (1 to BPE_MERGES).map { i =>
-        s"""${bpeStatsCte(s"bs$i", s"br${i - 1}")},
-           |bm$i AS (SELECT s1, s2, tf FROM bs$i ORDER BY tf DESC, s1 ASC, s2 ASC LIMIT 1),
-           |br$i AS (SELECT replace(rep,
-           |  (SELECT s1 || '¦' || s2 FROM bm$i), (SELECT s1 || s2 FROM bm$i)) AS rep, wc
-           |  FROM br${i - 1})""".stripMargin
-      }.mkString(",\n")
       val union = (1 to BPE_MERGES)
         .map(i => s"SELECT CAST($i AS BIGINT) AS step, s1, s2, tf FROM bm$i")
         .mkString(" UNION ALL ")
       s"""WITH $bpeHeadCtes,
-         |$stages
+         |$bpeMergeStages
          |SELECT * FROM ($union) ORDER BY step""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of TextAnalysis.bpeEncode: the d59 merge chain's FINAL
+    // representation, symbol counts per word, docs joined back
+    "d61_bpe_encode" ->
+      s"""WITH $bpeHeadCtes,
+         |$bpeMergeStages,
+         |enc AS (SELECT word, CAST(len(string_split(rep, '¦')) AS BIGINT) AS n_syms
+         |  FROM br$BPE_MERGES),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_tokens_bpe
+         |FROM tok JOIN enc USING (word) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.exactSubstrSpans over the shared ExactSubstr
     // chain (exSubstrCtes doc)

@@ -597,4 +597,29 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(steps.sliding(2).forall {
       case Array(a, b) => b._4 <= a._4; case _ => true })
   }
+
+  test("bpeEncode: token counts shrink by exactly the applied merge occurrences") {
+    import spark.implicits._
+    // vocab {aab: 2, ab: 1}: merge1 = (a,b) tf 3 -> aab = a|ab|¶ (3),
+    // ab = ab|¶ (2); merge2 = (ab,¶) tf 3 -> aab = a|ab¶ (2), ab = ab¶ (1)
+    val tiny = Seq((0L, "aab ab aab")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(tiny, 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(enc == Seq((0L, 3L, 5L)))
+    // corpus: every doc's BPE token count sits between its word count
+    // (fully merged floor) and chars+words (fully split ceiling), and
+    // merging strictly reduced tokens somewhere
+    val docs = Tables.documents(spark, dir)
+    val out = TextAnalysis.bpeEncode(docs, 5)
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nw"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
+    val joined = out.join(base, "doc_id")
+    assert(joined.filter(col("n_words") =!= col("nw")).count() == 0L)
+    assert(joined.filter(col("n_tokens_bpe") < col("n_words") ||
+      col("n_tokens_bpe") > col("nc") + col("nw")).count() == 0L)
+    val unmergedTotal = joined.agg(sum(col("nc") + col("nw"))).head().getLong(0)
+    val total = out.agg(sum(col("n_tokens_bpe"))).head().getLong(0)
+    assert(total < unmergedTotal, "5 merges must reduce the corpus token total")
+  }
 }
