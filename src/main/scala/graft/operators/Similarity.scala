@@ -457,6 +457,35 @@ object Similarity {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (cell, rows) => (cell, rows.sortBy(_._2).map(_._3).toSeq) }
 
+  /** k-means with k-center seeding (e48) — [[kmeansIterate]] with the
+    * seed set swapped from the lowest vec_ids to [[kCenterGreedy]]'s
+    * farthest-point exemplars: the deterministic farthest-first
+    * variant of k-means++ seeding (Katsavounidis et al. 1994). Spread
+    * seeds avoid the clumped-seed pathology the arbitrary id seeds
+    * have by construction, at the documented price of k extra corpus
+    * scans for the selection. Cell ids are the selected vec_ids; seed
+    * vectors are COLLECTED from corpus rows (the e47 discipline), so
+    * the whole trajectory stays oracle-exact. Returns the final pass's
+    * (cell, n_members, dim, val).
+    */
+  def kmeansKcenterSeeded(emb: DataFrame, nCentroids: Int = 8,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val n = normalized(emb)
+    val selIds = kCenterGreedy(emb, nCentroids)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val rows = n.filter(col("vec_id").isin(selIds: _*))
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    var cents: Seq[(Long, Seq[Double])] = selIds.sorted.map(id => (id, rows(id)))
+    var out = updateFor(n, cents)
+    for (_ <- 2 to iters) {
+      cents = collectCentroids(out)
+      out = updateFor(n, cents)
+    }
+    out
+  }
+
   /** One assignment + per-cell-mean pass against an explicit centroid
     * set — the body shared by [[kmeansUpdate]] and [[kmeansIterate]].
     */

@@ -267,6 +267,15 @@ object PipelineQueries {
       Similarity.kCenterGreedy(Tables.embeddings(spark, dir), KCENTER_K)
         .orderBy(col("step"))),
 
+    // k-means with k-center seeding (e48): e47's farthest-point
+    // exemplars replace the arbitrary id seeds, then the standard
+    // two-pass Lloyd — the deterministic k-means++ flavor
+    // (Similarity.kmeansKcenterSeeded doc; contrast e08's seed cells)
+    "e48_kmeans_kcenter" -> ((spark: SparkSession, dir: String) =>
+      Similarity.kmeansKcenterSeeded(Tables.embeddings(spark, dir),
+        KCENTER_K, KMEANS_ITERS)
+        .orderBy(col("cell"), col("dim"))),
+
     "e01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
       Similarity.cosineTopK(Tables.embeddings(spark, dir),
         col("vec_id") % 50 === 0, 5)
@@ -1771,6 +1780,28 @@ object PipelineQueries {
        |  LEFT JOIN cmodel cm USING (prev, cur) LEFT JOIN cctx cx USING (prev)
        |  CROSS JOIN cuv cv)""".stripMargin.replace("\n", " ")
 
+  /** The k-center greedy chain (mirror of
+    * [[graft.operators.Similarity.kCenterGreedy]]) — consumes `n`,
+    * yields `kc1..kcK` (vec_id, e, nrm[, md]) and the running
+    * min-distance tables `km1..kmK`. Shared by e47 and e48.
+    */
+  private lazy val kcenterStageCtes = {
+    val stages = (2 to KCENTER_K).map { i =>
+      val prev = if (i == 2)
+        s"""km1 AS (SELECT n.vec_id, n.e, n.nrm,
+           |  1 - list_dot_product(n.e, kc1.e)/(n.nrm*kc1.nrm) AS md
+           |  FROM n CROSS JOIN kc1),""".stripMargin
+      else ""
+      s"""${prev}kc$i AS (SELECT vec_id, e, nrm, md FROM km${i - 1}
+         |  ORDER BY md DESC, vec_id ASC LIMIT 1),
+         |km$i AS (SELECT m.vec_id, m.e, m.nrm,
+         |  least(m.md, 1 - list_dot_product(m.e, c.e)/(m.nrm*c.nrm)) AS md
+         |  FROM km${i - 1} m CROSS JOIN kc$i c)""".stripMargin
+    }.mkString(",\n")
+    s"""kc1 AS (SELECT vec_id, e, nrm FROM n ORDER BY vec_id LIMIT 1),
+       |$stages""".stripMargin.replace("\n", " ")
+  }
+
   /** The BPE head (mirror of [[graft.operators.TextAnalysis]]
     * `bpeVocab`): deduplicated weighted vocabulary in '¦'-separated
     * symbol representation with the '¶' end-of-word marker — ends in
@@ -2977,27 +3008,33 @@ object PipelineQueries {
     // fold), ck+1 is its (md DESC, vec_id ASC) argmax; the seed's dist
     // is the 2.0 diameter sentinel
     "e47_kcenter" -> {
-      val stages = (2 to KCENTER_K).map { i =>
-        val prev = if (i == 2)
-          s"""km1 AS (SELECT n.vec_id, n.e, n.nrm,
-             |  1 - list_dot_product(n.e, kc1.e)/(n.nrm*kc1.nrm) AS md
-             |  FROM n CROSS JOIN kc1),""".stripMargin
-        else ""
-        s"""${prev}kc$i AS (SELECT vec_id, e, nrm, md FROM km${i - 1}
-           |  ORDER BY md DESC, vec_id ASC LIMIT 1),
-           |km$i AS (SELECT m.vec_id, m.e, m.nrm,
-           |  least(m.md, 1 - list_dot_product(m.e, c.e)/(m.nrm*c.nrm)) AS md
-           |  FROM km${i - 1} m CROSS JOIN kc$i c)""".stripMargin
-      }.mkString(",\n")
       val union = s"SELECT CAST(1 AS BIGINT) AS step, vec_id, 2.0 AS dist FROM kc1" +:
         (2 to KCENTER_K).map(i =>
           s"SELECT CAST($i AS BIGINT) AS step, vec_id, md AS dist FROM kc$i")
       s"""WITH $vHeadRaw,
          |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-         |kc1 AS (SELECT vec_id, e, nrm FROM n ORDER BY vec_id LIMIT 1),
-         |$stages
+         |$kcenterStageCtes
          |SELECT * FROM (${union.mkString(" UNION ALL ")}) ORDER BY step"""
         .stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Similarity.kmeansKcenterSeeded: the e47 exemplar chain
+    // becomes the centroid table (cid = vec_id, ORDER irrelevant — the
+    // asg tie-break carries the id), then the e08 two-pass Lloyd shape
+    "e48_kmeans_kcenter" -> {
+      val seedUnion = (1 to KCENTER_K)
+        .map(i => s"SELECT vec_id, e, nrm FROM kc$i").mkString(" UNION ALL ")
+      s"""WITH $vHeadRaw,
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |$kcenterStageCtes,
+         |kcent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM ($seedUnion)),
+         |${centroidAsgCtes("", "kcent")},
+         |${kmeansMeanCtes("1", "cells")},
+         |cent2 AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM
+         |  (SELECT cell AS cid, list(val ORDER BY dim) AS ce FROM m1 GROUP BY cell)),
+         |${centroidAsgCtes("2", "cent2")},
+         |${kmeansMeanCtes("2", "cells2")}
+         |${kmeansSelect("m2")}""".stripMargin.replace("\n", " ")
     },
 
     // mirror of Similarity.semanticDedup: the shared assignment CTEs'

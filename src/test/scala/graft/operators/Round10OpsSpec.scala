@@ -573,6 +573,31 @@ class Round10OpsSpec extends AnyFunSuite {
       case Array(a, b) => b._3 <= a._3 && b._3 > 0; case _ => true })
   }
 
+  test("kmeansKcenterSeeded: cells are the k-center exemplars (pass 1) and the Lloyd invariants hold") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val seedIds = Similarity.kCenterGreedy(emb, 8)
+      .select(col("vec_id")).as[Long].collect().toSet
+    // one pass: every surviving cell id IS a selected exemplar
+    val one = Similarity.kmeansKcenterSeeded(emb, 8, iters = 1)
+    val cells1 = one.select(col("cell")).distinct().as[Long].collect().toSet
+    assert(cells1.subsetOf(seedIds) && cells1.nonEmpty)
+    // two passes: dims complete per cell, members account for the corpus
+    val two = Similarity.kmeansKcenterSeeded(emb, 8, iters = 2)
+    val dims = two.groupBy(col("cell"))
+      .agg(countDistinct(col("dim")).as("nd"), max(col("n_members")).as("nm"))
+      .as[(Long, Long, Long)].collect()
+    val width = emb.select(size(col("embedding"))).head().getInt(0)
+    assert(dims.forall(_._2 == width))
+    assert(dims.map(_._3).sum == emb.count())
+    // and the spread seeding genuinely differs from the id-seeded run
+    val idSeeded = Similarity.kmeansIterate(emb, 8, 2)
+      .select(col("cell"), col("dim"), col("val")).as[(Long, Long, Double)].collect().toSet
+    val spread = two.select(col("cell"), col("dim"), col("val"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(idSeeded != spread)
+  }
+
   test("bpe: pair stats count the weighted vocabulary; training merges leftmost-first with nonincreasing frequency") {
     import spark.implicits._
     // vocab {aa: 2, ab: 1} -> pairs (a,a)=2, (a,¶)=2, (a,b)=1, (b,¶)=1
