@@ -40,15 +40,25 @@ object Packing {
     */
   def tokenOffsets(docs: DataFrame, bucketBits: Int = 8): DataFrame = {
     require(bucketBits > 0 && bucketBits < 60, s"bucketBits=$bucketBits")
-    // four longs per doc, read by both the running-sum window and the
-    // per-bucket totals — an eager localCheckpoint (the CC-iteration
-    // device) drops the text column after one scan instead of
-    // re-tokenizing the corpus for the totals side
-    val base = docs.select(col("doc_id"),
+    offsetsChain(docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         orderKey.as("k"))
-      .withColumn("bkt", expr(s"shiftright(k, ${60 - bucketBits})"))
-      .localCheckpoint(true)
+      .withColumn("bkt", expr(s"shiftright(k, ${60 - bucketBits})")))
+      .select(col("doc_id"), col("n_tokens"), col("start_token"))
+  }
+
+  /** The distributed prefix-sum proper over a prepared
+    * (doc_id, n_tokens, k, bkt[, extras]) base — the chain shared by
+    * [[tokenOffsets]] (60-bit hash60 key) and [[curriculumShards]]
+    * (62-bit tier-composite key): within-bucket running sums from a
+    * window PARTITIONED by bucket, per-bucket base offsets from a
+    * cumulative sum over the tiny totals table. Extra columns pass
+    * through. The eager localCheckpoint (the CC-iteration device)
+    * drops the text column after one scan instead of re-tokenizing the
+    * corpus for the totals side.
+    */
+  private def offsetsChain(base0: DataFrame): DataFrame = {
+    val base = base0.localCheckpoint(true)
     val inBkt = Window.partitionBy(col("bkt")).orderBy(col("k"), col("doc_id"))
     val withCum = base.withColumn("cum", sum(col("n_tokens")).over(inBkt))
     // bucket totals derive from the running sums' own tail (max cum per
@@ -57,8 +67,45 @@ object Packing {
     val offsets = totals.select(col("bkt"),
       (sum(col("bt")).over(Window.orderBy(col("bkt"))) - col("bt")).as("off"))
     withCum.join(offsets, Seq("bkt"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("off") + col("cum") - col("n_tokens")).cast("long").as("start_token"))
+      .withColumn("start_token",
+        (col("off") + col("cum") - col("n_tokens")).cast("long"))
+      .drop("k", "bkt", "cum", "off")
+  }
+
+  /** Curriculum token shards (d62): [[tokenShards]] with the shuffle
+    * order REORDERED by quality tier — head (lowest-perplexity) docs
+    * fill the first shard files, middles next, tails last, so a
+    * dataloader consuming shard files in order reads an easy-to-hard
+    * curriculum — while the WITHIN-tier order keeps the same
+    * deterministic hash60 shuffle every other packing op uses. One
+    * composite key into the shared prefix-sum device:
+    * k = tier_idx·2^60 + hash60 (tier_idx ∈ {0,1,2}, a 62-bit key),
+    * buckets from the key's high bits as ever — buckets stay
+    * contiguous key ranges, so the device is untouched and tiers land
+    * as contiguous token-stream blocks BY CONSTRUCTION (spec-pinned).
+    * Tiers come from [[TextAnalysis.perplexityTiers]] (CCNet
+    * terciles); a doc too short to score (no bigrams) is treated as
+    * tail — untiered content sorts last.
+    *
+    * Returns (doc_id, tier, n_tokens, start_token, shard_id).
+    */
+  def curriculumShards(docs: DataFrame, budget: Long, bucketBits: Int = 8,
+      lmScale: Int = 16): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    require(bucketBits > 0 && bucketBits < 62, s"bucketBits=$bucketBits")
+    val tiers = TextAnalysis.perplexityTiers(docs, lmScale)
+      .select(col("doc_id"), col("tier"))
+    val base = docs.join(tiers, Seq("doc_id"), "left")
+      .withColumn("tier", coalesce(col("tier"), lit("tail")))
+      .select(col("doc_id"), col("tier"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (expr("CASE tier WHEN 'head' THEN CAST(0 AS BIGINT) " +
+          "WHEN 'middle' THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END")
+          * lit(1L << 60) + orderKey).as("k"))
+      .withColumn("bkt", expr(s"shiftright(k, ${62 - bucketBits})"))
+    offsetsChain(base)
+      .select(col("doc_id"), col("tier"), col("n_tokens"), col("start_token"),
+        expr(s"CAST(start_token DIV $budget AS BIGINT)").as("shard_id"))
   }
 
   /** Token-budgeted shard assignment: documents stay whole and fill

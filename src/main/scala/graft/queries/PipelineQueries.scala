@@ -631,6 +631,15 @@ object PipelineQueries {
       TextAnalysis.bpeEncode(Tables.documents(spark, dir), BPE_MERGES)
         .orderBy(col("doc_id"))),
 
+    // curriculum token shards (d62): the d47 layout with the shuffle
+    // order reordered by d46 quality tier — head shards first, tiers
+    // contiguous by construction, within-tier order the shared hash60
+    // shuffle (Packing.curriculumShards doc)
+    "d62_curriculum_shards" -> ((spark: SparkSession, dir: String) =>
+      Packing.curriculumShards(Tables.documents(spark, dir), SHARD_BUDGET,
+        lmScale = LM_SCALE)
+        .orderBy(col("doc_id"))),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -2421,6 +2430,42 @@ object PipelineQueries {
          |       WHEN (rnk - 1) * 3 < 2 * n_total THEN 'middle'
          |       ELSE 'tail' END AS tier
          |FROM lrk CROSS JOIN ltot ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Packing.curriculumShards: the d46 tier chain LEFT
+    // JOINed to the corpus (short docs -> tail), the composite
+    // (tier_idx << 60) + hash60 key through the same prefix-sum shape
+    // at a 62-bit grid (k >> 54)
+    "d62_curriculum_shards" ->
+      s"""WITH $bigramLmCtes,
+         |ls AS (SELECT doc_id, avg_nll,
+         |       CAST(floor(avg_nll * $LM_SCALE) AS BIGINT) AS bkt FROM lm),
+         |lbc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS bc FROM ls GROUP BY 1),
+         |lbo AS (SELECT bkt, CAST(sum(bc) OVER (ORDER BY bkt) - bc AS BIGINT) AS off FROM lbc),
+         |ltot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lm),
+         |lrk AS (SELECT doc_id,
+         |  CAST(off + row_number() OVER (PARTITION BY bkt ORDER BY avg_nll, doc_id) AS BIGINT) AS rnk
+         |  FROM ls JOIN lbo USING (bkt)),
+         |ltr AS (SELECT doc_id,
+         |  CASE WHEN (rnk - 1) * 3 < n_total THEN 'head'
+         |       WHEN (rnk - 1) * 3 < 2 * n_total THEN 'middle'
+         |       ELSE 'tail' END AS tier
+         |  FROM lrk CROSS JOIN ltot),
+         |cb AS (SELECT d.doc_id, coalesce(t.tier, 'tail') AS tier,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(CASE coalesce(t.tier, 'tail') WHEN 'head' THEN 0
+         |       WHEN 'middle' THEN 1 ELSE 2 END AS BIGINT) * 1152921504606846976
+         |    + ${duckHash60("CAST(d.doc_id AS VARCHAR)")} AS k
+         |  FROM documents d LEFT JOIN ltr t ON t.doc_id = d.doc_id),
+         |cbb AS (SELECT *, k >> 54 AS bkt FROM cb),
+         |cwc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bkt ORDER BY k, doc_id) AS cum FROM cbb),
+         |cbo AS (SELECT bkt, CAST(sum(bt) OVER (ORDER BY bkt) - bt AS BIGINT) AS boff
+         |        FROM (SELECT bkt, sum(n_tokens) AS bt FROM cbb GROUP BY 1)),
+         |cos_ AS (SELECT doc_id, tier, n_tokens,
+         |         CAST(boff + cum - n_tokens AS BIGINT) AS start_token
+         |        FROM cwc JOIN cbo USING (bkt))
+         |SELECT doc_id, tier, n_tokens, start_token,
+         |  CAST(start_token // $SHARD_BUDGET AS BIGINT) AS shard_id
+         |FROM cos_ ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Packing.tokenShards over the shared prefix-sum chain
     // (tokenOffsetCtes doc)

@@ -573,6 +573,42 @@ class Round10OpsSpec extends AnyFunSuite {
       case Array(a, b) => b._3 <= a._3 && b._3 > 0; case _ => true })
   }
 
+  test("curriculumShards: tiers form contiguous curriculum blocks, within-tier order is the shared shuffle, stream tiles exactly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val cs = Packing.curriculumShards(docs, BUDGET)
+      .select(col("doc_id"), col("tier"), col("n_tokens"),
+        col("start_token"), col("shard_id"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(cs.length == docs.count())
+    // the token stream tiles exactly from 0
+    val byStart = cs.sortBy(_._4)
+    byStart.foldLeft(0L) { case (exp, (_, _, n, st, sh)) =>
+      assert(st == exp && sh == st / BUDGET); st + n }
+    // tiers are contiguous blocks in head < middle < tail order
+    val range = cs.groupBy(_._2).map { case (t, rs) =>
+      t -> (rs.map(_._4).min, rs.map(r => r._4 + r._3).max) }
+    for (Seq(a, b) <- Seq("head", "middle", "tail").sliding(2))
+      (range.get(a), range.get(b)) match {
+        case (Some((_, aEnd)), Some((bStart, _))) => assert(aEnd <= bStart, s"$a/$b overlap")
+        case _ => // a tier may be empty on tiny corpora
+      }
+    // tier assignment is exactly perplexityTiers' (short docs -> tail)
+    val tiers = TextAnalysis.perplexityTiers(docs, 16)
+      .select(col("doc_id"), col("tier")).as[(Long, String)].collect().toMap
+    cs.foreach { case (id, t, _, _, _) =>
+      assert(t == tiers.getOrElse(id, "tail"), s"doc $id tier") }
+    // within a tier the relative order is the shared hash60 shuffle
+    val hashOrder = docs.select(col("doc_id"),
+        graft.operators.Dedup.hash60(col("doc_id").cast("string")).as("k"))
+      .as[(Long, Long)].collect().toMap
+    cs.groupBy(_._2).foreach { case (t, rs) =>
+      val byPos = rs.sortBy(_._4).map(_._1).toSeq
+      val byKey = rs.map(_._1).sortBy(id => (hashOrder(id), id)).toSeq
+      assert(byPos == byKey, s"tier $t order")
+    }
+  }
+
   test("kmeansKcenterSeeded: cells are the k-center exemplars (pass 1) and the Lloyd invariants hold") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
