@@ -115,6 +115,66 @@ object Multimodal {
           .otherwise(greatest(lit(1L), expr(s"(height * $maxDim) div m"))).as("out_h"))
   }
 
+  /** Blockwise 60-bit binary fingerprint (m05) — the perceptual-hash
+    * SHAPE of image dedup pipelines over the opaque payload: the blob
+    * is cut into 60 equal byte-range blocks and bit i is the parity of
+    * block i's md5, packed into one long (60 bits — the repo's hash60
+    * convention, so the sum never overflows either engine's integer).
+    * Payloads differing in k blocks differ in AT MOST k bits, which is
+    * what makes the Hamming-block candidate join ([[mediaNearDupPairs]])
+    * find corrupted/partially-rewritten blobs — a fuzzy checksum at
+    * block granularity. The per-block bit derivation is stub territory
+    * (a real pHash reads decoded pixels — no image libs in this
+    * container); the construction (block → bit → packed word → banded
+    * Hamming join) is the real image-dedup shape and is what the
+    * oracle verifies. Pure scan-side expression work, no shuffle.
+    * Returns (doc_id, phash).
+    */
+  def mediaPhash(media: DataFrame): DataFrame = {
+    val blockLen = "greatest(1, octet_length(payload) DIV 60)"
+    media.select(col("doc_id"), expr(
+      s"""aggregate(
+         |  transform(sequence(0, 59), i ->
+         |    IF(substring(md5(substring(payload, CAST(i * $blockLen + 1 AS INT), $blockLen)), 1, 1)
+         |         IN ('1','3','5','7','9','b','d','f'),
+         |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin.replace("\n", " "))
+      .as("phash"))
+  }
+
+  /** Media near-duplicate pairs (m06) — the d30 multi-index Hamming
+    * device over [[mediaPhash]]: the 60-bit fingerprint splits into
+    * radius+1 blocks, a pair within Hamming `radius` must agree on
+    * some whole block (pigeonhole — full recall at the radius), so
+    * candidates come from an equi-join on (block position, block
+    * value), never all-pairs; exact bit_count(xor) then filters and
+    * multi-block matches collapse by aggregation (the d-family dedup
+    * lesson: groupBy+min moves triples, not payloads). Returns
+    * (doc_a, doc_b, hamming).
+    */
+  def mediaNearDupPairs(media: DataFrame, radius: Int = 3): DataFrame = {
+    require(radius >= 0 && 60 % (radius + 1) == 0, s"radius=$radius")
+    val nb = radius + 1
+    val bits = 60 / nb
+    val mask = (1L << bits) - 1
+    val blk = mediaPhash(media).select(col("doc_id"), col("phash"),
+        explode(expr(s"transform(sequence(0, ${nb - 1}), b -> named_struct(" +
+          s"'bpos', b, 'bval', CAST(shiftright(phash, b * $bits) & $mask AS BIGINT)))"))
+          .as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.bpos").as("bpos"), col("bb.bval").as("bval"))
+    val x = blk.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
+      col("bpos"), col("bval"))
+    val y = blk.select(col("doc_id").as("doc_b"), col("phash").as("hb"),
+      col("bpos"), col("bval"))
+    x.join(y, Seq("bpos", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= radius)
+      .groupBy(col("doc_a"), col("doc_b")).agg(min(col("hamming")).as("hamming"))
+  }
+
   /** Partition-batched decode: one codec instance per partition (the shape
     * a real decoder needs — init once, stream the batch through), typed
     * Dataset out. No shuffle; scales with input splits.

@@ -112,6 +112,28 @@ object PipelineQueries {
         Multimodal.mediaView(Tables.documents(spark, dir)), FRAME_BYTES, FRAME_STRIDE)
         .orderBy(col("doc_id"))),
 
+    // blockwise 60-bit binary fingerprint (m05): the pHash SHAPE of
+    // image dedup over opaque payloads (Multimodal.mediaPhash doc)
+    "m05_media_phash" -> ((spark: SparkSession, dir: String) =>
+      Multimodal.mediaPhash(Multimodal.mediaView(Tables.documents(spark, dir)))
+        .orderBy(col("doc_id"))),
+
+    // media near-dup pairs (m06): each even-id payload gets a
+    // same-length single-byte-corrupted twin (id + 1000000) unioned
+    // into the corpus — the twin differs in at most the first block,
+    // so every pair is within Hamming radius and the banded join must
+    // find all of them (Multimodal.mediaNearDupPairs doc)
+    "m06_media_neardup" -> ((spark: SparkSession, dir: String) => {
+      val media = Multimodal.mediaView(Tables.documents(spark, dir))
+      val twins = media.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("cast(concat(cast('Z' as binary), substring(payload, 2, octet_length(payload) - 1)) as binary)")
+            .as("payload"),
+          col("lang"), col("source"))
+      Multimodal.mediaNearDupPairs(media.unionByName(twins), SIMHASH_RADIUS)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // resize planning over the stub dims (integer functions of payload
     // length, Column-side — the full decodeAll object round-trip +
     // feature scan would be paid for two columns it immediately drops;
@@ -1789,6 +1811,29 @@ object PipelineQueries {
        |  LEFT JOIN cmodel cm USING (prev, cur) LEFT JOIN cctx cx USING (prev)
        |  CROSS JOIN cuv cv)""".stripMargin.replace("\n", " ")
 
+  /** The blockwise 60-bit fingerprint (mirror of
+    * [[graft.operators.Multimodal.mediaPhash]]) in the VARCHAR domain —
+    * exact only while the corpus is pure ASCII (the m03 device; the
+    * guard is appended by each consumer). `t` is the text expression.
+    */
+  private def duckPhash(t: String) =
+    s"""CAST(list_sum(list_transform(range(0, 60), i ->
+       |  CASE WHEN substr(md5(substring($t, CAST(i * greatest(1, length($t) // 60) + 1 AS INT),
+       |    greatest(1, length($t) // 60))), 1, 1)
+       |    IN ('1','3','5','7','9','b','d','f')
+       |  THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END)) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
+  /** The m03/m05/m06 ASCII-precondition guard: a BIGINT zero that
+    * errors loudly if any doc's byte length differs from its char
+    * length. Add it to an integer output column.
+    */
+  private def asciiGuard(name: String) =
+    s"""CASE WHEN (SELECT count(*) FROM documents
+       |  WHERE octet_length(encode(text)) <> length(text)) > 0
+       |  THEN CAST(error('$name oracle precondition violated: corpus is not pure ASCII') AS BIGINT)
+       |  ELSE 0 END""".stripMargin.replace("\n", " ")
+
   /** The k-center greedy chain (mirror of
     * [[graft.operators.Similarity.kCenterGreedy]]) — consumes `n`,
     * yields `kc1..kcK` (vec_id, e, nrm[, md]) and the running
@@ -2191,6 +2236,35 @@ object PipelineQueries {
          |               k -> md5(substring(text, CAST(k * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES))), '')
          |        ELSE '' END) END AS sample_digest
          |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Multimodal.mediaPhash in the VARCHAR domain (duckPhash
+    // doc) with the m03 ASCII guard folded into the integer output
+    "m05_media_phash" ->
+      s"""WITH p AS (SELECT doc_id, ${duckPhash("text")} AS phash FROM documents)
+         |SELECT doc_id, phash + ${asciiGuard("m05")} AS phash
+         |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Multimodal.mediaNearDupPairs over documents + the
+    // single-byte-corrupted twins: the same banded Hamming join in the
+    // VARCHAR domain, multi-block matches collapsed by min()
+    "m06_media_neardup" -> {
+      val nb = SIMHASH_RADIUS + 1
+      val bits = 60 / nb
+      val mask = (1L << bits) - 1
+      s"""WITH med AS (SELECT doc_id, text AS t FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, 'Z' || substring(text, 2, length(text) - 1)
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |p AS (SELECT doc_id, ${duckPhash("t")} AS phash FROM med),
+         |blk AS (SELECT doc_id, phash, b AS bpos,
+         |  CAST((phash >> CAST(b * $bits AS INT)) & $mask AS BIGINT) AS bval
+         |  FROM p, LATERAL unnest(range(0, $nb)) AS u(b)),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.phash, b.phash)) AS hamming
+         |  FROM blk a JOIN blk b ON a.bpos = b.bpos AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= $SIMHASH_RADIUS)
+         |SELECT doc_a, doc_b, CAST(min(hamming) AS BIGINT) + ${asciiGuard("m06")} AS hamming
+         |FROM pr GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+    },
 
     "d01_exact_dedup" ->
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -573,6 +573,47 @@ class Round10OpsSpec extends AnyFunSuite {
       case Array(a, b) => b._3 <= a._3 && b._3 > 0; case _ => true })
   }
 
+  test("media phash/neardup: block-local corruption stays within radius; every corrupted twin is found") {
+    import spark.implicits._
+    val base = "x" * 240 // blockLen 4, 60 blocks cover it exactly
+    def corrupt(s: String, blocks: Seq[Int]): String = {
+      val arr = s.toCharArray
+      blocks.foreach(b => (0 until 4).foreach(i => arr(b * 4 + i) = ('A' + b % 26).toChar))
+      new String(arr)
+    }
+    val fix = Seq(
+      (0L, base), (1L, base),                     // identical -> distance 0
+      (2L, corrupt(base, Seq(0))),                // one block -> <= 1 bit
+      (3L, corrupt(base, Seq(0, 10, 20))))        // three blocks -> <= 3 bits
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaView(fix.withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text"))))
+    val ph = Multimodal.mediaPhash(media).as[(Long, Long)].collect().toMap
+    assert(ph(0L) == ph(1L))
+    assert(java.lang.Long.bitCount(ph(0L) ^ ph(2L)) <= 1)
+    assert(java.lang.Long.bitCount(ph(0L) ^ ph(3L)) <= 3)
+    val pairs = Multimodal.mediaNearDupPairs(media, 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((0L, 1L)) == 0L)
+    assert(pairs.contains((0L, 2L)), "one-block corruption must be found")
+    assert(pairs.contains((0L, 3L)), "radius-wide corruption must be found (pigeonhole)")
+    // the registered m06 shape: every even-id doc pairs with its
+    // single-byte corrupted twin on the real corpus
+    val docs = Tables.documents(spark, dir)
+    val mv = Multimodal.mediaView(docs)
+    val twins = mv.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("cast(concat(cast('Z' as binary), substring(payload, 2, octet_length(payload) - 1)) as binary)")
+          .as("payload"), col("lang"), col("source"))
+    val got = Multimodal.mediaNearDupPairs(mv.unionByName(twins), 3)
+      .as[(Long, Long, Long)].collect()
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val twinPairs = got.filter(r => r._2 == r._1 + 1000000L).map(_._1).toSet
+    assert(twinPairs == evens, s"missing twins: ${(evens -- twinPairs).take(5)}")
+    assert(got.forall(_._3 <= 3))
+  }
+
   test("curriculumShards: tiers form contiguous curriculum blocks, within-tier order is the shared shuffle, stream tiles exactly") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
