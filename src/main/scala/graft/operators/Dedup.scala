@@ -44,6 +44,39 @@ object Dedup {
         s"array_distinct(transform(sequence(1, size(w)-${n - 1}), i -> concat_ws(' ', slice(w, i, $n))))")).as("s"))
   }
 
+  /** Cross-document line-level dedup (d63) — the MassiveText/C4-family
+    * "duplicate line/paragraph removal across the corpus": every line
+    * keeps its FIRST occurrence in (doc_id, line position) order and
+    * later occurrences are removed — including within-document
+    * repeats — and each document is rebuilt from its surviving lines
+    * in original order. This is the granularity between [[exactGroups]]'
+    * whole-document dedup and ExactSubstr's gram level: boilerplate
+    * (headers, navigation, license blocks) dies corpus-wide while the
+    * surrounding prose survives.
+    *
+    * Scale shape: first-occurrence is a row_number window PARTITIONED
+    * BY the line text (partition size = a line's corpus frequency,
+    * never the corpus — the same keyed shape a groupBy would shuffle;
+    * a pathological mega-boilerplate line is AQE-skew territory), and
+    * the rebuild is one per-doc aggregation collecting only surviving
+    * (pos, line) pairs — sorted per doc, bounded by document size.
+    * Returns (doc_id, n_lines, n_removed, text_out) with text_out = ''
+    * when every line was a later duplicate.
+    */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("keep_line", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("keep_line"), 0L).otherwise(1L)).cast("long").as("n_removed"),
+        coalesce(array_join(transform(array_sort(collect_list(
+          when(col("keep_line"), struct(col("pos"), col("line"))))),
+          p => p.getField("line")), "\n"), lit("")).as("text_out"))
+  }
+
   /** Exact dedup: canonical keeper (min doc_id) per content digest.
     * Single shuffle on the digest; skew-free (digests are uniform).
     */

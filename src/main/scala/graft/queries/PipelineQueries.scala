@@ -662,6 +662,19 @@ object PipelineQueries {
         lmScale = LM_SCALE)
         .orderBy(col("doc_id"))),
 
+    // cross-document line dedup (d63): keep-first per line corpus-wide,
+    // docs rebuilt from survivors. The registered corpus unions exact
+    // twin copies (id + 1000000) of the even docs so keep-first has
+    // real work: originals survive intact, twins empty out
+    // (Dedup.lineDedup doc)
+    "d63_line_dedup" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val twins = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.lineDedup(docs.unionByName(twins))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -2265,6 +2278,22 @@ object PipelineQueries {
          |SELECT doc_a, doc_b, CAST(min(hamming) AS BIGINT) + ${asciiGuard("m06")} AS hamming
          |FROM pr GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of Dedup.lineDedup over documents + exact twins: the same
+    // keep-first window partitioned by line text, docs rebuilt with an
+    // ordered filtered string_agg (NULL -> '' on the emptied twins)
+    "d63_line_dedup" ->
+      s"""WITH med AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0),
+         |l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM med),
+         |  LATERAL unnest(range(1, len(ls) + 1)) AS t(i)),
+         |k AS (SELECT doc_id, pos, line,
+         |  (row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1) AS keep_line FROM l)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN keep_line THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep_line), '') AS text_out
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d01_exact_dedup" ->
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

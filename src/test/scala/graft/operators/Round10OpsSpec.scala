@@ -573,6 +573,33 @@ class Round10OpsSpec extends AnyFunSuite {
       case Array(a, b) => b._3 <= a._3 && b._3 > 0; case _ => true })
   }
 
+  test("lineDedup: keep-first across and within docs, rebuild preserves order; twins empty out on the registered shape") {
+    import spark.implicits._
+    val fixtures = Seq(
+      (0L, "alpha\nshared line\nbeta"),
+      (1L, "shared line\ngamma\nshared line"), // both occurrences lose to doc 0
+      (2L, "delta\ndelta\nepsilon"))           // within-doc repeat
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(fixtures)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 3L, 0L, "alpha\nshared line\nbeta")))
+    assert(out(1L) == ((1L, 3L, 2L, "gamma")))
+    assert(out(2L) == ((2L, 3L, 1L, "delta\nepsilon")))
+    // the registered shape: exact twin copies empty out, originals
+    // survive untouched (the corpus itself has no duplicate texts)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val twins = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val dd = Dedup.lineDedup(docs.unionByName(twins))
+    assert(dd.filter(col("doc_id") >= 1000000L)
+      .filter(col("text_out") =!= "" || col("n_removed") =!= col("n_lines"))
+      .count() == 0L)
+    val intact = dd.filter(col("doc_id") < 1000000L)
+      .join(docs, "doc_id")
+      .filter(col("text_out") =!= col("text") || col("n_removed") =!= 0L)
+    assert(intact.count() == 0L)
+  }
+
   test("media phash/neardup: block-local corruption stays within radius; every corrupted twin is found") {
     import spark.implicits._
     val base = "x" * 240 // blockLen 4, 60 blocks cover it exactly
