@@ -375,6 +375,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens_bpe"))
   }
 
+  /** BPE segmentation spans (d64) — the per-word token TABLE a
+    * dataloader actually consumes: after applying [[bpeTrain]]'s
+    * merges, each vocabulary word's symbol sequence with 0-based char
+    * offsets into the MARKED word (word + '¶', so the spans tile
+    * len(word)+1 exactly, no special-casing of marker-merged tails —
+    * spec-pinned). Vocabulary-scale output (the tokenizer lookup
+    * table); per-doc spans are this table joined to the token stream,
+    * which d61 already prices. The offset is a running sum windowed
+    * per word — partition size = that word's token count, trivially
+    * bounded. Returns (word, tok_idx, sym, start, len).
+    */
+  def bpeSpans(docs: DataFrame, nMerges: Int = 5): DataFrame = {
+    val merges = bpeTrain(docs, nMerges).orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var v = bpeVocab(docs)
+    merges.foreach { case (s1, s2) =>
+      v = v.withColumn("rep",
+        replace(col("rep"), lit(s1 + "¦" + s2), lit(s1 + s2)))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("word")).orderBy(col("tok0"))
+    v.select(col("word"),
+        posexplode(split(col("rep"), "¦")).as(Seq("tok0", "sym")))
+      .select(col("word"), (col("tok0") + 1).cast("long").as("tok_idx"),
+        col("sym"),
+        (sum(length(col("sym"))).over(w) - length(col("sym"))).cast("long").as("start"),
+        length(col("sym")).cast("long").as("len"))
+  }
+
   /** Whitespace tokens vs BPE-ish regex tokens (letter runs / digit runs /
     * single punctuation).
     */

@@ -675,6 +675,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE segmentation spans (d64): the per-word token lookup table
+    // after d59's merges — symbols with char offsets tiling the marked
+    // word exactly (TextAnalysis.bpeSpans doc)
+    "d64_bpe_spans" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.bpeSpans(Tables.documents(spark, dir), BPE_MERGES)
+        .orderBy(col("word"), col("tok_idx"))),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -2834,6 +2841,21 @@ object PipelineQueries {
          |$bpeMergeStages
          |SELECT * FROM ($union) ORDER BY step""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of TextAnalysis.bpeSpans: the final representation's
+    // symbol list with ordinals; offsets as the same per-word running
+    // sum window
+    "d64_bpe_spans" ->
+      s"""WITH $bpeHeadCtes,
+         |$bpeMergeStages,
+         |sy AS (SELECT word, CAST(i AS BIGINT) AS tok_idx, l[i] AS sym
+         |  FROM (SELECT word, string_split(rep, '¦') AS l FROM br$BPE_MERGES),
+         |  LATERAL unnest(range(1, len(l) + 1)) AS t(i))
+         |SELECT word, tok_idx, sym,
+         |  CAST(sum(length(sym)) OVER (PARTITION BY word ORDER BY tok_idx)
+         |       - length(sym) AS BIGINT) AS start,
+         |  CAST(length(sym) AS BIGINT) AS len
+         |FROM sy ORDER BY word, tok_idx""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.bpeEncode: the d59 merge chain's FINAL
     // representation, symbol counts per word, docs joined back

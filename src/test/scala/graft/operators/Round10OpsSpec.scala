@@ -573,6 +573,24 @@ class Round10OpsSpec extends AnyFunSuite {
       case Array(a, b) => b._3 <= a._3 && b._3 > 0; case _ => true })
   }
 
+  test("bpeSpans: spans tile each marked word exactly and concatenate back to it") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val spans = TextAnalysis.bpeSpans(docs, 5)
+      .as[(String, Long, String, Long, Long)].collect()
+    assert(spans.nonEmpty)
+    spans.groupBy(_._1).foreach { case (word, toks) =>
+      val sorted = toks.sortBy(_._2)
+      // contiguous from 0, tiling len(word) + 1 (the marker)
+      assert(sorted.head._4 == 0L, s"word $word")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => b._4 == a._4 + a._5; case _ => true }, s"word $word")
+      assert(sorted.map(_._5).sum == word.length + 1, s"word $word")
+      // symbols concatenate back to the marked word
+      assert(sorted.map(_._3).mkString == word + "¶", s"word $word")
+    }
+  }
+
   test("lineDedup: keep-first across and within docs, rebuild preserves order; twins empty out on the registered shape") {
     import spark.implicits._
     val fixtures = Seq(
