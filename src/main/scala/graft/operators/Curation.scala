@@ -319,6 +319,44 @@ object Curation {
       .withColumn("exp_tokens", col("rate") * col("n_tokens").cast("double"))
   }
 
+  /** UniMax epoch-capped mixture allocation (d65) — Chung et al. 2023
+    * ("UniMax: Fairer and More Effective Language Sampling"): spread a
+    * token budget as UNIFORMLY as possible across strata while capping
+    * each stratum at `maxEpochs` passes over its own tokens —
+    * waterfilling in ascending-cap order, where the i-th visited
+    * stratum takes min(cap, remaining / strata_left) and a capped
+    * stratum's unused share redistributes to the rest automatically.
+    * Contrast [[mixSchedule]], which chases EXTERNAL target shares;
+    * UniMax's target is uniformity subject to the repetition cap.
+    *
+    * Deterministic and oracle-exact: the visit order (cap, stratum) is
+    * total, and every arithmetic step — budget product, per-stage
+    * divide, min, sequential subtraction — is one IEEE op mirrored by
+    * the oracle's chained stages in the same association. The stats
+    * table has #strata rows (driver-resident by definition — the
+    * k-means discipline); the corpus-scale work is [[mixtureStats]]'
+    * one aggregation. Returns
+    * (stratum, n_tokens, cap_tokens, alloc_tokens, epochs).
+    */
+  def unimaxMixture(docs: DataFrame, strata: Column, budgetFrac: Double,
+      maxEpochs: Double): DataFrame = {
+    require(budgetFrac > 0 && maxEpochs > 0, s"$budgetFrac/$maxEpochs")
+    val rows = mixtureStats(docs, strata)
+      .select(col("stratum"), col("n_tokens")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(rows.nonEmpty, "unimaxMixture: no strata")
+    var remaining = rows.map(_._2).sum.toDouble * budgetFrac
+    val sorted = rows.map { case (s, n) => (s, n, n.toDouble * maxEpochs) }
+      .sortBy { case (s, _, cap) => (cap, s) }
+    val out = sorted.zipWithIndex.map { case ((s, n, cap), i) =>
+      val alloc = math.min(cap, remaining / (sorted.length - i))
+      remaining -= alloc
+      (s, n, cap, alloc, alloc / n.toDouble)
+    }
+    docs.sparkSession.createDataFrame(out.toSeq)
+      .toDF("stratum", "n_tokens", "cap_tokens", "alloc_tokens", "epochs")
+  }
+
   /** Per-stratum mixture statistics — the doc/token counts and corpus
     * shares that set (or audit) sampling weights for a training
     * mixture. One partial-aggregated groupBy on the stratum plus a

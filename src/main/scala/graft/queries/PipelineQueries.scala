@@ -92,6 +92,14 @@ object PipelineQueries {
   private val MIX_TARGETS = Seq("en" -> 0.4, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1)
   private val MIX_BUDGET_FRAC = 0.5
 
+  /** d65 UniMax constants — chosen so the waterfall is genuinely
+    * exercised on this corpus (measured shares ≈ .23/.24/.29/.23):
+    * three strata cap at 0.5 epochs and the largest absorbs the
+    * redistributed remainder.
+    */
+  private val UNIMAX_BUDGET = 0.48
+  private val UNIMAX_EPOCHS = 0.5
+
   private val FRAME_BYTES = 256 // m03 frame size
   private val FRAME_STRIDE = 4  // m03: keep every 4th frame
   private val MAX_DIM = 48      // m04 fit-in-box dimension
@@ -693,6 +701,16 @@ object PipelineQueries {
     "d20_pack_plan" -> ((spark: SparkSession, dir: String) =>
       Curation.packPlan(Tables.documents(spark, dir), PACK_SHARDS, PACK_SEQLEN)
         .orderBy(col("doc_id"))),
+
+    // UniMax epoch-capped mixture (d65): uniform-as-possible budget
+    // split with a repetition cap per language stratum — waterfilling
+    // in ascending-cap order (Curation.unimaxMixture doc; contrast
+    // d24's external-target schedule)
+    "d65_unimax" -> ((spark: SparkSession, dir: String) =>
+      Curation.unimaxMixture(
+        TextAnalysis.langId(Tables.documents(spark, dir)), col("pred_lang"),
+        UNIMAX_BUDGET, UNIMAX_EPOCHS)
+        .orderBy(col("stratum"))),
 
     // mixture audit: per-language doc/token counts and token share
     // (Curation.mixtureStats doc)
@@ -2410,6 +2428,39 @@ object PipelineQueries {
          |SELECT stratum, n_docs, n_tokens,
          |  CAST(n_tokens AS DOUBLE)/tot_tokens AS token_share
          |FROM per CROSS JOIN tot ORDER BY stratum""".stripMargin.replace("\n", " "),
+
+    // mirror of Curation.unimaxMixture: the d21 stats head, caps ranked
+    // ascending, then one chained stage per visit — each stage's
+    // remaining subtracts the PREVIOUS alloc (same sequential
+    // association as the driver fold), divisor = strata left
+    "d65_unimax" -> {
+      val stages = (1 to 4).map { i =>
+        val rm = if (i == 1)
+          s"urm1 AS (SELECT (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM per) * $UNIMAX_BUDGET AS rem),"
+        else
+          s"""urm$i AS (SELECT (SELECT rem FROM urm${i - 1})
+             |  - coalesce((SELECT alloc FROM ua${i - 1}), 0) AS rem),""".stripMargin
+        s"""$rm
+           |ua$i AS (SELECT stratum, n_tokens, cap,
+           |  least(cap, (SELECT rem FROM urm$i)
+           |    / CAST((SELECT n FROM unn) - ${i - 1} AS DOUBLE)) AS alloc
+           |  FROM urk WHERE r = $i)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 4).map(i => s"SELECT * FROM ua$i").mkString(" UNION ALL ")
+      s"""WITH ${langStrataCtes("text, ",
+             ", CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens")},
+         |per AS (SELECT stratum, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |        FROM l GROUP BY 1),
+         |urk AS (SELECT stratum, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) * $UNIMAX_EPOCHS AS cap,
+         |  row_number() OVER (ORDER BY CAST(n_tokens AS DOUBLE) * $UNIMAX_EPOCHS, stratum) AS r
+         |  FROM per),
+         |unn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM urk),
+         |$stages
+         |SELECT stratum, n_tokens, cap AS cap_tokens, alloc AS alloc_tokens,
+         |  alloc / CAST(n_tokens AS DOUBLE) AS epochs
+         |FROM ($union) ORDER BY stratum""".stripMargin.replace("\n", " ")
+    },
 
     // expression order/parenthesization mirrors TextAnalysis.bm25
     // exactly (every op is +,-,*,/ over doubles — bit-identical)

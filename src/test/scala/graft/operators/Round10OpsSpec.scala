@@ -573,6 +573,36 @@ class Round10OpsSpec extends AnyFunSuite {
       case Array(a, b) => b._3 <= a._3 && b._3 > 0; case _ => true })
   }
 
+  test("unimaxMixture: exact waterfall on constructed strata; budget and cap invariants on the corpus") {
+    import spark.implicits._
+    // strata of 10/20/30/40 tokens, budget 50, cap 1 epoch: the small
+    // stratum caps at 10 and its unused share waterfalls to the rest
+    val fix = Seq(("a", 10), ("b", 20), ("c", 30), ("d", 40))
+      .zipWithIndex.map { case ((l, n), i) => (i.toLong, ("w " * n).trim, l) }
+      .toDF("doc_id", "text", "lang")
+    val got = Curation.unimaxMixture(fix, col("lang"), 0.5, 1.0)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    var rem = 50.0
+    val expect = Seq(("a", 10L, 10.0), ("b", 20L, 20.0), ("c", 30L, 30.0),
+      ("d", 40L, 40.0)).zipWithIndex.map { case ((s, n, cap), i) =>
+      val alloc = math.min(cap, rem / (4 - i)); rem -= alloc
+      s -> ((s, n, cap, alloc, alloc / n.toDouble))
+    }.toMap
+    assert(got == expect)
+    assert(got("a")._4 == 10.0 && got("a")._5 == 1.0) // capped exactly
+    assert(got("d")._4 > 50.0 / 4, "redistribution must lift the uncapped tail")
+    // corpus at the registered constants: allocations never exceed
+    // caps, epochs never exceed the cap, and the budget is respected
+    val docs = Tables.documents(spark, dir)
+    val reg = Curation.unimaxMixture(TextAnalysis.langId(docs),
+      col("pred_lang"), 0.48, 0.5)
+      .as[(String, Long, Double, Double, Double)].collect()
+    val totalTokens = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(reg.forall(r => r._4 <= r._3 && r._5 <= 0.5 + 1e-12))
+    assert(reg.map(_._4).sum <= totalTokens * 0.48 + 1e-6)
+  }
+
   test("bpeSpans: spans tile each marked word exactly and concatenate back to it") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
