@@ -223,6 +223,44 @@ object Similarity {
       .withColumn("keep", col("n_lower_dups") === 0L)
   }
 
+  /** SemDeDup with the PAPER's keep policy (e49) — Abbas et al. 2023
+    * keep, within each duplicate group, the member FARTHEST from its
+    * cluster centroid (the paper's ablation found low-similarity
+    * representatives generalize best), instead of [[semanticDedup]]'s
+    * deterministic lowest-id rule. Three shared devices composed:
+    * within-cluster threshold pairs (the e45 mining), connected
+    * components over the pair graph ([[Dedup.dedupClusters]] — a dup
+    * GROUP is a component, so near-dup chains merge instead of
+    * double-dropping), and [[centroidAffinity]] as the extremity
+    * score; keep = argmin affinity per group, ties toward the smaller
+    * vec_id. The keeper-election window partitions by group — bounded
+    * by the dup population, never the corpus. Returns
+    * (vec_id, cell, group_id, affinity, keep).
+    */
+  def semanticDedupExtremity(emb: DataFrame, threshold: Double,
+      nCells: Int = 16): DataFrame = {
+    val n = normalized(emb)
+    val asg = n.withColumn("cell",
+      (-array_max(centroidScores(n, nCells)).getField("nid")).cast("long"))
+    val x = asg.select(col("vec_id").as("doc_a"), col("e").as("xe"),
+      col("nrm").as("xn"), col("cell"))
+    val y = asg.select(col("vec_id").as("doc_b"), col("e").as("ye"),
+      col("nrm").as("yn"), col("cell"))
+    val pairs = x.join(y, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter((dot("xe", "ye") / (col("xn") * col("yn"))) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val groups = Dedup.dedupClusters(
+        emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("group_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_id")).orderBy(col("affinity"), col("vec_id"))
+    centroidAffinity(emb, nCells).join(groups, Seq("vec_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("vec_id"), col("cell"), col("group_id"),
+        col("affinity"), col("keep"))
+  }
+
   /** Greedy k-center selection (e47) — farthest-point-first traversal
     * (Gonzalez 1985), the classic diversity/coreset selection device
     * training-data pipelines use to pick maximally-spread exemplars:

@@ -306,6 +306,15 @@ object PipelineQueries {
         KCENTER_K, KMEANS_ITERS)
         .orderBy(col("cell"), col("dim"))),
 
+    // SemDeDup with the paper's keep rule (e49): dup groups = connected
+    // components of the within-cluster pair graph; each group keeps its
+    // member farthest from the centroid (argmin affinity)
+    // (Similarity.semanticDedupExtremity doc; contrast e45's lowest-id)
+    "e49_semdedup_extremity" -> ((spark: SparkSession, dir: String) =>
+      Similarity.semanticDedupExtremity(Tables.embeddings(spark, dir),
+        SEMDEDUP_T, IVF_CELLS)
+        .orderBy(col("vec_id"))),
+
     "e01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
       Similarity.cosineTopK(Tables.embeddings(spark, dir),
         col("vec_id") % 50 === 0, 5)
@@ -3257,6 +3266,23 @@ object PipelineQueries {
          |${kmeansMeanCtes("2", "cells2")}
          |${kmeansSelect("m2")}""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of Similarity.semanticDedupExtremity: the e45 pair mining
+    // as a pairs(a, b) CTE, the shared recursive-CTE component closure
+    // (ccCtes), the e18 affinity row, argmin-affinity keeper per group
+    "e49_semdedup_extremity" ->
+      s"""WITH RECURSIVE $ivfAsgCtes,
+         |pairs AS (SELECT a.vid AS a, b.vid AS b
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vid < b.vid
+         |  JOIN n na ON na.vec_id = a.vid JOIN n nb ON nb.vec_id = b.vid
+         |  WHERE list_dot_product(na.e, nb.e)/(na.nrm*nb.nrm) >= $SEMDEDUP_T),
+         |${ccCtes("embeddings", "vec_id")},
+         |aff AS (SELECT vid, cid, cos FROM asg WHERE rn = 1)
+         |SELECT l.v AS vec_id, CAST(af.cid AS BIGINT) AS cell,
+         |  CAST(l.cluster_id AS BIGINT) AS group_id, af.cos AS affinity,
+         |  (row_number() OVER (PARTITION BY l.cluster_id ORDER BY af.cos, l.v) = 1) AS keep
+         |FROM lab l JOIN aff af ON af.vid = l.v
+         |ORDER BY vec_id""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.semanticDedup: the shared assignment CTEs'
     // cells, self-joined within cell below the id, exact cosine

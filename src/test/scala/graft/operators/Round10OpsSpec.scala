@@ -506,6 +506,29 @@ class Round10OpsSpec extends AnyFunSuite {
     // and the threshold genuinely splits the corpus both ways
     val parts = sd.groupBy(col("keep")).count().as[(Boolean, Long)].collect().toMap
     assert(parts.getOrElse(true, 0L) > 0 && parts.getOrElse(false, 0L) > 0, parts.toString)
+    // extremity keep policy (e49) on the same fixture: the dup group
+    // {0,2,3} keeps vec 3 (lowest centroid affinity — it sits farthest
+    // from the seed it is grouped under), {1,5} keeps 5, singleton 4
+    // keeps — a genuinely different keeper set than keep-lowest-id
+    val ext = Similarity.semanticDedupExtremity(fix, 0.95, nCells = 2)
+      .select(col("vec_id"), col("group_id"), col("keep"))
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(ext(0L) == ((0L, false)) && ext(2L) == ((0L, false)) &&
+      ext(3L) == ((0L, true)), "group {0,2,3} must keep the extremity member")
+    assert(ext(1L) == ((1L, false)) && ext(5L) == ((1L, true)))
+    assert(ext(4L) == ((4L, true)), "singletons always keep")
+    // corpus: exactly one keeper per group, and it carries the group's
+    // minimum affinity
+    val extc = Similarity.semanticDedupExtremity(emb, 0.35)
+    val perGroup = extc.groupBy(col("group_id"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("nk"),
+        min(col("affinity")).as("mina"))
+    assert(perGroup.filter(col("nk") =!= 1L).count() == 0L)
+    val badKeeper = extc.filter(col("keep"))
+      .join(perGroup.select(col("group_id"), col("mina")), "group_id")
+      .filter(col("affinity") =!= col("mina"))
+    assert(badKeeper.count() == 0L)
     // trained-centroid variant: same verdict machinery over the Lloyd
     // cluster structure — the keep-bit invariant holds, the assignment
     // genuinely moved for some vectors, and dup evidence still exists
