@@ -404,6 +404,26 @@ object TextAnalysis {
         length(col("sym")).cast("long").as("len"))
   }
 
+  /** Per-stratum tokenizer compression report (d66) — the fairness
+    * metric motivating UniMax-style mixtures: after BPE training on
+    * the WHOLE corpus, how many BPE tokens each language stratum pays
+    * per word (a tokenizer trained on a mixture over-segments its
+    * minority languages; tokens-per-word per stratum is the standard
+    * audit). Composes [[bpeEncode]]'s per-doc accounting with
+    * [[langId]]'s strata in one aggregation. Returns
+    * (stratum, n_docs, n_words, n_tokens_bpe, tokens_per_word).
+    */
+  def bpeFairness(docs: DataFrame, nMerges: Int = 5): DataFrame =
+    bpeEncode(docs, nMerges)
+      .join(langId(docs).select(col("doc_id"), col("pred_lang").as("stratum")),
+        Seq("doc_id"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens_bpe")).as("n_tokens_bpe"))
+      .withColumn("tokens_per_word",
+        col("n_tokens_bpe").cast("double") / col("n_words").cast("double"))
+
   /** Whitespace tokens vs BPE-ish regex tokens (letter runs / digit runs /
     * single punctuation).
     */

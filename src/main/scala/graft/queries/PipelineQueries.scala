@@ -699,6 +699,13 @@ object PipelineQueries {
       TextAnalysis.bpeSpans(Tables.documents(spark, dir), BPE_MERGES)
         .orderBy(col("word"), col("tok_idx"))),
 
+    // per-stratum tokenizer compression (d66): tokens-per-word by
+    // language after whole-corpus BPE — the fairness audit motivating
+    // UniMax mixtures (TextAnalysis.bpeFairness doc)
+    "d66_bpe_fairness" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.bpeFairness(Tables.documents(spark, dir), BPE_MERGES)
+        .orderBy(col("stratum"))),
+
     // corpus-level boilerplate signal: fraction of each doc's 3-gram
     // spans seen in some OTHER doc (Dedup.dupSpans doc)
     "d18_dup_spans" -> ((spark: SparkSession, dir: String) =>
@@ -2916,6 +2923,25 @@ object PipelineQueries {
          |       - length(sym) AS BIGINT) AS start,
          |  CAST(length(sym) AS BIGINT) AS len
          |FROM sy ORDER BY word, tok_idx""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.bpeFairness: the d61 encode chain grouped
+    // by the shared language strata
+    "d66_bpe_fairness" ->
+      s"""WITH $bpeHeadCtes,
+         |$bpeMergeStages,
+         |enc AS (SELECT word, CAST(len(string_split(rep, '¦')) AS BIGINT) AS n_syms
+         |  FROM br$BPE_MERGES),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_tokens_bpe
+         |  FROM tok JOIN enc USING (word) GROUP BY doc_id),
+         |${langStrataCtes()}
+         |SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+         |  CAST(sum(n_tokens_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) AS tokens_per_word
+         |FROM perdoc JOIN l USING (doc_id)
+         |GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.bpeEncode: the d59 merge chain's FINAL
     // representation, symbol counts per word, docs joined back

@@ -821,5 +821,11 @@ class Round10OpsSpec extends AnyFunSuite {
     val unmergedTotal = joined.agg(sum(col("nc") + col("nw"))).head().getLong(0)
     val total = out.agg(sum(col("n_tokens_bpe"))).head().getLong(0)
     assert(total < unmergedTotal, "5 merges must reduce the corpus token total")
+    // the per-stratum fairness report partitions exactly the same totals
+    val fair = TextAnalysis.bpeFairness(docs, 5)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(fair.map(_._1).sorted.toSeq == Seq("de", "en", "es", "fr"))
+    assert(fair.map(_._4).sum == total)
+    assert(fair.forall(r => r._5 >= 1.0 && r._5 == r._4.toDouble / r._3.toDouble))
   }
 }
