@@ -337,4 +337,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop"),
       "backoff joins must stay equi-joins\n" + p.take(2000))
   }
+
+  test("d56/d57/d60/m05: scan-side quality & fingerprint ops are zero-exchange expression work") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    Seq(
+      "d56" -> graft.operators.TextAnalysis.gopherRules(docs),
+      "d57" -> graft.operators.TextAnalysis.c4LineFilter(docs),
+      "d60" -> graft.operators.TextAnalysis.gopherRepetition(docs),
+      "m05" -> graft.operators.Multimodal.mediaPhash(
+        graft.operators.Multimodal.mediaView(docs))
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange"), s"$name must not shuffle\n" + p.take(2000))
+    }
+  }
+
+  test("d58: the BPE pair top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("d58_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("d61: the encoded vocabulary rides a broadcast into the token-stream join") {
+    val p = plan("d61_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("m06/e45: candidate pairs come from equi-joins — no nested-loop fallback") {
+    val p = plan("m06_media_neardup")
+    assert(!p.contains("NestedLoop"),
+      "banded Hamming candidates must hash-join on (bpos, bval)\n" + p.take(2000))
+    val p2 = plan("e45_semdedup")
+    assert(!p2.contains("NestedLoop"),
+      "SemDeDup pairs must equi-join on the cell\n" + p2.take(2000))
+  }
+
+  test("d62: the curriculum prefix-sum windows per bucket off the composite key") {
+    val p = plan("d62_curriculum_shards")
+    assert(p.contains("hashpartitioning(bkt"),
+      "the running sum must window per bucket, not one global partition\n" + p.take(2000))
+  }
 }
