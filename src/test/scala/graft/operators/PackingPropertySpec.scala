@@ -111,4 +111,27 @@ object PackingPropertySpec extends Properties("Packing") {
         store.get(id).contains((n, at, at / budget))
       }
     }
+
+  property("curriculumShards: tiers contiguous, within-tier hash60 order, stream tiles — for any corpus and budget") =
+    forAll(genCorpus, Gen.choose(4L, 64L)) { (docs, budget) =>
+      import org.apache.spark.sql.functions.col
+      val df = docs.toDF("doc_id", "text")
+      val rows = Packing.curriculumShards(df, budget, lmScale = 16)
+        .as[(Long, String, Long, Long, Long)].collect()
+      val tiers = TextAnalysis.perplexityTiers(df, 16)
+        .select(col("doc_id"), col("tier")).as[(Long, String)].collect().toMap
+      val byStart = rows.sortBy(_._4).toList
+      var exp = 0L
+      val tileOk = byStart.forall { case (_, _, n, st, sh) =>
+        val ok = st == exp && sh == st / budget; exp = st + n; ok }
+      val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+      val tierOk = rows.forall { case (id, t, _, _, _) =>
+        t == tiers.getOrElse(id, "tail") }
+      val contig = byStart.map(r => rank(r._2)).sliding(2).forall {
+        case List(a, b) => a <= b; case _ => true }
+      val orderOk = rows.groupBy(_._2).forall { case (_, rs) =>
+        rs.sortBy(_._4).map(_._1).toSeq ==
+          rs.map(_._1).sortBy(id => (h60(id.toString), id)).toSeq }
+      tileOk && tierOk && contig && orderOk && rows.length == docs.size
+    }
 }
