@@ -273,6 +273,29 @@ object EventTimeOps {
     }
   }
 
+  /** Quality-RULES gate at ingest — the d56 Gopher filter as the third
+    * member of the ingest-gate family (bloomDedupIngest drops
+    * duplicates, [[lmQualityGateIngest]] drops high-perplexity, this
+    * drops published-rule violators): each micro-batch runs the batch
+    * kernel VERBATIM ([[graft.operators.TextAnalysis.gopherRules]]).
+    * The rules are pure scan-side expressions, so the gate is even
+    * lighter than the LM's — nothing to persist, no join, no keyed
+    * state, no watermark; one projection added per batch.
+    *
+    * Emits per non-empty batch via `sink`: the full rule row
+    * (doc_id, signals, rule bits, keep).
+    */
+  def rulesGateIngest(stream: DataFrame,
+      stopWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        sink(graft.operators.TextAnalysis.gopherRules(
+          batch.select(col("doc_id"), col("text")), stopWords), batchId)
+      }
+    }
+
   /** Stream-stream inner join: comments matched to submissions in the
     * same subreddit within ±`withinSeconds` of event time. Watermarks on
     * BOTH sides bound the join state — Spark can drop buffered rows once

@@ -374,4 +374,35 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(Seq(10L, 11L).forall(!got.get(_)._2))
     assert(got.get(12L) == ((None, true)))
   }
+
+  test("rulesGateIngest: per-batch verdicts equal the batch kernel's across batch boundaries") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ok = ("the that have " * 20).trim
+    val docs: Seq[(Long, String)] = Seq(
+      (1L, ok),                      // passes every rule
+      (2L, "the that"),              // too short
+      (3L, ("the blah bluh " * 20).trim), // one stopword hit
+      (4L, ok.replace("have", "12345")))  // alpha fraction fails
+    val expected = TextAnalysis.gopherRules(docs.toDF("doc_id", "text"))
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(expected == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    val input = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]
+    val q = EventTimeOps.rulesGateIngest(input.toDF().toDF("doc_id", "text"))(
+      (out, _) => out.select(col("doc_id"), col("keep")).collect()
+        .foreach(r => got.put(r.getLong(0), r.getBoolean(1)))).start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == docs.size)
+    docs.foreach { case (id, _) =>
+      assert(got.get(id) == expected(id), s"doc $id") }
+  }
 }
