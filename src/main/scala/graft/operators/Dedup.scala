@@ -1102,6 +1102,39 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Fraction-thresholded eval decontamination (d67) — the published
+    * calibrated form (GPT-3's 13-gram overlap, PaLM's 70%-of-8-grams):
+    * a train doc is contaminated when at least `minFrac` of its
+    * DISTINCT word n-grams appear in the eval split, at a longer n
+    * than [[contamination]]'s any-hit flag — tolerant of incidental
+    * short-phrase overlap, decisive on wholesale inclusion. Same
+    * broadcast shape as d13: the eval gram set broadcasts, the train
+    * side never shuffles beyond its per-doc aggregates (both totals
+    * and hits are map-side-combined). Docs too short to have an
+    * n-gram report frac 0. Returns
+    * (doc_id, n_grams, n_hits, overlap_frac, contaminated).
+    */
+  def contaminationFrac(docs: DataFrame, evalPred: Column, n: Int = 8,
+      minFrac: Double = 0.7): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac")
+    val train = docs.filter(!evalPred)
+    val evalGrams = hashedShingles(docs.filter(evalPred), n)
+      .select(col("hs")).distinct()
+    val grams = hashedShingles(train, n)
+    val totals = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(broadcast(evalGrams), Seq("hs"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    train.select(col("doc_id")).join(totals, Seq("doc_id"), "left_outer")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("overlap_frac",
+        when(col("n_grams") > 0,
+          col("n_hits").cast("double") / col("n_grams")).otherwise(lit(0.0)))
+      .withColumn("contaminated", col("overlap_frac") >= minFrac)
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise LSH/Jaccard evidence into dedup DECISIONS: every doc
     * gets a `cluster_id` (the minimum doc_id reachable through pair

@@ -99,6 +99,8 @@ object PipelineQueries {
     */
   private val UNIMAX_BUDGET = 0.48
   private val UNIMAX_EPOCHS = 0.5
+  private val CONTAM_N = 8       // d67 overlap n-gram length
+  private val CONTAM_FRAC = 0.7  // d67 contamination threshold
 
   private val FRAME_BYTES = 256 // m03 frame size
   private val FRAME_STRIDE = 4  // m03: keep every 4th frame
@@ -344,6 +346,15 @@ object PipelineQueries {
     // train side never shuffles (Dedup.contamination doc)
     "d13_decontaminate" -> ((spark: SparkSession, dir: String) =>
       Dedup.contamination(Tables.documents(spark, dir), col("doc_id") % 10 === 0)
+        .orderBy(col("doc_id"))),
+
+    // fraction-thresholded decontamination (d67): >= 70% of a train
+    // doc's distinct 8-grams in the eval split — the published
+    // calibrated gate (6 docs flagged at sf0.01, all planted
+    // cross-split copies; measured) (Dedup.contaminationFrac doc)
+    "d67_contamination_frac" -> ((spark: SparkSession, dir: String) =>
+      Dedup.contaminationFrac(Tables.documents(spark, dir),
+        col("doc_id") % 10 === 0, CONTAM_N, CONTAM_FRAC)
         .orderBy(col("doc_id"))),
 
     // Gopher-style repetition quality signals: duplicate-token fraction
@@ -2335,6 +2346,30 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN keep_line THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
          |  coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep_line), '') AS text_out
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.contaminationFrac: the d13 shape at n=8 with
+    // per-doc totals, frac as one double division, short docs frac 0
+    "d67_contamination_frac" ->
+      s"""WITH tok8 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $CONTAM_N),
+         |sh8 AS (SELECT DISTINCT doc_id,
+         |  array_to_string(list_slice(w, i, i + ${CONTAM_N - 1}), ' ') AS s
+         |  FROM tok8, LATERAL unnest(range(1, len(w) - ${CONTAM_N - 2})) AS t(i)),
+         |shh8 AS (SELECT doc_id, ${duckHash60("s")} AS hs FROM sh8),
+         |ev8 AS (SELECT DISTINCT hs FROM shh8 WHERE doc_id % 10 = 0),
+         |tr8 AS (SELECT doc_id, hs FROM shh8 WHERE doc_id % 10 <> 0),
+         |tot8 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr8 GROUP BY 1),
+         |hit8 AS (SELECT tr8.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM tr8 JOIN ev8 USING (hs) GROUP BY 1)
+         |SELECT *, (overlap_frac >= $CONTAM_FRAC) AS contaminated FROM (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+         |    CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |    CASE WHEN coalesce(n_grams, 0) > 0
+         |         THEN CAST(coalesce(n_hits, 0) AS DOUBLE) / n_grams ELSE 0.0 END AS overlap_frac
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         |  LEFT JOIN tot8 USING (doc_id) LEFT JOIN hit8 USING (doc_id))
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d01_exact_dedup" ->
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -596,6 +596,31 @@ class Round10OpsSpec extends AnyFunSuite {
       case Array(a, b) => b._3 <= a._3 && b._3 > 0; case _ => true })
   }
 
+  test("contaminationFrac: wholesale copies flagged, incidental overlap tolerated, short docs zero") {
+    import spark.implicits._
+    val ev = "a b c d e f g h i j"
+    val longTail = (1 to 20).map(i => s"x$i").mkString(" ")
+    val fix = Seq((10L, ev),                       // eval split
+      (1L, ev),                                    // wholesale copy -> frac 1
+      (2L, s"a b c d e f g h $longTail"),          // one shared 8-gram of 21
+      (3L, "p q"))                                 // too short
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationFrac(fix, col("doc_id") % 10 === 0, 8, 0.7)
+      .as[(Long, Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 3L, 1.0, true)))
+    assert(out(2L)._2 == 21L && out(2L)._3 == 1L && !out(2L)._5)
+    assert(out(3L) == ((3L, 0L, 0L, 0.0, false)))
+    assert(!out.contains(10L), "the eval split is not scored")
+    // corpus: the planted cross-split copies flag (7 at sf0.001 —
+    // measured), the verdict is exactly the threshold comparison, and
+    // hits never exceed totals
+    val docs = Tables.documents(spark, dir)
+    val reg = Dedup.contaminationFrac(docs, col("doc_id") % 10 === 0)
+    assert(reg.filter(col("contaminated")).count() > 0)
+    assert(reg.filter(col("contaminated") =!= (col("overlap_frac") >= 0.7)).count() == 0)
+    assert(reg.filter(col("n_hits") > col("n_grams")).count() == 0)
+  }
+
   test("unimaxMixture: exact waterfall on constructed strata; budget and cap invariants on the corpus") {
     import spark.implicits._
     // strata of 10/20/30/40 tokens, budget 50, cap 1 epoch: the small
