@@ -264,6 +264,54 @@ object SseBenchMain {
           f"gated=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost, " +
           f"kept=$nKept of $total at thr=$thr%.3f)")
       }
+
+      // QUALITY-RULES GATE (round-10 tail): the d56 Gopher filter on
+      // the stream path against the same pass-through twin and feed
+      // rhythm — the gate is pure scan-side expression work (no model,
+      // no joins), so its overhead should sit far below the LM gate's;
+      // the with/without pair proves it with a number. Stop list = the
+      // corpus's marker vocabulary (d56's registered choice, so the
+      // gate genuinely splits the stream).
+      {
+        import graft.operators.TextAnalysis
+        val refDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        val texts = refDocs.select($"text").limit(500).collect().map(_.getString(0))
+        val total = 20000
+        val chunk = 2000
+        val docs = (0 until total).map(i => (i.toLong, texts(i % texts.length)))
+        def rulesRun(withGate: Boolean): (Double, Long, Long) = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val stream = mem.toDF().toDF("doc_id", "text")
+          val seen = new java.util.concurrent.atomic.AtomicLong
+          val kept = new java.util.concurrent.atomic.AtomicLong
+          val writer =
+            if (withGate)
+              EventTimeOps.rulesGateIngest(stream, TextAnalysis.markers.head._2) {
+                (out, _) =>
+                  val rows = out.select($"keep").collect()
+                  seen.addAndGet(rows.length)
+                  kept.addAndGet(rows.count(_.getBoolean(0)))
+              }
+            else stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                seen.addAndGet(b.count()); ()
+            }
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            docs.grouped(chunk).foreach { g =>
+              mem.addData(g: _*); q.processAllAvailable()
+            }
+          } finally q.stop()
+          require(seen.get() == total, s"INVALID RUN: saw ${seen.get()} of $total")
+          ((System.nanoTime() - t0) / 1e9, seen.get(), kept.get())
+        }
+        rulesRun(withGate = false) // warm-up
+        val (wBase, _, _) = rulesRun(withGate = false)
+        val (wGate, _, nKept) = rulesRun(withGate = true)
+        println(f"SSEBENCH rules-gate total=$total docs passthrough=${total / wBase}%.0f ev/s " +
+          f"gated=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost, kept=$nKept of $total)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }
