@@ -357,6 +357,51 @@ object Curation {
       .toDF("stratum", "n_tokens", "cap_tokens", "alloc_tokens", "epochs")
   }
 
+  /** Temperature-scaled mixture weights (d71) — the OTHER published
+    * multilingual sampling law (exponentiated-count smoothing, the
+    * mBERT/XLM-R rule; Conneau et al. 2020 use α = 0.3): stratum
+    * probability `p_s ∝ n_s^α`, flattening the natural token
+    * distribution toward uniform as α → 0. Complements [[unimaxMixture]]
+    * — UniMax caps repetition per stratum, temperature scaling smooths
+    * proportionally with no cap (small strata can exceed maxEpochs,
+    * which is exactly the over-sampling pathology UniMax was published
+    * against; registering both makes the trade auditable on one corpus).
+    *
+    * Scale shape: one partial-aggregated groupBy on the stratum, then
+    * strata-scale arithmetic under a broadcast single-row total. The
+    * `n^α` pow lands in DECIMAL(28,8) (the cross-engine transcendental
+    * device) so the normalizing sum is exact; every later step is one
+    * IEEE double op in a fixed association, mirrored in the oracle.
+    *
+    * Returns (stratum, n_tokens, pow_alpha, p_frac, exp_tokens,
+    * epochs): sampling probability, expected token draw under
+    * `total·budgetFrac`, and the implied repetition rate.
+    */
+  def temperatureMixture(docs: DataFrame, strata: Column, alpha: Double,
+      budgetFrac: Double): DataFrame = {
+    require(alpha > 0 && budgetFrac > 0, s"$alpha/$budgetFrac")
+    val per = docs.select(strata.as("stratum"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("pow_alpha",
+        pow(col("n_tokens").cast("double"), lit(alpha)).cast("decimal(28,8)"))
+    val tot = per.agg(sum(col("pow_alpha")).as("pa_tot"),
+      sum(col("n_tokens")).as("tok_tot"))
+    val pFrac = col("pow_alpha").cast("double") / col("pa_tot").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_tokens"),
+        // expose the quantized pow as DOUBLE (decimal→double is the
+        // same nearest-double in both engines); the DECIMAL stays the
+        // internal device for the exact normalizing sum
+        col("pow_alpha").cast("double").as("pow_alpha"),
+        pFrac.as("p_frac"),
+        ((col("tok_tot").cast("double") * lit(budgetFrac)) * pFrac)
+          .as("exp_tokens"),
+        (((col("tok_tot").cast("double") * lit(budgetFrac)) * pFrac)
+          / col("n_tokens").cast("double")).as("epochs"))
+  }
+
   /** Per-stratum mixture statistics — the doc/token counts and corpus
     * shares that set (or audit) sampling weights for a training
     * mixture. One partial-aggregated groupBy on the stratum plus a

@@ -107,6 +107,41 @@ object Dedup {
   def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
     shingles(docs, n).select(col("doc_id"), hash60(col("s")).as("hs"))
 
+  /** Soft deduplication weights (d72) — the REWEIGHTING alternative to
+    * hard removal ("SoftDedup", He et al. 2024): instead of dropping
+    * near-duplicates, down-weight each document by its "commonness" —
+    * how much of its n-gram content the rest of the corpus repeats —
+    * and let the training sampler draw common documents less often.
+    * Commonness here is the mean log document-frequency fraction of the
+    * doc's distinct 3-gram shingles: `avg over grams of ln(df_g / N)`
+    * (0 = every gram appears in every doc; very negative = unique
+    * content). The published method feeds exp(·) of this into sampling
+    * weights; like d53, exp is deliberately left out of the registered
+    * contract (the ln lands in DECIMAL(28,8), the cross-engine device,
+    * and the per-doc mean is one double divide).
+    *
+    * Scale shape: the df table is a map-side-combined count on the
+    * 60-bit gram key; scoring re-joins the hashed shingle stream on the
+    * same key — gram-vocabulary-scale equi-join, never broadcast, hot
+    * boilerplate grams skew-split by AQE (the d45 model-join shape).
+    * The doc count is a broadcast single-row total.
+    *
+    * Returns (doc_id, n_grams, log_commonness) for docs with ≥1
+    * shingle (≥ 3 tokens — the [[shingles]] convention).
+    */
+  def softDedupWeights(docs: DataFrame, n: Int = 3): DataFrame = {
+    val hs = hashedShingles(docs, n)
+    val ndocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val df = hs.groupBy(col("hs")).agg(count(lit(1)).cast("long").as("df"))
+    hs.join(df, Seq("hs")).crossJoin(broadcast(ndocs))
+      .withColumn("lp", expr(
+        "CAST(ln(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS DECIMAL(28,8))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"), sum(col("lp")).as("lp_sum"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("lp_sum").cast("double") / col("n_grams")).as("log_commonness"))
+  }
+
   /** Universal-hash MinHash family: ONE md5 per shingle (not k) feeds the
     * 60-bit base value; the k permutations are pure arithmetic
     * `(a_i·(hs mod P) + b_i) mod P` over the Mersenne prime P = 2³¹−1.

@@ -42,4 +42,39 @@ object Sampling {
         uniformHash(col("doc_id")).as("u"))
       .filter(col("u") < rate)
   }
+
+  /** Weighted sampling WITHOUT replacement (d70) — Efraimidis & Spirakis
+    * 2006 ("Weighted random sampling with a reservoir"): draw `u_i`
+    * uniform per item, key `u_i^(1/w_i)`, and the k LARGEST keys are an
+    * exact probability-proportional-to-weight sample without
+    * replacement — the one-pass, order-free construction production
+    * mixture jobs need (a sequential weighted reservoir cannot shard).
+    * Deterministic here: `u` is the md5 hash uniform above, and the key
+    * is compared in the log domain (`ln(u)/w`, larger = better since
+    * ln u < 0) rounded to DECIMAL(28,8) — the established cross-engine
+    * ln device — with doc_id as the total-order tiebreak.
+    *
+    * Scale shape: per-row expression work plus ONE top-k, which plans
+    * as TakeOrderedAndProject (per-partition k-row heads, single k-row
+    * merge on the driver side of the exchange) — no global sort is
+    * materialized at any corpus size. Zero-or-negative weights are
+    * excluded (they have probability 0 in the published scheme).
+    *
+    * Returns the k selected rows as (doc_id, w, priority), ordered by
+    * draw priority (first row = first draw in the equivalent
+    * sequential scheme).
+    */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    docs.select(col("doc_id"), weight.cast("double").as("w"),
+        uniformHash(col("doc_id")).as("u"))
+      .filter(col("w") > 0)
+      .select(col("doc_id"), col("w"),
+        // quantize at DECIMAL(28,8) (the ln device), expose as DOUBLE
+        // (decimal→double is the same nearest-double in both engines)
+        (log(col("u")) / col("w")).cast("decimal(28,8)")
+          .cast("double").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Classifier, Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,6 +50,8 @@ object PipelineQueries {
   private val SRP_RADII = Seq(1, 3, 7, 15) // e44 coverage curve (nested blocks)
   private val SHARD_BUDGET = 4096L // d47 tokens per shard
   private val CTX_LEN = 128      // d48 context-window length (tokens)
+  private val CLS_BUCKETS = 64   // d68 hashed-feature buckets (+1 bias)
+  private val CLS_PASSES = 3     // d68 batch-perceptron training passes
 
   /** Stable on-disk home for the persisted-index queries (d44/e31/e32/
     * e33): a FIXED path under target/ that each run overwrites, so
@@ -101,6 +103,8 @@ object PipelineQueries {
   private val UNIMAX_EPOCHS = 0.5
   private val CONTAM_N = 8       // d67 overlap n-gram length
   private val CONTAM_FRAC = 0.7  // d67 contamination threshold
+  private val WSAMPLE_K = 100    // d70 weighted-sample size
+  private val TEMP_ALPHA = 0.3   // d71 smoothing exponent (XLM-R's α)
 
   private val FRAME_BYTES = 256 // m03 frame size
   private val FRAME_STRIDE = 4  // m03: keep every 4th frame
@@ -355,6 +359,63 @@ object PipelineQueries {
     "d67_contamination_frac" -> ((spark: SparkSession, dir: String) =>
       Dedup.contaminationFrac(Tables.documents(spark, dir),
         col("doc_id") % 10 === 0, CONTAM_N, CONTAM_FRAC)
+        .orderBy(col("doc_id"))),
+
+    // hashed-feature linear quality classifier, TRAINING (d68): the
+    // fastText-style filtering device as a batch perceptron — all-Long
+    // arithmetic, so the whole training trajectory replays exactly in
+    // the oracle's pass-by-pass CTE chain (Classifier.trainPerceptron
+    // doc). Target domain = lang='en', the d49/d53 trusted-reference
+    // device; the registered row is the trained weight vector itself.
+    "d68_classifier_train" -> ((spark: SparkSession, dir: String) =>
+      Classifier.trainPerceptron(Tables.documents(spark, dir),
+        col("lang") === "en", CLS_BUCKETS, CLS_PASSES)
+        .orderBy(col("bucket"))),
+
+    // classifier SELECTION (d69): every doc scored under d68's weights
+    // (margin = w·x, exact Long), keep = margin > 0 — the score-and-gate
+    // half of the published quality-classifier pipelines
+    // (Classifier.classifyPerceptron doc)
+    "d69_classifier_select" -> ((spark: SparkSession, dir: String) =>
+      Classifier.classifyPerceptron(Tables.documents(spark, dir),
+        col("lang") === "en", CLS_BUCKETS, CLS_PASSES)
+        .orderBy(col("doc_id"))),
+
+    // the PERSISTED classifier (d73): train-once/score-forever for the
+    // d68 family — build the manifest-gated weight artifact, then score
+    // the corpus from the artifact alone (Classifier.saveClassifier /
+    // classifyIndexed docs; self-containment pricing like every index
+    // row). Oracle = the d69 chain minus the label columns.
+    "d73_classifier_indexed" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val path = indexPath("d73-perceptron")
+      Classifier.saveClassifier(docs, col("lang") === "en", path,
+        CLS_BUCKETS, CLS_PASSES)
+      Classifier.classifyIndexed(docs, path).orderBy(col("doc_id"))
+    }),
+
+    // weighted sampling without replacement (d70): Efraimidis–Spirakis
+    // priority keys over the hash uniform, weight = n_chars, top-k as
+    // TakeOrderedAndProject (Sampling.weightedSample doc)
+    "d70_weighted_sample" -> ((spark: SparkSession, dir: String) =>
+      Sampling.weightedSample(Tables.documents(spark, dir),
+        col("n_chars"), WSAMPLE_K)),
+
+    // temperature-scaled mixture (d71): the α-smoothed multilingual
+    // sampling law over the same langId strata and token budget as d65,
+    // making the cap-vs-smooth trade auditable on one corpus
+    // (Curation.temperatureMixture doc)
+    "d71_temperature_mixture" -> ((spark: SparkSession, dir: String) =>
+      Curation.temperatureMixture(
+        TextAnalysis.langId(Tables.documents(spark, dir)), col("pred_lang"),
+        TEMP_ALPHA, UNIMAX_BUDGET)
+        .orderBy(col("stratum"))),
+
+    // soft dedup weights (d72): commonness = mean log gram
+    // doc-frequency fraction — the reweighting alternative to d01/d63's
+    // hard removal (Dedup.softDedupWeights doc)
+    "d72_softdedup_weights" -> ((spark: SparkSession, dir: String) =>
+      Dedup.softDedupWeights(Tables.documents(spark, dir))
         .orderBy(col("doc_id"))),
 
     // Gopher-style repetition quality signals: duplicate-token fraction
@@ -1856,6 +1917,39 @@ object PipelineQueries {
        |${p}uv AS (SELECT CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(28,8)) AS oov_nll FROM ${p}v)"""
       .stripMargin.replace("\n", " ")
 
+  /** Mirror of [[graft.operators.Classifier]]'s batch-perceptron
+    * training trajectory (d68/d69), generated pass-by-pass with the
+    * same loop the Scala driver runs: `pw0` is the zero vector, each
+    * pass k adds one margin CTE (`pm\$k`), one gradient CTE over the
+    * misclassified docs (`pg\$k`), and the updated weights (`pw\$k`).
+    * Everything is BIGINT — no rounding device needed anywhere.
+    * Ends in `pw$CLS_PASSES(bucket, wt)` plus `pfeat`/`plab` for the
+    * scoring tail.
+    */
+  private lazy val perceptronCtes: String = {
+    val B = CLS_BUCKETS
+    val head =
+      s"""ptok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+         |pfeat AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x FROM (
+         |  SELECT doc_id, ${duckHash60("token")} % $B AS bucket FROM ptok
+         |  UNION ALL SELECT doc_id, CAST($B AS BIGINT) AS bucket FROM documents)
+         |  GROUP BY doc_id, bucket),
+         |plab AS (SELECT doc_id, CAST(CASE WHEN lang='en' THEN 1 ELSE -1 END AS BIGINT) AS y FROM documents),
+         |pw0 AS (SELECT CAST(range AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS wt FROM range(0, ${B + 1}))"""
+        .stripMargin.replace("\n", " ")
+    val passes = (1 to CLS_PASSES).map { k =>
+      s"""pm$k AS (SELECT f.doc_id, CAST(sum(f.x * w.wt) AS BIGINT) AS m
+         |  FROM pfeat f JOIN pw${k - 1} w USING (bucket) GROUP BY f.doc_id),
+         |pg$k AS (SELECT f.bucket, CAST(sum(l.y * f.x) AS BIGINT) AS g
+         |  FROM pm$k m JOIN plab l USING (doc_id) JOIN pfeat f USING (doc_id)
+         |  WHERE l.y * m.m <= 0 GROUP BY f.bucket),
+         |pw$k AS (SELECT w.bucket, CAST(w.wt + coalesce(g.g, 0) AS BIGINT) AS wt
+         |  FROM pw${k - 1} w LEFT JOIN pg$k g USING (bucket))"""
+        .stripMargin.replace("\n", " ")
+    }
+    (head +: passes).mkString(", ")
+  }
+
   /** The shared d53/d54 scoring chain: both models joined against one
     * gram stream, ending in `sc(doc_id, t_eff, c_eff)`.
     */
@@ -2774,6 +2868,85 @@ object PipelineQueries {
          |  FROM ws JOIN wbo USING (bkt))
          |SELECT doc_id, weight, rnk, ((rnk - 1) * 3 < n_total) AS selected
          |FROM wrk CROSS JOIN wtot ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Classifier.trainPerceptron: the pass-by-pass perceptron
+    // chain (perceptronCtes), final weights = pw{CLS_PASSES}
+    "d68_classifier_train" ->
+      s"""WITH $perceptronCtes
+         |SELECT bucket, wt AS w FROM pw$CLS_PASSES ORDER BY bucket"""
+        .stripMargin.replace("\n", " "),
+
+    // mirror of Classifier.classifyPerceptron: one more margin pass
+    // under the final weights, gate = margin > 0
+    "d69_classifier_select" ->
+      s"""WITH $perceptronCtes,
+         |pfin AS (SELECT f.doc_id, CAST(sum(f.x * w.wt) AS BIGINT) AS margin
+         |  FROM pfeat f JOIN pw$CLS_PASSES w USING (bucket) GROUP BY f.doc_id)
+         |SELECT p.doc_id, p.margin, (p.margin > 0) AS predicted, l.y,
+         |  ((p.margin > 0) = (l.y = 1)) AS correct
+         |FROM pfin p JOIN plab l USING (doc_id) ORDER BY p.doc_id"""
+        .stripMargin.replace("\n", " "),
+
+    // mirror of Classifier.classifyIndexed over the d68-trained
+    // artifact: the SAME perceptron chain — persistence must not change
+    // a single scored margin
+    "d73_classifier_indexed" ->
+      s"""WITH $perceptronCtes,
+         |pfin AS (SELECT f.doc_id, CAST(sum(f.x * w.wt) AS BIGINT) AS margin
+         |  FROM pfeat f JOIN pw$CLS_PASSES w USING (bucket) GROUP BY f.doc_id)
+         |SELECT doc_id, margin, (margin > 0) AS predicted
+         |FROM pfin ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
+
+    // mirror of Sampling.weightedSample: the Efraimidis–Spirakis
+    // log-domain priority (ln(u)/w at DECIMAL(28,8)), doc_id tiebreak,
+    // LIMIT = the top-k
+    "d70_weighted_sample" ->
+      s"""WITH ws AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+         |  CAST(${duckHash60("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |    / 1152921504606846976.0 AS u
+         |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
+         |SELECT doc_id, w, CAST(CAST(ln(u) / w AS DECIMAL(28,8)) AS DOUBLE) AS priority
+         |FROM ws ORDER BY priority DESC, doc_id LIMIT $WSAMPLE_K"""
+        .stripMargin.replace("\n", " "),
+
+    // mirror of Curation.temperatureMixture: n^α at DECIMAL(28,8), the
+    // normalizing sum exact, every downstream step one double op in the
+    // Spark association
+    "d71_temperature_mixture" ->
+      s"""WITH ${langStrataCtes("text, ",
+             ", CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens")},
+         |per AS (SELECT stratum, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |        FROM l GROUP BY 1),
+         |pp AS (SELECT stratum, n_tokens,
+         |  CAST(pow(CAST(n_tokens AS DOUBLE), $TEMP_ALPHA) AS DECIMAL(28,8)) AS pow_alpha
+         |  FROM per),
+         |pt AS (SELECT sum(pow_alpha) AS pa_tot,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tok_tot FROM pp)
+         |SELECT stratum, n_tokens, CAST(pow_alpha AS DOUBLE) AS pow_alpha,
+         |  CAST(pow_alpha AS DOUBLE) / CAST(pa_tot AS DOUBLE) AS p_frac,
+         |  (CAST(tok_tot AS DOUBLE) * $UNIMAX_BUDGET)
+         |    * (CAST(pow_alpha AS DOUBLE) / CAST(pa_tot AS DOUBLE)) AS exp_tokens,
+         |  ((CAST(tok_tot AS DOUBLE) * $UNIMAX_BUDGET)
+         |    * (CAST(pow_alpha AS DOUBLE) / CAST(pa_tot AS DOUBLE)))
+         |    / CAST(n_tokens AS DOUBLE) AS epochs
+         |FROM pp CROSS JOIN pt ORDER BY stratum"""
+        .stripMargin.replace("\n", " "),
+
+    // mirror of Dedup.softDedupWeights: per-gram ln(df/N) at
+    // DECIMAL(28,8) over the shared hashed-shingle stream, exact
+    // decimal sum, one double divide for the mean
+    "d72_softdedup_weights" ->
+      s"""WITH $shingleCte,
+         |sdn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sdf AS (SELECT hs, CAST(count(*) AS BIGINT) AS df FROM shh GROUP BY 1),
+         |sdl AS (SELECT doc_id,
+         |  CAST(ln(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS DECIMAL(28,8)) AS lp
+         |  FROM shh JOIN sdf USING (hs) CROSS JOIN sdn)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(lp) AS DOUBLE) / count(*) AS log_commonness
+         |FROM sdl GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
 
     // mirror of Packing.appendTokenShards' two-stage placement: the
     // history chain (doc_id <= 3/4 cut) runs the shared prefix sum

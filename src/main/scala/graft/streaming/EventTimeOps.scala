@@ -296,6 +296,41 @@ object EventTimeOps {
       }
     }
 
+  /** CLASSIFIER gate at ingest — the fourth ingest-gate family member
+    * (bloom drops duplicates, LM drops high-perplexity, rules drop
+    * published-rule violators, this drops what a TRAINED model rejects):
+    * each micro-batch is scored against a persisted
+    * [[graft.operators.Classifier.saveClassifier]] artifact — hashed
+    * features, one margin aggregation per batch against the B+1-row
+    * broadcast weight table, keep = margin > 0. Between the rules gate
+    * (pure projection, no model) and the LM gate (vocabulary-scale model
+    * joins) in weight: there IS a model, but it's B+1 rows loaded once
+    * and broadcast — no vocabulary-scale join, no state, no watermark.
+    *
+    * Emits per non-empty batch via `sink`: (doc_id, margin, keep).
+    */
+  def classifierGateIngest(stream: DataFrame, clsPath: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.Classifier
+    import graft.sources.IndexManifest
+    val spark = stream.sparkSession
+    val m = IndexManifest.require(clsPath, "perceptron")
+    val nBuckets = m.params("n_buckets").toInt
+    val wdf = broadcast(spark.read.parquet(s"$clsPath/weights")
+      .withColumnRenamed("w", "wt")).persist()
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        val margins = Classifier
+          .hashedFeatures(batch.select(col("doc_id"), col("text")), nBuckets)
+          .join(wdf, Seq("bucket"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("x") * col("wt")).cast("long").as("margin"))
+        sink(margins.select(col("doc_id"), col("margin"),
+          (col("margin") > 0).as("keep")), batchId)
+      }
+    }
+  }
+
   /** Stream-stream inner join: comments matched to submissions in the
     * same subreddit within ±`withinSeconds` of event time. Watermarks on
     * BOTH sides bound the join state — Spark can drop buffered rows once

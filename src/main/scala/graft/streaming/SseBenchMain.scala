@@ -312,6 +312,57 @@ object SseBenchMain {
         println(f"SSEBENCH rules-gate total=$total docs passthrough=${total / wBase}%.0f ev/s " +
           f"gated=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost, kept=$nKept of $total)")
       }
+
+      // CLASSIFIER GATE (round-10 continuation): the persisted d68
+      // perceptron on the stream path against the same pass-through
+      // twin and feed rhythm. Expected to price BETWEEN the rules gate
+      // (pure projection) and the LM gate (vocabulary-scale joins):
+      // there is a model, but it's a B+1-row broadcast, so the
+      // per-batch cost is one hashed-feature explode + one margin
+      // aggregation. The lang='en' label genuinely splits the corpus
+      // texts, so the measurement is not an all-keep shortcut.
+      {
+        import graft.operators.Classifier
+        val refDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        val clsPath = Files.createTempDirectory("sbench-cls").toString
+        Classifier.saveClassifier(refDocs, $"lang" === "en", clsPath)
+        val texts = refDocs.select($"text").limit(500).collect().map(_.getString(0))
+        val total = 20000
+        val chunk = 2000
+        val docs = (0 until total).map(i => (i.toLong, texts(i % texts.length)))
+        def clsRun(withGate: Boolean): (Double, Long, Long) = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val stream = mem.toDF().toDF("doc_id", "text")
+          val seen = new java.util.concurrent.atomic.AtomicLong
+          val kept = new java.util.concurrent.atomic.AtomicLong
+          val writer =
+            if (withGate)
+              EventTimeOps.classifierGateIngest(stream, clsPath) {
+                (out, _) =>
+                  val rows = out.select($"keep").collect()
+                  seen.addAndGet(rows.length)
+                  kept.addAndGet(rows.count(_.getBoolean(0)))
+              }
+            else stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                seen.addAndGet(b.count()); ()
+            }
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            docs.grouped(chunk).foreach { g =>
+              mem.addData(g: _*); q.processAllAvailable()
+            }
+          } finally q.stop()
+          require(seen.get() == total, s"INVALID RUN: saw ${seen.get()} of $total")
+          ((System.nanoTime() - t0) / 1e9, seen.get(), kept.get())
+        }
+        clsRun(withGate = false) // warm-up
+        val (wBase, _, _) = clsRun(withGate = false)
+        val (wGate, _, nKept) = clsRun(withGate = true)
+        println(f"SSEBENCH cls-gate total=$total docs passthrough=${total / wBase}%.0f ev/s " +
+          f"gated=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost, kept=$nKept of $total)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }

@@ -853,4 +853,150 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(fair.map(_._4).sum == total)
     assert(fair.forall(r => r._5 >= 1.0 && r._5 == r._4.toDouble / r._3.toDouble))
   }
+
+  test("perceptron classifier: separable fixture converges, pass-1 update is the class-difference vector, corpus scoring is self-consistent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple", "en"),
+      (2L, "apple apple", "en"),
+      (3L, "banana banana banana", "xx"),
+      (4L, "banana banana", "xx")).toDF("doc_id", "text", "lang")
+    val B = 64
+    val buckets = spark.range(1)
+      .select((Dedup.hash60(lit("apple")) % B).as("a"),
+        (Dedup.hash60(lit("banana")) % B).as("b")).head()
+    val (aB, bB) = (buckets.getLong(0), buckets.getLong(1))
+    assert(aB != bB, "fixture words must hash to distinct buckets")
+
+    // pass 1 from w=0: every margin is 0, every doc counts as
+    // misclassified, so the update is exactly Σ y·x per bucket
+    val w1 = Classifier.trainPerceptron(docs, col("lang") === "en", B, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1.size == B + 1)
+    assert(w1(aB) == 5L && w1(bB) == -5L && w1(B.toLong) == 0L)
+    assert(w1.values.map(math.abs).sum == 10L, "no other bucket moves")
+
+    // the fixture is separable and pass 1 already separates it, so the
+    // 3-pass classifier is perfect and passes 2-3 are no-ops
+    val res = Classifier.classifyPerceptron(docs, col("lang") === "en", B, 3)
+      .collect()
+    assert(res.length == 4 && res.forall(_.getAs[Boolean]("correct")))
+    val w3 = Classifier.trainPerceptron(docs, col("lang") === "en", B, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w3 == w1, "converged weights must be stable under further passes")
+
+    // corpus self-consistency: classify margins equal the dot product of
+    // the separately-trained weights with the shared feature stream
+    val corpus = Tables.documents(spark, dir)
+    val w = Classifier.trainPerceptron(corpus, col("lang") === "en", B, 3)
+      .withColumnRenamed("w", "wt")
+    val manual = Classifier.hashedFeatures(corpus, B)
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("x") * col("wt")).cast("long").as("m"))
+    val scored = Classifier.classifyPerceptron(corpus, col("lang") === "en", B, 3)
+    assert(scored.join(manual, Seq("doc_id"))
+      .filter(col("margin") =!= col("m")).count() == 0L)
+    assert(scored.count() == corpus.count())
+  }
+
+  test("saveClassifier/classifyIndexed: persistence round-trip is margin-identical, manifest gates kind") {
+    val corpus = Tables.documents(spark, dir)
+    val path = tmp("graft-cls-")
+    Classifier.saveClassifier(corpus, col("lang") === "en", path, 64, 3)
+    val m = IndexManifest.require(path, "perceptron")
+    assert(m.params("n_buckets") == 64L && m.params("passes") == 3L)
+    // serving from the artifact must equal training-time scoring bit
+    // for bit (margins are exact Longs — no tolerance)
+    val live = Classifier.classifyPerceptron(corpus, col("lang") === "en", 64, 3)
+      .select(col("doc_id"), col("margin"))
+    val served = Classifier.classifyIndexed(corpus, path)
+    assert(served.join(live, Seq("doc_id"))
+      .filter(live("margin") =!= served("margin")).count() == 0L)
+    assert(served.count() == corpus.count())
+    // wrong-kind artifacts fail loudly
+    intercept[IndexManifestException] {
+      Classifier.classifyIndexed(corpus, tmpWrongKind())
+    }
+  }
+
+  private def tmpWrongKind(): String = {
+    val p = tmp("graft-clswrong-")
+    IndexManifest.write(p,
+      IndexManifest.Manifest("bigram-lm", Map.empty, 1L, 1L))
+    p
+  }
+
+  test("weightedSample: top-k nesting, layout invariance, and zero-weight exclusion") {
+    val docs = Tables.documents(spark, dir)
+    val k100 = Sampling.weightedSample(docs, col("n_chars"), 100).collect()
+    assert(k100.length == 100)
+    // priorities are emitted in draw order (descending, doc_id ties)
+    val ps = k100.map(r => (r.getAs[Double]("priority"), r.getLong(0)))
+    assert(ps.sameElements(ps.sortBy { case (p, id) => (-p, id) }))
+    // ES keys nest: the k=10 sample IS the first 10 draws of the k=100
+    val k10 = Sampling.weightedSample(docs, col("n_chars"), 10).collect()
+    assert(k10.map(_.getLong(0)).sameElements(k100.take(10).map(_.getLong(0))))
+    // membership is a pure function of the row, not the layout
+    val reparted = Sampling.weightedSample(docs.repartition(7), col("n_chars"), 100)
+      .collect().map(_.getLong(0))
+    assert(reparted.sameElements(k100.map(_.getLong(0))))
+    // zero/negative weights are never drawn
+    import spark.implicits._
+    val withZero = Seq((900001L, 0L), (900002L, 5L)).toDF("doc_id", "n_chars")
+    val drawn = Sampling.weightedSample(withZero, col("n_chars"), 10)
+      .collect().map(_.getLong(0))
+    assert(drawn.sameElements(Array(900002L)))
+  }
+
+  test("temperatureMixture: probabilities normalize, alpha<1 flattens toward uniform, epochs anti-monotone in stratum size") {
+    val docs = TextAnalysis.langId(Tables.documents(spark, dir))
+    val out = Curation.temperatureMixture(docs, col("pred_lang"), 0.3, 0.48)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Double]("p_frac"),
+        r.getAs[Double]("exp_tokens"), r.getAs[Double]("epochs")))
+    assert(out.length >= 2)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-9)
+    val totTokens = out.map(_._2).sum.toDouble
+    assert(math.abs(out.map(_._4).sum - totTokens * 0.48) < 1e-6 * totTokens)
+    // flattening: p_frac/token_share > 1 for below-average strata and
+    // < 1 above it ⇔ epochs strictly decrease as stratum size grows
+    val bySize = out.sortBy(_._2)
+    assert(bySize.sliding(2).forall {
+      case Array((_, n1, _, _, e1), (_, n2, _, _, e2)) => n1 == n2 || e1 > e2
+      case _ => true
+    })
+    // alpha = 1 recovers the natural distribution exactly
+    val nat = Curation.temperatureMixture(docs, col("pred_lang"), 1.0, 0.48)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Double]("p_frac")))
+    val tot = nat.map(_._2).sum.toDouble
+    assert(nat.forall { case (_, n, p) => math.abs(p - n / tot) < 1e-9 })
+  }
+
+  test("softDedupWeights: duplicated content scores more common than unique content, all-unique floor is ln(1/N)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc dd ee"),   // identical twin A
+      (2L, "aa bb cc dd ee"),   // identical twin B
+      (3L, "pp qq rr ss tt")    // unique content
+    ).toDF("doc_id", "text")
+    val out = Dedup.softDedupWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("log_commonness")).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // twins share every gram (df=2 of 3), unique doc's grams df=1 of 3
+    val q = (x: Double) => BigDecimal(math.log(x))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mean of 3 equal quantized values (sum exact in decimal, one
+    // double divide) — equal to the per-gram value within an ulp or two
+    assert(math.abs(out(1L) - q(2.0 / 3.0)) < 1e-12)
+    assert(out(1L) == out(2L))
+    assert(math.abs(out(3L) - q(1.0 / 3.0)) < 1e-12)
+    assert(out(1L) > out(3L), "common content must score less negative")
+    // corpus: every value is in (ln(1/N), 0]
+    val corpus = Tables.documents(spark, dir)
+    val n = corpus.count().toDouble
+    val vals = Dedup.softDedupWeights(corpus).collect()
+      .map(_.getAs[Double]("log_commonness"))
+    assert(vals.nonEmpty && vals.forall(v => v >= math.log(1.0 / n) - 1e-6 && v <= 0.0))
+  }
 }

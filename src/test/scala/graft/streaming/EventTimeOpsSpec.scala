@@ -405,4 +405,44 @@ class EventTimeOpsSpec extends AnyFunSuite {
     docs.foreach { case (id, _) =>
       assert(got.get(id) == expected(id), s"doc $id") }
   }
+
+  test("classifierGateIngest: per-batch margins equal the persisted artifact's batch scorer across batch boundaries") {
+    import graft.operators.Classifier
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // train on a separable reference corpus, persist the artifact
+    val ref = Seq(
+      (1L, "good clean prose text", "en"), (2L, "good clean text", "en"),
+      (3L, "spam junk noise blob", "xx"), (4L, "spam junk blob", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-clsgate-").toString
+    Classifier.saveClassifier(ref, col("lang") === "en", path, 64, 3)
+    // the stream carries NEW docs (mixed vocabulary, no labels)
+    val docs: Seq[(Long, String)] = Seq(
+      (10L, "good clean prose"), (11L, "spam junk junk"),
+      (12L, "good spam"), (13L, "entirely novel words"))
+    val expected = Classifier.classifyIndexed(docs.toDF("doc_id", "text"), path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Boolean)]
+    val q = EventTimeOps.classifierGateIngest(
+      input.toDF().toDF("doc_id", "text"), path)(
+      (out, _) => out.collect().foreach(r =>
+        got.put(r.getLong(0), (r.getLong(1), r.getBoolean(2))))).start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == docs.size)
+    docs.foreach { case (id, _) =>
+      val (m, keep) = got.get(id)
+      assert(m == expected(id) && keep == (m > 0), s"doc $id")
+    }
+    // the trained direction separates the stream's in-vocabulary docs
+    assert(got.get(10L)._2 && !got.get(11L)._2)
+  }
 }
