@@ -95,6 +95,16 @@ object Bench {
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""runs":2,"agg":"min","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(line)
+    // The driver's capture keeps only the last ~2000 chars of stdout; at
+    // 160+ queries the full line above is ~5 KB, so its head (and the
+    // opening brace) falls outside the window and the round artifact
+    // records "parsed": null (BENCH_r08/r09). Emit a SECOND, compact
+    // line LAST — headline numbers + failure list, per-query map in the
+    // file dump it points at — sized to always fit the capture window.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"runs":2,"agg":"min",""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir",""" +
+      s""""queries_file":"target/bench.json"}""")
     // Per-run numbers (not just the min) go in the FILE dump only — the
     // stdout line stays small (a capture buffer once truncated it
     // mid-line) while drift analysis can separate box noise from real
