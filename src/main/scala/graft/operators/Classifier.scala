@@ -128,14 +128,20 @@ object Classifier {
 
   /** The driver loop: B+1 Longs of state, one (margin, gradient) round
     * per pass, gradient rows collected FROM a distributed aggregation
-    * and fed back as the next pass's broadcast literals.
+    * and fed back as the next pass's broadcast literals. Returns the
+    * final weights; `sumAcc`, when given, additionally accumulates the
+    * SUM of the post-pass weight vectors (the averaged-perceptron
+    * numerator — kept as the exact integer sum, never divided).
     */
   private def trainedWeights(feats: DataFrame, labels: DataFrame,
-      nBuckets: Int, passes: Int): scala.collection.mutable.Map[Long, Long] = {
+      nBuckets: Int, passes: Int,
+      init: Map[Long, Long] = Map.empty,
+      sumAcc: scala.collection.mutable.Map[Long, Long] = null)
+      : scala.collection.mutable.Map[Long, Long] = {
     require(passes >= 1, s"passes=$passes")
     val spark = feats.sparkSession
     val w = scala.collection.mutable.Map.empty[Long, Long]
-    (0L to nBuckets.toLong).foreach(b => w(b) = 0L)
+    (0L to nBuckets.toLong).foreach(b => w(b) = init.getOrElse(b, 0L))
     for (_ <- 1 to passes) {
       val wdf = broadcast(spark.createDataFrame(w.toSeq).toDF("bucket", "wt"))
       val margins = feats.join(wdf, Seq("bucket"))
@@ -150,7 +156,101 @@ object Classifier {
       grad.foreach { r =>
         val b = r.getLong(0); w(b) = w(b) + r.getLong(1)
       }
+      if (sumAcc != null)
+        w.foreach { case (b, v) => sumAcc(b) = sumAcc.getOrElse(b, 0L) + v }
     }
     w
+  }
+
+  /** AVERAGED perceptron scoring (d74) — Freund & Schapire 1999's
+    * variance-reduction variant: classify under the average of the
+    * post-pass weight vectors instead of the final one (late passes
+    * that thrash on non-separable data stop dominating the decision).
+    * The average is kept as the exact integer SUM Σ_k w_k — a positive
+    * scaling that cannot change any sign, so `predicted` is the
+    * published rule while margins stay exact Longs and the whole
+    * construction replays in the oracle as a k-way join of the pass
+    * CTEs. Output shape = [[classifyPerceptron]] (margin is the summed
+    * one).
+    */
+  def classifyAveraged(docs: DataFrame, labelPred: Column,
+      nBuckets: Int = 64, passes: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val (feats, labels) = featsAndLabels(docs, labelPred, nBuckets)
+    val sumW = scala.collection.mutable.Map.empty[Long, Long]
+    trainedWeights(feats, labels, nBuckets, passes, sumAcc = sumW)
+    val wdf = broadcast(spark.createDataFrame(sumW.toSeq).toDF("bucket", "wt"))
+    feats.join(wdf, Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("x") * col("wt")).cast("long").as("margin"))
+      .join(labels, Seq("doc_id"))
+      .select(col("doc_id"), col("margin"),
+        (col("margin") > 0).as("predicted"), col("y"),
+        ((col("margin") > 0) === (col("y") === 1)).as("correct"))
+  }
+
+  /** Continue training a persisted classifier on NEW labeled documents
+    * only (d75) — warm start from the stored weights, `passes` rounds
+    * over the increment, write back. The perceptron is an ONLINE
+    * algorithm, so continuation is its native update mode; unlike the
+    * frozen-codebook index appends (where append ≡ rebuild
+    * bit-for-bit), continuation is order-dependent BY DESIGN — the
+    * model that saw history-then-increment differs from one retrained
+    * from scratch, exactly as in the published online setting. The
+    * manifest watermark advances over the increment, so staleness
+    * gates keep working; history text is never re-read.
+    */
+  def updateClassifier(newDocs: DataFrame, labelPred: Column, path: String,
+      passes: Int = 1): Unit = {
+    import graft.sources.IndexManifest
+    val m = IndexManifest.require(path, "perceptron")
+    val nBuckets = m.params("n_buckets").toInt
+    val spark = newDocs.sparkSession
+    val init = spark.read.parquet(s"$path/weights").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (feats, labels) = featsAndLabels(newDocs, labelPred, nBuckets)
+    val w = trainedWeights(feats, labels, nBuckets, passes, init = init)
+    spark.createDataFrame(w.toSeq.sortBy(_._1)).toDF("bucket", "w")
+      .write.mode("overwrite").parquet(s"$path/weights")
+    val (newRows, newMax) = IndexManifest.watermark(newDocs, "doc_id")
+    IndexManifest.write(path, IndexManifest.Manifest("perceptron",
+      m.params + ("passes" -> (m.params("passes") + passes)),
+      m.corpusRows + newRows, math.max(m.corpusMaxId, newMax)))
+  }
+
+  /** Idempotent classifier maintenance (d76) — the e34/e43 sync policy
+    * for the classifier family, one operator instead of a README
+    * procedure: artifact fresh → no-op; corpus grown append-only →
+    * [[updateClassifier]] on the new docs alone (the online-learning
+    * path); anything else (missing, shrunk, rewritten history, param
+    * mismatch) → full [[saveClassifier]] retrain. Returns the action
+    * taken ("fresh" | "update" | "rebuild").
+    */
+  def classifierSync(docs: DataFrame, labelPred: Column, path: String,
+      nBuckets: Int = 64, passes: Int = 3, updatePasses: Int = 1): String = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val man = try Some(IndexManifest.require(path, "perceptron",
+      Map("n_buckets" -> nBuckets.toLong)))
+    catch { case _: IndexManifestException => None }
+    man match {
+      case Some(m) =>
+        val stats = docs.agg(count(lit(1)), max(col("doc_id").cast("long")),
+          sum(when(col("doc_id") <= m.corpusMaxId, 1L).otherwise(0L))).head()
+        val (rows, maxId) = (stats.getLong(0),
+          if (stats.isNullAt(1)) -1L else stats.getLong(1))
+        val prefixRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+        if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
+        else if (prefixRows == m.corpusRows && maxId > m.corpusMaxId) {
+          updateClassifier(docs.filter(col("doc_id") > m.corpusMaxId),
+            labelPred, path, updatePasses)
+          "update"
+        } else {
+          saveClassifier(docs, labelPred, path, nBuckets, passes)
+          "rebuild"
+        }
+      case None =>
+        saveClassifier(docs, labelPred, path, nBuckets, passes)
+        "rebuild"
+    }
   }
 }

@@ -122,7 +122,9 @@ object Dedup {
     *
     * Scale shape: the df table is a map-side-combined count on the
     * 60-bit gram key; scoring re-joins the hashed shingle stream on the
-    * same key — gram-vocabulary-scale equi-join, never broadcast, hot
+    * same key — gram-vocabulary-scale equi-join, never broadcast
+    * (explicit merge hint: the vocabulary grows with the corpus, so a
+    * stats-driven broadcast at toy SF would become a 100 TB OOM), hot
     * boilerplate grams skew-split by AQE (the d45 model-join shape).
     * The doc count is a broadcast single-row total.
     *
@@ -133,7 +135,7 @@ object Dedup {
     val hs = hashedShingles(docs, n)
     val ndocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
     val df = hs.groupBy(col("hs")).agg(count(lit(1)).cast("long").as("df"))
-    hs.join(df, Seq("hs")).crossJoin(broadcast(ndocs))
+    hs.join(df.hint("merge"), Seq("hs")).crossJoin(broadcast(ndocs))
       .withColumn("lp", expr(
         "CAST(ln(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS DECIMAL(28,8))"))
       .groupBy(col("doc_id"))

@@ -394,6 +394,52 @@ object PipelineQueries {
       Classifier.classifyIndexed(docs, path).orderBy(col("doc_id"))
     }),
 
+    // AVERAGED perceptron (d74): classify under the exact integer SUM
+    // of the post-pass weight vectors — the published variance-reduction
+    // variant, a positive scaling of the average so no sign changes
+    // (Classifier.classifyAveraged doc)
+    "d74_classifier_averaged" -> ((spark: SparkSession, dir: String) =>
+      Classifier.classifyAveraged(Tables.documents(spark, dir),
+        col("lang") === "en", CLS_BUCKETS, CLS_PASSES)
+        .orderBy(col("doc_id"))),
+
+    // INCREMENTAL classifier training (d75): train on the 3/4-cut
+    // history, warm-start one pass on the increment alone (the online-
+    // learning path — history text never re-read), serve the full
+    // corpus from the updated artifact. The oracle replays the actual
+    // history-then-increment trajectory — NOT a full retrain, which is
+    // a different model by design (Classifier.updateClassifier doc).
+    "d75_classifier_update" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("d75-perceptron")
+      Classifier.saveClassifier(docs.filter(col("doc_id") <= cut),
+        col("lang") === "en", path, CLS_BUCKETS, CLS_PASSES)
+      Classifier.updateClassifier(docs.filter(col("doc_id") > cut),
+        col("lang") === "en", path, 1)
+      Classifier.classifyIndexed(docs, path).orderBy(col("doc_id"))
+    }),
+
+    // classifier SYNC (d76): the e34/e43 fresh/update/rebuild policy
+    // for the classifier family — history build, one sync that fires
+    // the online update, one sync that must no-op, serve. Oracle =
+    // d75's chain verbatim (the sync-then-serve round trip)
+    // (Classifier.classifierSync doc).
+    "d76_classifier_sync" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("d76-perceptron")
+      Classifier.saveClassifier(docs.filter(col("doc_id") <= cut),
+        col("lang") === "en", path, CLS_BUCKETS, CLS_PASSES)
+      val a1 = Classifier.classifierSync(docs, col("lang") === "en", path,
+        CLS_BUCKETS, CLS_PASSES)
+      require(a1 == "update", s"first sync took '$a1', expected update")
+      val a2 = Classifier.classifierSync(docs, col("lang") === "en", path,
+        CLS_BUCKETS, CLS_PASSES)
+      require(a2 == "fresh", s"second sync took '$a2', expected fresh")
+      Classifier.classifyIndexed(docs, path).orderBy(col("doc_id"))
+    }),
+
     // weighted sampling without replacement (d70): Efraimidis–Spirakis
     // priority keys over the hash uniform, weight = n_chars, top-k as
     // TakeOrderedAndProject (Sampling.weightedSample doc)
@@ -1926,29 +1972,77 @@ object PipelineQueries {
     * Ends in `pw$CLS_PASSES(bucket, wt)` plus `pfeat`/`plab` for the
     * scoring tail.
     */
-  private lazy val perceptronCtes: String = {
+  /** Hashed feature/label CTEs for one doc slice: `${pfx}feat(doc_id,
+    * bucket, x)` and `${pfx}lab(doc_id, y)`.
+    */
+  private def pFeatCtes(pfx: String, where: String): String = {
     val B = CLS_BUCKETS
-    val head =
-      s"""ptok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
-         |pfeat AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x FROM (
-         |  SELECT doc_id, ${duckHash60("token")} % $B AS bucket FROM ptok
-         |  UNION ALL SELECT doc_id, CAST($B AS BIGINT) AS bucket FROM documents)
-         |  GROUP BY doc_id, bucket),
-         |plab AS (SELECT doc_id, CAST(CASE WHEN lang='en' THEN 1 ELSE -1 END AS BIGINT) AS y FROM documents),
-         |pw0 AS (SELECT CAST(range AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS wt FROM range(0, ${B + 1}))"""
-        .stripMargin.replace("\n", " ")
-    val passes = (1 to CLS_PASSES).map { k =>
-      s"""pm$k AS (SELECT f.doc_id, CAST(sum(f.x * w.wt) AS BIGINT) AS m
-         |  FROM pfeat f JOIN pw${k - 1} w USING (bucket) GROUP BY f.doc_id),
-         |pg$k AS (SELECT f.bucket, CAST(sum(l.y * f.x) AS BIGINT) AS g
-         |  FROM pm$k m JOIN plab l USING (doc_id) JOIN pfeat f USING (doc_id)
-         |  WHERE l.y * m.m <= 0 GROUP BY f.bucket),
-         |pw$k AS (SELECT w.bucket, CAST(w.wt + coalesce(g.g, 0) AS BIGINT) AS wt
-         |  FROM pw${k - 1} w LEFT JOIN pg$k g USING (bucket))"""
-        .stripMargin.replace("\n", " ")
-    }
-    (head +: passes).mkString(", ")
+    s"""${pfx}tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents $where),
+       |${pfx}feat AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x FROM (
+       |  SELECT doc_id, ${duckHash60("token")} % $B AS bucket FROM ${pfx}tok
+       |  UNION ALL SELECT doc_id, CAST($B AS BIGINT) AS bucket FROM documents $where)
+       |  GROUP BY doc_id, bucket),
+       |${pfx}lab AS (SELECT doc_id, CAST(CASE WHEN lang='en' THEN 1 ELSE -1 END AS BIGINT) AS y FROM documents $where)"""
+      .stripMargin.replace("\n", " ")
   }
+
+  /** The zero weight vector as a CTE. */
+  private def pZeroCte(name: String): String =
+    s"$name AS (SELECT CAST(range AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS wt FROM range(0, ${CLS_BUCKETS + 1}))"
+
+  /** Perceptron pass CTEs `${pfx}m$k/${pfx}g$k/${pfx}w$k` for k in
+    * [from, to] over `${featPfx}feat`/`${featPfx}lab`, starting from
+    * weights CTE `w0` — one margin pass, one gradient over the
+    * misclassified docs, one update, exactly the Scala driver loop.
+    */
+  private def pPassCtes(pfx: String, featPfx: String, w0: String,
+      from: Int, to: Int): String =
+    (from to to).map { k =>
+      val prev = if (k == from) w0 else s"${pfx}w${k - 1}"
+      s"""${pfx}m$k AS (SELECT f.doc_id, CAST(sum(f.x * w.wt) AS BIGINT) AS m
+         |  FROM ${featPfx}feat f JOIN $prev w USING (bucket) GROUP BY f.doc_id),
+         |${pfx}g$k AS (SELECT f.bucket, CAST(sum(l.y * f.x) AS BIGINT) AS g
+         |  FROM ${pfx}m$k m JOIN ${featPfx}lab l USING (doc_id) JOIN ${featPfx}feat f USING (doc_id)
+         |  WHERE l.y * m.m <= 0 GROUP BY f.bucket),
+         |${pfx}w$k AS (SELECT w.bucket, CAST(w.wt + coalesce(g.g, 0) AS BIGINT) AS wt
+         |  FROM $prev w LEFT JOIN ${pfx}g$k g USING (bucket))"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(", ")
+
+  /** Mirror of [[graft.operators.Classifier]]'s batch-perceptron
+    * training trajectory (d68/d69/d73), generated pass-by-pass with the
+    * same loop the Scala driver runs: `pw0` is the zero vector, each
+    * pass k adds one margin CTE, one gradient CTE over the
+    * misclassified docs, and the updated weights. Everything is BIGINT
+    * — no rounding device needed anywhere. Ends in
+    * `pw$CLS_PASSES(bucket, wt)` plus `pfeat`/`plab` for scoring tails.
+    */
+  private lazy val perceptronCtes: String =
+    s"""${pFeatCtes("p", "")},
+       |${pZeroCte("pw0")},
+       |${pPassCtes("p", "p", "pw0", 1, CLS_PASSES)}"""
+      .stripMargin.replace("\n", " ")
+
+  /** Mirror of the d75/d76 warm-start trajectory: history chain from
+    * zero over the 3/4-cut slice, ONE continuation pass over the
+    * increment slice seeded with the history weights (the online-
+    * learning update — NOT a retrain), full corpus served under the
+    * result. Shared by d75 (explicit update) and d76 (sync's update
+    * path), which must be margin-identical.
+    */
+  private lazy val classifierUpdateSql: String =
+    s"""WITH cutv AS (SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) AS cut FROM documents),
+       |${pFeatCtes("h", "WHERE doc_id <= (SELECT cut FROM cutv)")},
+       |${pZeroCte("hw0")},
+       |${pPassCtes("h", "h", "hw0", 1, CLS_PASSES)},
+       |${pFeatCtes("i", "WHERE doc_id > (SELECT cut FROM cutv)")},
+       |${pPassCtes("i", "i", s"hw$CLS_PASSES", 1, 1)},
+       |${pFeatCtes("f", "")},
+       |pfin AS (SELECT f.doc_id, CAST(sum(f.x * w.wt) AS BIGINT) AS margin
+       |  FROM ffeat f JOIN iw1 w USING (bucket) GROUP BY f.doc_id)
+       |SELECT doc_id, margin, (margin > 0) AS predicted
+       |FROM pfin ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")
 
   /** The shared d53/d54 scoring chain: both models joined against one
     * gram stream, ending in `sc(doc_id, t_eff, c_eff)`.
@@ -2897,6 +2991,35 @@ object PipelineQueries {
          |SELECT doc_id, margin, (margin > 0) AS predicted
          |FROM pfin ORDER BY doc_id"""
         .stripMargin.replace("\n", " "),
+
+    // mirror of Classifier.classifyAveraged: the pass CTEs joined
+    // bucket-wise into the exact integer weight sum, then the d69
+    // scoring tail under it
+    "d74_classifier_averaged" -> {
+      val sum = (1 to CLS_PASSES).map(k => s"w$k.wt").mkString(" + ")
+      val joins = (2 to CLS_PASSES)
+        .map(k => s"JOIN pw$k w$k ON w1.bucket = w$k.bucket").mkString(" ")
+      s"""WITH $perceptronCtes,
+         |paw AS (SELECT w1.bucket, CAST($sum AS BIGINT) AS wt
+         |  FROM pw1 w1 $joins),
+         |pfin AS (SELECT f.doc_id, CAST(sum(f.x * w.wt) AS BIGINT) AS margin
+         |  FROM pfeat f JOIN paw w USING (bucket) GROUP BY f.doc_id)
+         |SELECT p.doc_id, p.margin, (p.margin > 0) AS predicted, l.y,
+         |  ((p.margin > 0) = (l.y = 1)) AS correct
+         |FROM pfin p JOIN plab l USING (doc_id) ORDER BY p.doc_id"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Classifier.updateClassifier's history-then-increment
+    // trajectory: the history chain from zero, ONE continuation pass
+    // over the increment slice starting from the history weights, full
+    // corpus scored under the result
+    "d75_classifier_update" -> classifierUpdateSql,
+
+    // mirror of Classifier.classifierSync's grown-corpus round trip:
+    // sync's update path IS updateClassifier on the increment, so the
+    // served margins are d75's verbatim
+    "d76_classifier_sync" -> classifierUpdateSql,
 
     // mirror of Sampling.weightedSample: the Efraimidis–Spirakis
     // log-domain priority (ln(u)/w at DECIMAL(28,8)), doc_id tiebreak,

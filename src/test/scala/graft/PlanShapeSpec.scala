@@ -376,4 +376,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(bkt"),
       "the running sum must window per bucket, not one global partition\n" + p.take(2000))
   }
+
+  test("d69: the classifier weight table rides a broadcast into the feature join; margins partial-aggregate") {
+    val p = plan("d69_classifier_select")
+    assert(p.contains("BroadcastHashJoin"),
+      "the B+1-row weight table must broadcast, never shuffle the feature stream\n" + p.take(2000))
+    assert(p.contains("partial_sum"),
+      "the margin aggregation must map-side combine\n" + p.take(2000))
+  }
+
+  test("d70: the weighted sample plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("d70_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("d72: the gram doc-frequency join is an equi-join on the hash key — NOT broadcast (vocabulary-scale)") {
+    val p = plan("d72_softdedup_weights")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "the df table is gram-vocabulary-scale and must stay a shuffled equi-join\n" + p.take(2000))
+  }
 }

@@ -927,6 +927,63 @@ class Round10OpsSpec extends AnyFunSuite {
     p
   }
 
+  test("averaged perceptron: converged fixture margins are the pass-count multiple with identical predictions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple", "en"), (2L, "apple apple", "en"),
+      (3L, "banana banana banana", "xx"), (4L, "banana banana", "xx"))
+      .toDF("doc_id", "text", "lang")
+    // the fixture converges in pass 1, so w1=w2=w3 and the summed
+    // (averaged, unnormalized) margins are exactly 3x the final ones
+    val fin = Classifier.classifyPerceptron(docs, col("lang") === "en", 64, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val avg = Classifier.classifyAveraged(docs, col("lang") === "en", 64, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(avg.size == 4)
+    avg.foreach { case (id, m, pred) =>
+      assert(m == 3 * fin(id) && pred == (m > 0), s"doc $id")
+    }
+    // corpus: same shape and internal consistency
+    val corpus = Tables.documents(spark, dir)
+    val out = Classifier.classifyAveraged(corpus, col("lang") === "en", 64, 3)
+    assert(out.count() == corpus.count())
+    assert(out.filter((col("margin") > 0) =!= col("predicted")).count() == 0L)
+  }
+
+  test("classifier update/sync: online continuation advances the artifact; sync is update-then-fresh and rebuilds on history change") {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    val history = docs.filter(col("doc_id") <= cut)
+    val increment = docs.filter(col("doc_id") > cut)
+
+    // explicit update path
+    val p1 = tmp("graft-clsupd-")
+    Classifier.saveClassifier(history, col("lang") === "en", p1, 64, 3)
+    val m1 = IndexManifest.require(p1, "perceptron")
+    assert(m1.params("passes") == 3L && m1.corpusRows == history.count())
+    Classifier.updateClassifier(increment, col("lang") === "en", p1, 1)
+    val m2 = IndexManifest.require(p1, "perceptron")
+    assert(m2.params("passes") == 4L)
+    assert(m2.corpusRows == docs.count())
+    assert(m2.corpusMaxId ==
+      docs.agg(max(col("doc_id"))).head().getLong(0))
+    val served = Classifier.classifyIndexed(docs, p1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // sync path: grown corpus fires the SAME online update, then no-ops
+    val p2 = tmp("graft-clssync-")
+    Classifier.saveClassifier(history, col("lang") === "en", p2, 64, 3)
+    assert(Classifier.classifierSync(docs, col("lang") === "en", p2, 64, 3) == "update")
+    assert(Classifier.classifierSync(docs, col("lang") === "en", p2, 64, 3) == "fresh")
+    val served2 = Classifier.classifyIndexed(docs, p2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served2 == served, "sync's update must be margin-identical to updateClassifier")
+
+    // a shrunk/rewritten corpus cannot ride the online path
+    assert(Classifier.classifierSync(docs.filter(col("doc_id") % 2 === 0),
+      col("lang") === "en", p2, 64, 3) == "rebuild")
+  }
+
   test("weightedSample: top-k nesting, layout invariance, and zero-weight exclusion") {
     val docs = Tables.documents(spark, dir)
     val k100 = Sampling.weightedSample(docs, col("n_chars"), 100).collect()
