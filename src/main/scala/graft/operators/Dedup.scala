@@ -1370,4 +1370,174 @@ object Dedup {
       .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
     attachClusters(vertices, labels)
   }
+
+  // ---- persisted MinHash-LSH dedup index (d77/d78/d79) ----
+
+  /** Long-format band rows (doc_id, bno, bkey) from a k-wide signature —
+    * one posexplode pass, same band construction as [[bandKeys]].
+    */
+  def bandRows(sig: DataFrame, k: Int, bands: Int): DataFrame =
+    bandKeys(sig, k, bands).select(col("doc_id"),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+        .as(Seq("bno", "bkey")))
+
+  /** PERSIST the MinHash-LSH dedup index (the build half of d77) — the
+    * production shape of fuzzy dedup against a historical corpus: the
+    * history's k-wide MinHash signatures plus their banded bucket rows,
+    * written once per corpus version, so future increments deduplicate
+    * against ALL of history without ever re-reading or re-minhashing
+    * history text (signatures are ~k·8 bytes/doc vs the documents
+    * themselves). Completes the persisted-index triple (ANN e31/e41,
+    * grams d44) for the LSH dedup family.
+    *
+    * Like the SRP family (e41) and unlike IVF (e31), NOTHING here is
+    * trained — signatures and band keys are pure per-document functions
+    * of the text and the (k, bands) parameters — so appends are exact:
+    * an appended index is row-identical to a fresh build on the grown
+    * corpus ([[appendLshIndex]]).
+    *
+    * The bucket-size guard is deliberately NOT baked in at build time:
+    * [[lshDedupIndexed]] evaluates it at probe time over current
+    * counts, so the cap stays correct as appends grow buckets (a
+    * build-time cap would freeze verdicts about bucket health that
+    * appends invalidate). At 100 TB the band table would be bucketed BY
+    * (bno, bkey) so probe joins co-locate without shuffling the index;
+    * the signature table is an 8k-bytes-per-doc scan either way.
+    */
+  def saveLshIndex(history: DataFrame, path: String, k: Int = 64,
+      bands: Int = 16): Unit = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val sig = minhash(hashedShingles(history), k)
+    sig.write.mode("overwrite").parquet(s"$path/sig")
+    bandRows(sig, k, bands).write.mode("overwrite").parquet(s"$path/bands")
+    val (rows, maxId) = graft.sources.IndexManifest.watermark(history, "doc_id")
+    graft.sources.IndexManifest.write(path, graft.sources.IndexManifest.Manifest(
+      "lsh", Map("k" -> k.toLong, "bands" -> bands.toLong), rows, maxId))
+  }
+
+  /** APPEND new documents to a persisted LSH index (d78) — signatures
+    * are parameter-derived (nothing trained), so append ≡ rebuild
+    * EXACTLY: the appended index's sig/bands tables are row-identical
+    * to a fresh [[saveLshIndex]] on the grown corpus (the e42-strength
+    * claim, spec-pinned; registered against d77's oracle verbatim).
+    * History files stay byte-frozen; appends must be id-monotone so the
+    * manifest watermark remains a valid prefix witness.
+    */
+  def appendLshIndex(newDocs: DataFrame, path: String): Unit = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val man = IndexManifest.require(path, "lsh")
+    val k = man.params("k").toInt
+    val bands = man.params("bands").toInt
+    val stats = newDocs.agg(count(lit(1)),
+      min(col("doc_id").cast("long")), max(col("doc_id").cast("long"))).head()
+    if (stats.getLong(0) == 0L) return
+    val (rows, minId, maxId) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (minId <= man.corpusMaxId)
+      throw new IndexManifestException(
+        s"increment ids start at $minId but the index watermark is " +
+          s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    val sig = minhash(hashedShingles(newDocs), k)
+    sig.write.mode("append").parquet(s"$path/sig")
+    bandRows(sig, k, bands).write.mode("append").parquet(s"$path/bands")
+    IndexManifest.write(path,
+      man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
+  }
+
+  /** Fuzzy-dedup an increment against a persisted LSH index (d77) —
+    * the probe half: per increment document, every history candidate
+    * sharing a band bucket, scored by signature-agreement Jaccard
+    * (the d27 estimator — no history text, no shingle intersection),
+    * with the best match and a threshold verdict.
+    *
+    * Returns one row per increment doc with ≥ 3 tokens (the shingle
+    * convention): (doc_id, n_cand, dup_of, best_est, is_dup) —
+    * `dup_of` the lowest-id history doc achieving the best estimate,
+    * NULL when no candidate banded; `is_dup` = best_est ≥ threshold.
+    *
+    * Scale shape: the candidate join is a shuffled equi-join on
+    * (bno, bkey) whose fan-out is bounded by the probe-time bucket cap
+    * (history buckets with > maxBucket members are skipped — the
+    * documented lshCandidates recall trade evaluated against CURRENT
+    * index counts so appends stay exact); the signature joins are
+    * doc_id equi-joins against an 8k-bytes-per-doc table. Both index
+    * sides are corpus-scale at 100 TB, so neither carries a broadcast
+    * hint — AQE broadcasts them at toy SF on measured size and
+    * correctly degrades to shuffle at scale (the cutSpans reasoning).
+    * The increment's text is scanned exactly once (signature build);
+    * history text is never touched.
+    */
+  def lshDedupIndexed(increment: DataFrame, path: String,
+      threshold: Double = 0.5, maxBucket: Long = 1000L): DataFrame = {
+    val man = graft.sources.IndexManifest.require(path, "lsh")
+    val k = man.params("k").toInt
+    val bands = man.params("bands").toInt
+    val spark = increment.sparkSession
+    val hsig = spark.read.parquet(s"$path/sig")
+    val hbands = spark.read.parquet(s"$path/bands")
+    // probe-time bucket cap over the index's CURRENT counts
+    val ok = hbands.groupBy(col("bno"), col("bkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .select(col("bno"), col("bkey"))
+    val hb = hbands.join(ok, Seq("bno", "bkey"))
+    val isig = minhash(hashedShingles(increment), k)
+    val cand = bandRows(isig, k, bands).select(col("doc_id").as("nid"),
+        col("bno"), col("bkey"))
+      .join(hb.select(col("doc_id").as("hid"), col("bno"), col("bkey")),
+        Seq("bno", "bkey"))
+      .select(col("nid"), col("hid")).distinct()
+    val si = isig.select(col("doc_id").as("nid") +:
+      (0 until k).map(i => col(s"mh$i").as(s"i_mh$i")): _*)
+    val sh = hsig.select(col("doc_id").as("hid") +:
+      (0 until k).map(i => col(s"mh$i").as(s"h_mh$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"i_mh$i") === col(s"h_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand.join(si, Seq("nid")).join(sh, Seq("hid"))
+      .select(col("nid"), col("hid"),
+        (agree.cast("double") / lit(k)).as("ej"))
+    val best = est.groupBy(col("nid"))
+      .agg(count(lit(1)).as("n_cand"), max(col("ej")).as("best_est"))
+    // lowest-id history doc at the best estimate (exact multiples of
+    // 1/k, so the double equality is bit-safe cross-engine)
+    val dof = est.join(best, Seq("nid"))
+      .filter(col("ej") === col("best_est"))
+      .groupBy(col("nid")).agg(min(col("hid")).as("dup_of"))
+    increment.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"))
+      .join(best.withColumnRenamed("nid", "doc_id"), Seq("doc_id"), "left_outer")
+      .join(dof.withColumnRenamed("nid", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("dup_of"), col("best_est"),
+        coalesce(col("best_est") >= threshold, lit(false)).as("is_dup"))
+  }
+
+  /** SYNC a persisted LSH index to the current corpus (d79) — the
+    * e34/e43 maintenance policy for the dedup-index family: FRESH
+    * (watermark matches) touches nothing; MONOTONE GROWTH (history
+    * prefix intact, new ids above the watermark) appends just the
+    * delta ([[appendLshIndex]] — exact, since nothing is trained);
+    * anything else rebuilds. Idempotent: a second sync on the same
+    * corpus is always "fresh". Returns the action taken.
+    */
+  def lshIndexSync(docs: DataFrame, path: String, k: Int = 64,
+      bands: Int = 16): String = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val man = try Some(IndexManifest.require(path, "lsh",
+      Map("k" -> k.toLong, "bands" -> bands.toLong)))
+    catch { case _: IndexManifestException => None }
+    man match {
+      case Some(m) =>
+        val stats = docs.agg(count(lit(1)), max(col("doc_id").cast("long")),
+          sum(when(col("doc_id") <= m.corpusMaxId, 1L).otherwise(0L))).head()
+        val (rows, maxId) = (stats.getLong(0),
+          if (stats.isNullAt(1)) -1L else stats.getLong(1))
+        val prefixRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+        if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
+        else if (prefixRows == m.corpusRows && maxId > m.corpusMaxId) {
+          appendLshIndex(docs.filter(col("doc_id") > m.corpusMaxId), path)
+          "append"
+        } else { saveLshIndex(docs, path, k, bands); "rebuild" }
+      case None => saveLshIndex(docs, path, k, bands); "rebuild"
+    }
+  }
 }

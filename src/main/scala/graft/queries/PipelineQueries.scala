@@ -440,6 +440,54 @@ object PipelineQueries {
       Classifier.classifyIndexed(docs, path).orderBy(col("doc_id"))
     }),
 
+    // persisted MinHash-LSH dedup index (d77): build on history
+    // (doc_id%4<>0), probe the increment — fuzzy dedup against all of
+    // history with no history text read at probe time; per increment
+    // doc the banded candidates, best signature-agreement match, and
+    // the threshold verdict (Dedup.saveLshIndex / lshDedupIndexed docs)
+    "d77_lsh_indexed" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val path = indexPath("d77-lsh")
+      Dedup.saveLshIndex(docs.filter(col("doc_id") % 4 =!= 0), path,
+        EST_K, EST_BANDS)
+      Dedup.lshDedupIndexed(docs.filter(col("doc_id") % 4 === 0), path,
+        0.5, MAX_BUCKET).orderBy(col("doc_id"))
+    }),
+
+    // LSH index append (d78): build on the first 3/4 of history, append
+    // the rest — signatures are parameter-derived (nothing trained) so
+    // append ≡ rebuild EXACTLY; registered against d77's oracle
+    // verbatim (the equality IS the claim) (Dedup.appendLshIndex doc)
+    "d78_lsh_appended" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val history = docs.filter(col("doc_id") % 4 =!= 0)
+      val cut = history.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("d78-lsh")
+      Dedup.saveLshIndex(history.filter(col("doc_id") <= cut), path,
+        EST_K, EST_BANDS)
+      Dedup.appendLshIndex(history.filter(col("doc_id") > cut), path)
+      Dedup.lshDedupIndexed(docs.filter(col("doc_id") % 4 === 0), path,
+        0.5, MAX_BUCKET).orderBy(col("doc_id"))
+    }),
+
+    // LSH index sync (d79): partial build, one sync that must append,
+    // one that must no-op, then serve — d77's oracle verbatim
+    // (Dedup.lshIndexSync doc)
+    "d79_lsh_sync" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val history = docs.filter(col("doc_id") % 4 =!= 0)
+      val cut = history.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("d79-lsh")
+      Dedup.saveLshIndex(history.filter(col("doc_id") <= cut), path,
+        EST_K, EST_BANDS)
+      val a1 = Dedup.lshIndexSync(history, path, EST_K, EST_BANDS)
+      require(a1 == "append", s"first sync took '$a1', expected append")
+      val a2 = Dedup.lshIndexSync(history, path, EST_K, EST_BANDS)
+      require(a2 == "fresh", s"second sync took '$a2', expected fresh")
+      Dedup.lshDedupIndexed(docs.filter(col("doc_id") % 4 === 0), path,
+        0.5, MAX_BUCKET).orderBy(col("doc_id"))
+    }),
+
     // weighted sampling without replacement (d70): Efraimidis–Spirakis
     // priority keys over the hash uniform, weight = n_chars, top-k as
     // TakeOrderedAndProject (Sampling.weightedSample doc)
@@ -1530,6 +1578,49 @@ object PipelineQueries {
   }
 
   private lazy val minhashEstCtes = minhashEstCtesOver("")
+
+  /** Mirror of the d77 indexed-probe chain (shared verbatim by d78's
+    * append≡rebuild and d79's sync round trip): full-corpus k=64
+    * signatures (per-doc pure, so slicing after the build equals the
+    * Scala side's per-slice builds), history band rows capped at probe
+    * time, increment×history candidate join, signature-agreement
+    * estimate, best match with lowest-id tie, threshold verdict.
+    */
+  private lazy val lshIndexedSql: String = {
+    val rows = EST_K / EST_BANDS
+    val bandSel = (0 until EST_BANDS).map { b =>
+      val parts = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)")
+      s"md5(${parts.mkString(" || '|' || ")}) AS band$b"
+    }.mkString(", ")
+    val bandUni = (0 until EST_BANDS)
+      .map(b => s"SELECT doc_id, $b AS bno, band$b AS bkey FROM lsig")
+      .mkString(" UNION ALL ")
+    val agree = (0 until EST_K)
+      .map(i => s"CASE WHEN si.mh$i = sh2.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shingleCte,
+       |lmins AS (SELECT doc_id, ${minhashSelectK(EST_K)} FROM shh GROUP BY doc_id),
+       |lsig AS (SELECT doc_id, $bandSel FROM lmins),
+       |lbl AS ($bandUni),
+       |hbl AS (SELECT * FROM lbl WHERE doc_id % 4 <> 0),
+       |hb AS (SELECT hbl.* FROM hbl JOIN (SELECT bno, bkey FROM hbl
+       |       GROUP BY bno, bkey HAVING count(*) <= $MAX_BUCKET) g USING (bno, bkey)),
+       |ibl AS (SELECT * FROM lbl WHERE doc_id % 4 = 0),
+       |lcand AS (SELECT DISTINCT i.doc_id AS nid, h.doc_id AS hid
+       |          FROM ibl i JOIN hb h ON i.bno = h.bno AND i.bkey = h.bkey),
+       |lest AS (SELECT nid, hid, CAST(($agree) AS DOUBLE) / $EST_K AS ej
+       |         FROM lcand JOIN lmins si ON si.doc_id = nid
+       |         JOIN lmins sh2 ON sh2.doc_id = hid),
+       |lbest AS (SELECT nid, count(*) AS n_cand, max(ej) AS best_est FROM lest GROUP BY nid),
+       |ldof AS (SELECT e.nid, min(e.hid) AS dup_of FROM lest e
+       |         JOIN lbest b ON b.nid = e.nid AND e.ej = b.best_est GROUP BY e.nid),
+       |lbase AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0 AND len(string_split(text,' ')) >= 3)
+       |SELECT lbase.doc_id, coalesce(n_cand, 0) AS n_cand, dup_of, best_est,
+       |  coalesce(best_est >= 0.5, false) AS is_dup
+       |FROM lbase LEFT JOIN lbest ON lbest.nid = lbase.doc_id
+       |LEFT JOIN ldof ON ldof.nid = lbase.doc_id
+       |ORDER BY lbase.doc_id""".stripMargin.replace("\n", " ")
+  }
 
   // ---- PQ (e09/e10) oracle fragments ----
   // Distance chains are generated per dimension with explicit
@@ -3020,6 +3111,19 @@ object PipelineQueries {
     // sync's update path IS updateClassifier on the increment, so the
     // served margins are d75's verbatim
     "d76_classifier_sync" -> classifierUpdateSql,
+
+    // mirror of Dedup.saveLshIndex + lshDedupIndexed: history bands
+    // (probe-time bucket cap) × increment bands → signature-agreement
+    // estimates → best match + threshold verdict per increment doc
+    "d77_lsh_indexed" -> lshIndexedSql,
+
+    // d78: append ≡ rebuild exactly (signatures are parameter-derived),
+    // so the appended index serves d77's oracle verbatim
+    "d78_lsh_appended" -> lshIndexedSql,
+
+    // d79: sync's append path IS appendLshIndex, so the served verdicts
+    // are d77's verbatim
+    "d79_lsh_sync" -> lshIndexedSql,
 
     // mirror of Sampling.weightedSample: the Efraimidis–Spirakis
     // log-domain priority (ln(u)/w at DECIMAL(28,8)), doc_id tiebreak,

@@ -1056,4 +1056,83 @@ class Round10OpsSpec extends AnyFunSuite {
       .map(_.getAs[Double]("log_commonness"))
     assert(vals.nonEmpty && vals.forall(v => v >= math.log(1.0 / n) - 1e-6 && v <= 0.0))
   }
+
+  private def indexFiles(path: String, sub: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(java.nio.file.Paths.get(path, sub)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.size(p)).toMap
+  }
+
+  test("lsh index: append ≡ rebuild row-identical with history files frozen; probe flags exact twins, clears gibberish, never reads history text") {
+    import spark.implicits._
+    val common = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, common),
+      (2L, ((1 to 15).map(i => s"w$i") ++ Seq("x1", "x2") ++
+        (18 to 30).map(i => s"w$i")).mkString(" ")),
+      (3L, (1 to 30).map(i => s"a$i").mkString(" ")),
+      (4L, (1 to 30).map(i => s"b$i").mkString(" ")),
+      (10L, common),                                  // exact twin of 1
+      (11L, (1 to 30).map(i => s"z$i").mkString(" ")) // unseen content
+    ).toDF("doc_id", "text")
+    val history = docs.filter(col("doc_id") <= 4)
+    val increment = docs.filter(col("doc_id") >= 10)
+
+    val fresh = tmp("graft-lshfresh-")
+    Dedup.saveLshIndex(history, fresh, 64, 16)
+    val app = tmp("graft-lshapp-")
+    Dedup.saveLshIndex(history.filter(col("doc_id") <= 2), app, 64, 16)
+    val before = indexFiles(app, "sig") ++ indexFiles(app, "bands")
+    Dedup.appendLshIndex(history.filter(col("doc_id") > 2), app)
+    // file-level no-recompute: pre-append files survive byte-for-byte
+    val after = indexFiles(app, "sig") ++ indexFiles(app, "bands")
+    assert(before.forall { case (f, sz) => after.get(f).contains(sz) },
+      "a history index file was rewritten by the append")
+    assert(after.size > before.size, "no new index files appended")
+    // append ≡ rebuild: sig and bands tables row-identical (signatures
+    // are parameter-derived — nothing trained)
+    def rows(p: String, sub: String) =
+      spark.read.parquet(s"$p/$sub").collect().map(_.toSeq).toSet
+    assert(rows(fresh, "sig") == rows(app, "sig"))
+    assert(rows(fresh, "bands") == rows(app, "bands"))
+    assert(IndexManifest.require(app, "lsh").corpusMaxId ==
+      IndexManifest.require(fresh, "lsh").corpusMaxId)
+
+    // probe: twin flagged against its history original, unseen content
+    // clean with zero candidates; both indexes serve identical verdicts
+    def probe(p: String) = Dedup.lshDedupIndexed(increment, p)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3), r.getBoolean(4))).toMap
+    val v = probe(fresh)
+    assert(probe(app) == v, "appended index must serve identical verdicts")
+    val (n10, dup10, est10, is10) = v(10L)
+    assert(n10 >= 1L && dup10 == 1L && est10 == 1.0 && is10,
+      s"twin verdict: $n10 $dup10 $est10 $is10")
+    assert(v(11L) == ((0L, -1L, -1.0, false)), s"clean verdict: ${v(11L)}")
+  }
+
+  test("lsh index sync: append-then-fresh on monotone growth, rebuild on rewritten history; probe gates on the manifest kind") {
+    val docs = Tables.documents(spark, dir)
+    val history = docs.filter(col("doc_id") % 4 =!= 0)
+    val cut = history.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    val path = tmp("graft-lshsync-")
+    Dedup.saveLshIndex(history.filter(col("doc_id") <= cut), path, 64, 16)
+    assert(Dedup.lshIndexSync(history, path, 64, 16) == "append")
+    assert(Dedup.lshIndexSync(history, path, 64, 16) == "fresh")
+    // a shrunk/rewritten corpus cannot ride the append path
+    assert(Dedup.lshIndexSync(history.filter(col("doc_id") % 2 === 1),
+      path, 64, 16) == "rebuild")
+    // params drift rebuilds rather than serving stale geometry
+    assert(Dedup.lshIndexSync(history.filter(col("doc_id") % 2 === 1),
+      path, 64, 8) == "rebuild")
+    assert(IndexManifest.require(path, "lsh").params("bands") == 8L)
+    // probing a foreign index kind is a named error
+    val gramPath = tmp("graft-lshkind-")
+    Dedup.saveGramIndex(docs, gramPath, minLen = 8)
+    intercept[IndexManifestException] {
+      Dedup.lshDedupIndexed(docs, gramPath)
+    }
+  }
 }
