@@ -948,6 +948,89 @@ object TextAnalysis {
         expr("(rnk - 1) * 3 < n_total").as("selected"))
   }
 
+  /** DoReMi per-domain excess loss (d80) — the Group-DRO statistic of
+    * Xie et al. 2023's domain-reweighting recipe, computed exactly over
+    * the two models this engine already trains: the corpus-wide bigram
+    * LM stands in for the proxy, the reference-slice LM (d49's trusted
+    * domain) for the pretrained reference, and each domain's excess
+    * loss is the per-token average of max(0, ℓ_proxy − ℓ_ref) — the
+    * published token-level clip, taken per GRAM before any sum so a
+    * domain cannot hide excess under sub-reference tokens.
+    *
+    * Arithmetic contract (the d53 device, one step further): both
+    * effective nlls are DECIMAL(28,8); the difference is taken at
+    * (37,8) where it is exactly representable (Spark's (38,8)−(38,8)
+    * silently drops a scale digit — measured on d53), the clip is
+    * greatest() against a decimal zero, and sums are exact decimals
+    * until ONE final double divide — so per-domain λ and the rank
+    * order replay bit-for-bit in the oracle. The exp(η·λ) weight
+    * update itself stays outside the cross-engine contract
+    * ([[doremiWeights]], spec-pinned) like every transcendental tail.
+    *
+    * Scale shape: per-gram scoring is the d53 pair of left equi-joins
+    * (models never broadcast — vocabulary-scale); the clip/sum partial-
+    * aggregates per doc, docs join their stratum label doc-scale, and
+    * the final window ranks a #strata-row table (bounded by the label
+    * alphabet, never the corpus). Returns one row per stratum:
+    * (lang, n_grams, excess_sum, lambda, rnk), rnk 1 = most
+    * excess-loss, ties on lang.
+    */
+  def doremiExcess(docs: DataFrame, refPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (rm, rc, rOov) = modelFrames(docs.filter(refPred))
+    val (cm, cc, cOov) = modelFrames(docs)
+    val zero = lit(new java.math.BigDecimal(0)).cast("decimal(37,8)")
+    val perDoc = bigrams(docs)
+      .join(rm.select(col("prev"), col("cur"), col("nll").as("t_nll")),
+        Seq("prev", "cur"), "left_outer")
+      .join(rc.select(col("prev"), col("unseen_nll").as("t_unseen")),
+        Seq("prev"), "left_outer")
+      .join(cm.select(col("prev"), col("cur"), col("nll").as("c_nll")),
+        Seq("prev", "cur"), "left_outer")
+      .join(cc.select(col("prev"), col("unseen_nll").as("c_unseen")),
+        Seq("prev"), "left_outer")
+      .withColumn("t_eff", coalesce(col("t_nll"), col("t_unseen"),
+        lit(rOov).cast("decimal(28,8)")))
+      .withColumn("c_eff", coalesce(col("c_nll"), col("c_unseen"),
+        lit(cOov).cast("decimal(28,8)")))
+      .withColumn("ex", greatest(zero,
+        col("c_eff").cast("decimal(37,8)") - col("t_eff").cast("decimal(37,8)")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"), sum(col("ex")).as("ex_sum"))
+    val strata = perDoc
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_grams")).cast("long").as("n_grams"),
+        sum(col("ex_sum")).as("ex_dec"))
+    strata.select(col("lang"), col("n_grams"),
+        col("ex_dec").cast("double").as("excess_sum"),
+        (col("ex_dec").cast("double") / col("n_grams")).as("lambda"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("lambda").desc, col("lang"))).cast("long"))
+  }
+
+  /** The DoReMi weight update over [[doremiExcess]] — α'_k ∝
+    * u_k·exp(η·λ_k) from uniform u, then the published smoothing mix
+    * (1−c)·α' + c·u, driver-side over the #strata-row table (exp is a
+    * transcendental, so this tail is spec-pinned rather than
+    * oracle-registered — the d53/d72 convention). Returns
+    * (lang, lambda, weight) with weights summing to 1.
+    */
+  def doremiWeights(docs: DataFrame, refPred: Column, eta: Double = 1.0,
+      smoothing: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val ex = doremiExcess(docs, refPred)
+      .select(col("lang"), col("lambda")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val k = ex.length
+    val raw = ex.map { case (l, lam) => (l, lam, math.exp(eta * lam)) }
+    val z = raw.map(_._3).sum
+    val rows = raw.map { case (l, lam, e) =>
+      (l, lam, (1.0 - smoothing) * (e / z) + smoothing / k)
+    }
+    spark.createDataFrame(rows.toSeq).toDF("lang", "lambda", "weight")
+  }
+
   /** The scoring kernel behind [[bigramLmScoreIndexed]], over
     * already-loaded model frames — callers that score MANY corpora (or
     * many micro-batches: [[graft.streaming.EventTimeOps]]'s LM gate)

@@ -488,6 +488,15 @@ object PipelineQueries {
         0.5, MAX_BUCKET).orderBy(col("doc_id"))
     }),
 
+    // DoReMi per-domain excess loss (d80): Group-DRO's λ_k over the
+    // d53 model pair — per-gram max(0, ℓ_proxy − ℓ_ref) in exact
+    // decimals, aggregated per stratum, ranked; the exp(η·λ) update
+    // tail is spec-pinned, not registered (TextAnalysis.doremiExcess
+    // doc)
+    "d80_doremi_excess" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.doremiExcess(Tables.documents(spark, dir),
+        col("lang") === "en").orderBy(col("lang"))),
+
     // weighted sampling without replacement (d70): Efraimidis–Spirakis
     // priority keys over the hash uniform, weight = n_chars, top-k as
     // TakeOrderedAndProject (Sampling.weightedSample doc)
@@ -3124,6 +3133,24 @@ object PipelineQueries {
     // d79: sync's append path IS appendLshIndex, so the served verdicts
     // are d77's verbatim
     "d79_lsh_sync" -> lshIndexedSql,
+
+    // mirror of TextAnalysis.doremiExcess: the d53 scoring chain with
+    // the token-level clip (difference at (37,8) where it is exactly
+    // representable, clipped by a CASE — DuckDB's greatest() promotes
+    // DECIMAL to DOUBLE, CASE keeps it exact), per-stratum exact sums,
+    // one double divide, rank over the #strata-row table
+    "d80_doremi_excess" ->
+      s"""WITH $dsirScoreCtes,
+         |dex AS (SELECT doc_id, CASE WHEN dv > CAST(0 AS DECIMAL(38,8))
+         |  THEN dv ELSE CAST(0 AS DECIMAL(38,8)) END AS ex
+         |  FROM (SELECT doc_id,
+         |    CAST(c_eff AS DECIMAL(37,8)) - CAST(t_eff AS DECIMAL(37,8)) AS dv FROM sc)),
+         |dstr AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_grams, sum(ex) AS ex_dec
+         |  FROM dex JOIN documents d USING (doc_id) GROUP BY d.lang)
+         |SELECT lang, n_grams, CAST(ex_dec AS DOUBLE) AS excess_sum,
+         |  CAST(ex_dec AS DOUBLE) / n_grams AS lambda,
+         |  CAST(row_number() OVER (ORDER BY CAST(ex_dec AS DOUBLE) / n_grams DESC, lang) AS BIGINT) AS rnk
+         |FROM dstr ORDER BY lang""".stripMargin.replace("\n", " "),
 
     // mirror of Sampling.weightedSample: the Efraimidis–Spirakis
     // log-domain priority (ln(u)/w at DECIMAL(28,8)), doc_id tiebreak,

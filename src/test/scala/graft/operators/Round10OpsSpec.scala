@@ -1135,4 +1135,28 @@ class Round10OpsSpec extends AnyFunSuite {
       Dedup.lshDedupIndexed(docs, gramPath)
     }
   }
+
+  test("doremi: lambdas are clipped nonnegative with a clean rank permutation; the weight update normalizes, orders by lambda, and floors at the smoothing mix") {
+    val docs = Tables.documents(spark, dir)
+    val ex = TextAnalysis.doremiExcess(docs, col("lang") === "en")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getLong(4)))
+    assert(ex.nonEmpty && ex.forall(_._3 >= 0.0), "token-level clip ⇒ λ ≥ 0")
+    // rnk is exactly the descending-λ permutation with lang ties
+    val expect = ex.sortBy(t => (-t._3, t._1)).map(_._1)
+    assert(ex.sortBy(_._4).map(_._1).toSeq == expect.toSeq)
+
+    val k = ex.length
+    val w = TextAnalysis.doremiWeights(docs, col("lang") === "en",
+      eta = 1.0, smoothing = 0.01)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(math.abs(w.map(_._3).sum - 1.0) < 1e-12, "weights must normalize")
+    assert(w.forall(_._3 >= 0.01 / k - 1e-15), "smoothing floors every domain")
+    // weight order = λ order (exp is monotone; smoothing preserves order)
+    assert(w.sortBy(-_._3).map(_._1).toSeq == w.sortBy(-_._2).map(_._1).toSeq)
+    // η = 0 with no smoothing is exactly uniform
+    val u = TextAnalysis.doremiWeights(docs, col("lang") === "en",
+      eta = 0.0, smoothing = 0.0).collect().map(_.getDouble(2))
+    assert(u.forall(v => math.abs(v - 1.0 / k) < 1e-15))
+  }
 }
