@@ -1371,6 +1371,80 @@ object Dedup {
     attachClusters(vertices, labels)
   }
 
+  /** Cross-engine-exact HyperLogLOG gram cardinality (d81) — the
+    * cardinality member of the sketch family (Bloom d11, Misra-Gries
+    * top-k, windowed quantiles), built DETERMINISTICALLY so the sketch
+    * itself registers against the oracle, not just the exact twin:
+    * per language, the 2^p-register dense HLL of the 60-bit gram-hash
+    * stream next to the exact distinct count and the relative error.
+    * (Engine-native approx_count_distinct sketches differ across
+    * engines and could only register rows-only; this one is the same
+    * algorithm run bit-identically in both.)
+    *
+    * Construction (Flajolet et al. 2007, raw estimator): register
+    * index = low p bits of the gram hash, remainder w carries
+    * L = 60−p bits, rank ρ = L+1 − bitlength(w) (w = 0 → L+1;
+    * bitlength via length(bin(w)) — same string form in both
+    * engines). The harmonic mean is kept EXACT: Σ 2^(−M_j) is scaled
+    * to the integer Σ 2^(L+1−M_j) (≤ 2^(p + L+1) < 2^63, summed as
+    * BIGINT), and α_m·m²·2^(L+1) is ONE double literal shared with
+    * the oracle, so the single double division is bit-identical.
+    * Raw estimator only — no small/large-range correction, which is
+    * the honest regime for vocabulary-scale counts (documented; the
+    * measured per-language |rel_err| at m = 256 is the spec's bound).
+    *
+    * Scale shape: the sketch needs NO distinct — max() is idempotent,
+    * so registers build by one map-side-combined (lang, j) max over
+    * the raw gram stream, 2^p keys per language, never a
+    * corpus-wide dedup shuffle. That is the whole point of HLL at
+    * 100 TB: the exact twin beside it pays the distinct shuffle and
+    * exists only because the registered row prices the estimator
+    * honestly. Empty registers ride a (langs × 2^p) generated grid.
+    *
+    * Returns (lang, n_exact, hll_est, rel_err) per language with ≥ 1
+    * gram.
+    */
+  def hllGramCardinality(docs: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of range")
+    val m = 1 << p
+    val L = 60 - p
+    val alphaM = 0.7213 / (1.0 + 1.079 / m)
+    val alphaNum = alphaM * m.toDouble * m.toDouble * math.pow(2.0, L + 1)
+    val hg = hashedShingles(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), col("hs"))
+    val rho = hg.select(col("lang"), (col("hs") % m).as("j"),
+        expr(s"hs div $m").as("w"))
+      .select(col("lang"), col("j"), expr(
+        s"CASE WHEN w = 0 THEN ${L + 1} ELSE CAST(${L + 1} - length(bin(w)) AS INT) END")
+        .as("rho"))
+    val regs = rho.groupBy(col("lang"), col("j")).agg(max(col("rho")).as("mj"))
+    val grid = hg.select(col("lang")).distinct()
+      .crossJoin(broadcast(
+        docs.sparkSession.range(0, m).select(col("id").as("j"))))
+    val sums = grid.join(regs, Seq("lang", "j"), "left_outer")
+      .select(col("lang"), coalesce(col("mj"), lit(0)).as("mj"))
+      .select(col("lang"), expr(s"shiftleft(CAST(1 AS BIGINT), ${L + 1} - mj)").as("t"))
+      .groupBy(col("lang")).agg(sum(col("t")).cast("long").as("s"))
+    val exact = hg.groupBy(col("lang"))
+      .agg(countDistinct(col("hs")).cast("long").as("n_exact"))
+    exact.join(sums, Seq("lang"))
+      .select(col("lang"), col("n_exact"),
+        (lit(alphaNum) / col("s").cast("double")).as("hll_est"))
+      .withColumn("rel_err",
+        (col("hll_est") - col("n_exact")) / col("n_exact"))
+  }
+
+  /** The [[hllGramCardinality]] α_m·m²·2^(L+1) numerator for the oracle
+    * side — Double.toString round-trips, so both engines parse the SAME
+    * double from this literal.
+    */
+  def hllAlphaNum(p: Int): String = {
+    val m = 1 << p
+    val alphaM = 0.7213 / (1.0 + 1.079 / m)
+    (alphaM * m.toDouble * m.toDouble * math.pow(2.0, 60 - p + 1)).toString
+  }
+
   // ---- persisted MinHash-LSH dedup index (d77/d78/d79) ----
 
   /** Long-format band rows (doc_id, bno, bkey) from a k-wide signature —
@@ -1479,6 +1553,18 @@ object Dedup {
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
       .select(col("bno"), col("bkey"))
     val hb = hbands.join(ok, Seq("bno", "bkey"))
+    probeWithLshIndex(increment, hsig, hb, k, bands, threshold)
+  }
+
+  /** The probe kernel behind [[lshDedupIndexed]], over already-loaded
+    * (and bucket-capped) index frames — callers that probe MANY
+    * increments (or micro-batches:
+    * [[graft.streaming.EventTimeOps]]'s fuzzy-dedup gate) load, cap,
+    * and persist the tables once and call this per probe instead of
+    * re-opening the store.
+    */
+  def probeWithLshIndex(increment: DataFrame, hsig: DataFrame,
+      hb: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
     val isig = minhash(hashedShingles(increment), k)
     val cand = bandRows(isig, k, bands).select(col("doc_id").as("nid"),
         col("bno"), col("bkey"))

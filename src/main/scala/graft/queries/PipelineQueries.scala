@@ -497,6 +497,15 @@ object PipelineQueries {
       TextAnalysis.doremiExcess(Tables.documents(spark, dir),
         col("lang") === "en").orderBy(col("lang"))),
 
+    // deterministic HyperLogLog gram cardinality (d81): the sketch
+    // ITSELF registers cross-engine (dense 256-register HLL, exact
+    // integer harmonic sum, one shared double literal), beside the
+    // exact distinct count and the relative error
+    // (Dedup.hllGramCardinality doc)
+    "d81_hll_grams" -> ((spark: SparkSession, dir: String) =>
+      Dedup.hllGramCardinality(Tables.documents(spark, dir))
+        .orderBy(col("lang"))),
+
     // weighted sampling without replacement (d70): Efraimidis–Spirakis
     // priority keys over the hash uniform, weight = n_chars, top-k as
     // TakeOrderedAndProject (Sampling.weightedSample doc)
@@ -3133,6 +3142,31 @@ object PipelineQueries {
     // d79: sync's append path IS appendLshIndex, so the served verdicts
     // are d77's verbatim
     "d79_lsh_sync" -> lshIndexedSql,
+
+    // mirror of Dedup.hllGramCardinality: same register construction
+    // (low-8-bit index, rank via length(bin(w)) — identical string form
+    // in both engines), exact integer harmonic sum (BIGINT-shifted,
+    // DuckDB's HUGEINT sum cast back down), and the shared α·m²·2^53
+    // double literal so the one division is bit-identical
+    "d81_hll_grams" -> {
+      val m = 256; val L1 = 53 // p = 8, L+1 = 53
+      val a = graft.operators.Dedup.hllAlphaNum(8)
+      s"""WITH $shingleCte,
+         |hg AS (SELECT d.lang, shh.hs FROM shh JOIN documents d USING (doc_id)),
+         |hr AS (SELECT lang, hs % $m AS j, hs // $m AS w FROM hg),
+         |hrho AS (SELECT lang, j, CASE WHEN w = 0 THEN $L1
+         |  ELSE CAST($L1 - length(bin(w)) AS INT) END AS rho FROM hr),
+         |hm AS (SELECT lang, j, max(rho) AS mj FROM hrho GROUP BY 1, 2),
+         |hgrid AS (SELECT lang, CAST(range AS BIGINT) AS j
+         |  FROM (SELECT DISTINCT lang FROM hg), range(0, $m)),
+         |hsm AS (SELECT lang, CAST(sum(CAST(1 AS BIGINT) << ($L1 - coalesce(mj, 0))) AS BIGINT) AS s
+         |  FROM hgrid LEFT JOIN hm USING (lang, j) GROUP BY lang),
+         |hx AS (SELECT lang, CAST(count(DISTINCT hs) AS BIGINT) AS n_exact FROM hg GROUP BY 1)
+         |SELECT hx.lang, n_exact, $a / CAST(s AS DOUBLE) AS hll_est,
+         |  ($a / CAST(s AS DOUBLE) - n_exact) / n_exact AS rel_err
+         |FROM hx JOIN hsm USING (lang) ORDER BY hx.lang"""
+        .stripMargin.replace("\n", " ")
+    },
 
     // mirror of TextAnalysis.doremiExcess: the d53 scoring chain with
     // the token-level clip (difference at (37,8) where it is exactly

@@ -363,6 +363,60 @@ object SseBenchMain {
         println(f"SSEBENCH cls-gate total=$total docs passthrough=${total / wBase}%.0f ev/s " +
           f"gated=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost, kept=$nKept of $total)")
       }
+
+      // FUZZY-DEDUP GATE (round-10 tail): the persisted d77 LSH index
+      // on the stream path against the same pass-through twin and feed
+      // rhythm. The heaviest gate by construction — per batch it builds
+      // a k=64 MinHash signature over the batch's shingles and
+      // band-joins the history index — so the number here prices
+      // content-based dedup-at-ingest against the cheaper gates
+      // honestly. The stream is half history twins, half per-doc-unique
+      // synthetic text, so the gate genuinely divides it.
+      {
+        import graft.operators.Dedup
+        val refDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        val lshPath = Files.createTempDirectory("sbench-lsh").toString
+        Dedup.saveLshIndex(refDocs, lshPath, 64, 16)
+        val texts = refDocs.select($"text").limit(500).collect().map(_.getString(0))
+        val total = 20000
+        val chunk = 2000
+        val docs = (0 until total).map { i =>
+          if (i % 2 == 0) (i.toLong, texts((i / 2) % texts.length))
+          else (i.toLong, (1 to 30).map(w => s"fresh${i}w$w").mkString(" "))
+        }
+        def lshRun(withGate: Boolean): (Double, Long, Long) = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val stream = mem.toDF().toDF("doc_id", "text")
+          val seen = new java.util.concurrent.atomic.AtomicLong
+          val kept = new java.util.concurrent.atomic.AtomicLong
+          val writer =
+            if (withGate)
+              EventTimeOps.fuzzyDedupGateIngest(stream, lshPath) {
+                (out, _) =>
+                  val rows = out.select($"keep").collect()
+                  seen.addAndGet(rows.length)
+                  kept.addAndGet(rows.count(_.getBoolean(0)))
+              }
+            else stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                seen.addAndGet(b.count()); ()
+            }
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            docs.grouped(chunk).foreach { g =>
+              mem.addData(g: _*); q.processAllAvailable()
+            }
+          } finally q.stop()
+          require(seen.get() == total, s"INVALID RUN: saw ${seen.get()} of $total")
+          ((System.nanoTime() - t0) / 1e9, seen.get(), kept.get())
+        }
+        lshRun(withGate = false) // warm-up
+        val (wBase, _, _) = lshRun(withGate = false)
+        val (wGate, _, nKept) = lshRun(withGate = true)
+        println(f"SSEBENCH lsh-gate total=$total docs passthrough=${total / wBase}%.0f ev/s " +
+          f"gated=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost, kept=$nKept of $total)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }

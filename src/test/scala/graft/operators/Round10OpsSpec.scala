@@ -1159,4 +1159,25 @@ class Round10OpsSpec extends AnyFunSuite {
       eta = 0.0, smoothing = 0.0).collect().map(_.getDouble(2))
     assert(u.forall(v => math.abs(v - 1.0 / k) < 1e-15))
   }
+
+  test("hll gram cardinality: estimator lands within the m=256 error regime and is duplicate-invariant (max is idempotent)") {
+    val docs = Tables.documents(spark, dir)
+    val out = Dedup.hllGramCardinality(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out.nonEmpty)
+    out.foreach { case (lang, (exact, est, err)) =>
+      // raw-estimator regime: counts here are far above the 2.5m
+      // small-range boundary, so ~1.04/√m (±6.5%) applies; 3σ bound
+      assert(exact > 640L, s"$lang n_exact=$exact below the raw regime")
+      assert(math.abs(err) <= 0.20, s"$lang rel_err=$err")
+      assert(math.abs(est - exact) / exact == math.abs(err))
+    }
+    // feeding every document twice changes NOTHING: registers are
+    // maxes, exact counts are distincts
+    val doubled = Dedup.hllGramCardinality(docs.unionByName(docs)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(doubled == out)
+  }
 }

@@ -445,4 +445,47 @@ class EventTimeOpsSpec extends AnyFunSuite {
     // the trained direction separates the stream's in-vocabulary docs
     assert(got.get(10L)._2 && !got.get(11L)._2)
   }
+
+  test("fuzzyDedupGateIngest: per-batch verdicts equal the persisted index's batch probe; history twins dropped, fresh and short docs kept") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val common = (1 to 30).map(i => s"w$i").mkString(" ")
+    val history = Seq(
+      (1L, common), (2L, (1 to 30).map(i => s"a$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-lshgate-").toString
+    Dedup.saveLshIndex(history, path, 64, 16)
+    // stream: a twin of history doc 1, fresh content, and a short doc
+    val docs: Seq[(Long, String)] = Seq(
+      (10L, common), (11L, (1 to 30).map(i => s"z$i").mkString(" ")),
+      (12L, "too short"), (13L, common + " tail tweak"))
+    val expected = Dedup.lshDedupIndexed(docs.toDF("doc_id", "text"), path)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val input = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (Boolean, Boolean)]
+    val q = EventTimeOps.fuzzyDedupGateIngest(
+      input.toDF().toDF("doc_id", "text"), path)(
+      (out, _) => out.collect().foreach(r =>
+        got.put(r.getLong(0),
+          (!r.isNullAt(4) && r.getBoolean(4), r.getBoolean(5))))).start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // every stream doc gets a decision; shingled ones match the batch
+    // kernel across batch boundaries, the short doc rides the null-keep
+    assert(got.size == docs.size)
+    expected.foreach { case (id, dup) =>
+      val (gDup, gKeep) = got.get(id)
+      assert(gDup == dup && gKeep == !dup, s"doc $id")
+    }
+    assert(got.get(10L) == ((true, false)), "history twin must be dropped")
+    assert(got.get(11L) == ((false, true)), "fresh content must pass")
+    assert(got.get(12L) == ((false, true)), "short docs are kept (null verdict)")
+  }
 }
