@@ -264,6 +264,53 @@ object Packing {
           - greatest(col("start_token"), col("ctx_id") * ctxLen)).cast("long").as("len"))
   }
 
+  /** Interleaved MULTIMODAL context packing (m07) — the MMC4/Flamingo
+    * layout step applied to this engine's opaque-media columns: each
+    * document contributes media patch tokens THEN text tokens
+    * (media-first, the deterministic published interleave), its media
+    * budget derived from the same frame arithmetic the m03 sampler
+    * uses (complete `frameBytes` frames, every `stride`-th kept, times
+    * `patchTokens` per sampled frame), and the combined stream is cut
+    * into fixed `ctxLen` windows exactly like [[packSequences]] —
+    * same hash60 shuffle order, same bucketed distributed prefix sum,
+    * so the multimodal stream needs no new machinery, only a wider
+    * per-doc token count. Each (doc, window) span reports how many of
+    * its tokens are media vs text — the split is pure interval
+    * arithmetic against the doc-local media prefix [0, n_media).
+    *
+    * Returns (doc_id, ctx_id, ctx_offset, doc_offset, len, media_len,
+    * text_len); windows tile exactly as in d48, and per doc
+    * Σ media_len = n_media, Σ text_len = n_text (spec-pinned).
+    */
+  def interleavedPack(docs: DataFrame, ctxLen: Int, frameBytes: Int,
+      stride: Int, patchTokens: Int, bucketBits: Int = 8): DataFrame = {
+    require(ctxLen > 0 && frameBytes > 0 && stride > 0 && patchTokens > 0)
+    val base = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_text"),
+        expr(s"(((octet_length(cast(text AS BINARY)) div $frameBytes) + ${stride - 1}) div $stride) * $patchTokens")
+          .cast("long").as("n_media"),
+        orderKey.as("k"))
+      .select(col("doc_id"), (col("n_media") + col("n_text")).as("n_tokens"),
+        col("k"), expr(s"shiftright(k, ${60 - bucketBits})").as("bkt"),
+        col("n_media"))
+    offsetsChain(base)
+      .select(col("doc_id"), col("n_tokens"), col("start_token"), col("n_media"),
+        explode(expr(
+          s"sequence(start_token DIV $ctxLen, (start_token + n_tokens - 1) DIV $ctxLen)")).as("ctx_id"))
+      .select(col("doc_id"), col("ctx_id").cast("long").as("ctx_id"), col("n_media"),
+        (greatest(col("start_token"), col("ctx_id") * ctxLen)
+          - col("ctx_id") * ctxLen).cast("long").as("ctx_offset"),
+        (greatest(col("start_token"), col("ctx_id") * ctxLen)
+          - col("start_token")).cast("long").as("doc_offset"),
+        (least(col("start_token") + col("n_tokens"), (col("ctx_id") + lit(1)) * ctxLen)
+          - greatest(col("start_token"), col("ctx_id") * ctxLen)).cast("long").as("len"))
+      .select(col("doc_id"), col("ctx_id"), col("ctx_offset"),
+        col("doc_offset"), col("len"),
+        (least(col("n_media"), col("doc_offset") + col("len"))
+          - least(col("n_media"), col("doc_offset"))).cast("long").as("media_len"))
+      .withColumn("text_len", (col("len") - col("media_len")).cast("long"))
+  }
+
   /** Pack WITHIN each shard of a persisted [[saveTokenShards]] store —
     * the shard-store consumer of the packing layout: each shard file is
     * treated as an INDEPENDENT token stream, and context windows are

@@ -108,6 +108,7 @@ object PipelineQueries {
 
   private val FRAME_BYTES = 256 // m03 frame size
   private val FRAME_STRIDE = 4  // m03: keep every 4th frame
+  private val PATCH_TOKENS = 16 // m07: patch tokens per sampled frame
   private val MAX_DIM = 48      // m04 fit-in-box dimension
 
   /** StubCodec dimension arithmetic as DuckDB SQL — THE shared copy for
@@ -158,6 +159,15 @@ object PipelineQueries {
         Multimodal.stubDims(
           Multimodal.mediaView(Tables.documents(spark, dir))), MAX_DIM)
         .orderBy(col("doc_id"))),
+
+    // interleaved multimodal packing (m07): media patch tokens first,
+    // then text, through the SAME shuffled prefix-sum/window machinery
+    // as d48 — per (doc, window) span the media/text split is interval
+    // arithmetic (Packing.interleavedPack doc)
+    "m07_interleaved_pack" -> ((spark: SparkSession, dir: String) =>
+      Packing.interleavedPack(Tables.documents(spark, dir), CTX_LEN,
+        FRAME_BYTES, FRAME_STRIDE, PATCH_TOKENS)
+        .orderBy(col("ctx_id"), col("doc_id"))),
 
     "d01_exact_dedup" -> ((spark: SparkSession, dir: String) =>
       Dedup.exactGroups(Tables.documents(spark, dir))
@@ -2998,6 +3008,37 @@ object PipelineQueries {
          |  CAST(least(start_token + n_tokens, (ctx_id + 1) * $CTX_LEN)
          |       - greatest(start_token, ctx_id * $CTX_LEN) AS BIGINT) AS len
          |FROM pctx ORDER BY ctx_id, doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Packing.interleavedPack: the d47/d48 prefix-sum chain
+    // widened by the m03 frame arithmetic (media patch tokens first),
+    // window tiling verbatim, media/text split as interval arithmetic
+    "m07_interleaved_pack" -> {
+      val nm = s"CAST((((octet_length(encode(text)) // $FRAME_BYTES) + ${FRAME_STRIDE - 1}) // $FRAME_STRIDE) * $PATCH_TOKENS AS BIGINT)"
+      s"""WITH mmb AS (SELECT doc_id,
+         |  $nm + CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |  $nm AS n_media,
+         |  ${duckHash60("CAST(doc_id AS VARCHAR)")} AS k FROM documents),
+         |mmbb AS (SELECT *, k >> 52 AS bkt FROM mmb),
+         |mmwc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bkt ORDER BY k, doc_id) AS cum FROM mmbb),
+         |mmbo AS (SELECT bkt, CAST(sum(bt) OVER (ORDER BY bkt) - bt AS BIGINT) AS off
+         |  FROM (SELECT bkt, sum(n_tokens) AS bt FROM mmbb GROUP BY 1)),
+         |mmos AS (SELECT doc_id, n_tokens, n_media, CAST(off + cum - n_tokens AS BIGINT) AS start_token
+         |  FROM mmwc JOIN mmbo USING (bkt)),
+         |mmctx AS (SELECT doc_id, n_tokens, n_media, start_token,
+         |  unnest(range(start_token // $CTX_LEN,
+         |               (start_token + n_tokens - 1) // $CTX_LEN + 1)) AS ctx_id
+         |  FROM mmos),
+         |mspan AS (SELECT doc_id, n_media, CAST(ctx_id AS BIGINT) AS ctx_id,
+         |  CAST(greatest(start_token, ctx_id * $CTX_LEN) - ctx_id * $CTX_LEN AS BIGINT) AS ctx_offset,
+         |  CAST(greatest(start_token, ctx_id * $CTX_LEN) - start_token AS BIGINT) AS doc_offset,
+         |  CAST(least(start_token + n_tokens, (ctx_id + 1) * $CTX_LEN)
+         |       - greatest(start_token, ctx_id * $CTX_LEN) AS BIGINT) AS len
+         |  FROM mmctx)
+         |SELECT doc_id, ctx_id, ctx_offset, doc_offset, len,
+         |  CAST(least(n_media, doc_offset + len) - least(n_media, doc_offset) AS BIGINT) AS media_len,
+         |  CAST(len - (least(n_media, doc_offset + len) - least(n_media, doc_offset)) AS BIGINT) AS text_len
+         |FROM mspan ORDER BY ctx_id, doc_id""".stripMargin.replace("\n", " ")
+    },
 
     // mirror of TextAnalysis.saveBigramLm + bigramLmScoreIndexed: the
     // en-trained model recomputed from scratch (the round trip through

@@ -1180,4 +1180,40 @@ class Round10OpsSpec extends AnyFunSuite {
       .toMap
     assert(doubled == out)
   }
+
+  test("interleavedPack: windows tile exactly, per-doc media/text budgets are conserved, and media occupies the doc prefix") {
+    val docs = Tables.documents(spark, dir)
+    val ctx = 128
+    val out = Packing.interleavedPack(docs, ctx, 256, 4, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, co, dof, len, ml, tl) =>
+      assert(len >= 1 && ml >= 0 && tl >= 0 && ml + tl == len)
+      assert(co >= 0 && co + len <= ctx, s"span leaves its window: $co+$len")
+      assert(dof >= 0)
+    }
+    // every window except the last is exactly full
+    val byCtx = out.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val lastCtx = byCtx.keys.max
+    byCtx.foreach { case (c, tot) =>
+      if (c != lastCtx) assert(tot == ctx, s"ctx $c holds $tot of $ctx") }
+    // per-doc budgets: Σ media_len = n_media, Σ text_len = n_text
+    val expected = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_text"),
+        expr("(((octet_length(cast(text AS BINARY)) div 256) + 3) div 4) * 16")
+          .cast("long").as("n_media")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.groupBy(_._1).foreach { case (id, spans) =>
+      val (nText, nMedia) = expected(id)
+      assert(spans.map(_._6).sum == nMedia, s"doc $id media budget")
+      assert(spans.map(_._7).sum == nText, s"doc $id text budget")
+      // media-first: sorted by doc_offset, media_len fills before text
+      val sorted = spans.sortBy(_._4)
+      sorted.foreach { case (_, _, _, dof, len, ml, _) =>
+        assert(ml == math.min(math.max(nMedia - dof, 0L), len),
+          s"doc $id span at $dof: media $ml not the prefix overlap")
+      }
+    }
+  }
 }
