@@ -94,6 +94,18 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** JVM twin of [[hash60]] for state-side code (the streaming HLL
+    * window folds events outside the SQL engine): first 15 hex chars
+    * of the utf8 md5, parsed base-16 — spec-pinned equal to the Column
+    * form so sketches built in either engine merge.
+    */
+  def hash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map("%02x".format(_)).mkString.substring(0, 15), 16)
+  }
+
   /** Hashed shingle stream: each distinct (doc_id, shingle) as a 60-bit
     * md5-derived fingerprint ([[hash60]]).
     *

@@ -23,6 +23,13 @@ case class WindowTopAuthor(window_start: Long, rk: Int, author: String,
   */
 case class MgState(counters: Map[String, Long], n: Long)
 
+/** HLL register state for one open window (≤ 2^p map entries). */
+case class HllWinState(regs: Map[Int, Int], n: Long)
+
+/** One closed window's cardinality estimate. */
+case class WindowCardinality(window_start: Long, n_events: Long,
+    hll_est: Double)
+
 /** Event-time streaming operators over the envelope stream — the
   * categories the reference lacks entirely (SURVEY.md §2.1: watermarks,
   * event-time windows, late data, keyed state). The reference is
@@ -490,6 +497,79 @@ object EventTimeOps {
             state.update(MgState(m.toMap, n))
             // close at window end once the watermark allows; a timeout in
             // the watermark's past is rejected by Spark, so clamp forward
+            state.setTimeoutTimestamp(math.max(
+              (wstart + windowSeconds) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Windowed DISTINCT-AUTHOR cardinality with O(2^p) state per window
+    * — the cardinality member of the windowed-sketch trio (Misra-Gries
+    * top-k, approx quantiles, this): per tumbling event-time window,
+    * the d81 deterministic dense HyperLogLog of the author stream,
+    * emitted once when the watermark closes the window. An exact
+    * windowed countDistinct needs a counter per distinct author per
+    * open window (unbounded — why Spark forbids it in streaming); the
+    * HLL caps state at 2^p register maxes per window, and duplicate
+    * arrivals are free by construction (registers are maxes).
+    *
+    * The SAME sketch as the batch d81 row: identical 60-bit hash
+    * ([[graft.operators.Dedup.hash60Jvm]], spec-pinned equal to the
+    * Column form), identical register/rank arithmetic, identical
+    * α·m²·2^(L+1) numerator ([[graft.operators.Dedup.hllAlphaNum]]) —
+    * so a window's streamed estimate equals the batch kernel run on
+    * the window's rows exactly (spec-asserted), and raw-regime caveats
+    * carry over unchanged (small windows sit in the biased-high
+    * small-range regime; the registered batch row documents it).
+    */
+  def windowedAuthorCardinality(spark: SparkSession, envelope: DataFrame,
+      windowSeconds: Long = 60L, lateness: String = "2 minutes",
+      p: Int = 8): Dataset[WindowCardinality] = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    require(p >= 4 && p <= 16, s"p=$p out of range")
+    val m = 1 << p
+    val L1 = 60 - p + 1
+    val alphaNum = Dedup.hllAlphaNum(p).toDouble
+    envelope
+      .withColumn("event_time", timestamp_seconds(col("created_utc")))
+      .withWatermark("event_time", lateness)
+      .withColumn("window_start",
+        (col("created_utc") - (col("created_utc") % windowSeconds)).cast("long"))
+      .select(col("window_start"), col("author"), col("event_time"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HllWinState, WindowCardinality](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wstart: Long, events: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[HllWinState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            var sum = 0L
+            var j = 0
+            while (j < m) {
+              sum += 1L << (L1 - s.regs.getOrElse(j, 0)); j += 1
+            }
+            Iterator.single(
+              WindowCardinality(wstart, s.n, alphaNum / sum.toDouble))
+          } else {
+            val prev = state.getOption.getOrElse(HllWinState(Map.empty, 0L))
+            val regs = collection.mutable.Map(prev.regs.toSeq: _*)
+            var n = prev.n
+            events.foreach { case (_, author, _) =>
+              n += 1
+              val h = Dedup.hash60Jvm(author)
+              val j = (h % m).toInt
+              val w = h / m
+              val rho =
+                if (w == 0L) L1
+                else L1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+              if (rho > regs.getOrElse(j, 0)) regs(j) = rho
+            }
+            state.update(HllWinState(regs.toMap, n))
             state.setTimeoutTimestamp(math.max(
               (wstart + windowSeconds) * 1000L,
               state.getCurrentWatermarkMs() + 1L))

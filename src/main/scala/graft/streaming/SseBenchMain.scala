@@ -319,8 +319,11 @@ object SseBenchMain {
       // (pure projection) and the LM gate (vocabulary-scale joins):
       // there is a model, but it's a B+1-row broadcast, so the
       // per-batch cost is one hashed-feature explode + one margin
-      // aggregation. The lang='en' label genuinely splits the corpus
-      // texts, so the measurement is not an all-keep shortcut.
+      // aggregation. Measured keeps are 0 of 20000 (the non-separable
+      // corpus trains a negative-leaning final weight vector) — an
+      // all-drop run prices the same per-batch compute as a split
+      // (keep is one boolean projection after the margin aggregation),
+      // so the cost figure stands.
       {
         import graft.operators.Classifier
         val refDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -193,6 +193,57 @@ class EventTimeOpsSpec extends AnyFunSuite {
       Seq((1, "a", 3L, 6L), (2, "b", 2L, 6L), (3, "c", 1L, 6L)), rows.toString)
   }
 
+  test("windowedAuthorCardinality: streamed sketch equals an SQL-built batch twin exactly; hash60Jvm matches the Column hash") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, expr, max => smax, sum => ssum}
+    // the JVM hash used by the state fold is the SQL hash, bit for bit
+    val names = (0 until 10).map(i => s"a$i") ++ Seq("mod", "ünïcode")
+    val hashed = names.toDF("s")
+      .select(col("s"), Dedup.hash60(col("s")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    names.foreach(s => assert(hashed(s) == Dedup.hash60Jvm(s), s))
+
+    // two windows: 600.. has 10 distinct authors over 20 events (dups
+    // free by construction), 660.. has 3; pusher rows advance the
+    // watermark past both so the timeout fires
+    val dir = Files.createTempDirectory("hlllog").toString
+    val evs = (0 until 20).map(i =>
+      ev(2L * i + 2, 600L + i, s"a${i % 10}", "news")) ++
+      (0 until 3).map(i => ev(60L + 2 * i, 660L + i, s"a$i", "news"))
+    RedditLog.writeSegment(dir, evs ++ Seq(
+      ev(100, 100000, "z", "zzz"), ev(102, 100001, "z", "zzz")))
+    val src = spark.readStream.format("graft.sources.RedditLogSource")
+      .option("path", dir).option("backfill", "200")
+      .option("max_per_trigger", "7").load()
+    val name = s"hll${System.nanoTime()}"
+    val q = EventTimeOps.windowedAuthorCardinality(spark, src)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(name)
+      .select($"window_start", $"n_events", $"hll_est")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+
+    // batch twin built from SQL columns (the d81 register arithmetic —
+    // an independent path from the JVM state fold)
+    def twin(authors: Seq[String]): Double = {
+      val alphaNum = Dedup.hllAlphaNum(8).toDouble
+      val regs = authors.toDF("s")
+        .select(Dedup.hash60(col("s")).as("h"))
+        .select((col("h") % 256).as("j"), expr("h div 256").as("w"))
+        .select(col("j"), expr(
+          "CASE WHEN w = 0 THEN 53 ELSE CAST(53 - length(bin(w)) AS INT) END").as("rho"))
+        .groupBy(col("j")).agg(smax(col("rho")).as("mj")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val s = (0 until 256).map(j => 1L << (53 - regs.getOrElse(j.toLong, 0))).sum
+      alphaNum / s.toDouble
+    }
+    assert(rows(600L)._1 == 20L && rows(660L)._1 == 3L, rows.toString)
+    assert(rows(600L)._2 == twin((0 until 20).map(i => s"a${i % 10}")),
+      "window 600 estimate must equal the batch twin bit-for-bit")
+    assert(rows(660L)._2 == twin((0 until 3).map(i => s"a$i")))
+  }
+
   test("windowedTopAuthors: overflow regime keeps the Misra-Gries guarantee") {
     val dir = Files.createTempDirectory("mgovlog").toString
     // window 600..659: capacity=2 counters for 4 distinct authors over
