@@ -357,6 +357,58 @@ object Curation {
       .toDF("stratum", "n_tokens", "cap_tokens", "alloc_tokens", "epochs")
   }
 
+  /** UniMax REALIZATION (d82) — the selection half of [[unimaxMixture]]:
+    * turn each stratum's allocated token budget into an actual
+    * document keep-list, deterministically. Docs visit in the shared
+    * hash60 shuffle order WITHIN their stratum, and a doc is selected
+    * iff its stratum-local token-stream position starts strictly below
+    * the stratum's allocation — the boundary doc rides the budget
+    * (overshoot ≤ one document tail, the d47 convention). Allocations
+    * above 1.0 epochs mean dataloader REPETITION of the selected set,
+    * not extra selection: with epochs ≥ 1 every doc in the stratum
+    * starts below its own total and is selected, which is exactly
+    * UniMax's semantics (the cap limits repetition, not membership).
+    *
+    * The per-stratum stream position is the d47 bucketed prefix sum
+    * run PER STRATUM: running sums from a (stratum, bucket)-partitioned
+    * window, per-bucket offsets from each stratum's tiny bucket-totals
+    * table — never a single-partition corpus window. The allocation
+    * table is #strata rows collected from [[unimaxMixture]] and folded
+    * back as a literal CASE (the driver-constant discipline: every
+    * collected value originates from distributed computation).
+    *
+    * Returns (doc_id, stratum, n_tokens, start_tok, selected).
+    */
+  def unimaxSelect(docs: DataFrame, strata: Column, budgetFrac: Double,
+      maxEpochs: Double, bucketBits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketBits > 0 && bucketBits < 60, s"bucketBits=$bucketBits")
+    val alloc = unimaxMixture(docs, strata, budgetFrac, maxEpochs)
+      .select(col("stratum"), col("alloc_tokens")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val allocCase = alloc.foldLeft(lit(Double.NaN)) { case (acc, (s, a)) =>
+      when(col("stratum") === s, lit(a)).otherwise(acc)
+    }
+    val base = docs.select(col("doc_id"), strata.as("stratum"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        Dedup.hash60(col("doc_id").cast("string")).as("k"))
+      .withColumn("bkt", expr(s"shiftright(k, ${60 - bucketBits})"))
+      .localCheckpoint(true)
+    val inBkt = Window.partitionBy(col("stratum"), col("bkt"))
+      .orderBy(col("k"), col("doc_id"))
+    val withCum = base.withColumn("cum", sum(col("n_tokens")).over(inBkt))
+    val totals = withCum.groupBy(col("stratum"), col("bkt"))
+      .agg(max(col("cum")).as("bt"))
+    val offsets = totals.select(col("stratum"), col("bkt"),
+      (sum(col("bt")).over(
+        Window.partitionBy(col("stratum")).orderBy(col("bkt"))) - col("bt"))
+        .as("off"))
+    withCum.join(offsets, Seq("stratum", "bkt"))
+      .select(col("doc_id"), col("stratum"), col("n_tokens"),
+        (col("off") + col("cum") - col("n_tokens")).cast("long").as("start_tok"))
+      .withColumn("selected", col("start_tok").cast("double") < allocCase)
+  }
+
   /** Temperature-scaled mixture weights (d71) — the OTHER published
     * multilingual sampling law (exponentiated-count smoothing, the
     * mBERT/XLM-R rule; Conneau et al. 2020 use α = 0.3): stratum

@@ -922,6 +922,16 @@ object PipelineQueries {
         UNIMAX_BUDGET, UNIMAX_EPOCHS)
         .orderBy(col("stratum"))),
 
+    // UniMax realization (d82): d65's allocations turned into a
+    // deterministic per-stratum document keep-list — the per-stratum
+    // prefix-sum device, boundary doc rides the budget
+    // (Curation.unimaxSelect doc)
+    "d82_unimax_select" -> ((spark: SparkSession, dir: String) =>
+      Curation.unimaxSelect(
+        TextAnalysis.langId(Tables.documents(spark, dir)), col("pred_lang"),
+        UNIMAX_BUDGET, UNIMAX_EPOCHS)
+        .orderBy(col("doc_id"))),
+
     // mixture audit: per-language doc/token counts and token share
     // (Curation.mixtureStats doc)
     "d21_mixture_stats" -> ((spark: SparkSession, dir: String) =>
@@ -2283,6 +2293,40 @@ object PipelineQueries {
     s"""s AS (SELECT doc_id, $extraS$scSelects FROM documents),
        |l AS (SELECT doc_id, $langCase AS stratum$extraL FROM s)""".stripMargin.replace("\n", " ")
 
+  /** The d65 UniMax waterfilling chain (mirror of
+    * [[graft.operators.Curation.unimaxMixture]]'s driver loop as
+    * chained per-visit stages), over the langId strata with per-doc
+    * token counts riding `l`. Ends in
+    * `uall(stratum, n_tokens, cap, alloc)`; shared by d65 and d82 so
+    * allocation and realization cannot desynchronize.
+    */
+  private lazy val unimaxAllocCtes: String = {
+    val stages = (1 to 4).map { i =>
+      val rm = if (i == 1)
+        s"urm1 AS (SELECT (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM per) * $UNIMAX_BUDGET AS rem),"
+      else
+        s"""urm$i AS (SELECT (SELECT rem FROM urm${i - 1})
+           |  - coalesce((SELECT alloc FROM ua${i - 1}), 0) AS rem),""".stripMargin
+      s"""$rm
+         |ua$i AS (SELECT stratum, n_tokens, cap,
+         |  least(cap, (SELECT rem FROM urm$i)
+         |    / CAST((SELECT n FROM unn) - ${i - 1} AS DOUBLE)) AS alloc
+         |  FROM urk WHERE r = $i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 4).map(i => s"SELECT * FROM ua$i").mkString(" UNION ALL ")
+    s"""${langStrataCtes("text, ",
+           ", CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens")},
+       |per AS (SELECT stratum, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |        FROM l GROUP BY 1),
+       |urk AS (SELECT stratum, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) * $UNIMAX_EPOCHS AS cap,
+       |  row_number() OVER (ORDER BY CAST(n_tokens AS DOUBLE) * $UNIMAX_EPOCHS, stratum) AS r
+       |  FROM per),
+       |unn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM urk),
+       |$stages,
+       |uall AS ($union)""".stripMargin.replace("\n", " ")
+  }
+
   /** The SAMPLE_RATES fold as SQL (unlisted strata → default). */
   private def rateCase =
     "CASE stratum " +
@@ -2791,34 +2835,34 @@ object PipelineQueries {
     // ascending, then one chained stage per visit — each stage's
     // remaining subtracts the PREVIOUS alloc (same sequential
     // association as the driver fold), divisor = strata left
-    "d65_unimax" -> {
-      val stages = (1 to 4).map { i =>
-        val rm = if (i == 1)
-          s"urm1 AS (SELECT (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM per) * $UNIMAX_BUDGET AS rem),"
-        else
-          s"""urm$i AS (SELECT (SELECT rem FROM urm${i - 1})
-             |  - coalesce((SELECT alloc FROM ua${i - 1}), 0) AS rem),""".stripMargin
-        s"""$rm
-           |ua$i AS (SELECT stratum, n_tokens, cap,
-           |  least(cap, (SELECT rem FROM urm$i)
-           |    / CAST((SELECT n FROM unn) - ${i - 1} AS DOUBLE)) AS alloc
-           |  FROM urk WHERE r = $i)""".stripMargin
-      }.mkString(",\n")
-      val union = (1 to 4).map(i => s"SELECT * FROM ua$i").mkString(" UNION ALL ")
-      s"""WITH ${langStrataCtes("text, ",
-             ", CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens")},
-         |per AS (SELECT stratum, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-         |        FROM l GROUP BY 1),
-         |urk AS (SELECT stratum, n_tokens,
-         |  CAST(n_tokens AS DOUBLE) * $UNIMAX_EPOCHS AS cap,
-         |  row_number() OVER (ORDER BY CAST(n_tokens AS DOUBLE) * $UNIMAX_EPOCHS, stratum) AS r
-         |  FROM per),
-         |unn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM urk),
-         |$stages
+    "d65_unimax" ->
+      s"""WITH $unimaxAllocCtes
          |SELECT stratum, n_tokens, cap AS cap_tokens, alloc AS alloc_tokens,
          |  alloc / CAST(n_tokens AS DOUBLE) AS epochs
-         |FROM ($union) ORDER BY stratum""".stripMargin.replace("\n", " ")
-    },
+         |FROM uall ORDER BY stratum""".stripMargin.replace("\n", " "),
+
+    // mirror of Curation.unimaxSelect: the d65 waterfilling chain for
+    // the allocations, then the d47 prefix sum run PER STRATUM
+    // ((stratum, bkt)-partitioned running sums + per-stratum bucket
+    // offsets); selected = stratum-local start strictly below the
+    // stratum's allocation
+    "d82_unimax_select" ->
+      s"""WITH $unimaxAllocCtes,
+         |ub AS (SELECT doc_id, stratum, n_tokens,
+         |  ${duckHash60("CAST(doc_id AS VARCHAR)")} AS k FROM l),
+         |ubb AS (SELECT *, k >> 52 AS bkt FROM ub),
+         |uwc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stratum, bkt ORDER BY k, doc_id) AS cum FROM ubb),
+         |ubo AS (SELECT stratum, bkt,
+         |  CAST(sum(bt) OVER (PARTITION BY stratum ORDER BY bkt) - bt AS BIGINT) AS off
+         |  FROM (SELECT stratum, bkt, sum(n_tokens) AS bt FROM ubb GROUP BY 1, 2)),
+         |ups AS (SELECT doc_id, stratum, n_tokens,
+         |  CAST(off + cum - n_tokens AS BIGINT) AS start_tok
+         |  FROM uwc JOIN ubo USING (stratum, bkt)),
+         |ual AS (SELECT stratum, alloc FROM uall)
+         |SELECT doc_id, ups.stratum, n_tokens, start_tok,
+         |  (CAST(start_tok AS DOUBLE) < alloc) AS selected
+         |FROM ups JOIN ual ON ual.stratum = ups.stratum
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // expression order/parenthesization mirrors TextAnalysis.bm25
     // exactly (every op is +,-,*,/ over doubles — bit-identical)

@@ -1181,6 +1181,38 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(doubled == out)
   }
 
+  test("unimaxSelect: per stratum, selection is the budget-cut prefix of the shuffled stream; epochs >= 1 selects everything") {
+    val docs = TextAnalysis.langId(Tables.documents(spark, dir))
+    val alloc = Curation.unimaxMixture(docs, col("pred_lang"), 0.48, 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val sel = Curation.unimaxSelect(docs, col("pred_lang"), 0.48, 0.5)
+      .collect().map(r => (r.getString(1),
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+    assert(sel.nonEmpty)
+    sel.groupBy(_._1).foreach { case (stratum, rows) =>
+      val a = alloc(stratum)
+      val docsIn = rows.map(_._2).sortBy(_._3)
+      // selection = exactly the start < alloc prefix of the ordered stream
+      docsIn.foreach { case (id, n, st, s) =>
+        assert(s == (st.toDouble < a), s"$stratum doc $id") }
+      // positions tile the stratum stream exactly
+      docsIn.foldLeft(0L) { case (exp, (_, n, st, _)) =>
+        assert(st == exp, s"$stratum gap at $st"); st + n }
+      // budget honored up to one boundary-doc tail
+      val kept = docsIn.filter(_._4)
+      assert(kept.nonEmpty, s"$stratum kept nothing")
+      val keptTok = kept.map(_._2).sum
+      assert(keptTok.toDouble >= a || kept.size == docsIn.size,
+        s"$stratum under-filled: $keptTok < $a with docs left")
+      assert(keptTok.toDouble - a < kept.map(_._2).max.toDouble,
+        s"$stratum overshoot beyond the boundary doc")
+    }
+    // a budget past every cap: epochs >= 1 per stratum selects ALL docs
+    val all = Curation.unimaxSelect(docs, col("pred_lang"), 10.0, 2.0)
+      .collect()
+    assert(all.forall(_.getBoolean(4)), "epochs >= 1 must select everything")
+  }
+
   test("interleavedPack: windows tile exactly, per-doc media/text budgets are conserved, and media occupies the doc prefix") {
     val docs = Tables.documents(spark, dir)
     val ctx = 128
