@@ -1031,6 +1031,70 @@ object TextAnalysis {
     spark.createDataFrame(rows.toSeq).toDF("lang", "lambda", "weight")
   }
 
+  /** Heaps-law vocabulary growth curve (d83) — distinct-word count as
+    * a function of corpus size at `2^chunkBits` prefix checkpoints of
+    * the engine's deterministic hash60 document order (the same
+    * shuffle every packing/sharding op uses, so "prefix" here means
+    * exactly what a dataloader would consume first). Checkpoint c's
+    * prefix is all docs whose order-key's top `chunkBits` bits are
+    * ≤ c — hash-order octiles, equal-size in expectation rather than
+    * exact-count (documented; the growth LAW is about the token axis,
+    * which the row carries exactly).
+    *
+    * Per checkpoint: cumulative docs, tokens, distinct words, and the
+    * local Heaps exponent β between consecutive checkpoints —
+    * Δln(vocab)/Δln(tokens), with each ln quantized to DECIMAL(28,8)
+    * (the cross-engine transcendental device) so the subtraction is
+    * exact and the ONE double division bit-matches the oracle.
+    *
+    * Scale shape: a word's FIRST checkpoint is one map-side-combined
+    * min over the raw word stream (vocabulary-scale keys, never a
+    * corpus-wide distinct); per-checkpoint totals partial-aggregate to
+    * 2^chunkBits rows; every window (cumulatives, lag) runs over that
+    * tiny table. Returns (chk, n_docs_cum, n_tokens_cum, vocab_cum,
+    * beta) — beta NULL on the first checkpoint.
+    */
+  def heapsCurve(docs: DataFrame, chunkBits: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunkBits >= 1 && chunkBits <= 8, s"chunkBits=$chunkBits")
+    val base = docs.select(col("doc_id"), col("text"),
+        expr(s"shiftright(${hash60Sql("CAST(doc_id AS STRING)")}, ${60 - chunkBits})")
+          .as("chk"))
+      .localCheckpoint(true)
+    val perChk = base.groupBy(col("chk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val firstChk = base
+      .select(col("chk"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(min(col("chk")).as("fc"))
+      .groupBy(col("fc")).agg(count(lit(1)).as("n_new"))
+    val byChk = Window.orderBy(col("chk"))
+    val cum = perChk
+      .join(firstChk.withColumnRenamed("fc", "chk"), Seq("chk"), "left_outer")
+      .select(col("chk").cast("long").as("chk"), col("n_docs"),
+        col("n_tokens"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .select(col("chk"),
+        sum(col("n_docs")).over(byChk).cast("long").as("n_docs_cum"),
+        sum(col("n_tokens")).over(byChk).cast("long").as("n_tokens_cum"),
+        sum(col("n_new")).over(byChk).cast("long").as("vocab_cum"))
+    cum
+      .withColumn("lnv", expr(
+        "CAST(ln(CAST(vocab_cum AS DOUBLE)) AS DECIMAL(28,8))"))
+      .withColumn("lnt", expr(
+        "CAST(ln(CAST(n_tokens_cum AS DOUBLE)) AS DECIMAL(28,8))"))
+      .withColumn("beta",
+        ((col("lnv") - lag(col("lnv"), 1).over(byChk)).cast("double")
+          / (col("lnt") - lag(col("lnt"), 1).over(byChk)).cast("double")))
+      .select(col("chk"), col("n_docs_cum"), col("n_tokens_cum"),
+        col("vocab_cum"), col("beta"))
+  }
+
+  /** The hash60 construction as a SQL-expression string (for expr()
+    * call sites composing it inside larger expressions).
+    */
+  private def hash60Sql(arg: String): String =
+    s"CAST(conv(substring(md5($arg), 1, 15), 16, 10) AS BIGINT)"
+
   /** The scoring kernel behind [[bigramLmScoreIndexed]], over
     * already-loaded model frames — callers that score MANY corpora (or
     * many micro-batches: [[graft.streaming.EventTimeOps]]'s LM gate)

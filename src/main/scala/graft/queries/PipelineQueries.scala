@@ -932,6 +932,13 @@ object PipelineQueries {
         UNIMAX_BUDGET, UNIMAX_EPOCHS)
         .orderBy(col("doc_id"))),
 
+    // Heaps-law vocabulary growth (d83): distinct words vs tokens at
+    // hash-order prefix checkpoints, local exponent β via the
+    // DECIMAL(28,8) ln device (TextAnalysis.heapsCurve doc)
+    "d83_heaps_curve" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.heapsCurve(Tables.documents(spark, dir))
+        .orderBy(col("chk"))),
+
     // mixture audit: per-language doc/token counts and token share
     // (Curation.mixtureStats doc)
     "d21_mixture_stats" -> ((spark: SparkSession, dir: String) =>
@@ -3252,6 +3259,30 @@ object PipelineQueries {
          |FROM hx JOIN hsm USING (lang) ORDER BY hx.lang"""
         .stripMargin.replace("\n", " ")
     },
+
+    // mirror of TextAnalysis.heapsCurve: top-3-bit hash checkpoints,
+    // map-side-combined first-occurrence mins, cumulative windows over
+    // the 8-row table, β from DECIMAL-quantized lns (exact subtraction,
+    // one double divide)
+    "d83_heaps_curve" ->
+      s"""WITH hb AS (SELECT doc_id, text,
+         |  (${duckHash60("CAST(doc_id AS VARCHAR)")} >> 57) AS chk FROM documents),
+         |hpc AS (SELECT chk, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens FROM hb GROUP BY 1),
+         |hfc AS (SELECT word, min(chk) AS fc
+         |  FROM (SELECT chk, unnest(string_split(text,' ')) AS word FROM hb) GROUP BY 1),
+         |hnw AS (SELECT fc AS chk, CAST(count(*) AS BIGINT) AS n_new FROM hfc GROUP BY 1),
+         |hcm AS (SELECT chk,
+         |  CAST(sum(n_docs) OVER w AS BIGINT) AS n_docs_cum,
+         |  CAST(sum(n_tokens) OVER w AS BIGINT) AS n_tokens_cum,
+         |  CAST(sum(coalesce(n_new, 0)) OVER w AS BIGINT) AS vocab_cum
+         |  FROM hpc LEFT JOIN hnw USING (chk) WINDOW w AS (ORDER BY chk)),
+         |hln AS (SELECT *, CAST(ln(CAST(vocab_cum AS DOUBLE)) AS DECIMAL(28,8)) AS lnv,
+         |  CAST(ln(CAST(n_tokens_cum AS DOUBLE)) AS DECIMAL(28,8)) AS lnt FROM hcm)
+         |SELECT CAST(chk AS BIGINT) AS chk, n_docs_cum, n_tokens_cum, vocab_cum,
+         |  CAST(lnv - lag(lnv) OVER (ORDER BY chk) AS DOUBLE)
+         |    / CAST(lnt - lag(lnt) OVER (ORDER BY chk) AS DOUBLE) AS beta
+         |FROM hln ORDER BY chk""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.doremiExcess: the d53 scoring chain with
     // the token-level clip (difference at (37,8) where it is exactly

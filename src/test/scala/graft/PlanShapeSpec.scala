@@ -395,4 +395,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       "the df table is gram-vocabulary-scale and must stay a shuffled equi-join\n" + p.take(2000))
   }
+
+  test("d81: the HLL register build partial-aggregates (map-side max) — the sketch path must never shuffle the gram stream unreduced") {
+    val p = plan("d81_hll_grams")
+    assert(p.contains("partial_max"),
+      "register maxes must combine map-side\n" + p.take(2000))
+  }
+
+  test("m07: the multimodal prefix sum windows per bucket, not one global partition") {
+    val p = plan("m07_interleaved_pack")
+    assert(p.contains("hashpartitioning(bkt"),
+      "the running sum must window per bucket\n" + p.take(2000))
+  }
+
+  test("d82: the per-stratum prefix sum windows by (stratum, bucket), not one global partition") {
+    val p = plan("d82_unimax_select")
+    assert(p.contains("hashpartitioning(stratum"),
+      "the running sum must window per (stratum, bucket)\n" + p.take(2000))
+  }
 }

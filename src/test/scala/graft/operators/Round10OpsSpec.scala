@@ -1181,6 +1181,27 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(doubled == out)
   }
 
+  test("heapsCurve: cumulative counts are monotone prefixes, the final checkpoint is the whole corpus, betas are finite past the first row") {
+    val docs = Tables.documents(spark, dir)
+    val out = TextAnalysis.heapsCurve(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.length == 8 && out.map(_._1).toSeq == (0L to 7L))
+    // prefixes grow monotonically in every axis
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2 && b._3 > a._3 && b._4 >= a._4, s"$a -> $b") }
+    // the last checkpoint IS the corpus
+    val (nd, nt, nv) = (docs.count(),
+      docs.agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0),
+      docs.select(explode(split(col("text"), " "))).distinct().count())
+    assert(out.last._2 == nd && out.last._3 == nt && out.last._4 == nv)
+    // β defined everywhere past the first row, NaN only there
+    assert(out.head._5.isNaN)
+    out.tail.foreach { case (c, _, _, _, b) =>
+      assert(!b.isNaN && b >= 0.0 && b <= 1.0, s"chk $c beta $b") }
+  }
+
   test("unimaxSelect: per stratum, selection is the budget-cut prefix of the shuffled stream; epochs >= 1 selects everything") {
     val docs = TextAnalysis.langId(Tables.documents(spark, dir))
     val alloc = Curation.unimaxMixture(docs, col("pred_lang"), 0.48, 0.5)
