@@ -154,15 +154,7 @@ object Multimodal {
     */
   def mediaNearDupPairs(media: DataFrame, radius: Int = 3): DataFrame = {
     require(radius >= 0 && 60 % (radius + 1) == 0, s"radius=$radius")
-    val nb = radius + 1
-    val bits = 60 / nb
-    val mask = (1L << bits) - 1
-    val blk = mediaPhash(media).select(col("doc_id"), col("phash"),
-        explode(expr(s"transform(sequence(0, ${nb - 1}), b -> named_struct(" +
-          s"'bpos', b, 'bval', CAST(shiftright(phash, b * $bits) & $mask AS BIGINT)))"))
-          .as("bb"))
-      .select(col("doc_id"), col("phash"),
-        col("bb.bpos").as("bpos"), col("bb.bval").as("bval"))
+    val blk = phashBlocks(media, radius)
     val x = blk.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
       col("bpos"), col("bval"))
     val y = blk.select(col("doc_id").as("doc_b"), col("phash").as("hb"),
@@ -173,6 +165,121 @@ object Multimodal {
         expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= radius)
       .groupBy(col("doc_a"), col("doc_b")).agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** The (doc_id, phash, bpos, bval) Hamming-block rows shared by the
+    * self-join pair miner ([[mediaNearDupPairs]]) and the persisted
+    * index family (m08) — radius+1 blocks per fingerprint, pigeonhole
+    * full recall at the radius.
+    */
+  def phashBlocks(media: DataFrame, radius: Int): DataFrame = {
+    require(radius >= 0 && 60 % (radius + 1) == 0, s"radius=$radius")
+    val nb = radius + 1
+    val bits = 60 / nb
+    val mask = (1L << bits) - 1
+    mediaPhash(media).select(col("doc_id"), col("phash"),
+        explode(expr(s"transform(sequence(0, ${nb - 1}), b -> named_struct(" +
+          s"'bpos', b, 'bval', CAST(shiftright(phash, b * $bits) & $mask AS BIGINT)))"))
+          .as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.bpos").as("bpos"), col("bb.bval").as("bval"))
+  }
+
+  /** PERSIST the media-phash Hamming index (the build half of m08) —
+    * the media twin of the d77 LSH text index: history fingerprints as
+    * block rows written once, increments deduplicate against ALL of
+    * history without re-reading (or re-hashing) history payloads.
+    * Fingerprints are parameter-derived (nothing trained), so appends
+    * are exact — appended index ≡ fresh rebuild row-for-row
+    * ([[appendPhashIndex]], the d78/e42-strength claim).
+    */
+  def savePhashIndex(history: DataFrame, path: String, radius: Int = 3): Unit = {
+    phashBlocks(history, radius).write.mode("overwrite")
+      .parquet(s"$path/blocks")
+    val (rows, maxId) = graft.sources.IndexManifest.watermark(history, "doc_id")
+    graft.sources.IndexManifest.write(path, graft.sources.IndexManifest.Manifest(
+      "phash", Map("radius" -> radius.toLong), rows, maxId))
+  }
+
+  /** Id-monotone append to a persisted phash index (m08) — history
+    * block files stay byte-frozen; append ≡ rebuild exactly.
+    */
+  def appendPhashIndex(newMedia: DataFrame, path: String): Unit = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val man = IndexManifest.require(path, "phash")
+    val stats = newMedia.agg(count(lit(1)),
+      min(col("doc_id").cast("long")), max(col("doc_id").cast("long"))).head()
+    if (stats.getLong(0) == 0L) return
+    val (rows, minId, maxId) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (minId <= man.corpusMaxId)
+      throw new IndexManifestException(
+        s"increment ids start at $minId but the index watermark is " +
+          s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    phashBlocks(newMedia, man.params("radius").toInt).write.mode("append")
+      .parquet(s"$path/blocks")
+    IndexManifest.write(path,
+      man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
+  }
+
+  /** Probe a persisted phash index with an increment (m08) — per
+    * increment blob: banded candidate count, the closest within-radius
+    * history match (lowest id on ties), and the dup verdict. The block
+    * equi-join is the m06 pigeonhole shape with history swapped for
+    * the index table; history payloads are never touched. Both index
+    * sides are corpus-scale at 100 TB — no broadcast hints, AQE
+    * decides by measured size (the d77 reasoning).
+    * Returns (doc_id, n_cand, dup_of, best_hamming, is_dup).
+    */
+  def mediaNearDupIndexed(increment: DataFrame, path: String): DataFrame = {
+    val man = graft.sources.IndexManifest.require(path, "phash")
+    val radius = man.params("radius").toInt
+    val hb = increment.sparkSession.read.parquet(s"$path/blocks")
+    val cand = phashBlocks(increment, radius)
+      .select(col("doc_id").as("nid"), col("phash").as("pa"),
+        col("bpos"), col("bval"))
+      .join(hb.select(col("doc_id").as("hid"), col("phash").as("pb"),
+        col("bpos"), col("bval")), Seq("bpos", "bval"))
+      .select(col("nid"), col("hid"), col("pa"), col("pb")).distinct()
+    val scored = cand.select(col("nid"), col("hid"),
+      expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("ham"))
+    val nCand = scored.groupBy(col("nid")).agg(count(lit(1)).as("n_cand"))
+    val within = scored.filter(col("ham") <= radius)
+    val best = within.groupBy(col("nid")).agg(min(col("ham")).as("best_hamming"))
+    val dof = within.join(best, Seq("nid"))
+      .filter(col("ham") === col("best_hamming"))
+      .groupBy(col("nid")).agg(min(col("hid")).as("dup_of"))
+    increment.select(col("doc_id"))
+      .join(nCand.withColumnRenamed("nid", "doc_id"), Seq("doc_id"), "left_outer")
+      .join(best.withColumnRenamed("nid", "doc_id"), Seq("doc_id"), "left_outer")
+      .join(dof.withColumnRenamed("nid", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("dup_of"), col("best_hamming"),
+        col("best_hamming").isNotNull.as("is_dup"))
+  }
+
+  /** The e34/d79 maintenance policy for the phash index (m08):
+    * fresh / append / rebuild, idempotent; returns the action taken.
+    */
+  def phashIndexSync(media: DataFrame, path: String,
+      radius: Int = 3): String = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val man = try Some(IndexManifest.require(path, "phash",
+      Map("radius" -> radius.toLong)))
+    catch { case _: IndexManifestException => None }
+    man match {
+      case Some(m) =>
+        val stats = media.agg(count(lit(1)), max(col("doc_id").cast("long")),
+          sum(when(col("doc_id") <= m.corpusMaxId, 1L).otherwise(0L))).head()
+        val (rows, maxId) = (stats.getLong(0),
+          if (stats.isNullAt(1)) -1L else stats.getLong(1))
+        val prefixRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+        if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
+        else if (prefixRows == m.corpusRows && maxId > m.corpusMaxId) {
+          appendPhashIndex(media.filter(col("doc_id") > m.corpusMaxId), path)
+          "append"
+        } else { savePhashIndex(media, path, radius); "rebuild" }
+      case None => savePhashIndex(media, path, radius); "rebuild"
+    }
   }
 
   /** Partition-batched decode: one codec instance per partition (the shape

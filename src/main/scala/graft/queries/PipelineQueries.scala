@@ -169,6 +169,39 @@ object PipelineQueries {
         FRAME_BYTES, FRAME_STRIDE, PATCH_TOKENS)
         .orderBy(col("ctx_id"), col("doc_id"))),
 
+    // persisted media-phash index (m08): history fingerprints persisted
+    // once, the increment (fresh %4=0 blobs + single-byte-corrupted
+    // twins of %4=1 history blobs) probed with the m06 pigeonhole join
+    // — twins flag against their originals, fresh content passes
+    // (Multimodal.savePhashIndex / mediaNearDupIndexed docs)
+    "m08_phash_indexed" -> ((spark: SparkSession, dir: String) => {
+      val media = Multimodal.mediaView(Tables.documents(spark, dir))
+      val path = indexPath("m08-phash")
+      Multimodal.savePhashIndex(media.filter(col("doc_id") % 4 =!= 0), path,
+        SIMHASH_RADIUS)
+      Multimodal.mediaNearDupIndexed(phashProbeSet(media), path)
+        .orderBy(col("doc_id"))
+    }),
+
+    // phash index maintenance (m09): partial build, one sync that must
+    // append (fingerprints are parameter-derived — append ≡ rebuild
+    // exactly), one that must no-op, then serve — m08's oracle verbatim
+    // (Multimodal.phashIndexSync doc)
+    "m09_phash_synced" -> ((spark: SparkSession, dir: String) => {
+      val media = Multimodal.mediaView(Tables.documents(spark, dir))
+      val history = media.filter(col("doc_id") % 4 =!= 0)
+      val cut = history.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("m09-phash")
+      Multimodal.savePhashIndex(history.filter(col("doc_id") <= cut), path,
+        SIMHASH_RADIUS)
+      val a1 = Multimodal.phashIndexSync(history, path, SIMHASH_RADIUS)
+      require(a1 == "append", s"first sync took '$a1', expected append")
+      val a2 = Multimodal.phashIndexSync(history, path, SIMHASH_RADIUS)
+      require(a2 == "fresh", s"second sync took '$a2', expected fresh")
+      Multimodal.mediaNearDupIndexed(phashProbeSet(media), path)
+        .orderBy(col("doc_id"))
+    }),
+
     "d01_exact_dedup" -> ((spark: SparkSession, dir: String) =>
       Dedup.exactGroups(Tables.documents(spark, dir))
         .orderBy(col("digest"))),
@@ -2217,6 +2250,57 @@ object PipelineQueries {
     * errors loudly if any doc's byte length differs from its char
     * length. Add it to an integer output column.
     */
+  /** Mirror of the m08 indexed-probe chain (shared by m09's sync round
+    * trip): history/increment phashes, block rows, the pigeonhole
+    * equi-join, banded candidate counts, best within-radius match with
+    * lowest-id ties, verdict. ASCII guard rides n_cand (the duckPhash
+    * exactness precondition, as in m06).
+    */
+  private lazy val phashIndexedSql: String = {
+    val nb = SIMHASH_RADIUS + 1
+    val bits = 60 / nb
+    val mask = (1L << bits) - 1
+    def blkCte(name: String, src: String) =
+      s"""$name AS (SELECT doc_id, phash, b AS bpos,
+         |  CAST((phash >> CAST(b * $bits AS INT)) & $mask AS BIGINT) AS bval
+         |  FROM $src, LATERAL unnest(range(0, $nb)) AS u(b))""".stripMargin
+    s"""WITH hist AS (SELECT doc_id, text AS t FROM documents WHERE doc_id % 4 <> 0),
+       |incr AS (SELECT doc_id, text AS t FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL SELECT doc_id + 2000000, 'Z' || substring(text, 2, length(text) - 1)
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |hp AS (SELECT doc_id, ${duckPhash("t")} AS phash FROM hist),
+       |ip AS (SELECT doc_id, ${duckPhash("t")} AS phash FROM incr),
+       |${blkCte("hblk", "hp")},
+       |${blkCte("iblk", "ip")},
+       |pcand AS (SELECT DISTINCT i.doc_id AS nid, h.doc_id AS hid,
+       |  i.phash AS pa, h.phash AS pb
+       |  FROM iblk i JOIN hblk h ON i.bpos = h.bpos AND i.bval = h.bval),
+       |psc AS (SELECT nid, hid, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS ham FROM pcand),
+       |pnc AS (SELECT nid, CAST(count(*) AS BIGINT) AS n_cand FROM psc GROUP BY 1),
+       |pwi AS (SELECT * FROM psc WHERE ham <= $SIMHASH_RADIUS),
+       |pbs AS (SELECT nid, CAST(min(ham) AS BIGINT) AS best_hamming FROM pwi GROUP BY 1),
+       |pdf AS (SELECT w.nid, min(w.hid) AS dup_of FROM pwi w
+       |  JOIN pbs ON pbs.nid = w.nid AND w.ham = pbs.best_hamming GROUP BY w.nid)
+       |SELECT i.doc_id, coalesce(n_cand, 0) + ${asciiGuard("m08")} AS n_cand,
+       |  dup_of, best_hamming, (best_hamming IS NOT NULL) AS is_dup
+       |FROM incr i LEFT JOIN pnc ON pnc.nid = i.doc_id
+       |LEFT JOIN pbs ON pbs.nid = i.doc_id LEFT JOIN pdf ON pdf.nid = i.doc_id
+       |ORDER BY i.doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** The m08/m09 probe set: every fresh %4=0 blob plus a same-length
+    * single-byte-corrupted twin (id + 2000000) of each %4=1 HISTORY
+    * blob — the twin differs from its original in at most the first
+    * fingerprint block, so the pigeonhole join must flag it.
+    */
+  private def phashProbeSet(media: org.apache.spark.sql.DataFrame) =
+    media.filter(col("doc_id") % 4 === 0).unionByName(
+      media.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("cast(concat(cast('Z' as binary), substring(payload, 2, octet_length(payload) - 1)) as binary)")
+            .as("payload"),
+          col("lang"), col("source")))
+
   private def asciiGuard(name: String) =
     s"""CASE WHEN (SELECT count(*) FROM documents
        |  WHERE octet_length(encode(text)) <> length(text)) > 0
@@ -2688,6 +2772,13 @@ object PipelineQueries {
          |SELECT doc_a, doc_b, CAST(min(hamming) AS BIGINT) + ${asciiGuard("m06")} AS hamming
          |FROM pr GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of Multimodal.savePhashIndex + mediaNearDupIndexed: the
+    // m06 pigeonhole join with history swapped for the index table;
+    // m09 = the sync round trip serving the same verdicts (append ≡
+    // rebuild — fingerprints are parameter-derived)
+    "m08_phash_indexed" -> phashIndexedSql,
+    "m09_phash_synced" -> phashIndexedSql,
 
     // mirror of Dedup.lineDedup over documents + exact twins: the same
     // keep-first window partitioned by line text, docs rebuilt with an

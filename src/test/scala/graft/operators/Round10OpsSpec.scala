@@ -1181,6 +1181,54 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(doubled == out)
   }
 
+  test("phash index: append ≡ rebuild row-identical with frozen history files; probe flags corrupted twins against their originals, passes fresh blobs; sync is append-then-fresh") {
+    val media = Multimodal.mediaView(Tables.documents(spark, dir))
+    val history = media.filter(col("doc_id") % 4 =!= 0)
+    val cut = history.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+
+    val fresh = tmp("graft-phfresh-")
+    Multimodal.savePhashIndex(history, fresh, 3)
+    val app = tmp("graft-phapp-")
+    Multimodal.savePhashIndex(history.filter(col("doc_id") <= cut), app, 3)
+    val before = indexFiles(app, "blocks")
+    Multimodal.appendPhashIndex(history.filter(col("doc_id") > cut), app)
+    val after = indexFiles(app, "blocks")
+    assert(before.forall { case (f, sz) => after.get(f).contains(sz) },
+      "a history block file was rewritten by the append")
+    assert(after.size > before.size)
+    def rows(p: String) =
+      spark.read.parquet(s"$p/blocks").collect().map(_.toSeq).toSet
+    assert(rows(fresh) == rows(app), "append must equal rebuild row-for-row")
+
+    // probe: corrupted twins of %4=1 history blobs + fresh %4=0 blobs
+    val twins = history.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("cast(concat(cast('Z' as binary), substring(payload, 2, octet_length(payload) - 1)) as binary)")
+          .as("payload"), col("lang"), col("source"))
+    val probe = media.filter(col("doc_id") % 4 === 0).unionByName(twins)
+    def collectV(p: String) = Multimodal.mediaNearDupIndexed(probe, p)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toMap
+    val v = collectV(fresh)
+    assert(collectV(app) == v, "appended index must serve identical verdicts")
+    // every twin flags within hamming 1 (its original differs in at
+    // most the corrupted first block's bit; dup_of may be a DIFFERENT
+    // history doc at equal hamming — the templated corpus has
+    // near-identical texts, and lowest-id-at-best is the contract)
+    v.filter(_._1 >= 2000000L).foreach { case (id, (dup, best, isDup)) =>
+      assert(isDup && best <= 1L && dup >= 0L, s"twin $id -> ($dup, $best)") }
+    assert(v.exists(!_._2._3), "some fresh blob should pass")
+
+    // sync policy round trip
+    val p2 = tmp("graft-phsync-")
+    Multimodal.savePhashIndex(history.filter(col("doc_id") <= cut), p2, 3)
+    assert(Multimodal.phashIndexSync(history, p2, 3) == "append")
+    assert(Multimodal.phashIndexSync(history, p2, 3) == "fresh")
+    assert(Multimodal.phashIndexSync(history.filter(col("doc_id") % 2 === 1),
+      p2, 3) == "rebuild")
+  }
+
   test("heapsCurve: cumulative counts are monotone prefixes, the final checkpoint is the whole corpus, betas are finite past the first row") {
     val docs = Tables.documents(spark, dir)
     val out = TextAnalysis.heapsCurve(docs).collect()
