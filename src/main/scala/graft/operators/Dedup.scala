@@ -1383,6 +1383,48 @@ object Dedup {
     attachClusters(vertices, labels)
   }
 
+  /** LSH band-coverage curve (d84) — the e30/e44 probe-coverage lever
+    * applied to the dedup family: candidate recall of the exact
+    * ≥ threshold Jaccard pairs as a function of how many of the k-wide
+    * signature's bands are banded, over the d04/d52 measurement slice.
+    * Band subsets are PREFIXES of one shared signature (bands 0..b−1),
+    * and a bucket's cap verdict depends only on its own (bno, bkey), so
+    * candidate sets nest and the curve is nondecreasing BY CONSTRUCTION
+    * (spec-pinned) — the knob a production dedup job turns when tuning
+    * band count against the published 1−(1−j^r)^b hit law.
+    *
+    * Measured caveat (the d32/d57 ship-with-measured-caveat pattern):
+    * this corpus's pair population is bimodal — 6 near-exact twins at
+    * j ≥ 0.9 and everything else below 0.1 — so the registered curve
+    * is flat at 1.0 (twins band everywhere). The gradation the device
+    * exists to measure is spec-proven on constructed mid-Jaccard
+    * fixtures; the registered row pins the construction and the
+    * full-recall regime.
+    *
+    * Returns one row per band count:
+    * (n_bands, n_truth, n_found, recall).
+    */
+  def lshBandCurve(docs: DataFrame, bandCounts: Seq[Int] = Seq(2, 4, 8, 16),
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Long = 1000L, maxDf: Long = 10000L): DataFrame = {
+    require(bandCounts.nonEmpty && bandCounts.forall(b => b >= 1 && b <= bands),
+      s"bandCounts=$bandCounts out of 1..$bands")
+    val truth = jaccardAll(docs, threshold, maxDf)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint(true)
+    val banded = bandKeys(minhash(hashedShingles(docs), k), k, bands)
+      .localCheckpoint(true)
+    bandCounts.map { nb =>
+      val cand = lshCandidates(banded, nb, maxBucket)
+      truth.agg(count(lit(1)).as("n_truth")).crossJoin(
+          truth.join(cand, Seq("a", "b"), "left_semi")
+            .agg(count(lit(1)).as("n_found")))
+        .select(lit(nb.toLong).as("n_bands"),
+          col("n_truth").cast("long").as("n_truth"),
+          col("n_found").cast("long").as("n_found"),
+          (col("n_found").cast("double") / col("n_truth")).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cross-engine-exact HyperLogLOG gram cardinality (d81) — the
     * cardinality member of the sketch family (Bloom d11, Misra-Gries
     * top-k, windowed quantiles), built DETERMINISTICALLY so the sketch

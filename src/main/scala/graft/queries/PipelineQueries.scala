@@ -972,6 +972,16 @@ object PipelineQueries {
       TextAnalysis.heapsCurve(Tables.documents(spark, dir))
         .orderBy(col("chk"))),
 
+    // LSH band-coverage curve (d84): candidate recall of the exact
+    // ≥0.5-Jaccard pairs vs band count over the d04/d52 slice — nested
+    // band prefixes make it nondecreasing by construction
+    // (Dedup.lshBandCurve doc)
+    "d84_lsh_band_curve" -> ((spark: SparkSession, dir: String) =>
+      Dedup.lshBandCurve(
+        Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0),
+        Seq(2, 4, 8, 16), EST_K, EST_BANDS, 0.5, MAX_BUCKET, MAX_DF)
+        .orderBy(col("n_bands"))),
+
     // mixture audit: per-language doc/token counts and token share
     // (Curation.mixtureStats doc)
     "d21_mixture_stats" -> ((spark: SparkSession, dir: String) =>
@@ -3349,6 +3359,33 @@ object PipelineQueries {
          |  ($a / CAST(s AS DOUBLE) - n_exact) / n_exact AS rel_err
          |FROM hx JOIN hsm USING (lang) ORDER BY hx.lang"""
         .stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Dedup.lshBandCurve: the d04 exact-pair chain as truth,
+    // candidates from the shared capped band table restricted to the
+    // first nb bands (cap verdicts are per-bucket, so restriction ≡
+    // recomputation and the sets nest)
+    "d84_lsh_band_curve" -> {
+      val rowSel = Seq(2, 4, 8, 16).map { nb =>
+        s"""SELECT CAST($nb AS BIGINT) AS n_bands,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM btruth) AS n_truth,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM btruth t JOIN
+           |     (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM blb64 x
+           |      JOIN blb64 y ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+           |      WHERE x.bno < $nb) c ON c.a = t.a AND c.b = t.b) AS n_found"""
+          .stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH ${minhashEstCtesOver("doc_id % 2 = 0 AND")},
+         |$dfCapCte,
+         |bcard AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY 1),
+         |bint AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |         FROM shc x JOIN shc y ON x.hs = y.hs AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |btruth AS (SELECT a, b FROM bint JOIN bcard ca ON ca.doc_id = a
+         |           JOIN bcard cb ON cb.doc_id = b
+         |           WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.5)
+         |SELECT n_bands, n_truth, n_found,
+         |  CAST(n_found AS DOUBLE) / n_truth AS recall
+         |FROM ($rowSel) ORDER BY n_bands""".stripMargin.replace("\n", " ")
     },
 
     // mirror of TextAnalysis.heapsCurve: top-3-bit hash checkpoints,

@@ -1250,6 +1250,34 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(!b.isNaN && b >= 0.0 && b <= 1.0, s"chk $c beta $b") }
   }
 
+  test("lshBandCurve: nondecreasing by construction; mid-Jaccard fixtures grade the curve; corpus twins stay full-recall") {
+    import spark.implicits._
+    // 40 pairs at j ≈ 0.58 (30 of 40 words shared): the banding hit law
+    // 1-(1-j^4)^b must show through as a strictly graded curve
+    val docs = (0 until 40).flatMap { i =>
+      val shared = (1 to 40).map(w => s"p${i}w$w")
+      Seq((2L * i, shared.mkString(" ")),
+        (2L * i + 1, (shared.take(30) ++ (1 to 10).map(u => s"p${i}u$u"))
+          .mkString(" ")))
+    }.toDF("doc_id", "text")
+    val curve = Dedup.lshBandCurve(docs, Seq(2, 4, 8, 16), 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(curve.map(_._2).distinct.length == 1 && curve.head._2 == 40L,
+      s"truth must be the 40 constructed pairs: ${curve.toSeq}")
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"curve must be nondecreasing: ${curve.toSeq}") }
+    assert(curve.last._3 > curve.head._3,
+      s"mid-Jaccard pairs must grade the curve: ${curve.toSeq}")
+    assert(curve.forall(r => r._4 == r._3.toDouble / r._2))
+
+    // corpus slice: the registered flat-1.0 regime (twins band everywhere)
+    val corpus = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+    val reg = Dedup.lshBandCurve(corpus, Seq(2, 16), 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(reg.forall(_._2 == 1.0), s"corpus twins must band everywhere: ${reg.toSeq}")
+  }
+
   test("unimaxSelect: per stratum, selection is the budget-cut prefix of the shuffled stream; epochs >= 1 selects everything") {
     val docs = TextAnalysis.langId(Tables.documents(spark, dir))
     val alloc = Curation.unimaxMixture(docs, col("pred_lang"), 0.48, 0.5)
