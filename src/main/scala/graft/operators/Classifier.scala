@@ -189,6 +189,43 @@ object Classifier {
         ((col("margin") > 0) === (col("y") === 1)).as("correct"))
   }
 
+  /** Margin rank-cut selection (d86) — the d54 budget-cut device
+    * applied to the trained classifier: keep the top `num/den` of the
+    * corpus by margin. This is the published deployment shape for
+    * quality classifiers (FineWeb-Edu-style score budgets): a corpus
+    * keeps its best-scored fraction, NOT the raw sign rule — which this
+    * corpus measures as degenerate (the non-separable training set
+    * lands an all-negative final weight vector; d69 and the cls-gate
+    * both measure all-drop). Ranking uses the d46 bucketed distributed
+    * rank: bucket = the negated margin arithmetic-shifted by 8 (both
+    * engines floor-shift signed integers, spec-relevant for negative
+    * margins), within-bucket row_numbers + cumulative bucket offsets,
+    * ties on doc_id — no single-partition corpus window.
+    *
+    * Returns (doc_id, margin, rnk, selected) — rnk 1 = highest margin,
+    * selected = (rnk−1)·den < n_total·num.
+    */
+  def classifySelectTop(docs: DataFrame, labelPred: Column,
+      nBuckets: Int = 64, passes: Int = 3,
+      num: Int = 1, den: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(num >= 1 && den >= num, s"cut $num/$den")
+    val m = classifyPerceptron(docs, labelPred, nBuckets, passes)
+      .select(col("doc_id"), col("margin")).localCheckpoint(true)
+    val scored = m.withColumn("bkt", expr("shiftright(-margin, 8)"))
+    val counts = scored.groupBy(col("bkt")).agg(count(lit(1)).as("bc"))
+    val offsets = counts.select(col("bkt"),
+      (sum(col("bc")).over(Window.orderBy(col("bkt"))) - col("bc")).as("off"))
+    val total = m.agg(count(lit(1)).cast("long").as("n_total"))
+    val inBkt = Window.partitionBy(col("bkt"))
+      .orderBy(col("margin").desc, col("doc_id"))
+    scored.join(offsets, Seq("bkt"))
+      .withColumn("rnk", (col("off") + row_number().over(inBkt)).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("margin"), col("rnk"),
+        expr(s"(rnk - 1) * $den < n_total * $num").as("selected"))
+  }
+
   /** Continue training a persisted classifier on NEW labeled documents
     * only (d75) — warm start from the stored weights, `passes` rounds
     * over the increment, write back. The perceptron is an ONLINE

@@ -982,6 +982,39 @@ object PipelineQueries {
         Seq(2, 4, 8, 16), EST_K, EST_BANDS, 0.5, MAX_BUCKET, MAX_DF)
         .orderBy(col("n_bands"))),
 
+    // margin rank-cut classifier selection (d86): the d54 budget-cut
+    // device over the d69 margins — the published quality-classifier
+    // deployment shape (a score budget, not the raw sign rule, which
+    // this corpus measures as degenerate all-negative)
+    // (Classifier.classifySelectTop doc)
+    "d86_classifier_topcut" -> ((spark: SparkSession, dir: String) =>
+      Classifier.classifySelectTop(Tables.documents(spark, dir),
+        col("lang") === "en", CLS_BUCKETS, CLS_PASSES)
+        .orderBy(col("doc_id"))),
+
+    // full-curation composition (d85): the pipeline a training-data run
+    // actually executes, as ONE verdict row per train doc — the d19
+    // keep-list (dedup-rep / decontam / repetition / copy / sample
+    // gates), the d46 perplexity tier, and the d86 classifier top-half
+    // cut, composed into the final selection: keep AND tier <> 'tail'
+    // AND top-half-by-margin (the CCNet head+middle convention under a
+    // trained quality budget). Every leg is a factored shared chain on
+    // BOTH engines, so the composition cannot drift from its parts.
+    "d85_full_curation" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val keep = keepCached(spark, dir)
+        .select(col("doc_id"), col("keep").as("curation_keep"))
+      val tier = TextAnalysis.perplexityTiers(docs, LM_SCALE)
+        .select(col("doc_id"), col("tier"))
+      val cls = Classifier.classifySelectTop(docs, col("lang") === "en",
+          CLS_BUCKETS, CLS_PASSES)
+        .select(col("doc_id"), col("selected").as("cls_keep"))
+      keep.join(tier, Seq("doc_id")).join(cls, Seq("doc_id"))
+        .withColumn("selected",
+          col("curation_keep") && col("tier") =!= "tail" && col("cls_keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // mixture audit: per-language doc/token counts and token share
     // (Curation.mixtureStats doc)
     "d21_mixture_stats" -> ((spark: SparkSession, dir: String) =>
@@ -2223,6 +2256,26 @@ object PipelineQueries {
        |FROM pfin ORDER BY doc_id"""
       .stripMargin.replace("\n", " ")
 
+  /** Mirror of [[graft.operators.Classifier.classifySelectTop]] over
+    * the shared perceptron chain: margins, the bucketed rank (negated
+    * margin floor-shifted by 8 — both engines' `>>` is arithmetic on
+    * signed integers), the num/den cut. Ends in
+    * `csel(doc_id, margin, rnk, selected)`; shared by d86 and d85's
+    * classifier leg.
+    */
+  private lazy val classifierTopCutCtes: String =
+    s"""pfin AS (SELECT f.doc_id, CAST(sum(f.x * w.wt) AS BIGINT) AS margin
+       |  FROM pfeat f JOIN pw$CLS_PASSES w USING (bucket) GROUP BY f.doc_id),
+       |cbk AS (SELECT doc_id, margin, (-margin) >> 8 AS bkt FROM pfin),
+       |cbc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS bc FROM cbk GROUP BY 1),
+       |cbo AS (SELECT bkt, CAST(sum(bc) OVER (ORDER BY bkt) - bc AS BIGINT) AS off FROM cbc),
+       |ctot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pfin),
+       |crk AS (SELECT doc_id, margin,
+       |  CAST(off + row_number() OVER (PARTITION BY bkt ORDER BY margin DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM cbk JOIN cbo USING (bkt)),
+       |csel AS (SELECT doc_id, margin, rnk, ((rnk - 1) * 2 < n_total * 1) AS selected
+       |  FROM crk CROSS JOIN ctot)""".stripMargin.replace("\n", " ")
+
   /** The shared d53/d54 scoring chain: both models joined against one
     * gram stream, ending in `sc(doc_id, t_eff, c_eff)`.
     */
@@ -3360,6 +3413,43 @@ object PipelineQueries {
          |FROM hx JOIN hsm USING (lang) ORDER BY hx.lang"""
         .stripMargin.replace("\n", " ")
     },
+
+    // mirror of the d85 composition: the d19 keep query wrapped as a
+    // derived table (it carries its own WITH RECURSIVE scope), the d46
+    // tier chain, and the d69 perceptron margin, joined on doc_id —
+    // each leg IS its own registered oracle's chain verbatim
+    "d85_full_curation" ->
+      s"""WITH $perceptronCtes,
+         |$bigramLmCtes,
+         |ls AS (SELECT doc_id, avg_nll,
+         |       CAST(floor(avg_nll * $LM_SCALE) AS BIGINT) AS bkt FROM lm),
+         |lbc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS bc FROM ls GROUP BY 1),
+         |lbo AS (SELECT bkt, CAST(sum(bc) OVER (ORDER BY bkt) - bc AS BIGINT) AS off FROM lbc),
+         |ltot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lm),
+         |lrk AS (SELECT doc_id, avg_nll,
+         |  CAST(off + row_number() OVER (PARTITION BY bkt ORDER BY avg_nll, doc_id) AS BIGINT) AS rnk
+         |  FROM ls JOIN lbo USING (bkt)),
+         |tser AS (SELECT doc_id,
+         |  CASE WHEN (rnk - 1) * 3 < n_total THEN 'head'
+         |       WHEN (rnk - 1) * 3 < 2 * n_total THEN 'middle'
+         |       ELSE 'tail' END AS tier
+         |  FROM lrk CROSS JOIN ltot),
+         |$classifierTopCutCtes,
+         |ck AS (SELECT doc_id, keep FROM ($curationKeepSql) ckq)
+         |SELECT ck.doc_id, ck.keep AS curation_keep, tser.tier,
+         |  csel.selected AS cls_keep,
+         |  (ck.keep AND tser.tier <> 'tail' AND csel.selected) AS selected
+         |FROM ck JOIN tser ON tser.doc_id = ck.doc_id
+         |JOIN csel ON csel.doc_id = ck.doc_id
+         |ORDER BY ck.doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Classifier.classifySelectTop: the shared perceptron
+    // chain through the bucketed-rank cut
+    "d86_classifier_topcut" ->
+      s"""WITH $perceptronCtes,
+         |$classifierTopCutCtes
+         |SELECT doc_id, margin, rnk, selected FROM csel ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
 
     // mirror of Dedup.lshBandCurve: the d04 exact-pair chain as truth,
     // candidates from the shared capped band table restricted to the

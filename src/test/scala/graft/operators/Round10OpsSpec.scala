@@ -1250,6 +1250,34 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(!b.isNaN && b >= 0.0 && b <= 1.0, s"chk $c beta $b") }
   }
 
+  test("full curation (d85): the composed verdict equals its standalone legs doc-for-doc over exactly the train split") {
+    val docs = Tables.documents(spark, dir)
+    val out = graft.SparkEntry.queries("d85_full_curation")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getString(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.keySet == train, "one verdict row per train doc, none else")
+    // legs recomputed standalone
+    val tiers = TextAnalysis.perplexityTiers(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val cls = Classifier.classifySelectTop(docs, col("lang") === "en", 64, 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    out.foreach { case (id, (ck, tier, ckls, sel)) =>
+      assert(tier == tiers(id), s"doc $id tier")
+      assert(ckls == cls(id), s"doc $id classifier")
+      assert(sel == (ck && tier != "tail" && ckls), s"doc $id selection")
+    }
+    // the classifier budget cut takes exactly the top half by margin
+    val n = cls.size
+    assert(cls.values.count(identity) == (n + 1) / 2 ||
+      cls.values.count(identity) == n / 2, s"cut size off: ${cls.values.count(identity)} of $n")
+    // the composition must actually divide the corpus somewhere
+    assert(out.values.exists(!_._4))
+    assert(cls.values.exists(identity) && tiers.values.exists(_ != "tail"))
+  }
+
   test("lshBandCurve: nondecreasing by construction; mid-Jaccard fixtures grade the curve; corpus twins stay full-recall") {
     import spark.implicits._
     // 40 pairs at j ≈ 0.58 (30 of 40 words shared): the banding hit law
