@@ -583,6 +583,86 @@ object TextAnalysis {
       .select(col("doc_id"), score.as("score"))
   }
 
+  /** PERSIST the BM25 inverted index (the build half of d87) — the
+    * retrieval production shape: postings (term, doc_id, tf) for EVERY
+    * term, per-doc lengths, and the corpus constants (n_docs, sum_dl),
+    * built once so any query is answered from postings without
+    * re-reading text. At 100 TB the postings table is bucketed BY term
+    * so a query's probe co-locates without shuffling the index; it is
+    * vocabulary×doc-scale and never broadcast.
+    *
+    * Maintenance is REBUILD-ONLY by design, unlike the frozen-book
+    * index families: BM25's idf and avgdl are corpus-global, so an
+    * append changes every existing score — an "append" that froze the
+    * constants would silently serve a different ranking function. The
+    * manifest staleness gate is what makes that honest (consumers fail
+    * loudly on a grown corpus instead of serving stale constants).
+    */
+  def saveBm25Index(docs: DataFrame, path: String): Unit = {
+    val w = split(col("text"), " ")
+    docs.select(col("doc_id"), explode(w).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    docs.select(col("doc_id"), size(w).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/lens")
+    docs.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(w)).cast("long").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/consts")
+    val (rows, maxId) = graft.sources.IndexManifest.watermark(docs, "doc_id")
+    graft.sources.IndexManifest.write(path, graft.sources.IndexManifest.Manifest(
+      "bm25", Map.empty, rows, maxId))
+  }
+
+  /** BM25 scoring from a persisted index (d87) — [[bm25]] with text
+    * replaced by postings probes: per query term one filtered postings
+    * read left-joined onto the length table (tf = 0 when absent — the
+    * formula's zero contribution, exactly as the batch kernel computes
+    * it), dfs and the corpus constants as a broadcast single row, and
+    * the SAME explicitly-parenthesized score expression in the SAME
+    * term order, so indexed scores are bit-identical to [[bm25]]'s —
+    * registered against d17's oracle verbatim (persistence must not
+    * change a score). The per-term contributions are pivoted to
+    * COLUMNS before the sum precisely because float addition order is
+    * part of the contract — an unordered SUM over posting rows would
+    * drift in the last bit.
+    */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Indexed: need at least one query term")
+    graft.sources.IndexManifest.require(path, "bm25")
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(terms: _*)).localCheckpoint(true)
+    val lens = spark.read.parquet(s"$path/lens")
+    // coalesce guards the all-terms-absent probe (empty frame → NULL sums)
+    val dfAggs = count(lit(1)).as("probe_rows") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(col("term") === t, 1L).otherwise(0L)), lit(0L))
+          .cast("double").as(s"df$i")
+      }
+    val dfs = postings.agg(dfAggs.head, dfAggs.tail: _*).drop("probe_rows")
+    val consts = spark.read.parquet(s"$path/consts")
+      .select(col("n_docs").cast("double").as("nd"),
+        col("sum_dl").cast("double").as("sum_dl"))
+    var scored = lens
+    terms.zipWithIndex.foreach { case (t, i) =>
+      scored = scored.join(
+        postings.filter(col("term") === t)
+          .select(col("doc_id"), col("tf").as(s"tf$i")),
+        Seq("doc_id"), "left_outer")
+    }
+    val dl = col("dl").cast("double")
+    val avgdl = col("sum_dl") / col("nd")
+    val score = terms.indices.map { i =>
+      val tf = coalesce(col(s"tf$i"), lit(0L)).cast("double")
+      val idf = (col("nd") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (dl / avgdl)))
+    }.reduce(_ + _)
+    scored.crossJoin(broadcast(dfs)).crossJoin(broadcast(consts))
+      .select(col("doc_id"), score.as("score"))
+  }
+
   /** Lexical-diversity quality signals — the full-distribution
     * complement to [[repetition]]'s top-n-gram share: type-token ratio
     * and the Simpson/Herfindahl concentration Σ(c/n)² of the doc's

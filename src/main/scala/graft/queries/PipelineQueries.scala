@@ -982,6 +982,18 @@ object PipelineQueries {
         Seq(2, 4, 8, 16), EST_K, EST_BANDS, 0.5, MAX_BUCKET, MAX_DF)
         .orderBy(col("n_bands"))),
 
+    // persisted BM25 inverted index (d87): postings/lengths/constants
+    // built once, queries answered from probes with the batch kernel's
+    // exact expression form — per-term contributions pivoted to columns
+    // so float addition order is preserved; registered against d17's
+    // oracle verbatim (TextAnalysis.saveBm25Index / bm25Indexed docs)
+    "d87_bm25_indexed" -> ((spark: SparkSession, dir: String) => {
+      val path = indexPath("d87-bm25")
+      TextAnalysis.saveBm25Index(Tables.documents(spark, dir), path)
+      TextAnalysis.bm25Indexed(spark, path, BM25_TERMS)
+        .orderBy(col("doc_id"))
+    }),
+
     // margin rank-cut classifier selection (d86): the d54 budget-cut
     // device over the d69 margins — the published quality-classifier
     // deployment shape (a score budget, not the raw sign rule, which
@@ -2256,6 +2268,30 @@ object PipelineQueries {
        |FROM pfin ORDER BY doc_id"""
       .stripMargin.replace("\n", " ")
 
+  /** THE d17 BM25 chain (mirror of [[graft.operators.TextAnalysis]]
+    * `bm25`): expression order/parenthesization matched exactly (every
+    * op is +,-,*,/ over doubles — bit-identical). Shared by d17 and
+    * d87 (indexed scoring must equal the batch kernel).
+    */
+  private lazy val bm25Sql: String = {
+    val dfSelects = BM25_TERMS.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(string_split(text,' '), '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(", ")
+    val tfSelects = BM25_TERMS.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(", ")
+    val scoreSum = BM25_TERMS.indices.map { i =>
+      s"((nd - df$i + 0.5)/(df$i + 0.5)) * (tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (sum_dl / nd))))"
+    }.mkString(" + ")
+    s"""WITH st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+       |  CAST(sum(len(string_split(text,' '))) AS DOUBLE) AS sum_dl,
+       |  $dfSelects FROM documents),
+       |d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfSelects
+       |      FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
+       |SELECT doc_id, $scoreSum AS score
+       |FROM d CROSS JOIN st ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** Mirror of [[graft.operators.Classifier.classifySelectTop]] over
     * the shared perceptron chain: margins, the bucketed rank (negated
     * margin floor-shifted by 8 — both engines' `>>` is arithmetic on
@@ -3027,24 +3063,11 @@ object PipelineQueries {
 
     // expression order/parenthesization mirrors TextAnalysis.bm25
     // exactly (every op is +,-,*,/ over doubles — bit-identical)
-    "d17_bm25" -> {
-      val dfSelects = BM25_TERMS.zipWithIndex.map { case (t, i) =>
-        s"CAST(sum(CASE WHEN list_contains(string_split(text,' '), '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
-      }.mkString(", ")
-      val tfSelects = BM25_TERMS.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
-      }.mkString(", ")
-      val scoreSum = BM25_TERMS.indices.map { i =>
-        s"((nd - df$i + 0.5)/(df$i + 0.5)) * (tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (sum_dl / nd))))"
-      }.mkString(" + ")
-      s"""WITH st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
-         |  CAST(sum(len(string_split(text,' '))) AS DOUBLE) AS sum_dl,
-         |  $dfSelects FROM documents),
-         |d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfSelects
-         |      FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
-         |SELECT doc_id, $scoreSum AS score
-         |FROM d CROSS JOIN st ORDER BY doc_id""".stripMargin.replace("\n", " ")
-    },
+    "d17_bm25" -> bm25Sql,
+
+    // d87: the persisted inverted index must not change a score —
+    // d17's oracle verbatim (the d44/e31 persistence-equality claim)
+    "d87_bm25_indexed" -> bm25Sql,
 
     "d15_vocab" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),

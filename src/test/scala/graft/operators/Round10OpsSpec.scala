@@ -1250,6 +1250,31 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(!b.isNaN && b >= 0.0 && b <= 1.0, s"chk $c beta $b") }
   }
 
+  test("bm25 index: indexed scores are bit-identical to the batch kernel, absent terms included; the freshness gate sees growth") {
+    val docs = Tables.documents(spark, dir)
+    val path = tmp("graft-bm25-")
+    TextAnalysis.saveBm25Index(docs, path)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val terms = Seq("table", "query", "spark")
+    assert(scores(TextAnalysis.bm25Indexed(spark, path, terms)) ==
+      scores(TextAnalysis.bm25(docs, terms)),
+      "indexed scores must be bit-identical to the batch kernel")
+    // a term absent from the corpus takes the zero-tf form in both
+    val t2 = Seq("table", "zzz_not_in_corpus")
+    assert(scores(TextAnalysis.bm25Indexed(spark, path, t2)) ==
+      scores(TextAnalysis.bm25(docs, t2)))
+    // all-absent query: every doc scores exactly 0.0 (empty probe guarded)
+    val t3 = Seq("zzz_not_in_corpus")
+    val z = scores(TextAnalysis.bm25Indexed(spark, path, t3))
+    assert(z.size == docs.count() && z.values.forall(_ == 0.0))
+    // rebuild-only maintenance: the freshness gate sees a grown corpus
+    assert(IndexManifest.isFresh(path, docs, "doc_id"))
+    assert(!IndexManifest.isFresh(path,
+      docs.unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))), "doc_id"))
+  }
+
   test("full curation (d85): the composed verdict equals its standalone legs doc-for-doc over exactly the train split") {
     val docs = Tables.documents(spark, dir)
     val out = graft.SparkEntry.queries("d85_full_curation")(spark, dir)
