@@ -631,8 +631,13 @@ object TextAnalysis {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25Indexed: need at least one query term")
     graft.sources.IndexManifest.require(path, "bm25")
+    // deliberately NOT checkpointed: each consumer keeps its own parquet
+    // scan with the term filter PUSHED (PushedFilters, spec-asserted) —
+    // reading q postings lists off disk IS the index's serving shape,
+    // and a materialization would hide the pushdown and hold the probe
+    // in memory for no reuse win
     val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("term").isin(terms: _*)).localCheckpoint(true)
+      .filter(col("term").isin(terms: _*))
     val lens = spark.read.parquet(s"$path/lens")
     // coalesce guards the all-terms-absent probe (empty frame → NULL sums)
     val dfAggs = count(lit(1)).as("probe_rows") +:

@@ -413,4 +413,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(stratum"),
       "the running sum must window per (stratum, bucket)\n" + p.take(2000))
   }
+
+  test("d86: the margin rank windows per bucket, not one global partition") {
+    val p = plan("d86_classifier_topcut")
+    assert(p.contains("hashpartitioning(bkt"),
+      "the rank must window per margin bucket\n" + p.take(2000))
+  }
+
+  test("d87: the query-term filter reaches the postings parquet scan (PushedFilters In(term))") {
+    val p = plan("d87_bm25_indexed")
+    assert(p.contains("PushedFilters: [In(term") ||
+      p.contains("PushedFilters: [EqualTo(term"),
+      "term probes must push into the postings scan — at 100 TB this is " +
+        "the difference between reading three postings lists and the " +
+        "whole vocabulary\n" + p.take(3000))
+  }
 }
