@@ -94,13 +94,11 @@ object Bench {
     // third entry in runs_detail (the adaptive tiebreaker above)
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""runs":2,"agg":"min","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    println(line)
-    // The driver's capture keeps only the last ~2000 chars of stdout; at
-    // 160+ queries the full line above is ~5 KB, so its head (and the
-    // opening brace) falls outside the window and the round artifact
-    // records "parsed": null (BENCH_r08/r09). Emit a SECOND, compact
-    // line LAST — headline numbers + failure list, per-query map in the
-    // file dump it points at — sized to always fit the capture window.
+    // The full per-query line goes to target/bench.json ONLY: printed, it
+    // both overflows the driver's ~2000-char stdout capture (BENCH_r08/r09
+    // recorded "parsed": null from the truncation) and gives any consumer
+    // that greps ALL "metric":"total" lines a double-counted total. One
+    // compact stdout line is the whole contract; it points at the file.
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"runs":2,"agg":"min",""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir",""" +

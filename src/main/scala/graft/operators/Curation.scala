@@ -157,6 +157,72 @@ object Curation {
     loadKeepList(spark, path)
   }
 
+  /** The FULL curation verdict (d85's composition as one frame): the
+    * [[keepList]] verdict AND the d46 perplexity tier AND the d86
+    * classifier top-half cut, joined per train doc into the final
+    * selection `keep AND tier <> 'tail' AND cls_keep` — the CCNet
+    * head+middle convention under a trained quality budget. Each leg is
+    * the registered operator verbatim, so the composition cannot drift
+    * from its parts. Returns
+    * (doc_id, curation_keep, tier, cls_keep, selected).
+    */
+  def fullVerdict(docs: DataFrame, keepVerdict: DataFrame, lmScale: Int,
+      clsLabel: Column, clsBuckets: Int, clsPasses: Int): DataFrame = {
+    val keep = keepVerdict.select(col("doc_id"), col("keep").as("curation_keep"))
+    val tier = TextAnalysis.perplexityTiers(docs, lmScale)
+      .select(col("doc_id"), col("tier"))
+    val cls = Classifier.classifySelectTop(docs, clsLabel, clsBuckets, clsPasses)
+      .select(col("doc_id"), col("selected").as("cls_keep"))
+    keep.join(tier, Seq("doc_id")).join(cls, Seq("doc_id"))
+      .withColumn("selected",
+        col("curation_keep") && col("tier") =!= "tail" && col("cls_keep"))
+  }
+
+  /** The [[fullVerdict]] as a persisted, manifest-gated ARTIFACT (the
+    * keepListCached pattern one level up): built once per
+    * (corpus, params) version at `path`, served from parquet by every
+    * consumer — the d85 registered row, the d88 curated-store build,
+    * any selection-driven sampler — instead of each re-deriving the
+    * classifier + tier + keep chains (the same move that took d19 from
+    * re-derivation to a 0.3 s artifact read in round 9). The manifest
+    * params are the keep-list gate params PLUS the tier/classifier
+    * knobs, so ANY knob drift (or corpus growth) misses the cache and
+    * rebuilds; the keep leg itself rides [[keepListCached]] at
+    * `keepPath`, so a warm full-verdict build reuses a warm keep
+    * artifact. Eval predicate and classifier label are part of what the
+    * paths MEAN (the keepParams convention).
+    */
+  def fullVerdictCached(docs: DataFrame, evalPred: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      k: Int, bands: Int, threshold: Double,
+      maxBucket: Long, maxDf: Long,
+      lmScale: Int, clsLabel: Column, clsBuckets: Int, clsPasses: Int,
+      keepPath: String, path: String,
+      minTokens: Int = 20, maxTopNgram: Double = 0.2,
+      maxDupToken: Double = 0.8, maxCopyFrac: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val params = keepParams(rates, defaultRate, k, bands, threshold,
+      maxBucket, maxDf, minTokens, maxTopNgram, maxDupToken, maxCopyFrac) ++
+      Map("lm_scale" -> lmScale.toLong, "cls_buckets" -> clsBuckets.toLong,
+        "cls_passes" -> clsPasses.toLong)
+    val hit = try {
+      val m = IndexManifest.require(path, "curation", params)
+      m.params == params && IndexManifest.isFresh(path, docs, "doc_id")
+    } catch { case _: graft.sources.IndexManifestException => false }
+    if (!hit) {
+      val keep = keepListCached(docs, evalPred, rates, defaultRate, k, bands,
+        threshold, maxBucket, maxDf, keepPath, minTokens, maxTopNgram,
+        maxDupToken, maxCopyFrac)
+      fullVerdict(docs, keep, lmScale, clsLabel, clsBuckets, clsPasses)
+        .write.mode("overwrite").parquet(s"$path/verdict")
+      val (rows, maxId) = IndexManifest.watermark(docs, "doc_id")
+      IndexManifest.write(path,
+        IndexManifest.Manifest("curation", params, rows, maxId))
+    }
+    IndexManifest.require(path, "curation")
+    spark.read.parquet(s"$path/verdict")
+  }
+
   /** The curation run's operational dashboard (d38): one row of
     * per-reason drop accounting over a [[keepList]] verdict — the
     * numbers an operator watches across corpus versions (a broken gate
@@ -345,6 +411,11 @@ object Curation {
       .select(col("stratum"), col("n_tokens")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     require(rows.nonEmpty, "unimaxMixture: no strata")
+    // a NULL stratum would corrupt every downstream consumer quietly —
+    // the allocation CASE never matches it (NULL equality) and the
+    // per-stratum equi-joins drop its docs — so it fails HERE, loudly
+    require(rows.forall(_._1 != null),
+      "unimaxMixture: NULL stratum — every document must map to a stratum")
     var remaining = rows.map(_._2).sum.toDouble * budgetFrac
     val sorted = rows.map { case (s, n) => (s, n, n.toDouble * maxEpochs) }
       .sortBy { case (s, _, cap) => (cap, s) }
@@ -386,7 +457,15 @@ object Curation {
     val alloc = unimaxMixture(docs, strata, budgetFrac, maxEpochs)
       .select(col("stratum"), col("alloc_tokens")).collect()
       .map(r => (r.getString(0), r.getDouble(1)))
-    val allocCase = alloc.foldLeft(lit(Double.NaN)) { case (acc, (s, a)) =>
+    // The fallback for a stratum absent from the allocation table (only
+    // reachable via a NULL stratum — allocations derive from these same
+    // docs) must fail LOUDLY: a NaN fallback would silently select every
+    // such doc (start_tok < NaN is true under Spark's NaN-greatest
+    // ordering), a budget bypass.
+    val allocCase = alloc.foldLeft(
+      raise_error(concat(lit("unimaxSelect: stratum without allocation: "),
+        coalesce(col("stratum").cast("string"), lit("NULL")))).cast("double")
+    ) { case (acc, (s, a)) =>
       when(col("stratum") === s, lit(a)).otherwise(acc)
     }
     val base = docs.select(col("doc_id"), strata.as("stratum"),

@@ -1421,7 +1421,10 @@ object Dedup {
         .select(lit(nb.toLong).as("n_bands"),
           col("n_truth").cast("long").as("n_truth"),
           col("n_found").cast("long").as("n_found"),
-          (col("n_found").cast("double") / col("n_truth")).as("recall"))
+          // a sliced corpus with NO ≥ threshold pairs has no recall to
+          // report: NULL, not 0.0/0.0 = NaN (mirrored in the d84 oracle)
+          when(col("n_truth") > 0,
+            col("n_found").cast("double") / col("n_truth")).as("recall"))
     }.reduce(_ unionByName _)
   }
 
@@ -1564,6 +1567,10 @@ object Dedup {
       throw new IndexManifestException(
         s"increment ids start at $minId but the index watermark is " +
           s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    // orphan guard: a prior append that crashed before its manifest flip
+    // left sig rows above the watermark; appending again would duplicate
+    IndexManifest.requireNoOrphans(
+      newDocs.sparkSession.read.parquet(s"$path/sig"), "doc_id", man, path)
     val sig = minhash(hashedShingles(newDocs), k)
     sig.write.mode("append").parquet(s"$path/sig")
     bandRows(sig, k, bands).write.mode("append").parquet(s"$path/bands")
@@ -1674,8 +1681,11 @@ object Dedup {
         val prefixRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
         if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
         else if (prefixRows == m.corpusRows && maxId > m.corpusMaxId) {
-          appendLshIndex(docs.filter(col("doc_id") > m.corpusMaxId), path)
-          "append"
+          // orphan residue from a crashed append → rebuild, the
+          // documented recovery for the append-vs-manifest crash window
+          try { appendLshIndex(docs.filter(col("doc_id") > m.corpusMaxId), path); "append" }
+          catch { case _: IndexManifestException =>
+            saveLshIndex(docs, path, k, bands); "rebuild" }
         } else { saveLshIndex(docs, path, k, bands); "rebuild" }
       case None => saveLshIndex(docs, path, k, bands); "rebuild"
     }

@@ -215,6 +215,8 @@ object Multimodal {
       throw new IndexManifestException(
         s"increment ids start at $minId but the index watermark is " +
           s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    IndexManifest.requireNoOrphans(
+      newMedia.sparkSession.read.parquet(s"$path/blocks"), "doc_id", man, path)
     phashBlocks(newMedia, man.params("radius").toInt).write.mode("append")
       .parquet(s"$path/blocks")
     IndexManifest.write(path,
@@ -275,8 +277,9 @@ object Multimodal {
         val prefixRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
         if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
         else if (prefixRows == m.corpusRows && maxId > m.corpusMaxId) {
-          appendPhashIndex(media.filter(col("doc_id") > m.corpusMaxId), path)
-          "append"
+          try { appendPhashIndex(media.filter(col("doc_id") > m.corpusMaxId), path); "append" }
+          catch { case _: IndexManifestException =>
+            savePhashIndex(media, path, radius); "rebuild" }
         } else { savePhashIndex(media, path, radius); "rebuild" }
       case None => savePhashIndex(media, path, radius); "rebuild"
     }

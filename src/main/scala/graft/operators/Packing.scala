@@ -159,6 +159,79 @@ object Packing {
         "n_tokens_total" -> total), rows, maxId))
   }
 
+  /** Materialize the CURATED training corpus (d88) — the last mile a
+    * real pipeline runs end-to-end: the selection verdict (d85's
+    * `selected` column, or any (doc_id)-keyed keep-list) filters the
+    * corpus, and the SURVIVORS are prefix-summed and written as the
+    * d50 shard store — so "curate and write the training set" is one
+    * operator, not a by-hand composition. The curated stream is packed
+    * contiguously from token 0 (dropped docs leave no holes): the
+    * shuffle order, prefix sum, shard assignment, partitioned layout,
+    * manifest, pruned reads, and [[appendTokenShards]] increments are
+    * all [[saveTokenShards]]' own, applied to the selected subset — the
+    * store IS a shards store whose corpus is the curated corpus, which
+    * is exactly what its manifest watermark certifies.
+    *
+    * Scale shape: the selection filter is one left-semi equi-join on
+    * doc_id (verdict side is doc_id-only columns; at 100 TB both sides
+    * are corpus-scale, so no broadcast hint — AQE decides), upstream of
+    * the same single text scan the uncurated build pays.
+    */
+  def saveCuratedShards(docs: DataFrame, keepIds: DataFrame, path: String,
+      budget: Long, bucketBits: Int = 8): Unit =
+    saveTokenShards(
+      docs.join(keepIds.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      path, budget, bucketBits)
+
+  /** Maintenance policy for a CURATED shard store (d91) — the e34/d79
+    * fresh/append/rebuild sync with one crucial difference: a curated
+    * store's membership is NOT append-only by construction. The corpus
+    * grows id-monotonically, but the SELECTION over it is corpus-global
+    * (classifier ranks, perplexity terciles), so a new corpus version
+    * can FLIP an old document's verdict — and a flip that preserves
+    * both row count and max id defeats the (rows, maxId) watermark
+    * every other sync trusts. This sync therefore verifies membership
+    * IDENTITY below the watermark: two anti-join counts between the
+    * store's doc_id column and the currently-selected prefix (id-only,
+    * column-pruned scans — publish-cadence cost, not query cost). Any
+    * drift rebuilds; intact prefix + new selected ids above the
+    * watermark appends ([[appendTokenShards]] — history shard files
+    * frozen, the d51 contract); no change is FRESH. Idempotent, and
+    * the appender's orphan guard rides inside (a crashed prior append
+    * is caught and rebuilt). Returns the action taken.
+    */
+  def curatedShardsSync(docs: DataFrame, keepIds: DataFrame, path: String,
+      budget: Long, bucketBits: Int = 8): String = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val selected = docs.join(keepIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    def rebuild(): String = {
+      saveCuratedShards(docs, keepIds, path, budget, bucketBits); "rebuild"
+    }
+    val man = try Some(IndexManifest.require(path, "shards",
+      Map("budget" -> budget, "bucket_bits" -> bucketBits.toLong)))
+    catch { case _: IndexManifestException => None }
+    man match {
+      case Some(m) =>
+        val storeIds = docs.sparkSession.read.parquet(s"$path/shards")
+          .select(col("doc_id"))
+        val selPrefix = selected.filter(col("doc_id") <= m.corpusMaxId)
+          .select(col("doc_id"))
+        val drift =
+          selPrefix.join(storeIds, Seq("doc_id"), "left_anti").count() +
+            storeIds.join(selPrefix, Seq("doc_id"), "left_anti").count()
+        if (drift > 0) rebuild()
+        else if (selected.filter(col("doc_id") > m.corpusMaxId).isEmpty) "fresh"
+        else {
+          try {
+            appendTokenShards(
+              selected.filter(col("doc_id") > m.corpusMaxId), path)
+            "append"
+          } catch { case _: IndexManifestException => rebuild() }
+        }
+      case None => rebuild()
+    }
+  }
+
   /** Incremental append to a [[saveTokenShards]] store — the frozen-book
     * pattern ([[graft.operators.Similarity]] `appendIvfSq8Index` is the
     * template) applied to the training-shard layout: existing shard files
@@ -206,6 +279,8 @@ object Packing {
       throw new IndexManifestException(
         s"append increment min doc_id $minId is not above the store watermark " +
           s"${m.corpusMaxId} — increments must be id-monotone (rebuild for rewrites)")
+    IndexManifest.requireNoOrphans(
+      newDocs.sparkSession.read.parquet(s"$path/shards"), "doc_id", m, path)
     // increment-local prefix sum in the same deterministic order, then
     // offset by the frozen stream's length (both references to the input
     // start_token column — the local offset)

@@ -1418,6 +1418,8 @@ object Similarity {
       throw new IndexManifestException(
         s"increment ids start at $minId but the index watermark is " +
           s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    IndexManifest.requireNoOrphans(
+      increment.sparkSession.read.parquet(s"$path/codes"), "vec_id", man, path)
     val n = normalized(increment)
     val codes = n.withColumn("cell",
         (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
@@ -1459,8 +1461,13 @@ object Similarity {
         val prefixRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
         if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
         else if (prefixRows == m.corpusRows && maxId > m.corpusMaxId) {
-          appendIvfSq8Index(emb.filter(col("vec_id") > m.corpusMaxId), path)
-          "append"
+          try {
+            appendIvfSq8Index(emb.filter(col("vec_id") > m.corpusMaxId), path)
+            "append"
+          } catch { case _: IndexManifestException =>
+            saveIvfSq8Index(emb, path, nCells, partitionByCell)
+            "rebuild"
+          }
         } else {
           saveIvfSq8Index(emb, path, nCells, partitionByCell)
           "rebuild"
@@ -1887,6 +1894,8 @@ object Similarity {
       throw new IndexManifestException(
         s"increment ids start at $minId but the index watermark is " +
           s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    IndexManifest.requireNoOrphans(
+      increment.sparkSession.read.parquet(s"$path/blocks"), "vec_id", man, path)
     srpBlockTable(increment, man.params("out_dims").toInt, man.params("radius").toInt)
       .write.mode("append").partitionBy("bpos", "bval")
       .parquet(s"$path/blocks")
@@ -1918,8 +1927,13 @@ object Similarity {
         val prefixRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
         if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
         else if (prefixRows == m.corpusRows && maxId > m.corpusMaxId) {
-          appendSrpIndex(emb.filter(col("vec_id") > m.corpusMaxId), path)
-          "append"
+          try {
+            appendSrpIndex(emb.filter(col("vec_id") > m.corpusMaxId), path)
+            "append"
+          } catch { case _: IndexManifestException =>
+            saveSrpIndex(emb, path, outDims, radius)
+            "rebuild"
+          }
         } else {
           saveSrpIndex(emb, path, outDims, radius)
           "rebuild"

@@ -598,12 +598,29 @@ object TextAnalysis {
     * manifest staleness gate is what makes that honest (consumers fail
     * loudly on a grown corpus instead of serving stale constants).
     */
-  def saveBm25Index(docs: DataFrame, path: String): Unit = {
+  def saveBm25Index(docs: DataFrame, path: String, termBuckets: Int = 0): Unit = {
+    require(termBuckets >= 0, s"termBuckets=$termBuckets")
     val w = split(col("text"), " ")
-    docs.select(col("doc_id"), explode(w).as("term"))
+    val postings = docs.select(col("doc_id"), explode(w).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .write.mode("overwrite").parquet(s"$path/postings")
+    // termBuckets > 0 (d90): the scaladoc's 100 TB layout made real —
+    // postings land PARTITIONED BY the term's hash60 bucket, so a
+    // query's probe prunes whole bucket directories at the file-index
+    // layer (PartitionFilters) before the term filter even pushes.
+    // The bucket is a pure term function (the shared hash60), so the
+    // reader derives each query term's bucket driver-side (hash60Jvm,
+    // spec-pinned equal to the Column form) — no bucket map to store.
+    if (termBuckets > 0) {
+      postings
+        .withColumn("tb",
+          pmod(Dedup.hash60(col("term")), lit(termBuckets.toLong)))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$path/postings")
+    } else {
+      postings.write.mode("overwrite").parquet(s"$path/postings")
+    }
     docs.select(col("doc_id"), size(w).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$path/lens")
     docs.agg(count(lit(1)).cast("long").as("n_docs"),
@@ -611,7 +628,7 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$path/consts")
     val (rows, maxId) = graft.sources.IndexManifest.watermark(docs, "doc_id")
     graft.sources.IndexManifest.write(path, graft.sources.IndexManifest.Manifest(
-      "bm25", Map.empty, rows, maxId))
+      "bm25", Map("term_buckets" -> termBuckets.toLong), rows, maxId))
   }
 
   /** BM25 scoring from a persisted index (d87) — [[bm25]] with text
@@ -630,14 +647,26 @@ object TextAnalysis {
   def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25Indexed: need at least one query term")
-    graft.sources.IndexManifest.require(path, "bm25")
+    val man = graft.sources.IndexManifest.require(path, "bm25")
+    val termBuckets = man.params.getOrElse("term_buckets", 0L)
     // deliberately NOT checkpointed: each consumer keeps its own parquet
     // scan with the term filter PUSHED (PushedFilters, spec-asserted) —
     // reading q postings lists off disk IS the index's serving shape,
     // and a materialization would hide the pushdown and hold the probe
     // in memory for no reuse win
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("term").isin(terms: _*))
+    val raw = spark.read.parquet(s"$path/postings")
+    // bucketed layout (d90): derive each query term's partition
+    // driver-side (pure hash, no lookup) and inject the bucket set as a
+    // literal — bare partition-column predicates, so unprobed bucket
+    // directories prune at the file index (PartitionFilters) and the
+    // term filter pushes within the survivors
+    val scoped =
+      if (termBuckets > 0L) {
+        val tbs = terms.map(t => graft.operators.Dedup.hash60Jvm(t) % termBuckets)
+          .distinct.sorted
+        raw.filter(col("tb").isin(tbs: _*))
+      } else raw
+    val postings = scoped.filter(col("term").isin(terms: _*))
     val lens = spark.read.parquet(s"$path/lens")
     // coalesce guards the all-terms-absent probe (empty frame → NULL sums)
     val dfAggs = count(lit(1)).as("probe_rows") +:
@@ -666,6 +695,38 @@ object TextAnalysis {
     }.reduce(_ + _)
     scored.crossJoin(broadcast(dfs)).crossJoin(broadcast(consts))
       .select(col("doc_id"), score.as("score"))
+  }
+
+  /** BM25 top-k RETRIEVAL from the persisted index (d89) — the serving
+    * shape of an inverted index: per query, the k best documents, not a
+    * score for every document (d87 proves the scoring; this row proves
+    * the retrieval plan). Each query's scores come from
+    * [[bm25Indexed]] VERBATIM — the bit-identical pivoted-sum
+    * expression over pushed postings probes — and the cut is
+    * `orderBy(score desc, doc_id).limit(k)`, which Spark plans as
+    * TakeOrderedAndProject (plan-guarded): a per-partition top-k
+    * heap + one k-row driver merge, never a global sort — the shape
+    * that stays O(k) per partition at any corpus size. Ranks are
+    * assigned AFTER the cut (a window over k rows, bounded by
+    * construction — the repo's bounded-table window rule).
+    *
+    * Ties break by doc_id ascending in both the cut and the rank, so
+    * the result is total-order deterministic and oracle-exact.
+    * Returns (query_id, rk, doc_id, score) for `queries(query_id)`.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: Seq[Seq[String]], kTop: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && kTop > 0, s"queries=$queries kTop=$kTop")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    queries.zipWithIndex.map { case (terms, qi) =>
+      bm25Indexed(spark, path, terms, k1, b)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(kTop)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(lit(qi.toLong).as("query_id"), col("rk"), col("doc_id"),
+          col("score"))
+    }.reduce(_ unionByName _)
   }
 
   /** Lexical-diversity quality signals — the full-distribution

@@ -38,6 +38,12 @@ object PipelineQueries {
                                  // per-dimension, so the width is static here
 
   private val BM25_TERMS = Seq("table", "query", "spark") // d17 query terms
+  // d89 retrieval workload: three queries of different selectivity over
+  // the corpus vocabulary (first = d17's terms, so the scoring leg is
+  // the proven chain verbatim)
+  private val BM25_QUERIES =
+    Seq(BM25_TERMS, Seq("hash", "join"), Seq("vector", "stream", "scan"))
+  private val BM25_TOPK = 20
   private val SEMDEDUP_T = 0.35  // e45 within-cluster cosine threshold
                                  // (drops 61/500 at sf0.01 — measured;
                                  // real corpora use ~0.95+)
@@ -75,6 +81,19 @@ object PipelineQueries {
       col("doc_id") % 10 === 0, SAMPLE_RATES.toMap, SAMPLE_DEFAULT,
       K, BANDS, 0.5, MAX_BUCKET, MAX_DF,
       indexPath("d19-keep/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")))
+
+  /** The d85 full verdict through ITS persisted-artifact cache (one
+    * slot per data dir, the keepCached convention): d85 and d88 both
+    * read this one store — whichever runs first pays the build.
+    */
+  private def verdictCached(spark: SparkSession, dir: String) = {
+    val slug = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    Curation.fullVerdictCached(Tables.documents(spark, dir),
+      col("doc_id") % 10 === 0, SAMPLE_RATES.toMap, SAMPLE_DEFAULT,
+      K, BANDS, 0.5, MAX_BUCKET, MAX_DF,
+      LM_SCALE, col("lang") === "en", CLS_BUCKETS, CLS_PASSES,
+      indexPath("d19-keep/" + slug), indexPath("d85-verdict/" + slug))
+  }
 
   /** d16/d19 stratified keep-rates (Seq: deterministic SQL-gen order). */
   private val SAMPLE_RATES = Seq("en" -> 0.5, "es" -> 0.25, "de" -> 0.125)
@@ -994,6 +1013,57 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // curated-store SYNC (d91): the maintenance policy for a store
+    // whose membership is a SELECTION (not append-only) — history
+    // built on the 3/4 corpus under a prefix-stable verdict, the grown
+    // corpus synced in (membership-identity check below the watermark,
+    // then the d51 frozen-history append), second sync fresh. The
+    // oracle recomputes the documented two-stage placement over the
+    // selected subsets (Packing.curatedShardsSync doc)
+    "d91_curated_sync" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val sel = docs.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      val path = indexPath("d91-curated")
+      Packing.saveCuratedShards(docs.filter(col("doc_id") <= cut), sel,
+        path, SHARD_BUDGET)
+      val grow = Packing.curatedShardsSync(docs, sel, path, SHARD_BUDGET)
+      require(grow == "append", s"expected append, got $grow")
+      require(Packing.curatedShardsSync(docs, sel, path, SHARD_BUDGET)
+        == "fresh", "second sync must be fresh")
+      spark.read.parquet(s"$path/shards")
+        .select(col("doc_id"), col("n_tokens"), col("start_token"),
+          col("shard_id").cast("long").as("shard_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // term-bucketed BM25 postings (d90): the d87 scaladoc's 100 TB
+    // layout made real — postings PARTITIONED BY hash60(term) % 16,
+    // each query term's bucket derived driver-side (hash60Jvm) and
+    // injected as a literal, so unprobed bucket directories prune at
+    // the file index (PartitionFilters, plan-guarded) and the term
+    // filter pushes within; scores stay bit-identical — registered
+    // against d17's oracle verbatim (saveBm25Index/bm25Indexed docs)
+    "d90_bm25_bucketed" -> ((spark: SparkSession, dir: String) => {
+      val path = indexPath("d90-bm25")
+      TextAnalysis.saveBm25Index(Tables.documents(spark, dir), path,
+        termBuckets = 16)
+      TextAnalysis.bm25Indexed(spark, path, BM25_TERMS)
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 top-k retrieval (d89): the SERVING shape of the d87 inverted
+    // index — per query, the k best documents via TakeOrderedAndProject
+    // over the pushed postings probe (plan-guarded), scores from the
+    // d17/d87 bit-identical expression; oracle = brute-force rank cut
+    // per query (TextAnalysis.bm25TopKIndexed doc)
+    "d89_bm25_topk" -> ((spark: SparkSession, dir: String) => {
+      val path = indexPath("d89-bm25")
+      TextAnalysis.saveBm25Index(Tables.documents(spark, dir), path)
+      TextAnalysis.bm25TopKIndexed(spark, path, BM25_QUERIES, BM25_TOPK)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // margin rank-cut classifier selection (d86): the d54 budget-cut
     // device over the d69 margins — the published quality-classifier
     // deployment shape (a score budget, not the raw sign rule, which
@@ -1012,18 +1082,28 @@ object PipelineQueries {
     // AND top-half-by-margin (the CCNet head+middle convention under a
     // trained quality budget). Every leg is a factored shared chain on
     // BOTH engines, so the composition cannot drift from its parts.
-    "d85_full_curation" -> ((spark: SparkSession, dir: String) => {
+    "d85_full_curation" -> ((spark: SparkSession, dir: String) =>
+      // round 11: served from the persisted full-verdict artifact
+      // (Curation.fullVerdictCached) — the warm path is one parquet
+      // read; the build path is the same three factored legs as ever,
+      // so the oracle is unchanged
+      verdictCached(spark, dir).orderBy(col("doc_id"))),
+
+    // curated-corpus materialization (d88): the last-mile composition —
+    // d85's `selected` verdict filters the corpus, survivors are
+    // prefix-summed from token 0 and written as the d50 shard store
+    // (manifest + pruned single-shard reads); the registered row is the
+    // store's placement table read back (Packing.saveCuratedShards doc)
+    "d88_curated_store" -> ((spark: SparkSession, dir: String) => {
       val docs = Tables.documents(spark, dir)
-      val keep = keepCached(spark, dir)
-        .select(col("doc_id"), col("keep").as("curation_keep"))
-      val tier = TextAnalysis.perplexityTiers(docs, LM_SCALE)
-        .select(col("doc_id"), col("tier"))
-      val cls = Classifier.classifySelectTop(docs, col("lang") === "en",
-          CLS_BUCKETS, CLS_PASSES)
-        .select(col("doc_id"), col("selected").as("cls_keep"))
-      keep.join(tier, Seq("doc_id")).join(cls, Seq("doc_id"))
-        .withColumn("selected",
-          col("curation_keep") && col("tier") =!= "tail" && col("cls_keep"))
+      val sel = verdictCached(spark, dir)
+        .filter(col("selected")).select(col("doc_id"))
+      val path = indexPath("d88-curated")
+      Packing.saveCuratedShards(docs, sel, path, SHARD_BUDGET)
+      graft.sources.IndexManifest.require(path, "shards")
+      spark.read.parquet(s"$path/shards")
+        .select(col("doc_id"), col("n_tokens"), col("start_token"),
+          col("shard_id").cast("long").as("shard_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2273,23 +2353,32 @@ object PipelineQueries {
     * op is +,-,*,/ over doubles — bit-identical). Shared by d17 and
     * d87 (indexed scoring must equal the batch kernel).
     */
-  private lazy val bm25Sql: String = {
-    val dfSelects = BM25_TERMS.zipWithIndex.map { case (t, i) =>
+  private lazy val bm25Sql: String =
+    s"""WITH ${bm25CtesFor(BM25_TERMS, "q")}
+       |SELECT doc_id, score FROM qsc ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")
+
+  /** The d17 chain with prefixed CTE names and caller-chosen terms, so
+    * d89 can run one instance per retrieval query in a single oracle
+    * without name collisions. Ends in `${p}sc(doc_id, score)`.
+    */
+  private def bm25CtesFor(terms: Seq[String], p: String): String = {
+    val dfSelects = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(sum(CASE WHEN list_contains(string_split(text,' '), '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
     }.mkString(", ")
-    val tfSelects = BM25_TERMS.zipWithIndex.map { case (t, i) =>
+    val tfSelects = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
     }.mkString(", ")
-    val scoreSum = BM25_TERMS.indices.map { i =>
+    val scoreSum = terms.indices.map { i =>
       s"((nd - df$i + 0.5)/(df$i + 0.5)) * (tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (sum_dl / nd))))"
     }.mkString(" + ")
-    s"""WITH st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+    s"""${p}st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
        |  CAST(sum(len(string_split(text,' '))) AS DOUBLE) AS sum_dl,
        |  $dfSelects FROM documents),
-       |d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfSelects
-       |      FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
-       |SELECT doc_id, $scoreSum AS score
-       |FROM d CROSS JOIN st ORDER BY doc_id""".stripMargin.replace("\n", " ")
+       |${p}d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfSelects
+       |      FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+       |${p}sc AS (SELECT doc_id, $scoreSum AS score FROM ${p}d CROSS JOIN ${p}st)"""
+      .stripMargin.replace("\n", " ")
   }
 
   /** Mirror of [[graft.operators.Classifier.classifySelectTop]] over
@@ -2311,6 +2400,33 @@ object PipelineQueries {
        |  FROM cbk JOIN cbo USING (bkt)),
        |csel AS (SELECT doc_id, margin, rnk, ((rnk - 1) * 2 < n_total * 1) AS selected
        |  FROM crk CROSS JOIN ctot)""".stripMargin.replace("\n", " ")
+
+  /** The d85 verdict legs as ONE CTE bundle — the perceptron chain, the
+    * d46 tier chain (ending in `tser`), the d86 cut (ending in `csel`),
+    * and the d19 keep query wrapped as a derived table (it carries its
+    * own WITH RECURSIVE scope; ends in `ck`). Shared by d85 (verdict
+    * rows) and d88 (selection → placement), so the two rows' selection
+    * semantics cannot drift apart.
+    */
+  private lazy val fullCurationCtes: String =
+    s"""$perceptronCtes,
+       |$bigramLmCtes,
+       |ls AS (SELECT doc_id, avg_nll,
+       |       CAST(floor(avg_nll * $LM_SCALE) AS BIGINT) AS bkt FROM lm),
+       |lbc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS bc FROM ls GROUP BY 1),
+       |lbo AS (SELECT bkt, CAST(sum(bc) OVER (ORDER BY bkt) - bc AS BIGINT) AS off FROM lbc),
+       |ltot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lm),
+       |lrk AS (SELECT doc_id, avg_nll,
+       |  CAST(off + row_number() OVER (PARTITION BY bkt ORDER BY avg_nll, doc_id) AS BIGINT) AS rnk
+       |  FROM ls JOIN lbo USING (bkt)),
+       |tser AS (SELECT doc_id,
+       |  CASE WHEN (rnk - 1) * 3 < n_total THEN 'head'
+       |       WHEN (rnk - 1) * 3 < 2 * n_total THEN 'middle'
+       |       ELSE 'tail' END AS tier
+       |  FROM lrk CROSS JOIN ltot),
+       |$classifierTopCutCtes,
+       |ck AS (SELECT doc_id, keep FROM ($curationKeepSql) ckq)"""
+      .stripMargin.replace("\n", " ")
 
   /** The shared d53/d54 scoring chain: both models joined against one
     * gram stream, ending in `sc(doc_id, t_eff, c_eff)`.
@@ -3069,6 +3185,45 @@ object PipelineQueries {
     // d17's oracle verbatim (the d44/e31 persistence-equality claim)
     "d87_bm25_indexed" -> bm25Sql,
 
+    // d90 serves the SAME scores from the bucket-partitioned layout —
+    // the layout must be invisible to the ranking function
+    "d90_bm25_bucketed" -> bm25Sql,
+
+    // mirror of curatedShardsSync's grown store: the d51 two-stage
+    // placement (history chain frozen, increment offset by the history
+    // total) with BOTH chains restricted to the selected subset
+    "d91_curated_sync" ->
+      s"""WITH cutv AS (SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) AS cut FROM documents),
+         |${tokenOffsetCtesFor("h",
+            "WHERE doc_id <= (SELECT cut FROM cutv) AND doc_id % 3 = 0")},
+         |htot AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS base FROM hb),
+         |${tokenOffsetCtesFor("i",
+            "WHERE doc_id > (SELECT cut FROM cutv) AND doc_id % 3 = 0")},
+         |allpos AS (SELECT doc_id, n_tokens, start_token FROM hos
+         |  UNION ALL SELECT doc_id, n_tokens, start_token + base AS start_token
+         |  FROM ios CROSS JOIN htot)
+         |SELECT doc_id, n_tokens, start_token,
+         |  CAST(start_token // $SHARD_BUDGET AS BIGINT) AS shard_id
+         |FROM allpos ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.bm25TopKIndexed: one d17-chain instance per
+    // retrieval query (prefixed CTEs), the same (score DESC, doc_id) cut
+    // and rank — brute-force scoring against the index's top-k plan
+    "d89_bm25_topk" -> {
+      val chains = BM25_QUERIES.zipWithIndex
+        .map { case (terms, qi) => bm25CtesFor(terms, s"k$qi") }.mkString(", ")
+      val arms = BM25_QUERIES.indices.map { qi =>
+        s"""SELECT CAST($qi AS BIGINT) AS query_id,
+           |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+           |  doc_id, score
+           |FROM (SELECT doc_id, score FROM k${qi}sc
+           |      ORDER BY score DESC, doc_id LIMIT $BM25_TOPK)""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH $chains
+         |SELECT * FROM ($arms) ORDER BY query_id, rk"""
+        .stripMargin.replace("\n", " ")
+    },
+
     "d15_vocab" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1)
@@ -3442,29 +3597,29 @@ object PipelineQueries {
     // tier chain, and the d69 perceptron margin, joined on doc_id —
     // each leg IS its own registered oracle's chain verbatim
     "d85_full_curation" ->
-      s"""WITH $perceptronCtes,
-         |$bigramLmCtes,
-         |ls AS (SELECT doc_id, avg_nll,
-         |       CAST(floor(avg_nll * $LM_SCALE) AS BIGINT) AS bkt FROM lm),
-         |lbc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS bc FROM ls GROUP BY 1),
-         |lbo AS (SELECT bkt, CAST(sum(bc) OVER (ORDER BY bkt) - bc AS BIGINT) AS off FROM lbc),
-         |ltot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lm),
-         |lrk AS (SELECT doc_id, avg_nll,
-         |  CAST(off + row_number() OVER (PARTITION BY bkt ORDER BY avg_nll, doc_id) AS BIGINT) AS rnk
-         |  FROM ls JOIN lbo USING (bkt)),
-         |tser AS (SELECT doc_id,
-         |  CASE WHEN (rnk - 1) * 3 < n_total THEN 'head'
-         |       WHEN (rnk - 1) * 3 < 2 * n_total THEN 'middle'
-         |       ELSE 'tail' END AS tier
-         |  FROM lrk CROSS JOIN ltot),
-         |$classifierTopCutCtes,
-         |ck AS (SELECT doc_id, keep FROM ($curationKeepSql) ckq)
+      s"""WITH $fullCurationCtes
          |SELECT ck.doc_id, ck.keep AS curation_keep, tser.tier,
          |  csel.selected AS cls_keep,
          |  (ck.keep AND tser.tier <> 'tail' AND csel.selected) AS selected
          |FROM ck JOIN tser ON tser.doc_id = ck.doc_id
          |JOIN csel ON csel.doc_id = ck.doc_id
          |ORDER BY ck.doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of the d88 composition: the full d85 verdict chain reduced
+    // to its selected set, then the d47 prefix-sum/shard-assignment
+    // chain run over ONLY those documents (the curated stream packs
+    // contiguously from token 0)
+    "d88_curated_store" ->
+      s"""WITH $fullCurationCtes,
+         |seld AS (SELECT ck.doc_id FROM ck
+         |  JOIN tser ON tser.doc_id = ck.doc_id
+         |  JOIN csel ON csel.doc_id = ck.doc_id
+         |  WHERE ck.keep AND tser.tier <> 'tail' AND csel.selected),
+         |${tokenOffsetCtesFor("z",
+            "WHERE doc_id IN (SELECT doc_id FROM seld)")}
+         |SELECT doc_id, n_tokens, start_token,
+         |  CAST(start_token // $SHARD_BUDGET AS BIGINT) AS shard_id
+         |FROM zos ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Classifier.classifySelectTop: the shared perceptron
     // chain through the bucketed-rank cut
@@ -3497,7 +3652,7 @@ object PipelineQueries {
          |           JOIN bcard cb ON cb.doc_id = b
          |           WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.5)
          |SELECT n_bands, n_truth, n_found,
-         |  CAST(n_found AS DOUBLE) / n_truth AS recall
+         |  CASE WHEN n_truth > 0 THEN CAST(n_found AS DOUBLE) / n_truth END AS recall
          |FROM ($rowSel) ORDER BY n_bands""".stripMargin.replace("\n", " ")
     },
 

@@ -121,6 +121,27 @@ object IndexManifest {
     m
   }
 
+  /** Crash-recovery guard for append-only index tables: any stored row
+    * whose id exceeds the manifest watermark is an ORPHAN — residue of
+    * an append that crashed between its data writes and the manifest
+    * flip. A retried append would pass the id-monotone guard against
+    * the STALE watermark and write the same increment again — silent
+    * row duplication that inflates candidate counts with no detection —
+    * so appenders call this before writing and fail loudly instead;
+    * the index-sync operators recover by rebuilding. The watermark < id
+    * filter is answered from parquet row-group stats on id-monotone
+    * stores — a pushed, payload-free scan.
+    */
+  def requireNoOrphans(table: DataFrame, idCol: String, man: Manifest,
+      path: String): Unit = {
+    val n = table.filter(col(idCol).cast("long") > man.corpusMaxId).count()
+    if (n > 0L)
+      throw new IndexManifestException(
+        s"index at $path holds $n rows above its manifest watermark " +
+          s"${man.corpusMaxId} — a previous append crashed between the data " +
+          "write and the manifest flip; rebuild (index sync does this automatically)")
+  }
+
   /** True iff `corpus` matches the manifest's watermark. */
   def isFresh(path: String, corpus: DataFrame, idCol: String): Boolean = {
     val m = read(path)

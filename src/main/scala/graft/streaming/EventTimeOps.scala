@@ -390,6 +390,297 @@ object EventTimeOps {
     }
   }
 
+  /** CHAINED multi-gate ingest — the PRODUCTION composition of the five
+    * gate-family members in ONE foreachBatch pass, ordered cheap-first
+    * (rules → exact-dedup → classifier → LM → fuzzy-LSH) with
+    * SHORT-CIRCUIT: a document dropped by an earlier gate never reaches
+    * a later gate's kernel. On a drop-heavy stream the chain therefore
+    * prices near its cheap members instead of the sum of all five
+    * (measured in SseBenchMain phase 9), while every kernel stays the
+    * oracle-verified batch operator VERBATIM (gopherRules,
+    * the bloom probe + exact-verify, the persisted perceptron margin,
+    * scoreWithBigramModel, probeWithLshIndex — the batch-twin
+    * discipline each standalone gate follows).
+    *
+    * Ordering rationale (cost-per-doc, measured round 10): rules are
+    * pure scan-side expressions (×2.2); the exact-dedup probe is two
+    * sketch lookups with an equi-join only for hits; the classifier is
+    * one feature explode against a B+1-row broadcast (×2.9); the LM
+    * joins the vocabulary-scale model (×3.7); LSH builds a k-wide
+    * MinHash signature and band-joins history (×9.4). Cheap gates
+    * shrink the expensive gates' input — the chain is the reason the
+    * family exists as five separate operators.
+    *
+    * Artifacts (classifier weights, LM model, LSH index frames,
+    * history digests + master sketch) load ONCE at stream build;
+    * per-batch state is the two broadcast sketches, destroyed after
+    * each batch ([[BloomIngestHandle]]). The accepted-content sketch
+    * folds in only docs the WHOLE chain admitted: a doc dropped by a
+    * later gate did not ingest, so it must not suppress a future twin
+    * (which would be re-judged and dropped by the same gate anyway).
+    * In-stream exact duplicates within the watermark horizon are
+    * removed upstream by `dropDuplicatesWithinWatermark`, before any
+    * gate — the cheapest possible drop ([[bloomDedupIngest]]'s
+    * division-of-labor, unchanged).
+    *
+    * Emits per non-empty batch via `sink`: one row per surviving-input
+    * doc (doc_id, ok_rules, ok_exact, ok_cls, ok_lm, ok_fuzzy, keep) —
+    * bits PAST the dropping gate are NULL (never evaluated; that is
+    * the short-circuit, visible in the output), and
+    * keep = ok_fuzzy = the whole conjunction by construction.
+    */
+  def chainedGateIngest(stream: DataFrame, history: DataFrame,
+      clsPath: String, lmPath: String, lshPath: String, maxAvgNll: Double,
+      stopWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      threshold: Double = 0.5, maxBucket: Long = 1000L,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03,
+      lateness: String = "2 minutes", timeCol: String = "created_utc",
+      // false = the pricing/observability twin: every kernel sees the
+      // FULL batch (all five bits materialize for every doc, keep = the
+      // conjunction) — what the chain costs WITHOUT the short-circuit;
+      // phase 9 prices the pair to isolate what survivor-narrowing buys
+      shortCircuit: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): (DataStreamWriter[Row], BloomIngestHandle) = {
+    import graft.operators.{Classifier, Dedup, TextAnalysis}
+    import graft.sources.IndexManifest
+    val spark = history.sparkSession
+    val sc = spark.sparkContext
+    // every artifact loads once at stream build — the standalone gates'
+    // own load discipline, shared
+    val nBuckets = IndexManifest.require(clsPath, "perceptron")
+      .params("n_buckets").toInt
+    val wdf = broadcast(spark.read.parquet(s"$clsPath/weights")
+      .withColumnRenamed("w", "wt")).persist()
+    IndexManifest.require(lmPath, "bigram-lm")
+    val lmModel = spark.read.parquet(s"$lmPath/model").persist()
+    val lmCtx = spark.read.parquet(s"$lmPath/ctx").persist()
+    val lmOov = spark.read.parquet(s"$lmPath/consts").head().getDecimal(1)
+    val lshMan = IndexManifest.require(lshPath, "lsh")
+    val (lshK, lshBands) =
+      (lshMan.params("k").toInt, lshMan.params("bands").toInt)
+    val hsig = spark.read.parquet(s"$lshPath/sig").persist()
+    val hbandsRaw = spark.read.parquet(s"$lshPath/bands")
+    val okBuckets = hbandsRaw.groupBy(col("bno"), col("bkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .select(col("bno"), col("bkey"))
+    val hb = hbandsRaw.join(okBuckets, Seq("bno", "bkey")).persist()
+    // persisted: the exact-verify join hits this every batch
+    val histDigests = history.select(sha2(col("text"), 256).as("digest"))
+      .filter(col("digest").isNotNull).distinct().persist()
+    val histMaster = histDigests.stat.bloomFilter("digest", expectedItems, fpp)
+    val accMaster = BloomFilter.create(expectedItems, fpp)
+    val handle = new BloomIngestHandle
+    val prepped = stream
+      .withColumn("event_time", timestamp_seconds(col(timeCol)))
+      .withWatermark("event_time", lateness)
+      .withColumn("digest", sha2(col("text"), 256))
+      .withColumn("dedup_key",
+        coalesce(col("digest"), concat(lit("null:"), col("doc_id"))))
+      .dropDuplicatesWithinWatermark("dedup_key")
+    val writer = prepped.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        val bcHist = sc.broadcast(histMaster)
+        val bcAcc = sc.broadcast(accMaster)
+        try {
+          // per-stage verdict frames are (doc_id, bit) — eagerly
+          // checkpointed so the decisions join and the next stage's
+          // semi-join don't each replay the whole upstream chain. The
+          // short-circuit is DRIVER-SIDE too: a stage whose input is
+          // empty contributes an empty verdict WITHOUT planning its
+          // kernel — the LM's vocabulary-scale model join and the LSH
+          // band join cost real per-batch work even over zero probe
+          // rows (the index side still plans/scans), which on an
+          // all-drop batch would make the "short-circuited" chain pay
+          // every gate's fixed cost anyway (measured: phase 9's first
+          // cut ran 8× the LSH-alone gate on exactly that regime).
+          val docs = batch.select(col("doc_id"), col("text"), col("digest"))
+            .localCheckpoint(true)
+          // survivor sets are checkpointed too: each is read by the next
+          // kernel AND the next survivor join AND its own emptiness
+          // check — left lazy, the semi-join trees nest and the replay
+          // overhead exceeds what the short-circuit saves (measured in
+          // phase 9's second cut)
+          def survivors(prev: DataFrame, verdict: DataFrame, bit: String) =
+            if (!shortCircuit) docs
+            else prev.join(verdict.filter(col(bit)).select("doc_id"),
+              Seq("doc_id"), "left_semi").localCheckpoint(true)
+          def stage(in: DataFrame, bit: String)(kernel: => DataFrame): DataFrame =
+            if (shortCircuit && in.isEmpty)
+              in.select(col("doc_id"), lit(true).as(bit)).limit(0)
+                .localCheckpoint(true)
+            else kernel.localCheckpoint(true)
+          // 1 — rules: pure scan-side expressions
+          val rulesV = stage(docs, "ok_rules") {
+            TextAnalysis.gopherRules(
+              docs.select(col("doc_id"), col("text")), stopWords)
+              .select(col("doc_id"), col("keep").as("ok_rules"))
+          }
+          val s1 = survivors(docs, rulesV, "ok_rules")
+          // 2 — exact dedup: sketch probes scan-side, hits exact-verified
+          val hitHist = udf((d: String) => d != null && bcHist.value.mightContainString(d))
+          val hitAcc = udf((d: String) => d != null && bcAcc.value.mightContainString(d))
+          val exactV = stage(s1, "ok_exact") {
+            val dg = s1.select(col("doc_id"), col("digest"))
+            dg.filter(!hitHist(col("digest")) && !hitAcc(col("digest")))
+              .select(col("doc_id"), lit(true).as("ok_exact"))
+              .unionByName(dg
+                .filter(hitHist(col("digest")) || hitAcc(col("digest")))
+                .withColumn("acc_hit", hitAcc(col("digest")))
+                .join(histDigests.withColumn("hist_mark", lit(true)),
+                  Seq("digest"), "left_outer")
+                .select(col("doc_id"),
+                  (!(coalesce(col("hist_mark"), lit(false)) || col("acc_hit")))
+                    .as("ok_exact")))
+          }
+          val s2 = survivors(s1, exactV, "ok_exact")
+          // 3 — classifier: B+1-row broadcast margin
+          val clsV = stage(s2, "ok_cls") {
+            Classifier.hashedFeatures(
+              s2.select(col("doc_id"), col("text")), nBuckets)
+              .join(wdf, Seq("bucket"))
+              .groupBy(col("doc_id"))
+              .agg(sum(col("x") * col("wt")).cast("long").as("margin"))
+              .select(col("doc_id"), (col("margin") > 0).as("ok_cls"))
+          }
+          val s3 = survivors(s2, clsV, "ok_cls")
+          // 4 — LM perplexity ceiling (short docs kept — its convention)
+          val lmV = stage(s3, "ok_lm") {
+            s3.select(col("doc_id"))
+              .join(TextAnalysis.scoreWithBigramModel(
+                  s3.select(col("doc_id"), col("text")), lmModel, lmCtx, lmOov)
+                .select(col("doc_id"), col("avg_nll")), Seq("doc_id"), "left_outer")
+              .select(col("doc_id"),
+                (col("avg_nll").isNull || col("avg_nll") <= maxAvgNll).as("ok_lm"))
+          }
+          val s4 = survivors(s3, lmV, "ok_lm")
+          // 5 — fuzzy dedup against the persisted LSH index
+          val lshV = stage(s4, "ok_fuzzy") {
+            s4.select(col("doc_id"))
+              .join(Dedup.probeWithLshIndex(s4.select(col("doc_id"), col("text")),
+                  hsig, hb, lshK, lshBands, threshold)
+                .select(col("doc_id"), col("is_dup")), Seq("doc_id"), "left_outer")
+              .select(col("doc_id"),
+                (!coalesce(col("is_dup"), lit(false))).as("ok_fuzzy"))
+          }
+          // checkpointed: the sink reads it, then the accepted fold
+          // below re-reads it — without this the 6-join plan runs twice
+          val keepCol =
+            if (shortCircuit) coalesce(col("ok_fuzzy"), lit(false))
+            else coalesce(col("ok_rules"), lit(false)) &&
+              coalesce(col("ok_exact"), lit(false)) &&
+              coalesce(col("ok_cls"), lit(false)) &&
+              coalesce(col("ok_lm"), lit(false)) &&
+              coalesce(col("ok_fuzzy"), lit(false))
+          val out = docs.select(col("doc_id"))
+            .join(rulesV, Seq("doc_id"), "left_outer")
+            .join(exactV, Seq("doc_id"), "left_outer")
+            .join(clsV, Seq("doc_id"), "left_outer")
+            .join(lmV, Seq("doc_id"), "left_outer")
+            .join(lshV, Seq("doc_id"), "left_outer")
+            .withColumn("keep", keepCol)
+            .localCheckpoint(true)
+          sink(out, batchId)
+          // accepted fold: only whole-chain admissions enter the sketch
+          val acceptedDigests = out.filter(col("keep"))
+            .join(docs.select(col("doc_id"), col("digest")), Seq("doc_id"))
+            .filter(col("digest").isNotNull)
+          if (!acceptedDigests.isEmpty)
+            accMaster.mergeInPlace(
+              acceptedDigests.stat.bloomFilter("digest", expectedItems, fpp))
+          handle.batches += 1
+        } finally {
+          bcHist.destroy(); bcAcc.destroy()
+          handle.destroyed.add(bcHist); handle.destroyed.add(bcAcc)
+        }
+      }
+    }
+    (writer, handle)
+  }
+
+  /** Observable state of one [[stratumBudgetGateIngest]] stream: the
+    * per-stratum token positions consumed so far and the batch count.
+    */
+  final class StratumBudgetHandle private[streaming] () {
+    private[streaming] val used =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+    @volatile private[streaming] var batches: Long = 0L
+    def tokensSeen: Map[String, Long] =
+      used.asScala.map { case (k, v) => k -> v.longValue }.toMap
+    def batchesProcessed: Long = batches
+  }
+
+  /** STRATUM-BUDGET gate at ingest — the streaming twin of the d82
+    * UniMax realization ([[graft.operators.Curation.unimaxSelect]]),
+    * completing the mixture family's streaming side: each stratum
+    * (language, domain, source) carries a token allocation, and an
+    * arriving document is selected iff its stratum's stream position
+    * STARTS strictly below the allocation — the boundary document rides
+    * the budget (the d47/d82 convention), after which the stratum is
+    * CLOSED and everything later in it flows through unselected. The
+    * batch kernel's semantics per prefix: decisions equal the budget-cut
+    * realization applied to the concatenated stream in arrival order
+    * (spec-pinned), where "arrival order" is batch order with the
+    * deterministic doc_id tie-break inside a micro-batch (micro-batch
+    * contents have no defined internal order; the tie-break makes the
+    * gate replayable).
+    *
+    * State is ONE counter per stratum held driver-side (#strata longs —
+    * the mixture tables' own scale, same discipline as the accepted
+    * Bloom master): per batch, within-batch positions come from a
+    * window partitioned by (stratum) over the MICRO-BATCH only
+    * (bounded), offset by the counters folded in as a literal CASE, and
+    * the counters advance by the batch's per-stratum token totals —
+    * selected or not, because stream position counts every doc exactly
+    * as d82's start_tok does. Strata without an allocation (or NULL)
+    * fail loudly (raise_error — the d82/unimaxMixture discipline): a
+    * silently-admitted unbudgeted stratum is a mixture-control bypass.
+    *
+    * Emits per non-empty batch via `sink`:
+    * (doc_id, stratum, n_tokens, start_tok, selected).
+    */
+  def stratumBudgetGateIngest(stream: DataFrame, alloc: Map[String, Long],
+      strataCol: String = "stratum")(
+      sink: (DataFrame, Long) => Unit): (DataStreamWriter[Row], StratumBudgetHandle) = {
+    require(alloc.nonEmpty, "stratumBudgetGateIngest: empty allocation")
+    val handle = new StratumBudgetHandle
+    val allocCase = alloc.toSeq.sortBy(_._1).foldLeft(
+      raise_error(concat(lit("stratumBudgetGateIngest: stratum without allocation: "),
+        coalesce(col("stratum").cast("string"), lit("NULL")))).cast("double")
+    ) { case (acc, (s, a)) =>
+      when(col("stratum") === s, lit(a.toDouble)).otherwise(acc)
+    }
+    val writer = stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        val inStratum = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum")).orderBy(col("doc_id"))
+        val usedCase = alloc.keys.toSeq.sorted.foldLeft(lit(0L)) { (acc, s) =>
+          when(col("stratum") === s,
+            lit(Option(handle.used.get(s)).map(_.longValue).getOrElse(0L)))
+            .otherwise(acc)
+        }
+        val decided = batch
+          .select(col("doc_id"), col(strataCol).as("stratum"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(inStratum))
+          .select(col("doc_id"), col("stratum"), col("n_tokens"),
+            (usedCase + col("cum") - col("n_tokens")).as("start_tok"))
+          .withColumn("selected", col("start_tok").cast("double") < allocCase)
+          .localCheckpoint(true)
+        sink(decided, batchId)
+        decided.groupBy(col("stratum"))
+          .agg(sum(col("n_tokens")).as("t")).collect()
+          .foreach { r =>
+            val s = r.getString(0)
+            handle.used.merge(s, java.lang.Long.valueOf(r.getLong(1)),
+              (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+          }
+        handle.batches += 1
+      }
+    }
+    (writer, handle)
+  }
+
   /** Stream-stream inner join: comments matched to submissions in the
     * same subreddit within ±`withinSeconds` of event time. Watermarks on
     * BOTH sides bound the join state — Spark can drop buffered rows once

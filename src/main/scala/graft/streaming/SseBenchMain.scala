@@ -420,6 +420,99 @@ object SseBenchMain {
         println(f"SSEBENCH lsh-gate total=$total docs passthrough=${total / wBase}%.0f ev/s " +
           f"gated=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost, kept=$nKept of $total)")
       }
+
+      // CHAINED GATE (round 11, phase 9): all five gates composed
+      // cheap-first in ONE foreachBatch (EventTimeOps.chainedGateIngest)
+      // on a DROP-HEAVY stream — 80% unique rule violators, 20%
+      // corpus-like docs — priced against (a) the pass-through twin and
+      // (b) the most expensive member (the LSH fuzzy-dedup gate) ALONE
+      // on the SAME stream. The short-circuit means the expensive
+      // kernels see only rule survivors (~20%), so the whole five-gate
+      // chain should cost at or below the one-gate LSH run, which pays
+      // its signature build for every document.
+      {
+        import graft.operators.{Classifier, Dedup, TextAnalysis}
+        val refDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        val stops = TextAnalysis.markers.head._2
+        val clsPath = Files.createTempDirectory("sbench-chain-cls").toString
+        // parity-trained (non-separable) classifier: margins split the
+        // stream both ways, so docs genuinely flow through ALL five
+        // stages — the en-trained model is measured all-negative on
+        // this corpus (cls-gate phase) and would zero stages 4-5
+        Classifier.saveClassifier(refDocs, $"doc_id" % 2 === 0, clsPath)
+        val lmPath = Files.createTempDirectory("sbench-chain-lm").toString
+        TextAnalysis.saveBigramLm(refDocs.filter($"lang" === "en"), lmPath)
+        val thr = TextAnalysis.bigramLmScoreIndexed(refDocs, lmPath)
+          .agg(org.apache.spark.sql.functions.expr("percentile(avg_nll, 0.5)"))
+          .head().getDouble(0)
+        val lshPath = Files.createTempDirectory("sbench-chain-lsh").toString
+        Dedup.saveLshIndex(refDocs, lshPath, 64, 16)
+        val texts = refDocs.select($"text").limit(500).collect().map(_.getString(0))
+        val total = 20000
+        // 10k-row batches: the regime where per-ROW kernel cost
+        // dominates per-batch fixed cost — which is the regime the
+        // short-circuit exists for (at 2k-row batches the five gates'
+        // fixed plan/join costs dominate and narrowing survivors buys
+        // nothing; measured x0.65 "savings" in the second cut). A real
+        // ingest pipeline's micro-batches are this shape or larger.
+        val chunk = 10000
+        // every text unique in-stream (the watermark dedup must not
+        // swallow rows — seen==total is the validity check)
+        val docs: Seq[(Long, String, Long)] = (0 until total).map { i =>
+          val t = if (i % 5 < 4) s"junk doc $i"
+                  else texts(i % texts.length) + s" u$i"
+          (i.toLong, t, 600L + i)
+        }
+        def chainRun(mode: String): (Double, Long, Long) = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+          val stream = mem.toDF().toDF("doc_id", "text", "created_utc")
+          val seen = new java.util.concurrent.atomic.AtomicLong
+          val kept = new java.util.concurrent.atomic.AtomicLong
+          val writer = mode match {
+            case "chain" | "nosc" =>
+              EventTimeOps.chainedGateIngest(stream, refDocs, clsPath,
+                lmPath, lshPath, thr, stopWords = stops,
+                shortCircuit = mode == "chain") { (out, _) =>
+                val rows = out.select($"keep").collect()
+                seen.addAndGet(rows.length)
+                kept.addAndGet(rows.count(_.getBoolean(0)))
+              }._1
+            case "lsh" =>
+              EventTimeOps.fuzzyDedupGateIngest(
+                stream.select($"doc_id", $"text"), lshPath) { (out, _) =>
+                val rows = out.select($"keep").collect()
+                seen.addAndGet(rows.length)
+                kept.addAndGet(rows.count(_.getBoolean(0)))
+              }
+            case _ => stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                seen.addAndGet(b.count()); ()
+            }
+          }
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            docs.grouped(chunk).foreach { g =>
+              mem.addData(g: _*); q.processAllAvailable()
+            }
+          } finally q.stop()
+          require(seen.get() == total, s"INVALID RUN: saw ${seen.get()} of $total")
+          ((System.nanoTime() - t0) / 1e9, seen.get(), kept.get())
+        }
+        chainRun("base") // warm-up
+        val (wBase, _, _) = chainRun("base")
+        val (wLsh, _, _) = chainRun("lsh")
+        val (wNosc, _, nKeptN) = chainRun("nosc")
+        val (wChain, _, nKept) = chainRun("chain")
+        require(nKept == nKeptN,
+          s"INVALID RUN: short-circuit changed decisions ($nKept vs $nKeptN)")
+        println(f"SSEBENCH chain-gate total=$total docs passthrough=${total / wBase}%.0f ev/s " +
+          f"lsh-alone=${total / wLsh}%.0f ev/s no-shortcircuit=${total / wNosc}%.0f ev/s " +
+          f"chain=${total / wChain}%.0f ev/s " +
+          f"(chain x${wChain / wBase}%.1f, nosc x${wNosc / wBase}%.1f, " +
+          f"lsh-alone x${wLsh / wBase}%.1f; shortcircuit saves x${wNosc / wChain}%.2f, " +
+          f"kept=$nKept of $total)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }

@@ -428,4 +428,27 @@ class PlanShapeSpec extends AnyFunSuite {
         "the difference between reading three postings lists and the " +
         "whole vocabulary\n" + p.take(3000))
   }
+
+  test("d90: the bucketed postings probe prunes unprobed term-bucket directories AND pushes the term filter") {
+    val p = plan("d90_bm25_bucketed")
+    assert("PartitionFilters: \\[[^\\]]*tb#".r.findFirstIn(p).isDefined,
+      "the probed-bucket literal must land in PartitionFilters — at " +
+        "100 TB this is the difference between opening q bucket " +
+        "directories and listing the whole vocabulary's files\n" + p.take(3000))
+    assert(p.contains("PushedFilters: [In(term") ||
+      p.contains("PushedFilters: [EqualTo(term"),
+      "the term filter must still push within the surviving buckets\n" +
+        p.take(3000))
+  }
+
+  test("d89: retrieval cuts with TakeOrderedAndProject per query, and the term probes stay pushed") {
+    val p = plan("d89_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k cut must be a per-partition heap + k-row driver merge, " +
+        "never a global sort of every score\n" + p.take(3000))
+    assert(p.contains("PushedFilters: [In(term") ||
+      p.contains("PushedFilters: [EqualTo(term"),
+      "the d87 postings pushdown must survive under the retrieval cut\n" +
+        p.take(3000))
+  }
 }

@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.sources.{IndexManifest, IndexManifestException, Tables}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 specs: the advice-hardening items — the append-vs-manifest
+  * crash window (orphan rows above the watermark are a named error and
+  * sync recovers by rebuild), the zero-truth band-curve NULL, and the
+  * unimaxSelect unmatched-stratum loud failure.
+  */
+class Round11OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def chain(t: Throwable): String =
+    if (t == null) "" else t.toString + "|" + chain(t.getCause)
+
+  test("lsh index: a crashed append (data landed, manifest stale) makes the retry a named error and sync a rebuild") {
+    val docs = Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (cut1, cut2) = (maxId / 2, maxId * 3 / 4)
+    val history = docs.filter(col("doc_id") <= cut1)
+    val inc = docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2)
+    val path = tmp("graft-lshorph-")
+    Dedup.saveLshIndex(history, path, 16, 4)
+    val stale = IndexManifest.read(path)
+    // simulate the crash window: the append's data writes committed but
+    // the manifest flip did not (restore the pre-append manifest)
+    Dedup.appendLshIndex(inc, path)
+    IndexManifest.write(path, stale)
+    // the retry passes the id-monotone guard against the STALE watermark
+    // — exactly the silent-duplication path — and must now fail loudly
+    val e = intercept[IndexManifestException] { Dedup.appendLshIndex(inc, path) }
+    assert(e.getMessage.contains("above its manifest watermark"))
+    // sync recovers by rebuilding, and the rebuilt store equals a fresh
+    // build row-for-row (no duplicated signatures)
+    assert(Dedup.lshIndexSync(docs.filter(col("doc_id") <= cut2), path, 16, 4)
+      == "rebuild")
+    assert(Dedup.lshIndexSync(docs.filter(col("doc_id") <= cut2), path, 16, 4)
+      == "fresh")
+    val freshPath = tmp("graft-lshfresh-")
+    Dedup.saveLshIndex(docs.filter(col("doc_id") <= cut2), freshPath, 16, 4)
+    def rows(p: String) = spark.read.parquet(s"$p/sig").collect()
+      .map(_.toSeq).toSet
+    assert(rows(path) == rows(freshPath))
+    val nIds = spark.read.parquet(s"$path/sig").count()
+    assert(nIds == spark.read.parquet(s"$path/sig")
+      .select(col("doc_id")).distinct().count(), "duplicated signature rows")
+  }
+
+  test("srp index: orphan rows above the watermark are a named error; sync rebuilds") {
+    val emb = Tables.embeddings(spark, dir)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val (cut1, cut2) = (maxId / 2, maxId * 3 / 4)
+    val path = tmp("graft-srporph-")
+    Similarity.saveSrpIndex(emb.filter(col("vec_id") <= cut1), path, 16, 3)
+    val stale = IndexManifest.read(path)
+    Similarity.appendSrpIndex(
+      emb.filter(col("vec_id") > cut1 && col("vec_id") <= cut2), path)
+    IndexManifest.write(path, stale)
+    val e = intercept[IndexManifestException] {
+      Similarity.appendSrpIndex(
+        emb.filter(col("vec_id") > cut1 && col("vec_id") <= cut2), path)
+    }
+    assert(e.getMessage.contains("above its manifest watermark"))
+    assert(Similarity.srpIndexSync(emb.filter(col("vec_id") <= cut2), path, 16, 3)
+      == "rebuild")
+    assert(Similarity.srpIndexSync(emb.filter(col("vec_id") <= cut2), path, 16, 3)
+      == "fresh")
+  }
+
+  test("lshBandCurve: a zero-truth slice reports NULL recall, not NaN") {
+    import spark.implicits._
+    // wholly disjoint vocabularies: no pair reaches any Jaccard > 0
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "red green blue yellow purple orange")).toDF("doc_id", "text")
+    val curve = Dedup.lshBandCurve(docs, Seq(2, 4), 16, 4, 0.5).collect()
+    assert(curve.nonEmpty)
+    curve.foreach { r =>
+      assert(r.getAs[Long]("n_truth") == 0L)
+      assert(r.isNullAt(r.fieldIndex("recall")),
+        s"recall should be NULL on a zero-truth slice, got ${r.get(r.fieldIndex("recall"))}")
+    }
+  }
+
+  test("saveCuratedShards: exactly the selected docs land, the curated stream packs from 0, placement matches the direct build, single-shard reads prune") {
+    val docs = Tables.documents(spark, dir)
+    val sel = docs.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+    val path = tmp("graft-curated-")
+    Packing.saveCuratedShards(docs, sel, path, 4096L)
+    val store = spark.read.parquet(s"$path/shards")
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        col("shard_id").cast("long").as("shard_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only + all selected docs land
+    val selIds = sel.collect().map(_.getLong(0)).toSet
+    assert(store.map(_._1).toSet == selIds && selIds.nonEmpty)
+    // contiguous packing from token 0: dropped docs leave no holes
+    val spans = store.map(t => (t._3, t._2)).sortBy(_._1)
+    spans.foldLeft(0L) { case (expect, (st, n)) =>
+      assert(st == expect, s"curated stream has a gap/overlap at $st"); st + n
+    }
+    // the shard budget contract: shard = start DIV budget, so every
+    // doc STARTS inside its shard's budget window (overrun ≤ one tail)
+    store.foreach { case (id, _, st, sh) =>
+      assert(sh == st / 4096L, s"doc $id shard $sh != ${st / 4096L}") }
+    // placement ≡ the plain shards build on the pre-filtered corpus
+    val direct = Packing.tokenShards(
+      docs.filter(col("doc_id") % 3 === 0), 4096L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(store.sortBy(_._1).toSeq == direct.sortBy(_._1).toSeq)
+    // the store stays a first-class shards store: pruned single-shard read
+    val one = Packing.readShard(spark, path, 0L)
+    assert(one.count() > 0)
+    val scan = one.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("shard_id"),
+      s"single-shard read is not partition-pruned:\n$scan")
+  }
+
+  test("curatedShardsSync: fresh/append/rebuild; a count-preserving membership flip below the watermark still rebuilds; history files frozen on append") {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    val sel = docs.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+    val path = tmp("graft-cursync-")
+    val B = 4096L
+    Packing.saveCuratedShards(docs.filter(col("doc_id") <= cut), sel, path, B)
+    def files(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(path, "shards")).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.size(p)).toMap
+    }
+    val before = files()
+    // monotone growth under an unchanged verdict: append, history
+    // shard files byte-frozen, second sync fresh
+    assert(Packing.curatedShardsSync(docs, sel, path, B) == "append")
+    val after = files()
+    assert(before.forall { case (f, sz) => after.get(f).contains(sz) },
+      "append rewrote a frozen history shard file")
+    assert(Packing.curatedShardsSync(docs, sel, path, B) == "fresh")
+    // the store now matches the two-stage placement; a PREFIX-count-
+    // preserving membership flip (drop one old selected id, add one
+    // old unselected id — rows AND maxId unchanged) must still rebuild:
+    // the watermark pair alone cannot see it, the identity check can
+    val selIds = sel.filter(col("doc_id") <= cut).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val dropId = selIds(1)
+    val addId = dropId + 1 // % 3 != 0 by construction, same id range
+    assert(addId % 3 != 0 && addId <= cut)
+    val flipped = docs.select(col("doc_id"))
+      .filter((col("doc_id") % 3 === 0 && col("doc_id") =!= dropId) ||
+        col("doc_id") === addId)
+    assert(Packing.curatedShardsSync(docs, flipped, path, B) == "rebuild")
+    // the rebuilt store equals a fresh curated build on the flipped set
+    val freshPath = tmp("graft-curfresh-")
+    Packing.saveCuratedShards(docs, flipped, freshPath, B)
+    def rows(p: String) = spark.read.parquet(s"$p/shards")
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        col("shard_id").cast("long")).collect().map(_.toSeq).toSet
+    assert(rows(path) == rows(freshPath))
+    assert(Packing.curatedShardsSync(docs, flipped, path, B) == "fresh")
+  }
+
+  test("fullVerdictCached: artifact round trip is bit-identical to the direct composition; warm hit serves without rebuild; knob drift rebuilds") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val rates = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.125)
+    val keepPath = tmp("graft-fvkeep-")
+    val path = tmp("graft-fv-")
+    def cached(minTokens: Int = 20) = Curation.fullVerdictCached(docs,
+      col("doc_id") % 10 === 0, rates, 1.0, 8, 4, 0.5, 1000L, 10000L,
+      16, col("lang") === "en", 64, 3, keepPath, path, minTokens = minTokens)
+    val direct = Curation.fullVerdict(docs,
+      Curation.keepList(docs, col("doc_id") % 10 === 0, rates, 1.0,
+        8, 4, 0.5, 1000L, 10000L),
+      16, col("lang") === "en", 64, 3)
+      .as[(Long, Boolean, String, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    val art = cached()
+      .as[(Long, Boolean, String, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    assert(direct.nonEmpty && art == direct)
+    def verdictFiles(): Map[String, java.nio.file.attribute.FileTime] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(path, "verdict")).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+    }
+    val before = verdictFiles()
+    cached().count()
+    assert(verdictFiles() == before, "warm hit rewrote the artifact")
+    // ANY knob drift — including a keep-leg gate param — must rebuild
+    cached(minTokens = 9999).count()
+    assert(verdictFiles() != before, "params drift served the stale artifact")
+  }
+
+  test("unimaxSelect: a NULL stratum fails loudly instead of silently bypassing the budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f", Some("en")),
+      (2L, "g h i", Some("de")),
+      (3L, "j k", Option.empty[String])).toDF("doc_id", "text", "s")
+    val ex = intercept[Throwable] {
+      Curation.unimaxSelect(docs, col("s"), 0.5, 1.0).collect()
+    }
+    assert(chain(ex).contains("NULL stratum"),
+      s"expected the loud NULL-stratum error, got: ${chain(ex)}")
+    val ex2 = intercept[Throwable] {
+      Curation.unimaxMixture(docs, col("s"), 0.5, 1.0).collect()
+    }
+    assert(chain(ex2).contains("NULL stratum"))
+  }
+}

@@ -497,6 +497,171 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(got.get(10L)._2 && !got.get(11L)._2)
   }
 
+  test("stratumBudgetGateIngest: decisions equal the budget-cut realization on the concatenated prefix; filled strata close; unbudgeted strata fail loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val alloc = Map("en" -> 10L, "de" -> 6L)
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // (doc_id, text, stratum); token counts chosen so: en fills at doc 3
+    // (start 8 < 10, the boundary doc RIDES), de fills at doc 5
+    val b1: Seq[(Long, String, String)] = Seq(
+      (1L, words(4, "a"), "en"), (2L, words(4, "b"), "en"),
+      (3L, words(4, "c"), "en"), (4L, words(5, "d"), "de"),
+      (5L, words(2, "e"), "de"))
+    val b2: Seq[(Long, String, String)] = Seq(
+      (6L, words(3, "f"), "en"), (7L, words(1, "g"), "de"))
+    // the batch realization on the same prefix: concatenated stream in
+    // arrival order (doc_id inside a batch), per-stratum running start,
+    // selected = start < alloc
+    val expected = {
+      var pos = Map.empty[String, Long].withDefaultValue(0L)
+      (b1.sortBy(_._1) ++ b2.sortBy(_._1)).map { case (id, t, s) =>
+        val n = t.split(" ").length.toLong
+        val st = pos(s); pos = pos.updated(s, st + n)
+        id -> ((s, n, st, st < alloc(s)))
+      }.toMap
+    }
+    val input = MemoryStream[(Long, String, String)]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (String, Long, Long, Boolean)]
+    val (writer, handle) = EventTimeOps.stratumBudgetGateIngest(
+      input.toDF().toDF("doc_id", "text", "stratum"), alloc)((out, _) =>
+      out.collect().foreach(r => got.put(r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))))
+    val q = writer.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      assert(got.size == 7)
+      expected.foreach { case (id, exp) =>
+        assert(got.get(id) == exp, s"doc $id: got ${got.get(id)}, expected $exp")
+      }
+      // the boundary docs ride (3: start 8 < 10; 5: start 5 < 6), the
+      // strata then CLOSE (6 and 7 unselected)
+      assert(got.get(3L)._4 && got.get(5L)._4)
+      assert(!got.get(6L)._4 && !got.get(7L)._4)
+      assert(handle.tokensSeen == Map("en" -> 15L, "de" -> 8L))
+      assert(handle.batchesProcessed == 2)
+      // an unbudgeted stratum is a mixture-control bypass — loud error
+      input.addData((8L, words(2, "h"), "fr"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chainMsg(t: Throwable): String =
+        if (t == null) "" else t.toString + "|" + chainMsg(t.getCause)
+      assert(chainMsg(e).contains("stratum without allocation"), chainMsg(e).take(800))
+    } finally q.stop()
+  }
+
+  test("chainedGateIngest: per-batch verdicts equal the sequentially applied batch kernels; bits past the dropping gate stay NULL") {
+    import graft.operators.{Classifier, Dedup, TextAnalysis}
+    import graft.sources.Tables
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, sha2}
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = Tables.documents(spark, "/root/testdata/sf0.001")
+    // artifacts: LM on the en slice (the d49 shape), a deliberately
+    // non-separable classifier (doc_id parity) so margins split the
+    // stream both ways, LSH + bloom history = two reference docs
+    val lmPath = Files.createTempDirectory("graft-chain-lm-").toString
+    TextAnalysis.saveBigramLm(ref.filter(col("lang") === "en"), lmPath)
+    val clsPath = Files.createTempDirectory("graft-chain-cls-").toString
+    Classifier.saveClassifier(ref, col("doc_id") % 2 === 0, clsPath)
+    // the corpus marker vocabulary as stop list (the d56 registered
+    // choice — the published English list is degenerate on this
+    // synthetic vocab), so the rules gate genuinely splits the stream
+    val stops = TextAnalysis.markers.head._2
+    // texts that PASS the rules gate, so later stages are reachable:
+    // the first two become bloom+LSH history, the next ten the stream
+    val rulesOk = TextAnalysis.gopherRules(ref, stops).filter(col("keep"))
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(12).collect().map(_.getLong(0))
+    val okTexts = ref.filter(col("doc_id").isin(rulesOk: _*))
+      .orderBy(col("doc_id")).select(col("text")).collect().map(_.getString(0))
+    val histTexts = okTexts.take(2)
+    val history = Seq((9000L, histTexts(0)), (9001L, histTexts(1)))
+      .toDF("doc_id", "text")
+    val lshPath = Files.createTempDirectory("graft-chain-lsh-").toString
+    Dedup.saveLshIndex(history, lshPath, 64, 16)
+    val thr = 99.0 // generous LM ceiling: perplexity judges, rarely drops
+    // stream: corpus-like docs (unique within the stream), one rule
+    // violator, one exact history twin
+    val passTexts = okTexts.drop(2)
+    val docs: Seq[(Long, String, Long)] =
+      passTexts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t, 600L + i) }.toSeq ++
+        Seq((50L, "far too short", 660L), (51L, histTexts(0), 661L))
+    // the sequentially-applied batch kernels — the chain's contract
+    def expect(batch: Seq[(Long, String, Long)]): Map[Long, Seq[Option[Boolean]]] = {
+      val b = batch.map(t => (t._1, t._2)).toDF("doc_id", "text")
+      val rules = TextAnalysis.gopherRules(b, stops)
+        .select(col("doc_id"), col("keep"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val s1 = batch.filter(t => rules(t._1))
+      val histSet = history.select(sha2(col("text"), 256)).collect()
+        .map(_.getString(0)).toSet
+      val exact =
+        if (s1.isEmpty) Map.empty[Long, Boolean]
+        else s1.map(t => (t._1, t._2)).toDF("doc_id", "text")
+          .select(col("doc_id"), sha2(col("text"), 256).as("d")).collect()
+          .map(r => r.getLong(0) -> !histSet.contains(r.getString(1))).toMap
+      val s2 = s1.filter(t => exact(t._1))
+      def kernel(rows: Seq[(Long, String, Long)], f: DataFrame => DataFrame): Map[Long, Boolean] =
+        if (rows.isEmpty) Map.empty
+        else f(rows.map(t => (t._1, t._2)).toDF("doc_id", "text"))
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val cls = kernel(s2, d => Classifier.classifyIndexed(d, clsPath)
+        .select(col("doc_id"), col("predicted")))
+      val s3 = s2.filter(t => cls(t._1))
+      val lm = kernel(s3, d => d.select(col("doc_id"))
+        .join(TextAnalysis.bigramLmScoreIndexed(d, lmPath)
+          .select(col("doc_id"), col("avg_nll")), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          (col("avg_nll").isNull || col("avg_nll") <= thr).as("k")))
+      val s4 = s3.filter(t => lm(t._1))
+      val fz = kernel(s4, d => d.select(col("doc_id"))
+        .join(Dedup.lshDedupIndexed(d, lshPath)
+          .select(col("doc_id"), col("is_dup")), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          (!org.apache.spark.sql.functions.coalesce(col("is_dup"),
+            org.apache.spark.sql.functions.lit(false))).as("k")))
+      batch.map { case (id, _, _) => id -> Seq(
+        rules.get(id), exact.get(id),
+        cls.get(id), lm.get(id), fz.get(id)) }.toMap
+    }
+    val input = MemoryStream[(Long, String, Long)]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Option[Boolean]]]
+    val keeps = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]
+    val (writer, handle) = EventTimeOps.chainedGateIngest(
+      input.toDF().toDF("doc_id", "text", "created_utc"), history,
+      clsPath, lmPath, lshPath, thr, stopWords = stops)((out, _) =>
+      out.collect().foreach { r =>
+        got.put(r.getLong(0), (1 to 5).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getBoolean(i))))
+        keeps.put(r.getLong(0), r.getBoolean(6))
+      })
+    val q = writer.start()
+    val (b1, b2) = docs.splitAt(6)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == docs.size)
+    (expect(b1) ++ expect(b2)).foreach { case (id, exp) =>
+      assert(got.get(id) == exp, s"doc $id: got ${got.get(id)}, expected $exp")
+      assert(keeps.get(id) == exp.last.getOrElse(false), s"doc $id keep")
+    }
+    // the fixture exercises every arm: a rules drop with ALL later bits
+    // null, an exact-dup drop with cls/lm/fuzzy null, and at least one
+    // doc that reached the fuzzy stage
+    assert(got.get(50L) == Seq(Some(false), None, None, None, None))
+    assert(got.get(51L).take(2) == Seq(Some(true), Some(false)) &&
+      got.get(51L).drop(2).forall(_.isEmpty))
+    assert(got.values().asScala.exists(_.last.isDefined),
+      "no doc reached the fuzzy stage — fixture too lossy")
+    assert(handle.batchesProcessed == 2 &&
+      handle.destroyedBroadcasts.size == 4)
+  }
+
   test("fuzzyDedupGateIngest: per-batch verdicts equal the persisted index's batch probe; history twins dropped, fresh and short docs kept") {
     import graft.operators.Dedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
