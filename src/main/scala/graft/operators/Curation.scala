@@ -223,6 +223,24 @@ object Curation {
     spark.read.parquet(s"$path/verdict")
   }
 
+  /** Drop accounting for the COMPOSED pipeline (d93) — [[keepSummary]]'s
+    * reading one level up, over a [[fullVerdict]] frame: how many train
+    * docs each of the three legs admits (keep-list, head/middle tier,
+    * classifier top-half) and how many survive the conjunction — the
+    * numbers an operator compares across corpus versions to see WHICH
+    * leg moved when the selected count jumps. One map-side-combined
+    * aggregate over the persisted verdict artifact, 1 row out.
+    */
+  def fullVerdictSummary(verdict: DataFrame): DataFrame =
+    verdict.agg(
+      count(lit(1)).as("n_train"),
+      sum(when(col("curation_keep"), 1L).otherwise(0L)).as("n_curation_keep"),
+      sum(when(col("tier") === "head", 1L).otherwise(0L)).as("n_head"),
+      sum(when(col("tier") === "middle", 1L).otherwise(0L)).as("n_middle"),
+      sum(when(col("tier") === "tail", 1L).otherwise(0L)).as("n_tail"),
+      sum(when(col("cls_keep"), 1L).otherwise(0L)).as("n_cls_keep"),
+      sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"))
+
   /** The curation run's operational dashboard (d38): one row of
     * per-reason drop accounting over a [[keepList]] verdict — the
     * numbers an operator watches across corpus versions (a broken gate

@@ -142,9 +142,16 @@ object Packing {
   def saveTokenShards(docs: DataFrame, path: String, budget: Long,
       bucketBits: Int = 8): Unit = {
     import graft.sources.IndexManifest
-    tokenShards(docs, budget, bucketBits)
+    val asg = tokenShards(docs, budget, bucketBits)
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .repartition(col("shard_id"))
+    // an EMPTY corpus is a legitimate input (a curated selection can
+    // come up empty — measured: the decontamination gate admits zero
+    // sf0.1 docs), but dynamic partitionBy writes NO files for zero
+    // rows and the store becomes unreadable (schema inference fails);
+    // write the schema-only empty frame unpartitioned instead
+    if (docs.isEmpty)
+      asg.write.mode("overwrite").parquet(s"$path/shards")
+    else asg.repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id")
       .parquet(s"$path/shards")
     val (rows, maxId) = IndexManifest.watermark(docs, "doc_id")
@@ -275,6 +282,14 @@ object Packing {
       (head.getLong(0), if (head.isNullAt(1)) Long.MaxValue else head.getLong(1),
         if (head.isNullAt(2)) -1L else head.getLong(2))
     if (rows == 0L) return // empty increment: the no-op append
+    // appending to an EMPTY store ≡ a fresh build (the frozen stream has
+    // zero length), and must BE one: the empty store's schema-only file
+    // sits unpartitioned, so a partitioned append would leave a mixed
+    // layout partition discovery rejects
+    if (m.corpusRows == 0L) {
+      saveTokenShards(newDocs, path, budget, bucketBits)
+      return
+    }
     if (minId <= m.corpusMaxId)
       throw new IndexManifestException(
         s"append increment min doc_id $minId is not above the store watermark " +
@@ -338,6 +353,41 @@ object Packing {
         (least(col("start_token") + col("n_tokens"), (col("ctx_id") + lit(1)) * ctxLen)
           - greatest(col("start_token"), col("ctx_id") * ctxLen)).cast("long").as("len"))
   }
+
+  /** CONTENT-level context assembly (d92) — the proof that the packed
+    * stream actually reconstructs document content: each fixed-length
+    * window's token payload is assembled from its [[packSequences]]
+    * spans (every doc segment sliced out of the source text at
+    * doc_offset, ordered by its in-window position) and digested, so an
+    * off-by-one anywhere in the span arithmetic — doc_offset, len,
+    * ctx_offset, the window tiling — breaks a VALUE the oracle hashes,
+    * not just a count (the d23 chunk_digest discipline applied to the
+    * cross-document window layout). A training dataloader emitting
+    * real batches performs exactly this assembly; the boundary
+    * positions it needs for the attention mask are the span rows
+    * themselves.
+    *
+    * Scale shape: one equi-join of spans to the tokenized text (the
+    * corpus's second and last text scan), then one groupBy(ctx_id)
+    * whose per-group state is bounded by ctxLen tokens BY CONSTRUCTION
+    * (a window holds at most ctxLen tokens across all its segments) —
+    * the in-window ordering is a sort_array over that bounded buffer,
+    * never a corpus-scale window function. Returns one row per context
+    * window: (ctx_id, n_docs, n_tokens, content_digest).
+    */
+  def packedContexts(docs: DataFrame, ctxLen: Int, bucketBits: Int = 8): DataFrame =
+    packSequences(docs, ctxLen, bucketBits)
+      .join(docs.select(col("doc_id"), split(col("text"), " ").as("w")),
+        Seq("doc_id"))
+      .select(col("ctx_id"), col("ctx_offset"),
+        expr("slice(w, CAST(doc_offset + 1 AS INT), CAST(len AS INT))").as("seg"),
+        col("len"))
+      .groupBy(col("ctx_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("len")).cast("long").as("n_tokens"),
+        md5(array_join(flatten(expr(
+          "transform(sort_array(collect_list(struct(ctx_offset, seg))), s -> s.seg)")),
+          " ")).as("content_digest"))
 
   /** Interleaved MULTIMODAL context packing (m07) — the MMC4/Flamingo
     * layout step applied to this engine's opaque-media columns: each

@@ -647,26 +647,13 @@ object TextAnalysis {
   def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25Indexed: need at least one query term")
-    val man = graft.sources.IndexManifest.require(path, "bm25")
-    val termBuckets = man.params.getOrElse("term_buckets", 0L)
     // deliberately NOT checkpointed: each consumer keeps its own parquet
     // scan with the term filter PUSHED (PushedFilters, spec-asserted) —
     // reading q postings lists off disk IS the index's serving shape,
     // and a materialization would hide the pushdown and hold the probe
-    // in memory for no reuse win
-    val raw = spark.read.parquet(s"$path/postings")
-    // bucketed layout (d90): derive each query term's partition
-    // driver-side (pure hash, no lookup) and inject the bucket set as a
-    // literal — bare partition-column predicates, so unprobed bucket
-    // directories prune at the file index (PartitionFilters) and the
-    // term filter pushes within the survivors
-    val scoped =
-      if (termBuckets > 0L) {
-        val tbs = terms.map(t => graft.operators.Dedup.hash60Jvm(t) % termBuckets)
-          .distinct.sorted
-        raw.filter(col("tb").isin(tbs: _*))
-      } else raw
-    val postings = scoped.filter(col("term").isin(terms: _*))
+    // in memory for no reuse win. On a d90 bucketed layout the probe is
+    // additionally bucket-scoped driver-side (see [[probedPostings]]).
+    val postings = probedPostings(spark, path, terms)
     val lens = spark.read.parquet(s"$path/lens")
     // coalesce guards the all-terms-absent probe (empty frame → NULL sums)
     val dfAggs = count(lit(1)).as("probe_rows") +:
@@ -695,6 +682,76 @@ object TextAnalysis {
     }.reduce(_ + _)
     scored.crossJoin(broadcast(dfs)).crossJoin(broadcast(consts))
       .select(col("doc_id"), score.as("score"))
+  }
+
+  /** Conjunctive (AND) BM25 retrieval (d94) — the other standard
+    * serving shape of an inverted index: only documents containing ALL
+    * query terms are candidates, and ONLY candidates are scored. The
+    * candidate set is the postings-lists intersection, computed as one
+    * conditional-aggregate pass over the pushed probe (per doc, each
+    * term's tf pivoted to a column; conjunction = every tf non-null) —
+    * never a scan of the corpus, never scores for documents the AND
+    * semantics excludes. Candidates then fetch their lengths (one
+    * equi-join against the lens table — the candidate side is
+    * intersection-small, AQE broadcasts it) and run the d17
+    * bit-identical score expression with tf from the pivot; the cut is
+    * the d89 TakeOrderedAndProject shape. Returns (rk, doc_id, score).
+    */
+  def bm25TopKAll(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], kTop: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && kTop > 0, s"terms=$terms kTop=$kTop")
+    val probe = probedPostings(spark, path, terms)
+    val dfAggs = count(lit(1)).as("probe_rows") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(col("term") === t, 1L).otherwise(0L)), lit(0L))
+          .cast("double").as(s"df$i")
+      }
+    val dfs = probe.agg(dfAggs.head, dfAggs.tail: _*).drop("probe_rows")
+    val cand = probe.groupBy(col("doc_id"))
+      .agg(terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf"))).as(s"tf$i")
+      }.head, terms.zipWithIndex.drop(1).map { case (t, i) =>
+        sum(when(col("term") === t, col("tf"))).as(s"tf$i")
+      }: _*)
+      .filter(terms.indices.map(i => col(s"tf$i").isNotNull).reduce(_ && _))
+    val lens = spark.read.parquet(s"$path/lens")
+    val consts = spark.read.parquet(s"$path/consts")
+      .select(col("n_docs").cast("double").as("nd"),
+        col("sum_dl").cast("double").as("sum_dl"))
+    val dl = col("dl").cast("double")
+    val avgdl = col("sum_dl") / col("nd")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = (col("nd") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (dl / avgdl)))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    cand.join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(dfs)).crossJoin(broadcast(consts))
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(kTop)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("score"))
+  }
+
+  /** The manifest-gated, bucket-scoped, term-filtered postings probe
+    * shared by every index reader ([[bm25Indexed]], [[bm25TopKAll]]).
+    */
+  private def probedPostings(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String]): DataFrame = {
+    val man = graft.sources.IndexManifest.require(path, "bm25")
+    val termBuckets = man.params.getOrElse("term_buckets", 0L)
+    val raw = spark.read.parquet(s"$path/postings")
+    val scoped =
+      if (termBuckets > 0L) {
+        val tbs = terms.map(t => graft.operators.Dedup.hash60Jvm(t) % termBuckets)
+          .distinct.sorted
+        raw.filter(col("tb").isin(tbs: _*))
+      } else raw
+    scoped.filter(col("term").isin(terms: _*))
   }
 
   /** BM25 top-k RETRIEVAL from the persisted index (d89) — the serving

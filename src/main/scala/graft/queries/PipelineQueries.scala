@@ -1013,6 +1013,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // content-level context assembly (d92): each d48 window's token
+    // payload sliced from the source docs, ordered by in-window
+    // position, digested — an off-by-one anywhere in the packing
+    // arithmetic breaks a hashed VALUE, not a count
+    // (Packing.packedContexts doc)
+    "d92_pack_content" -> ((spark: SparkSession, dir: String) =>
+      Packing.packedContexts(Tables.documents(spark, dir), CTX_LEN)
+        .orderBy(col("ctx_id"))),
+
+    // composed-pipeline drop accounting (d93): keepSummary one level
+    // up — per-leg admission counts over the persisted d85 verdict
+    // artifact (Curation.fullVerdictSummary doc)
+    "d93_verdict_summary" -> ((spark: SparkSession, dir: String) =>
+      Curation.fullVerdictSummary(verdictCached(spark, dir))),
+
     // curated-store SYNC (d91): the maintenance policy for a store
     // whose membership is a SELECTION (not append-only) — history
     // built on the 3/4 corpus under a prefix-stable verdict, the grown
@@ -1050,6 +1065,18 @@ object PipelineQueries {
         termBuckets = 16)
       TextAnalysis.bm25Indexed(spark, path, BM25_TERMS)
         .orderBy(col("doc_id"))
+    }),
+
+    // conjunctive BM25 retrieval (d94): AND semantics — candidates are
+    // the postings-lists intersection (tf pivoted per term over the
+    // pushed probe, all non-null), ONLY candidates scored, the d89
+    // heap cut on top (TextAnalysis.bm25TopKAll doc)
+    "d94_bm25_topk_all" -> ((spark: SparkSession, dir: String) => {
+      val path = indexPath("d94-bm25")
+      TextAnalysis.saveBm25Index(Tables.documents(spark, dir), path,
+        termBuckets = 16)
+      TextAnalysis.bm25TopKAll(spark, path, BM25_TERMS, BM25_TOPK)
+        .orderBy(col("rk"))
     }),
 
     // BM25 top-k retrieval (d89): the SERVING shape of the d87 inverted
@@ -1093,7 +1120,15 @@ object PipelineQueries {
     // d85's `selected` verdict filters the corpus, survivors are
     // prefix-summed from token 0 and written as the d50 shard store
     // (manifest + pruned single-shard reads); the registered row is the
-    // store's placement table read back (Packing.saveCuratedShards doc)
+    // store's placement table read back (Packing.saveCuratedShards doc).
+    // Measured caveat (the d32/d57/d84 pattern): this corpus's tiny
+    // shared vocabulary makes the decontamination gate brutal — 3
+    // survivors at sf0.01, ZERO at sf0.1 (keepSummary: n_contaminated
+    // = n_train) — so the registered row pins the composition and the
+    // (legitimate) near-empty regime, including the schema-only empty
+    // store; the substantive-store behavior is spec-proven on a
+    // 1/3-of-corpus synthetic selection (Round11OpsSpec) and d91's
+    // registered row drives it at 1667 rows
     "d88_curated_store" -> ((spark: SparkSession, dir: String) => {
       val docs = Tables.documents(spark, dir)
       val sel = verdictCached(spark, dir)
@@ -3188,6 +3223,63 @@ object PipelineQueries {
     // d90 serves the SAME scores from the bucket-partitioned layout —
     // the layout must be invisible to the ranking function
     "d90_bm25_bucketed" -> bm25Sql,
+
+    // mirror of packedContexts: the d48 span chain re-joined to the
+    // tokenized text, segments sliced at doc_offset, in-window order by
+    // ctx_offset, md5 over the space-rejoined window payload
+    "d92_pack_content" ->
+      s"""WITH $tokenOffsetCtes,
+         |pctx AS (SELECT doc_id, n_tokens, start_token,
+         |  unnest(range(start_token // $CTX_LEN,
+         |               (start_token + n_tokens - 1) // $CTX_LEN + 1)) AS ctx_id
+         |  FROM pos),
+         |pspan AS (SELECT doc_id, CAST(ctx_id AS BIGINT) AS ctx_id,
+         |  CAST(greatest(start_token, ctx_id * $CTX_LEN) - ctx_id * $CTX_LEN AS BIGINT) AS ctx_offset,
+         |  CAST(greatest(start_token, ctx_id * $CTX_LEN) - start_token AS BIGINT) AS doc_offset,
+         |  CAST(least(start_token + n_tokens, (ctx_id + 1) * $CTX_LEN)
+         |       - greatest(start_token, ctx_id * $CTX_LEN) AS BIGINT) AS len
+         |  FROM pctx),
+         |pw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |pseg AS (SELECT s.ctx_id, s.ctx_offset, s.len,
+         |  array_to_string(list_slice(pw.w, s.doc_offset + 1, s.doc_offset + s.len), ' ') AS seg
+         |  FROM pspan s JOIN pw USING (doc_id))
+         |SELECT ctx_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(seg, ' ' ORDER BY ctx_offset)) AS content_digest
+         |FROM pseg GROUP BY ctx_id ORDER BY ctx_id"""
+        .stripMargin.replace("\n", " "),
+
+    // mirror of fullVerdictSummary over the shared d85 CTE bundle
+    "d93_verdict_summary" ->
+      s"""WITH $fullCurationCtes,
+         |fvz AS (SELECT ck.keep AS curation_keep, tser.tier,
+         |  csel.selected AS cls_keep,
+         |  (ck.keep AND tser.tier <> 'tail' AND csel.selected) AS selected
+         |  FROM ck JOIN tser ON tser.doc_id = ck.doc_id
+         |  JOIN csel ON csel.doc_id = ck.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN curation_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_curation_keep,
+         |  CAST(sum(CASE WHEN tier = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+         |  CAST(sum(CASE WHEN tier = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+         |  CAST(sum(CASE WHEN tier = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+         |  CAST(sum(CASE WHEN cls_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_cls_keep,
+         |  CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+         |FROM fvz""".stripMargin.replace("\n", " "),
+
+    // mirror of bm25TopKAll: the d17 chain restricted to docs where
+    // every query term's tf is positive (the intersection), same
+    // (score DESC, doc_id) cut and rank
+    "d94_bm25_topk_all" -> {
+      val allPresent = BM25_TERMS.indices
+        .map(i => s"d.tf$i > 0").mkString(" AND ")
+      s"""WITH ${bm25CtesFor(BM25_TERMS, "j")}
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |  doc_id, score
+         |FROM (SELECT s.doc_id, s.score FROM jsc s JOIN jd d ON d.doc_id = s.doc_id
+         |      WHERE $allPresent
+         |      ORDER BY s.score DESC, s.doc_id LIMIT $BM25_TOPK)
+         |ORDER BY rk""".stripMargin.replace("\n", " ")
+    },
 
     // mirror of curatedShardsSync's grown store: the d51 two-stage
     // placement (history chain frozen, increment offset by the history

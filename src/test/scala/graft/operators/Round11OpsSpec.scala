@@ -171,6 +171,31 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(Packing.curatedShardsSync(docs, flipped, path, B) == "fresh")
   }
 
+  test("saveCuratedShards: an EMPTY selection writes a readable schema-only store; sync grows it into a real store once a selection appears") {
+    val docs = Tables.documents(spark, dir)
+    val none = docs.select(col("doc_id")).filter(lit(false))
+    val path = tmp("graft-curempty-")
+    Packing.saveCuratedShards(docs, none, path, 4096L)
+    // the empty store must be READABLE (schema-only parquet), not a
+    // bare _SUCCESS that fails schema inference
+    val st = spark.read.parquet(s"$path/shards")
+    assert(st.count() == 0 && st.columns.contains("doc_id"))
+    val m = IndexManifest.require(path, "shards")
+    assert(m.corpusRows == 0L && m.params("n_tokens_total") == 0L)
+    // a selection appears: sync appends, which on a zero-length frozen
+    // stream IS a fresh build (and must be — a partitioned append onto
+    // the unpartitioned empty file would leave a mixed layout)
+    val sel = docs.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+    assert(Packing.curatedShardsSync(docs, sel, path, 4096L) == "append")
+    val direct = Packing.tokenShards(docs.filter(col("doc_id") % 3 === 0), 4096L)
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(s"$path/shards")
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        col("shard_id").cast("long")).collect().map(_.toSeq).toSet
+    assert(got == direct)
+    assert(Packing.curatedShardsSync(docs, sel, path, 4096L) == "fresh")
+  }
+
   test("fullVerdictCached: artifact round trip is bit-identical to the direct composition; warm hit serves without rebuild; knob drift rebuilds") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -200,6 +225,38 @@ class Round11OpsSpec extends AnyFunSuite {
     // ANY knob drift — including a keep-leg gate param — must rebuild
     cached(minTokens = 9999).count()
     assert(verdictFiles() != before, "params drift served the stale artifact")
+  }
+
+  test("packedContexts: windows tile exactly at ctxLen (tail partial), digests equal an independent JVM reconstruction") {
+    val docs = Tables.documents(spark, dir)
+    val ctxLen = 512
+    val out = Packing.packedContexts(docs, ctxLen).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .sortBy(_._1)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val totalTokens = texts.values.map(_.split(" ").length.toLong).sum
+    // tiling: windows are 0..N-1, full ctxLen each except a partial tail
+    assert(out.map(_._1).toSeq == (0L until out.length.toLong))
+    out.dropRight(1).foreach { case (id, (_, n, _)) =>
+      assert(n == ctxLen, s"window $id holds $n tokens") }
+    assert(out.map(_._2._2).sum == totalTokens)
+    // independent reconstruction: spans + raw texts, assembled in plain
+    // Scala, digested with MessageDigest — no Spark expressions shared
+    // with the operator under test
+    val spans = Packing.packSequences(docs, ctxLen).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byWindow = spans.groupBy(_._2)
+    out.foreach { case (ctxId, (nDocs, _, digest)) =>
+      val segs = byWindow(ctxId).sortBy(_._3).map { case (docId, _, _, off, len) =>
+        texts(docId).split(" ").slice(off.toInt, (off + len).toInt).mkString(" ")
+      }
+      assert(segs.length == nDocs)
+      val payload = segs.mkString(" ")
+      val jvmMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(jvmMd5 == digest, s"window $ctxId digest mismatch")
+    }
   }
 
   test("unimaxSelect: a NULL stratum fails loudly instead of silently bypassing the budget") {
