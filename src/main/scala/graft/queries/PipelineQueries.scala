@@ -1086,7 +1086,11 @@ object PipelineQueries {
     // per query (TextAnalysis.bm25TopKIndexed doc)
     "d89_bm25_topk" -> ((spark: SparkSession, dir: String) => {
       val path = indexPath("d89-bm25")
-      TextAnalysis.saveBm25Index(Tables.documents(spark, dir), path)
+      // served from the d90 bucketed layout: at scale the top-k rides
+      // the pruned probe (PartitionFilters + pushed term filter + heap
+      // cut compose — all three plan-guarded)
+      TextAnalysis.saveBm25Index(Tables.documents(spark, dir), path,
+        termBuckets = 16)
       TextAnalysis.bm25TopKIndexed(spark, path, BM25_QUERIES, BM25_TOPK)
         .orderBy(col("query_id"), col("rk"))
     }),

@@ -513,6 +513,63 @@ object SseBenchMain {
           f"lsh-alone x${wLsh / wBase}%.1f; shortcircuit saves x${wNosc / wChain}%.2f, " +
           f"kept=$nKept of $total)")
       }
+
+      // STRATUM-BUDGET GATE (round 11, phase 10): the UniMax
+      // realization's streaming twin priced against the pass-through
+      // twin — the LIGHTEST gate by construction (one bounded
+      // per-batch window + a #strata-row literal CASE; no model, no
+      // index, no sketch), so its cost should sit below even the rules
+      // gate's. Budgets sized so two of four strata CLOSE mid-stream
+      // (kept lands strictly between 50% and 100% — the gate provably
+      // gates).
+      {
+        val refDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        val texts = refDocs.select($"text").limit(500).collect().map(_.getString(0))
+        val total = 20000
+        val chunk = 2000
+        val docs: Seq[(Long, String, String)] = (0 until total).map { i =>
+          (i.toLong, texts(i % texts.length), s"s${i % 4}")
+        }
+        val tokensPerStratum = docs.groupBy(_._3).view
+          .mapValues(_.map(_._2.split(" ").length.toLong).sum).toMap
+        // s0/s1 capped at half their stream, s2/s3 open-ended
+        val alloc = Map(
+          "s0" -> tokensPerStratum("s0") / 2, "s1" -> tokensPerStratum("s1") / 2,
+          "s2" -> Long.MaxValue / 4, "s3" -> Long.MaxValue / 4)
+        def budgetRun(withGate: Boolean): (Double, Long, Long) = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+          val stream = mem.toDF().toDF("doc_id", "text", "stratum")
+          val seen = new java.util.concurrent.atomic.AtomicLong
+          val kept = new java.util.concurrent.atomic.AtomicLong
+          val writer =
+            if (withGate) EventTimeOps.stratumBudgetGateIngest(stream, alloc) {
+              (out, _) =>
+                val rows = out.select($"selected").collect()
+                seen.addAndGet(rows.length)
+                kept.addAndGet(rows.count(_.getBoolean(0)))
+            }._1
+            else stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                seen.addAndGet(b.count()); ()
+            }
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            docs.grouped(chunk).foreach { g =>
+              mem.addData(g: _*); q.processAllAvailable()
+            }
+          } finally q.stop()
+          require(seen.get() == total, s"INVALID RUN: saw ${seen.get()} of $total")
+          ((System.nanoTime() - t0) / 1e9, seen.get(), kept.get())
+        }
+        budgetRun(withGate = false) // warm-up
+        val (wBase, _, _) = budgetRun(withGate = false)
+        val (wGate, _, nKept) = budgetRun(withGate = true)
+        require(nKept > total / 2 && nKept < total,
+          s"INVALID RUN: budgets did not bite ($nKept of $total)")
+        println(f"SSEBENCH budget-gate total=$total docs passthrough=${total / wBase}%.0f ev/s " +
+          f"gated=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost, kept=$nKept of $total)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }

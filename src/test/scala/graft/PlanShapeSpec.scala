@@ -441,7 +441,7 @@ class PlanShapeSpec extends AnyFunSuite {
         p.take(3000))
   }
 
-  test("d89: retrieval cuts with TakeOrderedAndProject per query, and the term probes stay pushed") {
+  test("d89: retrieval cuts with TakeOrderedAndProject per query; term pushdown AND bucket pruning survive under the cut") {
     val p = plan("d89_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"),
       "the top-k cut must be a per-partition heap + k-row driver merge, " +
@@ -449,6 +449,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [In(term") ||
       p.contains("PushedFilters: [EqualTo(term"),
       "the d87 postings pushdown must survive under the retrieval cut\n" +
+        p.take(3000))
+    assert("PartitionFilters: \\[[^\\]]*tb#".r.findFirstIn(p).isDefined,
+      "the d90 bucket pruning must survive under the retrieval cut\n" +
         p.take(3000))
   }
 }
