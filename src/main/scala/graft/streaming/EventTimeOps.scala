@@ -635,6 +635,11 @@ object EventTimeOps {
     * as d82's start_tok does. Strata without an allocation (or NULL)
     * fail loudly (raise_error — the d82/unimaxMixture discipline): a
     * silently-admitted unbudgeted stratum is a mixture-control bypass.
+    * At-least-once caveat (the same class as the counter residue
+    * documented won't-fix since round 7, and the accepted-Bloom
+    * fold's): a replayed batch re-advances counters already advanced
+    * before the crash, double-counting its tokens — budgets then close
+    * EARLY, never over-admit, the safe failure direction for a budget.
     *
     * Emits per non-empty batch via `sink`:
     * (doc_id, stratum, n_tokens, start_tok, selected).

@@ -662,6 +662,88 @@ class EventTimeOpsSpec extends AnyFunSuite {
       handle.destroyedBroadcasts.size == 4)
   }
 
+  test("chain → curated store: gate survivors append into a shard store per batch; the store equals the sequential two-stage placement over exactly the kept docs") {
+    import graft.operators.{Classifier, Dedup, Packing, TextAnalysis}
+    import graft.sources.{IndexManifest, Tables}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = Tables.documents(spark, "/root/testdata/sf0.001")
+    val stops = TextAnalysis.markers.head._2
+    val lmPath = Files.createTempDirectory("graft-csl-lm-").toString
+    TextAnalysis.saveBigramLm(ref.filter(col("lang") === "en"), lmPath)
+    val clsPath = Files.createTempDirectory("graft-csl-cls-").toString
+    Classifier.saveClassifier(ref, col("doc_id") % 2 === 0, clsPath)
+    val history = ref.orderBy(col("doc_id")).limit(2)
+      .select(col("doc_id"), col("text"))
+    val lshPath = Files.createTempDirectory("graft-csl-lsh-").toString
+    Dedup.saveLshIndex(history, lshPath, 64, 16)
+    // stream: rules-passing corpus texts (unique) + rule violators,
+    // ids ascending across batches (the store's id-monotone contract)
+    val okTexts = ref.filter(col("doc_id") >= 10)
+      .join(TextAnalysis.gopherRules(ref, stops).filter(col("keep"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .orderBy(col("doc_id")).limit(8).select(col("text"))
+      .collect().map(_.getString(0))
+    val docs: Seq[(Long, String, Long)] = okTexts.zipWithIndex.map {
+      case (t, i) => (100L + i, t, 600L + i)
+    }.toSeq ++ Seq((200L, "too short", 700L), (201L, "also short", 701L))
+    val docById = docs.map(t => t._1 -> t._2).toMap
+    // the composition under test: the chain's sink appends each batch's
+    // KEPT docs into a curated shard store (initialized empty) — no new
+    // machinery, the parts compose
+    val storePath = Files.createTempDirectory("graft-csl-store-").toString
+    Packing.saveTokenShards(ref.limit(0), storePath, 4096L)
+    val keptOrder = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, String, Long)]
+    val (w2, _) = EventTimeOps.chainedGateIngest(
+      mem.toDF().toDF("doc_id", "text", "created_utc"), history,
+      clsPath, lmPath, lshPath, 99.0, stopWords = stops) { (out, _) =>
+      val ids = out.filter(col("keep")).select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      if (ids.nonEmpty) {
+        keptOrder ++= ids
+        import spark.implicits._
+        Packing.appendTokenShards(
+          ids.map(id => (id, docById(id))).toSeq.toDF("doc_id", "text"),
+          storePath)
+      }
+    }
+    val q = w2.start()
+    val (b1, b2) = docs.splitAt(5)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(keptOrder.nonEmpty, "no doc survived the chain — fixture too lossy")
+    // the store holds EXACTLY the chain's keeps, placed by the
+    // documented sequential two-stage semantics (each batch's increment
+    // prefix-summed among itself, offset by the frozen total)
+    val store = spark.read.parquet(s"$storePath/shards")
+      .select(col("doc_id"), col("n_tokens"), col("start_token"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(store.map(_._1).toSet == keptOrder.toSet)
+    IndexManifest.require(storePath, "shards")
+    // spans tile: sorted by start, contiguous from 0
+    store.map(t => (t._3, t._2)).sortBy(_._1)
+      .foldLeft(0L) { case (expect, (st, n)) =>
+        assert(st == expect, s"gap/overlap at $st"); st + n }
+    // replaying the same appends batch-by-batch in BATCH code yields the
+    // identical placement (the streaming path adds nothing)
+    val twinPath = Files.createTempDirectory("graft-csl-twin-").toString
+    Packing.saveTokenShards(ref.limit(0), twinPath, 4096L)
+    val batches = Seq(b1, b2).map(b => b.map(_._1).filter(keptOrder.contains).sorted)
+    import spark.implicits._
+    batches.filter(_.nonEmpty).foreach { ids =>
+      Packing.appendTokenShards(
+        ids.map(id => (id, docById(id))).toSeq.toDF("doc_id", "text"), twinPath)
+    }
+    val twin = spark.read.parquet(s"$twinPath/shards")
+      .select(col("doc_id"), col("n_tokens"), col("start_token"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(store.toSet == twin)
+  }
+
   test("fuzzyDedupGateIngest: per-batch verdicts equal the persisted index's batch probe; history twins dropped, fresh and short docs kept") {
     import graft.operators.Dedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
