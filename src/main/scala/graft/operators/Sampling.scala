@@ -77,4 +77,144 @@ object Sampling {
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Deterministic EPOCH shuffle (d95): every training epoch gets its
+    * own full permutation of the corpus, and each permutation is split
+    * round-robin into `nShards` loader shards — the dataloader-facing
+    * order a multi-epoch run consumes. The permutation key is
+    * hash60("<epoch>:<doc_id>"), so epoch e's order is (a) a pure
+    * function of (epoch, doc_id) — reproducible on any cluster layout,
+    * resumable mid-epoch — and (b) statistically independent across
+    * epochs (a fresh salt re-keys the whole hash), which is what
+    * "reshuffle every epoch" means operationally.
+    *
+    * The global per-epoch rank uses the distributed-rank device
+    * ([[graft.operators.TextAnalysis.perplexityTiers]] doc): bucket by
+    * the key's high `bucketBits` bits (bucket order IS key order — the
+    * bucket is a key prefix), rank within (epoch, bucket) windows, add
+    * per-bucket base offsets from the tiny totals table. No
+    * single-partition corpus-wide window at any scale; `rk` is
+    * contiguous from 1 per epoch, so `(rk-1) % nShards` balances
+    * shards to ±1 row BY CONSTRUCTION (a bare `hash % nShards` only
+    * balances in expectation).
+    *
+    * Returns (epoch, doc_id, rk, shard).
+    */
+  def epochShuffle(docs: DataFrame, epochs: Int, nShards: Int,
+      bucketBits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epochs >= 1, s"epochs=$epochs")
+    require(nShards >= 1, s"nShards=$nShards")
+    require(bucketBits > 0 && bucketBits < 60, s"bucketBits=$bucketBits")
+    val base = docs.select(col("doc_id"))
+      .withColumn("epoch", explode(expr(s"sequence(0L, ${epochs - 1}L)")))
+      .withColumn("k", Dedup.hash60(
+        concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("bkt", expr(s"shiftright(k, ${60 - bucketBits})"))
+    val inBkt = Window.partitionBy(col("epoch"), col("bkt"))
+      .orderBy(col("k"), col("doc_id"))
+    val counts = base.groupBy(col("epoch"), col("bkt"))
+      .agg(count(lit(1)).as("bc"))
+    val offsets = counts.select(col("epoch"), col("bkt"),
+      (sum(col("bc")).over(
+        Window.partitionBy(col("epoch")).orderBy(col("bkt"))) - col("bc"))
+        .as("off"))
+    base
+      .withColumn("rn", row_number().over(inBkt))
+      .join(offsets, Seq("epoch", "bkt"))
+      .select(col("epoch"), col("doc_id"),
+        (col("off") + col("rn")).cast("long").as("rk"))
+      .withColumn("shard", ((col("rk") - 1) % nShards).cast("long"))
+  }
+
+  /** Cumulative-fraction hash cutoffs for [[hashSplit]], computed in
+    * BigDecimal so the query side and the SQL oracle inject the SAME
+    * integer literals (a double-rounded 0.8*2^60 could differ in the
+    * last ulp between independent evaluations). Returns one upper
+    * bound per split, final bound = 2^60 exactly.
+    */
+  def splitCuts(fracs: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(fracs.nonEmpty, "fracs must be non-empty")
+    // from the exact Long — BigDecimal(Double) rounds through the
+    // SHORTEST-round-trip decimal string (1.152921504606847E18), which
+    // is off by 24 from 2^60
+    val two60 = BigDecimal(1L << 60)
+    val cums = fracs.scanLeft(BigDecimal(0)) { case (acc, (_, f)) =>
+      acc + BigDecimal(f)
+    }.tail
+    require((cums.last - 1).abs < BigDecimal("1e-9"),
+      s"fractions must sum to 1, got ${cums.last}")
+    val cuts = fracs.map(_._1).zip(cums).map { case (name, c) =>
+      name -> (c * two60).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    }
+    // snap the last cut to exactly 2^60 so every hash value is covered
+    cuts.init :+ (cuts.last._1 -> (1L << 60))
+  }
+
+  /** Deterministic train/val/test split (d96): assign each doc to a
+    * named split by where hash60("<salt>:<doc_id>") lands among the
+    * cumulative-fraction cutoffs of the 60-bit hash space. Membership
+    * is a pure function of (salt, doc_id): splits are disjoint and
+    * exhaustive BY CONSTRUCTION, stable under corpus growth (a new doc
+    * never moves an old one), and re-salting redraws the whole
+    * assignment — the properties ad-hoc `ORDER BY rand() LIMIT n`
+    * splits lack. Per-row expression work only; no shuffle.
+    *
+    * Returns (doc_id, split).
+    */
+  def hashSplit(docs: DataFrame, salt: String,
+      fracs: Seq[(String, Double)]): DataFrame = {
+    val cuts = splitCuts(fracs)
+    // CASE WHEN h < cut1 THEN name1 WHEN h < cut2 THEN name2 … ELSE last
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, cut), els) => when(col("__h") < cut, lit(name)).otherwise(els)
+    }
+    docs.select(col("doc_id"),
+        Dedup.hash60(concat(lit(salt), lit(":"), col("doc_id").cast("string")))
+          .as("__h"))
+      .select(col("doc_id"), split.as("split"))
+  }
+
+  /** Systematic (stratified-point) resampling WITH replacement (d97) —
+    * Kitagawa 1996's low-variance resampler, the standard way to
+    * realize "sample n docs proportional to token count" with
+    * replacement: lay every document's tokens end-to-end on [0, W)
+    * (the d47 deterministically-shuffled prefix-sum stream), drop n
+    * evenly-spaced probe points p_j = ⌊(2j+1)·W / 2n⌋ (midpoints of n
+    * equal strata — all integer arithmetic, no RNG), and select the
+    * document whose token interval contains each point. A doc with
+    * weight w is drawn ⌊n·w/W⌋ or ⌈n·w/W⌉ times — the minimum-variance
+    * realization of the multinomial — and the whole draw is a pure
+    * function of the corpus.
+    *
+    * Scale shape: intervals come from [[Packing.tokenOffsets]] (the
+    * bucketed distributed prefix sum — no global window); point-in-
+    * interval matching is [[RangeJoin.pointInInterval]]'s bin-bucketed
+    * EQUI-join (no broadcast nested loop, no cartesian); the only
+    * driver round is the single total-W scalar (the d91 cut
+    * convention). Points are generated ON the cluster
+    * (`spark.range(n)`). Each point lands in exactly one half-open
+    * interval (the stream is contiguous from 0), so the output is
+    * exactly n rows.
+    *
+    * Returns (sample_id, point, doc_id, n_tokens) ordered by nothing —
+    * callers order; sample_id 0..n-1.
+    */
+  def systematicResample(docs: DataFrame, n: Int,
+      bucketBits: Int = 8): DataFrame = {
+    require(n >= 1, s"n=$n")
+    val off = Packing.tokenOffsets(docs, bucketBits)
+      .withColumn("end_token", col("start_token") + col("n_tokens"))
+      .localCheckpoint(true) // read twice: total-W probe + the join
+    val w = off.agg(max(col("end_token"))).head().getLong(0)
+    require(w > 0, "empty corpus")
+    val spark = docs.sparkSession
+    val points = spark.range(0, n.toLong).toDF("sample_id")
+      .withColumn("point", // integer floor-div: Column./ would go DOUBLE
+        expr(s"((sample_id * 2 + 1) * ${w}L) div ${2L * n}L"))
+    val binWidth = math.max(1L, w / (2L * n))
+    RangeJoin.pointInInterval(off, points, Seq.empty,
+        "start_token", "end_token", "point", binWidth)
+      .select(col("sample_id"), col("point"), col("doc_id"), col("n_tokens"))
+  }
 }

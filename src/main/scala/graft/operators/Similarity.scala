@@ -166,6 +166,61 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** PageRank over the [[knnGraph]] similarity graph (e50) — the
+    * graph-centrality data-selection signal (a document whose
+    * neighborhood is itself well-connected is "representative"; the
+    * same shape ranks the web graph): power iteration
+    * r' = (1−d)/N + d·Σ r_u/deg(u) over the directed kNN edge set.
+    *
+    * Cross-engine exactness WITHOUT transcendentals: all mass is
+    * integer micro-units (`scale` = 1e12 total per node at start).
+    * Each step is floor division — contribution = m div deg, damping =
+    * (damp·Σ) div 100 — so every iteration is exact BIGINT arithmetic
+    * in both engines; the oracle unrolls the same `iters` steps as
+    * chained CTEs. Dangling nodes (no out-edges — a bucket singleton
+    * has no same-bucket neighbors) keep RECEIVING mass but their own
+    * mass leaks (the standard "remove dangling mass" variant; the
+    * floor residue leaks the same way), so masses are a ranking
+    * signal, not a strict distribution — documented, deterministic.
+    *
+    * Scale shape: edges are built once (the bucketed kNN self-join —
+    * Σ bucket², never corpus²) and localCheckpointed with their
+    * out-degrees (the CC-iteration device: each power step must not
+    * re-derive the graph); one step = two keyed shuffles (join on src,
+    * groupBy dst) over corpus-sized frames — the canonical iterative-
+    * join PageRank every distributed graph engine runs. The ONLY
+    * driver value is N (one scalar). `iters` is small and fixed;
+    * lineage is cut per step.
+    *
+    * Returns (vec_id, m) — integer micro-mass per node.
+    */
+  def pageRank(emb: DataFrame, k: Int, bits: Int = 6, iters: Int = 3,
+      scale: Long = 1000000000000L, damp: Int = 85): DataFrame = {
+    require(iters >= 1 && damp > 0 && damp < 100, s"iters=$iters damp=$damp")
+    val edges = knnGraph(emb, k, bits)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, Seq("src")).localCheckpoint(true)
+    val nodes = emb.select(col("vec_id")).localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val r0 = scale / n
+    val teleport = scale * (100 - damp) / 100 / n
+    var ranks = nodes.withColumn("m", lit(r0))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .select(col("dst").as("vec_id"), expr("m div deg").as("c"))
+      val inSums = contribs.groupBy(col("vec_id")).agg(sum(col("c")).as("sm"))
+      ranks = nodes.join(inSums, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          (lit(teleport) + expr(s"($damp * coalesce(sm, 0L)) div 100"))
+            .cast("long").as("m"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** SemDeDup (e45) — Abbas et al. 2023 ("SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication"): embeddings
     * are clustered, and semantic near-duplicates are searched ONLY

@@ -1292,6 +1292,158 @@ object TextAnalysis {
         col("vocab_cum"), col("beta"))
   }
 
+  /** Zipf-law fit (d98): least-squares slope of ln(freq) on ln(rank)
+    * over the top-`k` words — the standard power-law diagnostic for a
+    * corpus's token distribution (healthy natural text sits near
+    * slope ≈ −1; template/boilerplate corpora flatten or steepen it).
+    *
+    * Cross-engine determinism: ranks come from the bounded top-k table
+    * (frequency table cut by `orderBy(c desc, word).limit(k)` — a
+    * TakeOrderedAndProject over the vocabulary-scale counts, then a
+    * window over k rows, the repo's bounded-table window rule); each
+    * ln is quantized at DECIMAL(18,8) (the ln device), the regression
+    * moments Σx, Σy, Σxy, Σx² are summed as exact decimals (products
+    * at (37,16) — no re-quantization anywhere), and the final
+    * slope/intercept are a FIXED tree of double ops over those four
+    * exact sums — deterministic in both engines. Returns ONE row
+    * (n_words, slope, alpha, intercept); alpha = −slope is the Zipf
+    * exponent.
+    */
+  def zipfSlope(docs: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k=$k")
+    val wc = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(k)
+    val ranked = wc.withColumn("rk",
+      row_number().over(Window.orderBy(col("c").desc, col("word"))).cast("long"))
+    val mom = ranked
+      .select(
+        expr("CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(18,8))").as("x"),
+        expr("CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,8))").as("y"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    mom.select(col("n_words"),
+        col("sx").cast("double").as("dsx"), col("sy").cast("double").as("dsy"),
+        col("sxy").cast("double").as("dsxy"), col("sxx").cast("double").as("dsxx"))
+      .select(col("n_words"),
+        ((col("n_words") * col("dsxy") - col("dsx") * col("dsy"))
+          / (col("n_words") * col("dsxx") - col("dsx") * col("dsx"))).as("slope"))
+      .select(col("n_words"), col("slope"), (-col("slope")).as("alpha"))
+  }
+
+  /** Count-Min sketch term-frequency estimation (d99 family) — Cormode
+    * & Muthukrishnan 2005: `depth` hash rows × `width` counters; a
+    * token increments one counter per row (bucket =
+    * hash60("<r>:<term>") mod width), a query term's estimate is the
+    * MIN over its `depth` counters — an overestimate by construction
+    * (collisions only ever add), within εW with high probability.
+    *
+    * Scale shape: the sketch build is one explode(depth) +
+    * map-side-combinable groupBy collapsing the token stream to AT
+    * MOST depth×width cells — each executor emits a bounded partial
+    * sketch regardless of corpus size (the mergeability that makes CMS
+    * the streaming/distributed counter of choice). The query side is a
+    * depth-row-per-term frame joined against the tiny sketch
+    * (broadcast). Returns (term, est, true_cnt) — true_cnt joined in
+    * for the audit; est ≥ true_cnt always (spec-pinned).
+    */
+  def countMinEstimate(docs: DataFrame, queryTerms: Seq[String],
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 1, s"depth=$depth width=$width")
+    require(queryTerms.nonEmpty, "need query terms")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def bucket: Column = pmod(Dedup.hash60(
+      concat(col("r").cast("string"), lit(":"), col("term"))), lit(width.toLong))
+    val tok = docs.select(explode(split(col("text"), " ")).as("term"))
+    val sketch = tok
+      .withColumn("r", explode(expr(s"sequence(0L, ${depth - 1}L)")))
+      .withColumn("bucket", bucket)
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    val probes = queryTerms.toDF("term")
+      .withColumn("r", explode(expr(s"sequence(0L, ${depth - 1}L)")))
+      .withColumn("bucket", bucket)
+    val est = probes.join(broadcast(sketch), Seq("r", "bucket"), "left_outer")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("c"), lit(0L))).cast("long").as("est"))
+    val truth = tok.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("true_cnt"))
+    est.join(truth, Seq("term"), "left_outer")
+      .select(col("term"), col("est"),
+        coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
+  }
+
+  /** Persist a POSITIONAL inverted index (d100): postings carry every
+    * (term, doc_id, pos) occurrence — the layout phrase and proximity
+    * queries need, where the tf-only [[saveBm25Index]] postings cannot
+    * answer "adjacent". Same 100 TB layout devices as the BM25 store:
+    * `termBuckets > 0` partitions postings by hash60(term) mod buckets
+    * (a pure term function — the reader re-derives buckets driver-side,
+    * nothing extra stored), so a phrase probe prunes whole bucket
+    * directories (PartitionFilters) before the term filter pushes.
+    * Positions are 0-based token offsets from the shared
+    * whitespace-split tokenizer.
+    */
+  def savePositionalIndex(docs: DataFrame, path: String,
+      termBuckets: Int = 0): Unit = {
+    require(termBuckets >= 0, s"termBuckets=$termBuckets")
+    val postings = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+    if (termBuckets > 0) {
+      postings
+        .withColumn("tb",
+          pmod(Dedup.hash60(col("term")), lit(termBuckets.toLong)))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$path/postings")
+    } else {
+      postings.write.mode("overwrite").parquet(s"$path/postings")
+    }
+    val (rows, maxId) = graft.sources.IndexManifest.watermark(docs, "doc_id")
+    graft.sources.IndexManifest.write(path, graft.sources.IndexManifest.Manifest(
+      "pos-postings", Map("term_buckets" -> termBuckets.toLong), rows, maxId))
+  }
+
+  /** Exact phrase search over the persisted positional index (d100):
+    * documents containing `phrase` as ADJACENT tokens, with match
+    * count and first occurrence. The plan is the classic positional-
+    * postings intersection: each phrase term's postings probe is a
+    * pruned/pushed scan (bucket literals + term filter — the d90
+    * devices via the shared probe), term i's positions are shifted by
+    * −i, and adjacency is a chain of EQUI-joins on (doc_id, pos) —
+    * shuffle-partitioned by the composite key, no inequality join, no
+    * broadcast of a corpus-scale side. Repeated phrase terms work
+    * unchanged (each join consumes its own occurrence set).
+    *
+    * Returns (doc_id, n_matches, first_pos).
+    */
+  def phraseSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 terms, got $phrase")
+    val man = graft.sources.IndexManifest.require(path, "pos-postings")
+    val termBuckets = man.params.getOrElse("term_buckets", 0L)
+    val raw = spark.read.parquet(s"$path/postings")
+    val scoped =
+      if (termBuckets > 0L) {
+        val tbs = phrase.map(t => Dedup.hash60Jvm(t) % termBuckets)
+          .distinct.sorted
+        raw.filter(col("tb").isin(tbs: _*))
+      } else raw
+    val probe = scoped.filter(col("term").isin(phrase.distinct: _*))
+    def termPos(i: Int): DataFrame =
+      probe.filter(col("term") === phrase(i))
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+    val starts = phrase.indices.tail
+      .foldLeft(termPos(0))((acc, i) => acc.join(termPos(i), Seq("doc_id", "pos")))
+    starts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
+
   /** The hash60 construction as a SQL-expression string (for expr()
     * call sites composing it inside larger expressions).
     */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Classifier, Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Classifier, Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -101,6 +101,25 @@ object PipelineQueries {
 
   private val PACK_SHARDS = 8    // d20 hash shards
   private val PACK_SEQLEN = 2048 // d20 training-sequence length (tokens)
+
+  private val EPOCHS = 2         // d95 epoch-shuffle permutations
+  private val LOADER_SHARDS = 4  // d95 round-robin loader shards
+  private val SPLIT_SALT = "v1"  // d96 split salt (re-salting redraws)
+  private val SPLIT_FRACS =      // d96 cumulative split fractions
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val RESAMPLE_N = 100   // d97 systematic-resample draw count
+  private val ZIPF_K = 100       // d98 regression depth (caps at vocab)
+  private val CMS_DEPTH = 4      // d99 Count-Min hash rows
+  private val CMS_WIDTH = 64     // d99 counters per row
+  private val CMS_TERMS =        // d99 audit terms ("zzz" absent: est
+    Seq("the", "spark", "hash", "zzz") // measures pure collision mass)
+  private val PHRASE =           // d100 adjacent-token phrase (present
+    Seq("slow", "hash", "batch") // at sf0.01: 8 occurrences — measured)
+  private val PR_ITERS = 3       // e50 power-iteration steps
+  private val PR_DAMP = 85       // e50 damping (percent — integer)
+  private val PR_SCALE = 1000000000000L // e50 total micro-mass per node
+  private val UNI_L = 4          // d101/d102 max unigram piece length
+  private val UNI_EM = 2         // d101/d102 hard-EM rounds
 
   private val KNN_K = 3          // e06 neighbors per vector
   private val CHUNK_TOKENS = 64  // d23 context-window size
@@ -381,6 +400,14 @@ object PipelineQueries {
     "e49_semdedup_extremity" -> ((spark: SparkSession, dir: String) =>
       Similarity.semanticDedupExtremity(Tables.embeddings(spark, dir),
         SEMDEDUP_T, IVF_CELLS)
+        .orderBy(col("vec_id"))),
+
+    // PageRank over the e06 kNN graph (e50): integer-micro-mass power
+    // iteration — graph-centrality data selection, exact BIGINT
+    // arithmetic on both engines (Similarity.pageRank doc)
+    "e50_pagerank" -> ((spark: SparkSession, dir: String) =>
+      Similarity.pageRank(Tables.embeddings(spark, dir), KNN_K, ANN_BITS,
+        PR_ITERS)
         .orderBy(col("vec_id"))),
 
     "e01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
@@ -1143,6 +1170,74 @@ object PipelineQueries {
       spark.read.parquet(s"$path/shards")
         .select(col("doc_id"), col("n_tokens"), col("start_token"),
           col("shard_id").cast("long").as("shard_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic epoch shuffle (d95): per-epoch hash60 permutation
+    // + distributed-rank round-robin into loader shards — the
+    // dataloader-facing order of a multi-epoch run (Sampling.epochShuffle
+    // doc)
+    "d95_epoch_shuffle" -> ((spark: SparkSession, dir: String) =>
+      Sampling.epochShuffle(Tables.documents(spark, dir), EPOCHS,
+        LOADER_SHARDS)
+        .orderBy(col("epoch"), col("rk"))),
+
+    // deterministic train/val/test split (d96): membership by where
+    // hash60(salt:doc_id) lands among BigDecimal-exact cumulative
+    // cutoffs of the 60-bit hash space — disjoint + exhaustive by
+    // construction, stable under corpus growth (Sampling.hashSplit doc)
+    "d96_hash_split" -> ((spark: SparkSession, dir: String) =>
+      Sampling.hashSplit(Tables.documents(spark, dir), SPLIT_SALT,
+        SPLIT_FRACS)
+        .orderBy(col("doc_id"))),
+
+    // systematic resampling with replacement (d97): n evenly-spaced
+    // probe points over the d47 token prefix-sum stream, each selecting
+    // its containing document via the bin-bucketed range join — the
+    // minimum-variance token-proportional draw, RNG-free
+    // (Sampling.systematicResample doc)
+    "d97_systematic_resample" -> ((spark: SparkSession, dir: String) =>
+      Sampling.systematicResample(Tables.documents(spark, dir), RESAMPLE_N)
+        .orderBy(col("sample_id"))),
+
+    // unigram-LM tokenizer training (d101): Viterbi hard-EM over the
+    // wc-weighted vocabulary — the SentencePiece family beside BPE
+    // (Unigram.unigramTrain doc)
+    "d101_unigram_train" -> ((spark: SparkSession, dir: String) =>
+      Unigram.unigramTrain(Tables.documents(spark, dir), UNI_L, UNI_EM)
+        .select(col("piece"), col("cnt"), col("nll").cast("double").as("nll"))
+        .orderBy(col("piece"))),
+
+    // unigram-LM encode audit (d102): per-doc word/piece counts and
+    // fertility under the trained model's Viterbi segmentation
+    // (Unigram.unigramEncode doc)
+    "d102_unigram_encode" -> ((spark: SparkSession, dir: String) =>
+      Unigram.unigramEncode(Tables.documents(spark, dir), UNI_L, UNI_EM)
+        .orderBy(col("doc_id"))),
+
+    // Zipf power-law fit (d98): ln-ln least squares over the top-k
+    // frequency table — exact decimal moments, fixed double tree
+    // (TextAnalysis.zipfSlope doc)
+    "d98_zipf_slope" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.zipfSlope(Tables.documents(spark, dir), ZIPF_K)),
+
+    // Count-Min sketch estimates vs truth (d99): depth×width counter
+    // grid, min-over-rows estimate, overestimate-by-construction
+    // (TextAnalysis.countMinEstimate doc)
+    "d99_countmin" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.countMinEstimate(Tables.documents(spark, dir),
+        CMS_TERMS, CMS_DEPTH, CMS_WIDTH)
+        .orderBy(col("term"))),
+
+    // exact phrase search over the persisted positional index (d100):
+    // bucket-pruned pushed probes per phrase term, adjacency as a
+    // (doc_id, pos) equi-join chain (TextAnalysis.phraseSearchIndexed
+    // doc)
+    "d100_phrase_search" -> ((spark: SparkSession, dir: String) => {
+      val path = indexPath("d100-pos")
+      TextAnalysis.savePositionalIndex(Tables.documents(spark, dir), path,
+        termBuckets = 16)
+      TextAnalysis.phraseSearchIndexed(spark, path, PHRASE)
         .orderBy(col("doc_id"))
     }),
 
@@ -2201,6 +2296,72 @@ object PipelineQueries {
     * ([[graft.operators.Dedup.dedupClusters]]) over a `pairs(a, b)` CTE
     * in scope — ends in `lab(v, cluster_id)`. Shared by d12, e05, d19.
     */
+  /** Mirror of [[graft.operators.Unigram]]'s hard-EM chain as CTEs —
+    * the INDEPENDENT fixed point: where the Spark side runs a Viterbi
+    * DP (argmin per (word, position)), the oracle enumerates EVERY
+    * composition of each word into model pieces with a recursive CTE
+    * and takes the same (cost, np, path) argmin — agreement proves the
+    * DP, not just the arithmetic. One `segCtes(i, model)` instance per
+    * EM round: ends in `bw$i(word, wc, np, path)`; `reestCtes(i)`
+    * turns bw$i into `m$i(piece, cnt, nll)` (add-one smoothed,
+    * single-char coverage kept from the seed m0).
+    */
+  private def uniSegCtes(i: Int, model: String) =
+    s"""useg$i AS (
+       |  SELECT word, wc, wlen, CAST(0 AS BIGINT) AS pos,
+       |    CAST(0 AS DECIMAL(28,8)) AS cost, CAST(0 AS BIGINT) AS np,
+       |    '' AS path FROM uw
+       |  UNION ALL
+       |  SELECT s.word, s.wc, s.wlen, CAST(s.pos + len(m.piece) AS BIGINT),
+       |    CAST(s.cost + m.nll AS DECIMAL(28,8)), CAST(s.np + 1 AS BIGINT),
+       |    s.path || '|' || m.piece
+       |  FROM useg$i s JOIN $model m
+       |    ON m.piece = substr(s.word, CAST(s.pos + 1 AS INTEGER), CAST(len(m.piece) AS INTEGER))
+       |  WHERE s.pos < s.wlen),
+       |bw$i AS (SELECT word, wc, np, path FROM (
+       |  SELECT word, wc, np, path,
+       |    row_number() OVER (PARTITION BY word ORDER BY cost, np, path) AS rn
+       |  FROM useg$i WHERE pos = wlen) WHERE rn = 1)"""
+      .stripMargin.replace("\n", " ")
+
+  private def uniReestCtes(i: Int) =
+    s"""uu$i AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+       |  SELECT wc, unnest(string_split(substr(path, 2), '|')) AS piece FROM bw$i)
+       |  GROUP BY 1),
+       |ub$i AS (SELECT s.piece, coalesce(u.cnt, CAST(0 AS BIGINT)) AS cnt
+       |  FROM (SELECT piece FROM um0 WHERE len(piece) = 1) s
+       |  LEFT JOIN uu$i u USING (piece)
+       |  UNION ALL SELECT piece, cnt FROM uu$i WHERE len(piece) > 1),
+       |uc$i AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS v FROM ub$i),
+       |um$i AS (SELECT piece, cnt,
+       |  CAST(ln(CAST(tot + v AS DOUBLE) / CAST(cnt + 1 AS DOUBLE)) AS DECIMAL(28,8)) AS nll
+       |  FROM ub$i CROSS JOIN uc$i)""".stripMargin.replace("\n", " ")
+
+  /** The full d101/d102 chain: vocabulary, seed model um0, then UNI_EM
+    * rounds of segment + re-estimate, ending in `um$UNI_EM` (the final
+    * model) and `bw$UNI_EM`-equivalents; the final segmentation for the
+    * encoder is one more seg pass under the final model
+    * (`uniSegCtes(UNI_EM + 1, ...)` — mirrors unigramEncode's extra
+    * Viterbi).
+    */
+  private def uniChainCtes(rounds: Int) = {
+    val em = (1 to rounds).map(i =>
+      uniSegCtes(i, s"um${i - 1}") + ", " + uniReestCtes(i)).mkString(", ")
+    s"""uw AS (SELECT word, CAST(count(*) AS BIGINT) AS wc,
+       |  CAST(len(word) AS BIGINT) AS wlen FROM
+       |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY 1),
+       |usub AS (SELECT substr(word, CAST(i + 1 AS INTEGER), CAST(l AS INTEGER)) AS piece, wc
+       |  FROM uw, LATERAL unnest(range(0, wlen)) AS t(i),
+       |       LATERAL unnest(range(1, least($UNI_L, wlen - i) + 1)) AS t2(l)),
+       |usc AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM usub GROUP BY 1),
+       |ust AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM usc),
+       |um0 AS (SELECT piece, cnt,
+       |  CAST(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)) AS DECIMAL(28,8)) AS nll
+       |  FROM usc CROSS JOIN ust)""".stripMargin.replace("\n", " ") +
+      ", " + em
+  }
+
   private def ccCtes(seedTable: String, idCol: String) =
     s"""edges AS (SELECT a AS v, b AS w FROM pairs UNION ALL SELECT b AS v, a AS w FROM pairs),
        |reach AS (SELECT $idCol AS v, $idCol AS lbl FROM $seedTable
@@ -3283,6 +3444,127 @@ object PipelineQueries {
          |      WHERE $allPresent
          |      ORDER BY s.score DESC, s.doc_id LIMIT $BM25_TOPK)
          |ORDER BY rk""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Sampling.epochShuffle: per-epoch hash60("<epoch>:<id>")
+    // key, one row_number per epoch (the oracle can afford the global
+    // window the Spark side replaces with the bucketed rank device),
+    // round-robin shard from the contiguous rank
+    "d95_epoch_shuffle" ->
+      s"""WITH se AS (SELECT doc_id, CAST(ep AS BIGINT) AS epoch,
+         |  ${duckHash60("CAST(ep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS k
+         |  FROM documents CROSS JOIN (SELECT range AS ep FROM range(0, $EPOCHS))),
+         |sr AS (SELECT epoch, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS BIGINT) AS rk
+         |  FROM se)
+         |SELECT epoch, doc_id, rk, CAST((rk - 1) % $LOADER_SHARDS AS BIGINT) AS shard
+         |FROM sr ORDER BY epoch, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Sampling.hashSplit: the SAME BigDecimal-derived integer
+    // cutoffs (Sampling.splitCuts) injected as literals — the CASE
+    // chain is generated from one cut table on both engines
+    "d96_hash_split" -> {
+      val cuts = Sampling.splitCuts(SPLIT_FRACS)
+      val cases = cuts.init
+        .map { case (nm, c) => s"WHEN h < $c THEN '$nm'" }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE '${cuts.last._1}' END AS split
+         |FROM (SELECT doc_id,
+         |  ${duckHash60(s"'$SPLIT_SALT:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Sampling.systematicResample: the shared d47 prefix-sum
+    // chain, total W from its own tail, integer midpoint probes, and
+    // the containment join the Spark side bin-buckets
+    "d97_systematic_resample" ->
+      s"""WITH $tokenOffsetCtes,
+         |stot AS (SELECT CAST(max(start_token + n_tokens) AS BIGINT) AS w FROM pos),
+         |spts AS (SELECT CAST(range AS BIGINT) AS sample_id,
+         |  ((CAST(range AS BIGINT) * 2 + 1) * w) // ${2L * RESAMPLE_N} AS point
+         |  FROM range(0, $RESAMPLE_N) CROSS JOIN stot)
+         |SELECT sample_id, point, doc_id, n_tokens FROM spts JOIN pos
+         |  ON point >= start_token AND point < start_token + n_tokens
+         |ORDER BY sample_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Unigram.unigramTrain: the full-enumeration fixed point
+    // (uniChainCtes doc) — final model after UNI_EM hard-EM rounds
+    "d101_unigram_train" ->
+      s"""WITH RECURSIVE ${uniChainCtes(UNI_EM)}
+         |SELECT piece, cnt, CAST(nll AS DOUBLE) AS nll FROM um$UNI_EM
+         |ORDER BY piece""".stripMargin.replace("\n", " "),
+
+    // mirror of Unigram.unigramEncode: one more full-enumeration
+    // segmentation under the final model, joined onto the token stream
+    "d102_unigram_encode" ->
+      s"""WITH RECURSIVE ${uniChainCtes(UNI_EM)},
+         |${uniSegCtes(UNI_EM + 1, s"um$UNI_EM")},
+         |uenc AS (SELECT d.doc_id, b.np
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+         |  JOIN bw${UNI_EM + 1} b USING (word))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(np) AS DOUBLE) / count(*) AS fertility
+         |FROM uenc GROUP BY 1 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.zipfSlope: top-k frequency cut, ln ranks/
+    // counts at DECIMAL(18,8), moment sums exact (products at (36,16)),
+    // slope as the identical fixed double tree
+    "d98_zipf_slope" -> {
+      val lnrk = "CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(18,8))"
+      val lnc = "CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,8))"
+      s"""WITH zw AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY 1 ORDER BY c DESC, word LIMIT $ZIPF_K),
+         |zr AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS rk FROM zw),
+         |zm AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  sum($lnrk) AS sx, sum($lnc) AS sy,
+         |  sum($lnrk * $lnc) AS sxy, sum($lnrk * $lnrk) AS sxx FROM zr)
+         |SELECT n_words, slope, -slope AS alpha FROM (SELECT n_words,
+         |  (n_words * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |  / (n_words * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+         |  FROM zm)""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of TextAnalysis.countMinEstimate: the depth×width counter
+    // grid from the same hash60("<r>:<term>") buckets, min-over-rows
+    // estimate, truth joined with a zero default
+    "d99_countmin" -> {
+      val vals = CMS_TERMS.map(t => s"('$t')").mkString(", ")
+      val inList = CMS_TERMS.map(t => s"'$t'").mkString(", ")
+      val hb = duckHash60("CAST(r AS VARCHAR) || ':' || term")
+      s"""WITH ct AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |cexp AS (SELECT rr.range AS r, term FROM ct CROSS JOIN range(0, $CMS_DEPTH) rr),
+         |cs AS (SELECT r, $hb % $CMS_WIDTH AS bucket,
+         |  CAST(count(*) AS BIGINT) AS c FROM cexp GROUP BY 1, 2),
+         |qt AS (SELECT term, rr.range AS r
+         |  FROM (VALUES $vals) q(term) CROSS JOIN range(0, $CMS_DEPTH) rr),
+         |qb AS (SELECT term, r, $hb % $CMS_WIDTH AS bucket FROM qt),
+         |est AS (SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+         |  FROM qb LEFT JOIN cs USING (r, bucket) GROUP BY 1),
+         |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS true_cnt
+         |  FROM ct WHERE term IN ($inList) GROUP BY 1)
+         |SELECT term, est, coalesce(true_cnt, CAST(0 AS BIGINT)) AS true_cnt
+         |FROM est LEFT JOIN tc USING (term) ORDER BY term"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    // mirror of TextAnalysis.phraseSearchIndexed: 0-based positions
+    // from the split array, adjacency as the same (doc_id, pos+i)
+    // equi-join chain, per-doc match count + first occurrence
+    "d100_phrase_search" -> {
+      val joins = PHRASE.indices.tail.map { i =>
+        s"JOIN pp a$i ON a$i.doc_id = a0.doc_id AND a$i.pos = a0.pos + $i" +
+          s" AND a$i.term = '${PHRASE(i)}'"
+      }.mkString(" ")
+      s"""WITH pp AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[t.i + 1] AS term
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |  LATERAL unnest(range(0, len(w))) AS t(i)),
+         |m AS (SELECT a0.doc_id, a0.pos FROM pp a0 $joins
+         |  WHERE a0.term = '${PHRASE.head}')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
 
     // mirror of curatedShardsSync's grown store: the d51 two-stage
@@ -4395,6 +4677,40 @@ object PipelineQueries {
          |${centroidAsgCtes("2", "cent2")},
          |${kmeansMeanCtes("2", "cells2")}
          |${kmeansSelect("m2")}""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Similarity.pageRank: the e06 kNN CTEs become the edge
+    // set, then PR_ITERS unrolled power steps of exact integer floor
+    // division (m // deg contributions, damp·Σ // 100, teleport
+    // literal // N) — BIGINT-exact in both engines
+    "e50_pagerank" -> {
+      val tele = PR_SCALE * (100 - PR_DAMP) / 100
+      def prStep(i: Int): String = {
+        val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+        s"""pr$i AS (SELECT v.vec_id,
+           |  CAST($tele // nn.nv + ($PR_DAMP * coalesce(s.sm, 0)) // 100 AS BIGINT) AS m
+           |  FROM v CROSS JOIN nn LEFT JOIN (
+           |    SELECT eg.dst AS vec_id, sum(p.m // d.deg) AS sm
+           |    FROM eg JOIN dg d USING (src) JOIN $prev p ON p.vec_id = eg.src
+           |    GROUP BY 1) s ON s.vec_id = v.vec_id)"""
+          .stripMargin.replace("\n", " ")
+      }
+      val steps = (1 to PR_ITERS).map(prStep).mkString(", ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         |        CAST($annBucket AS BIGINT) AS bucket FROM v),
+         |pp AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |      FROM n q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+         |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rk FROM pp),
+         |eg AS (SELECT qid AS src, nid AS dst FROM rr WHERE rk <= $KNN_K),
+         |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM eg GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM v),
+         |pr0 AS (SELECT vec_id, CAST($PR_SCALE // nn.nv AS BIGINT) AS m
+         |  FROM v CROSS JOIN nn),
+         |$steps
+         |SELECT vec_id, m FROM pr$PR_ITERS ORDER BY vec_id"""
+        .stripMargin.replace("\n", " ")
     },
 
     // mirror of Similarity.semanticDedupExtremity: the e45 pair mining
