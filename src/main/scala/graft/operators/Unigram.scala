@@ -157,4 +157,74 @@ object Unigram {
       .select(col("doc_id"), col("n_words"), col("n_pieces"),
         (col("n_pieces").cast("double") / col("n_words")).as("fertility"))
   }
+
+  /** Persist a trained unigram model (d104) — the tokenizer deployment
+    * shape: train ONCE on a reference corpus, encode arbitrary corpora
+    * forever (the [[graft.operators.TextAnalysis.saveBigramLm]]
+    * convention: one parquet table + the shared index manifest, kind
+    * "unigram-lm", params pinned so a mismatched reader fails loudly,
+    * watermarked on the training corpus). Costs are persisted at
+    * DECIMAL(28,8), so any engine that sums them reproduces
+    * segmentations exactly.
+    */
+  def saveUnigramModel(docs: DataFrame, path: String, maxPieceLen: Int = 4,
+      emRounds: Int = 2): Unit = {
+    import graft.sources.IndexManifest
+    val model = unigramTrain(docs, maxPieceLen, emRounds)
+    model.write.mode("overwrite").parquet(s"$path/model")
+    val (rows, maxId) = IndexManifest.watermark(docs, "doc_id")
+    IndexManifest.write(path, IndexManifest.Manifest("unigram-lm",
+      Map("max_piece_len" -> maxPieceLen.toLong,
+        "em_rounds" -> emRounds.toLong), rows, maxId))
+  }
+
+  /** Encode a corpus against a persisted [[saveUnigramModel]] store
+    * (d104): Viterbi over the TARGET corpus's vocabulary under the
+    * stored costs (the training corpus is never re-read), then the
+    * d102 token-stream join. Registered against d102's oracle verbatim
+    * — persistence must not change a segmentation. Words containing
+    * characters the model never saw have no composition and drop from
+    * the inner join (the cross-domain OOV story is the caller's
+    * byte-fallback policy; same contract as the stored BPE).
+    */
+  def unigramEncodeIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame): DataFrame = {
+    val man = graft.sources.IndexManifest.require(path, "unigram-lm")
+    val maxPieceLen = man.params("max_piece_len").toInt
+    val model = spark.read.parquet(s"$path/model")
+    val words = vocab(docs).localCheckpoint(true)
+    val maxWordLen = words.agg(max(col("wlen"))).head().getInt(0)
+    val segMap = viterbi(words, model, maxWordLen, maxPieceLen)
+      .select(col("word"), col("np"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(segMap, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("np")).cast("long").as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words")).as("fertility"))
+  }
+
+  /** Head-to-head tokenizer audit (d103): corpus-level fertility of the
+    * BPE merges (d61) vs the unigram model (d102) trained on the SAME
+    * corpus — the comparison a pipeline runs before committing to a
+    * tokenizer (fertility drives context-window economics). One row:
+    * (n_words, n_tokens_bpe, n_pieces_uni, bpe_fertility,
+    * uni_fertility); each fertility is one double division of exact
+    * BIGINT sums.
+    */
+  def tokenizerCompare(docs: DataFrame, nMerges: Int = 5,
+      maxPieceLen: Int = 4, emRounds: Int = 2): DataFrame = {
+    val b = TextAnalysis.bpeEncode(docs, nMerges)
+      .agg(sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_tokens_bpe")).cast("long").as("n_tokens_bpe"))
+    val u = unigramEncode(docs, maxPieceLen, emRounds)
+      .agg(sum(col("n_pieces")).cast("long").as("n_pieces_uni"))
+    b.crossJoin(u).select(col("n_words"), col("n_tokens_bpe"),
+      col("n_pieces_uni"),
+      (col("n_tokens_bpe").cast("double") / col("n_words"))
+        .as("bpe_fertility"),
+      (col("n_pieces_uni").cast("double") / col("n_words"))
+        .as("uni_fertility"))
+  }
 }

@@ -120,6 +120,7 @@ object PipelineQueries {
   private val PR_SCALE = 1000000000000L // e50 total micro-mass per node
   private val UNI_L = 4          // d101/d102 max unigram piece length
   private val UNI_EM = 2         // d101/d102 hard-EM rounds
+  private val CAPTION_T = 0.9    // m10 alignment keep threshold
 
   private val KNN_K = 3          // e06 neighbors per vector
   private val CHUNK_TOKENS = 64  // d23 context-window size
@@ -164,6 +165,21 @@ object PipelineQueries {
       Multimodal.frameSample(
         Multimodal.mediaView(Tables.documents(spark, dir)), FRAME_BYTES, FRAME_STRIDE)
         .orderBy(col("doc_id"))),
+
+    // caption-media alignment filter (m10): the CLIP-score curation
+    // shape with stub fingerprint encoders — matched pairs + successor
+    // misaligned controls, keep = align >= threshold
+    // (Multimodal.captionAlign doc)
+    "m10_caption_align" -> ((spark: SparkSession, dir: String) =>
+      Multimodal.captionAlign(Tables.documents(spark, dir), CAPTION_T)
+        .orderBy(col("doc_id"), col("cap_doc_id"))),
+
+    // BPE-vs-unigram tokenizer audit (d103): corpus fertility of both
+    // trained tokenizers on the same corpus (Unigram.tokenizerCompare
+    // doc)
+    "d103_tokenizer_compare" -> ((spark: SparkSession, dir: String) =>
+      Unigram.tokenizerCompare(Tables.documents(spark, dir), BPE_MERGES,
+        UNI_L, UNI_EM)),
 
     // blockwise 60-bit binary fingerprint (m05): the pHash SHAPE of
     // image dedup over opaque payloads (Multimodal.mediaPhash doc)
@@ -1214,6 +1230,19 @@ object PipelineQueries {
     "d102_unigram_encode" -> ((spark: SparkSession, dir: String) =>
       Unigram.unigramEncode(Tables.documents(spark, dir), UNI_L, UNI_EM)
         .orderBy(col("doc_id"))),
+
+    // persisted unigram model (d104): train-once store (manifest kind
+    // "unigram-lm"), encode served from the stored costs — registered
+    // against d102's oracle verbatim (Unigram.saveUnigramModel /
+    // unigramEncodeIndexed docs)
+    "d104_unigram_indexed" -> ((spark: SparkSession, dir: String) => {
+      val path = indexPath("d104-unigram")
+      Unigram.saveUnigramModel(Tables.documents(spark, dir), path, UNI_L,
+        UNI_EM)
+      Unigram.unigramEncodeIndexed(spark, path,
+        Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))
+    }),
 
     // Zipf power-law fit (d98): ln-ln least squares over the top-k
     // frequency table — exact decimal moments, fixed double tree
@@ -2362,6 +2391,20 @@ object PipelineQueries {
       ", " + em
   }
 
+  /** The d102 oracle body — shared verbatim by d104 (the persisted
+    * store must reproduce the in-memory segmentation).
+    */
+  private lazy val uniEncodeSql =
+    s"""WITH RECURSIVE ${uniChainCtes(UNI_EM)},
+       |${uniSegCtes(UNI_EM + 1, s"um$UNI_EM")},
+       |uenc AS (SELECT d.doc_id, b.np
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+       |  JOIN bw${UNI_EM + 1} b USING (word))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(np) AS DOUBLE) / count(*) AS fertility
+       |FROM uenc GROUP BY 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   private def ccCtes(seedTable: String, idCol: String) =
     s"""edges AS (SELECT a AS v, b AS w FROM pairs UNION ALL SELECT b AS v, a AS w FROM pairs),
        |reach AS (SELECT $idCol AS v, $idCol AS lbl FROM $seedTable
@@ -3487,6 +3530,40 @@ object PipelineQueries {
          |  ON point >= start_token AND point < start_token + n_tokens
          |ORDER BY sample_id""".stripMargin.replace("\n", " "),
 
+    // mirror of Multimodal.captionAlign: the m05 fingerprint on both
+    // sides, matched + successor-control pairs, agree-bit similarity
+    "m10_caption_align" ->
+      s"""WITH cp AS (SELECT doc_id, ${duckPhash("text")} AS phash FROM documents),
+         |cpr AS (SELECT doc_id, phash, doc_id AS cap_doc_id FROM cp
+         |  UNION ALL SELECT doc_id, phash, doc_id + 1 FROM cp),
+         |csc AS (SELECT pr.doc_id, pr.cap_doc_id,
+         |  CAST(60 - bit_count(xor(pr.phash, c.phash)) AS BIGINT) AS agree_bits
+         |  FROM cpr pr JOIN cp c ON c.doc_id = pr.cap_doc_id)
+         |SELECT doc_id, cap_doc_id, agree_bits + ${asciiGuard("m10")} AS agree_bits,
+         |  CAST(agree_bits AS DOUBLE) / 60 AS align,
+         |  CAST(agree_bits AS DOUBLE) / 60 >= $CAPTION_T AS keep
+         |FROM csc ORDER BY doc_id, cap_doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Unigram.tokenizerCompare: the d61 BPE encode chain and
+    // the d102 unigram chain over the same corpus, one fertility row
+    "d103_tokenizer_compare" ->
+      s"""WITH RECURSIVE $bpeHeadCtes, $bpeMergeStages,
+         |benc AS (SELECT word, CAST(len(string_split(rep, '¦')) AS BIGINT) AS n_syms
+         |  FROM br$BPE_MERGES),
+         |btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |bagg AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_tokens_bpe
+         |  FROM btok JOIN benc USING (word)),
+         |${uniChainCtes(UNI_EM)},
+         |${uniSegCtes(UNI_EM + 1, s"um$UNI_EM")},
+         |uagg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pieces_uni
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+         |  JOIN bw${UNI_EM + 1} b USING (word))
+         |SELECT n_words, n_tokens_bpe, n_pieces_uni,
+         |  CAST(n_tokens_bpe AS DOUBLE) / n_words AS bpe_fertility,
+         |  CAST(n_pieces_uni AS DOUBLE) / n_words AS uni_fertility
+         |FROM bagg CROSS JOIN uagg""".stripMargin.replace("\n", " "),
+
     // mirror of Unigram.unigramTrain: the full-enumeration fixed point
     // (uniChainCtes doc) — final model after UNI_EM hard-EM rounds
     "d101_unigram_train" ->
@@ -3496,16 +3573,12 @@ object PipelineQueries {
 
     // mirror of Unigram.unigramEncode: one more full-enumeration
     // segmentation under the final model, joined onto the token stream
-    "d102_unigram_encode" ->
-      s"""WITH RECURSIVE ${uniChainCtes(UNI_EM)},
-         |${uniSegCtes(UNI_EM + 1, s"um$UNI_EM")},
-         |uenc AS (SELECT d.doc_id, b.np
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
-         |  JOIN bw${UNI_EM + 1} b USING (word))
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(np) AS BIGINT) AS n_pieces,
-         |  CAST(sum(np) AS DOUBLE) / count(*) AS fertility
-         |FROM uenc GROUP BY 1 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "d102_unigram_encode" -> uniEncodeSql,
+
+    // d104 serves the SAME segmentation from the persisted store —
+    // registered against d102's oracle verbatim (persistence must not
+    // change a segmentation)
+    "d104_unigram_indexed" -> uniEncodeSql,
 
     // mirror of TextAnalysis.zipfSlope: top-k frequency cut, ln ranks/
     // counts at DECIMAL(18,8), moment sums exact (products at (36,16)),

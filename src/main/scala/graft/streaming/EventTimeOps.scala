@@ -30,6 +30,15 @@ case class HllWinState(regs: Map[Int, Int], n: Long)
 case class WindowCardinality(window_start: Long, n_events: Long,
     hll_est: Double)
 
+/** Count-Min counter state for one open window (≤ depth×width live
+  * cells — bounded whatever the window's traffic).
+  */
+case class CmsWinState(counters: Map[Int, Long], n: Long)
+
+/** One closed window's Count-Min estimate for one queried key. */
+case class WindowTermEstimate(window_start: Long, term: String, est: Long,
+    window_events: Long)
+
 /** Event-time streaming operators over the envelope stream — the
   * categories the reference lacks entirely (SURVEY.md §2.1: watermarks,
   * event-time windows, late data, keyed state). The reference is
@@ -866,6 +875,75 @@ object EventTimeOps {
               if (rho > regs.getOrElse(j, 0)) regs(j) = rho
             }
             state.update(HllWinState(regs.toMap, n))
+            state.setTimeoutTimestamp(math.max(
+              (wstart + windowSeconds) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Windowed Count-Min frequency estimates (the d99 sketch's streaming
+    * twin — completing the windowed-sketch family beside Misra-Gries
+    * top-k and the HLL cardinality): per tumbling event-time window,
+    * a depth×width CMS over the SUBREDDIT stream held as keyed state
+    * (≤ depth·width live counters per open window, whatever the
+    * traffic), queried at window close for a fixed key list. The
+    * increment uses [[graft.operators.Dedup.hash60Jvm]] on
+    * "<row>:<key>" — bit-identical to the batch kernel's Column hash
+    * ([[graft.operators.TextAnalysis.countMinEstimate]]), so the
+    * streamed estimate for a window EQUALS the batch kernel run over
+    * that window's slice exactly (spec-pinned). Estimates are
+    * one-sided (≥ truth) per CMS construction.
+    */
+  def windowedSubredditCms(spark: SparkSession, envelope: DataFrame,
+      queryKeys: Seq[String], depth: Int = 4, width: Int = 64,
+      windowSeconds: Long = 60L, lateness: String = "2 minutes")
+      : Dataset[WindowTermEstimate] = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    require(depth >= 1 && width >= 1, s"depth=$depth width=$width")
+    require(queryKeys.nonEmpty, "need query keys")
+    envelope
+      .withColumn("event_time", timestamp_seconds(col("created_utc")))
+      .withWatermark("event_time", lateness)
+      .withColumn("window_start",
+        (col("created_utc") - (col("created_utc") % windowSeconds)).cast("long"))
+      .select(col("window_start"), col("subreddit"), col("event_time"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CmsWinState, WindowTermEstimate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wstart: Long, events: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[CmsWinState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            queryKeys.sorted.iterator.map { k =>
+              var est = Long.MaxValue
+              var r = 0
+              while (r < depth) {
+                val b = (Dedup.hash60Jvm(s"$r:$k") % width).toInt
+                est = math.min(est, s.counters.getOrElse(r * width + b, 0L))
+                r += 1
+              }
+              WindowTermEstimate(wstart, k, est, s.n)
+            }
+          } else {
+            val prev = state.getOption.getOrElse(CmsWinState(Map.empty, 0L))
+            val counters = collection.mutable.Map(prev.counters.toSeq: _*)
+            var n = prev.n
+            events.foreach { case (_, key, _) =>
+              n += 1
+              var r = 0
+              while (r < depth) {
+                val b = (Dedup.hash60Jvm(s"$r:$key") % width).toInt
+                val idx = r * width + b
+                counters(idx) = counters.getOrElse(idx, 0L) + 1L
+                r += 1
+              }
+            }
+            state.update(CmsWinState(counters.toMap, n))
             state.setTimeoutTimestamp(math.max(
               (wstart + windowSeconds) * 1000L,
               state.getCurrentWatermarkMs() + 1L))

@@ -73,6 +73,40 @@ class UnigramPageRankSpec extends AnyFunSuite {
     pr.unpersist()
   }
 
+  test("captionAlign: matched pairs agree on all 60 bits and keep; controls sit near half agreement") {
+    val docs = Tables.documents(spark, dir)
+    val out = Multimodal.captionAlign(docs, 0.9).cache()
+    val matched = out.filter(col("doc_id") === col("cap_doc_id"))
+    assert(matched.filter(col("agree_bits") =!= 60L || !col("keep")).count() == 0L)
+    assert(matched.count() == docs.count())
+    val controls = out.filter(col("doc_id") =!= col("cap_doc_id"))
+    assert(controls.count() > 0)
+    // independent md5 fingerprints agree on ~30/60 bits; none should
+    // reach the 54-bit keep threshold on this corpus
+    assert(controls.filter(col("keep")).count() == 0L,
+      "misaligned controls must not pass the alignment filter")
+    val meanAgree = controls
+      .agg(org.apache.spark.sql.functions.avg(col("agree_bits")))
+      .head().getDouble(0)
+    assert(meanAgree > 20 && meanAgree < 40, s"control agreement off: $meanAgree")
+    out.unpersist()
+  }
+
+  test("tokenizerCompare: one row, fertilities >= 1, consistent with its own counts") {
+    val docs = Tables.documents(spark, dir)
+    val r = Unigram.tokenizerCompare(docs, 5, 4, 2).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nw = row.getAs[Long]("n_words")
+    assert(nw > 0)
+    assert(row.getAs[Long]("n_tokens_bpe") >= nw)
+    assert(row.getAs[Long]("n_pieces_uni") >= nw)
+    assert(row.getAs[Double]("bpe_fertility")
+      == row.getAs[Long]("n_tokens_bpe").toDouble / nw)
+    assert(row.getAs[Double]("uni_fertility")
+      == row.getAs[Long]("n_pieces_uni").toDouble / nw)
+  }
+
   test("pageRank: a node receiving more in-mass outranks the teleport floor") {
     val emb = Tables.embeddings(spark, dir)
     val pr = Similarity.pageRank(emb, 3, 6, 3)

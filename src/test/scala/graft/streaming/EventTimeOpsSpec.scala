@@ -193,6 +193,52 @@ class EventTimeOpsSpec extends AnyFunSuite {
       Seq((1, "a", 3L, 6L), (2, "b", 2L, 6L), (3, "c", 1L, 6L)), rows.toString)
   }
 
+  test("windowedSubredditCms: streamed window estimates equal the d99 batch kernel exactly") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    // window 600..659: news×4, pics×2, meta×1; window 660..: news×2.
+    // max_per_trigger=3 forces state folds across micro-batches.
+    val dir = Files.createTempDirectory("cmslog").toString
+    val evs = Seq(
+      ev(2, 600, "a", "news"), ev(4, 605, "b", "pics"),
+      ev(6, 610, "c", "news"), ev(8, 615, "d", "meta"),
+      ev(10, 620, "e", "news"), ev(12, 625, "f", "pics"),
+      ev(14, 630, "g", "news"),
+      ev(16, 660, "h", "news"), ev(18, 665, "i", "news"))
+    RedditLog.writeSegment(dir, evs ++ Seq(
+      ev(100, 100000, "z", "zzz"), ev(102, 100001, "z", "zzz")))
+    val src = spark.readStream.format("graft.sources.RedditLogSource")
+      .option("path", dir).option("backfill", "200")
+      .option("max_per_trigger", "3").load()
+    val keys = Seq("news", "pics", "meta", "absent")
+    val name = s"cms${System.nanoTime()}"
+    val q = EventTimeOps.windowedSubredditCms(spark, src, keys,
+        depth = 4, width = 64)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(name)
+      .select($"window_start", $"term", $"est", $"window_events")
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+
+    // batch twin: the d99 kernel over the window's slice, one term per
+    // "document" — identical counters by the shared hash
+    def twin(subs: Seq[String]): Map[String, Long] =
+      TextAnalysis.countMinEstimate(
+        subs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("doc_id", "text"), keys, 4, 64)
+        .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("est")).toMap
+    val w600 = twin(Seq("news", "pics", "news", "meta", "news", "pics", "news"))
+    val w660 = twin(Seq("news", "news"))
+    keys.foreach { k =>
+      assert(rows((600L, k)) == (w600(k), 7L), s"w600 $k: ${rows.get((600L, k))}")
+      assert(rows((660L, k)) == (w660(k), 2L), s"w660 $k: ${rows.get((660L, k))}")
+    }
+    // one-sidedness on the real counts
+    assert(rows((600L, "news"))._1 >= 4L && rows((600L, "meta"))._1 >= 1L)
+  }
+
   test("windowedAuthorCardinality: streamed sketch equals an SQL-built batch twin exactly; hash60Jvm matches the Column hash") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.{col, expr, max => smax, sum => ssum}
