@@ -1444,6 +1444,149 @@ object TextAnalysis {
         min(col("pos")).cast("long").as("first_pos"))
   }
 
+  /** Per-document word-level suffix array (d105) by PREFIX DOUBLING
+    * (Manber & Myers 1993; the distributed formulation of Flick &
+    * Aluru, SC'15) — the index structure behind suffix-based dedup
+    * (Lee et al. 2022 run ExactSubstr over one): after ⌈log₂ maxlen⌉
+    * rounds, `rnk` is each suffix's 1-based lexicographic rank within
+    * its document.
+    *
+    * Round shape: suffix comparisons by the first 2k words reduce to
+    * ONE self equi-join on (doc_id, pos+k) — pairing each suffix's
+    * rank with its k-successor's — followed by a dense_rank over the
+    * pair, windowed PER DOCUMENT (partition size = document length,
+    * bounded; never a corpus-wide window). A missing successor (suffix
+    * shorter than k) sorts first — the prefix rule — via
+    * asc_nulls_first. Lineage is cut per round (the CC-iteration
+    * device).
+    *
+    * The SEED rank needs only an order-consistent injective key, not a
+    * dense rank: words pack into a 63-bit integer (9 × 7-bit ascii
+    * codes, left-aligned, zero-padded), whose numeric order IS
+    * lexicographic word order — a pure per-row expression, no vocab
+    * ranking pass at all (guarded: ascii-only words of ≤ 9 chars; a
+    * longer-word corpus would seed with the d46 bucketed vocab rank
+    * instead). The oracle sorts each document's materialized suffix
+    * strings — an independent O(n²)-work construction the DP must
+    * reproduce exactly.
+    *
+    * Returns (doc_id, pos, rnk).
+    */
+  def suffixArray(docs: DataFrame): DataFrame =
+    suffixLevels(docs)._1.select(col("doc_id"), col("pos"),
+      col("rank").as("rnk"))
+
+  /** The prefix-doubling rank LADDER behind [[suffixArray]] (see its
+    * doc for the round shape): returns the full-width rank frame plus
+    * every level `(w, rank-by-first-w-words frame)` in ascending
+    * width order — the sparse table [[suffixLcp]]'s binary descent
+    * reads. Equality of two suffixes' width-w ranks ⟺ their first w
+    * words agree (for suffixes of DIFFERENT lengths — always the case
+    * within one document — equal ranks with either side shorter than w
+    * would force equal lengths, a contradiction, so equality implies
+    * both carry ≥ w shared words). All frames are checkpointed.
+    */
+  private def suffixLevels(docs: DataFrame): (DataFrame, Seq[(Long, DataFrame)]) = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+      .localCheckpoint(true)
+    val lens = toks.agg(max(length(col("word"))).as("mw"),
+      count(lit(1)).as("n")).head()
+    require(lens.getAs[Int]("mw") <= 9,
+      s"word packing needs len<=9, got ${lens.getAs[Int]("mw")}")
+    val maxDocLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    val pack = expr(
+      """aggregate(transform(sequence(0, 8), i ->
+        |  shiftleft(CAST(ascii(substring(word, i + 1, 1)) AS BIGINT), 7 * (8 - i))),
+        |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin.replace("\n", " "))
+    var ranked = toks.select(col("doc_id"), col("pos"), pack.as("rank"))
+      .localCheckpoint(true)
+    var levels = List((1L, ranked))
+    var k = 1L
+    // do-while: even a maxDocLen=1 corpus gets one dense_rank pass, so
+    // the returned ranks are always dense 1..len per document (the seed
+    // packing alone is order-isomorphic but not dense)
+    while (k < maxDocLen || k == 1L) {
+      val right = ranked.select(col("doc_id"), (col("pos") - k).as("pos"),
+        col("rank").as("rank2"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("rank").asc, col("rank2").asc_nulls_first)
+      ranked = ranked.join(right, Seq("doc_id", "pos"), "left_outer")
+        .select(col("doc_id"), col("pos"),
+          dense_rank().over(w).cast("long").as("rank"))
+        .localCheckpoint(true)
+      levels = (k * 2, ranked) :: levels
+      k *= 2
+    }
+    (ranked, levels.reverse)
+  }
+
+  /** Adjacent-suffix LCP array (d106) — the companion structure that
+    * turns a suffix array into a substring-repetition index (Manber &
+    * Myers 1993 compute it alongside; ExactSubstr-style dedup reads
+    * duplicated spans straight off it): for each suffix of rank ≥ 2,
+    * the number of leading WORDS it shares with its rank-predecessor.
+    *
+    * Construction is the sparse-table binary descent over
+    * [[suffixLevels]]'s rank ladder — NOT Kasai's O(n) walk, which is
+    * inherently sequential per document: starting from l = 0, widths
+    * descend 2^(m-1)…1; at width w both suffixes' rank-at-offset-l
+    * rows are fetched by ONE (doc_id, pos) equi-join each and l
+    * advances by w iff both exist and agree (the binary decomposition
+    * of the LCP). log₂ rounds of two equi-joins over the
+    * adjacent-pair frame — fully distributed, no per-document
+    * sequential state; lineage cut per round.
+    *
+    * Returns (doc_id, rnk, pos, lcp) for rnk ≥ 2.
+    */
+  def suffixLcp(docs: DataFrame): DataFrame = {
+    val (sa, levels) = suffixLevels(docs)
+    val pred = sa.select(col("doc_id"), (col("rank") + 1).as("rank"),
+      col("pos").as("pos_prev"))
+    var pairs = sa.join(pred, Seq("doc_id", "rank"))
+      .select(col("doc_id"), col("rank").as("rnk"), col("pos"),
+        col("pos_prev"), lit(0L).as("lcp"))
+      .localCheckpoint(true)
+    // the full-width level can never compare equal between two distinct
+    // suffixes of one document — widths 2^(m-1)..1 already cover every
+    // LCP value ≤ maxDocLen-1
+    for ((w, lvl) <- levels.dropRight(1).reverse) {
+      pairs = pairs
+        .withColumn("ka", col("pos") + col("lcp"))
+        .withColumn("kb", col("pos_prev") + col("lcp"))
+        .join(lvl.toDF("doc_id", "ka", "ra"), Seq("doc_id", "ka"), "left_outer")
+        .join(lvl.toDF("doc_id", "kb", "rb"), Seq("doc_id", "kb"), "left_outer")
+        .select(col("doc_id"), col("rnk"), col("pos"), col("pos_prev"),
+          (col("lcp") + when(col("ra").isNotNull && col("ra") === col("rb"),
+            lit(w)).otherwise(lit(0L))).as("lcp"))
+        .localCheckpoint(true)
+    }
+    pairs.select(col("doc_id"), col("rnk"), col("pos"), col("lcp"))
+  }
+
+  /** Longest intra-document repeat (d107): the length in words of the
+    * longest word-sequence occurring ≥ 2 times within a document —
+    * max over the [[suffixLcp]] array (any repeated sequence is a
+    * common prefix of two suffixes, and the maximal one is realized by
+    * two RANK-ADJACENT suffixes, so the adjacent-pair max is exact) —
+    * plus the self-repetition verdict `keep = max_dup_words <
+    * maxDupWords`: the exact-repetition cousin of the d60 Gopher
+    * heuristics, catching a doc that pastes the same passage twice.
+    * Documents with a single suffix carry 0. Returns
+    * (doc_id, max_dup_words, keep).
+    */
+  def longestRepeat(docs: DataFrame, maxDupWords: Int = 10): DataFrame =
+    docs.select(col("doc_id"))
+      .join(suffixLcp(docs).groupBy(col("doc_id"))
+          .agg(max(col("lcp")).as("mx")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("mx"), lit(0L)).as("max_dup_words"),
+        (coalesce(col("mx"), lit(0L)) < maxDupWords).as("keep"))
+
   /** The hash60 construction as a SQL-expression string (for expr()
     * call sites composing it inside larger expressions).
     */

@@ -135,18 +135,16 @@ object Unigram {
     model
   }
 
-  /** Encode the corpus with the trained model (d102): per document, the
-    * word count and the total piece count under the final Viterbi
-    * segmentation — the tokenizer-fertility audit (pieces per word)
-    * training pipelines track. One equi-join of the token stream
-    * against the vocabulary-scale segmentation map. Returns
-    * (doc_id, n_words, n_pieces, fertility).
+  /** Encode a corpus under an ALREADY-TRAINED model frame: Viterbi over
+    * the target corpus's vocabulary, then one token-stream equi-join.
+    * The shared serving tail of [[unigramEncode]] (in-memory model),
+    * [[unigramEncodeIndexed]] (persisted model) and the d103 audit —
+    * one code path, so no consumer can drift.
     */
-  def unigramEncode(docs: DataFrame, maxPieceLen: Int = 4,
-      emRounds: Int = 2): DataFrame = {
+  def encodeWithModel(docs: DataFrame, model: DataFrame,
+      maxPieceLen: Int): DataFrame = {
     val words = vocab(docs).localCheckpoint(true)
     val maxWordLen = words.agg(max(col("wlen"))).head().getInt(0)
-    val model = unigramTrain(docs, maxPieceLen, emRounds)
     val segMap = viterbi(words, model, maxWordLen, maxPieceLen)
       .select(col("word"), col("np"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -156,6 +154,38 @@ object Unigram {
         sum(col("np")).cast("long").as("n_pieces"))
       .select(col("doc_id"), col("n_words"), col("n_pieces"),
         (col("n_pieces").cast("double") / col("n_words")).as("fertility"))
+  }
+
+  /** Encode the corpus with the trained model (d102): per document, the
+    * word count and the total piece count under the final Viterbi
+    * segmentation — the tokenizer-fertility audit (pieces per word)
+    * training pipelines track. One equi-join of the token stream
+    * against the vocabulary-scale segmentation map. Returns
+    * (doc_id, n_words, n_pieces, fertility).
+    */
+  def unigramEncode(docs: DataFrame, maxPieceLen: Int = 4,
+      emRounds: Int = 2): DataFrame =
+    encodeWithModel(docs, unigramTrain(docs, maxPieceLen, emRounds),
+      maxPieceLen)
+
+  /** The trained model as a persisted, manifest-gated artifact (the
+    * keepListCached pattern): built once per (corpus, params) version
+    * at `path`, read from parquet by every consumer — d101, d102, d103
+    * and d104 all ride ONE slot per data directory; whichever runs
+    * first pays the EM training.
+    */
+  def unigramModelCached(docs: DataFrame, path: String,
+      maxPieceLen: Int = 4, emRounds: Int = 2): DataFrame = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val spark = docs.sparkSession
+    val params = Map("max_piece_len" -> maxPieceLen.toLong,
+      "em_rounds" -> emRounds.toLong)
+    val hit = try {
+      val m = IndexManifest.require(path, "unigram-lm", params)
+      m.params == params && IndexManifest.isFresh(path, docs, "doc_id")
+    } catch { case _: IndexManifestException => false }
+    if (!hit) saveUnigramModel(docs, path, maxPieceLen, emRounds)
+    spark.read.parquet(s"$path/model")
   }
 
   /** Persist a trained unigram model (d104) — the tokenizer deployment
@@ -170,8 +200,21 @@ object Unigram {
   def saveUnigramModel(docs: DataFrame, path: String, maxPieceLen: Int = 4,
       emRounds: Int = 2): Unit = {
     import graft.sources.IndexManifest
-    val model = unigramTrain(docs, maxPieceLen, emRounds)
+    val words = vocab(docs).localCheckpoint(true)
+    val maxWordLen = words.agg(max(col("wlen"))).head().getInt(0)
+    val seed = seedModel(words, maxPieceLen).localCheckpoint(true)
+    var model = seed
+    for (_ <- 1 to emRounds) {
+      val segs = viterbi(words, model, maxWordLen, maxPieceLen)
+      model = reestimate(segs, seed).localCheckpoint(true)
+    }
     model.write.mode("overwrite").parquet(s"$path/model")
+    // the SEGMENTATION MAP is the serving artifact proper: a tokenizer
+    // in production is a lookup table — encoding re-runs Viterbi only
+    // for vocabulary the training corpus never saw
+    viterbi(words, model, maxWordLen, maxPieceLen)
+      .select(col("word"), col("np"))
+      .write.mode("overwrite").parquet(s"$path/segmap")
     val (rows, maxId) = IndexManifest.watermark(docs, "doc_id")
     IndexManifest.write(path, IndexManifest.Manifest("unigram-lm",
       Map("max_piece_len" -> maxPieceLen.toLong,
@@ -191,11 +234,24 @@ object Unigram {
       path: String, docs: DataFrame): DataFrame = {
     val man = graft.sources.IndexManifest.require(path, "unigram-lm")
     val maxPieceLen = man.params("max_piece_len").toInt
-    val model = spark.read.parquet(s"$path/model")
+    val stored = spark.read.parquet(s"$path/segmap")
     val words = vocab(docs).localCheckpoint(true)
-    val maxWordLen = words.agg(max(col("wlen"))).head().getInt(0)
-    val segMap = viterbi(words, model, maxWordLen, maxPieceLen)
+    val known = words.join(stored, Seq("word"))
       .select(col("word"), col("np"))
+    // Viterbi ONLY over vocabulary the training corpus never saw —
+    // for a same-domain corpus this is empty and encoding is pure
+    // lookup (the production tokenizer shape); the emptiness probe is
+    // one vocabulary-scale anti-join head()
+    val unseen = words.join(stored.select(col("word")), Seq("word"), "left_anti")
+    val segMap =
+      if (unseen.isEmpty) known
+      else {
+        val maxWordLen = unseen.agg(max(col("wlen"))).head().getInt(0)
+        known.unionByName(
+          viterbi(unseen, spark.read.parquet(s"$path/model"), maxWordLen,
+            maxPieceLen)
+            .select(col("word"), col("np")))
+      }
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .join(segMap, Seq("word"))
       .groupBy(col("doc_id"))
@@ -206,19 +262,20 @@ object Unigram {
   }
 
   /** Head-to-head tokenizer audit (d103): corpus-level fertility of the
-    * BPE merges (d61) vs the unigram model (d102) trained on the SAME
-    * corpus — the comparison a pipeline runs before committing to a
-    * tokenizer (fertility drives context-window economics). One row:
-    * (n_words, n_tokens_bpe, n_pieces_uni, bpe_fertility,
-    * uni_fertility); each fertility is one double division of exact
-    * BIGINT sums.
+    * BPE merges (d61) vs a trained unigram `model` (pass
+    * [[unigramModelCached]]'s frame — the registered row shares the
+    * d104 artifact slot instead of retraining) — the comparison a
+    * pipeline runs before committing to a tokenizer (fertility drives
+    * context-window economics). One row: (n_words, n_tokens_bpe,
+    * n_pieces_uni, bpe_fertility, uni_fertility); each fertility is
+    * one double division of exact BIGINT sums.
     */
-  def tokenizerCompare(docs: DataFrame, nMerges: Int = 5,
-      maxPieceLen: Int = 4, emRounds: Int = 2): DataFrame = {
+  def tokenizerCompare(docs: DataFrame, model: DataFrame, nMerges: Int = 5,
+      maxPieceLen: Int = 4): DataFrame = {
     val b = TextAnalysis.bpeEncode(docs, nMerges)
       .agg(sum(col("n_words")).cast("long").as("n_words"),
         sum(col("n_tokens_bpe")).cast("long").as("n_tokens_bpe"))
-    val u = unigramEncode(docs, maxPieceLen, emRounds)
+    val u = encodeWithModel(docs, model, maxPieceLen)
       .agg(sum(col("n_pieces")).cast("long").as("n_pieces_uni"))
     b.crossJoin(u).select(col("n_words"), col("n_tokens_bpe"),
       col("n_pieces_uni"),

@@ -95,6 +95,16 @@ object PipelineQueries {
       indexPath("d19-keep/" + slug), indexPath("d85-verdict/" + slug))
   }
 
+  /** The unigram-model artifact slot, one per data directory (the
+    * keepCached convention) — d101/d102/d103/d104 all read it.
+    */
+  private def uniModelPath(dir: String): String =
+    indexPath("d104-unigram/" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+
+  private def uniModelCached(spark: SparkSession, dir: String) =
+    Unigram.unigramModelCached(Tables.documents(spark, dir),
+      uniModelPath(dir), UNI_L, UNI_EM)
+
   /** d16/d19 stratified keep-rates (Seq: deterministic SQL-gen order). */
   private val SAMPLE_RATES = Seq("en" -> 0.5, "es" -> 0.25, "de" -> 0.125)
   private val SAMPLE_DEFAULT = 1.0
@@ -121,6 +131,7 @@ object PipelineQueries {
   private val UNI_L = 4          // d101/d102 max unigram piece length
   private val UNI_EM = 2         // d101/d102 hard-EM rounds
   private val CAPTION_T = 0.9    // m10 alignment keep threshold
+  private val LREP_MAX = 10      // d107 self-repetition verdict cut (words)
 
   private val KNN_K = 3          // e06 neighbors per vector
   private val CHUNK_TOKENS = 64  // d23 context-window size
@@ -175,11 +186,11 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("cap_doc_id"))),
 
     // BPE-vs-unigram tokenizer audit (d103): corpus fertility of both
-    // trained tokenizers on the same corpus (Unigram.tokenizerCompare
-    // doc)
+    // trained tokenizers on the same corpus; unigram side reads the
+    // shared d104 artifact slot (Unigram.tokenizerCompare doc)
     "d103_tokenizer_compare" -> ((spark: SparkSession, dir: String) =>
-      Unigram.tokenizerCompare(Tables.documents(spark, dir), BPE_MERGES,
-        UNI_L, UNI_EM)),
+      Unigram.tokenizerCompare(Tables.documents(spark, dir),
+        uniModelCached(spark, dir), BPE_MERGES, UNI_L)),
 
     // blockwise 60-bit binary fingerprint (m05): the pHash SHAPE of
     // image dedup over opaque payloads (Multimodal.mediaPhash doc)
@@ -1217,18 +1228,21 @@ object PipelineQueries {
         .orderBy(col("sample_id"))),
 
     // unigram-LM tokenizer training (d101): Viterbi hard-EM over the
-    // wc-weighted vocabulary — the SentencePiece family beside BPE
-    // (Unigram.unigramTrain doc)
+    // wc-weighted vocabulary — the SentencePiece family beside BPE;
+    // served from the shared per-dir artifact slot (the d85 pattern:
+    // d101-d104 read ONE store, whichever runs first pays the EM)
+    // (Unigram.unigramTrain / unigramModelCached docs)
     "d101_unigram_train" -> ((spark: SparkSession, dir: String) =>
-      Unigram.unigramTrain(Tables.documents(spark, dir), UNI_L, UNI_EM)
+      uniModelCached(spark, dir)
         .select(col("piece"), col("cnt"), col("nll").cast("double").as("nll"))
         .orderBy(col("piece"))),
 
     // unigram-LM encode audit (d102): per-doc word/piece counts and
     // fertility under the trained model's Viterbi segmentation
-    // (Unigram.unigramEncode doc)
+    // (Unigram.encodeWithModel doc)
     "d102_unigram_encode" -> ((spark: SparkSession, dir: String) =>
-      Unigram.unigramEncode(Tables.documents(spark, dir), UNI_L, UNI_EM)
+      Unigram.encodeWithModel(Tables.documents(spark, dir),
+        uniModelCached(spark, dir), UNI_L)
         .orderBy(col("doc_id"))),
 
     // persisted unigram model (d104): train-once store (manifest kind
@@ -1236,13 +1250,33 @@ object PipelineQueries {
     // against d102's oracle verbatim (Unigram.saveUnigramModel /
     // unigramEncodeIndexed docs)
     "d104_unigram_indexed" -> ((spark: SparkSession, dir: String) => {
-      val path = indexPath("d104-unigram")
-      Unigram.saveUnigramModel(Tables.documents(spark, dir), path, UNI_L,
-        UNI_EM)
-      Unigram.unigramEncodeIndexed(spark, path,
-        Tables.documents(spark, dir))
+      val docs = Tables.documents(spark, dir)
+      val path = uniModelPath(dir)
+      Unigram.unigramModelCached(docs, path, UNI_L, UNI_EM) // build if stale
+      Unigram.unigramEncodeIndexed(spark, path, docs)
         .orderBy(col("doc_id"))
     }),
+
+    // per-document suffix array by prefix doubling (d105): log rounds
+    // of (doc_id, pos+k) self-joins + per-doc dense ranks; oracle
+    // sorts materialized suffix strings (TextAnalysis.suffixArray doc)
+    "d105_suffix_array" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.suffixArray(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // adjacent-suffix LCP array (d106): sparse-table binary descent
+    // over the doubling ladder; oracle compares materialized adjacent
+    // suffix word-arrays elementwise (TextAnalysis.suffixLcp doc)
+    "d106_suffix_lcp" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.suffixLcp(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"), col("rnk"))),
+
+    // longest intra-document repeat + verdict (d107): max over the LCP
+    // array — exact self-repetition beside the d60 heuristics
+    // (TextAnalysis.longestRepeat doc)
+    "d107_longest_repeat" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.longestRepeat(Tables.documents(spark, dir), LREP_MAX)
+        .orderBy(col("doc_id"))),
 
     // Zipf power-law fit (d98): ln-ln least squares over the top-k
     // frequency table — exact decimal moments, fixed double tree
@@ -3579,6 +3613,70 @@ object PipelineQueries {
     // registered against d102's oracle verbatim (persistence must not
     // change a segmentation)
     "d104_unigram_indexed" -> uniEncodeSql,
+
+    // mirror of TextAnalysis.suffixArray: each doc's suffixes
+    // MATERIALIZED as space-joined strings and sorted — the O(n²)
+    // independent construction the prefix-doubling DP must reproduce
+    // (space < every ascii letter makes word-wise order = string
+    // order; ascii guard enforces the precondition)
+    "d105_suffix_array" ->
+      s"""WITH st AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sfx AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         |  array_to_string(w[CAST(t.i + 1 AS INTEGER):], ' ') AS suf
+         |  FROM st, LATERAL unnest(range(0, len(w))) AS t(i))
+         |SELECT doc_id, pos,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY suf) AS BIGINT)
+         |    + ${asciiGuard("d105")} AS rnk
+         |FROM sfx ORDER BY doc_id, pos""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.suffixLcp: adjacent pairs of the d105
+    // sorted order compared ELEMENTWISE as word arrays — first-false
+    // position of the equality vector is the LCP (list_position yields
+    // 0, not NULL, on a clean vector: the nullif(…, 0) catches the
+    // all-equal case, where LCP = the shorter length)
+    "d106_suffix_lcp" ->
+      s"""WITH st AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sfx AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         |  w[CAST(t.i + 1 AS INTEGER):] AS sl,
+         |  array_to_string(w[CAST(t.i + 1 AS INTEGER):], ' ') AS suf
+         |  FROM st, LATERAL unnest(range(0, len(w))) AS t(i)),
+         |rnk AS (SELECT doc_id, pos, sl,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY suf) AS BIGINT) AS rnk
+         |  FROM sfx),
+         |adj AS (SELECT a.doc_id, a.rnk, a.pos, a.sl AS sa, b.sl AS sb
+         |  FROM rnk a JOIN rnk b ON a.doc_id = b.doc_id AND b.rnk = a.rnk - 1)
+         |SELECT doc_id, rnk, pos,
+         |  coalesce(nullif(list_position(
+         |      list_transform(range(1, least(len(sa), len(sb)) + 1), i -> sa[i] = sb[i]),
+         |      false), 0) - 1,
+         |    CAST(least(len(sa), len(sb)) AS BIGINT)) + ${asciiGuard("d106")} AS lcp
+         |FROM adj ORDER BY doc_id, rnk""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.longestRepeat: per-doc max over the d106
+    // LCP values, 0 for single-suffix docs, keep = under the cut
+    "d107_longest_repeat" ->
+      s"""WITH st AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sfx AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         |  w[CAST(t.i + 1 AS INTEGER):] AS sl,
+         |  array_to_string(w[CAST(t.i + 1 AS INTEGER):], ' ') AS suf
+         |  FROM st, LATERAL unnest(range(0, len(w))) AS t(i)),
+         |rnk AS (SELECT doc_id, pos, sl,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY suf) AS BIGINT) AS rnk
+         |  FROM sfx),
+         |adj AS (SELECT a.doc_id, a.sl AS sa, b.sl AS sb
+         |  FROM rnk a JOIN rnk b ON a.doc_id = b.doc_id AND b.rnk = a.rnk - 1),
+         |lcp AS (SELECT doc_id,
+         |  coalesce(nullif(list_position(
+         |      list_transform(range(1, least(len(sa), len(sb)) + 1), i -> sa[i] = sb[i]),
+         |      false), 0) - 1,
+         |    CAST(least(len(sa), len(sb)) AS BIGINT)) AS l
+         |  FROM adj),
+         |mx AS (SELECT doc_id, max(l) AS mx FROM lcp GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(mx.mx, 0) + ${asciiGuard("d107")} AS max_dup_words,
+         |  coalesce(mx.mx, 0) < $LREP_MAX AS keep
+         |FROM documents d LEFT JOIN mx ON d.doc_id = mx.doc_id
+         |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.zipfSlope: top-k frequency cut, ln ranks/
     // counts at DECIMAL(18,8), moment sums exact (products at (36,16)),

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d105 prefix-doubling suffix array: fixture exactness (hand-computed
+  * ranks, prefix-rule ties) and the permutation property on real data.
+  */
+class SuffixArraySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("suffixArray: hand-checked fixture incl. prefix-rule and repeated words") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "b a ab a b"),
+      (2L, "a a a"), // pure repetition: shorter suffix sorts first
+      (3L, "x")      // singleton
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.suffixArray(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 suffixes sorted: "a ab a b"(1) < "a b"(3) < "ab a b"(2)
+    //   < "b"(4) < "b a ab a b"(0)
+    assert(got == Map(
+      (1L, 0L) -> 5L, (1L, 1L) -> 1L, (1L, 2L) -> 3L, (1L, 3L) -> 2L,
+      (1L, 4L) -> 4L,
+      (2L, 0L) -> 3L, (2L, 1L) -> 2L, (2L, 2L) -> 1L,
+      (3L, 0L) -> 1L), got.toString)
+  }
+
+  test("suffixLcp: hand-checked fixture incl. pure-repetition doc; singleton yields no rows") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "b a ab a b"),
+      (2L, "a a a"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.suffixLcp(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // doc 1 order: "a ab a b"(1) "a b"(3) "ab a b"(2) "b"(4) "b a ab a b"(0)
+    //   LCPs: ["a b" vs "a ab a b"]=1, 0, 0, ["b a.." vs "b"]=1
+    // doc 2 order: "a"(2) "a a"(1) "a a a"(0); LCPs: 1, 2
+    assert(got == Map(
+      (1L, 2L) -> 1L, (1L, 3L) -> 0L, (1L, 4L) -> 0L, (1L, 5L) -> 1L,
+      (2L, 2L) -> 1L, (2L, 3L) -> 2L), got.toString)
+  }
+
+  test("suffixLcp: exact vs JVM brute force on a real-corpus slice") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 40)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = texts.flatMap { case (id, text) =>
+      val w = text.split(" ")
+      val sorted = w.indices.map(p => w.slice(p, w.length).toSeq -> p)
+        .sortBy(_._1.mkString(" "))
+      sorted.zipWithIndex.drop(1).map { case ((suf, pos), i) =>
+        val prev = sorted(i - 1)._1
+        val lcp = suf.zip(prev).takeWhile { case (a, b) => a == b }.size
+        (id, (i + 1).toLong, pos.toLong) -> lcp.toLong
+      }
+    }
+    val got = TextAnalysis.suffixLcp(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got == want, s"sizes: got=${got.size} want=${want.size}")
+  }
+
+  test("longestRepeat: fixture verdicts; every doc present") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "b a ab a b"),
+      (2L, "a a a"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.longestRepeat(fix, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(1L -> ((1L, true)), 2L -> ((2L, false)),
+      3L -> ((0L, true))), got.toString)
+  }
+
+  test("suffixArray: per-doc ranks are a 1..len permutation on the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 100)
+    val sa = TextAnalysis.suffixArray(docs)
+    val bad = sa.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("rnk")).as("d"),
+        min(col("rnk")).as("mn"), max(col("rnk")).as("mx"))
+      .filter(col("n") =!= col("d") || col("mn") =!= 1L || col("mx") =!= col("n"))
+      .count()
+    assert(bad == 0L, "rnk must be a dense 1..len permutation per doc")
+  }
+}

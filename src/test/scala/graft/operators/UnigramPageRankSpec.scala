@@ -56,6 +56,22 @@ class UnigramPageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("unigramEncodeIndexed: pure segmap lookup for seen vocab; Viterbi only for unseen words") {
+    import spark.implicits._
+    val train = Seq((1L, "ab ba ab a b"), (2L, "ab ab b a")).toDF("doc_id", "text")
+    val target = Seq((10L, "ab ba"), (11L, "ba bab a")).toDF("doc_id", "text") // "bab" unseen
+    val path = java.nio.file.Files.createTempDirectory("graft-uni-").toString
+    Unigram.saveUnigramModel(train, path, 3, 2)
+    val got = Unigram.unigramEncodeIndexed(spark, path, target)
+    // the indexed encode must equal encoding with the stored model frame
+    val want = Unigram.encodeWithModel(target,
+      spark.read.parquet(s"$path/model"), 3)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // the unseen word was segmented (rows for doc 11 cover all 3 words)
+    val d11 = got.filter(col("doc_id") === 11L).collect()
+    assert(d11.length == 1 && d11.head.getAs[Long]("n_words") == 3L)
+  }
+
   test("pageRank: deterministic, strictly positive, mass bounded by the starting pool") {
     val emb = Tables.embeddings(spark, dir)
     val pr = Similarity.pageRank(emb, 3, 6, 3).cache()
@@ -94,7 +110,8 @@ class UnigramPageRankSpec extends AnyFunSuite {
 
   test("tokenizerCompare: one row, fertilities >= 1, consistent with its own counts") {
     val docs = Tables.documents(spark, dir)
-    val r = Unigram.tokenizerCompare(docs, 5, 4, 2).collect()
+    val r = Unigram.tokenizerCompare(docs,
+      Unigram.unigramTrain(docs, 4, 2), 5, 4).collect()
     assert(r.length == 1)
     val row = r.head
     val nw = row.getAs[Long]("n_words")
