@@ -105,6 +105,15 @@ object PipelineQueries {
     Unigram.unigramModelCached(Tables.documents(spark, dir),
       uniModelPath(dir), UNI_L, UNI_EM)
 
+  /** The two suffix-array artifact slots (per-doc / generalized), one
+    * each per data directory — d105-d107 read the first, d108-d110 the
+    * second; whichever row runs first pays the doubling ladder.
+    */
+  private def sfxCached(spark: SparkSession, dir: String, global: Boolean) =
+    TextAnalysis.suffixIndexCached(Tables.documents(spark, dir),
+      indexPath((if (global) "d108-sfx-global/" else "d105-sfx/") +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")), global)
+
   /** d16/d19 stratified keep-rates (Seq: deterministic SQL-gen order). */
   private val SAMPLE_RATES = Seq("en" -> 0.5, "es" -> 0.25, "de" -> 0.125)
   private val SAMPLE_DEFAULT = 1.0
@@ -132,6 +141,7 @@ object PipelineQueries {
   private val UNI_EM = 2         // d101/d102 hard-EM rounds
   private val CAPTION_T = 0.9    // m10 alignment keep threshold
   private val LREP_MAX = 10      // d107 self-repetition verdict cut (words)
+  private val CROSS_CONTAM = 13  // d110 cross-doc shared-span verdict cut
 
   private val KNN_K = 3          // e06 neighbors per vector
   private val CHUNK_TOKENS = 64  // d23 context-window size
@@ -1258,25 +1268,55 @@ object PipelineQueries {
     }),
 
     // per-document suffix array by prefix doubling (d105): log rounds
-    // of (doc_id, pos+k) self-joins + per-doc dense ranks; oracle
-    // sorts materialized suffix strings (TextAnalysis.suffixArray doc)
+    // of (doc_id, pos+k) self-joins + per-doc dense ranks, served from
+    // the persisted per-dir artifact; oracle sorts materialized suffix
+    // strings (TextAnalysis.suffixArray / saveSuffixIndex docs)
     "d105_suffix_array" -> ((spark: SparkSession, dir: String) =>
-      TextAnalysis.suffixArray(Tables.documents(spark, dir))
+      sfxCached(spark, dir, global = false)._1
+        .select(col("doc_id"), col("pos"), col("rnk"))
         .orderBy(col("doc_id"), col("pos"))),
 
     // adjacent-suffix LCP array (d106): sparse-table binary descent
     // over the doubling ladder; oracle compares materialized adjacent
     // suffix word-arrays elementwise (TextAnalysis.suffixLcp doc)
     "d106_suffix_lcp" -> ((spark: SparkSession, dir: String) =>
-      TextAnalysis.suffixLcp(Tables.documents(spark, dir))
+      sfxCached(spark, dir, global = false)._2
+        .select(col("doc_id"), col("rnk"), col("pos"), col("lcp"))
         .orderBy(col("doc_id"), col("rnk"))),
 
     // longest intra-document repeat + verdict (d107): max over the LCP
     // array — exact self-repetition beside the d60 heuristics
     // (TextAnalysis.longestRepeat doc)
     "d107_longest_repeat" -> ((spark: SparkSession, dir: String) =>
-      TextAnalysis.longestRepeat(Tables.documents(spark, dir), LREP_MAX)
+      TextAnalysis.longestRepeatFrom(Tables.documents(spark, dir),
+        sfxCached(spark, dir, global = false)._2, LREP_MAX)
         .orderBy(col("doc_id"))),
+
+    // generalized corpus-level suffix array (d108): one dense rank
+    // order over every suffix of every doc — ranking via the bucketed
+    // distributed dense rank, identical cross-doc suffixes share a
+    // rank (TextAnalysis.globalSuffixArray doc)
+    "d108_global_suffix_array" -> ((spark: SparkSession, dir: String) =>
+      sfxCached(spark, dir, global = true)._1
+        .select(col("doc_id"), col("pos"), col("rnk"))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // adjacent-class LCP + class stats over the generalized SA (d109)
+    // (TextAnalysis.globalSuffixLcp doc)
+    "d109_global_suffix_lcp" -> ((spark: SparkSession, dir: String) =>
+      sfxCached(spark, dir, global = true)._2
+        .select(col("rnk"), col("lcp"), col("n_occ"), col("n_docs"))
+        .orderBy(col("rnk"))),
+
+    // per-doc longest cross-document duplicated span + verdict (d110):
+    // the ExactSubstr contamination metric off the generalized SA
+    // (TextAnalysis.crossDocRepeat doc)
+    "d110_crossdoc_repeat" -> ((spark: SparkSession, dir: String) => {
+      val (sa, lcp) = sfxCached(spark, dir, global = true)
+      TextAnalysis.crossDocRepeatFrom(Tables.documents(spark, dir), sa,
+        lcp, CROSS_CONTAM)
+        .orderBy(col("doc_id"))
+    }),
 
     // Zipf power-law fit (d98): ln-ln least squares over the top-k
     // frequency table — exact decimal moments, fixed double tree
@@ -3651,6 +3691,82 @@ object PipelineQueries {
          |      false), 0) - 1,
          |    CAST(least(len(sa), len(sb)) AS BIGINT)) + ${asciiGuard("d106")} AS lcp
          |FROM adj ORDER BY doc_id, rnk""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.globalSuffixArray: ONE dense_rank over
+    // every materialized suffix string of every doc
+    "d108_global_suffix_array" ->
+      s"""WITH st AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sfx AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         |  array_to_string(w[CAST(t.i + 1 AS INTEGER):], ' ') AS suf
+         |  FROM st, LATERAL unnest(range(0, len(w))) AS t(i))
+         |SELECT doc_id, pos,
+         |  CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT)
+         |    + ${asciiGuard("d108")} AS rnk
+         |FROM sfx ORDER BY doc_id, pos""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.globalSuffixLcp: dense suffix classes,
+    // adjacent classes' word arrays compared elementwise (the d106
+    // nullif(list_position, 0) device), class occurrence/doc counts
+    "d109_global_suffix_lcp" ->
+      s"""WITH st AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sfx AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         |  array_to_string(w[CAST(t.i + 1 AS INTEGER):], ' ') AS suf
+         |  FROM st, LATERAL unnest(range(0, len(w))) AS t(i)),
+         |rk AS (SELECT doc_id, suf,
+         |  CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS r FROM sfx),
+         |cls AS (SELECT r, min(suf) AS s, count(*) AS n_occ,
+         |  count(DISTINCT doc_id) AS n_docs FROM rk GROUP BY r),
+         |adj AS (SELECT a.r, string_split(a.s, ' ') AS sa,
+         |  string_split(b.s, ' ') AS sb, a.n_occ, a.n_docs
+         |  FROM cls a JOIN cls b ON b.r = a.r - 1)
+         |SELECT r AS rnk,
+         |  coalesce(nullif(list_position(
+         |      list_transform(range(1, least(len(sa), len(sb)) + 1), i -> sa[i] = sb[i]),
+         |      false), 0) - 1,
+         |    CAST(least(len(sa), len(sb)) AS BIGINT)) + ${asciiGuard("d109")} AS lcp,
+         |  n_occ, n_docs
+         |FROM adj ORDER BY rnk""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.crossDocRepeat: rule (a) = whole classes
+    // shared by >= 2 docs, rule (b) = adjacent-class LCPs where the
+    // other side holds a different doc; per-doc max, 0 default
+    "d110_crossdoc_repeat" ->
+      s"""WITH st AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sfx AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         |  array_to_string(w[CAST(t.i + 1 AS INTEGER):], ' ') AS suf
+         |  FROM st, LATERAL unnest(range(0, len(w))) AS t(i)),
+         |rk AS (SELECT doc_id, suf,
+         |  CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS r FROM sfx),
+         |cls AS (SELECT r, min(suf) AS s FROM rk GROUP BY r),
+         |clen AS (SELECT r, CAST(len(string_split(s, ' ')) AS BIGINT) AS l FROM cls),
+         |dpc AS (SELECT DISTINCT r, doc_id FROM rk),
+         |stats AS (SELECT r, count(*) AS nd, min(doc_id) AS mn FROM dpc GROUP BY r),
+         |lcps AS (SELECT a.r,
+         |  coalesce(nullif(list_position(
+         |      list_transform(range(1, least(len(string_split(a.s, ' ')), len(string_split(b.s, ' '))) + 1),
+         |        i -> string_split(a.s, ' ')[i] = string_split(b.s, ' ')[i]),
+         |      false), 0) - 1,
+         |    CAST(least(len(string_split(a.s, ' ')), len(string_split(b.s, ' '))) AS BIGINT)) AS l
+         |  FROM cls a JOIN cls b ON b.r = a.r - 1),
+         |cand AS (
+         |  SELECT dpc.doc_id, clen.l AS v FROM dpc
+         |    JOIN stats USING (r) JOIN clen USING (r) WHERE stats.nd >= 2
+         |  UNION ALL
+         |  SELECT dpc.doc_id, lcps.l AS v FROM dpc
+         |    JOIN lcps ON lcps.r = dpc.r + 1
+         |    JOIN stats s2 ON s2.r = lcps.r
+         |    WHERE s2.nd >= 2 OR s2.mn <> dpc.doc_id
+         |  UNION ALL
+         |  SELECT dpc.doc_id, lcps.l AS v FROM dpc
+         |    JOIN lcps ON lcps.r = dpc.r
+         |    JOIN stats s2 ON s2.r = lcps.r - 1
+         |    WHERE s2.nd >= 2 OR s2.mn <> dpc.doc_id),
+         |mx AS (SELECT doc_id, max(v) AS m FROM cand GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(mx.m, 0) + ${asciiGuard("d110")} AS max_shared_words,
+         |  coalesce(mx.m, 0) < $CROSS_CONTAM AS keep
+         |FROM documents d LEFT JOIN mx ON d.doc_id = mx.doc_id
+         |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.longestRepeat: per-doc max over the d106
     // LCP values, 0 for single-suffix docs, keep = under the cut

@@ -80,6 +80,82 @@ class SuffixArraySpec extends AnyFunSuite {
       3L -> ((0L, true))), got.toString)
   }
 
+  test("globalSuffixArray: hand-checked fixture — identical cross-doc suffixes share a dense rank") {
+    import spark.implicits._
+    val fix = Seq((1L, "b a"), (2L, "a b a"), (3L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.globalSuffixArray(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // distinct suffixes sorted: "a"(1) < "a b a"(2) < "b a"(3)
+    assert(got == Map(
+      (1L, 0L) -> 3L, (1L, 1L) -> 1L,
+      (2L, 0L) -> 2L, (2L, 1L) -> 3L, (2L, 2L) -> 1L,
+      (3L, 0L) -> 1L), got.toString)
+  }
+
+  test("globalSuffixLcp: class stats and adjacent-class LCPs on the fixture") {
+    import spark.implicits._
+    val fix = Seq((1L, "b a"), (2L, "a b a"), (3L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.globalSuffixLcp(fix).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // class 1 "a" x3 (3 docs); class 2 "a b a"; class 3 "b a" x2 (2 docs)
+    assert(got == Map(2L -> ((1L, 1L, 1L)), 3L -> ((0L, 2L, 2L))),
+      got.toString)
+  }
+
+  test("crossDocRepeat: fixture verdicts match hand-derived cross-doc maxima") {
+    import spark.implicits._
+    val fix = Seq((1L, "b a"), (2L, "a b a"), (3L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.crossDocRepeat(fix, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // "b a" shared by docs 1/2 (len 2); "a" shared by all (len 1)
+    assert(got == Map(1L -> ((2L, false)), 2L -> ((2L, false)),
+      3L -> ((1L, true))), got.toString)
+  }
+
+  test("crossDocRepeat: exact vs JVM all-pairs brute force on a real-corpus slice") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 25)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    def lcp(a: Array[String], ai: Int, b: Array[String], bi: Int): Int = {
+      var n = 0
+      while (ai + n < a.length && bi + n < b.length && a(ai + n) == b(bi + n)) n += 1
+      n
+    }
+    val want = texts.map { case (d, w) =>
+      val best = texts.iterator.filter(_._1 != d).flatMap { case (_, v) =>
+        w.indices.iterator.flatMap(i => v.indices.iterator.map(j => lcp(w, i, v, j)))
+      }.foldLeft(0)(math.max)
+      d -> best.toLong
+    }
+    val got = TextAnalysis.crossDocRepeat(docs, 13).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet).take(5)} vs ${(want.toSet diff got.toSet).take(5)}")
+  }
+
+  test("suffixIndexCached: stored artifact ≡ direct construction; repeat call is a cache hit") {
+    import spark.implicits._
+    val fix = Seq((1L, "b a ab a b"), (2L, "a b a"), (3L, "a")).toDF("doc_id", "text")
+    for (global <- Seq(false, true)) {
+      val path = java.nio.file.Files.createTempDirectory("graft-sfx-").toString
+      val (sa, lcp) = TextAnalysis.suffixIndexCached(fix, path, global)
+      val (wantSa, wantLcp) =
+        if (global) (TextAnalysis.globalSuffixArray(fix),
+          TextAnalysis.globalSuffixLcp(fix))
+        else (TextAnalysis.suffixArray(fix), TextAnalysis.suffixLcp(fix))
+      assert(sa.except(wantSa).isEmpty && wantSa.except(sa).isEmpty,
+        s"sa mismatch (global=$global)")
+      assert(lcp.except(wantLcp).isEmpty && wantLcp.except(lcp).isEmpty,
+        s"lcp mismatch (global=$global)")
+      val mf = new java.io.File(s"$path/MANIFEST.json")
+      val t0 = mf.lastModified()
+      TextAnalysis.suffixIndexCached(fix, path, global)
+      assert(mf.lastModified() == t0, "fresh artifact must not rebuild")
+    }
+  }
+
   test("suffixArray: per-doc ranks are a 1..len permutation on the real corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 100)
