@@ -1102,6 +1102,50 @@ object Dedup {
     * smuggle in. The doc_id equi-join shuffles both sides at worst,
     * which is the correct degradation.
     */
+  /** ExactSubstr removal SERVED FROM the persisted suffix-array
+    * artifact (d111) — the variable-length construction of d41's
+    * policy: per suffix, the longest repeated prefix m is read off the
+    * generalized SA in O(1) joins (m = its class's remaining length if
+    * the class holds ≥ 2 occurrences, else the max of the two
+    * adjacent-class LCPs — the SA fact that rank-neighbors maximize
+    * LCP), and every suffix with m ≥ minLen anchors the interval
+    * [pos, pos+m). The covered-position set PROVABLY equals d41's
+    * gram-anchor union (every position inside a duplicated ≥ minLen
+    * run lies under the run-head suffix's interval, and conversely
+    * every anchored interval is a duplicated run each of whose
+    * ≥ minLen grams d41 anchors), so the registered row runs against
+    * d41's oracle VERBATIM — two independent constructions, one
+    * truth. Span/cut tails are shared ([[anchorsToSpans]] +
+    * [[cutSpans]]); SA positions are 0-based while the cut tail is
+    * 1-based, hence the +1.
+    *
+    * The point at 100 TB: d41 re-derives the gram stream per run,
+    * while this path reads a build-once index — the serving shape for
+    * repeated dedup sweeps over a frozen corpus (threshold sweeps,
+    * per-slice audits) where the SA+LCP artifact amortizes.
+    */
+  def exactSubstrFromSuffixIndex(docs: DataFrame, sa: DataFrame,
+      lcpFrame: DataFrame, minLen: Int = 8): DataFrame = {
+    val nocc = sa.groupBy(col("rnk")).agg(count(lit(1)).as("n_occ"))
+    val dlen = sa.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+    val lcps = lcpFrame.select(col("rnk"), col("lcp"))
+    val m = sa
+      .join(nocc, Seq("rnk"))
+      .join(dlen, Seq("doc_id"))
+      .join(lcps.toDF("rnk", "lcp_self"), Seq("rnk"), "left_outer")
+      .join(lcps.select((col("rnk") - 1).as("rnk"), col("lcp").as("lcp_next")),
+        Seq("rnk"), "left_outer")
+      .select(col("doc_id"), col("pos"),
+        greatest(
+          when(col("n_occ") >= 2L, col("dlen") - col("pos")).otherwise(lit(0L)),
+          coalesce(col("lcp_self"), lit(0L)),
+          coalesce(col("lcp_next"), lit(0L))).as("m"))
+    val anchors = m.filter(col("m") >= minLen)
+      .select(col("doc_id"), (col("pos") + 1L).as("s"),
+        (col("pos") + col("m")).as("e"))
+    cutSpans(docs, anchorsToSpans(anchors))
+  }
+
   private def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
     val iv = spans
       .groupBy(col("doc_id"))

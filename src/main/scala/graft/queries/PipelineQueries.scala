@@ -1318,6 +1318,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ExactSubstr removal served from the suffix-array artifact (d111):
+    // variable-length spans off SA+LCP, registered against d41's
+    // oracle VERBATIM — two constructions, one truth
+    // (Dedup.exactSubstrFromSuffixIndex doc)
+    "d111_exact_substr_sa" -> ((spark: SparkSession, dir: String) => {
+      val (sa, lcp) = sfxCached(spark, dir, global = true)
+      Dedup.exactSubstrFromSuffixIndex(Tables.documents(spark, dir), sa,
+        lcp, EXSUB_LEN)
+        .orderBy(col("doc_id"))
+    }),
+
     // Zipf power-law fit (d98): ln-ln least squares over the top-k
     // frequency table — exact decimal moments, fixed double tree
     // (TextAnalysis.zipfSlope doc)
@@ -4639,6 +4650,13 @@ object PipelineQueries {
     // mirror of Dedup.exactSubstrRemoval: remove-everywhere anchors
     // under the shared cut tail (exCutSql doc)
     "d41_exact_substr_removal" ->
+      s"""WITH $exGramCtes, $exAnchAllCtes, $exCutSql
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // d111 is the SA-served construction of d41's policy — registered
+    // against the SAME oracle text (covered-position equality proven
+    // in Dedup.exactSubstrFromSuffixIndex's doc)
+    "d111_exact_substr_sa" ->
       s"""WITH $exGramCtes, $exAnchAllCtes, $exCutSql
          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 

@@ -156,6 +156,19 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("exactSubstrFromSuffixIndex ≡ gram-anchored exactSubstrRemoval on a real-corpus slice") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 200)
+    val want = Dedup.exactSubstrRemoval(docs, 8)
+    val got = Dedup.exactSubstrFromSuffixIndex(docs,
+      TextAnalysis.globalSuffixArray(docs),
+      TextAnalysis.globalSuffixLcp(docs), 8)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "the SA-served cut must equal the gram-anchored cut row-for-row")
+    // non-vacuous: the slice must actually contain duplicated runs
+    assert(want.filter(col("n_removed") > 0).count() > 0)
+  }
+
   test("suffixArray: per-doc ranks are a 1..len permutation on the real corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 100)
