@@ -1869,6 +1869,34 @@ object TextAnalysis {
     (spark.read.parquet(s"$path/sa"), spark.read.parquet(s"$path/lcp"))
   }
 
+  /** Overlapping token-window chunking (d112) — the retrieval/embedding
+    * prep step every RAG or embedding pipeline runs before encoding:
+    * fixed `chunkWords`-word windows starting every `strideWords`
+    * words (stride ≤ chunk ⇒ overlap = chunk − stride words). Starts
+    * are 0, S, 2S, … while < doc length; the final window is allowed
+    * short (the published LangChain/retrieval convention), and every
+    * word lands in ≥ 1 chunk by construction.
+    *
+    * Scale shape: pure scan-side higher-order expression work
+    * (transform/sequence/slice, then one posexplode) — zero shuffles,
+    * zero joins; the chunk stream is produced at read parallelism.
+    * Returns (doc_id, chunk_id, start_tok, n_tok, chunk_text).
+    */
+  def chunkDocs(docs: DataFrame, chunkWords: Int = 32,
+      strideWords: Int = 24): DataFrame = {
+    require(chunkWords >= 1 && strideWords >= 1 && strideWords <= chunkWords,
+      s"need 1 <= stride <= chunk, got chunk=$chunkWords stride=$strideWords")
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(w) - 1) DIV $strideWords),
+           |  i -> slice(w, i * $strideWords + 1, $chunkWords))"""
+          .stripMargin.replace("\n", " "))).as(Seq("chunk_id", "cw")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * strideWords).cast("long").as("start_tok"),
+        size(col("cw")).cast("long").as("n_tok"),
+        concat_ws(" ", col("cw")).as("chunk_text"))
+  }
+
   /** The hash60 construction as a SQL-expression string (for expr()
     * call sites composing it inside larger expressions).
     */

@@ -142,6 +142,8 @@ object PipelineQueries {
   private val CAPTION_T = 0.9    // m10 alignment keep threshold
   private val LREP_MAX = 10      // d107 self-repetition verdict cut (words)
   private val CROSS_CONTAM = 13  // d110 cross-doc shared-span verdict cut
+  private val CHUNK_W = 32       // d112 chunk window (words)
+  private val CHUNK_S = 24       // d112 chunk stride (words; overlap 8)
 
   private val KNN_K = 3          // e06 neighbors per vector
   private val CHUNK_TOKENS = 64  // d23 context-window size
@@ -1317,6 +1319,13 @@ object PipelineQueries {
         lcp, CROSS_CONTAM)
         .orderBy(col("doc_id"))
     }),
+
+    // overlapping token-window chunking (d112): the RAG/embedding prep
+    // step — scan-side expression work only (TextAnalysis.chunkDocs
+    // doc)
+    "d112_chunking" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.chunkDocs(Tables.documents(spark, dir), CHUNK_W, CHUNK_S)
+        .orderBy(col("doc_id"), col("chunk_id"))),
 
     // ExactSubstr removal served from the suffix-array artifact (d111):
     // variable-length spans off SA+LCP, registered against d41's
@@ -4652,6 +4661,19 @@ object PipelineQueries {
     "d41_exact_substr_removal" ->
       s"""WITH $exGramCtes, $exAnchAllCtes, $exCutSql
          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.chunkDocs: starts at stride multiples
+    // below len, inclusive list slices clamp the short tail
+    "d112_chunking" ->
+      s"""WITH st AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |ch AS (SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_id,
+         |  w[(CAST(t.i AS INTEGER) * $CHUNK_S + 1):(CAST(t.i AS INTEGER) * $CHUNK_S + $CHUNK_W)] AS cw
+         |  FROM st, LATERAL unnest(range(0, ((len(w) - 1) // $CHUNK_S) + 1)) AS t(i))
+         |SELECT doc_id, chunk_id,
+         |  chunk_id * $CHUNK_S AS start_tok,
+         |  CAST(len(cw) AS BIGINT) AS n_tok,
+         |  array_to_string(cw, ' ') AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " "),
 
     // d111 is the SA-served construction of d41's policy — registered
     // against the SAME oracle text (covered-position equality proven

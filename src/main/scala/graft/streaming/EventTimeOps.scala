@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.util.sketch.BloomFilter
@@ -691,6 +691,63 @@ object EventTimeOps {
           }
         handle.batches += 1
       }
+    }
+    (writer, handle)
+  }
+
+  /** Observable state of one [[weightedReservoirIngest]] stream: the
+    * current k-row reservoir (doc_id, w, priority) in draw order and
+    * the batch count.
+    */
+  final class WeightedReservoirHandle private[streaming] (k: Int) {
+    private[streaming] val lock = new Object
+    private[streaming] var rows = Vector.empty[(Long, Double, Double)]
+    @volatile private[streaming] var batches: Long = 0L
+    private[streaming] def merge(top: Seq[(Long, Double, Double)]): Unit =
+      lock.synchronized {
+        // dedup by doc_id (priorities are pure functions of doc_id, so
+        // an at-least-once replay re-offers IDENTICAL rows — idempotent)
+        rows = (rows ++ top).distinctBy(_._1)
+          .sortBy { case (id, _, p) => (-p, id) }.take(k)
+      }
+    def sample: Seq[(Long, Double, Double)] = lock.synchronized(rows)
+    def batchesProcessed: Long = batches
+  }
+
+  /** Streaming WEIGHTED RESERVOIR (A-ES) — the streaming twin of the
+    * d70 Efraimidis-Spirakis weighted sample
+    * ([[graft.operators.Sampling.weightedSample]]), closing the
+    * sampling family's streaming side: maintain the k highest-priority
+    * documents seen so far, where priority = ln(u)/w with u the d70
+    * deterministic per-doc uniform. Per micro-batch the d70 kernel
+    * runs VERBATIM on the batch (its top-k plans as
+    * TakeOrderedAndProject), and the k survivors merge into a
+    * driver-side k-row reservoir — a semilattice merge: top-k of a
+    * union equals top-k of the per-part top-k's, so after any batch
+    * the reservoir EQUALS the batch kernel applied to the whole
+    * concatenated prefix (spec-pinned), independent of how the stream
+    * was batched. Priorities are pure functions of (doc_id, w), which
+    * makes at-least-once replay idempotent by construction — replayed
+    * rows merge to themselves (no counter-residue caveat: this is the
+    * rare gate where exactly-once is free).
+    *
+    * State is k rows driver-side — the SAMPLE's own scale, never the
+    * stream's. Returns the writer (call `.start()` on it) and the
+    * observable reservoir handle.
+    */
+  def weightedReservoirIngest(stream: DataFrame, weight: Column,
+      k: Int): (DataStreamWriter[Row], WeightedReservoirHandle) = {
+    require(k >= 1, s"weightedReservoirIngest: k=$k")
+    val handle = new WeightedReservoirHandle(k)
+    val writer = stream.writeStream.foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val top = graft.operators.Sampling.weightedSample(batch, weight, k)
+            .collect()
+            .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+          handle.merge(top.toSeq)
+          handle.batches += 1
+        }
     }
     (writer, handle)
   }

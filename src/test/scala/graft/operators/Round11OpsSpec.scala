@@ -275,4 +275,30 @@ class Round11OpsSpec extends AnyFunSuite {
     }
     assert(chain(ex2).contains("NULL stratum"))
   }
+
+  test("chunkDocs: hand-checked fixture (short tail kept) and full-coverage property on real docs") {
+    import spark.implicits._
+    // chunk=3, stride=2 over 7 words: starts 0,2,4,6 — last chunk 1 word
+    val fix = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(fix, 3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got == Map(
+      (1L, 0L) -> ((0L, 3L, "a b c")), (1L, 1L) -> ((2L, 3L, "c d e")),
+      (1L, 2L) -> ((4L, 3L, "e f g")), (1L, 3L) -> ((6L, 1L, "g")),
+      (2L, 0L) -> ((0L, 2L, "x y"))), got.toString)
+    // property: with stride <= chunk every word position is covered and
+    // chunk word-counts reconstruct per-doc totals under the overlap
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    val ch = TextAnalysis.chunkDocs(docs, 32, 24)
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val bad = ch.groupBy(col("doc_id"))
+      .agg(max(col("start_tok") + col("n_tok")).as("covered_end"),
+        min(col("start_tok")).as("first"))
+      .join(lens, Seq("doc_id"))
+      .filter(col("covered_end") < col("n") || col("first") =!= 0L)
+      .count()
+    assert(bad == 0L, "chunks must start at 0 and cover every word")
+  }
 }

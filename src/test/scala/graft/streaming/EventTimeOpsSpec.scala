@@ -832,4 +832,37 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(got.get(11L) == ((false, true)), "fresh content must pass")
     assert(got.get(12L) == ((false, true)), "short docs are kept (null verdict)")
   }
+
+  test("weightedReservoirIngest: reservoir equals the d70 kernel on the concatenated prefix after EVERY batch; replay merges idempotently") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val k = 3
+    val b1: Seq[(Long, Double)] = Seq((1L, 2.0), (2L, 7.0), (3L, 1.0))
+    val b2: Seq[(Long, Double)] = Seq((4L, 9.0), (5L, 0.5))
+    val b3: Seq[(Long, Double)] = Seq((6L, 4.0), (7L, 3.0), (8L, 6.0))
+    def batchTwin(prefix: Seq[(Long, Double)]) =
+      Sampling.weightedSample(prefix.toDF("doc_id", "w"), col("w"), k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq
+    val input = MemoryStream[(Long, Double)]
+    val (writer, handle) = EventTimeOps.weightedReservoirIngest(
+      input.toDF().toDF("doc_id", "w"), col("w"), k)
+    val q = writer.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(handle.sample == batchTwin(b1), "after batch 1")
+      input.addData(b2: _*); q.processAllAvailable()
+      assert(handle.sample == batchTwin(b1 ++ b2), "after batch 2")
+      input.addData(b3: _*); q.processAllAvailable()
+      assert(handle.sample == batchTwin(b1 ++ b2 ++ b3), "after batch 3")
+      assert(handle.batchesProcessed == 3)
+      // at-least-once replay: the same rows re-offered change NOTHING
+      // (priorities are pure functions of doc_id, dedup by id)
+      input.addData(b2: _*); q.processAllAvailable()
+      assert(handle.sample == batchTwin(b1 ++ b2 ++ b3), "after replay")
+    } finally q.stop()
+  }
 }
