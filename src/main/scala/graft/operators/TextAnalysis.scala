@@ -203,6 +203,11 @@ object TextAnalysis {
     */
   private def bpePairCounts(rep: DataFrame): DataFrame =
     rep.select(split(col("rep"), "¦").as("syms"), col("wc"))
+      // fully-merged words (one symbol) carry no pairs — and MUST be
+      // filtered before the sequence: Spark's sequence(1, 0) counts
+      // DOWN ([1, 0]), so a 1-symbol rep would explode into bogus
+      // indexes and element_at(syms, 2) crashes the training step
+      .filter(size(col("syms")) >= 2)
       .select(col("syms"), col("wc"),
         explode(expr("sequence(1, size(syms) - 1)")).as("i"))
       .select(element_at(col("syms"), col("i")).as("s1"),
@@ -359,9 +364,18 @@ object TextAnalysis {
     * extreme-scale vocabulary would drop the hint and shuffle).
     * Returns (doc_id, n_words, n_tokens_bpe).
     */
-  def bpeEncode(docs: DataFrame, nMerges: Int = 5): DataFrame = {
-    val merges = bpeTrain(docs, nMerges).orderBy(col("step")).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+  def bpeEncode(docs: DataFrame, nMerges: Int = 5): DataFrame =
+    bpeApplyMerges(docs, bpeTrain(docs, nMerges).orderBy(col("step"))
+      .collect().map(r => (r.getString(1), r.getString(2))))
+
+  /** The shared encode tail of [[bpeEncode]] (in-memory training) and
+    * [[bpeEncodeIndexed]] (persisted merges): apply an ordered merge
+    * list to the TARGET corpus's vocabulary as literal replaces, join
+    * the token stream to the symbol counts. One code path, so the two
+    * serving shapes cannot drift.
+    */
+  private def bpeApplyMerges(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     var v = bpeVocab(docs)
     merges.foreach { case (s1, s2) =>
       v = v.withColumn("rep",
@@ -373,6 +387,57 @@ object TextAnalysis {
       .join(broadcast(counts), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens_bpe"))
+  }
+
+  /** Persist a trained BPE merge table (d113) — the tokenizer
+    * deployment shape the unigram family already has (d104): train
+    * ONCE, encode arbitrary corpora forever. The artifact is the
+    * ordered merge list — nMerges rows, the entire model — under the
+    * shared manifest (kind "bpe").
+    */
+  def saveBpeModel(docs: DataFrame, path: String, nMerges: Int = 5): Unit = {
+    import graft.sources.IndexManifest
+    bpeTrain(docs, nMerges).write.mode("overwrite").parquet(s"$path/merges")
+    val (rows, maxId) = IndexManifest.watermark(docs, "doc_id")
+    IndexManifest.write(path, IndexManifest.Manifest("bpe",
+      Map("n_merges" -> nMerges.toLong), rows, maxId))
+  }
+
+  /** Encode a corpus with a persisted BPE model ([[saveBpeModel]]) —
+    * reads the nMerges-row merge table and runs [[bpeEncode]]'s tail
+    * verbatim. Registered against d61's oracle text verbatim (the
+    * d104 convention: the store is an implementation detail that must
+    * not change an encoding).
+    */
+  def bpeEncodeIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame): DataFrame = {
+    graft.sources.IndexManifest.require(path, "bpe")
+    bpeEncodeWith(docs, spark.read.parquet(s"$path/merges"))
+  }
+
+  /** Encode under an ALREADY-TRAINED merge frame (step, s1, s2) —
+    * the [[Unigram.encodeWithModel]] counterpart for BPE; the d103
+    * audit and [[bpeEncodeIndexed]] share it.
+    */
+  def bpeEncodeWith(docs: DataFrame, merges: DataFrame): DataFrame =
+    bpeApplyMerges(docs, merges.orderBy(col("step")).collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"))))
+
+  /** The trained BPE merges as a cached artifact (the
+    * unigramModelCached convention): one slot per (corpus, params)
+    * version at `path`; consumers read the store, whichever runs
+    * first pays the training. Returns the merges frame.
+    */
+  def bpeModelCached(docs: DataFrame, path: String,
+      nMerges: Int = 5): DataFrame = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val params = Map("n_merges" -> nMerges.toLong)
+    val hit = try {
+      IndexManifest.require(path, "bpe", params)
+      IndexManifest.isFresh(path, docs, "doc_id")
+    } catch { case _: IndexManifestException => false }
+    if (!hit) saveBpeModel(docs, path, nMerges)
+    docs.sparkSession.read.parquet(s"$path/merges")
   }
 
   /** BPE segmentation spans (d64) — the per-word token TABLE a

@@ -270,9 +270,9 @@ object Unigram {
     * n_pieces_uni, bpe_fertility, uni_fertility); each fertility is
     * one double division of exact BIGINT sums.
     */
-  def tokenizerCompare(docs: DataFrame, model: DataFrame, nMerges: Int = 5,
-      maxPieceLen: Int = 4): DataFrame = {
-    val b = TextAnalysis.bpeEncode(docs, nMerges)
+  def tokenizerCompare(docs: DataFrame, model: DataFrame,
+      bpeMerges: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val b = TextAnalysis.bpeEncodeWith(docs, bpeMerges)
       .agg(sum(col("n_words")).cast("long").as("n_words"),
         sum(col("n_tokens_bpe")).cast("long").as("n_tokens_bpe"))
     val u = encodeWithModel(docs, model, maxPieceLen)

@@ -105,6 +105,15 @@ object PipelineQueries {
     Unigram.unigramModelCached(Tables.documents(spark, dir),
       uniModelPath(dir), UNI_L, UNI_EM)
 
+  /** The BPE merge-table artifact slot, one per data directory —
+    * d103/d113 read it (d59/d61 keep their self-contained training
+    * registrations; the store is the deployment shape beside them).
+    */
+  private def bpeCached(spark: SparkSession, dir: String) =
+    TextAnalysis.bpeModelCached(Tables.documents(spark, dir),
+      indexPath("d113-bpe/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")),
+      BPE_MERGES)
+
   /** The two suffix-array artifact slots (per-doc / generalized), one
     * each per data directory — d105-d107 read the first, d108-d110 the
     * second; whichever row runs first pays the doubling ladder.
@@ -202,7 +211,7 @@ object PipelineQueries {
     // shared d104 artifact slot (Unigram.tokenizerCompare doc)
     "d103_tokenizer_compare" -> ((spark: SparkSession, dir: String) =>
       Unigram.tokenizerCompare(Tables.documents(spark, dir),
-        uniModelCached(spark, dir), BPE_MERGES, UNI_L)),
+        uniModelCached(spark, dir), bpeCached(spark, dir), UNI_L)),
 
     // blockwise 60-bit binary fingerprint (m05): the pHash SHAPE of
     // image dedup over opaque payloads (Multimodal.mediaPhash doc)
@@ -981,6 +990,18 @@ object PipelineQueries {
     "d61_bpe_encode" -> ((spark: SparkSession, dir: String) =>
       TextAnalysis.bpeEncode(Tables.documents(spark, dir), BPE_MERGES)
         .orderBy(col("doc_id"))),
+
+    // persisted BPE model (d113): train-once merge store (manifest
+    // kind "bpe"), encode path shared with d61 verbatim — registered
+    // against d61's oracle text (TextAnalysis.saveBpeModel /
+    // bpeEncodeIndexed docs)
+    "d113_bpe_indexed" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      bpeCached(spark, dir) // build if stale
+      TextAnalysis.bpeEncodeIndexed(spark,
+        indexPath("d113-bpe/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")), docs)
+        .orderBy(col("doc_id"))
+    }),
 
     // curriculum token shards (d62): the d47 layout with the shuffle
     // order reordered by d46 quality tier — head shards first, tiers
@@ -2484,6 +2505,20 @@ object PipelineQueries {
        |  FROM usc CROSS JOIN ust)""".stripMargin.replace("\n", " ") +
       ", " + em
   }
+
+  /** The d61 oracle body — shared verbatim by d113 (the persisted
+    * merge table must reproduce the in-memory encoding).
+    */
+  private lazy val bpeEncodeSql =
+    s"""WITH $bpeHeadCtes,
+       |$bpeMergeStages,
+       |enc AS (SELECT word, CAST(len(string_split(rep, '¦')) AS BIGINT) AS n_syms
+       |  FROM br$BPE_MERGES),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_tokens_bpe
+       |FROM tok JOIN enc USING (word) GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   /** The d102 oracle body — shared verbatim by d104 (the persisted
     * store must reproduce the in-memory segmentation).
@@ -4638,16 +4673,12 @@ object PipelineQueries {
 
     // mirror of TextAnalysis.bpeEncode: the d59 merge chain's FINAL
     // representation, symbol counts per word, docs joined back
-    "d61_bpe_encode" ->
-      s"""WITH $bpeHeadCtes,
-         |$bpeMergeStages,
-         |enc AS (SELECT word, CAST(len(string_split(rep, '¦')) AS BIGINT) AS n_syms
-         |  FROM br$BPE_MERGES),
-         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(n_syms) AS BIGINT) AS n_tokens_bpe
-         |FROM tok JOIN enc USING (word) GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "d61_bpe_encode" -> bpeEncodeSql,
+
+    // d113 reads the persisted merge table and runs the same tail —
+    // same oracle text as d61 (the d104 convention: persistence must
+    // not change an encoding)
+    "d113_bpe_indexed" -> bpeEncodeSql,
 
     // mirror of Dedup.exactSubstrSpans over the shared ExactSubstr
     // chain (exSubstrCtes doc)

@@ -72,6 +72,20 @@ class UnigramPageRankSpec extends AnyFunSuite {
     assert(d11.length == 1 && d11.head.getAs[Long]("n_words") == 3L)
   }
 
+  test("bpeEncodeIndexed: persisted merge table reproduces the in-memory encoding; fresh store is a cache hit") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ba ab a b"), (2L, "ab ab b a")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe-").toString
+    val want = TextAnalysis.bpeEncode(docs, 2)
+    TextAnalysis.saveBpeModel(docs, path, 2)
+    val got = TextAnalysis.bpeEncodeIndexed(spark, path, docs)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    val mf = new java.io.File(s"$path/MANIFEST.json")
+    val t0 = mf.lastModified()
+    TextAnalysis.bpeModelCached(docs, path, 2)
+    assert(mf.lastModified() == t0, "fresh artifact must not rebuild")
+  }
+
   test("pageRank: deterministic, strictly positive, mass bounded by the starting pool") {
     val emb = Tables.embeddings(spark, dir)
     val pr = Similarity.pageRank(emb, 3, 6, 3).cache()
@@ -111,7 +125,8 @@ class UnigramPageRankSpec extends AnyFunSuite {
   test("tokenizerCompare: one row, fertilities >= 1, consistent with its own counts") {
     val docs = Tables.documents(spark, dir)
     val r = Unigram.tokenizerCompare(docs,
-      Unigram.unigramTrain(docs, 4, 2), 5, 4).collect()
+      Unigram.unigramTrain(docs, 4, 2),
+      TextAnalysis.bpeTrain(docs, 5), 4).collect()
     assert(r.length == 1)
     val row = r.head
     val nw = row.getAs[Long]("n_words")
