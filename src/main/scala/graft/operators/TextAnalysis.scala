@@ -1934,6 +1934,74 @@ object TextAnalysis {
     (spark.read.parquet(s"$path/sa"), spark.read.parquet(s"$path/lcp"))
   }
 
+  /** Append an id-monotone increment to a PER-DOCUMENT suffix-array
+    * store (d114) — exact by construction: per-doc ranks and LCPs
+    * involve only the document's own suffixes, so an appended
+    * document's rows are bit-identical to a fresh build's (spec-pinned
+    * append ≡ rebuild), history files are never rewritten, and the
+    * increment pays only its own ladder. The GLOBAL variant is
+    * rebuild-only BY DESIGN — corpus-level dense ranks shift under any
+    * append (the d87 idf/avgdl reasoning), and
+    * [[suffixIndexCached]]'s staleness check makes that loud. Same
+    * crash-window discipline as every appender: id-monotone guard
+    * against the watermark, orphan check before writing, manifest
+    * flip last.
+    */
+  def appendSuffixIndex(newDocs: DataFrame, path: String): Unit = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val man = IndexManifest.require(path, "suffix-array",
+      Map("global" -> 0L))
+    val spark = newDocs.sparkSession
+    val stats = newDocs.agg(count(lit(1)),
+      min(col("doc_id").cast("long")), max(col("doc_id").cast("long"))).head()
+    if (stats.getLong(0) == 0L) return
+    val (rows, minId, maxId) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (minId <= man.corpusMaxId)
+      throw new IndexManifestException(
+        s"increment ids start at $minId but the index watermark is " +
+          s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    IndexManifest.requireNoOrphans(
+      spark.read.parquet(s"$path/sa"), "doc_id", man, path)
+    val (sa, levels) = suffixLevels(newDocs)
+    sa.select(col("doc_id"), col("pos"), col("rank").as("rnk"))
+      .write.mode("append").parquet(s"$path/sa")
+    perDocLcp(sa, levels).write.mode("append").parquet(s"$path/lcp")
+    IndexManifest.write(path,
+      man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
+  }
+
+  /** Idempotent maintenance for the per-document suffix store (the
+    * e34/d79 policy): "fresh" when the corpus matches the watermark,
+    * "append" when the watermark rows are an exact prefix (recovering
+    * to "rebuild" on the orphan-residue named error), "rebuild"
+    * otherwise (missing/param-mismatched/diverged store).
+    */
+  def suffixIndexSync(docs: DataFrame, path: String): String = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val man = try Some(IndexManifest.require(path, "suffix-array",
+      Map("global" -> 0L)))
+    catch { case _: IndexManifestException => None }
+    man match {
+      case Some(m) =>
+        val stats = docs.agg(count(lit(1)), max(col("doc_id").cast("long")),
+          sum(when(col("doc_id") <= m.corpusMaxId, 1L).otherwise(0L))).head()
+        val (rows, maxId) = (stats.getLong(0),
+          if (stats.isNullAt(1)) -1L else stats.getLong(1))
+        val prefixRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+        if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
+        else if (prefixRows == m.corpusRows && maxId > m.corpusMaxId) {
+          try {
+            appendSuffixIndex(docs.filter(col("doc_id") > m.corpusMaxId), path)
+            "append"
+          } catch { case _: IndexManifestException =>
+            saveSuffixIndex(docs, path, global = false); "rebuild"
+          }
+        } else { saveSuffixIndex(docs, path, global = false); "rebuild" }
+      case None => saveSuffixIndex(docs, path, global = false); "rebuild"
+    }
+  }
+
   /** Overlapping token-window chunking (d112) — the retrieval/embedding
     * prep step every RAG or embedding pipeline runs before encoding:
     * fixed `chunkWords`-word windows starting every `strideWords`

@@ -1341,6 +1341,40 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-doc suffix store incremental append (d114): build on a
+    // prefix, append the id-monotone rest, serve the full LCP array —
+    // d106's oracle verbatim; per-doc independence makes append ≡
+    // rebuild bit-exact (TextAnalysis.appendSuffixIndex doc)
+    "d114_suffix_appended" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("d114-sfx")
+      TextAnalysis.saveSuffixIndex(docs.filter(col("doc_id") <= cut), path,
+        global = false)
+      TextAnalysis.appendSuffixIndex(docs.filter(col("doc_id") > cut), path)
+      spark.read.parquet(s"$path/lcp")
+        .select(col("doc_id"), col("rnk"), col("pos"), col("lcp"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // per-doc suffix store sync (d115): partial build, one sync that
+    // must append, one that must no-op, then serve — d106's oracle
+    // verbatim (TextAnalysis.suffixIndexSync doc)
+    "d115_suffix_sync" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val path = indexPath("d115-sfx")
+      TextAnalysis.saveSuffixIndex(docs.filter(col("doc_id") <= cut), path,
+        global = false)
+      val a1 = TextAnalysis.suffixIndexSync(docs, path)
+      val a2 = TextAnalysis.suffixIndexSync(docs, path)
+      require(a1 == "append" && a2 == "fresh",
+        s"sync policy drifted: got ($a1, $a2), expected (append, fresh)")
+      spark.read.parquet(s"$path/lcp")
+        .select(col("doc_id"), col("rnk"), col("pos"), col("lcp"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // overlapping token-window chunking (d112): the RAG/embedding prep
     // step — scan-side expression work only (TextAnalysis.chunkDocs
     // doc)
@@ -2505,6 +2539,27 @@ object PipelineQueries {
        |  FROM usc CROSS JOIN ust)""".stripMargin.replace("\n", " ") +
       ", " + em
   }
+
+  /** The d106 oracle body — shared verbatim by d114/d115 (append/sync
+    * round trips must reproduce the LCP array row-for-row).
+    */
+  private lazy val sfxLcpSql =
+    s"""WITH st AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sfx AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+       |  w[CAST(t.i + 1 AS INTEGER):] AS sl,
+       |  array_to_string(w[CAST(t.i + 1 AS INTEGER):], ' ') AS suf
+       |  FROM st, LATERAL unnest(range(0, len(w))) AS t(i)),
+       |rnk AS (SELECT doc_id, pos, sl,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY suf) AS BIGINT) AS rnk
+       |  FROM sfx),
+       |adj AS (SELECT a.doc_id, a.rnk, a.pos, a.sl AS sa, b.sl AS sb
+       |  FROM rnk a JOIN rnk b ON a.doc_id = b.doc_id AND b.rnk = a.rnk - 1)
+       |SELECT doc_id, rnk, pos,
+       |  coalesce(nullif(list_position(
+       |      list_transform(range(1, least(len(sa), len(sb)) + 1), i -> sa[i] = sb[i]),
+       |      false), 0) - 1,
+       |    CAST(least(len(sa), len(sb)) AS BIGINT)) + ${asciiGuard("d106")} AS lcp
+       |FROM adj ORDER BY doc_id, rnk""".stripMargin.replace("\n", " ")
 
   /** The d61 oracle body — shared verbatim by d113 (the persisted
     * merge table must reproduce the in-memory encoding).
@@ -3729,23 +3784,13 @@ object PipelineQueries {
     // position of the equality vector is the LCP (list_position yields
     // 0, not NULL, on a clean vector: the nullif(…, 0) catches the
     // all-equal case, where LCP = the shorter length)
-    "d106_suffix_lcp" ->
-      s"""WITH st AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |sfx AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
-         |  w[CAST(t.i + 1 AS INTEGER):] AS sl,
-         |  array_to_string(w[CAST(t.i + 1 AS INTEGER):], ' ') AS suf
-         |  FROM st, LATERAL unnest(range(0, len(w))) AS t(i)),
-         |rnk AS (SELECT doc_id, pos, sl,
-         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY suf) AS BIGINT) AS rnk
-         |  FROM sfx),
-         |adj AS (SELECT a.doc_id, a.rnk, a.pos, a.sl AS sa, b.sl AS sb
-         |  FROM rnk a JOIN rnk b ON a.doc_id = b.doc_id AND b.rnk = a.rnk - 1)
-         |SELECT doc_id, rnk, pos,
-         |  coalesce(nullif(list_position(
-         |      list_transform(range(1, least(len(sa), len(sb)) + 1), i -> sa[i] = sb[i]),
-         |      false), 0) - 1,
-         |    CAST(least(len(sa), len(sb)) AS BIGINT)) + ${asciiGuard("d106")} AS lcp
-         |FROM adj ORDER BY doc_id, rnk""".stripMargin.replace("\n", " "),
+    "d106_suffix_lcp" -> sfxLcpSql,
+
+    // d114/d115 serve the per-doc LCP array through append / sync
+    // round trips — same oracle text as d106 (store maintenance must
+    // not change a single row)
+    "d114_suffix_appended" -> sfxLcpSql,
+    "d115_suffix_sync" -> sfxLcpSql,
 
     // mirror of TextAnalysis.globalSuffixArray: ONE dense_rank over
     // every materialized suffix string of every doc

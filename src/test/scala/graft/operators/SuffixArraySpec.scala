@@ -169,6 +169,45 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(want.filter(col("n_removed") > 0).count() > 0)
   }
 
+  test("appendSuffixIndex: append ≡ rebuild bit-exact; crashed-append orphans are a named error; sync recovers") {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 80)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (cut1, cut2) = (maxId / 2, maxId * 3 / 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-sfxapp-").toString
+    TextAnalysis.saveSuffixIndex(docs.filter(col("doc_id") <= cut1), path,
+      global = false)
+    TextAnalysis.appendSuffixIndex(
+      docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2), path)
+    // append ≡ rebuild bit-exact (per-doc independence)
+    val freshPath = java.nio.file.Files.createTempDirectory("graft-sfxfr-").toString
+    TextAnalysis.saveSuffixIndex(docs.filter(col("doc_id") <= cut2), freshPath,
+      global = false)
+    def rows(p: String, t: String) =
+      spark.read.parquet(s"$p/$t").collect().map(_.toSeq).toSet
+    assert(rows(path, "sa") == rows(freshPath, "sa"))
+    assert(rows(path, "lcp") == rows(freshPath, "lcp"))
+    // non-monotone append fails loudly
+    val e0 = intercept[IndexManifestException] {
+      TextAnalysis.appendSuffixIndex(docs.filter(col("doc_id") <= cut1), path)
+    }
+    assert(e0.getMessage.contains("id-monotone"))
+    // crashed-append window: data landed, manifest flip lost
+    val stale = IndexManifest.read(path)
+    TextAnalysis.appendSuffixIndex(docs.filter(col("doc_id") > cut2), path)
+    IndexManifest.write(path, stale)
+    val e = intercept[IndexManifestException] {
+      TextAnalysis.appendSuffixIndex(docs.filter(col("doc_id") > cut2), path)
+    }
+    assert(e.getMessage.contains("above its manifest watermark"))
+    assert(TextAnalysis.suffixIndexSync(docs, path) == "rebuild")
+    assert(TextAnalysis.suffixIndexSync(docs, path) == "fresh")
+    val full = java.nio.file.Files.createTempDirectory("graft-sfxfull-").toString
+    TextAnalysis.saveSuffixIndex(docs, full, global = false)
+    assert(rows(path, "lcp") == rows(full, "lcp"), "recovered store must equal a fresh build")
+  }
+
   test("suffixArray: per-doc ranks are a 1..len permutation on the real corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 100)
