@@ -1382,6 +1382,26 @@ object PipelineQueries {
       TextAnalysis.chunkDocs(Tables.documents(spark, dir), CHUNK_W, CHUNK_S)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // chunk-level BM25 retrieval (d116): the RAG serving story end to
+    // end — d112 chunks, keep-first exact chunk dedup (RAG stores
+    // dedupe identical chunks), the d17 BM25 tree over the CHUNK
+    // corpus, per-query top-k with deterministic tie-break; composite
+    // cid = doc_id*1024 + chunk_id decodes back to (doc, chunk)
+    "d116_chunk_retrieval" -> ((spark: SparkSession, dir: String) => {
+      val chunks = TextAnalysis.chunkDocs(Tables.documents(spark, dir),
+          CHUNK_W, CHUNK_S)
+        .select((col("doc_id") * 1024L + col("chunk_id")).as("cid"),
+          col("chunk_text").as("text"))
+      val deduped = chunks.groupBy(col("text")).agg(min(col("cid")).as("cid"))
+        .select(col("cid").as("doc_id"), col("text"))
+      TextAnalysis.bm25(deduped, BM25_TERMS)
+        .orderBy(col("score").desc, col("doc_id")).limit(BM25_TOPK)
+        .select(col("doc_id").as("cid"), col("score"))
+        .select(expr("cid DIV 1024").cast("long").as("doc_id"),
+          expr("cid % 1024").cast("long").as("chunk_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+    }),
+
     // ExactSubstr removal served from the suffix-array artifact (d111):
     // variable-length spans off SA+LCP, registered against d41's
     // oracle VERBATIM — two constructions, one truth
@@ -2787,9 +2807,12 @@ object PipelineQueries {
 
   /** The d17 chain with prefixed CTE names and caller-chosen terms, so
     * d89 can run one instance per retrieval query in a single oracle
-    * without name collisions. Ends in `${p}sc(doc_id, score)`.
+    * without name collisions; `from` selects the scored corpus (a CTE
+    * with (doc_id, text) — d116 feeds deduped chunks). Ends in
+    * `${p}sc(doc_id, score)`.
     */
-  private def bm25CtesFor(terms: Seq[String], p: String): String = {
+  private def bm25CtesFor(terms: Seq[String], p: String,
+      from: String = "documents"): String = {
     val dfSelects = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(sum(CASE WHEN list_contains(string_split(text,' '), '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
     }.mkString(", ")
@@ -2801,9 +2824,9 @@ object PipelineQueries {
     }.mkString(" + ")
     s"""${p}st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
        |  CAST(sum(len(string_split(text,' '))) AS DOUBLE) AS sum_dl,
-       |  $dfSelects FROM documents),
+       |  $dfSelects FROM $from),
        |${p}d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfSelects
-       |      FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+       |      FROM (SELECT doc_id, string_split(text,' ') AS w FROM $from)),
        |${p}sc AS (SELECT doc_id, $scoreSum AS score FROM ${p}d CROSS JOIN ${p}st)"""
       .stripMargin.replace("\n", " ")
   }
@@ -4750,6 +4773,24 @@ object PipelineQueries {
          |  CAST(len(cw) AS BIGINT) AS n_tok,
          |  array_to_string(cw, ' ') AS chunk_text
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " "),
+
+    // mirror of the d116 composition: chunk CTE → keep-first dedup by
+    // min composite cid per distinct text → the d17 BM25 chain scored
+    // over the chunk corpus → top-k, cid decoded back
+    "d116_chunk_retrieval" ->
+      s"""WITH c0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |c1 AS (SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_id,
+         |  array_to_string(w[(CAST(t.i AS INTEGER) * $CHUNK_S + 1):(CAST(t.i AS INTEGER) * $CHUNK_S + $CHUNK_W)], ' ') AS text
+         |  FROM c0, LATERAL unnest(range(0, ((len(w) - 1) // $CHUNK_S) + 1)) AS t(i)),
+         |c2 AS (SELECT doc_id * 1024 + chunk_id AS cid, text FROM c1),
+         |chdocs AS (SELECT min(cid) AS doc_id, text FROM c2 GROUP BY text),
+         |${bm25CtesFor(BM25_TERMS, "ck", "chdocs")},
+         |top AS (SELECT doc_id AS cid, score FROM cksc
+         |  ORDER BY score DESC, doc_id LIMIT $BM25_TOPK)
+         |SELECT CAST(cid // 1024 AS BIGINT) AS doc_id,
+         |  CAST(cid % 1024 AS BIGINT) AS chunk_id, score
+         |FROM top ORDER BY score DESC, doc_id, chunk_id"""
+          .stripMargin.replace("\n", " "),
 
     // d111 is the SA-served construction of d41's policy — registered
     // against the SAME oracle text (covered-position equality proven

@@ -276,6 +276,27 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(chain(ex2).contains("NULL stratum"))
   }
 
+  test("d116: retrieved chunks decode to real document windows and carry query-term mass") {
+    val out = graft.SparkEntry.queries("d116_chunk_retrieval")(spark, dir)
+      .collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val terms = Set("table", "query", "spark")
+    // scores are sorted descending; every hit decodes to a real window
+    val scores = out.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    out.foreach { r =>
+      val (d, c) = (r.getLong(0), r.getLong(1))
+      val w = texts(d)
+      val chunk = w.slice(c.toInt * 24, c.toInt * 24 + 32)
+      assert(chunk.nonEmpty, s"chunk ($d,$c) out of range")
+      if (r.getDouble(2) > 0)
+        assert(chunk.exists(terms), s"positive-scored chunk ($d,$c) has no query term")
+    }
+  }
+
   test("chunkDocs: hand-checked fixture (short tail kept) and full-coverage property on real docs") {
     import spark.implicits._
     // chunk=3, stride=2 over 7 words: starts 0,2,4,6 — last chunk 1 word
