@@ -153,6 +153,9 @@ object PipelineQueries {
   private val CROSS_CONTAM = 13  // d110 cross-doc shared-span verdict cut
   private val CHUNK_W = 32       // d112 chunk window (words)
   private val CHUNK_S = 24       // d112 chunk stride (words; overlap 8)
+  private val FUSE_K = 20        // d117 per-list retrieval depth
+  private val FUSE_OUT = 10      // d117 fused result size
+  private val RRF_SCALE = 1000000000000L // d117 integer RRF micro-units
 
   private val KNN_K = 3          // e06 neighbors per vector
   private val CHUNK_TOKENS = 64  // d23 context-window size
@@ -1381,6 +1384,37 @@ object PipelineQueries {
     "d112_chunking" -> ((spark: SparkSession, dir: String) =>
       TextAnalysis.chunkDocs(Tables.documents(spark, dir), CHUNK_W, CHUNK_S)
         .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // hybrid lexical+dense retrieval via reciprocal-rank fusion (d117):
+    // BM25 top-20 for the query terms fused with cosine top-20 for the
+    // query vector (vec_id 0 — the shared 0..N-1 id space maps
+    // embeddings to documents) by RRF with c=60. The fusion arithmetic
+    // is INTEGER micro-units (floor(1e12/(60+r)) — the d81/e50 device):
+    // rank fusion needs no float at all, so the fused scores are exact
+    // in any engine. Rank-after-cut windows only (both source lists
+    // and the fused list are <= 20-row bounded tables).
+    "d117_hybrid_rrf" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextAnalysis.bm25(Tables.documents(spark, dir), BM25_TERMS)
+        .orderBy(col("score").desc, col("doc_id")).limit(FUSE_K)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long").as("r"))
+        .select(col("doc_id"),
+          expr(s"CAST($RRF_SCALE DIV (60 + r) AS BIGINT)").as("s_lex"))
+      val dense = Similarity.cosineTopK(Tables.embeddings(spark, dir),
+          col("vec_id") === 0, FUSE_K)
+        .select(col("neighbor_id").as("doc_id"),
+          expr(s"CAST($RRF_SCALE DIV (60 + rk) AS BIGINT)").as("s_dense"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(col("s_lex"), lit(0L)) +
+            coalesce(col("s_dense"), lit(0L))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(FUSE_OUT)
+        .select(row_number().over(
+            Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long").as("rk"),
+          col("doc_id"), col("rrf"))
+        .orderBy(col("rk"))
+    }),
 
     // chunk-level BM25 retrieval (d116): the RAG serving story end to
     // end — d112 chunks, keep-first exact chunk dedup (RAG stores
@@ -4773,6 +4807,33 @@ object PipelineQueries {
          |  CAST(len(cw) AS BIGINT) AS n_tok,
          |  array_to_string(cw, ' ') AS chunk_text
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " "),
+
+    // mirror of the d117 fusion: BM25 chain → top-20 lexical ranks,
+    // e01's cosine chain for query vector 0 → top-20 dense ranks,
+    // integer RRF micro-units, full-outer fuse, fused top-10
+    "d117_hybrid_rrf" ->
+      s"""WITH ${bm25CtesFor(BM25_TERMS, "hx")},
+         |hlex AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+         |  FROM hxsc ORDER BY score DESC, doc_id LIMIT $FUSE_K),
+         |hlex2 AS (SELECT doc_id, CAST($RRF_SCALE // (60 + r) AS BIGINT) AS s_lex FROM hlex),
+         |hv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |hn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM hv),
+         |hq AS (SELECT e, nrm FROM hn WHERE vec_id = 0),
+         |hp AS (SELECT c.vec_id AS doc_id,
+         |  list_dot_product(hq.e, c.e)/(hq.nrm*c.nrm) AS cosine
+         |  FROM hn c, hq WHERE c.vec_id <> 0),
+         |hd AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rk
+         |  FROM hp ORDER BY cosine DESC, doc_id LIMIT $FUSE_K),
+         |hd2 AS (SELECT doc_id, CAST($RRF_SCALE // (60 + rk) AS BIGINT) AS s_dense FROM hd),
+         |hf AS (SELECT doc_id,
+         |  CAST(coalesce(s_lex, 0) + coalesce(s_dense, 0) AS BIGINT) AS rrf
+         |  FROM hlex2 FULL JOIN hd2 USING (doc_id)),
+         |ht AS (SELECT doc_id, rrf FROM hf ORDER BY rrf DESC, doc_id LIMIT $FUSE_OUT)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk,
+         |  doc_id, rrf
+         |FROM ht ORDER BY rk""".stripMargin.replace("\n", " "),
 
     // mirror of the d116 composition: chunk CTE → keep-first dedup by
     // min composite cid per distinct text → the d17 BM25 chain scored
