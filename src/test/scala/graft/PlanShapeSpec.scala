@@ -454,4 +454,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "the d90 bucket pruning must survive under the retrieval cut\n" +
         p.take(3000))
   }
+
+  test("d112: chunking is scan-side expression work — no join anywhere in the plan") {
+    val p = plan("d112_chunking")
+    assert(!p.contains("Join"),
+      "chunking must stay per-row higher-order expression work\n" + p.take(2000))
+  }
+
+  test("d116/d117: retrieval compositions cut with TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("d116_chunk_retrieval", "d117_hybrid_rrf")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: the top-k cut must be a heap cut\n" + p.take(2000))
+    }
+  }
 }
