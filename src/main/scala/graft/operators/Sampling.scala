@@ -64,16 +64,23 @@ object Sampling {
     * draw priority (first row = first draw in the equivalent
     * sequential scheme).
     */
+  /** The Efraimidis-Spirakis draw priority as ONE shared expression —
+    * ln(u)/w quantized at DECIMAL(28,8) (the ln device), exposed as
+    * DOUBLE (decimal→double is the same nearest-double in both
+    * engines). [[weightedSample]] and the streaming reservoirs
+    * ([[graft.streaming.EventTimeOps]]) build on it, so the batch and
+    * streaming draws cannot drift.
+    */
+  def esPriority(id: Column, weight: Column): Column =
+    (log(uniformHash(id)) / weight.cast("double"))
+      .cast("decimal(28,8)").cast("double")
+
   def weightedSample(docs: DataFrame, weight: Column, k: Int): DataFrame = {
     require(k >= 1, s"k=$k")
-    docs.select(col("doc_id"), weight.cast("double").as("w"),
-        uniformHash(col("doc_id")).as("u"))
+    docs.select(col("doc_id"), weight.cast("double").as("w"))
       .filter(col("w") > 0)
       .select(col("doc_id"), col("w"),
-        // quantize at DECIMAL(28,8) (the ln device), expose as DOUBLE
-        // (decimal→double is the same nearest-double in both engines)
-        (log(col("u")) / col("w")).cast("decimal(28,8)")
-          .cast("double").as("priority"))
+        esPriority(col("doc_id"), col("w")).as("priority"))
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(k)
   }

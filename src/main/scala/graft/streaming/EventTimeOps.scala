@@ -752,6 +752,72 @@ object EventTimeOps {
     (writer, handle)
   }
 
+  /** Observable state of one [[stratifiedReservoirIngest]] stream:
+    * the per-stratum k-row reservoirs and the batch count.
+    */
+  final class StratifiedReservoirHandle private[streaming] (k: Int) {
+    private[streaming] val lock = new Object
+    private[streaming] var rows =
+      Map.empty[String, Vector[(Long, Double, Double)]]
+    @volatile private[streaming] var batches: Long = 0L
+    private[streaming] def merge(
+        top: Seq[(String, Long, Double, Double)]): Unit =
+      lock.synchronized {
+        top.groupBy(_._1).foreach { case (s, rs) =>
+          rows = rows.updated(s,
+            (rows.getOrElse(s, Vector.empty) ++
+              rs.map(t => (t._2, t._3, t._4)))
+              .distinctBy(_._1)
+              .sortBy { case (id, _, p) => (-p, id) }.take(k))
+        }
+      }
+    def sample: Map[String, Seq[(Long, Double, Double)]] =
+      lock.synchronized(rows)
+    def batchesProcessed: Long = batches
+  }
+
+  /** STRATIFIED streaming weighted reservoir — k draws PER STRATUM
+    * (language, source, quality tier), the grouped twin of
+    * [[weightedReservoirIngest]] and the streaming side of the d16/d70
+    * sampling pair. Per micro-batch: the shared
+    * [[graft.operators.Sampling.esPriority]] draw expression, a
+    * rank ≤ k cut windowed per stratum over the MICRO-BATCH only
+    * (bounded), then a per-stratum semilattice merge into
+    * driver-side k-row reservoirs. Each stratum's reservoir equals
+    * [[graft.operators.Sampling.weightedSample]] applied to that
+    * stratum's slice of the concatenated prefix (spec-pinned), and
+    * replay is idempotent for the same reason as the global gate.
+    * State: #strata × k rows driver-side — the sample's scale.
+    */
+  def stratifiedReservoirIngest(stream: DataFrame, strataCol: String,
+      weight: Column, k: Int): (DataStreamWriter[Row], StratifiedReservoirHandle) = {
+    require(k >= 1, s"stratifiedReservoirIngest: k=$k")
+    val handle = new StratifiedReservoirHandle(k)
+    val writer = stream.writeStream.foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("stratum"))
+            .orderBy(col("priority").desc, col("doc_id"))
+          val top = batch
+            .select(col(strataCol).as("stratum"), col("doc_id"),
+              weight.cast("double").as("w"))
+            .filter(col("w") > 0)
+            .select(col("stratum"), col("doc_id"), col("w"),
+              graft.operators.Sampling.esPriority(col("doc_id"), col("w"))
+                .as("priority"))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= k)
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+              r.getDouble(3)))
+          handle.merge(top.toSeq)
+          handle.batches += 1
+        }
+    }
+    (writer, handle)
+  }
+
   /** Stream-stream inner join: comments matched to submissions in the
     * same subreddit within ±`withinSeconds` of event time. Watermarks on
     * BOTH sides bound the join state — Spark can drop buffered rows once

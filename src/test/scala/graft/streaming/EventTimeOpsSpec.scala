@@ -865,4 +865,38 @@ class EventTimeOpsSpec extends AnyFunSuite {
       assert(handle.sample == batchTwin(b1 ++ b2 ++ b3), "after replay")
     } finally q.stop()
   }
+
+  test("stratifiedReservoirIngest: each stratum's reservoir equals the d70 kernel on that stratum's prefix slice") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val k = 2
+    val b1: Seq[(Long, Double, String)] = Seq((1L, 2.0, "en"), (2L, 7.0, "de"),
+      (3L, 1.0, "en"), (4L, 3.0, "de"))
+    val b2: Seq[(Long, Double, String)] = Seq((5L, 9.0, "en"), (6L, 0.5, "de"),
+      (7L, 4.0, "en"))
+    def twin(prefix: Seq[(Long, Double, String)], s: String) =
+      Sampling.weightedSample(
+        prefix.filter(_._3 == s).map(t => (t._1, t._2)).toDF("doc_id", "w"),
+        col("w"), k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq
+    val input = MemoryStream[(Long, Double, String)]
+    val (writer, handle) = EventTimeOps.stratifiedReservoirIngest(
+      input.toDF().toDF("doc_id", "w", "stratum"), "stratum", col("w"), k)
+    val q = writer.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(handle.sample == Map("en" -> twin(b1, "en"), "de" -> twin(b1, "de")))
+      input.addData(b2: _*); q.processAllAvailable()
+      val all = b1 ++ b2
+      assert(handle.sample == Map("en" -> twin(all, "en"), "de" -> twin(all, "de")))
+      // replay idempotence per stratum
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(handle.sample == Map("en" -> twin(all, "en"), "de" -> twin(all, "de")))
+      assert(handle.batchesProcessed == 3)
+    } finally q.stop()
+  }
 }
