@@ -570,6 +570,53 @@ object SseBenchMain {
         println(f"SSEBENCH budget-gate total=$total docs passthrough=${total / wBase}%.0f ev/s " +
           f"gated=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost, kept=$nKept of $total)")
       }
+
+      // STRATIFIED RESERVOIR (round 11, phase 11): the streaming A-ES
+      // sampler priced against the pass-through twin — k-row-per-
+      // stratum driver state, per-batch cost = one bounded window over
+      // the micro-batch + a ≤ #strata·k-row collect; should price at
+      // the budget-gate tier (no model, no index).
+      {
+        val refDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        val texts = refDocs.select($"text").limit(500).collect().map(_.getString(0))
+        val total = 20000
+        val chunk = 2000
+        val docs: Seq[(Long, String, String)] = (0 until total).map { i =>
+          (i.toLong, texts(i % texts.length), s"s${i % 4}")
+        }
+        def resRun(withGate: Boolean): (Double, Long, Int) = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+          val stream = mem.toDF().toDF("doc_id", "text", "stratum")
+            .withColumn("w", org.apache.spark.sql.functions
+              .size(org.apache.spark.sql.functions.split($"text", " "))
+              .cast("double"))
+          val seen = new java.util.concurrent.atomic.AtomicLong
+          val (writer, handleOpt) =
+            if (withGate) {
+              val (w, h) = EventTimeOps.stratifiedReservoirIngest(
+                stream, "stratum", $"w", 16)
+              (w, Some(h))
+            } else (stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                seen.addAndGet(b.count()); ()
+            }, None)
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            docs.grouped(chunk).foreach { g =>
+              mem.addData(g: _*); q.processAllAvailable()
+            }
+          } finally q.stop()
+          val nRes = handleOpt.map(_.sample.values.map(_.size).sum).getOrElse(0)
+          ((System.nanoTime() - t0) / 1e9, seen.get(), nRes)
+        }
+        resRun(withGate = false) // warm-up
+        val (wBase, _, _) = resRun(withGate = false)
+        val (wGate, _, nRes) = resRun(withGate = true)
+        require(nRes == 4 * 16, s"INVALID RUN: reservoirs hold $nRes of ${4 * 16}")
+        println(f"SSEBENCH reservoir total=$total docs passthrough=${total / wBase}%.0f ev/s " +
+          f"sampled=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost, reservoirs=$nRes rows)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }
