@@ -560,6 +560,21 @@ object Curation {
     * Returns (stratum, n_docs, n_tokens, token_share) — share of the
     * corpus' tokens carried by the stratum.
     */
+  /** Cross-modal verdict propagation (d118): filter a sibling
+    * modality's table (embeddings, media, captions) down to the rows
+    * whose PARENT document survived the curation verdict — the
+    * referential-cleanup step every multimodal pipeline runs after
+    * text curation, or dropped documents leak back in through their
+    * other modalities at training time. One left-semi equi-join on the
+    * shared id; the verdict side is corpus-scale, so no broadcast hint
+    * (AQE decides at toy SF, shuffle is the correct degradation at
+    * 100 TB — the cutSpans reasoning).
+    */
+  def propagateKeep(keepList: DataFrame, side: DataFrame,
+      idCol: String): DataFrame =
+    side.join(keepList.filter(col("keep")).select(col("doc_id")),
+      side(idCol) === col("doc_id"), "left_semi")
+
   def mixtureStats(docs: DataFrame, strata: Column): DataFrame = {
     val per = docs.select(strata.as("stratum"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))

@@ -2055,4 +2055,52 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Embedding-distribution DRIFT report (e51) — the monitoring row a
+    * production embedding pipeline watches between corpus versions or
+    * between a reference slice and incoming data (encoder drift,
+    * upstream content shift): per-dimension mean and variance of the
+    * two slices (`pred` = reference membership), folded into one row —
+    * squared L2 distance between the mean vectors and the average
+    * per-dimension variance ratio.
+    *
+    * Exactness discipline: per-dim component sums are DECIMAL (the e07
+    * device — order-independent under any shuffle/combine), per-dim
+    * means/variances one fixed double tree, and the final across-dims
+    * fold re-quantizes each per-dim double to DECIMAL before summing —
+    * so both the within-dim and across-dims aggregations are
+    * order-independent and the row is bit-identical in any engine.
+    *
+    * Scale shape: one (grp, dim) aggregate over the exploded component
+    * stream (map-side partial combine; 2·dims rows out), a dims-scale
+    * self-join, a dims-row final fold. The corpus is scanned once.
+    * Returns (n_ref, n_new, l2sq_mean_diff, mean_var_ratio).
+    */
+  def embedDrift(emb: DataFrame, pred: Column): DataFrame = {
+    val x = emb
+      .select(pred.as("grp"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("grp"), col("dim"), col("x").cast("double").as("x"))
+    val s = x.groupBy(col("grp"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,12)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(30,12)")).as("sxx"))
+    val a = s.filter(col("grp")).select(col("dim"), col("n").as("na"),
+      col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val b = s.filter(!col("grp")).select(col("dim"), col("n").as("nb"),
+      col("sx").as("sxb"), col("sxx").as("sxxb"))
+    val perDim = a.join(b, Seq("dim")).select(col("na"), col("nb"),
+      (col("sxa").cast("double") / col("na") -
+        col("sxb").cast("double") / col("nb")).as("md"),
+      ((col("sxxa").cast("double") / col("na") -
+        (col("sxa").cast("double") / col("na")) *
+          (col("sxa").cast("double") / col("na"))) /
+        (col("sxxb").cast("double") / col("nb") -
+          (col("sxb").cast("double") / col("nb")) *
+            (col("sxb").cast("double") / col("nb")))).as("vr"))
+    perDim.agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_new"),
+      sum((col("md") * col("md")).cast("decimal(28,12)")).cast("double")
+        .as("l2sq_mean_diff"),
+      (sum(col("vr").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("mean_var_ratio"))
+  }
 }

@@ -1385,6 +1385,22 @@ object PipelineQueries {
       TextAnalysis.chunkDocs(Tables.documents(spark, dir), CHUNK_W, CHUNK_S)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // embedding-distribution drift report (e51): per-dim decimal
+    // moments of two slices folded into one monitoring row
+    // (Similarity.embedDrift doc)
+    "e51_embed_drift" -> ((spark: SparkSession, dir: String) =>
+      Similarity.embedDrift(Tables.embeddings(spark, dir),
+        col("vec_id") % 2 === 0)),
+
+    // cross-modal verdict propagation (d118): embeddings filtered to
+    // surviving parent documents — referential cleanup after text
+    // curation; consumes the d19 ARTIFACT (Curation.propagateKeep doc)
+    "d118_crossmodal_keep" -> ((spark: SparkSession, dir: String) =>
+      Curation.propagateKeep(keepCached(spark, dir),
+        Tables.embeddings(spark, dir), "vec_id")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .orderBy(col("vec_id"))),
+
     // hybrid lexical+dense retrieval via reciprocal-rank fusion (d117):
     // BM25 top-20 for the query terms fused with cosine top-20 for the
     // query vector (vec_id 0 — the shared 0..N-1 id space maps
@@ -4807,6 +4823,35 @@ object PipelineQueries {
          |  CAST(len(cw) AS BIGINT) AS n_tok,
          |  array_to_string(cw, ' ') AS chunk_text
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.embedDrift: per-(slice, dim) decimal
+    // moments, the identical fixed double tree for means/variances,
+    // the across-dims fold re-quantized to decimal
+    "e51_embed_drift" ->
+      s"""WITH dv AS (SELECT vec_id % 2 = 0 AS grp,
+         |  unnest(range(1, len(embedding) + 1)) AS dim,
+         |  unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+         |sg AS (SELECT grp, dim, count(*) AS n,
+         |  sum(CAST(x AS DECIMAL(28,12))) AS sx,
+         |  sum(CAST(x * x AS DECIMAL(30,12))) AS sxx
+         |  FROM dv GROUP BY grp, dim),
+         |ab AS (SELECT a.dim, a.n AS na, b.n AS nb,
+         |  CAST(a.sx AS DOUBLE)/a.n - CAST(b.sx AS DOUBLE)/b.n AS md,
+         |  (CAST(a.sxx AS DOUBLE)/a.n - (CAST(a.sx AS DOUBLE)/a.n)*(CAST(a.sx AS DOUBLE)/a.n)) /
+         |  (CAST(b.sxx AS DOUBLE)/b.n - (CAST(b.sx AS DOUBLE)/b.n)*(CAST(b.sx AS DOUBLE)/b.n)) AS vr
+         |  FROM sg a JOIN sg b ON a.dim = b.dim AND a.grp AND NOT b.grp)
+         |SELECT CAST(max(na) AS BIGINT) AS n_ref, CAST(max(nb) AS BIGINT) AS n_new,
+         |  CAST(sum(CAST(md * md AS DECIMAL(28,12))) AS DOUBLE) AS l2sq_mean_diff,
+         |  CAST(sum(CAST(vr AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_var_ratio
+         |FROM ab""".stripMargin.replace("\n", " "),
+
+    // mirror of Curation.propagateKeep over the shared d19 verdict
+    // chain: embeddings semi-joined to kept parents
+    "d118_crossmodal_keep" ->
+      s"""SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+         |FROM embeddings e JOIN ($curationKeepSql) k
+         |  ON e.vec_id = k.doc_id AND k.keep
+         |ORDER BY e.vec_id""".stripMargin.replace("\n", " "),
 
     // mirror of the d117 fusion: BM25 chain → top-20 lexical ranks,
     // e01's cosine chain for query vector 0 → top-20 dense ranks,

@@ -276,6 +276,31 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(chain(ex2).contains("NULL stratum"))
   }
 
+  test("embedDrift: identical slices report exactly zero mean drift and unit variance ratio") {
+    import spark.implicits._
+    // two slices with IDENTICAL vector multisets: drift must be exact 0/1
+    val vecs = (0 until 8).map(i => Array.fill(4)(0.1f * (i + 1)))
+    val emb = (vecs.zipWithIndex.map { case (v, i) => (i.toLong * 2, v) } ++
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong * 2 + 1, v) })
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embedDrift(emb, col("vec_id") % 2 === 0).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_ref") == 8 && r.head.getAs[Long]("n_new") == 8)
+    assert(r.head.getAs[Double]("l2sq_mean_diff") == 0.0)
+    assert(r.head.getAs[Double]("mean_var_ratio") == 1.0)
+  }
+
+  test("propagateKeep: only children of kept parents survive") {
+    import spark.implicits._
+    val keep = Seq((1L, true), (2L, false), (3L, true))
+      .toDF("doc_id", "keep")
+    val side = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "orphan"))
+      .toDF("vec_id", "payload")
+    val got = Curation.propagateKeep(keep, side, "vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
   test("d116: retrieved chunks decode to real document windows and carry query-term mass") {
     val out = graft.SparkEntry.queries("d116_chunk_retrieval")(spark, dir)
       .collect()
