@@ -2030,6 +2030,60 @@ object TextAnalysis {
         concat_ws(" ", col("cw")).as("chunk_text"))
   }
 
+  /** Token-distribution DRIFT report (d119) — the text twin of the
+    * e51 embedding-drift row: Jensen-Shannon divergence between the
+    * unigram distributions of two corpus slices (`refPred` = reference
+    * membership) plus the out-of-vocabulary mass in each direction —
+    * the monitoring row a pipeline watches across corpus versions
+    * (vocabulary drift, topical shift, a broken upstream filter).
+    *
+    * Exactness: the JS mixture ratio reduces to a PURE INTEGER ratio —
+    * p/m = 2·ca·Nb / (ca·Nb + cb·Na) — so each word's ln argument is
+    * one exact double; the ln output is quantized at DECIMAL(28,8)
+    * (the d45 nll device, absorbing libm-vs-StrictMath ulps), the
+    * per-word term at DECIMAL(28,12), and the sums are exact decimal
+    * adds — order-independent, bit-identical cross-engine. Zero-count
+    * sides contribute only the other term (the JS convention).
+    *
+    * Scale shape: one token-stream groupBy (map-side combine), a
+    * vocabulary-scale aggregate out. Returns one row
+    * (n_ref_tokens, n_new_tokens, js_div, oov_mass_new, oov_mass_ref).
+    */
+  def tokenDrift(docs: DataFrame, refPred: Column): DataFrame = {
+    val toks = docs.select(refPred.as("grp"),
+      explode(split(col("text"), " ")).as("word"))
+    val c = toks.groupBy(col("word")).agg(
+      sum(when(col("grp"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("grp"), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(true)
+    val tot = c.agg(sum(col("ca")), sum(col("cb"))).head()
+    val (na, nb) = (tot.getLong(0), tot.getLong(1))
+    require(na > 0 && nb > 0, s"tokenDrift: empty slice (na=$na nb=$nb)")
+    def lnq(num: String, den: String) =
+      s"CAST(CAST(ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) AS DECIMAL(28,8)) AS DOUBLE)"
+    val mix = s"ca * ${nb}L + cb * ${na}L"
+    val pT = when(col("ca") > 0,
+      (col("ca").cast("double") / na) *
+        expr(lnq(s"2 * ca * ${nb}L", mix))).otherwise(lit(0.0))
+    val qT = when(col("cb") > 0,
+      (col("cb").cast("double") / nb) *
+        expr(lnq(s"2 * cb * ${na}L", mix))).otherwise(lit(0.0))
+    c.agg(
+      lit(na).as("n_ref_tokens"), lit(nb).as("n_new_tokens"),
+      // the published metric is quantized ONCE at 1e-10 (the d45
+      // round-at-build device): the per-term 1e-12 quanta can round
+      // differently across engines by an ulp of ln — the final
+      // quantization absorbs that without touching 10 significant
+      // digits of the metric
+      (((sum(pT.cast("decimal(28,12)")) + sum(qT.cast("decimal(28,12)")))
+        .cast("double") / 2).cast("decimal(18,10)").cast("double"))
+        .as("js_div"),
+      (sum(when(col("ca") === 0, col("cb")).otherwise(0L)).cast("double") / nb)
+        .as("oov_mass_new"),
+      (sum(when(col("cb") === 0, col("ca")).otherwise(0L)).cast("double") / na)
+        .as("oov_mass_ref"))
+  }
+
   /** The hash60 construction as a SQL-expression string (for expr()
     * call sites composing it inside larger expressions).
     */

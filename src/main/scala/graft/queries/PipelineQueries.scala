@@ -1385,6 +1385,12 @@ object PipelineQueries {
       TextAnalysis.chunkDocs(Tables.documents(spark, dir), CHUNK_W, CHUNK_S)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // token-distribution drift report (d119): JS divergence + OOV
+    // masses between two corpus slices (TextAnalysis.tokenDrift doc)
+    "d119_token_drift" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.tokenDrift(Tables.documents(spark, dir),
+        col("doc_id") % 2 === 0)),
+
     // embedding-distribution drift report (e51): per-dim decimal
     // moments of two slices folded into one monitoring row
     // (Similarity.embedDrift doc)
@@ -4823,6 +4829,30 @@ object PipelineQueries {
          |  CAST(len(cw) AS BIGINT) AS n_tok,
          |  array_to_string(cw, ' ') AS chunk_text
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.tokenDrift: integer mixture ratios,
+    // ln quantized at (28,8), terms at (28,12), exact decimal sums
+    "d119_token_drift" ->
+      s"""WITH tk AS (SELECT doc_id % 2 = 0 AS grp,
+         |  unnest(string_split(text, ' ')) AS word FROM documents),
+         |c AS (SELECT word,
+         |  CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |  CAST(sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM tk GROUP BY word),
+         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c),
+         |terms AS (SELECT ca, cb, na, nb,
+         |  CASE WHEN ca > 0 THEN CAST(CAST(ca AS DOUBLE)/na *
+         |    CAST(CAST(ln(CAST(2*ca*nb AS DOUBLE)/CAST(ca*nb + cb*na AS DOUBLE)) AS DECIMAL(28,8)) AS DOUBLE)
+         |    AS DECIMAL(28,12)) ELSE CAST(0 AS DECIMAL(28,12)) END AS pt,
+         |  CASE WHEN cb > 0 THEN CAST(CAST(cb AS DOUBLE)/nb *
+         |    CAST(CAST(ln(CAST(2*cb*na AS DOUBLE)/CAST(ca*nb + cb*na AS DOUBLE)) AS DECIMAL(28,8)) AS DOUBLE)
+         |    AS DECIMAL(28,12)) ELSE CAST(0 AS DECIMAL(28,12)) END AS qt
+         |  FROM c, t)
+         |SELECT max(na) AS n_ref_tokens, max(nb) AS n_new_tokens,
+         |  CAST(CAST(CAST(sum(pt) + sum(qt) AS DOUBLE) / 2 AS DECIMAL(18,10)) AS DOUBLE) AS js_div,
+         |  CAST(sum(CASE WHEN ca = 0 THEN cb ELSE 0 END) AS DOUBLE) / max(nb) AS oov_mass_new,
+         |  CAST(sum(CASE WHEN cb = 0 THEN ca ELSE 0 END) AS DOUBLE) / max(na) AS oov_mass_ref
+         |FROM terms""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.embedDrift: per-(slice, dim) decimal
     // moments, the identical fixed double tree for means/variances,

@@ -290,6 +290,22 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(r.head.getAs[Double]("mean_var_ratio") == 1.0)
   }
 
+  test("tokenDrift: identical slices report exactly zero divergence and OOV; disjoint vocabularies report ln(2) and full OOV") {
+    import spark.implicits._
+    val same = Seq((0L, "a b b c"), (1L, "a b b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenDrift(same, col("doc_id") % 2 === 0).collect().head
+    assert(r.getAs[Double]("js_div") == 0.0)
+    assert(r.getAs[Double]("oov_mass_new") == 0.0
+      && r.getAs[Double]("oov_mass_ref") == 0.0)
+    // disjoint vocabularies: JS = ln 2, both OOV masses = 1
+    val disj = Seq((0L, "a b"), (1L, "x y")).toDF("doc_id", "text")
+    val d = TextAnalysis.tokenDrift(disj, col("doc_id") % 2 === 0).collect().head
+    assert(math.abs(d.getAs[Double]("js_div") - math.log(2)) < 1e-8,
+      s"js=${d.getAs[Double]("js_div")}")
+    assert(d.getAs[Double]("oov_mass_new") == 1.0
+      && d.getAs[Double]("oov_mass_ref") == 1.0)
+  }
+
   test("propagateKeep: only children of kept parents survive") {
     import spark.implicits._
     val keep = Seq((1L, true), (2L, false), (3L, true))
