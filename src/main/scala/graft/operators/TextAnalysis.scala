@@ -2084,6 +2084,45 @@ object TextAnalysis {
         .as("oov_mass_ref"))
   }
 
+  /** JVM twin of [[tokenDrift]]'s arithmetic over explicit count maps
+    * — the bridge that lets the STREAMING window monitor
+    * ([[graft.streaming.EventTimeOps.windowedTokenDrift]]) emit values
+    * bit-equal to the batch operator (the hash60Jvm ≡ Column-hash
+    * device, carried to a metric): same double tree, same HALF_UP
+    * decimal quantization at the same scales (ln at 8, terms at 12,
+    * the published metric at 10), same exact decimal sums. Returns
+    * (js_div, oov_mass_new, oov_mass_ref).
+    */
+  def tokenDriftJvm(ref: Map[String, Long],
+      cur: Map[String, Long]): (Double, Double, Double) = {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val na = ref.values.sum
+    val nb = cur.values.sum
+    require(na > 0 && nb > 0, s"tokenDriftJvm: empty slice (na=$na nb=$nb)")
+    def lnq(num: Double, den: Double): Double =
+      BigDecimal(math.log(num / den)).setScale(8, HALF_UP).toDouble
+    var sumP = BigDecimal(0)
+    var sumQ = BigDecimal(0)
+    var oovNew = 0L
+    var oovRef = 0L
+    (ref.keySet ++ cur.keySet).foreach { w =>
+      val ca = ref.getOrElse(w, 0L)
+      val cb = cur.getOrElse(w, 0L)
+      val mix = (ca * nb + cb * na).toDouble
+      if (ca > 0)
+        sumP += BigDecimal((ca.toDouble / na) * lnq(2.0 * ca * nb, mix))
+          .setScale(12, HALF_UP)
+      else oovNew += cb
+      if (cb > 0)
+        sumQ += BigDecimal((cb.toDouble / nb) * lnq(2.0 * cb * na, mix))
+          .setScale(12, HALF_UP)
+      else oovRef += ca
+    }
+    val js = BigDecimal((sumP + sumQ).toDouble / 2)
+      .setScale(10, HALF_UP).toDouble
+    (js, oovNew.toDouble / nb, oovRef.toDouble / na)
+  }
+
   /** The hash60 construction as a SQL-expression string (for expr()
     * call sites composing it inside larger expressions).
     */

@@ -1349,7 +1349,10 @@ object PipelineQueries {
     // d106's oracle verbatim; per-doc independence makes append ≡
     // rebuild bit-exact (TextAnalysis.appendSuffixIndex doc)
     "d114_suffix_appended" -> ((spark: SparkSession, dir: String) => {
-      val docs = Tables.documents(spark, dir)
+      // quarter slice: maintenance-pricing convention (d78/d79) — the
+      // round trip's semantics don't need the full corpus re-laddered
+      // per bench run
+      val docs = Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0)
       val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
       val path = indexPath("d114-sfx")
       TextAnalysis.saveSuffixIndex(docs.filter(col("doc_id") <= cut), path,
@@ -1364,7 +1367,7 @@ object PipelineQueries {
     // must append, one that must no-op, then serve — d106's oracle
     // verbatim (TextAnalysis.suffixIndexSync doc)
     "d115_suffix_sync" -> ((spark: SparkSession, dir: String) => {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0)
       val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
       val path = indexPath("d115-sfx")
       TextAnalysis.saveSuffixIndex(docs.filter(col("doc_id") <= cut), path,
@@ -2616,11 +2619,14 @@ object PipelineQueries {
       ", " + em
   }
 
-  /** The d106 oracle body — shared verbatim by d114/d115 (append/sync
-    * round trips must reproduce the LCP array row-for-row).
+  /** The d106 oracle body over a corpus slice — `where` narrows the
+    * source (d114/d115 run the maintenance round trips on a quarter
+    * slice, the d78/d79 self-containment-pricing convention; d106
+    * itself uses TRUE). Append/sync must reproduce the LCP array
+    * row-for-row on their slice.
     */
-  private lazy val sfxLcpSql =
-    s"""WITH st AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private def sfxLcpSqlOver(where: String) =
+    s"""WITH st AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE $where),
        |sfx AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
        |  w[CAST(t.i + 1 AS INTEGER):] AS sl,
        |  array_to_string(w[CAST(t.i + 1 AS INTEGER):], ' ') AS suf
@@ -3863,13 +3869,13 @@ object PipelineQueries {
     // position of the equality vector is the LCP (list_position yields
     // 0, not NULL, on a clean vector: the nullif(…, 0) catches the
     // all-equal case, where LCP = the shorter length)
-    "d106_suffix_lcp" -> sfxLcpSql,
+    "d106_suffix_lcp" -> sfxLcpSqlOver("TRUE"),
 
     // d114/d115 serve the per-doc LCP array through append / sync
     // round trips — same oracle text as d106 (store maintenance must
     // not change a single row)
-    "d114_suffix_appended" -> sfxLcpSql,
-    "d115_suffix_sync" -> sfxLcpSql,
+    "d114_suffix_appended" -> sfxLcpSqlOver("doc_id % 4 = 0"),
+    "d115_suffix_sync" -> sfxLcpSqlOver("doc_id % 4 = 0"),
 
     // mirror of TextAnalysis.globalSuffixArray: ONE dense_rank over
     // every materialized suffix string of every doc

@@ -39,6 +39,13 @@ case class CmsWinState(counters: Map[Int, Long], n: Long)
 case class WindowTermEstimate(window_start: Long, term: String, est: Long,
     window_events: Long)
 
+/** Word-count state for one open window (window-vocabulary-scale). */
+case class DriftWinState(counts: Map[String, Long], n: Long)
+
+/** One closed window's drift report against the reference histogram. */
+case class WindowDrift(window_start: Long, n_tokens: Long, js_div: Double,
+    oov_mass_new: Double, oov_mass_ref: Double)
+
 /** Event-time streaming operators over the envelope stream — the
   * categories the reference lacks entirely (SURVEY.md §2.1: watermarks,
   * event-time windows, late data, keyed state). The reference is
@@ -1067,6 +1074,70 @@ object EventTimeOps {
               }
             }
             state.update(CmsWinState(counters.toMap, n))
+            state.setTimeoutTimestamp(math.max(
+              (wstart + windowSeconds) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Windowed TOKEN-DRIFT monitor — the streaming twin of the d119
+    * batch report: per closed event-time window, the Jensen-Shannon
+    * divergence + bidirectional OOV mass of the window's token
+    * distribution against a REFERENCE histogram (computed once from a
+    * trusted corpus and shipped as a driver map — vocabulary-scale,
+    * the classifier/LM-gate artifact discipline). The live drift
+    * alarm a production ingest runs: a broken upstream filter or a
+    * topical flood shows up as a JS spike in the window it happens.
+    *
+    * Emitted values are BIT-EQUAL to the batch operator on the same
+    * slices ([[graft.operators.TextAnalysis.tokenDriftJvm]] — the
+    * hash60Jvm ≡ Column-hash bridge carried to a metric; spec-pinned
+    * against a batch [[graft.operators.TextAnalysis.tokenDrift]] run
+    * per window). State per open window is its word-count map —
+    * window-vocabulary-scale; a deployment monitoring an unbounded
+    * vocabulary caps to the reference top-K plus an OOV bucket (the
+    * published monitoring convention), which this kernel reduces to
+    * when the stream vocabulary is the reference's.
+    */
+  def windowedTokenDrift(spark: SparkSession, stream: DataFrame,
+      refCounts: Map[String, Long], windowSeconds: Long = 60L,
+      lateness: String = "2 minutes"): Dataset[WindowDrift] = {
+    import spark.implicits._
+    require(refCounts.nonEmpty, "windowedTokenDrift: empty reference")
+    stream
+      .withColumn("event_time", timestamp_seconds(col("created_utc")))
+      .withWatermark("event_time", lateness)
+      .withColumn("window_start",
+        (col("created_utc") - (col("created_utc") % windowSeconds)).cast("long"))
+      .select(col("window_start"), col("text"), col("event_time"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DriftWinState, WindowDrift](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wstart: Long, events: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[DriftWinState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            if (s.n == 0L) Iterator.empty
+            else {
+              val (js, oovNew, oovRef) =
+                graft.operators.TextAnalysis.tokenDriftJvm(refCounts, s.counts)
+              Iterator.single(WindowDrift(wstart, s.n, js, oovNew, oovRef))
+            }
+          } else {
+            val prev = state.getOption.getOrElse(DriftWinState(Map.empty, 0L))
+            val counts = collection.mutable.Map(prev.counts.toSeq: _*)
+            var n = prev.n
+            events.foreach { case (_, text, _) =>
+              text.split(" ").foreach { w =>
+                counts(w) = counts.getOrElse(w, 0L) + 1L
+                n += 1
+              }
+            }
+            state.update(DriftWinState(counts.toMap, n))
             state.setTimeoutTimestamp(math.max(
               (wstart + windowSeconds) * 1000L,
               state.getCurrentWatermarkMs() + 1L))

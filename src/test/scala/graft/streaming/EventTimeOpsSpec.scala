@@ -866,6 +866,49 @@ class EventTimeOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedTokenDrift: streamed window drift equals the d119 batch operator exactly") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val refTexts = Seq("spark table query", "query table table")
+    val refCounts = Map("spark" -> 1L, "table" -> 3L, "query" -> 2L)
+    val w600 = Seq("spark spark novel", "table query")
+    val w660 = Seq("table table")
+    val input = MemoryStream[(Long, String)]
+    val name = s"drift${System.nanoTime()}"
+    val q = EventTimeOps.windowedTokenDrift(spark,
+        input.toDF().toDF("created_utc", "text"), refCounts)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      input.addData((600L, w600(0)), (620L, w600(1)), (660L, w660(0)))
+      q.processAllAvailable()
+      input.addData((100000L, "zzz")); q.processAllAvailable()
+      input.addData((100100L, "zzz")); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .as[WindowDrift].collect().map(r => r.window_start -> r).toMap
+    // batch twin: d119 over (ref slice = even ids, window slice = odd)
+    def twin(winTexts: Seq[String]) = {
+      val frame = (refTexts.zipWithIndex.map { case (t, i) => (i * 2L, t) } ++
+        winTexts.zipWithIndex.map { case (t, i) => (i * 2L + 1L, t) })
+        .toDF("doc_id", "text")
+      TextAnalysis.tokenDrift(frame, col("doc_id") % 2 === 0).collect().head
+    }
+    for ((ws, texts) <- Seq(600L -> w600, 660L -> w660)) {
+      val got = rows(ws)
+      val want = twin(texts)
+      assert(got.n_tokens == texts.map(_.split(" ").length).sum)
+      assert(got.js_div == want.getAs[Double]("js_div"), s"w$ws js")
+      assert(got.oov_mass_new == want.getAs[Double]("oov_mass_new"), s"w$ws oovN")
+      assert(got.oov_mass_ref == want.getAs[Double]("oov_mass_ref"), s"w$ws oovR")
+    }
+    // the novel word must register as incoming-OOV mass in w600
+    assert(rows(600L).oov_mass_new > 0.0)
+  }
+
   test("stratifiedReservoirIngest: each stratum's reservoir equals the d70 kernel on that stratum's prefix slice") {
     import graft.operators.Sampling
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
