@@ -285,6 +285,54 @@ object Dedup {
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
   }
 
+  /** Contrastive-triplet mining (d123) — the dataloader row an
+    * embedding-model trainer consumes: for every document with at least
+    * one verified near-duplicate, emit (anchor, positive, negative)
+    * where the positive is the highest-Jaccard partner (ties on the
+    * smaller id) and the negative a deterministic pseudo-random draw
+    * over the id space (hash60("neg:"+anchor) mod n, stepping past the
+    * anchor/positive — at most two steps, a CASE chain both engines
+    * inline). Random-negative mining is the standard baseline; swapping
+    * in hard negatives is a ranking change on the same frame.
+    *
+    * Scale shape: pairs come from [[lshNearDupPairs]] (banded LSH, never
+    * all-pairs); the best-positive election is a window PARTITIONED by
+    * anchor (key-partitioned); the negative draw is scan-side expression
+    * work against one broadcast count row. Requires a contiguous
+    * 0..n-1 doc_id space (the packed-corpus convention after curation
+    * re-ids) so the modulo draw always lands on a real document.
+    *
+    * Returns (anchor, positive, jaccard_pos, negative).
+    */
+  def tripletMine(docs: DataFrame, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5, maxBucket: Long = 1000L,
+      maxDf: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = lshNearDupPairs(docs, k, bands, threshold, maxBucket, maxDf)
+    val sym = pairs
+      .select(col("doc_a").as("anchor"), col("doc_b").as("p"), col("jaccard"))
+      .unionByName(pairs
+        .select(col("doc_b").as("anchor"), col("doc_a").as("p"), col("jaccard")))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("jaccard").desc, col("p"))
+    val best = sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val n = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    best.crossJoin(broadcast(n))
+      .withColumn("h",
+        pmod(hash60(concat(lit("neg:"), col("anchor").cast("string"))),
+          col("n_docs")))
+      .select(col("anchor"), col("p").as("positive"),
+        col("jaccard").as("jaccard_pos"),
+        when(col("h") =!= col("anchor") && col("h") =!= col("p"), col("h"))
+          .otherwise(when(
+            pmod(col("h") + 1L, col("n_docs")) =!= col("anchor") &&
+              pmod(col("h") + 1L, col("n_docs")) =!= col("p"),
+            pmod(col("h") + 1L, col("n_docs")))
+            .otherwise(pmod(col("h") + 2L, col("n_docs"))))
+          .cast("long").as("negative"))
+  }
+
   /** MinHash-ESTIMATED Jaccard over LSH candidate pairs — signature-only
     * scoring, NO shingle-intersection join.
     *

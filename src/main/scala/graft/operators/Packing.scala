@@ -72,6 +72,92 @@ object Packing {
       .drop("k", "bkt", "cum", "off")
   }
 
+  /** Whole-document fold pairing into fixed context bins (d121) — the
+    * no-splitting alternative to [[packSequences]]' concat-and-chunk:
+    * documents sort by length descending and rank i folds onto rank
+    * n+1−i (longest with shortest), sharing bin i when the two fit the
+    * context together; a pair that doesn't fit — and the middle element
+    * of an odd corpus — packs alone. The classic depth-2 length-
+    * complement heuristic (the shape histogram-packing schemes bottom
+    * out in): no document crosses a sequence boundary, so attention
+    * masks need no cross-doc reset, at the price of padding
+    * [[packEfficiency]] measures against the splitting layout.
+    *
+    * Scale shape: the global length rank uses the bucketed distributed-
+    * rank device with the LENGTH ITSELF as the bucket (ties share a
+    * length by definition, so they never straddle buckets): per-length
+    * counts make a bounded offsets table (lengths ≤ ctx, so the only
+    * global window runs over ≤ ctx rows), within-length row_numbers
+    * come from a window PARTITIONED by length, and the partner lookup
+    * is one equi-join on the mirrored rank — no corpus-wide window, no
+    * shuffle beyond the rank join's.
+    *
+    * Returns (doc_id, n_tokens, rnk, bin_id, slot): bin_id is the
+    * pair's lower rank, slot 1 marks the shorter partner.
+    */
+  def pairPack(docs: DataFrame, ctxLen: Int): DataFrame = {
+    val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    val counts = lens.groupBy(col("n_tokens")).agg(count(lit(1)).as("bc"))
+    val offsets = counts.select(col("n_tokens"),
+      (sum(col("bc")).over(Window.orderBy(col("n_tokens").desc)) - col("bc"))
+        .as("off"))
+    val inLen = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+    // read twice (rows + mirrored partner side): both passes re-run the
+    // rank chain, but over the CHECKPOINTED (id, len) longs — two
+    // key-partitioned window passes, never a corpus re-scan, and the
+    // device stays visible in the registered plan (plan-guarded)
+    val ranked = lens.join(offsets, Seq("n_tokens"))
+      .withColumn("rnk", (col("off") + row_number().over(inLen)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("rnk"))
+    val total = lens.agg(count(lit(1)).cast("long").as("n_total"))
+    val partner = ranked.select(col("rnk").as("prnk"),
+      col("n_tokens").as("p_tokens"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("prnk", col("n_total") + 1L - col("rnk"))
+      .join(partner, Seq("prnk"))
+      .withColumn("paired",
+        col("rnk") =!= col("prnk") &&
+          col("n_tokens") + col("p_tokens") <= ctxLen)
+      .select(col("doc_id"), col("n_tokens"), col("rnk"),
+        when(col("paired"), least(col("rnk"), col("prnk")))
+          .otherwise(col("rnk")).cast("long").as("bin_id"),
+        when(col("paired") && col("rnk") > col("prnk"), lit(1L))
+          .otherwise(lit(0L)).as("slot"))
+  }
+
+  /** Packing-efficiency report (d122): the padding bill of three
+    * layouts over one corpus and context length — `paired`
+    * ([[pairPack]] bins), `singleton` (one doc per sequence, the
+    * no-packing baseline), and `concat` ([[packSequences]]' split
+    * layout, which pads only the final sequence but cuts documents at
+    * boundaries). Padding per bin is greatest(0, ctx − fill) — an
+    * overlong singleton overflows rather than earning negative pad.
+    * One bounded row per strategy: (strategy, n_bins, pad_tokens).
+    */
+  def packEfficiency(docs: DataFrame, ctxLen: Int): DataFrame = {
+    val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    val paired = pairPack(docs, ctxLen)
+      .groupBy(col("bin_id")).agg(sum(col("n_tokens")).as("fill"))
+      .agg(count(lit(1)).cast("long").as("n_bins"),
+        sum(greatest(lit(0L), lit(ctxLen.toLong) - col("fill")))
+          .cast("long").as("pad_tokens"))
+      .select(lit("paired").as("strategy"), col("n_bins"), col("pad_tokens"))
+    val single = lens.agg(count(lit(1)).cast("long").as("n_bins"),
+        sum(greatest(lit(0L), lit(ctxLen.toLong) - col("n_tokens")))
+          .cast("long").as("pad_tokens"))
+      .select(lit("singleton").as("strategy"), col("n_bins"), col("pad_tokens"))
+    val concat = lens.agg(sum(col("n_tokens")).as("t"))
+      .select(lit("concat").as("strategy"),
+        expr(s"CAST((t + $ctxLen - 1) DIV $ctxLen AS BIGINT)").as("n_bins"),
+        expr(s"CAST(((t + $ctxLen - 1) DIV $ctxLen) * $ctxLen - t AS BIGINT)")
+          .as("pad_tokens"))
+    paired.unionByName(single).unionByName(concat)
+  }
+
   /** Curriculum token shards (d62): [[tokenShards]] with the shuffle
     * order REORDERED by quality tier — head (lowest-perplexity) docs
     * fill the first shard files, middles next, tails last, so a

@@ -2056,6 +2056,65 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Maximal-marginal-relevance rerank (e52) — the diversity stage of a
+    * retrieval serving pipeline (Carbonell & Goldstein 1998): from the
+    * cosine top-`poolK` candidate pool for one query, greedily select
+    * `outK` results maximizing `0.5·rel(c) − 0.5·max_{s∈S} sim(c, s)`
+    * (λ fixed at 1/2 — exactly representable, so the score is two IEEE
+    * multiplies and a subtract in any engine). First pick uses
+    * max-sim 0.0 (empty S), i.e. pure relevance.
+    *
+    * Scale shape: the two legs that touch the corpus are distributed —
+    * the pool is [[cosineTopK]]'s broadcast-scored top-k (swap in any
+    * indexed ANN path at 100 TB), and the candidate-pairwise similarity
+    * table is a poolK²-bounded self-join over an `isin`-pruned scan.
+    * The greedy selection itself runs driver-side over those ≤ poolK²
+    * collected doubles — bounded by the REQUEST (k), not the corpus,
+    * the same by-the-algorithm's-nature driver residency as
+    * [[kCenterGreedy]]'s k centers. Every double the driver compares
+    * was computed by the engine's own fold, so the selection (and the
+    * published mmr score) is bit-reproducible cross-engine.
+    *
+    * Returns (rk, neighbor_id, relevance, mmr) — rk in selection order.
+    */
+  def mmrRerank(emb: DataFrame, queryId: Long, poolK: Int, outK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val pool = cosineTopK(emb, col("vec_id") === queryId, poolK)
+      .select(col("neighbor_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ids = pool.map(_._1)
+    val n = normalized(emb).filter(col("vec_id").isin(ids: _*))
+    val a = n.select(col("vec_id").as("ida"), col("e").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("idb"), col("e").as("eb"), col("nrm").as("nb"))
+    val pw = a.join(broadcast(b), col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        (graft.functions.ArrayDotProduct(col("ea"), col("eb")) /
+          (col("na") * col("nb"))).as("cos"))
+      .collect()
+      .flatMap(r => {
+        val (x, y, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((x, y) -> c, (y, x) -> c)
+      }).toMap
+    val rel = pool.toMap
+    var selected = Vector.empty[(Long, Double, Double)] // (id, rel, mmr)
+    var remaining = pool.map(_._1).toVector
+    while (selected.size < outK && remaining.nonEmpty) {
+      val scored = remaining.map { c =>
+        val ms = if (selected.isEmpty) 0.0
+          else selected.map(s => pw((c, s._1))).max(Ordering.Double.TotalOrdering)
+        (c, rel(c), 0.5 * rel(c) - 0.5 * ms)
+      }
+      val best = scored.minBy { case (id, _, m) => (-m, id) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+      selected :+= best
+      remaining = remaining.filterNot(_ == best._1)
+    }
+    import spark.implicits._
+    spark.createDataset(selected.zipWithIndex.map { case ((id, r, m), i) =>
+      (i + 1L, id, r, m)
+    }).toDF("rk", "neighbor_id", "relevance", "mmr")
+  }
+
   /** Embedding-distribution DRIFT report (e51) — the monitoring row a
     * production embedding pipeline watches between corpus versions or
     * between a reference slice and incoming data (encoder drift,

@@ -648,6 +648,61 @@ object TextAnalysis {
       .select(col("doc_id"), score.as("score"))
   }
 
+  /** Term-proximity rerank (d124) — the second retrieval stage between
+    * the cheap lexical cut and the response: candidates from the BM25
+    * top-`poolK` are re-ordered by how TIGHTLY they contain the query —
+    * docs covering more distinct query terms first, then by the minimal
+    * token window containing ALL terms (the classic min-cover proximity
+    * feature), then the BM25 score, then doc_id. A real pairwise
+    * (query, document-content) scorer with no model stub: the expensive
+    * per-pair work every rerank stage has.
+    *
+    * Scale shape: the pool cut is the [[bm25]] broadcast-stats scan +
+    * top-k; the payload fetch joins the corpus against the BROADCAST
+    * k-row pool (the e20 fetch rule); the min-cover search is a
+    * per-document position join whose row count is the product of the
+    * terms' per-doc frequencies — bounded by document length, never by
+    * the corpus. The final rank window orders ≤ poolK rows
+    * (rank-after-cut).
+    *
+    * Returns (rk, doc_id, n_present, span, score); span is NULL when a
+    * doc lacks one of the terms (such docs sort after full matches).
+    */
+  def proximityRerank(docs: DataFrame, terms: Seq[String], poolK: Int,
+      outK: Int): DataFrame = {
+    require(terms.nonEmpty, "proximityRerank: need at least one term")
+    import org.apache.spark.sql.expressions.Window
+    val pool = bm25(docs, terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(poolK)
+    val txt = docs.join(broadcast(pool.select(col("doc_id"))), Seq("doc_id"))
+    val poss = txt.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word").isin(terms: _*))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+      .localCheckpoint(true) // read once per term + for presence counts
+    val present = poss.groupBy(col("doc_id"))
+      .agg(countDistinct(col("word")).cast("long").as("n_present"))
+    val per = terms.zipWithIndex.map { case (t, i) =>
+      poss.filter(col("word") === t).select(col("doc_id"), col("pos").as(s"p$i"))
+    }
+    val combos = per.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val pcols = terms.indices.map(i => col(s"p$i"))
+    val span =
+      if (pcols.size == 1) lit(1L)
+      else greatest(pcols: _*) - least(pcols: _*) + lit(1L)
+    val spans = combos.groupBy(col("doc_id"))
+      .agg(min(span).cast("long").as("span"))
+    val ord = Window.orderBy(col("n_present").desc, col("span").asc_nulls_last,
+      col("score").desc, col("doc_id"))
+    pool.join(present, Seq("doc_id"), "left_outer")
+      .join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_present"), lit(0L)).as("n_present"),
+        col("span"), col("score"))
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .filter(col("rk") <= outK)
+      .select(col("rk"), col("doc_id"), col("n_present"), col("span"), col("score"))
+  }
+
   /** PERSIST the BM25 inverted index (the build half of d87) — the
     * retrieval production shape: postings (term, doc_id, tf) for EVERY
     * term, per-doc lengths, and the corpus constants (n_docs, sum_dl),

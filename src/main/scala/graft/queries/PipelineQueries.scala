@@ -156,6 +156,13 @@ object PipelineQueries {
   private val FUSE_K = 20        // d117 per-list retrieval depth
   private val FUSE_OUT = 10      // d117 fused result size
   private val RRF_SCALE = 1000000000000L // d117 integer RRF micro-units
+  private val MMR_QID = 0L       // e52 query vector
+  private val MMR_POOL = 12      // e52 candidate-pool depth
+  private val MMR_OUT = 5        // e52 diversified result size
+  private val PAIR_CTX = 108     // d121/d122 pair-pack context (tokens;
+                                 // fold sums measure 106-112 at sf0.01,
+                                 // so both the shared-bin and the
+                                 // doesn't-fit branch are exercised)
 
   private val KNN_K = 3          // e06 neighbors per vector
   private val CHUNK_TOKENS = 64  // d23 context-window size
@@ -304,6 +311,14 @@ object PipelineQueries {
       Dedup.lshNearDupPairs(Tables.documents(spark, dir), K, BANDS, 0.5,
         MAX_BUCKET, MAX_DF)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // contrastive-triplet mining (d123): anchor + best near-dup
+    // positive + deterministic pseudo-random negative — the embedding-
+    // trainer dataloader row (Dedup.tripletMine doc)
+    "d123_triplet_mine" -> ((spark: SparkSession, dir: String) =>
+      Dedup.tripletMine(Tables.documents(spark, dir), K, BANDS, 0.5,
+        MAX_BUCKET, MAX_DF)
+        .orderBy(col("anchor"))),
 
     // Incremental dedup across corpus versions: NEW docs (doc_id%4=0)
     // vs the history slice via CDC chunk containment — one digest
@@ -849,6 +864,19 @@ object PipelineQueries {
     "d48_pack_ctx" -> ((spark: SparkSession, dir: String) =>
       Packing.packSequences(Tables.documents(spark, dir), CTX_LEN)
         .orderBy(col("ctx_id"), col("doc_id"))),
+
+    // whole-document fold pairing (d121): longest folds onto shortest,
+    // no doc ever crosses a bin boundary; length-bucketed rank device
+    // (Packing.pairPack doc)
+    "d121_pair_pack" -> ((spark: SparkSession, dir: String) =>
+      Packing.pairPack(Tables.documents(spark, dir), PAIR_CTX)
+        .orderBy(col("doc_id"))),
+
+    // padding bill of paired vs singleton vs concat layouts at one
+    // context length (Packing.packEfficiency doc)
+    "d122_pack_efficiency" -> ((spark: SparkSession, dir: String) =>
+      Packing.packEfficiency(Tables.documents(spark, dir), PAIR_CTX)
+        .orderBy(col("strategy"))),
 
     // the CCNet deployment shape proper: LM trained once on the
     // trusted reference slice (lang='en'), persisted with the shared
@@ -1401,6 +1429,15 @@ object PipelineQueries {
       Similarity.embedDrift(Tables.embeddings(spark, dir),
         col("vec_id") % 2 === 0)),
 
+    // maximal-marginal-relevance rerank (e52): diversity stage over the
+    // cosine top-12 pool for query vector 0 — distributed pool +
+    // bounded pairwise sims, request-bounded greedy selection
+    // (Similarity.mmrRerank doc)
+    "e52_mmr_rerank" -> ((spark: SparkSession, dir: String) =>
+      Similarity.mmrRerank(Tables.embeddings(spark, dir),
+        MMR_QID, MMR_POOL, MMR_OUT)
+        .orderBy(col("rk"))),
+
     // cross-modal verdict propagation (d118): embeddings filtered to
     // surviving parent documents — referential cleanup after text
     // curation; consumes the d19 ARTIFACT (Curation.propagateKeep doc)
@@ -1460,6 +1497,14 @@ object PipelineQueries {
           expr("cid % 1024").cast("long").as("chunk_id"), col("score"))
         .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
     }),
+
+    // term-proximity rerank (d124): BM25 pool re-ordered by distinct-
+    // term coverage then minimal cover window — the model-free pairwise
+    // second stage (TextAnalysis.proximityRerank doc)
+    "d124_proximity_rerank" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.proximityRerank(Tables.documents(spark, dir),
+        BM25_TERMS, FUSE_K, FUSE_OUT)
+        .orderBy(col("rk"))),
 
     // ExactSubstr removal served from the suffix-array artifact (d111):
     // variable-length spans off SA+LCP, registered against d41's
@@ -2754,6 +2799,46 @@ object PipelineQueries {
   // the chain d47/d48/d50 have always composed over
   private val tokenOffsetCtes = tokenOffsetCtesFor("p")
 
+  /** e52 oracle: the MMR greedy unrolled as chained CTEs — step i picks
+    * argmax(0.5·rel − 0.5·max sim to steps 1..i−1) over the pool rows
+    * not yet selected, exactly the driver loop's IEEE arithmetic
+    * ([[graft.operators.Similarity.mmrRerank]]); ties break on id. The
+    * pool and pairwise CTEs are e01's cosine chain (dot products are
+    * orientation-independent bit-for-bit: IEEE multiply commutes and
+    * both engines fold in index order).
+    */
+  private def mmrOracleSql(qid: Long, poolK: Int, outK: Int): String = {
+    val steps = (1 to outK).map { i =>
+      if (i == 1)
+        s"""s1 AS (SELECT CAST(1 AS BIGINT) AS rk, id, rel,
+           |  CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * CAST(0 AS DOUBLE) AS mmr
+           |  FROM pool ORDER BY mmr DESC, id LIMIT 1)""".stripMargin
+      else {
+        val prev = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+        s"""s$i AS (SELECT CAST($i AS BIGINT) AS rk, id, rel,
+           |  CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * ms AS mmr FROM
+           |  (SELECT p.id, p.rel, max(w.cos) AS ms FROM pool p
+           |   JOIN pw w ON w.ida = p.id AND w.idb IN ($prev)
+           |   WHERE p.id NOT IN ($prev) GROUP BY p.id, p.rel)
+           |  ORDER BY mmr DESC, id LIMIT 1)""".stripMargin
+      }
+    }
+    val union = (1 to outK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |pool AS (SELECT c.vec_id AS id,
+       |    list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS rel
+       |  FROM n q JOIN n c ON q.vec_id = $qid AND c.vec_id <> $qid
+       |  ORDER BY rel DESC, id LIMIT $poolK),
+       |pw AS (SELECT a.id AS ida, b.id AS idb,
+       |    list_dot_product(x.e, y.e)/(x.nrm*y.nrm) AS cos
+       |  FROM pool a JOIN pool b ON a.id <> b.id
+       |  JOIN n x ON x.vec_id = a.id JOIN n y ON y.vec_id = b.id),
+       |${steps.mkString(", ")}
+       |SELECT rk, id AS neighbor_id, rel AS relevance, mmr FROM ($union)
+       |ORDER BY rk""".stripMargin.replace("\n", " ")
+  }
+
   /** One add-one bigram model as a prefixed CTE chain (the d49 oracle's
     * model fragments, parameterized): trained on `documents $where`,
     * ending in `${p}model(prev, cur, nll)`, `${p}ctx(prev, unseen_nll)`
@@ -3561,6 +3646,27 @@ object PipelineQueries {
          |SELECT a AS doc_a, b AS doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
 
+    // mirror of Dedup.tripletMine over the shared LSH pair chain:
+    // symmetrized pairs, per-anchor argmax, hash60 negative draw with
+    // the two-step collision walk
+    "d123_triplet_mine" ->
+      s"""WITH ${lshPairsCtes(0.5)},
+         |sym AS (SELECT a AS anchor, b AS p, jaccard FROM pairs
+         |        UNION ALL SELECT b, a, jaccard FROM pairs),
+         |best AS (SELECT anchor, p, jaccard FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY anchor
+         |     ORDER BY jaccard DESC, p) AS rn FROM sym) WHERE rn = 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |hx AS (SELECT anchor, p, jaccard, n_docs,
+         |  ${duckHash60("'neg:' || CAST(anchor AS VARCHAR)")} % n_docs AS h
+         |  FROM best CROSS JOIN nn)
+         |SELECT anchor, p AS positive, jaccard AS jaccard_pos,
+         |  CAST(CASE WHEN h <> anchor AND h <> p THEN h
+         |    WHEN (h + 1) % n_docs <> anchor AND (h + 1) % n_docs <> p
+         |      THEN (h + 1) % n_docs
+         |    ELSE (h + 2) % n_docs END AS BIGINT) AS negative
+         |FROM hx ORDER BY anchor""".stripMargin.replace("\n", " "),
+
     // mirror of Dedup.minhashEstPairs over the shared estimation chain
     "d27_minhash_est" ->
       s"""WITH $minhashEstCtes
@@ -4227,6 +4333,52 @@ object PipelineQueries {
          |  CAST(start_token // $SHARD_BUDGET AS BIGINT) AS shard_id
          |FROM pos ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
+    // mirror of Packing.pairPack: one plain row_number over
+    // (len DESC, doc_id) — the bucketed device's semantics — and a
+    // self-join on the mirrored rank
+    "d121_pair_pack" ->
+      s"""WITH l AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rnk,
+         |    CAST(count(*) OVER () AS BIGINT) AS n_total FROM l),
+         |j AS (SELECT a.doc_id, a.n_tokens, a.rnk,
+         |    a.n_total + 1 - a.rnk AS prnk, b.n_tokens AS p_tokens
+         |  FROM r a JOIN r b ON b.rnk = a.n_total + 1 - a.rnk)
+         |SELECT doc_id, n_tokens, rnk,
+         |  CAST(CASE WHEN rnk <> prnk AND n_tokens + p_tokens <= $PAIR_CTX
+         |    THEN least(rnk, prnk) ELSE rnk END AS BIGINT) AS bin_id,
+         |  CAST(CASE WHEN rnk <> prnk AND n_tokens + p_tokens <= $PAIR_CTX
+         |    AND rnk > prnk THEN 1 ELSE 0 END AS BIGINT) AS slot
+         |FROM j ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Packing.packEfficiency: the d121 bins aggregated, plus
+    // the closed-form singleton and concat bills
+    "d122_pack_efficiency" ->
+      s"""WITH l AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rnk,
+         |    CAST(count(*) OVER () AS BIGINT) AS n_total FROM l),
+         |j AS (SELECT a.doc_id, a.n_tokens, a.rnk,
+         |    a.n_total + 1 - a.rnk AS prnk, b.n_tokens AS p_tokens
+         |  FROM r a JOIN r b ON b.rnk = a.n_total + 1 - a.rnk),
+         |bins AS (SELECT CASE WHEN rnk <> prnk AND n_tokens + p_tokens <= $PAIR_CTX
+         |    THEN least(rnk, prnk) ELSE rnk END AS bin_id,
+         |    sum(n_tokens) AS fill FROM j GROUP BY 1),
+         |pr AS (SELECT 'paired' AS strategy, CAST(count(*) AS BIGINT) AS n_bins,
+         |    CAST(sum(greatest(0, $PAIR_CTX - fill)) AS BIGINT) AS pad_tokens FROM bins),
+         |sg AS (SELECT 'singleton' AS strategy, CAST(count(*) AS BIGINT) AS n_bins,
+         |    CAST(sum(greatest(0, $PAIR_CTX - n_tokens)) AS BIGINT) AS pad_tokens FROM l),
+         |cc AS (SELECT 'concat' AS strategy,
+         |    CAST((sum(n_tokens) + $PAIR_CTX - 1) // $PAIR_CTX AS BIGINT) AS n_bins,
+         |    CAST(((sum(n_tokens) + $PAIR_CTX - 1) // $PAIR_CTX) * $PAIR_CTX
+         |      - sum(n_tokens) AS BIGINT) AS pad_tokens FROM l)
+         |SELECT * FROM (SELECT * FROM pr UNION ALL SELECT * FROM sg
+         |  UNION ALL SELECT * FROM cc) ORDER BY strategy""".stripMargin.replace("\n", " "),
+
     // mirror of Packing.packSequences: explode each doc over the ctx
     // windows its global span covers; pure integer arithmetic
     "d48_pack_ctx" ->
@@ -4880,6 +5032,39 @@ object PipelineQueries {
          |  CAST(sum(CAST(md * md AS DECIMAL(28,12))) AS DOUBLE) AS l2sq_mean_diff,
          |  CAST(sum(CAST(vr AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_var_ratio
          |FROM ab""".stripMargin.replace("\n", " "),
+
+    // the MMR greedy unrolled as chained argmax CTEs over e01's cosine
+    // pool — see mmrOracleSql
+    "e52_mmr_rerank" -> mmrOracleSql(MMR_QID, MMR_POOL, MMR_OUT),
+
+    // mirror of TextAnalysis.proximityRerank: the shared BM25 chain's
+    // top-20 pool, d100's position formulation, per-term join chain for
+    // the min cover window, coverage-then-span-then-score order
+    "d124_proximity_rerank" -> {
+      val joins = BM25_TERMS.indices.tail.map { i =>
+        s"JOIN tok a$i ON a$i.doc_id = a0.doc_id AND a$i.word = '${BM25_TERMS(i)}'"
+      }.mkString(" ")
+      val ps = BM25_TERMS.indices.map(i => s"a$i.pos").mkString(", ")
+      s"""WITH ${bm25CtesFor(BM25_TERMS, "px")},
+         |pool AS (SELECT doc_id, score FROM pxsc
+         |  ORDER BY score DESC, doc_id LIMIT $FUSE_K),
+         |base AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
+         |  FROM documents d JOIN pool USING (doc_id)),
+         |tok AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[t.i + 1] AS word
+         |  FROM base, LATERAL unnest(range(0, len(w))) AS t(i)
+         |  WHERE w[t.i + 1] IN (${BM25_TERMS.map(t => s"'$t'").mkString(", ")})),
+         |pres AS (SELECT doc_id, CAST(count(DISTINCT word) AS BIGINT) AS n_present
+         |  FROM tok GROUP BY 1),
+         |spans AS (SELECT a0.doc_id,
+         |    CAST(min(greatest($ps) - least($ps) + 1) AS BIGINT) AS span
+         |  FROM tok a0 $joins WHERE a0.word = '${BM25_TERMS.head}' GROUP BY 1),
+         |rr AS (SELECT p.doc_id, coalesce(n_present, 0) AS n_present, span, score,
+         |    CAST(row_number() OVER (ORDER BY coalesce(n_present, 0) DESC,
+         |      span ASC NULLS LAST, score DESC, p.doc_id) AS BIGINT) AS rk
+         |  FROM pool p LEFT JOIN pres USING (doc_id) LEFT JOIN spans USING (doc_id))
+         |SELECT rk, doc_id, CAST(n_present AS BIGINT) AS n_present, span, score
+         |FROM rr WHERE rk <= $FUSE_OUT ORDER BY rk""".stripMargin.replace("\n", " ")
+    },
 
     // mirror of Curation.propagateKeep over the shared d19 verdict
     // chain: embeddings semi-joined to kept parents

@@ -332,6 +332,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "packing shares the prefix-sum shape\n" + p2.take(2000))
   }
 
+  test("d121: the length rank windows per length bucket over checkpointed longs — no corpus re-scan, no global window over docs") {
+    val p = plan("d121_pair_pack")
+    assert(!p.contains("Scan parquet"),
+      "rank + partner join must read the checkpointed (id, len) rows\n" +
+        p.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+    assert(p.contains("hashpartitioning(n_tokens"),
+      "the within-length row_number must partition by the length bucket\n" +
+        p.take(2000))
+  }
+
   test("d49: three-tier backoff is two equi left joins — no nested-loop fallback") {
     val p = plan("d49_bigram_lm_xdomain")
     assert(!p.contains("NestedLoop"),

@@ -363,4 +363,172 @@ class Round11OpsSpec extends AnyFunSuite {
       .count()
     assert(bad == 0L, "chunks must start at 0 and cover every word")
   }
+
+  test("d121: fold pairing equals the sequential fold over (len desc, id) and respects the context") {
+    val ctx = 108
+    val docs = Tables.documents(spark, dir)
+    val got = Packing.pairPack(docs, ctx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // sequential twin: rank by (len desc, id), fold rank i onto n+1-i
+    val lens = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ", -1).length.toLong))
+    val ranked = lens.sortBy { case (id, n) => (-n, id) }.zipWithIndex
+      .map { case ((id, n), i) => (id, n, i + 1L) }
+    val n = ranked.length.toLong
+    val lenAt = ranked.map(d => d._3 -> d._2).toMap
+    val want = ranked.map { case (id, len, rnk) =>
+      val prnk = n + 1L - rnk
+      val paired = rnk != prnk && len + lenAt(prnk) <= ctx
+      val bin = if (paired) math.min(rnk, prnk) else rnk
+      val slot = if (paired && rnk > prnk) 1L else 0L
+      id -> ((len, rnk, bin, slot))
+    }.toMap
+    assert(got == want)
+    // structural invariants: every doc exactly once; a shared bin holds
+    // exactly the (rank, mirror) pair and fits; slot 0 is the longer
+    assert(got.size == lens.length)
+    val byBin = got.values.groupBy(_._3)
+    byBin.foreach { case (bin, ms) =>
+      assert(ms.size <= 2, s"bin $bin holds ${ms.size} docs")
+      if (ms.size == 2) {
+        assert(ms.map(_._1).sum <= ctx, s"bin $bin overflows")
+        assert(ms.map(_._4).toSet == Set(0L, 1L), s"bin $bin slots")
+        val bySlot = ms.map(m => m._4 -> m._1).toMap
+        assert(bySlot(0L) >= bySlot(1L), "slot 0 must be the longer member")
+      }
+    }
+  }
+
+  test("d122: the three padding bills agree with the d121 bins and the closed forms") {
+    val ctx = 108
+    val docs = Tables.documents(spark, dir)
+    val got = Packing.packEfficiency(docs, ctx).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fills = Packing.pairPack(docs, ctx).collect()
+      .groupBy(_.getLong(3)).map(_._2.map(_.getLong(1)).sum)
+    assert(got("paired") ==
+      ((fills.size.toLong, fills.map(f => math.max(0L, ctx - f)).sum)))
+    val lens = docs.collect()
+      .map(_.getAs[String]("text").split(" ", -1).length.toLong)
+    assert(got("singleton") ==
+      ((lens.length.toLong, lens.map(l => math.max(0L, ctx - l)).sum)))
+    val total = lens.sum
+    val nSeq = (total + ctx - 1) / ctx
+    assert(got("concat") == ((nSeq, nSeq * ctx - total)))
+    // and the ordering that justifies the operator: pairing pays less
+    // padding than no packing at all
+    assert(got("paired")._2 < got("singleton")._2)
+  }
+
+  test("e52: MMR selection equals the sequential greedy over exact cosines; first pick is pure relevance") {
+    val (poolK, outK) = (12, 5)
+    val emb = Tables.embeddings(spark, dir)
+    val got = Similarity.mmrRerank(emb, 0L, poolK, outK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // JVM twin from raw vectors: same left-to-right double folds
+    val vecs = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    val pool = vecs.keys.filter(_ != 0L).toSeq
+      .map(id => (id, cos(0L, id)))
+      .sortBy { case (id, c) => (-c, id) }.take(poolK)
+    val rel = pool.toMap
+    var sel = Vector.empty[(Long, Double, Double)]
+    var rem = pool.map(_._1)
+    while (sel.size < outK && rem.nonEmpty) {
+      val scored = rem.map { c =>
+        val ms = if (sel.isEmpty) 0.0
+          else sel.map(s => cos(c, s._1)).max(Ordering.Double.TotalOrdering)
+        (c, rel(c), 0.5 * rel(c) - 0.5 * ms)
+      }
+      val best = scored.minBy { case (id, _, m) => (-m, id) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+      sel :+= best
+      rem = rem.filterNot(_ == best._1)
+    }
+    val want = sel.zipWithIndex.map { case ((id, r, m), i) => (i + 1L, id, r, m) }
+    assert(got.toSeq == want)
+    // first pick maximizes relevance outright (empty-set MMR term)
+    assert(got.head._2 == pool.head._1)
+    // selected ids are distinct members of the pool
+    assert(got.map(_._2).distinct.length == outK)
+    assert(got.map(_._2).toSet.subsetOf(pool.map(_._1).toSet))
+  }
+
+  test("d123: triplets elect the max-jaccard positive and a collision-free deterministic negative") {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val pairs = Dedup.lshNearDupPairs(docs, 8, 4, 0.5, 1000L, 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assume(pairs.nonEmpty, "corpus must yield near-dup pairs")
+    val sym = pairs.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+    val want = sym.groupBy(_._1).map { case (anchor, ps) =>
+      val (_, p, j) = ps.minBy { case (_, p, j) => (-j, p) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+      val h = Dedup.hash60Jvm(s"neg:$anchor") % nDocs
+      val neg =
+        if (h != anchor && h != p) h
+        else if ((h + 1) % nDocs != anchor && (h + 1) % nDocs != p) (h + 1) % nDocs
+        else (h + 2) % nDocs
+      anchor -> ((p, j, neg))
+    }
+    val got = Dedup.tripletMine(docs, 8, 4, 0.5, 1000L, 10000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == want)
+    // the negative is never the anchor, never the positive, always a
+    // real document id
+    got.foreach { case (a, (p, _, n)) =>
+      assert(n != a && n != p && n >= 0 && n < nDocs, s"bad negative for $a")
+    }
+  }
+
+  test("d124: proximity rerank orders by coverage, then the exact min cover window, then BM25") {
+    val terms = Seq("table", "query", "spark")
+    val (poolK, outK) = (20, 10)
+    val docs = Tables.documents(spark, dir)
+    val got = TextAnalysis.proximityRerank(docs, terms, poolK, outK)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getDouble(4)))
+    // JVM twin: pool from the operator's own scorer (already oracle-
+    // pinned), spans by brute force over the raw texts
+    val scores = TextAnalysis.bm25(docs, terms).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val pool = scores.sortBy { case (id, s) => (-s, id) }(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)).take(poolK)
+    val texts = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val want = pool.map { case (id, s) =>
+      val ws = texts(id).split(" ", -1)
+      val posOf = terms.map(t => ws.zipWithIndex.collect {
+        case (w, i) if w == t => i.toLong
+      })
+      val nPresent = posOf.count(_.nonEmpty).toLong
+      val span: Option[Long] =
+        if (posOf.exists(_.isEmpty)) None
+        else Some((for (a <- posOf(0); b <- posOf(1); c <- posOf(2))
+          yield math.max(a, math.max(b, c)) - math.min(a, math.min(b, c)) + 1).min)
+      (id, nPresent, span, s)
+    }.sortBy { case (id, np, sp, s) =>
+      (-np, sp.getOrElse(Long.MaxValue), -s, id)
+    }(Ordering.Tuple4(Ordering.Long, Ordering.Long,
+      Ordering.Double.TotalOrdering, Ordering.Long))
+      .take(outK).zipWithIndex
+      .map { case ((id, np, sp, s), i) => (i + 1L, id, np, sp, s) }
+    assert(got.toSeq == want.toSeq)
+    // coverage dominates: n_present is non-increasing down the ranking
+    assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
 }
