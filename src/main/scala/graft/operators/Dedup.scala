@@ -333,6 +333,54 @@ object Dedup {
           .cast("long").as("negative"))
   }
 
+  /** Hard-negative triplet mining (d125) — the production upgrade of
+    * [[tripletMine]]'s random negative: the hard negative for an anchor
+    * is its most-similar embedding neighbor that is NOT a verified
+    * near-duplicate — semantically close, lexically distinct, exactly
+    * the contrastive examples that sharpen an embedding model.
+    * Documents and embeddings share the 0..n-1 id space (the d117
+    * convention).
+    *
+    * Scale shape: the candidate neighbors come from
+    * [[Similarity.knnGraph]] (bucketed sign-projection ANN — never
+    * all-pairs), the near-dup exclusion is one left-anti equi-join on
+    * (anchor, neighbor), and the per-anchor argmax is a key-partitioned
+    * window. `hard_negative` is NULL when every ANN neighbor of the
+    * anchor is itself a near-dup (or the anchor's bucket is a
+    * singleton) — consumers fall back to the random draw.
+    *
+    * Returns (anchor, positive, jaccard_pos, hard_negative, neg_cosine).
+    */
+  def tripletMineHard(docs: DataFrame, emb: DataFrame, k: Int = 8,
+      bands: Int = 4, threshold: Double = 0.5, maxBucket: Long = 1000L,
+      maxDf: Long = 10000L, knnK: Int = 3, bits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = lshNearDupPairs(docs, k, bands, threshold, maxBucket, maxDf)
+      .localCheckpoint(true) // feeds the election AND the exclusion
+    val sym = pairs
+      .select(col("doc_a").as("anchor"), col("doc_b").as("p"), col("jaccard"))
+      .unionByName(pairs
+        .select(col("doc_b").as("anchor"), col("doc_a").as("p"), col("jaccard")))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("jaccard").desc, col("p"))
+    val best = sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val knn = Similarity.knnGraph(emb, knnK, bits)
+    val nonDup = knn.join(
+      sym.select(col("anchor").as("vec_id"), col("p").as("neighbor_id")),
+      Seq("vec_id", "neighbor_id"), "left_anti")
+    val hw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val hbest = nonDup.withColumn("hrn", row_number().over(hw))
+      .filter(col("hrn") === 1)
+      .select(col("vec_id").as("anchor"),
+        col("neighbor_id").as("hard_negative"), col("cosine").as("neg_cosine"))
+    best.join(hbest, Seq("anchor"), "left_outer")
+      .select(col("anchor"), col("p").as("positive"),
+        col("jaccard").as("jaccard_pos"), col("hard_negative"),
+        col("neg_cosine"))
+  }
+
   /** MinHash-ESTIMATED Jaccard over LSH candidate pairs — signature-only
     * scoring, NO shingle-intersection join.
     *

@@ -127,6 +127,67 @@ object Packing {
           .otherwise(lit(0L)).as("slot"))
   }
 
+  /** Length-bucketed batch assembly (d126) — the inference/dataloader
+    * dynamic-batching layout: documents group into length buckets of
+    * `bucketWidth` tokens, and each bucket fills fixed-size batches in
+    * (length, doc_id) order, so every batch pads only to ITS OWN max
+    * length instead of the corpus max. Entirely key-partitioned: the
+    * within-bucket rank is a window PARTITIONED by bucket, the batch id
+    * integer arithmetic on the rank — no global window, no shuffle
+    * beyond the bucket exchange.
+    *
+    * Returns (doc_id, n_tokens, bkt, batch_id, slot) — batch_id local
+    * to the bucket, slot the position within the batch.
+    */
+  def bucketBatches(docs: DataFrame, batchSize: Int,
+      bucketWidth: Int): DataFrame = {
+    require(batchSize > 0 && bucketWidth > 0)
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("bkt"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    lens.withColumn("bkt", expr(s"CAST(n_tokens DIV $bucketWidth AS BIGINT)"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("bkt"),
+        expr(s"CAST((rn - 1) DIV $batchSize AS BIGINT)").as("batch_id"),
+        expr(s"CAST((rn - 1) % $batchSize AS BIGINT)").as("slot"))
+  }
+
+  /** Dynamic-batching padding bill (d127): pad-to-batch-max cost of
+    * [[bucketBatches]] versus batching the deterministically shuffled
+    * corpus in arrival order (the no-sorting baseline a naive loader
+    * pays). The shuffled leg's global rank rides the [[tokenOffsets]]
+    * prefix-sum device with a UNIT weight — prefix COUNT is prefix sum
+    * of ones — so neither strategy ever sees a corpus-wide window.
+    * One bounded row per strategy: (strategy, n_batches, pad_tokens).
+    */
+  def bucketBatchStats(docs: DataFrame, batchSize: Int, bucketWidth: Int,
+      bucketBits: Int = 8): DataFrame = {
+    val bucketed = bucketBatches(docs, batchSize, bucketWidth)
+      .groupBy(col("bkt"), col("batch_id"))
+      .agg(count(lit(1)).as("n"), max(col("n_tokens")).as("mx"),
+        sum(col("n_tokens")).as("s"))
+      .agg(count(lit(1)).cast("long").as("n_batches"),
+        sum(col("n") * col("mx") - col("s")).cast("long").as("pad_tokens"))
+      .select(lit("bucketed").as("strategy"), col("n_batches"),
+        col("pad_tokens"))
+    val base = docs.select(col("doc_id"), lit(1L).as("n_tokens"),
+        size(split(col("text"), " ")).cast("long").as("len"),
+        orderKey.as("k"))
+      .withColumn("bkt", expr(s"shiftright(k, ${60 - bucketBits})"))
+    val shuffled = offsetsChain(base)
+      .select(col("doc_id"), col("len"),
+        expr(s"CAST(start_token DIV $batchSize AS BIGINT)").as("batch_id"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n"), max(col("len")).as("mx"),
+        sum(col("len")).as("s"))
+      .agg(count(lit(1)).cast("long").as("n_batches"),
+        sum(col("n") * col("mx") - col("s")).cast("long").as("pad_tokens"))
+      .select(lit("shuffled").as("strategy"), col("n_batches"),
+        col("pad_tokens"))
+    bucketed.unionByName(shuffled)
+  }
+
   /** Packing-efficiency report (d122): the padding bill of three
     * layouts over one corpus and context length — `paired`
     * ([[pairPack]] bins), `singleton` (one doc per sequence, the

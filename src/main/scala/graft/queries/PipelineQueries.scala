@@ -159,6 +159,8 @@ object PipelineQueries {
   private val MMR_QID = 0L       // e52 query vector
   private val MMR_POOL = 12      // e52 candidate-pool depth
   private val MMR_OUT = 5        // e52 diversified result size
+  private val BATCH_B = 16       // d126/d127 batch size (docs)
+  private val BUCKET_W = 16      // d126/d127 length-bucket width (tokens)
   private val PAIR_CTX = 108     // d121/d122 pair-pack context (tokens;
                                  // fold sums measure 106-112 at sf0.01,
                                  // so both the shared-bin and the
@@ -318,6 +320,15 @@ object PipelineQueries {
     "d123_triplet_mine" -> ((spark: SparkSession, dir: String) =>
       Dedup.tripletMine(Tables.documents(spark, dir), K, BANDS, 0.5,
         MAX_BUCKET, MAX_DF)
+        .orderBy(col("anchor"))),
+
+    // hard-negative mining (d125): the nearest embedding neighbor that
+    // is NOT a near-dup — bucketed ANN candidates, one anti-join
+    // (Dedup.tripletMineHard doc)
+    "d125_hard_negatives" -> ((spark: SparkSession, dir: String) =>
+      Dedup.tripletMineHard(Tables.documents(spark, dir),
+        Tables.embeddings(spark, dir), K, BANDS, 0.5, MAX_BUCKET, MAX_DF,
+        KNN_K, ANN_BITS)
         .orderBy(col("anchor"))),
 
     // Incremental dedup across corpus versions: NEW docs (doc_id%4=0)
@@ -876,6 +887,20 @@ object PipelineQueries {
     // context length (Packing.packEfficiency doc)
     "d122_pack_efficiency" -> ((spark: SparkSession, dir: String) =>
       Packing.packEfficiency(Tables.documents(spark, dir), PAIR_CTX)
+        .orderBy(col("strategy"))),
+
+    // length-bucketed dynamic batching (d126): batches pad only to
+    // their own max length; fully key-partitioned
+    // (Packing.bucketBatches doc)
+    "d126_bucket_batches" -> ((spark: SparkSession, dir: String) =>
+      Packing.bucketBatches(Tables.documents(spark, dir), BATCH_B, BUCKET_W)
+        .orderBy(col("doc_id"))),
+
+    // dynamic-batching padding bill: bucketed vs arrival-order batching
+    // (Packing.bucketBatchStats doc)
+    "d127_batch_pad" -> ((spark: SparkSession, dir: String) =>
+      Packing.bucketBatchStats(Tables.documents(spark, dir), BATCH_B,
+        BUCKET_W)
         .orderBy(col("strategy"))),
 
     // the CCNet deployment shape proper: LM trained once on the
@@ -3667,6 +3692,36 @@ object PipelineQueries {
          |    ELSE (h + 2) % n_docs END AS BIGINT) AS negative
          |FROM hx ORDER BY anchor""".stripMargin.replace("\n", " "),
 
+    // mirror of Dedup.tripletMineHard: the d123 election plus e06's
+    // bucketed knn chain, near-dups excluded by anti-join, per-anchor
+    // argmax cosine
+    "d125_hard_negatives" ->
+      s"""WITH ${lshPairsCtes(0.5)},
+         |sym AS (SELECT a AS anchor, b AS p, jaccard FROM pairs
+         |        UNION ALL SELECT b, a, jaccard FROM pairs),
+         |best AS (SELECT anchor, p, jaccard FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY anchor
+         |     ORDER BY jaccard DESC, p) AS rn FROM sym) WHERE rn = 1),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         |        CAST($annBucket AS BIGINT) AS bucket FROM v),
+         |kp AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |      FROM n q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+         |kr AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM kp),
+         |knn AS (SELECT qid, neighbor_id, cosine FROM kr WHERE rk <= $KNN_K),
+         |nd AS (SELECT k.* FROM knn k WHERE NOT EXISTS
+         |  (SELECT 1 FROM sym s WHERE s.anchor = k.qid AND s.p = k.neighbor_id)),
+         |hb AS (SELECT qid, neighbor_id, cosine FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY qid
+         |     ORDER BY cosine DESC, neighbor_id) AS hrn FROM nd) WHERE hrn = 1)
+         |SELECT anchor, p AS positive, jaccard AS jaccard_pos,
+         |  CAST(hb.neighbor_id AS BIGINT) AS hard_negative,
+         |  hb.cosine AS neg_cosine
+         |FROM best LEFT JOIN hb ON hb.qid = best.anchor
+         |ORDER BY anchor""".stripMargin.replace("\n", " "),
+
     // mirror of Dedup.minhashEstPairs over the shared estimation chain
     "d27_minhash_est" ->
       s"""WITH $minhashEstCtes
@@ -4378,6 +4433,48 @@ object PipelineQueries {
          |      - sum(n_tokens) AS BIGINT) AS pad_tokens FROM l)
          |SELECT * FROM (SELECT * FROM pr UNION ALL SELECT * FROM sg
          |  UNION ALL SELECT * FROM cc) ORDER BY strategy""".stripMargin.replace("\n", " "),
+
+    // mirror of Packing.bucketBatches: per-bucket row_number, integer
+    // batch arithmetic
+    "d126_bucket_batches" ->
+      s"""WITH l AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tokens, n_tokens // $BUCKET_W AS bkt,
+         |    CAST(row_number() OVER (PARTITION BY n_tokens // $BUCKET_W
+         |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rn FROM l)
+         |SELECT doc_id, n_tokens, CAST(bkt AS BIGINT) AS bkt,
+         |  CAST((rn - 1) // $BATCH_B AS BIGINT) AS batch_id,
+         |  CAST((rn - 1) % $BATCH_B AS BIGINT) AS slot
+         |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Packing.bucketBatchStats: pad-to-batch-max bills of the
+    // bucketed layout vs hash-order arrival batching
+    "d127_batch_pad" ->
+      s"""WITH l AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY n_tokens // $BUCKET_W
+         |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+         |    n_tokens // $BUCKET_W AS bkt FROM l),
+         |bb AS (SELECT bkt, (rn - 1) // $BATCH_B AS batch_id,
+         |    count(*) AS n, max(n_tokens) AS mx, sum(n_tokens) AS s
+         |  FROM r GROUP BY 1, 2),
+         |pb AS (SELECT 'bucketed' AS strategy,
+         |    CAST(count(*) AS BIGINT) AS n_batches,
+         |    CAST(sum(n * mx - s) AS BIGINT) AS pad_tokens FROM bb),
+         |sh AS (SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS rk
+         |  FROM (SELECT doc_id, n_tokens,
+         |    ${duckHash60("CAST(doc_id AS VARCHAR)")} AS h FROM l)),
+         |sb AS (SELECT rk // $BATCH_B AS batch_id, count(*) AS n,
+         |    max(n_tokens) AS mx, sum(n_tokens) AS s FROM sh GROUP BY 1),
+         |ps AS (SELECT 'shuffled' AS strategy,
+         |    CAST(count(*) AS BIGINT) AS n_batches,
+         |    CAST(sum(n * mx - s) AS BIGINT) AS pad_tokens FROM sb)
+         |SELECT * FROM (SELECT * FROM pb UNION ALL SELECT * FROM ps)
+         |ORDER BY strategy""".stripMargin.replace("\n", " "),
 
     // mirror of Packing.packSequences: explode each doc over the ctx
     // windows its global span covers; pure integer arithmetic

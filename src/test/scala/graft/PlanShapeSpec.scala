@@ -342,6 +342,19 @@ class PlanShapeSpec extends AnyFunSuite {
         p.take(2000))
   }
 
+  test("d126: the batch rank windows per length bucket — never one global doc partition") {
+    val p = plan("d126_bucket_batches")
+    assert(p.contains("hashpartitioning(bkt") ||
+      p.contains("hashpartitioning((n_tokens"),
+      "the batch window must partition by the length bucket\n" + p.take(2000))
+  }
+
+  test("d125: near-dup exclusion is a key-keyed anti-join over ANN candidates — no nested loop anywhere") {
+    val p = plan("d125_hard_negatives")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate bounding lost\n" + p.take(2000))
+  }
+
   test("d49: three-tier backoff is two equi left joins — no nested-loop fallback") {
     val p = plan("d49_bigram_lm_xdomain")
     assert(!p.contains("NestedLoop"),

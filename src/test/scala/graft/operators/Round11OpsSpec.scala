@@ -531,4 +531,74 @@ class Round11OpsSpec extends AnyFunSuite {
     // coverage dominates: n_present is non-increasing down the ranking
     assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
+
+  test("d125: the hard negative is the best non-duplicate ANN neighbor; positives match d123's election") {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val got = Dedup.tripletMineHard(docs, emb, 8, 4, 0.5, 1000L, 10000L, 3, 6)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))))))
+      .toMap
+    assume(got.nonEmpty)
+    val dupSet = Dedup.lshNearDupPairs(docs, 8, 4, 0.5, 1000L, 10000L)
+      .collect().flatMap(r => {
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        Seq((a, b), (b, a))
+      }).toSet
+    // positives agree with the random-negative miner's election
+    val base = Dedup.tripletMine(docs, 8, 4, 0.5, 1000L, 10000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap == base)
+    // hard negatives: recompute the election from the knn op (itself
+    // e06-oracle-pinned) minus the dup set
+    val knn = Similarity.knnGraph(emb, 3, 6).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine")))
+    got.foreach { case (anchor, (p, _, hn)) =>
+      val cands = knn.filter(k => k._1 == anchor && !dupSet((anchor, k._2)))
+      val want =
+        if (cands.isEmpty) None
+        else {
+          val b = cands.minBy { case (_, id, c) => (-c, id) }(
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+          Some((b._2, b._3))
+        }
+      assert(hn == want, s"anchor $anchor")
+      hn.foreach { case (id, _) =>
+        assert(id != anchor && id != p && !dupSet((anchor, id)))
+      }
+    }
+  }
+
+  test("d126/d127: bucketed batches fill in length order and pay less padding than arrival order") {
+    val (bS, wS) = (16, 16)
+    val docs = Tables.documents(spark, dir)
+    val got = Packing.bucketBatches(docs, bS, wS).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // JVM twin: per-bucket (len, id) order chopped into B-sized batches
+    val lens = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ", -1).length.toLong))
+    val want = lens.toSeq.groupBy { case (_, n) => n / wS }.flatMap { case (bkt, ds) =>
+      ds.sortBy { case (id, n) => (n, id) }.zipWithIndex.map {
+        case ((id, n), i) => id -> ((n, bkt, i.toLong / bS, i.toLong % bS))
+      }
+    }
+    assert(got == want)
+    // every batch holds at most B docs; slots are 0..n-1 within batch
+    got.values.groupBy(v => (v._2, v._3)).foreach { case (b, ms) =>
+      assert(ms.size <= bS, s"batch $b overfull")
+      assert(ms.map(_._4).toSeq.sorted == (0L until ms.size).toSeq, s"batch $b slots")
+    }
+    // stats row agrees with the assignment's own padding arithmetic
+    val stats = Packing.bucketBatchStats(docs, bS, wS).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batches = got.values.groupBy(v => (v._2, v._3)).values
+    val pad = batches.map(ms => ms.size * ms.map(_._1).max - ms.map(_._1).sum).sum
+    assert(stats("bucketed") == ((batches.size.toLong, pad)))
+    assert(stats("bucketed")._2 < stats("shuffled")._2,
+      "length bucketing must beat arrival-order batching on padding")
+  }
 }
