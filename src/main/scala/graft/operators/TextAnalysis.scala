@@ -703,6 +703,44 @@ object TextAnalysis {
       .select(col("rk"), col("doc_id"), col("n_present"), col("span"), col("score"))
   }
 
+  /** Retrieval-quality evaluation (d128) — the measurement row that
+    * justifies a rerank stage: MRR and precision@k of the raw BM25
+    * ranking versus [[proximityRerank]], against the deterministic
+    * relevance label "document contains EVERY query term" (the
+    * all-terms conjunctive intent; no human labels exist in-engine, and
+    * this label is exactly what the proximity stage optimizes first, so
+    * the row measures how far BM25's bag-of-words scoring strays from
+    * conjunctive intent). One bounded row per ranker:
+    * (ranker, mrr, p_at_k); mrr is 0 when no relevant doc makes the
+    * cut.
+    *
+    * Scale shape: relevance is a scan-side boolean; each ranked list is
+    * ≤ outK rows and rides a broadcast into the label join; the
+    * aggregates fold k rows.
+    */
+  def retrievalEval(docs: DataFrame, terms: Seq[String], poolK: Int,
+      outK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val rel = docs.select(col("doc_id"),
+      terms.map(t => array_contains(w, t)).reduce(_ && _).as("relevant"))
+    def evalOf(name: String, ranked: DataFrame): DataFrame =
+      rel.join(broadcast(ranked), Seq("doc_id"))
+        .agg(min(when(col("relevant"), col("rk"))).as("first_rel"),
+          sum(when(col("relevant"), lit(1L)).otherwise(lit(0L))).as("n_rel"))
+        .select(lit(name).as("ranker"),
+          when(col("first_rel").isNull, lit(0.0))
+            .otherwise(lit(1.0) / col("first_rel").cast("double")).as("mrr"),
+          (col("n_rel").cast("double") / lit(outK)).as("p_at_k"))
+    val bmRanked = bm25(docs, terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(outK)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long").as("rk"))
+    val pxRanked = proximityRerank(docs, terms, poolK, outK)
+      .select(col("doc_id"), col("rk"))
+    evalOf("bm25", bmRanked).unionByName(evalOf("proximity", pxRanked))
+  }
+
   /** PERSIST the BM25 inverted index (the build half of d87) — the
     * retrieval production shape: postings (term, doc_id, tf) for EVERY
     * term, per-doc lengths, and the corpus constants (n_docs, sum_dl),

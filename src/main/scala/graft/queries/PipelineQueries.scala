@@ -156,6 +156,8 @@ object PipelineQueries {
   private val FUSE_K = 20        // d117 per-list retrieval depth
   private val FUSE_OUT = 10      // d117 fused result size
   private val RRF_SCALE = 1000000000000L // d117 integer RRF micro-units
+  private val EVAL_TERMS =       // d128 query (dup: df=25/500 — the
+    Seq("dup", "table", "spark") // conjunctive label discriminates)
   private val MMR_QID = 0L       // e52 query vector
   private val MMR_POOL = 12      // e52 candidate-pool depth
   private val MMR_OUT = 5        // e52 diversified result size
@@ -1531,6 +1533,14 @@ object PipelineQueries {
         BM25_TERMS, FUSE_K, FUSE_OUT)
         .orderBy(col("rk"))),
 
+    // retrieval-quality evaluation (d128): MRR + precision@k of BM25 vs
+    // the proximity rerank against conjunctive term-coverage relevance
+    // (TextAnalysis.retrievalEval doc)
+    "d128_retrieval_eval" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.retrievalEval(Tables.documents(spark, dir), EVAL_TERMS,
+        FUSE_K, FUSE_OUT)
+        .orderBy(col("ranker"))),
+
     // ExactSubstr removal served from the suffix-array artifact (d111):
     // variable-length spans off SA+LCP, registered against d41's
     // oracle VERBATIM — two constructions, one truth
@@ -2823,6 +2833,37 @@ object PipelineQueries {
   // the shared single-corpus instance: names pb/pbb/pwc/pbo/pos, exactly
   // the chain d47/d48/d50 have always composed over
   private val tokenOffsetCtes = tokenOffsetCtesFor("p")
+
+  /** The d124 proximity-rerank chain as a shared CTE fragment (the
+    * shared-chain convention): BM25 top-`FUSE_K` pool, d100's position
+    * formulation, per-term join chain for the min cover window, ending
+    * in `rr(doc_id, n_present, span, score, rk)` — d124 cuts it at
+    * `FUSE_OUT`; d128 evaluates it against term-coverage relevance.
+    */
+  private def proximityCtes(terms: Seq[String]): String = {
+    val joins = terms.indices.tail.map { i =>
+      s"JOIN tok a$i ON a$i.doc_id = a0.doc_id AND a$i.word = '${terms(i)}'"
+    }.mkString(" ")
+    val ps = terms.indices.map(i => s"a$i.pos").mkString(", ")
+    s"""${bm25CtesFor(terms, "px")},
+       |pool AS (SELECT doc_id, score FROM pxsc
+       |  ORDER BY score DESC, doc_id LIMIT $FUSE_K),
+       |base AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
+       |  FROM documents d JOIN pool USING (doc_id)),
+       |tok AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[t.i + 1] AS word
+       |  FROM base, LATERAL unnest(range(0, len(w))) AS t(i)
+       |  WHERE w[t.i + 1] IN (${terms.map(t => s"'$t'").mkString(", ")})),
+       |pres AS (SELECT doc_id, CAST(count(DISTINCT word) AS BIGINT) AS n_present
+       |  FROM tok GROUP BY 1),
+       |spans AS (SELECT a0.doc_id,
+       |    CAST(min(greatest($ps) - least($ps) + 1) AS BIGINT) AS span
+       |  FROM tok a0 $joins WHERE a0.word = '${terms.head}' GROUP BY 1),
+       |rr AS (SELECT p.doc_id, coalesce(n_present, 0) AS n_present, span, score,
+       |    CAST(row_number() OVER (ORDER BY coalesce(n_present, 0) DESC,
+       |      span ASC NULLS LAST, score DESC, p.doc_id) AS BIGINT) AS rk
+       |  FROM pool p LEFT JOIN pres USING (doc_id) LEFT JOIN spans USING (doc_id))"""
+      .stripMargin.replace("\n", " ")
+  }
 
   /** e52 oracle: the MMR greedy unrolled as chained CTEs — step i picks
     * argmax(0.5·rel − 0.5·max sim to steps 1..i−1) over the pool rows
@@ -5137,30 +5178,34 @@ object PipelineQueries {
     // mirror of TextAnalysis.proximityRerank: the shared BM25 chain's
     // top-20 pool, d100's position formulation, per-term join chain for
     // the min cover window, coverage-then-span-then-score order
-    "d124_proximity_rerank" -> {
-      val joins = BM25_TERMS.indices.tail.map { i =>
-        s"JOIN tok a$i ON a$i.doc_id = a0.doc_id AND a$i.word = '${BM25_TERMS(i)}'"
-      }.mkString(" ")
-      val ps = BM25_TERMS.indices.map(i => s"a$i.pos").mkString(", ")
-      s"""WITH ${bm25CtesFor(BM25_TERMS, "px")},
-         |pool AS (SELECT doc_id, score FROM pxsc
-         |  ORDER BY score DESC, doc_id LIMIT $FUSE_K),
-         |base AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
-         |  FROM documents d JOIN pool USING (doc_id)),
-         |tok AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[t.i + 1] AS word
-         |  FROM base, LATERAL unnest(range(0, len(w))) AS t(i)
-         |  WHERE w[t.i + 1] IN (${BM25_TERMS.map(t => s"'$t'").mkString(", ")})),
-         |pres AS (SELECT doc_id, CAST(count(DISTINCT word) AS BIGINT) AS n_present
-         |  FROM tok GROUP BY 1),
-         |spans AS (SELECT a0.doc_id,
-         |    CAST(min(greatest($ps) - least($ps) + 1) AS BIGINT) AS span
-         |  FROM tok a0 $joins WHERE a0.word = '${BM25_TERMS.head}' GROUP BY 1),
-         |rr AS (SELECT p.doc_id, coalesce(n_present, 0) AS n_present, span, score,
-         |    CAST(row_number() OVER (ORDER BY coalesce(n_present, 0) DESC,
-         |      span ASC NULLS LAST, score DESC, p.doc_id) AS BIGINT) AS rk
-         |  FROM pool p LEFT JOIN pres USING (doc_id) LEFT JOIN spans USING (doc_id))
+    "d124_proximity_rerank" ->
+      s"""WITH ${proximityCtes(BM25_TERMS)}
          |SELECT rk, doc_id, CAST(n_present AS BIGINT) AS n_present, span, score
-         |FROM rr WHERE rk <= $FUSE_OUT ORDER BY rk""".stripMargin.replace("\n", " ")
+         |FROM rr WHERE rk <= $FUSE_OUT ORDER BY rk""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.retrievalEval over the shared proximity
+    // chain: conjunctive-coverage relevance, MRR + p@k per ranker
+    "d128_retrieval_eval" -> {
+      val allTerms = EVAL_TERMS
+        .map(t => s"list_contains(string_split(text, ' '), '$t')")
+        .mkString(" AND ")
+      def evalCte(name: String, ranked: String) =
+        s"""(SELECT '$name' AS ranker,
+           |  CASE WHEN min(CASE WHEN relevant THEN rk END) IS NULL THEN 0.0
+           |    ELSE CAST(1 AS DOUBLE) /
+           |      CAST(min(CASE WHEN relevant THEN rk END) AS DOUBLE) END AS mrr,
+           |  CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / $FUSE_OUT AS p_at_k
+           |FROM $ranked JOIN relv USING (doc_id))""".stripMargin
+      s"""WITH ${proximityCtes(EVAL_TERMS)},
+         |relv AS (SELECT doc_id, $allTerms AS relevant FROM documents),
+         |bmr AS (SELECT doc_id, rk FROM (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         |  FROM pxsc) WHERE rk <= $FUSE_OUT),
+         |pxr AS (SELECT doc_id, rk FROM rr WHERE rk <= $FUSE_OUT)
+         |SELECT * FROM (${evalCte("bm25", "bmr")}
+         |  UNION ALL ${evalCte("proximity", "pxr")})
+         |ORDER BY ranker""".stripMargin.replace("\n", " ")
     },
 
     // mirror of Curation.propagateKeep over the shared d19 verdict

@@ -601,4 +601,37 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(stats("bucketed")._2 < stats("shuffled")._2,
       "length bucketing must beat arrival-order batching on padding")
   }
+
+  test("d128: MRR/p@k recompute from the ranked lists; coverage-first rerank dominates on the conjunctive label") {
+    val terms = Seq("dup", "table", "spark")
+    val (poolK, outK) = (20, 10)
+    val docs = Tables.documents(spark, dir)
+    val got = TextAnalysis.retrievalEval(docs, terms, poolK, outK)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val rel = docs.collect().filter { r =>
+      val ws = r.getAs[String]("text").split(" ", -1).toSet
+      terms.forall(ws.contains)
+    }.map(_.getAs[Long]("doc_id")).toSet
+    import org.apache.spark.sql.expressions.Window
+    val bm = TextAnalysis.bm25(docs, terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(outK)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long").as("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val px = TextAnalysis.proximityRerank(docs, terms, poolK, outK)
+      .select(col("doc_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def metrics(ranked: Seq[(Long, Long)]): (Double, Double) = {
+      val relRks = ranked.filter(d => rel(d._1)).map(_._2)
+      val mrr = if (relRks.isEmpty) 0.0 else 1.0 / relRks.min.toDouble
+      (mrr, relRks.size.toDouble / outK)
+    }
+    assert(got("bm25") == metrics(bm.toSeq))
+    assert(got("proximity") == metrics(px.toSeq))
+    // the rerank can only help a conjunctive label: full-coverage docs
+    // in the pool sort before everything else
+    assert(got("proximity")._1 >= got("bm25")._1)
+    assert(got("proximity")._2 >= got("bm25")._2)
+  }
 }
