@@ -702,6 +702,78 @@ object EventTimeOps {
     (writer, handle)
   }
 
+  /** Observable state of one [[bucketBatchIngest]] stream: docs seen so
+    * far per length bucket (the batch-fill cursors) and the batch count.
+    */
+  final class BucketBatchHandle private[streaming] () {
+    private[streaming] val used =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]
+    @volatile private[streaming] var batches: Long = 0L
+    def docsSeen: Map[Long, Long] =
+      used.asScala.map { case (k, v) => (k.longValue, v.longValue) }.toMap
+    def batchesProcessed: Long = batches
+  }
+
+  /** ONLINE length-bucketed dynamic batching — the streaming twin of
+    * [[graft.operators.Packing.bucketBatches]] for an inference/ingest
+    * loop that must emit padded batches as documents arrive: each doc
+    * joins its length bucket's currently-filling batch in ARRIVAL order
+    * (a stream cannot sort the future; within one micro-batch the
+    * doc_id tie-break makes the gate replayable), and a batch id/slot
+    * is assigned the moment the doc is seen.
+    *
+    * State is ONE cursor per length bucket held driver-side (#buckets ≤
+    * max_len/bucketWidth longs — bounded by the context length, not the
+    * corpus): per batch, within-batch positions come from a window
+    * partitioned by bucket over the MICRO-BATCH only, offset by the
+    * cursors folded in as a broadcast (bkt, used) table, and the
+    * cursors advance by the batch's per-bucket doc counts. Batches FILL
+    * ACROSS micro-batches — a half-full batch stays open until its
+    * bucket sees more docs. At-least-once caveat (the counter-residue
+    * class, documented won't-fix): a replayed micro-batch re-advances
+    * cursors, leaving under-filled batches behind — padding waste,
+    * never a corrupted batch.
+    *
+    * Emits per non-empty batch via `sink`:
+    * (doc_id, n_tokens, bkt, batch_id, slot).
+    */
+  def bucketBatchIngest(stream: DataFrame, batchSize: Int, bucketWidth: Int)(
+      sink: (DataFrame, Long) => Unit): (DataStreamWriter[Row], BucketBatchHandle) = {
+    require(batchSize > 0 && bucketWidth > 0)
+    val handle = new BucketBatchHandle
+    val writer = stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val inBkt = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bkt")).orderBy(col("doc_id"))
+        val offsets = handle.used.asScala.toSeq
+          .map { case (b, u) => (b.longValue, u.longValue) }
+          .toDF("bkt", "used")
+        val decided = batch
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("bkt", expr(s"CAST(n_tokens DIV $bucketWidth AS BIGINT)"))
+          .withColumn("rn", row_number().over(inBkt).cast("long"))
+          .join(broadcast(offsets), Seq("bkt"), "left_outer")
+          .withColumn("pos", coalesce(col("used"), lit(0L)) + col("rn") - 1L)
+          .select(col("doc_id"), col("n_tokens"), col("bkt"),
+            expr(s"CAST(pos DIV $batchSize AS BIGINT)").as("batch_id"),
+            expr(s"CAST(pos % $batchSize AS BIGINT)").as("slot"))
+          .localCheckpoint(true)
+        sink(decided, batchId)
+        decided.groupBy(col("bkt")).agg(count(lit(1)).as("c")).collect()
+          .foreach { r =>
+            handle.used.merge(java.lang.Long.valueOf(r.getLong(0)),
+              java.lang.Long.valueOf(r.getLong(1)),
+              (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+          }
+        handle.batches += 1
+      }
+    }
+    (writer, handle)
+  }
+
   /** Observable state of one [[weightedReservoirIngest]] stream: the
     * current k-row reservoir (doc_id, w, priority) in draw order and
     * the batch count.

@@ -597,6 +597,52 @@ class EventTimeOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bucketBatchIngest: arrival-order batch assembly matches the sequential cursor rule; batches fill across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (bS, wS) = (4, 16)
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // bucket 0 (len < 16): docs 1,2,3 in mb1 + 5,6 in mb2 — batch 0
+    // must fill ACROSS the micro-batch boundary (doc 5 takes slot 3);
+    // bucket 1: docs 4, 7
+    val b1: Seq[(Long, String)] = Seq(
+      (1L, words(3)), (2L, words(5)), (3L, words(8)), (4L, words(20)))
+    val b2: Seq[(Long, String)] = Seq(
+      (5L, words(2)), (6L, words(9)), (7L, words(31)))
+    // sequential twin: per bucket, arrival order (micro-batch order,
+    // doc_id inside one micro-batch), cursor chopped into B-sized bins
+    val expected = {
+      var cur = Map.empty[Long, Long].withDefaultValue(0L)
+      (b1.sortBy(_._1) ++ b2.sortBy(_._1)).map { case (id, t) =>
+        val n = t.split(" ").length.toLong
+        val bkt = n / wS
+        val pos = cur(bkt); cur = cur.updated(bkt, pos + 1)
+        id -> ((n, bkt, pos / bS, pos % bS))
+      }.toMap
+    }
+    val input = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long, Long)]
+    val (writer, handle) = EventTimeOps.bucketBatchIngest(
+      input.toDF().toDF("doc_id", "text"), bS, wS)((out, _) =>
+      out.collect().foreach(r => got.put(r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))))
+    val q = writer.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 7)
+    expected.foreach { case (id, exp) =>
+      assert(got.get(id) == exp, s"doc $id: got ${got.get(id)}, expected $exp")
+    }
+    // doc 5 landed in bucket 0's batch 0 slot 3 — the cross-micro-batch
+    // fill — and doc 6 opened batch 1
+    assert(got.get(5L) == ((2L, 0L, 0L, 3L)))
+    assert(got.get(6L) == ((9L, 0L, 1L, 0L)))
+    assert(handle.docsSeen == Map(0L -> 5L, 1L -> 2L))
+    assert(handle.batchesProcessed == 2)
+  }
+
   test("chainedGateIngest: per-batch verdicts equal the sequentially applied batch kernels; bits past the dropping gate stay NULL") {
     import graft.operators.{Classifier, Dedup, TextAnalysis}
     import graft.sources.Tables
