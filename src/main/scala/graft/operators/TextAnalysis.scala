@@ -741,6 +741,58 @@ object TextAnalysis {
     evalOf("bm25", bmRanked).unionByName(evalOf("proximity", pxRanked))
   }
 
+  /** Dataset card (d129) — the one-page corpus summary a curation run
+    * publishes with its output (the Datasheets habit, reduced to the
+    * engine-derivable facts): size, token volume, vocabulary, mean
+    * document length, exact-duplicate mass, mean stopword ratio, and
+    * the language mix — one (metric, value) row each, every value a
+    * deterministic double (counts and integer ratios; the one mean over
+    * per-doc doubles is decimal-summed before its single divide, the
+    * d45 cross-engine discipline).
+    *
+    * Scale shape: two corpus scans (core aggregates + the langId pass),
+    * one vocabulary-scale word groupBy (map-side partials — the same
+    * class every LM op already pays), the digest distinct inside the
+    * core aggregate. Output is ~10 rows.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val stopRatio = size(filter(w, x =>
+      x.isin(markers.head._2.map(s => s: Any): _*))).cast("double") /
+      size(w).cast("double")
+    val core = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(w)).cast("double").as("n_tokens"),
+      countDistinct(md5(col("text"))).cast("double").as("n_distinct"),
+      sum(stopRatio.cast("decimal(28,12)")).as("sum_stop"))
+    val vocab = docs.select(explode(w).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("v"))
+    val scalarRows = core.crossJoin(broadcast(vocab)).select(
+      array(
+        struct(lit("n_docs").as("metric"), col("n_docs").as("value")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").as("value")),
+        struct(lit("vocab_size").as("metric"), col("v").as("value")),
+        struct(lit("mean_doc_tokens").as("metric"),
+          (col("n_tokens") / col("n_docs")).as("value")),
+        struct(lit("exact_dup_frac").as("metric"),
+          (lit(1.0) - col("n_distinct") / col("n_docs")).as("value")),
+        struct(lit("mean_stop_ratio").as("metric"),
+          (col("sum_stop").cast("double") / col("n_docs")).as("value")))
+        .as("rows"))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.metric").as("metric"), col("r.value").as("value"))
+    val langNames = markers.map(_._1)
+    val langFrame = docs.sparkSession.createDataFrame(
+      langNames.map(Tuple1(_))).toDF("pred_lang")
+    val langRows = langId(docs).groupBy(col("pred_lang"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .join(langFrame, Seq("pred_lang"), "right_outer")
+      .crossJoin(broadcast(core.select(col("n_docs"))))
+      .select(concat(lit("lang_share_"), col("pred_lang")).as("metric"),
+        (coalesce(col("c"), lit(0.0)) / col("n_docs")).as("value"))
+    scalarRows.unionByName(langRows)
+  }
+
   /** PERSIST the BM25 inverted index (the build half of d87) — the
     * retrieval production shape: postings (term, doc_id, tf) for EVERY
     * term, per-doc lengths, and the corpus constants (n_docs, sum_dl),

@@ -1533,6 +1533,13 @@ object PipelineQueries {
         BM25_TERMS, FUSE_K, FUSE_OUT)
         .orderBy(col("rk"))),
 
+    // dataset card (d129): the one-page corpus summary — size, tokens,
+    // vocabulary, duplication, stopword mass, language mix
+    // (TextAnalysis.datasetCard doc)
+    "d129_dataset_card" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.datasetCard(Tables.documents(spark, dir))
+        .orderBy(col("metric"))),
+
     // retrieval-quality evaluation (d128): MRR + precision@k of BM25 vs
     // the proximity rerank against conjunctive term-coverage relevance
     // (TextAnalysis.retrievalEval doc)
@@ -5182,6 +5189,42 @@ object PipelineQueries {
       s"""WITH ${proximityCtes(BM25_TERMS)}
          |SELECT rk, doc_id, CAST(n_present AS BIGINT) AS n_present, span, score
          |FROM rr WHERE rk <= $FUSE_OUT ORDER BY rk""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.datasetCard: the same aggregates in
+    // (metric, value) long format; the one per-doc-double mean rides a
+    // decimal sum, language shares reuse the d06 marker fragments
+    "d129_dataset_card" -> {
+      val langValues = TextAnalysis.markers.map(_._1)
+        .map(l => s"('$l')").mkString(", ")
+      s"""WITH core AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens,
+         |  CAST(count(DISTINCT md5(text)) AS DOUBLE) AS n_distinct,
+         |  sum(CAST(CAST(len(list_filter(string_split(text, ' '),
+         |    x -> x IN ${markerIn(TextAnalysis.markers.head._2)})) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS DECIMAL(28,12)))
+         |    AS sum_stop
+         |  FROM documents),
+         |voc AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         |sc AS (SELECT doc_id, $scSelects FROM documents),
+         |lg AS (SELECT $langCase AS pred_lang FROM sc),
+         |lnames AS (SELECT l AS pred_lang FROM (VALUES $langValues) AS t(l)),
+         |lc AS (SELECT pred_lang, CAST(count(*) AS DOUBLE) AS c FROM lg GROUP BY 1),
+         |lr AS (SELECT 'lang_share_' || lnames.pred_lang AS metric,
+         |    coalesce(c, CAST(0 AS DOUBLE)) / (SELECT n_docs FROM core) AS value
+         |  FROM lnames LEFT JOIN lc USING (pred_lang)),
+         |sr AS (SELECT 'n_docs' AS metric, n_docs AS value FROM core
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM core
+         |  UNION ALL SELECT 'vocab_size', v FROM voc
+         |  UNION ALL SELECT 'mean_doc_tokens', n_tokens / n_docs FROM core
+         |  UNION ALL SELECT 'exact_dup_frac',
+         |    CAST(1 AS DOUBLE) - n_distinct / n_docs FROM core
+         |  UNION ALL SELECT 'mean_stop_ratio',
+         |    CAST(sum_stop AS DOUBLE) / n_docs FROM core)
+         |SELECT metric, value FROM
+         |  (SELECT * FROM sr UNION ALL SELECT * FROM lr)
+         |ORDER BY metric""".stripMargin.replace("\n", " ")
+    },
 
     // mirror of TextAnalysis.retrievalEval over the shared proximity
     // chain: conjunctive-coverage relevance, MRR + p@k per ranker

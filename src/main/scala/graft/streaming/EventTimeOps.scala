@@ -743,20 +743,22 @@ object EventTimeOps {
     val handle = new BucketBatchHandle
     val writer = stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       if (!batch.isEmpty) {
-        val spark = batch.sparkSession
-        import spark.implicits._
         val inBkt = org.apache.spark.sql.expressions.Window
           .partitionBy(col("bkt")).orderBy(col("doc_id"))
-        val offsets = handle.used.asScala.toSeq
-          .map { case (b, u) => (b.longValue, u.longValue) }
-          .toDF("bkt", "used")
+        // cursors fold in as a literal CASE over the handle's buckets
+        // (the budget-gate device) — a per-batch broadcast JOIN here
+        // measured ×4.3 vs the pass-through twin; the CASE prices ×2ish
+        val usedCase = handle.used.asScala.toSeq
+          .sortBy(_._1.longValue)
+          .foldLeft(lit(0L)) { case (acc, (b, u)) =>
+            when(col("bkt") === b.longValue, lit(u.longValue)).otherwise(acc)
+          }
         val decided = batch
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tokens"))
           .withColumn("bkt", expr(s"CAST(n_tokens DIV $bucketWidth AS BIGINT)"))
           .withColumn("rn", row_number().over(inBkt).cast("long"))
-          .join(broadcast(offsets), Seq("bkt"), "left_outer")
-          .withColumn("pos", coalesce(col("used"), lit(0L)) + col("rn") - 1L)
+          .withColumn("pos", usedCase + col("rn") - 1L)
           .select(col("doc_id"), col("n_tokens"), col("bkt"),
             expr(s"CAST(pos DIV $batchSize AS BIGINT)").as("batch_id"),
             expr(s"CAST(pos % $batchSize AS BIGINT)").as("slot"))

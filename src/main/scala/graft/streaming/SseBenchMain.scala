@@ -617,6 +617,53 @@ object SseBenchMain {
         println(f"SSEBENCH reservoir total=$total docs passthrough=${total / wBase}%.0f ev/s " +
           f"sampled=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost, reservoirs=$nRes rows)")
       }
+
+      // BUCKET-BATCH ASSEMBLY (round 11, phase 12): the online
+      // dynamic-batching stage priced against the pass-through twin —
+      // one cursor per length bucket driver-side, per-batch cost = one
+      // bounded window + a ≤ #buckets-row broadcast join and collect;
+      // should price at the budget-gate tier (no model, no index, no
+      // sketch).
+      {
+        val refDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        val texts = refDocs.select($"text").limit(500).collect().map(_.getString(0))
+        val total = 20000
+        val chunk = 2000
+        val docs: Seq[(Long, String)] = (0 until total).map { i =>
+          (i.toLong, texts(i % texts.length))
+        }
+        def bbRun(withGate: Boolean): (Double, Long, Long) = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val stream = mem.toDF().toDF("doc_id", "text")
+          val seen = new java.util.concurrent.atomic.AtomicLong
+          val (writer, handleOpt) =
+            if (withGate) {
+              val (w, h) = EventTimeOps.bucketBatchIngest(stream, 16, 16) {
+                (out, _) => seen.addAndGet(out.count()); ()
+              }
+              (w, Some(h))
+            } else (stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                seen.addAndGet(b.count()); ()
+            }, None)
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            docs.grouped(chunk).foreach { g =>
+              mem.addData(g: _*); q.processAllAvailable()
+            }
+          } finally q.stop()
+          require(seen.get() == total, s"INVALID RUN: saw ${seen.get()} of $total")
+          val nAssigned = handleOpt.map(_.docsSeen.values.sum).getOrElse(0L)
+          ((System.nanoTime() - t0) / 1e9, seen.get(), nAssigned)
+        }
+        bbRun(withGate = false) // warm-up
+        val (wBase, _, _) = bbRun(withGate = false)
+        val (wGate, _, nAssigned) = bbRun(withGate = true)
+        require(nAssigned == total, s"INVALID RUN: cursors saw $nAssigned of $total")
+        println(f"SSEBENCH bucket-batch total=$total docs passthrough=${total / wBase}%.0f ev/s " +
+          f"batched=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }

@@ -634,4 +634,31 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got("proximity")._1 >= got("bm25")._1)
     assert(got("proximity")._2 >= got("bm25")._2)
   }
+
+  test("d129: dataset card facts recompute from the raw corpus; duplication registers on a doubled corpus") {
+    val docs = Tables.documents(spark, dir)
+    val card = TextAnalysis.datasetCard(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val texts = docs.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val n = texts.length.toDouble
+    assert(card("n_docs") == n)
+    assert(card("n_tokens") == texts.map(_._2.split(" ", -1).length).sum.toDouble)
+    assert(card("vocab_size") ==
+      texts.flatMap(_._2.split(" ", -1)).distinct.length.toDouble)
+    assert(card("mean_doc_tokens") == card("n_tokens") / card("n_docs"))
+    assert(card("exact_dup_frac") ==
+      1.0 - texts.map(_._2).distinct.length / n)
+    val langs = Seq("en", "es", "de", "fr")
+    val shareSum = langs.map(l => card(s"lang_share_$l")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    assert(card.size == 6 + langs.size)
+    // duplicating every doc under fresh ids halves the distinct mass
+    import spark.implicits._
+    val doubled = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val card2 = TextAnalysis.datasetCard(doubled).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card2("exact_dup_frac") == 0.5 + card("exact_dup_frac") / 2)
+  }
 }
