@@ -12,6 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Per-source contribution cap (d130) — the anti-domination rule web
+    * corpora apply per domain (and code corpora per repository): keep
+    * at most `cap` documents from any one provenance source, elected by
+    * the deterministic hash60 draw order (a seeded uniform sample of
+    * each over-represented source; both engines replay the same draw,
+    * so the cut is oracle-checkable). No quality signal enters the
+    * election on purpose — a quality-ranked cap composes by substituting
+    * the order column, but the BASELINE rule every pipeline documents
+    * is the uniform one.
+    *
+    * Scale shape: one window PARTITIONED by source over (draw, doc_id)
+    * — key-partitioned, parallelism = #sources; scan-side hash
+    * expression; no joins.
+    *
+    * Returns (doc_id, source, rnk, keep).
+    */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0, s"sourceCap: cap=$cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("k"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        Dedup.hash60(concat(lit("cap:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("rnk"),
+        (col("rnk") <= cap).as("keep"))
+  }
+
   /** One row per TRAIN doc (`!evalPred`):
     * (doc_id, is_rep, clean, ok_len, ok_rep, ok_copy, sampled, keep).
     *

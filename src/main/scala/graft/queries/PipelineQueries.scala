@@ -161,6 +161,8 @@ object PipelineQueries {
   private val MMR_QID = 0L       // e52 query vector
   private val MMR_POOL = 12      // e52 candidate-pool depth
   private val MMR_OUT = 5        // e52 diversified result size
+  private val SOURCE_CAP = 15    // d130 max docs per source (sources
+                                 // hold 25 at sf0.01 — the cap bites)
   private val BATCH_B = 16       // d126/d127 batch size (docs)
   private val BUCKET_W = 16      // d126/d127 length-bucket width (tokens)
   private val PAIR_CTX = 108     // d121/d122 pair-pack context (tokens;
@@ -1539,6 +1541,13 @@ object PipelineQueries {
     "d129_dataset_card" -> ((spark: SparkSession, dir: String) =>
       TextAnalysis.datasetCard(Tables.documents(spark, dir))
         .orderBy(col("metric"))),
+
+    // per-source contribution cap (d130): the anti-domination rule —
+    // at most CAP docs per provenance source, deterministic uniform
+    // election (Curation.sourceCap doc)
+    "d130_source_cap" -> ((spark: SparkSession, dir: String) =>
+      Curation.sourceCap(Tables.documents(spark, dir), SOURCE_CAP)
+        .orderBy(col("doc_id"))),
 
     // retrieval-quality evaluation (d128): MRR + precision@k of BM25 vs
     // the proximity rerank against conjunctive term-coverage relevance
@@ -5225,6 +5234,18 @@ object PipelineQueries {
          |  (SELECT * FROM sr UNION ALL SELECT * FROM lr)
          |ORDER BY metric""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of Curation.sourceCap: per-source row_number over the
+    // shared hash60 draw
+    "d130_source_cap" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  ${duckHash60("'cap:' || CAST(doc_id AS VARCHAR)")} AS k
+         |  FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+         |    AS BIGINT) AS rnk FROM d)
+         |SELECT doc_id, source, rnk, rnk <= $SOURCE_CAP AS keep
+         |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.retrievalEval over the shared proximity
     // chain: conjunctive-coverage relevance, MRR + p@k per ranker

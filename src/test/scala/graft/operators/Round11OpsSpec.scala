@@ -661,4 +661,26 @@ class Round11OpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(card2("exact_dup_frac") == 0.5 + card("exact_dup_frac") / 2)
   }
+
+  test("d130: source cap keeps exactly min(cap, |source|) per source via the deterministic draw") {
+    val cap = 15
+    val docs = Tables.documents(spark, dir)
+    val got = Curation.sourceCap(docs, cap).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val bySource = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+      .groupBy(_._2)
+    assert(got.size == bySource.values.map(_.length).sum)
+    bySource.foreach { case (src, ds) =>
+      val kept = ds.map(_._1).filter(id => got(id)._3)
+      assert(kept.length == math.min(cap, ds.length), s"source $src")
+      // the election is the hash60 draw order, recomputed JVM-side
+      val want = ds.map(_._1)
+        .sortBy(id => (Dedup.hash60Jvm(s"cap:$id"), id)).take(cap).toSet
+      assert(kept.toSet == want, s"source $src election")
+      // ranks are a permutation of 1..n within the source
+      assert(ds.map(d => got(d._1)._2).sorted.toSeq == (1L to ds.length).toSeq)
+    }
+  }
 }
