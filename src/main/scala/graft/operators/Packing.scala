@@ -313,6 +313,64 @@ object Packing {
         "n_tokens_total" -> total), rows, maxId))
   }
 
+  /** Shard-store integrity audit (d131) — the bit-rot / partial-write
+    * detector a 100 TB store runs on a cadence: every invariant the
+    * [[saveTokenShards]] layout promises, checked from the FILES alone
+    * and folded to one row per shard:
+    *
+    *  - `tok_ok`: each row's stored n_tokens matches its text (text
+    *    corruption that preserves row counts still flips this);
+    *  - `bound_ok`: each row's shard_id is start_token DIV budget (a
+    *    row filed under the wrong partition directory);
+    *  - within-shard chain: consecutive starts tile exactly
+    *    (start = prev start + prev n — a dropped or duplicated row
+    *    breaks the chain);
+    *  - cross-shard continuity: each shard's first start equals the
+    *    running total of all previous shards' tokens (a whole missing
+    *    partition shifts every successor).
+    *
+    * Scale shape: one store scan; the chain check is a lag window
+    * PARTITIONED by shard; the cross-shard check is a cumulative sum
+    * over the one-row-per-shard totals table (bounded). The oracle
+    * recomputes the same per-shard report from the SOURCE corpus — so
+    * the registered row proves store ≡ source-derived expectation, and
+    * the corruption spec proves the detector actually fires.
+    *
+    * Returns (shard_id, n_docs, n_tokens, ok).
+    */
+  def shardAudit(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import graft.sources.IndexManifest
+    val m = IndexManifest.read(path)
+    require(m.kind == "shards", s"shardAudit: manifest kind ${m.kind}")
+    val budget = m.params("budget")
+    val st = spark.read.parquet(s"$path/shards")
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        col("text"), col("shard_id").cast("long").as("shard_id"))
+    val inShard = Window.partitionBy(col("shard_id")).orderBy(col("start_token"))
+    val rows = st
+      .withColumn("tok_ok",
+        size(split(col("text"), " ")).cast("long") === col("n_tokens"))
+      .withColumn("bound_ok",
+        expr(s"CAST(start_token DIV $budget AS BIGINT)") === col("shard_id"))
+      .withColumn("prev_end",
+        lag(col("start_token") + col("n_tokens"), 1).over(inShard))
+      .withColumn("chain_ok",
+        coalesce(col("prev_end") === col("start_token"), lit(true)))
+    val per = rows.groupBy(col("shard_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        min(col("start_token")).as("first_start"),
+        bool_and(col("tok_ok") && col("bound_ok") && col("chain_ok"))
+          .as("rows_ok"))
+    val w2 = Window.orderBy(col("shard_id")) // one row per shard: bounded
+    per.withColumn("expected_start",
+        coalesce(sum(col("n_tokens")).over(w2) - col("n_tokens"), lit(0L)))
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+        (col("rows_ok") && col("first_start") === col("expected_start"))
+          .as("ok"))
+  }
+
   /** Materialize the CURATED training corpus (d88) — the last mile a
     * real pipeline runs end-to-end: the selection verdict (d85's
     * `selected` column, or any (doc_id)-keyed keep-list) filters the

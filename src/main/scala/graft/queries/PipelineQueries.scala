@@ -1549,6 +1549,17 @@ object PipelineQueries {
       Curation.sourceCap(Tables.documents(spark, dir), SOURCE_CAP)
         .orderBy(col("doc_id"))),
 
+    // shard-store integrity audit (d131): every layout invariant
+    // checked from the FILES, one row per shard; self-contained build
+    // (Packing.shardAudit doc)
+    "d131_shard_audit" -> ((spark: SparkSession, dir: String) => {
+      val path = indexPath("d131-shards/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      Packing.saveTokenShards(Tables.documents(spark, dir), path,
+        SHARD_BUDGET)
+      Packing.shardAudit(spark, path).orderBy(col("shard_id"))
+    }),
+
     // retrieval-quality evaluation (d128): MRR + precision@k of BM25 vs
     // the proximity rerank against conjunctive term-coverage relevance
     // (TextAnalysis.retrievalEval doc)
@@ -5234,6 +5245,17 @@ object PipelineQueries {
          |  (SELECT * FROM sr UNION ALL SELECT * FROM lr)
          |ORDER BY metric""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of Packing.shardAudit from the SOURCE corpus: the d47
+    // placement chain aggregated per shard, every invariant true by
+    // construction — store ≡ expectation, the corruption spec proves
+    // the detector fires
+    "d131_shard_audit" ->
+      s"""WITH $tokenOffsetCtes
+         |SELECT CAST(start_token // $SHARD_BUDGET AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens, true AS ok
+         |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
 
     // mirror of Curation.sourceCap: per-source row_number over the
     // shared hash60 draw

@@ -683,4 +683,45 @@ class Round11OpsSpec extends AnyFunSuite {
       assert(ds.map(d => got(d._1)._2).sorted.toSeq == (1L to ds.length).toSeq)
     }
   }
+
+  test("d131: a clean store audits all-ok; text corruption, row loss, and duplication each fire the detector") {
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables.documents(spark, dir)
+    val budget = 4096L
+    def build(): String = {
+      val p = tmp("graft-audit-")
+      Packing.saveTokenShards(docs, p, budget)
+      p
+    }
+    def audit(p: String): Map[Long, Boolean] =
+      Packing.shardAudit(spark, p).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val clean = build()
+    val ok0 = audit(clean)
+    assert(ok0.nonEmpty && ok0.values.forall(identity), ok0.toString)
+    // corrupt one shard partition three different ways; the others
+    // must keep auditing ok and the victim must flip
+    def mutate(f: DataFrame => DataFrame): Map[Long, Boolean] = {
+      val p = build()
+      val victim = ok0.keys.min
+      val part = s"$p/shards/shard_id=$victim"
+      val rows = spark.read.parquet(part).localCheckpoint(true)
+      f(rows).write.mode("overwrite").parquet(part)
+      audit(p)
+    }
+    val victim = ok0.keys.min
+    // (a) text corruption preserving counts: append a word to one text
+    val a = mutate(r => r.withColumn("text",
+      when(col("doc_id") === r.agg(min(col("doc_id"))).head().getLong(0),
+        concat(col("text"), lit(" corrupted"))).otherwise(col("text"))))
+    assert(!a(victim) && a.filter(_._1 != victim).values.forall(identity), a.toString)
+    // (b) a dropped row breaks the within-shard chain
+    val b = mutate(r => r.orderBy(col("start_token"))
+      .filter(col("start_token") =!= r.orderBy(col("start_token"))
+        .select(col("start_token")).collect()(1).getLong(0)))
+    assert(!b(victim), b.toString)
+    // (c) a duplicated row breaks the chain too
+    val c = mutate(r => r.unionByName(r.orderBy(col("start_token")).limit(1)))
+    assert(!c(victim), c.toString)
+  }
 }
