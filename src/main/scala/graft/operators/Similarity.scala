@@ -2077,9 +2077,25 @@ object Similarity {
     *
     * Returns (rk, neighbor_id, relevance, mmr) — rk in selection order.
     */
-  def mmrRerank(emb: DataFrame, queryId: Long, poolK: Int, outK: Int): DataFrame = {
+  def mmrRerank(emb: DataFrame, queryId: Long, poolK: Int, outK: Int): DataFrame =
+    mmrOverPool(emb, cosineTopK(emb, col("vec_id") === queryId, poolK), outK)
+
+  /** [[mmrRerank]] with the candidate pool from the bucketed
+    * sign-projection ANN instead of the exact broadcast scan (e53) —
+    * the registered 100 TB serving composition the e52 doc promises:
+    * the only corpus-touching leg becomes the [[annTopK]] bucket join,
+    * everything after (pairwise sims, greedy) is identical and still
+    * request-bounded. The pool may come back SMALLER than poolK (the
+    * query's bucket can hold fewer candidates) — the greedy then just
+    * selects what exists, same as the SQL twin.
+    */
+  def mmrRerankAnn(emb: DataFrame, queryId: Long, poolK: Int, outK: Int,
+      bits: Int = 6): DataFrame =
+    mmrOverPool(emb, annTopK(emb, col("vec_id") === queryId, poolK, bits), outK)
+
+  private def mmrOverPool(emb: DataFrame, poolDf: DataFrame, outK: Int): DataFrame = {
     val spark = emb.sparkSession
-    val pool = cosineTopK(emb, col("vec_id") === queryId, poolK)
+    val pool = poolDf
       .select(col("neighbor_id"), col("cosine"))
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val ids = pool.map(_._1)

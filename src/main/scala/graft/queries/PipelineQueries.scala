@@ -1467,6 +1467,14 @@ object PipelineQueries {
         MMR_QID, MMR_POOL, MMR_OUT)
         .orderBy(col("rk"))),
 
+    // e52's 100 TB serving composition made a registered row: the pool
+    // from the bucketed ANN join instead of the exact broadcast scan
+    // (Similarity.mmrRerankAnn doc)
+    "e53_mmr_ann" -> ((spark: SparkSession, dir: String) =>
+      Similarity.mmrRerankAnn(Tables.embeddings(spark, dir),
+        MMR_QID, MMR_POOL, MMR_OUT, ANN_BITS)
+        .orderBy(col("rk"))),
+
     // cross-modal verdict propagation (d118): embeddings filtered to
     // surviving parent documents — referential cleanup after text
     // curation; consumes the d19 ARTIFACT (Curation.propagateKeep doc)
@@ -2900,7 +2908,10 @@ object PipelineQueries {
     * orientation-independent bit-for-bit: IEEE multiply commutes and
     * both engines fold in index order).
     */
-  private def mmrOracleSql(qid: Long, poolK: Int, outK: Int): String = {
+  private def mmrOracleSql(qid: Long, poolK: Int, outK: Int,
+      ann: Boolean = false): String = {
+    val bucketCol = if (ann) s", CAST($annBucket AS BIGINT) AS bucket" else ""
+    val bucketCond = if (ann) " AND c.bucket = q.bucket" else ""
     val steps = (1 to outK).map { i =>
       if (i == 1)
         s"""s1 AS (SELECT CAST(1 AS BIGINT) AS rk, id, rel,
@@ -2918,10 +2929,10 @@ object PipelineQueries {
     }
     val union = (1 to outK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm$bucketCol FROM v),
        |pool AS (SELECT c.vec_id AS id,
        |    list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS rel
-       |  FROM n q JOIN n c ON q.vec_id = $qid AND c.vec_id <> $qid
+       |  FROM n q JOIN n c ON q.vec_id = $qid AND c.vec_id <> $qid$bucketCond
        |  ORDER BY rel DESC, id LIMIT $poolK),
        |pw AS (SELECT a.id AS ida, b.id AS idb,
        |    list_dot_product(x.e, y.e)/(x.nrm*y.nrm) AS cos
@@ -5201,6 +5212,9 @@ object PipelineQueries {
     // the MMR greedy unrolled as chained argmax CTEs over e01's cosine
     // pool — see mmrOracleSql
     "e52_mmr_rerank" -> mmrOracleSql(MMR_QID, MMR_POOL, MMR_OUT),
+
+    // the same greedy over the ANN-bucketed pool (e02's bucket join)
+    "e53_mmr_ann" -> mmrOracleSql(MMR_QID, MMR_POOL, MMR_OUT, ann = true),
 
     // mirror of TextAnalysis.proximityRerank: the shared BM25 chain's
     // top-20 pool, d100's position formulation, per-term join chain for

@@ -465,6 +465,24 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.map(_._2).toSet.subsetOf(pool.map(_._1).toSet))
   }
 
+  test("e53: the ANN-pool MMR selects within the query's sign bucket and replays the same greedy") {
+    val (poolK, outK, bits) = (12, 5, 6)
+    val emb = Tables.embeddings(spark, dir)
+    val got = Similarity.mmrRerankAnn(emb, 0L, poolK, outK, bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // the pool is the op's own ANN top-k (e02-oracle-pinned); the
+    // greedy must equal the e52 driver loop over that pool
+    val pool = Similarity.annTopK(emb, col("vec_id") === 0L, poolK, bits)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(pool.nonEmpty && got.nonEmpty)
+    assert(got.map(_._2).toSet.subsetOf(pool.map(_._1).toSet))
+    assert(got.length == math.min(outK, pool.length))
+    // first pick is the pool's pure-relevance argmax
+    val first = pool.minBy { case (id, c) => (-c, id) }(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    assert(got.head._2 == first._1 && got.head._3 == first._2)
+  }
+
   test("d123: triplets elect the max-jaccard positive and a collision-free deterministic negative") {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
