@@ -793,6 +793,224 @@ object TextAnalysis {
     scalarRows.unionByName(langRows)
   }
 
+  // ---- mergeable dataset-card store (d132) ----
+
+  /** HLL registers of a 60-bit hash stream (column `h`), long format —
+    * the d81 construction (p-bit register index, rank from the
+    * remainder's bit length), tagged by `kind`. Only OCCUPIED registers
+    * are stored; readers coalesce the 0-rank default over a generated
+    * grid, so the on-disk table is at most 2^p rows per kind however
+    * large the stream.
+    */
+  private def cardHllRegs(h: DataFrame, kind: String, p: Int): DataFrame = {
+    val m = 1 << p
+    val L1 = 60 - p + 1
+    h.select((col("h") % m).as("j"), expr(s"h div $m").as("w"))
+      .select(col("j"), expr(
+        s"CASE WHEN w = 0 THEN $L1 ELSE CAST($L1 - length(bin(w)) AS INT) END")
+        .as("rho"))
+      .groupBy(col("j")).agg(max(col("rho")).as("mj"))
+      .select(lit(kind).as("kind"), col("j").cast("long").as("j"),
+        col("mj").cast("int").as("mj"))
+  }
+
+  /** The card store's two increment pieces for one corpus slice:
+    * registers (vocab-word + doc-digest HLLs) and the additive state
+    * rows (counts, the stop-mass decimal, per-language doc counts, and
+    * the slice's max doc id for the orphan check).
+    */
+  private def cardPieces(docs: DataFrame, p: Int): (DataFrame, DataFrame) = {
+    val w = split(col("text"), " ")
+    val words = docs.select(explode(w).as("t"))
+      .select(Dedup.hash60(col("t")).as("h"))
+    val digests = docs.select(Dedup.hash60(col("text")).as("h"))
+    val regs = cardHllRegs(words, "vocab", p)
+      .unionByName(cardHllRegs(digests, "digest", p))
+    val stopRatio = size(filter(w, x =>
+      x.isin(markers.head._2.map(s => s: Any): _*))).cast("double") /
+      size(w).cast("double")
+    val core = docs.agg(
+      count(lit(1)).cast("decimal(38,12)").as("n_docs"),
+      sum(size(w)).cast("decimal(38,12)").as("n_tokens"),
+      sum(stopRatio.cast("decimal(28,12)")).cast("decimal(38,12)")
+        .as("sum_stop"),
+      max(col("doc_id")).cast("decimal(38,12)").as("max_id"))
+    val coreRows = core.select(array(
+        struct(lit("n_docs").as("key"), col("n_docs").as("value")),
+        struct(lit("n_tokens").as("key"), col("n_tokens").as("value")),
+        struct(lit("sum_stop").as("key"), col("sum_stop").as("value")),
+        struct(lit("max_id").as("key"), col("max_id").as("value")))
+        .as("rows"))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.key").as("key"), col("r.value").as("value"))
+    val langRows = langId(docs).groupBy(col("pred_lang"))
+      .agg(count(lit(1)).cast("decimal(38,12)").as("value"))
+      .select(concat(lit("lang:"), col("pred_lang")).as("key"), col("value"))
+    (regs, coreRows.unionByName(langRows))
+  }
+
+  /** PERSIST the mergeable dataset card (the build half of d132) — the
+    * production shape of corpus monitoring at 100 TB: the d129 card's
+    * facts re-expressed in MERGEABLE state (additive counters + HLL
+    * registers for the two distinct counts), so a corpus append updates
+    * the card by folding the INCREMENT only — no corpus rescan, no
+    * distinct shuffle, ever. Vocabulary and duplicate mass become the
+    * d81 cross-engine-exact HLL estimates (registers max-merge;
+    * exactness of the merge is what `max` being idempotent and
+    * commutative buys). Two parquet tables + the shared manifest:
+    * `regs(kind, j, mj)` (≤ 2·2^p rows) and `state(key, value)`
+    * (counters, per-language counts, and `max_id` — the append-crash
+    * detector: state.max_id ≠ manifest watermark means a previous
+    * append's data landed without its manifest flip, and the retry
+    * fails loudly instead of double-adding counters; [[cardStoreSync]]
+    * recovers by rebuild).
+    */
+  def saveCardStore(docs: DataFrame, path: String, p: Int = 8): Unit = {
+    import graft.sources.IndexManifest
+    val (regs, state) = cardPieces(docs, p)
+    regs.coalesce(1).write.mode("overwrite").parquet(s"$path/regs")
+    state.coalesce(1).write.mode("overwrite").parquet(s"$path/state")
+    val (rows, maxId) = IndexManifest.watermark(docs, "doc_id")
+    IndexManifest.write(path, IndexManifest.Manifest("card",
+      Map("p" -> p.toLong), rows, maxId))
+  }
+
+  /** Fold an increment into the card store. Write order is the crash
+    * contract: registers first (max-merge is idempotent — a replay
+    * re-merges the same ranks to the same values), then state (whose
+    * `max_id` moves past the manifest watermark), then the manifest
+    * flip. A crash between state and manifest leaves max_id ahead of
+    * the watermark; the retry detects it (named error) instead of
+    * adding the increment's counters twice.
+    */
+  def appendCardStore(newDocs: DataFrame, path: String): Unit = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val m = IndexManifest.read(path)
+    require(m.kind == "card", s"appendCardStore: manifest kind ${m.kind}")
+    val spark = newDocs.sparkSession
+    val p = m.params("p").toInt
+    val storedMax = spark.read.parquet(s"$path/state")
+      .filter(col("key") === "max_id")
+      .head().getDecimal(1).longValueExact()
+    if (storedMax != m.corpusMaxId)
+      throw new IndexManifestException(
+        s"card store at $path holds state above its manifest watermark " +
+          s"(state max_id $storedMax vs manifest ${m.corpusMaxId}) — a " +
+          "previous append crashed before its manifest flip; rebuild " +
+          "(cardStoreSync) instead of retrying")
+    val minNew = newDocs.agg(min(col("doc_id"))).head().getLong(0)
+    if (minNew <= m.corpusMaxId)
+      throw new IndexManifestException(
+        s"appendCardStore: increment ids from $minNew are not above the " +
+          s"manifest watermark ${m.corpusMaxId}")
+    val (incRegs, incState) = cardPieces(newDocs, p)
+    val mergedRegs = spark.read.parquet(s"$path/regs")
+      .unionByName(incRegs)
+      .groupBy(col("kind"), col("j")).agg(max(col("mj")).as("mj"))
+      .select(col("kind"), col("j"), col("mj").cast("int").as("mj"))
+      .localCheckpoint(true) // pin before overwriting its own source
+    val mergedState = spark.read.parquet(s"$path/state")
+      .unionByName(incState)
+      .groupBy(col("key"))
+      .agg(sum(col("value")).cast("decimal(38,12)").as("v"),
+        max(col("value")).as("mx"))
+      .select(col("key"),
+        when(col("key") === "max_id", col("mx")).otherwise(col("v"))
+          .as("value"))
+      .localCheckpoint(true)
+    mergedRegs.coalesce(1).write.mode("overwrite").parquet(s"$path/regs")
+    mergedState.coalesce(1).write.mode("overwrite").parquet(s"$path/state")
+    val (incRows, incMax) = IndexManifest.watermark(newDocs, "doc_id")
+    IndexManifest.write(path, IndexManifest.Manifest("card",
+      m.params, m.corpusRows + incRows, math.max(m.corpusMaxId, incMax)))
+  }
+
+  /** Fresh/append/rebuild maintenance policy for the card store (the
+    * e34/e43 convention): untouched corpus → "fresh"; grown with a
+    * clean store → fold the increment ("append"); anything else —
+    * including the crashed-append state the append guard names —
+    * rebuild. Returns the action taken.
+    */
+  def cardStoreSync(docs: DataFrame, path: String, p: Int = 8): String = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    def rebuild(): String = { saveCardStore(docs, path, p); "rebuild" }
+    val m =
+      try IndexManifest.read(path)
+      catch { case _: IndexManifestException => return rebuild() }
+    if (m.kind != "card" || m.params.get("p").map(_.toInt) != Some(p))
+      return rebuild()
+    val (rows, maxId) = IndexManifest.watermark(docs, "doc_id")
+    if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
+    else if (rows > m.corpusRows && maxId > m.corpusMaxId)
+      try {
+        appendCardStore(docs.filter(col("doc_id") > m.corpusMaxId), path)
+        "append"
+      } catch { case _: IndexManifestException => rebuild() }
+    else rebuild()
+  }
+
+  /** Serve the d129-shaped card from the STORE — counts exact, the two
+    * distinct counts as their HLL estimates (metrics named `_hll` to
+    * say so), duplication estimated from the digest HLL. Reads two
+    * BOUNDED tables (≤ 2·2^p register rows + ~8 state rows) and folds
+    * them driver-side (the e52 bounded-residency pattern) — never
+    * touches the corpus; every double op (decimal→double cast, the
+    * divides, 1 − x) is the same IEEE op the SQL mirror runs. Language
+    * rows cover the languages the corpus actually produced (the store
+    * cannot know about labels it never saw).
+    */
+  def cardFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import graft.sources.IndexManifest
+    val m = IndexManifest.read(path)
+    require(m.kind == "card", s"cardFromStore: manifest kind ${m.kind}")
+    val p = m.params("p").toInt
+    val L1 = 60 - p + 1
+    val alphaNum = Dedup.hllAlphaNum(p).toDouble
+    val regs = spark.read.parquet(s"$path/regs").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val mm = 1 << p
+    // unlike d81 (vocabulary-scale streams, raw regime by construction)
+    // the card's streams can be SMALL (a tiny synthetic vocabulary), so
+    // the published Flajolet small-range correction applies: with V > 0
+    // empty registers and raw ≤ 2.5m, estimate m·ln(m/V) instead — the
+    // ln quantized at 1e-8 (the d45 device) so both engines publish the
+    // same double despite libm's last bit
+    def est(kind: String): Double = {
+      var s = 0L
+      var v = 0L
+      var j = 0L
+      while (j < mm) {
+        val mj = regs.getOrElse((kind, j), 0)
+        if (mj == 0) v += 1
+        s += 1L << (L1 - mj)
+        j += 1
+      }
+      val raw = alphaNum / s.toDouble
+      if (v > 0 && raw <= 2.5 * mm)
+        mm.toDouble * (math.floor(math.log(mm.toDouble / v) * 1e8) / 1e8)
+      else raw
+    }
+    val state = spark.read.parquet(s"$path/state").collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val nDocs = state("n_docs").doubleValue
+    val nTokens = state("n_tokens").doubleValue
+    val vocab = est("vocab")
+    val docHll = est("digest")
+    val scalars = Seq(
+      ("n_docs", nDocs),
+      ("n_tokens", nTokens),
+      ("mean_doc_tokens", nTokens / nDocs),
+      ("mean_stop_ratio", state("sum_stop").doubleValue / nDocs),
+      ("vocab_hll", vocab),
+      ("doc_distinct_hll", docHll),
+      ("exact_dup_frac_hll", 1.0 - docHll / nDocs))
+    val langs = state.keys.filter(_.startsWith("lang:")).toSeq.sorted
+      .map(k => (s"lang_share_${k.drop(5)}", state(k).doubleValue / nDocs))
+    import spark.implicits._
+    spark.createDataset(scalars ++ langs).toDF("metric", "value")
+  }
+
   /** PERSIST the BM25 inverted index (the build half of d87) — the
     * retrieval production shape: postings (term, doc_id, tf) for EVERY
     * term, per-doc lengths, and the corpus constants (n_docs, sum_dl),

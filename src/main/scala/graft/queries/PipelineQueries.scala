@@ -163,6 +163,7 @@ object PipelineQueries {
   private val MMR_OUT = 5        // e52 diversified result size
   private val SOURCE_CAP = 15    // d130 max docs per source (sources
                                  // hold 25 at sf0.01 — the cap bites)
+  private val CARD_P = 8         // d132 HLL register bits (d81's)
   private val BATCH_B = 16       // d126/d127 batch size (docs)
   private val BUCKET_W = 16      // d126/d127 length-bucket width (tokens)
   private val PAIR_CTX = 108     // d121/d122 pair-pack context (tokens;
@@ -1556,6 +1557,21 @@ object PipelineQueries {
     "d130_source_cap" -> ((spark: SparkSession, dir: String) =>
       Curation.sourceCap(Tables.documents(spark, dir), SOURCE_CAP)
         .orderBy(col("doc_id"))),
+
+    // mergeable dataset card (d132): build on half the corpus, FOLD the
+    // other half in as an increment, serve from the store — the
+    // registered row IS the merge-exactness proof (oracle recomputes
+    // from the full corpus; TextAnalysis.saveCardStore doc)
+    "d132_card_store" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val path = indexPath("d132-card/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      TextAnalysis.saveCardStore(docs.filter(col("doc_id") <= cut), path,
+        CARD_P)
+      TextAnalysis.appendCardStore(docs.filter(col("doc_id") > cut), path)
+      TextAnalysis.cardFromStore(spark, path).orderBy(col("metric"))
+    }),
 
     // shard-store integrity audit (d131): every layout invariant
     // checked from the FILES, one row per shard; self-contained build
@@ -5255,6 +5271,61 @@ object PipelineQueries {
          |    CAST(1 AS DOUBLE) - n_distinct / n_docs FROM core
          |  UNION ALL SELECT 'mean_stop_ratio',
          |    CAST(sum_stop AS DOUBLE) / n_docs FROM core)
+         |SELECT metric, value FROM
+         |  (SELECT * FROM sr UNION ALL SELECT * FROM lr)
+         |ORDER BY metric""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of TextAnalysis.cardFromStore computed from the FULL
+    // corpus (store built half + half via append): exact counters, the
+    // d81 HLL construction over word hashes and text-digest hashes —
+    // equality IS the merge-exactness proof
+    "d132_card_store" -> {
+      val m = 1 << CARD_P
+      val L1 = 60 - CARD_P + 1
+      val a = graft.operators.Dedup.hllAlphaNum(CARD_P)
+      // mirrors cardFromStore.est: raw harmonic estimate, replaced by
+      // the quantized-ln linear-counting form in the small range
+      def hllCtes(pfx: String, src: String) =
+        s"""${pfx}r AS (SELECT h % $m AS j, h // $m AS w FROM $src),
+           |${pfx}rho AS (SELECT j, CASE WHEN w = 0 THEN $L1
+           |  ELSE CAST($L1 - length(bin(w)) AS INT) END AS rho FROM ${pfx}r),
+           |${pfx}m AS (SELECT j, max(rho) AS mj FROM ${pfx}rho GROUP BY 1),
+           |${pfx}s AS (SELECT
+           |  CAST(sum(CAST(1 AS BIGINT) << ($L1 - coalesce(mj, 0))) AS BIGINT) AS s,
+           |  CAST(sum(CASE WHEN coalesce(mj, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+           |  FROM (SELECT CAST(range AS BIGINT) AS j FROM range(0, $m)) g
+           |  LEFT JOIN ${pfx}m USING (j)),
+           |${pfx}e AS (SELECT CASE
+           |  WHEN v > 0 AND $a / CAST(s AS DOUBLE) <= 2.5 * $m
+           |  THEN CAST($m AS DOUBLE) *
+           |    (floor(ln(CAST($m AS DOUBLE) / v) * 1e8) / 1e8)
+           |  ELSE $a / CAST(s AS DOUBLE) END AS est FROM ${pfx}s)""".stripMargin
+      s"""WITH wv AS (SELECT ${duckHash60("t")} AS h FROM
+         |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         |dg AS (SELECT ${duckHash60("text")} AS h FROM documents),
+         |${hllCtes("v", "wv")},
+         |${hllCtes("d", "dg")},
+         |core AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens,
+         |  CAST(CAST(sum(CAST(CAST(len(list_filter(string_split(text, ' '),
+         |    x -> x IN ${markerIn(TextAnalysis.markers.head._2)})) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS DECIMAL(28,12)))
+         |    AS DECIMAL(38,12)) AS DOUBLE) AS sum_stop
+         |  FROM documents),
+         |sc AS (SELECT doc_id, $scSelects FROM documents),
+         |lg AS (SELECT $langCase AS pred_lang FROM sc),
+         |lr AS (SELECT 'lang_share_' || pred_lang AS metric,
+         |    CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM core) AS value
+         |  FROM lg GROUP BY pred_lang),
+         |sr AS (SELECT 'n_docs' AS metric, n_docs AS value FROM core
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM core
+         |  UNION ALL SELECT 'mean_doc_tokens', n_tokens / n_docs FROM core
+         |  UNION ALL SELECT 'mean_stop_ratio', sum_stop / n_docs FROM core
+         |  UNION ALL SELECT 'vocab_hll', est FROM ve
+         |  UNION ALL SELECT 'doc_distinct_hll', est FROM de
+         |  UNION ALL SELECT 'exact_dup_frac_hll',
+         |    CAST(1 AS DOUBLE) - est / (SELECT n_docs FROM core) FROM de)
          |SELECT metric, value FROM
          |  (SELECT * FROM sr UNION ALL SELECT * FROM lr)
          |ORDER BY metric""".stripMargin.replace("\n", " ")

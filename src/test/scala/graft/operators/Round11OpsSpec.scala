@@ -742,4 +742,39 @@ class Round11OpsSpec extends AnyFunSuite {
     val c = mutate(r => r.unionByName(r.orderBy(col("start_token")).limit(1)))
     assert(!c(victim), c.toString)
   }
+
+  test("d132: card append equals a fresh full build bit-exactly; a crashed append is a named error and sync rebuilds") {
+    val docs = Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut = maxId / 2
+    def card(p: String): Map[String, Double] =
+      TextAnalysis.cardFromStore(spark, p).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // merge exactness: half + append ≡ full build, every double bit-equal
+    val inc = tmp("graft-card-inc-")
+    TextAnalysis.saveCardStore(docs.filter(col("doc_id") <= cut), inc)
+    TextAnalysis.appendCardStore(docs.filter(col("doc_id") > cut), inc)
+    val full = tmp("graft-card-full-")
+    TextAnalysis.saveCardStore(docs, full)
+    assert(card(inc) == card(full))
+    // estimates actually estimate: vocab within 25% of the exact count
+    val vocabExact = docs.select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0).toDouble
+    assert(math.abs(card(full)("vocab_hll") - vocabExact) / vocabExact < 0.25,
+      s"${card(full)("vocab_hll")} vs $vocabExact")
+    // crashed append (state landed, manifest did not): retry is a named
+    // error, sync recovers by rebuild, then reports fresh
+    val crash = tmp("graft-card-crash-")
+    TextAnalysis.saveCardStore(docs.filter(col("doc_id") <= cut), crash)
+    val stale = graft.sources.IndexManifest.read(crash)
+    TextAnalysis.appendCardStore(docs.filter(col("doc_id") > cut), crash)
+    graft.sources.IndexManifest.write(crash, stale)
+    val e = intercept[IndexManifestException] {
+      TextAnalysis.appendCardStore(docs.filter(col("doc_id") > cut), crash)
+    }
+    assert(e.getMessage.contains("above its manifest watermark"))
+    assert(TextAnalysis.cardStoreSync(docs, crash) == "rebuild")
+    assert(TextAnalysis.cardStoreSync(docs, crash) == "fresh")
+    assert(card(crash) == card(full))
+  }
 }
