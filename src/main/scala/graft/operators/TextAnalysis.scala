@@ -965,17 +965,29 @@ object TextAnalysis {
     val m = IndexManifest.read(path)
     require(m.kind == "card", s"cardFromStore: manifest kind ${m.kind}")
     val p = m.params("p").toInt
-    val L1 = 60 - p + 1
-    val alphaNum = Dedup.hllAlphaNum(p).toDouble
     val regs = spark.read.parquet(s"$path/regs").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val state = spark.read.parquet(s"$path/state").collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    import spark.implicits._
+    spark.createDataset(cardMetrics(regs, state, p)).toDF("metric", "value")
+  }
+
+  /** The (metric, value) fold shared by [[cardFromStore]] and the
+    * streaming card ([[graft.streaming.EventTimeOps]]): every double op
+    * is the same IEEE op the SQL mirror runs. Unlike d81
+    * (vocabulary-scale streams, raw regime by construction) the card's
+    * streams can be SMALL (a tiny synthetic vocabulary), so the
+    * published Flajolet small-range correction applies: with V > 0
+    * empty registers and raw ≤ 2.5m, estimate m·ln(m/V) instead — the
+    * ln quantized at 1e-8 (the d45 device) so both engines publish the
+    * same double despite libm's last bit.
+    */
+  private[graft] def cardMetrics(regs: Map[(String, Long), Int],
+      state: Map[String, java.math.BigDecimal], p: Int): Seq[(String, Double)] = {
     val mm = 1 << p
-    // unlike d81 (vocabulary-scale streams, raw regime by construction)
-    // the card's streams can be SMALL (a tiny synthetic vocabulary), so
-    // the published Flajolet small-range correction applies: with V > 0
-    // empty registers and raw ≤ 2.5m, estimate m·ln(m/V) instead — the
-    // ln quantized at 1e-8 (the d45 device) so both engines publish the
-    // same double despite libm's last bit
+    val L1 = 60 - p + 1
+    val alphaNum = Dedup.hllAlphaNum(p).toDouble
     def est(kind: String): Double = {
       var s = 0L
       var v = 0L
@@ -991,8 +1003,6 @@ object TextAnalysis {
         mm.toDouble * (math.floor(math.log(mm.toDouble / v) * 1e8) / 1e8)
       else raw
     }
-    val state = spark.read.parquet(s"$path/state").collect()
-      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
     val nDocs = state("n_docs").doubleValue
     val nTokens = state("n_tokens").doubleValue
     val vocab = est("vocab")
@@ -1007,9 +1017,15 @@ object TextAnalysis {
       ("exact_dup_frac_hll", 1.0 - docHll / nDocs))
     val langs = state.keys.filter(_.startsWith("lang:")).toSeq.sorted
       .map(k => (s"lang_share_${k.drop(5)}", state(k).doubleValue / nDocs))
-    import spark.implicits._
-    spark.createDataset(scalars ++ langs).toDF("metric", "value")
+    scalars ++ langs
   }
+
+  /** The card store's increment pieces for one corpus slice, exposed
+    * for the streaming card (batch kernels verbatim per micro-batch —
+    * the gate discipline).
+    */
+  private[graft] def cardIncrement(docs: DataFrame,
+      p: Int): (DataFrame, DataFrame) = cardPieces(docs, p)
 
   /** PERSIST the BM25 inverted index (the build half of d87) — the
     * retrieval production shape: postings (term, doc_id, tf) for EVERY

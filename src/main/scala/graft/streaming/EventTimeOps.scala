@@ -776,6 +776,68 @@ object EventTimeOps {
     (writer, handle)
   }
 
+  /** Observable state of one [[cardIngest]] stream: the mergeable
+    * card state (HLL registers + decimal counters) and the live
+    * (metric, value) card derived from it.
+    */
+  final class CardIngestHandle private[streaming] (p: Int) {
+    private[streaming] val lock = new Object
+    private[streaming] var regs = Map.empty[(String, Long), Int]
+    private[streaming] var state = Map.empty[String, java.math.BigDecimal]
+    @volatile private[streaming] var batches: Long = 0L
+    private[streaming] def merge(incRegs: Seq[((String, Long), Int)],
+        incState: Seq[(String, java.math.BigDecimal)]): Unit =
+      lock.synchronized {
+        incRegs.foreach { case (k, mj) =>
+          regs = regs.updated(k, math.max(regs.getOrElse(k, 0), mj))
+        }
+        incState.foreach { case (k, v) =>
+          state = state.updated(k,
+            if (k == "max_id")
+              state.get(k).map(_.max(v)).getOrElse(v)
+            else state.get(k).map(_.add(v)).getOrElse(v))
+        }
+      }
+    /** The live card — the exact fold [[graft.operators.TextAnalysis
+      * .cardFromStore]] runs over a persisted store.
+      */
+    def card: Seq[(String, Double)] = lock.synchronized {
+      graft.operators.TextAnalysis.cardMetrics(regs, state, p)
+    }
+    def batchesProcessed: Long = batches
+  }
+
+  /** STREAMING dataset card — the live twin of the d132 mergeable card
+    * store, for the monitoring dashboard an ingest loop feeds: each
+    * micro-batch runs the d132 increment kernel VERBATIM (the gate
+    * discipline — registers + decimal counters from the same
+    * expressions the batch builder persists) and folds the bounded
+    * results (≤ 2·2^p register rows + ~8 state rows) into driver state;
+    * `handle.card` is then BIT-EQUAL to [[graft.operators.TextAnalysis
+    * .cardFromStore]] over a store built on the same prefix, because
+    * the merge operations are the store's own (register max, decimal
+    * add) and the metric fold is shared code. At-least-once caveat (the
+    * counter-residue class, documented won't-fix): a replayed batch
+    * re-adds its counters — registers are idempotent, counts drift
+    * high by one batch.
+    */
+  def cardIngest(stream: DataFrame, p: Int = 8): (DataStreamWriter[Row], CardIngestHandle) = {
+    val handle = new CardIngestHandle(p)
+    val writer = stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        val (incRegs, incState) =
+          graft.operators.TextAnalysis.cardIncrement(batch.toDF(), p)
+        val r = incRegs.collect()
+          .map(x => (x.getString(0), x.getLong(1)) -> x.getInt(2)).toSeq
+        val s = incState.collect()
+          .map(x => x.getString(0) -> x.getDecimal(1)).toSeq
+        handle.merge(r, s)
+        handle.batches += 1
+      }
+    }
+    (writer, handle)
+  }
+
   /** Observable state of one [[weightedReservoirIngest]] stream: the
     * current k-row reservoir (doc_id, w, priority) in draw order and
     * the batch count.

@@ -643,6 +643,32 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(handle.batchesProcessed == 2)
   }
 
+  test("cardIngest: the streamed card is bit-equal to the persisted store's card on the same prefix") {
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val (writer, handle) = EventTimeOps.cardIngest(
+      input.toDF().toDF("doc_id", "text"))
+    val q = writer.start()
+    try {
+      input.addData(docs.take(20): _*); q.processAllAvailable()
+      input.addData(docs.drop(20): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(handle.batchesProcessed == 2)
+    val path = Files.createTempDirectory("graft-card-stream-").toString
+    TextAnalysis.saveCardStore(
+      Tables.documents(spark, "/root/testdata/sf0.001"), path)
+    val want = TextAnalysis.cardFromStore(spark, path).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(handle.card.toMap == want)
+  }
+
   test("chainedGateIngest: per-batch verdicts equal the sequentially applied batch kernels; bits past the dropping gate stay NULL") {
     import graft.operators.{Classifier, Dedup, TextAnalysis}
     import graft.sources.Tables
