@@ -56,7 +56,16 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val detailed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional slice for re-measuring suspects on an idle box (the
+    // judge's adjudication workflow): SPARK_GRAFT_ONLY=q1,q2 runs just
+    // those queries; absent/empty runs everything as ever.
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+      .map(s => (n: String) => s.contains(n))
+      .getOrElse((_: String) => true)
+    val detailed = SparkEntry.queries.toSeq.filter(kv => only(kv._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val a = once(name, fn)
       // a flaky SECOND run must not erase a real first measurement
       // (min(5.2, -1.0) would report a successful query as failed)
