@@ -134,4 +134,40 @@ object PackingPropertySpec extends Properties("Packing") {
           rs.map(_._1).sortBy(id => (h60(id.toString), id)).toSeq }
       tileOk && tierOk && contig && orderOk && rows.length == docs.size
     }
+
+  property("pairPack = the sequential fold over (len desc, id), for any corpus and context") =
+    forAll(genCorpus, Gen.choose(2, 40)) { (docs, ctx) =>
+      val got = Packing.pairPack(docs.toDF("doc_id", "text"), ctx)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val ranked = docs
+        .map { case (id, t) => (id, t.split(" ", -1).length.toLong) }
+        .sortBy { case (id, n) => (-n, id) }.zipWithIndex
+        .map { case ((id, n), i) => (id, n, i + 1L) }
+      val n = ranked.length.toLong
+      val lenAt = ranked.map(d => d._3 -> d._2).toMap
+      val want = ranked.map { case (id, len, rnk) =>
+        val prnk = n + 1L - rnk
+        val paired = rnk != prnk && len + lenAt(prnk) <= ctx
+        id -> ((len, rnk, if (paired) math.min(rnk, prnk) else rnk,
+          if (paired && rnk > prnk) 1L else 0L))
+      }.toMap
+      got == want
+    }
+
+  property("bucketBatches = per-bucket (len, id) order chopped into B bins, for any corpus/B/width") =
+    forAll(genCorpus, Gen.choose(1, 7), Gen.choose(1, 9)) { (docs, b, w) =>
+      val got = Packing.bucketBatches(docs.toDF("doc_id", "text"), b, w)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val want = docs
+        .map { case (id, t) => (id, t.split(" ", -1).length.toLong) }
+        .groupBy { case (_, len) => len / w }
+        .flatMap { case (bkt, ds) =>
+          ds.sortBy { case (id, len) => (len, id) }.zipWithIndex.map {
+            case ((id, len), i) => id -> ((len, bkt, i.toLong / b, i.toLong % b))
+          }
+        }
+      got == want
+    }
 }
