@@ -624,6 +624,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT set-similarity join by PREFIX FILTERING (d133) — the
+    * PPJoin-family alternative to both the quadratic inverted-index
+    * join (d04) and LSH (d03): order each document's shingles by a
+    * global frequency key (rarest first — any total order is correct,
+    * frequency-ascending prunes best), keep only the first
+    * |d| − ⌈t·|d|⌉ + 1 of them, and generate candidates from the PREFIX
+    * inverted index. The prefix-filtering theorem makes candidates a
+    * SUPERSET of every pair with Jaccard ≥ t (two sets overlapping
+    * enough must share a token within each other's prefix), so exact
+    * verification over the candidates returns d04's answer exactly —
+    * no false negatives, unlike LSH — while the candidate join runs on
+    * the prefix index, a (1−t)-fraction of the postings. Registered
+    * against d04's oracle VERBATIM (two constructions, one truth — the
+    * d41/d111 discipline).
+    *
+    * The prefix length's t·|d| is computed with a 1e-9 downward nudge
+    * before ceil: a last-bit FP excess would otherwise shorten the
+    * prefix by one and break the superset guarantee, while the nudge
+    * can only lengthen it (candidates grow, the verify step keeps the
+    * output exact either way).
+    *
+    * Scale shape: the frequency key is a vocabulary-scale equi-join;
+    * the within-doc ordering windows per doc_id (key-partitioned); the
+    * candidate join is the prefix self-equi-join; verification is the
+    * shared [[jaccard]] kernel on the bounded candidate set.
+    */
+  def ppJoinPairs(docs: DataFrame, threshold: Double,
+      maxDf: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hsh = hashedShingles(docs)
+    val sh = dfCapped(hsh, maxDf)
+    val df = sh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("hs"))
+    val wSz = Window.partitionBy(col("doc_id"))
+    val prefix = sh.join(df, Seq("hs"))
+      .withColumn("pos", row_number().over(wDoc).cast("long"))
+      .withColumn("sz", count(lit(1)).over(wSz).cast("long"))
+      .filter(col("pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1L)
+      .select(col("doc_id"), col("hs"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.hs") === col("y.hs") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    jaccard(hsh, cand, maxDf)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+  }
+
   /** Incremental dedup of a new batch against an ingested history with a
     * Bloom pre-filter — the streaming-ingest companion to [[exactGroups]]
     * (which dedups a corpus against itself).

@@ -386,6 +386,14 @@ object PipelineQueries {
         Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0), 0.4, MAX_DF)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // exact similarity join by PREFIX FILTERING (d133): no false
+    // negatives, candidates from the prefix inverted index only —
+    // registers against d04's oracle VERBATIM (Dedup.ppJoinPairs doc)
+    "d133_ppjoin_pairs" -> ((spark: SparkSession, dir: String) =>
+      Dedup.ppJoinPairs(
+        Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0), 0.4, MAX_DF)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // estimator-vs-exact agreement (d52): the recall-device idea
     // applied to the dedup family — every pair EITHER path surfaces on
     // the d04 slice, with both scores and a status (both / exact_only
@@ -5528,6 +5536,19 @@ object PipelineQueries {
          |FROM lab ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d04_jaccard_pairs" ->
+      s"""WITH ${shingleCteOver("doc_id % 2 = 0 AND")},
+         |$dfCapCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |          FROM shc x JOIN shc y ON x.hs = y.hs AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT a AS doc_a, b AS doc_b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
+         |FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
+         |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+
+    // d04's oracle VERBATIM: prefix filtering has no false negatives,
+    // so the exact join's answer IS the prefix join's answer
+    "d133_ppjoin_pairs" ->
       s"""WITH ${shingleCteOver("doc_id % 2 = 0 AND")},
          |$dfCapCte,
          |card AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),

@@ -777,4 +777,33 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(TextAnalysis.cardStoreSync(docs, crash) == "fresh")
     assert(card(crash) == card(full))
   }
+
+  test("d133: prefix filtering returns the exact join's answer while generating fewer candidate postings") {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+    val t = 0.4
+    def pairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Dedup.jaccardAll(docs, t, 10000L))
+    val pp = pairs(Dedup.ppJoinPairs(docs, t, 10000L))
+    assert(pp == exact, s"ppjoin ${pp.size} vs exact ${exact.size}")
+    assert(exact.nonEmpty, "fixture must yield pairs")
+    // the pruning is real: the prefix index is a strict subset of the
+    // postings, so its self-join emits strictly fewer candidate rows
+    val sh = Dedup.hashedShingles(docs)
+    val full = sh.count()
+    // mirror of ppJoinPairs' prefix construction
+    import org.apache.spark.sql.expressions.Window
+    val dfq = sh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("hs"))
+    val wSz = Window.partitionBy(col("doc_id"))
+    val prefRows = sh.join(dfq, Seq("hs"))
+      .withColumn("pos", row_number().over(wDoc).cast("long"))
+      .withColumn("sz", count(lit(1)).over(wSz).cast("long"))
+      .filter(col("pos") <= col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1L)
+      .count()
+    assert(prefRows < full,
+      s"prefix index ($prefRows rows) must prune the postings ($full)")
+    assert(prefRows.toDouble / full < 1.0 - t + 0.1,
+      s"pruning should approach the (1-t) fraction: $prefRows/$full")
+  }
 }
