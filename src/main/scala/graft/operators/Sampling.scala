@@ -224,4 +224,68 @@ object Sampling {
         "start_token", "end_token", "point", binWidth)
       .select(col("sample_id"), col("point"), col("doc_id"), col("n_tokens"))
   }
+
+  /** Vose alias table from integer weights (d134) — the O(1)-per-draw
+    * weighted-source sampler every multi-source dataloader runs: K
+    * columns, each holding a primary stratum, an integer threshold in
+    * units of W = Σw, and an alias stratum. Column j picked uniformly
+    * and a uniform v ∈ [0, W) compared against the threshold realizes
+    * stratum i with probability EXACTLY wᵢ/W — the construction keeps
+    * every intermediate in exact integer units (scaled mass wᵢ·K),
+    * so the table is deterministic and the mass identity
+    * Σ_j [primary_j = i]·thr_j + [alias_j = i]·(W − thr_j) = wᵢ·K
+    * holds exactly (spec-asserted — the algorithm's correctness proof
+    * as an executable check). Work queues pop in the input sequence's
+    * order, making the table a pure function of the weight list.
+    *
+    * Returns (col, primary, threshold, alias); threshold = W means the
+    * column never defers to its alias (alias = primary then).
+    */
+  def aliasTable(weights: Seq[(String, Long)]): Seq[(Int, String, Long, String)] = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), s"weights=$weights")
+    val k = weights.size
+    val w = weights.map(_._2).sum
+    var mass = weights.map { case (s, wi) => s -> wi * k }.toMap
+    var small = weights.collect { case (s, wi) if wi * k < w => s }.toList
+    var large = weights.collect { case (s, wi) if wi * k >= w => s }.toList
+    val cols = scala.collection.mutable.Map.empty[String, (Long, String)]
+    while (small.nonEmpty && large.nonEmpty) {
+      val s = small.head; small = small.tail
+      val l = large.head; large = large.tail
+      cols(s) = (mass(s), l)
+      mass = mass.updated(l, mass(l) - (w - mass(s)))
+      if (mass(l) < w) small ::= l else large ::= l
+    }
+    (small ++ large).foreach(s => cols(s) = (w, s))
+    weights.zipWithIndex.map { case ((s, _), i) =>
+      val (thr, alias) = cols(s)
+      (i, s, thr, alias)
+    }
+  }
+
+  /** Realize `nSlots` dataloader slots against an alias table (d134):
+    * slot → column via h mod K, slot → v via (h div K) mod W, stratum =
+    * primary if v < threshold else alias. Pure scan-side expression
+    * work over a range — no joins, no shuffle, reproducible on any
+    * layout (the same hash-keyed discipline as [[hashSplit]]); the
+    * modulo-W draw carries a ≤ W/2⁶⁰ bias, identical in both engines.
+    * Returns (slot, stratum).
+    */
+  def aliasRealize(spark: org.apache.spark.sql.SparkSession,
+      weights: Seq[(String, Long)], nSlots: Long): DataFrame = {
+    val tab = aliasTable(weights)
+    val k = tab.size
+    val w = weights.map(_._2).sum
+    val pick = tab.foldRight(lit(null).cast("string")) {
+      case ((j, primary, thr, alias), els) =>
+        when(col("j") === j,
+          when(col("v") < thr, lit(primary)).otherwise(lit(alias)))
+          .otherwise(els)
+    }
+    spark.range(nSlots).select(col("id").as("slot"),
+        Dedup.hash60(concat(lit("alias:"), col("id").cast("string"))).as("h"))
+      .withColumn("j", pmod(col("h"), lit(k.toLong)))
+      .withColumn("v", pmod(expr(s"h div $k"), lit(w)))
+      .select(col("slot"), pick.as("stratum"))
+  }
 }

@@ -164,6 +164,10 @@ object PipelineQueries {
   private val SOURCE_CAP = 15    // d130 max docs per source (sources
                                  // hold 25 at sf0.01 — the cap bites)
   private val CARD_P = 8         // d132 HLL register bits (d81's)
+  private val ALIAS_W =          // d134 mixture weights (integer units;
+    Seq("en" -> 4L, "es" -> 3L,  // constant so BOTH engines generate
+      "de" -> 2L, "fr" -> 1L)    // their CASE from one alias table)
+  private val ALIAS_SLOTS = 1000L // d134 realized dataloader slots
   private val BATCH_B = 16       // d126/d127 batch size (docs)
   private val BUCKET_W = 16      // d126/d127 length-bucket width (tokens)
   private val PAIR_CTX = 108     // d121/d122 pair-pack context (tokens;
@@ -1580,6 +1584,13 @@ object PipelineQueries {
       TextAnalysis.appendCardStore(docs.filter(col("doc_id") > cut), path)
       TextAnalysis.cardFromStore(spark, path).orderBy(col("metric"))
     }),
+
+    // alias-method mixture realization (d134): O(1)-per-slot weighted
+    // source draws from the Vose table — the multi-source dataloader's
+    // sampler (Sampling.aliasTable/aliasRealize docs)
+    "d134_alias_mixture" -> ((spark: SparkSession, dir: String) =>
+      Sampling.aliasRealize(spark, ALIAS_W, ALIAS_SLOTS)
+        .orderBy(col("slot"))),
 
     // shard-store integrity audit (d131): every layout invariant
     // checked from the FILES, one row per shard; self-contained build
@@ -5337,6 +5348,24 @@ object PipelineQueries {
          |SELECT metric, value FROM
          |  (SELECT * FROM sr UNION ALL SELECT * FROM lr)
          |ORDER BY metric""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Sampling.aliasRealize: the CASE chain generated from
+    // the SAME Vose table (one Scala constant feeds both engines — the
+    // d96 splitCuts pattern)
+    "d134_alias_mixture" -> {
+      val tab = Sampling.aliasTable(ALIAS_W)
+      val k = tab.size
+      val w = ALIAS_W.map(_._2).sum
+      val cases = tab.map { case (j, primary, thr, alias) =>
+        s"WHEN j = $j THEN (CASE WHEN v < $thr THEN '$primary' ELSE '$alias' END)"
+      }.mkString(" ")
+      s"""WITH s AS (SELECT CAST(range AS BIGINT) AS slot,
+         |  ${duckHash60("'alias:' || CAST(range AS VARCHAR)")} AS h
+         |  FROM range(0, $ALIAS_SLOTS)),
+         |d AS (SELECT slot, h % $k AS j, (h // $k) % $w AS v FROM s)
+         |SELECT slot, CASE $cases END AS stratum
+         |FROM d ORDER BY slot""".stripMargin.replace("\n", " ")
     },
 
     // mirror of Packing.shardAudit from the SOURCE corpus: the d47

@@ -806,4 +806,47 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(prefRows.toDouble / full < 1.0 - t + 0.1,
       s"pruning should approach the (1-t) fraction: $prefRows/$full")
   }
+
+  test("d134: the Vose table satisfies the exact mass identity; realized shares track the weights") {
+    // mass identity: for every stratum i,
+    //   Σ_j [primary_j = i]·thr_j + [alias_j = i]·(W − thr_j) = wᵢ·K
+    // — the alias method's correctness proof, executable
+    def identityOk(ws: Seq[(String, Long)]): Unit = {
+      val tab = Sampling.aliasTable(ws)
+      val w = ws.map(_._2).sum
+      val k = ws.size
+      ws.foreach { case (s, wi) =>
+        val mass = tab.map { case (_, p, thr, a) =>
+          (if (p == s) thr else 0L) + (if (a == s && a != p) w - thr else 0L)
+        }.sum
+        assert(mass == wi * k, s"stratum $s: $mass != ${wi * k} (ws=$ws)")
+      }
+      // every threshold in (0, W]; a full column aliases itself
+      tab.foreach { case (_, p, thr, a) =>
+        assert(thr > 0 && thr <= w)
+        if (thr == w) assert(a == p)
+      }
+    }
+    identityOk(Seq("en" -> 4L, "es" -> 3L, "de" -> 2L, "fr" -> 1L))
+    identityOk(Seq("a" -> 1L, "b" -> 1L))
+    identityOk(Seq("x" -> 7L))
+    identityOk(Seq("a" -> 1L, "b" -> 99L, "c" -> 900L))
+    // realized shares: data-driven weights (per-lang token totals from
+    // the corpus) land within 5 points of the true shares at 4000 slots
+    val docs = Tables.documents(spark, dir)
+    val ws = TextAnalysis.langId(docs)
+      .groupBy(col("pred_lang"))
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val w = ws.map(_._2).sum
+    val n = 4000L
+    val counts = Sampling.aliasRealize(spark, ws, n)
+      .groupBy(col("stratum")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ws.foreach { case (s, wi) =>
+      val got = counts.getOrElse(s, 0L).toDouble / n
+      val want = wi.toDouble / w
+      assert(math.abs(got - want) < 0.05, s"$s: $got vs $want")
+    }
+  }
 }
