@@ -664,6 +664,51 @@ object SseBenchMain {
         println(f"SSEBENCH bucket-batch total=$total docs passthrough=${total / wBase}%.0f ev/s " +
           f"batched=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost)")
       }
+
+      // STREAMING CARD (round 11, phase 13): the live dataset card
+      // priced against the pass-through twin — per batch it runs the
+      // d132 increment kernel (a full langId + token + HLL pass over
+      // the micro-batch) and collects two bounded frames, so it should
+      // price in the rules-gate tier: real per-doc expression work but
+      // no model join, no index probe.
+      {
+        val refDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        val texts = refDocs.select($"text").limit(500).collect().map(_.getString(0))
+        val total = 20000
+        val chunk = 2000
+        val docs: Seq[(Long, String)] = (0 until total).map { i =>
+          (i.toLong, texts(i % texts.length))
+        }
+        def cardRun(withGate: Boolean): (Double, Long) = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val stream = mem.toDF().toDF("doc_id", "text")
+          val seen = new java.util.concurrent.atomic.AtomicLong
+          val (writer, handleOpt) =
+            if (withGate) {
+              val (w, h) = EventTimeOps.cardIngest(stream)
+              (w, Some(h))
+            } else (stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                seen.addAndGet(b.count()); ()
+            }, None)
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            docs.grouped(chunk).foreach { g =>
+              mem.addData(g: _*); q.processAllAvailable()
+            }
+          } finally q.stop()
+          val nDocs = handleOpt
+            .map(_.card.toMap.apply("n_docs").toLong).getOrElse(seen.get())
+          ((System.nanoTime() - t0) / 1e9, nDocs)
+        }
+        cardRun(withGate = false) // warm-up
+        val (wBase, _) = cardRun(withGate = false)
+        val (wGate, nDocs) = cardRun(withGate = true)
+        require(nDocs == total, s"INVALID RUN: card counted $nDocs of $total")
+        println(f"SSEBENCH card total=$total docs passthrough=${total / wBase}%.0f ev/s " +
+          f"carded=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }
