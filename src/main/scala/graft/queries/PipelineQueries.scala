@@ -1585,6 +1585,18 @@ object PipelineQueries {
       TextAnalysis.cardFromStore(spark, path).orderBy(col("metric"))
     }),
 
+    // the loader capstone (d135): curation verdict → survivors →
+    // fold-pack — "curate, then lay the training set out for the
+    // dataloader" as ONE registered row (the d85 composition discipline
+    // applied to the serving side); the keep leg reads the persisted
+    // d19 artifact
+    "d135_loader_capstone" -> ((spark: SparkSession, dir: String) => {
+      val survivors = Tables.documents(spark, dir).join(
+        keepCached(spark, dir).filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      Packing.pairPack(survivors, PAIR_CTX).orderBy(col("doc_id"))
+    }),
+
     // alias-method mixture realization (d134): O(1)-per-slot weighted
     // source draws from the Vose table — the multi-source dataloader's
     // sampler (Sampling.aliasTable/aliasRealize docs)
@@ -2903,6 +2915,29 @@ object PipelineQueries {
   // the shared single-corpus instance: names pb/pbb/pwc/pbo/pos, exactly
   // the chain d47/d48/d50 have always composed over
   private val tokenOffsetCtes = tokenOffsetCtesFor("p")
+
+  /** The d121 fold-pairing placement as shared CTE fragments over any
+    * (doc_id, text) source — d121 runs it on `documents`, d135 on the
+    * curation survivors.
+    */
+  private def pairPackCtes(src: String): String =
+    s"""l AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM $src),
+       |r AS (SELECT doc_id, n_tokens,
+       |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_total FROM l),
+       |j AS (SELECT a.doc_id, a.n_tokens, a.rnk,
+       |    a.n_total + 1 - a.rnk AS prnk, b.n_tokens AS p_tokens
+       |  FROM r a JOIN r b ON b.rnk = a.n_total + 1 - a.rnk)""".stripMargin
+
+  private val pairPackSelect =
+    s"""SELECT doc_id, n_tokens, rnk,
+       |  CAST(CASE WHEN rnk <> prnk AND n_tokens + p_tokens <= $PAIR_CTX
+       |    THEN least(rnk, prnk) ELSE rnk END AS BIGINT) AS bin_id,
+       |  CAST(CASE WHEN rnk <> prnk AND n_tokens + p_tokens <= $PAIR_CTX
+       |    AND rnk > prnk THEN 1 ELSE 0 END AS BIGINT) AS slot
+       |FROM j""".stripMargin
 
   /** The d124 proximity-rerank chain as a shared CTE fragment (the
     * shared-chain convention): BM25 top-`FUSE_K` pool, d100's position
@@ -4506,21 +4541,16 @@ object PipelineQueries {
     // (len DESC, doc_id) — the bucketed device's semantics — and a
     // self-join on the mirrored rank
     "d121_pair_pack" ->
-      s"""WITH l AS (SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |r AS (SELECT doc_id, n_tokens,
-         |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rnk,
-         |    CAST(count(*) OVER () AS BIGINT) AS n_total FROM l),
-         |j AS (SELECT a.doc_id, a.n_tokens, a.rnk,
-         |    a.n_total + 1 - a.rnk AS prnk, b.n_tokens AS p_tokens
-         |  FROM r a JOIN r b ON b.rnk = a.n_total + 1 - a.rnk)
-         |SELECT doc_id, n_tokens, rnk,
-         |  CAST(CASE WHEN rnk <> prnk AND n_tokens + p_tokens <= $PAIR_CTX
-         |    THEN least(rnk, prnk) ELSE rnk END AS BIGINT) AS bin_id,
-         |  CAST(CASE WHEN rnk <> prnk AND n_tokens + p_tokens <= $PAIR_CTX
-         |    AND rnk > prnk THEN 1 ELSE 0 END AS BIGINT) AS slot
-         |FROM j ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      s"""WITH ${pairPackCtes("documents")}
+         |$pairPackSelect ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // the loader capstone (d135): the d19 keep verdict's survivors
+    // fold-packed — selection CTE feeding the d121 placement chain
+    "d135_loader_capstone" ->
+      s"""WITH kd AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN ($curationKeepSql) k ON d.doc_id = k.doc_id AND k.keep),
+         |${pairPackCtes("kd")}
+         |$pairPackSelect ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Packing.packEfficiency: the d121 bins aggregated, plus
     // the closed-form singleton and concat bills
