@@ -12,6 +12,53 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Preference-pair construction (d140) — the contrastive dataset row
+    * a DPO/RLHF-style alignment pipeline builds from scored documents
+    * (Rafailov et al. 2023 consume exactly this (group, chosen,
+    * rejected) shape): within each provenance group, CHOSEN = the
+    * highest-scoring document and REJECTED = the lowest, with the
+    * stopword-density quality signal (d07's stop_ratio — one IEEE
+    * divide of two exact longs, cross-engine safe) as the score.
+    * Tie-breaks are load-bearing for determinism AND non-degeneracy:
+    * chosen breaks ties doc_id ASC, rejected doc_id DESC, so an
+    * all-equal-score group still yields two DISTINCT documents; only
+    * singleton groups (chosen = rejected) drop.
+    *
+    * Scale shape: two windows PARTITIONED by source (key-partitioned,
+    * parallelism = #groups) over one scan-side scored projection, one
+    * group-key equi-join of two #groups-row frames. The margin is one
+    * IEEE subtract of two exact divides.
+    *
+    * Returns (source, chosen_id, chosen_score, rejected_id,
+    * rejected_score, margin).
+    */
+  def preferencePairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopWords = graft.operators.TextAnalysis.markers.head._2
+    val toks = split(col("text"), " ")
+    val scored = docs.select(col("doc_id"), col("source"),
+      (size(expr(s"filter(split(text, ' '), x -> x IN (${
+        stopWords.map(w => s"'$w'").mkString(",")}))")).cast("double") /
+        size(toks)).as("score"))
+    val wCh = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wRj = Window.partitionBy(col("source"))
+      .orderBy(col("score").asc, col("doc_id").desc)
+    val ch = scored.withColumn("rn", row_number().over(wCh))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("doc_id").as("chosen_id"),
+        col("score").as("chosen_score"))
+    val rj = scored.withColumn("rn", row_number().over(wRj))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("doc_id").as("rejected_id"),
+        col("score").as("rejected_score"))
+    ch.join(rj, Seq("source"))
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .select(col("source"), col("chosen_id"), col("chosen_score"),
+        col("rejected_id"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
+
   /** Per-source contribution cap (d130) — the anti-domination rule web
     * corpora apply per domain (and code corpora per repository): keep
     * at most `cap` documents from any one provenance source, elected by

@@ -624,6 +624,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directional CONTAINMENT pairs (d139) — the asymmetric companion to
+    * Jaccard (Broder 1997 defines both): C(A→B) = |S_A ∩ S_B| / |S_A|
+    * over distinct shingle sets. This is the signal Jaccard structurally
+    * misses: a short document wholly pasted inside a much longer one has
+    * C(short→long) = 1 while J = |short|/|long| can sit far below any
+    * dedup threshold — the quote/aggregator/boilerplate-wrapper case
+    * web curation actually meets. Emits BOTH directions of a
+    * co-occurring pair independently thresholded, so "A inside B" and
+    * "B inside A" are separate verdicts.
+    *
+    * Scale shape: identical to [[jaccardAll]] (shared df-capped
+    * inverted-index join — quadratic in shingle co-occurrence BY
+    * DESIGN; the production pre-filter is d03/d133's index), plus one
+    * union of the two per-direction projections of the SAME intersection
+    * table — the pair graph is built once, not twice. Exact integers
+    * and one IEEE divide. Returns (doc_src, doc_dst, containment).
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      maxDf: Long = 10000L): DataFrame = {
+    val sh = dfCapped(hashedShingles(docs), maxDf)
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val x = sh.as("x")
+    val y = sh.as("y")
+    val inter = x.join(y, col("x.hs") === col("y.hs") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    val both = inter
+      .join(card.as("ca"), col("a") === col("ca.doc_id"))
+      .join(card.as("cb"), col("b") === col("cb.doc_id"))
+      .select(col("a"), col("b"), col("i"), col("ca.c").as("cca"),
+        col("cb.c").as("ccb"))
+      .localCheckpoint(true) // read twice: the two direction projections
+    both.select(col("a").as("doc_src"), col("b").as("doc_dst"),
+        (col("i").cast("double") / col("cca")).as("containment"))
+      .union(both.select(col("b").as("doc_src"), col("a").as("doc_dst"),
+        (col("i").cast("double") / col("ccb")).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** EXACT set-similarity join by PREFIX FILTERING (d133) — the
     * PPJoin-family alternative to both the quadratic inverted-index
     * join (d04) and LSH (d03): order each document's shingles by a

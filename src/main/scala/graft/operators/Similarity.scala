@@ -2131,6 +2131,121 @@ object Similarity {
     }).toDF("rk", "neighbor_id", "relevance", "mmr")
   }
 
+  /** Small-world NAVIGATION graph (the e54 artifact) — the edge set a
+    * graph-traversal ANN serves from (the HNSW/DiskANN family's layer-0
+    * shape, Malkov & Yashunin 2018 / Subramanya et al. 2019): each
+    * node's top-`knnK` cosine neighbors among its own sign-projection
+    * bucket AND the `bits` Hamming-distance-1 buckets (the multi-probe
+    * candidate set — cross-bucket edges are what lets a walk LEAVE a
+    * bucket), PLUS one deterministic long-range edge per node
+    * (`vec_id·7919 mod N` — the Watts-Strogatz small-world shortcut
+    * respelled reproducibly; NSW's random long links are exactly this
+    * device). Without the long edges the bucket-local graph fragments
+    * into per-bucket islands and greedy search cannot reach a query's
+    * neighborhood from a fixed entry set.
+    *
+    * Scale shape: the kNN leg is the [[annTopKMultiProbe]] self-join —
+    * candidate volume (bits+1)·Σ bucket², never N²; the long-edge leg
+    * is pure scan-side arithmetic plus one broadcast count. Assumes
+    * dense 0..N-1 ids (the testdata contract; the same assumption the
+    * `vec_id < nCells` seed device makes). Returns (src, dst).
+    */
+  def navGraph(emb: DataFrame, knnK: Int, bits: Int = 6): DataFrame = {
+    val knn = bucketTopK(emb, lit(true), knnK, bits,
+        probeMasks = 0L +: (0 until bits).map(j => 1L << j))
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val nv = emb.agg(count(lit(1)).as("nv"))
+    val longEdges = emb.select(col("vec_id")).crossJoin(broadcast(nv))
+      .select(col("vec_id").as("src"),
+        ((col("vec_id") * 7919L) % col("nv")).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    knn.union(longEdges).distinct()
+  }
+
+  /** Graph-traversal ANN serving (e54) — best-first BEAM search over
+    * [[navGraph]], the query path of the HNSW/DiskANN index family
+    * (completing the registered ANN ladder: flat scan, LSH buckets,
+    * IVF-PQ/SQ8, SRP blocks, and now graph walk). Every query starts
+    * from the fixed entry set (`vec_id < entries` — the literal-seed
+    * device), then `rounds` expansion steps: the current beam's
+    * out-edges become candidates, NEW candidates are scored exact
+    * cosine, and the union is cut back to the best `beam` per query
+    * (cosine desc, id asc — total order, so the walk is deterministic
+    * and the oracle unrolls the same rounds as CTEs). The final beam,
+    * self excluded, yields top-`k`.
+    *
+    * Scale shape: the graph is built once and localCheckpointed (the
+    * PageRank iteration device); each round touches only
+    * |Q|·beam·(knnK+1) candidate ids — one equi-join against the edge
+    * set, one against the corpus embeddings (at 100 TB the corpus
+    * store is bucketed by vec_id so only the candidate side shuffles;
+    * DiskANN instead co-locates vectors WITH adjacency lists — same
+    * locality, storage-side), one per-query window over ≤ beam·(knnK+2)
+    * rows. The corpus is never scanned per query — that is the whole
+    * point of the family. Returns (query_id, rk, neighbor_id, cosine).
+    */
+  def graphBeamSearch(emb: DataFrame, queryPred: Column, k: Int,
+      beam: Int, rounds: Int, knnK: Int, bits: Int = 6,
+      entries: Int = 4): DataFrame = {
+    require(k < beam && rounds >= 1 && entries >= 1 && entries <= beam,
+      s"k=$k beam=$beam rounds=$rounds entries=$entries")
+    val n = normalized(emb)
+    val corpus = n.select(col("vec_id"), col("e"), col("nrm"))
+    val edges = navGraph(emb, knnK, bits).localCheckpoint(true)
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val ent = n.filter(col("vec_id") < entries)
+      .select(col("vec_id").as("vid"), col("e").as("ce"), col("nrm").as("cn"))
+    var b = q.crossJoin(broadcast(ent))
+      .select(col("query_id"), col("vid"),
+        (dot("qe", "ce") / (col("qn") * col("cn"))).as("cosine"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vid").asc)
+    for (_ <- 1 to rounds) {
+      val cand = b.join(edges, b("vid") === edges("src"))
+        .select(col("query_id"), col("dst").as("vid")).distinct()
+      val fresh = cand.join(b.select(col("query_id"), col("vid")),
+          Seq("query_id", "vid"), "left_anti")
+        .join(corpus, col("vid") === corpus("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("vid"),
+          (dot("qe", "e") / (col("qn") * col("nrm"))).as("cosine"))
+      b = b.union(fresh)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("query_id"), col("vid"), col("cosine"))
+        .localCheckpoint(true)
+    }
+    topK(b.filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("cosine")), k)
+  }
+
+  /** Graph-walk recall (e55) — [[graphBeamSearch]] measured against the
+    * exact [[cosineTopK]] baseline, folded to ONE row (the e30/e40
+    * aggregate device: (n_queries, n_hits) instead of per-query rows,
+    * so the oracle chains don't duplicate per data point): recall@k =
+    * found-in-exact-top-k / (k·queries). Exact integers plus one IEEE
+    * divide. The number prices the beam/rounds/entries knobs the same
+    * way e30 prices probe count.
+    */
+  def graphBeamRecall(emb: DataFrame, queryPred: Column, k: Int,
+      beam: Int, rounds: Int, knnK: Int, bits: Int = 6,
+      entries: Int = 4): DataFrame = {
+    val found = graphBeamSearch(emb, queryPred, k, beam, rounds, knnK, bits, entries)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = cosineTopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // read twice: the count and the hit join
+    val nq = exact.agg(countDistinct(col("query_id")).cast("long").as("n_queries"))
+    val hits = found.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+    hits.crossJoin(broadcast(nq)).select(col("n_queries"), col("n_hits"),
+      (col("n_hits").cast("double") / (lit(k) * col("n_queries")))
+        .as("recall"))
+  }
+
   /** Embedding-distribution DRIFT report (e51) — the monitoring row a
     * production embedding pipeline watches between corpus versions or
     * between a reference slice and incoming data (encoder drift,

@@ -375,18 +375,24 @@ object TextAnalysis {
     * serving shapes cannot drift.
     */
   private def bpeApplyMerges(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(bpeWordSyms(docs, merges)), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens_bpe"))
+
+  /** Per-word BPE symbol counts under an ordered merge list — the
+    * vocabulary-scale lookup table [[bpeApplyMerges]] and
+    * [[wordPieceEncode]] both join against. (word, n_syms).
+    */
+  private def bpeWordSyms(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     var v = bpeVocab(docs)
     merges.foreach { case (s1, s2) =>
       v = v.withColumn("rep",
         replace(col("rep"), lit(s1 + "¦" + s2), lit(s1 + s2)))
     }
-    val counts = v.select(col("word"),
-      size(split(col("rep"), "¦")).cast("long").as("n_syms"))
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .join(broadcast(counts), Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens_bpe"))
+    v.select(col("word"), size(split(col("rep"), "¦")).cast("long").as("n_syms"))
   }
 
   /** Persist a trained BPE merge table (d113) — the tokenizer
@@ -438,6 +444,78 @@ object TextAnalysis {
     } catch { case _: IndexManifestException => false }
     if (!hit) saveBpeModel(docs, path, nMerges)
     docs.sparkSession.read.parquet(s"$path/merges")
+  }
+
+  /** WordPiece greedy segmentation (d137) — the THIRD tokenizer family
+    * beside BPE (merge-order replay, d61) and unigram (Viterbi, d102):
+    * BERT's serving algorithm (Devlin et al. 2019; maximal munch): walk
+    * each word left to right, at every position taking the LONGEST
+    * vocabulary piece that prefixes the remaining suffix. The vocabulary
+    * is the standard BPE-derived piece set — every merge result plus
+    * the corpus alphabet (real WordPiece vocabs include all single
+    * characters for exactly this reason: the greedy walk can then never
+    * dead-end, no [UNK] path needed). Same marked-word domain as the
+    * BPE family (word + '¶'), so the two tokenizers' counts compare
+    * one-to-one ([[wordPieceEncode]]).
+    *
+    * Scale shape: the walk runs over the DISTINCT-word vocabulary (the
+    * bpeVocab reduction — never the token stream), as one scan-side
+    * `aggregate` fold per word: position state advances by the best
+    * match's length, where the piece set is a LITERAL array (bounded by
+    * nMerges + |alphabet| — the driver-constant device, same class as
+    * the collected merge table every BPE consumer already holds). Zero
+    * joins, zero shuffles beyond the vocabulary groupBy.
+    *
+    * Determinism: at any position all matching pieces of equal length
+    * are the same string, so argmax-by-length is unique; the oracle
+    * replays the identical walk as a best-match grid plus a recursive
+    * step CTE. Returns (word, wc, n_pieces, seg — '|'-joined pieces).
+    */
+  def wordPieceSegments(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val rep0 = bpeVocab(docs)
+    val alpha = rep0.select(explode(split(col("rep"), "¦")).as("p"))
+    val pieces = merges.select(concat(col("s1"), col("s2")).as("p"))
+      .union(alpha).distinct()
+      .collect().map(_.getString(0)).sorted
+    val pl = pieces.map(p => "'" + p.replace("'", "''") + "'")
+      .mkString("array(", ",", ")")
+    val bestLen =
+      s"array_max(transform(filter($pl, p -> substring(mw, s.pos, length(p)) = p), p -> length(p)))"
+    rep0.select(col("word"), col("wc"), concat(col("word"), lit("¶")).as("mw"))
+      .withColumn("st", expr(
+        s"""aggregate(sequence(1, length(mw)),
+           |  named_struct('pos', 1, 'n', 0, 'seg', ''),
+           |  (s, i) -> IF(i = s.pos,
+           |    named_struct('pos', s.pos + $bestLen, 'n', s.n + 1,
+           |      'seg', concat(s.seg, '|', substring(mw, s.pos, $bestLen))),
+           |    s),
+           |  s -> named_struct('n', CAST(s.n AS BIGINT), 'seg', substring(s.seg, 2)))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("word"), col("wc"), col("st.n").as("n_pieces"),
+        col("st.seg").as("seg"))
+  }
+
+  /** Greedy-vs-merge-order disagreement, priced per document (d138):
+    * every doc's token count under BPE merge replay AND under the
+    * WordPiece greedy walk over the SAME piece vocabulary — the two
+    * published serving algorithms genuinely differ (greedy maximal
+    * munch can pick a long piece the merge order never assembles, and
+    * vice versa), and this row measures by how much on this corpus.
+    * One token-stream scan joined against the two broadcast
+    * vocabulary-scale lookup tables. Returns (doc_id, n_words,
+    * n_tokens_bpe, n_tokens_wp).
+    */
+  def wordPieceEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy(col("step")).collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2")))
+    val lut = bpeWordSyms(docs, ms.toSeq)
+      .join(wordPieceSegments(docs, merges)
+        .select(col("word"), col("n_pieces")), Seq("word"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(lut), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens_bpe"),
+        sum(col("n_pieces")).as("n_tokens_wp"))
   }
 
   /** BPE segmentation spans (d64) — the per-word token TABLE a
@@ -1361,6 +1439,56 @@ object TextAnalysis {
       .crossJoin(broadcast(vocab))
       .select(col("prev"), col("cur"), expr(
         "CAST(ln(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE)) AS DECIMAL(28,8))").as("nll"))
+    g.join(model, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("nll")).as("sum_nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_nll").cast("double") / col("n_bigrams")).as("avg_nll"))
+  }
+
+  /** Kneser-Ney smoothed bigram LM (d136) — the canonical n-gram
+    * smoothing (Kneser & Ney 1995; the interpolated form of Chen &
+    * Goodman 1998 that KenLM ships as its default), upgrading the
+    * add-one model of [[bigramLm]]: absolute discounting with the
+    * discounted mass redistributed by CONTINUATION probability
+    * (how many distinct contexts a word follows), not raw frequency —
+    * the fix for "San Francisco" inflating P(Francisco | anything):
+    *
+    *   P(cur|prev) = max(c2 − D, 0)/c1 + D·N1+(prev,·)/c1 · N1+(·,cur)/B
+    *
+    * with D = 3/4, c2/c1 the bigram/context counts, N1+(prev,·) the
+    * distinct continuations of prev, N1+(·,cur) the distinct left
+    * contexts of cur, and B the distinct-bigram total. Self-scoring
+    * (the [[bigramLm]] convention) means every scored bigram is in the
+    * model, so c2 ≥ 1 and the max() never clips.
+    *
+    * Cross-engine exactness: with D = 3/4 the probability is a ratio
+    * of two exact BIGINTs — P = ((4·c2 − 3)·B + 3·n1p·n1r)/(4·c1·B) —
+    * so each distinct bigram's nll is ln() of one exact integer
+    * division, rounded once to DECIMAL(28,8) (the d45 device) and
+    * summed exactly; `avg_nll` is one IEEE divide. No Double enters
+    * before the final ln.
+    *
+    * Scale shape: identical to [[bigramLm]] — all four count tables
+    * derive from the localCheckpointed pair counts (the corpus text is
+    * scanned exactly twice), the model join is vocabulary-scale and
+    * deliberately not broadcast, B is the single broadcast scalar.
+    * Returns (doc_id, n_bigrams, avg_nll).
+    */
+  def kneserNeyLm(docs: DataFrame): DataFrame = {
+    val g = bigrams(docs)
+    val c2 = g.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val c1 = c2.groupBy(col("prev"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val n1r = c2.groupBy(col("cur")).agg(count(lit(1)).as("n1r"))
+    val btot = c2.agg(count(lit(1)).cast("long").as("b"))
+    val model = c2.join(c1, Seq("prev")).join(n1r, Seq("cur"))
+      .crossJoin(broadcast(btot))
+      .select(col("prev"), col("cur"), expr(
+        """CAST(ln(CAST(4 * c1 * b AS DOUBLE) /
+          |CAST((4 * c2 - 3) * b + 3 * n1p * n1r AS DOUBLE)) AS DECIMAL(28,8))"""
+          .stripMargin.replace("\n", " ")).as("nll"))
     g.join(model, Seq("prev", "cur"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("nll")).as("sum_nll"))

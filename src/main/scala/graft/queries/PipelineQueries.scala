@@ -22,6 +22,7 @@ object PipelineQueries {
   private val ANN_BITS = 6     // sign-projection bits → 64 buckets
   private val MAX_BUCKET = 1000L // LSH bucket-size guard (Dedup.lshCandidates)
   private val MAX_DF = 10000L    // stop-shingle df guard (Dedup.dfCapped)
+  private val CONTAIN_T = 0.5    // d139 containment threshold
   private val IVF_CELLS = 16     // IVF centroid count (e04)
   private val IVF_PROBES = 4     // IVF probed cells per query (e04)
   private val PQ_M = 8           // e09/e10 PQ subspaces
@@ -143,6 +144,10 @@ object PipelineQueries {
     Seq("the", "spark", "hash", "zzz") // measures pure collision mass)
   private val PHRASE =           // d100 adjacent-token phrase (present
     Seq("slow", "hash", "batch") // at sf0.01: 8 occurrences — measured)
+  private val GB_K = 5           // e54 results per query
+  private val GB_BEAM = 8        // e54 beam width
+  private val GB_ROUNDS = 3      // e54 expansion rounds
+  private val GB_ENTRIES = 4     // e54 fixed entry nodes (vec_id < 4)
   private val PR_ITERS = 3       // e50 power-iteration steps
   private val PR_DAMP = 85       // e50 damping (percent — integer)
   private val PR_SCALE = 1000000000000L // e50 total micro-mass per node
@@ -390,6 +395,22 @@ object PipelineQueries {
         Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0), 0.4, MAX_DF)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // directional containment pairs (d139): |A∩B|/|A| — the asymmetric
+    // subset-copy signal Jaccard misses; same bounded slice as d04
+    // (Dedup.containmentPairs doc)
+    "d139_containment_pairs" -> ((spark: SparkSession, dir: String) =>
+      Dedup.containmentPairs(
+        Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0),
+        CONTAIN_T, MAX_DF)
+        .orderBy(col("doc_src"), col("doc_dst"))),
+
+    // preference-pair construction (d140): per-source (chosen,
+    // rejected) by the d07 stopword-density score — the DPO dataset
+    // shape (Curation.preferencePairs doc)
+    "d140_preference_pairs" -> ((spark: SparkSession, dir: String) =>
+      Curation.preferencePairs(Tables.documents(spark, dir))
+        .orderBy(col("source"))),
+
     // exact similarity join by PREFIX FILTERING (d133): no false
     // negatives, candidates from the prefix inverted index only —
     // registers against d04's oracle VERBATIM (Dedup.ppJoinPairs doc)
@@ -503,6 +524,23 @@ object PipelineQueries {
       Similarity.pageRank(Tables.embeddings(spark, dir), KNN_K, ANN_BITS,
         PR_ITERS)
         .orderBy(col("vec_id"))),
+
+    // graph-traversal ANN (e54): beam search over the small-world
+    // navigation graph (multi-probe kNN edges + deterministic
+    // long-range shortcuts) — the HNSW/DiskANN query shape completing
+    // the ANN ladder (Similarity.graphBeamSearch doc)
+    "e54_graph_beam" -> ((spark: SparkSession, dir: String) =>
+      Similarity.graphBeamSearch(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, GB_K, GB_BEAM, GB_ROUNDS, KNN_K, ANN_BITS,
+        GB_ENTRIES)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // graph-walk recall vs the exact baseline, one aggregate row —
+    // prices the beam/rounds/entries knobs the way e30 prices probes
+    "e55_graph_beam_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.graphBeamRecall(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, GB_K, GB_BEAM, GB_ROUNDS, KNN_K, ANN_BITS,
+        GB_ENTRIES)),
 
     "e01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
       Similarity.cosineTopK(Tables.embeddings(spark, dir),
@@ -869,6 +907,13 @@ object PipelineQueries {
       TextAnalysis.bigramLm(Tables.documents(spark, dir))
         .orderBy(col("doc_id"))),
 
+    // Kneser-Ney smoothed bigram LM (d136): absolute discounting with
+    // continuation-probability backoff — D=3/4 makes every probability
+    // a ratio of two exact BIGINTs (TextAnalysis.kneserNeyLm doc)
+    "d136_kneser_ney_lm" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.kneserNeyLm(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
     // CCNet's head/middle/tail terciles over d45, ranked with the
     // distributed global-rank device (bucket-partitioned windows +
     // per-bucket base offsets — parallelism bounded by the grid, never
@@ -1073,6 +1118,24 @@ object PipelineQueries {
       bpeCached(spark, dir) // build if stale
       TextAnalysis.bpeEncodeIndexed(spark,
         indexPath("d113-bpe/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")), docs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // WordPiece greedy segmentation (d137): BERT's maximal-munch walk
+    // over the BPE-derived piece vocabulary (merge results + alphabet)
+    // — the third tokenizer family; one scan-side fold per distinct
+    // word (TextAnalysis.wordPieceSegments doc)
+    "d137_wordpiece_vocab" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      TextAnalysis.wordPieceSegments(docs, bpeCached(spark, dir))
+        .orderBy(col("word"))
+    }),
+
+    // greedy-vs-merge-order disagreement per doc (d138): token counts
+    // under both serving algorithms over ONE shared piece vocabulary
+    "d138_wordpiece_encode" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      TextAnalysis.wordPieceEncode(docs, bpeCached(spark, dir))
         .orderBy(col("doc_id"))
     }),
 
@@ -3350,6 +3413,35 @@ object PipelineQueries {
        |  FROM br${i - 1})""".stripMargin
   }.mkString(",\n").replace("\n", " ")
 
+  /** Mirror of [[graft.operators.TextAnalysis.wordPieceSegments]]'s
+    * greedy walk, downstream of [[bpeHeadCtes]]+[[bpeMergeStages]]:
+    * piece vocabulary (merge results ∪ alphabet), best-match-length
+    * grid over every (word, position), then the walk as a recursive
+    * step CTE (the grid keeps aggregation OUT of the recursion —
+    * recursive terms may join but not aggregate). Ends in
+    * `wfin(word, wc, n_pieces, seg)`. Shared by d137 and d138; callers
+    * must open with WITH RECURSIVE.
+    */
+  private lazy val wordPieceCtes = {
+    val mergePieces = (1 to BPE_MERGES)
+      .map(i => s"SELECT s1 || s2 AS p FROM bm$i").mkString(" UNION ALL ")
+    s"""wpp AS (SELECT DISTINCT p FROM ($mergePieces
+       |  UNION ALL SELECT unnest(string_split(rep, '¦')) AS p FROM br0)),
+       |wpw AS (SELECT word, wc, word || '¶' AS mw FROM bw),
+       |wbl AS (SELECT w.mw, t.i, CAST(max(len(p.p)) AS BIGINT) AS bl
+       |  FROM wpw w, LATERAL unnest(range(1, len(w.mw) + 1)) AS t(i), wpp p
+       |  WHERE substr(w.mw, CAST(t.i AS INTEGER), CAST(len(p.p) AS INTEGER)) = p.p
+       |  GROUP BY 1, 2),
+       |wwk AS (SELECT word, mw, wc, CAST(1 AS BIGINT) AS pos,
+       |    CAST(0 AS BIGINT) AS n, '' AS seg FROM wpw
+       |  UNION ALL
+       |  SELECT k.word, k.mw, k.wc, k.pos + b.bl, k.n + 1,
+       |    k.seg || '|' || substr(k.mw, CAST(k.pos AS INTEGER), CAST(b.bl AS INTEGER))
+       |  FROM wwk k JOIN wbl b ON b.mw = k.mw AND b.i = k.pos),
+       |wfin AS (SELECT word, wc, n AS n_pieces, substr(seg, 2) AS seg
+       |  FROM wwk WHERE pos = len(mw) + 1)""".stripMargin.replace("\n", " ")
+  }
+
   /** Mirror of [[graft.operators.Sampling.stratified]] over the
     * language strata — ends in `u(doc_id, stratum, u)`; pair with
     * [[rateCase]] for the keep predicate. Shared by d16 and d19.
@@ -3690,6 +3782,56 @@ object PipelineQueries {
       val b = 4 * j
       s"(CASE WHEN e[${b + 1}] + e[${b + 2}] - e[${b + 3}] - e[${b + 4}] > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Shared CTE chain of the e54/e55 oracles: the nav graph (multi-probe
+    * kNN edges + the mod-7919 long shortcut), the fixed entry beam, and
+    * GB_ROUNDS unrolled expansion steps — each round joins the previous
+    * beam to the edge set, scores ONLY fresh candidates, and cuts back
+    * to GB_BEAM per query (cosine desc, vid asc — the total order the
+    * Spark walk uses). Ends at CTE b{GB_ROUNDS}(qid, vid, cosine).
+    */
+  private def graphBeamCtes: String = {
+    val masks = (0L +: (0 until ANN_BITS).map(j => 1L << j)).mkString(",")
+    def round(i: Int): String = {
+      val prev = if (i == 1) "b0" else s"b${i - 1}"
+      s"""cd$i AS (SELECT DISTINCT b.qid, eg.dst AS vid
+         |  FROM $prev b JOIN eg ON eg.src = b.vid),
+         |nw$i AS (SELECT c.qid, c.vid,
+         |    list_dot_product(q.qe, n.e)/(q.qn*n.nrm) AS cosine
+         |  FROM cd$i c JOIN n ON n.vec_id = c.vid JOIN qs q ON q.qid = c.qid
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev p
+         |    WHERE p.qid = c.qid AND p.vid = c.vid)),
+         |b$i AS (SELECT qid, vid, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vid) AS rn
+         |  FROM (SELECT * FROM $prev UNION ALL SELECT * FROM nw$i))
+         |  WHERE rn <= $GB_BEAM)""".stripMargin.replace("\n", " ")
+    }
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+       |        CAST($annBucket AS BIGINT) AS bucket FROM v),
+       |qp AS (SELECT vec_id, e, nrm, xor(bucket, m) AS bucket
+       |      FROM n, UNNEST([$masks]) AS t(m)),
+       |pp AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+       |      FROM qp q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY cosine DESC, nid) AS rk FROM pp),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM v),
+       |eg AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT qid AS src, nid AS dst FROM rr WHERE rk <= $KNN_K
+       |  UNION ALL
+       |  SELECT vec_id AS src, (vec_id * 7919) % nn.nv AS dst
+       |  FROM v CROSS JOIN nn WHERE (vec_id * 7919) % nn.nv <> vec_id)),
+       |qs AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+       |       WHERE vec_id % 50 = 0),
+       |b0 AS (SELECT q.qid, t.vec_id AS vid,
+       |    list_dot_product(q.qe, t.e)/(q.qn*t.nrm) AS cosine
+       |  FROM qs q CROSS JOIN
+       |    (SELECT vec_id, e, nrm FROM n WHERE vec_id < $GB_ENTRIES) t),
+       |${(1 to GB_ROUNDS).map(round).mkString(", ")}"""
+      .stripMargin.replace("\n", " ")
+  }
 
   private def markerIn(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
@@ -4474,6 +4616,28 @@ object PipelineQueries {
          |SELECT doc_id, n_bigrams, avg_nll FROM lm
          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
+    // mirror of TextAnalysis.kneserNeyLm: the d45 gram/count CTEs plus
+    // continuation counts; P is a ratio of two exact BIGINTs, nll
+    // rounded once to DECIMAL(28,8) (the shared d45 device)
+    "d136_kneser_ney_lm" ->
+      """WITH lt AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |lg AS (SELECT doc_id, unnest(list_slice(w, 1, len(w)-1)) AS prev,
+        |        unnest(list_slice(w, 2, len(w))) AS cur FROM lt WHERE len(w) >= 2),
+        |lc2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM lg GROUP BY 1, 2),
+        |lc1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+        |        CAST(count(*) AS BIGINT) AS n1p FROM lc2 GROUP BY 1),
+        |ln1r AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1r FROM lc2 GROUP BY 1),
+        |lb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM lc2),
+        |lmodel AS (SELECT prev, cur,
+        |  CAST(ln(CAST(4 * c1 * b AS DOUBLE) /
+        |    CAST((4 * c2 - 3) * b + 3 * n1p * n1r AS DOUBLE)) AS DECIMAL(28,8)) AS nll
+        |  FROM lc2 JOIN lc1 USING (prev) JOIN ln1r USING (cur) CROSS JOIN lb),
+        |lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
+        |  FROM lg JOIN lmodel USING (prev, cur) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, avg_nll FROM lm
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
     // mirror of TextAnalysis.perplexityTiers: the distributed
     // global-rank device over the shared LM chain — bucket-partitioned
     // row_numbers plus per-bucket base offsets, terciles on the rank
@@ -5198,6 +5362,30 @@ object PipelineQueries {
     // representation, symbol counts per word, docs joined back
     "d61_bpe_encode" -> bpeEncodeSql,
 
+    // mirror of TextAnalysis.wordPieceSegments: BPE training CTEs →
+    // piece vocab → greedy-walk recursion (wordPieceCtes doc)
+    "d137_wordpiece_vocab" ->
+      s"""WITH RECURSIVE $bpeHeadCtes,
+         |$bpeMergeStages,
+         |$wordPieceCtes
+         |SELECT word, wc, n_pieces, seg FROM wfin
+         |ORDER BY word""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.wordPieceEncode: the d61 BPE lookup and
+    // the d137 greedy lookup joined to one token stream
+    "d138_wordpiece_encode" ->
+      s"""WITH RECURSIVE $bpeHeadCtes,
+         |$bpeMergeStages,
+         |$wordPieceCtes,
+         |enc AS (SELECT word, CAST(len(string_split(rep, '¦')) AS BIGINT) AS n_syms
+         |  FROM br$BPE_MERGES),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_tokens_bpe,
+         |  CAST(sum(n_pieces) AS BIGINT) AS n_tokens_wp
+         |FROM tok JOIN enc USING (word) JOIN wfin USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
     // d113 reads the persisted merge table and runs the same tail —
     // same oracle text as d61 (the d104 convention: persistence must
     // not change an encoding)
@@ -5605,6 +5793,41 @@ object PipelineQueries {
          |WHERE CAST(i AS DOUBLE)/(ca.c + cb.c - i) >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
 
+    // mirror of Dedup.containmentPairs: the d04 intersection table,
+    // projected per direction and thresholded on i/|src|
+    "d139_containment_pairs" ->
+      s"""WITH ${shingleCteOver("doc_id % 2 = 0 AND")},
+         |$dfCapCte,
+         |card AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |          FROM shc x JOIN shc y ON x.hs = y.hs AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |bidir AS (SELECT a, b, i, ca.c AS cca, cb.c AS ccb
+         |  FROM inter JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b),
+         |dir AS (SELECT a AS doc_src, b AS doc_dst,
+         |    CAST(i AS DOUBLE)/cca AS containment FROM bidir
+         |  UNION ALL SELECT b, a, CAST(i AS DOUBLE)/ccb FROM bidir)
+         |SELECT doc_src, doc_dst, containment FROM dir
+         |WHERE containment >= $CONTAIN_T
+         |ORDER BY doc_src, doc_dst""".stripMargin.replace("\n", " "),
+
+    // mirror of Curation.preferencePairs: the d07 stop-ratio score,
+    // two per-source argmax/argmin windows, opposing id tie-breaks
+    "d140_preference_pairs" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |  CAST(len(list_filter(string_split(text,' '),
+         |    x -> x IN ${markerIn(graft.operators.TextAnalysis.markers.head._2)})) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS score FROM documents),
+         |ch AS (SELECT source, doc_id AS chosen_id, score AS chosen_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY score DESC, doc_id ASC) AS rn FROM s) WHERE rn = 1),
+         |rj AS (SELECT source, doc_id AS rejected_id, score AS rejected_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY score ASC, doc_id DESC) AS rn FROM s) WHERE rn = 1)
+         |SELECT source, chosen_id, chosen_score, rejected_id, rejected_score,
+         |  chosen_score - rejected_score AS margin
+         |FROM ch JOIN rj USING (source) WHERE chosen_id <> rejected_id
+         |ORDER BY source""".stripMargin.replace("\n", " "),
+
     // d04's oracle VERBATIM: prefix filtering has no false negatives,
     // so the exact join's answer IS the prefix join's answer
     "d133_ppjoin_pairs" ->
@@ -5876,6 +6099,45 @@ object PipelineQueries {
          |SELECT vec_id, m FROM pr$PR_ITERS ORDER BY vec_id"""
         .stripMargin.replace("\n", " ")
     },
+
+    // mirror of Similarity.graphBeamSearch: the shared nav-graph +
+    // unrolled-rounds CTEs, final beam self-excluded, top-GB_K
+    "e54_graph_beam" ->
+      s"""WITH $graphBeamCtes
+         |SELECT query_id, rk, neighbor_id, cosine FROM (
+         |  SELECT qid AS query_id,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vid) AS BIGINT) AS rk,
+         |    vid AS neighbor_id, cosine
+         |  FROM b$GB_ROUNDS WHERE vid <> qid)
+         |WHERE rk <= $GB_K ORDER BY query_id, rk"""
+        .stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.graphBeamRecall: the e54 result set
+    // semi-joined against the brute-force exact top-k, one row
+    "e55_graph_beam_recall" ->
+      s"""WITH $graphBeamCtes,
+         |fnd AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT qid AS query_id,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vid) AS rk,
+         |    vid AS neighbor_id
+         |  FROM b$GB_ROUNDS WHERE vid <> qid) WHERE rk <= $GB_K),
+         |exp AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT qid AS query_id, nid AS neighbor_id,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nid) AS rk FROM exp) WHERE rk <= $GB_K),
+         |nqr AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+         |  FROM ex),
+         |ht AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM fnd
+         |  WHERE EXISTS (SELECT 1 FROM ex WHERE ex.query_id = fnd.query_id
+         |    AND ex.neighbor_id = fnd.neighbor_id))
+         |SELECT n_queries, n_hits,
+         |  CAST(n_hits AS DOUBLE) / ($GB_K * n_queries) AS recall
+         |FROM ht CROSS JOIN nqr""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.semanticDedupExtremity: the e45 pair mining
     // as a pairs(a, b) CTE, the shared recursive-CTE component closure
