@@ -2186,12 +2186,25 @@ object Similarity {
     */
   def graphBeamSearch(emb: DataFrame, queryPred: Column, k: Int,
       beam: Int, rounds: Int, knnK: Int, bits: Int = 6,
-      entries: Int = 4): DataFrame = {
+      entries: Int = 4): DataFrame =
+    beamTopK(beamWalk(emb, navGraph(emb, knnK, bits).localCheckpoint(true),
+      queryPred, k, beam, rounds, entries).last._2, k)
+
+  /** The shared walk body of [[graphBeamSearch]] /
+    * [[graphBeamSearchIndexed]] / [[graphBeamRecallCurve]]: `rounds`
+    * expansion steps over an already-materialized edge set, returning
+    * the beam AFTER EACH round (round i's beam is a prefix of the same
+    * chain — the recall curve reads them all, the search only the
+    * last). Each beam is localCheckpointed (the PageRank iteration
+    * device), so consumers never recompute the walk.
+    */
+  private def beamWalk(emb: DataFrame, edges: DataFrame, queryPred: Column,
+      k: Int, beam: Int, rounds: Int,
+      entries: Int): Seq[(Int, DataFrame)] = {
     require(k < beam && rounds >= 1 && entries >= 1 && entries <= beam,
       s"k=$k beam=$beam rounds=$rounds entries=$entries")
     val n = normalized(emb)
     val corpus = n.select(col("vec_id"), col("e"), col("nrm"))
-    val edges = navGraph(emb, knnK, bits).localCheckpoint(true)
     val q = n.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     val ent = n.filter(col("vec_id") < entries)
@@ -2203,7 +2216,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vid").asc)
-    for (_ <- 1 to rounds) {
+    (1 to rounds).map { i =>
       val cand = b.join(edges, b("vid") === edges("src"))
         .select(col("query_id"), col("dst").as("vid")).distinct()
       val fresh = cand.join(b.select(col("query_id"), col("vid")),
@@ -2217,10 +2230,13 @@ object Similarity {
         .filter(col("rn") <= beam)
         .select(col("query_id"), col("vid"), col("cosine"))
         .localCheckpoint(true)
+      (i, b)
     }
+  }
+
+  private def beamTopK(b: DataFrame, k: Int): DataFrame =
     topK(b.filter(col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"), col("cosine")), k)
-  }
 
   /** Graph-walk recall (e55) — [[graphBeamSearch]] measured against the
     * exact [[cosineTopK]] baseline, folded to ONE row (the e30/e40
@@ -2232,18 +2248,69 @@ object Similarity {
     */
   def graphBeamRecall(emb: DataFrame, queryPred: Column, k: Int,
       beam: Int, rounds: Int, knnK: Int, bits: Int = 6,
+      entries: Int = 4): DataFrame =
+    graphBeamRecallCurve(emb, queryPred, k, beam, rounds, knnK, bits, entries)
+      .filter(col("rounds") === rounds)
+      .select(col("n_queries"), col("n_hits"), col("recall"))
+
+  /** Recall-per-ROUND curve (e56) — recall@k of [[graphBeamSearch]]
+    * measured after EVERY expansion round of one walk (round i's beam
+    * is a prefix of the same chain, so the curve costs one walk, not
+    * `rounds` walks — the e30 probe-curve discipline transplanted to
+    * the graph family). Monotone by construction: a candidate that
+    * displaces a beam member has strictly higher cosine, and anything
+    * with higher cosine than an exact-top-k member is itself exact
+    * top-k, so hits never decrease round over round (spec-pinned).
+    * Returns (rounds, n_queries, n_hits, recall).
+    */
+  def graphBeamRecallCurve(emb: DataFrame, queryPred: Column, k: Int,
+      beam: Int, rounds: Int, knnK: Int, bits: Int = 6,
       entries: Int = 4): DataFrame = {
-    val found = graphBeamSearch(emb, queryPred, k, beam, rounds, knnK, bits, entries)
-      .select(col("query_id"), col("neighbor_id"))
+    val beams = beamWalk(emb, navGraph(emb, knnK, bits).localCheckpoint(true),
+      queryPred, k, beam, rounds, entries)
     val exact = cosineTopK(emb, queryPred, k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true) // read twice: the count and the hit join
+      .localCheckpoint(true) // read per round + once for the count
     val nq = exact.agg(countDistinct(col("query_id")).cast("long").as("n_queries"))
-    val hits = found.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-      .agg(count(lit(1)).cast("long").as("n_hits"))
-    hits.crossJoin(broadcast(nq)).select(col("n_queries"), col("n_hits"),
-      (col("n_hits").cast("double") / (lit(k) * col("n_queries")))
-        .as("recall"))
+    beams.map { case (i, b) =>
+      beamTopK(b, k).select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit(i.toLong).as("rounds"), col("n_queries"), col("n_hits"),
+          (col("n_hits").cast("double") / (lit(k) * col("n_queries")))
+            .as("recall"))
+    }.reduce(_ union _)
+  }
+
+  /** Persist the [[navGraph]] edge set (e57) — the graph family's index
+    * artifact under the shared manifest (kind "nav-graph"). REBUILD-ONLY
+    * by design, like the d87 BM25 store: the edges are corpus-global
+    * twice over (a new vector changes existing nodes' top-k AND shifts
+    * every mod-N long shortcut), so an append would silently rewrite
+    * history edges' meaning — the manifest staleness gate makes that
+    * loud instead.
+    */
+  def saveNavGraph(emb: DataFrame, path: String, knnK: Int,
+      bits: Int = 6): Unit = {
+    navGraph(emb, knnK, bits).write.mode("overwrite").parquet(s"$path/edges")
+    val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
+    IndexManifest.write(path, IndexManifest.Manifest("nav-graph",
+      Map("knn_k" -> knnK.toLong, "bits" -> bits.toLong), rows, maxId))
+  }
+
+  /** Graph-walk serving from the persisted [[saveNavGraph]] store —
+    * the e31/d113 convention: the store must not change an answer, so
+    * e57 registers against e54's oracle verbatim (plus a bit-identity
+    * spec). The graph build is never re-run at query time; only the
+    * walk's bounded candidate joins touch the cluster.
+    */
+  def graphBeamSearchIndexed(spark: SparkSession, path: String,
+      emb: DataFrame, queryPred: Column, k: Int, beam: Int, rounds: Int,
+      entries: Int = 4): DataFrame = {
+    IndexManifest.require(path, "nav-graph")
+    beamTopK(beamWalk(emb, spark.read.parquet(s"$path/edges"),
+      queryPred, k, beam, rounds, entries).last._2, k)
   }
 
   /** Embedding-distribution DRIFT report (e51) — the monitoring row a

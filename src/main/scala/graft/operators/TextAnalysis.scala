@@ -1496,6 +1496,93 @@ object TextAnalysis {
         (col("sum_nll").cast("double") / col("n_bigrams")).as("avg_nll"))
   }
 
+  /** PMI collocations (d141) — pointwise mutual information over the
+    * shared bigram stream (Church & Hanks 1990: the collocation-mining
+    * statistic) plus word2phrase's discounted score (Mikolov et al.
+    * 2013, §4: (c₂−δ)·T/(c(a)·c(b)) — the threshold statistic that
+    * decides which adjacent pairs become single phrase tokens in a
+    * phrase-aware tokenization pass). Marginals are the bigram table's
+    * row/column sums (contingency-table PMI), so the whole statistic
+    * derives from the one localCheckpointed pair-count table.
+    *
+    * Cross-engine exactness: pmi = ln of a ratio of two exact BIGINTs
+    * (c₂·T / rm·cm), rounded once to DECIMAL(28,8) (the d45 device);
+    * the phrase score is one IEEE divide of exact longs. Pairs below
+    * `minCount` are dropped FIRST (the published rare-pair guard — PMI
+    * is degenerate on hapax pairs, and with minCount ≥ delta the
+    * discounted numerator stays non-negative); the top-k plans as
+    * TakeOrderedAndProject ordered by the ROUNDED pmi (ties resolved
+    * by the pair itself — total order, rank deterministic).
+    *
+    * Returns (rank, prev, cur, c2, pmi, phrase_score).
+    */
+  def pmiCollocations(docs: DataFrame, k: Int = 20, minCount: Long = 5,
+      delta: Long = 5): DataFrame = {
+    require(minCount >= delta, s"minCount=$minCount < delta=$delta")
+    val c2 = bigrams(docs)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val rowm = c2.groupBy(col("prev")).agg(sum(col("c2")).as("rm"))
+    val colm = c2.groupBy(col("cur")).agg(sum(col("c2")).as("cm"))
+    val tot = c2.agg(sum(col("c2")).cast("long").as("t"))
+    val scored = c2.filter(col("c2") >= minCount)
+      .join(rowm, Seq("prev")).join(colm, Seq("cur"))
+      .crossJoin(broadcast(tot))
+      .select(col("prev"), col("cur"), col("c2"),
+        // round once to DECIMAL(28,8), publish as DOUBLE (one exact
+        // cast — the comparator and every consumer read IEEE doubles)
+        expr("CAST(CAST(ln(CAST(c2 * t AS DOUBLE) / CAST(rm * cm AS DOUBLE)) AS DECIMAL(28,8)) AS DOUBLE)")
+          .as("pmi"),
+        expr(s"CAST((c2 - $delta) * t AS DOUBLE) / CAST(rm * cm AS DOUBLE)")
+          .as("phrase_score"))
+    val ordW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("prev").asc, col("cur").asc)
+    scored.orderBy(col("pmi").desc, col("prev").asc, col("cur").asc).limit(k)
+      .withColumn("rank", row_number().over(ordW).cast("long"))
+      .select(col("rank"), col("prev"), col("cur"), col("c2"), col("pmi"),
+        col("phrase_score"))
+  }
+
+  /** Character-entropy quality signal (d142) — Shannon entropy of the
+    * per-document character distribution, the gibberish/encoding-noise
+    * detector web-cleaning pipelines run beside the word-level rules
+    * (binary blobs and key-mash score near-uniform HIGH; single-char
+    * floods score near 0; prose sits in a narrow band):
+    * H = ln(n) − (Σ cᵢ·ln cᵢ)/n over character counts cᵢ.
+    *
+    * Exactness discipline: each distinct character's ln(cᵢ) is rounded
+    * to DECIMAL(28,8) once (the d45 device), the weighted terms sum as
+    * exact decimals (order-independent under any combine), ln(n) gets
+    * the same one-time round, and the final H is one IEEE divide + one
+    * subtract — bit-identical cross-engine.
+    *
+    * Scale shape: one (doc, char) aggregate with map-side combine (key
+    * space = corpus × alphabet) folded to one row per doc — two keyed
+    * shuffles, no joins, no windows. Returns (doc_id, n_chars,
+    * n_distinct_chars, entropy).
+    */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      // Spark's split-by-empty-regex appends one trailing "" element
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_chars"),
+        count(lit(1)).cast("long").as("n_distinct_chars"),
+        // operand widths are load-bearing: DECIMAL(19,0) × DECIMAL(18,8)
+        // is exactly precision 38 scale 8 — one digit wider on either
+        // side and Spark's precision-loss rule silently REDUCES the
+        // product's scale to 6 (measured: H("aaaa") came out 1.1e-7,
+        // i.e. 11 lost quanta, instead of 0)
+        sum(expr(
+          """CAST(CAST(c AS DECIMAL(19,0)) *
+            |CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,8)) AS DECIMAL(38,8))"""
+            .stripMargin.replace("\n", " ")))
+          .as("s"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        (expr("CAST(CAST(ln(CAST(n_chars AS DOUBLE)) AS DECIMAL(28,8)) AS DOUBLE)")
+          - col("s").cast("double") / col("n_chars")).as("entropy"))
+
   /** CCNet's head/middle/tail perplexity terciles over [[bigramLm]],
     * ranked with the DISTRIBUTED global-rank device: no single-partition
     * corpus-wide window. Documents bucket by a coarse score grid

@@ -144,6 +144,9 @@ object PipelineQueries {
     Seq("the", "spark", "hash", "zzz") // measures pure collision mass)
   private val PHRASE =           // d100 adjacent-token phrase (present
     Seq("slow", "hash", "batch") // at sf0.01: 8 occurrences — measured)
+  private val PMI_K = 20         // d141 collocations kept
+  private val PMI_MIN = 5L       // d141 min pair count (>= delta)
+  private val PMI_DELTA = 5L     // d141 word2phrase discount
   private val GB_K = 5           // e54 results per query
   private val GB_BEAM = 8        // e54 beam width
   private val GB_ROUNDS = 3      // e54 expansion rounds
@@ -542,6 +545,28 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, GB_K, GB_BEAM, GB_ROUNDS, KNN_K, ANN_BITS,
         GB_ENTRIES)),
 
+    // recall-per-round curve (e56): every round of ONE walk measured
+    // (round i's beam is a prefix of the chain — the e30 curve
+    // discipline); monotone by the displacement argument, spec-pinned
+    "e56_graph_beam_curve" -> ((spark: SparkSession, dir: String) =>
+      Similarity.graphBeamRecallCurve(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, GB_K, GB_BEAM, GB_ROUNDS, KNN_K, ANN_BITS,
+        GB_ENTRIES)
+        .orderBy(col("rounds"))),
+
+    // persisted nav-graph serving (e57): the store must not change an
+    // answer — registered against e54's oracle verbatim; rebuild-only
+    // by design (corpus-global edges), manifest-gated
+    // (Similarity.saveNavGraph doc)
+    "e57_graph_beam_indexed" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      val path = indexPath("e57-nav")
+      Similarity.saveNavGraph(emb, path, KNN_K, ANN_BITS)
+      Similarity.graphBeamSearchIndexed(spark, path, emb,
+        col("vec_id") % 50 === 0, GB_K, GB_BEAM, GB_ROUNDS, GB_ENTRIES)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     "e01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
       Similarity.cosineTopK(Tables.embeddings(spark, dir),
         col("vec_id") % 50 === 0, 5)
@@ -912,6 +937,21 @@ object PipelineQueries {
     // a ratio of two exact BIGINTs (TextAnalysis.kneserNeyLm doc)
     "d136_kneser_ney_lm" -> ((spark: SparkSession, dir: String) =>
       TextAnalysis.kneserNeyLm(Tables.documents(spark, dir))
+        .orderBy(col("doc_id"))),
+
+    // PMI collocations + word2phrase score (d141): top-k adjacent
+    // pairs by pointwise mutual information over the shared bigram
+    // table (TextAnalysis.pmiCollocations doc)
+    "d141_pmi_collocations" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.pmiCollocations(Tables.documents(spark, dir),
+        PMI_K, PMI_MIN, PMI_DELTA)
+        .orderBy(col("rank"))),
+
+    // character-entropy quality signal (d142): Shannon entropy of the
+    // per-doc character distribution — the gibberish detector
+    // (TextAnalysis.charEntropy doc)
+    "d142_char_entropy" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.charEntropy(Tables.documents(spark, dir))
         .orderBy(col("doc_id"))),
 
     // CCNet's head/middle/tail terciles over d45, ranked with the
@@ -3833,6 +3873,47 @@ object PipelineQueries {
       .stripMargin.replace("\n", " ")
   }
 
+  /** The d61 store convention for the graph family: e54 (in-memory
+    * graph) and e57 (persisted edges) register against this one text.
+    */
+  private lazy val graphBeamSql =
+    s"""WITH $graphBeamCtes
+       |SELECT query_id, rk, neighbor_id, cosine FROM (
+       |  SELECT qid AS query_id,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, vid) AS BIGINT) AS rk,
+       |    vid AS neighbor_id, cosine
+       |  FROM b$GB_ROUNDS WHERE vid <> qid)
+       |WHERE rk <= $GB_K ORDER BY query_id, rk"""
+      .stripMargin.replace("\n", " ")
+
+  /** The e54 final-beam top-k as a named CTE over b`rounds` (self
+    * excluded, rank by cosine desc / id asc) — shared by the e55
+    * recall row and every e56 curve point.
+    */
+  private def beamFoundCte(name: String, rounds: Int): String =
+    s"""$name AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT qid AS query_id,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, vid) AS rk,
+       |    vid AS neighbor_id
+       |  FROM b$rounds WHERE vid <> qid) WHERE rk <= $GB_K)"""
+      .stripMargin.replace("\n", " ")
+
+  /** The brute-force exact top-k baseline + query count (`ex`, `nqr`)
+    * the graph-walk recall rows compare against. Shared by e55/e56.
+    */
+  private val beamExactCtes =
+    s"""exp AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT qid AS query_id, nid AS neighbor_id,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, nid) AS rk FROM exp) WHERE rk <= $GB_K),
+       |nqr AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+       |  FROM ex)""".stripMargin.replace("\n", " ")
+
   private def markerIn(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -4637,6 +4718,44 @@ object PipelineQueries {
         |  FROM lg JOIN lmodel USING (prev, cur) GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, avg_nll FROM lm
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.pmiCollocations: the d45 gram CTEs,
+    // contingency-table marginals, ln of exact-integer ratios rounded
+    // once, top-k by the ROUNDED pmi
+    "d141_pmi_collocations" ->
+      s"""WITH lt AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |lg AS (SELECT doc_id, unnest(list_slice(w, 1, len(w)-1)) AS prev,
+         |        unnest(list_slice(w, 2, len(w))) AS cur FROM lt WHERE len(w) >= 2),
+         |lc2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM lg GROUP BY 1, 2),
+         |prm AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS rm FROM lc2 GROUP BY 1),
+         |pcm AS (SELECT cur, CAST(sum(c2) AS BIGINT) AS cm FROM lc2 GROUP BY 1),
+         |ptt AS (SELECT CAST(sum(c2) AS BIGINT) AS t FROM lc2),
+         |psc AS (SELECT prev, cur, c2,
+         |  CAST(CAST(ln(CAST(c2 * t AS DOUBLE) / CAST(rm * cm AS DOUBLE)) AS DECIMAL(28,8)) AS DOUBLE) AS pmi,
+         |  CAST((c2 - $PMI_DELTA) * t AS DOUBLE) / CAST(rm * cm AS DOUBLE) AS phrase_score
+         |  FROM lc2 JOIN prm USING (prev) JOIN pcm USING (cur) CROSS JOIN ptt
+         |  WHERE c2 >= $PMI_MIN)
+         |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, prev, cur) AS BIGINT) AS rank,
+         |  prev, cur, c2, pmi, phrase_score
+         |FROM (SELECT * FROM psc ORDER BY pmi DESC, prev, cur LIMIT $PMI_K)
+         |ORDER BY rank""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.charEntropy: per-position characters,
+    // counts, per-char ln rounded once, decimal sum, one divide + one
+    // subtract
+    "d142_char_entropy" ->
+      """WITH ech AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+        |  FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS t(i)),
+        |ecc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ech GROUP BY 1, 2),
+        |eag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  sum(CAST(CAST(c AS DECIMAL(19,0)) *
+        |    CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,8)) AS DECIMAL(38,8))) AS s
+        |  FROM ecc GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct_chars,
+        |  CAST(CAST(ln(CAST(n_chars AS DOUBLE)) AS DECIMAL(28,8)) AS DOUBLE)
+        |    - CAST(s AS DOUBLE) / n_chars AS entropy
+        |FROM eag ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.perplexityTiers: the distributed
     // global-rank device over the shared LM chain — bucket-partitioned
@@ -6102,42 +6221,46 @@ object PipelineQueries {
 
     // mirror of Similarity.graphBeamSearch: the shared nav-graph +
     // unrolled-rounds CTEs, final beam self-excluded, top-GB_K
-    "e54_graph_beam" ->
-      s"""WITH $graphBeamCtes
-         |SELECT query_id, rk, neighbor_id, cosine FROM (
-         |  SELECT qid AS query_id,
-         |    CAST(row_number() OVER (PARTITION BY qid
-         |      ORDER BY cosine DESC, vid) AS BIGINT) AS rk,
-         |    vid AS neighbor_id, cosine
-         |  FROM b$GB_ROUNDS WHERE vid <> qid)
-         |WHERE rk <= $GB_K ORDER BY query_id, rk"""
-        .stripMargin.replace("\n", " "),
+    "e54_graph_beam" -> graphBeamSql,
+
+    // e57 reads the persisted edge set and must answer identically —
+    // e54's oracle text verbatim (the e31/d113 store convention)
+    "e57_graph_beam_indexed" -> graphBeamSql,
 
     // mirror of Similarity.graphBeamRecall: the e54 result set
     // semi-joined against the brute-force exact top-k, one row
     "e55_graph_beam_recall" ->
       s"""WITH $graphBeamCtes,
-         |fnd AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT qid AS query_id,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY cosine DESC, vid) AS rk,
-         |    vid AS neighbor_id
-         |  FROM b$GB_ROUNDS WHERE vid <> qid) WHERE rk <= $GB_K),
-         |exp AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-         |    list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
-         |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
-         |ex AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT qid AS query_id, nid AS neighbor_id,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY cosine DESC, nid) AS rk FROM exp) WHERE rk <= $GB_K),
-         |nqr AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
-         |  FROM ex),
+         |${beamFoundCte("fnd", GB_ROUNDS)},
+         |$beamExactCtes,
          |ht AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM fnd
          |  WHERE EXISTS (SELECT 1 FROM ex WHERE ex.query_id = fnd.query_id
          |    AND ex.neighbor_id = fnd.neighbor_id))
          |SELECT n_queries, n_hits,
          |  CAST(n_hits AS DOUBLE) / ($GB_K * n_queries) AS recall
          |FROM ht CROSS JOIN nqr""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.graphBeamRecallCurve: one walk, every
+    // round's beam read as a prefix of the same chain
+    "e56_graph_beam_curve" -> {
+      val perRound = (1 to GB_ROUNDS).map { i =>
+        s"""${beamFoundCte(s"f$i", i)},
+           |h$i AS (SELECT CAST($i AS BIGINT) AS rounds,
+           |  CAST(count(*) AS BIGINT) AS n_hits FROM f$i
+           |  WHERE EXISTS (SELECT 1 FROM ex WHERE ex.query_id = f$i.query_id
+           |    AND ex.neighbor_id = f$i.neighbor_id))"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      val unionAll = (1 to GB_ROUNDS)
+        .map(i => s"SELECT rounds, n_hits FROM h$i").mkString(" UNION ALL ")
+      s"""WITH $graphBeamCtes,
+         |$beamExactCtes,
+         |$perRound
+         |SELECT rounds, n_queries, n_hits,
+         |  CAST(n_hits AS DOUBLE) / ($GB_K * n_queries) AS recall
+         |FROM ($unionAll) CROSS JOIN nqr ORDER BY rounds"""
+        .stripMargin.replace("\n", " ")
+    },
 
     // mirror of Similarity.semanticDedupExtremity: the e45 pair mining
     // as a pairs(a, b) CTE, the shared recursive-CTE component closure

@@ -83,6 +83,76 @@ class GraphTokPrefSpec extends AnyFunSuite {
     assert(h3 >= h1, s"hits dropped: rounds1=$h1 rounds3=$h3")
   }
 
+  test("graphBeamRecallCurve: one row per round, hits monotone, last row = e55") {
+    val emb = Tables.embeddings(spark, dir)
+    val curve = Similarity.graphBeamRecallCurve(emb, col("vec_id") % 50 === 0,
+      k = 5, beam = 8, rounds = 3, knnK = 3)
+      .orderBy(col("rounds")).collect()
+    assert(curve.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val hits = curve.map(_.getLong(2)).toSeq
+    assert(hits == hits.sorted, s"non-monotone hits: $hits")
+    val last = Similarity.graphBeamRecall(emb, col("vec_id") % 50 === 0,
+      k = 5, beam = 8, rounds = 3, knnK = 3).head()
+    assert(curve.last.getLong(2) == last.getLong(1) &&
+      curve.last.getDouble(3) == last.getDouble(2))
+  }
+
+  test("persisted nav graph: indexed walk answers bit-identically; manifest gates") {
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-nav-").toString
+    Similarity.saveNavGraph(emb, path, 3, 6)
+    val mem = Similarity.graphBeamSearch(emb, col("vec_id") % 50 === 0,
+      5, 8, 3, 3).collect().map(_.toSeq).toSet
+    val idx = Similarity.graphBeamSearchIndexed(spark, path, emb,
+      col("vec_id") % 50 === 0, 5, 8, 3).collect().map(_.toSeq).toSet
+    assert(mem == idx)
+    intercept[Exception] {
+      Similarity.graphBeamSearchIndexed(spark, path + "-missing", emb,
+        col("vec_id") % 50 === 0, 5, 8, 3)
+    }
+  }
+
+  // ---- d141: PMI collocations ----
+
+  test("pmiCollocations: min-count respected, ranks total-ordered, score sane") {
+    val docs = Tables.documents(spark, dir)
+    val top = TextAnalysis.pmiCollocations(docs, 20, 5L, 5L)
+      .orderBy(col("rank")).collect()
+    assert(top.nonEmpty && top.forall(_.getLong(3) >= 5L))
+    val pmis = top.map(_.getDouble(4)).toSeq
+    assert(pmis == pmis.sorted(Ordering.Double.TotalOrdering.reverse))
+    assert(top.forall(_.getDouble(5) >= 0.0)) // c2 >= delta
+    // a pair repeated verbatim in every doc dominates an incidental one
+    val fix = Seq(
+      (1L, "alpha beta x1 y1 alpha beta"),
+      (2L, "alpha beta x2 y2 alpha beta"),
+      (3L, "alpha beta x3 y3 alpha beta"))
+      .toDF("doc_id", "text")
+    // minCount 2 drops the hapax middles (whose PMI is maximal by
+    // definition — exactly what the published rare-pair guard is for)
+    val t = TextAnalysis.pmiCollocations(fix, 5, 2L, 1L).collect()
+    assert(t.head.getString(1) == "alpha" && t.head.getString(2) == "beta")
+  }
+
+  // ---- d142: char entropy ----
+
+  test("charEntropy: 0 for single-char docs, ln(k) for uniform docs") {
+    val fix = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aab"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.charEntropy(fix).orderBy(col("doc_id")).collect()
+    assert(rows(0).getDouble(3) == 0.0)
+    assert(math.abs(rows(1).getDouble(3) - math.log(4.0)) < 1e-7)
+    // H(2/3, 1/3) = ln(3) - (2 ln 2)/3
+    assert(math.abs(rows(2).getDouble(3) -
+      (math.log(3.0) - 2.0 * math.log(2.0) / 3.0)) < 1e-7)
+    assert(rows(1).getLong(1) == 4L && rows(1).getLong(2) == 4L)
+    // corpus-wide: entropy is defined and non-negative everywhere
+    val docs = Tables.documents(spark, dir)
+    val h = TextAnalysis.charEntropy(docs)
+    assert(h.count() == docs.count())
+    assert(h.filter(col("entropy") < -1e-9).count() == 0)
+  }
+
   // ---- d136: Kneser-Ney ----
 
   test("kneserNeyLm: covers the d45 doc set; nll positive; per-context mass <= 1") {
