@@ -131,6 +131,28 @@ object TextAnalysis {
           col("ok_bullet") && col("ok_ellipsis") && col("ok_alpha") && col("ok_stop"))
   }
 
+  /** C4's badword blocklist rule (d143) — the document-level filter of
+    * Raffel et al. 2020 §2.2 the d57 line rules DON'T cover: drop any
+    * page containing a word from a designated blocklist ("List of
+    * Dirty, Naughty, Obscene..." in the paper; the list is a
+    * parameter here). Matching is token-level on the lowercased text
+    * (the word-boundary semantics of the published filter; substring
+    * matching would false-positive on innocent words — the documented
+    * contract). Pure scan-side array work — one filter lambda per row,
+    * zero shuffle, codegen'd; the blocklist is a literal IN list
+    * (bounded by the list size, the driver-constant device).
+    * Returns (doc_id, n_hits, keep).
+    */
+  def blocklistFilter(docs: DataFrame, blockWords: Seq[String]): DataFrame = {
+    require(blockWords.nonEmpty, "empty blocklist")
+    val inList = blockWords.map(w => s"'${w.replace("'", "''")}'")
+      .mkString("(", ",", ")")
+    docs.select(col("doc_id"),
+        expr(s"size(filter(split(lower(text), ' '), x -> x IN $inList))")
+          .cast("long").as("n_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
   /** C4-style line-level cleaning (d57) — the published rule set of
     * Raffel et al. 2020 ("Exploring the Limits of Transfer Learning…",
     * §2.2) re-expressed per-row: keep only lines that end in a terminal

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Classifier, Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram}
+import graft.operators.{Classifier, Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram, ZOrder}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -144,6 +144,12 @@ object PipelineQueries {
     Seq("the", "spark", "hash", "zzz") // measures pure collision mass)
   private val PHRASE =           // d100 adjacent-token phrase (present
     Seq("slow", "hash", "batch") // at sf0.01: 8 occurrences — measured)
+  private val BLOCK_WORDS =      // d143 blocklist ('dup' df 25/500;
+    Seq("dup", "lorem")          // 'lorem' absent — no-hit path live)
+  private val Z_BITS = 10        // d144/d145 z-grid bits per dimension
+  private val Z_BUCKET_BITS = 4  // d145 partition prefix (16 buckets)
+  private val Z_UX = (100L, 300L) // d145 rectangle: user dimension
+  private val Z_TY = (200L, 500L) // d145 rectangle: hour dimension
   private val PMI_K = 20         // d141 collocations kept
   private val PMI_MIN = 5L       // d141 min pair count (>= delta)
   private val PMI_DELTA = 5L     // d141 word2phrase discount
@@ -953,6 +959,37 @@ object PipelineQueries {
     "d142_char_entropy" -> ((spark: SparkSession, dir: String) =>
       TextAnalysis.charEntropy(Tables.documents(spark, dir))
         .orderBy(col("doc_id"))),
+
+    // C4's badword blocklist rule (d143): drop pages containing a
+    // designated word — token-level, scan-side
+    // (TextAnalysis.blocklistFilter doc; 'dup' hits 25/500 at sf0.01,
+    // 'lorem' exercises the no-hit path)
+    "d143_blocklist" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.blocklistFilter(Tables.documents(spark, dir), BLOCK_WORDS)
+        .orderBy(col("doc_id"))),
+
+    // Morton (z-order) key derivation (d144): the bit-interleave both
+    // the layout and its oracle share, verified on an event slice
+    // (ZOrder.zKeySql doc)
+    "d144_zorder_key" -> ((spark: SparkSession, dir: String) =>
+      ZOrder.eventGrid(Tables.events(spark, dir), Z_BITS)
+        .filter(col("event_id") % 100 === 0)
+        .select(col("event_id"), col("ux"), col("ty"), col("zkey"))
+        .orderBy(col("event_id"))),
+
+    // z-ordered store + pruned rectangle query (d145): the lakehouse
+    // multi-column clustering device — overlapping z-buckets derived
+    // driver-side from the rectangle, injected as PartitionFilters
+    // (plan-guarded); the store must not change the answer, so the
+    // oracle is the plain rectangle filter (ZOrder.zRectQuery doc)
+    "d145_zorder_query" -> ((spark: SparkSession, dir: String) => {
+      val ev = Tables.events(spark, dir)
+      val path = indexPath("d145-zorder")
+      ZOrder.saveZOrderedStore(ev, path, Z_BITS, Z_BUCKET_BITS)
+      ZOrder.zRectQuery(spark, path, Z_UX._1, Z_UX._2, Z_TY._1, Z_TY._2,
+        Z_BITS, Z_BUCKET_BITS)
+        .orderBy(col("event_id"))
+    }),
 
     // CCNet's head/middle/tail terciles over d45, ranked with the
     // distributed global-rank device (bucket-partitioned windows +
@@ -4739,6 +4776,36 @@ object PipelineQueries {
          |  prev, cur, c2, pmi, phrase_score
          |FROM (SELECT * FROM psc ORDER BY pmi DESC, prev, cur LIMIT $PMI_K)
          |ORDER BY rank""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.blocklistFilter: token-level IN over the
+    // lowercased split
+    "d143_blocklist" -> {
+      val inList = BLOCK_WORDS.map(w => s"'$w'").mkString("(", ",", ")")
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split(lower(text),' '), x -> x IN $inList)) AS BIGINT) AS n_hits,
+         |  len(list_filter(string_split(lower(text),' '), x -> x IN $inList)) = 0 AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of ZOrder.eventGrid: the SAME Scala loop renders both
+    // engines' interleave expression (zKeySql)
+    "d144_zorder_key" ->
+      s"""SELECT event_id, ux, ty, CAST(${ZOrder.zKeySql("ux", "ty", Z_BITS)} AS BIGINT) AS zkey
+         |FROM (SELECT event_id, user_id % ${1L << Z_BITS} AS ux,
+         |  (epoch_us(ts)//3600000000) % ${1L << Z_BITS} AS ty
+         |  FROM events WHERE event_id % 100 = 0)
+         |ORDER BY event_id""".stripMargin.replace("\n", " "),
+
+    // the store must not change the answer: d145's oracle is the plain
+    // rectangle filter over the raw table
+    "d145_zorder_query" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) * 1000 AS ts,
+         |  user_id % ${1L << Z_BITS} AS ux,
+         |  (epoch_us(ts)//3600000000) % ${1L << Z_BITS} AS ty
+         |FROM events
+         |WHERE user_id % ${1L << Z_BITS} BETWEEN ${Z_UX._1} AND ${Z_UX._2}
+         |  AND (epoch_us(ts)//3600000000) % ${1L << Z_BITS} BETWEEN ${Z_TY._1} AND ${Z_TY._2}
+         |ORDER BY event_id""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.charEntropy: per-position characters,
     // counts, per-char ln rounded once, decimal sum, one divide + one

@@ -20,6 +20,21 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("d145: the z-ordered rectangle query prunes buckets at the file-index layer") {
+    // the rectangle's overlapping z-buckets are injected driver-side as
+    // literals — whole partition directories must prune before any row
+    // is read, the layout's entire value proposition
+    val p = plan("d145_zorder_query")
+    assert("PartitionFilters: \\[[^\\]]*zbucket#\\d+ (INSET|IN )".r.findFirstIn(p).isDefined,
+      "z-bucket literals must land in PartitionFilters\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
+  test("d141: the collocation top-k plans as TakeOrderedAndProject") {
+    val p = plan("d141_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("q02: dimension joins stay broadcast (no shuffle on nation/region)") {
     val p = plan("q02_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

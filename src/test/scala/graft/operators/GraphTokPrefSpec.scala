@@ -153,6 +153,62 @@ class GraphTokPrefSpec extends AnyFunSuite {
     assert(h.filter(col("entropy") < -1e-9).count() == 0)
   }
 
+  // ---- d143: blocklist ----
+
+  test("blocklistFilter: token-level, case-insensitive, no substring hits") {
+    val fix = Seq(
+      (1L, "clean text here"),
+      (2L, "contains BADWORD here"),
+      (3L, "badwordish is innocent"), // substring must NOT hit
+      (4L, "badword badword twice"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.blocklistFilter(fix, Seq("badword"))
+      .orderBy(col("doc_id")).collect()
+    assert(r.map(x => (x.getLong(1), x.getBoolean(2))).toSeq ==
+      Seq((0L, true), (1L, false), (0L, true), (2L, false)))
+  }
+
+  // ---- d144/d145: z-order ----
+
+  test("zKey: expression matches an independent JVM interleave") {
+    def jvmZ(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(j => (((x >> j) & 1L) << (2 * j)) |
+        (((y >> j) & 1L) << (2 * j + 1))).sum
+    val ev = Tables.events(spark, dir)
+    val rows = ZOrder.eventGrid(ev, 10)
+      .select(col("ux"), col("ty"), col("zkey")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == jvmZ(r.getLong(0), r.getLong(1), 10))
+    }
+  }
+
+  test("bucketsFor: point rectangle hits one bucket, full domain all 16") {
+    assert(ZOrder.bucketsFor(0, 1023, 0, 1023, 10, 4).size == 16)
+    assert(ZOrder.bucketsFor(5, 5, 5, 5, 10, 4).size == 1)
+    // a rectangle spanning one x-cell but all y hits 4 buckets
+    assert(ZOrder.bucketsFor(0, 255, 0, 1023, 10, 4).size == 4)
+  }
+
+  test("zRectQuery: pruned store answers identically to the direct filter") {
+    val ev = Tables.events(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
+    ZOrder.saveZOrderedStore(ev, path, 10, 4)
+    val g = ZOrder.eventGrid(ev, 10)
+    val b = g.agg(min(col("ux")), max(col("ux")), min(col("ty")), max(col("ty"))).head()
+    val (uxLo, uxHi) = (b.getLong(0), (b.getLong(0) + b.getLong(1)) / 2)
+    val (tyLo, tyHi) = (b.getLong(2), (b.getLong(2) + b.getLong(3)) / 2)
+    val direct = g.filter(col("ux").between(uxLo, uxHi) &&
+        col("ty").between(tyLo, tyHi))
+      .select(col("event_id"), col("user_id"), col("ts"), col("ux"), col("ty"))
+      .collect().map(_.toSeq).toSet
+    val pruned = ZOrder.zRectQuery(spark, path, uxLo, uxHi, tyLo, tyHi, 10, 4)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == direct && direct.nonEmpty)
+    // and the bucket set genuinely prunes for a sub-domain rectangle
+    assert(ZOrder.bucketsFor(uxLo, uxHi, tyLo, tyHi, 10, 4).size < 16)
+  }
+
   // ---- d136: Kneser-Ney ----
 
   test("kneserNeyLm: covers the d45 doc set; nll positive; per-context mass <= 1") {
