@@ -93,6 +93,36 @@ object Multimodal {
       expr("16 + (octet_length(payload) % 64)").cast("long").as("width"),
       expr("16 + ((octet_length(payload) div 64) % 64)").cast("long").as("height"))
 
+  /** LAION-style media ADMISSION filter (m11) — the size/aspect/payload
+    * gate every web-scale image-text pipeline applies before paying for
+    * decode or embedding (LAION-5B kept images by minimum dimension and
+    * aspect-ratio bounds; byte bounds drop tracking pixels and
+    * truncated blobs): min(w,h) ≥ `minDim`, max/min ≤ `maxAspect`, and
+    * `n_bytes` within [`minBytes`, `maxBytes`]. Dims come from the
+    * cheap container-metadata path ([[stubDims]]' arithmetic inline),
+    * NOT a decode — the point of the gate is that rejected media never
+    * reach the codec. Pure scan-side expressions, zero shuffle; the
+    * aspect is one IEEE divide of exact longs. Returns (doc_id,
+    * n_bytes, width, height, aspect, ok_dim, ok_aspect, ok_bytes,
+    * keep).
+    */
+  def mediaAdmission(media: DataFrame, minDim: Long = 20,
+      maxAspect: Double = 2.0, minBytes: Long = 100,
+      maxBytes: Long = 2000): DataFrame =
+    media.select(col("doc_id"),
+        expr("octet_length(payload)").cast("long").as("n_bytes"),
+        expr("16 + (octet_length(payload) % 64)").cast("long").as("width"),
+        expr("16 + ((octet_length(payload) div 64) % 64)").cast("long").as("height"))
+      .withColumn("aspect",
+        greatest(col("width"), col("height")).cast("double") /
+          least(col("width"), col("height")))
+      .withColumn("ok_dim", least(col("width"), col("height")) >= minDim)
+      .withColumn("ok_aspect", col("aspect") <= maxAspect)
+      .withColumn("ok_bytes",
+        col("n_bytes").between(minBytes, maxBytes))
+      .withColumn("keep",
+        col("ok_dim") && col("ok_aspect") && col("ok_bytes"))
+
   /** Aspect-preserving resize planning over decoded dimensions: fit each
     * frame inside a `maxDim` × `maxDim` box, never upscale. All-integer
     * arithmetic (`w·maxDim div max(w,h)`), so the plan is deterministic

@@ -60,11 +60,15 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector (queries = rows
     * matching `queryPred`). Query side is broadcast.
     */
-  def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  def cosineTopK(emb: DataFrame, queryPred: Column, k: Int,
+      candPred: Column = lit(true)): DataFrame = {
     val n = normalized(emb)
     val q = n.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
+    // candPred filters the candidate SIDE scan-side (the exact half of
+    // attribute-filtered search, e58/e59; default passes everything)
+    val c = normalized(emb.filter(candPred))
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot("qe", "ce") / (col("qn") * col("cn"))).as("cosine"))
@@ -99,6 +103,46 @@ object Similarity {
     bucketTopK(emb, queryPred, k, bits,
       probeMasks = 0L +: (0 until bits).map(j => 1L << j))
 
+  /** Attribute-FILTERED ANN (e58) — top-k among only the candidates
+    * satisfying a metadata predicate (the "filtered vector search"
+    * every production retrieval system serves: nearest documents OF
+    * TYPE X). Pre-filtering semantics (the candidate side is cut
+    * scan-side BEFORE the bucket join — on a label-partitioned store
+    * that is a partition prune), with the multi-probe mask set because
+    * filtering thins buckets: a selective predicate leaves ~1/|labels|
+    * of each bucket, so the Hamming-1 probes recover candidate volume
+    * the filter removed. Post-filtering (search-then-filter) would
+    * instead UNDER-FILL k whenever the unfiltered top-k is dominated by
+    * non-matching labels — the documented trade this operator takes.
+    * Returns (query_id, rk, neighbor_id, cosine).
+    */
+  def annTopKFiltered(emb: DataFrame, queryPred: Column, candPred: Column,
+      k: Int, bits: Int = 6): DataFrame =
+    bucketTopK(emb, queryPred, k, bits,
+      probeMasks = 0L +: (0 until bits).map(j => 1L << j),
+      candPred = candPred)
+
+  /** Filtered-ANN recall (e59) — [[annTopKFiltered]] against the exact
+    * filtered baseline ([[cosineTopK]] with the same candidate
+    * predicate), one aggregate row (the e55 device). The denominator
+    * counts the exact side's ACTUAL rows, not k·queries: a selective
+    * filter can leave a query fewer than k matching candidates
+    * corpus-wide, and recall against phantom rows would understate.
+    */
+  def filteredAnnRecall(emb: DataFrame, queryPred: Column,
+      candPred: Column, k: Int, bits: Int = 6): DataFrame = {
+    val found = annTopKFiltered(emb, queryPred, candPred, k, bits)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = cosineTopK(emb, queryPred, k, candPred)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val denom = exact.agg(count(lit(1)).cast("long").as("n_exact"))
+    val hits = found.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+    hits.crossJoin(broadcast(denom)).select(col("n_exact"), col("n_hits"),
+      (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** Shared body of the bucketed top-k paths: expand each query to
     * `probeMasks.size` probe buckets (bucket XOR mask — mask 0 is the
     * single-probe case), hash-join candidates on the bucket id, score,
@@ -106,7 +150,8 @@ object Similarity {
     * buckets; the neighbor has exactly one), so no pair dedup needed.
     */
   private def bucketTopK(emb: DataFrame, queryPred: Column, k: Int,
-      bits: Int, probeMasks: Seq[Long]): DataFrame = {
+      bits: Int, probeMasks: Seq[Long],
+      candPred: Column = lit(true)): DataFrame = {
     val n = withBucket(emb, bits)
     val q0 = n.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
@@ -117,8 +162,12 @@ object Similarity {
         .withColumn("m", explode(array(probeMasks.map(lit(_)): _*)))
         .withColumn("bucket", col("bucket").bitwiseXOR(col("m")))
         .drop("m")
-    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
-      col("nrm").as("cn"), col("bucket"))
+    // the attribute filter cuts the candidate side BEFORE the bucket
+    // join (scan-side; e58) — on a label-partitioned 100 TB store this
+    // is a PartitionFilters prune, not a post-join discard
+    val c = withBucket(emb.filter(candPred), bits)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

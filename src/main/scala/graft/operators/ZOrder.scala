@@ -65,6 +65,38 @@ object ZOrder {
       rows, maxId))
   }
 
+  /** Id-monotone append into the z-ordered store (d146) — clustered
+    * INGEST, the write half every lakehouse clustered table serves: the
+    * bucket is a pure static function of the row (zkey's top bits — no
+    * trained structure, no corpus-global statistic), so new events land
+    * in their buckets with history files byte-frozen and the appended
+    * store answers rectangle queries IDENTICALLY to a fresh rebuild on
+    * the grown corpus (the e42/d78-strength claim, spec-pinned). Guards
+    * are the shared appender contract: id-monotone vs the watermark,
+    * orphan detection for the crashed-append window.
+    */
+  def appendZOrderedStore(newEvents: DataFrame, path: String): Unit = {
+    import graft.sources.IndexManifestException
+    val man = IndexManifest.require(path, "zorder")
+    val stats = newEvents.agg(count(lit(1)),
+      min(col("event_id").cast("long")), max(col("event_id").cast("long"))).head()
+    if (stats.getLong(0) == 0L) return
+    val (rows, minId, maxId) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (minId <= man.corpusMaxId)
+      throw new IndexManifestException(
+        s"increment ids start at $minId but the store watermark is " +
+          s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    IndexManifest.requireNoOrphans(
+      newEvents.sparkSession.read.parquet(s"$path/data"), "event_id", man, path)
+    val bits = man.params("bits").toInt
+    val bucketBits = man.params("bucket_bits").toInt
+    eventGrid(newEvents, bits)
+      .withColumn("zbucket", expr(s"zkey >> ${2 * bits - bucketBits}"))
+      .write.mode("append").partitionBy("zbucket").parquet(s"$path/data")
+    IndexManifest.write(path,
+      man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
+  }
+
   /** The z-buckets a query rectangle can touch — pure driver arithmetic
     * over the 2^bucketBits bucket prefixes: each bucket's interleaved
     * prefix decodes to an (x-prefix, y-prefix) grid cell; keep the

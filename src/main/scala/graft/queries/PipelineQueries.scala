@@ -153,6 +153,7 @@ object PipelineQueries {
   private val PMI_K = 20         // d141 collocations kept
   private val PMI_MIN = 5L       // d141 min pair count (>= delta)
   private val PMI_DELTA = 5L     // d141 word2phrase discount
+  private val FILT_LABEL = 3     // e58/e59 candidate label filter
   private val GB_K = 5           // e54 results per query
   private val GB_BEAM = 8        // e54 beam width
   private val GB_ROUNDS = 3      // e54 expansion rounds
@@ -279,6 +280,15 @@ object PipelineQueries {
       Multimodal.resizePlan(
         Multimodal.stubDims(
           Multimodal.mediaView(Tables.documents(spark, dir))), MAX_DIM)
+        .orderBy(col("doc_id"))),
+
+    // LAION-style media admission gate (m11): size/aspect/byte bounds
+    // from container metadata, BEFORE any decode — all three rules
+    // measured biting at sf0.01 (232/292/37 of 500)
+    // (Multimodal.mediaAdmission doc)
+    "m11_media_admission" -> ((spark: SparkSession, dir: String) =>
+      Multimodal.mediaAdmission(
+        Multimodal.mediaView(Tables.documents(spark, dir)))
         .orderBy(col("doc_id"))),
 
     // interleaved multimodal packing (m07): media patch tokens first,
@@ -559,6 +569,21 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, GB_K, GB_BEAM, GB_ROUNDS, KNN_K, ANN_BITS,
         GB_ENTRIES)
         .orderBy(col("rounds"))),
+
+    // attribute-filtered ANN (e58): top-k among label-matching
+    // candidates only, filter cut scan-side before the bucket join,
+    // multi-probe to recover filtered-away candidate volume
+    // (Similarity.annTopKFiltered doc)
+    "e58_filtered_ann" -> ((spark: SparkSession, dir: String) =>
+      Similarity.annTopKFiltered(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, col("label") === FILT_LABEL, 3, ANN_BITS)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // filtered-ANN recall vs the exact filtered baseline (e59): one
+    // row, denominator = the exact side's actual rows
+    "e59_filtered_ann_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.filteredAnnRecall(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, col("label") === FILT_LABEL, 3, ANN_BITS)),
 
     // persisted nav-graph serving (e57): the store must not change an
     // answer — registered against e54's oracle verbatim; rebuild-only
@@ -986,6 +1011,22 @@ object PipelineQueries {
       val ev = Tables.events(spark, dir)
       val path = indexPath("d145-zorder")
       ZOrder.saveZOrderedStore(ev, path, Z_BITS, Z_BUCKET_BITS)
+      ZOrder.zRectQuery(spark, path, Z_UX._1, Z_UX._2, Z_TY._1, Z_TY._2,
+        Z_BITS, Z_BUCKET_BITS)
+        .orderBy(col("event_id"))
+    }),
+
+    // clustered ingest (d146): store built on the 3/4-cut history, the
+    // rest appended — the bucket is a pure static function of the row,
+    // so append ≡ rebuild and the rectangle answer matches d145's
+    // oracle verbatim (ZOrder.appendZOrderedStore doc)
+    "d146_zorder_appended" -> ((spark: SparkSession, dir: String) => {
+      val ev = Tables.events(spark, dir)
+      val cut = ev.agg(max(col("event_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("d146-zorder")
+      ZOrder.saveZOrderedStore(ev.filter(col("event_id") <= cut), path,
+        Z_BITS, Z_BUCKET_BITS)
+      ZOrder.appendZOrderedStore(ev.filter(col("event_id") > cut), path)
       ZOrder.zRectQuery(spark, path, Z_UX._1, Z_UX._2, Z_TY._1, Z_TY._2,
         Z_BITS, Z_BUCKET_BITS)
         .orderBy(col("event_id"))
@@ -3910,6 +3951,19 @@ object PipelineQueries {
       .stripMargin.replace("\n", " ")
   }
 
+  /** The plain rectangle filter the z-ordered store must reproduce —
+    * d145 (fresh build) and d146 (history + append) register against
+    * this one text (the store convention).
+    */
+  private lazy val zRectSql =
+    s"""SELECT event_id, user_id, epoch_us(ts) * 1000 AS ts,
+       |  user_id % ${1L << Z_BITS} AS ux,
+       |  (epoch_us(ts)//3600000000) % ${1L << Z_BITS} AS ty
+       |FROM events
+       |WHERE user_id % ${1L << Z_BITS} BETWEEN ${Z_UX._1} AND ${Z_UX._2}
+       |  AND (epoch_us(ts)//3600000000) % ${1L << Z_BITS} BETWEEN ${Z_TY._1} AND ${Z_TY._2}
+       |ORDER BY event_id""".stripMargin.replace("\n", " ")
+
   /** The d61 store convention for the graph family: e54 (in-memory
     * graph) and e57 (persisted edges) register against this one text.
     */
@@ -4796,16 +4850,13 @@ object PipelineQueries {
          |  FROM events WHERE event_id % 100 = 0)
          |ORDER BY event_id""".stripMargin.replace("\n", " "),
 
+    // append ≡ rebuild (static bucket function): d146 answers the same
+    // rectangle over the grown store — d145's oracle text verbatim
+    "d146_zorder_appended" -> zRectSql,
+
     // the store must not change the answer: d145's oracle is the plain
     // rectangle filter over the raw table
-    "d145_zorder_query" ->
-      s"""SELECT event_id, user_id, epoch_us(ts) * 1000 AS ts,
-         |  user_id % ${1L << Z_BITS} AS ux,
-         |  (epoch_us(ts)//3600000000) % ${1L << Z_BITS} AS ty
-         |FROM events
-         |WHERE user_id % ${1L << Z_BITS} BETWEEN ${Z_UX._1} AND ${Z_UX._2}
-         |  AND (epoch_us(ts)//3600000000) % ${1L << Z_BITS} BETWEEN ${Z_TY._1} AND ${Z_TY._2}
-         |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "d145_zorder_query" -> zRectSql,
 
     // mirror of TextAnalysis.charEntropy: per-position characters,
     // counts, per-char ln rounded once, decimal sum, one divide + one
@@ -6286,6 +6337,54 @@ object PipelineQueries {
         .stripMargin.replace("\n", " ")
     },
 
+    // mirror of Similarity.annTopKFiltered: e03's multiprobe oracle
+    // with the label predicate on the candidate side of the bucket join
+    "e58_filtered_ann" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm,
+         |        CAST($annBucket AS BIGINT) AS bucket FROM v),
+         |q AS (SELECT vec_id, e, nrm, xor(bucket, m) AS bucket
+         |      FROM n, UNNEST([${(0L +: (0 until ANN_BITS).map(j => 1L << j)).mkString(",")}]) AS t(m)
+         |      WHERE vec_id % 50 = 0),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |      FROM q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |        AND c.label = $FILT_LABEL),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM p)
+         |SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= 3
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.filteredAnnRecall: both sides share the
+    // label filter; denominator = the exact side's actual row count
+    "e59_filtered_ann_recall" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm,
+         |        CAST($annBucket AS BIGINT) AS bucket FROM v),
+         |q AS (SELECT vec_id, e, nrm, xor(bucket, m) AS bucket
+         |      FROM n, UNNEST([${(0L +: (0 until ANN_BITS).map(j => 1L << j)).mkString(",")}]) AS t(m)
+         |      WHERE vec_id % 50 = 0),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |      FROM q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |        AND c.label = $FILT_LABEL),
+         |fnd AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rk FROM p) WHERE rk <= 3),
+         |exq AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+         |    AND c.label = $FILT_LABEL),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rk FROM exq) WHERE rk <= 3),
+         |den AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+         |ht AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM fnd
+         |  WHERE EXISTS (SELECT 1 FROM ex WHERE ex.query_id = fnd.query_id
+         |    AND ex.neighbor_id = fnd.neighbor_id))
+         |SELECT n_exact, n_hits, CAST(n_hits AS DOUBLE) / n_exact AS recall
+         |FROM ht CROSS JOIN den""".stripMargin.replace("\n", " "),
+
     // mirror of Similarity.graphBeamSearch: the shared nav-graph +
     // unrolled-rounds CTEs, final beam self-excluded, top-GB_K
     "e54_graph_beam" -> graphBeamSql,
@@ -6898,6 +6997,20 @@ object PipelineQueries {
          |SELECT doc_id, width, height,
          | CASE WHEN m <= $MAX_DIM THEN width  ELSE greatest(1, (width * $MAX_DIM) // m)  END AS out_w,
          | CASE WHEN m <= $MAX_DIM THEN height ELSE greatest(1, (height * $MAX_DIM) // m) END AS out_h
+         |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Multimodal.mediaAdmission over the shared dims SQL
+    "m11_media_admission" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  $stubDimsSql FROM documents),
+         |g AS (SELECT *,
+         |  CAST(greatest(width, height) AS DOUBLE) / least(width, height) AS aspect,
+         |  least(width, height) >= 20 AS ok_dim FROM d)
+         |SELECT doc_id, n_bytes, width, height, aspect, ok_dim,
+         |  aspect <= 2.0 AS ok_aspect,
+         |  n_bytes BETWEEN 100 AND 2000 AS ok_bytes,
+         |  (ok_dim AND aspect <= 2.0 AND n_bytes BETWEEN 100 AND 2000) AS keep
          |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Multimodal.StubCodec's dimension arithmetic (shared SQL)

@@ -153,6 +153,29 @@ class GraphTokPrefSpec extends AnyFunSuite {
     assert(h.filter(col("entropy") < -1e-9).count() == 0)
   }
 
+  // ---- e58/e59: filtered ANN ----
+
+  test("annTopKFiltered: every result carries the required label; recall well-formed") {
+    val emb = Tables.embeddings(spark, dir)
+    val res = Similarity.annTopKFiltered(emb, col("vec_id") % 50 === 0,
+      col("label") === 3, 3, 6)
+    val labeled = res.join(
+      emb.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+    assert(labeled.filter(col("label") =!= 3).count() == 0)
+    assert(res.filter(col("neighbor_id") === col("query_id")).count() == 0)
+    val r = Similarity.filteredAnnRecall(emb, col("vec_id") % 50 === 0,
+      col("label") === 3, 3, 6).head()
+    val (nExact, nHits, recall) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nHits <= nExact && recall >= 0.0 && recall <= 1.0)
+    // the exact filtered baseline also honors the label cut
+    val exBad = Similarity.cosineTopK(emb, col("vec_id") % 50 === 0, 3,
+        col("label") === 3)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+      .filter(col("label") =!= 3).count()
+    assert(exBad == 0)
+  }
+
   // ---- d143: blocklist ----
 
   test("blocklistFilter: token-level, case-insensitive, no substring hits") {
@@ -207,6 +230,57 @@ class GraphTokPrefSpec extends AnyFunSuite {
     assert(pruned == direct && direct.nonEmpty)
     // and the bucket set genuinely prunes for a sub-domain rectangle
     assert(ZOrder.bucketsFor(uxLo, uxHi, tyLo, tyHi, 10, 4).size < 16)
+  }
+
+  test("zorder append: equals rebuild row-for-row; guards fire") {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val ev = Tables.events(spark, dir)
+    val cut = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+    val hist = ev.filter(col("event_id") <= cut)
+    val inc = ev.filter(col("event_id") > cut)
+    val p1 = java.nio.file.Files.createTempDirectory("graft-zap-").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-zfull-").toString
+    ZOrder.saveZOrderedStore(hist, p1, 10, 4)
+    ZOrder.appendZOrderedStore(inc, p1)
+    ZOrder.saveZOrderedStore(ev, p2, 10, 4)
+    def rows(p: String) = spark.read.parquet(s"$p/data")
+      .select(col("event_id"), col("zkey"), col("zbucket").cast("long"))
+      .collect().map(_.toSeq).toSet
+    assert(rows(p1) == rows(p2))
+    // non-monotone append is a named error
+    val e = intercept[IndexManifestException] { ZOrder.appendZOrderedStore(inc, p1) }
+    assert(e.getMessage.contains("id-monotone"))
+    // crashed-append window: data landed, manifest flip lost → orphans
+    val stale = IndexManifest.read(p2)
+    val inc2 = ev.filter(col("event_id") > cut) // ids below p2's watermark
+    val p3 = java.nio.file.Files.createTempDirectory("graft-zorph-").toString
+    ZOrder.saveZOrderedStore(hist, p3, 10, 4)
+    val preAppend = IndexManifest.read(p3)
+    ZOrder.appendZOrderedStore(inc2, p3)
+    IndexManifest.write(p3, preAppend) // simulate the lost flip
+    val e2 = intercept[IndexManifestException] { ZOrder.appendZOrderedStore(inc2, p3) }
+    assert(e2.getMessage.contains("watermark"))
+  }
+
+  // ---- m11: media admission ----
+
+  test("mediaAdmission: keep = conjunction of the three bounds; rules bite") {
+    val docs = Tables.documents(spark, dir)
+    val adm = Multimodal.mediaAdmission(Multimodal.mediaView(docs)).cache()
+    try {
+      assert(adm.filter(col("keep") =!=
+        (col("ok_dim") && col("ok_aspect") && col("ok_bytes"))).count() == 0)
+      // every rule splits the corpus (the gate is not vacuous)
+      Seq("ok_dim", "ok_aspect", "ok_bytes").foreach { c =>
+        val n = adm.filter(col(c)).count()
+        assert(n > 0 && n < adm.count(), s"$c is vacuous: $n")
+      }
+      // dims match the decode stub's arithmetic
+      val bad = adm.filter(
+        col("width") =!= (lit(16) + col("n_bytes") % 64) ||
+          col("height") =!= (lit(16) + (expr("n_bytes div 64")) % 64)).count()
+      assert(bad == 0)
+    } finally adm.unpersist()
   }
 
   // ---- d136: Kneser-Ney ----
