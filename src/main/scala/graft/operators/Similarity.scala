@@ -2362,6 +2362,63 @@ object Similarity {
       queryPred, k, beam, rounds, entries).last._2, k)
   }
 
+  /** Deterministic ±1 sign matrix for the JL projection — entry (i,j)
+    * derives from the repo's one shared hash ([[Dedup.hash60Jvm]] of
+    * "jl:i:j"), so the SAME Scala table renders the Spark literal
+    * arrays AND the oracle's list literals (the d96/d134 pattern); the
+    * matrix is m×dim driver-resident constants, nothing trained.
+    */
+  def jlSigns(m: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(m)(i => Array.tabulate(dim)(j =>
+      1.0 - 2.0 * (Dedup.hash60Jvm(s"jl:$i:$j") % 2)))
+
+  /** Johnson-Lindenstrauss projection (e60) — dimensionality reduction
+    * by a random ±1 sign matrix (Achlioptas 2001: database-friendly
+    * random projections; the sparse/sign variant of JL that needs no
+    * Gaussian draws), the standard cheap pre-step before sketching,
+    * clustering, or ANN when the raw dimension is the cost driver.
+    * Each output coordinate is ONE [[graft.functions.ArrayDotProduct]]
+    * against a literal sign vector — scan-side, codegen'd, zero
+    * shuffle, and bit-identical to DuckDB's `list_dot_product` against
+    * the same literals (shared left-fold order). Returns
+    * (vec_id, r0..r{m-1}).
+    */
+  def jlProject(emb: DataFrame, m: Int, dim: Int): DataFrame = {
+    val signs = jlSigns(m, dim)
+    val ed = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("ed"))
+    val cols = (0 until m).map { i =>
+      graft.functions.ArrayDotProduct(col("ed"),
+        array(signs(i).map(lit(_)): _*)).as(s"r$i")
+    }
+    ed.select(col("vec_id") +: cols: _*)
+  }
+
+  /** JL-space retrieval recall (e61) — exact top-k by cosine in the
+    * REDUCED space measured against exact top-k in the full space, one
+    * aggregate row (the e55 device): the number that tells you whether
+    * m dimensions preserve enough geometry to serve recall, pricing the
+    * dimension knob the way e30 prices probes and e56 prices rounds.
+    * The reduced search is the same [[cosineTopK]] plan over vectors
+    * 8× narrower — the whole point of the projection.
+    */
+  def jlRecall(emb: DataFrame, queryPred: Column, k: Int, m: Int,
+      dim: Int): DataFrame = {
+    val reduced = jlProject(emb, m, dim)
+      .select(col("vec_id"),
+        array((0 until m).map(i => col(s"r$i")): _*).as("embedding"))
+    val found = cosineTopK(reduced, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = cosineTopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val nq = exact.agg(countDistinct(col("query_id")).cast("long").as("n_queries"))
+    val hits = found.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+    hits.crossJoin(broadcast(nq)).select(col("n_queries"), col("n_hits"),
+      (col("n_hits").cast("double") / (lit(k) * col("n_queries"))).as("recall"))
+  }
+
   /** Embedding-distribution DRIFT report (e51) — the monitoring row a
     * production embedding pipeline watches between corpus versions or
     * between a reference slice and incoming data (encoder drift,

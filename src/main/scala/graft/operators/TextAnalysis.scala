@@ -1565,6 +1565,42 @@ object TextAnalysis {
         col("phrase_score"))
   }
 
+  /** AMS second-moment sketch (d147) — the F₂ = Σ c_w² estimator of
+    * Alon, Matias & Szegedy 1996 (the Gödel-prize streaming sketch;
+    * operationally, F₂ over a join key IS the self-join size, which is
+    * what a cost-based optimizer wants estimated): each estimator draws
+    * a ±1 sign per word from the shared 60-bit hash and keeps one
+    * counter X = Σ sign(w)·c_w; E[X²] = F₂. The published estimate
+    * averages independent estimators.
+    *
+    * Cross-engine exactness: signs, counters, squares, and the exact
+    * F₂ are ALL integer arithmetic (the signs come from `hash60 mod 2`,
+    * identical in both engines); the only doubles are the final
+    * mean-of-squares divide and the relative error. One word-count
+    * aggregate feeds all `nEst` sign-sums map-side-combined in a single
+    * pass — the sketch is O(nEst) state, which is the entire point at
+    * stream scale. Returns one row (f2_exact, f2_est, rel_err).
+    */
+  def amsF2(docs: DataFrame, nEst: Int = 8): DataFrame = {
+    require(nEst >= 1, s"nEst=$nEst")
+    val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // read by the sketch row AND the exact row
+    val xs = (0 until nEst).map { s =>
+      sum((lit(1L) - lit(2L) *
+        (graft.operators.Dedup.hash60(concat(lit(s"ams$s:"), col("w"))) % 2)) *
+        col("c")).cast("long").as(s"x$s")
+    }
+    val sketch = wc.agg(xs.head, xs.tail: _*)
+    val exact = wc.agg(sum(col("c") * col("c")).cast("long").as("f2_exact"))
+    val sq = (0 until nEst).map(s => s"x$s * x$s").mkString(" + ")
+    sketch.crossJoin(broadcast(exact))
+      .select(col("f2_exact"),
+        expr(s"CAST($sq AS DOUBLE) / $nEst").as("f2_est"),
+        expr(s"abs(CAST($sq AS DOUBLE) / $nEst - f2_exact) / f2_exact")
+          .as("rel_err"))
+  }
+
   /** Character-entropy quality signal (d142) — Shannon entropy of the
     * per-document character distribution, the gibberish/encoding-noise
     * detector web-cleaning pipelines run beside the word-level rules

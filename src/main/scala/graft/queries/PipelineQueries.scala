@@ -153,6 +153,8 @@ object PipelineQueries {
   private val PMI_K = 20         // d141 collocations kept
   private val PMI_MIN = 5L       // d141 min pair count (>= delta)
   private val PMI_DELTA = 5L     // d141 word2phrase discount
+  private val JL_M = 8           // e60/e61 reduced dimension
+  private val AMS_EST = 8        // d147 independent AMS estimators
   private val FILT_LABEL = 3     // e58/e59 candidate label filter
   private val GB_K = 5           // e54 results per query
   private val GB_BEAM = 8        // e54 beam width
@@ -569,6 +571,26 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, GB_K, GB_BEAM, GB_ROUNDS, KNN_K, ANN_BITS,
         GB_ENTRIES)
         .orderBy(col("rounds"))),
+
+    // Johnson-Lindenstrauss ±1 projection (e60): 64 → JL_M dims, each
+    // output one codegen'd dot against a literal sign vector
+    // (Similarity.jlProject doc)
+    "e60_jl_project" -> ((spark: SparkSession, dir: String) =>
+      Similarity.jlProject(Tables.embeddings(spark, dir), JL_M, PQ_DIMS)
+        .orderBy(col("vec_id"))),
+
+    // reduced-space retrieval recall (e61): exact top-k over the JL
+    // vectors vs exact top-k in full space, one row — prices the
+    // dimension knob (Similarity.jlRecall doc)
+    "e61_jl_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.jlRecall(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, 5, JL_M, PQ_DIMS)),
+
+    // AMS second-moment sketch (d147): F2 = self-join size, estimated
+    // with AMS_EST ±1-sign counters — all-integer until the final
+    // divides (TextAnalysis.amsF2 doc)
+    "d147_ams_f2" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.amsF2(Tables.documents(spark, dir), AMS_EST)),
 
     // attribute-filtered ANN (e58): top-k among label-matching
     // candidates only, filter cut scan-side before the bucket join,
@@ -6335,6 +6357,68 @@ object PipelineQueries {
          |$steps
          |SELECT vec_id, m FROM pr$PR_ITERS ORDER BY vec_id"""
         .stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Similarity.jlProject: the SAME Scala sign table renders
+    // the list literals; list_dot_product shares the fold order
+    "e60_jl_project" -> {
+      val signs = graft.operators.Similarity.jlSigns(JL_M, PQ_DIMS)
+      val cols = (0 until JL_M).map { i =>
+        val l = signs(i).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"list_dot_product(e, $l) AS r$i"
+      }.mkString(", ")
+      s"""SELECT vec_id, $cols
+         |FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         |ORDER BY vec_id""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Similarity.jlRecall: reduced-space and full-space exact
+    // top-k chains, semi-joined, one row
+    "e61_jl_recall" -> {
+      val signs = graft.operators.Similarity.jlSigns(JL_M, PQ_DIMS)
+      val rlist = (0 until JL_M).map { i =>
+        val l = signs(i).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"list_dot_product(e, $l)"
+      }.mkString("[", ", ", "]")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |rv AS (SELECT vec_id, $rlist AS e FROM v),
+         |rn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM rv),
+         |rp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |  FROM rn q JOIN rn c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |fnd AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rk FROM rp) WHERE rk <= 5),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |xp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rk FROM xp) WHERE rk <= 5),
+         |nqr AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM ex),
+         |ht AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM fnd
+         |  WHERE EXISTS (SELECT 1 FROM ex WHERE ex.query_id = fnd.query_id
+         |    AND ex.neighbor_id = fnd.neighbor_id))
+         |SELECT n_queries, n_hits,
+         |  CAST(n_hits AS DOUBLE) / (5 * n_queries) AS recall
+         |FROM ht CROSS JOIN nqr""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of TextAnalysis.amsF2: shared-hash signs, all-integer
+    // counters/squares, two final IEEE divides
+    "d147_ams_f2" -> {
+      val xs = (0 until AMS_EST).map { s =>
+        s"CAST(sum((1 - 2 * (${duckHash60(s"'ams$s:' || w")} % 2)) * c) AS BIGINT) AS x$s"
+      }.mkString(", ")
+      val sq = (0 until AMS_EST).map(s => s"x$s * x$s").mkString(" + ")
+      s"""WITH wcc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+         |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+         |xs AS (SELECT $xs FROM wcc),
+         |exf AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM wcc)
+         |SELECT f2_exact, CAST($sq AS DOUBLE) / $AMS_EST AS f2_est,
+         |  abs(CAST($sq AS DOUBLE) / $AMS_EST - f2_exact) / f2_exact AS rel_err
+         |FROM xs CROSS JOIN exf""".stripMargin.replace("\n", " ")
     },
 
     // mirror of Similarity.annTopKFiltered: e03's multiprobe oracle

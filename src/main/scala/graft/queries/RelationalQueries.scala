@@ -473,7 +473,28 @@ object RelationalQueries {
         .filter(col("rk") <= 3)
         .select(col("hour"), col("rk"), col("user_id"), col("n"))
         .orderBy(col("hour"), col("rk"))
-    })
+    }),
+
+    // Exponential moving average (α = 1/2) of each user's event values
+    // in event order — the ordered-fold aggregate the window family
+    // lacked. Cross-engine exactness WITHOUT decimals: α a power of two
+    // makes every step (a + x)/2 an exact halving, and BOTH engines run
+    // the identical left fold over the identical order (Spark
+    // `aggregate` over the sorted collect; DuckDB `list_reduce` over
+    // `list(... ORDER BY ...)`, seed = first element in both), so the
+    // published double is bit-identical — a closed-form weighted SUM
+    // would round differently and hash-mismatch. Per-user state is the
+    // user's own history (bounded, key-partitioned).
+    "q28_ema" -> ((spark: SparkSession, dir: String) =>
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          expr("transform(array_sort(collect_list(struct(event_id, value))), s -> s.value)")
+            .as("vs"))
+        .select(col("user_id"), col("n_events"),
+          expr("aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)), element_at(vs, 1), (a, x) -> (a + x) / 2)")
+            .as("ema"))
+        .orderBy(col("user_id")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -673,6 +694,13 @@ object RelationalQueries {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY hour
         |        ORDER BY n DESC, user_id ASC) AS BIGINT) AS rk FROM c)
         |SELECT hour, rk, user_id, n FROM r WHERE rk <= 3
-        |ORDER BY hour, rk""".stripMargin.replace("\n", " ")
+        |ORDER BY hour, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of q28's fold: list_reduce seeds with the first element
+    // and folds left in list order — the identical (a+x)/2 sequence
+    "q28_ema" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | list_reduce(list(value ORDER BY event_id), (a, x) -> (a + x) / 2) AS ema
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")
   )
 }

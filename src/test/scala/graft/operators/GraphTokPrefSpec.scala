@@ -153,6 +153,57 @@ class GraphTokPrefSpec extends AnyFunSuite {
     assert(h.filter(col("entropy") < -1e-9).count() == 0)
   }
 
+  // ---- e60/e61: JL projection ----
+
+  test("jlProject: matches a JVM replay of the sign-matrix dot products") {
+    val emb = Tables.embeddings(spark, dir)
+    val signs = Similarity.jlSigns(8, 64)
+    val raw = emb.selectExpr("vec_id",
+      "transform(embedding, x -> cast(x as double)) AS ed").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val rows = Similarity.jlProject(emb, 8, 64).collect()
+    assert(rows.length == raw.size)
+    rows.foreach { r =>
+      val ed = raw(r.getLong(0))
+      (0 until 8).foreach { i =>
+        // the exact left-fold ArrayDotProduct replays as a sequential sum
+        var acc = 0.0
+        var k = 0
+        while (k < 64) { acc += ed(k) * signs(i)(k); k += 1 }
+        assert(r.getDouble(1 + i) == acc)
+      }
+    }
+  }
+
+  test("jlRecall: well-formed; the sign matrix is hash-derived, not constant") {
+    val signs = Similarity.jlSigns(8, 64)
+    val flat = signs.flatten
+    assert(flat.forall(v => v == 1.0 || v == -1.0))
+    assert(flat.count(_ > 0) > 100 && flat.count(_ < 0) > 100) // mixed
+    val emb = Tables.embeddings(spark, dir)
+    val r = Similarity.jlRecall(emb, col("vec_id") % 50 === 0, 5, 8, 64).head()
+    assert(r.getLong(1) <= 5L * r.getLong(0))
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  // ---- d147: AMS F2 ----
+
+  test("amsF2: exact F2 matches a direct count; estimate well-formed") {
+    val docs = Tables.documents(spark, dir)
+    val row = TextAnalysis.amsF2(docs, 8).head()
+    val direct = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).head().getLong(0)
+    assert(row.getLong(0) == direct)
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(2) >= 0.0)
+    // unbiasedness sanity on a constructed stream: a single word with
+    // count c has X = ±c for EVERY estimator, so the estimate is exact
+    val one = Seq((1L, "w w w w w")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.amsF2(one, 4).head()
+    assert(r1.getLong(0) == 25L && r1.getDouble(1) == 25.0 &&
+      r1.getDouble(2) == 0.0)
+  }
+
   // ---- e58/e59: filtered ANN ----
 
   test("annTopKFiltered: every result carries the required label; recall well-formed") {
