@@ -2419,6 +2419,30 @@ object Similarity {
       (col("n_hits").cast("double") / (lit(k) * col("n_queries"))).as("recall"))
   }
 
+  /** JL two-stage retrieval (e62) — the e20 shortlist-then-rerank shape
+    * with the JL projection as the coarse stage: shortlist by cosine in
+    * the REDUCED space (8× narrower dot products — the whole cost
+    * story), then exact full-space re-scoring of only the shortlist
+    * (the shared [[rerankExact]] plan, broadcast fetch, corpus never
+    * rescanned). The standard serving use of a random projection.
+    */
+  def jlRerankTopK(emb: DataFrame, queryPred: Column, k: Int,
+      shortlist: Int, m: Int, dim: Int): DataFrame = {
+    val reduced = jlProject(emb, m, dim)
+      .select(col("vec_id"),
+        array((0 until m).map(i => col(s"r$i")): _*).as("embedding"))
+    rerankExact(emb, queryPred, cosineTopK(reduced, queryPred, shortlist), k)
+  }
+
+  /** What re-ranking buys on the JL shortlist (e63) — [[recallOf]] over
+    * [[jlRerankTopK]], the e21 metric transplanted: ≥ e61 pointwise at
+    * shortlist > k by the same seen-but-misordered argument.
+    */
+  def jlRecallReranked(emb: DataFrame, queryPred: Column, k: Int,
+      shortlist: Int, m: Int, dim: Int): DataFrame =
+    recallOf(cosineTopK(emb, queryPred, k),
+      jlRerankTopK(emb, queryPred, k, shortlist, m, dim), k)
+
   /** Embedding-distribution DRIFT report (e51) — the monitoring row a
     * production embedding pipeline watches between corpus versions or
     * between a reference slice and incoming data (encoder drift,

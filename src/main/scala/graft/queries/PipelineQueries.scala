@@ -586,6 +586,21 @@ object PipelineQueries {
       Similarity.jlRecall(Tables.embeddings(spark, dir),
         col("vec_id") % 50 === 0, 5, JL_M, PQ_DIMS)),
 
+    // JL two-stage retrieval (e62): reduced-space shortlist + exact
+    // rerank — the serving use of the projection
+    // (Similarity.jlRerankTopK doc)
+    "e62_jl_rerank" -> ((spark: SparkSession, dir: String) =>
+      Similarity.jlRerankTopK(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, RERANK_SHORTLIST, JL_M, PQ_DIMS)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // what reranking buys on the JL shortlist (e63): per-query recall,
+    // >= e61 pointwise at shortlist > k (Similarity.jlRecallReranked)
+    "e63_jl_rerank_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.jlRecallReranked(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, RERANK_SHORTLIST, JL_M, PQ_DIMS)
+        .orderBy(col("query_id"))),
+
     // AMS second-moment sketch (d147): F2 = self-join size, estimated
     // with AMS_EST ±1-sign counters — all-integer until the final
     // divides (TextAnalysis.amsF2 doc)
@@ -3973,6 +3988,38 @@ object PipelineQueries {
       .stripMargin.replace("\n", " ")
   }
 
+  /** The e62/e63 shared chain: JL reduced vectors (sign literals from
+    * the SAME Scala table as the Spark side), reduced-space shortlist,
+    * exact full-space rerank — ends in `rrk(query_id, neighbor_id,
+    * cosine, rk)` with `n` (full-space normalized) in scope for the
+    * recall tail.
+    */
+  private lazy val jlRerankCtes = {
+    val signs = graft.operators.Similarity.jlSigns(JL_M, PQ_DIMS)
+    val rlist = (0 until JL_M).map { i =>
+      val l = signs(i).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"list_dot_product(e, $l)"
+    }.mkString("[", ", ", "]")
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |rv AS (SELECT vec_id, $rlist AS e FROM v),
+       |jn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM rv),
+       |jp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+       |  FROM jn q JOIN jn c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+       |rsh AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rk FROM jp)
+       |  WHERE rk <= $RERANK_SHORTLIST),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |rrk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rk FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+       |  FROM rsh s JOIN n q ON q.vec_id = s.query_id
+       |    JOIN n c ON c.vec_id = s.neighbor_id))"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** The plain rectangle filter the z-ordered store must reproduce —
     * d145 (fresh build) and d146 (history + append) register against
     * this one text (the store convention).
@@ -6358,6 +6405,21 @@ object PipelineQueries {
          |SELECT vec_id, m FROM pr$PR_ITERS ORDER BY vec_id"""
         .stripMargin.replace("\n", " ")
     },
+
+    // mirror of Similarity.jlRerankTopK: reduced-space shortlist CTEs
+    // + the exact rerank join, top-PQ_K
+    "e62_jl_rerank" ->
+      s"""WITH $jlRerankCtes
+         |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cosine
+         |FROM rrk WHERE rk <= $PQ_K ORDER BY query_id, rk"""
+        .stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.jlRecallReranked: the e62 chain as ap3, the
+    // shared recall tail
+    "e63_jl_rerank_recall" ->
+      s"""WITH $jlRerankCtes,
+         |ap3 AS (SELECT query_id, neighbor_id FROM rrk WHERE rk <= $PQ_K),
+         |$recallTailSql""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.jlProject: the SAME Scala sign table renders
     // the list literals; list_dot_product shares the fold order

@@ -186,6 +186,40 @@ class GraphTokPrefSpec extends AnyFunSuite {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
   }
 
+  test("jlRerank: scores are exact full-space cosines; rerank never loses hits") {
+    val emb = Tables.embeddings(spark, dir)
+    val rer = Similarity.jlRerankTopK(emb, col("vec_id") % 50 === 0, 3, 12, 8, 64)
+    // reranked cosines equal the exact recomputation
+    val n = emb.selectExpr("vec_id",
+      "transform(embedding, x -> cast(x as double)) AS e")
+      .withColumn("nrm", sqrt(graft.functions.ArrayDotProduct(col("e"), col("e"))))
+    val q = n.select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
+    assert(rer.join(q, "query_id").join(c, "neighbor_id")
+      .filter(col("cosine") =!=
+        graft.functions.ArrayDotProduct(col("qe"), col("ce")) /
+          (col("qn") * col("cn")))
+      .count() == 0)
+    // rerank hits >= direct JL-top-k hits per query (any exact-top-k
+    // member the JL order surfaced is in the shortlist, and rerank
+    // cannot rank a non-member above it without that non-member being
+    // exact-top-k itself)
+    val rr = Similarity.jlRecallReranked(emb, col("vec_id") % 50 === 0, 3, 12, 8, 64)
+      .select(col("query_id"), col("n_hit").as("h_rerank"))
+    val reduced = Similarity.jlProject(emb, 8, 64)
+      .select(col("vec_id"),
+        array((0 until 8).map(i => col(s"r$i")): _*).as("embedding"))
+    val direct = Similarity.cosineTopK(reduced, col("vec_id") % 50 === 0, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.cosineTopK(emb, col("vec_id") % 50 === 0, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val hDirect = exact.join(direct, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("h_direct"))
+    assert(rr.join(hDirect, Seq("query_id"), "left_outer")
+      .filter(coalesce(col("h_direct"), lit(0L)) > col("h_rerank"))
+      .count() == 0)
+  }
+
   // ---- d147: AMS F2 ----
 
   test("amsF2: exact F2 matches a direct count; estimate well-formed") {
