@@ -2443,6 +2443,113 @@ object Similarity {
     recallOf(cosineTopK(emb, queryPred, k),
       jlRerankTopK(emb, queryPred, k, shortlist, m, dim), k)
 
+  /** The centered covariance matrix as a (i, j, c) frame — the
+    * distributed-PCA workhorse shared by [[pcaTopComponent]] and
+    * [[pcaVarianceExplained]]. Scale shape: ONE corpus scan explodes
+    * components, the self-join on vec_id forms per-row outer products
+    * (row × dims² work, map-side combined down to the dims² aggregate —
+    * the state is MODEL-dimension-bounded, never corpus-bounded), means
+    * ride a broadcast dims-row table. Exactness: every per-row product
+    * is an IEEE multiply of deterministic doubles, quantized to
+    * DECIMAL(38,12) BEFORE the sum so the aggregation is
+    * order-independent under any partitioning (the e07/e51 device);
+    * the final /n is one IEEE divide.
+    */
+  private def covariance(emb: DataFrame): DataFrame = {
+    val x = emb.select(col("vec_id"),
+      posexplode(expr("transform(embedding, v -> cast(v as double))"))
+        .as(Seq("i", "xi")))
+    val mu = x.groupBy(col("i"))
+      .agg((sum(col("xi").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("mu"))
+    val xc = x.join(broadcast(mu), Seq("i"))
+      .select(col("vec_id"), col("i"), (col("xi") - col("mu")).as("xi"))
+    val a = xc.select(col("vec_id"), col("i"), col("xi").as("xa"))
+    val b = xc.select(col("vec_id"), col("i").as("j"), col("xi").as("xb"))
+    val nn = emb.agg(count(lit(1)).cast("long").as("nv"))
+    a.join(b, Seq("vec_id"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xa") * col("xb")).cast("decimal(38,12)")).as("s"))
+      .crossJoin(broadcast(nn))
+      .select(col("i"), col("j"), (col("s").cast("double") / col("nv")).as("c"))
+  }
+
+  /** PCA leading component by POWER ITERATION (e64) — the spectral
+    * family's entry point (whitening, decorrelation, the "remove the
+    * dominant direction" post-processing of Mu et al. 2017 all start
+    * here): v ← C·v iterated from the fixed e₀ seed, each matrix-vector
+    * product a dims-keyed equi-join with per-product DECIMAL(38,12)
+    * quantization before the sum (order-independent — both engines
+    * produce the same vector bit-for-bit, so the oracle just unrolls
+    * the same `iters` matvecs as CTEs). No normalization per step
+    * (iters is small; magnitudes stay in double range); the published
+    * vector is scaled by its own max |entry| (a comparison-only
+    * aggregate) and quantized once at the boundary.
+    *
+    * Scale shape: the covariance is the one corpus-touching pass
+    * (dims²-bounded aggregate state); each iteration is a dims²×dims
+    * join — driver never holds the matrix, the iteration lives in the
+    * engine. Returns (dim, pc).
+    */
+  def pcaTopComponent(emb: DataFrame, dim: Int, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    val spark = emb.sparkSession
+    val cov = covariance(emb).localCheckpoint(true) // reused per iteration
+    var v = spark.range(0, dim)
+      .select(col("id").cast("int").as("j"),
+        when(col("id") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      v = cov.join(v, Seq("j"))
+        .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
+        .groupBy(col("i")).agg(sum(col("p")).cast("double").as("v"))
+        .withColumnRenamed("i", "j")
+        .localCheckpoint(true)
+    }
+    val mx = v.agg(max(abs(col("v"))).as("m"))
+    v.crossJoin(broadcast(mx))
+      .select(col("j").cast("long").as("dim"),
+        expr("CAST(CAST(v / m AS DECIMAL(28,8)) AS DOUBLE)").as("pc"))
+  }
+
+  /** Variance explained by the power-iteration direction (e65) — the
+    * one-row spectral diagnostic: λ̂ = Rayleigh quotient vᵀCv / vᵀv of
+    * the [[pcaTopComponent]] iterate, against trace(C) = total
+    * variance. On an isotropic random corpus the ratio sits near
+    * 1/dims (nothing to compress — the honest negative control); on a
+    * real embedding corpus it reads the anisotropy every whitening
+    * paper measures first. All sums quantized-then-summed (dims- and
+    * dims²-bounded). Returns (lambda1, trace, var_explained).
+    */
+  def pcaVarianceExplained(emb: DataFrame, dim: Int,
+      iters: Int = 3): DataFrame = {
+    val cov = covariance(emb).localCheckpoint(true)
+    val spark = emb.sparkSession
+    var v = spark.range(0, dim)
+      .select(col("id").cast("int").as("j"),
+        when(col("id") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      v = cov.join(v, Seq("j"))
+        .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
+        .groupBy(col("i")).agg(sum(col("p")).cast("double").as("v"))
+        .withColumnRenamed("i", "j")
+        .localCheckpoint(true)
+    }
+    val w = cov.join(v, Seq("j"))
+      .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
+      .groupBy(col("i")).agg(sum(col("p")).cast("double").as("w"))
+      .withColumnRenamed("i", "j")
+    val vtw = v.join(w, Seq("j"))
+      .agg(sum((col("v") * col("w")).cast("decimal(38,12)")).cast("double").as("num"),
+        sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double").as("den"))
+    val tr = cov.filter(col("i") === col("j"))
+      .agg(sum(col("c").cast("decimal(38,12)")).cast("double").as("trace"))
+    vtw.crossJoin(broadcast(tr))
+      .select((col("num") / col("den")).as("lambda1"), col("trace"),
+        ((col("num") / col("den")) / col("trace")).as("var_explained"))
+  }
+
   /** Embedding-distribution DRIFT report (e51) — the monitoring row a
     * production embedding pipeline watches between corpus versions or
     * between a reference slice and incoming data (encoder drift,

@@ -153,6 +153,7 @@ object PipelineQueries {
   private val PMI_K = 20         // d141 collocations kept
   private val PMI_MIN = 5L       // d141 min pair count (>= delta)
   private val PMI_DELTA = 5L     // d141 word2phrase discount
+  private val PCA_ITERS = 3      // e64/e65 power-iteration rounds
   private val JL_M = 8           // e60/e61 reduced dimension
   private val AMS_EST = 8        // d147 independent AMS estimators
   private val FILT_LABEL = 3     // e58/e59 candidate label filter
@@ -585,6 +586,21 @@ object PipelineQueries {
     "e61_jl_recall" -> ((spark: SparkSession, dir: String) =>
       Similarity.jlRecall(Tables.embeddings(spark, dir),
         col("vec_id") % 50 === 0, 5, JL_M, PQ_DIMS)),
+
+    // PCA leading component by power iteration (e64): distributed
+    // covariance + quantized matvec rounds, published scaled by max
+    // |entry| (Similarity.pcaTopComponent doc)
+    "e64_pca_top" -> ((spark: SparkSession, dir: String) =>
+      Similarity.pcaTopComponent(Tables.embeddings(spark, dir), PQ_DIMS,
+        PCA_ITERS)
+        .orderBy(col("dim"))),
+
+    // variance explained by the leading direction (e65): Rayleigh
+    // quotient vs trace — ~1/dims on this isotropic corpus, the honest
+    // negative control (Similarity.pcaVarianceExplained doc)
+    "e65_pca_variance" -> ((spark: SparkSession, dir: String) =>
+      Similarity.pcaVarianceExplained(Tables.embeddings(spark, dir),
+        PQ_DIMS, PCA_ITERS)),
 
     // JL two-stage retrieval (e62): reduced-space shortlist + exact
     // rerank — the serving use of the projection
@@ -3988,6 +4004,38 @@ object PipelineQueries {
       .stripMargin.replace("\n", " ")
   }
 
+  /** The e64/e65 shared chain — mirror of Similarity.covariance plus
+    * PCA_ITERS unrolled power steps: per-row outer products quantized
+    * to DECIMAL(38,12) before the sum (order-independent in both
+    * engines), matvecs the same way. Ends in `pv{PCA_ITERS}(j, v)`
+    * with `pcov(i, j, c)` in scope.
+    */
+  private lazy val pcaCtes = {
+    def step(t: Int): String = {
+      val prev = if (t == 1) "pv0" else s"pv${t - 1}"
+      s"""pv$t AS (SELECT c.i AS j,
+         |  CAST(sum(CAST(c.c * p.v AS DECIMAL(38,12))) AS DOUBLE) AS v
+         |  FROM pcov c JOIN $prev p ON p.j = c.j GROUP BY 1)"""
+        .stripMargin.replace("\n", " ")
+    }
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |px AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+       |    e[CAST(t.i + 1 AS INTEGER)] AS xi
+       |  FROM v, LATERAL unnest(range(0, $PQ_DIMS)) AS t(i)),
+       |pmu AS (SELECT i, CAST(sum(CAST(xi AS DECIMAL(28,12))) AS DOUBLE)
+       |    / count(*) AS mu FROM px GROUP BY 1),
+       |pxc AS (SELECT vec_id, i, xi - mu AS xi FROM px JOIN pmu USING (i)),
+       |pnn AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM v),
+       |pcov AS (SELECT a.i, b.i AS j,
+       |    CAST(sum(CAST(a.xi * b.xi AS DECIMAL(38,12))) AS DOUBLE) / nv AS c
+       |  FROM pxc a JOIN pxc b USING (vec_id) CROSS JOIN pnn
+       |  GROUP BY 1, 2, nv),
+       |pv0 AS (SELECT i AS j, CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS v
+       |  FROM (SELECT DISTINCT i FROM px)),
+       |${(1 to PCA_ITERS).map(step).mkString(", ")}"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** The e62/e63 shared chain: JL reduced vectors (sign literals from
     * the SAME Scala table as the Spark side), reduced-space shortlist,
     * exact full-space rerank — ends in `rrk(query_id, neighbor_id,
@@ -6405,6 +6453,33 @@ object PipelineQueries {
          |SELECT vec_id, m FROM pr$PR_ITERS ORDER BY vec_id"""
         .stripMargin.replace("\n", " ")
     },
+
+    // mirror of Similarity.pcaTopComponent: the shared covariance +
+    // power-step CTEs, published scaled by max |entry|
+    "e64_pca_top" ->
+      s"""WITH $pcaCtes,
+         |pmx AS (SELECT max(abs(v)) AS m FROM pv$PCA_ITERS)
+         |SELECT CAST(j AS BIGINT) AS dim,
+         |  CAST(CAST(v / m AS DECIMAL(28,8)) AS DOUBLE) AS pc
+         |FROM pv$PCA_ITERS CROSS JOIN pmx ORDER BY dim"""
+        .stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.pcaVarianceExplained: one more matvec (pw),
+    // Rayleigh quotient, trace
+    "e65_pca_variance" ->
+      s"""WITH $pcaCtes,
+         |pw AS (SELECT c.i AS j,
+         |  CAST(sum(CAST(c.c * p.v AS DECIMAL(38,12))) AS DOUBLE) AS w
+         |  FROM pcov c JOIN pv$PCA_ITERS p ON p.j = c.j GROUP BY 1),
+         |pr AS (SELECT
+         |  CAST(sum(CAST(v.v * w.w AS DECIMAL(38,12))) AS DOUBLE) AS num,
+         |  CAST(sum(CAST(v.v * v.v AS DECIMAL(38,12))) AS DOUBLE) AS den
+         |  FROM pv$PCA_ITERS v JOIN pw w USING (j)),
+         |ptr AS (SELECT CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS trace
+         |  FROM pcov WHERE i = j)
+         |SELECT num / den AS lambda1, trace,
+         |  (num / den) / trace AS var_explained
+         |FROM pr CROSS JOIN ptr""".stripMargin.replace("\n", " "),
 
     // mirror of Similarity.jlRerankTopK: reduced-space shortlist CTEs
     // + the exact rerank join, top-PQ_K

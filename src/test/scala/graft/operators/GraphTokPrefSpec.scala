@@ -220,6 +220,28 @@ class GraphTokPrefSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  // ---- e64/e65: PCA power iteration ----
+
+  test("pca: rank-1 fixture recovers the planted direction; variance explained = 1") {
+    // all rows lie on the line t·(1, 0.1, 0, 0): covariance is rank 1,
+    // one power step lands exactly on the direction, and the leading
+    // eigenvalue carries ALL the variance
+    val fix = (1 to 10).map(t =>
+      (t.toLong, Array(t.toFloat, 0.1f * t, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pc = Similarity.pcaTopComponent(fix, 4, 3)
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    assert(math.abs(pc(0) - 1.0) < 1e-6 && math.abs(pc(1) - 0.1) < 1e-6)
+    assert(math.abs(pc(2)) < 1e-9 && math.abs(pc(3)) < 1e-9)
+    val ve = Similarity.pcaVarianceExplained(fix, 4, 3).head()
+    assert(math.abs(ve.getDouble(2) - 1.0) < 1e-9,
+      s"var_explained=${ve.getDouble(2)}")
+    // corpus: the diagnostic is well-formed and the isotropic control
+    // sits far below 1
+    val emb = Tables.embeddings(spark, dir)
+    val r = Similarity.pcaVarianceExplained(emb, 64, 3).head()
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 0.5)
+  }
+
   // ---- d147: AMS F2 ----
 
   test("amsF2: exact F2 matches a direct count; estimate well-formed") {
