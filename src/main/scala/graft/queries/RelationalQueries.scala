@@ -494,7 +494,24 @@ object RelationalQueries {
         .select(col("user_id"), col("n_events"),
           expr("aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)), element_at(vs, 1), (a, x) -> (a + x) / 2)")
             .as("ema"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // Interval-join attribution (clicks → same-user purchases within
+    // 10 min) through the STREAMING operator's code path — the batch
+    // twin of EventTimeOps.attributionJoin (withWatermark is a no-op
+    // in batch), so the stream-stream join's semantics get a DuckDB
+    // oracle on top of the wire spec.
+    "q29_attribution" -> ((spark: SparkSession, dir: String) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.EventTimeOps.attributionJoin(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        maxDelaySec = 600)
+        .orderBy(col("click_id"), col("purchase_id"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -701,6 +718,16 @@ object RelationalQueries {
     "q28_ema" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         | list_reduce(list(value ORDER BY event_id), (a, x) -> (a + x) / 2) AS ema
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "),
+
+    // mirror of q29: inclusive interval endpoints, same-user only
+    "q29_attribution" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS cts,
+        | p.event_id AS purchase_id, p.ts AS pts, p.value
+        |FROM events c JOIN events p
+        | ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 600 SECOND
+        |ORDER BY click_id, purchase_id""".stripMargin.replace("\n", " ")
   )
 }

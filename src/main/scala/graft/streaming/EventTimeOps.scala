@@ -54,6 +54,38 @@ case class WindowDrift(window_start: Long, n_tokens: Long, js_div: Double,
   */
 object EventTimeOps {
 
+  /** STREAM-STREAM interval join — the attribution shape (every ads /
+    * conversion pipeline's canonical example: join each click to the
+    * same user's purchases within `maxDelaySec` after it), and the one
+    * Structured Streaming join form the module lacked: both sides are
+    * unbounded, so BOTH carry watermarks and the event-time range
+    * condition is what lets Spark BOUND the join state — a buffered
+    * click ages out once the purchase watermark passes
+    * click_ts + maxDelay, a buffered purchase once the click watermark
+    * passes its timestamp; without the range the state grows forever.
+    * Inner join, append mode; matches emit as both sides arrive.
+    *
+    * Contract: `clicks` = (event_id, user_id, ts: TIMESTAMP);
+    * `purchases` = (event_id, user_id, ts: TIMESTAMP, value). Interval
+    * endpoints are INCLUSIVE on both ends (spec-pinned against the
+    * batch kernel — the q05 attribution family's batch twin).
+    * Returns (click_id, user_id, cts, purchase_id, pts, value).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      maxDelaySec: Int = 600, watermark: String = "10 seconds"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+      .withWatermark("pts", watermark)
+    c.join(p, col("c_user") === col("p_user") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr(s"interval $maxDelaySec seconds"))
+      .select(col("click_id"), col("c_user").as("user_id"), col("cts"),
+        col("purchase_id"), col("pts"), col("value"))
+  }
+
   /** Tumbling event-time window counts per subreddit with a watermark:
     * late events beyond `lateness` are dropped, final rows emit once the
     * watermark passes window end (append mode).

@@ -220,6 +220,45 @@ class GraphTokPrefSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  // ---- stream-stream attribution join ----
+
+  test("attributionJoin: stream result equals the batch kernel; bounds inclusive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val clicksIn = MemoryStream[(Long, Long, Long)]
+    val purchIn = MemoryStream[(Long, Long, Long, Double)]
+    val clicks = clicksIn.toDF().toDF("event_id", "user_id", "sec")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val purchases = purchIn.toDF().toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val out = graft.streaming.EventTimeOps
+      .attributionJoin(clicks, purchases, maxDelaySec = 600)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // user 1: click at 100; purchases at 100 (boundary), 700
+      // (boundary), 701 (outside); user 2's purchase must not match
+      clicksIn.addData((1L, 1L, 100L))
+      purchIn.addData((10L, 1L, 100L, 5.0), (11L, 1L, 700L, 7.0),
+        (12L, 1L, 701L, 9.0), (13L, 2L, 200L, 11.0))
+      out.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select(col("click_id"), col("purchase_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (1L, 11L)), got.toString)
+      // the batch kernel on the same static frames agrees row-for-row
+      val bc = Seq((1L, 1L, ts(100))).toDF("event_id", "user_id", "ts")
+      val bp = Seq((10L, 1L, ts(100), 5.0), (11L, 1L, ts(700), 7.0),
+        (12L, 1L, ts(701), 9.0), (13L, 2L, ts(200), 11.0))
+        .toDF("event_id", "user_id", "ts", "value")
+      val batch = graft.streaming.EventTimeOps.attributionJoin(bc, bp, 600)
+        .select(col("click_id"), col("purchase_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == got)
+    } finally out.stop()
+  }
+
   // ---- e64/e65: PCA power iteration ----
 
   test("pca: rank-1 fixture recovers the planted direction; variance explained = 1") {
