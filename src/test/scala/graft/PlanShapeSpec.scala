@@ -35,6 +35,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("e60: the JL projection is pure scan-side work — no hash exchange") {
+    // each reduced coordinate is one dot against a literal sign vector;
+    // the ONLY exchange allowed is the registered row's output-order
+    // rangepartitioning — a hashpartitioning means the projection
+    // stopped being free
+    val p = plan("e60_jl_project")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "JL projection must not hash-shuffle\n" + p.take(2000))
+  }
+
+  test("d143: the blocklist rule is scan-side — no hash exchange") {
+    val p = plan("d143_blocklist")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("d147: the AMS counters partial-aggregate below one exchange") {
+    // the sketch's entire point is O(nEst) state with map-side combine
+    val p = plan("d147_ams_f2")
+    assert(p.contains("partial_"), "no map-side partials in the AMS pass\n" + p.take(2000))
+  }
+
+  test("d142: the entropy aggregation runs map-side partials") {
+    val p = plan("d142_char_entropy")
+    assert(p.contains("partial_"), p.take(2000))
+  }
+
   test("q02: dimension joins stay broadcast (no shuffle on nation/region)") {
     val p = plan("q02_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
