@@ -288,4 +288,54 @@ object Sampling {
       .withColumn("v", pmod(expr(s"h div $k"), lit(w)))
       .select(col("slot"), pick.as("stratum"))
   }
+
+  /** Two-sample Kolmogorov-Smirnov statistic (d149) — the
+    * distribution-drift test for NUMERIC columns (the d119 token-JS
+    * twin on the other axis; monitoring pipelines run exactly this
+    * between corpus versions or A/B slices):
+    * D = sup_x |F₁(x) − F₂(x)| over the two empirical CDFs, attained at
+    * an observed point, so the sup is a max over the merged distinct
+    * values.
+    *
+    * Exact integer device: at each distinct value the deviation is
+    * |c₁·n₂ − c₂·n₁| (cumulative counts cross-multiplied — no division
+    * until the very end), so D = max(...)/(n₁·n₂) is exact counts + ONE
+    * IEEE divide, bit-identical cross-engine.
+    *
+    * Scale shape: cumulative counts come from the bucketed distributed
+    * prefix device (the d46/d47 rule — within-bucket running sums over
+    * a value grid, per-bucket offsets from the bounded bucket table;
+    * NO corpus-wide single-partition window; the oracle, free of scale
+    * concerns, uses the plain global window). `sample1` picks side 1;
+    * everything else in `values` is side 2.
+    * Returns one row (n1, n2, ks_d).
+    */
+  def ksTwoSample(values: DataFrame, sample1: Column, valueCol: Column,
+      bucketScale: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pv = values.select(valueCol.as("value"), sample1.as("isA"))
+      .groupBy(col("value"))
+      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("k1"),
+        sum(when(col("isA"), 0L).otherwise(1L)).as("k2"))
+      .withColumn("bkt", floor(col("value") * bucketScale).cast("long"))
+      .localCheckpoint(true) // read by the prefix sums, offsets, totals
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("value"))
+    val inSum = pv
+      .withColumn("s1", sum(col("k1")).over(wIn))
+      .withColumn("s2", sum(col("k2")).over(wIn))
+    val wOff = Window.orderBy(col("bkt")) // bounded: one row per bucket
+    val off = pv.groupBy(col("bkt"))
+      .agg(sum(col("k1")).as("b1"), sum(col("k2")).as("b2"))
+      .select(col("bkt"),
+        (sum(col("b1")).over(wOff) - col("b1")).as("o1"),
+        (sum(col("b2")).over(wOff) - col("b2")).as("o2"))
+    val tot = pv.agg(sum(col("k1")).cast("long").as("n1"),
+      sum(col("k2")).cast("long").as("n2"))
+    inSum.join(off, Seq("bkt")).crossJoin(broadcast(tot))
+      .select(abs((col("o1") + col("s1")) * col("n2") -
+        (col("o2") + col("s2")) * col("n1")).as("m"), col("n1"), col("n2"))
+      .groupBy(col("n1"), col("n2")).agg(max(col("m")).as("m"))
+      .select(col("n1"), col("n2"),
+        (col("m").cast("double") / (col("n1") * col("n2"))).as("ks_d"))
+  }
 }

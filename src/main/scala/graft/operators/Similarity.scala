@@ -2456,20 +2456,28 @@ object Similarity {
     * the final /n is one IEEE divide.
     */
   private def covariance(emb: DataFrame): DataFrame = {
-    val x = emb.select(col("vec_id"),
-      posexplode(expr("transform(embedding, v -> cast(v as double))"))
-        .as(Seq("i", "xi")))
-    val mu = x.groupBy(col("i"))
+    val x = emb.select(
+      expr("transform(embedding, v -> cast(v as double))").as("ed"))
+    // the mean vector is dims doubles — driver-resident by the same
+    // argument as the k-means centroids (sqStats, IVF literals); its
+    // values are the identical decimal-sum/count doubles the oracle's
+    // CTE computes, so centering matches bit-for-bit
+    val mu = x.select(posexplode(col("ed")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
       .agg((sum(col("xi").cast("decimal(28,12)")).cast("double") /
         count(lit(1))).as("mu"))
-    val xc = x.join(broadcast(mu), Seq("i"))
-      .select(col("vec_id"), col("i"), (col("xi") - col("mu")).as("xi"))
-    val a = xc.select(col("vec_id"), col("i"), col("xi").as("xa"))
-    val b = xc.select(col("vec_id"), col("i").as("j"), col("xi").as("xb"))
+      .orderBy(col("i")).collect().map(_.getDouble(1))
     val nn = emb.agg(count(lit(1)).cast("long").as("nv"))
-    a.join(b, Seq("vec_id"))
+    // center scan-side against the literal mean, then form the row's
+    // outer products by a double posexplode — NO self-join, NO corpus
+    // shuffle: the only exchange is the dims²-key combine, and the
+    // row×dims² term stream partial-aggregates map-side
+    val xc = x.withColumn("mu", array(mu.map(lit(_)): _*))
+      .select(expr("zip_with(ed, mu, (a, b) -> a - b)").as("cv"))
+    xc.select(col("cv"), posexplode(col("cv")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("cv")).as(Seq("j", "xj")))
       .groupBy(col("i"), col("j"))
-      .agg(sum((col("xa") * col("xb")).cast("decimal(38,12)")).as("s"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("s"))
       .crossJoin(broadcast(nn))
       .select(col("i"), col("j"), (col("s").cast("double") / col("nv")).as("c"))
   }

@@ -1601,6 +1601,54 @@ object TextAnalysis {
           .as("rel_err"))
   }
 
+  /** χ² feature selection (d148) — the classic text-classification
+    * preprocessing step (Yang & Pedersen 1997 ranked it the best
+    * selector; it is what picks the vocabulary a hashed quality
+    * classifier like d68's should spend its buckets on): for each word
+    * and a document class predicate, the 2×2 presence/class
+    * contingency table (a = class docs containing the word, b = other
+    * docs containing it, c/d = the complements) scored
+    * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)).
+    *
+    * Cross-engine exactness: a,b,c,d are exact counts, the numerator
+    * and denominator are exact BIGINT products (documented bound: fine
+    * to ~1e4 docs per slice — N³ inside the product; beyond that scale
+    * the same formula runs in DECIMAL), and the statistic is ONE IEEE
+    * divide. Presence = distinct (word, doc) — one distinct-pair
+    * aggregate, one doc-class count, vocabulary-scale joins; top-k as
+    * TakeOrderedAndProject on (chi2 desc, word). Degenerate words
+    * (df = 0 or N — zero denominator) cannot occur: presence implies
+    * 1 ≤ df, and df = N yields (a+b)(c+d) > 0 unless every doc has the
+    * word AND one class is empty — guarded by a WHERE on the
+    * denominator. Returns (rank, word, a, b, chi2).
+    */
+  def chiSquareFeatures(docs: DataFrame, classPred: Column,
+      k: Int = 20): DataFrame = {
+    val tagged = docs.select(col("doc_id"), col("text"),
+      classPred.cast("boolean").as("cls")).localCheckpoint(true)
+    val pres = tagged
+      .select(col("doc_id"), col("cls"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .groupBy(col("w"))
+      .agg(sum(when(col("cls"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("cls"), 0L).otherwise(1L)).as("b"))
+    val tot = tagged.agg(
+      sum(when(col("cls"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("cls"), 0L).otherwise(1L)).as("nn"))
+    val scored = pres.crossJoin(broadcast(tot))
+      .filter(expr("(a + b) * ((np - a) + (nn - b)) * np * nn") =!= 0L)
+      .select(col("w").as("word"), col("a"), col("b"),
+        expr("""CAST((np + nn) *
+          |(a * (nn - b) - b * (np - a)) * (a * (nn - b) - b * (np - a)) AS DOUBLE) /
+          |CAST((a + b) * ((np - a) + (nn - b)) * np * nn AS DOUBLE)"""
+          .stripMargin.replace("\n", " ")).as("chi2"))
+    val ordW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("chi2").desc, col("word").asc)
+    scored.orderBy(col("chi2").desc, col("word").asc).limit(k)
+      .withColumn("rank", row_number().over(ordW).cast("long"))
+      .select(col("rank"), col("word"), col("a"), col("b"), col("chi2"))
+  }
+
   /** Character-entropy quality signal (d142) — Shannon entropy of the
     * per-document character distribution, the gibberish/encoding-noise
     * detector web-cleaning pipelines run beside the word-level rules

@@ -617,6 +617,25 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, RERANK_SHORTLIST, JL_M, PQ_DIMS)
         .orderBy(col("query_id"))),
 
+    // two-sample KS test (d149): numeric drift between the click and
+    // purchase value distributions — exact cross-multiplied deviations,
+    // one final divide; bucketed prefix device, no global window
+    // (Sampling.ksTwoSample doc)
+    "d149_ks_test" -> ((spark: SparkSession, dir: String) =>
+      Sampling.ksTwoSample(
+        Tables.events(spark, dir)
+          .filter(col("event_type").isin("click", "purchase")),
+        col("event_type") === "click", col("value"))),
+
+    // chi-square feature selection (d148): top-k words by the 2×2
+    // presence/class contingency statistic against the lang='en' class
+    // — all-integer table, one IEEE divide
+    // (TextAnalysis.chiSquareFeatures doc)
+    "d148_chi2_features" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.chiSquareFeatures(Tables.documents(spark, dir),
+        col("lang") === "en", PMI_K)
+        .orderBy(col("rank"))),
+
     // AMS second-moment sketch (d147): F2 = self-join size, estimated
     // with AMS_EST ±1-sign counters — all-integer until the final
     // divides (TextAnalysis.amsF2 doc)
@@ -6541,6 +6560,44 @@ object PipelineQueries {
          |  CAST(n_hits AS DOUBLE) / (5 * n_queries) AS recall
          |FROM ht CROSS JOIN nqr""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of Sampling.ksTwoSample: the oracle may use the plain
+    // global cumulative window; deviations cross-multiplied, one divide
+    "d149_ks_test" ->
+      """WITH kv AS (SELECT value, event_type = 'click' AS isA FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |kp AS (SELECT value,
+        |  CAST(sum(CASE WHEN isA THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |  CAST(sum(CASE WHEN isA THEN 0 ELSE 1 END) AS BIGINT) AS k2
+        |  FROM kv GROUP BY 1),
+        |kc AS (SELECT sum(k1) OVER (ORDER BY value) AS c1,
+        |        sum(k2) OVER (ORDER BY value) AS c2 FROM kp),
+        |kn AS (SELECT CAST(sum(k1) AS BIGINT) AS n1,
+        |        CAST(sum(k2) AS BIGINT) AS n2 FROM kp)
+        |SELECT n1, n2,
+        |  CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE) / (n1 * n2) AS ks_d
+        |FROM kc CROSS JOIN kn GROUP BY n1, n2""".stripMargin.replace("\n", " "),
+
+    // mirror of TextAnalysis.chiSquareFeatures: distinct presence
+    // pairs, integer contingency products, one divide, top-k
+    "d148_chi2_features" ->
+      s"""WITH ct AS (SELECT doc_id, lang = 'en' AS cls, text FROM documents),
+         |cp AS (SELECT DISTINCT doc_id, cls, unnest(string_split(text, ' ')) AS w FROM ct),
+         |ca AS (SELECT w, CAST(sum(CASE WHEN cls THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |        CAST(sum(CASE WHEN cls THEN 0 ELSE 1 END) AS BIGINT) AS b
+         |  FROM cp GROUP BY 1),
+         |cn AS (SELECT CAST(sum(CASE WHEN cls THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |        CAST(sum(CASE WHEN cls THEN 0 ELSE 1 END) AS BIGINT) AS nn FROM ct),
+         |cs AS (SELECT w AS word, a, b,
+         |  CAST((np + nn) *
+         |    (a * (nn - b) - b * (np - a)) * (a * (nn - b) - b * (np - a)) AS DOUBLE) /
+         |  CAST((a + b) * ((np - a) + (nn - b)) * np * nn AS DOUBLE) AS chi2
+         |  FROM ca CROSS JOIN cn
+         |  WHERE (a + b) * ((np - a) + (nn - b)) * np * nn <> 0)
+         |SELECT CAST(row_number() OVER (ORDER BY chi2 DESC, word) AS BIGINT) AS rank,
+         |  word, a, b, chi2
+         |FROM (SELECT * FROM cs ORDER BY chi2 DESC, word LIMIT $PMI_K)
+         |ORDER BY rank""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.amsF2: shared-hash signs, all-integer
     // counters/squares, two final IEEE divides

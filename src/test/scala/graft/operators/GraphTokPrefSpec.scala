@@ -299,6 +299,42 @@ class GraphTokPrefSpec extends AnyFunSuite {
       r1.getDouble(2) == 0.0)
   }
 
+  // ---- d149: KS test ----
+
+  test("ksTwoSample: 0 on identical samples, 1 on disjoint, exact on a shift") {
+    def ks(a: Seq[Double], b: Seq[Double]): Double = {
+      val df = (a.map((_, true)) ++ b.map((_, false)))
+        .zipWithIndex.map { case ((v, s), i) => (i.toLong, v, s) }
+        .toDF("id", "value", "isA")
+      Sampling.ksTwoSample(df, col("isA"), col("value")).head().getDouble(2)
+    }
+    assert(ks(Seq(1, 2, 3), Seq(1, 2, 3)) == 0.0)
+    assert(ks(Seq(1, 2), Seq(10, 20)) == 1.0)
+    // A = {1,2,3,4}, B = {3,4,5,6}: sup gap at x = 2 is 2/4 - 0 = 0.5
+    assert(ks(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)) == 0.5)
+  }
+
+  // ---- d148: chi-square ----
+
+  test("chiSquareFeatures: perfect association scores N, independence scores 0") {
+    val fix = Seq(
+      (1L, "only_en mixed pad1", "en"), (2L, "only_en pad2", "en"),
+      (3L, "mixed pad3", "es"), (4L, "pad4", "es"))
+      .toDF("doc_id", "text", "lang")
+    val top = TextAnalysis.chiSquareFeatures(fix, col("lang") === "en", 20)
+      .collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(top("only_en") == 4.0, s"got ${top.get("only_en")}") // = N
+    assert(top("mixed") == 0.0)
+    // corpus: ranked output is total-ordered and the statistic bounded
+    val docs = Tables.documents(spark, dir)
+    val t = TextAnalysis.chiSquareFeatures(docs, col("lang") === "en", 20)
+      .orderBy(col("rank")).collect()
+    val n = docs.count().toDouble
+    assert(t.nonEmpty && t.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= n))
+    val cs = t.map(_.getDouble(4)).toSeq
+    assert(cs == cs.sorted(Ordering.Double.TotalOrdering.reverse))
+  }
+
   // ---- e58/e59: filtered ANN ----
 
   test("annTopKFiltered: every result carries the required label; recall well-formed") {
