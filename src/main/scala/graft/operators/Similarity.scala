@@ -2520,6 +2520,70 @@ object Similarity {
         expr("CAST(CAST(v / m AS DECIMAL(28,8)) AS DOUBLE)").as("pc"))
   }
 
+  /** SECOND principal component by DEFLATION (e66) — power iteration on
+    * C₂ = C − λ₁·v̂₁v̂₁ᵀ without ever materializing C₂: each step is
+    * w = C·v (the shared quantized matvec) minus λ₁·(v̂₁ᵀv)·v̂₁ — one
+    * quantized scalar reduction plus per-entry expression work. λ₁ and
+    * v̂₁ derive from the [[pcaTopComponent]] iterate (Rayleigh quotient
+    * and L2 normalization — divides and one sqrt of already-
+    * deterministic doubles, so every entry is bit-identical across
+    * engines and the oracle unrolls the same steps). Seeded from e₁
+    * (e₀ is the top component's seed; on a generic corpus e₁'s
+    * v̂₁-orthogonal residual is nonzero). The returned direction is
+    * v̂₁-orthogonal up to the convergence of the λ₁/v̂₁ estimates
+    * (exactly orthogonal on a fixture where the iterate HAS converged —
+    * spec-pinned). Returns (dim, pc2) scaled by max |entry|.
+    */
+  def pcaSecondComponent(emb: DataFrame, dim: Int,
+      iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    val cov = covariance(emb).localCheckpoint(true)
+    // the top-component iterate, its normalization, and lambda1
+    var v1 = spark.range(0, dim)
+      .select(col("id").cast("int").as("j"),
+        when(col("id") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      v1 = cov.join(v1, Seq("j"))
+        .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
+        .groupBy(col("i")).agg(sum(col("p")).cast("double").as("v"))
+        .withColumnRenamed("i", "j")
+        .localCheckpoint(true)
+    }
+    val w1 = cov.join(v1, Seq("j"))
+      .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
+      .groupBy(col("i")).agg(sum(col("p")).cast("double").as("w"))
+      .withColumnRenamed("i", "j")
+    val scal = v1.join(w1, Seq("j")).agg(
+      (sum((col("v") * col("w")).cast("decimal(38,12)")).cast("double") /
+        sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double"))
+        .as("lam"),
+      sqrt(sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double"))
+        .as("nrm"))
+    val u1 = v1.crossJoin(broadcast(scal))
+      .select(col("j"), (col("v") / col("nrm")).as("u"), col("lam"))
+      .localCheckpoint(true)
+    var v = spark.range(0, dim)
+      .select(col("id").cast("int").as("j"),
+        when(col("id") === 1, lit(1.0)).otherwise(lit(0.0)).as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val w = cov.join(v, Seq("j"))
+        .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
+        .groupBy(col("i")).agg(sum(col("p")).cast("double").as("w"))
+        .withColumnRenamed("i", "j")
+      val s = u1.join(v, Seq("j"))
+        .agg(sum((col("u") * col("v")).cast("decimal(38,12)")).cast("double").as("s"))
+      v = w.join(u1, Seq("j")).crossJoin(broadcast(s))
+        .select(col("j"), (col("w") - col("lam") * col("s") * col("u")).as("v"))
+        .localCheckpoint(true)
+    }
+    val mx = v.agg(max(abs(col("v"))).as("m"))
+    v.crossJoin(broadcast(mx))
+      .select(col("j").cast("long").as("dim"),
+        expr("CAST(CAST(v / m AS DECIMAL(28,8)) AS DOUBLE)").as("pc2"))
+  }
+
   /** Variance explained by the power-iteration direction (e65) — the
     * one-row spectral diagnostic: λ̂ = Rayleigh quotient vᵀCv / vᵀv of
     * the [[pcaTopComponent]] iterate, against trace(C) = total

@@ -602,6 +602,14 @@ object PipelineQueries {
       Similarity.pcaVarianceExplained(Tables.embeddings(spark, dir),
         PQ_DIMS, PCA_ITERS)),
 
+    // second principal component by deflation (e66): power iteration
+    // on C − λ1·v̂1v̂1ᵀ without materializing it
+    // (Similarity.pcaSecondComponent doc)
+    "e66_pca_second" -> ((spark: SparkSession, dir: String) =>
+      Similarity.pcaSecondComponent(Tables.embeddings(spark, dir), PQ_DIMS,
+        PCA_ITERS)
+        .orderBy(col("dim"))),
+
     // JL two-stage retrieval (e62): reduced-space shortlist + exact
     // rerank — the serving use of the projection
     // (Similarity.jlRerankTopK doc)
@@ -6482,6 +6490,40 @@ object PipelineQueries {
          |  CAST(CAST(v / m AS DECIMAL(28,8)) AS DOUBLE) AS pc
          |FROM pv$PCA_ITERS CROSS JOIN pmx ORDER BY dim"""
         .stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.pcaSecondComponent: the shared chain gives
+    // v1 = pv{N}; normalize + Rayleigh, then deflated power steps
+    "e66_pca_second" -> {
+      def qstep(t: Int): String = {
+        val prev = if (t == 1) "qv0" else s"qv${t - 1}"
+        s"""qw$t AS (SELECT c.i AS j,
+           |  CAST(sum(CAST(c.c * p.v AS DECIMAL(38,12))) AS DOUBLE) AS w
+           |  FROM pcov c JOIN $prev p ON p.j = c.j GROUP BY 1),
+           |qs$t AS (SELECT CAST(sum(CAST(u.u * p.v AS DECIMAL(38,12))) AS DOUBLE) AS s
+           |  FROM pu1 u JOIN $prev p USING (j)),
+           |qv$t AS (SELECT w.j, w.w - u.lam * qs$t.s * u.u AS v
+           |  FROM qw$t w JOIN pu1 u USING (j) CROSS JOIN qs$t)"""
+          .stripMargin.replace("\n", " ")
+      }
+      s"""WITH $pcaCtes,
+         |pw1 AS (SELECT c.i AS j,
+         |  CAST(sum(CAST(c.c * p.v AS DECIMAL(38,12))) AS DOUBLE) AS w
+         |  FROM pcov c JOIN pv$PCA_ITERS p ON p.j = c.j GROUP BY 1),
+         |psc AS (SELECT
+         |  CAST(sum(CAST(v.v * w.w AS DECIMAL(38,12))) AS DOUBLE) /
+         |  CAST(sum(CAST(v.v * v.v AS DECIMAL(38,12))) AS DOUBLE) AS lam,
+         |  sqrt(CAST(sum(CAST(v.v * v.v AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+         |  FROM pv$PCA_ITERS v JOIN pw1 w USING (j)),
+         |pu1 AS (SELECT j, v / nrm AS u, lam FROM pv$PCA_ITERS CROSS JOIN psc),
+         |qv0 AS (SELECT i AS j, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v
+         |  FROM (SELECT DISTINCT i FROM px)),
+         |${(1 to PCA_ITERS).map(qstep).mkString(", ")},
+         |qmx AS (SELECT max(abs(v)) AS m FROM qv$PCA_ITERS)
+         |SELECT CAST(j AS BIGINT) AS dim,
+         |  CAST(CAST(v / m AS DECIMAL(28,8)) AS DOUBLE) AS pc2
+         |FROM qv$PCA_ITERS CROSS JOIN qmx ORDER BY dim"""
+        .stripMargin.replace("\n", " ")
+    },
 
     // mirror of Similarity.pcaVarianceExplained: one more matvec (pw),
     // Rayleigh quotient, trace

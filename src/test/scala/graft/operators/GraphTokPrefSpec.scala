@@ -281,6 +281,32 @@ class GraphTokPrefSpec extends AnyFunSuite {
     assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 0.5)
   }
 
+  test("pcaSecondComponent: rank-2 fixture recovers the second axis, orthogonal") {
+    // two independent zero-mean axes with var(dim0) >> var(dim1):
+    // pc1 = e0 (the top seed converges immediately on a diagonal
+    // covariance), deflation zeroes dim0, pc2 = e1 exactly
+    val fix = Seq(
+      (1L, Array(2.0f, 0.2f, 0.0f, 0.0f)), (2L, Array(-2.0f, 0.2f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, -0.2f, 0.0f, 0.0f)), (4L, Array(-2.0f, -0.2f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pc2 = Similarity.pcaSecondComponent(fix, 4, 3)
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    assert(math.abs(math.abs(pc2(1)) - 1.0) < 1e-6, pc2.mkString(","))
+    assert(math.abs(pc2(0)) < 1e-6 && math.abs(pc2(2)) < 1e-9 &&
+      math.abs(pc2(3)) < 1e-9, pc2.mkString(","))
+    // corpus: pc2 is near-orthogonal to pc1 (both converged iterates)
+    val emb = Tables.embeddings(spark, dir)
+    val p1 = Similarity.pcaTopComponent(emb, 64, 3)
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    val p2 = Similarity.pcaSecondComponent(emb, 64, 3)
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    val dot = p1.zip(p2).map { case (a, b) => a * b }.sum
+    val n1 = math.sqrt(p1.map(x => x * x).sum)
+    val n2 = math.sqrt(p2.map(x => x * x).sum)
+    assert(math.abs(dot / (n1 * n2)) < 0.2,
+      s"pc1/pc2 far from orthogonal: ${dot / (n1 * n2)}")
+  }
+
   // ---- d147: AMS F2 ----
 
   test("amsF2: exact F2 matches a direct count; estimate well-formed") {
