@@ -340,6 +340,34 @@ object EventTimeOps {
     * Emits per non-empty batch via `sink`: the full rule row
     * (doc_id, signals, rule bits, keep).
     */
+  /** Streaming KS DRIFT monitor — the live twin of the d149 batch test
+    * (the shape a serving pipeline runs against every incoming slice:
+    * "does this batch's numeric distribution still look like the
+    * reference?"): each micro-batch's `value` column is KS-tested
+    * against a FIXED reference sample with the batch kernel verbatim
+    * ([[graft.operators.Sampling.ksTwoSample]] — spec-pinned equal), so
+    * the streamed statistic cannot drift from the registered batch
+    * semantics. The reference is localCheckpointed once (bounded — a
+    * reference SAMPLE, not a corpus) and re-joined per batch; per-batch
+    * cost is the merged distinct-value aggregate, no keyed state, no
+    * watermark. Emits (n1 = reference, n2 = batch, ks_d) per non-empty
+    * batch via `sink`; a monitoring deployment alarms on ks_d.
+    */
+  def ksDriftIngest(stream: DataFrame, reference: DataFrame)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val ref = reference.select(col("value").cast("double").as("value"))
+      .localCheckpoint(true)
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        val merged = ref.withColumn("isA", lit(true))
+          .unionByName(batch.select(col("value").cast("double").as("value"))
+            .withColumn("isA", lit(false)))
+        sink(graft.operators.Sampling.ksTwoSample(
+          merged, col("isA"), col("value")), batchId)
+      }
+    }
+  }
+
   def rulesGateIngest(stream: DataFrame,
       stopWords: Seq[String] =
         Seq("the", "be", "to", "of", "and", "that", "have", "with"))(

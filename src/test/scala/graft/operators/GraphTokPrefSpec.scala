@@ -340,6 +340,35 @@ class GraphTokPrefSpec extends AnyFunSuite {
     assert(ks(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)) == 0.5)
   }
 
+  test("ksDriftIngest: per-batch statistic equals the batch kernel verbatim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).map(Tuple1(_)).toDF("value")
+    val in = MemoryStream[Double]
+    val stream = in.toDF().toDF("value")
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Double)]
+    val q = graft.streaming.EventTimeOps.ksDriftIngest(stream, ref)(
+      (out, id) => { val r = out.head(); seen.put(id, (r.getLong(0), r.getLong(1), r.getDouble(2))) })
+      .start()
+    try {
+      in.addData(1.0, 2.0, 3.0, 4.0) // same distribution -> D = 0
+      q.processAllAvailable()
+      in.addData(10.0, 20.0) // disjoint above -> D = 1
+      q.processAllAvailable()
+      val vals = seen.values()
+      assert(vals.size() == 2, seen.toString)
+      import scala.jdk.CollectionConverters._
+      val ds = vals.asScala.map(_._3).toSet
+      assert(ds == Set(0.0, 1.0), seen.toString)
+      // kernel-verbatim: recompute one batch with the registered op
+      val merged = ref.withColumn("isA", lit(true))
+        .unionByName(Seq(10.0, 20.0).map(Tuple1(_)).toDF("value")
+          .withColumn("isA", lit(false)))
+      val k = Sampling.ksTwoSample(merged, col("isA"), col("value")).head()
+      assert(k.getDouble(2) == 1.0 && k.getLong(0) == 4L && k.getLong(1) == 2L)
+    } finally q.stop()
+  }
+
   // ---- d148: chi-square ----
 
   test("chiSquareFeatures: perfect association scores N, independence scores 0") {
