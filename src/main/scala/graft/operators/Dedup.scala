@@ -624,6 +624,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Per-source BOILERPLATE density (d150) — the template-heavy-source
+    * diagnostic a curation run reads before deciding where line-dedup
+    * and extraction effort goes (aggregator/mirror domains score high;
+    * the same signal C4/MassiveText motivate their line rules with): a
+    * shingle is source-boilerplate when at least HALF the source's
+    * documents (and ≥ 2) contain it; the row reports what fraction of
+    * the source's distinct shingles that is. The half threshold is
+    * evaluated as df·2 ≥ n_docs — exact integers, no FP ceil trap
+    * (the d133 lesson, avoided rather than nudged).
+    *
+    * Scale shape: the shared [[shingles]] stream joined to a
+    * (doc_id, source) projection, two keyed aggregates (per-(source,
+    * shingle) df with map-side combine, then per-source fold); one IEEE
+    * divide. Returns (source, n_docs, n_shingles, n_boiler,
+    * boiler_frac).
+    */
+  def sourceBoilerplate(docs: DataFrame, n: Int = 3): DataFrame = {
+    val withSrc = shingles(docs, n)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val df = withSrc.groupBy(col("source"), col("s")).agg(count(lit(1)).as("df"))
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    df.join(nd, Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("df") * 2 >= col("n_docs") && col("df") >= 2, 1L)
+          .otherwise(0L)).cast("long").as("n_boiler"))
+      .select(col("source"), col("n_docs"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles")).as("boiler_frac"))
+  }
+
   /** Directional CONTAINMENT pairs (d139) — the asymmetric companion to
     * Jaccard (Broder 1997 defines both): C(A→B) = |S_A ∩ S_B| / |S_A|
     * over distinct shingle sets. This is the signal Jaccard structurally

@@ -625,6 +625,13 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, RERANK_SHORTLIST, JL_M, PQ_DIMS)
         .orderBy(col("query_id"))),
 
+    // per-source boilerplate density (d150): fraction of a source's
+    // distinct shingles carried by >= half its docs — the template-
+    // heavy-source diagnostic (Dedup.sourceBoilerplate doc)
+    "d150_source_boilerplate" -> ((spark: SparkSession, dir: String) =>
+      Dedup.sourceBoilerplate(Tables.documents(spark, dir))
+        .orderBy(col("source"))),
+
     // two-sample KS test (d149): numeric drift between the click and
     // purchase value distributions — exact cross-multiplied deviations,
     // one final divide; bucketed prefix device, no global window
@@ -6602,6 +6609,23 @@ object PipelineQueries {
          |  CAST(n_hits AS DOUBLE) / (5 * n_queries) AS recall
          |FROM ht CROSS JOIN nqr""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of Dedup.sourceBoilerplate over the shared shingle CTE;
+    // the half threshold as df*2 >= n_docs (integer, no FP ceil)
+    "d150_source_boilerplate" ->
+      s"""WITH ${shingleCteOver("")},
+         |bsrc AS (SELECT sh.doc_id, d.source, sh.s
+         |  FROM sh JOIN documents d USING (doc_id)),
+         |bdf AS (SELECT source, s, CAST(count(*) AS BIGINT) AS df
+         |  FROM bsrc GROUP BY 1, 2),
+         |bnd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT source, n_docs, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN df * 2 >= n_docs AND df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  CAST(sum(CASE WHEN df * 2 >= n_docs AND df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS boiler_frac
+         |FROM bdf JOIN bnd USING (source) GROUP BY source, n_docs
+         |ORDER BY source""".stripMargin.replace("\n", " "),
 
     // mirror of Sampling.ksTwoSample: the oracle may use the plain
     // global cumulative window; deviations cross-multiplied, one divide

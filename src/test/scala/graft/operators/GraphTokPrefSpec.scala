@@ -325,6 +325,25 @@ class GraphTokPrefSpec extends AnyFunSuite {
       r1.getDouble(2) == 0.0)
   }
 
+  // ---- d150: source boilerplate ----
+
+  test("sourceBoilerplate: planted template counts, distinct-source scores 0") {
+    val fix = Seq(
+      (1L, "a b c u1 u2 u3", "s1"), (2L, "a b c v1 v2 v3", "s1"),
+      (3L, "a b c w1 w2 w3", "s1"), (4L, "x y z q1 q2 q3", "s1"),
+      (5L, "p q r one", "s2"), (6L, "s t u two", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.sourceBoilerplate(fix).orderBy(col("source")).collect()
+    // s1: 'a b c' and 'b c u?'-style grams — only grams in >= 2 of 4
+    // docs qualify; 'a b c' appears in 3/4 docs (>= half) -> boiler
+    val s1 = r(0)
+    assert(s1.getString(0) == "s1" && s1.getLong(1) == 4L)
+    assert(s1.getLong(3) == 1L, s"n_boiler=${s1.getLong(3)}") // just 'a b c'
+    val s2 = r(1)
+    assert(s2.getString(0) == "s2" && s2.getLong(3) == 0L &&
+      s2.getDouble(4) == 0.0)
+  }
+
   // ---- d149: KS test ----
 
   test("ksTwoSample: 0 on identical samples, 1 on disjoint, exact on a shift") {
