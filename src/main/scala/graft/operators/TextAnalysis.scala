@@ -1565,6 +1565,38 @@ object TextAnalysis {
         col("phrase_score"))
   }
 
+  /** Good-Turing count-of-counts (d151) — the frequency-of-frequencies
+    * table (Good 1953; the input to Simple Good-Turing smoothing and
+    * the standard vocabulary-coverage diagnostic: n₁/N is the
+    * probability the NEXT token is unseen — what decides whether a
+    * tokenizer vocab or an LM's count table has converged on this
+    * corpus): for every word frequency c, how many distinct words have
+    * it (n_c), the token-mass share c·n_c/N, and the Turing-adjusted
+    * count c* = (c+1)·n_{c+1}/n_c (NULL at the top frequency, where
+    * n_{c+1} is undefined — emitted as NULL in both engines rather
+    * than guessed).
+    *
+    * All counts exact; the two published ratios are one IEEE divide
+    * each. Two map-side-combined aggregates (word counts, then
+    * count-of-counts — the second's key space is the distinct
+    * FREQUENCIES, tiny by Zipf) and one frequency-table self-join.
+    * Returns (c, n_c, mass_frac, c_star).
+    */
+  def countOfCounts(docs: DataFrame): DataFrame = {
+    val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // read by the table and the total
+    val tot = wc.agg(sum(col("c")).cast("long").as("n"))
+    val cc = wc.groupBy(col("c")).agg(count(lit(1)).cast("long").as("n_c"))
+      .localCheckpoint(true) // read twice: the row set and the c+1 probe
+    val next = cc.select((col("c") - 1).as("c"), col("n_c").as("n_c1"))
+    cc.join(next, Seq("c"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("c"), col("n_c"),
+        ((col("c") * col("n_c")).cast("double") / col("n")).as("mass_frac"),
+        (((col("c") + 1) * col("n_c1")).cast("double") / col("n_c")).as("c_star"))
+  }
+
   /** AMS second-moment sketch (d147) — the F₂ = Σ c_w² estimator of
     * Alon, Matias & Szegedy 1996 (the Gödel-prize streaming sketch;
     * operationally, F₂ over a join key IS the self-join size, which is

@@ -625,6 +625,13 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, RERANK_SHORTLIST, JL_M, PQ_DIMS)
         .orderBy(col("query_id"))),
 
+    // Good-Turing count-of-counts (d151): frequency-of-frequencies,
+    // token-mass share, Turing-adjusted c* — the unseen-mass /
+    // vocabulary-coverage diagnostic (TextAnalysis.countOfCounts doc)
+    "d151_count_of_counts" -> ((spark: SparkSession, dir: String) =>
+      TextAnalysis.countOfCounts(Tables.documents(spark, dir))
+        .orderBy(col("c"))),
+
     // per-source boilerplate density (d150): fraction of a source's
     // distinct shingles carried by >= half its docs — the template-
     // heavy-source diagnostic (Dedup.sourceBoilerplate doc)
@@ -6609,6 +6616,19 @@ object PipelineQueries {
          |  CAST(n_hits AS DOUBLE) / (5 * n_queries) AS recall
          |FROM ht CROSS JOIN nqr""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of TextAnalysis.countOfCounts: word counts, frequency
+    // table, the c+1 self-probe; NULL c_star at the top frequency
+    "d151_count_of_counts" ->
+      """WITH gwc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+        |gt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gwc),
+        |gcc AS (SELECT c, CAST(count(*) AS BIGINT) AS n_c FROM gwc GROUP BY 1)
+        |SELECT a.c, a.n_c,
+        |  CAST(a.c * a.n_c AS DOUBLE) / n AS mass_frac,
+        |  CAST((a.c + 1) * b.n_c AS DOUBLE) / a.n_c AS c_star
+        |FROM gcc a LEFT JOIN gcc b ON b.c = a.c + 1 CROSS JOIN gt
+        |ORDER BY a.c""".stripMargin.replace("\n", " "),
 
     // mirror of Dedup.sourceBoilerplate over the shared shingle CTE;
     // the half threshold as df*2 >= n_docs (integer, no FP ceil)

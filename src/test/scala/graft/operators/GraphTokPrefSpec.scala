@@ -325,6 +325,25 @@ class GraphTokPrefSpec extends AnyFunSuite {
       r1.getDouble(2) == 0.0)
   }
 
+  // ---- d151: Good-Turing ----
+
+  test("countOfCounts: identities hold (Σ n_c = vocab, Σ mass = 1, c* bridges)") {
+    val docs = Tables.documents(spark, dir)
+    val cc = TextAnalysis.countOfCounts(docs).orderBy(col("c")).collect()
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .distinct().count()
+    assert(cc.map(_.getLong(1)).sum == vocab)
+    assert(math.abs(cc.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    assert(cc.last.isNullAt(3)) // top frequency has no n_{c+1}
+    // fixture: 'a' ×3, 'b' ×1, 'c' ×1 → n_1=2, n_3=1; c*(1) = 2·n_2/n_1
+    // with n_2 absent → NULL; mass(1) = 2/5
+    val fix = Seq((1L, "a a a b c")).toDF("doc_id", "text")
+    val f = TextAnalysis.countOfCounts(fix).orderBy(col("c")).collect()
+    assert(f(0).getLong(0) == 1L && f(0).getLong(1) == 2L &&
+      f(0).getDouble(2) == 0.4 && f(0).isNullAt(3))
+    assert(f(1).getLong(0) == 3L && f(1).getLong(1) == 1L)
+  }
+
   // ---- d150: source boilerplate ----
 
   test("sourceBoilerplate: planted template counts, distinct-source scores 0") {
