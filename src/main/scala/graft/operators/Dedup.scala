@@ -655,6 +655,48 @@ object Dedup {
         (col("n_boiler").cast("double") / col("n_shingles")).as("boiler_frac"))
   }
 
+  /** Cross-SOURCE overlap matrix (d152) — [[containmentPairs]] lifted
+    * to provenance granularity: C(A→B) = |S_A ∩ S_B| / |S_A| over each
+    * source's distinct shingle set, both directions thresholded — the
+    * mirror/aggregator detector a multi-source corpus audit runs before
+    * weighting sources as if they were independent (a mirror pair
+    * double-counts its content in every per-source quota).
+    *
+    * Scale shape: the (source, shingle) set is one distinct aggregate;
+    * the self-join is keyed on the shingle, so per-shingle pair volume
+    * is (#sources sharing it)² — bounded by provenance CARDINALITY
+    * squared, never corpus² (no df cap needed, unlike the doc-level
+    * d139). Exact integers, one IEEE divide per direction.
+    * Returns (src_a, src_b, n_shared, overlap).
+    */
+  def sourceOverlap(docs: DataFrame, threshold: Double,
+      n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("s")).distinct()
+      .localCheckpoint(true) // read by the cardinalities and both join sides
+    val card = sh.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val x = sh.as("x")
+    val y = sh.as("y")
+    val inter = x.join(y, col("x.s") === col("y.s") &&
+        col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("a"), col("y.source").as("b"))
+      .agg(count(lit(1)).as("i"))
+    val bidir = inter
+      .join(card.as("ca"), col("a") === col("ca.source"))
+      .join(card.as("cb"), col("b") === col("cb.source"))
+      .select(col("a"), col("b"), col("i"), col("ca.c").as("cca"),
+        col("cb.c").as("ccb"))
+      .localCheckpoint(true) // read twice: the two direction projections
+    bidir.select(col("a").as("src_a"), col("b").as("src_b"),
+        col("i").as("n_shared"),
+        (col("i").cast("double") / col("cca")).as("overlap"))
+      .union(bidir.select(col("b").as("src_a"), col("a").as("src_b"),
+        col("i").as("n_shared"),
+        (col("i").cast("double") / col("ccb")).as("overlap")))
+      .filter(col("overlap") >= threshold)
+  }
+
   /** Directional CONTAINMENT pairs (d139) — the asymmetric companion to
     * Jaccard (Broder 1997 defines both): C(A→B) = |S_A ∩ S_B| / |S_A|
     * over distinct shingle sets. This is the signal Jaccard structurally

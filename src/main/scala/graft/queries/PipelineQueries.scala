@@ -23,6 +23,7 @@ object PipelineQueries {
   private val MAX_BUCKET = 1000L // LSH bucket-size guard (Dedup.lshCandidates)
   private val MAX_DF = 10000L    // stop-shingle df guard (Dedup.dfCapped)
   private val CONTAIN_T = 0.5    // d139 containment threshold
+  private val SRC_OVERLAP_T = 0.08 // d152 source-overlap threshold
   private val IVF_CELLS = 16     // IVF centroid count (e04)
   private val IVF_PROBES = 4     // IVF probed cells per query (e04)
   private val PQ_M = 8           // e09/e10 PQ subspaces
@@ -631,6 +632,14 @@ object PipelineQueries {
     "d151_count_of_counts" -> ((spark: SparkSession, dir: String) =>
       TextAnalysis.countOfCounts(Tables.documents(spark, dir))
         .orderBy(col("c"))),
+
+    // cross-source overlap matrix (d152): directional shingle
+    // containment between provenance sources — the mirror detector
+    // (Dedup.sourceOverlap doc; max 0.144 / mean 0.051 measured at
+    // sf0.01, threshold 0.08 bites)
+    "d152_source_overlap" -> ((spark: SparkSession, dir: String) =>
+      Dedup.sourceOverlap(Tables.documents(spark, dir), SRC_OVERLAP_T)
+        .orderBy(col("src_a"), col("src_b"))),
 
     // per-source boilerplate density (d150): fraction of a source's
     // distinct shingles carried by >= half its docs — the template-
@@ -6616,6 +6625,25 @@ object PipelineQueries {
          |  CAST(n_hits AS DOUBLE) / (5 * n_queries) AS recall
          |FROM ht CROSS JOIN nqr""".stripMargin.replace("\n", " ")
     },
+
+    // mirror of Dedup.sourceOverlap: source-level distinct shingles,
+    // one intersection table, two direction projections
+    "d152_source_overlap" ->
+      s"""WITH stok AS (SELECT doc_id, source, string_split(text,' ') AS w
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |ssh AS (SELECT DISTINCT source, array_to_string(list_slice(w, i, i+2),' ') AS s
+         |  FROM stok, LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+         |scard AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM ssh GROUP BY 1),
+         |sinter AS (SELECT x.source AS a, y.source AS b, CAST(count(*) AS BIGINT) AS i
+         |  FROM ssh x JOIN ssh y ON x.s = y.s AND x.source < y.source GROUP BY 1, 2),
+         |sbd AS (SELECT a, b, i, ca.c AS cca, cb.c AS ccb
+         |  FROM sinter JOIN scard ca ON ca.source = a JOIN scard cb ON cb.source = b),
+         |sdir AS (SELECT a AS src_a, b AS src_b, i AS n_shared,
+         |    CAST(i AS DOUBLE)/cca AS overlap FROM sbd
+         |  UNION ALL SELECT b, a, i, CAST(i AS DOUBLE)/ccb FROM sbd)
+         |SELECT src_a, src_b, n_shared, overlap FROM sdir
+         |WHERE overlap >= $SRC_OVERLAP_T
+         |ORDER BY src_a, src_b""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.countOfCounts: word counts, frequency
     // table, the c+1 self-probe; NULL c_star at the top frequency

@@ -325,6 +325,22 @@ class GraphTokPrefSpec extends AnyFunSuite {
       r1.getDouble(2) == 0.0)
   }
 
+  // ---- d152: source overlap ----
+
+  test("sourceOverlap: planted mirror scores 1.0 one way; disjoint sources absent") {
+    val words = (1 to 30).map(i => s"m$i")
+    val fix = Seq(
+      (1L, words.mkString(" "), "orig"),           // the full corpus
+      (2L, words.take(12).mkString(" "), "mirror"), // subset mirror
+      (3L, "totally different words here now", "other"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.sourceOverlap(fix, 0.5).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getDouble(3))).toSet
+    // all of mirror's shingles are in orig -> C(mirror->orig) = 1.0;
+    // the reverse direction is 10/28 < 0.5; 'other' shares nothing
+    assert(r == Set(("mirror", "orig", 1.0)), r.toString)
+  }
+
   // ---- d151: Good-Turing ----
 
   test("countOfCounts: identities hold (Σ n_c = vocab, Σ mass = 1, c* bridges)") {
