@@ -709,6 +709,48 @@ object SseBenchMain {
         println(f"SSEBENCH card total=$total docs passthrough=${total / wBase}%.0f ev/s " +
           f"carded=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost)")
       }
+
+      // KS DRIFT MONITOR (round 11, phase 14): the live two-sample KS
+      // against a fixed reference sample, priced against pass-through —
+      // per batch it pays one merged distinct-value aggregate plus two
+      // bounded windows over the value grid (no model join, no index
+      // probe), so it should price at-or-below the rules tier.
+      {
+        val ref = graft.sources.Tables
+          .documents(spark, "/root/testdata/sf0.001")
+          .select($"n_chars".cast("double").as("value"))
+        val total = 20000
+        val chunk = 2000
+        val vals: Seq[(Long, Double)] =
+          (0 until total).map(i => (i.toLong, (50 + i % 400).toDouble))
+        def ksRun(withGate: Boolean): (Double, Long) = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+          val stream = mem.toDF().toDF("doc_id", "value")
+          val batches = new java.util.concurrent.atomic.AtomicLong
+          val lastD = new java.util.concurrent.atomic.AtomicReference[java.lang.Double](0.0)
+          val writer =
+            if (withGate) EventTimeOps.ksDriftIngest(stream, ref) { (out, _) =>
+              lastD.set(out.head().getDouble(2)); batches.incrementAndGet(); ()
+            }
+            else stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                b.count(); batches.incrementAndGet(); ()
+            }
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            vals.grouped(chunk).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+          } finally q.stop()
+          require(batches.get() == total / chunk,
+            s"INVALID RUN: ${batches.get()} batches of ${total / chunk}")
+          ((System.nanoTime() - t0) / 1e9, batches.get())
+        }
+        ksRun(withGate = false) // warm-up
+        val (wBase, _) = ksRun(withGate = false)
+        val (wGate, _) = ksRun(withGate = true)
+        println(f"SSEBENCH ksdrift total=$total docs passthrough=${total / wBase}%.0f ev/s " +
+          f"monitored=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }
