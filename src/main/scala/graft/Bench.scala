@@ -34,7 +34,12 @@ object Bench {
       // graft_* SQL functions + the conf-gated range-join rewrite (q25)
       .withExtensions(new GraftExtensions())
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the documented bounded bare-window devices emit a
+    // WindowExec "No Partition Defined" WARN per plan, and at ~275
+    // queries the storm floods the driver's stdout/stderr capture —
+    // round 11 lost BENCH_r11.json's per-query tail to it. The bench's
+    // own diagnostics go through System.err explicitly.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warm-up: touch every table once so footer reads, codegen
     // and JIT are out of the per-query timings (the first timed query
     // otherwise absorbs multiple seconds of session bring-up).

@@ -20,7 +20,9 @@ object Verify {
       // graft_* SQL functions + the conf-gated range-join rewrite (q25)
       .withExtensions(new GraftExtensions())
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: see Bench — the bounded bare-window devices' per-
+    // plan WindowExec WARN would otherwise flood the driver's capture.
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

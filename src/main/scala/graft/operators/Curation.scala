@@ -36,9 +36,13 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val stopWords = graft.operators.TextAnalysis.markers.head._2
     val toks = split(col("text"), " ")
+    // quote-escape the marker words (the blocklistFilter discipline):
+    // the list is plain words today, but a future marker containing a
+    // quote must not break the generated expression
     val scored = docs.select(col("doc_id"), col("source"),
       (size(expr(s"filter(split(text, ' '), x -> x IN (${
-        stopWords.map(w => s"'$w'").mkString(",")}))")).cast("double") /
+        stopWords.map(w => s"'${w.replace("'", "''")}'").mkString(",")}))"))
+        .cast("double") /
         size(toks)).as("score"))
     val wCh = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("doc_id").asc)

@@ -335,7 +335,18 @@ object Sampling {
       .select(abs((col("o1") + col("s1")) * col("n2") -
         (col("o2") + col("s2")) * col("n1")).as("m"), col("n1"), col("n2"))
       .groupBy(col("n1"), col("n2")).agg(max(col("m")).as("m"))
+      // one-sided input (everything matched sample1, or nothing did)
+      // makes n1·n2 = 0 and the statistic NaN — a misconfigured monitor
+      // would then stream "no drift" forever; fail loudly instead
+      // (raise_error fires lazily, so the streaming twin's per-batch
+      // evaluation hits it too). An EMPTY input still yields zero rows.
       .select(col("n1"), col("n2"),
-        (col("m").cast("double") / (col("n1") * col("n2"))).as("ks_d"))
+        when(col("n1") === 0L || col("n2") === 0L,
+          raise_error(concat(lit("ksTwoSample: one-sided input (n1="),
+            col("n1"), lit(", n2="), col("n2"),
+            lit(") — the KS statistic is undefined")))
+          .cast("double"))
+          .otherwise(col("m").cast("double") / (col("n1") * col("n2")))
+          .as("ks_d"))
   }
 }

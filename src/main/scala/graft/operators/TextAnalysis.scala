@@ -1643,11 +1643,14 @@ object TextAnalysis {
     * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)).
     *
     * Cross-engine exactness: a,b,c,d are exact counts, the numerator
-    * and denominator are exact BIGINT products (documented bound: fine
-    * to ~1e4 docs per slice — N³ inside the product; beyond that scale
-    * the same formula runs in DECIMAL), and the statistic is ONE IEEE
-    * divide. Presence = distinct (word, doc) — one distinct-pair
-    * aggregate, one doc-class count, vocabulary-scale joins; top-k as
+    * and denominator are exact DECIMAL(38,0) products (the N⁵-shaped
+    * numerator overflows BIGINT at ~1e4 docs per slice — in DECIMAL the
+    * exact range extends to ~6e7 docs, and an embedded raise_error
+    * fires loudly beyond it instead of letting a silent overflow turn
+    * the ranks into garbage), and the statistic is ONE IEEE divide of
+    * the same integer VALUES either way, so engines agree bit-for-bit.
+    * Presence = distinct (word, doc) — one distinct-pair aggregate, one
+    * doc-class count, vocabulary-scale joins; top-k as
     * TakeOrderedAndProject on (chi2 desc, word). Degenerate words
     * (df = 0 or N — zero denominator) cannot occur: presence implies
     * 1 ≤ df, and df = N yields (a+b)(c+d) > 0 unless every doc has the
@@ -1664,15 +1667,32 @@ object TextAnalysis {
       .groupBy(col("w"))
       .agg(sum(when(col("cls"), 1L).otherwise(0L)).as("a"),
         sum(when(col("cls"), 0L).otherwise(1L)).as("b"))
+    // N⁵/16 must stay inside DECIMAL(38,0) for the numerator to be
+    // exact: N ≤ 6e7 docs per slice. Checked lazily on the one-row
+    // totals frame so the guard costs nothing and fires in streaming
+    // twins too.
     val tot = tagged.agg(
       sum(when(col("cls"), 1L).otherwise(0L)).as("np"),
       sum(when(col("cls"), 0L).otherwise(1L)).as("nn"))
+      .select(
+        when(col("np") + col("nn") > 60000000L,
+          raise_error(concat(lit("chiSquareFeatures: "), col("np") + col("nn"),
+            lit(" docs exceeds the DECIMAL(38,0) exact range (~6e7) — " +
+              "shard the slice or widen the arithmetic"))).cast("long"))
+          .otherwise(col("np")).as("np"),
+        col("nn"))
     val scored = pres.crossJoin(broadcast(tot))
-      .filter(expr("(a + b) * ((np - a) + (nn - b)) * np * nn") =!= 0L)
+      // factor-wise zero test (the 4-way BIGINT product itself would
+      // overflow at the scales the DECIMAL numerator now supports)
+      .filter(col("a") + col("b") =!= 0L &&
+        (col("np") - col("a")) + (col("nn") - col("b")) =!= 0L &&
+        col("np") =!= 0L && col("nn") =!= 0L)
       .select(col("w").as("word"), col("a"), col("b"),
-        expr("""CAST((np + nn) *
-          |(a * (nn - b) - b * (np - a)) * (a * (nn - b) - b * (np - a)) AS DOUBLE) /
-          |CAST((a + b) * ((np - a) + (nn - b)) * np * nn AS DOUBLE)"""
+        expr("""CAST(CAST(np + nn AS DECIMAL(38,0)) *
+          |CAST(a * (nn - b) - b * (np - a) AS DECIMAL(38,0)) *
+          |CAST(a * (nn - b) - b * (np - a) AS DECIMAL(38,0)) AS DOUBLE) /
+          |CAST(CAST((a + b) * ((np - a) + (nn - b)) AS DECIMAL(38,0)) *
+          |CAST(np * nn AS DECIMAL(38,0)) AS DOUBLE)"""
           .stripMargin.replace("\n", " ")).as("chi2"))
     val ordW = org.apache.spark.sql.expressions.Window
       .orderBy(col("chi2").desc, col("word").asc)
@@ -2784,10 +2804,22 @@ object TextAnalysis {
   def tokenDrift(docs: DataFrame, refPred: Column): DataFrame = {
     val toks = docs.select(refPred.as("grp"),
       explode(split(col("text"), " ")).as("word"))
-    val c = toks.groupBy(col("word")).agg(
+    tokenDriftFromCounts(toks.groupBy(col("word")).agg(
       sum(when(col("grp"), 1L).otherwise(0L)).as("ca"),
-      sum(when(!col("grp"), 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint(true)
+      sum(when(!col("grp"), 1L).otherwise(0L)).as("cb")))
+  }
+
+  /** The [[tokenDrift]] arithmetic over an ALREADY-BUILT per-word count
+    * frame (word, ca = reference count, cb = new-slice count) — the
+    * seam that lets the streaming ingest gate
+    * ([[graft.streaming.EventTimeOps.tokenDriftIngest]]) join each
+    * micro-batch's counts against a reference vocabulary computed ONCE
+    * instead of re-tokenizing the reference per batch, while running
+    * the registered metric formula VERBATIM (one code path — the
+    * scoreWithBigramModel convention).
+    */
+  def tokenDriftFromCounts(counts: DataFrame): DataFrame = {
+    val c = counts.localCheckpoint(true)
     val tot = c.agg(sum(col("ca")), sum(col("cb"))).head()
     val (na, nb) = (tot.getLong(0), tot.getLong(1))
     require(na > 0 && nb > 0, s"tokenDrift: empty slice (na=$na nb=$nb)")

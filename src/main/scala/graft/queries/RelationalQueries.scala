@@ -485,6 +485,16 @@ object RelationalQueries {
     // published double is bit-identical — a closed-form weighted SUM
     // would round differently and hash-mismatch. Per-user state is the
     // user's own history (bounded, key-partitioned).
+    //
+    // SKEW CONSTRAINT (documented, not capped): the collect_list puts
+    // ONE user's full event history in one aggregation buffer — an EMA
+    // is inherently a sequential per-key fold, so the shape is right,
+    // but a hyperactive key (a bot writing millions of events) at 100×
+    // corpus scale is one JVM's memory. A deployment over unbounded
+    // per-key histories bounds the window first (slice the sorted list
+    // to the last W events, or pre-aggregate per hour as q12 does) —
+    // that changes the metric's definition, so the registered operator
+    // keeps the exact whole-history fold and states the bound instead.
     "q28_ema" -> ((spark: SparkSession, dir: String) =>
       Tables.events(spark, dir)
         .groupBy(col("user_id"))
