@@ -2248,15 +2248,21 @@ object Similarity {
     * device), so consumers never recompute the walk.
     */
   private def beamWalk(emb: DataFrame, edges: DataFrame, queryPred: Column,
-      k: Int, beam: Int, rounds: Int,
-      entries: Int): Seq[(Int, DataFrame)] = {
+      k: Int, beam: Int, rounds: Int, entries: Int,
+      entryIds: Option[Seq[Long]] = None): Seq[(Int, DataFrame)] = {
     require(k < beam && rounds >= 1 && entries >= 1 && entries <= beam,
       s"k=$k beam=$beam rounds=$rounds entries=$entries")
+    require(entryIds.forall(ids => ids.nonEmpty && ids.size <= beam),
+      s"entryIds size ${entryIds.map(_.size)} must be in [1, beam=$beam]")
     val n = normalized(emb)
     val corpus = n.select(col("vec_id"), col("e"), col("nrm"))
     val q = n.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val ent = n.filter(col("vec_id") < entries)
+    val entPred = entryIds match {
+      case Some(ids) => col("vec_id").isin(ids: _*)
+      case None      => col("vec_id") < entries
+    }
+    val ent = n.filter(entPred)
       .select(col("vec_id").as("vid"), col("e").as("ce"), col("nrm").as("cn"))
     var b = q.crossJoin(broadcast(ent))
       .select(col("query_id"), col("vid"),
@@ -2330,6 +2336,37 @@ object Similarity {
           (col("n_hits").cast("double") / (lit(k) * col("n_queries")))
             .as("recall"))
     }.reduce(_ union _)
+  }
+
+  /** Graph-walk recall with K-CENTER entry points (e70) — the entry-
+    * diversity variant: instead of the fixed `vec_id < entries` prefix
+    * (which can all land in one region of a clustered corpus and leave
+    * far clusters unreachable within the round budget), the walk starts
+    * from the [[kCenterGreedy]] exemplars — maximally-spread by
+    * construction, so every region of the corpus is within few hops of
+    * SOME entry. Zero new machinery: the selection is the registered
+    * e47 operator (its ids driver-resident by the kCenter residency
+    * argument), the walk and the recall device are shared verbatim.
+    * Measured against e55 at the same (beam, rounds, knnK) it prices
+    * what entry diversity buys — the e11b measure-don't-assume
+    * discipline.
+    */
+  def graphBeamRecallKCenter(emb: DataFrame, queryPred: Column, k: Int,
+      beam: Int, rounds: Int, knnK: Int, bits: Int = 6,
+      kCenters: Int = 4): DataFrame = {
+    val ids = kCenterGreedy(emb, kCenters).collect().map(_.getLong(1)).toSeq
+    val beams = beamWalk(emb, navGraph(emb, knnK, bits).localCheckpoint(true),
+      queryPred, k, beam, rounds, entries = ids.size, entryIds = Some(ids))
+    val exact = cosineTopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val nq = exact.agg(countDistinct(col("query_id")).cast("long").as("n_queries"))
+    beamTopK(beams.last._2, k).select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("n_queries"), col("n_hits"),
+        (col("n_hits").cast("double") / (lit(k) * col("n_queries"))).as("recall"))
   }
 
   /** Persist the [[navGraph]] edge set (e57) — the graph family's index
@@ -2443,19 +2480,32 @@ object Similarity {
     recallOf(cosineTopK(emb, queryPred, k),
       jlRerankTopK(emb, queryPred, k, shortlist, m, dim), k)
 
-  /** The centered covariance matrix as a (i, j, c) frame — the
-    * distributed-PCA workhorse shared by [[pcaTopComponent]] and
-    * [[pcaVarianceExplained]]. Scale shape: ONE corpus scan explodes
-    * components, the self-join on vec_id forms per-row outer products
-    * (row × dims² work, map-side combined down to the dims² aggregate —
-    * the state is MODEL-dimension-bounded, never corpus-bounded), means
-    * ride a broadcast dims-row table. Exactness: every per-row product
-    * is an IEEE multiply of deterministic doubles, quantized to
-    * DECIMAL(38,12) BEFORE the sum so the aggregation is
-    * order-independent under any partitioning (the e07/e51 device);
-    * the final /n is one IEEE divide.
+  /** The TRAINED SPECTRAL OBJECT the whole PCA family shares — mean
+    * vector (driver-resident dims doubles, the sqStats/centroid
+    * residency argument), centered covariance (a dims²-row frame) and
+    * the raw power iterate after `iters` rounds. Every consumer (the
+    * e64 component, the e65 variance diagnostic, the e66 deflated
+    * second component, the e68 debias re-encode) derives from these
+    * three with dims²-bounded work — so a persisted model
+    * ([[saveSpectralIndex]]) turns the family's corpus-touching pass
+    * into a build-once cost, exactly like the IVF/SRP/BM25 artifacts.
     */
-  private def covariance(emb: DataFrame): DataFrame = {
+  case class SpectralModel(dim: Int, iters: Int, mean: Array[Double],
+      cov: DataFrame, iter: DataFrame)
+
+  /** The centered covariance matrix as a (i, j, c) frame — the
+    * distributed-PCA workhorse. Scale shape: ONE corpus scan explodes
+    * components, per-row outer products by a double posexplode (NO
+    * self-join, NO corpus shuffle — the only exchange is the dims²-key
+    * combine, and the row×dims² term stream partial-aggregates
+    * map-side); the state is MODEL-dimension-bounded, never
+    * corpus-bounded. Exactness: every per-row product is an IEEE
+    * multiply of deterministic doubles, quantized to DECIMAL(38,12)
+    * BEFORE the sum so the aggregation is order-independent under any
+    * partitioning (the e07/e51 device); the final /n is one IEEE
+    * divide. Returns (mean, cov).
+    */
+  private def covariance(emb: DataFrame): (Array[Double], DataFrame) = {
     val x = emb.select(
       expr("transform(embedding, v -> cast(v as double))").as("ed"))
     // the mean vector is dims doubles — driver-resident by the same
@@ -2468,18 +2518,52 @@ object Similarity {
         count(lit(1))).as("mu"))
       .orderBy(col("i")).collect().map(_.getDouble(1))
     val nn = emb.agg(count(lit(1)).cast("long").as("nv"))
-    // center scan-side against the literal mean, then form the row's
-    // outer products by a double posexplode — NO self-join, NO corpus
-    // shuffle: the only exchange is the dims²-key combine, and the
-    // row×dims² term stream partial-aggregates map-side
     val xc = x.withColumn("mu", array(mu.map(lit(_)): _*))
       .select(expr("zip_with(ed, mu, (a, b) -> a - b)").as("cv"))
-    xc.select(col("cv"), posexplode(col("cv")).as(Seq("i", "xi")))
+    val cov = xc.select(col("cv"), posexplode(col("cv")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("cv")).as(Seq("j", "xj")))
       .groupBy(col("i"), col("j"))
       .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("s"))
       .crossJoin(broadcast(nn))
       .select(col("i"), col("j"), (col("s").cast("double") / col("nv")).as("c"))
+    (mu, cov)
+  }
+
+  /** One quantized matrix-vector product w = C·v: a dims-keyed
+    * equi-join of the dims²-row covariance against the dims-row vector,
+    * per-product DECIMAL(38,12) quantization before the sum
+    * (order-independent — both engines produce the same vector
+    * bit-for-bit). The ONE matvec every spectral consumer composes.
+    */
+  private def matvec(cov: DataFrame, v: DataFrame): DataFrame =
+    cov.join(v, Seq("j"))
+      .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
+      .groupBy(col("i")).agg(sum(col("p")).cast("double").as("v"))
+      .withColumnRenamed("i", "j")
+
+  /** The fixed eₖ seed every power iteration starts from (determinism
+    * beats a random start here: both engines and every rerun walk the
+    * identical iterate).
+    */
+  private def seedVec(spark: org.apache.spark.sql.SparkSession, dim: Int,
+      unit: Int): DataFrame =
+    spark.range(0, dim)
+      .select(col("id").cast("int").as("j"),
+        when(col("id") === unit, lit(1.0)).otherwise(lit(0.0)).as("v"))
+
+  /** Train the spectral model: one corpus-touching covariance pass +
+    * `iters` in-engine matvec rounds from the e₀ seed. No normalization
+    * per step (iters is small; magnitudes stay in double range — a
+    * caller cranking iters re-scales first).
+    */
+  def trainSpectral(emb: DataFrame, dim: Int, iters: Int = 3): SpectralModel = {
+    require(iters >= 1, s"iters=$iters")
+    val spark = emb.sparkSession
+    val (mu, covDf) = covariance(emb)
+    val cov = covDf.localCheckpoint(true) // reused per iteration
+    var v = seedVec(spark, dim, 0).localCheckpoint(true)
+    for (_ <- 1 to iters) v = matvec(cov, v).localCheckpoint(true)
+    SpectralModel(dim, iters, mu, cov, v)
   }
 
   /** PCA leading component by POWER ITERATION (e64) — the spectral
@@ -2499,23 +2583,17 @@ object Similarity {
     * join — driver never holds the matrix, the iteration lives in the
     * engine. Returns (dim, pc).
     */
-  def pcaTopComponent(emb: DataFrame, dim: Int, iters: Int = 3): DataFrame = {
-    require(iters >= 1, s"iters=$iters")
-    val spark = emb.sparkSession
-    val cov = covariance(emb).localCheckpoint(true) // reused per iteration
-    var v = spark.range(0, dim)
-      .select(col("id").cast("int").as("j"),
-        when(col("id") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      v = cov.join(v, Seq("j"))
-        .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
-        .groupBy(col("i")).agg(sum(col("p")).cast("double").as("v"))
-        .withColumnRenamed("i", "j")
-        .localCheckpoint(true)
-    }
-    val mx = v.agg(max(abs(col("v"))).as("m"))
-    v.crossJoin(broadcast(mx))
+  def pcaTopComponent(emb: DataFrame, dim: Int, iters: Int = 3): DataFrame =
+    pcaTopComponentOf(trainSpectral(emb, dim, iters))
+
+  /** The e64 publication tail over an already-trained/loaded model —
+    * the iterate scaled by its own max |entry| (a comparison-only
+    * aggregate) and quantized once at the boundary. dims-scale work
+    * only; the corpus is never touched.
+    */
+  def pcaTopComponentOf(m: SpectralModel): DataFrame = {
+    val mx = m.iter.agg(max(abs(col("v"))).as("m"))
+    m.iter.crossJoin(broadcast(mx))
       .select(col("j").cast("long").as("dim"),
         expr("CAST(CAST(v / m AS DECIMAL(28,8)) AS DOUBLE)").as("pc"))
   }
@@ -2535,43 +2613,47 @@ object Similarity {
     * spec-pinned). Returns (dim, pc2) scaled by max |entry|.
     */
   def pcaSecondComponent(emb: DataFrame, dim: Int,
-      iters: Int = 3): DataFrame = {
-    val spark = emb.sparkSession
-    val cov = covariance(emb).localCheckpoint(true)
-    // the top-component iterate, its normalization, and lambda1
-    var v1 = spark.range(0, dim)
-      .select(col("id").cast("int").as("j"),
-        when(col("id") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      v1 = cov.join(v1, Seq("j"))
-        .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
-        .groupBy(col("i")).agg(sum(col("p")).cast("double").as("v"))
-        .withColumnRenamed("i", "j")
-        .localCheckpoint(true)
-    }
-    val w1 = cov.join(v1, Seq("j"))
-      .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
-      .groupBy(col("i")).agg(sum(col("p")).cast("double").as("w"))
-      .withColumnRenamed("i", "j")
-    val scal = v1.join(w1, Seq("j")).agg(
-      (sum((col("v") * col("w")).cast("decimal(38,12)")).cast("double") /
-        sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double"))
+      iters: Int = 3): DataFrame =
+    pcaSecondComponentOf(trainSpectral(emb, dim, iters))
+
+  /** L2-normalized top direction + λ₁ from a model's iterate — the
+    * (j, u, lam) frame the deflation AND the e68 debias re-encode both
+    * consume (ONE normalization formula, so the two consumers cannot
+    * disagree on the direction): λ₁ = Rayleigh quotient vᵀ(Cv)/vᵀv,
+    * u = v/‖v‖ — divides and one sqrt of already-deterministic doubles,
+    * bit-identical across engines.
+    */
+  private def componentWithLambda(m: SpectralModel): DataFrame = {
+    val w1 = matvec(m.cov, m.iter).withColumnRenamed("v", "w")
+    // scale 24, not the usual 12: the unnormalized iterate's entries
+    // are ~1e-6, so v·v ~ 1e-12 — at scale 12 the squared sums keep
+    // ~2 significant digits and ‖u‖ misses 1 by ~1%, which makes the
+    // e68 removal leave a 0.05-scale residual along v̂₁ (measured).
+    // At scale 24 the quanta sit ~1e-12 RELATIVE to the products and
+    // ‖u‖ = 1 to ~1e-12 — still order-independent exact decimal sums.
+    val scal = m.iter.join(w1, Seq("j")).agg(
+      (sum((col("v") * col("w")).cast("decimal(38,24)")).cast("double") /
+        sum((col("v") * col("v")).cast("decimal(38,24)")).cast("double"))
         .as("lam"),
-      sqrt(sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double"))
+      sqrt(sum((col("v") * col("v")).cast("decimal(38,24)")).cast("double"))
         .as("nrm"))
-    val u1 = v1.crossJoin(broadcast(scal))
+    m.iter.crossJoin(broadcast(scal))
       .select(col("j"), (col("v") / col("nrm")).as("u"), col("lam"))
-      .localCheckpoint(true)
-    var v = spark.range(0, dim)
-      .select(col("id").cast("int").as("j"),
-        when(col("id") === 1, lit(1.0)).otherwise(lit(0.0)).as("v"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val w = cov.join(v, Seq("j"))
-        .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
-        .groupBy(col("i")).agg(sum(col("p")).cast("double").as("w"))
-        .withColumnRenamed("i", "j")
+  }
+
+  /** The e66 deflation over an already-trained/loaded model: power
+    * iteration on C₂ = C − λ₁·v̂₁v̂₁ᵀ without ever materializing C₂ —
+    * each step is the shared [[matvec]] minus λ₁·(v̂₁ᵀv)·v̂₁ (one
+    * quantized scalar reduction plus per-entry expression work).
+    * Seeded from e₁ (e₀ is the top component's seed). dims²-scale work
+    * only; the corpus is never touched.
+    */
+  def pcaSecondComponentOf(m: SpectralModel): DataFrame = {
+    val spark = m.cov.sparkSession
+    val u1 = componentWithLambda(m).localCheckpoint(true)
+    var v = seedVec(spark, m.dim, 1).localCheckpoint(true)
+    for (_ <- 1 to m.iters) {
+      val w = matvec(m.cov, v).withColumnRenamed("v", "w")
       val s = u1.join(v, Seq("j"))
         .agg(sum((col("u") * col("v")).cast("decimal(38,12)")).cast("double").as("s"))
       v = w.join(u1, Seq("j")).crossJoin(broadcast(s))
@@ -2594,33 +2676,177 @@ object Similarity {
     * dims²-bounded). Returns (lambda1, trace, var_explained).
     */
   def pcaVarianceExplained(emb: DataFrame, dim: Int,
-      iters: Int = 3): DataFrame = {
-    val cov = covariance(emb).localCheckpoint(true)
-    val spark = emb.sparkSession
-    var v = spark.range(0, dim)
-      .select(col("id").cast("int").as("j"),
-        when(col("id") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      v = cov.join(v, Seq("j"))
-        .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
-        .groupBy(col("i")).agg(sum(col("p")).cast("double").as("v"))
-        .withColumnRenamed("i", "j")
-        .localCheckpoint(true)
-    }
-    val w = cov.join(v, Seq("j"))
-      .select(col("i"), (col("c") * col("v")).cast("decimal(38,12)").as("p"))
-      .groupBy(col("i")).agg(sum(col("p")).cast("double").as("w"))
-      .withColumnRenamed("i", "j")
-    val vtw = v.join(w, Seq("j"))
+      iters: Int = 3): DataFrame =
+    pcaVarianceExplainedOf(trainSpectral(emb, dim, iters))
+
+  /** The e65 diagnostic over an already-trained/loaded model: one
+    * [[matvec]] + the Rayleigh quotient against trace(C). dims²-scale
+    * work only; the corpus is never touched.
+    */
+  def pcaVarianceExplainedOf(m: SpectralModel): DataFrame = {
+    val w = matvec(m.cov, m.iter).withColumnRenamed("v", "w")
+    val vtw = m.iter.join(w, Seq("j"))
       .agg(sum((col("v") * col("w")).cast("decimal(38,12)")).cast("double").as("num"),
         sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double").as("den"))
-    val tr = cov.filter(col("i") === col("j"))
+    val tr = m.cov.filter(col("i") === col("j"))
       .agg(sum(col("c").cast("decimal(38,12)")).cast("double").as("trace"))
     vtw.crossJoin(broadcast(tr))
       .select((col("num") / col("den")).as("lambda1"), col("trace"),
         ((col("num") / col("den")) / col("trace")).as("var_explained"))
   }
+
+  /** PERSIST the trained spectral model (e67) — the missing
+    * build-once/serve-many tail of the PCA family (IVF has e31-e34,
+    * SRP e41-e43, the unigram d104, BM25 d87...): mean (j, mu),
+    * covariance (i, j, c) and the raw iterate (j, v) as three tiny
+    * parquet tables (dims + dims² + dims rows) under the shared
+    * manifest, kind "spectral", params (dims, iters), watermarked on
+    * the training corpus. The covariance is stored RAW rather than the
+    * published component because every family member (component,
+    * variance, deflation, debias) derives from (mean, cov, iter) with
+    * dims²-bounded work through the ONE shared code path — persisting
+    * derived forms would fork the formulas. Parquet round-trips doubles
+    * bit-exactly, so a loaded model serves results bit-identical to the
+    * in-memory chain (spec-pinned).
+    */
+  def saveSpectralIndex(emb: DataFrame, path: String, dim: Int,
+      iters: Int = 3): Unit = {
+    val m = trainSpectral(emb, dim, iters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    m.mean.zipWithIndex.map { case (v, j) => (j, v) }.toSeq
+      .toDF("j", "mu").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/mean")
+    m.cov.coalesce(1).write.mode("overwrite").parquet(s"$path/cov")
+    m.iter.coalesce(1).write.mode("overwrite").parquet(s"$path/iter")
+    val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
+    IndexManifest.write(path, IndexManifest.Manifest("spectral",
+      Map("dims" -> dim.toLong, "iters" -> iters.toLong), rows, maxId))
+  }
+
+  /** Load a persisted spectral model — geometry comes from the
+    * MANIFEST, never the caller (the zRectQuery lesson: a caller-
+    * supplied dims/iters that drifted from the build would silently
+    * mis-derive every consumer).
+    */
+  def loadSpectralIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): SpectralModel = {
+    val man = IndexManifest.require(path, "spectral")
+    val mean = spark.read.parquet(s"$path/mean")
+      .orderBy(col("j")).collect().map(_.getDouble(1))
+    SpectralModel(man.params("dims").toInt, man.params("iters").toInt,
+      mean, spark.read.parquet(s"$path/cov"),
+      spark.read.parquet(s"$path/iter"))
+  }
+
+  /** SYNC a persisted spectral model to the current corpus — REBUILD-
+    * ONLY by design (the d87/suffix-array argument, strengthened: the
+    * mean and every covariance entry are corpus-GLOBAL statistics, so
+    * ANY new row moves the whole model — there is no append arm that
+    * preserves correctness). FRESH serves as-is; anything else
+    * (growth, shrink, param drift, missing/corrupt manifest) retrains.
+    * Idempotent: a second sync against the same corpus is the FRESH
+    * no-op. Returns the action ("fresh" | "rebuild"), spec-pinned.
+    */
+  def spectralIndexSync(emb: DataFrame, path: String, dim: Int,
+      iters: Int = 3): String = {
+    val ok = try {
+      IndexManifest.require(path, "spectral",
+        Map("dims" -> dim.toLong, "iters" -> iters.toLong))
+      IndexManifest.isFresh(path, emb, "vec_id")
+    } catch { case _: IndexManifestException => false }
+    if (ok) "fresh"
+    else { saveSpectralIndex(emb, path, dim, iters); "rebuild" }
+  }
+
+  /** The spectral model through its persisted-artifact cache (the
+    * keepListCached convention): built once per (corpus, params)
+    * version at `path`, loaded from parquet by every consumer — e64,
+    * e65, e66, e68 and e69 all ride ONE slot per data directory;
+    * whichever runs first pays the covariance pass.
+    */
+  def spectralCached(emb: DataFrame, path: String, dim: Int,
+      iters: Int = 3): SpectralModel = {
+    spectralIndexSync(emb, path, dim, iters)
+    loadSpectralIndex(emb.sparkSession, path)
+  }
+
+  /** ALL-BUT-THE-TOP debias re-encode (e68) — the post-processing the
+    * spectral family exists for (Mu & Viswanath 2017, "All-but-the-Top":
+    * subtracting the mean and removing the dominant direction(s) makes
+    * embedding sets more isotropic and measurably better at similarity
+    * tasks): x' = (x − μ) − (v̂₁ᵀ(x − μ))·v̂₁ with μ and v̂₁ from the
+    * trained model as dims-double literal arrays (driver-resident by
+    * the centroid argument).
+    *
+    * Scale shape: PURE SCAN-SIDE expression work — the centering is a
+    * zip_with against the μ literal, the projection coefficient a
+    * per-row sequential decimal fold over the array (order fixed by
+    * array position; DECIMAL(38,12) per-product quanta summed exactly,
+    * so it equals the oracle's grouped decimal sum), the removal
+    * another zip_with. ZERO shuffles, zero joins: the re-encode of
+    * 100 TB of embeddings runs at read parallelism and pipelines
+    * straight into whatever consumes it. Returns (vec_id, embedding)
+    * with raw doubles (bit-identical cross-engine — every operation is
+    * IEEE arithmetic on identical inputs).
+    */
+  def pcaDebias(emb: DataFrame, m: SpectralModel): DataFrame = {
+    // v̂₁ as literals: the in-engine normalization (ONE formula shared
+    // with the deflation via componentWithLambda), collected as dims
+    // doubles
+    val u = componentWithLambda(m)
+      .orderBy(col("j")).collect().map(_.getDouble(1))
+    emb.select(col("vec_id"),
+        expr("transform(embedding, v -> cast(v as double))").as("ed"))
+      .withColumn("mu", array(m.mean.map(lit(_)): _*))
+      .withColumn("u", array(u.map(lit(_)): _*))
+      .withColumn("cv", expr("zip_with(ed, mu, (a, b) -> a - b)"))
+      // fold precision trap (found by bit-compare): DECIMAL(38,12) +
+      // DECIMAL(38,12) hits the precision cap and Spark REDUCES the
+      // result scale to 11, silently rounding every partial sum (the
+      // fold read -0.10253533052 vs the exact -0.102535330459).
+      // Quantize products at (30,12) and accumulate at (36,12): the
+      // addition then types as DECIMAL(37,12) — full scale preserved,
+      // merge cast exact — and the sequential fold equals the oracle's
+      // grouped decimal sum exactly.
+      .withColumn("d", expr(
+        """CAST(aggregate(zip_with(cv, u, (a, b) -> CAST(a * b AS DECIMAL(30,12))),
+          |CAST(0 AS DECIMAL(36,12)),
+          |(acc, x) -> CAST(acc + x AS DECIMAL(36,12))) AS DOUBLE)"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("vec_id"),
+        expr("zip_with(cv, u, (a, b) -> a - d * b)").as("embedding"))
+  }
+
+  /** The e68 registered shape: [[pcaDebias]] posexploded to
+    * (vec_id, dim, xp) rows, published at the DECIMAL(28,8) boundary
+    * (the e64 convention). The quantization is load-bearing: the raw
+    * iterate's decimal→double conversions can disagree across engines
+    * by an ulp (measured at sf0.01: ONE dimension's v̂₁ entry, which
+    * surfaces as ~1e-15 absolute noise in that dimension of every
+    * re-encoded vector — the projection coefficient itself is immune,
+    * its per-product quanta absorb ulps); the boundary round makes the
+    * published row deterministic in both engines.
+    */
+  def pcaDebiasRows(emb: DataFrame, m: SpectralModel): DataFrame =
+    pcaDebias(emb, m)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xp")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        expr("CAST(CAST(xp AS DECIMAL(28,8)) AS DOUBLE)").as("xp"))
+
+  /** Debiased-space ANN recall (e69) — the AFTER arm of the
+    * before/after pair the debias exists to move (e17 is the BEFORE
+    * arm: the same multi-probe LSH recall on the raw embeddings): run
+    * [[annTopKMultiProbe]] and the exact baseline over the RE-ENCODED
+    * vectors and score with the shared recall definition. On this
+    * isotropic synthetic corpus the removed direction carries ~1/dims
+    * of the variance, so the pair should read ~flat — the honest
+    * negative control (the e65 1/64 discipline); on a real anisotropic
+    * embedding corpus this is the row that shows the lift.
+    */
+  def pcaDebiasRecall(emb: DataFrame, m: SpectralModel, queryPred: Column,
+      k: Int, bits: Int = 6): DataFrame =
+    annRecallLsh(pcaDebias(emb, m), queryPred, k, bits)
 
   /** Embedding-distribution DRIFT report (e51) — the monitoring row a
     * production embedding pipeline watches between corpus versions or

@@ -126,11 +126,19 @@ object ZOrder {
     * directories never open, spec-asserted), then the exact rectangle
     * predicate within survivors. The store must not change an answer:
     * d145 registers against the plain rectangle-filter SQL.
+    *
+    * bits/bucketBits come from the MANIFEST, never the caller (the
+    * appendZOrderedStore discipline): a caller-supplied geometry that
+    * drifted from the build params would derive the wrong cells in
+    * [[bucketsFor]] and silently prune whole directories of matching
+    * rows — exactly the loader-trusts-the-caller trap IndexManifest
+    * exists to close.
     */
   def zRectQuery(spark: SparkSession, path: String,
-      uxLo: Long, uxHi: Long, tyLo: Long, tyHi: Long,
-      bits: Int = 10, bucketBits: Int = 4): DataFrame = {
-    IndexManifest.require(path, "zorder")
+      uxLo: Long, uxHi: Long, tyLo: Long, tyHi: Long): DataFrame = {
+    val man = IndexManifest.require(path, "zorder")
+    val bits = man.params("bits").toInt
+    val bucketBits = man.params("bucket_bits").toInt
     val keep = bucketsFor(uxLo, uxHi, tyLo, tyHi, bits, bucketBits)
     spark.read.parquet(s"$path/data")
       .filter(col("zbucket").cast("long").isin(keep: _*))
