@@ -368,6 +368,53 @@ object EventTimeOps {
     }
   }
 
+  /** TOKEN-DRIFT monitor at ingest — the d119 text twin of
+    * [[ksDriftIngest]] (KS watches a numeric column, this watches the
+    * token distribution; together they are the drift pair a corpus
+    * ingest runs continuously): each micro-batch's unigram counts are
+    * scored against a FIXED reference vocabulary with the batch
+    * kernel's arithmetic VERBATIM
+    * ([[graft.operators.TextAnalysis.tokenDriftFromCounts]] — the same
+    * decimal-quantized Jensen-Shannon + OOV-mass formula the registered
+    * d119 row hashes against DuckDB), so the streamed statistic cannot
+    * drift from the registered batch semantics.
+    *
+    * Scale shape: the reference is TOKENIZED ONCE at stream build into
+    * a (word, ca) count table (vocabulary-scale, localCheckpointed —
+    * the LM-gate artifact discipline, NOT a per-batch re-tokenization
+    * of the reference corpus); each batch adds one token-stream groupBy
+    * over the batch's own text plus a vocabulary-scale outer join. No
+    * keyed state, no watermark. Distinct from [[windowedTokenDrift]]
+    * on purpose: that operator answers "which event-time WINDOW
+    * drifted" with per-window JVM state; this one is the stateless
+    * per-batch gate on the priced ingest ladder.
+    *
+    * Emits per non-empty batch via `sink`: (n_ref_tokens,
+    * n_new_tokens, js_div, oov_mass_new, oov_mass_ref).
+    */
+  def tokenDriftIngest(stream: DataFrame, reference: DataFrame)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.TextAnalysis
+    val refCounts = reference
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("ca"))
+      .localCheckpoint(true)
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        val batchCounts = batch
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cb"))
+        // full outer: reference-only words carry cb = 0 (OOV-ref mass),
+        // batch-only words ca = 0 (OOV-new mass) — exactly the count
+        // frame the batch kernel builds from the merged token stream
+        val counts = refCounts.join(batchCounts, Seq("word"), "full_outer")
+          .select(col("word"), coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+        sink(TextAnalysis.tokenDriftFromCounts(counts), batchId)
+      }
+    }
+  }
+
   def rulesGateIngest(stream: DataFrame,
       stopWords: Seq[String] =
         Seq("the", "be", "to", "of", "and", "that", "have", "with"))(

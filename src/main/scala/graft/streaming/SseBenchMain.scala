@@ -751,6 +751,53 @@ object SseBenchMain {
         println(f"SSEBENCH ksdrift total=$total docs passthrough=${total / wBase}%.0f ev/s " +
           f"monitored=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost)")
       }
+
+      // TOKEN-DRIFT MONITOR (round 12, phase 15): the d119 JS/OOV text
+      // drift against a fixed reference vocabulary, priced against
+      // pass-through — per batch one token-stream groupBy over the
+      // batch + a vocabulary-scale outer join (the reference is
+      // tokenized ONCE at stream build), so it should price near the
+      // LM-gate tier (vocabulary joins) rather than the rules tier.
+      {
+        val ref = graft.sources.Tables
+          .documents(spark, "/root/testdata/sf0.001")
+          .select($"doc_id", $"text")
+        val total = 20000
+        val chunk = 2000
+        val words = Array("the", "spark", "hash", "join", "table", "scan",
+          "query", "stream", "vector", "batch")
+        val docs: Seq[(Long, String)] = (0 until total).map { i =>
+          (i.toLong, (0 until 12).map(j => words((i * 7 + j * 3) % words.length))
+            .mkString(" "))
+        }
+        def tdRun(withGate: Boolean): Double = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val stream = mem.toDF().toDF("doc_id", "text")
+          val batches = new java.util.concurrent.atomic.AtomicLong
+          val lastJs = new java.util.concurrent.atomic.AtomicReference[java.lang.Double](0.0)
+          val writer =
+            if (withGate) EventTimeOps.tokenDriftIngest(stream, ref) { (out, _) =>
+              lastJs.set(out.head().getDouble(2)); batches.incrementAndGet(); ()
+            }
+            else stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                b.count(); batches.incrementAndGet(); ()
+            }
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            docs.grouped(chunk).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+          } finally q.stop()
+          require(batches.get() == total / chunk,
+            s"INVALID RUN: ${batches.get()} batches of ${total / chunk}")
+          (System.nanoTime() - t0) / 1e9
+        }
+        tdRun(withGate = false) // warm-up
+        val wBase = tdRun(withGate = false)
+        val wGate = tdRun(withGate = true)
+        println(f"SSEBENCH tokendrift total=$total docs passthrough=${total / wBase}%.0f ev/s " +
+          f"monitored=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }

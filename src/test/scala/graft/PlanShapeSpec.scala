@@ -50,6 +50,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
 
+  test("e64: the served component never touches the corpus — artifact scans only") {
+    // the persisted spectral model is the round-12 point: e64's serve
+    // path reads the dims-scale artifact tables, not embeddings.parquet
+    // (before the artifact, e64/e65/e66 EACH rebuilt the covariance
+    // from the corpus — the round-11 verdict's #1 cost finding)
+    val p = plan("e64_pca_top")
+    assert(!p.contains("embeddings.parquet"),
+      "e64 serve must not rescan the corpus\n" +
+        p.linesIterator.filter(_.contains("parquet")).take(6).mkString("\n"))
+  }
+
+  test("e68: the debias re-encode is pure scan-side work — no hash exchange") {
+    // centering, the projection-coefficient fold and the removal are
+    // all per-row expression work against literal μ/v̂₁ arrays; the only
+    // exchange allowed is the registered row's output-order
+    // rangepartitioning — a hashpartitioning means the re-encode
+    // stopped pipelining at read parallelism
+    val p = plan("e68_pca_debias")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "debias re-encode must not hash-shuffle\n" + p.take(2000))
+  }
+
   test("d147: the AMS counters partial-aggregate below one exchange") {
     // the sketch's entire point is O(nEst) state with map-side combine
     val p = plan("d147_ams_f2")

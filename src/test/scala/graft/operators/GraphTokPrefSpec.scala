@@ -307,6 +307,75 @@ class GraphTokPrefSpec extends AnyFunSuite {
       s"pc1/pc2 far from orthogonal: ${dot / (n1 * n2)}")
   }
 
+  test("spectral artifact: load serves bit-identically; sync policy fresh/rebuild; guards fire") {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-spec-").toString
+    // bit-identity: persisted model → identical published component
+    Similarity.saveSpectralIndex(emb, path, 64, 3)
+    val direct = Similarity.pcaTopComponent(emb, 64, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val loaded = Similarity.pcaTopComponentOf(
+      Similarity.loadSpectralIndex(spark, path))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(loaded == direct && direct.size == 64)
+    // ...and the dims²-only consumers match their in-memory twins too
+    val veD = Similarity.pcaVarianceExplained(emb, 64, 3).head()
+    val veL = Similarity.pcaVarianceExplainedOf(
+      Similarity.loadSpectralIndex(spark, path)).head()
+    assert(veD.getDouble(0) == veL.getDouble(0) &&
+      veD.getDouble(1) == veL.getDouble(1) &&
+      veD.getDouble(2) == veL.getDouble(2))
+    // sync policy: same corpus+params = fresh no-op; growth = rebuild
+    // (corpus-global statistics have no append arm); missing = rebuild
+    assert(Similarity.spectralIndexSync(emb, path, 64, 3) == "fresh")
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val p2 = java.nio.file.Files.createTempDirectory("graft-spec2-").toString
+    Similarity.saveSpectralIndex(emb.filter(col("vec_id") <= cut), p2, 64, 3)
+    assert(Similarity.spectralIndexSync(emb, p2, 64, 3) == "rebuild")
+    assert(Similarity.spectralIndexSync(emb, p2, 64, 3) == "fresh")
+    // after the rebuild the grown-store model equals the direct chain
+    val synced = Similarity.pcaTopComponentOf(
+      Similarity.loadSpectralIndex(spark, p2))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(synced == direct)
+    // param drift rebuilds rather than serving a mismatched geometry
+    assert(Similarity.spectralIndexSync(emb, p2, 64, 2) == "rebuild")
+    assert(IndexManifest.read(p2).params("iters") == 2L)
+    // unmanifested directory is untrusted by definition
+    val p3 = java.nio.file.Files.createTempDirectory("graft-spec3-").toString
+    intercept[IndexManifestException] { Similarity.loadSpectralIndex(spark, p3) }
+  }
+
+  test("pcaDebias: rank-1 fixture collapses to ~0; corpus output orthogonal to the top direction") {
+    // all rows on one line: removing the mean and the top component
+    // must leave (numerically) nothing
+    val fix = (1 to 10).map(t =>
+      (t.toLong, Array(t.toFloat, 0.1f * t, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val mFix = Similarity.trainSpectral(fix, 4, 3)
+    val residual = Similarity.pcaDebias(fix, mFix)
+      .select(explode(col("embedding")).as("x"))
+      .agg(max(abs(col("x")))).head().getDouble(0)
+    assert(residual < 1e-6, s"rank-1 residual $residual")
+    // corpus: every re-encoded vector is orthogonal to v̂₁ up to the
+    // projection coefficient's decimal quanta (the removal REMOVED)
+    val emb = Tables.embeddings(spark, dir)
+    val m = Similarity.trainSpectral(emb, 64, 3)
+    val deb = Similarity.pcaDebias(emb, m)
+    // u via the artifact-free route: iterate / ||iterate||
+    val it = m.iter.orderBy(col("j")).collect().map(_.getDouble(1))
+    val nrm = math.sqrt(it.map(v => BigDecimal(v * v)
+      .setScale(24, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    val u = it.map(_ / nrm)
+    val maxDot = deb.select(col("embedding")).collect().map { r =>
+      math.abs(r.getSeq[Double](0).zip(u).map { case (a, b) => a * b }.sum)
+    }.max
+    assert(maxDot < 1e-9, s"max |<x', u>| = $maxDot")
+    // shape: one row per vector, dims preserved
+    assert(deb.count() == emb.count())
+    assert(deb.select(size(col("embedding"))).distinct().head().getInt(0) == 64)
+  }
+
   // ---- d147: AMS F2 ----
 
   test("amsF2: exact F2 matches a direct count; estimate well-formed") {
@@ -392,6 +461,12 @@ class GraphTokPrefSpec extends AnyFunSuite {
     assert(ks(Seq(1, 2), Seq(10, 20)) == 1.0)
     // A = {1,2,3,4}, B = {3,4,5,6}: sup gap at x = 2 is 2/4 - 0 = 0.5
     assert(ks(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)) == 0.5)
+    // one-sided input (a misconfigured monitor) fails LOUDLY instead of
+    // streaming NaN "no drift" forever
+    val oneSided = intercept[Exception] { ks(Seq(1, 2, 3), Seq.empty) }
+    assert(oneSided.getMessage.contains("one-sided") ||
+      Option(oneSided.getCause).exists(_.getMessage.contains("one-sided")),
+      oneSided.getMessage)
   }
 
   test("ksDriftIngest: per-batch statistic equals the batch kernel verbatim") {
@@ -420,6 +495,37 @@ class GraphTokPrefSpec extends AnyFunSuite {
           .withColumn("isA", lit(false)))
       val k = Sampling.ksTwoSample(merged, col("isA"), col("value")).head()
       assert(k.getDouble(2) == 1.0 && k.getLong(0) == 4L && k.getLong(1) == 2L)
+    } finally q.stop()
+  }
+
+  test("tokenDriftIngest: per-batch statistic equals the d119 batch kernel verbatim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val refDocs = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Any]]
+    val q = graft.streaming.EventTimeOps.tokenDriftIngest(stream, refDocs)(
+      (out, id) => { val r = out.head(); seen.put(id, r.toSeq) }).start()
+    try {
+      in.addData((10L, "a b c"), (11L, "b c d a"))   // shared vocabulary
+      q.processAllAvailable()
+      in.addData((12L, "x y z z"))                   // fully OOV
+      q.processAllAvailable()
+      assert(seen.size() == 2, seen.toString)
+      // kernel-verbatim: each batch recomputed with the registered op
+      def batchRun(docs: Seq[(Long, String)]): Seq[Any] =
+        TextAnalysis.tokenDrift(
+          refDocs.withColumn("isRef", lit(true)).unionByName(
+            docs.toDF("doc_id", "text").withColumn("isRef", lit(false))),
+          col("isRef")).head().toSeq
+      val b0 = batchRun(Seq((10L, "a b c"), (11L, "b c d a")))
+      val b1 = batchRun(Seq((12L, "x y z z")))
+      import scala.jdk.CollectionConverters._
+      val got = seen.asScala.toSeq.sortBy(_._1).map(_._2)
+      assert(got == Seq(b0, b1), s"got=$got expected=${Seq(b0, b1)}")
+      // the fully-OOV batch reads as total drift: oov_mass_new = 1
+      assert(b1(3) == 1.0 && b1(0) == 8L && b1(1) == 4L, b1.toString)
     } finally q.stop()
   }
 
@@ -516,11 +622,23 @@ class GraphTokPrefSpec extends AnyFunSuite {
         col("ty").between(tyLo, tyHi))
       .select(col("event_id"), col("user_id"), col("ts"), col("ux"), col("ty"))
       .collect().map(_.toSeq).toSet
-    val pruned = ZOrder.zRectQuery(spark, path, uxLo, uxHi, tyLo, tyHi, 10, 4)
+    val pruned = ZOrder.zRectQuery(spark, path, uxLo, uxHi, tyLo, tyHi)
       .collect().map(_.toSeq).toSet
     assert(pruned == direct && direct.nonEmpty)
     // and the bucket set genuinely prunes for a sub-domain rectangle
     assert(ZOrder.bucketsFor(uxLo, uxHi, tyLo, tyHi, 10, 4).size < 16)
+    // the reader takes its geometry from the manifest, not the caller:
+    // a store built with DIFFERENT params must still answer correctly
+    // through the same call (no bits/bucketBits to get wrong)
+    val path2 = java.nio.file.Files.createTempDirectory("graft-zorder8-").toString
+    ZOrder.saveZOrderedStore(ev, path2, 8, 2)
+    val g8 = ZOrder.eventGrid(ev, 8)
+    val direct8 = g8.filter(col("ux").between(0, 127) && col("ty").between(0, 127))
+      .select(col("event_id"), col("user_id"), col("ts"), col("ux"), col("ty"))
+      .collect().map(_.toSeq).toSet
+    val pruned8 = ZOrder.zRectQuery(spark, path2, 0, 127, 0, 127)
+      .collect().map(_.toSeq).toSet
+    assert(pruned8 == direct8 && direct8.nonEmpty)
   }
 
   test("zorder append: equals rebuild row-for-row; guards fire") {
