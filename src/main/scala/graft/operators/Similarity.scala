@@ -430,7 +430,16 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int = 16, probes: Int = 4): DataFrame = {
     val n = normalized(emb)
-    val scoredArr = centroidScores(n, nCentroids)
+    ivfTopKFor(n, seedCentroids(n, nCentroids), queryPred, k, probes)
+  }
+
+  /** The IVF probe chain against an explicit (driver-held) centroid
+    * set — the body shared by [[ivfTopK]] (arbitrary id seeds) and
+    * [[ivfTopKTrained]] (k-means cells).
+    */
+  private def ivfTopKFor(n: DataFrame, cents: Seq[(Long, Seq[Double])],
+      queryPred: Column, k: Int, probes: Int): DataFrame = {
+    val scoredArr = scoresFor(cents)
     val corpus = n
       .withColumn("cell", (-array_max(scoredArr).getField("nid")).cast("long"))
       .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
@@ -447,6 +456,35 @@ object Similarity {
         (dot("qe", "ce") / (col("qn") * col("cn"))).as("cosine"))
     topK(scored, k)
   }
+
+  /** IVF over TRAINED centroids (e71) — the [[ivfTopK]] probe chain
+    * with its cells from [[kmeansKcenterSeeded]] (k-center seeds +
+    * Lloyd passes) instead of the arbitrary lowest-id seeds: the
+    * production IVF shape (FAISS trains its coarse quantizer; the
+    * seed-cell e04/e30 rows are the measurement baseline). Trained
+    * centroids are driver-resident like every codebook here
+    * (k·dims doubles, collected from the final Lloyd pass and inlined
+    * as literals), so assignment and probe selection stay pure
+    * scan-side expression work. A cell that empties during training
+    * drops out (the standard dead-centroid policy) — probes are cut to
+    * the surviving cell count.
+    */
+  def ivfTopKTrained(emb: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int = 8, iters: Int = 2, probes: Int = 4): DataFrame = {
+    val n = normalized(emb)
+    val cents = collectCentroids(kmeansKcenterSeeded(emb, nCentroids, iters))
+    ivfTopKFor(n, cents, queryPred, k, math.min(probes, cents.size))
+  }
+
+  /** Trained-IVF recall (e72) — [[ivfTopKTrained]] against the exact
+    * baseline with the shared recall definition; pairs with the e30
+    * probe-curve point at the same probed-cell fraction to price what
+    * TRAINING the coarse quantizer buys over arbitrary id seeds.
+    */
+  def ivfRecallTrained(emb: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int = 8, iters: Int = 2, probes: Int = 4): DataFrame =
+    recallOf(cosineTopK(emb, queryPred, k),
+      ivfTopKTrained(emb, queryPred, k, nCentroids, iters, probes), k)
 
   /** The per-vector cosine-vs-every-seed-centroid score array shared by
     * [[ivfTopK]] (assignment + probe selection) and [[kmeansUpdate]]
@@ -2876,10 +2914,33 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(28,12)")).as("sx"),
         sum((col("x") * col("x")).cast("decimal(30,12)")).as("sxx"))
-    val a = s.filter(col("grp")).select(col("dim"), col("n").as("na"),
-      col("sx").as("sxa"), col("sxx").as("sxxa"))
-    val b = s.filter(!col("grp")).select(col("dim"), col("n").as("nb"),
-      col("sx").as("sxb"), col("sxx").as("sxxb"))
+    embedDriftFromStats(
+      s.filter(col("grp")).select(col("dim"), col("n").as("na"),
+        col("sx").as("sxa"), col("sxx").as("sxxa")),
+      s.filter(!col("grp")).select(col("dim"), col("n").as("nb"),
+        col("sx").as("sxb"), col("sxx").as("sxxb")))
+  }
+
+  /** Per-dimension moment stats of one slice — (dim, n, sx, sxx) with
+    * the e51 decimal discipline. The reference half a streaming monitor
+    * computes ONCE ([[graft.streaming.EventTimeOps.embedDriftIngest]]).
+    */
+  def embedStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,12)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(30,12)")).as("sxx"))
+
+  /** The [[embedDrift]] fold over ALREADY-BUILT per-dimension moment
+    * frames (a = reference side: (dim, na, sxa, sxxa); b = new side:
+    * (dim, nb, sxb, sxxb)) — the tokenDriftFromCounts seam for the
+    * embedding axis: the streaming gate joins each micro-batch's stats
+    * against reference stats computed once, while the registered e51
+    * formula runs VERBATIM (one code path).
+    */
+  def embedDriftFromStats(a: DataFrame, b: DataFrame): DataFrame = {
     val perDim = a.join(b, Seq("dim")).select(col("na"), col("nb"),
       (col("sxa").cast("double") / col("na") -
         col("sxb").cast("double") / col("nb")).as("md"),

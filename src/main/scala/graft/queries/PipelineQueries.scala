@@ -543,6 +543,23 @@ object PipelineQueries {
         KCENTER_K, KMEANS_ITERS)
         .orderBy(col("cell"), col("dim"))),
 
+    // IVF over TRAINED centroids (e71): the e04 probe chain with its
+    // cells from e48's k-center-seeded Lloyd passes — the production
+    // IVF shape; e04/e30's seed cells are the measurement baseline
+    // (Similarity.ivfTopKTrained doc)
+    "e71_ivf_trained" -> ((spark: SparkSession, dir: String) =>
+      Similarity.ivfTopKTrained(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, KCENTER_K, KMEANS_ITERS, IVF_PROBES)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // what TRAINING the coarse quantizer buys (e72): trained-IVF recall
+    // under the shared definition, against the e30 curve point at the
+    // same probed-cell fraction (Similarity.ivfRecallTrained doc)
+    "e72_ivf_trained_recall" -> ((spark: SparkSession, dir: String) =>
+      Similarity.ivfRecallTrained(Tables.embeddings(spark, dir),
+        col("vec_id") % 50 === 0, PQ_K, KCENTER_K, KMEANS_ITERS, IVF_PROBES)
+        .orderBy(col("query_id"))),
+
     // SemDeDup with the paper's keep rule (e49): dup groups = connected
     // components of the within-cluster pair graph; each group keeps its
     // member farthest from the centroid (argmin affinity)
@@ -6571,6 +6588,71 @@ object PipelineQueries {
          |${centroidAsgCtes("2", "cent2")},
          |${kmeansMeanCtes("2", "cells2")}
          |${kmeansSelect("m2")}""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Similarity.ivfTopKTrained: the e48 training chain
+    // (k-center stages -> kcent -> two Lloyd passes) extended with the
+    // final trained centroid table (cent3 from m2 — list(val ORDER BY
+    // dim), the collectCentroids mirror), then e04's probe chain over
+    // it
+    "e71_ivf_trained" -> {
+      val seedUnion = (1 to KCENTER_K)
+        .map(i => s"SELECT vec_id, e, nrm FROM kc$i").mkString(" UNION ALL ")
+      s"""WITH $vHeadRaw,
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |$kcenterStageCtes,
+         |kcent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM ($seedUnion)),
+         |${centroidAsgCtes("", "kcent")},
+         |${kmeansMeanCtes("1", "cells")},
+         |cent2 AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM
+         |  (SELECT cell AS cid, list(val ORDER BY dim) AS ce FROM m1 GROUP BY cell)),
+         |${centroidAsgCtes("2", "cent2")},
+         |${kmeansMeanCtes("2", "cells2")},
+         |cent3 AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM
+         |  (SELECT cell AS cid, list(val ORDER BY dim) AS ce FROM m2 GROUP BY cell)),
+         |${centroidAsgCtes("3", "cent3")},
+         |probes AS (SELECT vid AS query_id, cid AS cell FROM asg3
+         |  WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
+         |p AS (SELECT pr.query_id, cl.vid AS neighbor_id,
+         |    list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |  FROM probes pr JOIN cells3 cl USING (cell)
+         |  JOIN n c ON c.vec_id = cl.vid JOIN n q ON q.vec_id = pr.query_id
+         |  WHERE cl.vid <> pr.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk FROM p)
+         |SELECT query_id, rk, neighbor_id, cosine FROM r WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Similarity.ivfRecallTrained: the e71 chain as ap3 +
+    // the shared recall tail
+    "e72_ivf_trained_recall" -> {
+      val seedUnion = (1 to KCENTER_K)
+        .map(i => s"SELECT vec_id, e, nrm FROM kc$i").mkString(" UNION ALL ")
+      s"""WITH $vHeadRaw,
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |$kcenterStageCtes,
+         |kcent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM ($seedUnion)),
+         |${centroidAsgCtes("", "kcent")},
+         |${kmeansMeanCtes("1", "cells")},
+         |cent2 AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM
+         |  (SELECT cell AS cid, list(val ORDER BY dim) AS ce FROM m1 GROUP BY cell)),
+         |${centroidAsgCtes("2", "cent2")},
+         |${kmeansMeanCtes("2", "cells2")},
+         |cent3 AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM
+         |  (SELECT cell AS cid, list(val ORDER BY dim) AS ce FROM m2 GROUP BY cell)),
+         |${centroidAsgCtes("3", "cent3")},
+         |probes AS (SELECT vid AS query_id, cid AS cell FROM asg3
+         |  WHERE vid % 50 = 0 AND rn <= $IVF_PROBES),
+         |p AS (SELECT pr.query_id, cl.vid AS neighbor_id,
+         |    list_dot_product(q.e, c.e)/(q.nrm*c.nrm) AS cosine
+         |  FROM probes pr JOIN cells3 cl USING (cell)
+         |  JOIN n c ON c.vec_id = cl.vid JOIN n q ON q.vec_id = pr.query_id
+         |  WHERE cl.vid <> pr.query_id),
+         |ap3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM p) WHERE rk <= $PQ_K),
+         |$recallTailSql""".stripMargin.replace("\n", " ")
     },
 
     // mirror of Similarity.pageRank: the e06 kNN CTEs become the edge

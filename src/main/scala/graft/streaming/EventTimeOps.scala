@@ -415,6 +415,42 @@ object EventTimeOps {
     }
   }
 
+  /** EMBEDDING-DRIFT monitor at ingest — the third member of the drift
+    * trio ([[ksDriftIngest]] watches a numeric column,
+    * [[tokenDriftIngest]] the token distribution, this the embedding
+    * distribution — encoder drift / upstream content shift, the e51
+    * monitoring row live): each micro-batch's per-dimension moment
+    * stats are folded against a FIXED reference slice's stats with the
+    * batch kernel's arithmetic VERBATIM
+    * ([[graft.operators.Similarity.embedDriftFromStats]] — the e51
+    * formula the registered row hashes against DuckDB).
+    *
+    * Scale shape: the reference is reduced ONCE at stream build to a
+    * DIMS-ROW stat table (count + decimal component sums — not the
+    * reference vectors themselves); each batch pays one exploded
+    * groupBy over its own vectors plus a dims-row join. No keyed
+    * state, no watermark.
+    *
+    * Emits per non-empty batch via `sink`: (n_ref, n_new,
+    * l2sq_mean_diff, mean_var_ratio).
+    */
+  def embedDriftIngest(stream: DataFrame, reference: DataFrame)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.Similarity
+    val refStats = Similarity.embedStats(reference)
+      .select(col("dim"), col("n").as("na"),
+        col("sx").as("sxa"), col("sxx").as("sxxa"))
+      .localCheckpoint(true)
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        val batchStats = Similarity.embedStats(batch)
+          .select(col("dim"), col("n").as("nb"),
+            col("sx").as("sxb"), col("sxx").as("sxxb"))
+        sink(Similarity.embedDriftFromStats(refStats, batchStats), batchId)
+      }
+    }
+  }
+
   def rulesGateIngest(stream: DataFrame,
       stopWords: Seq[String] =
         Seq("the", "be", "to", "of", "and", "that", "have", "with"))(

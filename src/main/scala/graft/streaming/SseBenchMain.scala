@@ -798,6 +798,50 @@ object SseBenchMain {
         println(f"SSEBENCH tokendrift total=$total docs passthrough=${total / wBase}%.0f ev/s " +
           f"monitored=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost)")
       }
+
+      // EMBEDDING-DRIFT MONITOR (round 12, phase 16): the e51 moment
+      // fold against a fixed reference slice, priced against
+      // pass-through — the reference reduces ONCE to a dims-row stat
+      // table, so per batch the gate pays one exploded groupBy over the
+      // batch's vectors plus a 64-row join.
+      {
+        val ref = graft.sources.Tables
+          .embeddings(spark, "/root/testdata/sf0.001")
+          .select($"vec_id", $"embedding")
+        val total = 20000
+        val chunk = 2000
+        val vecs: Seq[(Long, Seq[Double])] = (0 until total).map { i =>
+          (i.toLong, (0 until 64).map(j =>
+            ((i * 31 + j * 17) % 97).toDouble / 97.0 - 0.5))
+        }
+        def edRun(withGate: Boolean): Double = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+          val stream = mem.toDF().toDF("vec_id", "embedding")
+          val batches = new java.util.concurrent.atomic.AtomicLong
+          val lastD = new java.util.concurrent.atomic.AtomicReference[java.lang.Double](0.0)
+          val writer =
+            if (withGate) EventTimeOps.embedDriftIngest(stream, ref) { (out, _) =>
+              lastD.set(out.head().getDouble(2)); batches.incrementAndGet(); ()
+            }
+            else stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                b.count(); batches.incrementAndGet(); ()
+            }
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            vecs.grouped(chunk).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+          } finally q.stop()
+          require(batches.get() == total / chunk,
+            s"INVALID RUN: ${batches.get()} batches of ${total / chunk}")
+          (System.nanoTime() - t0) / 1e9
+        }
+        edRun(withGate = false) // warm-up
+        val wBase = edRun(withGate = false)
+        val wGate = edRun(withGate = true)
+        println(f"SSEBENCH embeddrift total=$total vecs passthrough=${total / wBase}%.0f ev/s " +
+          f"monitored=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }

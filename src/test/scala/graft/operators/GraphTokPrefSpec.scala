@@ -376,6 +376,21 @@ class GraphTokPrefSpec extends AnyFunSuite {
     assert(deb.select(size(col("embedding"))).distinct().head().getInt(0) == 64)
   }
 
+  test("ivfTopKTrained: k rows per query; probes clamp to surviving cells") {
+    val emb = Tables.embeddings(spark, dir)
+    val r = Similarity.ivfTopKTrained(emb, col("vec_id") % 50 === 0, 3, 8, 2, 4)
+    val perQ = r.groupBy(col("query_id")).count().select(col("count")).collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(0) <= 3L))
+    // probes beyond the trained cell count clamp instead of erroring
+    // (a dead centroid shrinking the table must not kill the query);
+    // probing ALL cells = the exact scan restricted to the top-k
+    val all = Similarity.ivfTopKTrained(emb, col("vec_id") % 50 === 0, 3, 8, 2, 99)
+      .select(col("query_id"), col("neighbor_id")).collect().map(_.toSeq).toSet
+    val exact = Similarity.cosineTopK(emb, col("vec_id") % 50 === 0, 3)
+      .select(col("query_id"), col("neighbor_id")).collect().map(_.toSeq).toSet
+    assert(all == exact, "probing every trained cell must equal the exact top-k")
+  }
+
   // ---- d147: AMS F2 ----
 
   test("amsF2: exact F2 matches a direct count; estimate well-formed") {
@@ -526,6 +541,41 @@ class GraphTokPrefSpec extends AnyFunSuite {
       assert(got == Seq(b0, b1), s"got=$got expected=${Seq(b0, b1)}")
       // the fully-OOV batch reads as total drift: oov_mass_new = 1
       assert(b1(3) == 1.0 && b1(0) == 8L && b1(1) == 4L, b1.toString)
+    } finally q.stop()
+  }
+
+  test("embedDriftIngest: per-batch statistic equals the e51 batch kernel verbatim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // every dim varies in every slice (a zero-variance dim makes the
+    // e51 variance RATIO 0/0 by the kernel's own definition)
+    val refDocs = Seq((1L, Seq(1.0, 5.0, 3.0)), (2L, Seq(3.0, 2.0, 1.0)),
+      (3L, Seq(2.0, 3.0, 2.0))).toDF("vec_id", "embedding")
+    val in = MemoryStream[(Long, Seq[Double])]
+    val stream = in.toDF().toDF("vec_id", "embedding")
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Any]]
+    val q = graft.streaming.EventTimeOps.embedDriftIngest(stream, refDocs)(
+      (out, id) => { val r = out.head(); seen.put(id, r.toSeq) }).start()
+    try {
+      in.addData((10L, Seq(1.0, 4.0, 3.0)), (11L, Seq(3.0, 2.0, 1.0)))
+      q.processAllAvailable()
+      in.addData((12L, Seq(10.0, 20.0, 30.0)), (13L, Seq(30.0, 24.0, 10.0)))
+      q.processAllAvailable()
+      assert(seen.size() == 2, seen.toString)
+      def batchRun(vecs: Seq[(Long, Seq[Double])]): Seq[Any] =
+        Similarity.embedDrift(
+          refDocs.withColumn("isRef", lit(true)).unionByName(
+            vecs.toDF("vec_id", "embedding").withColumn("isRef", lit(false))),
+          col("isRef")).head().toSeq
+      val b0 = batchRun(Seq((10L, Seq(1.0, 4.0, 3.0)), (11L, Seq(3.0, 2.0, 1.0))))
+      val b1 = batchRun(Seq((12L, Seq(10.0, 20.0, 30.0)), (13L, Seq(30.0, 24.0, 10.0))))
+      import scala.jdk.CollectionConverters._
+      val got = seen.asScala.toSeq.sortBy(_._1).map(_._2)
+      assert(got == Seq(b0, b1), s"got=$got expected=${Seq(b0, b1)}")
+      // the shifted batch reads a large mean displacement, the matched
+      // batch a small one
+      assert(b1(2).asInstanceOf[Double] > 100.0 * b0(2).asInstanceOf[Double],
+        s"b0=$b0 b1=$b1")
     } finally q.stop()
   }
 
