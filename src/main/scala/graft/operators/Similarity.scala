@@ -2818,15 +2818,20 @@ object Similarity {
     * the centroid argument).
     *
     * Scale shape: PURE SCAN-SIDE expression work — the centering is a
-    * zip_with against the μ literal, the projection coefficient a
-    * per-row sequential decimal fold over the array (order fixed by
-    * array position; DECIMAL(38,12) per-product quanta summed exactly,
-    * so it equals the oracle's grouped decimal sum), the removal
-    * another zip_with. ZERO shuffles, zero joins: the re-encode of
-    * 100 TB of embeddings runs at read parallelism and pipelines
-    * straight into whatever consumes it. Returns (vec_id, embedding)
-    * with raw doubles (bit-identical cross-engine — every operation is
-    * IEEE arithmetic on identical inputs).
+    * zip_with against the μ literal, the projection coefficient ONE
+    * codegen'd [[graft.functions.ArrayDotProduct]] against the v̂₁
+    * literal (a sequential double fold in array order — the e01 cosine
+    * device, so the oracle's `list_dot_product` replays it
+    * bit-for-bit), the removal another zip_with. ZERO shuffles, zero
+    * joins: the re-encode of 100 TB of embeddings runs at read
+    * parallelism and pipelines straight into whatever consumes it.
+    *
+    * Why a double fold and not the decimal-quantized sum: Catalyst
+    * collapses the d projection INTO the removal lambda, so d's
+    * expression can be re-evaluated per OUTPUT CELL — with a 64-term
+    * BigDecimal fold that was ~20M interpreted decimal ops at sf0.1
+    * (measured 10 s for a 320k-cell re-encode; the codegen'd dot is
+    * ~1 s even re-evaluated). Returns (vec_id, embedding).
     */
   def pcaDebias(emb: DataFrame, m: SpectralModel): DataFrame = {
     // v̂₁ as literals: the in-engine normalization (ONE formula shared
@@ -2839,19 +2844,8 @@ object Similarity {
       .withColumn("mu", array(m.mean.map(lit(_)): _*))
       .withColumn("u", array(u.map(lit(_)): _*))
       .withColumn("cv", expr("zip_with(ed, mu, (a, b) -> a - b)"))
-      // fold precision trap (found by bit-compare): DECIMAL(38,12) +
-      // DECIMAL(38,12) hits the precision cap and Spark REDUCES the
-      // result scale to 11, silently rounding every partial sum (the
-      // fold read -0.10253533052 vs the exact -0.102535330459).
-      // Quantize products at (30,12) and accumulate at (36,12): the
-      // addition then types as DECIMAL(37,12) — full scale preserved,
-      // merge cast exact — and the sequential fold equals the oracle's
-      // grouped decimal sum exactly.
-      .withColumn("d", expr(
-        """CAST(aggregate(zip_with(cv, u, (a, b) -> CAST(a * b AS DECIMAL(30,12))),
-          |CAST(0 AS DECIMAL(36,12)),
-          |(acc, x) -> CAST(acc + x AS DECIMAL(36,12))) AS DOUBLE)"""
-          .stripMargin.replace("\n", " ")))
+      .withColumn("d",
+        graft.functions.ArrayDotProduct(col("cv"), col("u")))
       .select(col("vec_id"),
         expr("zip_with(cv, u, (a, b) -> a - d * b)").as("embedding"))
   }

@@ -4189,18 +4189,20 @@ object PipelineQueries {
 
   /** The e68/e69 shared debias chain (consumes [[pcaCtes]]'s pxc and
     * pv{N}): v̂₁ = iterate/‖iterate‖ (the e66 normalization formula),
-    * per-vector projection coefficient as a grouped DECIMAL(38,12)
-    * sum (= the Spark side's sequential per-row decimal fold — exact
-    * decimal arithmetic is order-free), re-encoded components
+    * per-vector projection coefficient as `list_dot_product` over the
+    * dim-ordered lists — the SEQUENTIAL double fold in array order,
+    * replaying the Spark side's codegen'd ArrayDotProduct bit-for-bit
+    * (the e01 cosine device) — re-encoded components
     * xp = (x−μ) − d·v̂₁. Ends in `pxp(vec_id, dim, xp)`.
     */
   private lazy val pcaDebiasCtes =
     s"""pnr AS (SELECT sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,24))) AS DOUBLE)) AS nrm
        |  FROM pv$PCA_ITERS),
        |pu1 AS (SELECT j, v / nrm AS u FROM pv$PCA_ITERS CROSS JOIN pnr),
-       |pdot AS (SELECT x.vec_id,
-       |    CAST(sum(CAST(x.xi * u.u AS DECIMAL(38,12))) AS DOUBLE) AS d
-       |  FROM pxc x JOIN pu1 u ON u.j = x.i GROUP BY x.vec_id),
+       |pul AS (SELECT list(u ORDER BY j) AS ul FROM pu1),
+       |pcvl AS (SELECT vec_id, list(xi ORDER BY i) AS cvl FROM pxc GROUP BY vec_id),
+       |pdot AS (SELECT vec_id, list_dot_product(cvl, ul) AS d
+       |  FROM pcvl CROSS JOIN pul),
        |pxp AS (SELECT x.vec_id, x.i AS dim, x.xi - pd.d * u.u AS xp
        |  FROM pxc x JOIN pu1 u ON u.j = x.i
        |  JOIN pdot pd ON pd.vec_id = x.vec_id)"""

@@ -231,11 +231,22 @@ class SseServerEdgeSpec extends AnyFunSuite {
         Thread.sleep(50)
       RedditLog.writeSegment(rcDir, (2L to 2001L).map(i => rcRow(i)))
       // server closes the connection on overflow → the client's stream
-      // ends (EOF) instead of silently gapping
-      val buf = new Array[Byte](65536)
-      var n = 0
-      while (n >= 0) n = in.read(buf)
-      assert(n == -1)
+      // TERMINATES instead of silently gapping. Depending on where the
+      // close lands relative to a chunk boundary, HttpURLConnection's
+      // chunked reader either returns EOF (-1) or throws "Premature
+      // EOF" — both ARE the disconnect (observed flaking between the
+      // two under suite load); only a read TIMEOUT means the server
+      // failed to close.
+      val closed = try {
+        val buf = new Array[Byte](65536)
+        var n = 0
+        while (n >= 0) n = in.read(buf)
+        true // clean EOF at a chunk boundary
+      } catch {
+        case _: java.net.SocketTimeoutException => false
+        case _: java.io.IOException => true // abrupt close mid-chunk
+      }
+      assert(closed, "server did not close the lagging connection")
       in.close(); conn.disconnect()
     } finally server.stop()
   }
