@@ -60,7 +60,7 @@ object ZOrder {
       .withColumn("zbucket", expr(s"zkey >> ${2 * bits - bucketBits}"))
     g.write.mode("overwrite").partitionBy("zbucket").parquet(s"$path/data")
     val (rows, maxId) = IndexManifest.watermark(events, "event_id")
-    IndexManifest.write(path, IndexManifest.Manifest("zorder",
+    IndexManifest.writeVersioned(path, IndexManifest.Manifest("zorder",
       Map("bits" -> bits.toLong, "bucket_bits" -> bucketBits.toLong),
       rows, maxId))
   }
@@ -93,7 +93,10 @@ object ZOrder {
     eventGrid(newEvents, bits)
       .withColumn("zbucket", expr(s"zkey >> ${2 * bits - bucketBits}"))
       .write.mode("append").partitionBy("zbucket").parquet(s"$path/data")
-    IndexManifest.write(path,
+    // every append is a new SNAPSHOT VERSION (IndexManifest.writeVersioned
+    // doc): history rows are never rewritten, so a version is exactly
+    // its watermark and zRectQueryAt can time-travel with one id cut
+    IndexManifest.writeVersioned(path,
       man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
 
@@ -145,5 +148,29 @@ object ZOrder {
       .filter(col("ux").between(uxLo, uxHi) && col("ty").between(tyLo, tyHi))
       .select(col("event_id"), col("user_id"), col("ts"), col("ux"),
         col("ty"))
+  }
+
+  /** TIME-TRAVEL rectangle query (d153) — the store AS OF snapshot
+    * `version` (every save/append records one —
+    * [[graft.sources.IndexManifest.writeVersioned]]): because the
+    * store is id-monotone append-only with history files byte-frozen,
+    * a version IS its watermark, so the snapshot read is the SAME
+    * pruned rectangle scan plus one `event_id <= watermark` cut —
+    * answered from parquet row-group stats on this id-clustered
+    * layout, no file-level snapshot metadata, no copy-on-write. The
+    * lakehouse time-travel capability (Delta VERSION AS OF) at O(1)
+    * metadata per version. Current-version geometry governs (bucket
+    * params never change across appends — the append reads them from
+    * the live manifest).
+    */
+  def zRectQueryAt(spark: SparkSession, path: String, version: Int,
+      uxLo: Long, uxHi: Long, tyLo: Long, tyHi: Long): DataFrame = {
+    IndexManifest.require(path, "zorder")
+    val snap = IndexManifest.readVersion(path, version)
+    if (snap.kind != "zorder")
+      throw new graft.sources.IndexManifestException(
+        s"version $version at $path is kind '${snap.kind}', expected 'zorder'")
+    zRectQuery(spark, path, uxLo, uxHi, tyLo, tyHi)
+      .filter(col("event_id") <= snap.corpusMaxId)
   }
 }

@@ -1209,6 +1209,24 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    // TIME-TRAVEL read of the clustered store (d153): build = snapshot
+    // v1, append = v2; reading AT v1 is the same pruned rectangle scan
+    // plus one watermark cut (id-monotone append-only ⇒ a version IS
+    // its watermark) — the lakehouse VERSION AS OF capability at O(1)
+    // metadata per version; oracle = the plain rectangle over the
+    // history half (ZOrder.zRectQueryAt doc)
+    "d153_zorder_time_travel" -> ((spark: SparkSession, dir: String) => {
+      val ev = Tables.events(spark, dir)
+      val cut = ev.agg(max(col("event_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("d153-zorder")
+      ZOrder.saveZOrderedStore(ev.filter(col("event_id") <= cut), path,
+        Z_BITS, Z_BUCKET_BITS)
+      ZOrder.appendZOrderedStore(ev.filter(col("event_id") > cut), path)
+      ZOrder.zRectQueryAt(spark, path, version = 1,
+        Z_UX._1, Z_UX._2, Z_TY._1, Z_TY._2)
+        .orderBy(col("event_id"))
+    }),
+
     // CCNet's head/middle/tail terciles over d45, ranked with the
     // distributed global-rank device (bucket-partitioned windows +
     // per-bucket base offsets — parallelism bounded by the grid, never
@@ -5146,6 +5164,19 @@ object PipelineQueries {
     // the store must not change the answer: d145's oracle is the plain
     // rectangle filter over the raw table
     "d145_zorder_query" -> zRectSql,
+
+    // mirror of ZOrder.zRectQueryAt: the snapshot read must equal the
+    // plain rectangle over the HISTORY half — the id cut is version 1's
+    // watermark (the store's 3/4 build cut)
+    "d153_zorder_time_travel" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) * 1000 AS ts,
+         |  user_id % ${1L << Z_BITS} AS ux,
+         |  (epoch_us(ts)//3600000000) % ${1L << Z_BITS} AS ty
+         |FROM events
+         |WHERE user_id % ${1L << Z_BITS} BETWEEN ${Z_UX._1} AND ${Z_UX._2}
+         |  AND (epoch_us(ts)//3600000000) % ${1L << Z_BITS} BETWEEN ${Z_TY._1} AND ${Z_TY._2}
+         |  AND event_id <= (SELECT (max(event_id) * 3) // 4 FROM events)
+         |ORDER BY event_id""".stripMargin.replace("\n", " "),
 
     // mirror of TextAnalysis.charEntropy: per-position characters,
     // counts, per-char ln rounded once, decimal sum, one divide + one

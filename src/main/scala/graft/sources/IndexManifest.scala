@@ -142,6 +142,70 @@ object IndexManifest {
           "write and the manifest flip; rebuild (index sync does this automatically)")
   }
 
+  /** VERSIONED write — snapshot history for time-travel reads (the
+    * lakehouse capability the append-only contract gives almost for
+    * free): the manifest is ALSO written as `MANIFEST.v{N}.json`
+    * (N = previous latest + 1) BEFORE the live `MANIFEST.json` flip.
+    * Because every store under this device is id-monotone append-only
+    * (rows are only ever ADDED, with ids above the old watermark), a
+    * historical version IS its watermark: reading the store with
+    * `id <= vN.corpusMaxId` reproduces the store as of version N
+    * exactly, with no file-level snapshotting, O(1) metadata per
+    * version, and the id cut answered from parquet row-group stats.
+    * Crash window: a version file without the live flip is historical
+    * residue only — the live manifest stays authoritative and the next
+    * write takes the next free number.
+    */
+  def writeVersioned(path: String, m: Manifest): Int = {
+    val v = versions(path).lastOption.getOrElse(0) + 1
+    val om = new ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("kind", m.kind)
+    node.put("corpus_rows", m.corpusRows)
+    node.put("corpus_max_id", m.corpusMaxId)
+    val p = node.putObject("params")
+    m.params.toSeq.sortBy(_._1).foreach { case (k, vv) => p.put(k, vv) }
+    Files.createDirectories(Paths.get(path))
+    val tmp = Files.createTempFile(Paths.get(path), ".manifest-", ".tmp")
+    Files.write(tmp, om.writeValueAsBytes(node))
+    Files.move(tmp, Paths.get(path, s"MANIFEST.v$v.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    write(path, m)
+    v
+  }
+
+  /** The store's recorded snapshot versions, ascending. */
+  def versions(path: String): Seq[Int] = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val re = "MANIFEST\\.v(\\d+)\\.json".r
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
+        .map(_.group(1).toInt))
+      .toSeq.sorted
+  }
+
+  /** Read one historical snapshot's manifest; a missing version is a
+    * named error listing what exists.
+    */
+  def readVersion(path: String, v: Int): Manifest = {
+    val f = Paths.get(path, s"MANIFEST.v$v.json")
+    if (!Files.exists(f))
+      throw new IndexManifestException(
+        s"no version $v at $path (have: ${versions(path).mkString(", ")})")
+    val node = new ObjectMapper().readTree(Files.readAllBytes(f))
+    val pn = node.get("params")
+    val params = if (pn == null) Map.empty[String, Long] else {
+      val it = pn.fieldNames()
+      Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+        .takeWhile(_.isDefined).flatten
+        .map(k => k -> pn.get(k).asLong()).toMap
+    }
+    Manifest(node.get("kind").asText(), params,
+      node.get("corpus_rows").asLong(), node.get("corpus_max_id").asLong())
+  }
+
   /** True iff `corpus` matches the manifest's watermark. */
   def isFresh(path: String, corpus: DataFrame, idCol: String): Boolean = {
     val m = read(path)

@@ -691,6 +691,36 @@ class GraphTokPrefSpec extends AnyFunSuite {
     assert(pruned8 == direct8 && direct8.nonEmpty)
   }
 
+  test("zorder time travel: version list, snapshot == history build, latest == current, guards") {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val ev = Tables.events(spark, dir)
+    val cut = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+    val path = java.nio.file.Files.createTempDirectory("graft-ztt-").toString
+    ZOrder.saveZOrderedStore(ev.filter(col("event_id") <= cut), path, 10, 4)
+    ZOrder.appendZOrderedStore(ev.filter(col("event_id") > cut), path)
+    assert(IndexManifest.versions(path) == Seq(1, 2))
+    // version 1's watermark is the build cut
+    assert(IndexManifest.readVersion(path, 1).corpusMaxId == cut)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // snapshot v1 == a direct store built on the history half alone
+    val p1 = java.nio.file.Files.createTempDirectory("graft-ztt1-").toString
+    ZOrder.saveZOrderedStore(ev.filter(col("event_id") <= cut), p1, 10, 4)
+    val v1 = rows(ZOrder.zRectQueryAt(spark, path, 1, 0, 1023, 0, 1023))
+    assert(v1 == rows(ZOrder.zRectQuery(spark, p1, 0, 1023, 0, 1023)))
+    assert(v1.nonEmpty)
+    // snapshot at the LATEST version == the current read
+    val v2 = rows(ZOrder.zRectQueryAt(spark, path, 2, 0, 1023, 0, 1023))
+    assert(v2 == rows(ZOrder.zRectQuery(spark, path, 0, 1023, 0, 1023)))
+    assert(v1.subsetOf(v2) && v1.size < v2.size)
+    // a missing version is a named error listing what exists
+    val e = intercept[IndexManifestException] {
+      ZOrder.zRectQueryAt(spark, path, 7, 0, 1023, 0, 1023)
+    }
+    assert(e.getMessage.contains("no version 7") &&
+      e.getMessage.contains("1, 2"), e.getMessage)
+  }
+
   test("zorder append: equals rebuild row-for-row; guards fire") {
     import graft.sources.{IndexManifest, IndexManifestException}
     val ev = Tables.events(spark, dir)
