@@ -2013,7 +2013,11 @@ object Similarity {
       .write.mode("overwrite").partitionBy("bpos", "bval")
       .parquet(s"$path/blocks")
     val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
-    IndexManifest.write(path, IndexManifest.Manifest("srp",
+    // versioned (the d153 device): the block table is vec_id-monotone
+    // append-only, so every snapshot is servable as-of by one id cut;
+    // an overwrite rebuild resets the lineage
+    IndexManifest.clearVersions(path)
+    IndexManifest.writeVersioned(path, IndexManifest.Manifest("srp",
       Map("out_dims" -> outDims.toLong, "radius" -> radius.toLong),
       rows, maxId))
   }
@@ -2041,7 +2045,7 @@ object Similarity {
     srpBlockTable(increment, man.params("out_dims").toInt, man.params("radius").toInt)
       .write.mode("append").partitionBy("bpos", "bval")
       .parquet(s"$path/blocks")
-    IndexManifest.write(path,
+    IndexManifest.writeVersioned(path,
       man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
 
@@ -2097,14 +2101,28 @@ object Similarity {
     * (PartitionFilters; the e31 probed-cell device, two-dimensional).
     */
   def srpBucketTopKIndexed(queries: DataFrame, queryPred: Column,
-      indexPath: String, k: Int, pruneScan: Boolean = false): DataFrame = {
+      indexPath: String, k: Int, pruneScan: Boolean = false,
+      asOfVersion: Option[Int] = None): DataFrame = {
     val man = IndexManifest.require(indexPath, "srp")
     val (outDims, radius) = (man.params("out_dims").toInt, man.params("radius").toInt)
     val spark = queries.sparkSession
     val qBlk = srpBlockTable(queries.filter(queryPred), outDims, radius)
       .select(col("vec_id").as("query_id"), col("p").as("qp"),
         col("bpos"), col("bval"))
-    val raw = spark.read.parquet(s"$indexPath/blocks")
+    // TIME TRAVEL (e74, the d153 device): the block table is
+    // vec_id-monotone append-only, so snapshot N is exactly the rows at
+    // or below version N's watermark — one pushed id cut (row-group
+    // stats) beside the block pruning; no file-level snapshot metadata
+    val raw0 = spark.read.parquet(s"$indexPath/blocks")
+    val raw = asOfVersion match {
+      case None => raw0
+      case Some(v) =>
+        val snap = IndexManifest.readVersion(indexPath, v)
+        if (snap.kind != "srp")
+          throw new IndexManifestException(
+            s"version $v at $indexPath is kind '${snap.kind}', expected 'srp'")
+        raw0.filter(col("vec_id") <= snap.corpusMaxId)
+    }
     val pruned =
       if (!pruneScan) raw
       else {
@@ -2687,8 +2705,19 @@ object Similarity {
     * only; the corpus is never touched.
     */
   def pcaSecondComponentOf(m: SpectralModel): DataFrame = {
+    val v = deflatedIterate(m, componentWithLambda(m).localCheckpoint(true))
+    val mx = v.agg(max(abs(col("v"))).as("m"))
+    v.crossJoin(broadcast(mx))
+      .select(col("j").cast("long").as("dim"),
+        expr("CAST(CAST(v / m AS DECIMAL(28,8)) AS DOUBLE)").as("pc2"))
+  }
+
+  /** The deflated power iterate (the e66 walk body): `m.iters` steps of
+    * w = C·v minus λ₁·(v̂₁ᵀv)·v̂₁ from the e₁ seed — shared by the
+    * second-component publication and the spectrum diagnostic.
+    */
+  private def deflatedIterate(m: SpectralModel, u1: DataFrame): DataFrame = {
     val spark = m.cov.sparkSession
-    val u1 = componentWithLambda(m).localCheckpoint(true)
     var v = seedVec(spark, m.dim, 1).localCheckpoint(true)
     for (_ <- 1 to m.iters) {
       val w = matvec(m.cov, v).withColumnRenamed("v", "w")
@@ -2698,10 +2727,36 @@ object Similarity {
         .select(col("j"), (col("w") - col("lam") * col("s") * col("u")).as("v"))
         .localCheckpoint(true)
     }
-    val mx = v.agg(max(abs(col("v"))).as("m"))
-    v.crossJoin(broadcast(mx))
-      .select(col("j").cast("long").as("dim"),
-        expr("CAST(CAST(v / m AS DECIMAL(28,8)) AS DOUBLE)").as("pc2"))
+    v
+  }
+
+  /** Spectral SPECTRUM diagnostic (e73) — (component, λ, trace, share)
+    * for the top two directions off the shared model: λₖ = Rayleigh
+    * quotient of the component's iterate against C (the e65 formula at
+    * the scale-24 normalization-grade quantization — the iterates'
+    * entries are ~1e-6, so scale 12 would keep ~2 significant digits;
+    * lesson PLANS_r12 #36), share = λₖ/trace. The decay reading every
+    * whitening/compression decision starts from (how many directions
+    * matter); on this isotropic corpus both shares sit near 1/dims —
+    * the family's standing negative control. dims²-scale work off the
+    * persisted artifact; the corpus is never touched.
+    */
+  def pcaSpectrum(m: SpectralModel): DataFrame = {
+    val u1 = componentWithLambda(m).localCheckpoint(true)
+    def rayleigh(v: DataFrame, comp: Int): DataFrame = {
+      val w = matvec(m.cov, v).withColumnRenamed("v", "w")
+      v.join(w, Seq("j")).agg(
+        (sum((col("v") * col("w")).cast("decimal(38,24)")).cast("double") /
+          sum((col("v") * col("v")).cast("decimal(38,24)")).cast("double"))
+          .as("lambda"))
+        .select(lit(comp.toLong).as("component"), col("lambda"))
+    }
+    val tr = m.cov.filter(col("i") === col("j"))
+      .agg(sum(col("c").cast("decimal(38,12)")).cast("double").as("trace"))
+    rayleigh(m.iter, 1).unionByName(rayleigh(deflatedIterate(m, u1), 2))
+      .crossJoin(broadcast(tr))
+      .select(col("component"), col("lambda"), col("trace"),
+        (col("lambda") / col("trace")).as("share"))
   }
 
   /** Variance explained by the power-iteration direction (e65) — the

@@ -60,6 +60,7 @@ object ZOrder {
       .withColumn("zbucket", expr(s"zkey >> ${2 * bits - bucketBits}"))
     g.write.mode("overwrite").partitionBy("zbucket").parquet(s"$path/data")
     val (rows, maxId) = IndexManifest.watermark(events, "event_id")
+    IndexManifest.clearVersions(path) // a rebuild starts a new lineage
     IndexManifest.writeVersioned(path, IndexManifest.Manifest("zorder",
       Map("bits" -> bits.toLong, "bucket_bits" -> bucketBits.toLong),
       rows, maxId))

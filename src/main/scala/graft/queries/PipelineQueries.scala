@@ -669,6 +669,15 @@ object PipelineQueries {
         .orderBy(col("dim"))
     }),
 
+    // spectral SPECTRUM diagnostic (e73): (component, λ, trace, share)
+    // for the top two directions — the decay reading every whitening/
+    // compression decision starts from; ~1/dims shares on this
+    // isotropic corpus, the family's standing negative control
+    // (Similarity.pcaSpectrum doc)
+    "e73_pca_spectrum" -> ((spark: SparkSession, dir: String) =>
+      Similarity.pcaSpectrum(specCached(spark, dir))
+        .orderBy(col("component"))),
+
     // all-but-the-top debias re-encode (e68): x' = (x−μ) −
     // (v̂1ᵀ(x−μ))·v̂1 off the shared model — pure scan-side expression
     // work, zero shuffles (Similarity.pcaDebias doc)
@@ -2375,6 +2384,24 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // TIME-TRAVEL serve of the SRP index (e74): build = snapshot v1,
+    // append = v2; querying AT v1 is the same pruned block probe plus
+    // one pushed vec_id cut (a version IS its watermark on the
+    // id-monotone block table — the d153 device applied to an ANN
+    // index); oracle = the e39 chain with the candidate side cut to
+    // the history watermark (Similarity.srpBucketTopKIndexed asOf doc)
+    "e74_srp_time_travel" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("e74-srp")
+      Similarity.saveSrpIndex(emb.filter(col("vec_id") <= cut), path,
+        SRP_DIMS, SRP_RADIUS)
+      Similarity.appendSrpIndex(emb.filter(col("vec_id") > cut), path)
+      Similarity.srpBucketTopKIndexed(emb, col("vec_id") % 50 === 0,
+        path, PQ_K, pruneScan = true, asOfVersion = Some(1))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // the maintenance policy for the SRP family (e43), the e34 shape:
     // built on the history cut, synced twice against the grown corpus
     // (append, then the fresh no-op), served — same e39 oracle
@@ -2586,7 +2613,7 @@ object PipelineQueries {
     * dedup (a pair matching m blocks appears once here, m identical
     * times there before its min() dedup).
     */
-  private def srpBucketCtesAt(radius: Int) = {
+  private def srpBucketCtesAt(radius: Int, candFilter: String = "") = {
     val bs = SRP_DIMS / (radius + 1)
     val mask = (1L << bs) - 1
     val sigExpr = (1 to SRP_DIMS).map(k =>
@@ -2597,7 +2624,7 @@ object PipelineQueries {
        |sbk AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |  $srpDistChain AS rp_dist
        |  FROM sg c JOIN sg q ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
-       |    AND ($blockOr))""".stripMargin.replace("\n", " ")
+       |    $candFilter AND ($blockOr))""".stripMargin.replace("\n", " ")
   }
 
   private lazy val srpBucketCtes = srpBucketCtesAt(SRP_RADIUS)
@@ -4204,6 +4231,39 @@ object PipelineQueries {
        |  CAST(CAST(v / m AS DECIMAL(28,8)) AS DOUBLE) AS pc
        |FROM pv$PCA_ITERS CROSS JOIN pmx ORDER BY dim"""
       .stripMargin.replace("\n", " ")
+
+  /** The e66/e73 shared DEFLATION chain (consumes [[pcaCtes]]):
+    * pw1 = C·pv{N}, the λ₁/‖v₁‖ normalization (scale 24 — the
+    * iterate's entries are ~1e-6, PLANS_r12 #36), then PCA_ITERS
+    * deflated power steps from the e₁ seed. Ends in
+    * `qv{PCA_ITERS}(j, v)` with `pw1`, `pu1` in scope.
+    */
+  private lazy val pcaDeflCtes = {
+    def qstep(t: Int): String = {
+      val prev = if (t == 1) "qv0" else s"qv${t - 1}"
+      s"""qw$t AS (SELECT c.i AS j,
+         |  CAST(sum(CAST(c.c * p.v AS DECIMAL(38,12))) AS DOUBLE) AS w
+         |  FROM pcov c JOIN $prev p ON p.j = c.j GROUP BY 1),
+         |qs$t AS (SELECT CAST(sum(CAST(u.u * p.v AS DECIMAL(38,12))) AS DOUBLE) AS s
+         |  FROM pu1 u JOIN $prev p USING (j)),
+         |qv$t AS (SELECT w.j, w.w - u.lam * qs$t.s * u.u AS v
+         |  FROM qw$t w JOIN pu1 u USING (j) CROSS JOIN qs$t)"""
+        .stripMargin.replace("\n", " ")
+    }
+    s"""pw1 AS (SELECT c.i AS j,
+       |  CAST(sum(CAST(c.c * p.v AS DECIMAL(38,12))) AS DOUBLE) AS w
+       |  FROM pcov c JOIN pv$PCA_ITERS p ON p.j = c.j GROUP BY 1),
+       |psc AS (SELECT
+       |  CAST(sum(CAST(v.v * w.w AS DECIMAL(38,24))) AS DOUBLE) /
+       |  CAST(sum(CAST(v.v * v.v AS DECIMAL(38,24))) AS DOUBLE) AS lam,
+       |  sqrt(CAST(sum(CAST(v.v * v.v AS DECIMAL(38,24))) AS DOUBLE)) AS nrm
+       |  FROM pv$PCA_ITERS v JOIN pw1 w USING (j)),
+       |pu1 AS (SELECT j, v / nrm AS u, lam FROM pv$PCA_ITERS CROSS JOIN psc),
+       |qv0 AS (SELECT i AS j, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v
+       |  FROM (SELECT DISTINCT i FROM px)),
+       |${(1 to PCA_ITERS).map(qstep).mkString(", ")}"""
+      .stripMargin.replace("\n", " ")
+  }
 
   /** The e68/e69 shared debias chain (consumes [[pcaCtes]]'s pxc and
     * pv{N}): v̂₁ = iterate/‖iterate‖ (the e66 normalization formula),
@@ -6764,37 +6824,38 @@ object PipelineQueries {
 
     // mirror of Similarity.pcaSecondComponent: the shared chain gives
     // v1 = pv{N}; normalize + Rayleigh, then deflated power steps
-    "e66_pca_second" -> {
-      def qstep(t: Int): String = {
-        val prev = if (t == 1) "qv0" else s"qv${t - 1}"
-        s"""qw$t AS (SELECT c.i AS j,
-           |  CAST(sum(CAST(c.c * p.v AS DECIMAL(38,12))) AS DOUBLE) AS w
-           |  FROM pcov c JOIN $prev p ON p.j = c.j GROUP BY 1),
-           |qs$t AS (SELECT CAST(sum(CAST(u.u * p.v AS DECIMAL(38,12))) AS DOUBLE) AS s
-           |  FROM pu1 u JOIN $prev p USING (j)),
-           |qv$t AS (SELECT w.j, w.w - u.lam * qs$t.s * u.u AS v
-           |  FROM qw$t w JOIN pu1 u USING (j) CROSS JOIN qs$t)"""
-          .stripMargin.replace("\n", " ")
-      }
+    "e66_pca_second" ->
       s"""WITH $pcaCtes,
-         |pw1 AS (SELECT c.i AS j,
-         |  CAST(sum(CAST(c.c * p.v AS DECIMAL(38,12))) AS DOUBLE) AS w
-         |  FROM pcov c JOIN pv$PCA_ITERS p ON p.j = c.j GROUP BY 1),
-         |psc AS (SELECT
-         |  CAST(sum(CAST(v.v * w.w AS DECIMAL(38,24))) AS DOUBLE) /
-         |  CAST(sum(CAST(v.v * v.v AS DECIMAL(38,24))) AS DOUBLE) AS lam,
-         |  sqrt(CAST(sum(CAST(v.v * v.v AS DECIMAL(38,24))) AS DOUBLE)) AS nrm
-         |  FROM pv$PCA_ITERS v JOIN pw1 w USING (j)),
-         |pu1 AS (SELECT j, v / nrm AS u, lam FROM pv$PCA_ITERS CROSS JOIN psc),
-         |qv0 AS (SELECT i AS j, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v
-         |  FROM (SELECT DISTINCT i FROM px)),
-         |${(1 to PCA_ITERS).map(qstep).mkString(", ")},
+         |$pcaDeflCtes,
          |qmx AS (SELECT max(abs(v)) AS m FROM qv$PCA_ITERS)
          |SELECT CAST(j AS BIGINT) AS dim,
          |  CAST(CAST(v / m AS DECIMAL(28,8)) AS DOUBLE) AS pc2
          |FROM qv$PCA_ITERS CROSS JOIN qmx ORDER BY dim"""
-        .stripMargin.replace("\n", " ")
-    },
+        .stripMargin.replace("\n", " "),
+
+    // mirror of Similarity.pcaSpectrum: the shared deflation chain,
+    // then one Rayleigh per component at the scale-24 quantization
+    // (pw1 is already C·pv{N}; qwr = C·qv{N}) and the trace share
+    "e73_pca_spectrum" ->
+      s"""WITH $pcaCtes,
+         |$pcaDeflCtes,
+         |qwr AS (SELECT c.i AS j,
+         |  CAST(sum(CAST(c.c * p.v AS DECIMAL(38,12))) AS DOUBLE) AS w
+         |  FROM pcov c JOIN qv$PCA_ITERS p ON p.j = c.j GROUP BY 1),
+         |pr1 AS (SELECT CAST(1 AS BIGINT) AS component,
+         |  CAST(sum(CAST(v.v * w.w AS DECIMAL(38,24))) AS DOUBLE) /
+         |  CAST(sum(CAST(v.v * v.v AS DECIMAL(38,24))) AS DOUBLE) AS lambda
+         |  FROM pv$PCA_ITERS v JOIN pw1 w USING (j)),
+         |pr2 AS (SELECT CAST(2 AS BIGINT) AS component,
+         |  CAST(sum(CAST(v.v * w.w AS DECIMAL(38,24))) AS DOUBLE) /
+         |  CAST(sum(CAST(v.v * v.v AS DECIMAL(38,24))) AS DOUBLE) AS lambda
+         |  FROM qv$PCA_ITERS v JOIN qwr w USING (j)),
+         |ptr AS (SELECT CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS trace
+         |  FROM pcov WHERE i = j)
+         |SELECT component, lambda, trace, lambda / trace AS share
+         |FROM (SELECT * FROM pr1 UNION ALL SELECT * FROM pr2)
+         |CROSS JOIN ptr ORDER BY component"""
+        .stripMargin.replace("\n", " "),
 
     // mirror of Similarity.pcaVarianceExplained: one more matvec (pw),
     // Rayleigh quotient, trace
@@ -7412,6 +7473,19 @@ object PipelineQueries {
       s"""WITH $vHeadRaw,
          |$srpProjCte,
          |$srpBucketCtes,
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rp_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sbk)
+         |SELECT query_id, rk, neighbor_id, rp_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of the e74 snapshot serve: e39's chain with the CANDIDATE
+    // side cut to version 1's watermark (the 3/4 build cut) — queries
+    // still come from the full corpus
+    "e74_srp_time_travel" ->
+      s"""WITH $vHeadRaw,
+         |$srpProjCte,
+         |${srpBucketCtesAt(SRP_RADIUS,
+            "AND c.vec_id <= (SELECT (max(vec_id) * 3) // 4 FROM embeddings)")},
          |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |        ORDER BY rp_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sbk)
          |SELECT query_id, rk, neighbor_id, rp_dist FROM r2 WHERE rk <= $PQ_K

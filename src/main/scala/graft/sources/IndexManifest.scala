@@ -186,6 +186,16 @@ object IndexManifest {
       .toSeq.sorted
   }
 
+  /** Drop all recorded snapshot versions — the OVERWRITE-SAVE reset:
+    * a rebuild starts a new store lineage, and stale version files
+    * would otherwise claim watermarks the rewritten data no longer
+    * corresponds to. Appends never call this.
+    */
+  def clearVersions(path: String): Unit =
+    versions(path).foreach { v =>
+      Files.deleteIfExists(Paths.get(path, s"MANIFEST.v$v.json"))
+    }
+
   /** Read one historical snapshot's manifest; a missing version is a
     * named error listing what exists.
     */

@@ -307,6 +307,32 @@ class GraphTokPrefSpec extends AnyFunSuite {
       s"pc1/pc2 far from orthogonal: ${dot / (n1 * n2)}")
   }
 
+  test("pcaSpectrum: rank-2 fixture recovers both variances; shares sum to 1") {
+    // two independent zero-mean axes: var(dim0) = 4, var(dim1) = 0.04,
+    // nothing else — the two components carry ALL the variance, so
+    // lambda1 ~ 4, lambda2 ~ 0.04, share1 + share2 ~ 1
+    val fix = Seq(
+      (1L, Array(2.0f, 0.2f, 0.0f, 0.0f)), (2L, Array(-2.0f, 0.2f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, -0.2f, 0.0f, 0.0f)), (4L, Array(-2.0f, -0.2f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.trainSpectral(fix, 4, 3)
+    val rows = Similarity.pcaSpectrum(m).orderBy(col("component")).collect()
+    assert(rows.length == 2)
+    val (l1, s1) = (rows(0).getDouble(1), rows(0).getDouble(3))
+    val (l2, s2) = (rows(1).getDouble(1), rows(1).getDouble(3))
+    assert(math.abs(l1 - 4.0) < 1e-6 && math.abs(l2 - 0.04) < 1e-6,
+      s"l1=$l1 l2=$l2")
+    // 1e-8: lambda2's iterate rides the lesson-36 decimal quanta, so
+    // the share sum misses exact 1 by ~1e-9 on this fixture
+    assert(math.abs(s1 + s2 - 1.0) < 1e-8, s"s1=$s1 s2=$s2")
+    // corpus: both shares well-formed, decay ordered, isotropic control
+    val emb = Tables.embeddings(spark, dir)
+    val cr = Similarity.pcaSpectrum(Similarity.trainSpectral(emb, 64, 3))
+      .orderBy(col("component")).collect()
+    assert(cr(0).getDouble(3) > 0 && cr(0).getDouble(3) < 0.5 &&
+      cr(1).getDouble(3) > 0 && cr(1).getDouble(3) <= cr(0).getDouble(3) * 1.5)
+  }
+
   test("spectral artifact: load serves bit-identically; sync policy fresh/rebuild; guards fire") {
     import graft.sources.{IndexManifest, IndexManifestException}
     val emb = Tables.embeddings(spark, dir)
@@ -719,6 +745,44 @@ class GraphTokPrefSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no version 7") &&
       e.getMessage.contains("1, 2"), e.getMessage)
+  }
+
+  test("srp time travel: snapshot serve == direct history-build serve; missing version loud") {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val emb = Tables.embeddings(spark, dir)
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val path = java.nio.file.Files.createTempDirectory("graft-srptt-").toString
+    Similarity.saveSrpIndex(emb.filter(col("vec_id") <= cut), path, 16, 3)
+    Similarity.appendSrpIndex(emb.filter(col("vec_id") > cut), path)
+    assert(IndexManifest.versions(path) == Seq(1, 2))
+    val pHist = java.nio.file.Files.createTempDirectory("graft-srph-").toString
+    Similarity.saveSrpIndex(emb.filter(col("vec_id") <= cut), pHist, 16, 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val pred = col("vec_id") % 50 === 0
+    // as-of v1 == serving a store that only ever saw the history half
+    // (full-corpus queries both times — only the CANDIDATES travel)
+    val atV1 = rows(Similarity.srpBucketTopKIndexed(emb, pred, path, 3,
+      pruneScan = true, asOfVersion = Some(1)))
+    val hist = rows(Similarity.srpBucketTopKIndexed(emb, pred, pHist, 3,
+      pruneScan = true))
+    assert(atV1 == hist && atV1.nonEmpty)
+    // as-of the latest version == the current serve
+    val atV2 = rows(Similarity.srpBucketTopKIndexed(emb, pred, path, 3,
+      pruneScan = true, asOfVersion = Some(2)))
+    assert(atV2 == rows(Similarity.srpBucketTopKIndexed(emb, pred, path, 3,
+      pruneScan = true)))
+    val e = intercept[IndexManifestException] {
+      Similarity.srpBucketTopKIndexed(emb, pred, path, 3,
+        asOfVersion = Some(9)).collect()
+    }
+    assert(e.getMessage.contains("no version 9"), e.getMessage)
+    // an overwrite rebuild RESETS the lineage: stale snapshots would
+    // claim watermarks the rewritten data no longer corresponds to
+    Similarity.saveSrpIndex(emb, path, 16, 3)
+    assert(IndexManifest.versions(path) == Seq(1))
+    assert(IndexManifest.readVersion(path, 1).corpusMaxId ==
+      emb.agg(max(col("vec_id"))).head().getLong(0))
   }
 
   test("zorder append: equals rebuild row-for-row; guards fire") {
