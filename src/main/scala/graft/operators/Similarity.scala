@@ -1511,7 +1511,11 @@ object Similarity {
       .map { case ((mn, sc), i) => (i + 1L, mn, sc) }
       .toDF("dim", "mn", "sc").write.mode("overwrite").parquet(s"$path/quant")
     val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
-    IndexManifest.write(path, IndexManifest.Manifest("ivf-sq8",
+    // versioned (the d153 device; rebuild resets the lineage): codes
+    // are vec_id-monotone append-only AND the codebook is frozen
+    // across appends, so any snapshot serves as-of with one id cut
+    IndexManifest.clearVersions(path)
+    IndexManifest.writeVersioned(path, IndexManifest.Manifest("ivf-sq8",
       Map("cells" -> nCells.toLong, "dims" -> mins.length.toLong,
         "partition_by_cell" -> (if (partitionByCell) 1L else 0L)),
       rows, maxId))
@@ -1570,7 +1574,7 @@ object Similarity {
     val w = codes.write.mode("append")
     (if (man.params.getOrElse("partition_by_cell", 0L) == 1L)
       w.partitionBy("cell") else w).parquet(s"$path/codes")
-    IndexManifest.write(path,
+    IndexManifest.writeVersioned(path,
       man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
 
@@ -1634,7 +1638,7 @@ object Similarity {
     */
   def ivfSq8TopKIndexed(queries: DataFrame, queryPred: Column,
       indexPath: String, k: Int, probes: Int = 4,
-      pruneScan: Boolean = false): DataFrame = {
+      pruneScan: Boolean = false, asOfVersion: Option[Int] = None): DataFrame = {
     // manifest gate: right index kind, and the caller's probe count
     // can't exceed the cell count the index was BUILT with — caught
     // here as a named error instead of silently probing phantom cells
@@ -1650,7 +1654,21 @@ object Similarity {
         explode(slice(sort_array(scoresFor(cents), asc = false), 1, probes)))
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         (-col("probe").getField("nid")).cast("long").as("cell"))
-    val raw = spark.read.parquet(s"$indexPath/codes")
+    // TIME TRAVEL (e75, the d153/e74 device): codes are vec_id-monotone
+    // append-only AND the codebook is frozen across appends (an
+    // overwrite rebuild resets the lineage), so snapshot N is exactly
+    // the code rows at or below version N's watermark scored with the
+    // live constants — one pushed id cut beside the cell pruning
+    val raw0 = spark.read.parquet(s"$indexPath/codes")
+    val raw = asOfVersion match {
+      case None => raw0
+      case Some(v) =>
+        val snap = IndexManifest.readVersion(indexPath, v)
+        if (snap.kind != "ivf-sq8")
+          throw new IndexManifestException(
+            s"version $v at $indexPath is kind '${snap.kind}', expected 'ivf-sq8'")
+        raw0.filter(col("vec_id") <= snap.corpusMaxId)
+    }
     // pruneScan: collect the probed-cell UNION (≤ nCells ids — one tiny
     // driver round over the query side only) and inject it as a LITERAL
     // predicate: against a cell-partitioned index this lands in the

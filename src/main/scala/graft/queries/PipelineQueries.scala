@@ -2469,6 +2469,25 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // TIME-TRAVEL serve of the IVF+SQ8 index (e75): build = snapshot
+    // v1, append = v2; querying AT v1 adds one pushed vec_id cut
+    // beside the cell pruning — valid because appends never retrain
+    // the codebook (v1's book IS the live book), the e33 frozen-book
+    // claim carried to snapshots; oracle = e33's frozen-book chain
+    // with the candidate side cut to the history watermark
+    // (Similarity.ivfSq8TopKIndexed asOf doc)
+    "e75_ivf_time_travel" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("e75-ivfsq8")
+      Similarity.saveIvfSq8Index(emb.filter(col("vec_id") <= cut), path,
+        IVF_CELLS, partitionByCell = true)
+      Similarity.appendIvfSq8Index(emb.filter(col("vec_id") > cut), path)
+      Similarity.ivfSq8TopKIndexed(emb, col("vec_id") % 50 === 0,
+        path, PQ_K, IVF_PROBES, pruneScan = true, asOfVersion = Some(1))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // the maintenance POLICY as one operator (e34): an index built on
     // the history cut, then synced twice against the grown corpus —
     // the first sync detects monotone growth and appends the delta
@@ -2975,7 +2994,8 @@ object PipelineQueries {
   private val frozenQuantWhere =
     "WHERE v.vec_id <= (SELECT CAST(floor(3 * max(vec_id) / 4.0) AS BIGINT) FROM embeddings)"
 
-  private def ivfSq8CtesAt(probes: Int, quantWhere: String = "") =
+  private def ivfSq8CtesAt(probes: Int, quantWhere: String = "",
+      candFilter: String = "") =
     s"""mm AS (SELECT i AS dim, min(e[i]) AS mn, max(e[i]) AS mx
        |       FROM v, LATERAL unnest(range(1, ${PQ_DIMS + 1})) AS t(i) $quantWhere GROUP BY i),
        |ms AS (SELECT dim, mn, CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS sc FROM mm),
@@ -2994,7 +3014,7 @@ object PipelineQueries {
        |       FROM probes pr JOIN cells cl USING (cell)
        |       JOIN dl c ON c.vec_id = cl.vid
        |       JOIN v q ON q.vec_id = pr.query_id
-       |       WHERE cl.vid <> pr.query_id)""".stripMargin.replace("\n", " ")
+       |       WHERE cl.vid <> pr.query_id $candFilter)""".stripMargin.replace("\n", " ")
 
   /** One branch of the e30 probe curve: the e26 chain at `p` probes,
     * the recall tail AGGREGATED to (n_queries, n_hits) instead of
@@ -7561,6 +7581,18 @@ object PipelineQueries {
     "e33_ivf_sq8_appended" ->
       s"""WITH $ivfAsgCtes,
          |${ivfSq8CtesAt(IVF_PROBES, frozenQuantWhere)},
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sq_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sq)
+         |SELECT query_id, rk, neighbor_id, sq_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+
+    // mirror of the e75 snapshot serve: e33's frozen-book chain with
+    // the CANDIDATE side cut to version 1's watermark (the 3/4 build
+    // cut) — the quantizer stays history-trained (that IS v1's book)
+    "e75_ivf_time_travel" ->
+      s"""WITH $ivfAsgCtes,
+         |${ivfSq8CtesAt(IVF_PROBES, frozenQuantWhere,
+            "AND cl.vid <= (SELECT CAST(floor(3 * max(vec_id) / 4.0) AS BIGINT) FROM embeddings)")},
          |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |        ORDER BY sq_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sq)
          |SELECT query_id, rk, neighbor_id, sq_dist FROM r2 WHERE rk <= $PQ_K

@@ -785,6 +785,33 @@ class GraphTokPrefSpec extends AnyFunSuite {
       emb.agg(max(col("vec_id"))).head().getLong(0))
   }
 
+  test("ivf-sq8 time travel: snapshot serve == direct history-build serve (frozen book)") {
+    import graft.sources.IndexManifest
+    val emb = Tables.embeddings(spark, dir)
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val path = java.nio.file.Files.createTempDirectory("graft-ivftt-").toString
+    Similarity.saveIvfSq8Index(emb.filter(col("vec_id") <= cut), path,
+      16, partitionByCell = true)
+    Similarity.appendIvfSq8Index(emb.filter(col("vec_id") > cut), path)
+    assert(IndexManifest.versions(path) == Seq(1, 2))
+    // v1's codebook IS the live codebook (appends never retrain), so
+    // the snapshot equals a store that only ever saw the history half
+    val pHist = java.nio.file.Files.createTempDirectory("graft-ivfh-").toString
+    Similarity.saveIvfSq8Index(emb.filter(col("vec_id") <= cut), pHist,
+      16, partitionByCell = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val pred = col("vec_id") % 50 === 0
+    val atV1 = rows(Similarity.ivfSq8TopKIndexed(emb, pred, path, 3, 4,
+      pruneScan = true, asOfVersion = Some(1)))
+    assert(atV1 == rows(Similarity.ivfSq8TopKIndexed(emb, pred, pHist, 3, 4,
+      pruneScan = true)) && atV1.nonEmpty)
+    val atV2 = rows(Similarity.ivfSq8TopKIndexed(emb, pred, path, 3, 4,
+      pruneScan = true, asOfVersion = Some(2)))
+    assert(atV2 == rows(Similarity.ivfSq8TopKIndexed(emb, pred, path, 3, 4,
+      pruneScan = true)))
+  }
+
   test("zorder append: equals rebuild row-for-row; guards fire") {
     import graft.sources.{IndexManifest, IndexManifestException}
     val ev = Tables.events(spark, dir)
