@@ -1316,11 +1316,51 @@ object Dedup {
     * probe join co-locates without shuffling the index.
     */
   def saveGramIndex(history: DataFrame, path: String, minLen: Int = 8): Unit = {
+    import graft.sources.IndexManifest
+    val (rows, maxId) = IndexManifest.watermark(history, "doc_id")
+    // wm = the watermark of the write that added the row — grams carry
+    // no doc ids, so this column is what makes the d153 snapshot
+    // device applicable: as-of version N keeps rows with wm ≤ N's
+    // watermark, which is EXACTLY the gram set of docs ≤ that
+    // watermark (a gram present in both history and an increment keeps
+    // its history-wm row; an increment-only gram is filtered out)
     positionalGrams(history, minLen).select(col("hs")).distinct()
+      .withColumn("wm", lit(maxId))
       .write.mode("overwrite").parquet(s"$path/grams")
-    val (rows, maxId) = graft.sources.IndexManifest.watermark(history, "doc_id")
-    graft.sources.IndexManifest.write(path, graft.sources.IndexManifest.Manifest(
+    IndexManifest.clearVersions(path)
+    IndexManifest.writeVersioned(path, IndexManifest.Manifest(
       "gram", Map("min_len" -> minLen.toLong), rows, maxId))
+  }
+
+  /** APPEND to a persisted gram index — the increment's distinct gram
+    * hashes land as new rows (mode append, wm = the new watermark);
+    * history files are never read or rewritten. Grams already present
+    * from history get a DUPLICATE row — harmless by construction: the
+    * probe is a semi join, so the index is a SET under every read path
+    * (which also makes a crashed-append retry's duplicate rows
+    * semantically invisible; the wm orphan guard still catches the
+    * stale-manifest window loudly, the shared appender contract).
+    */
+  def appendGramIndex(increment: DataFrame, path: String,
+      minLen: Int = 8): Unit = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val man = IndexManifest.require(path, "gram",
+      Map("min_len" -> minLen.toLong))
+    val stats = increment.agg(count(lit(1)),
+      min(col("doc_id").cast("long")), max(col("doc_id").cast("long"))).head()
+    if (stats.getLong(0) == 0L) return
+    val (rows, minId, maxId) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (minId <= man.corpusMaxId)
+      throw new IndexManifestException(
+        s"increment ids start at $minId but the index watermark is " +
+          s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    IndexManifest.requireNoOrphans(
+      increment.sparkSession.read.parquet(s"$path/grams"), "wm", man, path)
+    positionalGrams(increment, minLen).select(col("hs")).distinct()
+      .withColumn("wm", lit(maxId))
+      .write.mode("append").parquet(s"$path/grams")
+    IndexManifest.writeVersioned(path,
+      man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
 
   /** Incremental ExactSubstr against a PERSISTED gram index (d44) —
@@ -1332,13 +1372,27 @@ object Dedup {
     * [[anchorsToSpans]] + [[cutSpans]] so the policies cannot drift.
     */
   def exactSubstrIncrementalIndexed(increment: DataFrame,
-      indexPath: String, minLen: Int = 8): DataFrame = {
+      indexPath: String, minLen: Int = 8,
+      asOfVersion: Option[Int] = None): DataFrame = {
+    import graft.sources.{IndexManifest, IndexManifestException}
     // manifest gate: a gram index probed at a DIFFERENT minLen than it
     // was built with silently under-cuts (longer grams absent from the
     // index) — fail loudly on the params mismatch instead
-    graft.sources.IndexManifest.require(indexPath, "gram",
+    IndexManifest.require(indexPath, "gram",
       Map("min_len" -> minLen.toLong))
-    val histHs = increment.sparkSession.read.parquet(s"$indexPath/grams")
+    // TIME TRAVEL (d154, the d153 device on the wm lineage column —
+    // saveGramIndex doc): snapshot N's gram SET is the rows at or
+    // below version N's watermark, one pushed wm cut before the probe
+    val raw = increment.sparkSession.read.parquet(s"$indexPath/grams")
+    val histHs = asOfVersion match {
+      case None => raw
+      case Some(v) =>
+        val snap = IndexManifest.readVersion(indexPath, v)
+        if (snap.kind != "gram")
+          throw new IndexManifestException(
+            s"version $v at $indexPath is kind '${snap.kind}', expected 'gram'")
+        raw.filter(col("wm") <= snap.corpusMaxId)
+    }
     val anchors = positionalGrams(increment, minLen)
       .join(histHs, Seq("hs"), "left_semi")
       .select(col("doc_id"), col("pos").as("s"),

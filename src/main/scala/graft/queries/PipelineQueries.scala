@@ -1119,6 +1119,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TIME-TRAVEL probe of the gram index (d154): build on the
+    // id-monotone history cut = snapshot v1, append the rest = v2;
+    // probing the increment AT v1 recovers exactly the pre-append cut
+    // (the CURRENT index contains the increment's own grams, so a
+    // latest-version probe would cut everything — spec-pinned
+    // contrast). The last of the four append-capable stores under the
+    // d153 device (Dedup.appendGramIndex / exactSubstrIncrementalIndexed
+    // asOf docs); oracle = the d43 chain on the monotone split
+    "d154_exsub_time_travel" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("d154-gram")
+      Dedup.saveGramIndex(docs.filter(col("doc_id") <= cut), path, EXSUB_LEN)
+      Dedup.appendGramIndex(docs.filter(col("doc_id") > cut), path, EXSUB_LEN)
+      Dedup.exactSubstrIncrementalIndexed(
+        docs.filter(col("doc_id") > cut), path, EXSUB_LEN,
+        asOfVersion = Some(1))
+        .orderBy(col("doc_id"))
+    }),
+
     // THE end-to-end curation verdict: one row per TRAIN doc with the
     // full keep decision and its reason bits — dedup representative
     // (d12), decontaminated (d13), length + repetition quality gates
@@ -6342,6 +6362,20 @@ object PipelineQueries {
     // history's DISTINCT gram set (≡ semi), cut tail sliced to the
     // increment
     "d43_exact_substr_incremental" -> exSubstrIncrementalSql,
+
+    // mirror of the d154 snapshot probe: the d43 chain on the
+    // id-monotone 3/4 split — history's gram set at version 1, the
+    // increment probed against it
+    "d154_exsub_time_travel" -> {
+      val cutSub = "(SELECT (max(doc_id) * 3) // 4 FROM documents)"
+      s"""WITH ${exGramCtesOver("h", s"doc_id <= $cutSub")},
+         |${exGramCtesOver("", s"doc_id > $cutSub")},
+         |exhset AS (SELECT DISTINCT hs FROM exgh),
+         |exanch AS (SELECT doc_id, pos AS s, pos + ${EXSUB_LEN - 1} AS e
+         |        FROM exg JOIN exhset USING (hs)),
+         |${exCutSqlFor(s"doc_id > $cutSub")}
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
 
     // d44 shares d43's oracle VERBATIM: probing the persisted gram
     // table must be bit-identical to probing history directly

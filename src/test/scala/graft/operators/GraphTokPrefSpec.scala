@@ -812,6 +812,41 @@ class GraphTokPrefSpec extends AnyFunSuite {
       pruneScan = true)))
   }
 
+  test("gram-index time travel: snapshot probe == pre-append cut; latest self-cuts; guards") {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val hist = docs.filter(col("doc_id") <= cut)
+    val inc = docs.filter(col("doc_id") > cut)
+    val path = java.nio.file.Files.createTempDirectory("graft-gtt-").toString
+    Dedup.saveGramIndex(hist, path, 8)
+    Dedup.appendGramIndex(inc, path, 8)
+    assert(IndexManifest.versions(path) == Seq(1, 2))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // as-of v1 == probing an index that only ever saw history
+    val pHist = java.nio.file.Files.createTempDirectory("graft-gh-").toString
+    Dedup.saveGramIndex(hist, pHist, 8)
+    val atV1 = rows(Dedup.exactSubstrIncrementalIndexed(inc, path, 8,
+      asOfVersion = Some(1)))
+    assert(atV1 == rows(Dedup.exactSubstrIncrementalIndexed(inc, pHist, 8)))
+    assert(atV1.nonEmpty)
+    // the LATEST index contains the increment's OWN grams, so probing
+    // it cuts every >= minLen doc completely — the contrast that makes
+    // the snapshot read the only way to recover pre-append behavior
+    val atLatest = Dedup.exactSubstrIncrementalIndexed(inc, path, 8)
+    val longDocs = atLatest.filter(col("n_words") >= 8)
+    assert(longDocs.count() > 0 &&
+      longDocs.filter(col("clean_text") =!= "").count() == 0L,
+      "latest-version probe must self-cut every >= minLen doc")
+    // non-monotone append is a named error
+    val e = intercept[IndexManifestException] { Dedup.appendGramIndex(inc, path, 8) }
+    assert(e.getMessage.contains("id-monotone"))
+    // a rebuild resets the lineage
+    Dedup.saveGramIndex(docs, path, 8)
+    assert(IndexManifest.versions(path) == Seq(1))
+  }
+
   test("zorder append: equals rebuild row-for-row; guards fire") {
     import graft.sources.{IndexManifest, IndexManifestException}
     val ev = Tables.events(spark, dir)
