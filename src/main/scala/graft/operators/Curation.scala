@@ -38,10 +38,11 @@ object Curation {
     val toks = split(col("text"), " ")
     // quote-escape the marker words (the blocklistFilter discipline):
     // the list is plain words today, but a future marker containing a
-    // quote must not break the generated expression
+    // quote must not break — or silently corrupt — the generated
+    // expression (Spark escapes with backslash, not '': ADVICE r12)
     val scored = docs.select(col("doc_id"), col("source"),
       (size(expr(s"filter(split(text, ' '), x -> x IN (${
-        stopWords.map(w => s"'${w.replace("'", "''")}'").mkString(",")}))"))
+        stopWords.map(graft.operators.TextAnalysis.sqlLit).mkString(",")}))"))
         .cast("double") /
         size(toks)).as("score"))
     val wCh = Window.partitionBy(col("source"))

@@ -24,6 +24,15 @@ object TextAnalysis {
   private def hitCount(words: Seq[String]): Column =
     size(filter(split(col("text"), " "), t => t.isin(words.map(x => x: Any): _*)))
 
+  /** Quote a string as a Spark SQL literal for splicing into `expr`.
+    * Spark string literals use BACKSLASH escapes — doubling the quote
+    * ('') is NOT an escape (adjacent literals concatenate, so 'don''t'
+    * parses as the literal "dont", silently matching the wrong word —
+    * ADVICE r12); the backslash itself must be doubled first.
+    */
+  private[operators] def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Per-language marker-hit scores; ties broken by marker-list order
     * (en ≥ es ≥ de ≥ fr). Deterministic and oracle-mirrorable.
     */
@@ -145,8 +154,7 @@ object TextAnalysis {
     */
   def blocklistFilter(docs: DataFrame, blockWords: Seq[String]): DataFrame = {
     require(blockWords.nonEmpty, "empty blocklist")
-    val inList = blockWords.map(w => s"'${w.replace("'", "''")}'")
-      .mkString("(", ",", ")")
+    val inList = blockWords.map(sqlLit).mkString("(", ",", ")")
     docs.select(col("doc_id"),
         expr(s"size(filter(split(lower(text), ' '), x -> x IN $inList))")
           .cast("long").as("n_hits"))
@@ -499,8 +507,7 @@ object TextAnalysis {
     val pieces = merges.select(concat(col("s1"), col("s2")).as("p"))
       .union(alpha).distinct()
       .collect().map(_.getString(0)).sorted
-    val pl = pieces.map(p => "'" + p.replace("'", "''") + "'")
-      .mkString("array(", ",", ")")
+    val pl = pieces.map(sqlLit).mkString("array(", ",", ")")
     val bestLen =
       s"array_max(transform(filter($pl, p -> substring(mw, s.pos, length(p)) = p), p -> length(p)))"
     rep0.select(col("word"), col("wc"), concat(col("word"), lit("¶")).as("mw"))

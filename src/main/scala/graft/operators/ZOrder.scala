@@ -58,9 +58,14 @@ object ZOrder {
       s"bucketBits=$bucketBits must be even and < ${2 * bits}")
     val g = eventGrid(events, bits)
       .withColumn("zbucket", expr(s"zkey >> ${2 * bits - bucketBits}"))
+    // a rebuild starts a new lineage — and the old lineage's version
+    // files must die BEFORE the data overwrite: a crash between the
+    // rewrite and a later sweep would leave snapshots claiming
+    // watermarks the rewritten data no longer has (losing versions on
+    // crash is safe; serving wrong ones is not — ADVICE r12)
+    IndexManifest.clearVersions(path)
     g.write.mode("overwrite").partitionBy("zbucket").parquet(s"$path/data")
     val (rows, maxId) = IndexManifest.watermark(events, "event_id")
-    IndexManifest.clearVersions(path) // a rebuild starts a new lineage
     IndexManifest.writeVersioned(path, IndexManifest.Manifest("zorder",
       Map("bits" -> bits.toLong, "bucket_bits" -> bucketBits.toLong),
       rows, maxId))

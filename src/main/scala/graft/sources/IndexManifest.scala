@@ -174,16 +174,23 @@ object IndexManifest {
     v
   }
 
-  /** The store's recorded snapshot versions, ascending. */
+  /** The store's recorded snapshot versions, ascending. The listing
+    * stream is closed explicitly (try/finally): it runs on every
+    * versioned write and a leaked UnixDirectoryStream holds a real file
+    * descriptor with no GC cleaner — a long-running append loop would
+    * otherwise accumulate fds to the process limit (ADVICE r12).
+    */
   def versions(path: String): Seq[Int] = {
     val dir = Paths.get(path)
     if (!Files.isDirectory(dir)) return Seq.empty
     val re = "MANIFEST\\.v(\\d+)\\.json".r
     import scala.jdk.CollectionConverters._
-    Files.list(dir).iterator().asScala
+    val s = Files.list(dir)
+    try s.iterator().asScala
       .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
         .map(_.group(1).toInt))
       .toSeq.sorted
+    finally s.close()
   }
 
   /** Drop all recorded snapshot versions — the OVERWRITE-SAVE reset:
@@ -197,7 +204,16 @@ object IndexManifest {
     }
 
   /** Read one historical snapshot's manifest; a missing version is a
-    * named error listing what exists.
+    * named error listing what exists. The snapshot is VALIDATED against
+    * the live manifest before it is trusted: on an append-only lineage
+    * every version's kind matches the live one and its watermark pair
+    * sits at or below the live pair, so a violation can only mean the
+    * version file belongs to a DEAD lineage — the residue of a rebuild
+    * that crashed between its data overwrite and its clearVersions
+    * sweep. Serving such a snapshot would silently answer as-of reads
+    * over data the watermark no longer describes; fail loudly instead
+    * (ADVICE r12 — the read-side twin of the clear-BEFORE-overwrite
+    * saver ordering).
     */
   def readVersion(path: String, v: Int): Manifest = {
     val f = Paths.get(path, s"MANIFEST.v$v.json")
@@ -212,8 +228,18 @@ object IndexManifest {
         .takeWhile(_.isDefined).flatten
         .map(k => k -> pn.get(k).asLong()).toMap
     }
-    Manifest(node.get("kind").asText(), params,
+    val snap = Manifest(node.get("kind").asText(), params,
       node.get("corpus_rows").asLong(), node.get("corpus_max_id").asLong())
+    val live = read(path)
+    if (snap.kind != live.kind || snap.corpusMaxId > live.corpusMaxId ||
+        snap.corpusRows > live.corpusRows)
+      throw new IndexManifestException(
+        s"version $v at $path (kind=${snap.kind}, rows=${snap.corpusRows}, " +
+          s"maxId=${snap.corpusMaxId}) is not a prefix of the live manifest " +
+          s"(kind=${live.kind}, rows=${live.corpusRows}, maxId=${live.corpusMaxId}) " +
+          "— stale lineage residue from a crashed rebuild; rebuild the store " +
+          "to reset its versions")
+    snap
   }
 
   /** True iff `corpus` matches the manifest's watermark. */
