@@ -1324,10 +1324,13 @@ object Dedup {
     // watermark, which is EXACTLY the gram set of docs ≤ that
     // watermark (a gram present in both history and an increment keeps
     // its history-wm row; an increment-only gram is filtered out)
+    // clear the old lineage BEFORE the data overwrite: a crash in the
+    // window would otherwise leave version files claiming watermarks
+    // the rewritten data no longer has (ADVICE r12)
+    IndexManifest.clearVersions(path)
     positionalGrams(history, minLen).select(col("hs")).distinct()
       .withColumn("wm", lit(maxId))
       .write.mode("overwrite").parquet(s"$path/grams")
-    IndexManifest.clearVersions(path)
     IndexManifest.writeVersioned(path, IndexManifest.Manifest(
       "gram", Map("min_len" -> minLen.toLong), rows, maxId))
   }
@@ -1893,12 +1896,20 @@ object Dedup {
   def saveLshIndex(history: DataFrame, path: String, k: Int = 64,
       bands: Int = 16): Unit = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    // rebuild = new lineage; versions cleared BEFORE the data overwrite
+    // (crash-window ordering, ADVICE r12)
+    graft.sources.IndexManifest.clearVersions(path)
     val sig = minhash(hashedShingles(history), k)
     sig.write.mode("overwrite").parquet(s"$path/sig")
     bandRows(sig, k, bands).write.mode("overwrite").parquet(s"$path/bands")
     val (rows, maxId) = graft.sources.IndexManifest.watermark(history, "doc_id")
-    graft.sources.IndexManifest.write(path, graft.sources.IndexManifest.Manifest(
-      "lsh", Map("k" -> k.toLong, "bands" -> bands.toLong), rows, maxId))
+    // VERSIONED (the d153 device): sig and band rows both carry doc_id
+    // and appends are id-monotone with frozen history files, so a
+    // snapshot version IS its watermark — an as-of probe is the same
+    // candidate join over one pushed doc_id cut ([[lshDedupIndexed]]).
+    graft.sources.IndexManifest.writeVersioned(path,
+      graft.sources.IndexManifest.Manifest(
+        "lsh", Map("k" -> k.toLong, "bands" -> bands.toLong), rows, maxId))
   }
 
   /** APPEND new documents to a persisted LSH index (d78) — signatures
@@ -1929,7 +1940,8 @@ object Dedup {
     val sig = minhash(hashedShingles(newDocs), k)
     sig.write.mode("append").parquet(s"$path/sig")
     bandRows(sig, k, bands).write.mode("append").parquet(s"$path/bands")
-    IndexManifest.write(path,
+    // every append is a new snapshot version (the d153 device)
+    IndexManifest.writeVersioned(path,
       man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
 
@@ -1957,14 +1969,29 @@ object Dedup {
     * history text is never touched.
     */
   def lshDedupIndexed(increment: DataFrame, path: String,
-      threshold: Double = 0.5, maxBucket: Long = 1000L): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Long = 1000L,
+      asOfVersion: Option[Int] = None): DataFrame = {
     val man = graft.sources.IndexManifest.require(path, "lsh")
     val k = man.params("k").toInt
     val bands = man.params("bands").toInt
     val spark = increment.sparkSession
-    val hsig = spark.read.parquet(s"$path/sig")
-    val hbands = spark.read.parquet(s"$path/bands")
-    // probe-time bucket cap over the index's CURRENT counts
+    // TIME TRAVEL (d157, the d153 device): a snapshot version IS its
+    // watermark on this id-monotone append-only store, so the as-of
+    // probe cuts BOTH index tables with one pushed doc_id filter —
+    // candidates, signature agreement, AND the bucket-size cap are then
+    // evaluated against exactly the index training run X probed
+    // (cap-at-snapshot-counts, not current counts: a bucket that grew
+    // past the cap since must not retroactively mute version-N verdicts)
+    val (hsig, hbands) = asOfVersion match {
+      case None =>
+        (spark.read.parquet(s"$path/sig"),
+          spark.read.parquet(s"$path/bands"))
+      case Some(v) =>
+        val wm = graft.sources.IndexManifest.readVersion(path, v).corpusMaxId
+        (spark.read.parquet(s"$path/sig").filter(col("doc_id") <= wm),
+          spark.read.parquet(s"$path/bands").filter(col("doc_id") <= wm))
+    }
+    // probe-time bucket cap over the (possibly snapshot-cut) counts
     val ok = hbands.groupBy(col("bno"), col("bkey"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
       .select(col("bno"), col("bkey"))

@@ -291,6 +291,9 @@ object Packing {
     import graft.sources.IndexManifest
     val asg = tokenShards(docs, budget, bucketBits)
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    // a rebuild starts a new store lineage — old snapshot versions die
+    // BEFORE the data overwrite (crash-window ordering, ADVICE r12)
+    IndexManifest.clearVersions(path)
     // an EMPTY corpus is a legitimate input (a curated selection can
     // come up empty — measured: the decontamination gate admits zero
     // sf0.1 docs), but dynamic partitionBy writes NO files for zero
@@ -308,7 +311,14 @@ object Packing {
     // re-tokenization)
     val total = docs.sparkSession.read.parquet(s"$path/shards")
       .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
-    IndexManifest.write(path, IndexManifest.Manifest("shards",
+    // VERSIONED (the d153 device): the store is doc_id-monotone
+    // append-only with history shard files byte-frozen and start_tokens
+    // recorded verbatim, so a snapshot version IS its watermark — and
+    // each version's n_tokens_total param pins where ITS frozen token
+    // stream ends. This is the flagship time-travel application:
+    // "reproduce the exact shard set training run X consumed" is one
+    // id cut ([[readShardStoreAt]]).
+    IndexManifest.writeVersioned(path, IndexManifest.Manifest("shards",
       Map("budget" -> budget, "bucket_bits" -> bucketBits.toLong,
         "n_tokens_total" -> total), rows, maxId))
   }
@@ -513,7 +523,11 @@ object Packing {
       .write.mode("append").partitionBy("shard_id")
       .parquet(s"$path/shards")
     val incr = asg.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
-    IndexManifest.write(path, IndexManifest.Manifest("shards",
+    // every append is a new snapshot version (the d153 device): history
+    // shard files are byte-frozen and the increment lands strictly after
+    // the frozen token stream, so version N is exactly the rows at or
+    // below N's watermark
+    IndexManifest.writeVersioned(path, IndexManifest.Manifest("shards",
       m.params + ("n_tokens_total" -> (base + incr)),
       m.corpusRows + rows, maxId))
   }
@@ -526,6 +540,28 @@ object Packing {
       shardId: Long): DataFrame = {
     graft.sources.IndexManifest.require(path, "shards")
     spark.read.parquet(s"$path/shards").filter(col("shard_id") === shardId)
+  }
+
+  /** TIME-TRAVEL read of the shard store (d155) — the training corpus
+    * AS OF snapshot `version`, i.e. "the exact token stream training
+    * run X consumed": because [[appendTokenShards]] freezes history
+    * shard files and records every start_token verbatim (the increment
+    * lands strictly AFTER the frozen stream), a version IS its
+    * watermark, and the snapshot read is the normal store scan plus one
+    * pushed `doc_id <= watermark` cut — no file copies, no per-version
+    * metadata beyond one JSON (the d153 device). The cut rows carry
+    * their original (start_token, shard_id) placement, so every
+    * derived layout — per-shard summaries, [[packShardStoreAt]]
+    * windows — reproduces the pre-append store bit-stably
+    * (spec-pinned).
+    */
+  def readShardStoreAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Int): DataFrame = {
+    import graft.sources.IndexManifest
+    IndexManifest.require(path, "shards")
+    val snap = IndexManifest.readVersion(path, version)
+    spark.read.parquet(s"$path/shards")
+      .filter(col("doc_id") <= snap.corpusMaxId)
   }
 
   /** Fixed-length context-window packing: the shuffled token stream is
@@ -668,10 +704,32 @@ object Packing {
     */
   def packShardStore(spark: org.apache.spark.sql.SparkSession, path: String,
       ctxLen: Int): DataFrame = {
-    require(ctxLen > 0, s"ctxLen=$ctxLen")
     graft.sources.IndexManifest.require(path, "shards")
+    packShardRows(spark.read.parquet(s"$path/shards"), ctxLen)
+  }
+
+  /** [[packShardStore]] AS OF snapshot `version` (d156) — the
+    * time-travel consumer: pack exactly the context windows training
+    * run X's dataloader saw, from today's (grown) store. The snapshot
+    * cut runs BEFORE the per-shard window, and because history
+    * start_tokens are frozen verbatim, the windowed local positions —
+    * and therefore every (ctx_id, offset, len) span — equal the
+    * pre-append store's packing bit-stably (spec-pinned). The cost over
+    * a latest read is ONE pushed id cut; the boundary shard's
+    * post-snapshot documents simply vanish from its local stream tail.
+    */
+  def packShardStoreAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Int, ctxLen: Int): DataFrame =
+    packShardRows(readShardStoreAt(spark, path, version), ctxLen)
+
+  /** The per-shard packing chain over already-read store rows — shared
+    * by the latest ([[packShardStore]]) and snapshot
+    * ([[packShardStoreAt]]) consumers so the two cannot drift.
+    */
+  private def packShardRows(store: DataFrame, ctxLen: Int): DataFrame = {
+    require(ctxLen > 0, s"ctxLen=$ctxLen")
     val inShard = Window.partitionBy(col("shard_id")).orderBy(col("start_token"))
-    spark.read.parquet(s"$path/shards")
+    store
       .select(col("shard_id").cast("long").as("shard_id"), col("doc_id"),
         col("n_tokens"), col("start_token"))
       .withColumn("local_start",

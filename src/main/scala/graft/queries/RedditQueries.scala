@@ -154,7 +154,46 @@ object RedditQueries {
         .filter(RedditOps.pred(ParamSpec(authors = Seq("user_7"))))
         .select(col("id"),
           RedditOps.sseFrame(col("id"), col("event"), col("json")).as("frame"))
-        .orderBy(col("id")))
+        .orderBy(col("id"))),
+
+    // TIME-TRAVEL batch read of the segment log (r16): the repo's
+    // oldest id-monotone append-only store gains the d153 snapshot
+    // device — history segments written (= watermark W), an increment
+    // appended AND the log compacted (membership below W must survive
+    // both, the compaction-preserves-rows contract), then the Spark
+    // batch scan pinned AT W: segment-name metadata pruning + one
+    // pushed id cut (RedditLog.batchRead doc; stability across
+    // compact+append spec-pinned in Round13OpsSpec). The fixture log is
+    // built by collecting an id%5 slice — the log's WRITER is the
+    // single-threaded ingest actor by design (the SSE server's role);
+    // the registered operator is the snapshot READ.
+    "r16_log_snapshot" -> ((spark: SparkSession, dir: String) => {
+      import graft.sources.RedditLog
+      val v = RedditView(spark, dir)
+      val slice = v.filter(col("id") % 5 === 0)
+      val cut = v.agg(max(col("id"))).head().getLong(0) * 3 / 4
+      val logDir = {
+        val f = new java.io.File("target/graft-indexes/r16-log")
+        // reset the slot: segments append, so a rerun must not duplicate
+        if (f.exists()) f.listFiles().filter(_.isFile).foreach(_.delete())
+        else f.mkdirs()
+        f.getAbsolutePath
+      }
+      val fields = RedditLog.schema.fieldNames.toSeq
+      def toRows(df: DataFrame): Seq[Map[String, Any]] =
+        df.orderBy(col("id")).collect().map { r =>
+          fields.zipWithIndex.map { case (f, i) => f -> r.get(i) }.toMap
+        }.toSeq
+      toRows(slice.filter(col("id") <= cut).select(fields.map(col): _*))
+        .grouped(500).foreach(g => RedditLog.writeSegment(logDir, g))
+      val wm = RedditLog.maxId(logDir)
+      toRows(slice.filter(col("id") > cut).select(fields.map(col): _*))
+        .grouped(500).foreach(g => RedditLog.writeSegment(logDir, g))
+      RedditLog.compact(logDir, 2000L)
+      RedditLog.batchRead(spark, logDir, Some(wm))
+        .select(envelopeCols.map(col): _*)
+        .orderBy(col("id"))
+    })
   )
 
   private def frameSql =
@@ -207,6 +246,13 @@ object RedditQueries {
     "r15_sql_surface" ->
       s"""$redditCte SELECT subreddit, event, count(*) AS n, min(id) AS first_id
          |FROM reddit GROUP BY subreddit, event
-         |ORDER BY subreddit, event""".stripMargin.replace("\n", " ")
+         |ORDER BY subreddit, event""".stripMargin.replace("\n", " "),
+    // mirror of the r16 snapshot read: the id%5 fixture slice cut at
+    // the history watermark (= the 3/4 cut — every history id sits at
+    // or below it, every appended id above)
+    "r16_log_snapshot" ->
+      s"""$redditCte SELECT $envelopeSql FROM reddit
+         | WHERE id % 5 = 0 AND id <= (SELECT max(id) * 3 // 4 FROM reddit)
+         |ORDER BY id""".stripMargin.replace("\n", " ")
   )
 }

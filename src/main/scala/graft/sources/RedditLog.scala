@@ -645,6 +645,43 @@ object RedditLog {
     compactIfNeeded(dir, targetRows, maxSmall, graceMillis)
   }
 
+  /** BATCH read of the segment log as a DataFrame (r16) — the Spark
+    * scan path beside the driver-side [[readRange]] the SSE server
+    * uses: the MANIFEST's segment set becomes an explicit file list
+    * (never a directory glob — the manifest is the source of truth
+    * after a compaction), and a `snapshotMaxId` turns the read into a
+    * TIME-TRAVEL snapshot riding the log's own id-monotone contract:
+    * segments whose name-range starts above the watermark are pruned at
+    * the METADATA layer (zero bytes read — the S2 name-range contract),
+    * and the residual `id <= watermark` cut is one pushed filter.
+    *
+    * Why the watermark is a valid snapshot pin (the d153 argument on
+    * the repo's oldest append-only store): appends are id-monotone, and
+    * COMPACTION preserves rows exactly (merge-only, manifest-flipped),
+    * so membership at or below any past watermark never changes — a
+    * snapshot read taken before a compact+append equals the same read
+    * after (spec-pinned). "Replay exactly the events consumer X had
+    * seen as of its disconnect" is this read with X's last-event-id.
+    */
+  def batchRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      snapshotMaxId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val segs = listSegments(dir)
+    val live = snapshotMaxId match {
+      case None => segs
+      case Some(wm) => segs.filter(_.firstId <= wm)
+    }
+    if (live.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val df = spark.read.schema(schema)
+      .json(live.map(_.file.getAbsolutePath): _*)
+    snapshotMaxId match {
+      case None => df
+      case Some(wm) => df.filter(col("id") <= wm)
+    }
+  }
+
   /** Read raw envelope lines of segments overlapping (startExclusive,
     * endInclusive], filtered to that id range.
     */
