@@ -1476,6 +1476,21 @@ object Similarity {
       cosineTopK(emb, queryPred, k),
       ivfSq8TopK(emb, queryPred, k, nCells, probes), k)
 
+  /** Recall@k of a PERSISTED IVF+SQ8 index's serve (e78) — [[recallOf]]
+    * over [[ivfSq8TopKIndexed]] against the exact baseline. Registered
+    * over the TRAINED-quantizer store (e77), paired with e27's
+    * seed-centroid number at the same probed-cell budget: the delta is
+    * what training the coarse book buys in the persisted family (the
+    * e11b measure-don't-assume convention — register the number either
+    * way).
+    */
+  def annRecallIvfSq8Indexed(emb: DataFrame, queryPred: Column,
+      indexPath: String, k: Int, probes: Int = 4): DataFrame =
+    recallOf(
+      cosineTopK(emb, queryPred, k),
+      ivfSq8TopKIndexed(emb, queryPred, indexPath, k, probes,
+        pruneScan = true), k)
+
   /** BUILD + PERSIST the IVF+SQ8 index (the build-once half of e31) —
     * the operational piece every in-memory composition here elides:
     * three parquet tables under `path` — `codes` (vec_id, cell, byte
@@ -1489,11 +1504,21 @@ object Similarity {
     * equi-join as the in-memory path does.
     */
   def saveIvfSq8Index(emb: DataFrame, path: String, nCells: Int = 16,
-      partitionByCell: Boolean = false): Unit = {
+      partitionByCell: Boolean = false, trainIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val n = normalized(emb)
-    val cents = seedCentroids(n, nCells)
+    // trainIters > 0 = the PRODUCTION coarse quantizer (e77): k-center
+    // seeds + Lloyd passes (the e71 device) replace the arbitrary
+    // lowest-id seeds at BUILD time only — the trained book persists in
+    // the cents table, so the append path's frozen-book contract and
+    // the as-of snapshot reads compose unchanged (they already reload
+    // centroids from the store, never re-derive them). A cell that
+    // empties during training drops out (the standard dead-centroid
+    // policy); the manifest records the SURVIVING cell count.
+    val cents =
+      if (trainIters == 0) seedCentroids(n, nCells)
+      else collectCentroids(kmeansKcenterSeeded(emb, nCells, trainIters))
     val (mins, maxs) = sqStats(n)
     val scales = maxs.zip(mins).map { case (mx, mn) =>
       if (mx > mn) (mx - mn) / 255.0 else 1.0 }
@@ -1501,6 +1526,10 @@ object Similarity {
         (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
       .withColumn("codes", sqEncode(typedLit(mins), typedLit(scales)))
       .select(col("vec_id"), col("cell"), col("codes"))
+    // a rebuild starts a new lineage — versions cleared BEFORE the data
+    // overwrite so a crash in the window can't leave snapshots claiming
+    // watermarks the rewritten data no longer has (ADVICE r12)
+    IndexManifest.clearVersions(path)
     // partitionByCell = the 100 TB layout: one directory per cell, so a
     // probe-bounded reader prunes unprobed cells at the FILE-INDEX
     // layer (PartitionFilters), never opening their footers
@@ -1514,10 +1543,10 @@ object Similarity {
     // versioned (the d153 device; rebuild resets the lineage): codes
     // are vec_id-monotone append-only AND the codebook is frozen
     // across appends, so any snapshot serves as-of with one id cut
-    IndexManifest.clearVersions(path)
     IndexManifest.writeVersioned(path, IndexManifest.Manifest("ivf-sq8",
-      Map("cells" -> nCells.toLong, "dims" -> mins.length.toLong,
-        "partition_by_cell" -> (if (partitionByCell) 1L else 0L)),
+      Map("cells" -> cents.size.toLong, "dims" -> mins.length.toLong,
+        "partition_by_cell" -> (if (partitionByCell) 1L else 0L),
+        "train_iters" -> trainIters.toLong),
       rows, maxId))
   }
 
@@ -1594,9 +1623,15 @@ object Similarity {
     */
   def ivfSq8IndexSync(emb: DataFrame, path: String, nCells: Int = 16,
       partitionByCell: Boolean = false): String = {
+    // train_iters pinned to 0: this sync is the SEED-centroid policy;
+    // a trained store (e77) must not silently pass as fresh under it —
+    // param drift falls through to the rebuild arm, the documented
+    // contract (a pre-round-13 store without the param also rebuilds
+    // once, gaining it)
     val man = try Some(IndexManifest.require(path, "ivf-sq8",
       Map("cells" -> nCells.toLong,
-        "partition_by_cell" -> (if (partitionByCell) 1L else 0L))))
+        "partition_by_cell" -> (if (partitionByCell) 1L else 0L),
+        "train_iters" -> 0L)))
     catch { case _: IndexManifestException => None }
     man match {
       case Some(m) =>
@@ -2027,6 +2062,9 @@ object Similarity {
     */
   def saveSrpIndex(emb: DataFrame, path: String, outDims: Int = 16,
       radius: Int = 3): Unit = {
+    // rebuild = new lineage; clear versions BEFORE the data overwrite
+    // (crash-window ordering, ADVICE r12)
+    IndexManifest.clearVersions(path)
     srpBlockTable(emb, outDims, radius)
       .write.mode("overwrite").partitionBy("bpos", "bval")
       .parquet(s"$path/blocks")
@@ -2034,7 +2072,6 @@ object Similarity {
     // versioned (the d153 device): the block table is vec_id-monotone
     // append-only, so every snapshot is servable as-of by one id cut;
     // an overwrite rebuild resets the lineage
-    IndexManifest.clearVersions(path)
     IndexManifest.writeVersioned(path, IndexManifest.Manifest("srp",
       Map("out_dims" -> outDims.toLong, "radius" -> radius.toLong),
       rows, maxId))
@@ -2567,40 +2604,69 @@ object Similarity {
   case class SpectralModel(dim: Int, iters: Int, mean: Array[Double],
       cov: DataFrame, iter: DataFrame)
 
-  /** The centered covariance matrix as a (i, j, c) frame — the
-    * distributed-PCA workhorse. Scale shape: ONE corpus scan explodes
-    * components, per-row outer products by a double posexplode (NO
-    * self-join, NO corpus shuffle — the only exchange is the dims²-key
-    * combine, and the row×dims² term stream partial-aggregates
-    * map-side); the state is MODEL-dimension-bounded, never
-    * corpus-bounded. Exactness: every per-row product is an IEEE
-    * multiply of deterministic doubles, quantized to DECIMAL(38,12)
-    * BEFORE the sum so the aggregation is order-independent under any
-    * partitioning (the e07/e51 device); the final /n is one IEEE
-    * divide. Returns (mean, cov).
+  /** RAW SUFFICIENT STATISTICS of the embedding corpus — the canonical
+    * form of the spectral model (e76): per-dimension component sums
+    * sx(j) = Σ q₂₈,₁₂(xⱼ) and raw second-moment sums
+    * sxx(i, j) = Σ q₃₈,₁₂(xᵢ·xⱼ), both EXACT decimals. Because decimal
+    * addition is exact and associative, (n, sx, sxx) MERGE: stats of a
+    * grown corpus = history stats + increment stats, term for term —
+    * which is what gives the spectral family a zero-corpus-pass append
+    * arm ([[appendSpectralIndex]]) with BIT-IDENTICAL results to a
+    * full rebuild (spec-pinned).
+    *
+    * Scale shape: one corpus scan each (the sxx pass explodes per-row
+    * outer products by a double posexplode — NO self-join; the only
+    * exchange is the dims²-key combine, map-side partial-aggregated).
+    * Returns (n, sx(j, sx), sxx(i, j, sxx)).
     */
-  private def covariance(emb: DataFrame): (Array[Double], DataFrame) = {
+  private def spectralStats(emb: DataFrame): (Long, DataFrame, DataFrame) = {
     val x = emb.select(
       expr("transform(embedding, v -> cast(v as double))").as("ed"))
-    // the mean vector is dims doubles — driver-resident by the same
-    // argument as the k-means centroids (sqStats, IVF literals); its
-    // values are the identical decimal-sum/count doubles the oracle's
-    // CTE computes, so centering matches bit-for-bit
-    val mu = x.select(posexplode(col("ed")).as(Seq("i", "xi")))
-      .groupBy(col("i"))
-      .agg((sum(col("xi").cast("decimal(28,12)")).cast("double") /
-        count(lit(1))).as("mu"))
-      .orderBy(col("i")).collect().map(_.getDouble(1))
-    val nn = emb.agg(count(lit(1)).cast("long").as("nv"))
-    val xc = x.withColumn("mu", array(mu.map(lit(_)): _*))
-      .select(expr("zip_with(ed, mu, (a, b) -> a - b)").as("cv"))
-    val cov = xc.select(col("cv"), posexplode(col("cv")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("cv")).as(Seq("j", "xj")))
+    val n = emb.count()
+    val sx = x.select(posexplode(col("ed")).as(Seq("j", "xj")))
+      .groupBy(col("j"))
+      .agg(sum(col("xj").cast("decimal(28,12)"))
+        .cast("decimal(38,12)").as("sx"))
+    val sxx = x.select(col("ed"), posexplode(col("ed")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("ed")).as(Seq("j", "xj")))
       .groupBy(col("i"), col("j"))
-      .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("s"))
-      .crossJoin(broadcast(nn))
-      .select(col("i"), col("j"), (col("s").cast("double") / col("nv")).as("c"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)"))
+        .cast("decimal(38,12)").as("sxx"))
+    (n, sx, sxx)
+  }
+
+  /** (mean, cov) DERIVED from raw sufficient statistics — ONE formula
+    * for fresh builds, loaded artifacts, and merged appends (the seam
+    * that makes append ≡ rebuild bit-identity hold by construction):
+    * μⱼ = sxⱼ/n (the decimal→double cast then one IEEE divide, exactly
+    * the oracle's formula) and cov(i,j) = sxx/n − μᵢ·μⱼ — deterministic
+    * double arithmetic over exact decimal inputs, so both engines and
+    * any merge order produce the same bits. The mean is dims doubles —
+    * driver-resident by the k-means-centroid argument.
+    */
+  private def covFromStats(n: Long, sx: DataFrame,
+      sxx: DataFrame): (Array[Double], DataFrame) = {
+    val mu = sx
+      .select(col("j"), (col("sx").cast("double") / lit(n)).as("mu"))
+      .orderBy(col("j")).collect().map(_.getDouble(1))
+    val muLit = array(mu.map(lit(_)): _*)
+    val cov = sxx.select(col("i"), col("j"),
+      (col("sxx").cast("double") / lit(n) -
+        element_at(muLit, col("i").cast("int") + 1) *
+          element_at(muLit, col("j").cast("int") + 1)).as("c"))
     (mu, cov)
+  }
+
+  /** The centered covariance matrix as a (i, j, c) frame — the
+    * distributed-PCA workhorse, derived from [[spectralStats]] via
+    * [[covFromStats]] (cov = E[xxᵀ] − μμᵀ over exact decimal moment
+    * sums; round 13 moved the family from centered-product sums to
+    * this mergeable canonical form so the persisted artifact gains an
+    * append arm). Returns (mean, cov).
+    */
+  private def covariance(emb: DataFrame): (Array[Double], DataFrame) = {
+    val (n, sx, sxx) = spectralStats(emb)
+    covFromStats(n, sx, sxx)
   }
 
   /** One quantized matrix-vector product w = C·v: a dims-keyed
@@ -2710,9 +2776,22 @@ object Similarity {
         sum((col("v") * col("v")).cast("decimal(38,24)")).cast("double"))
         .as("lam"),
       sqrt(sum((col("v") * col("v")).cast("decimal(38,24)")).cast("double"))
-        .as("nrm"))
+        .as("nrm"),
+      max(abs(col("v"))).as("mx"))
     m.iter.crossJoin(broadcast(scal))
-      .select(col("j"), (col("v") / col("nrm")).as("u"), col("lam"))
+      .select(col("j"),
+        // DECIMAL(38,24) leaves 14 integer digits, so v·v sums overflow
+        // to NULL once |v| nears 1e7 and λ/‖v‖ decay to NaN — silently
+        // corrupting deflation, debias, and the spectrum. The iterate
+        // grows ~λ^iters unnormalized, so a higher-variance corpus (or
+        // cranked iters) CAN get there; fail loudly at evaluation time
+        // instead (the raise_error lazy-pipeline device — ADVICE r12).
+        when(col("mx") > 1e6, raise_error(concat(
+          lit("spectral iterate max |entry| = "), col("mx"),
+          lit(" exceeds the DECIMAL(38,24) quantization headroom (~1e6) — "),
+          lit("rescale the corpus or reduce iters before normalizing"))))
+          .otherwise(col("v") / col("nrm")).as("u"),
+        col("lam"))
   }
 
   /** The e66 deflation over an already-trained/loaded model: power
@@ -2766,8 +2845,15 @@ object Similarity {
       v.join(w, Seq("j")).agg(
         (sum((col("v") * col("w")).cast("decimal(38,24)")).cast("double") /
           sum((col("v") * col("v")).cast("decimal(38,24)")).cast("double"))
-          .as("lambda"))
-        .select(lit(comp.toLong).as("component"), col("lambda"))
+          .as("lambda"),
+        max(abs(col("v"))).as("mx"))
+        // same scale-24 headroom guard as componentWithLambda: a
+        // near-overflow iterate must fail loudly, not publish NaN λ
+        .select(lit(comp.toLong).as("component"),
+          when(col("mx") > 1e6, raise_error(concat(
+            lit("spectral iterate max |entry| = "), col("mx"),
+            lit(" exceeds the DECIMAL(38,24) quantization headroom (~1e6)"))))
+            .otherwise(col("lambda")).as("lambda"))
     }
     val tr = m.cov.filter(col("i") === col("j"))
       .agg(sum(col("c").cast("decimal(38,12)")).cast("double").as("trace"))
@@ -2806,33 +2892,127 @@ object Similarity {
         ((col("num") / col("den")) / col("trace")).as("var_explained"))
   }
 
-  /** PERSIST the trained spectral model (e67) — the missing
+  /** PERSIST the trained spectral model (e67) — the
     * build-once/serve-many tail of the PCA family (IVF has e31-e34,
-    * SRP e41-e43, the unigram d104, BM25 d87...): mean (j, mu),
-    * covariance (i, j, c) and the raw iterate (j, v) as three tiny
-    * parquet tables (dims + dims² + dims rows) under the shared
-    * manifest, kind "spectral", params (dims, iters), watermarked on
-    * the training corpus. The covariance is stored RAW rather than the
-    * published component because every family member (component,
-    * variance, deflation, debias) derives from (mean, cov, iter) with
-    * dims²-bounded work through the ONE shared code path — persisting
-    * derived forms would fork the formulas. Parquet round-trips doubles
-    * bit-exactly, so a loaded model serves results bit-identical to the
-    * in-memory chain (spec-pinned).
+    * SRP e41-e43, the unigram d104, BM25 d87...). TWO layers under the
+    * shared manifest (kind "spectral", params (dims, iters),
+    * watermarked on the training corpus):
+    *
+    *  - CANONICAL: the raw decimal sufficient statistics `sx` (j, sx)
+    *    and `sxx` (i, j, sxx) from [[spectralStats]] (n rides the
+    *    manifest's corpus_rows). Exact decimals merge associatively,
+    *    so this is what makes [[appendSpectralIndex]]'s stats-merge
+    *    append EXACT — a merged model is bit-identical to a rebuild.
+    *  - DERIVED (serving): mean (j, mu), covariance (i, j, c) and the
+    *    raw power iterate (j, v), all via the ONE [[covFromStats]] /
+    *    [[matvec]] path every consumer shares — persisting them keeps
+    *    the serve path a three-tiny-parquet load with zero derivation.
+    *
+    * All tables are dims/dims²-row scale. Parquet round-trips doubles
+    * and decimals bit-exactly, so a loaded model serves results
+    * bit-identical to the in-memory chain (spec-pinned).
     */
   def saveSpectralIndex(emb: DataFrame, path: String, dim: Int,
       iters: Int = 3): Unit = {
-    val m = trainSpectral(emb, dim, iters)
-    val spark = emb.sparkSession
+    val (n, sx0, sxx0) = spectralStats(emb)
+    val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
+    writeSpectralTables(emb.sparkSession, path, dim, iters,
+      sx0, sxx0, n, rows, maxId)
+  }
+
+  /** Shared persist tail: write stats + derived tables, flip the
+    * manifest. Fresh builds hand corpus-derived stats; appends hand
+    * MERGED stats — one writer, so the two cannot diverge on layout.
+    */
+  private def writeSpectralTables(spark: org.apache.spark.sql.SparkSession,
+      path: String, dim: Int, iters: Int, sx0: DataFrame, sxx0: DataFrame,
+      n: Long, rows: Long, maxId: Long): Unit = {
     import spark.implicits._
-    m.mean.zipWithIndex.map { case (v, j) => (j, v) }.toSeq
+    // stats tables are read back for derivation AND future merges;
+    // localCheckpoint pins them (tiny: dims + dims² rows) so the write
+    // and the derivation share one computation
+    val sx = sx0.localCheckpoint(true)
+    val sxx = sxx0.localCheckpoint(true)
+    // crash witness FIRST: the stats rows carry no ids, so the shared
+    // requireNoOrphans device cannot detect a crashed append here —
+    // instead `nrow` records the row count the stats were computed
+    // over, written BEFORE any stats table, so a crash anywhere in the
+    // (nrow .. manifest-flip) window leaves nrow ahead of the manifest
+    // and the next append fails loudly instead of double-merging
+    // ([[appendSpectralIndex]] checks it; sync recovers by rebuild)
+    Seq(n).toDF("n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/nrow")
+    sx.coalesce(1).write.mode("overwrite").parquet(s"$path/sx")
+    sxx.coalesce(1).write.mode("overwrite").parquet(s"$path/sxx")
+    val (mu, covDf) = covFromStats(n, sx, sxx)
+    val cov = covDf.localCheckpoint(true)
+    var v = seedVec(spark, dim, 0).localCheckpoint(true)
+    for (_ <- 1 to iters) v = matvec(cov, v).localCheckpoint(true)
+    mu.zipWithIndex.map { case (x, j) => (j, x) }.toSeq
       .toDF("j", "mu").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/mean")
-    m.cov.coalesce(1).write.mode("overwrite").parquet(s"$path/cov")
-    m.iter.coalesce(1).write.mode("overwrite").parquet(s"$path/iter")
-    val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
+    cov.coalesce(1).write.mode("overwrite").parquet(s"$path/cov")
+    v.coalesce(1).write.mode("overwrite").parquet(s"$path/iter")
     IndexManifest.write(path, IndexManifest.Manifest("spectral",
       Map("dims" -> dim.toLong, "iters" -> iters.toLong), rows, maxId))
+  }
+
+  /** APPEND to a persisted spectral model (e76) — the round-12 verdict's
+    * structural gap closed: the rebuild-only rationale ("any new row
+    * moves the mean and every covariance entry") is true of the model's
+    * VALUES but not its sufficient STATISTICS — (n, Σx, Σxxᵀ) merge
+    * exactly, so the append arm is: compute the INCREMENT's stats (one
+    * increment-sized pass — the corpus is never rescanned), add them to
+    * the persisted decimal sums term-for-term (exact, associative),
+    * re-derive (μ, C) and re-run the power iteration at dims² scale.
+    * Because every step after the merge is the shared deterministic
+    * derivation, the appended model is BIT-IDENTICAL to a full rebuild
+    * on the grown corpus (spec-pinned — the e42 standard). At 100 TB
+    * this is the difference between a daily model refresh priced at the
+    * increment and a daily corpus scan.
+    *
+    * Guards: id-monotone increment vs the manifest watermark (the
+    * contract that makes (rows, maxId) freshness arithmetic exact); the
+    * stats tables are REWRITTEN per append (they are aggregates, not
+    * row logs — dims² rows, trivially cheap), so this store records no
+    * snapshot versions: old model states are not servable and claim
+    * nothing (contrast the d153 frozen-file stores).
+    */
+  def appendSpectralIndex(increment: DataFrame, path: String): Unit = {
+    val man = IndexManifest.require(path, "spectral")
+    val spark = increment.sparkSession
+    val stats = increment.agg(count(lit(1)),
+      min(col("vec_id").cast("long")), max(col("vec_id").cast("long"))).head()
+    if (stats.getLong(0) == 0L) return
+    val (rows, minId, maxId) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (minId <= man.corpusMaxId)
+      throw new IndexManifestException(
+        s"increment ids start at $minId but the index watermark is " +
+          s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    // the orphan guard for an id-less store (writeSpectralTables doc):
+    // stats ahead of the manifest = a previous append crashed between
+    // the stats write and the manifest flip; merging again would
+    // double-count the increment with no other detection possible
+    val recorded = spark.read.parquet(s"$path/nrow").head().getLong(0)
+    if (recorded != man.corpusRows)
+      throw new IndexManifestException(
+        s"spectral stats at $path were computed over $recorded rows but " +
+          s"the manifest records ${man.corpusRows} — a previous append " +
+          "crashed between the stats write and the manifest flip; rebuild " +
+          "(spectralIndexSync does this automatically)")
+    val (_, incSx, incSxx) = spectralStats(increment)
+    val mergedSx = spark.read.parquet(s"$path/sx").unionByName(incSx)
+      .groupBy(col("j"))
+      .agg(sum(col("sx")).cast("decimal(38,12)").as("sx"))
+    val mergedSxx = spark.read.parquet(s"$path/sxx").unionByName(incSxx)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("sxx")).cast("decimal(38,12)").as("sxx"))
+    // the eager localCheckpoint inside writeSpectralTables materializes
+    // the merged frames BEFORE the stats tables are overwritten, so the
+    // read-then-overwrite of one path is safe
+    writeSpectralTables(spark, path, man.params("dims").toInt,
+      man.params("iters").toInt, mergedSx, mergedSxx,
+      man.corpusRows + rows, man.corpusRows + rows, maxId)
   }
 
   /** Load a persisted spectral model — geometry comes from the
@@ -2850,24 +3030,46 @@ object Similarity {
       spark.read.parquet(s"$path/iter"))
   }
 
-  /** SYNC a persisted spectral model to the current corpus — REBUILD-
-    * ONLY by design (the d87/suffix-array argument, strengthened: the
-    * mean and every covariance entry are corpus-GLOBAL statistics, so
-    * ANY new row moves the whole model — there is no append arm that
-    * preserves correctness). FRESH serves as-is; anything else
-    * (growth, shrink, param drift, missing/corrupt manifest) retrains.
-    * Idempotent: a second sync against the same corpus is the FRESH
-    * no-op. Returns the action ("fresh" | "rebuild"), spec-pinned.
+  /** SYNC a persisted spectral model to the current corpus — the e34
+    * maintenance policy, with an APPEND arm the family gained in round
+    * 13 (e76): FRESH (watermark matches) serves as-is; MONOTONE GROWTH
+    * (history prefix intact — one filtered count against the manifest
+    * watermark — plus new ids above it) merges the increment's
+    * sufficient statistics ([[appendSpectralIndex]]) at increment cost,
+    * zero corpus rescans, bit-identical to a rebuild; anything else
+    * (shrink, rewrite, param drift, missing/corrupt manifest, or a
+    * pre-stats artifact) retrains from the corpus. Idempotent: a second
+    * sync against the same corpus is the FRESH no-op. Returns the
+    * action ("fresh" | "append" | "rebuild"), spec-pinned.
     */
   def spectralIndexSync(emb: DataFrame, path: String, dim: Int,
       iters: Int = 3): String = {
-    val ok = try {
-      IndexManifest.require(path, "spectral",
-        Map("dims" -> dim.toLong, "iters" -> iters.toLong))
-      IndexManifest.isFresh(path, emb, "vec_id")
-    } catch { case _: IndexManifestException => false }
-    if (ok) "fresh"
-    else { saveSpectralIndex(emb, path, dim, iters); "rebuild" }
+    val man = try Some(IndexManifest.require(path, "spectral",
+      Map("dims" -> dim.toLong, "iters" -> iters.toLong)))
+    catch { case _: IndexManifestException => None }
+    man match {
+      case Some(m) =>
+        val stats = emb.agg(count(lit(1)), max(col("vec_id").cast("long")),
+          sum(when(col("vec_id") <= m.corpusMaxId, 1L).otherwise(0L))).head()
+        val (rows, maxId) = (stats.getLong(0),
+          if (stats.isNullAt(1)) -1L else stats.getLong(1))
+        val prefixRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+        if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
+        else if (prefixRows == m.corpusRows && maxId > m.corpusMaxId &&
+            new java.io.File(s"$path/nrow").exists() &&
+            new java.io.File(s"$path/sx").exists()) {
+          try {
+            appendSpectralIndex(emb.filter(col("vec_id") > m.corpusMaxId), path)
+            "append"
+          } catch { case _: IndexManifestException =>
+            saveSpectralIndex(emb, path, dim, iters); "rebuild"
+          }
+        } else {
+          saveSpectralIndex(emb, path, dim, iters); "rebuild"
+        }
+      case None =>
+        saveSpectralIndex(emb, path, dim, iters); "rebuild"
+    }
   }
 
   /** The spectral model through its persisted-artifact cache (the
