@@ -97,6 +97,56 @@ object PipelineQueries {
       indexPath("d19-keep/" + slug), indexPath("d85-verdict/" + slug))
   }
 
+  /** The TRAINED-quantizer persisted IVF+SQ8 store e77/e78 serve from —
+    * one idempotent slot per data dir (the keepCached convention):
+    * whichever consumer runs first pays the k-center-seeded Lloyd
+    * training + encode; a fresh matching store is reused as-is. "cells"
+    * is deliberately NOT pinned here — dead centroids may drop during
+    * training, and the surviving count is the store's to record.
+    */
+  private def trainedIvfStore(spark: SparkSession, dir: String): String = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val emb = Tables.embeddings(spark, dir)
+    val path = indexPath(
+      "e77-ivfsq8t/" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val ok = try {
+      IndexManifest.require(path, "ivf-sq8",
+        Map("train_iters" -> KMEANS_ITERS.toLong, "partition_by_cell" -> 1L))
+      IndexManifest.isFresh(path, emb, "vec_id")
+    } catch { case _: IndexManifestException => false }
+    if (!ok) Similarity.saveIvfSq8Index(emb, path, KCENTER_K,
+      partitionByCell = true, trainIters = KMEANS_ITERS)
+    path
+  }
+
+  /** The VERSIONED training-shard store d155/d156 time-travel against —
+    * built on the 3/4-cut history (= snapshot v1), grown by one append
+    * (= v2); one idempotent slot per data dir (the keepCached
+    * convention: whichever consumer runs first pays the build, and an
+    * existing store matching params + both version watermarks + the
+    * live freshness pair is reused as-is). Returns the store path.
+    */
+  private def shardStoreVersioned(spark: SparkSession, dir: String): String = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    val path = indexPath(
+      "d155-shards/" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val ok = try {
+      IndexManifest.require(path, "shards",
+        Map("budget" -> SHARD_BUDGET, "bucket_bits" -> 8L))
+      IndexManifest.versions(path) == Seq(1, 2) &&
+        IndexManifest.readVersion(path, 1).corpusMaxId == cut &&
+        IndexManifest.isFresh(path, docs, "doc_id")
+    } catch { case _: IndexManifestException => false }
+    if (!ok) {
+      Packing.saveTokenShards(docs.filter(col("doc_id") <= cut), path,
+        SHARD_BUDGET)
+      Packing.appendTokenShards(docs.filter(col("doc_id") > cut), path)
+    }
+    path
+  }
+
   /** The unigram-model artifact slot, one per data directory (the
     * keepCached convention) — d101/d102/d103/d104 all read it.
     */
@@ -560,6 +610,32 @@ object PipelineQueries {
         col("vec_id") % 50 === 0, PQ_K, KCENTER_K, KMEANS_ITERS, IVF_PROBES)
         .orderBy(col("query_id"))),
 
+    // TRAINED-quantizer PERSISTED IVF+SQ8 (e77): e71's Lloyd book
+    // composed into the e31 persist story — train once at build (the
+    // k-center-seeded Lloyd cells), freeze the book in the cents table,
+    // serve through the UNCHANGED indexed path (append/sync/as-of reads
+    // all reload centroids from the store, so the frozen-book and
+    // snapshot contracts compose for free — spec-pinned in
+    // Round13OpsSpec) (Similarity.saveIvfSq8Index trainIters doc)
+    "e77_ivf_trained_indexed" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.ivfSq8TopKIndexed(emb, col("vec_id") % 50 === 0,
+        trainedIvfStore(spark, dir), PQ_K, IVF_PROBES, pruneScan = true)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // what training the coarse book buys IN THE PERSISTED FAMILY (e78):
+    // recall of the e77 serve under the shared definition — pairs with
+    // e27 (seed centroids) at the same probed-cell budget; registered
+    // whatever the delta reads (the e11b measure-don't-assume
+    // convention) (Similarity.annRecallIvfSq8Indexed doc)
+    "e78_ivf_trained_indexed_recall" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.annRecallIvfSq8Indexed(emb, col("vec_id") % 50 === 0,
+        trainedIvfStore(spark, dir), PQ_K, IVF_PROBES)
+        .orderBy(col("query_id"))
+    }),
+
     // SemDeDup with the paper's keep rule (e49): dup groups = connected
     // components of the within-cluster pair graph; each group keeps its
     // member farthest from the centroid (argmin affinity)
@@ -651,20 +727,25 @@ object PipelineQueries {
         .orderBy(col("dim"))),
 
     // the spectral maintenance policy end-to-end (e67): model trained
-    // on the 3/4-cut history, synced against the grown corpus (REBUILD
-    // — corpus-global statistics have no append arm, the documented
-    // contrast with e42's parameter-derived appends), synced again (the
-    // fresh no-op), served — registered against e64's oracle VERBATIM,
-    // so the save→sync→load→serve round trip is proven bit-identical
-    // (Similarity.spectralIndexSync doc; action strings spec-pinned)
+    // on the 3/4-cut history, synced against the grown corpus — since
+    // round 13 the sync APPENDS (e76: the model's sufficient statistics
+    // (n, Σx, Σxxᵀ) merge exactly, so growth costs one increment-sized
+    // stats pass + a dims²-scale re-derivation, never a corpus rescan) —
+    // synced again (the fresh no-op), served. Registered against e64's
+    // oracle VERBATIM: the merged model must be BIT-IDENTICAL to the
+    // one-pass full-corpus chain — the oracle row IS the merge-exactness
+    // proof (Similarity.appendSpectralIndex doc; action strings pinned
+    // here and in spec)
     "e67_pca_sync" -> ((spark: SparkSession, dir: String) => {
       val emb = Tables.embeddings(spark, dir)
       val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
       val path = indexPath("e67-pca-sync")
       Similarity.saveSpectralIndex(emb.filter(col("vec_id") <= cut), path,
         PQ_DIMS, PCA_ITERS)
-      Similarity.spectralIndexSync(emb, path, PQ_DIMS, PCA_ITERS)
-      Similarity.spectralIndexSync(emb, path, PQ_DIMS, PCA_ITERS)
+      val a1 = Similarity.spectralIndexSync(emb, path, PQ_DIMS, PCA_ITERS)
+      require(a1 == "append", s"first sync took '$a1', expected append")
+      val a2 = Similarity.spectralIndexSync(emb, path, PQ_DIMS, PCA_ITERS)
+      require(a2 == "fresh", s"second sync took '$a2', expected fresh")
       Similarity.pcaTopComponentOf(Similarity.loadSpectralIndex(spark, path))
         .orderBy(col("dim"))
     }),
@@ -951,6 +1032,24 @@ object PipelineQueries {
       require(a2 == "fresh", s"second sync took '$a2', expected fresh")
       Dedup.lshDedupIndexed(docs.filter(col("doc_id") % 4 === 0), path,
         0.5, MAX_BUCKET).orderBy(col("doc_id"))
+    }),
+
+    // TIME-TRAVEL probe of the LSH dedup index (d157): build on the
+    // 3/4-cut of history = v1, append the rest = v2, probe the
+    // increment AT v1 — the same candidate join over one pushed doc_id
+    // cut on both index tables, with the bucket cap evaluated at the
+    // SNAPSHOT's counts (Dedup.lshDedupIndexed asOf doc); oracle = the
+    // d77 chain with the index side cut to the v1 watermark
+    "d157_lsh_time_travel" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val history = docs.filter(col("doc_id") % 4 =!= 0)
+      val cut = history.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("d157-lsh")
+      Dedup.saveLshIndex(history.filter(col("doc_id") <= cut), path,
+        EST_K, EST_BANDS)
+      Dedup.appendLshIndex(history.filter(col("doc_id") > cut), path)
+      Dedup.lshDedupIndexed(docs.filter(col("doc_id") % 4 === 0), path,
+        0.5, MAX_BUCKET, asOfVersion = Some(1)).orderBy(col("doc_id"))
     }),
 
     // DoReMi per-domain excess loss (d80): Group-DRO's λ_k over the
@@ -1393,6 +1492,33 @@ object PipelineQueries {
       val path = indexPath("d55-shards")
       Packing.saveTokenShards(docs, path, SHARD_BUDGET)
       Packing.packShardStore(spark, path, CTX_LEN)
+        .orderBy(col("shard_id"), col("ctx_id"), col("doc_id"))
+    }),
+
+    // TIME-TRAVEL read of the training-shard store (d155) — "the exact
+    // shard set training run X consumed": history build = snapshot v1,
+    // append = v2, the d50 per-shard summary read AT v1 — one pushed
+    // doc_id cut over the grown store, O(1) metadata, frozen history
+    // start_tokens verbatim (Packing.readShardStoreAt doc); oracle =
+    // the d50 summary chain over the history cut
+    "d155_shard_time_travel" -> ((spark: SparkSession, dir: String) => {
+      val path = shardStoreVersioned(spark, dir)
+      Packing.readShardStoreAt(spark, path, 1)
+        .withColumn("h", Dedup.hash60(col("text")))
+        .groupBy(col("shard_id").cast("long").as("shard_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          expr("bit_xor(h)").as("text_h"))
+        .orderBy(col("shard_id"))
+    }),
+
+    // the snapshot-PINNED packing consumer (d156): pack exactly the
+    // context windows run X's dataloader saw, from today's grown store —
+    // the d55 per-shard window chain over the v1 cut; bit-stability vs
+    // the pre-append store is spec-pinned (Packing.packShardStoreAt doc)
+    "d156_pack_shards_asof" -> ((spark: SparkSession, dir: String) => {
+      val path = shardStoreVersioned(spark, dir)
+      Packing.packShardStoreAt(spark, path, 1, CTX_LEN)
         .orderBy(col("shard_id"), col("ctx_id"), col("doc_id"))
     }),
 
@@ -2794,7 +2920,13 @@ object PipelineQueries {
     * time, increment×history candidate join, signature-agreement
     * estimate, best match with lowest-id tie, threshold verdict.
     */
-  private lazy val lshIndexedSql: String = {
+  private lazy val lshIndexedSql: String = lshIndexedSqlFor("doc_id % 4 <> 0")
+
+  /** The d77 probe chain with a parameterized index-side membership
+    * filter — d77/d78/d79 pass the plain history predicate; d157 cuts
+    * it at snapshot v1's watermark (the as-of read's doc_id cut).
+    */
+  private def lshIndexedSqlFor(histWhere: String): String = {
     val rows = EST_K / EST_BANDS
     val bandSel = (0 until EST_BANDS).map { b =>
       val parts = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)")
@@ -2810,7 +2942,7 @@ object PipelineQueries {
        |lmins AS (SELECT doc_id, ${minhashSelectK(EST_K)} FROM shh GROUP BY doc_id),
        |lsig AS (SELECT doc_id, $bandSel FROM lmins),
        |lbl AS ($bandUni),
-       |hbl AS (SELECT * FROM lbl WHERE doc_id % 4 <> 0),
+       |hbl AS (SELECT * FROM lbl WHERE $histWhere),
        |hb AS (SELECT hbl.* FROM hbl JOIN (SELECT bno, bkey FROM hbl
        |       GROUP BY bno, bkey HAVING count(*) <= $MAX_BUCKET) g USING (bno, bkey)),
        |ibl AS (SELECT * FROM lbl WHERE doc_id % 4 = 0),
@@ -3015,7 +3147,8 @@ object PipelineQueries {
     "WHERE v.vec_id <= (SELECT CAST(floor(3 * max(vec_id) / 4.0) AS BIGINT) FROM embeddings)"
 
   private def ivfSq8CtesAt(probes: Int, quantWhere: String = "",
-      candFilter: String = "") =
+      candFilter: String = "", asgCte: String = "asg",
+      cellsCte: String = "cells") =
     s"""mm AS (SELECT i AS dim, min(e[i]) AS mn, max(e[i]) AS mx
        |       FROM v, LATERAL unnest(range(1, ${PQ_DIMS + 1})) AS t(i) $quantWhere GROUP BY i),
        |ms AS (SELECT dim, mn, CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS sc FROM mm),
@@ -3026,12 +3159,12 @@ object PipelineQueries {
        |       JOIN ms ON ms.dim = t.i),
        |dl AS (SELECT vec_id, list(mn + CAST(c AS DOUBLE) * sc ORDER BY dim) AS d
        |       FROM cd GROUP BY vec_id),
-       |probes AS (SELECT vid AS query_id, cid AS cell FROM asg WHERE vid % 50 = 0 AND rn <= $probes),
+       |probes AS (SELECT vid AS query_id, cid AS cell FROM $asgCte WHERE vid % 50 = 0 AND rn <= $probes),
        |sq AS (SELECT pr.query_id, cl.vid AS neighbor_id,
        |       list_dot_product(
        |         list_transform(range(1, ${PQ_DIMS + 1}), i -> q.e[i] - c.d[i]),
        |         list_transform(range(1, ${PQ_DIMS + 1}), i -> q.e[i] - c.d[i])) AS sq_dist
-       |       FROM probes pr JOIN cells cl USING (cell)
+       |       FROM probes pr JOIN $cellsCte cl USING (cell)
        |       JOIN dl c ON c.vec_id = cl.vid
        |       JOIN v q ON q.vec_id = pr.query_id
        |       WHERE cl.vid <> pr.query_id $candFilter)""".stripMargin.replace("\n", " ")
@@ -4241,6 +4374,10 @@ object PipelineQueries {
          |  FROM pcov c JOIN $prev p ON p.j = c.j GROUP BY 1)"""
         .stripMargin.replace("\n", " ")
     }
+    // cov = E[xxᵀ] − μμᵀ over RAW decimal moment sums (round 13: the
+    // mergeable-sufficient-statistics canonical form — mirror of
+    // Similarity.spectralStats/covFromStats); pxc stays centered for
+    // the debias chain's consumers
     s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |px AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i,
        |    e[CAST(t.i + 1 AS INTEGER)] AS xi
@@ -4249,10 +4386,13 @@ object PipelineQueries {
        |    / count(*) AS mu FROM px GROUP BY 1),
        |pxc AS (SELECT vec_id, i, xi - mu AS xi FROM px JOIN pmu USING (i)),
        |pnn AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM v),
-       |pcov AS (SELECT a.i, b.i AS j,
-       |    CAST(sum(CAST(a.xi * b.xi AS DECIMAL(38,12))) AS DOUBLE) / nv AS c
-       |  FROM pxc a JOIN pxc b USING (vec_id) CROSS JOIN pnn
-       |  GROUP BY 1, 2, nv),
+       |psxx AS (SELECT a.i, b.i AS j,
+       |    CAST(sum(CAST(a.xi * b.xi AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx
+       |  FROM px a JOIN px b USING (vec_id) GROUP BY 1, 2),
+       |pcov AS (SELECT s.i, s.j,
+       |    CAST(s.sxx AS DOUBLE) / nv - ma.mu * mb.mu AS c
+       |  FROM psxx s JOIN pmu ma ON ma.i = s.i JOIN pmu mb ON mb.i = s.j
+       |  CROSS JOIN pnn),
        |pv0 AS (SELECT i AS j, CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS v
        |  FROM (SELECT DISTINCT i FROM px)),
        |${(1 to PCA_ITERS).map(step).mkString(", ")}"""
@@ -5631,6 +5771,13 @@ object PipelineQueries {
     // are d77's verbatim
     "d79_lsh_sync" -> lshIndexedSql,
 
+    // mirror of the d157 snapshot probe: the d77 chain with the index
+    // side cut to version 1's watermark (the 3/4 cut of history) — the
+    // bucket cap inside the chain then counts snapshot buckets, exactly
+    // as the as-of read serves them
+    "d157_lsh_time_travel" -> lshIndexedSqlFor(
+      "doc_id % 4 <> 0 AND doc_id <= (SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) FROM documents WHERE doc_id % 4 <> 0)"),
+
     // mirror of Dedup.hllGramCardinality: same register construction
     // (low-8-bit index, rank via length(bin(w)) — identical string form
     // in both engines), exact integer harmonic sum (BIGINT-shifted,
@@ -5832,6 +5979,42 @@ object PipelineQueries {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  bit_xor(${duckHash60("text")}) AS text_h
          |FROM psh GROUP BY shard_id ORDER BY shard_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Packing.readShardStoreAt: the snapshot-v1 store IS the
+    // history half built fresh (frozen files + verbatim start_tokens +
+    // one doc_id cut), so the oracle is the d50 per-shard summary chain
+    // over the 3/4-cut corpus
+    "d155_shard_time_travel" ->
+      s"""WITH cutv AS (SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) AS cut FROM documents),
+         |${tokenOffsetCtesFor("h", "WHERE doc_id <= (SELECT cut FROM cutv)")},
+         |psh AS (SELECT p.doc_id, p.n_tokens,
+         |  CAST(start_token // $SHARD_BUDGET AS BIGINT) AS shard_id, d.text
+         |  FROM hos p JOIN documents d USING (doc_id))
+         |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  bit_xor(${duckHash60("text")}) AS text_h
+         |FROM psh GROUP BY shard_id ORDER BY shard_id""".stripMargin.replace("\n", " "),
+
+    // mirror of Packing.packShardStoreAt: the d55 per-shard window
+    // chain over the snapshot-v1 (history-cut) rows
+    "d156_pack_shards_asof" ->
+      s"""WITH cutv AS (SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) AS cut FROM documents),
+         |${tokenOffsetCtesFor("h", "WHERE doc_id <= (SELECT cut FROM cutv)")},
+         |psh AS (SELECT doc_id, n_tokens, start_token,
+         |  CAST(start_token // $SHARD_BUDGET AS BIGINT) AS shard_id FROM hos),
+         |lo AS (SELECT shard_id, doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY start_token)
+         |       - n_tokens AS BIGINT) AS local_start FROM psh),
+         |pctx AS (SELECT shard_id, doc_id, n_tokens, local_start,
+         |  unnest(range(local_start // $CTX_LEN,
+         |               (local_start + n_tokens - 1) // $CTX_LEN + 1)) AS ctx_id
+         |  FROM lo)
+         |SELECT shard_id, doc_id, CAST(ctx_id AS BIGINT) AS ctx_id,
+         |  CAST(greatest(local_start, ctx_id * $CTX_LEN) - ctx_id * $CTX_LEN AS BIGINT) AS ctx_offset,
+         |  CAST(greatest(local_start, ctx_id * $CTX_LEN) - local_start AS BIGINT) AS doc_offset,
+         |  CAST(least(local_start + n_tokens, (ctx_id + 1) * $CTX_LEN)
+         |       - greatest(local_start, ctx_id * $CTX_LEN) AS BIGINT) AS len
+         |FROM pctx ORDER BY shard_id, ctx_id, doc_id""".stripMargin.replace("\n", " "),
 
     // mirror of Packing.packShardStore over a fresh d47 store: shard
     // assignment from the shared prefix-sum chain, then a LOCAL running
@@ -6799,6 +6982,59 @@ object PipelineQueries {
          |ap3 AS (SELECT query_id, neighbor_id FROM
          |  (SELECT *, row_number() OVER (PARTITION BY query_id
          |     ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM p) WHERE rk <= $PQ_K),
+         |$recallTailSql""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of the e77 trained-quantizer persisted serve: the e71
+    // trained-centroid chain (k-center seeds -> two Lloyd passes ->
+    // cent3) feeding the e26 SQ8 encode/probe chain — asg3/cells3 are
+    // the book the STORE froze, so the persisted round trip must be
+    // bit-identical to this in-memory composition
+    "e77_ivf_trained_indexed" -> {
+      val seedUnion = (1 to KCENTER_K)
+        .map(i => s"SELECT vec_id, e, nrm FROM kc$i").mkString(" UNION ALL ")
+      s"""WITH $vHeadRaw,
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |$kcenterStageCtes,
+         |kcent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM ($seedUnion)),
+         |${centroidAsgCtes("", "kcent")},
+         |${kmeansMeanCtes("1", "cells")},
+         |cent2 AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM
+         |  (SELECT cell AS cid, list(val ORDER BY dim) AS ce FROM m1 GROUP BY cell)),
+         |${centroidAsgCtes("2", "cent2")},
+         |${kmeansMeanCtes("2", "cells2")},
+         |cent3 AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM
+         |  (SELECT cell AS cid, list(val ORDER BY dim) AS ce FROM m2 GROUP BY cell)),
+         |${centroidAsgCtes("3", "cent3")},
+         |${ivfSq8CtesAt(IVF_PROBES, "", "", "asg3", "cells3")},
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sq_dist ASC, neighbor_id ASC) AS BIGINT) AS rk FROM sq)
+         |SELECT query_id, rk, neighbor_id, sq_dist FROM r2 WHERE rk <= $PQ_K
+         |ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
+    },
+
+    // mirror of Similarity.annRecallIvfSq8Indexed over the e77 store:
+    // the same trained chain as ap3 + the shared recall tail
+    "e78_ivf_trained_indexed_recall" -> {
+      val seedUnion = (1 to KCENTER_K)
+        .map(i => s"SELECT vec_id, e, nrm FROM kc$i").mkString(" UNION ALL ")
+      s"""WITH $vHeadRaw,
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |$kcenterStageCtes,
+         |kcent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM ($seedUnion)),
+         |${centroidAsgCtes("", "kcent")},
+         |${kmeansMeanCtes("1", "cells")},
+         |cent2 AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM
+         |  (SELECT cell AS cid, list(val ORDER BY dim) AS ce FROM m1 GROUP BY cell)),
+         |${centroidAsgCtes("2", "cent2")},
+         |${kmeansMeanCtes("2", "cells2")},
+         |cent3 AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM
+         |  (SELECT cell AS cid, list(val ORDER BY dim) AS ce FROM m2 GROUP BY cell)),
+         |${centroidAsgCtes("3", "cent3")},
+         |${ivfSq8CtesAt(IVF_PROBES, "", "", "asg3", "cells3")},
+         |ap3 AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY sq_dist ASC, neighbor_id ASC) AS rk FROM sq) WHERE rk <= $PQ_K),
          |$recallTailSql""".stripMargin.replace("\n", " ")
     },
 

@@ -554,4 +554,30 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q: the top-k cut must be a heap cut\n" + p.take(2000))
     }
   }
+
+  test("d155/d156: the shard-store snapshot read is the normal scan plus one PUSHED doc_id cut") {
+    // VERSION-AS-OF's whole cost claim: no per-version metadata scans,
+    // no copy-on-write — just the watermark cut answered from parquet
+    // row-group stats, i.e. it must reach PushedFilters
+    for (q <- Seq("d155_shard_time_travel", "d156_pack_shards_asof")) {
+      val p = plan(q)
+      assert("LessThanOrEqual\\(doc_id".r.findFirstIn(p).isDefined,
+        s"$q: the snapshot watermark cut must be pushed to the scan\n" +
+          p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    }
+  }
+
+  test("d157: the as-of LSH probe pushes the snapshot watermark into BOTH index scans") {
+    val p = plan("d157_lsh_time_travel")
+    assert("LessThanOrEqual\\(doc_id".r.findAllIn(p).size >= 2,
+      "sig AND bands scans must each carry the pushed watermark cut\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("r16: the log snapshot read pushes the id cut (metadata pruning spec'd in Round13OpsSpec)") {
+    val p = plan("r16_log_snapshot")
+    assert("LessThanOrEqual\\(id".r.findFirstIn(p).isDefined,
+      "the snapshot id cut must be pushed into the JSON scan\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
 }

@@ -352,19 +352,36 @@ class GraphTokPrefSpec extends AnyFunSuite {
     assert(veD.getDouble(0) == veL.getDouble(0) &&
       veD.getDouble(1) == veL.getDouble(1) &&
       veD.getDouble(2) == veL.getDouble(2))
-    // sync policy: same corpus+params = fresh no-op; growth = rebuild
-    // (corpus-global statistics have no append arm); missing = rebuild
+    // sync policy: same corpus+params = fresh no-op; monotone growth =
+    // APPEND (e76: the sufficient statistics merge exactly — one
+    // increment-sized pass, zero corpus rescans); missing = rebuild
     assert(Similarity.spectralIndexSync(emb, path, 64, 3) == "fresh")
     val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
     val p2 = java.nio.file.Files.createTempDirectory("graft-spec2-").toString
     Similarity.saveSpectralIndex(emb.filter(col("vec_id") <= cut), p2, 64, 3)
-    assert(Similarity.spectralIndexSync(emb, p2, 64, 3) == "rebuild")
+    assert(Similarity.spectralIndexSync(emb, p2, 64, 3) == "append")
     assert(Similarity.spectralIndexSync(emb, p2, 64, 3) == "fresh")
-    // after the rebuild the grown-store model equals the direct chain
+    // the MERGED model is BIT-IDENTICAL to the one-pass full-corpus
+    // chain (the e42 standard — exact decimal sums merge associatively,
+    // everything downstream is the shared deterministic derivation)
     val synced = Similarity.pcaTopComponentOf(
       Similarity.loadSpectralIndex(spark, p2))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(synced == direct)
+    // ...covariance and iterate tables included, entry for entry
+    val covA = spark.read.parquet(s"$p2/cov")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val covB = spark.read.parquet(s"$path/cov")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(covA == covB && covA.size == 64 * 64)
+    val itA = spark.read.parquet(s"$p2/iter")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val itB = spark.read.parquet(s"$path/iter")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(itA == itB)
+    // a non-monotone change (shrink) still rebuilds
+    assert(Similarity.spectralIndexSync(
+      emb.filter(col("vec_id") <= cut), p2, 64, 3) == "rebuild")
     // param drift rebuilds rather than serving a mismatched geometry
     assert(Similarity.spectralIndexSync(emb, p2, 64, 2) == "rebuild")
     assert(IndexManifest.read(p2).params("iters") == 2L)
