@@ -564,6 +564,30 @@ object Packing {
       .filter(col("doc_id") <= snap.corpusMaxId)
   }
 
+  /** VERSION DIFF of the shard store (d158) — "what does run B train on
+    * that run A didn't": the rows added between snapshots `vFrom` and
+    * `vTo`, i.e. the exact document/token increment a retrain at vTo
+    * consumed beyond vFrom's corpus. On this id-monotone append-only
+    * store the diff IS the half-open watermark interval — one pushed
+    * range predicate, no row comparison, no join: additions carry ids
+    * above vFrom's watermark by the append contract, and deletions
+    * cannot exist (the store qualifies for versioning precisely because
+    * membership below a watermark never changes). The audit row every
+    * dataset card wants next to "retrained on version N".
+    */
+  def shardStoreDiff(spark: org.apache.spark.sql.SparkSession,
+      path: String, vFrom: Int, vTo: Int): DataFrame = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    IndexManifest.require(path, "shards")
+    if (vFrom >= vTo)
+      throw new IndexManifestException(
+        s"shardStoreDiff: vFrom=$vFrom must precede vTo=$vTo")
+    val wmFrom = IndexManifest.readVersion(path, vFrom).corpusMaxId
+    val wmTo = IndexManifest.readVersion(path, vTo).corpusMaxId
+    spark.read.parquet(s"$path/shards")
+      .filter(col("doc_id") > wmFrom && col("doc_id") <= wmTo)
+  }
+
   /** Fixed-length context-window packing: the shuffled token stream is
     * cut into ctxLen-token windows and each document is mapped to the
     * span(s) it occupies — one row per (doc, window) with the window

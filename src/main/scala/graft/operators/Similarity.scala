@@ -2917,31 +2917,57 @@ object Similarity {
     val (n, sx0, sxx0) = spectralStats(emb)
     val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
     writeSpectralTables(emb.sparkSession, path, dim, iters,
-      sx0, sxx0, n, rows, maxId)
+      sx0, sxx0, None, n, rows, maxId)
   }
 
-  /** Shared persist tail: write stats + derived tables, flip the
-    * manifest. Fresh builds hand corpus-derived stats; appends hand
-    * MERGED stats — one writer, so the two cannot diverge on layout.
+  /** Shared persist tail: write the per-version DELTA stats, the live
+    * merged stats, the derived serving tables, then flip the versioned
+    * manifest. Fresh builds hand corpus-derived stats (delta = the
+    * stats themselves — and the old lineage's versions + deltas die
+    * first); appends hand MERGED stats plus the increment-only delta —
+    * one writer, so the two cannot diverge on layout.
+    *
+    * VERSIONED (e79): because the canonical form is exact mergeable
+    * decimals, a historical MODEL is servable without any corpus pass —
+    * version N's stats = the sum of deltas 1..N (order-free exact), so
+    * each save/append persists its delta under `deltas/v{N}` (dims +
+    * dims² rows — O(dims²) per version, the cheapest snapshot in the
+    * repo) and [[loadSpectralIndexAt]] re-derives the model AS OF any
+    * version. This is time travel for a TRAINED artifact, not just for
+    * row stores: the frozen-file stores snapshot their DATA; here the
+    * model itself is reproducible at every publish point.
     */
   private def writeSpectralTables(spark: org.apache.spark.sql.SparkSession,
       path: String, dim: Int, iters: Int, sx0: DataFrame, sxx0: DataFrame,
-      n: Long, rows: Long, maxId: Long): Unit = {
+      delta: Option[(DataFrame, DataFrame)], n: Long, rows: Long,
+      maxId: Long): Unit = {
     import spark.implicits._
     // stats tables are read back for derivation AND future merges;
     // localCheckpoint pins them (tiny: dims + dims² rows) so the write
     // and the derivation share one computation
     val sx = sx0.localCheckpoint(true)
     val sxx = sxx0.localCheckpoint(true)
+    val fresh = delta.isEmpty
+    if (fresh) {
+      // rebuild = new lineage: versions AND their delta tables die
+      // BEFORE any data write (the clear-before-overwrite ordering)
+      IndexManifest.clearVersions(path)
+      deleteRecursively(new java.io.File(s"$path/deltas"))
+    }
     // crash witness FIRST: the stats rows carry no ids, so the shared
     // requireNoOrphans device cannot detect a crashed append here —
     // instead `nrow` records the row count the stats were computed
     // over, written BEFORE any stats table, so a crash anywhere in the
     // (nrow .. manifest-flip) window leaves nrow ahead of the manifest
     // and the next append fails loudly instead of double-merging
-    // ([[appendSpectralIndex]] checks it; sync recovers by rebuild)
+    // ([[appendSpectralIndex]] checks it; sync recovers by rebuild —
+    // which also wipes any orphan delta directory the crash left)
     Seq(n).toDF("n").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/nrow")
+    val ver = IndexManifest.versions(path).lastOption.getOrElse(0) + 1
+    val (dSx, dSxx) = delta.getOrElse((sx, sxx))
+    dSx.coalesce(1).write.mode("overwrite").parquet(s"$path/deltas/v$ver/sx")
+    dSxx.coalesce(1).write.mode("overwrite").parquet(s"$path/deltas/v$ver/sxx")
     sx.coalesce(1).write.mode("overwrite").parquet(s"$path/sx")
     sxx.coalesce(1).write.mode("overwrite").parquet(s"$path/sxx")
     val (mu, covDf) = covFromStats(n, sx, sxx)
@@ -2953,8 +2979,13 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/mean")
     cov.coalesce(1).write.mode("overwrite").parquet(s"$path/cov")
     v.coalesce(1).write.mode("overwrite").parquet(s"$path/iter")
-    IndexManifest.write(path, IndexManifest.Manifest("spectral",
+    IndexManifest.writeVersioned(path, IndexManifest.Manifest("spectral",
       Map("dims" -> dim.toLong, "iters" -> iters.toLong), rows, maxId))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   /** APPEND to a persisted spectral model (e76) — the round-12 verdict's
@@ -3009,10 +3040,48 @@ object Similarity {
       .agg(sum(col("sxx")).cast("decimal(38,12)").as("sxx"))
     // the eager localCheckpoint inside writeSpectralTables materializes
     // the merged frames BEFORE the stats tables are overwritten, so the
-    // read-then-overwrite of one path is safe
+    // read-then-overwrite of one path is safe; the increment-only stats
+    // ride along as this version's DELTA (the e79 snapshot unit)
     writeSpectralTables(spark, path, man.params("dims").toInt,
       man.params("iters").toInt, mergedSx, mergedSxx,
+      Some((incSx, incSxx)),
       man.corpusRows + rows, man.corpusRows + rows, maxId)
+  }
+
+  /** Load the spectral model AS OF snapshot `version` (e79) — time
+    * travel for a TRAINED artifact: version N's sufficient statistics
+    * are the EXACT decimal sum of the per-version deltas 1..N
+    * ([[writeSpectralTables]] doc), so the as-of model is a merge of
+    * N dims²-row tables + the shared dims²-scale derivation — zero
+    * corpus passes, and BIT-IDENTICAL to the model that was live at
+    * version N (spec-pinned; the registered e79 row proves it against
+    * the full in-memory chain on the history cut). n comes from the
+    * version manifest's own corpus_rows.
+    */
+  def loadSpectralIndexAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Int): SpectralModel = {
+    val man = IndexManifest.require(path, "spectral")
+    val snap = IndexManifest.readVersion(path, version)
+    (1 to version).foreach { i =>
+      if (!new java.io.File(s"$path/deltas/v$i").exists())
+        throw new IndexManifestException(
+          s"no delta stats for version $i at $path (pre-versioning " +
+            "artifact or foreign layout) — rebuild to start a versioned lineage")
+    }
+    def merged(tbl: String, keys: Seq[String], sumCol: String): DataFrame =
+      (1 to version).map(i => spark.read.parquet(s"$path/deltas/v$i/$tbl"))
+        .reduce(_.unionByName(_))
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col(sumCol)).cast("decimal(38,12)").as(sumCol))
+    val sx = merged("sx", Seq("j"), "sx")
+    val sxx = merged("sxx", Seq("i", "j"), "sxx")
+    val (mu, covDf) = covFromStats(snap.corpusRows, sx, sxx)
+    val cov = covDf.localCheckpoint(true)
+    val dim = man.params("dims").toInt
+    val iters = man.params("iters").toInt
+    var v = seedVec(spark, dim, 0).localCheckpoint(true)
+    for (_ <- 1 to iters) v = matvec(cov, v).localCheckpoint(true)
+    SpectralModel(dim, iters, mu, cov, v)
   }
 
   /** Load a persisted spectral model — geometry comes from the

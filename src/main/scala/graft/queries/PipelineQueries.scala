@@ -750,6 +750,25 @@ object PipelineQueries {
         .orderBy(col("dim"))
     }),
 
+    // TIME TRAVEL for a TRAINED artifact (e79): the model AS OF
+    // snapshot v1 — version N's sufficient statistics are the exact
+    // decimal sum of per-version deltas 1..N, so the as-of model is a
+    // dims²-scale merge + re-derivation, zero corpus passes, and must
+    // be BIT-IDENTICAL to the one-pass chain over the history slice
+    // (the oracle: e64's text over vec_id <= cut)
+    // (Similarity.loadSpectralIndexAt doc)
+    "e79_pca_time_travel" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("e79-pca-tt")
+      Similarity.saveSpectralIndex(emb.filter(col("vec_id") <= cut), path,
+        PQ_DIMS, PCA_ITERS)
+      Similarity.appendSpectralIndex(emb.filter(col("vec_id") > cut), path)
+      Similarity.pcaTopComponentOf(
+        Similarity.loadSpectralIndexAt(spark, path, 1))
+        .orderBy(col("dim"))
+    }),
+
     // spectral SPECTRUM diagnostic (e73): (component, λ, trace, share)
     // for the top two directions — the decay reading every whitening/
     // compression decision starts from; ~1/dims shares on this
@@ -1520,6 +1539,23 @@ object PipelineQueries {
       val path = shardStoreVersioned(spark, dir)
       Packing.packShardStoreAt(spark, path, 1, CTX_LEN)
         .orderBy(col("shard_id"), col("ctx_id"), col("doc_id"))
+    }),
+
+    // VERSION DIFF of the shard store (d158): the exact document/token
+    // increment between snapshots v1 and v2 — one pushed watermark
+    // interval on the id-monotone store (no row compare, no join),
+    // summarized per shard; the audit row beside "retrained on version
+    // N" in a dataset card. Oracle = the d51 increment-placement chain
+    // alone (Packing.shardStoreDiff doc)
+    "d158_shard_version_diff" -> ((spark: SparkSession, dir: String) => {
+      val path = shardStoreVersioned(spark, dir)
+      Packing.shardStoreDiff(spark, path, 1, 2)
+        .withColumn("h", Dedup.hash60(col("text")))
+        .groupBy(col("shard_id").cast("long").as("shard_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          expr("bit_xor(h)").as("text_h"))
+        .orderBy(col("shard_id"))
     }),
 
     // the Gopher document-quality rule suite (d56): the published
@@ -4366,7 +4402,14 @@ object PipelineQueries {
     * engines), matvecs the same way. Ends in `pv{PCA_ITERS}(j, v)`
     * with `pcov(i, j, c)` in scope.
     */
-  private lazy val pcaCtes = {
+  private lazy val pcaCtes = pcaCtesOver("")
+
+  /** The PCA covariance + power-step chain over an optionally-sliced
+    * corpus — e79's snapshot oracle runs it on the history cut (the
+    * as-of model must equal the one-pass chain over exactly that
+    * slice); the shared val above is the full-corpus instance.
+    */
+  private def pcaCtesOver(where: String) = {
     def step(t: Int): String = {
       val prev = if (t == 1) "pv0" else s"pv${t - 1}"
       s"""pv$t AS (SELECT c.i AS j,
@@ -4378,7 +4421,7 @@ object PipelineQueries {
     // mergeable-sufficient-statistics canonical form — mirror of
     // Similarity.spectralStats/covFromStats); pxc stays centered for
     // the debias chain's consumers
-    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings $where),
        |px AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i,
        |    e[CAST(t.i + 1 AS INTEGER)] AS xi
        |  FROM v, LATERAL unnest(range(0, $PQ_DIMS)) AS t(i)),
@@ -4404,8 +4447,13 @@ object PipelineQueries {
     * against this one text: the save→sync→load→serve round trip must
     * be bit-identical (the e41/e39 store convention).
     */
-  private lazy val pcaTopSql =
-    s"""WITH $pcaCtes,
+  private lazy val pcaTopSql = pcaTopSqlFor("")
+
+  /** The e64 publication tail over an optionally-sliced corpus — e79
+    * registers the AS-OF model against the history-slice instance.
+    */
+  private def pcaTopSqlFor(where: String) =
+    s"""WITH ${pcaCtesOver(where)},
        |pmx AS (SELECT max(abs(v)) AS m FROM pv$PCA_ITERS)
        |SELECT CAST(j AS BIGINT) AS dim,
        |  CAST(CAST(v / m AS DECIMAL(28,8)) AS DOUBLE) AS pc
@@ -5995,6 +6043,22 @@ object PipelineQueries {
          |  bit_xor(${duckHash60("text")}) AS text_h
          |FROM psh GROUP BY shard_id ORDER BY shard_id""".stripMargin.replace("\n", " "),
 
+    // mirror of Packing.shardStoreDiff(1, 2): the d51 increment half
+    // alone — increment rows prefix-summed among themselves, offset by
+    // the frozen history token total, summarized per shard
+    "d158_shard_version_diff" ->
+      s"""WITH cutv AS (SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) AS cut FROM documents),
+         |${tokenOffsetCtesFor("h", "WHERE doc_id <= (SELECT cut FROM cutv)")},
+         |htot AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS base FROM hb),
+         |${tokenOffsetCtesFor("i", "WHERE doc_id > (SELECT cut FROM cutv)")},
+         |ipsh AS (SELECT i.doc_id, i.n_tokens,
+         |  CAST((start_token + base) // $SHARD_BUDGET AS BIGINT) AS shard_id, d.text
+         |  FROM ios i CROSS JOIN htot JOIN documents d USING (doc_id))
+         |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  bit_xor(${duckHash60("text")}) AS text_h
+         |FROM ipsh GROUP BY shard_id ORDER BY shard_id""".stripMargin.replace("\n", " "),
+
     // mirror of Packing.packShardStoreAt: the d55 per-shard window
     // chain over the snapshot-v1 (history-cut) rows
     "d156_pack_shards_asof" ->
@@ -7077,9 +7141,16 @@ object PipelineQueries {
     "e64_pca_top" -> pcaTopSql,
 
     // e67 shares e64's oracle VERBATIM — the registered row PROVES the
-    // persisted spectral model (through the rebuild-only sync policy)
-    // serves bit-identically to the in-memory chain
+    // persisted spectral model (now grown through the sync's APPEND
+    // arm: merged sufficient statistics) serves bit-identically to the
+    // one-pass in-memory chain
     "e67_pca_sync" -> pcaTopSql,
+
+    // mirror of the e79 as-of model: e64's chain over the history
+    // slice — delta-merged stats at version 1 must reproduce the
+    // one-pass chain on exactly that corpus cut, bit for bit
+    "e79_pca_time_travel" -> pcaTopSqlFor(
+      "WHERE vec_id <= (SELECT CAST(max(vec_id) * 3 // 4 AS BIGINT) FROM embeddings)"),
 
     // mirror of Similarity.pcaDebiasRows: the shared debias chain,
     // published at the DECIMAL(28,8) boundary (load-bearing — see

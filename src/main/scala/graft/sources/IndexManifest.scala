@@ -203,6 +203,26 @@ object IndexManifest {
       Files.deleteIfExists(Paths.get(path, s"MANIFEST.v$v.json"))
     }
 
+  /** RETENTION sweep — keep only the newest `keepLast` snapshot
+    * versions (the lakehouse VACUUM for this device, and exactly as
+    * cheap as the versions are: one JSON unlink per dropped version,
+    * since snapshots hold no data files of their own). Returns the
+    * dropped version numbers; a dropped version's as-of read becomes
+    * the standard missing-version named error. Stores whose as-of
+    * reads need PER-VERSION side tables (the spectral delta stats)
+    * must compact those themselves before vacuuming — this sweep only
+    * governs the manifest files.
+    */
+  def vacuumVersions(path: String, keepLast: Int): Seq[Int] = {
+    Predef.require(keepLast >= 1, s"keepLast=$keepLast")
+    val vs = versions(path)
+    val drop = vs.dropRight(keepLast)
+    drop.foreach { v =>
+      Files.deleteIfExists(Paths.get(path, s"MANIFEST.v$v.json"))
+    }
+    drop
+  }
+
   /** Read one historical snapshot's manifest; a missing version is a
     * named error listing what exists. The snapshot is VALIDATED against
     * the live manifest before it is trusted: on an append-only lineage

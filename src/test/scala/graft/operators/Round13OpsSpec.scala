@@ -210,6 +210,70 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(IndexManifest.read(path).params("train_iters") == 0L)
   }
 
+  test("spectral time travel: delta-merged as-of model == pre-append model AND latest == live; vacuum drops old versions") {
+    val emb = Tables.embeddings(spark, dir)
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val hist = emb.filter(col("vec_id") <= cut)
+    val path = tmp("graft-spectt-")
+    Similarity.saveSpectralIndex(hist, path, 64, 3)
+    Similarity.appendSpectralIndex(emb.filter(col("vec_id") > cut), path)
+    assert(IndexManifest.versions(path) == Seq(1, 2))
+    def top(m: Similarity.SpectralModel) =
+      Similarity.pcaTopComponentOf(m)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // as-of v1 == the model trained on the history half alone — the
+    // delta merge reproduces the prefix stats EXACTLY (decimal sums)
+    val atV1 = top(Similarity.loadSpectralIndexAt(spark, path, 1))
+    val pHist = tmp("graft-specth-")
+    Similarity.saveSpectralIndex(hist, pHist, 64, 3)
+    assert(atV1 == top(Similarity.loadSpectralIndex(spark, pHist)))
+    // as-of the LATEST version == the live merged model
+    assert(top(Similarity.loadSpectralIndexAt(spark, path, 2)) ==
+      top(Similarity.loadSpectralIndex(spark, path)))
+    // a rebuild resets lineage AND deltas: old versions are gone, the
+    // new v1 serves the rebuilt corpus
+    Similarity.saveSpectralIndex(emb, path, 64, 3)
+    assert(IndexManifest.versions(path) == Seq(1))
+    assert(top(Similarity.loadSpectralIndexAt(spark, path, 1)) ==
+      top(Similarity.loadSpectralIndex(spark, path)))
+    // retention: vacuum keeps the newest versions, dropped ones read
+    // as the standard named error
+    val p3 = tmp("graft-specvac-")
+    Similarity.saveSpectralIndex(hist, p3, 64, 3)
+    val thirds = (cut + 1 to emb.agg(max(col("vec_id"))).head().getLong(0))
+    val mid = cut + (thirds.length / 2)
+    Similarity.appendSpectralIndex(
+      emb.filter(col("vec_id") > cut && col("vec_id") <= mid), p3)
+    Similarity.appendSpectralIndex(emb.filter(col("vec_id") > mid), p3)
+    assert(IndexManifest.versions(p3) == Seq(1, 2, 3))
+    assert(IndexManifest.vacuumVersions(p3, 2) == Seq(1))
+    assert(IndexManifest.versions(p3) == Seq(2, 3))
+    val e = intercept[IndexManifestException] {
+      IndexManifest.readVersion(p3, 1)
+    }
+    assert(e.getMessage.contains("no version 1"), e.getMessage)
+  }
+
+  test("shard-store version diff: v1->v2 == the appended increment exactly; bad order is loud") {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val path = tmp("graft-shdiff-")
+    Packing.saveTokenShards(docs.filter(col("doc_id") <= cut), path, 4096L)
+    Packing.appendTokenShards(docs.filter(col("doc_id") > cut), path)
+    val cols = Seq("doc_id", "n_tokens", "start_token", "shard_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val diff = rows(Packing.shardStoreDiff(spark, path, 1, 2))
+    // the diff is exactly the store minus its v1 snapshot
+    val all = rows(spark.read.parquet(s"$path/shards"))
+    val v1 = rows(Packing.readShardStoreAt(spark, path, 1))
+    assert(diff == all.diff(v1) && diff.nonEmpty)
+    val e = intercept[IndexManifestException] {
+      Packing.shardStoreDiff(spark, path, 2, 1)
+    }
+    assert(e.getMessage.contains("must precede"), e.getMessage)
+  }
+
   test("spectral append: a crashed append (stats landed, manifest stale) is a named error; sync rebuilds") {
     val emb = Tables.embeddings(spark, dir)
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
