@@ -224,11 +224,18 @@ object Multimodal {
     * ([[appendPhashIndex]], the d78/e42-strength claim).
     */
   def savePhashIndex(history: DataFrame, path: String, radius: Int = 3): Unit = {
+    // rebuild = new lineage; versions die BEFORE the data overwrite
+    // (the shared crash-window ordering)
+    graft.sources.IndexManifest.clearVersions(path)
     phashBlocks(history, radius).write.mode("overwrite")
       .parquet(s"$path/blocks")
     val (rows, maxId) = graft.sources.IndexManifest.watermark(history, "doc_id")
-    graft.sources.IndexManifest.write(path, graft.sources.IndexManifest.Manifest(
-      "phash", Map("radius" -> radius.toLong), rows, maxId))
+    // VERSIONED (the d153 device, media edition): block rows carry
+    // doc_id and appends are id-monotone with frozen history files, so
+    // an as-of probe is the same pigeonhole join over one pushed cut
+    graft.sources.IndexManifest.writeVersioned(path,
+      graft.sources.IndexManifest.Manifest(
+        "phash", Map("radius" -> radius.toLong), rows, maxId))
   }
 
   /** Id-monotone append to a persisted phash index (m08) — history
@@ -249,7 +256,8 @@ object Multimodal {
       newMedia.sparkSession.read.parquet(s"$path/blocks"), "doc_id", man, path)
     phashBlocks(newMedia, man.params("radius").toInt).write.mode("append")
       .parquet(s"$path/blocks")
-    IndexManifest.write(path,
+    // every append is a new snapshot version (the d153 device)
+    IndexManifest.writeVersioned(path,
       man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
 
@@ -262,10 +270,21 @@ object Multimodal {
     * decides by measured size (the d77 reasoning).
     * Returns (doc_id, n_cand, dup_of, best_hamming, is_dup).
     */
-  def mediaNearDupIndexed(increment: DataFrame, path: String): DataFrame = {
+  def mediaNearDupIndexed(increment: DataFrame, path: String,
+      asOfVersion: Option[Int] = None): DataFrame = {
     val man = graft.sources.IndexManifest.require(path, "phash")
     val radius = man.params("radius").toInt
-    val hb = increment.sparkSession.read.parquet(s"$path/blocks")
+    // TIME TRAVEL (m12): a snapshot version IS its watermark, so the
+    // as-of probe cuts the block table with one pushed doc_id filter —
+    // dedup an increment against exactly the media corpus version a
+    // past run published (the d157 device on the media index)
+    val raw = increment.sparkSession.read.parquet(s"$path/blocks")
+    val hb = asOfVersion match {
+      case None => raw
+      case Some(v) =>
+        val wm = graft.sources.IndexManifest.readVersion(path, v).corpusMaxId
+        raw.filter(col("doc_id") <= wm)
+    }
     val cand = phashBlocks(increment, radius)
       .select(col("doc_id").as("nid"), col("phash").as("pa"),
         col("bpos"), col("bval"))

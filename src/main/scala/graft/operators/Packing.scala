@@ -483,7 +483,8 @@ object Packing {
     * manifest watermark (the append-only corpus contract that makes the
     * (rows, maxId) freshness pair sufficient).
     */
-  def appendTokenShards(newDocs: DataFrame, path: String): Unit = {
+  def appendTokenShards(newDocs: DataFrame, path: String,
+      extraParams: Map[String, Long] = Map.empty): Unit = {
     import graft.sources.{IndexManifest, IndexManifestException}
     val m = IndexManifest.require(path, "shards")
     val budget = m.params.getOrElse("budget",
@@ -503,6 +504,10 @@ object Packing {
     // layout partition discovery rejects
     if (m.corpusRows == 0L) {
       saveTokenShards(newDocs, path, budget, bucketBits)
+      if (extraParams.nonEmpty) {
+        val m2 = IndexManifest.read(path)
+        IndexManifest.write(path, m2.copy(params = m2.params ++ extraParams))
+      }
       return
     }
     if (minId <= m.corpusMaxId)
@@ -526,9 +531,11 @@ object Packing {
     // every append is a new snapshot version (the d153 device): history
     // shard files are byte-frozen and the increment lands strictly after
     // the frozen token stream, so version N is exactly the rows at or
-    // below N's watermark
+    // below N's watermark. extraParams ride the SAME manifest flip
+    // (e.g. the streaming gate's last_batch_id — the atomicity is what
+    // makes its replay-skip check trustworthy).
     IndexManifest.writeVersioned(path, IndexManifest.Manifest("shards",
-      m.params + ("n_tokens_total" -> (base + incr)),
+      m.params ++ extraParams + ("n_tokens_total" -> (base + incr)),
       m.corpusRows + rows, maxId))
   }
 

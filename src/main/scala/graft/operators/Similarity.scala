@@ -2988,6 +2988,67 @@ object Similarity {
     f.delete(); ()
   }
 
+  /** The compacted-base versions present under `deltas/` (the
+    * base-v{K} directories [[compactSpectralDeltas]] writes).
+    */
+  private def spectralBases(path: String): Seq[Int] = {
+    val dir = new java.io.File(s"$path/deltas")
+    if (!dir.isDirectory) return Seq.empty
+    val re = "base-v(\\d+)".r
+    dir.listFiles().toSeq.flatMap(f =>
+      re.findFirstMatchIn(f.getName).map(_.group(1).toInt)).sorted
+  }
+
+  /** RETENTION for the spectral delta history — the store-side
+    * companion [[graft.sources.IndexManifest.vacuumVersions]]'s doc
+    * requires of stores with per-version side tables: fold everything
+    * at or below `upTo` into ONE compacted BASE (`deltas/base-v{upTo}`
+    * — exact decimal sums, so as-of reads at or above `upTo` serve the
+    * SAME bits before and after, spec-pinned), then drop the older
+    * delta directories, older bases, and the manifest versions below
+    * `upTo`. Versions below become the standard missing-version error.
+    *
+    * Crash-safety comes from the reader protocol, not write ordering:
+    * [[loadSpectralIndexAt]] prefers the newest applicable base and
+    * skips every per-version delta at or below it, so the moment the
+    * new base is durable every reachable state is correct — stragglers
+    * (old deltas, old bases, un-vacuumed versions) are skipped, never
+    * double-counted, and a re-run finishes the cleanup (idempotent).
+    */
+  def compactSpectralDeltas(spark: org.apache.spark.sql.SparkSession,
+      path: String, upTo: Int): Unit = {
+    IndexManifest.require(path, "spectral")
+    val vs = IndexManifest.versions(path)
+    if (!vs.contains(upTo))
+      throw new IndexManifestException(
+        s"no version $upTo at $path (have: ${vs.mkString(", ")})")
+    if (!new java.io.File(s"$path/deltas/base-v$upTo").exists()) {
+      val baseVer = spectralBases(path).filter(_ <= upTo)
+        .sorted.lastOption.getOrElse(0)
+      val parts =
+        (if (baseVer > 0) Seq(s"$path/deltas/base-v$baseVer") else Nil) ++
+          vs.filter(v => v > baseVer && v <= upTo)
+            .map(i => s"$path/deltas/v$i")
+      def mergedOf(tbl: String, keys: Seq[String], sumCol: String): DataFrame =
+        parts.map(p => spark.read.parquet(s"$p/$tbl"))
+          .reduce(_.unionByName(_))
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col(sumCol)).cast("decimal(38,12)").as(sumCol))
+      mergedOf("sx", Seq("j"), "sx").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/deltas/base-v$upTo/sx")
+      mergedOf("sxx", Seq("i", "j"), "sxx").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/deltas/base-v$upTo/sxx")
+    }
+    // cleanup — safe in any order once the base is durable (readers
+    // above prefer it); re-runs finish a previously interrupted sweep
+    vs.filter(_ <= upTo).foreach(i =>
+      deleteRecursively(new java.io.File(s"$path/deltas/v$i")))
+    spectralBases(path).filter(_ < upTo).foreach(k =>
+      deleteRecursively(new java.io.File(s"$path/deltas/base-v$k")))
+    IndexManifest.vacuumVersions(path, vs.count(_ >= upTo))
+    ()
+  }
+
   /** APPEND to a persisted spectral model (e76) — the round-12 verdict's
     * structural gap closed: the rebuild-only rationale ("any new row
     * moves the mean and every covariance entry") is true of the model's
@@ -3062,14 +3123,42 @@ object Similarity {
       path: String, version: Int): SpectralModel = {
     val man = IndexManifest.require(path, "spectral")
     val snap = IndexManifest.readVersion(path, version)
-    (1 to version).foreach { i =>
+    // contributing stats = the newest compacted BASE at or below the
+    // requested version (if retention has produced one —
+    // [[compactSpectralDeltas]]) plus every recorded version's delta
+    // strictly between the base and the request. With no base, the
+    // oldest recorded version's delta IS the base (a fresh build's
+    // delta is the full stats). Readers preferring the newest
+    // applicable base is what makes compaction crash-safe: a base is
+    // ALWAYS consistent the moment it is durable, and stale
+    // smaller-version deltas are skipped by construction, never
+    // double-counted.
+    val baseVer = spectralBases(path).filter(_ <= version)
+      .sorted.lastOption.getOrElse(0)
+    val perVer = IndexManifest.versions(path)
+      .filter(v => v > baseVer && v <= version)
+    // COVERAGE guard: with no base, the chain must start at version 1
+    // (a fresh build's delta is the full stats). Versions vacuumed away
+    // WITHOUT a prior compactSpectralDeltas would otherwise make this
+    // read silently under-count — the corrupt-as-of failure mode every
+    // snapshot device here refuses to decay into.
+    if (baseVer == 0 && !perVer.headOption.contains(1))
+      throw new IndexManifestException(
+        s"as-of $version at $path has no covering stats base: recorded " +
+          s"versions start at ${perVer.headOption.getOrElse(-1)} with no " +
+          "compacted base below them — versions were vacuumed without " +
+          "compactSpectralDeltas; rebuild to start a fresh lineage")
+    perVer.foreach { i =>
       if (!new java.io.File(s"$path/deltas/v$i").exists())
         throw new IndexManifestException(
           s"no delta stats for version $i at $path (pre-versioning " +
-            "artifact or foreign layout) — rebuild to start a versioned lineage")
+            "artifact, foreign layout, or an interrupted compaction) — " +
+            "rebuild, or re-run compactSpectralDeltas to finish the sweep")
     }
+    val parts = (if (baseVer > 0) Seq(s"$path/deltas/base-v$baseVer") else Nil) ++
+      perVer.map(i => s"$path/deltas/v$i")
     def merged(tbl: String, keys: Seq[String], sumCol: String): DataFrame =
-      (1 to version).map(i => spark.read.parquet(s"$path/deltas/v$i/$tbl"))
+      parts.map(p => spark.read.parquet(s"$p/$tbl"))
         .reduce(_.unionByName(_))
         .groupBy(keys.map(col): _*)
         .agg(sum(col(sumCol)).cast("decimal(38,12)").as(sumCol))

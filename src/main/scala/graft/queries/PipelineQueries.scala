@@ -399,6 +399,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TIME-TRAVEL probe of the phash media index (m12): build on the
+    // 3/4-cut of history = v1, append the rest = v2, probe AT v1 —
+    // dedup an increment against exactly the media corpus version a
+    // past run published; one pushed doc_id cut on the block table
+    // (Multimodal.mediaNearDupIndexed asOf doc); oracle = the m08
+    // chain with the index side cut at v1's watermark
+    "m12_phash_time_travel" -> ((spark: SparkSession, dir: String) => {
+      val media = Multimodal.mediaView(Tables.documents(spark, dir))
+      val history = media.filter(col("doc_id") % 4 =!= 0)
+      val cut = history.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("m12-phash")
+      Multimodal.savePhashIndex(history.filter(col("doc_id") <= cut), path,
+        SIMHASH_RADIUS)
+      Multimodal.appendPhashIndex(history.filter(col("doc_id") > cut), path)
+      Multimodal.mediaNearDupIndexed(phashProbeSet(media), path,
+        asOfVersion = Some(1))
+        .orderBy(col("doc_id"))
+    }),
+
     "d01_exact_dedup" -> ((spark: SparkSession, dir: String) =>
       Dedup.exactGroups(Tables.documents(spark, dir))
         .orderBy(col("digest"))),
@@ -3854,7 +3873,14 @@ object PipelineQueries {
     * lowest-id ties, verdict. ASCII guard rides n_cand (the duckPhash
     * exactness precondition, as in m06).
     */
-  private lazy val phashIndexedSql: String = {
+  private lazy val phashIndexedSql: String =
+    phashIndexedSqlFor("doc_id % 4 <> 0")
+
+  /** The m08 probe chain with a parameterized index-side membership
+    * filter — m08/m09 pass the plain history predicate; m12 cuts it at
+    * snapshot v1's watermark (the as-of read's doc_id cut).
+    */
+  private def phashIndexedSqlFor(histWhere: String): String = {
     val nb = SIMHASH_RADIUS + 1
     val bits = 60 / nb
     val mask = (1L << bits) - 1
@@ -3862,7 +3888,7 @@ object PipelineQueries {
       s"""$name AS (SELECT doc_id, phash, b AS bpos,
          |  CAST((phash >> CAST(b * $bits AS INT)) & $mask AS BIGINT) AS bval
          |  FROM $src, LATERAL unnest(range(0, $nb)) AS u(b))""".stripMargin
-    s"""WITH hist AS (SELECT doc_id, text AS t FROM documents WHERE doc_id % 4 <> 0),
+    s"""WITH hist AS (SELECT doc_id, text AS t FROM documents WHERE $histWhere),
        |incr AS (SELECT doc_id, text AS t FROM documents WHERE doc_id % 4 = 0
        |  UNION ALL SELECT doc_id + 2000000, 'Z' || substring(text, 2, length(text) - 1)
        |  FROM documents WHERE doc_id % 4 = 1),
@@ -4674,6 +4700,11 @@ object PipelineQueries {
     // rebuild — fingerprints are parameter-derived)
     "m08_phash_indexed" -> phashIndexedSql,
     "m09_phash_synced" -> phashIndexedSql,
+
+    // mirror of the m12 snapshot probe: the m08 chain with the index
+    // side cut to version 1's watermark (the 3/4 cut of media history)
+    "m12_phash_time_travel" -> phashIndexedSqlFor(
+      "doc_id % 4 <> 0 AND doc_id <= (SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) FROM documents WHERE doc_id % 4 <> 0)"),
 
     // mirror of Dedup.lineDedup over documents + exact twins: the same
     // keep-first window partitioned by line text, docs rebuilt with an

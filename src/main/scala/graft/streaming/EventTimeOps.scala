@@ -549,6 +549,65 @@ object EventTimeOps {
     }
   }
 
+  /** TRAINING-SHARD STORE ingest — the ingest family's STORE-WRITER
+    * member: where the gates FILTER a stream, this one lands it. Each
+    * micro-batch appends to a persisted
+    * [[graft.operators.Packing.saveTokenShards]] store via the batch
+    * appender VERBATIM ([[graft.operators.Packing.appendTokenShards]]):
+    * history shard files stay byte-frozen, the increment placed after
+    * the frozen token stream, and every non-empty batch becomes a new
+    * SNAPSHOT VERSION — so dataloaders keep reading PINNED versions
+    * ([[graft.operators.Packing.readShardStoreAt]]) while ingest runs,
+    * and "reproduce what run X trained on" holds for a live store. The
+    * continuous corpus→training-shards flow, closed end to end.
+    *
+    * Delivery contract: batches must arrive id-monotone ACROSS batches
+    * (the appendTokenShards contract — the RedditLog-style
+    * single-writer ingest provides exactly this; within a batch order
+    * is free, the deterministic prefix sum owns placement). foreachBatch
+    * is at-least-once, so the gate is made IDEMPOTENT per epoch: the
+    * applied batchId rides the SAME manifest flip as the append
+    * (`last_batch_id` — atomic by construction), and a replayed epoch
+    * is detected and skipped instead of re-appended. A crash between
+    * the data-file writes and the manifest flip is the shared appender
+    * crash window: the orphan guard fails the retry loudly
+    * (requireNoOrphans) rather than duplicating rows — recover with a
+    * rebuild, the maintenance-sync convention.
+    *
+    * Emits per non-empty batch via `sink` one bounded summary row:
+    * (version, n_docs_total, n_tokens_total, replayed).
+    */
+  def shardStoreIngest(stream: DataFrame, path: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        val out = shardIngestBatch(batch.toDF(), path, batchId)
+        sink(out, batchId)
+      }
+    }
+
+  /** The per-epoch body of [[shardStoreIngest]] (package-visible so the
+    * replay path is directly testable): skip if `batchId` is already
+    * recorded in the manifest, else append with the batchId riding the
+    * manifest flip. Returns the one-row summary frame.
+    */
+  private[streaming] def shardIngestBatch(batch: DataFrame, path: String,
+      batchId: Long): DataFrame = {
+    import graft.sources.IndexManifest
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val applied = IndexManifest.read(path).params.get("last_batch_id")
+    val replayed = applied.contains(batchId)
+    if (!replayed)
+      graft.operators.Packing.appendTokenShards(
+        batch.select(col("doc_id"), col("text")), path,
+        Map("last_batch_id" -> batchId))
+    val man = IndexManifest.read(path)
+    Seq((IndexManifest.versions(path).lastOption.getOrElse(0).toLong,
+      man.corpusRows, man.params("n_tokens_total"), replayed))
+      .toDF("version", "n_docs_total", "n_tokens_total", "replayed")
+  }
+
   /** CHAINED multi-gate ingest — the PRODUCTION composition of the five
     * gate-family members in ONE foreachBatch pass, ordered cheap-first
     * (rules → exact-dedup → classifier → LM → fuzzy-LSH) with

@@ -842,6 +842,58 @@ object SseBenchMain {
         println(f"SSEBENCH embeddrift total=$total vecs passthrough=${total / wBase}%.0f ev/s " +
           f"monitored=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost)")
       }
+
+      // TRAINING-SHARD STORE ingest (round 13, phase 17): the ingest
+      // family's STORE-WRITER member — each batch runs the batch
+      // appender VERBATIM (deterministic prefix sum over the batch,
+      // placement after the frozen token stream, a parquet append, and
+      // one snapshot version per batch), priced against pass-through.
+      // Heavier than any filter gate by design: it pays durable writes
+      // plus the per-batch placement window chain, the cost of a store
+      // whose every batch is a reproducible training snapshot.
+      {
+        val total = 20000
+        val chunk = 2000
+        val words = Array("the", "spark", "hash", "join", "table", "scan",
+          "query", "stream", "vector", "batch")
+        val docs: Seq[(Long, String)] = (1 to total).map { i =>
+          (i.toLong, (0 until 12).map(j => words((i * 7 + j * 3) % words.length))
+            .mkString(" "))
+        }
+        def siRun(withGate: Boolean): Double = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val stream = mem.toDF().toDF("doc_id", "text")
+          val batches = new java.util.concurrent.atomic.AtomicLong
+          val writer =
+            if (withGate) {
+              // a fresh store per run: appends must sit above the
+              // watermark, so a reused store would reject the rerun
+              val path = java.nio.file.Files
+                .createTempDirectory("ssebench-shards-").toString
+              graft.operators.Packing.saveTokenShards(
+                Seq((0L, "seed")).toDF("doc_id", "text"), path, 65536L)
+              EventTimeOps.shardStoreIngest(stream, path) { (out, _) =>
+                out.count(); batches.incrementAndGet(); ()
+              }
+            } else stream.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                b.count(); batches.incrementAndGet(); ()
+            }
+          val q = writer.start()
+          val t0 = System.nanoTime()
+          try {
+            docs.grouped(chunk).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+          } finally q.stop()
+          require(batches.get() == total / chunk,
+            s"INVALID RUN: ${batches.get()} batches of ${total / chunk}")
+          (System.nanoTime() - t0) / 1e9
+        }
+        siRun(withGate = false) // warm-up
+        val wBase = siRun(withGate = false)
+        val wGate = siRun(withGate = true)
+        println(f"SSEBENCH shardingest total=$total docs passthrough=${total / wBase}%.0f ev/s " +
+          f"landed=${total / wGate}%.0f ev/s (x${wGate / wBase}%.1f cost)")
+      }
     } finally { server.stop(); spark.stop() }
   }
 }

@@ -236,8 +236,9 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(IndexManifest.versions(path) == Seq(1))
     assert(top(Similarity.loadSpectralIndexAt(spark, path, 1)) ==
       top(Similarity.loadSpectralIndex(spark, path)))
-    // retention: vacuum keeps the newest versions, dropped ones read
-    // as the standard named error
+    // retention: DELTA COMPACTION folds everything <= upTo into one
+    // base; kept as-of reads serve the same bits, dropped versions are
+    // named errors, and re-running the sweep is idempotent
     val p3 = tmp("graft-specvac-")
     Similarity.saveSpectralIndex(hist, p3, 64, 3)
     val thirds = (cut + 1 to emb.agg(max(col("vec_id"))).head().getLong(0))
@@ -246,12 +247,30 @@ class Round13OpsSpec extends AnyFunSuite {
       emb.filter(col("vec_id") > cut && col("vec_id") <= mid), p3)
     Similarity.appendSpectralIndex(emb.filter(col("vec_id") > mid), p3)
     assert(IndexManifest.versions(p3) == Seq(1, 2, 3))
-    assert(IndexManifest.vacuumVersions(p3, 2) == Seq(1))
+    val at2 = top(Similarity.loadSpectralIndexAt(spark, p3, 2))
+    val at3 = top(Similarity.loadSpectralIndexAt(spark, p3, 3))
+    Similarity.compactSpectralDeltas(spark, p3, 2)
     assert(IndexManifest.versions(p3) == Seq(2, 3))
+    assert(top(Similarity.loadSpectralIndexAt(spark, p3, 2)) == at2)
+    assert(top(Similarity.loadSpectralIndexAt(spark, p3, 3)) == at3)
     val e = intercept[IndexManifestException] {
       IndexManifest.readVersion(p3, 1)
     }
     assert(e.getMessage.contains("no version 1"), e.getMessage)
+    // idempotent re-run (the interrupted-sweep recovery path)
+    Similarity.compactSpectralDeltas(spark, p3, 2)
+    assert(IndexManifest.versions(p3) == Seq(2, 3) &&
+      top(Similarity.loadSpectralIndexAt(spark, p3, 3)) == at3)
+    // vacuum WITHOUT compaction must fail the as-of read LOUDLY (the
+    // coverage guard), never silently under-count
+    val p5 = tmp("graft-specvac2-")
+    Similarity.saveSpectralIndex(hist, p5, 64, 3)
+    Similarity.appendSpectralIndex(emb.filter(col("vec_id") > cut), p5)
+    assert(IndexManifest.vacuumVersions(p5, 1) == Seq(1))
+    val e2 = intercept[IndexManifestException] {
+      Similarity.loadSpectralIndexAt(spark, p5, 2)
+    }
+    assert(e2.getMessage.contains("no covering stats base"), e2.getMessage)
   }
 
   test("shard-store version diff: v1->v2 == the appended increment exactly; bad order is loud") {
@@ -272,6 +291,30 @@ class Round13OpsSpec extends AnyFunSuite {
       Packing.shardStoreDiff(spark, path, 2, 1)
     }
     assert(e.getMessage.contains("must precede"), e.getMessage)
+  }
+
+  test("phash time travel: as-of probe == history-only index probe; rebuild resets") {
+    val media = Multimodal.mediaView(Tables.documents(spark, dir))
+    val history = media.filter(col("doc_id") % 4 =!= 0)
+    val inc = media.filter(col("doc_id") % 4 === 0)
+    val cut = history.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val path = tmp("graft-phtt-")
+    Multimodal.savePhashIndex(history.filter(col("doc_id") <= cut), path, 3)
+    Multimodal.appendPhashIndex(history.filter(col("doc_id") > cut), path)
+    assert(IndexManifest.versions(path) == Seq(1, 2))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val pHist = tmp("graft-phh-")
+    Multimodal.savePhashIndex(history.filter(col("doc_id") <= cut), pHist, 3)
+    val atV1 = rows(Multimodal.mediaNearDupIndexed(inc, path,
+      asOfVersion = Some(1)))
+    assert(atV1 == rows(Multimodal.mediaNearDupIndexed(inc, pHist)))
+    assert(atV1.nonEmpty)
+    assert(rows(Multimodal.mediaNearDupIndexed(inc, path,
+      asOfVersion = Some(2))) ==
+      rows(Multimodal.mediaNearDupIndexed(inc, path)))
+    Multimodal.savePhashIndex(history, path, 3)
+    assert(IndexManifest.versions(path) == Seq(1))
   }
 
   test("spectral append: a crashed append (stats landed, manifest stale) is a named error; sync rebuilds") {
