@@ -1142,15 +1142,27 @@ object TextAnalysis {
     * so a query's probe co-locates without shuffling the index; it is
     * vocabulary×doc-scale and never broadcast.
     *
-    * Maintenance is REBUILD-ONLY by design, unlike the frozen-book
-    * index families: BM25's idf and avgdl are corpus-global, so an
-    * append changes every existing score — an "append" that froze the
-    * constants would silently serve a different ranking function. The
-    * manifest staleness gate is what makes that honest (consumers fail
-    * loudly on a grown corpus instead of serving stale constants).
+    * Maintenance: BM25's idf and avgdl are corpus-global, so the SCORES
+    * move with every append — but the INDEX's pieces do not need a
+    * rebuild to track them (the round-13 lesson that retired the
+    * spectral family's rebuild-only stance, in its simplest form):
+    * postings and lengths are doc-keyed append-only rows, and the
+    * constants are EXACT integer sums that merge — so
+    * [[appendBm25Index]] appends the increment's rows and REPLACES the
+    * constants with the merged sums, and the appended index serves
+    * scores BIT-IDENTICAL to a full rebuild on the grown corpus
+    * (spec-pinned; d159 registers it against d17's oracle verbatim).
+    * Every consumer reads the constants per query, so nothing ever
+    * serves a frozen ranking function. The store is VERSIONED (the
+    * d153 device): each version's manifest carries its own
+    * (n_docs = corpus_rows, sum_dl) pair, so an as-of read is the
+    * postings/lens doc_id cut plus THAT version's constants — BM25
+    * time travel, "the ranking run X saw" (d160).
     */
   def saveBm25Index(docs: DataFrame, path: String, termBuckets: Int = 0): Unit = {
     require(termBuckets >= 0, s"termBuckets=$termBuckets")
+    // rebuild = new lineage; versions die before the data overwrite
+    graft.sources.IndexManifest.clearVersions(path)
     val w = split(col("text"), " ")
     val postings = docs.select(col("doc_id"), explode(w).as("term"))
       .groupBy(col("term"), col("doc_id"))
@@ -1174,12 +1186,111 @@ object TextAnalysis {
     }
     docs.select(col("doc_id"), size(w).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$path/lens")
-    docs.agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(size(w)).cast("long").as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$path/consts")
+    val c = docs.agg(count(lit(1)).cast("long"),
+      coalesce(sum(size(w)).cast("long"), lit(0L))).head()
+    val (nDocs, sumDl) = (c.getLong(0), c.getLong(1))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/consts")
     val (rows, maxId) = graft.sources.IndexManifest.watermark(docs, "doc_id")
-    graft.sources.IndexManifest.write(path, graft.sources.IndexManifest.Manifest(
-      "bm25", Map("term_buckets" -> termBuckets.toLong), rows, maxId))
+    // sum_dl rides the manifest so (a) the append path merges constants
+    // without trusting a possibly-mid-crash consts table and (b) every
+    // VERSION pins its own (n_docs, sum_dl) pair for as-of serving
+    graft.sources.IndexManifest.writeVersioned(path,
+      graft.sources.IndexManifest.Manifest(
+        "bm25", Map("term_buckets" -> termBuckets.toLong,
+          "sum_dl" -> sumDl), rows, maxId))
+  }
+
+  /** APPEND to a persisted BM25 index (d159) — the round-13
+    * mergeable-statistics lesson retiring this store's rebuild-only
+    * stance: the increment's postings and lengths land as new rows
+    * (history files byte-frozen), and the corpus constants are replaced
+    * by EXACT integer merges (n_docs + |inc|, sum_dl + Σ inc lengths) —
+    * so the appended index serves scores bit-identical to a full
+    * rebuild on the grown corpus, while history text is never re-read,
+    * re-tokenized, or re-scored at maintenance time. Write order is the
+    * crash contract: postings FIRST, so any crash in the window leaves
+    * orphan rows above the watermark and the retry fails loudly
+    * (requireNoOrphans) instead of double-appending; the constants
+    * merge reads the MANIFEST's sum_dl (flipped atomically with the
+    * watermark), never the possibly-mid-crash consts table.
+    */
+  def appendBm25Index(increment: DataFrame, path: String): Unit = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val man = IndexManifest.require(path, "bm25")
+    val baseSum = man.params.getOrElse("sum_dl",
+      throw new IndexManifestException(
+        s"bm25 index at $path predates incremental append (no 'sum_dl') — rebuild once"))
+    val w = split(col("text"), " ")
+    val stats = increment.agg(count(lit(1)),
+      min(col("doc_id").cast("long")), max(col("doc_id").cast("long")),
+      coalesce(sum(size(w)).cast("long"), lit(0L))).head()
+    if (stats.getLong(0) == 0L) return
+    val (rows, minId, maxId, incSum) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    if (minId <= man.corpusMaxId)
+      throw new IndexManifestException(
+        s"increment ids start at $minId but the index watermark is " +
+          s"${man.corpusMaxId} ($path) — appends must be id-monotone")
+    IndexManifest.requireNoOrphans(
+      increment.sparkSession.read.parquet(s"$path/postings"), "doc_id",
+      man, path)
+    val postings = increment.select(col("doc_id"), explode(w).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val tb = man.params.getOrElse("term_buckets", 0L)
+    if (tb > 0L) {
+      postings
+        .withColumn("tb", pmod(Dedup.hash60(col("term")), lit(tb)))
+        .repartition(col("tb"))
+        .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+    } else {
+      postings.write.mode("append").parquet(s"$path/postings")
+    }
+    increment.select(col("doc_id"), size(w).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$path/lens")
+    val spark = increment.sparkSession
+    import spark.implicits._
+    Seq((man.corpusRows + rows, baseSum + incSum)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/consts")
+    IndexManifest.writeVersioned(path,
+      man.copy(params = man.params + ("sum_dl" -> (baseSum + incSum)),
+        corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
+  }
+
+  /** The e34/d79 maintenance policy for the BM25 index: FRESH serves
+    * as-is; MONOTONE GROWTH appends ([[appendBm25Index]] — bit-identical
+    * to a rebuild by the exact-merge argument); anything else (shrink,
+    * rewrite, params drift, pre-append artifact, missing manifest)
+    * rebuilds. Idempotent; returns the action taken, spec-pinned.
+    */
+  def bm25IndexSync(docs: DataFrame, path: String,
+      termBuckets: Int = 0): String = {
+    import graft.sources.{IndexManifest, IndexManifestException}
+    val man = try Some(IndexManifest.require(path, "bm25",
+      Map("term_buckets" -> termBuckets.toLong)))
+    catch { case _: IndexManifestException => None }
+    man match {
+      case Some(m) =>
+        val stats = docs.agg(count(lit(1)), max(col("doc_id").cast("long")),
+          sum(when(col("doc_id") <= m.corpusMaxId, 1L).otherwise(0L))).head()
+        val (rows, maxId) = (stats.getLong(0),
+          if (stats.isNullAt(1)) -1L else stats.getLong(1))
+        val prefixRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+        if (rows == m.corpusRows && maxId == m.corpusMaxId) "fresh"
+        else if (prefixRows == m.corpusRows && maxId > m.corpusMaxId &&
+            m.params.contains("sum_dl")) {
+          try {
+            appendBm25Index(docs.filter(col("doc_id") > m.corpusMaxId), path)
+            "append"
+          } catch { case _: IndexManifestException =>
+            saveBm25Index(docs, path, termBuckets); "rebuild"
+          }
+        } else { saveBm25Index(docs, path, termBuckets); "rebuild" }
+      case None => saveBm25Index(docs, path, termBuckets); "rebuild"
+    }
   }
 
   /** BM25 scoring from a persisted index (d87) — [[bm25]] with text
@@ -1196,16 +1307,38 @@ object TextAnalysis {
     * drift in the last bit.
     */
   def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
-      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      asOfVersion: Option[Int] = None): DataFrame = {
     require(terms.nonEmpty, "bm25Indexed: need at least one query term")
+    // TIME TRAVEL (d160): a version pins its OWN ranking function —
+    // postings and lens cut at the watermark (pushed doc_id filters)
+    // plus THAT version's (n_docs, sum_dl) constants off the version
+    // manifest, so the as-of read serves exactly the scores a consumer
+    // saw at version N (idf/avgdl included), not today's scores over
+    // yesterday's documents.
+    val snap = asOfVersion.map { v =>
+      val s = graft.sources.IndexManifest.readVersion(path, v)
+      if (!s.params.contains("sum_dl"))
+        throw new graft.sources.IndexManifestException(
+          s"version $v at $path predates constant-versioning (no 'sum_dl') — rebuild once")
+      s
+    }
     // deliberately NOT checkpointed: each consumer keeps its own parquet
     // scan with the term filter PUSHED (PushedFilters, spec-asserted) —
     // reading q postings lists off disk IS the index's serving shape,
     // and a materialization would hide the pushdown and hold the probe
     // in memory for no reuse win. On a d90 bucketed layout the probe is
     // additionally bucket-scoped driver-side (see [[probedPostings]]).
-    val postings = probedPostings(spark, path, terms)
-    val lens = spark.read.parquet(s"$path/lens")
+    val postings = snap match {
+      case None => probedPostings(spark, path, terms)
+      case Some(s) => probedPostings(spark, path, terms)
+        .filter(col("doc_id") <= s.corpusMaxId)
+    }
+    val lens = snap match {
+      case None => spark.read.parquet(s"$path/lens")
+      case Some(s) => spark.read.parquet(s"$path/lens")
+        .filter(col("doc_id") <= s.corpusMaxId)
+    }
     // coalesce guards the all-terms-absent probe (empty frame → NULL sums)
     val dfAggs = count(lit(1)).as("probe_rows") +:
       terms.zipWithIndex.map { case (t, i) =>
@@ -1213,9 +1346,16 @@ object TextAnalysis {
           .cast("double").as(s"df$i")
       }
     val dfs = postings.agg(dfAggs.head, dfAggs.tail: _*).drop("probe_rows")
-    val consts = spark.read.parquet(s"$path/consts")
-      .select(col("n_docs").cast("double").as("nd"),
-        col("sum_dl").cast("double").as("sum_dl"))
+    val consts = snap match {
+      case None => spark.read.parquet(s"$path/consts")
+        .select(col("n_docs").cast("double").as("nd"),
+          col("sum_dl").cast("double").as("sum_dl"))
+      case Some(s) =>
+        import spark.implicits._
+        Seq((s.corpusRows, s.params("sum_dl"))).toDF("n_docs", "sum_dl")
+          .select(col("n_docs").cast("double").as("nd"),
+            col("sum_dl").cast("double").as("sum_dl"))
+    }
     var scored = lens
     terms.zipWithIndex.foreach { case (t, i) =>
       scored = scored.join(

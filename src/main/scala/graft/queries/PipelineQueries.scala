@@ -1813,6 +1813,43 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 index APPEND + sync (d159): the round-13 mergeable-stats
+    // lesson retiring this store's rebuild-only stance — postings/lens
+    // rows append (history frozen), the constants merge as exact
+    // integer sums, and the appended index serves scores BIT-IDENTICAL
+    // to a rebuild on the grown corpus: registered against d17's
+    // oracle verbatim (the equality IS the claim)
+    // (TextAnalysis.appendBm25Index / bm25IndexSync docs)
+    "d159_bm25_appended" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("d159-bm25")
+      TextAnalysis.saveBm25Index(docs.filter(col("doc_id") <= cut), path)
+      val a1 = TextAnalysis.bm25IndexSync(docs, path)
+      require(a1 == "append", s"first sync took '$a1', expected append")
+      val a2 = TextAnalysis.bm25IndexSync(docs, path)
+      require(a2 == "fresh", s"second sync took '$a2', expected fresh")
+      TextAnalysis.bm25Indexed(spark, path, BM25_TERMS)
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 TIME TRAVEL (d160): "the ranking run X saw" — a version
+    // pins its own ranking FUNCTION (postings/lens doc_id cut + THAT
+    // version's n_docs/sum_dl constants off the version manifest), so
+    // the as-of read reproduces version-1 scores exactly, not today's
+    // idf/avgdl over yesterday's documents; oracle = the d17 chain
+    // over the history slice (TextAnalysis.bm25Indexed asOf doc)
+    "d160_bm25_time_travel" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+      val path = indexPath("d160-bm25")
+      TextAnalysis.saveBm25Index(docs.filter(col("doc_id") <= cut), path)
+      TextAnalysis.appendBm25Index(docs.filter(col("doc_id") > cut), path)
+      TextAnalysis.bm25Indexed(spark, path, BM25_TERMS,
+        asOfVersion = Some(1))
+        .orderBy(col("doc_id"))
+    }),
+
     // conjunctive BM25 retrieval (d94): AND semantics — candidates are
     // the postings-lists intersection (tf pivoted per term over the
     // pushed probe, all non-null), ONLY candidates scored, the d89
@@ -4942,6 +4979,21 @@ object PipelineQueries {
     // expression order/parenthesization mirrors TextAnalysis.bm25
     // exactly (every op is +,-,*,/ over doubles — bit-identical)
     "d17_bm25" -> bm25Sql,
+
+    // d159 shares d17's oracle VERBATIM: appended postings + exact
+    // integer constant merges must serve the rebuilt corpus's scores
+    // bit-for-bit
+    "d159_bm25_appended" -> bm25Sql,
+
+    // mirror of the d160 as-of serve: the d17 chain over the history
+    // slice — version 1's constants, dfs, lengths, and candidate docs
+    // all come from exactly that corpus cut
+    "d160_bm25_time_travel" ->
+      s"""WITH bhist AS (SELECT * FROM documents
+         |  WHERE doc_id <= (SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) FROM documents)),
+         |${bm25CtesFor(BM25_TERMS, "q", "bhist")}
+         |SELECT doc_id, score FROM qsc ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
 
     // d87: the persisted inverted index must not change a score —
     // d17's oracle verbatim (the d44/e31 persistence-equality claim)

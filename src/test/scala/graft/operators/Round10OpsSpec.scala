@@ -1268,7 +1268,10 @@ class Round10OpsSpec extends AnyFunSuite {
     val t3 = Seq("zzz_not_in_corpus")
     val z = scores(TextAnalysis.bm25Indexed(spark, path, t3))
     assert(z.size == docs.count() && z.values.forall(_ == 0.0))
-    // rebuild-only maintenance: the freshness gate sees a grown corpus
+    // the freshness gate sees a grown corpus (round 13 added the
+    // append arm — Round13OpsSpec pins append ≡ rebuild; this guard
+    // remains what keeps a STALE serve loud for consumers that demand
+    // freshness)
     assert(IndexManifest.isFresh(path, docs, "doc_id"))
     assert(!IndexManifest.isFresh(path,
       docs.unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),

@@ -348,6 +348,51 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(rebuilt == direct)
   }
 
+  test("bm25 append: appended index == rebuild bit-for-bit; as-of v1 == history ranking; crashed append loud") {
+    val docs = Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (cut1, cut2) = (maxId / 2, maxId * 3 / 4)
+    val hist = docs.filter(col("doc_id") <= cut1)
+    val terms = Seq("table", "query", "spark")
+    val path = tmp("graft-bm25a-")
+    TextAnalysis.saveBm25Index(hist, path)
+    TextAnalysis.appendBm25Index(docs.filter(col("doc_id") > cut1), path)
+    assert(IndexManifest.versions(path) == Seq(1, 2))
+    def scores(p: String, asOf: Option[Int] = None) =
+      TextAnalysis.bm25Indexed(spark, p, terms, asOfVersion = asOf)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // appended == full rebuild, score for score (exact integer merges
+    // feed the same double expression)
+    val pFull = tmp("graft-bm25f-")
+    TextAnalysis.saveBm25Index(docs, pFull)
+    assert(scores(path) == scores(pFull))
+    // as-of v1 == the ranking a history-only index served (constants
+    // included — idf/avgdl are version-pinned, not today's)
+    val pHist = tmp("graft-bm25h-")
+    TextAnalysis.saveBm25Index(hist, pHist)
+    assert(scores(path, Some(1)) == scores(pHist))
+    // sync actions + bucketed-layout append keeps its pruned layout
+    val pb = tmp("graft-bm25b-")
+    TextAnalysis.saveBm25Index(hist, pb, termBuckets = 16)
+    assert(TextAnalysis.bm25IndexSync(docs, pb, 16) == "append")
+    assert(TextAnalysis.bm25IndexSync(docs, pb, 16) == "fresh")
+    assert(scores(pb) == scores(pFull))
+    // crashed append (postings landed, manifest stale): the retry is a
+    // named orphan error and sync recovers by rebuild
+    val pc = tmp("graft-bm25c-")
+    TextAnalysis.saveBm25Index(hist, pc)
+    val stale = IndexManifest.read(pc)
+    val inc = docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2)
+    TextAnalysis.appendBm25Index(inc, pc)
+    IndexManifest.write(pc, stale)
+    val e = intercept[IndexManifestException] {
+      TextAnalysis.appendBm25Index(inc, pc)
+    }
+    assert(e.getMessage.contains("above its manifest watermark"), e.getMessage)
+    assert(TextAnalysis.bm25IndexSync(docs, pc) == "rebuild")
+    assert(scores(pc) == scores(pFull))
+  }
+
   test("spectral normalization: an iterate past the DECIMAL(38,24) headroom fails loudly and NAMED") {
     import spark.implicits._
     // the dangerous window is max|v| in (1e6, ~1e7): each v·v product
