@@ -30,6 +30,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same block-manager hygiene as Bench: completed queries' local-
+      // checkpoint blocks are dead (artifact reuse is parquet-only);
+      // freeing them keeps the 300-query JVM from accumulating GBs
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

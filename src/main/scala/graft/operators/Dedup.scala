@@ -37,7 +37,11 @@ object Dedup {
     * scale) is equivalent to deduping inside each doc's shingle array.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // widened: the md5-per-shingle stream below is the dedup family's
+    // hottest scan-side kernel, and the bench-scale corpus is one row
+    // group = one task (graft.sources.ScanParallelism doc)
+    val tok = graft.sources.ScanParallelism.widen(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
     tok.select(col("doc_id"),
       explode(expr(
@@ -940,7 +944,12 @@ object Dedup {
     * are 1-based gram starts.
     */
   def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
-    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // widened: the md5-per-gram + window-min HOF chain below is pure
+    // per-row work that otherwise runs in the scan's single bench-scale
+    // task; the selection itself still never KEY-shuffles (the d33 plan
+    // guard pins no hashpartitioning) (ScanParallelism doc)
+    val tok = graft.sources.ScanParallelism.widen(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= n + w - 1)
     val withH = tok.withColumn("hh", expr(
       s"""transform(sequence(1, size(tk) - ${n - 1}), i -> named_struct(
@@ -1899,7 +1908,9 @@ object Dedup {
     // rebuild = new lineage; versions cleared BEFORE the data overwrite
     // (crash-window ordering, ADVICE r12)
     graft.sources.IndexManifest.clearVersions(path)
-    val sig = minhash(hashedShingles(history), k)
+    // checkpointed: sig feeds BOTH table writes — uncheckpointed, the
+    // bands write re-ran the whole shingle+md5+minhash chain
+    val sig = minhash(hashedShingles(history), k).localCheckpoint(true)
     sig.write.mode("overwrite").parquet(s"$path/sig")
     bandRows(sig, k, bands).write.mode("overwrite").parquet(s"$path/bands")
     val (rows, maxId) = graft.sources.IndexManifest.watermark(history, "doc_id")
@@ -1937,7 +1948,8 @@ object Dedup {
     // left sig rows above the watermark; appending again would duplicate
     IndexManifest.requireNoOrphans(
       newDocs.sparkSession.read.parquet(s"$path/sig"), "doc_id", man, path)
-    val sig = minhash(hashedShingles(newDocs), k)
+    // checkpointed: both table writes read sig (saveLshIndex doc)
+    val sig = minhash(hashedShingles(newDocs), k).localCheckpoint(true)
     sig.write.mode("append").parquet(s"$path/sig")
     bandRows(sig, k, bands).write.mode("append").parquet(s"$path/bands")
     // every append is a new snapshot version (the d153 device)
@@ -2008,6 +2020,11 @@ object Dedup {
     */
   def probeWithLshIndex(increment: DataFrame, hsig: DataFrame,
       hb: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
+    // NOT checkpointed (contrast saveLshIndex): this kernel also runs
+    // per micro-batch in the streaming fuzzy-dedup gate, where an eager
+    // checkpoint per batch would leak block-manager state; the two
+    // consumers share the signature subtree through its exchange
+    // (ReuseExchange), so the heavy chain still evaluates once
     val isig = minhash(hashedShingles(increment), k)
     val cand = bandRows(isig, k, bands).select(col("doc_id").as("nid"),
         col("bno"), col("bkey"))

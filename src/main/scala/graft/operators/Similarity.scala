@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Embedding normalized view: (vec_id, e double[], nrm). */
+  /** Embedding normalized view: (vec_id, e double[], nrm). Kept a PURE
+    * projection (several consumers are plan-pinned zero-exchange
+    * scan-side operators); the heavy SCORING consumers widen their
+    * corpus side explicitly ([[graft.sources.ScanParallelism.widen]]).
+    */
   def normalized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("e"))
@@ -66,8 +70,10 @@ object Similarity {
     val q = n.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     // candPred filters the candidate SIDE scan-side (the exact half of
-    // attribute-filtered search, e58/e59; default passes everything)
-    val c = normalized(emb.filter(candPred))
+    // attribute-filtered search, e58/e59; default passes everything).
+    // The scored side is widened: |Q|·N dot products on a one-row-group
+    // bench corpus otherwise run in a single task (ScanParallelism doc)
+    val c = normalized(graft.sources.ScanParallelism.widen(emb.filter(candPred)))
       .select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -164,8 +170,9 @@ object Similarity {
         .drop("m")
     // the attribute filter cuts the candidate side BEFORE the bucket
     // join (scan-side; e58) — on a label-partitioned 100 TB store this
-    // is a PartitionFilters prune, not a post-join discard
-    val c = withBucket(emb.filter(candPred), bits)
+    // is a PartitionFilters prune, not a post-join discard. Widened for
+    // the same reason as cosineTopK's scored side (ScanParallelism doc).
+    val c = withBucket(graft.sources.ScanParallelism.widen(emb.filter(candPred)), bits)
       .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
         col("nrm").as("cn"), col("bucket"))
     val scored = c.join(q, Seq("bucket"))
@@ -387,7 +394,10 @@ object Similarity {
     */
   def kCenterGreedy(emb: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 1, s"k=$k")
-    val n = normalized(emb).localCheckpoint(true) // k scans, one lineage
+    // widened + checkpointed: k sequential min-distance scans over one
+    // lineage, each scoring every center per row (ScanParallelism doc)
+    val n = normalized(graft.sources.ScanParallelism.widen(emb))
+      .localCheckpoint(true)
     val first = n.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("e"), col("nrm")).collect()(0)
     var centers = Vector(
@@ -440,7 +450,9 @@ object Similarity {
   private def ivfTopKFor(n: DataFrame, cents: Seq[(Long, Seq[Double])],
       queryPred: Column, k: Int, probes: Int): DataFrame = {
     val scoredArr = scoresFor(cents)
-    val corpus = n
+    // corpus side widened: per-row assignment scores every centroid and
+    // the probed-cell join then scores candidates (ScanParallelism doc)
+    val corpus = graft.sources.ScanParallelism.widen(n)
       .withColumn("cell", (-array_max(scoredArr).getField("nid")).cast("long"))
       .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
         col("nrm").as("cn"), col("cell"))
@@ -670,7 +682,8 @@ object Similarity {
     * set — the body shared by [[kmeansUpdate]] and [[kmeansIterate]].
     */
   private def updateFor(n: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
-    n.withColumn("cell", (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
+    graft.sources.ScanParallelism.widen(n)
+      .withColumn("cell", (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
       .select(col("cell"), posexplode(col("e")))
       .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
         col("col").cast(meanDec).as("x"))
@@ -1328,7 +1341,12 @@ object Similarity {
     */
   private def recallOf(exactTopK: DataFrame, approxTopK: DataFrame,
       k: Int): DataFrame = {
+    // the exact side feeds BOTH the hits semi-join and the per-query
+    // denominator — checkpointed so the plan holds one tiny (query,
+    // neighbor) leaf instead of two copies of the brute-force scoring
+    // subtree (the filteredAnnRecall discipline, applied family-wide)
     val exact = exactTopK.select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     val approx = approxTopK.select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
@@ -1532,8 +1550,11 @@ object Similarity {
     IndexManifest.clearVersions(path)
     // partitionByCell = the 100 TB layout: one directory per cell, so a
     // probe-bounded reader prunes unprobed cells at the FILE-INDEX
-    // layer (PartitionFilters), never opening their footers
-    val w = codes.write.mode("overwrite")
+    // layer (PartitionFilters), never opening their footers. The
+    // repartition by the layout key parallelizes the partitioned write
+    // and yields one file per cell (the saveSrpIndex discipline).
+    val w = (if (partitionByCell) codes.repartition(col("cell")) else codes)
+      .write.mode("overwrite")
     (if (partitionByCell) w.partitionBy("cell") else w).parquet(s"$path/codes")
     cents.toDF("cid", "ce").write.mode("overwrite").parquet(s"$path/cents")
     mins.zip(scales).zipWithIndex
@@ -1600,9 +1621,11 @@ object Similarity {
         (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
       .withColumn("codes", sqEncode(typedLit(mins), typedLit(scales)))
       .select(col("vec_id"), col("cell"), col("codes"))
-    val w = codes.write.mode("append")
-    (if (man.params.getOrElse("partition_by_cell", 0L) == 1L)
-      w.partitionBy("cell") else w).parquet(s"$path/codes")
+    val byCell = man.params.getOrElse("partition_by_cell", 0L) == 1L
+    // one appended file per cell directory (the saveIvfSq8Index shape)
+    val w = (if (byCell) codes.repartition(col("cell")) else codes)
+      .write.mode("append")
+    (if (byCell) w.partitionBy("cell") else w).parquet(s"$path/codes")
     IndexManifest.writeVersioned(path,
       man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
@@ -1788,7 +1811,10 @@ object Similarity {
   def ivfProbeCurve(emb: DataFrame, queryPred: Column, k: Int,
       nCells: Int = 16,
       probesList: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
-    val exact = cosineTopK(emb, queryPred, k)
+    // checkpointed for the same reason as srpRadiusCurve: recallOf reads
+    // the exact baseline twice per probe arm — 2·|probes| copies of the
+    // brute-force subtree in one union plan otherwise
+    val exact = cosineTopK(emb, queryPred, k).localCheckpoint(true)
     probesList.map { p =>
       recallOf(exact, ivfSq8TopK(emb, queryPred, k, nCells, p), k)
         .agg(count(lit(1)).as("n_queries"), sum(col("n_hit")).as("n_hits"))
@@ -1857,7 +1883,10 @@ object Similarity {
     val n = normalized(emb)
     val dims = 64 // embedding width (TESTDATA.md), static like PQ_DIMS
     val proj = n.withColumn("p", srpProject(srpSignMatrix(outDims, dims)))
-    val codes = proj.select(col("vec_id").as("neighbor_id"), col("p").as("np"))
+    // scored corpus side widened (ScanParallelism doc); the flat scan
+    // stays the deliberate BroadcastNestedLoopJoin measurement rung
+    val codes = graft.sources.ScanParallelism.widen(proj)
+      .select(col("vec_id").as("neighbor_id"), col("p").as("np"))
     val q = proj.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("p").as("qp"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1959,7 +1988,9 @@ object Similarity {
     val blockArr = array((0 until nBlocks).map { j =>
       struct(lit(j).as("bpos"), expr(s"shiftright(sig, ${j * bs}) & $mask").as("bval"))
     }: _*)
-    val cBlk = proj
+    // corpus block side widened: the block join's distance folds are
+    // the row's whole cost (ScanParallelism doc)
+    val cBlk = graft.sources.ScanParallelism.widen(proj)
       .select(col("vec_id").as("neighbor_id"), col("p").as("np"),
         explode(blockArr).as("b"))
       .select(col("neighbor_id"), col("np"), col("b.bpos").as("bpos"), col("b.bval").as("bval"))
@@ -2012,7 +2043,11 @@ object Similarity {
   def srpRadiusCurve(emb: DataFrame, queryPred: Column, k: Int,
       outDims: Int = 16,
       radiusList: Seq[Int] = Seq(1, 3, 7, 15)): DataFrame = {
-    val exact = cosineTopK(emb, queryPred, k)
+    // checkpoint the exact baseline: it is compared against EVERY
+    // radius arm, and recallOf reads it twice per arm — uncheckpointed,
+    // the union plan embedded 2·|radii| copies of the brute-force
+    // scoring subtree (planning alone dominated the row)
+    val exact = cosineTopK(emb, queryPred, k).localCheckpoint(true)
     radiusList.map { r =>
       recallOf(exact, srpBucketTopK(emb, queryPred, k, outDims, r), k)
         .agg(count(lit(1)).as("n_queries"), sum(col("n_hit")).as("n_hits"))
@@ -2065,7 +2100,13 @@ object Similarity {
     // rebuild = new lineage; clear versions BEFORE the data overwrite
     // (crash-window ordering, ADVICE r12)
     IndexManifest.clearVersions(path)
+    // repartition BY THE LAYOUT KEY before the partitioned write: the
+    // writer then fills the (radius+1)·2^bits directories in parallel
+    // with exactly one file each — without it one bench-scale scan task
+    // wrote all 64 directories serially, and a blind widen would
+    // instead scatter up to tasks×dirs tiny files (guide §6 file sizing)
     srpBlockTable(emb, outDims, radius)
+      .repartition(col("bpos"), col("bval"))
       .write.mode("overwrite").partitionBy("bpos", "bval")
       .parquet(s"$path/blocks")
     val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
@@ -2098,6 +2139,7 @@ object Similarity {
     IndexManifest.requireNoOrphans(
       increment.sparkSession.read.parquet(s"$path/blocks"), "vec_id", man, path)
     srpBlockTable(increment, man.params("out_dims").toInt, man.params("radius").toInt)
+      .repartition(col("bpos"), col("bval")) // one appended file per dir (saveSrpIndex doc)
       .write.mode("append").partitionBy("bpos", "bval")
       .parquet(s"$path/blocks")
     IndexManifest.writeVersioned(path,
@@ -2619,19 +2661,40 @@ object Similarity {
     * exchange is the dims²-key combine, map-side partial-aggregated).
     * Returns (n, sx(j, sx), sxx(i, j, sxx)).
     */
-  private def spectralStats(emb: DataFrame): (Long, DataFrame, DataFrame) = {
-    val x = emb.select(
+  private def spectralStats(emb: DataFrame, dims: Int): (Long, DataFrame, DataFrame) = {
+    val x = graft.sources.ScanParallelism.widen(emb).select(
       expr("transform(embedding, v -> cast(v as double))").as("ed"))
-    val n = emb.count()
-    val sx = x.select(posexplode(col("ed")).as(Seq("j", "xj")))
-      .groupBy(col("j"))
-      .agg(sum(col("xj").cast("decimal(28,12)"))
-        .cast("decimal(38,12)").as("sx"))
-    val sxx = x.select(col("ed"), posexplode(col("ed")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("ed")).as(Seq("j", "xj")))
+    // ONE corpus pass for (n, sx, sxx). The original shape ran THREE
+    // corpus-touching jobs (count, sx, sxx), with the sxx job double-
+    // posexploding dims² rows per input row — the first explode
+    // additionally copying the full 64-element array into each of its
+    // 64 output rows. Now: one explode per dimension i, the outer-
+    // product row quantized per-product into a decimal array by ONE
+    // higher-order transform (a tight codegen'd loop — NOT 64 separate
+    // sum aggregates, which blow the generated-method budget and drop
+    // the stage to interpreted evaluation), a second posexplode over
+    // that narrow decimal array, and a single (i, j) decimal-sum
+    // aggregate that also carries n and sx on the i==0 / j==i slots'
+    // group. The per-product quantization q₃₈,₁₂(xᵢ·xⱼ), the q₂₈,₁₂
+    // component quantization and the exact decimal additions are
+    // unchanged expression-for-expression; decimal sums are order-free
+    // exact, so regrouping cannot move a bit (oracle-checked).
+    val byIJ = x
+      .select(posexplode(col("ed")).as(Seq("i", "xi")), col("ed"))
+      .select(col("i"), col("xi"), posexplode(
+        expr("transform(ed, xj -> cast(xi * xj as decimal(38,12)))"))
+        .as(Seq("j", "p")))
       .groupBy(col("i"), col("j"))
-      .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)"))
-        .cast("decimal(38,12)").as("sxx"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("j") === col("i"), col("xi").cast("decimal(28,12)")))
+          .cast("decimal(38,12)").as("sxj"),
+        sum(col("p")).cast("decimal(38,12)").as("sxx"))
+      .localCheckpoint(true) // dims² rows; n/sx/sxx all read this one pass
+    val nRow = byIJ.agg(max(col("cnt"))).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    val sx = byIJ.filter(col("i") === col("j"))
+      .select(col("j"), col("sxj").as("sx"))
+    val sxx = byIJ.select(col("i"), col("j"), col("sxx"))
     (n, sx, sxx)
   }
 
@@ -2664,8 +2727,8 @@ object Similarity {
     * this mergeable canonical form so the persisted artifact gains an
     * append arm). Returns (mean, cov).
     */
-  private def covariance(emb: DataFrame): (Array[Double], DataFrame) = {
-    val (n, sx, sxx) = spectralStats(emb)
+  private def covariance(emb: DataFrame, dims: Int): (Array[Double], DataFrame) = {
+    val (n, sx, sxx) = spectralStats(emb, dims)
     covFromStats(n, sx, sxx)
   }
 
@@ -2699,11 +2762,13 @@ object Similarity {
   def trainSpectral(emb: DataFrame, dim: Int, iters: Int = 3): SpectralModel = {
     require(iters >= 1, s"iters=$iters")
     val spark = emb.sparkSession
-    val (mu, covDf) = covariance(emb)
+    val (mu, covDf) = covariance(emb, dim)
     val cov = covDf.localCheckpoint(true) // reused per iteration
-    var v = seedVec(spark, dim, 0).localCheckpoint(true)
-    for (_ <- 1 to iters) v = matvec(cov, v).localCheckpoint(true)
-    SpectralModel(dim, iters, mu, cov, v)
+    // one composed plan for the short iterate chain (a per-iteration
+    // lineage cut was a full extra job each; iters is small)
+    var v = seedVec(spark, dim, 0)
+    for (_ <- 1 to iters) v = matvec(cov, v)
+    SpectralModel(dim, iters, mu, cov, v.localCheckpoint(true))
   }
 
   /** PCA leading component by POWER ITERATION (e64) — the spectral
@@ -2914,7 +2979,7 @@ object Similarity {
     */
   def saveSpectralIndex(emb: DataFrame, path: String, dim: Int,
       iters: Int = 3): Unit = {
-    val (n, sx0, sxx0) = spectralStats(emb)
+    val (n, sx0, sxx0) = spectralStats(emb, dim)
     val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
     writeSpectralTables(emb.sparkSession, path, dim, iters,
       sx0, sxx0, None, n, rows, maxId)
@@ -2966,19 +3031,39 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/nrow")
     val ver = IndexManifest.versions(path).lastOption.getOrElse(0) + 1
     val (dSx, dSxx) = delta.getOrElse((sx, sxx))
-    dSx.coalesce(1).write.mode("overwrite").parquet(s"$path/deltas/v$ver/sx")
-    dSxx.coalesce(1).write.mode("overwrite").parquet(s"$path/deltas/v$ver/sxx")
-    sx.coalesce(1).write.mode("overwrite").parquet(s"$path/sx")
-    sxx.coalesce(1).write.mode("overwrite").parquet(s"$path/sxx")
+    // The four stats/delta writes are order-independent among
+    // themselves (every crash state between the nrow witness above and
+    // the manifest flip below is detected regardless of which subset
+    // landed), and each is a tiny dims/dims²-row job — run them
+    // concurrently with each other AND with the derivation so the
+    // driver does not serialize ~6 sub-second jobs (guide §2.6 overlap;
+    // measured: the serial chain dominated the post-stats phase).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val statsWrites = Seq(
+      Future(dSx.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/deltas/v$ver/sx")),
+      Future(dSxx.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/deltas/v$ver/sxx")),
+      Future(sx.coalesce(1).write.mode("overwrite").parquet(s"$path/sx")),
+      Future(sxx.coalesce(1).write.mode("overwrite").parquet(s"$path/sxx")))
     val (mu, covDf) = covFromStats(n, sx, sxx)
     val cov = covDf.localCheckpoint(true)
-    var v = seedVec(spark, dim, 0).localCheckpoint(true)
-    for (_ <- 1 to iters) v = matvec(cov, v).localCheckpoint(true)
-    mu.zipWithIndex.map { case (x, j) => (j, x) }.toSeq
-      .toDF("j", "mu").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/mean")
-    cov.coalesce(1).write.mode("overwrite").parquet(s"$path/cov")
-    v.coalesce(1).write.mode("overwrite").parquet(s"$path/iter")
+    // the power iterates chain dims²×dims joins — one composed plan,
+    // checkpointed once at the end (3 short chains never need a
+    // per-iteration lineage cut; each cut was a full extra job)
+    var v = seedVec(spark, dim, 0)
+    for (_ <- 1 to iters) v = matvec(cov, v)
+    val vc = v.localCheckpoint(true)
+    val servingWrites = Seq(
+      Future(mu.zipWithIndex.map { case (x, j) => (j, x) }.toSeq
+        .toDF("j", "mu").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/mean")),
+      Future(cov.coalesce(1).write.mode("overwrite").parquet(s"$path/cov")),
+      Future(vc.coalesce(1).write.mode("overwrite").parquet(s"$path/iter")))
+    (statsWrites ++ servingWrites).foreach(Await.result(_, Duration.Inf))
+    // manifest flip strictly LAST — it is the commit point
     IndexManifest.writeVersioned(path, IndexManifest.Manifest("spectral",
       Map("dims" -> dim.toLong, "iters" -> iters.toLong), rows, maxId))
   }
@@ -3092,7 +3177,7 @@ object Similarity {
           s"the manifest records ${man.corpusRows} — a previous append " +
           "crashed between the stats write and the manifest flip; rebuild " +
           "(spectralIndexSync does this automatically)")
-    val (_, incSx, incSxx) = spectralStats(increment)
+    val (_, incSx, incSxx) = spectralStats(increment, man.params("dims").toInt)
     val mergedSx = spark.read.parquet(s"$path/sx").unionByName(incSx)
       .groupBy(col("j"))
       .agg(sum(col("sx")).cast("decimal(38,12)").as("sx"))
@@ -3168,9 +3253,9 @@ object Similarity {
     val cov = covDf.localCheckpoint(true)
     val dim = man.params("dims").toInt
     val iters = man.params("iters").toInt
-    var v = seedVec(spark, dim, 0).localCheckpoint(true)
-    for (_ <- 1 to iters) v = matvec(cov, v).localCheckpoint(true)
-    SpectralModel(dim, iters, mu, cov, v)
+    var v = seedVec(spark, dim, 0)
+    for (_ <- 1 to iters) v = matvec(cov, v)
+    SpectralModel(dim, iters, mu, cov, v.localCheckpoint(true))
   }
 
   /** Load a persisted spectral model — geometry comes from the

@@ -344,7 +344,10 @@ object TextAnalysis {
          |    'best', IF(IF(x = a.pg, a.run + 1, 1) > a.best, IF(x = a.pg, a.run + 1, 1), a.best),
          |    'bg', IF(IF(x = a.pg, a.run + 1, 1) > a.best, x, a.bg)),
          |  a -> named_struct('m', a.best, 'g', a.bg))""".stripMargin.replace("\n", " ")
-    var df = docs.select(col("doc_id"),
+    // widened: the per-row n-gram sort + run folds below are the row's
+    // whole cost and otherwise run in the scan's single bench-scale
+    // task; still no keyed shuffle (plan-guarded) (ScanParallelism doc)
+    var df = graft.sources.ScanParallelism.widen(docs).select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         split(col("text"), "\n", -1).as("lines"),
         split(col("text"), " ").as("w"))
@@ -2470,10 +2473,11 @@ object TextAnalysis {
       .localCheckpoint(true)
     var levels = List((1L, ranked))
     var k = 1L
+    var distinct = false
     // do-while: even a maxDocLen=1 corpus gets one dense_rank pass, so
     // the returned ranks are always dense 1..len per document (the seed
     // packing alone is order-isomorphic but not dense)
-    while (k < maxDocLen || k == 1L) {
+    while ((k < maxDocLen || k == 1L) && !distinct) {
       val right = ranked.select(col("doc_id"), (col("pos") - k).as("pos"),
         col("rank").as("rank2"))
       val w = Window.partitionBy(col("doc_id"))
@@ -2484,6 +2488,24 @@ object TextAnalysis {
         .localCheckpoint(true)
       levels = (k * 2, ranked) :: levels
       k *= 2
+      // EARLY EXIT (standard prefix-doubling termination, Manber &
+      // Myers §3): once every suffix rank is distinct within its
+      // document, later rounds are the identity (dense_rank over
+      // already-distinct (rank, rank2) keys preserves the order — for
+      // within-document suffixes equal full ranks would force equal
+      // lengths) AND every adjacent-pair LCP is < k (two suffixes
+      // sharing k words would share their width-k rank), so the
+      // descent's binary decomposition over the levels built so far
+      // covers every realizable LCP. Output is bit-identical to the
+      // full ⌈log₂ maxlen⌉ ladder (spec-pinned); the one tiny aggregate
+      // per round replaces the remaining rounds' join+window+checkpoint
+      // jobs — on natural text ranks separate after 2-3 words and the
+      // ladder drops from ~7 rounds to ~2-3.
+      if (k < maxDocLen) {
+        val worst = ranked.groupBy(col("doc_id"), col("rank"))
+          .agg(count(lit(1)).as("c")).agg(max(col("c"))).head()
+        distinct = !worst.isNullAt(0) && worst.getLong(0) <= 1L
+      }
     }
     (ranked, levels.reverse)
   }
@@ -2622,6 +2644,12 @@ object TextAnalysis {
       .localCheckpoint(true)
     var levels = List((1L, ranked))
     var k = 1L
+    // No early exit here (contrast suffixLevels): the generalized
+    // partition refines by CONTENT classes, and on a small-vocabulary
+    // corpus with genuine cross-document duplication it keeps splitting
+    // until deep widths (measured at sf0.1: distinct prefixes still
+    // growing at width 32), so a per-round stability probe costs a
+    // corpus aggregate per round and almost never fires.
     while (k < maxDocLen || k == 1L) {
       val succ = ranked.select(col("doc_id"), (col("pos") - k).as("pos"),
         col("rank").as("r2"))
