@@ -73,6 +73,15 @@ object Bench {
       // reuse rather than adding it, so the per-query timing contract is
       // unchanged.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // Under real heap pressure, also collect NOW — still outside the
+      // timed region — so a major GC provoked by one allocation-heavy
+      // query doesn't land inside a LATER query's timing (measured:
+      // d128 read 13.6 s in one full run vs 1.7 s isolated, same code;
+      // the spike moved with suite position, not the query). The
+      // half-heap gate keeps this rare; a GC can't be dodged anyway —
+      // this only pins WHERE it is accounted.
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
       dt
     }
     // Optional slice for re-measuring suspects on an idle box (the

@@ -281,8 +281,10 @@ object Dedup {
     // persist it: caching replaces the parquet scan with an
     // InMemoryRelation, which breaks ReusedExchange across the self-join
     // branches and AQE's size-based planning — measured 3× slower than
-    // letting Catalyst dedup the subtrees itself.
-    val hsh = hashedShingles(docs)
+    // letting Catalyst dedup the subtrees itself. Checkpointed: the
+    // hashed shingle stream feeds the signature chain AND jaccard's
+    // df-cap/cardinality/intersection legs — one md5 pass, not four.
+    val hsh = hashedShingles(docs).localCheckpoint(true)
     val cand = lshCandidates(bandKeys(minhash(hsh, k), k, bands), bands, maxBucket)
     jaccard(hsh, cand, maxDf)
       .filter(col("jaccard") >= threshold)
@@ -414,7 +416,9 @@ object Dedup {
   def minhashEstPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
       maxBucket: Long = 1000L): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val sig = minhash(hashedShingles(docs), k)
+    // checkpointed: the signature table feeds candidate mining AND both
+    // sides of the agreement join — one shingle+md5+minhash pass
+    val sig = minhash(hashedShingles(docs), k).localCheckpoint(true)
     val cand = lshCandidates(bandKeys(sig, k, bands), bands, maxBucket)
     val sa = sig.select(col("doc_id").as("a") +:
       (0 until k).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
@@ -612,8 +616,9 @@ object Dedup {
     */
   def jaccardAll(docs: DataFrame, threshold: Double,
       maxDf: Long = 10000L): DataFrame = {
-    // un-persisted on purpose, see lshNearDupPairs
-    val sh = dfCapped(hashedShingles(docs), maxDf)
+    // checkpointed: the capped stream feeds the cardinalities AND both
+    // sides of the intersection join (the lshNearDupPairs discipline)
+    val sh = dfCapped(hashedShingles(docs), maxDf).localCheckpoint(true)
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val x = sh.as("x")
     val y = sh.as("y")
@@ -720,7 +725,8 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, threshold: Double,
       maxDf: Long = 10000L): DataFrame = {
-    val sh = dfCapped(hashedShingles(docs), maxDf)
+    // checkpointed: feeds cardinalities + both intersection sides
+    val sh = dfCapped(hashedShingles(docs), maxDf).localCheckpoint(true)
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val x = sh.as("x")
     val y = sh.as("y")
@@ -769,7 +775,9 @@ object Dedup {
   def ppJoinPairs(docs: DataFrame, threshold: Double,
       maxDf: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hsh = hashedShingles(docs)
+    // checkpointed: the hashed stream feeds the df-cap chain AND the
+    // final candidate-restricted jaccard verify
+    val hsh = hashedShingles(docs).localCheckpoint(true)
     val sh = dfCapped(hsh, maxDf)
     val df = sh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("hs"))
@@ -988,9 +996,19 @@ object Dedup {
     * collisions. Returns (doc_a, doc_b, n_shared).
     */
   def winnowCopyPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
-      minShared: Long = 2L, maxDf: Long = 1000L): DataFrame = {
-    val fps = winnowFingerprints(docs, n, w)
-      .select(col("doc_id"), col("fp")).distinct()
+      minShared: Long = 2L, maxDf: Long = 1000L): DataFrame =
+    winnowCopyPairsFrom(
+      winnowFingerprints(docs, n, w).localCheckpoint(true), minShared, maxDf)
+
+  /** [[winnowCopyPairs]] over an already-materialized fingerprint
+    * frame — the selection chain feeds the df-cap, BOTH sides of the
+    * pair self-join, and (for [[winnowMatchEvidence]]) the evidence
+    * re-join; handing in one checkpointed frame evaluates the
+    * md5-per-gram + window-min chain once instead of per consumer.
+    */
+  private def winnowCopyPairsFrom(fps0: DataFrame,
+      minShared: Long, maxDf: Long): DataFrame = {
+    val fps = fps0.select(col("doc_id"), col("fp")).distinct()
     val healthy = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("fp"))
     val capped = fps.join(healthy, Seq("fp"), "left_semi")
@@ -1022,8 +1040,11 @@ object Dedup {
     */
   def winnowMatchEvidence(docs: DataFrame, n: Int = 3, w: Int = 4,
       minShared: Long = 2L, maxDf: Long = 1000L): DataFrame = {
-    val fps = winnowFingerprints(docs, n, w)
-    val pairs = winnowCopyPairs(docs, n, w, minShared, maxDf)
+    // ONE fingerprint materialization for mining AND evidence (the
+    // winnowCopyPairsFrom doc): d35-d39 previously re-ran the selection
+    // chain three to four times per registered row
+    val fps = winnowFingerprints(docs, n, w).localCheckpoint(true)
+    val pairs = winnowCopyPairsFrom(fps, minShared, maxDf)
       .select(col("doc_a"), col("doc_b"))
     val docsInPairs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
@@ -1177,7 +1198,10 @@ object Dedup {
     * measured 14× there).
     */
   def positionalGrams(docs: DataFrame, n: Int): DataFrame = {
-    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // widened like shingles/winnowFingerprints: the per-occurrence
+    // md5-gram HOF chain below is pure per-row work (ScanParallelism doc)
+    val tok = graft.sources.ScanParallelism.widen(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= n)
     tok.withColumn("pg", expr(
         s"""transform(sequence(1, size(tk) - ${n - 1}), i -> named_struct(

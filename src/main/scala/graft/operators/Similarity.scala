@@ -1344,9 +1344,15 @@ object Similarity {
     // the exact side feeds BOTH the hits semi-join and the per-query
     // denominator — checkpointed so the plan holds one tiny (query,
     // neighbor) leaf instead of two copies of the brute-force scoring
-    // subtree (the filteredAnnRecall discipline, applied family-wide)
-    val exact = exactTopK.select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true)
+    // subtree (the filteredAnnRecall discipline, applied family-wide).
+    // SKIPPED when the caller already handed in materialized data (the
+    // curve rows checkpoint one exact baseline for all arms — an eager
+    // re-checkpoint per arm was a measurable extra job each).
+    val exactSmall = exactTopK.select(col("query_id"), col("neighbor_id"))
+    val alreadyMaterialized = exactSmall.queryExecution.analyzed.collectLeaves()
+      .forall(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    val exact =
+      if (alreadyMaterialized) exactSmall else exactSmall.localCheckpoint(true)
     val approx = approxTopK.select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
@@ -1550,11 +1556,8 @@ object Similarity {
     IndexManifest.clearVersions(path)
     // partitionByCell = the 100 TB layout: one directory per cell, so a
     // probe-bounded reader prunes unprobed cells at the FILE-INDEX
-    // layer (PartitionFilters), never opening their footers. The
-    // repartition by the layout key parallelizes the partitioned write
-    // and yields one file per cell (the saveSrpIndex discipline).
-    val w = (if (partitionByCell) codes.repartition(col("cell")) else codes)
-      .write.mode("overwrite")
+    // layer (PartitionFilters), never opening their footers
+    val w = codes.write.mode("overwrite")
     (if (partitionByCell) w.partitionBy("cell") else w).parquet(s"$path/codes")
     cents.toDF("cid", "ce").write.mode("overwrite").parquet(s"$path/cents")
     mins.zip(scales).zipWithIndex
@@ -1621,11 +1624,9 @@ object Similarity {
         (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
       .withColumn("codes", sqEncode(typedLit(mins), typedLit(scales)))
       .select(col("vec_id"), col("cell"), col("codes"))
-    val byCell = man.params.getOrElse("partition_by_cell", 0L) == 1L
-    // one appended file per cell directory (the saveIvfSq8Index shape)
-    val w = (if (byCell) codes.repartition(col("cell")) else codes)
-      .write.mode("append")
-    (if (byCell) w.partitionBy("cell") else w).parquet(s"$path/codes")
+    val w = codes.write.mode("append")
+    (if (man.params.getOrElse("partition_by_cell", 0L) == 1L)
+      w.partitionBy("cell") else w).parquet(s"$path/codes")
     IndexManifest.writeVersioned(path,
       man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
@@ -2100,13 +2101,7 @@ object Similarity {
     // rebuild = new lineage; clear versions BEFORE the data overwrite
     // (crash-window ordering, ADVICE r12)
     IndexManifest.clearVersions(path)
-    // repartition BY THE LAYOUT KEY before the partitioned write: the
-    // writer then fills the (radius+1)·2^bits directories in parallel
-    // with exactly one file each — without it one bench-scale scan task
-    // wrote all 64 directories serially, and a blind widen would
-    // instead scatter up to tasks×dirs tiny files (guide §6 file sizing)
     srpBlockTable(emb, outDims, radius)
-      .repartition(col("bpos"), col("bval"))
       .write.mode("overwrite").partitionBy("bpos", "bval")
       .parquet(s"$path/blocks")
     val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
@@ -2139,7 +2134,6 @@ object Similarity {
     IndexManifest.requireNoOrphans(
       increment.sparkSession.read.parquet(s"$path/blocks"), "vec_id", man, path)
     srpBlockTable(increment, man.params("out_dims").toInt, man.params("radius").toInt)
-      .repartition(col("bpos"), col("bval")) // one appended file per dir (saveSrpIndex doc)
       .write.mode("append").partitionBy("bpos", "bval")
       .parquet(s"$path/blocks")
     IndexManifest.writeVersioned(path,

