@@ -130,16 +130,19 @@ object Bench {
     // "runs":2 declares the BASE policy; high-spread queries carry a
     // third entry in runs_detail (the adaptive tiebreaker above)
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
-      s""""runs":2,"agg":"min","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    // The full per-query line goes to target/bench.json ONLY: printed, it
-    // both overflows the driver's ~2000-char stdout capture (BENCH_r08/r09
-    // recorded "parsed": null from the truncation) and gives any consumer
-    // that greps ALL "metric":"total" lines a double-counted total. One
-    // compact stdout line is the whole contract; it points at the file.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"runs":2,"agg":"min",""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir",""" +
-      s""""queries_file":"target/bench.json"}""")
+      s""""queries_file":"target/bench.json"}"""
+    // The stdout line carries the FULL per-query map (round-13 verdict
+    // item #2: the driver's PERF comparison reads stdout, not files —
+    // with only a "queries_file" pointer it recorded per_query:{} and
+    // could not verify any round-over-round claim). ms-rounded values
+    // keep the line ~7 KB; if a capture buffer ever truncates it the
+    // result is no worse than the pointer-only contract (parsed:null),
+    // and target/bench.json still holds the same numbers plus
+    // runs_detail. Keys stay in the driver's documented order
+    // (metric, value, unit, queries, ..., sf).
+    println(line)
     // Per-run numbers (not just the min) go in the FILE dump only — the
     // stdout line stays small (a capture buffer once truncated it
     // mid-line) while drift analysis can separate box noise from real

@@ -20,6 +20,7 @@ object ProfileQuery {
       .withExtensions(new GraftExtensions())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
@@ -27,6 +28,13 @@ object ProfileQuery {
           yield a - b).getOrElse(-1L)
         if (ms > 100)
           System.err.println(f"[stage] $ms%6d ms  tasks=${si.numTasks}%3d  ${si.name.take(100)}")
+      }
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStart.put(e.jobId, System.nanoTime())
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = Option(jobStart.remove(e.jobId))
+        val ms = t0.map(t => (System.nanoTime() - t) / 1000000L).getOrElse(-1L)
+        System.err.println(f"[job]   $ms%6d ms  id=${e.jobId}")
       }
     })
     Seq("documents", "embeddings").foreach(t =>

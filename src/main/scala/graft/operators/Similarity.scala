@@ -1531,7 +1531,10 @@ object Similarity {
       partitionByCell: Boolean = false, trainIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val n = normalized(emb)
+    // widened: the sqStats pass and the per-row assignment+encode
+    // (nCells × 64 dots each) otherwise run in the scan's single
+    // bench-scale task (ScanParallelism doc)
+    val n = normalized(graft.sources.ScanParallelism.widen(emb))
     // trainIters > 0 = the PRODUCTION coarse quantizer (e77): k-center
     // seeds + Lloyd passes (the e71 device) replace the arbitrary
     // lowest-id seeds at BUILD time only — the trained book persists in
@@ -1556,8 +1559,15 @@ object Similarity {
     IndexManifest.clearVersions(path)
     // partitionByCell = the 100 TB layout: one directory per cell, so a
     // probe-bounded reader prunes unprobed cells at the FILE-INDEX
-    // layer (PartitionFilters), never opening their footers
-    val w = codes.write.mode("overwrite")
+    // layer (PartitionFilters), never opening their footers. Laid out
+    // one write task per cell directory (ScanParallelism.layoutForWrite
+    // doc; round-13 verdict #1).
+    val laid =
+      if (partitionByCell)
+        graft.sources.ScanParallelism.layoutForWrite(
+          codes, cents.size, Seq(col("cell")))
+      else codes
+    val w = laid.write.mode("overwrite")
     (if (partitionByCell) w.partitionBy("cell") else w).parquet(s"$path/codes")
     cents.toDF("cid", "ce").write.mode("overwrite").parquet(s"$path/cents")
     mins.zip(scales).zipWithIndex
@@ -1619,14 +1629,21 @@ object Similarity {
           s"${man.corpusMaxId} ($path) — appends must be id-monotone")
     IndexManifest.requireNoOrphans(
       increment.sparkSession.read.parquet(s"$path/codes"), "vec_id", man, path)
-    val n = normalized(increment)
+    // widened + laid out like saveIvfSq8Index (the append is the same
+    // assignment+encode pass over the increment)
+    val n = normalized(graft.sources.ScanParallelism.widen(increment))
     val codes = n.withColumn("cell",
         (-array_max(scoresFor(cents)).getField("nid")).cast("long"))
       .withColumn("codes", sqEncode(typedLit(mins), typedLit(scales)))
       .select(col("vec_id"), col("cell"), col("codes"))
-    val w = codes.write.mode("append")
-    (if (man.params.getOrElse("partition_by_cell", 0L) == 1L)
-      w.partitionBy("cell") else w).parquet(s"$path/codes")
+    val byCell = man.params.getOrElse("partition_by_cell", 0L) == 1L
+    val laid =
+      if (byCell)
+        graft.sources.ScanParallelism.layoutForWrite(
+          codes, cents.size, Seq(col("cell")))
+      else codes
+    val w = laid.write.mode("append")
+    (if (byCell) w.partitionBy("cell") else w).parquet(s"$path/codes")
     IndexManifest.writeVersioned(path,
       man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
@@ -2073,7 +2090,10 @@ object Similarity {
     val blockArr = array((0 until nBlocks).map { j =>
       struct(lit(j).as("bpos"), expr(s"shiftright(sig, ${j * bs}) & $mask").as("bval"))
     }: _*)
-    normalized(emb)
+    // widened: the projection (outDims × 64 dots per row) and the block
+    // explode otherwise run in the scan's single bench-scale task — the
+    // same single-task store-build stage the write layout below fixes
+    normalized(graft.sources.ScanParallelism.widen(emb))
       .withColumn("p", srpProject(srpSignMatrix(outDims, 64)))
       .withColumn("sig", srpSigExpr(outDims))
       .select(col("vec_id"), col("p"), explode(blockArr).as("b"))
@@ -2101,7 +2121,13 @@ object Similarity {
     // rebuild = new lineage; clear versions BEFORE the data overwrite
     // (crash-window ordering, ADVICE r12)
     IndexManifest.clearVersions(path)
-    srpBlockTable(emb, outDims, radius)
+    // one write task per (bpos, bval) directory (round-13 verdict #1:
+    // the 64-directory write ran from ONE task; the explicit-N keyed
+    // repartition is what AQE cannot coalesce away)
+    graft.sources.ScanParallelism.layoutForWrite(
+        srpBlockTable(emb, outDims, radius),
+        (radius + 1) << (outDims / (radius + 1)),
+        Seq(col("bpos"), col("bval")))
       .write.mode("overwrite").partitionBy("bpos", "bval")
       .parquet(s"$path/blocks")
     val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
@@ -2133,7 +2159,13 @@ object Similarity {
           s"${man.corpusMaxId} ($path) — appends must be id-monotone")
     IndexManifest.requireNoOrphans(
       increment.sparkSession.read.parquet(s"$path/blocks"), "vec_id", man, path)
-    srpBlockTable(increment, man.params("out_dims").toInt, man.params("radius").toInt)
+    val (outDims, radius) =
+      (man.params("out_dims").toInt, man.params("radius").toInt)
+    // same one-task-per-directory write layout as saveSrpIndex
+    graft.sources.ScanParallelism.layoutForWrite(
+        srpBlockTable(increment, outDims, radius),
+        (radius + 1) << (outDims / (radius + 1)),
+        Seq(col("bpos"), col("bval")))
       .write.mode("append").partitionBy("bpos", "bval")
       .parquet(s"$path/blocks")
     IndexManifest.writeVersioned(path,
