@@ -1340,19 +1340,22 @@ object Similarity {
     * one aggregate beyond the component queries.
     */
   private def recallOf(exactTopK: DataFrame, approxTopK: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, exactMaterialized: Boolean = false): DataFrame = {
     // the exact side feeds BOTH the hits semi-join and the per-query
     // denominator — checkpointed so the plan holds one tiny (query,
     // neighbor) leaf instead of two copies of the brute-force scoring
     // subtree (the filteredAnnRecall discipline, applied family-wide).
-    // SKIPPED when the caller already handed in materialized data (the
-    // curve rows checkpoint one exact baseline for all arms — an eager
-    // re-checkpoint per arm was a measurable extra job each).
+    // SKIPPED when the caller declares it already handed in
+    // materialized data (the curve rows checkpoint one exact baseline
+    // for all arms — an eager re-checkpoint per arm was a measurable
+    // extra job each). The flag is EXPLICIT (round-13 advice: the old
+    // all-leaves-are-LogicalRDD inference conflated "RDD-backed leaves"
+    // with "cheap input" — an expensive subtree built on a checkpointed
+    // leaf would silently skip the checkpoint and be duplicated into
+    // both legs).
     val exactSmall = exactTopK.select(col("query_id"), col("neighbor_id"))
-    val alreadyMaterialized = exactSmall.queryExecution.analyzed.collectLeaves()
-      .forall(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
     val exact =
-      if (alreadyMaterialized) exactSmall else exactSmall.localCheckpoint(true)
+      if (exactMaterialized) exactSmall else exactSmall.localCheckpoint(true)
     val approx = approxTopK.select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
@@ -1833,8 +1836,49 @@ object Similarity {
     // the exact baseline twice per probe arm — 2·|probes| copies of the
     // brute-force subtree in one union plan otherwise
     val exact = cosineTopK(emb, queryPred, k).localCheckpoint(true)
+    // FUSED arms (round-14; guide §2.3 "shuffle keys first, score
+    // once"): probe sets are PREFIXES of one ranked cell list, so arm
+    // p's candidate set is exactly {pairs with probe rank ≤ p} of the
+    // deepest arm's. The old shape ran the full ivfSq8TopK chain per
+    // arm — Σ coverage(p) ≈ 1.94 corpus-scans of scoring plus FIVE
+    // sqStats/centroid training passes; now ONE corpus pass scores
+    // every (query, neighbor) candidate at the deepest probe bound with
+    // its probe rank attached, and each arm is a filter + rank over the
+    // one materialized pair table. Distances, candidate sets, ranks and
+    // tie-breaks are unchanged expression-for-expression per arm.
+    val pmax = math.min(probesList.max, nCells)
+    val n = normalized(emb)
+    val scoredArr = centroidScores(n, nCells)
+    val (mnLit, scLit) = sqLits(n)
+    // corpus side widened (ScanParallelism doc): assignment + byte
+    // encode are the per-row cost
+    val corpus = graft.sources.ScanParallelism.widen(n)
+      .withColumn("cell", (-array_max(scoredArr).getField("nid")).cast("long"))
+      .withColumn("codes", sqEncode(mnLit, scLit))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        posexplode(slice(sort_array(scoredArr, asc = false), 1, pmax))
+          .as(Seq("pp", "probe")))
+      .select(col("query_id"), col("qe"), (col("pp") + 1).as("prank"),
+        (-col("probe").getField("nid")).cast("long").as("cell"))
+    // a corpus row lives in ONE cell and a query's probed cells are
+    // distinct, so each admitted pair appears exactly once — scored
+    // once, tagged with the probe rank that admits it
+    val pairs = corpus.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("prank"),
+        sqDist(mnLit, scLit).as("sq_dist"))
+      .localCheckpoint(true) // every arm reads this twice (rank + recall)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sq_dist").asc, col("neighbor_id").asc)
     probesList.map { p =>
-      recallOf(exact, ivfSq8TopK(emb, queryPred, k, nCells, p), k)
+      val arm = pairs.filter(col("prank") <= math.min(p, nCells))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), col("sq_dist"))
+      recallOf(exact, arm, k, exactMaterialized = true)
         .agg(count(lit(1)).as("n_queries"), sum(col("n_hit")).as("n_hits"))
         .select(lit(p.toLong).as("probes"),
           col("n_queries").cast("long").as("n_queries"),
@@ -2066,8 +2110,112 @@ object Similarity {
     // the union plan embedded 2·|radii| copies of the brute-force
     // scoring subtree (planning alone dominated the row)
     val exact = cosineTopK(emb, queryPred, k).localCheckpoint(true)
+    // FUSED arms (round-14; guide §2.3/§8 "shuffle keys, attach the
+    // payload once"): the doc's nesting argument — each radius SPLITS
+    // the previous blocks in half, so candidate sets nest — means the
+    // deepest arm's pair set CONTAINS every arm's. The old shape ran
+    // srpBucketTopK per arm, and the deepest (1-bit-block) arm's join
+    // emitted each pair once per agreeing sign bit (~outDims/2 times),
+    // each occurrence carrying both projection arrays and re-computing
+    // the distance fold before the min() dedup. Now: ONE finest-level
+    // block join carrying (ids, signatures) only → pair dedup BEFORE
+    // any payload → projections attached and the distance folded ONCE
+    // per pair → each arm filters the scored pair table by aligned
+    // xor-block agreement and re-ranks. Candidate sets, distances,
+    // ranks and tie-breaks are unchanged per arm (the fold is the same
+    // expression over the same arrays; min() over m identical doubles
+    // IS that double). Non-nesting radius lists (never registered) keep
+    // the per-arm loop below.
+    val bsMin = if (radiusList.nonEmpty) outDims / (radiusList.max + 1) else 0
+    val fusable = bsMin >= 1 && radiusList.forall(r =>
+      outDims % (r + 1) == 0 && (outDims / (r + 1)) % bsMin == 0)
+    if (fusable)
+      return srpRadiusCurveFused(emb, queryPred, k, outDims, radiusList, exact)
     radiusList.map { r =>
-      recallOf(exact, srpBucketTopK(emb, queryPred, k, outDims, r), k)
+      recallOf(exact, srpBucketTopK(emb, queryPred, k, outDims, r), k,
+          exactMaterialized = true)
+        .agg(count(lit(1)).as("n_queries"), sum(col("n_hit")).as("n_hits"))
+        .select(lit(r.toLong).as("radius"),
+          col("n_queries").cast("long").as("n_queries"),
+          col("n_hits").cast("long").as("n_hits"),
+          (col("n_hits").cast("double") / (col("n_queries") * lit(k.toLong)))
+            .as("mean_recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The fused [[srpRadiusCurve]] body (doc there): one finest-level
+    * block join over (ids, signatures), pair dedup, one distance fold,
+    * per-radius filters over the scored pair table.
+    */
+  private def srpRadiusCurveFused(emb: DataFrame, queryPred: Column,
+      k: Int, outDims: Int, radiusList: Seq[Int],
+      exact: DataFrame): DataFrame = {
+    val rMax = radiusList.max
+    val bsMin = outDims / (rMax + 1)
+    val maskMin = (1L << bsMin) - 1
+    val dims = 64 // embedding width (TESTDATA.md), static like PQ_DIMS
+    val proj = normalized(emb)
+      .withColumn("p", srpProject(srpSignMatrix(outDims, dims)))
+      .withColumn("sig", srpSigExpr(outDims))
+    def blocksOf(sigCol: String): Column = array((0 to rMax).map { j =>
+      struct(lit(j).as("bpos"),
+        expr(s"shiftright($sigCol, ${j * bsMin}) & $maskMin").as("bval"))
+    }: _*)
+    // corpus side: ids + signatures + projections, computed once and
+    // widened (ScanParallelism doc); feeds the block join (sig only)
+    // and the payload attach (p only)
+    val corpus = graft.sources.ScanParallelism.widen(proj)
+      .select(col("vec_id"), col("p"), col("sig"))
+      .localCheckpoint(true)
+    val q = proj.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"),
+        col("sig").as("qsig"))
+      .localCheckpoint(true)
+    val cBlk = corpus
+      .select(col("vec_id").as("neighbor_id"), col("sig").as("nsig"),
+        explode(blocksOf("sig")).as("b"))
+      .select(col("neighbor_id"), col("nsig"),
+        col("b.bpos").as("bpos"), col("b.bval").as("bval"))
+    val qBlk = q
+      .select(col("query_id"), col("qsig"), explode(blocksOf("qsig")).as("b"))
+      .select(col("query_id"), col("qsig"),
+        col("b.bpos").as("bpos"), col("b.bval").as("bval"))
+    // pair dedup BEFORE the payload: a pair matching on m finest blocks
+    // appears m times — with an identical signature xor each time, so
+    // min() is pure dedup. The shuffle moves (ids, xor) only.
+    val pairs = cBlk.join(broadcast(qBlk), Seq("bpos", "bval"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("qsig ^ nsig").as("xr"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("xr")).as("xr"))
+    // attach projections ONCE per pair, fold ONCE (same expression as
+    // srpBucketTopK); corpus/query payload joins are equi-joins against
+    // the checkpointed narrow frames — AQE broadcasts them at toy SF
+    // and degrades to shuffle at scale (the cutSpans reasoning)
+    val scored = pairs
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("p").as("np")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qp"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("xr"), expr(
+        "aggregate(zip_with(qp, np, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+        .as("rp_dist"))
+      .localCheckpoint(true) // every arm reads this twice (rank + recall)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rp_dist").asc, col("neighbor_id").asc)
+    radiusList.map { r =>
+      val bs = outDims / (r + 1)
+      val mask = (1L << bs) - 1
+      // admitted at radius r ⟺ the signatures agree on some whole
+      // aligned bs-bit block ⟺ that block of the xor is zero
+      val admit = (0 to r).map(j =>
+        expr(s"shiftright(xr, ${j * bs}) & $mask") === lit(0L)).reduce(_ || _)
+      val arm = scored.filter(admit)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), col("rp_dist"))
+      recallOf(exact, arm, k, exactMaterialized = true)
         .agg(count(lit(1)).as("n_queries"), sum(col("n_hit")).as("n_hits"))
         .select(lit(r.toLong).as("radius"),
           col("n_queries").cast("long").as("n_queries"),
@@ -2716,8 +2864,27 @@ object Similarity {
           .cast("decimal(38,12)").as("sxj"),
         sum(col("p")).cast("decimal(38,12)").as("sxx"))
       .localCheckpoint(true) // dims² rows; n/sx/sxx all read this one pass
-    val nRow = byIJ.agg(max(col("cnt"))).head()
+    // INPUT CONTRACT (round-13 advice #2): every contributing row must
+    // carry a full dims-width embedding. A short or over-long array
+    // shifts the (i, j) cell population off the dims² grid — caught
+    // here; a NULL/empty array contributes no cells at all and is
+    // caught by the n == corpus-rows checks in save/append (a silent
+    // drop would make n diverge between the stats and the manifest
+    // accounting, breaking the append ≡ rebuild bit-identity).
+    val cells = byIJ.count()
+    require(cells == 0L || cells == dims.toLong * dims,
+      s"spectral stats expect dense $dims-wide embeddings: the (i, j) " +
+        s"moment grid has $cells cells, want ${dims.toLong * dims} — " +
+        "some row carries an embedding of a different width")
+    val nRow = byIJ.agg(max(col("cnt")), min(col("cnt"))).head()
     val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    // uniform cell population = every contributing row hit every cell;
+    // a SHORT (but non-empty) embedding would add to the low-index
+    // cells only — polluting the sums without changing the grid shape
+    require(n == 0L || nRow.getLong(1) == n,
+      s"spectral stats expect dense $dims-wide embeddings: (i, j) cell " +
+        s"populations range ${nRow.getLong(1)}..$n — some row carries a " +
+        "shorter embedding")
     val sx = byIJ.filter(col("i") === col("j"))
       .select(col("j"), col("sxj").as("sx"))
     val sxx = byIJ.select(col("i"), col("j"), col("sxx"))
@@ -3007,6 +3174,15 @@ object Similarity {
       iters: Int = 3): Unit = {
     val (n, sx0, sxx0) = spectralStats(emb, dim)
     val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
+    // n (rows contributing full-width embeddings) must equal the corpus
+    // row count the manifest will record — a NULL/empty embedding row
+    // would silently count in one and not the other, and the append
+    // arm's merged-n arithmetic would then diverge from a rebuild
+    // (round-13 advice #2: the contract is DENSE embeddings, enforced
+    // loudly instead of decided silently)
+    require(n == rows,
+      s"spectral index requires dense $dim-wide embeddings on every " +
+        s"row: $rows corpus rows but only $n carry a full embedding")
     writeSpectralTables(emb.sparkSession, path, dim, iters,
       sx0, sxx0, None, n, rows, maxId)
   }
@@ -3088,7 +3264,13 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$path/mean")),
       Future(cov.coalesce(1).write.mode("overwrite").parquet(s"$path/cov")),
       Future(vc.coalesce(1).write.mode("overwrite").parquet(s"$path/iter")))
-    (statsWrites ++ servingWrites).foreach(Await.result(_, Duration.Inf))
+    // await EVERY future before propagating any failure (round-13
+    // advice #5: rethrowing on the first failed Await left sibling
+    // writes in flight — a caller reacting by rebuilding in-process
+    // would race them against clearVersions/delete)
+    val outcomes = (statsWrites ++ servingWrites)
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
     // manifest flip strictly LAST — it is the commit point
     IndexManifest.writeVersioned(path, IndexManifest.Manifest("spectral",
       Map("dims" -> dim.toLong, "iters" -> iters.toLong), rows, maxId))
@@ -3203,7 +3385,14 @@ object Similarity {
           s"the manifest records ${man.corpusRows} — a previous append " +
           "crashed between the stats write and the manifest flip; rebuild " +
           "(spectralIndexSync does this automatically)")
-    val (_, incSx, incSxx) = spectralStats(increment, man.params("dims").toInt)
+    val (incN, incSx, incSxx) = spectralStats(increment, man.params("dims").toInt)
+    // same dense-embedding contract as saveSpectralIndex: the merged n
+    // below is manifest arithmetic (corpusRows + rows), valid only if
+    // every increment row contributed to the stats
+    require(incN == rows,
+      s"spectral append requires dense ${man.params("dims")}-wide " +
+        s"embeddings on every row: $rows increment rows but only $incN " +
+        "carry a full embedding")
     val mergedSx = spark.read.parquet(s"$path/sx").unionByName(incSx)
       .groupBy(col("j"))
       .agg(sum(col("sx")).cast("decimal(38,12)").as("sx"))
