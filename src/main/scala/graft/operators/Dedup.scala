@@ -1935,9 +1935,17 @@ object Dedup {
     // checkpointed: sig feeds BOTH table writes — uncheckpointed, the
     // bands write re-ran the whole shingle+md5+minhash chain
     val sig = minhash(hashedShingles(history), k).localCheckpoint(true)
-    sig.write.mode("overwrite").parquet(s"$path/sig")
-    bandRows(sig, k, bands).write.mode("overwrite").parquet(s"$path/bands")
-    val (rows, maxId) = graft.sources.IndexManifest.watermark(history, "doc_id")
+    // the two table writes and the watermark agg are order-independent
+    // (every crash state before the manifest flip below is an unmani-
+    // fested/overwritten store) — run them concurrently instead of as
+    // three sequential sub-second jobs (IndexManifest.awaitAll doc)
+    var wm: (Long, Long) = (0L, -1L)
+    graft.sources.IndexManifest.awaitAll(Seq(
+      () => sig.write.mode("overwrite").parquet(s"$path/sig"),
+      () => bandRows(sig, k, bands).write.mode("overwrite")
+        .parquet(s"$path/bands"),
+      () => wm = graft.sources.IndexManifest.watermark(history, "doc_id")))
+    val (rows, maxId) = wm
     // VERSIONED (the d153 device): sig and band rows both carry doc_id
     // and appends are id-monotone with frozen history files, so a
     // snapshot version IS its watermark — an as-of probe is the same
@@ -1969,13 +1977,29 @@ object Dedup {
         s"increment ids start at $minId but the index watermark is " +
           s"${man.corpusMaxId} ($path) — appends must be id-monotone")
     // orphan guard: a prior append that crashed before its manifest flip
-    // left sig rows above the watermark; appending again would duplicate
-    IndexManifest.requireNoOrphans(
-      newDocs.sparkSession.read.parquet(s"$path/sig"), "doc_id", man, path)
-    // checkpointed: both table writes read sig (saveLshIndex doc)
-    val sig = minhash(hashedShingles(newDocs), k).localCheckpoint(true)
-    sig.write.mode("append").parquet(s"$path/sig")
-    bandRows(sig, k, bands).write.mode("append").parquet(s"$path/bands")
+    // left sig rows above the watermark; appending again would duplicate.
+    // Overlapped with the increment's signature materialization — the
+    // guard is a pure read, and on failure nothing has been written
+    // (the checkpoint blocks die with the JVM's hygiene pass); both
+    // complete before either outcome propagates (awaitAll doc).
+    // BOTH tables are guarded: with the writes below concurrent, a crash
+    // can commit either table first, so the bands table needs its own
+    // orphan witness (the old sequential order guaranteed bands ⇒ sig)
+    var sig: DataFrame = null
+    IndexManifest.awaitAll(Seq(
+      () => IndexManifest.requireNoOrphans(
+        newDocs.sparkSession.read.parquet(s"$path/sig"), "doc_id", man, path),
+      () => IndexManifest.requireNoOrphans(
+        newDocs.sparkSession.read.parquet(s"$path/bands"), "doc_id", man, path),
+      // checkpointed: both table writes read sig (saveLshIndex doc)
+      () => sig = minhash(hashedShingles(newDocs), k).localCheckpoint(true)))
+    // the two appends are order-independent (a crash between them is
+    // caught by the per-table orphan guards above — the manifest flip
+    // is the commit point); run them concurrently
+    IndexManifest.awaitAll(Seq(
+      () => sig.write.mode("append").parquet(s"$path/sig"),
+      () => bandRows(sig, k, bands).write.mode("append")
+        .parquet(s"$path/bands")))
     // every append is a new snapshot version (the d153 device)
     IndexManifest.writeVersioned(path,
       man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))

@@ -1546,10 +1546,16 @@ object Similarity {
     // centroids from the store, never re-derive them). A cell that
     // empties during training drops out (the standard dead-centroid
     // policy); the manifest records the SURVIVING cell count.
-    val cents =
-      if (trainIters == 0) seedCentroids(n, nCells)
-      else collectCentroids(kmeansKcenterSeeded(emb, nCells, trainIters))
-    val (mins, maxs) = sqStats(n)
+    // centroid selection and the SQ8 min/max training pass are
+    // independent driver collects — overlapped (awaitAll doc)
+    var cents: Seq[(Long, Seq[Double])] = null
+    var mm: (Seq[Double], Seq[Double]) = null
+    IndexManifest.awaitAll(Seq(
+      () => cents =
+        (if (trainIters == 0) seedCentroids(n, nCells)
+         else collectCentroids(kmeansKcenterSeeded(emb, nCells, trainIters))),
+      () => mm = sqStats(n)))
+    val (mins, maxs) = mm
     val scales = maxs.zip(mins).map { case (mx, mn) =>
       if (mx > mn) (mx - mn) / 255.0 else 1.0 }
     val codes = n.withColumn("cell",
@@ -1570,13 +1576,23 @@ object Similarity {
         graft.sources.ScanParallelism.layoutForWrite(
           codes, cents.size, Seq(col("cell")))
       else codes
-    val w = laid.write.mode("overwrite")
-    (if (partitionByCell) w.partitionBy("cell") else w).parquet(s"$path/codes")
-    cents.toDF("cid", "ce").write.mode("overwrite").parquet(s"$path/cents")
-    mins.zip(scales).zipWithIndex
-      .map { case ((mn, sc), i) => (i + 1L, mn, sc) }
-      .toDF("dim", "mn", "sc").write.mode("overwrite").parquet(s"$path/quant")
-    val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
+    // the three table writes and the watermark agg are order-independent
+    // (manifest flip below is the commit point) — overlapped
+    var wm: (Long, Long) = (0L, -1L)
+    IndexManifest.awaitAll(Seq(
+      () => {
+        val w = laid.write.mode("overwrite")
+        (if (partitionByCell) w.partitionBy("cell") else w)
+          .parquet(s"$path/codes")
+      },
+      () => cents.toDF("cid", "ce").write.mode("overwrite")
+        .parquet(s"$path/cents"),
+      () => mins.zip(scales).zipWithIndex
+        .map { case ((mn, sc), i) => (i + 1L, mn, sc) }
+        .toDF("dim", "mn", "sc").write.mode("overwrite")
+        .parquet(s"$path/quant"),
+      () => wm = IndexManifest.watermark(emb, "vec_id")))
+    val (rows, maxId) = wm
     // versioned (the d153 device; rebuild resets the lineage): codes
     // are vec_id-monotone append-only AND the codebook is frozen
     // across appends, so any snapshot serves as-of with one id cut
@@ -1621,7 +1637,6 @@ object Similarity {
     */
   def appendIvfSq8Index(increment: DataFrame, path: String): Unit = {
     val man = IndexManifest.require(path, "ivf-sq8")
-    val (cents, mins, scales) = loadSq8Constants(increment.sparkSession, path)
     val stats = increment.agg(count(lit(1)),
       min(col("vec_id").cast("long")), max(col("vec_id").cast("long"))).head()
     if (stats.getLong(0) == 0L) return
@@ -1630,8 +1645,16 @@ object Similarity {
       throw new IndexManifestException(
         s"increment ids start at $minId but the index watermark is " +
           s"${man.corpusMaxId} ($path) — appends must be id-monotone")
-    IndexManifest.requireNoOrphans(
-      increment.sparkSession.read.parquet(s"$path/codes"), "vec_id", man, path)
+    // codebook reload and the orphan guard are independent store READS
+    // — overlapped; both complete before the data write below can start
+    // (awaitAll doc), so the guard still strictly precedes the mutation
+    var consts: (Seq[(Long, Seq[Double])], Seq[Double], Seq[Double]) = null
+    IndexManifest.awaitAll(Seq(
+      () => consts = loadSq8Constants(increment.sparkSession, path),
+      () => IndexManifest.requireNoOrphans(
+        increment.sparkSession.read.parquet(s"$path/codes"), "vec_id",
+        man, path)))
+    val (cents, mins, scales) = consts
     // widened + laid out like saveIvfSq8Index (the append is the same
     // assignment+encode pass over the increment)
     val n = normalized(graft.sources.ScanParallelism.widen(increment))
@@ -2272,13 +2295,19 @@ object Similarity {
     // one write task per (bpos, bval) directory (round-13 verdict #1:
     // the 64-directory write ran from ONE task; the explicit-N keyed
     // repartition is what AQE cannot coalesce away)
-    graft.sources.ScanParallelism.layoutForWrite(
-        srpBlockTable(emb, outDims, radius),
-        (radius + 1) << (outDims / (radius + 1)),
-        Seq(col("bpos"), col("bval")))
-      .write.mode("overwrite").partitionBy("bpos", "bval")
-      .parquet(s"$path/blocks")
-    val (rows, maxId) = IndexManifest.watermark(emb, "vec_id")
+    // the blocks write and the watermark agg are order-independent
+    // (manifest flip below is the commit point) — overlapped
+    // (IndexManifest.awaitAll doc)
+    var wm: (Long, Long) = (0L, -1L)
+    IndexManifest.awaitAll(Seq(
+      () => graft.sources.ScanParallelism.layoutForWrite(
+          srpBlockTable(emb, outDims, radius),
+          (radius + 1) << (outDims / (radius + 1)),
+          Seq(col("bpos"), col("bval")))
+        .write.mode("overwrite").partitionBy("bpos", "bval")
+        .parquet(s"$path/blocks"),
+      () => wm = IndexManifest.watermark(emb, "vec_id")))
+    val (rows, maxId) = wm
     // versioned (the d153 device): the block table is vec_id-monotone
     // append-only, so every snapshot is servable as-of by one id cut;
     // an overwrite rebuild resets the lineage

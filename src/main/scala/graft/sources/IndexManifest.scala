@@ -57,6 +57,27 @@ object IndexManifest {
     (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
   }
 
+  /** Run independent store jobs CONCURRENTLY (guide §2.6 — overlap
+    * independent jobs: the driver otherwise serializes several
+    * sub-second jobs per store operation, and at bench scale the
+    * store-maintenance rows are job-latency-bound). Awaits EVERY job
+    * before propagating the first failure in sequence order, so no
+    * sibling is ever left in flight when a caller reacts to an error
+    * (the writeSpectralTables discipline). Callers put only
+    * ORDER-INDEPENDENT work here — guards that must precede a mutation
+    * stay sequential at the call site; the manifest flip always comes
+    * after.
+    */
+  def awaitAll(work: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val outcomes = work.map(w => Future(w()))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+    ()
+  }
+
   /** Write `$path/MANIFEST.json` atomically (write-then-rename, same
     * discipline as the segment log's manifest flip).
     */
