@@ -1631,9 +1631,26 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("v").as("w"), col("lbl").as("wl")), Seq("w"))
         .groupBy(col("v")).agg(min(col("wl")).as("nm"))
-      val next = labels.join(nbrMin, Seq("v"), "left_outer")
+      val prop = labels.join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"),
           col("lbl").as("prev"))
+      // POINTER JUMPING (Shiloach–Vishkin path compression): follow one
+      // more hop, lbl(v) ← min(lbl(v), lbl(lbl(v))), in the SAME pass —
+      // label paths halve per pass, so chain-shaped evidence converges
+      // in ~log(diameter) passes instead of diameter (each pass here is
+      // 2 shuffles + a checkpoint + a probe job; fewer passes is the
+      // whole cost model, guide §2.4 fewer passes). Every label value
+      // is a vertex id of the active set (labels start as v and only
+      // ever take mins over member ids), so the self-join always finds
+      // its row; the fixed point is unchanged — a state stable under
+      // neighbor-min is constant per component with the minimum at its
+      // own id, with or without the extra hop — and labels stay
+      // monotone, so the maxIters over-segmentation contract holds.
+      val hop = prop.select(col("v").as("jl"), col("lbl").as("l2"))
+      val next = prop.join(hop, col("lbl") === col("jl"), "left_outer")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("l2"), col("lbl"))).as("lbl"),
+          col("prev"))
         .localCheckpoint(true)
       converged = next.filter(col("lbl") < col("prev")).isEmpty
       freeSnapshot(labels)

@@ -2824,20 +2824,29 @@ object TextAnalysis {
     */
   def saveSuffixIndex(docs: DataFrame, path: String, global: Boolean): Unit = {
     import graft.sources.IndexManifest
+    // the two table writes and the watermark agg are order-independent
+    // (manifest write below is the commit point) — overlapped
+    // (IndexManifest.awaitAll doc); the lcp derivation's own descent
+    // jobs overlap the sa write as a bonus
+    var wm: (Long, Long) = (0L, -1L)
     if (global) {
       val (sa, _, pairs) = globalLcpParts(docs)
-      sa.select(col("doc_id"), col("pos"), col("rank").as("rnk"))
-        .write.mode("overwrite").parquet(s"$path/sa")
-      pairs.select(col("rnk"), col("lcp"), col("n_occ"), col("n_docs"))
-        .write.mode("overwrite").parquet(s"$path/lcp")
+      IndexManifest.awaitAll(Seq(
+        () => sa.select(col("doc_id"), col("pos"), col("rank").as("rnk"))
+          .write.mode("overwrite").parquet(s"$path/sa"),
+        () => pairs.select(col("rnk"), col("lcp"), col("n_occ"), col("n_docs"))
+          .write.mode("overwrite").parquet(s"$path/lcp"),
+        () => wm = IndexManifest.watermark(docs, "doc_id")))
     } else {
       val (sa, levels) = suffixLevels(docs)
-      sa.select(col("doc_id"), col("pos"), col("rank").as("rnk"))
-        .write.mode("overwrite").parquet(s"$path/sa")
-      perDocLcp(sa, levels)
-        .write.mode("overwrite").parquet(s"$path/lcp")
+      IndexManifest.awaitAll(Seq(
+        () => sa.select(col("doc_id"), col("pos"), col("rank").as("rnk"))
+          .write.mode("overwrite").parquet(s"$path/sa"),
+        () => perDocLcp(sa, levels)
+          .write.mode("overwrite").parquet(s"$path/lcp"),
+        () => wm = IndexManifest.watermark(docs, "doc_id")))
     }
-    val (rows, maxId) = IndexManifest.watermark(docs, "doc_id")
+    val (rows, maxId) = wm
     IndexManifest.write(path, IndexManifest.Manifest("suffix-array",
       Map("global" -> (if (global) 1L else 0L)), rows, maxId))
   }
@@ -2888,12 +2897,22 @@ object TextAnalysis {
       throw new IndexManifestException(
         s"increment ids start at $minId but the index watermark is " +
           s"${man.corpusMaxId} ($path) — appends must be id-monotone")
-    IndexManifest.requireNoOrphans(
-      spark.read.parquet(s"$path/sa"), "doc_id", man, path)
-    val (sa, levels) = suffixLevels(newDocs)
-    sa.select(col("doc_id"), col("pos"), col("rank").as("rnk"))
-      .write.mode("append").parquet(s"$path/sa")
-    perDocLcp(sa, levels).write.mode("append").parquet(s"$path/lcp")
+    // BOTH tables guarded (the appends below are concurrent, so a crash
+    // can commit either first), overlapped with the increment's ladder
+    // — the guards are pure reads and everything completes before any
+    // outcome propagates (IndexManifest.awaitAll doc)
+    var res: (DataFrame, Seq[(Long, DataFrame)]) = null
+    IndexManifest.awaitAll(Seq(
+      () => IndexManifest.requireNoOrphans(
+        spark.read.parquet(s"$path/sa"), "doc_id", man, path),
+      () => IndexManifest.requireNoOrphans(
+        spark.read.parquet(s"$path/lcp"), "doc_id", man, path),
+      () => res = suffixLevels(newDocs)))
+    val (sa, levels) = res
+    IndexManifest.awaitAll(Seq(
+      () => sa.select(col("doc_id"), col("pos"), col("rank").as("rnk"))
+        .write.mode("append").parquet(s"$path/sa"),
+      () => perDocLcp(sa, levels).write.mode("append").parquet(s"$path/lcp")))
     IndexManifest.write(path,
       man.copy(corpusRows = man.corpusRows + rows, corpusMaxId = maxId))
   }
