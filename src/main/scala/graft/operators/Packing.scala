@@ -286,6 +286,23 @@ object Packing {
     * to disk). The write itself shuffles on shard_id via a repartition
     * so each shard lands as one file-group, not one file per task.
     */
+  /** Write layout for the shard-partitioned store: group by shard_id so
+    * each shard lands as one file-group. When the frame is KNOWN small
+    * (the layoutForWrite gates), the partition count is EXPLICIT
+    * (core-count), which AQE cannot coalesce — the bare keyed
+    * `repartition(col)` was AQE-coalesced to ~1 partition at bench
+    * scale, serializing the whole write into one task (the round-13
+    * measured failure mode). At production scale the gates fall through
+    * to the original coalescible keyed repartition, preserving the
+    * shard-grouped, size-adaptive layout.
+    */
+  private def shardWriteLayout(asg: DataFrame): DataFrame = {
+    val laid = graft.sources.ScanParallelism.layoutForWrite(
+      asg, asg.sparkSession.sparkContext.defaultParallelism,
+      Seq(col("shard_id")))
+    if (laid eq asg) asg.repartition(col("shard_id")) else laid
+  }
+
   def saveTokenShards(docs: DataFrame, path: String, budget: Long,
       bucketBits: Int = 8): Unit = {
     import graft.sources.IndexManifest
@@ -301,16 +318,20 @@ object Packing {
     // write the schema-only empty frame unpartitioned instead
     if (docs.isEmpty)
       asg.write.mode("overwrite").parquet(s"$path/shards")
-    else asg.repartition(col("shard_id"))
+    else shardWriteLayout(asg)
       .write.mode("overwrite").partitionBy("shard_id")
       .parquet(s"$path/shards")
-    val (rows, maxId) = IndexManifest.watermark(docs, "doc_id")
-    // total token count rides the manifest so the append path knows where
-    // the frozen token stream ends without rescanning history text; read
-    // from the just-written store (a column-pruned two-long scan, no
-    // re-tokenization)
-    val total = docs.sparkSession.read.parquet(s"$path/shards")
-      .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+    // the watermark agg and the just-written store's token total are
+    // independent reads (manifest flip below is the commit point) —
+    // overlapped (IndexManifest.awaitAll doc). The total reads the
+    // store (a column-pruned two-long scan), never re-tokenizes.
+    var wm: (Long, Long) = (0L, -1L)
+    var total = 0L
+    IndexManifest.awaitAll(Seq(
+      () => wm = IndexManifest.watermark(docs, "doc_id"),
+      () => total = docs.sparkSession.read.parquet(s"$path/shards")
+        .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)))
+    val (rows, maxId) = wm
     // VERSIONED (the d153 device): the store is doc_id-monotone
     // append-only with history shard files byte-frozen and start_tokens
     // recorded verbatim, so a snapshot version IS its watermark — and
@@ -438,9 +459,14 @@ object Packing {
           .select(col("doc_id"))
         val selPrefix = selected.filter(col("doc_id") <= m.corpusMaxId)
           .select(col("doc_id"))
-        val drift =
-          selPrefix.join(storeIds, Seq("doc_id"), "left_anti").count() +
-            storeIds.join(selPrefix, Seq("doc_id"), "left_anti").count()
+        // the two membership anti-join counts are independent reads —
+        // overlapped (IndexManifest.awaitAll doc)
+        var dA = 0L
+        var dB = 0L
+        IndexManifest.awaitAll(Seq(
+          () => dA = selPrefix.join(storeIds, Seq("doc_id"), "left_anti").count(),
+          () => dB = storeIds.join(selPrefix, Seq("doc_id"), "left_anti").count()))
+        val drift = dA + dB
         if (drift > 0) rebuild()
         else if (selected.filter(col("doc_id") > m.corpusMaxId).isEmpty) "fresh"
         else {
@@ -523,8 +549,8 @@ object Packing {
       .select(col("doc_id"), col("n_tokens"),
         (col("start_token") + base).as("start_token"),
         expr(s"CAST((start_token + $base) DIV $budget AS BIGINT)").as("shard_id"))
-    asg.join(newDocs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .repartition(col("shard_id"))
+    shardWriteLayout(
+        asg.join(newDocs.select(col("doc_id"), col("text")), Seq("doc_id")))
       .write.mode("append").partitionBy("shard_id")
       .parquet(s"$path/shards")
     val incr = asg.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)

@@ -1177,20 +1177,30 @@ object TextAnalysis {
     // The bucket is a pure term function (the shared hash60), so the
     // reader derives each query term's bucket driver-side (hash60Jvm,
     // spec-pinned equal to the Column form) — no bucket map to store.
-    if (termBuckets > 0) {
-      postings
-        .withColumn("tb",
-          pmod(Dedup.hash60(col("term")), lit(termBuckets.toLong)))
-        .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb")
-        .parquet(s"$path/postings")
-    } else {
-      postings.write.mode("overwrite").parquet(s"$path/postings")
-    }
-    docs.select(col("doc_id"), size(w).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$path/lens")
-    val c = docs.agg(count(lit(1)).cast("long"),
-      coalesce(sum(size(w)).cast("long"), lit(0L))).head()
+    // the postings/lens writes and the corpus-constants agg are
+    // order-independent for a REBUILD (manifest flip below is the
+    // commit point) — overlapped (IndexManifest.awaitAll doc). The
+    // bucketed postings layout uses an EXPLICIT partition count when
+    // the frame is gated small, so AQE cannot coalesce the write back
+    // to one task (the round-13 failure mode of bare keyed repartition).
+    var c: org.apache.spark.sql.Row = null
+    graft.sources.IndexManifest.awaitAll(Seq(
+      () =>
+        if (termBuckets > 0) {
+          val tb = postings.withColumn("tb",
+            pmod(Dedup.hash60(col("term")), lit(termBuckets.toLong)))
+          val laid = graft.sources.ScanParallelism.layoutForWrite(
+            tb, termBuckets, Seq(col("tb")))
+          (if (laid eq tb) tb.repartition(col("tb")) else laid)
+            .write.mode("overwrite").partitionBy("tb")
+            .parquet(s"$path/postings")
+        } else {
+          postings.write.mode("overwrite").parquet(s"$path/postings")
+        },
+      () => docs.select(col("doc_id"), size(w).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(s"$path/lens"),
+      () => c = docs.agg(count(lit(1)).cast("long"),
+        coalesce(sum(size(w)).cast("long"), lit(0L))).head()))
     val (nDocs, sumDl) = (c.getLong(0), c.getLong(1))
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1213,12 +1223,14 @@ object TextAnalysis {
     * by EXACT integer merges (n_docs + |inc|, sum_dl + Σ inc lengths) —
     * so the appended index serves scores bit-identical to a full
     * rebuild on the grown corpus, while history text is never re-read,
-    * re-tokenized, or re-scored at maintenance time. Write order is the
-    * crash contract: postings FIRST, so any crash in the window leaves
-    * orphan rows above the watermark and the retry fails loudly
-    * (requireNoOrphans) instead of double-appending; the constants
-    * merge reads the MANIFEST's sum_dl (flipped atomically with the
-    * watermark), never the possibly-mid-crash consts table.
+    * re-tokenized, or re-scored at maintenance time. Crash contract:
+    * BOTH data tables carry doc_id and BOTH are orphan-guarded before
+    * any write (the two table appends run concurrently, so either can
+    * commit first) — any crash in the window leaves orphan rows above
+    * the watermark in whichever table committed, and the retry fails
+    * loudly (requireNoOrphans) instead of double-appending; the
+    * constants merge reads the MANIFEST's sum_dl (flipped atomically
+    * with the watermark), never the possibly-mid-crash consts table.
     */
   def appendBm25Index(increment: DataFrame, path: String): Unit = {
     import graft.sources.{IndexManifest, IndexManifestException}
@@ -1237,23 +1249,34 @@ object TextAnalysis {
       throw new IndexManifestException(
         s"increment ids start at $minId but the index watermark is " +
           s"${man.corpusMaxId} ($path) — appends must be id-monotone")
-    IndexManifest.requireNoOrphans(
-      increment.sparkSession.read.parquet(s"$path/postings"), "doc_id",
-      man, path)
+    // BOTH tables guarded (the appends below are concurrent, so a crash
+    // can commit either first — the old sequential order guaranteed
+    // lens ⇒ postings); the guards are pure reads, overlapped
+    IndexManifest.awaitAll(Seq(
+      () => IndexManifest.requireNoOrphans(
+        increment.sparkSession.read.parquet(s"$path/postings"), "doc_id",
+        man, path),
+      () => IndexManifest.requireNoOrphans(
+        increment.sparkSession.read.parquet(s"$path/lens"), "doc_id",
+        man, path)))
     val postings = increment.select(col("doc_id"), explode(w).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("long").as("tf"))
     val tb = man.params.getOrElse("term_buckets", 0L)
-    if (tb > 0L) {
-      postings
-        .withColumn("tb", pmod(Dedup.hash60(col("term")), lit(tb)))
-        .repartition(col("tb"))
-        .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
-    } else {
-      postings.write.mode("append").parquet(s"$path/postings")
-    }
-    increment.select(col("doc_id"), size(w).cast("long").as("dl"))
-      .write.mode("append").parquet(s"$path/lens")
+    IndexManifest.awaitAll(Seq(
+      () =>
+        if (tb > 0L) {
+          val tbl = postings
+            .withColumn("tb", pmod(Dedup.hash60(col("term")), lit(tb)))
+          val laid = graft.sources.ScanParallelism.layoutForWrite(
+            tbl, tb.toInt, Seq(col("tb")))
+          (if (laid eq tbl) tbl.repartition(col("tb")) else laid)
+            .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+        } else {
+          postings.write.mode("append").parquet(s"$path/postings")
+        },
+      () => increment.select(col("doc_id"), size(w).cast("long").as("dl"))
+        .write.mode("append").parquet(s"$path/lens")))
     val spark = increment.sparkSession
     import spark.implicits._
     Seq((man.corpusRows + rows, baseSum + incSum)).toDF("n_docs", "sum_dl")
