@@ -2677,11 +2677,17 @@ object Similarity {
   def graphBeamRecallCurve(emb: DataFrame, queryPred: Column, k: Int,
       beam: Int, rounds: Int, knnK: Int, bits: Int = 6,
       entries: Int = 4): DataFrame = {
-    val beams = beamWalk(emb, navGraph(emb, knnK, bits).localCheckpoint(true),
-      queryPred, k, beam, rounds, entries)
-    val exact = cosineTopK(emb, queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true) // read per round + once for the count
+    // the nav-graph build and the exact baseline are independent
+    // multi-job subcomputations — overlapped (IndexManifest.awaitAll
+    // doc; guide §2.6)
+    var edges: DataFrame = null
+    var exact: DataFrame = null
+    IndexManifest.awaitAll(Seq(
+      () => edges = navGraph(emb, knnK, bits).localCheckpoint(true),
+      () => exact = cosineTopK(emb, queryPred, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true))) // read per round + once for the count
+    val beams = beamWalk(emb, edges, queryPred, k, beam, rounds, entries)
     val nq = exact.agg(countDistinct(col("query_id")).cast("long").as("n_queries"))
     beams.map { case (i, b) =>
       beamTopK(b, k).select(col("query_id"), col("neighbor_id"))
@@ -2710,12 +2716,20 @@ object Similarity {
   def graphBeamRecallKCenter(emb: DataFrame, queryPred: Column, k: Int,
       beam: Int, rounds: Int, knnK: Int, bits: Int = 6,
       kCenters: Int = 4): DataFrame = {
-    val ids = kCenterGreedy(emb, kCenters).collect().map(_.getLong(1)).toSeq
-    val beams = beamWalk(emb, navGraph(emb, knnK, bits).localCheckpoint(true),
+    // entry selection, nav-graph build and the exact baseline are three
+    // independent multi-job subcomputations — overlapped
+    // (IndexManifest.awaitAll doc; guide §2.6)
+    var ids: Seq[Long] = null
+    var edges: DataFrame = null
+    var exact: DataFrame = null
+    IndexManifest.awaitAll(Seq(
+      () => ids = kCenterGreedy(emb, kCenters).collect().map(_.getLong(1)).toSeq,
+      () => edges = navGraph(emb, knnK, bits).localCheckpoint(true),
+      () => exact = cosineTopK(emb, queryPred, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)))
+    val beams = beamWalk(emb, edges,
       queryPred, k, beam, rounds, entries = ids.size, entryIds = Some(ids))
-    val exact = cosineTopK(emb, queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true)
     val nq = exact.agg(countDistinct(col("query_id")).cast("long").as("n_queries"))
     beamTopK(beams.last._2, k).select(col("query_id"), col("neighbor_id"))
       .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
