@@ -44,6 +44,12 @@ object ProfileQuery {
       SparkEntry.queries(q)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       System.err.println(f"[query] ${(System.nanoTime() - t0) / 1e9}%7.2f s  $q")
+      // checkpoint-footprint readout (round-13 verdict #9): the blocks
+      // still pinned when the query completes, BEFORE the hygiene pass
+      val st = spark.sparkContext.getRDDStorageInfo
+      System.err.println(f"[store] rdds=${st.length}%3d  " +
+        f"mem=${st.map(_.memSize).sum / 1048576.0}%9.1f MiB  " +
+        f"disk=${st.map(_.diskSize).sum / 1048576.0}%9.1f MiB  $q")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     spark.stop()

@@ -284,7 +284,7 @@ object Dedup {
     // letting Catalyst dedup the subtrees itself. Checkpointed: the
     // hashed shingle stream feeds the signature chain AND jaccard's
     // df-cap/cardinality/intersection legs — one md5 pass, not four.
-    val hsh = hashedShingles(docs).localCheckpoint(true)
+    val hsh = graft.sources.ScanParallelism.shareSmall(hashedShingles(docs))
     val cand = lshCandidates(bandKeys(minhash(hsh, k), k, bands), bands, maxBucket)
     jaccard(hsh, cand, maxDf)
       .filter(col("jaccard") >= threshold)
@@ -618,7 +618,8 @@ object Dedup {
       maxDf: Long = 10000L): DataFrame = {
     // checkpointed: the capped stream feeds the cardinalities AND both
     // sides of the intersection join (the lshNearDupPairs discipline)
-    val sh = dfCapped(hashedShingles(docs), maxDf).localCheckpoint(true)
+    val sh = graft.sources.ScanParallelism.shareSmall(
+      dfCapped(hashedShingles(docs), maxDf))
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val x = sh.as("x")
     val y = sh.as("y")
@@ -726,7 +727,8 @@ object Dedup {
   def containmentPairs(docs: DataFrame, threshold: Double,
       maxDf: Long = 10000L): DataFrame = {
     // checkpointed: feeds cardinalities + both intersection sides
-    val sh = dfCapped(hashedShingles(docs), maxDf).localCheckpoint(true)
+    val sh = graft.sources.ScanParallelism.shareSmall(
+      dfCapped(hashedShingles(docs), maxDf))
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val x = sh.as("x")
     val y = sh.as("y")
@@ -777,7 +779,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // checkpointed: the hashed stream feeds the df-cap chain AND the
     // final candidate-restricted jaccard verify
-    val hsh = hashedShingles(docs).localCheckpoint(true)
+    val hsh = graft.sources.ScanParallelism.shareSmall(hashedShingles(docs))
     val sh = dfCapped(hsh, maxDf)
     val df = sh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("hs"))

@@ -77,6 +77,26 @@ object ScanParallelism {
     * untouched: a corpus-sized frame keeps its natural (input-derived)
     * write parallelism rather than being squeezed into nDirs tasks.
     */
+  /** Materialize a SHARED subtree once for multiple consumers, with a
+    * size budget (round-13 verdict #9): a KNOWN-small frame is eagerly
+    * `localCheckpoint`ed — one computation, lineage truncated, blocks
+    * in executor memory (freed by the Bench/Verify hygiene pass, or by
+    * the ContextCleaner once the frame is unreachable). A frame whose
+    * size estimate exceeds [[maxWidenBytes]] — at 100 TB the capped
+    * hashed-shingle streams are corpus-multiple and would evict
+    * execution memory or OOM (guide §5: cached data competes with
+    * execution memory) — instead persists SERIALIZED with disk
+    * spillover: consumers still share one computation, but storage
+    * degrades to disk instead of fighting the shuffle for heap, and
+    * lineage stays intact so an executor loss recomputes rather than
+    * fails. The budget is maxWidenBytes per kernel, stated here so the
+    * trade is a constant, not a surprise.
+    */
+  def shareSmall(df: DataFrame): DataFrame =
+    if (df.queryExecution.analyzed.stats.sizeInBytes <= maxWidenBytes)
+      df.localCheckpoint(true)
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   def layoutForWrite(df: DataFrame, nDirs: Int,
       keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
