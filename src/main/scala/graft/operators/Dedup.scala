@@ -1823,8 +1823,33 @@ object Dedup {
       .select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint(true)
     val banded = bandKeys(minhash(hashedShingles(docs), k), k, bands)
       .localCheckpoint(true)
+    // FUSED arms (round-14; the e30/e44 nested-curve device): band
+    // subsets are PREFIXES and a bucket's cap verdict depends only on
+    // its own (bno, bkey), so arm nb's candidate set is exactly {pairs
+    // whose smallest admitting band < nb} of the deepest arm's. ONE
+    // bucket-capped self-join (the lshCandidates shape over the deepest
+    // prefix) tags each pair with min(bno); each arm is a filter over
+    // the one materialized pair table — candidate sets per arm are
+    // unchanged.
+    val maxNb = bandCounts.max
+    val long = banded.select(col("doc_id"),
+      posexplode(array((0 until maxNb).map(b => col(s"band$b")): _*))
+        .as(Seq("bno", "bkey")))
+    val bounded = long
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bno"), col("bkey"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val pairs = bounded.as("x").join(bounded.as("y"),
+        col("x.bno") === col("y.bno") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.bno").as("bno"))
+      .groupBy(col("a"), col("b")).agg(min(col("bno")).as("min_bno"))
+      .localCheckpoint(true) // every arm reads this (semi-join leg)
     bandCounts.map { nb =>
-      val cand = lshCandidates(banded, nb, maxBucket)
+      val cand = pairs.filter(col("min_bno") < nb).select(col("a"), col("b"))
       truth.agg(count(lit(1)).as("n_truth")).crossJoin(
           truth.join(cand, Seq("a", "b"), "left_semi")
             .agg(count(lit(1)).as("n_found")))
