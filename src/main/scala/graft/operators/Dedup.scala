@@ -1841,13 +1841,19 @@ object Dedup {
           .partitionBy(col("bno"), col("bkey"))))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
-    val pairs = bounded.as("x").join(bounded.as("y"),
-        col("x.bno") === col("y.bno") && col("x.bkey") === col("y.bkey")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.bno").as("bno"))
-      .groupBy(col("a"), col("b")).agg(min(col("bno")).as("min_bno"))
-      .localCheckpoint(true) // every arm reads this (semi-join leg)
+    // every arm reads this (semi-join leg) — shared under the size
+    // budget, gated on the scan-rooted docs (shareSmall doc): the
+    // banded pair table is a candidate-pair blowup that must not be
+    // pinned at corpus scale; above the budget each arm recomputes the
+    // single capped self-join
+    val pairs = graft.sources.ScanParallelism.shareSmall(
+      bounded.as("x").join(bounded.as("y"),
+          col("x.bno") === col("y.bno") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.bno").as("bno"))
+        .groupBy(col("a"), col("b")).agg(min(col("bno")).as("min_bno")),
+      gate = docs)
     bandCounts.map { nb =>
       val cand = pairs.filter(col("min_bno") < nb).select(col("a"), col("b"))
       truth.agg(count(lit(1)).as("n_truth")).crossJoin(

@@ -271,6 +271,26 @@ object Packing {
         expr(s"CAST(start_token DIV $budget AS BIGINT)").as("shard_id"))
   }
 
+  /** Write layout for the shard-partitioned store: group by shard_id so
+    * each shard lands as one file-group. When the corpus is KNOWN small
+    * (the layoutForWrite gates, judged on the scan-rooted `docs` frame
+    * — the write frame itself is join-rooted, and Catalyst prices an
+    * inner join as the product of its sides, which would read as
+    * petabytes and silently disable the gate), the partition count is
+    * EXPLICIT (core-count), which AQE cannot coalesce — the bare keyed
+    * `repartition(col)` was AQE-coalesced to ~1 partition at bench
+    * scale, serializing the whole write into one task (the round-13
+    * measured failure mode). At production scale the gates fall through
+    * to the original coalescible keyed repartition, preserving the
+    * shard-grouped, size-adaptive layout.
+    */
+  private def shardWriteLayout(asg: DataFrame, docs: DataFrame): DataFrame = {
+    val laid = graft.sources.ScanParallelism.layoutForWrite(
+      asg, asg.sparkSession.sparkContext.defaultParallelism,
+      Seq(col("shard_id")), gate = docs)
+    if (laid eq asg) asg.repartition(col("shard_id")) else laid
+  }
+
   /** Persist the sharded training corpus: [[tokenShards]]' assignment
     * joined back to the text and written as parquet PARTITIONED BY
     * shard_id, under the shared index manifest
@@ -284,25 +304,9 @@ object Packing {
     * The text join-back is one equi-join on doc_id (the assignment
     * table is four longs per doc; text rides the join once, on its way
     * to disk). The write itself shuffles on shard_id via a repartition
-    * so each shard lands as one file-group, not one file per task.
+    * so each shard lands as one file-group, not one file per task
+    * ([[shardWriteLayout]]).
     */
-  /** Write layout for the shard-partitioned store: group by shard_id so
-    * each shard lands as one file-group. When the frame is KNOWN small
-    * (the layoutForWrite gates), the partition count is EXPLICIT
-    * (core-count), which AQE cannot coalesce — the bare keyed
-    * `repartition(col)` was AQE-coalesced to ~1 partition at bench
-    * scale, serializing the whole write into one task (the round-13
-    * measured failure mode). At production scale the gates fall through
-    * to the original coalescible keyed repartition, preserving the
-    * shard-grouped, size-adaptive layout.
-    */
-  private def shardWriteLayout(asg: DataFrame): DataFrame = {
-    val laid = graft.sources.ScanParallelism.layoutForWrite(
-      asg, asg.sparkSession.sparkContext.defaultParallelism,
-      Seq(col("shard_id")))
-    if (laid eq asg) asg.repartition(col("shard_id")) else laid
-  }
-
   def saveTokenShards(docs: DataFrame, path: String, budget: Long,
       bucketBits: Int = 8): Unit = {
     import graft.sources.IndexManifest
@@ -318,7 +322,7 @@ object Packing {
     // write the schema-only empty frame unpartitioned instead
     if (docs.isEmpty)
       asg.write.mode("overwrite").parquet(s"$path/shards")
-    else shardWriteLayout(asg)
+    else shardWriteLayout(asg, docs)
       .write.mode("overwrite").partitionBy("shard_id")
       .parquet(s"$path/shards")
     // the watermark agg and the just-written store's token total are
@@ -550,7 +554,8 @@ object Packing {
         (col("start_token") + base).as("start_token"),
         expr(s"CAST((start_token + $base) DIV $budget AS BIGINT)").as("shard_id"))
     shardWriteLayout(
-        asg.join(newDocs.select(col("doc_id"), col("text")), Seq("doc_id")))
+        asg.join(newDocs.select(col("doc_id"), col("text")), Seq("doc_id")),
+        newDocs)
       .write.mode("append").partitionBy("shard_id")
       .parquet(s"$path/shards")
     val incr = asg.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)

@@ -1888,11 +1888,18 @@ object Similarity {
     // a corpus row lives in ONE cell and a query's probed cells are
     // distinct, so each admitted pair appears exactly once — scored
     // once, tagged with the probe rank that admits it
-    val pairs = corpus.join(q, Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("prank"),
-        sqDist(mnLit, scLit).as("sq_dist"))
-      .localCheckpoint(true) // every arm reads this twice (rank + recall)
+    // every arm reads this twice (rank + recall) — shared under the
+    // size budget, gated on the scan-rooted emb (shareSmall doc): the
+    // scored pair table is |Q| × probed-coverage rows, which at corpus
+    // scale must not be pinned in executor storage; above the budget
+    // each arm recomputes the single-fold join instead (still one fold
+    // per pair per arm — never the old per-sign-bit duplication)
+    val pairs = graft.sources.ScanParallelism.shareSmall(
+      corpus.join(q, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("prank"),
+          sqDist(mnLit, scLit).as("sq_dist")),
+      gate = emb)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sq_dist").asc, col("neighbor_id").asc)
@@ -2187,13 +2194,17 @@ object Similarity {
     // corpus side: ids + signatures + projections, computed once and
     // widened (ScanParallelism doc); feeds the block join (sig only)
     // and the payload attach (p only)
-    val corpus = graft.sources.ScanParallelism.widen(proj)
-      .select(col("vec_id"), col("p"), col("sig"))
-      .localCheckpoint(true)
-    val q = proj.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("p").as("qp"),
-        col("sig").as("qsig"))
-      .localCheckpoint(true)
+    // shared under the size budget, gated on the scan-rooted emb
+    // (shareSmall doc): the projected corpus frame is corpus-sized and
+    // must not be pinned at 100 TB — above the budget consumers
+    // recompute the projection scan-side
+    val corpus = graft.sources.ScanParallelism.shareSmall(
+      graft.sources.ScanParallelism.widen(proj)
+        .select(col("vec_id"), col("p"), col("sig")), gate = emb)
+    val q = graft.sources.ScanParallelism.shareSmall(
+      proj.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("p").as("qp"),
+          col("sig").as("qsig")), gate = emb)
     val cBlk = corpus
       .select(col("vec_id").as("neighbor_id"), col("sig").as("nsig"),
         explode(blocksOf("sig")).as("b"))
@@ -2216,14 +2227,21 @@ object Similarity {
     // srpBucketTopK); corpus/query payload joins are equi-joins against
     // the checkpointed narrow frames — AQE broadcasts them at toy SF
     // and degrades to shuffle at scale (the cutSpans reasoning)
-    val scored = pairs
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("p").as("np")), Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("qp"))), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("xr"), expr(
-        "aggregate(zip_with(qp, np, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
-        .as("rp_dist"))
-      .localCheckpoint(true) // every arm reads this twice (rank + recall)
+    // every arm reads this twice (rank + recall) — shared under the
+    // size budget, gated on the scan-rooted emb (shareSmall doc): at
+    // the widest radius the scored pair table approaches |Q| × N rows,
+    // which at corpus scale must not be pinned; above the budget each
+    // arm recomputes the single-fold join (still one fold per pair per
+    // arm — never the old per-sign-bit duplication)
+    val scored = graft.sources.ScanParallelism.shareSmall(
+      pairs
+        .join(corpus.select(col("vec_id").as("neighbor_id"),
+          col("p").as("np")), Seq("neighbor_id"))
+        .join(broadcast(q.select(col("query_id"), col("qp"))), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("xr"), expr(
+          "aggregate(zip_with(qp, np, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+          .as("rp_dist")),
+      gate = emb)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("rp_dist").asc, col("neighbor_id").asc)

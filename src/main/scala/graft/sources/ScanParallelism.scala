@@ -62,6 +62,41 @@ object ScanParallelism {
     else df
   }
 
+  /** Materialize a SHARED subtree once for multiple consumers, with a
+    * size budget (round-13 verdict #9): a KNOWN-small frame is eagerly
+    * `localCheckpoint`ed — one computation, lineage truncated, blocks
+    * in executor memory (freed by the Bench/Verify hygiene pass, or by
+    * the ContextCleaner once the frame is unreachable). A frame whose
+    * size estimate exceeds [[maxWidenBytes]] — at 100 TB the capped
+    * hashed-shingle streams and the curve pair tables are
+    * corpus-multiple and would evict execution memory or OOM (guide
+    * §5: cached data competes with execution memory) — is returned
+    * UNMATERIALIZED: consumers recompute the subtree, which is
+    * scan-side work that parallelizes with the data, lineage stays
+    * intact, and nothing is pinned. (A `persist` arm was considered
+    * and rejected: `Dataset.persist` registers the plan in the
+    * CacheManager, a strong reference no ContextCleaner ever reclaims
+    * — without a guaranteed unpersist, a long-lived session calling
+    * these plan-builders leaks a corpus-multiple cache entry per
+    * call. Recompute is the arm guide §5 prescribes when the memory
+    * pressure outweighs the recompute cost.) The budget is
+    * maxWidenBytes per kernel, stated here so the trade is a
+    * constant, not a surprise.
+    *
+    * `gate`: smallness is judged on this frame instead of `df` when
+    * given. Catalyst's size-only stats visitor prices an inner JOIN
+    * as the PRODUCT of its children, so a join-rooted `df` would read
+    * as petabytes at any scale and silently disable sharing; callers
+    * whose shared frame is join-rooted pass the scan-rooted source
+    * (the corpus frame) whose size actually bounds the blowup.
+    */
+  def shareSmall(df: DataFrame, gate: DataFrame = null): DataFrame = {
+    val g = if (gate == null) df else gate
+    if (g.queryExecution.analyzed.stats.sizeInBytes <= maxWidenBytes)
+      df.localCheckpoint(true)
+    else df
+  }
+
   /** Writer-side layout for a `partitionBy(keys)` store write: when the
     * frame is KNOWN small (same gates as [[widen]]), hash-repartition
     * to exactly `nDirs` partitions on the layout keys so the write runs
@@ -76,32 +111,19 @@ object ScanParallelism {
     * the exchange. At production scale the gates leave the plan
     * untouched: a corpus-sized frame keeps its natural (input-derived)
     * write parallelism rather than being squeezed into nDirs tasks.
+    *
+    * `gate`: same join-rooted-stats escape hatch as [[shareSmall]] —
+    * a write frame built by joining text back onto an assignment
+    * table reads as the product of its sides; the caller passes the
+    * scan-rooted docs frame so the gate reflects the actual scale.
     */
-  /** Materialize a SHARED subtree once for multiple consumers, with a
-    * size budget (round-13 verdict #9): a KNOWN-small frame is eagerly
-    * `localCheckpoint`ed — one computation, lineage truncated, blocks
-    * in executor memory (freed by the Bench/Verify hygiene pass, or by
-    * the ContextCleaner once the frame is unreachable). A frame whose
-    * size estimate exceeds [[maxWidenBytes]] — at 100 TB the capped
-    * hashed-shingle streams are corpus-multiple and would evict
-    * execution memory or OOM (guide §5: cached data competes with
-    * execution memory) — instead persists SERIALIZED with disk
-    * spillover: consumers still share one computation, but storage
-    * degrades to disk instead of fighting the shuffle for heap, and
-    * lineage stays intact so an executor loss recomputes rather than
-    * fails. The budget is maxWidenBytes per kernel, stated here so the
-    * trade is a constant, not a surprise.
-    */
-  def shareSmall(df: DataFrame): DataFrame =
-    if (df.queryExecution.analyzed.stats.sizeInBytes <= maxWidenBytes)
-      df.localCheckpoint(true)
-    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-
   def layoutForWrite(df: DataFrame, nDirs: Int,
-      keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      keys: Seq[org.apache.spark.sql.Column],
+      gate: DataFrame = null): DataFrame = {
+    val g = if (gate == null) df else gate
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < p &&
-        df.queryExecution.analyzed.stats.sizeInBytes <= maxWidenBytes)
+    if (g.inputFiles.length < p &&
+        g.queryExecution.analyzed.stats.sizeInBytes <= maxWidenBytes)
       // min(p, nDirs): never more write tasks than cores — tasks beyond
       // the core count only add scheduling/commit overhead at this
       // (gated-small) scale; a task holding 2-3 directories still

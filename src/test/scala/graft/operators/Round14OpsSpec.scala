@@ -60,6 +60,57 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dense"), e.getMessage)
   }
 
+  test("lshBandCurve: each fused arm equals the production lshCandidates kernel") {
+    // the fused deepest-prefix join tags pairs with min(bno); arm nb
+    // must equal the candidate set the PUBLIC lshCandidates kernel
+    // computes over bands 0..nb-1 — pinned cross-kernel so the inlined
+    // fused copy cannot silently drift from the production path it
+    // claims to measure (round-14 review finding)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val bandCounts = Seq(2, 4, 8)
+    val curve = Dedup.lshBandCurve(docs, bandCounts, 64, 16, 0.5, 1000L, 10000L)
+      .orderBy(col("n_bands")).collect()
+    val truth = Dedup.jaccardAll(docs, 0.5, 10000L)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint(true)
+    val banded =
+      Dedup.bandKeys(Dedup.minhash(Dedup.hashedShingles(docs), 64), 64, 16)
+    val nTruth = truth.count()
+    assert(nTruth > 0, "fixture must plant >= threshold pairs")
+    bandCounts.zip(curve).foreach { case (nb, row) =>
+      val refFound = truth.join(Dedup.lshCandidates(banded, nb, 1000L),
+        Seq("a", "b"), "left_semi").count()
+      assert(row.getLong(0) == nb.toLong)
+      assert(row.getLong(1) == nTruth, s"n_truth at nb=$nb")
+      assert(row.getLong(2) == refFound,
+        s"n_found at nb=$nb: fused=${row.getLong(2)} ref=$refFound")
+    }
+  }
+
+  test("ivfProbeCurve: each fused arm equals the production ivfSq8TopK kernel") {
+    // same cross-kernel pin for the IVF curve: the fused pair pass's
+    // per-arm (n_queries, n_hits) must equal a recall computed from the
+    // PUBLIC ivfSq8TopK the curve claims to sweep
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val (k, cells) = (3, 16)
+    val probes = Seq(2, 4)
+    val curve = Similarity.ivfProbeCurve(emb, pred, k, cells, probes)
+      .orderBy(col("probes")).collect()
+    val exact = Similarity.cosineTopK(emb, pred, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val nQueries = exact.select(col("query_id")).distinct().count()
+    probes.zip(curve).foreach { case (p, row) =>
+      val arm = Similarity.ivfSq8TopK(emb, pred, k, cells, p)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits =
+        exact.join(arm, Seq("query_id", "neighbor_id"), "left_semi").count()
+      assert(row.getLong(0) == p.toLong)
+      assert(row.getLong(1) == nQueries)
+      assert(row.getLong(2) == hits,
+        s"n_hits at probes=$p: fused=${row.getLong(2)} ref=$hits")
+    }
+  }
+
   test("srpRadiusCurve: the fused path equals the per-arm loop row for row") {
     // outDims = 12 admits a NON-nesting radius pair (2, 3): block widths
     // 4 and 3, 4 % 3 != 0 — that list takes the original per-arm
